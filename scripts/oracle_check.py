@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 differential check.
+
+Runs AFTER `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for each <outDir>/<name> parquet dir, executes the matching oracle SQL
+from <outDir>/oracle_sql.json in DuckDB over the same testdata parquet,
+sorts columns by name, row-sorts, and value-compares.
+
+Usage: oracle_check.py <sfDir> <outDir>
+"""
+import json, math, os, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 9)
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    return out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        spark_path = os.path.join(out_dir, name)
+        if not os.path.isdir(spark_path):
+            print(f"FAIL {name}: no spark output at {spark_path}")
+            n_fail += 1
+            continue
+        try:
+            duck = con.execute(sql)
+            duck_cols = [d[0] for d in duck.description]
+            duck_rows = duck.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            sp = con.execute(
+                f"SELECT * FROM read_parquet('{spark_path}/*.parquet')")
+            sp_cols = [d[0] for d in sp.description]
+            sp_rows = sp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark read error: {e}")
+            n_fail += 1
+            continue
+        if sorted(duck_cols) != sorted(sp_cols):
+            print(f"FAIL {name}: cols duck={sorted(duck_cols)} "
+                  f"spark={sorted(sp_cols)}")
+            n_fail += 1
+            continue
+        a, b = canon(duck_rows, duck_cols), canon(sp_rows, sp_cols)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows duck={len(a)} spark={len(b)}")
+            n_fail += 1
+            continue
+        # compare both as-ordered and sorted: flag order mismatches
+        if a == b:
+            print(f"PASS {name} ({len(a)} rows)")
+            n_pass += 1
+        elif sorted(a) == sorted(b):
+            print(f"WARN {name}: values match but row ORDER differs")
+            n_fail += 1
+        else:
+            diffs = [i for i, (x, y) in enumerate(zip(sorted(a), sorted(b)))
+                     if x != y][:3]
+            for i in diffs:
+                print(f"FAIL {name} row {i}:\n  duck ={sorted(a)[i]}\n"
+                      f"  spark={sorted(b)[i]}")
+            print(f"FAIL {name}: {len(a)} rows, first diffs above")
+            n_fail += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Test-table accessors over the driver-generated parquet dirs
+  * (`/root/testdata/sf*`, see TESTDATA.md / FIXTURES.md).
+  *
+  * Mirrors the reference's view reflection (`icerunner.py:82-103`) in
+  * Spark terms: one temp view per table, registered lazily; Spark views
+  * resolve at query time, so no per-query re-reflection is needed.
+  */
+object T {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+      // reader rejects outright; read it as raw ns-since-epoch and
+      // truncate to µs (matches DuckDB semantics at µs granularity).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      else df
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Register every test table as a temp view so `spark.sql` works over
+    * the same names the DuckDB oracle uses. */
+  def reflectViews(spark: SparkSession, sfDir: String): Unit =
+    tableNames.foreach { n =>
+      apply(spark, sfDir, n).createOrReplaceTempView(n)
+    }
+}
+
+/** One graded query: Spark plan + (optional) DuckDB oracle SQL.
+  *
+  * Contract notes (driver compare, see builder prompt):
+  *  - result column names must match the oracle's aliases exactly;
+  *  - rows carry a total ORDER BY on both sides;
+  *  - double aggregates are rounded on both sides to dodge
+  *    accumulation-order drift.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+  def apply(name: String, oracle: String)(
+      run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, Some(oracle))
+
+  /** Non-SQL-expressible op: driver records a weaker rows-only check. */
+  def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
+    Q(name, run, None)
+}
