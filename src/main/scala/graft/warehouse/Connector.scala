@@ -1,0 +1,90 @@
+package graft.warehouse
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Warehouse connector — the Spark-native equivalent of the reference's
+  * `IceRunnerConnector` (`icerunner.py:49-259`): catalog bootstrap, table
+  * create/append, full scan, count, raw SQL, snapshot ids, changes-since.
+  *
+  * Differences by design (SURVEY.md §4):
+  *  - views are registered lazily and refreshed only on commit, not
+  *    re-reflected before every query (`icerunner.py:82-103` does
+  *    O(#tables) DDL per query);
+  *  - `sql()` goes through Catalyst, which supplies the whole §2B
+  *    relational surface;
+  *  - changes-since reads only the files committed after the snapshot
+  *    (no join, no duplicates — fixes `icerunner.py:243-252`).
+  *
+  * One namespace ("default"), like the reference (`icerunner.py:44`).
+  */
+final class Connector(val spark: SparkSession, warehousePath: String) {
+  private val root: Path = Paths.get(warehousePath).resolve("default")
+  Files.createDirectories(root)
+
+  private def tableDir(name: String): Path = root.resolve(name)
+
+  /** List table names in the namespace (reference: `tables`,
+    * `icerunner.py:105-110`). */
+  def tables: Seq[String] = {
+    if (!Files.isDirectory(root)) return Seq.empty
+    Files.list(root).iterator().asScala
+      .filter(p => Files.isDirectory(p.resolve("_snapshots")))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def tableExists(name: String): Boolean =
+    GraftTable.load(spark, tableDir(name), name).isDefined
+
+  def loadTable(name: String): GraftTable =
+    GraftTable.load(spark, tableDir(name), name)
+      .getOrElse(throw new NoSuchElementException(s"table not found: $name"))
+
+  /** Idempotent create-with-data (reference: `create_table`,
+    * `icerunner.py:133-161`). Returns false if it already existed. */
+  def createTable(name: String, data: DataFrame): Boolean = {
+    val created = GraftTable.create(spark, tableDir(name), name, data)
+    created.foreach(_ => reflectView(name))
+    created.isDefined
+  }
+
+  /** Transactional append (reference: `insert`, `icerunner.py:163-178`). */
+  def insert(name: String, data: DataFrame): Boolean = {
+    val t = loadTable(name)
+    t.append(data)
+    reflectView(name)
+    true
+  }
+
+  /** Full scan (reference: `query`, `icerunner.py:180-188`). */
+  def query(name: String): DataFrame = loadTable(name).read()
+
+  /** Row count (reference: `count`, `icerunner.py:190-198`). */
+  def count(name: String): Long = query(name).count()
+
+  /** Raw SQL over all warehouse tables (reference: `sql`,
+    * `icerunner.py:200-207`) — the full relational surface via Catalyst. */
+  def sql(cmd: String): DataFrame = {
+    reflectViews()
+    spark.sql(cmd)
+  }
+
+  /** Reference: `get_current_snapshot_id` (`icerunner.py:209-222`). */
+  def getCurrentSnapshotId(name: String): Option[Long] =
+    GraftTable.load(spark, tableDir(name), name).flatMap(_.currentSnapshotId)
+
+  /** Reference: `get_changes_since_snapshot` (`icerunner.py:224-259`),
+    * with the corrected incremental semantics. */
+  def getChangesSinceSnapshot(name: String, snapshotId: Long): Option[DataFrame] =
+    GraftTable.load(spark, tableDir(name), name).map(_.changesSince(snapshotId))
+
+  /** Register/refresh one table's temp view. */
+  private def reflectView(name: String): Unit =
+    GraftTable.load(spark, tableDir(name), name)
+      .foreach(_.read().createOrReplaceTempView(name))
+
+  /** Register temp views for every table (cheap: builds lazy plans only). */
+  def reflectViews(): Unit = tables.foreach(reflectView)
+}

@@ -1,0 +1,146 @@
+package graft.warehouse
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** One committed snapshot: the unit of ACID append.
+  *
+  * Mirrors the subset of Iceberg snapshot semantics the reference
+  * actually uses (`icerunner.py:209-259`): monotonically increasing ids,
+  * append-only commits, incremental reads as "files added in (s, head]".
+  *
+  * @param snapshotId  monotonically increasing, starts at 1
+  * @param timestampMs commit wall-clock time
+  * @param operation   "create" | "append"
+  * @param addedFiles  parquet files (relative to the table dir) this
+  *                    commit added — never mutated afterwards
+  * @param schemaJson  Spark StructType JSON at commit time
+  */
+final case class Snapshot(
+    snapshotId: Long,
+    timestampMs: Long,
+    operation: String,
+    addedFiles: Seq[String],
+    schemaJson: String)
+
+/** Append-only snapshot log stored as one JSON manifest per commit under
+  * `<tableDir>/_snapshots/v%016d.json`.
+  *
+  * Commit protocol (single-writer-safe without any external service):
+  * write the manifest to a temp file, then `ATOMIC_MOVE` it to its
+  * versioned name **without** REPLACE_EXISTING — a concurrent committer
+  * racing on the same id loses with FileAlreadyExistsException and
+  * retries with the next id. Data files are written *before* the
+  * manifest; a crash between the two leaves orphan files that no
+  * manifest references, which readers never see (same recovery model as
+  * Iceberg's orphan-file semantics).
+  *
+  * Scale: manifests grow with commit count, not row count. A read
+  * resolves the file list driver-side (cheap JSON scan) and hands Spark
+  * an explicit file list, so planning-time pruning replaces any
+  * directory listing of a 100 TB table.
+  */
+final class SnapshotLog(tableDir: Path) {
+  private val snapDir: Path = tableDir.resolve("_snapshots")
+
+  private def manifestPath(id: Long): Path =
+    snapDir.resolve(f"v$id%016d.json")
+
+  def init(): Unit = Files.createDirectories(snapDir)
+
+  def exists: Boolean = Files.isDirectory(snapDir)
+
+  /** All snapshots in id order. */
+  def snapshots: Seq[Snapshot] = {
+    if (!Files.isDirectory(snapDir)) return Seq.empty
+    Files.list(snapDir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d{16}\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map(p => SnapshotJson.read(Files.readString(p)))
+  }
+
+  def head: Option[Snapshot] = snapshots.lastOption
+
+  def currentSnapshotId: Option[Long] = head.map(_.snapshotId)
+
+  /** Data files visible at snapshot `asOf` (or head when None),
+    * absolute paths. */
+  def dataFiles(asOf: Option[Long] = None): Seq[String] = {
+    val snaps = snapshots
+    val cut = asOf.getOrElse(Long.MaxValue)
+    snaps.filter(_.snapshotId <= cut)
+      .flatMap(_.addedFiles)
+      .map(f => tableDir.resolve(f).toString)
+  }
+
+  /** Files added by snapshots in `(sinceId, head]` — the corrected
+    * changes-since semantics (SURVEY.md §2A-12: the reference's version
+    * cross-joins instead). */
+  def changedFiles(sinceId: Long): Seq[String] =
+    snapshots.filter(_.snapshotId > sinceId)
+      .flatMap(_.addedFiles)
+      .map(f => tableDir.resolve(f).toString)
+
+  /** Commit a new snapshot; retries on id races. Returns the committed
+    * snapshot. */
+  def commit(operation: String, addedFiles: Seq[String], schemaJson: String): Snapshot = {
+    init()
+    var attempt = 0
+    while (true) {
+      val id = currentSnapshotId.getOrElse(0L) + 1 + attempt
+      val snap = Snapshot(id, System.currentTimeMillis(), operation,
+        addedFiles, schemaJson)
+      val tmp = Files.createTempFile(snapDir, ".commit-", ".tmp")
+      Files.writeString(tmp, SnapshotJson.write(snap))
+      try {
+        Files.move(tmp, manifestPath(id), StandardCopyOption.ATOMIC_MOVE)
+        return snap
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1 // lost the race; try the next id
+        case NonFatal(e) =>
+          Files.deleteIfExists(tmp)
+          throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+/** Hand-rolled JSON for the manifest (no JSON library on the unmanaged
+  * classpath beyond Spark's internals; the format is ours and tiny). */
+private[warehouse] object SnapshotJson {
+  def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def write(s: Snapshot): String = {
+    val files = s.addedFiles.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
+    s"""{"snapshotId":${s.snapshotId},"timestampMs":${s.timestampMs},""" +
+      s""""operation":"${esc(s.operation)}","addedFiles":$files,""" +
+      s""""schemaJson":"${esc(s.schemaJson)}"}"""
+  }
+
+  /** Minimal parser for exactly the shape `write` emits. */
+  def read(json: String): Snapshot = {
+    // use Spark's bundled json4s (on the classpath via spark-catalyst)
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val v = JsonMethods.parse(json)
+    Snapshot(
+      (v \ "snapshotId").extract[Long],
+      (v \ "timestampMs").extract[Long],
+      (v \ "operation").extract[String],
+      (v \ "addedFiles").extract[Seq[String]],
+      (v \ "schemaJson").extract[String])
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.warehouse.{Connector, GraftTable, SnapshotLog}
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarehouseSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshWarehouse(): String =
+    Files.createTempDirectory("graft-wh-").toString
+
+  test("create + read round-trip") {
+    val c = new Connector(spark, freshWarehouse())
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(c.createTable("t1", df))
+    assert(!c.createTable("t1", df), "create must be idempotent-false on existing")
+    assert(c.count("t1") == 2)
+    assert(c.query("t1").columns.toSeq == Seq("id", "v"))
+    assert(c.tables == Seq("t1"))
+  }
+
+  test("append accumulates and bumps snapshot id") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
+    assert(c.getCurrentSnapshotId("t").contains(1L))
+    c.insert("t", Seq((2L, "b"), (3L, "c")).toDF("id", "v"))
+    assert(c.getCurrentSnapshotId("t").contains(2L))
+    assert(c.count("t") == 3)
+  }
+
+  test("append rejects schema mismatch") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      c.insert("t", Seq(("x", 1L)).toDF("v", "id")) // swapped types
+    }
+  }
+
+  test("changes-since returns exactly the rows after the snapshot") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
+    val s1 = c.getCurrentSnapshotId("t").get
+    c.insert("t", Seq((2L, "b")).toDF("id", "v"))
+    c.insert("t", Seq((3L, "c")).toDF("id", "v"))
+    val changes = c.getChangesSinceSnapshot("t", s1).get
+    assert(changes.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // no duplicates even across multiple intervening snapshots
+    assert(changes.count() == 2)
+    // since head → empty
+    val head = c.getCurrentSnapshotId("t").get
+    assert(c.getChangesSinceSnapshot("t", head).get.count() == 0)
+  }
+
+  test("time travel readAsOf") {
+    val wh = freshWarehouse()
+    val c = new Connector(spark, wh)
+    c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
+    c.insert("t", Seq((2L, "b")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    assert(t.read(asOf = Some(1L)).count() == 1)
+    assert(t.read(asOf = Some(2L)).count() == 2)
+    assert(t.read().count() == 2)
+  }
+
+  test("sql() sees warehouse tables through Catalyst") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("sales", Seq(("x", 10.0), ("y", 5.0), ("x", 2.5)).toDF("k", "amt"))
+    val r = c.sql("SELECT k, sum(amt) AS total FROM sales GROUP BY k ORDER BY k")
+      .as[(String, Double)].collect().toSeq
+    assert(r == Seq(("x", 12.5), ("y", 5.0)))
+  }
+
+  test("property: N appends → count == sum of rows; incremental union == full read") {
+    val c = new Connector(spark, freshWarehouse())
+    val batches = (1 to 5).map(i => (1 to i).map(j => (i.toLong * 100 + j, s"b$i")).toDF("id", "v"))
+    c.createTable("t", batches.head)
+    batches.tail.foreach(b => c.insert("t", b))
+    val total = batches.map(_.count()).sum
+    assert(c.count("t") == total)
+    // union of incremental reads over any snapshot cut == full read
+    val t = c.loadTable("t")
+    for (cut <- 0L to t.currentSnapshotId.get) {
+      val upTo = if (cut == 0) 0L else t.read(asOf = Some(cut)).count()
+      val after = t.changesSince(cut).count()
+      assert(upTo + after == total, s"cut=$cut")
+    }
+  }
+
+  test("snapshot log json round-trip incl. escapes") {
+    val dir = Files.createTempDirectory("graft-log-")
+    val log = new SnapshotLog(dir)
+    val s = log.commit("create", Seq("data/s1/part-0.parquet"),
+      """{"type":"struct","fields":[]}""")
+    assert(s.snapshotId == 1L)
+    val s2 = log.commit("append", Seq("data/s2/a.parquet", "data/s2/b.parquet"), s.schemaJson)
+    assert(s2.snapshotId == 2L)
+    assert(log.snapshots.map(_.snapshotId) == Seq(1L, 2L))
+    assert(log.changedFiles(1L).size == 2)
+    assert(log.dataFiles().size == 3)
+  }
+}
