@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def allQueries: Seq[Q] =
-    _root_.graft.queries.Relational.queries
+    _root_.graft.queries.Relational.queries ++
+      _root_.graft.queries.Pipeline.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY.md
+  * §2C): token counting, quality scoring, language-ID heuristic, and a
+  * rolling-hash document fingerprint.
+  *
+  * Everything is a row-local Column expression built from codegen'd
+  * built-ins (split / transform / aggregate / regexp) — no UDFs, no
+  * shuffles, embarrassingly parallel at any scale. Each function has an
+  * exact ANSI-SQL twin runnable by DuckDB, so all of these are
+  * oracle-checkable (see graft.queries.Pipeline).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of single-space-normalized text. Trim first so a
+    * trailing separator never yields an empty token (keeps the DuckDB
+    * `string_split(trim(x), ' ')` twin exactly aligned). */
+  def tokens(textCol: Column): Column =
+    split(regexp_replace(trim(textCol), "\\s+", " "), " ")
+
+  def tokenCount(textCol: Column): Column = size(tokens(textCol))
+
+  def uniqueTokenCount(textCol: Column): Column =
+    size(array_distinct(tokens(textCol)))
+
+  /** Mean token length in characters (0 for empty text). */
+  def avgTokenLength(textCol: Column): Column = {
+    val t = tokens(textCol)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      aggregate(t, lit(0L), (acc, tok) => acc + length(tok)).cast("double") /
+        size(t))
+  }
+
+  /** Small high-frequency English function-word list — enough signal for
+    * a stopword-ratio heuristic; intentionally tiny so the quality score
+    * and language-ID stay cheap and deterministic. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this", "are")
+
+  /** Fraction of tokens that are English stopwords (0 for empty text). */
+  def stopwordRatio(textCol: Column): Column = {
+    val t = tokens(textCol)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      size(filter(t, tok => tok.isin(EnglishStopwords: _*))).cast("double") /
+        size(t))
+  }
+
+  /** Fraction of non-alphanumeric, non-space characters — a punctuation/
+    * noise proxy (0 for empty text). */
+  def punctRatio(textCol: Column): Column = {
+    val s = trim(textCol)
+    when(length(s) === 0, lit(0.0)).otherwise(
+      (length(s) - length(regexp_replace(s, "[^a-zA-Z0-9 ]", "")))
+        .cast("double") / length(s))
+  }
+
+  /** Composite quality score in [0, 1]: long-enough documents with
+    * natural-language-ish stopword density and low punctuation noise
+    * score high. The exact formula matters less than its determinism and
+    * monotonicity in each signal; thresholds follow common heuristic
+    * text filters (Gopher-style length/stopword rules).
+    */
+  def qualityScore(textCol: Column): Column = {
+    val lenScore = least(tokenCount(textCol).cast("double") / 50.0, lit(1.0))
+    val stopScore = least(stopwordRatio(textCol) / 0.05, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(textCol) * 5.0)
+    round((lenScore * 0.4 + stopScore * 0.4 + punctPenalty * 0.2), 6)
+  }
+
+  /** Stopword-density language-ID heuristic: texts whose English
+    * stopword ratio clears `threshold` are labeled "en", else "unknown".
+    * (A production version scores several per-language lists; the test
+    * corpus is synthetic word soup, so one list demonstrates the shape.)
+    */
+  def langIdGuess(textCol: Column, threshold: Double = 0.05): Column =
+    when(stopwordRatio(textCol) >= threshold, lit("en")).otherwise(lit("unknown"))
+
+  /** Rolling polynomial document fingerprint (Karp–Rabin style) over the
+    * token stream: fold `h = (h * 131 + ascii(tok) + len(tok)) mod p`
+    * with p = 1e9+7. The modulus keeps every intermediate < 2^40, so the
+    * arithmetic is overflow-free int64 on both Spark and DuckDB
+    * (`list_reduce` twin) — exact cross-engine equality, unlike
+    * engine-specific hash builtins. */
+  def rollingFingerprint(textCol: Column): Column =
+    aggregate(
+      transform(tokens(textCol), t => (ascii(t) + length(t)).cast("long")),
+      lit(0L),
+      (acc, v) => (acc * 131L + v) % 1000000007L)
+}

@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.{Q, T}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+
+/** LLM-training-data pipeline surface (SURVEY.md §2C): dedup, text
+  * analysis, and vector similarity over the `documents` / `embeddings`
+  * fixtures. Everything with a deterministic ANSI-SQL twin carries a
+  * DuckDB oracle; hash-based operators (MinHash/SimHash/LSH — Spark
+  * `xxhash64`/`hash` have no DuckDB equivalent) are rows-only checked
+  * here and differentially tested against their exact counterparts in
+  * scalatest (see PipelineSpec).
+  *
+  * Scale posture: every operator is row-local or shuffle-keyed (token,
+  * fingerprint, LSH bucket) — no driver materialization, no O(n²) unless
+  * it is the explicitly-labeled exact baseline of an LSH operator.
+  */
+object Pipeline {
+
+  /** DuckDB expression for the normalized token list — must stay in
+    * lock-step with TextAnalysis.tokens. */
+  private val duckToks =
+    "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+  private val duckStops =
+    TA.EnglishStopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  private def ql: Seq[Q] = Seq(
+
+    // ---- exact dedup, deterministic keeper (min doc_id per key) ----
+    Q("q21_dedup_exact",
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.exact(T.documents(s, d), Seq("lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // ---- near-dup by normalized-text md5 fingerprint ----
+    Q("q22_dedup_fingerprint",
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.byFingerprint(T.documents(s, d), "text", "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // ---- exact n-gram (word) Jaccard similarity join ----
+    Q("q23_jaccard_pairs",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(
+         |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS tok
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON id_a = sa.doc_id
+         |JOIN sizes sb ON id_b = sb.doc_id
+         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.jaccardJoin(T.documents(s, d), "doc_id", "text", 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- MinHash+LSH banded candidate pairs (hash-based: rows-only) ----
+    Q.noOracle("q24_minhash_pairs") { (s, d) =>
+      Dedup.minhashCandidates(T.documents(s, d), "doc_id", "text",
+          threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- full MinHash near-dup dedup (candidates → components) ----
+    Q.noOracle("q25_minhash_dedup") { (s, d) =>
+      Dedup.minhashDedup(T.documents(s, d), "doc_id", "text", threshold = 0.5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // ---- 64-bit SimHash signatures (hash-based: rows-only) ----
+    Q.noOracle("q26_simhash") { (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // ---- token counting ----
+    Q("q27_token_stats",
+      s"""SELECT doc_id,
+         |  len($duckToks) AS n_tokens,
+         |  len(list_distinct($duckToks)) AS n_unique,
+         |  round(CAST(length(replace(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ', '')) AS DOUBLE)
+         |        / len($duckToks), 6) AS avg_tok_len
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      T.documents(s, d).select(
+          col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens"),
+          TA.uniqueTokenCount(col("text")).as("n_unique"),
+          round(TA.avgTokenLength(col("text")), 6).as("avg_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    // ---- quality scoring (length / stopword / punctuation signals) ----
+    Q("q28_quality_score",
+      s"""SELECT doc_id,
+         |  round(stop_ratio, 6) AS stopword_ratio,
+         |  round(punct_ratio, 6) AS punct_ratio,
+         |  round(least(n_tokens / 50.0, 1.0) * 0.4
+         |      + least(stop_ratio / 0.05, 1.0) * 0.4
+         |      + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2, 6) AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(len($duckToks) AS DOUBLE) AS n_tokens,
+         |    CAST(len(list_filter($duckToks, t -> t IN $duckStops)) AS DOUBLE)
+         |      / len($duckToks) AS stop_ratio,
+         |    CAST(length(trim(text))
+         |       - length(regexp_replace(trim(text), '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / length(trim(text)) AS punct_ratio
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      T.documents(s, d).select(
+          col("doc_id"),
+          round(TA.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(TA.punctRatio(col("text")), 6).as("punct_ratio"),
+          TA.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- language-ID heuristic (stopword density) ----
+    Q("q29_lang_id",
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN CAST(len(list_filter($duckToks, t -> t IN $duckStops)) AS DOUBLE)
+         |            / len($duckToks) >= 0.05
+         |       THEN 'en' ELSE 'unknown' END AS lang_guess
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      T.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          TA.langIdGuess(col("text")).as("lang_guess"))
+        .orderBy("doc_id")
+    },
+
+    // ---- rolling-hash document fingerprint ----
+    Q("q30_rolling_fingerprint",
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($duckToks, t -> CAST(ascii(t) + length(t) AS BIGINT))),
+         |    (a, b) -> (a * 131 + b) % 1000000007) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      T.documents(s, d).select(
+          col("doc_id"),
+          TA.rollingFingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- exact brute-force cosine top-k (ANN correctness baseline) ----
+    Q("q31_cosine_topk",
+      """SELECT query_id, neighbor_id, round(sim, 6) AS sim, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(c.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 8) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = T.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- LSH-bucketed approximate top-k (hash-based: rows-only) ----
+    Q.noOracle("q32_lsh_topk") { (s, d) =>
+      val emb = T.embeddings(s, d)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- exact embedding-cosine near-dup pairs ----
+    Q("q33_cosine_neardup",
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Similarity.exactCosinePairs(T.embeddings(s, d), "vec_id", "embedding", 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- per-label embedding stats (norms via higher-order funcs) ----
+    Q("q34_embedding_stats",
+      """SELECT label, count(*) AS n,
+        |  round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                  CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (s, d) =>
+      T.embeddings(s, d)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(Similarity.norm(col("embedding"))), 4).as("avg_norm"))
+        .orderBy("label")
+    })
+
+  def queries: Seq[Q] = ql
+}
