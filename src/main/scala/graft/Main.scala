@@ -2,12 +2,14 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.service.{Clients, FlightClient, FlightService, Mirror, SampleData, SyncState}
 import graft.warehouse.Connector
 
-/** CLI entry point (reference: `main()`, `icerunner.py:1158-1239`).
-  *
-  * Subcommands grow with the build: `demo` exercises the warehouse
-  * end-to-end; `serve|read|write|mirror` arrive with the service layer.
+/** CLI entry point (reference: `main()`, `icerunner.py:1158-1239`):
+  * `serve | read | write | mirror | demo` with the reference's flags
+  * (`-w -p -n -i -s -b --one-time`, plus `--iterations` so loops can be
+  * bounded for scripting/tests — the reference's loops only stop on
+  * SIGINT).
   */
 object Main {
 
@@ -26,14 +28,88 @@ object Main {
     s
   }
 
+  private val usage =
+    s"""usage: graft.Main <command> [flags]
+       |  serve  -w <warehouseDir> [-p <port=8816>] [-n <name=icerunner>]
+       |  read   [-p <port=8816>] -n <table> [-i <intervalSec=1>] [--iterations k]
+       |  write  [-p <port=8816>] -n <table> [-i <intervalSec=1>] [--iterations k]
+       |  mirror -s <sourceUrl> -n <targetTable> -w <warehouseDir>
+       |         [-i <intervalSec=60>] [--one-time]
+       |  demo   <warehouseDir>""".stripMargin
+
+  /** Tiny flag parser for the reference's CLI surface. */
+  private def flags(args: List[String]): Map[String, String] = {
+    def loop(as: List[String], acc: Map[String, String]): Map[String, String] =
+      as match {
+        case "--one-time" :: rest => loop(rest, acc + ("one-time" -> "true"))
+        case k :: v :: rest if k.startsWith("-") =>
+          loop(rest, acc + (k.stripPrefix("--").stripPrefix("-") -> v))
+        case Nil => acc
+        case other :: _ =>
+          throw new IllegalArgumentException(s"unexpected arg: $other")
+      }
+    loop(args, Map.empty)
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "demo" :: whPath :: Nil => demo(whPath)
+    case "serve" :: rest => serve(flags(rest))
+    case "read" :: rest => readCmd(flags(rest))
+    case "write" :: rest => writeCmd(flags(rest))
+    case "mirror" :: rest => mirrorCmd(flags(rest))
     case other =>
-      System.err.println(
-        s"""usage: graft.Main <command>
-           |  demo <warehouseDir>   create/append/query/changes round-trip
-           |(got: ${other.mkString(" ")})""".stripMargin)
+      System.err.println(usage + s"\n(got: ${other.mkString(" ")})")
       sys.exit(2)
+  }
+
+  /** Bootstrap + serve (reference: `run_server`, `icerunner.py:669-713`):
+    * `{name}` (analytics, 200 rows) + `{name}_events/_sales/_iot` demo
+    * tables (100 rows each) if absent, then the Flight-shaped service. */
+  private def serve(f: Map[String, String]): Unit = {
+    val wh = f.getOrElse("w", sys.error("serve requires -w <warehouseDir>"))
+    val port = f.getOrElse("p", "8816").toInt
+    val name = f.getOrElse("n", "icerunner")
+    val spark = session("graft-serve")
+    val c = new Connector(spark, wh)
+    if (!c.tableExists(name))
+      c.createTable(name, SampleData.create(spark, 200, "analytics"))
+    for (p <- Seq("events", "sales", "iot"); t = s"${name}_$p")
+      if (!c.tableExists(t)) c.createTable(t, SampleData.create(spark, 100, p))
+    val svc = new FlightService(c, port)
+    println(s"[serve] warehouse=$wh port=${svc.boundPort} " +
+      s"tables=${c.tables.mkString(",")}")
+    // Serve until interrupted (reference sleeps its main thread, `:705-710`)
+    Thread.currentThread().join()
+  }
+
+  private def readCmd(f: Map[String, String]): Unit = {
+    val spark = session("graft-read")
+    Clients.runReader(spark, "localhost", f.getOrElse("p", "8816").toInt,
+      f.getOrElse("n", sys.error("read requires -n <table>")),
+      (f.getOrElse("i", "1").toDouble * 1000).toLong,
+      f.get("iterations").map(_.toInt))
+  }
+
+  private def writeCmd(f: Map[String, String]): Unit = {
+    val spark = session("graft-write")
+    Clients.runWriter(spark, "localhost", f.getOrElse("p", "8816").toInt,
+      f.getOrElse("n", sys.error("write requires -n <table>")),
+      (f.getOrElse("i", "1").toDouble * 1000).toLong,
+      f.get("iterations").map(_.toInt))
+  }
+
+  private def mirrorCmd(f: Map[String, String]): Unit = {
+    val sourceUrl = f.getOrElse("s", sys.error("mirror requires -s <sourceUrl>"))
+    val target = f.getOrElse("n", sys.error("mirror requires -n <targetTable>"))
+    val wh = f.getOrElse("w", sys.error("mirror requires -w <warehouseDir>"))
+    val spark = session("graft-mirror")
+    val (host, port, srcTable) = FlightClient.parseUrl(sourceUrl)
+    val client = new FlightClient(spark, host, port)
+    Mirror.run(client, sourceUrl, srcTable, new Connector(spark, wh), target,
+      SyncState(s"$wh/_sync_state"),
+      (f.getOrElse("i", "60").toDouble * 1000).toLong,
+      if (f.contains("one-time")) Some(1)
+      else f.get("iterations").map(_.toInt))
   }
 
   /** End-to-end warehouse round-trip, printing each step's observable
@@ -65,6 +141,20 @@ object Main {
     catch { case e: IllegalArgumentException =>
       println(s"[demo] schema-mismatch append rejected: ${e.getMessage.linesIterator.next()}")
     }
+
+    // Service round-trip on an ephemeral port: serve this warehouse,
+    // write/read/mirror through the wire.
+    val svc = new FlightService(c, 0)
+    val client = new FlightClient(spark, "localhost", svc.boundPort)
+    println(s"[demo] service tables -> ${client.listTables().mkString(", ")}")
+    client.doPut("wired", SampleData.create(spark, 5, "default"))
+    println(s"[demo] do_put new table wired -> ${client.doGet("wired").count()} rows")
+    val mirrorWh = whPath + "-mirror"
+    val r = Mirror.performSync(client, s"grpc://localhost:${svc.boundPort}/wired",
+      "wired", new Connector(spark, mirrorWh), "wired_copy",
+      SyncState(s"$mirrorWh/_sync_state"))
+    println(s"[demo] mirror wired -> wired_copy: ${r.status} (${r.rowsSynced} rows)")
+    svc.close()
     spark.stop()
   }
 }

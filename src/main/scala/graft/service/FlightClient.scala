@@ -1,0 +1,91 @@
+package graft.service
+
+import java.io.{BufferedInputStream, BufferedOutputStream}
+import java.net.{Socket, URI}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Client for [[FlightService]] — the counterpart of the reference's
+  * Flight client roles (`icerunner.py:716-800`). One short-lived
+  * connection per request; all data-plane payloads are Arrow IPC
+  * streams.
+  */
+final class FlightClient(spark: SparkSession, host: String, port: Int) {
+
+  private def call[A](request: String)(f: (Wire.Resp, BufferedInputStream) => A): A = {
+    val sock = new Socket(host, port)
+    try {
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      val in = new BufferedInputStream(sock.getInputStream)
+      Wire.writeLine(out, request)
+      val resp = new Wire.Resp(Wire.readLine(in)).require()
+      f(resp, in)
+    } finally sock.close()
+  }
+
+  /** Reference: `get_remote_tables` (`icerunner.py:778-800`) — but the
+    * server actually implements it, no fallback enumeration needed. */
+  def listTables(): Seq[String] =
+    call(Wire.obj("action" -> "list_tables"))((r, _) => r.strs("tables"))
+
+  /** Schema + endpoint info without a table scan (reference:
+    * `get_flight_info`, `icerunner.py:297-310`). */
+  def getFlightInfo(table: String): FlightClient.Info =
+    call(Wire.obj("action" -> "get_flight_info", "table" -> table)) { (r, _) =>
+      FlightClient.Info(Wire.schemaOf(r.str("schema")), r.num("total_records"),
+        r.num("snapshot_id"), r.num("port").toInt)
+    }
+
+  /** Full table read (reference: `do_get`, `icerunner.py:272-282`). */
+  def doGet(table: String): DataFrame =
+    call(Wire.obj("action" -> "do_get", "table" -> table)) { (_, in) =>
+      ArrowCodec.read(spark, in)
+    }
+
+  /** Incremental read: rows appended after `since` (the action the
+    * reference's mirror requests but its server never serves —
+    * `icerunner.py:996-1016`). */
+  def getChanges(table: String, since: Long): DataFrame =
+    call(Wire.obj("action" -> "get_changes", "table" -> table,
+        "since" -> since)) { (_, in) =>
+      ArrowCodec.read(spark, in)
+    }
+
+  /** Snapshot metadata (reference client: `icerunner.py:1021-1037`). */
+  def getMetadata(table: String): FlightClient.Meta =
+    call(Wire.obj("action" -> "get_metadata", "table" -> table)) { (r, _) =>
+      FlightClient.Meta(r.num("snapshot_id"), Wire.schemaOf(r.str("schema")))
+    }
+
+  /** Append rows (reference: `do_put`, `icerunner.py:284-295`); creates
+    * the table on first put. Returns the new snapshot id. */
+  def doPut(table: String, df: DataFrame): Long = {
+    val sock = new Socket(host, port)
+    try {
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      val in = new BufferedInputStream(sock.getInputStream)
+      Wire.writeLine(out, Wire.obj("action" -> "do_put", "table" -> table))
+      ArrowCodec.write(df, out)
+      out.flush()
+      sock.shutdownOutput() // body complete; server reads to EOF
+      new Wire.Resp(Wire.readLine(in)).require().num("snapshot_id")
+    } finally sock.close()
+  }
+}
+
+object FlightClient {
+  final case class Info(schema: StructType, totalRecords: Long,
+      snapshotId: Long, port: Int)
+  final case class Meta(snapshotId: Long, schema: StructType)
+
+  /** Parse `grpc://host:port/table` (reference: `parse_flight_url`,
+    * `icerunner.py:770-775`; default port 8815). */
+  def parseUrl(url: String): (String, Int, Option[String]) = {
+    val u = new URI(url)
+    val host = Option(u.getHost).getOrElse("localhost")
+    val port = if (u.getPort == -1) 8815 else u.getPort
+    val table = Option(u.getPath).map(_.stripPrefix("/")).filter(_.nonEmpty)
+    (host, port, table)
+  }
+}

@@ -1,0 +1,230 @@
+package graft.service
+
+import java.io.{BufferedInputStream, BufferedOutputStream, InputStream, OutputStream}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicBoolean
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.warehouse.Connector
+
+/** Flight-shaped data service over Arrow IPC on a plain TCP socket.
+  *
+  * Semantics mirror the reference's Flight server
+  * (`icerunner.py:262-310`) plus the four command actions its mirror
+  * client sends but its server never implements (`LIST_TABLES`
+  * `:782-787`, `get_schema` `:942-952`, `get_changes` `:996-1016`,
+  * `get_metadata` `:1021-1037` — SURVEY.md §2A protocol-asymmetry note);
+  * implementing them server-side is what makes incremental replication
+  * actually work. Wire framing is ours (no Flight/gRPC jar offline,
+  * SURVEY.md §7.1): one JSON request line, one JSON response line, then
+  * an optional Arrow IPC stream body in either direction.
+  *
+  * Reference fixes baked in:
+  *  - `get_flight_info` serves the schema from catalog metadata — the
+  *    reference runs a full table scan for it (`icerunner.py:306`);
+  *  - `do_get` streams bounded Arrow batches — the reference
+  *    materializes the whole table (`icerunner.py:278-279`);
+  *  - the advertised endpoint carries the actual bound port — the
+  *    reference hardcodes its default port (`icerunner.py:303`).
+  *
+  * Requests: `{"action": A, "table": T, "since": N}` with A ∈
+  * list_tables | get_flight_info | do_get | do_put | get_changes |
+  * get_metadata. `do_put` appends (creating the table if absent).
+  */
+final class FlightService(connector: Connector, port: Int = 0) {
+
+  private val server = new ServerSocket()
+  server.bind(new InetSocketAddress(port))
+  private val running = new AtomicBoolean(true)
+
+  /** The actually-bound port (fixes `icerunner.py:303`). */
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptThread = new Thread(() => {
+    while (running.get()) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), "graft-flight-handler")
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case NonFatal(_) if !running.get() => // closed during shutdown
+        case NonFatal(e) => System.err.println(s"[flight] accept: $e")
+      }
+    }
+  }, "graft-flight-accept")
+  acceptThread.setDaemon(true)
+  acceptThread.start()
+
+  def close(): Unit = {
+    running.set(false)
+    server.close()
+  }
+
+  private def handle(sock: Socket): Unit = {
+    // Active session is thread-local in Spark; handler threads are fresh,
+    // so command execution (e.g. the parquet write under do_put) would
+    // otherwise NPE resolving it. SparkPlan resolves the *classic*
+    // companion's thread-local, so it must be set via that companion.
+    connector.spark match {
+      case cs: org.apache.spark.sql.classic.SparkSession =>
+        org.apache.spark.sql.classic.SparkSession.setActiveSession(cs)
+      case _ =>
+    }
+    try {
+      val in = new BufferedInputStream(sock.getInputStream)
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      val req = Wire.parse(Wire.readLine(in))
+      try dispatch(req, in, out)
+      catch {
+        case e: Throwable =>
+          if (sys.env.contains("GRAFT_SERVICE_DEBUG")) e.printStackTrace()
+          Wire.writeLine(out, Wire.obj("ok" -> false,
+            "error" -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+      }
+      out.flush()
+    } catch {
+      case e: Throwable => System.err.println(s"[flight] handler: $e")
+    } finally sock.close()
+  }
+
+  private def dispatch(req: Wire.Req, in: InputStream, out: OutputStream): Unit =
+    req.action match {
+      case "list_tables" =>
+        Wire.writeLine(out,
+          Wire.obj("ok" -> true, "tables" -> connector.tables))
+
+      case "get_flight_info" =>
+        val t = connector.loadTable(req.table)
+        Wire.writeLine(out, Wire.obj(
+          "ok" -> true,
+          "schema" -> t.schema.json,
+          "total_records" -> -1, // unknown without a scan, like the reference
+          "snapshot_id" -> Wire.JNum(t.currentSnapshotId.getOrElse(0L)),
+          "port" -> boundPort))
+
+      case "do_get" =>
+        val df = connector.query(req.table)
+        Wire.writeLine(out, Wire.obj("ok" -> true))
+        ArrowCodec.write(df, out)
+
+      case "get_changes" =>
+        val df = connector.getChangesSinceSnapshot(req.table, req.since)
+          .getOrElse(throw new NoSuchElementException(
+            s"table not found: ${req.table}"))
+        Wire.writeLine(out, Wire.obj("ok" -> true))
+        ArrowCodec.write(df, out)
+
+      case "get_metadata" =>
+        val t = connector.loadTable(req.table)
+        Wire.writeLine(out, Wire.obj(
+          "ok" -> true,
+          "snapshot_id" -> Wire.JNum(t.currentSnapshotId.getOrElse(0L)),
+          "schema" -> t.schema.json))
+
+      case "do_put" =>
+        // Body follows the request line; appends, creating on first put
+        // (the reference's default writer/server pairing cannot create —
+        // SURVEY.md §2A-19 — so a fresh writer target just works here).
+        val df = ArrowCodec.read(connector.spark, in)
+        val created =
+          if (!connector.tableExists(req.table)) {
+            connector.createTable(req.table, df); true
+          } else { connector.insert(req.table, df); false }
+        Wire.writeLine(out, Wire.obj(
+          "ok" -> true, "created" -> created,
+          "snapshot_id" -> Wire.JNum(connector.getCurrentSnapshotId(req.table).getOrElse(0L))))
+
+      case other =>
+        Wire.writeLine(out, Wire.obj("ok" -> false, "error" -> s"unknown action: $other"))
+    }
+}
+
+/** Line-framed JSON for the control plane; bodies are raw Arrow IPC. */
+private[service] object Wire {
+  final case class Req(action: String, table: String, since: Long)
+
+  /** Read a single '\n'-terminated line without buffering past it (the
+    * Arrow body may follow immediately). */
+  def readLine(in: InputStream): String = {
+    val buf = new java.io.ByteArrayOutputStream()
+    var b = in.read()
+    while (b != -1 && b != '\n') { buf.write(b); b = in.read() }
+    new String(buf.toByteArray, StandardCharsets.UTF_8)
+  }
+
+  def writeLine(out: OutputStream, json: String): Unit = {
+    out.write(json.getBytes(StandardCharsets.UTF_8))
+    out.write('\n')
+    out.flush()
+  }
+
+  def parse(line: String): Req = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val v = JsonMethods.parse(line)
+    Req(
+      (v \ "action").extractOrElse[String](""),
+      (v \ "table").extractOrElse[String](""),
+      (v \ "since").extractOrElse[Long](0L))
+  }
+
+  def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def field(v: JsonValue): String = v match {
+    case JStr(s) => "\"" + esc(s) + "\""
+    case JNum(n) => n.toString
+    case JBool(b) => b.toString
+    case JSeq(xs) => xs.map(field).mkString("[", ",", "]")
+  }
+
+  sealed trait JsonValue
+  final case class JStr(s: String) extends JsonValue
+  final case class JNum(n: Long) extends JsonValue
+  final case class JBool(b: Boolean) extends JsonValue
+  final case class JSeq(xs: Seq[JsonValue]) extends JsonValue
+
+  import scala.language.implicitConversions
+  implicit def str2j(s: String): JsonValue = JStr(s)
+  implicit def long2j(n: Long): JsonValue = JNum(n)
+  implicit def int2j(n: Int): JsonValue = JNum(n)
+  implicit def bool2j(b: Boolean): JsonValue = JBool(b)
+  implicit def seq2j(xs: Seq[String]): JsonValue = JSeq(xs.map(JStr.apply))
+
+  def obj(kvs: (String, JsonValue)*): String =
+    kvs.map { case (k, v) => "\"" + k + "\":" + field(v) }
+      .mkString("{", ",", "}")
+
+  /** json4s response accessors for the client side. */
+  final class Resp(line: String) {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    private val v = JsonMethods.parse(line)
+    def ok: Boolean = (v \ "ok").extractOrElse[Boolean](false)
+    def error: String = (v \ "error").extractOrElse[String]("")
+    def str(k: String): String = (v \ k).extractOrElse[String]("")
+    def num(k: String): Long = (v \ k).extractOrElse[Long](0L)
+    def bool(k: String): Boolean = (v \ k).extractOrElse[Boolean](false)
+    def strs(k: String): Seq[String] = (v \ k).extractOrElse[Seq[String]](Nil)
+    def require(): Resp = {
+      if (!ok) throw new RuntimeException(s"service error: $error")
+      this
+    }
+  }
+
+  def schemaOf(json: String): StructType =
+    DataType.fromJson(json).asInstanceOf[StructType]
+}

@@ -1,0 +1,93 @@
+package graft.service
+
+import scala.util.control.NonFatal
+
+import graft.warehouse.Connector
+
+/** Flight-to-warehouse replication (reference: `run_mirror`,
+  * `icerunner.py:846-1155`), with the incremental path actually working:
+  * the server implements `get_changes`/`get_metadata` (the reference's
+  * does not, so its mirror always falls back to full re-sync, which
+  * **duplicates the full source table every interval** on an append-only
+  * target — SURVEY.md §2A protocol-asymmetry note).
+  *
+  * Sync algorithm per tick:
+  *  1. `get_metadata` → source snapshot id S.
+  *  2. target missing → full `do_get`, create, record (S, rows).
+  *  3. state has last-synced snapshot L:
+  *     - L == S → no-op (idempotent tick);
+  *     - L <  S → `get_changes(since = L)` → append delta only.
+  *  4. target exists but no state (adopted table) → record S without
+  *     copying — never silently duplicate; a `--full` initial copy is
+  *     what case 2 is for.
+  *
+  * Every state transition is persisted through [[SyncState]] so a
+  * restarted mirror resumes exactly where it stopped (at-least-once on
+  * crash *between* append and state save; appends are atomic commits).
+  */
+object Mirror {
+
+  final case class SyncResult(status: String, rowsSynced: Long,
+      sourceSnapshot: Option[Long])
+
+  def performSync(client: FlightClient, sourceUrl: String, sourceTable: String,
+      connector: Connector, targetTable: String, state: SyncState): SyncResult = {
+    val prev = state.load(sourceUrl, targetTable).norm
+    try {
+      val meta = client.getMetadata(sourceTable)
+      val srcSnap = meta.snapshotId
+
+      val (status, rows) =
+        if (!connector.tableExists(targetTable)) {
+          val df = client.doGet(sourceTable)
+          connector.createTable(targetTable, df)
+          ("full_sync", connector.count(targetTable))
+        } else prev.sourceSnapshotId match {
+          case Some(l) if l == srcSnap => ("up_to_date", 0L)
+          case Some(l) =>
+            val delta = client.getChanges(sourceTable, l)
+            val n = delta.count()
+            if (n > 0) connector.insert(targetTable, delta)
+            ("incremental", n)
+          case None =>
+            // Existing target with no state: adopt the current source
+            // snapshot as the baseline instead of re-appending everything
+            // (the reference's behavior) — explicit choice, see scaladoc.
+            ("adopted", 0L)
+        }
+
+      state.save(sourceUrl, targetTable, SyncState.State(
+        System.currentTimeMillis(), Some(srcSnap),
+        connector.getCurrentSnapshotId(targetTable), rows, status))
+      SyncResult(status, rows, Some(srcSnap))
+    } catch {
+      case NonFatal(e) =>
+        state.save(sourceUrl, targetTable, prev.copy(
+          lastSyncTime = System.currentTimeMillis(),
+          lastSyncStatus = s"error: ${e.getMessage}"))
+        SyncResult(s"error: ${e.getMessage}", 0L, prev.sourceSnapshotId)
+    }
+  }
+
+  /** Continuous mirroring loop (reference: `icerunner.py:1136-1155`).
+    * `iterations = Some(1)` gives the `--one-time` mode. */
+  def run(client: FlightClient, sourceUrl: String, sourceTableOpt: Option[String],
+      connector: Connector, targetTable: String, state: SyncState,
+      intervalMs: Long, iterations: Option[Int] = None): Unit = {
+    // Resolve the source table from the URL path or remote discovery
+    // (reference: `icerunner.py:874-888`).
+    val sourceTable = sourceTableOpt.orElse(client.listTables().headOption)
+      .getOrElse(throw new NoSuchElementException("no source table found"))
+    var i = 0
+    var continue = true
+    while (continue) {
+      val r = performSync(client, sourceUrl, sourceTable, connector,
+        targetTable, state)
+      println(s"[mirror] $sourceTable -> $targetTable: ${r.status} " +
+        s"(${r.rowsSynced} rows, source snapshot ${r.sourceSnapshot.getOrElse(-1L)})")
+      i += 1
+      continue = iterations.forall(i < _)
+      if (continue) Thread.sleep(intervalMs)
+    }
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.service._
+import graft.warehouse.Connector
+
+class ServiceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def withService[A](f: (Connector, FlightClient, FlightService) => A): A = {
+    val c = new Connector(spark, tmpDir("graft-svc"))
+    val svc = new FlightService(c, 0)
+    try f(c, new FlightClient(spark, "localhost", svc.boundPort), svc)
+    finally svc.close()
+  }
+
+  test("arrow codec round-trips every supported type including nulls") {
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("s", ShortType), StructField("b", ByteType),
+      StructField("d", DoubleType), StructField("f", FloatType),
+      StructField("str", StringType), StructField("bool", BooleanType),
+      StructField("ts", TimestampType), StructField("bin", BinaryType)))
+    val rows = Seq(
+      Row(1L, 2, 3.toShort, 4.toByte, 5.5, 6.5f, "seven", true,
+        java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456"),
+        Array[Byte](1, 2, 3)),
+      Row(null, null, null, null, null, null, null, null, null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(ArrowCodec.write(df, bos) === 2)
+    val back = ArrowCodec.read(spark,
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(back.schema === schema)
+    import org.apache.spark.sql.functions.col
+    val a = back.orderBy(col("l").asc_nulls_last).collect()
+    val e = df.orderBy(col("l").asc_nulls_last).collect()
+    assert(a.length === 2)
+    // binary needs element-wise compare; the rest compares structurally
+    assert(a(0).toSeq.dropRight(1) === e(0).toSeq.dropRight(1))
+    assert(a(0).getAs[Array[Byte]]("bin").toSeq === Seq[Byte](1, 2, 3))
+    assert(a(1).toSeq.forall(_ == null))
+  }
+
+  test("do_put creates, do_get round-trips, list_tables and metadata agree") {
+    withService { (c, client, _) =>
+      val df = SampleData.create(spark, 20, "default")
+      val snap = client.doPut("t1", df)
+      assert(snap === 1L)
+      assert(client.listTables() === Seq("t1"))
+      assert(client.doGet("t1").count() === 20)
+      val info = client.getFlightInfo("t1")
+      assert(info.schema.fieldNames.toSeq === Seq("id", "value", "timestamp", "is_active"))
+      assert(info.snapshotId === 1L)
+      val meta = client.getMetadata("t1")
+      assert(meta.snapshotId === 1L)
+      assert(c.count("t1") === 20)
+    }
+  }
+
+  test("get_changes returns only post-snapshot rows; error surfaces for missing table") {
+    withService { (_, client, _) =>
+      client.doPut("t2", SampleData.create(spark, 10, "default", seed = 1))
+      val s1 = client.getMetadata("t2").snapshotId
+      client.doPut("t2", SampleData.create(spark, 7, "default", seed = 2))
+      assert(client.getChanges("t2", s1).count() === 7)
+      assert(client.getChanges("t2", 0L).count() === 17)
+      val e = intercept[RuntimeException](client.doGet("nope"))
+      assert(e.getMessage.contains("nope"))
+    }
+  }
+
+  test("mirror: full sync, then incremental delta only, then up_to_date") {
+    withService { (_, client, _) =>
+      client.doPut("src", SampleData.create(spark, 15, "analytics"))
+      val targetWh = new Connector(spark, tmpDir("graft-mirror"))
+      val state = SyncState(tmpDir("graft-state"))
+      val url = "grpc://localhost:1/src"
+
+      val r1 = Mirror.performSync(client, url, "src", targetWh, "dst", state)
+      assert(r1.status === "full_sync" && r1.rowsSynced === 15)
+      assert(targetWh.count("dst") === 15)
+
+      client.doPut("src", SampleData.create(spark, 5, "analytics", seed = 9))
+      val r2 = Mirror.performSync(client, url, "src", targetWh, "dst", state)
+      assert(r2.status === "incremental" && r2.rowsSynced === 5)
+      assert(targetWh.count("dst") === 20) // no duplicate full re-sync
+
+      val r3 = Mirror.performSync(client, url, "src", targetWh, "dst", state)
+      assert(r3.status === "up_to_date" && targetWh.count("dst") === 20)
+    }
+  }
+
+  test("reader and writer loops run bounded iterations through the wire") {
+    withService { (c, _, svc) =>
+      val port = svc.boundPort
+      val lastSnap = Clients.runWriter(spark, "localhost", port, "wlog",
+        intervalMs = 1, iterations = Some(3))
+      assert(lastSnap === 3L) // one commit per tick
+      assert(c.count("wlog") === 3)
+      val rows = Clients.runReader(spark, "localhost", port, "wlog",
+        intervalMs = 1, iterations = Some(2))
+      assert(rows === 3L)
+    }
+  }
+
+  test("sync state round-trips and uses the reference's file naming") {
+    val state = SyncState(tmpDir("graft-ss"))
+    val s = SyncState.State(123L, Some(7L), Some(3L), 42L, "success")
+    state.save("grpc://h:1/t", "tgt", s)
+    assert(state.load("grpc://h:1/t", "tgt").norm === s)
+    val p = state.statePath("grpc://h:1/t", "tgt").getFileName.toString
+    assert(p.matches("[0-9a-f]{8}_tgt\\.json"))
+    assert(state.load("grpc://other:1/t", "tgt").lastSyncStatus === "never")
+  }
+
+  test("flight url parsing matches the reference defaults") {
+    assert(FlightClient.parseUrl("grpc://h:9/t") === ("h", 9, Some("t")))
+    assert(FlightClient.parseUrl("grpc://h/t") === ("h", 8815, Some("t")))
+    assert(FlightClient.parseUrl("grpc://h:9") === ("h", 9, None))
+  }
+
+  test("sample data profiles are deterministic and correctly typed") {
+    for (p <- SampleData.profiles) {
+      val a = SampleData.create(spark, 30, p)
+      val b = SampleData.create(spark, 30, p)
+      assert(a.count() === 30)
+      assert(a.exceptAll(b).isEmpty, s"profile $p not deterministic")
+    }
+    val iot = SampleData.create(spark, 10, "iot")
+    assert(iot.schema("signal_strength").dataType === ByteType)
+    assert(iot.schema("battery_level").dataType === FloatType)
+    val an = SampleData.create(spark, 10, "analytics")
+    assert(an.schema("page_views").dataType === ShortType)
+    assert(an.schema("duration_seconds").dataType === IntegerType)
+  }
+}
