@@ -234,6 +234,114 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  // ---- oracle-verifiable (engine-portable) hash family ----------------
+  //
+  // xxhash64 has no DuckDB equivalent, so the minhash/simhash operators
+  // above are only rows-checked by the differential oracle. The *Poly
+  // variants below use a 31-bit polynomial rolling hash
+  //   h(s) = fold(c in s)( (h·131 + code(c)) mod (2^31−1) ), h₀ = 7
+  // that DuckDB can compute verbatim with list_reduce, making the whole
+  // MinHash/SimHash pipeline hash-verifiable end-to-end. Same shuffle
+  // shape and codegen posture as the xxhash64 path; the hash is ~2×
+  // slower per byte, so prefer the xxhash64 variants when no oracle is
+  // needed.
+
+  /** Compiled 31-bit polynomial rolling hash (matches the DuckDB
+    * `list_reduce` formulation exactly; ASCII/UTF-16 agree on the
+    * corpus). */
+  val polyHash = udf { s: String =>
+    if (s == null) 0L
+    else {
+      var a = 7L
+      var i = 0
+      while (i < s.length) { a = (a * 131 + s.charAt(i)) % P; i += 1 }
+      a
+    }
+  }
+
+  /** Engine-portable affine family: a_i,b_i from fixed LCG constants so
+    * the oracle can regenerate them from `i` alone. */
+  private def polyParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = (1103515245L * i + 12345L) % P
+      val b = (1013904223L * i + 7L) % P
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** MinHash signatures on the portable hash family — same plan shape as
+    * [[minhashSignatures]] (explode → hash once → affine mins in one
+    * aggregate). */
+  def minhashSignaturesPoly(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, numHashes: Int = 64): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), shingleWords)).as("sh"))
+      .withColumn("h0", polyHash(col("sh")))
+    val mins = polyParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h0") * a + b, lit(P))).as(s"m$i")
+    }
+    exploded.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Banded LSH candidates on the portable family. The band join keys on
+    * the **raw signature slice** (array equality), not a hash of it —
+    * bit-identical to the oracle's slice comparison, no collision-borne
+    * false candidates. */
+  def minhashCandidatesPoly(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignaturesPoly(df, idCol, textCol, shingleWords, numHashes)
+    val bandSlices = array((0 until bands).map(b =>
+      slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)
+    val banded = sig.select(col("id"), col("sig"), posexplode(bandSlices))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    val agree = (0 until numHashes).map(i =>
+      when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .withColumn("est_jaccard", agree.cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Full near-dup dedup on the portable family (candidates →
+    * components → canonical-keeper). */
+  def minhashDedupPoly(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val cands = minhashCandidatesPoly(df, idCol, textCol, threshold = threshold)
+    val comp = components(df, idCol, cands)
+    df.join(comp, df(idCol) === comp("id"))
+      .filter(col(idCol) === col("canonical_id"))
+      .drop("id", "canonical_id")
+  }
+
+  /** 31-bit SimHash on the portable hash (bits 0..30 of the token
+    * hash) — explode → hash → per-bit votes in one aggregate, like
+    * [[simhashOf]]. */
+  def simhashPoly(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = 31
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")).as("tok"))
+      .withColumn("h", polyHash(col("tok")))
+    val votes = (0 until bits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
+    val assembled = (0 until bits).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+    toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), assembled.reduce(_ + _).as("simhash"))
+  }
+
   /** Connected components over candidate pairs by iterative min-label
     * propagation, then keep the component minimum as canonical.
     * Converges in O(log n) joins for realistic dup clusters (which are

@@ -25,6 +25,56 @@ object Pipeline {
   private val duckStops =
     TA.EnglishStopwords.map(s => s"'$s'").mkString("(", ", ", ")")
 
+  /** Normalized lowercase token list (the dedup-side normalization). */
+  private val duckToksLower =
+    "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
+
+  /** 31-bit polynomial rolling hash of column `tok`/`s` — must stay in
+    * lock-step with Dedup.polyHash (h₀=7, ×131, mod 2^31−1). */
+  private def polyHashOf(c: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(string_split($c, ''), ch -> CAST(ascii(ch) AS BIGINT))), " +
+      "(a, b) -> (a * 131 + b) % 2147483647)"
+
+  private val duckPolyHash = polyHashOf("tok")
+
+  /** Shared CTE chain rebuilding Dedup.minhashCandidatesPoly in DuckDB:
+    * 3-word shingles → polyHash → 64 affine-permutation mins (params
+    * regenerated from i via the fixed LCG constants) → 16-band LSH
+    * slice-join → positional signature agreement / 64. */
+  private val minhashCandSql: String =
+    s"""WITH RECURSIVE docs AS (
+       |  SELECT doc_id, $duckToksLower AS toks FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(greatest(len(toks) - 3, 0) + 1),
+       |    j -> array_to_string(toks[j+1:j+3], ' ')))) AS s
+       |  FROM docs),
+       |hs AS (
+       |  SELECT doc_id, ${polyHashOf("s")} AS h FROM sh),
+       |sigv AS (
+       |  SELECT doc_id, i,
+       |    min(((CASE WHEN (1103515245 * i + 12345) % 2147483647 = 0 THEN 1
+       |          ELSE (1103515245 * i + 12345) % 2147483647 END) * h
+       |         + (1013904223 * i + 7) % 2147483647) % 2147483647) AS m
+       |  FROM hs CROSS JOIN (SELECT unnest(range(64)) AS i)
+       |  GROUP BY doc_id, i),
+       |sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigv GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, sig, bi, sig[bi*4+1:bi*4+4] AS bslice
+       |  FROM sig CROSS JOIN (SELECT unnest(range(16)) AS bi)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.bslice = b.bslice AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_filter(range(64), i -> sa.sig[i+1] = sb.sig[i+1])) / 64.0 AS est_jaccard
+       |  FROM cand c
+       |  JOIN sig sa ON c.id_a = sa.doc_id
+       |  JOIN sig sb ON c.id_b = sb.doc_id)
+       |""".stripMargin
+
   private def ql: Seq[Q] = Seq(
 
     // ---- exact dedup, deterministic keeper (min doc_id per key) ----
@@ -74,24 +124,55 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
-    // ---- MinHash+LSH banded candidate pairs (hash-based: rows-only) ----
-    Q.noOracle("q24_minhash_pairs") { (s, d) =>
-      Dedup.minhashCandidates(T.documents(s, d), "doc_id", "text",
+    // ---- MinHash+LSH banded candidate pairs -----------------------------
+    // The portable 31-bit polynomial hash family lets DuckDB rebuild the
+    // ENTIRE MinHash pipeline (shingles → hashes → 64 affine mins →
+    // 16-band LSH join → signature-agreement estimate) and hash-verify
+    // it; the xxhash64 variant stays in the library for oracle-free use.
+    Q("q24_minhash_pairs", minhashCandSql +
+      """SELECT id_a, id_b, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.minhashCandidatesPoly(T.documents(s, d), "doc_id", "text",
           threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
 
-    // ---- full MinHash near-dup dedup (candidates → components) ----
-    Q.noOracle("q25_minhash_dedup") { (s, d) =>
-      Dedup.minhashDedup(T.documents(s, d), "doc_id", "text", threshold = 0.5)
+    // ---- full MinHash near-dup dedup (candidates → components) ---------
+    // Oracle closes the candidate graph with a recursive CTE (exact
+    // connected components, min id canonical) — differentially testing
+    // the distributed min-label-propagation loop.
+    Q("q25_minhash_dedup", minhashCandSql +
+      """, edges AS (
+        |  SELECT id_a AS x, id_b AS y FROM est WHERE est_jaccard >= 0.5
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM est WHERE est_jaccard >= 0.5),
+        |comp AS (
+        |  SELECT doc_id AS id, doc_id AS m FROM documents
+        |  UNION
+        |  SELECT e.x, c.m FROM edges e JOIN comp c ON c.id = e.y),
+        |canon AS (SELECT id, min(m) AS canonical FROM comp GROUP BY id)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN canon c ON d.doc_id = c.id
+        |WHERE c.canonical = d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      Dedup.minhashDedupPoly(T.documents(s, d), "doc_id", "text", threshold = 0.5)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     },
 
-    // ---- 64-bit SimHash signatures (hash-based: rows-only) ----
-    Q.noOracle("q26_simhash") { (s, d) =>
-      T.documents(s, d)
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    // ---- SimHash signatures (portable 31-bit family, hash-verified) ----
+    Q("q26_simhash",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($duckToksLower) AS tok FROM documents),
+         |h AS (SELECT doc_id, $duckPolyHash AS hv FROM toks),
+         |votes AS (
+         |  SELECT doc_id, b,
+         |    sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM h CROSS JOIN (SELECT unnest(range(31)) AS b) GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.simhashPoly(T.documents(s, d), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
 
