@@ -1,0 +1,199 @@
+package graft.queries
+
+import graft.{Q, T}
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+/** Advanced relational surface (SURVEY.md §2B rows the first batch left
+  * implicit): temporal/as-of join, correlated subqueries, pivot,
+  * lateral explode, grouping sets, window frames, ordered string
+  * aggregation, interpolated percentiles, and a TPC-H-style multi-join.
+  */
+object Advanced {
+
+  private def ql: Seq[Q] = Seq(
+
+    // ---- backward as-of join (events → latest order-day stats) --------
+    // Oracle is DuckDB's native ASOF LEFT JOIN; the Spark side is the
+    // union+window single-shuffle formulation (operators.AsofJoin).
+    Q("q40_asof_join",
+      """WITH od AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS od,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS day_price
+        |  FROM orders GROUP BY 1)
+        |SELECT e.event_id, o.od AS asof_day, o.n_orders, o.day_price
+        |FROM events e ASOF LEFT JOIN od o ON e.ts >= o.od
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val od = T.orders(s, d)
+        .groupBy(date_trunc("day", col("o_orderdate")).as("od"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("day_price"))
+        .withColumn("asof_day", col("od"))
+      AsofJoin.backward(
+        T.events(s, d).select("event_id", "ts"), od, "ts", "od")
+        .select("event_id", "asof_day", "n_orders", "day_price")
+        .orderBy("event_id")
+    },
+
+    // ---- EXISTS correlated subquery ------------------------------------
+    Q("q41_exists_subquery",
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      T.customer(s, d).as("c")
+        .join(T.orders(s, d).filter(col("o_totalprice") > 100000)
+          .select("o_custkey").distinct().as("o"),
+          col("c.c_custkey") === col("o.o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- NOT IN subquery (null-safe: key is non-null in testdata) ------
+    Q("q42_not_in_subquery",
+      """SELECT p_partkey, p_name FROM part
+        |WHERE p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem
+        |                        WHERE l_quantity >= 45)
+        |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      T.part(s, d).as("p")
+        .join(T.lineitem(s, d).filter(col("l_quantity") >= 45)
+          .select("l_partkey").distinct().as("l"),
+          col("p.p_partkey") === col("l.l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+
+    // ---- correlated scalar subquery (balance vs nation average) --------
+    Q("q43_scalar_subquery",
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+        |  round((SELECT avg(c2.c_acctbal) FROM customer c2
+        |         WHERE c2.c_nationkey = c.c_nationkey), 2) AS nation_avg
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c3.c_acctbal) FROM customer c3
+        |                   WHERE c3.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = T.customer(s, d)
+      val nationAvg = c.groupBy("c_nationkey")
+        .agg(avg("c_acctbal").as("na"))
+      c.join(nationAvg, "c_nationkey")
+        .filter(col("c_acctbal") > col("na"))
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"),
+          round(col("na"), 2).as("nation_avg"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- pivot (returnflag × linestatus quantity matrix) ---------------
+    // Spark .pivot with explicit values; oracle is the portable
+    // CASE-WHEN formulation (DuckDB's PIVOT syntax differs).
+    Q("q44_pivot",
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS F,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum("l_quantity"))
+        .na.fill(0.0, Seq("F", "O"))
+        .select(col("l_returnflag"), round(col("F"), 2).as("F"),
+          round(col("O"), 2).as("O"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- lateral explode (words of p_type) -----------------------------
+    Q("q45_lateral_explode",
+      """SELECT w AS word, CAST(count(*) AS BIGINT) AS n
+        |FROM part, unnest(string_split(p_type, ' ')) AS t(w)
+        |GROUP BY w ORDER BY w""".stripMargin) { (s, d) =>
+      T.part(s, d)
+        .select(explode(split(col("p_type"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word")
+    },
+
+    // ---- GROUPING SETS (finer than rollup/cube) ------------------------
+    Q("q46_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      T.orders(s, d).createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
+    // ---- window frame (3-row moving sum per customer) ------------------
+    // moving SUM, not avg: both engines fold the same 3 doubles in frame
+    // order → bit-identical; windowed avg differs in accumulation
+    // (sum/count vs incremental mean) at half-cent rounding boundaries.
+    Q("q47_window_frame",
+      """SELECT o_orderkey, o_custkey,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_sum
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(sum("o_totalprice").over(w), 2).as("moving_sum"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- ordered string aggregation ------------------------------------
+    Q("q48_string_agg",
+      """SELECT c_mktsegment, string_agg(DISTINCT c_name, ',' ORDER BY c_name) AS names
+        |FROM (SELECT c_mktsegment, c_name FROM customer WHERE c_custkey <= 50) t
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      T.customer(s, d).filter(col("c_custkey") <= 50)
+        .groupBy("c_mktsegment")
+        .agg(array_join(array_sort(collect_set("c_name")), ",").as("names"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- interpolated percentiles --------------------------------------
+    Q("q49_percentiles",
+      """SELECT l_returnflag,
+        |  round(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE), 4) AS p50,
+        |  round(CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- TPC-H Q5-style 5-way join (revenue by nation) -----------------
+    // Plan check: region/nation broadcast; lineitem⋈orders⋈customer
+    // shuffle on their keys; one final hash-agg.
+    Q("q50_multi_join",
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("n_name")
+    })
+
+  def queries: Seq[Q] = ql
+}

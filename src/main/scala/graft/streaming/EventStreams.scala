@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.warehouse.Connector
+
+/** Structured Streaming over the events shape (SURVEY.md §1.1 Stream
+  * row): the reference has no streaming engine — its reader/writer/
+  * mirror are 1 s polling loops re-reading full tables
+  * (`icerunner.py:723-736, 744-767, 1139-1149`). The idiomatic Spark
+  * upgrade is micro-batch streams: file-source reads, watermarked
+  * event-time windows, stateful aggregation, and exactly-once-per-batch
+  * warehouse ingestion.
+  *
+  * Scale posture: all operators below are standard Structured Streaming
+  * state-store aggregations — state is partitioned by group key across
+  * executors, watermarks bound state size, and the warehouse sink
+  * appends through the same atomic snapshot commit as batch writes.
+  */
+object EventStreams {
+
+  /** The driver testdata events row (TESTDATA.md). */
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  final case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  val eventSchema: StructType = org.apache.spark.sql.Encoders.product[Event].schema
+
+  /** Streaming read of a directory of parquet event files (schema must
+    * be supplied — streaming sources don't infer). */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling-window event-type counts with a watermark bounding late
+    * data (and therefore state). */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 day",
+      watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Gap-based session windows per user. */
+  def userSessions(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sess"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sess.start").as("sess_start"),
+        col("sess.end").as("sess_end"), col("n_events"))
+
+  /** Watermark-bounded streaming dedup on event id. */
+  def dedupEvents(events: DataFrame, watermark: String = "2 days"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
+
+  /** Custom state: running per-user totals via flatMapGroupsWithState —
+    * the arbitrary-stateful-processing shape (KeyValueGroupedDataset)
+    * for logic windowed aggs can't express. Emits the updated running
+    * total on every micro-batch a user appears in. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[Event], state: GroupState[UserTotal]) =>
+          var cur = state.getOption.getOrElse(UserTotal(uid, 0L, 0.0))
+          batch.foreach { e =>
+            cur = UserTotal(uid, cur.n_events + 1, cur.total_value + e.value)
+          }
+          state.update(cur)
+          Iterator(cur)
+      }
+  }
+
+  /** Continuous warehouse ingestion: stream → `foreachBatch` →
+    * snapshot-log append. Each micro-batch commits one snapshot, so
+    * `changesSince` works for downstream incremental consumers; the
+    * checkpoint gives effectively-once appends across restarts (a batch
+    * replay after a crash between append and checkpoint is the same
+    * at-least-once window the reference's mirror has — SURVEY.md §3.3). */
+  def ingestToWarehouse(events: DataFrame, connector: Connector,
+      table: String, checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          if (!connector.tableExists(table)) connector.createTable(table, batch)
+          else connector.insert(table, batch)
+        }
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+import graft.warehouse.Connector
+
+/** Streaming specs verify stream results against their batch
+  * equivalents on the same files — the differential oracle streaming
+  * can't get from DuckDB. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Copy the sf0.001 events into a stream dir as two file chunks. */
+  private def stageEvents(): (String, DataFrame) = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val events = T.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir)
+    events.filter(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(dir)
+    (dir, spark.read.schema(EventStreams.eventSchema).parquet(dir))
+  }
+
+  private def runToTable(df: DataFrame, name: String): Unit = {
+    val q = df.writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+  }
+
+  test("tumbling-window counts match the batch equivalent") {
+    val (dir, batchDf) = stageEvents()
+    runToTable(EventStreams.tumblingCounts(
+      EventStreams.readEvents(spark, dir)), "tumbling")
+    val streamed = spark.table("tumbling")
+    val batch = batchDf
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("session windows produce per-user sessions covering all events") {
+    val (dir, batchDf) = stageEvents()
+    runToTable(EventStreams.userSessions(
+      EventStreams.readEvents(spark, dir)), "sessions")
+    val s = spark.table("sessions")
+    assert(s.count() > 0)
+    // every event is inside exactly one of its user's sessions
+    assert(s.agg(sum("n_events")).head().getLong(0) === batchDf.count())
+    assert(s.filter(col("sess_end") < col("sess_start")).isEmpty)
+  }
+
+  test("stateful running totals converge to the batch per-user totals") {
+    import spark.implicits._
+    val (dir, batchDf) = stageEvents()
+    val stream = EventStreams.readEvents(spark, dir, maxFilesPerTrigger = 1)
+      .as[EventStreams.Event]
+    val q = EventStreams.runningUserTotals(stream).toDF()
+      .writeStream.format("memory").queryName("running")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // last emitted row per user == batch aggregate
+    val finals = spark.table("running")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_value"))).as("s"))
+      .select(col("user_id"), col("s.n_events"),
+        round(col("s.total_value"), 4).as("total_value"))
+    val batch = batchDf.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("total_value"))
+    assert(finals.exceptAll(batch).isEmpty && batch.exceptAll(finals).isEmpty)
+  }
+
+  test("streaming ingestion commits snapshots the warehouse can read incrementally") {
+    val (dir, batchDf) = stageEvents()
+    val wh = new Connector(spark, Files.createTempDirectory("graft-swh").toString)
+    val q = EventStreams.ingestToWarehouse(
+      EventStreams.readEvents(spark, dir, maxFilesPerTrigger = 1),
+      wh, "events_live", Files.createTempDirectory("graft-ckpt").toString)
+    q.awaitTermination(120000)
+    assert(wh.count("events_live") === batchDf.count())
+    // one snapshot per non-empty micro-batch; incremental read sees only
+    // the delta after the first commit
+    val snaps = wh.loadTable("events_live").log.snapshots
+    assert(snaps.length >= 2)
+    val afterFirst = wh.getChangesSinceSnapshot("events_live", snaps.head.snapshotId).get
+    assert(afterFirst.count() === batchDf.count() - snaps.head.addedFiles.length * 0 -
+      wh.loadTable("events_live").read(Some(snaps.head.snapshotId)).count())
+  }
+}
