@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AsofJoin, Dedup}
+
+/** Physical-plan audit (the 100 TB posture checks from the build
+  * brief): filters reach the parquet scan, projections prune the read
+  * schema, small dimensions broadcast, and operators don't shuffle more
+  * than their algorithm requires. These assertions pin the plan shape
+  * so a regression (lost pushdown, surprise cross join, extra exchange)
+  * fails CI rather than surfacing as a 100× slowdown at scale.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def countIn(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("filter + projection push into the parquet scan") {
+    val p = plan(T.lineitem(spark, sf)
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_quantity"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45"),
+      s"missing pushed filter in:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"column pruning failed in:\n$p")
+  }
+
+  test("multi-join: small dims broadcast, no nested-loop joins") {
+    val p = plan(SparkEntry.queries("q50_multi_join")(spark, sf))
+    assert(countIn(p, "BroadcastHashJoin") >= 2, s"nation/region should broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"unexpected cross join:\n$p")
+  }
+
+  test("exact dedup is one shuffle (partial window, no extra exchange)") {
+    val p = plan(Dedup.exact(T.documents(spark, sf), Seq("lang", "source"), "doc_id"))
+    assert(countIn(p, "Exchange") === 1, s"expected exactly 1 exchange:\n$p")
+  }
+
+  test("as-of join is one shuffle over the union, not a range join") {
+    val od = T.orders(spark, sf)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("od"))
+      .agg(count(lit(1)).as("n_orders"))
+    val p = plan(AsofJoin.backward(
+      T.events(spark, sf).select("event_id", "ts"), od, "ts", "od"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"as-of must not degrade to a pair join:\n$p")
+    // one exchange for the daily agg + one single-partition exchange for
+    // the global window — nothing proportional to |events|×|orders|
+    assert(countIn(p, "Exchange") <= 3, s"too many exchanges:\n$p")
+  }
+
+  test("minhash signatures aggregate in one shuffle with partial mins") {
+    val p = plan(Dedup.minhashSignaturesPoly(T.documents(spark, sf), "doc_id", "text"))
+    assert(countIn(p, "Exchange") === 1, s"expected exactly 1 exchange:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      s"expected map-side partial aggregation:\n$p")
+  }
+
+  test("semi/anti joins stay hash joins on the key") {
+    val p1 = plan(SparkEntry.queries("q41_exists_subquery")(spark, sf))
+    assert(p1.contains("LeftSemi"), s"expected semi join:\n$p1")
+    val p2 = plan(SparkEntry.queries("q42_not_in_subquery")(spark, sf))
+    assert(p2.contains("LeftAnti"), s"expected anti join:\n$p2")
+    assert(!p1.contains("CartesianProduct") && !p2.contains("CartesianProduct"))
+  }
+
+  test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
+    val p = plan(T.orders(spark, sf)
+      .orderBy(col("o_totalprice").desc).limit(25))
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("pricing summary pushes the shipdate filter and prunes columns") {
+    val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter should reach the scan:\n$p")
+    assert(!p.toLowerCase.contains("l_partkey"),
+      s"unused columns should be pruned:\n$p")
+  }
+}
