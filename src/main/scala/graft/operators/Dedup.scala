@@ -88,20 +88,56 @@ object Dedup {
     * applied: |A| ≥ t·|B| is implied by the jaccard verify).
     */
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      array_sort(normTokens(col(textCol))).as("toks"))
+      threshold: Double): DataFrame =
+    jaccardJoinOnTokens(df.select(col(idCol).as("id"),
+      array_sort(normTokens(col(textCol))).as("toks")), threshold)
+
+  /** Character n-gram Jaccard similarity join: same algorithm over the
+    * distinct character n-grams of the whitespace-normalized lowercase
+    * text — catches near-duplicates that word-level tokens miss
+    * (insertions inside words, punctuation edits). */
+  def charNgramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame =
+    jaccardJoinOnTokens(df.select(col(idCol).as("id"),
+      charNgrams(n)(col(textCol)).as("toks")), threshold)
+
+  /** Compiled distinct sorted character n-grams of the normalized text
+    * (empty for texts shorter than n, mirroring the oracle's range()). */
+  def charNgrams(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      if (text == null) Array.empty[String]
+      else {
+        val s = text.trim.toLowerCase.replaceAll("\\s+", " ")
+        val seen = new java.util.TreeSet[String]()
+        var i = 0
+        while (i + n <= s.length) { seen.add(s.substring(i, i + n)); i += 1 }
+        seen.toArray(new Array[String](seen.size))
+      }
+    }
+
+  /** Shared engine for the Jaccard joins: input is (id, toks) with toks
+    * sorted distinct. Adaptive bitmask/prefix-filter strategy as
+    * documented below. */
+  private def jaccardJoinOnTokens(toks: DataFrame, threshold: Double): DataFrame = {
     val tokDoc = toks.select(col("id"), size(col("toks")).as("n"),
       explode(col("toks")).as("tok"))
     val dfreq = tokDoc.groupBy("tok").agg(count(lit(1)).as("df"))
     // Adaptive physical strategy (decided with one tiny agg job, AQE
-    // style): a corpus whose whole vocabulary fits in 64 bits (tiny
-    // dictionaries, enum-ish fields, synthetic corpora) gets each token
-    // SET packed into one bitmask long — the similarity join is then
-    // pure popcount arithmetic inside whole-stage codegen, and prefix
-    // filtering (useless when every token is ubiquitous) is skipped.
-    if (dfreq.limit(65).count() <= 64)
+    // style). Prefix filtering only pays when token frequencies are
+    // skewed; a SMALL-VOCABULARY corpus (tiny dictionaries, char
+    // n-grams, enum-ish fields) has ubiquitous tokens that defeat it,
+    // but its token SETS pack into bitmasks — then the similarity join
+    // is pure popcount arithmetic:
+    //   vocab ≤ 64     → one long per doc, scored inside codegen;
+    //   vocab ≤ 65 536 → Array[Long] masks scored block-broadcast
+    //                    (mask block must broadcast: ≤ vocab/8 B per doc);
+    //   else           → AllPairs prefix filtering (frequency-skewed
+    //                    vocabularies, the common real-corpus case).
+    val vocabN = dfreq.limit(65537).count()
+    if (vocabN <= 64)
       return jaccardJoinBitmask(toks, dfreq, threshold)
+    if (vocabN <= 65536)
+      return jaccardJoinBitmaskWide(toks, threshold)
     val prefix = tokDoc.join(dfreq, "tok")
       .withColumn("rnk", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("tok"))))
@@ -145,6 +181,63 @@ object Dedup {
         (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Mid-size-vocabulary Jaccard join: dictionary-encode tokens to bit
+    * positions in an `Array[Long]` mask, collect the (id, mask, nbits)
+    * block to a broadcast, and score the strict upper triangle per
+    * partition with primitive popcount loops — the block-matrix shape of
+    * [[Similarity.exactCosinePairs]]. Exact (scores every pair); bounded
+    * by the mask block fitting in executor memory (vocab/8 bytes per
+    * doc), past which the prefix-filter path applies. */
+  private def jaccardJoinBitmaskWide(toks: DataFrame, threshold: Double): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val rows = toks.select(col("id").cast("long"), col("toks")).as[(Long, Seq[String])]
+    val vocab: Map[String, Int] = rows.flatMap(_._2).distinct().collect()
+      .sorted.zipWithIndex.toMap
+    val words = (vocab.size + 63) >>> 6
+    def maskOf(ts: Seq[String]): Array[Long] = {
+      val m = new Array[Long](words)
+      ts.foreach { t =>
+        val b = vocab(t)
+        m(b >>> 6) |= (1L << (b & 63))
+      }
+      m
+    }
+    val block = rows.collect().sortBy(_._1)
+      .map { case (id, ts) => (id, maskOf(ts), ts.size) }
+    val bc = spark.sparkContext.broadcast(block)
+    val bcVocab = spark.sparkContext.broadcast(vocab)
+    val out = rows.mapPartitions { it =>
+      val blk = bc.value
+      val voc = bcVocab.value
+      it.flatMap { case (id, ts) =>
+        val m = {
+          val a = new Array[Long](words)
+          ts.foreach { t =>
+            val b = voc(t); a(b >>> 6) |= (1L << (b & 63))
+          }
+          a
+        }
+        val na = ts.size
+        var lo = 0; var hi = blk.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (blk(mid)._1 <= id) lo = mid + 1 else hi = mid
+        }
+        (lo until blk.length).iterator.flatMap { j =>
+          val (jid, jm, nb) = blk(j)
+          var common = 0; var w = 0
+          while (w < words) {
+            common += java.lang.Long.bitCount(m(w) & jm(w)); w += 1
+          }
+          val jac = common.toDouble / (na + nb - common)
+          if (jac >= threshold) Some((id, jid, jac)) else None
+        }
+      }
+    }.toDF("id_a", "id_b", "jaccard")
+    out.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** Word n-gram shingles: contiguous n-word windows (expression form —

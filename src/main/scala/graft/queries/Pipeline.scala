@@ -285,6 +285,54 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- BPE-ish regex subword tokenization ----------------------------
+    // letter-runs | digit-runs | single punctuation — the merge-free
+    // skeleton of byte-pair tokenizers; ratio to whitespace words
+    // approximates tokens-per-word fertility.
+    Q("q51_bpeish_tokens",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subtokens,
+         |  CAST(len($duckToks) AS BIGINT) AS n_words,
+         |  round(CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+         |        / len($duckToks), 6) AS fertility
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      T.documents(s, d).select(
+          col("doc_id"),
+          size(regexp_extract_all(lower(trim(col("text"))),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_subtokens"),
+          TA.tokenCount(col("text")).cast("long").as("n_words"),
+          round(size(regexp_extract_all(lower(trim(col("text"))),
+              lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("double") /
+            TA.tokenCount(col("text")), 6).as("fertility"))
+        .orderBy("doc_id")
+    },
+
+    // ---- character-trigram Jaccard near-dup pairs ----------------------
+    Q("q52_char_ngram_jaccard",
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(length(nt) - 2), i -> substr(nt, CAST(i + 1 AS BIGINT), 3)))) AS tok
+        |  FROM t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON id_a = sa.doc_id
+        |JOIN sizes sb ON id_b = sb.doc_id
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+      Dedup.charNgramJaccard(T.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- per-label embedding stats (norms via higher-order funcs) ----
     Q("q34_embedding_stats",
       """SELECT label, count(*) AS n,
