@@ -376,15 +376,15 @@ object Dedup {
   /** Compiled 31-bit polynomial rolling hash (matches the DuckDB
     * `list_reduce` formulation exactly; ASCII/UTF-16 agree on the
     * corpus). */
-  val polyHash = udf { s: String =>
-    if (s == null) 0L
-    else {
-      var a = 7L
-      var i = 0
-      while (i < s.length) { a = (a * 131 + s.charAt(i)) % P; i += 1 }
-      a
-    }
+  private[graft] def polyHash31(s: String): Long = {
+    if (s == null) return 0L
+    var a = 7L
+    var i = 0
+    while (i < s.length) { a = (a * 131 + s.charAt(i)) % P; i += 1 }
+    a
   }
+
+  val polyHash = udf(polyHash31 _)
 
   /** Engine-portable affine family: a_i,b_i from fixed LCG constants so
     * the oracle can regenerate them from `i` alone. */

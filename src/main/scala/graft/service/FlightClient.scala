@@ -52,6 +52,12 @@ final class FlightClient(spark: SparkSession, host: String, port: Int) {
       ArrowCodec.read(spark, in)
     }
 
+  /** Schema only (reference client command: `icerunner.py:942-952`). */
+  def getSchema(table: String): StructType =
+    call(Wire.obj("action" -> "get_schema", "table" -> table)) { (r, _) =>
+      Wire.schemaOf(r.str("schema"))
+    }
+
   /** Snapshot metadata (reference client: `icerunner.py:1021-1037`). */
   def getMetadata(table: String): FlightClient.Meta =
     call(Wire.obj("action" -> "get_metadata", "table" -> table)) { (r, _) =>

@@ -125,6 +125,13 @@ final class FlightService(connector: Connector, port: Int = 0) {
           "snapshot_id" -> Wire.JNum(t.currentSnapshotId.getOrElse(0L)),
           "schema" -> t.schema.json))
 
+      case "get_schema" =>
+        // The reference's mirror sends this command and falls back to
+        // schema-from-first-batch when unanswered (`icerunner.py:942-961`)
+        // — answered here from catalog metadata, no scan.
+        Wire.writeLine(out, Wire.obj(
+          "ok" -> true, "schema" -> connector.loadTable(req.table).schema.json))
+
       case "do_put" =>
         // Body follows the request line; appends, creating on first put
         // (the reference's default writer/server pairing cannot create —

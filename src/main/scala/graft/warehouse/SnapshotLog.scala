@@ -27,14 +27,16 @@ final case class Snapshot(
 /** Append-only snapshot log stored as one JSON manifest per commit under
   * `<tableDir>/_snapshots/v%016d.json`.
   *
-  * Commit protocol (single-writer-safe without any external service):
-  * write the manifest to a temp file, then `ATOMIC_MOVE` it to its
-  * versioned name **without** REPLACE_EXISTING — a concurrent committer
-  * racing on the same id loses with FileAlreadyExistsException and
-  * retries with the next id. Data files are written *before* the
-  * manifest; a crash between the two leaves orphan files that no
-  * manifest references, which readers never see (same recovery model as
-  * Iceberg's orphan-file semantics).
+  * Commit protocol (multi-writer-safe without any external service):
+  * write the manifest to a temp file, then publish it via
+  * `Files.createLink` to its versioned name — `link(2)` atomically
+  * fails with EEXIST when the id is taken, so a concurrent committer
+  * racing on the same id loses, re-reads the head, and retries with the
+  * next id (POSIX `rename(2)` would silently replace the winner — see
+  * `commit`). Data files are written *before* the manifest; a crash
+  * between the two leaves orphan files that no manifest references,
+  * which readers never see (same recovery model as Iceberg's
+  * orphan-file semantics).
   *
   * Scale: manifests grow with commit count, not row count. A read
   * resolves the file list driver-side (cheap JSON scan) and hands Spark
@@ -83,29 +85,39 @@ final class SnapshotLog(tableDir: Path) {
       .map(f => tableDir.resolve(f).toString)
 
   /** Commit a new snapshot; retries on id races. Returns the committed
-    * snapshot. */
+    * snapshot.
+    *
+    * The publish step is `Files.createLink` (hard link), NOT an
+    * `ATOMIC_MOVE`: POSIX `rename(2)` silently REPLACES an existing
+    * target, so a move-based commit lets a racing committer overwrite an
+    * already-published snapshot (found by the commit-race property
+    * test). `link(2)` atomically fails with EEXIST instead — the loser
+    * observes `FileAlreadyExistsException`, re-reads the head, and
+    * retries with the next id, keeping ids contiguous and every commit
+    * durable. */
   def commit(operation: String, addedFiles: Seq[String], schemaJson: String): Snapshot = {
     init()
     var attempt = 0
-    while (true) {
-      val id = currentSnapshotId.getOrElse(0L) + 1 + attempt
+    while (attempt < 10000) {
+      val id = currentSnapshotId.getOrElse(0L) + 1
       val snap = Snapshot(id, System.currentTimeMillis(), operation,
         addedFiles, schemaJson)
       val tmp = Files.createTempFile(snapDir, ".commit-", ".tmp")
       Files.writeString(tmp, SnapshotJson.write(snap))
       try {
-        Files.move(tmp, manifestPath(id), StandardCopyOption.ATOMIC_MOVE)
+        Files.createLink(manifestPath(id), tmp)
+        Files.deleteIfExists(tmp)
         return snap
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           Files.deleteIfExists(tmp)
-          attempt += 1 // lost the race; try the next id
+          attempt += 1 // lost the race; re-read head and retry
         case NonFatal(e) =>
           Files.deleteIfExists(tmp)
           throw e
       }
     }
-    throw new IllegalStateException("unreachable")
+    throw new IllegalStateException("commit contention: 10000 failed attempts")
   }
 }
 

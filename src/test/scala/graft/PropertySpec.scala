@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.service.{FlightClient, SyncState}
+import graft.warehouse.SnapshotLog
+
+/** Property-based coverage for the pure-logic components (SURVEY.md
+  * §5.4): snapshot-log conservation laws, commit-race safety, hash
+  * portability, URL parsing, and sync-state round-trips. Uses
+  * scalacheck generators with a fixed seed walk (no scalatestplus
+  * bridge on the offline classpath).
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Deterministic sample stream from a Gen. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(0xC0FFEE + i)))
+
+  private val fileName: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(cs => s"data/${cs.mkString.take(12)}.parquet")
+
+  test("property: snapshot ids contiguous; files partition across every changesSince cut") {
+    val commitsGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(fileName).map(_.distinct))
+    for (commits <- samples(commitsGen, 25)) {
+      val log = new SnapshotLog(Files.createTempDirectory("graft-prop"))
+      commits.zipWithIndex.foreach { case (files, i) =>
+        log.commit(if (i == 0) "create" else "append", files, "{}")
+      }
+      assert(log.snapshots.map(_.snapshotId) == (1L to commits.length).toSeq)
+      val total = commits.map(_.size).sum
+      (0L to commits.length.toLong).foreach { cut =>
+        val upTo = log.dataFiles(Some(cut)).size
+        val after = log.changedFiles(cut).size
+        assert(upTo + after == total, s"cut=$cut")
+      }
+    }
+  }
+
+  test("property: racing committers never lose or duplicate a commit") {
+    val log = new SnapshotLog(Files.createTempDirectory("graft-race"))
+    val threads = (1 to 8).map { i =>
+      new Thread(() => (1 to 5).foreach { j =>
+        log.commit("append", Seq(s"data/t$i-$j.parquet"), "{}")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val snaps = log.snapshots
+    assert(snaps.map(_.snapshotId) == (1L to 40L))
+    assert(snaps.flatMap(_.addedFiles).distinct.size == 40)
+  }
+
+  test("property: polyHash matches an independent BigInt formulation") {
+    val ref = (s: String) =>
+      s.foldLeft(BigInt(7)) { (a, c) => (a * 131 + c.toInt) mod BigInt(2147483647L) }.toLong
+    for (s <- samples(Gen.asciiPrintableStr, 300))
+      assert(graft.operators.Dedup.polyHash31(s) == ref(s), s"input: $s")
+  }
+
+  test("property: flight url parsing recovers host/port/table") {
+    val g = for {
+      host <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(20))
+      port <- Gen.chooseNum(1, 65535)
+      table <- Gen.option(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(20)))
+    } yield (host, port, table)
+    for ((host, port, table) <- samples(g, 60)) {
+      val url = s"grpc://$host:$port" + table.map("/" + _).getOrElse("")
+      assert(FlightClient.parseUrl(url) == ((host, port, table)))
+    }
+  }
+
+  test("property: sync state round-trips arbitrary counters and awkward statuses") {
+    val state = SyncState(Files.createTempDirectory("graft-ss-prop").toString)
+    val g = for {
+      t <- Gen.chooseNum(0L, Long.MaxValue / 2)
+      src <- Gen.option(Gen.chooseNum(0L, 1000L))
+      tgt <- Gen.option(Gen.chooseNum(0L, 1000L))
+      rows <- Gen.chooseNum(0L, 1000000L)
+      status <- Gen.oneOf("success", "error: \"quoted\"\nnewline\ttab", "never", "日本語")
+    } yield SyncState.State(t, src, tgt, rows, status)
+    for (s <- samples(g, 40)) {
+      state.save("grpc://h:1/t", "tgt", s)
+      assert(state.load("grpc://h:1/t", "tgt").norm == s.norm)
+    }
+  }
+
+  test("property: minhash estimate stays in [0,1] and self-similarity is 1") {
+    val spark = SparkTestSession.spark
+    val docs = T.documents(spark, "/root/testdata/sf0.001").limit(50)
+    val est = graft.operators.Dedup
+      .minhashCandidatesPoly(docs, "doc_id", "text", threshold = 0.0)
+      .collect()
+    assert(est.forall { r =>
+      val e = r.getAs[Double]("est_jaccard"); e >= 0.0 && e <= 1.0
+    })
+    // identical docs (self-union trick) must estimate 1.0
+    val dup = docs.limit(3)
+    val both = dup.union(dup.withColumn("doc_id",
+      org.apache.spark.sql.functions.col("doc_id") + 1000000))
+    val pairs = graft.operators.Dedup
+      .minhashCandidatesPoly(both, "doc_id", "text", threshold = 0.99)
+      .filter(org.apache.spark.sql.functions.expr("id_b = id_a + 1000000"))
+    assert(pairs.count() === 3)
+  }
+}

@@ -63,6 +63,7 @@ class ServiceSpec extends AnyFunSuite {
       assert(info.snapshotId === 1L)
       val meta = client.getMetadata("t1")
       assert(meta.snapshotId === 1L)
+      assert(client.getSchema("t1") === info.schema)
       assert(c.count("t1") === 20)
     }
   }
