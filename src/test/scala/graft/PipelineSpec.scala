@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+/** Differential tests for the approximate operators against their exact
+  * counterparts — the check the DuckDB oracle can't express for
+  * hash-randomized algorithms (this is q32's correctness story, and the
+  * recall floor for the LSH candidate paths).
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("lshTopK hits the exact top-1 neighbor for most queries (recall ≥ 0.6)") {
+    val emb = T.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (q, n) => approx.get(q).contains(n) }
+    assert(hits.toDouble / exact.size >= 0.6,
+      s"top-1 recall ${hits.toDouble / exact.size} ($hits/${exact.size})")
+  }
+
+  test("cosineNearDupPairs is a subset of the exact pairs with decent recall") {
+    val emb = T.embeddings(spark, sf)
+    val exact = Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH pairs must verify exactly (no false positives)")
+    if (exact.nonEmpty)
+      assert(lsh.size.toDouble / exact.size >= 0.5,
+        s"recall ${lsh.size.toDouble / exact.size}")
+  }
+
+  test("minhash estimate tracks true word-shingle Jaccard within 0.25") {
+    val docs = T.documents(spark, sf).limit(120)
+    val est = Dedup.minhashCandidatesPoly(docs, "doc_id", "text", threshold = 0.4)
+      .withColumnRenamed("est_jaccard", "est")
+    // true Jaccard over the same 3-word shingles, via the compiled sets
+    val sh = docs.select(col("doc_id").as("id"),
+      array_sort(Dedup.wordShinglesCompiled(3)(col("text"))).as("toks"))
+    val truth = est.select("id_a", "id_b", "est")
+      .join(sh.select(col("id").as("id_a"), col("toks").as("ta")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("toks").as("tb")), "id_b")
+      .withColumn("common", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("truth", col("common").cast("double") /
+        (size(col("ta")) + size(col("tb")) - col("common")))
+    val bad = truth.filter(abs(col("est") - col("truth")) > 0.25)
+    assert(bad.isEmpty, s"estimates off by >0.25:\n${bad.collect().mkString("\n")}")
+  }
+
+  test("minhashDedupPoly keeps exactly one canonical doc per duplicate cluster") {
+    val docs = T.documents(spark, sf)
+    // plant exact duplicate clusters with higher ids
+    val dups = docs.limit(5)
+      .withColumn("doc_id", col("doc_id") + 1000000)
+    val withDups = docs.unionByName(dups)
+    val kept = Dedup.minhashDedupPoly(withDups, "doc_id", "text", threshold = 0.9)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every planted dup (id+1e6) must be gone — its low-id twin is canonical
+    assert(dups.select("doc_id").collect().map(_.getLong(0)).forall(!keptIds.contains(_)))
+    assert(docs.limit(5).select("doc_id").collect().map(_.getLong(0))
+      .forall(keptIds.contains))
+  }
+}
