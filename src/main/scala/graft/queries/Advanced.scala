@@ -171,6 +171,44 @@ object Advanced {
         .orderBy("l_returnflag")
     },
 
+    // ---- batch sessionization (30-min gap) -----------------------------
+    // The batch twin of streaming.EventStreams.userSessions: lag-gap
+    // flag → running session index → per-session bounds. One shuffle on
+    // user_id; both window passes reuse the same partitioning.
+    Q("q54_sessionize",
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN date_diff('second',
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |  min(ts) AS sess_start, max(ts) AS sess_end,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val prev = lag(col("ts"), 1).over(byUser)
+      T.events(s, d)
+        .withColumn("new_sess",
+          when(prev.isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(prev)) > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_id", sum("new_sess").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(min("ts").as("sess_start"), max("ts").as("sess_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "sess_id")
+    },
+
     // ---- TPC-H Q5-style 5-way join (revenue by nation) -----------------
     // Plan check: region/nation broadcast; lineitem⋈orders⋈customer
     // shuffle on their keys; one final hash-agg.

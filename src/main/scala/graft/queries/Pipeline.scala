@@ -333,6 +333,47 @@ object Pipeline {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- tf-idf top terms per document ---------------------------------
+    // Ordering key is the ROUNDED score (then term) so the top-3 cut is
+    // engine-deterministic; ln() agrees to well under the rounding grain.
+    Q("q53_tfidf",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($duckToksLower) AS tok FROM documents),
+         |tf AS (
+         |  SELECT doc_id, tok, count(*) AS cnt,
+         |    sum(count(*)) OVER (PARTITION BY doc_id) AS doc_len
+         |  FROM toks GROUP BY doc_id, tok),
+         |df AS (SELECT tok, count(DISTINCT doc_id) AS dfreq FROM toks GROUP BY tok),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tok,
+         |    round((cnt * 1.0 / doc_len) * ln(n_docs * 1.0 / dfreq), 6) AS tfidf
+         |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+         |SELECT doc_id, tok, tfidf FROM (
+         |  SELECT doc_id, tok, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+         |  FROM scored) t
+         |WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, tok""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = T.documents(s, d)
+      val nDocs = docs.count()
+      val toks = docs.select(col("doc_id"),
+        explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("doc_len", sum("cnt").over(Window.partitionBy("doc_id")))
+      val dfreq = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("dfreq"))
+      val scored = tf.join(dfreq, "tok")
+        .withColumn("tfidf", round((col("cnt") * lit(1.0) / col("doc_len")) *
+          log(lit(nDocs.toDouble) / col("dfreq")), 6))
+      scored
+        .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("tok"))))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf")
+        .orderBy(col("doc_id"), col("tfidf").desc, col("tok"))
+    },
+
     // ---- per-label embedding stats (norms via higher-order funcs) ----
     Q("q34_embedding_stats",
       """SELECT label, count(*) AS n,
