@@ -195,6 +195,65 @@ object Similarity {
     out.select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer
+    * partitions the corpus into `nlist` cells; each query probes its
+    * `nprobe` nearest centroids and exact-reranks only those cells.
+    * The other classic ANN scale path next to [[lshTopK]] — better
+    * recall/cost on clustered corpora, needs the (cheap, seeded)
+    * training pass LSH avoids.
+    *
+    * Scale: cells are hash-partitioned by cell id; each query joins only
+    * its probed cells, so the scored-pair count is ~corpus×(nprobe/nlist)
+    * instead of corpus×queries.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    // Spherical k-means: cluster UNIT vectors so euclidean cell
+    // assignment agrees with the cosine metric (|u−v|² = 2−2cos on the
+    // sphere); scoring below stays on the raw vectors (cosine is
+    // scale-invariant).
+    def unit(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val unitU = udf(unit _)
+    val train = corpus.select(array_to_vector(
+      unitU(col(vecCol).cast("array<double>"))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(train)
+    val cents = model.clusterCenters.map(_.toArray)
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    val nearestCells = udf { (raw: Array[Double], n: Int) =>
+      val v = unit(raw)
+      bc.value.indices
+        .map { c =>
+          val ctr = bc.value(c)
+          var d = 0.0; var i = 0
+          while (i < v.length) { val x = v(i) - ctr(i); d += x * x; i += 1 }
+          (c, d)
+        }
+        .sortBy(_._2).take(n).map(_._1).toArray
+    }
+    val c = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+      .withColumn("cell", nearestCells(col("cv"), lit(1))(0))
+    val q = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
+      .withColumn("cell", explode(nearestCells(col("qv"), lit(nprobe))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("sim", dotU(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** Pairwise near-duplicate detection on embeddings: pairs with cosine
     * >= threshold, via LSH candidates (scale) — used for
     * embedding-cosine near-dup dedup. */

@@ -272,6 +272,14 @@ object Pipeline {
         .orderBy("query_id", "rank")
     },
 
+    // ---- IVF-bucketed approximate top-k (trained quantizer: rows-only) ----
+    Q.noOracle("q55_ivf_topk") { (s, d) =>
+      val emb = T.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    },
+
     // ---- exact embedding-cosine near-dup pairs ----
     Q("q33_cosine_neardup",
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

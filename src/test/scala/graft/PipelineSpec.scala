@@ -28,6 +28,23 @@ class PipelineSpec extends AnyFunSuite {
       s"top-1 recall ${hits.toDouble / exact.size} ($hits/${exact.size})")
   }
 
+  test("ivfTopK hits the exact top-1 neighbor for most queries (recall ≥ 0.6)") {
+    val emb = T.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 16)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // nlist ~ sqrt(n)/3 for this 500-vector corpus; probing half the
+    // cells gives full recall here
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 1,
+        nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = exact.count { case (q, n) => approx.get(q).contains(n) }
+    assert(hits.toDouble / exact.size >= 0.9,
+      s"IVF top-1 recall ${hits.toDouble / exact.size} ($hits/${exact.size})")
+  }
+
   test("cosineNearDupPairs is a subset of the exact pairs with decent recall") {
     val emb = T.embeddings(spark, sf)
     val exact = Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.4)

@@ -90,6 +90,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(finals.exceptAll(batch).isEmpty && batch.exceptAll(finals).isEmpty)
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    val (dir, batchDf) = stageEvents()
+    // replay the first chunk: a third file duplicating even event_ids
+    batchDf.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(dir)
+    val q = graft.streaming.EventStreams.dedupEvents(
+        graft.streaming.EventStreams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("deduped").count() === batchDf.count())
+  }
+
   test("streaming ingestion commits snapshots the warehouse can read incrementally") {
     val (dir, batchDf) = stageEvents()
     val wh = new Connector(spark, Files.createTempDirectory("graft-swh").toString)
