@@ -223,7 +223,7 @@ object Similarity {
     val unitU = udf(unit _)
     val train = corpus.select(array_to_vector(
       unitU(col(vecCol).cast("array<double>"))).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .fit(train)
     val cents = model.clusterCenters.map(_.toArray)
     val bc = corpus.sparkSession.sparkContext.broadcast(cents)
