@@ -54,8 +54,18 @@ final class GraftTable private (
 
   /** Transactional append: write data files first, commit the manifest
     * last (see SnapshotLog commit protocol). Insert-only, matching the
-    * reference (no update/delete path exists there either). */
-  def append(df: DataFrame): Snapshot = {
+    * reference (no update/delete path exists there either).
+    *
+    * Scale controls (both optional, both Iceberg-shaped):
+    *  - `clusterBy`: range-repartition on these columns before writing,
+    *    so each data file covers a narrow value range — what makes the
+    *    recorded stats selective;
+    *  - `statsCols`: record per-file min/max for these columns (plus the
+    *    cluster columns) in the manifest, enabling [[readWhere]] to
+    *    prune files at planning time without touching parquet footers.
+    */
+  def append(df: DataFrame, clusterBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil, clusterParts: Int = 0): Snapshot = {
     val existing = log.head
     existing.foreach { h =>
       val expected = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
@@ -63,13 +73,78 @@ final class GraftTable private (
         s"append schema mismatch for $name:\n expected $expected\n got ${df.schema}")
     }
     val commitDir = dir.resolve("data").resolve(s"s${UUID.randomUUID().toString.take(12)}")
-    df.write.parquet(commitDir.toString)
+    val out =
+      if (clusterBy.isEmpty) df
+      else {
+        val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+        // explicit partition count pins file granularity (AQE otherwise
+        // coalesces small test/tail writes into one wide-range file)
+        if (clusterParts > 0) df.repartitionByRange(clusterParts, cols: _*)
+        else df.repartitionByRange(cols: _*)
+      }
+    out.write.parquet(commitDir.toString)
     val files = Files.list(commitDir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => dir.relativize(p).toString)
       .toSeq.sorted
     val schemaJson = existing.map(_.schemaJson).getOrElse(df.schema.json)
-    log.commit(if (existing.isEmpty) "create" else "append", files, schemaJson)
+    val wanted = (clusterBy ++ statsCols).distinct
+    val stats = if (wanted.isEmpty) Map.empty[String, FileStat]
+      else collectStats(commitDir, wanted)
+    log.commit(if (existing.isEmpty) "create" else "append", files,
+      schemaJson, stats)
+  }
+
+  /** Per-file min/max for `cols`, keyed by manifest-relative path. One
+    * aggregate over the just-written files (columnar scan of only the
+    * stat columns). */
+  private def collectStats(commitDir: Path, cols: Seq[String]): Map[String, FileStat] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val written = spark.read.parquet(commitDir.toString)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    val rows = written.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val uri = java.net.URI.create(r.getAs[String]("__f"))
+      val rel = dir.relativize(java.nio.file.Paths.get(uri.getPath)).toString
+      var numMin = Map.empty[String, Double]; var numMax = Map.empty[String, Double]
+      var strMin = Map.empty[String, String]; var strMax = Map.empty[String, String]
+      cols.foreach { c =>
+        (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c")) match {
+          case (null, _) | (_, null) => ()
+          case (mn: Number, mx: Number) =>
+            numMin += c -> mn.doubleValue(); numMax += c -> mx.doubleValue()
+          case (mn: java.sql.Timestamp, mx: java.sql.Timestamp) =>
+            numMin += c -> mn.getTime.toDouble; numMax += c -> mx.getTime.toDouble
+          case (mn, mx) =>
+            strMin += c -> mn.toString; strMax += c -> mx.toString
+        }
+      }
+      rel -> FileStat(numMin, numMax, strMin, strMax)
+    }.toMap
+  }
+
+  /** Planning-time file pruning: read only the files whose recorded
+    * [min, max] for `column` intersects [lower, upper] (both bounds
+    * inclusive, either optional). Files without stats are read
+    * conservatively; the caller still applies the row-level filter.
+    * This is the Iceberg metadata-skip path — O(manifest) work replaces
+    * an O(table) scan when the table is clustered on `column`. */
+  def readWhere(column: String, lower: Option[Any], upper: Option[Any],
+      asOf: Option[Long] = None): DataFrame = {
+    val snaps = log.snapshots
+    val cut = asOf.getOrElse(Long.MaxValue)
+    val statsByFile = snaps.filter(_.snapshotId <= cut)
+      .flatMap(s => s.stats).toMap
+    val kept = log.dataFiles(asOf).filter { abs =>
+      val rel = dir.relativize(java.nio.file.Paths.get(abs)).toString
+      statsByFile.get(rel).forall(_.mayContain(column, lower, upper))
+    }
+    if (kept.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(kept: _*)
   }
 
   private def compatible(expected: StructType, got: StructType): Boolean =

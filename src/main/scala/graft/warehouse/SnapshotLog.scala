@@ -22,7 +22,41 @@ final case class Snapshot(
     timestampMs: Long,
     operation: String,
     addedFiles: Seq[String],
-    schemaJson: String)
+    schemaJson: String,
+    stats: Map[String, FileStat] = Map.empty)
+
+/** Per-data-file column statistics recorded in the manifest at commit
+  * time — the Iceberg-style metadata that lets a reader prune files
+  * BEFORE planning a scan (numeric/timestamp ranges in `numMin/numMax`,
+  * lexicographic ranges in `strMin/strMax`). A 100 TB table clustered on
+  * its query keys reads only the files whose recorded range intersects
+  * the predicate. */
+final case class FileStat(
+    numMin: Map[String, Double], numMax: Map[String, Double],
+    strMin: Map[String, String], strMax: Map[String, String]) {
+
+  /** Can this file contain rows with `column` in [lower, upper]?
+    * Unknown columns conservatively match. */
+  def mayContain(column: String,
+      lower: Option[Any], upper: Option[Any]): Boolean = {
+    def num(v: Any): Double = v match {
+      case n: Number => n.doubleValue()
+      case t: java.sql.Timestamp => t.getTime.toDouble
+      case other => other.toString.toDouble
+    }
+    (numMin.get(column), numMax.get(column)) match {
+      case (Some(mn), Some(mx)) =>
+        lower.forall(l => mx >= num(l)) && upper.forall(u => mn <= num(u))
+      case _ =>
+        (strMin.get(column), strMax.get(column)) match {
+          case (Some(mn), Some(mx)) =>
+            lower.forall(l => mx >= l.toString) &&
+              upper.forall(u => mn <= u.toString)
+          case _ => true
+        }
+    }
+  }
+}
 
 /** Append-only snapshot log stored as one JSON manifest per commit under
   * `<tableDir>/_snapshots/v%016d.json`.
@@ -95,13 +129,14 @@ final class SnapshotLog(tableDir: Path) {
     * observes `FileAlreadyExistsException`, re-reads the head, and
     * retries with the next id, keeping ids contiguous and every commit
     * durable. */
-  def commit(operation: String, addedFiles: Seq[String], schemaJson: String): Snapshot = {
+  def commit(operation: String, addedFiles: Seq[String], schemaJson: String,
+      stats: Map[String, FileStat] = Map.empty): Snapshot = {
     init()
     var attempt = 0
     while (attempt < 10000) {
       val id = currentSnapshotId.getOrElse(0L) + 1
       val snap = Snapshot(id, System.currentTimeMillis(), operation,
-        addedFiles, schemaJson)
+        addedFiles, schemaJson, stats)
       val tmp = Files.createTempFile(snapDir, ".commit-", ".tmp")
       Files.writeString(tmp, SnapshotJson.write(snap))
       try {
@@ -136,8 +171,20 @@ private[warehouse] object SnapshotJson {
 
   def write(s: Snapshot): String = {
     val files = s.addedFiles.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
+    def strMap(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+        .mkString("{", ",", "}")
+    def numMap(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + esc(k) + "\":" + v }
+        .mkString("{", ",", "}")
+    val stats = s.stats.toSeq.sortBy(_._1).map { case (f, st) =>
+      "\"" + esc(f) + "\":{" +
+        "\"numMin\":" + numMap(st.numMin) + ",\"numMax\":" + numMap(st.numMax) +
+        ",\"strMin\":" + strMap(st.strMin) + ",\"strMax\":" + strMap(st.strMax) + "}"
+    }.mkString("{", ",", "}")
     s"""{"snapshotId":${s.snapshotId},"timestampMs":${s.timestampMs},""" +
       s""""operation":"${esc(s.operation)}","addedFiles":$files,""" +
+      s""""stats":$stats,""" +
       s""""schemaJson":"${esc(s.schemaJson)}"}"""
   }
 
@@ -148,11 +195,22 @@ private[warehouse] object SnapshotJson {
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
     val v = JsonMethods.parse(json)
+    val stats = (v \ "stats") match {
+      case JObject(fields) => fields.map { case (f, st) =>
+        f -> FileStat(
+          (st \ "numMin").extractOrElse[Map[String, Double]](Map.empty),
+          (st \ "numMax").extractOrElse[Map[String, Double]](Map.empty),
+          (st \ "strMin").extractOrElse[Map[String, String]](Map.empty),
+          (st \ "strMax").extractOrElse[Map[String, String]](Map.empty))
+      }.toMap
+      case _ => Map.empty[String, FileStat]
+    }
     Snapshot(
       (v \ "snapshotId").extract[Long],
       (v \ "timestampMs").extract[Long],
       (v \ "operation").extract[String],
       (v \ "addedFiles").extract[Seq[String]],
-      (v \ "schemaJson").extract[String])
+      (v \ "schemaJson").extract[String],
+      stats)
   }
 }

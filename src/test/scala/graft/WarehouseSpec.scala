@@ -89,6 +89,33 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("clustered append records file stats; readWhere prunes files") {
+    val c = new Connector(spark, freshWarehouse())
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("bucket", $"id" % 4)
+      .withColumn("name", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("n"), $"id"))
+    c.createTable("t", df.limit(1)) // establish schema
+    val t = c.loadTable("t")
+    t.append(df, clusterBy = Seq("id"), statsCols = Seq("name"),
+      clusterParts = 8)
+    val all = t.read()
+    // range-clustered on id → a narrow id slice must hit fewer files
+    val slice = t.readWhere("id", Some(100L), Some(200L))
+    assert(slice.inputFiles.length < all.inputFiles.length,
+      s"${slice.inputFiles.length} vs ${all.inputFiles.length}")
+    // pruning is sound: pruned scan + row filter ≡ full scan + row filter
+    val expected = all.filter($"id".between(100, 200)).count()
+    assert(slice.filter($"id".between(100, 200)).count() === expected)
+    // string stats prune too
+    val sSlice = t.readWhere("name", Some("n100"), Some("n101"))
+    assert(sSlice.filter($"name" === "n100").count() === 1)
+    // stats survive the manifest round-trip
+    val st = t.log.head.get.stats
+    assert(st.nonEmpty && st.values.forall(f =>
+      f.numMin.contains("id") && f.strMin.contains("name")))
+  }
+
   test("snapshot log json round-trip incl. escapes") {
     val dir = Files.createTempDirectory("graft-log-")
     val log = new SnapshotLog(dir)
