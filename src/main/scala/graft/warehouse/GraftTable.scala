@@ -126,6 +126,49 @@ final class GraftTable private (
     }.toMap
   }
 
+  /** Small-file compaction: rewrite the current table contents into
+    * `targetFiles` files and commit a `compact` snapshot that REPLACES
+    * the visible file set (reads resolve from it; see
+    * SnapshotLog.dataFiles). Logical content is unchanged — time travel
+    * to earlier snapshots and changes-since across the compaction keep
+    * working because prior data files are not deleted (that's
+    * [[expireSnapshots]]' job). The write path every long-lived
+    * append-heavy table needs: thousands of poll-loop appends (the
+    * reference writes one row per second per writer) otherwise mean
+    * thousands of tiny files per scan. */
+  def compact(targetFiles: Int = 0): Snapshot = {
+    val current = read()
+    val parts = if (targetFiles > 0) targetFiles
+      else math.max(1, spark.sparkContext.defaultParallelism / 2)
+    val commitDir = dir.resolve("data").resolve(s"c${UUID.randomUUID().toString.take(12)}")
+    current.repartition(parts).write.parquet(commitDir.toString)
+    val files = Files.list(commitDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => dir.relativize(p).toString)
+      .toSeq.sorted
+    log.commit("compact", files, log.head.get.schemaJson)
+  }
+
+  /** Expire history: delete manifests with id < `keepFromId` and any
+    * data file referenced ONLY by them. Time travel before the horizon
+    * is gone; current reads and changes-since after it are unaffected.
+    * Run after [[compact]] to reclaim the rewritten small files. */
+  def expireSnapshots(keepFromId: Long): Unit = {
+    val snaps = log.snapshots
+    // the head view resolves from the latest compact baseline — every
+    // snapshot from there on must survive, else current reads lose files
+    val baseline = snaps.filter(_.operation == "compact")
+      .lastOption.map(_.snapshotId).getOrElse(1L)
+    require(keepFromId <= baseline,
+      s"cannot expire past the head baseline (snapshot $baseline)")
+    val (dead, live) = snaps.partition(_.snapshotId < keepFromId)
+    val liveFiles = live.flatMap(_.addedFiles).toSet
+    dead.flatMap(_.addedFiles).distinct
+      .filterNot(liveFiles.contains)
+      .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+    dead.foreach(s => log.deleteManifest(s.snapshotId))
+  }
+
   /** Planning-time file pruning: read only the files whose recorded
     * [min, max] for `column` intersects [lower, upper] (both bounds
     * inclusive, either optional). Files without stats are read

@@ -101,22 +101,34 @@ final class SnapshotLog(tableDir: Path) {
   def currentSnapshotId: Option[Long] = head.map(_.snapshotId)
 
   /** Data files visible at snapshot `asOf` (or head when None),
-    * absolute paths. */
+    * absolute paths. A `compact` snapshot REPLACES the file set (its
+    * files carry the whole table at that point), so resolution starts
+    * from the latest compact at-or-before the cut and adds later
+    * appends only. */
   def dataFiles(asOf: Option[Long] = None): Seq[String] = {
-    val snaps = snapshots
     val cut = asOf.getOrElse(Long.MaxValue)
-    snaps.filter(_.snapshotId <= cut)
+    val visible = snapshots.filter(_.snapshotId <= cut)
+    val baseline = visible.lastIndexWhere(_.operation == "compact")
+    visible.drop(math.max(baseline, 0))
       .flatMap(_.addedFiles)
       .map(f => tableDir.resolve(f).toString)
   }
 
   /** Files added by snapshots in `(sinceId, head]` — the corrected
     * changes-since semantics (SURVEY.md §2A-12: the reference's version
-    * cross-joins instead). */
+    * cross-joins instead). `compact` snapshots are skipped: a rewrite
+    * changes no logical rows (Iceberg's incremental read does the same
+    * for replace snapshots), and the appends' original files remain
+    * addressable for the delta. */
   def changedFiles(sinceId: Long): Seq[String] =
-    snapshots.filter(_.snapshotId > sinceId)
+    snapshots.filter(s => s.snapshotId > sinceId && s.operation != "compact")
       .flatMap(_.addedFiles)
       .map(f => tableDir.resolve(f).toString)
+
+  /** Remove one manifest (snapshot-expiry path — see
+    * GraftTable.expireSnapshots). */
+  def deleteManifest(id: Long): Unit =
+    Files.deleteIfExists(manifestPath(id))
 
   /** Commit a new snapshot; retries on id races. Returns the committed
     * snapshot.

@@ -116,6 +116,36 @@ class WarehouseSpec extends AnyFunSuite {
       f.numMin.contains("id") && f.strMin.contains("name")))
   }
 
+  test("compact rewrites files without changing content; expiry reclaims them") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
+    (2L to 9L).foreach(i => c.insert("t", Seq((i, s"v$i")).toDF("id", "v")))
+    val t = c.loadTable("t")
+    val preCompactSnap = t.currentSnapshotId.get
+    val preFiles = t.read().inputFiles.length
+    assert(preFiles >= 9) // one tiny file per append
+
+    val compactSnap = t.compact(targetFiles = 2)
+    assert(t.read().inputFiles.length <= 2)
+    assert(t.read().count() === 9)
+    // time travel to before the compaction still sees the old files
+    assert(t.read(asOf = Some(preCompactSnap)).count() === 9)
+    // appends after compaction land on top of the baseline
+    c.insert("t", Seq((10L, "v10")).toDF("id", "v"))
+    assert(t.read().count() === 10)
+    // changes-since skips the rewrite: only the real append is a change
+    assert(t.changesSince(preCompactSnap).select("id").as[Long]
+      .collect().toSeq === Seq(10L))
+
+    // expiry up to the compaction baseline drops old manifests + files
+    t.expireSnapshots(compactSnap.snapshotId)
+    assert(t.log.snapshots.head.snapshotId === compactSnap.snapshotId)
+    assert(t.read().count() === 10) // head view intact
+    intercept[IllegalArgumentException] {
+      t.expireSnapshots(compactSnap.snapshotId + 1)
+    }
+  }
+
   test("snapshot log json round-trip incl. escapes") {
     val dir = Files.createTempDirectory("graft-log-")
     val log = new SnapshotLog(dir)
