@@ -386,6 +386,13 @@ object Dedup {
 
   val polyHash = udf(polyHash31 _)
 
+  /** Column form of the NATIVE expression (graft.functions.PolyHash31,
+    * codegen'd) — used on hot paths; the UDF stays for API parity. */
+  private def polyHashCol(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PolyHash31(
+        org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
   /** Engine-portable affine family: a_i,b_i from fixed LCG constants so
     * the oracle can regenerate them from `i` alone. */
   private def polyParams(numHashes: Int): Seq[(Long, Long)] =
@@ -403,7 +410,7 @@ object Dedup {
     val exploded = df
       .select(col(idCol).as("id"),
         explode(wordShinglesCompiled(shingleWords)(col(textCol))).as("sh"))
-      .withColumn("h0", polyHash(col("sh")))
+      .withColumn("h0", polyHashCol(col("sh")))
     val mins = polyParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h0") * a + b, lit(P))).as(s"m$i")
     }
@@ -465,7 +472,7 @@ object Dedup {
     val bits = 31
     val toks = df.select(col(idCol).as("id"),
       explode(split(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), " ")).as("tok"))
-      .withColumn("h", polyHash(col("tok")))
+      .withColumn("h", polyHashCol(col("tok")))
     val votes = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$b"))
     val assembled = (0 until bits).map(b =>
