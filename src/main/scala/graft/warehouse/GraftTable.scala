@@ -32,14 +32,25 @@ final class GraftTable private (
 
   def currentSnapshotId: Option[Long] = log.currentSnapshotId
 
+  /** Schema visible at a given snapshot (head when None) — time travel
+    * across a schema evolution reads with the schema of that era. */
+  def schemaAsOf(asOf: Option[Long]): StructType = asOf match {
+    case None => schema
+    case Some(cut) =>
+      log.snapshots.filter(_.snapshotId <= cut).lastOption
+        .map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+        .getOrElse(schema)
+  }
+
   /** Read the table head (or a past snapshot). Empty-but-created tables
     * read as an empty DataFrame with the committed schema. */
   def read(asOf: Option[Long] = None): DataFrame = {
     val files = log.dataFiles(asOf)
+    val sch = schemaAsOf(asOf)
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     else
-      spark.read.schema(schema).parquet(files: _*)
+      spark.read.schema(sch).parquet(files: _*)
   }
 
   /** Rows appended by snapshots in `(sinceId, head]` — incremental read
@@ -124,6 +135,24 @@ final class GraftTable private (
       }
       rel -> FileStat(numMin, numMax, strMin, strMax)
     }.toMap
+  }
+
+  /** Additive schema evolution: append new NULLABLE columns to the table
+    * schema via a metadata-only `evolve` snapshot (no data files).
+    * Existing parquet files simply lack the new columns, and reads —
+    * which always pass the head schema explicitly — fill them with
+    * nulls; subsequent appends must carry the evolved schema. The one
+    * evolution shape Iceberg users lean on most, absent from the
+    * reference (its mirror freezes the first batch's schema —
+    * `icerunner.py:939-967`). */
+  def addColumns(newCols: StructType): Snapshot = {
+    val current = schema
+    require(newCols.fields.forall(_.nullable),
+      s"new columns must be nullable: $newCols")
+    require(newCols.fields.forall(f => !current.fieldNames.contains(f.name)),
+      s"column already exists: ${newCols.fieldNames.mkString(",")}")
+    val evolved = StructType(current.fields ++ newCols.fields)
+    log.commit("evolve", Seq.empty, evolved.json)
   }
 
   /** Small-file compaction: rewrite the current table contents into

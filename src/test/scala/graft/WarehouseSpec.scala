@@ -146,6 +146,33 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("additive schema evolution: old files read as nulls, time travel keeps the old schema") {
+    import org.apache.spark.sql.types._
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    val preEvolve = t.currentSnapshotId.get
+    t.addColumns(StructType(Seq(StructField("score", DoubleType, nullable = true))))
+    // head read: evolved schema, old rows null-filled
+    assert(t.read().columns.toSeq === Seq("id", "v", "score"))
+    assert(t.read().filter($"score".isNull).count() === 2)
+    // appends must carry the evolved schema; old shape is rejected
+    intercept[IllegalArgumentException] {
+      t.append(Seq((3L, "c")).toDF("id", "v"))
+    }
+    t.append(Seq((3L, "c", 0.5)).toDF("id", "v", "score"))
+    assert(t.read().filter($"score".isNotNull).count() === 1)
+    // time travel to before the evolution sees the old schema
+    assert(t.read(asOf = Some(preEvolve)).columns.toSeq === Seq("id", "v"))
+    // guards: non-nullable and duplicate columns rejected
+    intercept[IllegalArgumentException] {
+      t.addColumns(StructType(Seq(StructField("x", LongType, nullable = false))))
+    }
+    intercept[IllegalArgumentException] {
+      t.addColumns(StructType(Seq(StructField("id", LongType, nullable = true))))
+    }
+  }
+
   test("snapshot log json round-trip incl. escapes") {
     val dir = Files.createTempDirectory("graft-log-")
     val log = new SnapshotLog(dir)
