@@ -209,6 +209,18 @@ object Advanced {
         .orderBy("user_id", "sess_id")
     },
 
+    // ---- approximate distinct counting (HLL++) -------------------------
+    // rows-only: Spark's HLL++ and DuckDB's approx_count_distinct are
+    // different sketches with different estimates; the 2%-of-exact
+    // accuracy bound is asserted in AdvancedSpec instead.
+    Q.noOracle("q56_approx_distinct") { (s, d) =>
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- TPC-H Q5-style 5-way join (revenue by nation) -----------------
     // Plan check: region/nation broadcast; lineitem⋈orders⋈customer
     // shuffle on their keys; one final hash-agg.

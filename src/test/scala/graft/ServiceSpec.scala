@@ -101,6 +101,21 @@ class ServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("mirror loop discovers the source table and converges in bounded iterations") {
+    withService { (_, client, svc) =>
+      client.doPut("only_table", SampleData.create(spark, 12, "default"))
+      val targetWh = new Connector(spark, tmpDir("graft-mloop"))
+      val state = SyncState(tmpDir("graft-mstate"))
+      // sourceTableOpt = None → resolved via list_tables (reference
+      // discovery path, icerunner.py:874-888)
+      Mirror.run(client, s"grpc://localhost:${svc.boundPort}", None,
+        targetWh, "mirrored", state, intervalMs = 1, iterations = Some(3))
+      assert(targetWh.count("mirrored") === 12)
+      val st = state.load(s"grpc://localhost:${svc.boundPort}", "mirrored")
+      assert(st.lastSyncStatus === "up_to_date") // 2nd/3rd ticks no-op
+    }
+  }
+
   test("reader and writer loops run bounded iterations through the wire") {
     withService { (c, _, svc) =>
       val port = svc.boundPort
