@@ -494,7 +494,7 @@ object Dedup {
     * Returns (id, canonical_id) for every id in `df`.
     */
   def components(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 10): DataFrame = {
+      maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint(eager = true)

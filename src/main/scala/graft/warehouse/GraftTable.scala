@@ -165,17 +165,28 @@ final class GraftTable private (
     * append-heavy table needs: thousands of poll-loop appends (the
     * reference writes one row per second per writer) otherwise mean
     * thousands of tiny files per scan. */
-  def compact(targetFiles: Int = 0): Snapshot = {
+  def compact(targetFiles: Int = 0, clusterBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Snapshot = {
     val current = read()
     val parts = if (targetFiles > 0) targetFiles
       else math.max(1, spark.sparkContext.defaultParallelism / 2)
     val commitDir = dir.resolve("data").resolve(s"c${UUID.randomUUID().toString.take(12)}")
-    current.repartition(parts).write.parquet(commitDir.toString)
+    val out =
+      if (clusterBy.nonEmpty)
+        current.repartitionByRange(parts,
+          clusterBy.map(org.apache.spark.sql.functions.col): _*)
+      else current.repartition(parts)
+    out.write.parquet(commitDir.toString)
     val files = Files.list(commitDir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
       .map(p => dir.relativize(p).toString)
       .toSeq.sorted
-    log.commit("compact", files, log.head.get.schemaJson)
+    // without re-collected stats the compacted files would be unprunable
+    // (a silent regression for readWhere) — record them when asked
+    val wanted = (clusterBy ++ statsCols).distinct
+    val stats = if (wanted.isEmpty) Map.empty[String, FileStat]
+      else collectStats(commitDir, wanted)
+    log.commit("compact", files, log.head.get.schemaJson, stats)
   }
 
   /** Expire history: delete manifests with id < `keepFromId` and any
