@@ -149,7 +149,7 @@ object Main {
     val client = new FlightClient(spark, "localhost", svc.boundPort)
     println(s"[demo] service tables -> ${client.listTables().mkString(", ")}")
     client.doPut("wired", SampleData.create(spark, 5, "default"))
-    println(s"[demo] do_put new table wired -> ${client.doGet("wired").count()} rows")
+    println(s"[demo] do_put new table wired -> ${client.doGet("wired").df.count()} rows")
     val mirrorWh = whPath + "-mirror"
     val r = Mirror.performSync(client, s"grpc://localhost:${svc.boundPort}/wired",
       "wired", new Connector(spark, mirrorWh), "wired_copy",

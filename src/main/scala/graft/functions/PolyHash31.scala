@@ -60,7 +60,11 @@ object PolyHash31 {
       Seq[Expression] => Expression) = (
     FunctionIdentifier("poly_hash31"),
     new ExpressionInfo(classOf[PolyHash31].getName, "poly_hash31"),
-    (children: Seq[Expression]) => PolyHash31(children.head))
+    (children: Seq[Expression]) => {
+      require(children.size == 1,
+        s"poly_hash31 takes exactly 1 argument, got ${children.size}")
+      PolyHash31(children.head)
+    })
 }
 
 /** Session extension wiring (build brief: custom expressions register

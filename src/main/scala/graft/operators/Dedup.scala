@@ -136,7 +136,18 @@ object Dedup {
     val vocabN = dfreq.limit(65537).count()
     if (vocabN <= 64)
       return jaccardJoinBitmask(toks, dfreq, threshold)
-    if (vocabN <= 65536)
+    // the wide path collects an O(n·vocab/8) mask block to broadcast:
+    // only taken for integral ids and a corpus it can actually hold
+    // (~4M docs × 8 KB worst-case masks); everything else prefix-filters
+    val integralId = toks.schema("id").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (vocabN <= 65536 && integralId &&
+        toks.limit(4000001).count() <= 4000000)
       return jaccardJoinBitmaskWide(toks, threshold)
     val prefix = tokDoc.join(dfreq, "tok")
       .withColumn("rnk", row_number().over(
@@ -494,7 +505,7 @@ object Dedup {
     * Returns (id, canonical_id) for every id in `df`.
     */
   def components(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 200): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint(eager = true)
@@ -504,6 +515,10 @@ object Dedup {
     var iter = 0
     var converged = edges.isEmpty
     while (iter < maxIter && !converged) {
+      // min-label propagation advances one hop per iteration: cost is
+      // O(graph diameter), and convergence exits early — the cap only
+      // bounds pathological chains, and non-convergence FAILS LOUDLY
+      // below rather than silently splitting clusters.
       val neighborMin = edges.join(labels, edges("id_b") === labels("id"))
         .groupBy(col("id_a").as("id")).agg(min("label").as("nmin"))
       val upd = labels.as("l")
@@ -515,6 +530,10 @@ object Dedup {
       labels = upd.drop("__old")
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"components did not converge in $maxIter iterations " +
+          "(duplicate-graph diameter exceeds the cap; raise maxIter)")
     val all = df.select(col(idCol).as("id")).distinct()
     all.join(labels.withColumnRenamed("label", "canonical_id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("canonical_id"), col("id")).as("canonical_id"))

@@ -153,6 +153,16 @@ object Similarity {
     */
   def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => ()
+      case _ =>
+        // block scoring keys on long ids; other id types take the
+        // join-based formulation (same results, per-pair UDF scoring)
+        return exactCosinePairsJoin(df, idCol, vecCol, threshold)
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(col(idCol).cast("long"),
@@ -252,6 +262,18 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
+  /** Join-based exact pairs (any id type): broadcast one side, score
+    * each pair with the compiled dot UDF. */
+  private def exactCosinePairsJoin(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val a = prepped(df, idCol, vecCol, "id_a", "va", "na")
+    val b = prepped(df, idCol, vecCol, "id_b", "vb", "nb")
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim", dotU(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
   /** Pairwise near-duplicate detection on embeddings: pairs with cosine

@@ -23,6 +23,11 @@ object SkewJoin {
       salt: Int = 16, joinType: String = "inner",
       hotKeys: Option[DataFrame] = None): DataFrame = {
     require(salt > 1, "salt must be > 1")
+    // replicating the small side is only row-preserving when unmatched
+    // small-side rows cannot reach the output (each would appear salt x)
+    require(Set("inner", "left", "leftouter", "left_outer", "cross")
+        .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left joins only, got $joinType")
     hotKeys match {
       case None =>
         val l = large.withColumn("__salt",

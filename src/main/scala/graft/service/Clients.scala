@@ -24,7 +24,7 @@ object Clients {
     while (continue) {
       try {
         val info = client.getFlightInfo(table)
-        val df = client.doGet(table)
+        val df = client.doGet(table).df
         last = df.count()
         println(s"[reader] $table: $last rows " +
           s"(snapshot ${info.snapshotId}, ${info.schema.fields.length} cols)")

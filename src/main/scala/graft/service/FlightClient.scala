@@ -37,19 +37,23 @@ final class FlightClient(spark: SparkSession, host: String, port: Int) {
         r.num("snapshot_id"), r.num("port").toInt)
     }
 
-  /** Full table read (reference: `do_get`, `icerunner.py:272-282`). */
-  def doGet(table: String): DataFrame =
-    call(Wire.obj("action" -> "do_get", "table" -> table)) { (_, in) =>
-      ArrowCodec.read(spark, in)
+  /** Full table read (reference: `do_get`, `icerunner.py:272-282`).
+    * Returns the rows together with the snapshot id they were read AT —
+    * the id a replica must record so a concurrent append can't be
+    * double-synced on the next tick. */
+  def doGet(table: String): FlightClient.Fetched =
+    call(Wire.obj("action" -> "do_get", "table" -> table)) { (r, in) =>
+      FlightClient.Fetched(ArrowCodec.read(spark, in), r.num("snapshot_id"))
     }
 
-  /** Incremental read: rows appended after `since` (the action the
+  /** Incremental read: rows appended in `(since, snapshot]` for the
+    * snapshot pinned server-side at read time (the action the
     * reference's mirror requests but its server never serves —
     * `icerunner.py:996-1016`). */
-  def getChanges(table: String, since: Long): DataFrame =
+  def getChanges(table: String, since: Long): FlightClient.Fetched =
     call(Wire.obj("action" -> "get_changes", "table" -> table,
-        "since" -> since)) { (_, in) =>
-      ArrowCodec.read(spark, in)
+        "since" -> since)) { (r, in) =>
+      FlightClient.Fetched(ArrowCodec.read(spark, in), r.num("snapshot_id"))
     }
 
   /** Schema only (reference client command: `icerunner.py:942-952`). */
@@ -81,6 +85,7 @@ final class FlightClient(spark: SparkSession, host: String, port: Int) {
 }
 
 object FlightClient {
+  final case class Fetched(df: DataFrame, snapshotId: Long)
   final case class Info(schema: StructType, totalRecords: Long,
       snapshotId: Long, port: Int)
   final case class Meta(snapshotId: Long, schema: StructType)

@@ -80,6 +80,7 @@ final class FlightService(connector: Connector, port: Int = 0) {
       val req = Wire.parse(Wire.readLine(in))
       try dispatch(req, in, out)
       catch {
+        case Wire.BodyFailed(_) => // response line already sent; just close
         case e: Throwable =>
           if (sys.env.contains("GRAFT_SERVICE_DEBUG")) e.printStackTrace()
           Wire.writeLine(out, Wire.obj("ok" -> false,
@@ -106,17 +107,23 @@ final class FlightService(connector: Connector, port: Int = 0) {
           "snapshot_id" -> Wire.JNum(t.currentSnapshotId.getOrElse(0L)),
           "port" -> boundPort))
 
+      // Reads pin the snapshot BEFORE the ok-line and report it, so a
+      // client records exactly the state it received — a concurrent
+      // append between metadata and data fetch can neither be missed nor
+      // double-synced (the mirror's read-then-record race).
       case "do_get" =>
-        val df = connector.query(req.table)
-        Wire.writeLine(out, Wire.obj("ok" -> true))
-        ArrowCodec.write(df, out)
+        val t = connector.loadTable(req.table)
+        val snap = t.currentSnapshotId.getOrElse(0L)
+        val df = t.read(Some(snap))
+        Wire.writeLine(out, Wire.obj("ok" -> true, "snapshot_id" -> Wire.JNum(snap)))
+        writeBody(df, out)
 
       case "get_changes" =>
-        val df = connector.getChangesSinceSnapshot(req.table, req.since)
-          .getOrElse(throw new NoSuchElementException(
-            s"table not found: ${req.table}"))
-        Wire.writeLine(out, Wire.obj("ok" -> true))
-        ArrowCodec.write(df, out)
+        val t = connector.loadTable(req.table)
+        val snap = t.currentSnapshotId.getOrElse(0L)
+        val df = t.changesSince(req.since, snap)
+        Wire.writeLine(out, Wire.obj("ok" -> true, "snapshot_id" -> Wire.JNum(snap)))
+        writeBody(df, out)
 
       case "get_metadata" =>
         val t = connector.loadTable(req.table)
@@ -148,11 +155,26 @@ final class FlightService(connector: Connector, port: Int = 0) {
       case other =>
         Wire.writeLine(out, Wire.obj("ok" -> false, "error" -> s"unknown action: $other"))
     }
+
+  /** Stream an Arrow body after an ok-line. A mid-stream execution
+    * failure must NOT append a JSON error line into what the client is
+    * parsing as Arrow bytes — abort the connection instead (the client
+    * surfaces a stream error) and log server-side. */
+  private def writeBody(df: org.apache.spark.sql.DataFrame, out: OutputStream): Unit =
+    try ArrowCodec.write(df, out)
+    catch {
+      case NonFatal(e) =>
+        System.err.println(s"[flight] body stream failed: $e")
+        throw Wire.BodyFailed(e)
+    }
 }
 
 /** Line-framed JSON for the control plane; bodies are raw Arrow IPC. */
 private[service] object Wire {
   final case class Req(action: String, table: String, since: Long)
+
+  /** Marker: the ok-line went out but the Arrow body failed mid-stream. */
+  final case class BodyFailed(cause: Throwable) extends RuntimeException(cause)
 
   /** Read a single '\n'-terminated line without buffering past it (the
     * Arrow body may follow immediately). */

@@ -34,26 +34,29 @@ object Mirror {
       connector: Connector, targetTable: String, state: SyncState): SyncResult = {
     val prev = state.load(sourceUrl, targetTable).norm
     try {
-      val meta = client.getMetadata(sourceTable)
-      val srcSnap = meta.snapshotId
-
-      val (status, rows) =
+      // The recorded source snapshot is always the id the DATA was read
+      // at (pinned server-side and echoed in the response) — never a
+      // separately-fetched metadata value, which would race with
+      // concurrent appends and double-sync the gap on the next tick.
+      val (status, rows, srcSnap) =
         if (!connector.tableExists(targetTable)) {
-          val df = client.doGet(sourceTable)
-          connector.createTable(targetTable, df)
-          ("full_sync", connector.count(targetTable))
+          val f = client.doGet(sourceTable)
+          connector.createTable(targetTable, f.df)
+          ("full_sync", connector.count(targetTable), f.snapshotId)
         } else prev.sourceSnapshotId match {
-          case Some(l) if l == srcSnap => ("up_to_date", 0L)
           case Some(l) =>
-            val delta = client.getChanges(sourceTable, l)
-            val n = delta.count()
-            if (n > 0) connector.insert(targetTable, delta)
-            ("incremental", n)
+            val f = client.getChanges(sourceTable, l)
+            if (f.snapshotId == l) ("up_to_date", 0L, l)
+            else {
+              val n = f.df.count()
+              if (n > 0) connector.insert(targetTable, f.df)
+              ("incremental", n, f.snapshotId)
+            }
           case None =>
             // Existing target with no state: adopt the current source
             // snapshot as the baseline instead of re-appending everything
             // (the reference's behavior) — explicit choice, see scaladoc.
-            ("adopted", 0L)
+            ("adopted", 0L, client.getMetadata(sourceTable).snapshotId)
         }
 
       state.save(sourceUrl, targetTable, SyncState.State(

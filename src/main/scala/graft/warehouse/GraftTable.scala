@@ -55,8 +55,8 @@ final class GraftTable private (
 
   /** Rows appended by snapshots in `(sinceId, head]` — incremental read
     * without any join (fixes `icerunner.py:243-252`, SURVEY.md §2A-12). */
-  def changesSince(sinceId: Long): DataFrame = {
-    val files = log.changedFiles(sinceId)
+  def changesSince(sinceId: Long, untilId: Long = Long.MaxValue): DataFrame = {
+    val files = log.changedFiles(sinceId, untilId)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
@@ -195,12 +195,15 @@ final class GraftTable private (
     * Run after [[compact]] to reclaim the rewritten small files. */
   def expireSnapshots(keepFromId: Long): Unit = {
     val snaps = log.snapshots
-    // the head view resolves from the latest compact baseline — every
-    // snapshot from there on must survive, else current reads lose files
-    val baseline = snaps.filter(_.operation == "compact")
-      .lastOption.map(_.snapshotId).getOrElse(1L)
-    require(keepFromId <= baseline,
-      s"cannot expire past the head baseline (snapshot $baseline)")
+    // Retained time travel must stay whole: a cut c resolves files from
+    // the latest compact ≤ c back, so history may only be severed AT a
+    // compact snapshot — expiring to any other point leaves retained
+    // cuts whose resolution reaches into deleted manifests (silent
+    // row loss). keepFromId ≤ the first id is a no-op.
+    val firstId = snaps.headOption.map(_.snapshotId).getOrElse(1L)
+    require(keepFromId <= firstId ||
+        snaps.exists(s => s.snapshotId == keepFromId && s.operation == "compact"),
+      s"expiry horizon must be a compact snapshot id (history severs only at a rewrite)")
     val (dead, live) = snaps.partition(_.snapshotId < keepFromId)
     val liveFiles = live.flatMap(_.addedFiles).toSet
     dead.flatMap(_.addedFiles).distinct
@@ -225,9 +228,10 @@ final class GraftTable private (
       val rel = dir.relativize(java.nio.file.Paths.get(abs)).toString
       statsByFile.get(rel).forall(_.mayContain(column, lower, upper))
     }
+    val sch = schemaAsOf(asOf) // consistent with read(asOf) across evolutions
     if (kept.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(kept: _*)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    else spark.read.schema(sch).parquet(kept: _*)
   }
 
   private def compatible(expected: StructType, got: StructType): Boolean =

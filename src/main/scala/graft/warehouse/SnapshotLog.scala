@@ -50,11 +50,29 @@ final case class FileStat(
       case _ =>
         (strMin.get(column), strMax.get(column)) match {
           case (Some(mn), Some(mx)) =>
-            lower.forall(l => mx >= l.toString) &&
-              upper.forall(u => mn <= u.toString)
+            // Spark computed min/max in UTF8String (UTF-8 byte) order;
+            // Java String compareTo is UTF-16 code-unit order and the two
+            // disagree above the BMP — compare in UTF-8 bytes to match.
+            lower.forall(l => FileStat.cmpUtf8(mx, l.toString) >= 0) &&
+              upper.forall(u => FileStat.cmpUtf8(mn, u.toString) <= 0)
           case _ => true
         }
     }
+  }
+}
+
+object FileStat {
+  /** Unsigned lexicographic comparison of the UTF-8 encodings. */
+  private[warehouse] def cmpUtf8(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 }
 
@@ -120,8 +138,9 @@ final class SnapshotLog(tableDir: Path) {
     * changes no logical rows (Iceberg's incremental read does the same
     * for replace snapshots), and the appends' original files remain
     * addressable for the delta. */
-  def changedFiles(sinceId: Long): Seq[String] =
-    snapshots.filter(s => s.snapshotId > sinceId && s.operation != "compact")
+  def changedFiles(sinceId: Long, untilId: Long = Long.MaxValue): Seq[String] =
+    snapshots.filter(s => s.snapshotId > sinceId && s.snapshotId <= untilId &&
+        s.operation != "compact")
       .flatMap(_.addedFiles)
       .map(f => tableDir.resolve(f).toString)
 

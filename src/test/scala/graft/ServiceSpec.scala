@@ -57,7 +57,7 @@ class ServiceSpec extends AnyFunSuite {
       val snap = client.doPut("t1", df)
       assert(snap === 1L)
       assert(client.listTables() === Seq("t1"))
-      assert(client.doGet("t1").count() === 20)
+      assert(client.doGet("t1").df.count() === 20)
       val info = client.getFlightInfo("t1")
       assert(info.schema.fieldNames.toSeq === Seq("id", "value", "timestamp", "is_active"))
       assert(info.snapshotId === 1L)
@@ -73,8 +73,8 @@ class ServiceSpec extends AnyFunSuite {
       client.doPut("t2", SampleData.create(spark, 10, "default", seed = 1))
       val s1 = client.getMetadata("t2").snapshotId
       client.doPut("t2", SampleData.create(spark, 7, "default", seed = 2))
-      assert(client.getChanges("t2", s1).count() === 7)
-      assert(client.getChanges("t2", 0L).count() === 17)
+      assert(client.getChanges("t2", s1).df.count() === 7)
+      assert(client.getChanges("t2", 0L).df.count() === 17)
       val e = intercept[RuntimeException](client.doGet("nope"))
       assert(e.getMessage.contains("nope"))
     }
