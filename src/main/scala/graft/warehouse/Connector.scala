@@ -80,6 +80,16 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   def getChangesSinceSnapshot(name: String, snapshotId: Long): Option[DataFrame] =
     GraftTable.load(spark, tableDir(name), name).map(_.changesSince(snapshotId))
 
+  /** Table-maintenance passthroughs (parity-plus; see GraftTable). */
+  def compact(name: String, targetFiles: Int = 0,
+      clusterBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Unit = {
+    loadTable(name).compact(targetFiles, clusterBy, statsCols)
+    reflectView(name)
+  }
+
+  def expireSnapshots(name: String, keepFromId: Long): Unit =
+    loadTable(name).expireSnapshots(keepFromId)
+
   /** Register/refresh one table's temp view. */
   private def reflectView(name: String): Unit =
     GraftTable.load(spark, tableDir(name), name)

@@ -63,7 +63,7 @@ final case class FileStat(
 
 object FileStat {
   /** Unsigned lexicographic comparison of the UTF-8 encodings. */
-  private[warehouse] def cmpUtf8(a: String, b: String): Int = {
+  private[graft] def cmpUtf8(a: String, b: String): Int = {
     val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
     var i = 0
     val n = math.min(x.length, y.length)

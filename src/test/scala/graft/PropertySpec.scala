@@ -90,6 +90,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: UTF-8 byte comparison diverges from String.compareTo exactly above the BMP") {
+    import graft.warehouse.FileStat
+    // supplementary char U+10000 (surrogate pair) vs U+FF61: UTF-16 code
+    // units order them opposite to UTF-8 bytes — stats comparisons must
+    // use the UTF-8 order Spark's min/max used
+    val supp = new String(Character.toChars(0x10000))
+    val bmp = "｡"
+    assert(bmp.compareTo(supp) > 0) // UTF-16: 0xFF61 > 0xD800
+    assert(FileStat.cmpUtf8(bmp, supp) < 0) // UTF-8: EF BC A1 < F0 90 80 80
+    // agreement on ASCII
+    for (a <- Seq("", "a", "abc", "zz"); b <- Seq("", "a", "abd", "z"))
+      assert(Integer.signum(FileStat.cmpUtf8(a, b)) ==
+        Integer.signum(a.compareTo(b)), s"($a,$b)")
+  }
+
   test("property: minhash estimate stays in [0,1] and self-similarity is 1") {
     val spark = SparkTestSession.spark
     val docs = T.documents(spark, "/root/testdata/sf0.001").limit(50)
