@@ -209,6 +209,63 @@ object Advanced {
         .orderBy("user_id", "sess_id")
     },
 
+    // ---- multiset set-ops (ALL variants keep duplicates) ---------------
+    Q("q57_set_ops_all",
+      """SELECT custkey, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |) t GROUP BY custkey ORDER BY custkey""".stripMargin) { (s, d) =>
+      val o = T.orders(s, d)
+      val big = o.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("custkey"))
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("custkey"))
+      big.intersectAll(f).exceptAll(urgent)
+        .groupBy("custkey").agg(count(lit(1)).as("n"))
+        .orderBy("custkey")
+    },
+
+    // ---- FILTER-clause aggregation (per-condition partial aggs) --------
+    Q("q58_filtered_agg",
+      """SELECT o_orderpriority,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+        |  round(sum(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2) AS big_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+          round(sum(when(col("o_totalprice") > 100000, col("o_totalprice"))), 2)
+            .as("big_total"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- lead/lag with defaults across a partition ---------------------
+    Q("q59_lead_lag",
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1, -1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1, -1) OVER w AS next_order,
+        |  CAST(coalesce(date_diff('day',
+        |    lag(o_orderdate) OVER w, o_orderdate), -1) AS BIGINT) AS days_since_prev
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      T.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1, -1).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1, -1).over(w).as("next_order"),
+          coalesce(datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)),
+            lit(-1)).cast("long").as("days_since_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // ---- approximate distinct counting (HLL++) -------------------------
     // rows-only: Spark's HLL++ and DuckDB's approx_count_distinct are
     // different sketches with different estimates; the 2%-of-exact
