@@ -137,17 +137,14 @@ object Dedup {
     if (vocabN <= 64)
       return jaccardJoinBitmask(toks, dfreq, threshold)
     // the wide path collects an O(n·vocab/8) mask block to broadcast:
-    // only taken for integral ids and a corpus it can actually hold
-    // (~4M docs × 8 KB worst-case masks); everything else prefix-filters
-    val integralId = toks.schema("id").dataType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.ByteType => true
-      case _ => false
-    }
-    if (vocabN <= 65536 && integralId &&
-        toks.limit(4000001).count() <= 4000000)
+    // only taken for integral ids and a block that actually fits the
+    // budget — docs × ceil(vocab/64) × 8 B ≤ 512 MB (so 4M docs at a
+    // 1k-token vocab, but only ~64k docs at the 65536-token worst
+    // case); everything else prefix-filters
+    val words = (vocabN + 63) / 64
+    val maxDocs = (512L << 20) / (words * 8L)
+    if (vocabN <= 65536 && OpUtil.isIntegralId(toks.schema("id").dataType) &&
+        toks.limit((maxDocs + 1).toInt).count() <= maxDocs)
       return jaccardJoinBitmaskWide(toks, threshold)
     val prefix = tokDoc.join(dfreq, "tok")
       .withColumn("rnk", row_number().over(

@@ -153,16 +153,10 @@ object Similarity {
     */
   def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    df.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.LongType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.ByteType => ()
-      case _ =>
-        // block scoring keys on long ids; other id types take the
-        // join-based formulation (same results, per-pair UDF scoring)
-        return exactCosinePairsJoin(df, idCol, vecCol, threshold)
-    }
+    if (!OpUtil.isIntegralId(df.schema(idCol).dataType))
+      // block scoring keys on long ids; other id types take the
+      // join-based formulation (same results, per-pair UDF scoring)
+      return exactCosinePairsJoin(df, idCol, vecCol, threshold)
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(col(idCol).cast("long"),

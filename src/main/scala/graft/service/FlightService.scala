@@ -163,7 +163,10 @@ final class FlightService(connector: Connector, port: Int = 0) {
   private def writeBody(df: org.apache.spark.sql.DataFrame, out: OutputStream): Unit =
     try ArrowCodec.write(df, out)
     catch {
-      case NonFatal(e) =>
+      // every Throwable: after the ok-line, ANY failure mode (incl.
+      // interrupts/errors) must abort the connection, never append JSON
+      // into the Arrow byte stream
+      case e: Throwable =>
         System.err.println(s"[flight] body stream failed: $e")
         throw Wire.BodyFailed(e)
     }

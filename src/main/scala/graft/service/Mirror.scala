@@ -34,10 +34,11 @@ object Mirror {
       connector: Connector, targetTable: String, state: SyncState): SyncResult = {
     val prev = state.load(sourceUrl, targetTable).norm
     try {
-      // The recorded source snapshot is always the id the DATA was read
-      // at (pinned server-side and echoed in the response) — never a
-      // separately-fetched metadata value, which would race with
-      // concurrent appends and double-sync the gap on the next tick.
+      // For every branch that COPIES data, the recorded source snapshot
+      // is the id the data was read at (pinned server-side and echoed in
+      // the response) — never a separately-fetched metadata value, which
+      // would race with concurrent appends and double-sync the gap on
+      // the next tick. The data-free adoption branch may use metadata.
       val (status, rows, srcSnap) =
         if (!connector.tableExists(targetTable)) {
           val f = client.doGet(sourceTable)

@@ -136,13 +136,23 @@ final class SnapshotLog(tableDir: Path) {
     * changes-since semantics (SURVEY.md §2A-12: the reference's version
     * cross-joins instead). `compact` snapshots are skipped: a rewrite
     * changes no logical rows (Iceberg's incremental read does the same
-    * for replace snapshots), and the appends' original files remain
-    * addressable for the delta. */
-  def changedFiles(sinceId: Long, untilId: Long = Long.MaxValue): Seq[String] =
-    snapshots.filter(s => s.snapshotId > sinceId && s.snapshotId <= untilId &&
+    * for replace snapshots); the appends' original files remain
+    * addressable until [[deleteManifest]]-driven expiry removes them —
+    * past that horizon the delta is UNKNOWABLE and this method throws
+    * rather than silently returning a partial delta (a lagging replica
+    * must full-re-sync, not diverge). */
+  def changedFiles(sinceId: Long, untilId: Long = Long.MaxValue): Seq[String] = {
+    val snaps = snapshots
+    val firstId = snaps.headOption.map(_.snapshotId).getOrElse(1L)
+    if (sinceId < firstId - 1)
+      throw new IllegalStateException(
+        s"changes since $sinceId unavailable: history before snapshot " +
+          s"$firstId has been expired; full re-sync required")
+    snaps.filter(s => s.snapshotId > sinceId && s.snapshotId <= untilId &&
         s.operation != "compact")
       .flatMap(_.addedFiles)
       .map(f => tableDir.resolve(f).toString)
+  }
 
   /** Remove one manifest (snapshot-expiry path — see
     * GraftTable.expireSnapshots). */

@@ -98,7 +98,7 @@ class PropertySpec extends AnyFunSuite {
     val supp = new String(Character.toChars(0x10000))
     val bmp = "｡"
     assert(bmp.compareTo(supp) > 0) // UTF-16: 0xFF61 > 0xD800
-    assert(FileStat.cmpUtf8(bmp, supp) < 0) // UTF-8: EF BC A1 < F0 90 80 80
+    assert(FileStat.cmpUtf8(bmp, supp) < 0) // UTF-8: EF BD A1 < F0 90 80 80
     // agreement on ASCII
     for (a <- Seq("", "a", "abc", "zz"); b <- Seq("", "a", "abd", "z"))
       assert(Integer.signum(FileStat.cmpUtf8(a, b)) ==

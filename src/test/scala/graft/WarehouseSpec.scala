@@ -144,6 +144,11 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       t.expireSnapshots(compactSnap.snapshotId + 1)
     }
+    // changes-since across the expired horizon must FAIL, not silently
+    // return a partial delta (a lagging replica would diverge)
+    intercept[IllegalStateException] { t.changesSince(1L) }
+    // ...but the delta from the surviving baseline still works
+    assert(t.changesSince(compactSnap.snapshotId - 1).count() === 1)
   }
 
   test("additive schema evolution: old files read as nulls, time travel keeps the old schema") {
