@@ -86,6 +86,36 @@ object EventStreams {
       }
   }
 
+  /** Stream-static enrichment join: each micro-batch joins against a
+    * (small, broadcastable) static dimension — the streaming analogue of
+    * the fact⋈dim pattern; the static side re-resolves per batch, so a
+    * warehouse-table dimension picks up new snapshots between batches. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
+  /** Watermarked stream-stream self-join: pair each event with events of
+    * a different type from the SAME user within [0, maxGap] AFTER it —
+    * funnel/causality analysis shape. Both sides carry watermarks and
+    * the join condition bounds event-time distance, so state is evicted
+    * once the watermark passes (unbounded state otherwise). */
+  def followedBy(events: DataFrame, firstType: String, thenType: String,
+      maxGap: String = "30 minutes", watermark: String = "2 days"): DataFrame = {
+    val a = events.filter(col("event_type") === firstType)
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"),
+        col("event_id").as("a_event"))
+    val b = events.filter(col("event_type") === thenType)
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("b_event"))
+    a.join(b,
+      col("a_user") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $maxGap"))
+      .select(col("a_user").as("user_id"), col("a_event"), col("b_event"),
+        col("a_ts"), col("b_ts"))
+  }
+
   /** Continuous warehouse ingestion: stream → `foreachBatch` →
     * snapshot-log append. Each micro-batch commits one snapshot, so
     * `changesSince` works for downstream incremental consumers; the

@@ -107,6 +107,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("deduped").count() === batchDf.count())
   }
 
+  test("stream-static enrichment and stream-stream follow-join match batch equivalents") {
+    val (dir, batchDf) = stageEvents()
+    val stream = graft.streaming.EventStreams.readEvents(spark, dir)
+
+    // stream-static: enrich with a per-user dimension
+    val dim = batchDf.groupBy("user_id").agg(count(lit(1)).as("user_total"))
+    val q1 = graft.streaming.EventStreams.enrich(stream, dim, "user_id")
+      .select("event_id", "user_total")
+      .writeStream.format("memory").queryName("enriched").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+    val enrichedBatch = batchDf.join(dim, Seq("user_id"), "left")
+      .select("event_id", "user_total")
+    val enriched = spark.table("enriched")
+    assert(enriched.exceptAll(enrichedBatch).isEmpty &&
+      enrichedBatch.exceptAll(enriched).isEmpty)
+
+    // stream-stream: click followed by purchase within 30 min, same user
+    val types = batchDf.select("event_type").distinct().collect().map(_.getString(0))
+    val (tA, tB) = (types.sorted.head, types.sorted.last)
+    val q2 = graft.streaming.EventStreams.followedBy(stream, tA, tB)
+      .select("user_id", "a_event", "b_event")
+      .writeStream.format("memory").queryName("funnel").outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val aSide = batchDf.filter(col("event_type") === tA)
+      .select(col("user_id").as("a_user"), col("ts").as("a_ts"), col("event_id").as("a_event"))
+    val bSide = batchDf.filter(col("event_type") === tB)
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"), col("event_id").as("b_event"))
+    val funnelBatch = aSide.join(bSide,
+        col("a_user") === col("b_user") && col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 30 minutes"))
+      .select(col("a_user").as("user_id"), col("a_event"), col("b_event"))
+    val funnel = spark.table("funnel")
+    assert(funnel.count() > 0)
+    assert(funnel.exceptAll(funnelBatch).isEmpty &&
+      funnelBatch.exceptAll(funnel).isEmpty)
+  }
+
   test("streaming ingestion commits snapshots the warehouse can read incrementally") {
     val (dir, batchDf) = stageEvents()
     val wh = new Connector(spark, Files.createTempDirectory("graft-swh").toString)
