@@ -31,18 +31,20 @@ object Main {
 
   private val usage =
     s"""usage: graft.Main <command> [flags]
-       |  serve  -w <warehouseDir> [-p <port=8816>] [-n <name=icerunner>]
+       |  serve  -w <warehouseDir> [-p <port=8816>] [-n <name=icerunner>] [-b <batchRows=4096>]
        |  read   [-p <port=8816>] -n <table> [-i <intervalSec=1>] [--iterations k]
-       |  write  [-p <port=8816>] -n <table> [-i <intervalSec=1>] [--iterations k]
+       |  write  [-p <port=8816>] -n <table> [-i <intervalSec=1>] [-b <batchRows=4096>] [--iterations k]
        |  mirror -s <sourceUrl> -n <targetTable> -w <warehouseDir>
-       |         [-i <intervalSec=60>] [--one-time]
+       |         [-i <intervalSec=60>] [-b <batchRows=4096>] [--one-time]
        |  demo   <warehouseDir>""".stripMargin
 
-  /** Tiny flag parser for the reference's CLI surface. */
-  private def flags(args: List[String]): Map[String, String] = {
+  /** Tiny flag parser for the reference's CLI surface.
+    * `--batch-size` aliases `-b` (reference: `icerunner.py:1199-1205`). */
+  private[graft] def flags(args: List[String]): Map[String, String] = {
     def loop(as: List[String], acc: Map[String, String]): Map[String, String] =
       as match {
         case "--one-time" :: rest => loop(rest, acc + ("one-time" -> "true"))
+        case "--batch-size" :: v :: rest => loop(rest, acc + ("b" -> v))
         case k :: v :: rest if k.startsWith("-") =>
           loop(rest, acc + (k.stripPrefix("--").stripPrefix("-") -> v))
         case Nil => acc
@@ -76,7 +78,7 @@ object Main {
       c.createTable(name, SampleData.create(spark, 200, "analytics"))
     for (p <- Seq("events", "sales", "iot"); t = s"${name}_$p")
       if (!c.tableExists(t)) c.createTable(t, SampleData.create(spark, 100, p))
-    val svc = new FlightService(c, port)
+    val svc = new FlightService(c, port, f.getOrElse("b", "4096").toInt)
     println(s"[serve] warehouse=$wh port=${svc.boundPort} " +
       s"tables=${c.tables.mkString(",")}")
     // Serve until interrupted (reference sleeps its main thread, `:705-710`)
@@ -96,7 +98,8 @@ object Main {
     Clients.runWriter(spark, "localhost", f.getOrElse("p", "8816").toInt,
       f.getOrElse("n", sys.error("write requires -n <table>")),
       (f.getOrElse("i", "1").toDouble * 1000).toLong,
-      f.get("iterations").map(_.toInt))
+      f.get("iterations").map(_.toInt),
+      f.getOrElse("b", "4096").toInt)
   }
 
   private def mirrorCmd(f: Map[String, String]): Unit = {
@@ -105,7 +108,7 @@ object Main {
     val wh = f.getOrElse("w", sys.error("mirror requires -w <warehouseDir>"))
     val spark = session("graft-mirror")
     val (host, port, srcTable) = FlightClient.parseUrl(sourceUrl)
-    val client = new FlightClient(spark, host, port)
+    val client = new FlightClient(spark, host, port, f.getOrElse("b", "4096").toInt)
     Mirror.run(client, sourceUrl, srcTable, new Connector(spark, wh), target,
       SyncState(s"$wh/_sync_state"),
       (f.getOrElse("i", "60").toDouble * 1000).toLong,

@@ -157,25 +157,71 @@ object ArrowCodec {
     }
   }
 
-  /** Read one Arrow IPC stream fully into a DataFrame. Used on ingest
-    * edges (`do_put` bodies), where the client already bounds batch
-    * size; rows land as an in-memory local relation and flow straight
-    * into a parquet append. */
-  def read(spark: SparkSession, in: InputStream): DataFrame = {
+  /** Rows the ingest path buffers on the driver before spilling a chunk
+    * to staged parquet. The memory bound for `do_put`/mirror bodies of
+    * any size. */
+  val DefaultChunkRows: Int = 65536
+
+  /** One ingested Arrow body. Small bodies (under one chunk) stay a
+    * driver-local relation; larger bodies live as staged parquet chunks
+    * under `spillDir`, so driver heap is O(chunkRows) regardless of body
+    * size (the reference drains every batch into one in-memory table —
+    * `icerunner.py:287-291`). Call [[cleanup]] once the body has been
+    * consumed (appended / counted). */
+  final case class Body(df: DataFrame, rows: Long, maxBufferedRows: Long,
+      spillDir: Option[java.nio.file.Path]) {
+    def cleanup(): Unit = spillDir.foreach { d =>
+      if (java.nio.file.Files.isDirectory(d)) {
+        val walk = java.nio.file.Files.walk(d)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+  }
+
+  /** Read one Arrow IPC stream with bounded driver memory: buffer at
+    * most `chunkRows` rows, spilling each full chunk to a staged parquet
+    * directory and returning a DataFrame over the chunks. A body that
+    * fits in one chunk never touches disk. */
+  def read(spark: SparkSession, in: InputStream,
+      chunkRows: Int = DefaultChunkRows): Body = {
     val reader = new ArrowStreamReader(in, allocator)
     try {
       val root = reader.getVectorSchemaRoot
       val schema = fromArrowSchema(root.getSchema)
-      val rows = Seq.newBuilder[Row]
+      val buf = new scala.collection.mutable.ArrayBuffer[Row]()
+      var spillDir: Option[java.nio.file.Path] = None
+      var total = 0L
+      var maxBuffered = 0L
+      def flush(): Unit = if (buf.nonEmpty) {
+        val dir = spillDir.getOrElse {
+          val d = java.nio.file.Files.createTempDirectory("graft-ingest-")
+          spillDir = Some(d); d
+        }
+        spark.createDataFrame(buf.asJava, schema)
+          .write.mode("append").parquet(dir.toString)
+        buf.clear()
+      }
       while (reader.loadNextBatch()) {
         val vectors = root.getFieldVectors.asScala.toArray
+        val n = root.getRowCount
         var i = 0
-        while (i < root.getRowCount) {
-          rows += Row.fromSeq(vectors.toIndexedSeq.map(v => getValue(v, i)))
+        while (i < n) {
+          buf += Row.fromSeq(vectors.toIndexedSeq.map(v => getValue(v, i)))
           i += 1
         }
+        total += n
+        maxBuffered = math.max(maxBuffered, buf.length.toLong)
+        if (buf.length >= chunkRows) flush()
       }
-      spark.createDataFrame(rows.result().asJava, schema)
+      val df = spillDir match {
+        case None => spark.createDataFrame(buf.toSeq.asJava, schema)
+        case Some(d) =>
+          flush() // tail chunk
+          spark.read.schema(schema).parquet(d.toString)
+      }
+      Body(df, total, maxBuffered, spillDir)
     } finally {
       // close(false): release vector memory but leave the underlying
       // stream open — closing a Socket's InputStream closes the whole

@@ -49,10 +49,13 @@ object Clients {
     StructField("value", StringType, nullable = false),
     StructField("written_at", TimestampType, nullable = false)))
 
-  /** Poll-write loop: one row per tick via `do_put`. */
+  /** Poll-write loop: one row per tick via `do_put`. `batchRows` is the
+    * reference's `-b/--batch-size` (`icerunner.py:1199-1205`): rows per
+    * Arrow record batch on the wire. */
   def runWriter(spark: SparkSession, host: String, port: Int, table: String,
-      intervalMs: Long = 1000L, iterations: Option[Int] = None): Long = {
-    val client = new FlightClient(spark, host, port)
+      intervalMs: Long = 1000L, iterations: Option[Int] = None,
+      batchRows: Int = 4096): Long = {
+    val client = new FlightClient(spark, host, port, batchRows)
     var i = 0
     var lastSnapshot = 0L
     var continue = true

@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.StructType
   * connection per request; all data-plane payloads are Arrow IPC
   * streams.
   */
-final class FlightClient(spark: SparkSession, host: String, port: Int) {
+final class FlightClient(spark: SparkSession, val host: String, val port: Int,
+    batchRows: Int = 4096) {
 
   private def call[A](request: String)(f: (Wire.Resp, BufferedInputStream) => A): A = {
     val sock = new Socket(host, port)
@@ -34,8 +35,20 @@ final class FlightClient(spark: SparkSession, host: String, port: Int) {
   def getFlightInfo(table: String): FlightClient.Info =
     call(Wire.obj("action" -> "get_flight_info", "table" -> table)) { (r, _) =>
       FlightClient.Info(Wire.schemaOf(r.str("schema")), r.num("total_records"),
-        r.num("snapshot_id"), r.num("port").toInt)
+        r.num("snapshot_id"), r.str("host"), r.num("port").toInt)
     }
+
+  /** Resolve the data-plane client for `table`: follow the endpoint
+    * location advertised in `get_flight_info` when it differs from this
+    * control connection (the reference's mirror honors `FlightEndpoint`
+    * locations the same way — `icerunner.py:925-934`). Returns `this`
+    * when the endpoint is the connection itself. */
+  def forEndpoint(table: String): FlightClient = {
+    val info = getFlightInfo(table)
+    val h = if (info.host.isEmpty) host else info.host
+    if (h == host && info.port == port) this
+    else new FlightClient(spark, h, info.port, batchRows)
+  }
 
   /** Full table read (reference: `do_get`, `icerunner.py:272-282`).
     * Returns the rows together with the snapshot id they were read AT —
@@ -43,7 +56,8 @@ final class FlightClient(spark: SparkSession, host: String, port: Int) {
     * double-synced on the next tick. */
   def doGet(table: String): FlightClient.Fetched =
     call(Wire.obj("action" -> "do_get", "table" -> table)) { (r, in) =>
-      FlightClient.Fetched(ArrowCodec.read(spark, in), r.num("snapshot_id"))
+      val body = ArrowCodec.read(spark, in)
+      FlightClient.Fetched(body.df, r.num("snapshot_id"), () => body.cleanup())
     }
 
   /** Incremental read: rows appended in `(since, snapshot]` for the
@@ -53,7 +67,8 @@ final class FlightClient(spark: SparkSession, host: String, port: Int) {
   def getChanges(table: String, since: Long): FlightClient.Fetched =
     call(Wire.obj("action" -> "get_changes", "table" -> table,
         "since" -> since)) { (r, in) =>
-      FlightClient.Fetched(ArrowCodec.read(spark, in), r.num("snapshot_id"))
+      val body = ArrowCodec.read(spark, in)
+      FlightClient.Fetched(body.df, r.num("snapshot_id"), () => body.cleanup())
     }
 
   /** Schema only (reference client command: `icerunner.py:942-952`). */
@@ -76,7 +91,7 @@ final class FlightClient(spark: SparkSession, host: String, port: Int) {
       val out = new BufferedOutputStream(sock.getOutputStream)
       val in = new BufferedInputStream(sock.getInputStream)
       Wire.writeLine(out, Wire.obj("action" -> "do_put", "table" -> table))
-      ArrowCodec.write(df, out)
+      ArrowCodec.write(df, out, batchRows)
       out.flush()
       sock.shutdownOutput() // body complete; server reads to EOF
       new Wire.Resp(Wire.readLine(in)).require().num("snapshot_id")
@@ -85,9 +100,12 @@ final class FlightClient(spark: SparkSession, host: String, port: Int) {
 }
 
 object FlightClient {
-  final case class Fetched(df: DataFrame, snapshotId: Long)
+  /** A fetched body plus the snapshot it was pinned at. `cleanup()`
+    * releases any client-side spill chunks once the rows are consumed. */
+  final case class Fetched(df: DataFrame, snapshotId: Long,
+      cleanup: () => Unit = () => ())
   final case class Info(schema: StructType, totalRecords: Long,
-      snapshotId: Long, port: Int)
+      snapshotId: Long, host: String, port: Int)
   final case class Meta(snapshotId: Long, schema: StructType)
 
   /** Parse `grpc://host:port/table` (reference: `parse_flight_url`,

@@ -34,7 +34,10 @@ import graft.warehouse.Connector
   * list_tables | get_flight_info | do_get | do_put | get_changes |
   * get_metadata. `do_put` appends (creating the table if absent).
   */
-final class FlightService(connector: Connector, port: Int = 0) {
+final class FlightService(connector: Connector, port: Int = 0,
+    batchRows: Int = 4096,
+    advertiseHost: Option[String] = None,
+    advertisePort: Option[Int] = None) {
 
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress(port))
@@ -99,13 +102,19 @@ final class FlightService(connector: Connector, port: Int = 0) {
           Wire.obj("ok" -> true, "tables" -> connector.tables))
 
       case "get_flight_info" =>
+        // The advertised endpoint is where the DATA plane lives — by
+        // default this service's own bound address, but a front/relay
+        // deployment can advertise a different host/port and clients
+        // follow it (the reference's mirror honors FlightEndpoint
+        // locations the same way, `icerunner.py:925-934`).
         val t = connector.loadTable(req.table)
         Wire.writeLine(out, Wire.obj(
           "ok" -> true,
           "schema" -> t.schema.json,
           "total_records" -> -1, // unknown without a scan, like the reference
           "snapshot_id" -> Wire.JNum(t.currentSnapshotId.getOrElse(0L)),
-          "port" -> boundPort))
+          "host" -> Wire.JStr(advertiseHost.getOrElse("")),
+          "port" -> Wire.JNum(advertisePort.getOrElse(boundPort).toLong)))
 
       // Reads pin the snapshot BEFORE the ok-line and report it, so a
       // client records exactly the state it received — a concurrent
@@ -143,14 +152,18 @@ final class FlightService(connector: Connector, port: Int = 0) {
         // Body follows the request line; appends, creating on first put
         // (the reference's default writer/server pairing cannot create —
         // SURVEY.md §2A-19 — so a fresh writer target just works here).
-        val df = ArrowCodec.read(connector.spark, in)
-        val created =
-          if (!connector.tableExists(req.table)) {
-            connector.createTable(req.table, df); true
-          } else { connector.insert(req.table, df); false }
-        Wire.writeLine(out, Wire.obj(
-          "ok" -> true, "created" -> created,
-          "snapshot_id" -> Wire.JNum(connector.getCurrentSnapshotId(req.table).getOrElse(0L))))
+        // Bodies larger than one chunk are spilled to staged parquet as
+        // they arrive, so ingest memory is bounded regardless of size.
+        val body = ArrowCodec.read(connector.spark, in)
+        try {
+          val created =
+            if (!connector.tableExists(req.table)) {
+              connector.createTable(req.table, body.df); true
+            } else { connector.insert(req.table, body.df); false }
+          Wire.writeLine(out, Wire.obj(
+            "ok" -> true, "created" -> created,
+            "snapshot_id" -> Wire.JNum(connector.getCurrentSnapshotId(req.table).getOrElse(0L))))
+        } finally body.cleanup()
 
       case other =>
         Wire.writeLine(out, Wire.obj("ok" -> false, "error" -> s"unknown action: $other"))
@@ -161,7 +174,7 @@ final class FlightService(connector: Connector, port: Int = 0) {
     * parsing as Arrow bytes — abort the connection instead (the client
     * surfaces a stream error) and log server-side. */
   private def writeBody(df: org.apache.spark.sql.DataFrame, out: OutputStream): Unit =
-    try ArrowCodec.write(df, out)
+    try ArrowCodec.write(df, out, batchRows)
     catch {
       // every Throwable: after the ok-line, ANY failure mode (incl.
       // interrupts/errors) must abort the connection, never append JSON

@@ -30,10 +30,29 @@ object Mirror {
   final case class SyncResult(status: String, rowsSynced: Long,
       sourceSnapshot: Option[Long])
 
+  /** Rebuild the replica from a full pinned read — the recovery for a
+    * source whose history has been expired past the replica's recorded
+    * snapshot (delta unknowable). Drops and recreates the target so an
+    * append-only table never double-counts (the reference's fallback
+    * re-appends the full table every tick instead). */
+  private def fullResync(data: FlightClient, sourceTable: String,
+      connector: Connector, targetTable: String): (String, Long, Long) = {
+    val f = data.doGet(sourceTable)
+    try {
+      connector.dropTable(targetTable)
+      connector.createTable(targetTable, f.df)
+      ("full_resync", connector.count(targetTable), f.snapshotId)
+    } finally f.cleanup()
+  }
+
   def performSync(client: FlightClient, sourceUrl: String, sourceTable: String,
       connector: Connector, targetTable: String, state: SyncState): SyncResult = {
     val prev = state.load(sourceUrl, targetTable).norm
     try {
+      // Data-plane reads follow the endpoint advertised for the table
+      // (reference: `icerunner.py:925-934`); control-plane metadata stays
+      // on the configured connection.
+      lazy val data = client.forEndpoint(sourceTable)
       // For every branch that COPIES data, the recorded source snapshot
       // is the id the data was read at (pinned server-side and echoed in
       // the response) — never a separately-fetched metadata value, which
@@ -41,17 +60,31 @@ object Mirror {
       // the next tick. The data-free adoption branch may use metadata.
       val (status, rows, srcSnap) =
         if (!connector.tableExists(targetTable)) {
-          val f = client.doGet(sourceTable)
-          connector.createTable(targetTable, f.df)
-          ("full_sync", connector.count(targetTable), f.snapshotId)
+          val f = data.doGet(sourceTable)
+          try {
+            connector.createTable(targetTable, f.df)
+            ("full_sync", connector.count(targetTable), f.snapshotId)
+          } finally f.cleanup()
         } else prev.sourceSnapshotId match {
           case Some(l) =>
-            val f = client.getChanges(sourceTable, l)
-            if (f.snapshotId == l) ("up_to_date", 0L, l)
-            else {
-              val n = f.df.count()
-              if (n > 0) connector.insert(targetTable, f.df)
-              ("incremental", n, f.snapshotId)
+            try {
+              val f = data.getChanges(sourceTable, l)
+              try {
+                if (f.snapshotId == l) ("up_to_date", 0L, l)
+                else {
+                  val n = f.df.count()
+                  if (n > 0) connector.insert(targetTable, f.df)
+                  ("incremental", n, f.snapshotId)
+                }
+              } finally f.cleanup()
+            } catch {
+              // Source history expired past our snapshot: the delta is
+              // unknowable (SnapshotLog.changedFiles throws rather than
+              // returning a partial delta). Self-heal with a replica
+              // rebuild instead of erroring on every tick forever.
+              case e: RuntimeException
+                  if Option(e.getMessage).exists(_.contains("full re-sync required")) =>
+                fullResync(data, sourceTable, connector, targetTable)
             }
           case None =>
             // Existing target with no state: adopt the current source

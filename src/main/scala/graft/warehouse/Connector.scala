@@ -65,9 +65,20 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   def count(name: String): Long = query(name).count()
 
   /** Raw SQL over all warehouse tables (reference: `sql`,
-    * `icerunner.py:200-207`) — the full relational surface via Catalyst. */
+    * `icerunner.py:200-207`) — the full relational surface via Catalyst.
+    *
+    * Views are refreshed on commit; here only tables whose snapshot head
+    * moved since their last reflection (e.g. an EXTERNAL committer on the
+    * shared warehouse) are re-registered, detected from manifest
+    * filenames alone — one directory listing per table, no manifest
+    * reads, no plan rebuilds for unchanged tables. The reference instead
+    * re-reflects every table with DDL before every query
+    * (`icerunner.py:82-103`). */
   def sql(cmd: String): DataFrame = {
-    reflectViews()
+    tables.foreach { name =>
+      val head = new SnapshotLog(tableDir(name)).headIdByName.getOrElse(0L)
+      if (!reflectedAt.get(name).contains(head)) reflectView(name)
+    }
     spark.sql(cmd)
   }
 
@@ -90,10 +101,35 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   def expireSnapshots(name: String, keepFromId: Long): Unit =
     loadTable(name).expireSnapshots(keepFromId)
 
-  /** Register/refresh one table's temp view. */
+  /** Drop a table: delete its directory and unregister its view. Used by
+    * the mirror's self-heal full re-sync (replica rebuild after source
+    * history expiry). Returns false if the table didn't exist. */
+  def dropTable(name: String): Boolean = {
+    val dir = tableDir(name)
+    if (!Files.isDirectory(dir)) false
+    else {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+      spark.catalog.dropTempView(name)
+      reflectedAt.remove(name)
+      true
+    }
+  }
+
+  /** Snapshot head each table's view was last reflected at, plus a
+    * test-visible count of actual re-reflections. */
+  private val reflectedAt = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] val reflections = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Register/refresh one table's temp view (called on every commit). */
   private def reflectView(name: String): Unit =
-    GraftTable.load(spark, tableDir(name), name)
-      .foreach(_.read().createOrReplaceTempView(name))
+    GraftTable.load(spark, tableDir(name), name).foreach { t =>
+      t.read().createOrReplaceTempView(name)
+      reflectedAt(name) = t.currentSnapshotId.getOrElse(0L)
+      reflections.incrementAndGet()
+    }
 
   /** Register temp views for every table (cheap: builds lazy plans only). */
   def reflectViews(): Unit = tables.foreach(reflectView)

@@ -126,7 +126,9 @@ final class GraftTable private (
         (r.getAs[Any](s"__mn_$c"), r.getAs[Any](s"__mx_$c")) match {
           case (null, _) | (_, null) => ()
           case (mn: Number, mx: Number) =>
-            numMin += c -> mn.doubleValue(); numMax += c -> mx.doubleValue()
+            // directional rounding: stats may only widen the true range
+            numMin += c -> FileStat.dirDouble(mn, up = false)
+            numMax += c -> FileStat.dirDouble(mx, up = true)
           case (mn: java.sql.Timestamp, mx: java.sql.Timestamp) =>
             numMin += c -> mn.getTime.toDouble; numMax += c -> mx.getTime.toDouble
           case (mn, mx) =>
@@ -167,26 +169,52 @@ final class GraftTable private (
     * thousands of tiny files per scan. */
   def compact(targetFiles: Int = 0, clusterBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil): Snapshot = {
-    val current = read()
-    val parts = if (targetFiles > 0) targetFiles
-      else math.max(1, spark.sparkContext.defaultParallelism / 2)
-    val commitDir = dir.resolve("data").resolve(s"c${UUID.randomUUID().toString.take(12)}")
-    val out =
-      if (clusterBy.nonEmpty)
-        current.repartitionByRange(parts,
-          clusterBy.map(org.apache.spark.sql.functions.col): _*)
-      else current.repartition(parts)
-    out.write.parquet(commitDir.toString)
-    val files = Files.list(commitDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => dir.relativize(p).toString)
-      .toSeq.sorted
-    // without re-collected stats the compacted files would be unprunable
-    // (a silent regression for readWhere) — record them when asked
-    val wanted = (clusterBy ++ statsCols).distinct
-    val stats = if (wanted.isEmpty) Map.empty[String, FileStat]
-      else collectStats(commitDir, wanted)
-    log.commit("compact", files, log.head.get.schemaJson, stats)
+    // A compact REPLACES the visible file set, so it must be conditional
+    // on the snapshot it rewrote: an append that commits between our
+    // read and our commit would otherwise be silently dropped from head
+    // reads (the rewrite doesn't contain its rows, and dataFiles resolves
+    // from the latest compact). Pin the read at the base snapshot, commit
+    // with compare-and-swap on the head, and rebuild on conflict.
+    var attempt = 0
+    while (true) {
+      val base = log.head.getOrElse(
+        throw new IllegalStateException(s"table $name has no snapshots"))
+      val current = read(Some(base.snapshotId))
+      val parts = if (targetFiles > 0) targetFiles
+        else math.max(1, spark.sparkContext.defaultParallelism / 2)
+      val commitDir = dir.resolve("data").resolve(s"c${UUID.randomUUID().toString.take(12)}")
+      val out =
+        if (clusterBy.nonEmpty)
+          current.repartitionByRange(parts,
+            clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        else current.repartition(parts)
+      out.write.parquet(commitDir.toString)
+      val files = Files.list(commitDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => dir.relativize(p).toString)
+        .toSeq.sorted
+      // without re-collected stats the compacted files would be unprunable
+      // (a silent regression for readWhere) — record them when asked
+      val wanted = (clusterBy ++ statsCols).distinct
+      val stats = if (wanted.isEmpty) Map.empty[String, FileStat]
+        else collectStats(commitDir, wanted)
+      try {
+        return log.commit("compact", files, base.schemaJson, stats,
+          expectedHead = Some(base.snapshotId))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          // lost to a concurrent commit: discard the stale rewrite and
+          // redo it over the new head
+          val walk = Files.walk(commitDir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          finally walk.close()
+          attempt += 1
+          if (attempt >= 20) throw new IllegalStateException(
+            s"compact of $name lost $attempt head races; giving up", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Expire history: delete manifests with id < `keepFromId` and any

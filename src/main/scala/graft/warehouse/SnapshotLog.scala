@@ -36,17 +36,20 @@ final case class FileStat(
     strMin: Map[String, String], strMax: Map[String, String]) {
 
   /** Can this file contain rows with `column` in [lower, upper]?
-    * Unknown columns conservatively match. */
+    * Unknown columns conservatively match. Query bounds are converted
+    * directionally (lower rounds down, upper rounds up), so a long above
+    * 2^53 can never tighten a bound and falsely prune a file. */
   def mayContain(column: String,
       lower: Option[Any], upper: Option[Any]): Boolean = {
-    def num(v: Any): Double = v match {
-      case n: Number => n.doubleValue()
+    def num(v: Any, up: Boolean): Double = v match {
+      case n: Number => FileStat.dirDouble(n, up)
       case t: java.sql.Timestamp => t.getTime.toDouble
       case other => other.toString.toDouble
     }
     (numMin.get(column), numMax.get(column)) match {
       case (Some(mn), Some(mx)) =>
-        lower.forall(l => mx >= num(l)) && upper.forall(u => mn <= num(u))
+        lower.forall(l => mx >= num(l, up = false)) &&
+          upper.forall(u => mn <= num(u, up = true))
       case _ =>
         (strMin.get(column), strMax.get(column)) match {
           case (Some(mn), Some(mx)) =>
@@ -62,6 +65,26 @@ final case class FileStat(
 }
 
 object FileStat {
+  /** Directionally-safe Double conversion for stats and bounds: when the
+    * exact value is not representable (longs/decimals above 2^53), round
+    * toward the safe side (`up = false` → never above the true value,
+    * `up = true` → never below), so recorded ranges only ever widen and
+    * pruning stays conservative. */
+  private[graft] def dirDouble(n: Number, up: Boolean): Double = {
+    val d = n.doubleValue()
+    if (d.isInfinite || d.isNaN) return d
+    val cmp = n match { // sign of (d - exact n), 0 when representable
+      case l: java.lang.Long => BigDecimal(d).compare(BigDecimal(l.longValue))
+      case b: java.math.BigDecimal => BigDecimal(d).compare(BigDecimal(b))
+      case b: scala.math.BigDecimal => BigDecimal(d).compare(b)
+      case b: scala.math.BigInt => BigDecimal(d).compare(BigDecimal(b))
+      case _ => 0 // int/short/byte/float/double are exact as doubles
+    }
+    if (cmp == 0) d
+    else if (up) { if (cmp > 0) d else Math.nextUp(d) }
+    else { if (cmp < 0) d else Math.nextDown(d) }
+  }
+
   /** Unsigned lexicographic comparison of the UTF-8 encodings. */
   private[graft] def cmpUtf8(a: String, b: String): Int = {
     val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
@@ -118,6 +141,18 @@ final class SnapshotLog(tableDir: Path) {
 
   def currentSnapshotId: Option[Long] = head.map(_.snapshotId)
 
+  /** Head id derived from manifest FILENAMES only — one directory
+    * listing, zero manifest reads. The cheap staleness probe that lets
+    * view reflection skip unchanged tables. */
+  def headIdByName: Option[Long] = {
+    if (!Files.isDirectory(snapDir)) return None
+    Files.list(snapDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("v\\d{16}\\.json"))
+      .map(n => n.substring(1, 17).toLong)
+      .maxOption
+  }
+
   /** Data files visible at snapshot `asOf` (or head when None),
     * absolute paths. A `compact` snapshot REPLACES the file set (its
     * files carry the whole table at that point), so resolution starts
@@ -170,12 +205,25 @@ final class SnapshotLog(tableDir: Path) {
     * observes `FileAlreadyExistsException`, re-reads the head, and
     * retries with the next id, keeping ids contiguous and every commit
     * durable. */
+  /** `expectedHead`, when set, makes the commit CONDITIONAL: it only
+    * succeeds if the current head is still that id (compare-and-swap at
+    * the log level). A `compact` snapshot REPLACES the visible file set,
+    * so committing one from a stale read would silently drop any rows a
+    * concurrent append landed in between — the conditional commit turns
+    * that into a retryable [[java.util.ConcurrentModificationException]]
+    * instead. */
   def commit(operation: String, addedFiles: Seq[String], schemaJson: String,
-      stats: Map[String, FileStat] = Map.empty): Snapshot = {
+      stats: Map[String, FileStat] = Map.empty,
+      expectedHead: Option[Long] = None): Snapshot = {
     init()
     var attempt = 0
     while (attempt < 10000) {
-      val id = currentSnapshotId.getOrElse(0L) + 1
+      val head = currentSnapshotId.getOrElse(0L)
+      expectedHead.foreach { e =>
+        if (head != e) throw new java.util.ConcurrentModificationException(
+          s"snapshot head moved: expected $e, found $head")
+      }
+      val id = head + 1
       val snap = Snapshot(id, System.currentTimeMillis(), operation,
         addedFiles, schemaJson, stats)
       val tmp = Files.createTempFile(snapDir, ".commit-", ".tmp")

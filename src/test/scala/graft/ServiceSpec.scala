@@ -39,7 +39,7 @@ class ServiceSpec extends AnyFunSuite {
     val bos = new java.io.ByteArrayOutputStream()
     assert(ArrowCodec.write(df, bos) === 2)
     val back = ArrowCodec.read(spark,
-      new java.io.ByteArrayInputStream(bos.toByteArray))
+      new java.io.ByteArrayInputStream(bos.toByteArray)).df
     assert(back.schema === schema)
     import org.apache.spark.sql.functions.col
     val a = back.orderBy(col("l").asc_nulls_last).collect()
@@ -65,6 +65,45 @@ class ServiceSpec extends AnyFunSuite {
       assert(meta.snapshotId === 1L)
       assert(client.getSchema("t1") === info.schema)
       assert(c.count("t1") === 20)
+    }
+  }
+
+  test("chunked ingest bounds driver buffering and spills to staged parquet") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 10000, 1, 4)
+      .select(col("id"), col("id").cast("string").as("v"))
+    val bos = new java.io.ByteArrayOutputStream()
+    ArrowCodec.write(df, bos, batchRows = 500) // 20 wire batches
+    val body = ArrowCodec.read(spark,
+      new java.io.ByteArrayInputStream(bos.toByteArray), chunkRows = 1000)
+    try {
+      assert(body.rows === 10000)
+      // the bounded-memory guarantee: never buffered more than one chunk
+      // (+ one wire batch of slack before the flush check fires)
+      assert(body.maxBufferedRows <= 1500, s"buffered ${body.maxBufferedRows}")
+      assert(body.spillDir.nonEmpty, "large body should spill")
+      assert(body.df.count() === 10000)
+      assert(body.df.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+        === (0L until 10000L).sum)
+    } finally body.cleanup()
+    assert(!java.nio.file.Files.exists(body.spillDir.get), "cleanup removes spill")
+    // small body: stays a local relation, no spill
+    val small = ArrowCodec.read(spark,
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(small.spillDir.isEmpty && small.df.count() === 10000)
+  }
+
+  test("multi-chunk do_put round-trips through the service") {
+    withService { (c, client, _) =>
+      import org.apache.spark.sql.functions.col
+      val df = spark.range(0, 3000, 1, 2)
+        .select(col("id"), col("id").cast("string").as("v"))
+      val bigClient = new FlightClient(spark, "localhost", client.port, batchRows = 100)
+      bigClient.doPut("chunky", df)
+      assert(c.count("chunky") === 3000)
+      assert(client.doGet("chunky").df.agg(
+        org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+        === (0L until 3000L).sum)
     }
   }
 
@@ -114,6 +153,54 @@ class ServiceSpec extends AnyFunSuite {
       val st = state.load(s"grpc://localhost:${svc.boundPort}", "mirrored")
       assert(st.lastSyncStatus === "up_to_date") // 2nd/3rd ticks no-op
     }
+  }
+
+  test("client follows the advertised data-plane endpoint (reference: FlightEndpoint locations)") {
+    val c = new Connector(spark, tmpDir("graft-ep"))
+    val dataSvc = new FlightService(c, 0)
+    // relay: serves control-plane metadata but advertises the data
+    // service's port as the table's endpoint location
+    val relay = new FlightService(c, 0, advertisePort = Some(dataSvc.boundPort))
+    try {
+      val ctl = new FlightClient(spark, "localhost", relay.boundPort)
+      ctl.doPut("t", SampleData.create(spark, 8, "default"))
+      val data = ctl.forEndpoint("t")
+      assert(data.port === dataSvc.boundPort, "endpoint location followed")
+      relay.close() // control plane gone; data plane must still serve
+      assert(data.doGet("t").df.count() === 8)
+    } finally { relay.close(); dataSvc.close() }
+  }
+
+  test("mirror self-heals with a full re-sync after source history expiry") {
+    withService { (c, client, svc) =>
+      client.doPut("src2", SampleData.create(spark, 10, "default", seed = 1))
+      val targetWh = new Connector(spark, tmpDir("graft-heal"))
+      val state = SyncState(tmpDir("graft-healstate"))
+      val url = s"grpc://localhost:${svc.boundPort}/src2"
+      val r1 = Mirror.performSync(client, url, "src2", targetWh, "dst2", state)
+      assert(r1.status === "full_sync" && r1.rowsSynced === 10)
+
+      // source history expires past the replica's recorded snapshot (1):
+      client.doPut("src2", SampleData.create(spark, 6, "default", seed = 2))
+      c.compact("src2") // snapshot 3
+      c.expireSnapshots("src2", keepFromId = 3L)
+
+      val r2 = Mirror.performSync(client, url, "src2", targetWh, "dst2", state)
+      assert(r2.status === "full_resync", s"got ${r2.status}")
+      assert(targetWh.count("dst2") === 16) // rebuilt, not duplicated
+
+      // and the next tick is healthy incremental/up_to_date again
+      val r3 = Mirror.performSync(client, url, "src2", targetWh, "dst2", state)
+      assert(r3.status === "up_to_date" && targetWh.count("dst2") === 16)
+    }
+  }
+
+  test("flag parser accepts -b and --batch-size (reference CLI surface)") {
+    assert(Main.flags(List("-b", "512", "-n", "t")) ===
+      Map("b" -> "512", "n" -> "t"))
+    assert(Main.flags(List("--batch-size", "1024")) === Map("b" -> "1024"))
+    assert(Main.flags(List("--one-time", "-s", "grpc://h:1/t")) ===
+      Map("one-time" -> "true", "s" -> "grpc://h:1/t"))
   }
 
   test("reader and writer loops run bounded iterations through the wire") {

@@ -178,6 +178,81 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("sql() sees external commits but never re-reflects unchanged tables") {
+    val wh = freshWarehouse()
+    val c1 = new Connector(spark, wh) // external committer
+    val c2 = new Connector(spark, wh) // query side
+    c1.createTable("ext", Seq((1L, "a")).toDF("id", "v"))
+    assert(c2.sql("SELECT count(*) FROM ext").head.getLong(0) === 1L)
+    val afterFirst = c2.reflections.get()
+    // repeat queries with no commits: no further reflections
+    (1 to 3).foreach(_ => c2.sql("SELECT count(*) FROM ext").collect())
+    assert(c2.reflections.get() === afterFirst, "unchanged table re-reflected")
+    // an EXTERNAL commit (different connector instance) must be seen
+    c1.insert("ext", Seq((2L, "b")).toDF("id", "v"))
+    assert(c2.sql("SELECT count(*) FROM ext").head.getLong(0) === 2L)
+    assert(c2.reflections.get() === afterFirst + 1)
+  }
+
+  test("conditional commit rejects a moved head (compact CAS)") {
+    val dir = Files.createTempDirectory("graft-cas-")
+    val log = new SnapshotLog(dir)
+    log.commit("create", Seq("data/s1/a.parquet"), "{}")
+    log.commit("append", Seq("data/s2/b.parquet"), "{}")
+    intercept[java.util.ConcurrentModificationException] {
+      log.commit("compact", Seq("data/c1/c.parquet"), "{}",
+        expectedHead = Some(1L)) // head is 2
+    }
+    assert(log.currentSnapshotId.contains(2L), "failed CAS must not commit")
+    val ok = log.commit("compact", Seq("data/c1/c.parquet"), "{}",
+      expectedHead = Some(2L))
+    assert(ok.snapshotId === 3L)
+  }
+
+  test("compact racing concurrent appends never loses rows") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    val appender = new Thread(() => {
+      // appends need the active session on this fresh thread
+      spark match {
+        case cs: org.apache.spark.sql.classic.SparkSession =>
+          org.apache.spark.sql.classic.SparkSession.setActiveSession(cs)
+        case _ =>
+      }
+      (1 to 5).foreach { k =>
+        t.append((1L to 10L).map(i => (1000L * k + i, s"x$k$i")).toDF("id", "v"))
+      }
+    })
+    appender.start()
+    (1 to 3).foreach(_ => t.compact(targetFiles = 2))
+    appender.join()
+    t.compact(targetFiles = 2) // settle once appends are done
+    assert(t.read().count() === 100, "concurrent append rows survived compaction")
+    assert(t.read().select("id").distinct().count() === 100)
+  }
+
+  test("file stats stay conservative for longs above 2^53") {
+    import graft.warehouse.FileStat
+    val big = (1L << 60) + 1L // not representable as Double
+    val lo = FileStat.dirDouble(big, up = false)
+    val hi = FileStat.dirDouble(big, up = true)
+    assert(BigDecimal(lo) <= BigDecimal(big), "min rounds down")
+    assert(BigDecimal(hi) >= BigDecimal(big), "max rounds up")
+    // a single-value file must never be pruned for its own value
+    val st = FileStat(Map("id" -> lo), Map("id" -> hi), Map.empty, Map.empty)
+    assert(st.mayContain("id", Some(big), Some(big)))
+    assert(st.mayContain("id", Some(big - 10), Some(big + 10)))
+    // end-to-end: snowflake-style ids survive stats-based pruning
+    val c = new Connector(spark, freshWarehouse())
+    val df = Seq(big - 2, big - 1, big, big + 1).toDF("id")
+    c.createTable("t", df.limit(1))
+    c.loadTable("t").append(df, clusterBy = Seq("id"))
+    val hits = c.loadTable("t").readWhere("id", Some(big), Some(big))
+      .filter($"id" === big).count()
+    assert(hits === 1L)
+  }
+
   test("snapshot log json round-trip incl. escapes") {
     val dir = Files.createTempDirectory("graft-log-")
     val log = new SnapshotLog(dir)
