@@ -115,6 +115,20 @@ object Dedup {
       }
     }
 
+  /** Doc-count cap for the bitmask Jaccard paths. Their pair phase is
+    * O(n²) (a broadcast nested loop / block scan) — the right trade for
+    * the small corpora that actually produce tiny vocabularies, but
+    * wrong for, say, a billion-row enum-ish corpus whose vocabulary
+    * happens to be small: strategy choice must key on BOTH vocabulary
+    * and doc count. Above the cap the sub-quadratic prefix-filter plan
+    * applies regardless of vocabulary size. Test-tunable. */
+  private[graft] var bitmaskDocCap: Long = 65536L
+
+  /** Which physical strategy the last jaccardJoinOnTokens call picked
+    * ("bitmask64" | "bitmask-wide" | "prefix") — test/diagnostic probe. */
+  private[graft] val lastJaccardStrategy =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
   /** Shared engine for the Jaccard joins: input is (id, toks) with toks
     * sorted distinct. Adaptive bitmask/prefix-filter strategy as
     * documented below. */
@@ -133,9 +147,17 @@ object Dedup {
     //                    (mask block must broadcast: ≤ vocab/8 B per doc);
     //   else           → AllPairs prefix filtering (frequency-skewed
     //                    vocabularies, the common real-corpus case).
+    // BOTH bitmask paths additionally require the doc count under
+    // [[bitmaskDocCap]] — vocabulary size alone must never route a huge
+    // corpus onto an O(n²) pair phase.
     val vocabN = dfreq.limit(65537).count()
-    if (vocabN <= 64)
+    lazy val docsUnderCap =
+      toks.limit(math.min(bitmaskDocCap + 1, Int.MaxValue.toLong).toInt)
+        .count() <= bitmaskDocCap
+    if (vocabN <= 64 && docsUnderCap) {
+      lastJaccardStrategy.set("bitmask64")
       return jaccardJoinBitmask(toks, dfreq, threshold)
+    }
     // the wide path collects an O(n·vocab/8) mask block to broadcast:
     // only taken for integral ids and a block that actually fits the
     // budget — docs × ceil(vocab/64) × 8 B ≤ 512 MB (so 4M docs at a
@@ -143,9 +165,13 @@ object Dedup {
     // case); everything else prefix-filters
     val words = (vocabN + 63) / 64
     val maxDocs = (512L << 20) / (words * 8L)
-    if (vocabN <= 65536 && OpUtil.isIntegralId(toks.schema("id").dataType) &&
-        toks.limit((maxDocs + 1).toInt).count() <= maxDocs)
+    if (vocabN > 64 && vocabN <= 65536 && docsUnderCap &&
+        OpUtil.isIntegralId(toks.schema("id").dataType) &&
+        toks.limit((maxDocs + 1).toInt).count() <= maxDocs) {
+      lastJaccardStrategy.set("bitmask-wide")
       return jaccardJoinBitmaskWide(toks, threshold)
+    }
+    lastJaccardStrategy.set("prefix")
     val prefix = tokDoc.join(dfreq, "tok")
       .withColumn("rnk", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("tok"))))

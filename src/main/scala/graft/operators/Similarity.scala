@@ -140,23 +140,70 @@ object Similarity {
   }
 
   /** Exact pairwise near-duplicate pairs: all (a < b) with cosine >=
-    * threshold. O(n²) scored pairs — the oracle-checkable CORRECTNESS
-    * baseline; at scale use `cosineNearDupPairs` (LSH-bucketed) below.
+    * threshold, with a SHUFFLE-ONLY plan — no driver collect, no
+    * broadcast. O(n²) *scoring* is inherent to exact all-pairs
+    * semantics; what must scale is the memory/communication shape, and
+    * this one does: per-task memory is O(n/blocks) rows, shuffle volume
+    * O(n·blocks/2) rows.
     *
-    * Physical strategy: block-matrix scoring. The corpus (id, vector,
-    * norm) is collected into one primitive broadcast block (the corpus
-    * must fit in executor memory — n·d·8 bytes; 2 GB ≈ 4M×64d); each
-    * partition then streams its rows against the block in a tight
-    * primitive loop. Compared to a broadcast-nested-loop join with a
-    * per-pair UDF this removes 2 ArrayData→Array copies and one UDF
-    * invocation per pair — ~10× on the scorer. Larger corpora: LSH path.
+    * Physical strategy: block-grid self-join. Rows hash into `blocks`
+    * id-blocks; each unordered block pair {i ≤ j} is one grid cell. The
+    * "low" side replicates each row across its cell row (j = blk..B-1),
+    * the "high" side across its cell column (i = 0..blk), so every
+    * unordered row pair meets in EXACTLY one cell (same-block cells
+    * dedup on id order). The join is a plain equi-join on (i, j) — a
+    * hash shuffle, executor-sized tasks, AQE-splittable.
+    *
+    * The sub-quadratic scale path remains [[cosineNearDupPairs]] (LSH
+    * candidates); [[exactCosinePairsBlock]] is the single-node-fastest
+    * variant for corpora that fit a memory budget.
     */
   def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, blocks: Int = 0): DataFrame = {
+    val b = if (blocks > 0) blocks
+      else math.max(2, df.sparkSession.sparkContext.defaultParallelism)
+    val base = prepped(df, idCol, vecCol, "id", "v", "nrm")
+      .withColumn("blk", pmod(hash(col("id")), lit(b)))
+    val lo = base.select(col("id").as("id_l"), col("v").as("vl"),
+      col("nrm").as("nl"), col("blk").as("blk_l"),
+      explode(sequence(col("blk"), lit(b - 1))).as("cj"))
+      .withColumnRenamed("blk_l", "ci_l")
+    val hi = base.select(col("id").as("id_r"), col("v").as("vr"),
+      col("nrm").as("nr"), col("blk").as("cj_r"),
+      explode(sequence(lit(0), col("blk"))).as("ci"))
+    lo.join(hi,
+        col("ci_l") === col("ci") && col("cj") === col("cj_r") &&
+          // cross-block pairs meet exactly once by construction;
+          // same-block cells see both orderings — keep one
+          (col("ci") =!= col("cj") || col("id_l") < col("id_r")))
+      .withColumn("sim", dotU(col("vl"), col("vr")) / (col("nl") * col("nr")))
+      .filter(col("sim") >= threshold)
+      .select(least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Block-matrix exact pairs — the single-node-fastest variant: the
+    * corpus (id, vector, norm) is collected into one primitive broadcast
+    * block; each partition streams its rows against the block in a tight
+    * primitive loop (no per-pair UDF, no ArrayData copies; ~10× on the
+    * scorer). GUARDED: the corpus must fit a driver/executor memory
+    * budget — above `maxBlockBytes` (or for non-integral ids) this
+    * delegates to the shuffle-only [[exactCosinePairs]] instead of
+    * OOMing the driver.
+    */
+  def exactCosinePairsBlock(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, maxBlockBytes: Long = 512L << 20): DataFrame = {
     if (!OpUtil.isIntegralId(df.schema(idCol).dataType))
-      // block scoring keys on long ids; other id types take the
-      // join-based formulation (same results, per-pair UDF scoring)
-      return exactCosinePairsJoin(df, idCol, vecCol, threshold)
+      return exactCosinePairs(df, idCol, vecCol, threshold)
+    val dims = df.select(col(vecCol)).limit(1).collect()
+      .headOption.map(_.getSeq[Any](0).length).getOrElse(0)
+    val maxDocs = if (dims == 0) Long.MaxValue
+      else maxBlockBytes / (8L * dims + 24L)
+    val probe = df.select(col(idCol)).limit(
+      math.min(maxDocs + 1, Int.MaxValue.toLong).toInt).count()
+    if (probe > maxDocs)
+      return exactCosinePairs(df, idCol, vecCol, threshold)
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(col(idCol).cast("long"),

@@ -364,16 +364,19 @@ object Pipeline {
          |WHERE rn <= 3 ORDER BY doc_id, tfidf DESC, tok""".stripMargin) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val docs = T.documents(s, d)
-      val nDocs = docs.count()
+      // corpus size as a 1-row scalar agg cross-joined in (broadcast,
+      // sub-microsecond) — NOT an eager docs.count(), which would run a
+      // separate driver-side job before the query's own plan
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
       val toks = docs.select(col("doc_id"),
         explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("tok"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
         .withColumn("doc_len", sum("cnt").over(Window.partitionBy("doc_id")))
       val dfreq = toks.select("doc_id", "tok").distinct()
         .groupBy("tok").agg(count(lit(1)).as("dfreq"))
-      val scored = tf.join(dfreq, "tok")
+      val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
         .withColumn("tfidf", round((col("cnt") * lit(1.0) / col("doc_len")) *
-          log(lit(nDocs.toDouble) / col("dfreq")), 6))
+          log(col("n_docs") / col("dfreq")), 6))
       scored
         .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
           .orderBy(col("tfidf").desc, col("tok"))))

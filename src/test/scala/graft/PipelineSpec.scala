@@ -57,6 +57,42 @@ class PipelineSpec extends AnyFunSuite {
         s"recall ${lsh.size.toDouble / exact.size}")
   }
 
+  test("exactCosinePairsBlock matches the shuffle-only grid plan exactly") {
+    val emb = T.embeddings(spark, sf)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val grid = asSet(Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.4))
+    val block = asSet(Similarity.exactCosinePairsBlock(emb, "vec_id", "embedding", 0.4))
+    assert(grid === block)
+    assert(grid.nonEmpty)
+    // grid invariants: ordered ids, no self pairs, no duplicates
+    assert(grid.forall { case (a, b, _) => a < b })
+    // a tiny memory budget must route the block variant to the grid
+    val guarded = asSet(Similarity.exactCosinePairsBlock(
+      emb, "vec_id", "embedding", 0.4, maxBlockBytes = 1024L))
+    assert(guarded === grid)
+  }
+
+  test("bitmask Jaccard paths respect the doc-count cap (strategy keys on docs too)") {
+    val docs = T.documents(spark, sf).limit(40)
+    val before = Dedup.bitmaskDocCap
+    try {
+      // char trigrams on this corpus → small vocab → bitmask normally
+      Dedup.bitmaskDocCap = 65536L
+      val masked = Dedup.charNgramJaccard(docs, "doc_id", "text", 3, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val chosen = Dedup.lastJaccardStrategy.get()
+      assert(chosen.startsWith("bitmask"), s"expected a bitmask path, got $chosen")
+      // over the cap: same corpus must take the prefix plan — and agree
+      Dedup.bitmaskDocCap = 10L
+      val prefixed = Dedup.charNgramJaccard(docs, "doc_id", "text", 3, 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(Dedup.lastJaccardStrategy.get() === "prefix")
+      assert(prefixed === masked, "strategies must be result-identical")
+    } finally Dedup.bitmaskDocCap = before
+  }
+
   test("minhash estimate tracks true word-shingle Jaccard within 0.25") {
     val docs = T.documents(spark, sf).limit(120)
     val est = Dedup.minhashCandidatesPoly(docs, "doc_id", "text", threshold = 0.4)
