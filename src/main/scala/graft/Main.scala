@@ -152,7 +152,9 @@ object Main {
     val client = new FlightClient(spark, "localhost", svc.boundPort)
     println(s"[demo] service tables -> ${client.listTables().mkString(", ")}")
     client.doPut("wired", SampleData.create(spark, 5, "default"))
-    println(s"[demo] do_put new table wired -> ${client.doGet("wired").df.count()} rows")
+    val wired = client.doGet("wired")
+    try println(s"[demo] do_put new table wired -> ${wired.df.count()} rows")
+    finally wired.cleanup()
     val mirrorWh = whPath + "-mirror"
     val r = Mirror.performSync(client, s"grpc://localhost:${svc.boundPort}/wired",
       "wired", new Connector(spark, mirrorWh), "wired_copy",

@@ -151,23 +151,22 @@ object Dedup {
     // [[bitmaskDocCap]] — vocabulary size alone must never route a huge
     // corpus onto an O(n²) pair phase.
     val vocabN = dfreq.limit(65537).count()
-    lazy val docsUnderCap =
-      toks.limit(math.min(bitmaskDocCap + 1, Int.MaxValue.toLong).toInt)
-        .count() <= bitmaskDocCap
-    if (vocabN <= 64 && docsUnderCap) {
+    // the wide path additionally bounds the O(n·vocab/8) mask block it
+    // broadcasts: docs × ceil(vocab/64) × 8 B ≤ 512 MB (4M docs at a
+    // 1k-token vocab, ~64k docs at the 65536-token worst case)
+    val words = (vocabN + 63) / 64
+    val maxBlockDocs = (512L << 20) / (words * 8L)
+    // ONE doc-count probe bounded by the larger threshold, forced only
+    // when a bitmask path is still in play
+    lazy val nDocs = toks.limit(math.min(
+      math.max(bitmaskDocCap, maxBlockDocs) + 1, Int.MaxValue.toLong).toInt).count()
+    if (vocabN <= 64 && nDocs <= bitmaskDocCap) {
       lastJaccardStrategy.set("bitmask64")
       return jaccardJoinBitmask(toks, dfreq, threshold)
     }
-    // the wide path collects an O(n·vocab/8) mask block to broadcast:
-    // only taken for integral ids and a block that actually fits the
-    // budget — docs × ceil(vocab/64) × 8 B ≤ 512 MB (so 4M docs at a
-    // 1k-token vocab, but only ~64k docs at the 65536-token worst
-    // case); everything else prefix-filters
-    val words = (vocabN + 63) / 64
-    val maxDocs = (512L << 20) / (words * 8L)
-    if (vocabN > 64 && vocabN <= 65536 && docsUnderCap &&
+    if (vocabN > 64 && vocabN <= 65536 &&
         OpUtil.isIntegralId(toks.schema("id").dataType) &&
-        toks.limit((maxDocs + 1).toInt).count() <= maxDocs) {
+        nDocs <= bitmaskDocCap && nDocs <= maxBlockDocs) {
       lastJaccardStrategy.set("bitmask-wide")
       return jaccardJoinBitmaskWide(toks, threshold)
     }

@@ -248,8 +248,8 @@ object Similarity {
       threshold: Double, maxBlockBytes: Long = 512L << 20): DataFrame = {
     if (!OpUtil.isIntegralId(df.schema(idCol).dataType))
       return exactCosinePairs(df, idCol, vecCol, threshold)
-    val dims = df.select(col(vecCol)).limit(1).collect()
-      .headOption.map(_.getSeq[Any](0).length).getOrElse(0)
+    val dims = df.select(col(vecCol)).filter(col(vecCol).isNotNull).limit(1)
+      .collect().headOption.map(_.getSeq[Any](0).length).getOrElse(0)
     val maxDocs = if (dims == 0) Long.MaxValue
       else maxBlockBytes / (8L * dims + 24L)
     val probe = df.select(col(idCol)).limit(
@@ -355,18 +355,6 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("sim"), 6).as("sim"), col("rank"))
-  }
-
-  /** Join-based exact pairs (any id type): broadcast one side, score
-    * each pair with the compiled dot UDF. */
-  private def exactCosinePairsJoin(df: DataFrame, idCol: String,
-      vecCol: String, threshold: Double): DataFrame = {
-    val a = prepped(df, idCol, vecCol, "id_a", "va", "na")
-    val b = prepped(df, idCol, vecCol, "id_b", "vb", "nb")
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .withColumn("sim", dotU(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
   /** Pairwise near-duplicate detection on embeddings: pairs with cosine

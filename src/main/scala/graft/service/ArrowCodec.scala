@@ -170,15 +170,16 @@ object ArrowCodec {
     * consumed (appended / counted). */
   final case class Body(df: DataFrame, rows: Long, maxBufferedRows: Long,
       spillDir: Option[java.nio.file.Path]) {
-    def cleanup(): Unit = spillDir.foreach { d =>
-      if (java.nio.file.Files.isDirectory(d)) {
-        val walk = java.nio.file.Files.walk(d)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
-    }
+    def cleanup(): Unit = spillDir.foreach(deleteSpill)
   }
+
+  private def deleteSpill(d: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.isDirectory(d)) {
+      val walk = java.nio.file.Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
 
   /** Read one Arrow IPC stream with bounded driver memory: buffer at
     * most `chunkRows` rows, spilling each full chunk to a staged parquet
@@ -187,11 +188,11 @@ object ArrowCodec {
   def read(spark: SparkSession, in: InputStream,
       chunkRows: Int = DefaultChunkRows): Body = {
     val reader = new ArrowStreamReader(in, allocator)
+    var spillDir: Option[java.nio.file.Path] = None
     try {
       val root = reader.getVectorSchemaRoot
       val schema = fromArrowSchema(root.getSchema)
       val buf = new scala.collection.mutable.ArrayBuffer[Row]()
-      var spillDir: Option[java.nio.file.Path] = None
       var total = 0L
       var maxBuffered = 0L
       def flush(): Unit = if (buf.nonEmpty) {
@@ -222,6 +223,12 @@ object ArrowCodec {
           spark.read.schema(schema).parquet(d.toString)
       }
       Body(df, total, maxBuffered, spillDir)
+    } catch {
+      case e: Throwable =>
+        // a mid-stream failure would otherwise orphan the spill dir (the
+        // Body with its cleanup handle is never returned)
+        spillDir.foreach(deleteSpill)
+        throw e
     } finally {
       // close(false): release vector memory but leave the underlying
       // stream open — closing a Socket's InputStream closes the whole

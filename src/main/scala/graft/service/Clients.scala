@@ -24,8 +24,9 @@ object Clients {
     while (continue) {
       try {
         val info = client.getFlightInfo(table)
-        val df = client.doGet(table).df
-        last = df.count()
+        val fetched = client.doGet(table)
+        try last = fetched.df.count()
+        finally fetched.cleanup() // release any client-side spill chunks
         println(s"[reader] $table: $last rows " +
           s"(snapshot ${info.snapshotId}, ${info.schema.fields.length} cols)")
       } catch {

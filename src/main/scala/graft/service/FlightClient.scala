@@ -42,13 +42,26 @@ final class FlightClient(spark: SparkSession, val host: String, val port: Int,
     * location advertised in `get_flight_info` when it differs from this
     * control connection (the reference's mirror honors `FlightEndpoint`
     * locations the same way — `icerunner.py:925-934`). Returns `this`
-    * when the endpoint is the connection itself. */
-  def forEndpoint(table: String): FlightClient = {
-    val info = getFlightInfo(table)
-    val h = if (info.host.isEmpty) host else info.host
-    if (h == host && info.port == port) this
-    else new FlightClient(spark, h, info.port, batchRows)
-  }
+    * when the endpoint is the connection itself.
+    *
+    * Cached per table so steady-state poll loops don't pay an extra
+    * control round trip every tick; callers invalidate on data-plane
+    * errors ([[invalidateEndpoint]]) so a moved endpoint re-resolves on
+    * the next attempt. */
+  def forEndpoint(table: String): FlightClient =
+    endpointCache.getOrElseUpdate(table, {
+      val info = getFlightInfo(table)
+      val h = if (info.host.isEmpty) host else info.host
+      if (h == host && info.port == port) this
+      else new FlightClient(spark, h, info.port, batchRows)
+    })
+
+  /** Drop the cached endpoint for `table` (call after a data-plane
+    * failure; the next [[forEndpoint]] re-resolves). */
+  def invalidateEndpoint(table: String): Unit = endpointCache.remove(table)
+
+  private val endpointCache =
+    scala.collection.concurrent.TrieMap.empty[String, FlightClient]
 
   /** Full table read (reference: `do_get`, `icerunner.py:272-282`).
     * Returns the rows together with the snapshot id they were read AT —

@@ -86,7 +86,14 @@ final class FlightService(connector: Connector, port: Int = 0,
         case Wire.BodyFailed(_) => // response line already sent; just close
         case e: Throwable =>
           if (sys.env.contains("GRAFT_SERVICE_DEBUG")) e.printStackTrace()
-          Wire.writeLine(out, Wire.obj("ok" -> false,
+          // machine-readable code for the failure modes clients act on
+          // (vs. string-matching relayed messages)
+          val code = e match {
+            case _: graft.warehouse.HistoryExpiredException => "history_expired"
+            case _: NoSuchElementException => "not_found"
+            case _ => ""
+          }
+          Wire.writeLine(out, Wire.obj("ok" -> false, "code" -> code,
             "error" -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
       }
       out.flush()
@@ -156,10 +163,12 @@ final class FlightService(connector: Connector, port: Int = 0,
         // they arrive, so ingest memory is bounded regardless of size.
         val body = ArrowCodec.read(connector.spark, in)
         try {
-          val created =
-            if (!connector.tableExists(req.table)) {
-              connector.createTable(req.table, body.df); true
-            } else { connector.insert(req.table, body.df); false }
+          // createTable is idempotent-false when the table exists (incl.
+          // LOSING a concurrent create race) — the loser must append, not
+          // silently drop its rows, so the fallback keys on the return
+          // value rather than a check-then-act tableExists probe
+          val created = connector.createTable(req.table, body.df)
+          if (!created) connector.insert(req.table, body.df)
           Wire.writeLine(out, Wire.obj(
             "ok" -> true, "created" -> created,
             "snapshot_id" -> Wire.JNum(connector.getCurrentSnapshotId(req.table).getOrElse(0L))))
@@ -191,6 +200,11 @@ private[service] object Wire {
 
   /** Marker: the ok-line went out but the Arrow body failed mid-stream. */
   final case class BodyFailed(cause: Throwable) extends RuntimeException(cause)
+
+  /** A relayed server-side failure, with its machine-readable code
+    * (empty when the server attached none). */
+  final case class ServiceError(code: String, msg: String)
+    extends RuntimeException(s"service error: $msg")
 
   /** Read a single '\n'-terminated line without buffering past it (the
     * Arrow body may follow immediately). */
@@ -260,12 +274,13 @@ private[service] object Wire {
     private val v = JsonMethods.parse(line)
     def ok: Boolean = (v \ "ok").extractOrElse[Boolean](false)
     def error: String = (v \ "error").extractOrElse[String]("")
+    def code: String = (v \ "code").extractOrElse[String]("")
     def str(k: String): String = (v \ k).extractOrElse[String]("")
     def num(k: String): Long = (v \ k).extractOrElse[Long](0L)
     def bool(k: String): Boolean = (v \ k).extractOrElse[Boolean](false)
     def strs(k: String): Seq[String] = (v \ k).extractOrElse[Seq[String]](Nil)
     def require(): Resp = {
-      if (!ok) throw new RuntimeException(s"service error: $error")
+      if (!ok) throw ServiceError(code, error)
       this
     }
   }

@@ -80,10 +80,10 @@ object Mirror {
             } catch {
               // Source history expired past our snapshot: the delta is
               // unknowable (SnapshotLog.changedFiles throws rather than
-              // returning a partial delta). Self-heal with a replica
-              // rebuild instead of erroring on every tick forever.
-              case e: RuntimeException
-                  if Option(e.getMessage).exists(_.contains("full re-sync required")) =>
+              // returning a partial delta, relayed over the wire as a
+              // structured code). Self-heal with a replica rebuild
+              // instead of erroring on every tick forever.
+              case Wire.ServiceError("history_expired", _) =>
                 fullResync(data, sourceTable, connector, targetTable)
             }
           case None =>
@@ -99,6 +99,9 @@ object Mirror {
       SyncResult(status, rows, Some(srcSnap))
     } catch {
       case NonFatal(e) =>
+        // a failed tick may mean the advertised endpoint moved —
+        // re-resolve it on the next attempt instead of failing forever
+        client.invalidateEndpoint(sourceTable)
         state.save(sourceUrl, targetTable, prev.copy(
           lastSyncTime = System.currentTimeMillis(),
           lastSyncStatus = s"error: ${e.getMessage}"))

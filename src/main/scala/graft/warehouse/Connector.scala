@@ -123,11 +123,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   private val reflectedAt = scala.collection.concurrent.TrieMap.empty[String, Long]
   private[graft] val reflections = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Register/refresh one table's temp view (called on every commit). */
+  /** Register/refresh one table's temp view (called on every commit).
+    * The head is captured FIRST and the view pinned to it — recording a
+    * head read after building the view would let an external commit land
+    * in between and be treated as already-reflected forever. */
   private def reflectView(name: String): Unit =
     GraftTable.load(spark, tableDir(name), name).foreach { t =>
-      t.read().createOrReplaceTempView(name)
-      reflectedAt(name) = t.currentSnapshotId.getOrElse(0L)
+      val head = t.currentSnapshotId.getOrElse(0L)
+      t.read(Some(head)).createOrReplaceTempView(name)
+      reflectedAt(name) = head
       reflections.incrementAndGet()
     }
 

@@ -99,6 +99,13 @@ object FileStat {
   }
 }
 
+/** Thrown when an incremental read reaches past the expiry horizon: the
+  * delta is unknowable and the caller must full-re-sync. A TYPED error
+  * (not a message) so the service can relay it as a structured code and
+  * replicas can self-heal without string-matching. */
+final class HistoryExpiredException(msg: String)
+  extends IllegalStateException(msg)
+
 /** Append-only snapshot log stored as one JSON manifest per commit under
   * `<tableDir>/_snapshots/v%016d.json`.
   *
@@ -180,7 +187,7 @@ final class SnapshotLog(tableDir: Path) {
     val snaps = snapshots
     val firstId = snaps.headOption.map(_.snapshotId).getOrElse(1L)
     if (sinceId < firstId - 1)
-      throw new IllegalStateException(
+      throw new HistoryExpiredException(
         s"changes since $sinceId unavailable: history before snapshot " +
           s"$firstId has been expired; full re-sync required")
     snaps.filter(s => s.snapshotId > sinceId && s.snapshotId <= untilId &&
