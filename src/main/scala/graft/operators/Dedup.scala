@@ -526,6 +526,25 @@ object Dedup {
     *
     * Returns (id, canonical_id) for every id in `df`.
     */
+  /** Embedding-cosine near-duplicate FULL dedup: keep one canonical row
+    * (min id) per cosine-connected cluster — the embedding-space
+    * analogue of [[minhashDedupPoly]]. Pairs come from the exact
+    * shuffle-only grid ([[Similarity.exactCosinePairs]], no driver
+    * collect/broadcast) by default, so the whole result is
+    * oracle-checkable; pass `exact = false` to source candidates from
+    * [[Similarity.cosineNearDupPairs]] (LSH-bucketed, sub-quadratic) —
+    * the 100 TB path with identical downstream shape. */
+  def cosineDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, exact: Boolean = true): DataFrame = {
+    val pairs =
+      if (exact) Similarity.exactCosinePairs(df, idCol, vecCol, threshold)
+      else Similarity.cosineNearDupPairs(df, idCol, vecCol, threshold)
+    val comp = components(df, idCol, pairs)
+    df.join(comp, df(idCol) === comp("id"))
+      .filter(col(idCol) === col("canonical_id"))
+      .drop("id", "canonical_id")
+  }
+
   def components(df: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 200): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))

@@ -385,6 +385,32 @@ object Pipeline {
         .orderBy(col("doc_id"), col("tfidf").desc, col("tok"))
     },
 
+    // ---- embedding-cosine full dedup (cluster → canonical keep) ----
+    // Pairs from the exact shuffle-only grid join; clusters closed by
+    // min-label propagation. The oracle rebuilds the closure with a
+    // recursive CTE over the same exact pairs.
+    Q("q60_cosine_dedup",
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS x, id_b AS y FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |comp AS (
+        |  SELECT vec_id AS id, vec_id AS m FROM embeddings
+        |  UNION
+        |  SELECT e.x, c.m FROM edges e JOIN comp c ON c.id = e.y),
+        |canon AS (SELECT id, min(m) AS canonical FROM comp GROUP BY id)
+        |SELECT emb.vec_id, emb.label FROM embeddings emb
+        |JOIN canon c ON emb.vec_id = c.id
+        |WHERE c.canonical = emb.vec_id ORDER BY emb.vec_id""".stripMargin) { (s, d) =>
+      Dedup.cosineDedup(T.embeddings(s, d), "vec_id", "embedding", 0.4)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
+
     // ---- per-label embedding stats (norms via higher-order funcs) ----
     Q("q34_embedding_stats",
       """SELECT label, count(*) AS n,

@@ -110,6 +110,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"estimates off by >0.25:\n${bad.collect().mkString("\n")}")
   }
 
+  test("cosineDedup drops planted duplicate embeddings, keeps their canonical twins") {
+    val emb = T.embeddings(spark, sf)
+    val dups = emb.limit(5).withColumn("vec_id", col("vec_id") + 1000000)
+    val withDups = emb.unionByName(dups)
+    val kept = Dedup.cosineDedup(withDups, "vec_id", "embedding", threshold = 0.95)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    // every planted dup (identical vector, higher id) must be gone
+    assert(dups.select("vec_id").collect().map(_.getLong(0)).forall(!keptIds.contains(_)))
+    // exactly one survivor per cosine-connected cluster
+    val nComponents = Dedup.components(withDups, "vec_id",
+        Similarity.exactCosinePairs(withDups, "vec_id", "embedding", 0.95))
+      .select("canonical_id").distinct().count()
+    assert(keptIds.size.toLong === nComponents)
+    // LSH-sourced mode must also drop identical twins (sim 1.0 is
+    // always bucketed together)
+    val lshKept = Dedup.cosineDedup(withDups, "vec_id", "embedding",
+      threshold = 0.95, exact = false)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dups.select("vec_id").collect().map(_.getLong(0)).forall(!lshKept.contains(_)))
+  }
+
   test("minhashDedupPoly keeps exactly one canonical doc per duplicate cluster") {
     val docs = T.documents(spark, sf)
     // plant exact duplicate clusters with higher ids
