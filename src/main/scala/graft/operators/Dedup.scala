@@ -151,9 +151,10 @@ object Dedup {
     // [[bitmaskDocCap]] — vocabulary size alone must never route a huge
     // corpus onto an O(n²) pair phase.
     val vocabN = dfreq.limit(65537).count()
-    // the wide path additionally bounds the O(n·vocab/8) mask block it
-    // broadcasts: docs × ceil(vocab/64) × 8 B ≤ 512 MB (4M docs at a
-    // 1k-token vocab, ~64k docs at the 65536-token worst case)
+    // the wide path additionally bounds total mask volume (docs ×
+    // ceil(vocab/64) × 8 B ≤ 512 MB — 4M docs at a 1k-token vocab,
+    // ~64k docs at the 65536-token worst case): it shuffles each mask
+    // to ~blocks grid cells, so base volume must stay modest
     val words = (vocabN + 63) / 64
     val maxBlockDocs = (512L << 20) / (words * 8L)
     // ONE doc-count probe bounded by the larger threshold, forced only
@@ -168,7 +169,7 @@ object Dedup {
         OpUtil.isIntegralId(toks.schema("id").dataType) &&
         nDocs <= bitmaskDocCap && nDocs <= maxBlockDocs) {
       lastJaccardStrategy.set("bitmask-wide")
-      return jaccardJoinBitmaskWide(toks, threshold)
+      return jaccardJoinBitmaskWide(toks, threshold, vocabN)
     }
     lastJaccardStrategy.set("prefix")
     val prefix = tokDoc.join(dfreq, "tok")
@@ -216,59 +217,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Mid-size-vocabulary Jaccard join: dictionary-encode tokens to bit
-    * positions in an `Array[Long]` mask, collect the (id, mask, nbits)
-    * block to a broadcast, and score the strict upper triangle per
-    * partition with primitive popcount loops — the block-matrix shape of
-    * [[Similarity.exactCosinePairs]]. Exact (scores every pair); bounded
-    * by the mask block fitting in executor memory (vocab/8 bytes per
-    * doc), past which the prefix-filter path applies. */
-  private def jaccardJoinBitmaskWide(toks: DataFrame, threshold: Double): DataFrame = {
+  /** Mid-size-vocabulary Jaccard join, SHUFFLE-ONLY: dictionary-encode
+    * tokens to bit positions (a distributed broadcast-join against the
+    * ≤65536-row vocabulary — bounded by the strategy gate, so the
+    * single-partition ranking window is fine), pack each document's
+    * token set into an `Array[Long]` mask, and score every unordered
+    * pair with primitive popcount loops inside [[GridSelfJoin]] cells.
+    * No driver collect, no corpus broadcast; per-task memory is one
+    * cell's masks. Exact (scores every pair) — doc count is capped by
+    * the caller's [[bitmaskDocCap]]/memory gates, past which the
+    * sub-quadratic prefix-filter path applies. */
+  private def jaccardJoinBitmaskWide(toks: DataFrame, threshold: Double,
+      vocabN: Long): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
-    val rows = toks.select(col("id").cast("long"), col("toks")).as[(Long, Seq[String])]
-    val vocab: Map[String, Int] = rows.flatMap(_._2).distinct().collect()
-      .sorted.zipWithIndex.toMap
-    val words = (vocab.size + 63) >>> 6
-    def maskOf(ts: Seq[String]): Array[Long] = {
-      val m = new Array[Long](words)
-      ts.foreach { t =>
-        val b = vocab(t)
-        m(b >>> 6) |= (1L << (b & 63))
-      }
-      m
-    }
-    val block = rows.collect().sortBy(_._1)
-      .map { case (id, ts) => (id, maskOf(ts), ts.size) }
-    val bc = spark.sparkContext.broadcast(block)
+    val words = ((vocabN + 63) >>> 6).toInt
+    // The DICTIONARY is collected and broadcast — bounded at ≤65536
+    // entries by the strategy gate regardless of corpus size (a
+    // dimension-table broadcast, not a corpus materialization). Masks
+    // are then built row-locally in one compiled pass: no explode, no
+    // join, no aggregation.
+    val vocab: Map[String, Int] = toks.select(explode(col("toks")).as("tok"))
+      .distinct().as[String].collect().sorted.zipWithIndex.toMap
     val bcVocab = spark.sparkContext.broadcast(vocab)
-    val out = rows.mapPartitions { it =>
-      val blk = bc.value
-      val voc = bcVocab.value
-      it.flatMap { case (id, ts) =>
-        val m = {
-          val a = new Array[Long](words)
-          ts.foreach { t =>
-            val b = voc(t); a(b >>> 6) |= (1L << (b & 63))
-          }
-          a
+    val rows = toks.select(col("id").cast("long"), col("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, ts) =>
+        val voc = bcVocab.value
+        val m = new Array[Long](words)
+        ts.foreach { t =>
+          val bit = voc(t); m(bit >>> 6) |= (1L << (bit & 63))
         }
-        val na = ts.size
-        var lo = 0; var hi = blk.length
-        while (lo < hi) {
-          val mid = (lo + hi) >>> 1
-          if (blk(mid)._1 <= id) lo = mid + 1 else hi = mid
-        }
-        (lo until blk.length).iterator.flatMap { j =>
-          val (jid, jm, nb) = blk(j)
-          var common = 0; var w = 0
-          while (w < words) {
-            common += java.lang.Long.bitCount(m(w) & jm(w)); w += 1
-          }
-          val jac = common.toDouble / (na + nb - common)
-          if (jac >= threshold) Some((id, jid, jac)) else None
-        }
+        (id, (m, ts.size))
       }
+    val b = GridSelfJoin.defaultBlocks(spark)
+    val out = GridSelfJoin.pairs(rows, b, threshold) { (a, c) =>
+      val (ma, na) = a; val (mb, nb) = c
+      var common = 0; var w = 0
+      while (w < words) {
+        common += java.lang.Long.bitCount(ma(w) & mb(w)); w += 1
+      }
+      common.toDouble / (na + nb - common)
     }.toDF("id_a", "id_b", "jaccard")
     out.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -161,50 +161,28 @@ object Similarity {
   def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blocks: Int = 0): DataFrame = {
     val b = if (blocks > 0) blocks
-      else math.max(2, df.sparkSession.sparkContext.defaultParallelism)
+      else GridSelfJoin.defaultBlocks(df.sparkSession)
     if (!OpUtil.isIntegralId(df.schema(idCol).dataType))
       return exactCosinePairsGridSql(df, idCol, vecCol, threshold, b)
-    // Typed cell scoring: shuffle each row to its grid cells, then score
-    // each cell with primitive while-loops over materialized blocks —
-    // the block-matrix inner loop (no per-pair UDF, no ArrayData
-    // copies) but with cell-sized, executor-local blocks instead of one
-    // driver-collected corpus block.
+    // Typed cell scoring via GridSelfJoin: each cell scored with
+    // primitive while-loops over cell-local blocks — the block-matrix
+    // inner loop (no per-pair UDF, no ArrayData copies) without a
+    // driver-collected corpus block. Norms precomputed once per row.
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df.select(col(idCol).cast("long"),
-      col(vecCol).cast("array<double>")).as[(Long, Array[Double])]
-    val tagged = rows.flatMap { case (id, v) =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      val nrm = math.sqrt(s)
-      val blk = Math.floorMod(java.lang.Long.hashCode(id * 0x9E3779B97F4A7C15L), b)
-      // "low" side fills the cell row (cj ≥ blk), "high" side the cell
-      // column (ci ≤ blk); every unordered row pair meets in exactly
-      // one cell (same-block cells dedup on id order when scoring)
-      (blk until b).iterator.map(j => (blk * b + j, true, id, v, nrm)) ++
-        (0 to blk).iterator.map(i2 => (i2 * b + blk, false, id, v, nrm))
-    }
-    val scored = tagged.groupByKey(_._1).flatMapGroups { (cell, it) =>
-      val lo = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
-      val hi = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
-      it.foreach { case (_, isLo, id, v, nrm) =>
-        if (isLo) lo += ((id, v, nrm)) else hi += ((id, v, nrm))
+        col(vecCol).cast("array<double>")).as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * v(i); i += 1 }
+        (id, (v, math.sqrt(s)))
       }
-      val same = cell / b == cell % b
-      lo.iterator.flatMap { case (ida, va, na) =>
-        hi.iterator.flatMap { case (idb, vb, nb) =>
-          if (same && ida >= idb) None
-          else {
-            var dot = 0.0; var k = 0
-            val n = math.min(va.length, vb.length)
-            while (k < n) { dot += va(k) * vb(k); k += 1 }
-            val sim = dot / (na * nb)
-            if (sim >= threshold)
-              Some((math.min(ida, idb), math.max(ida, idb), sim))
-            else None
-          }
-        }
-      }
+    val scored = GridSelfJoin.pairs(rows, b, threshold) { (a, c) =>
+      val (va, na) = a; val (vb, nb) = c
+      var dot = 0.0; var k = 0
+      val n = math.min(va.length, vb.length)
+      while (k < n) { dot += va(k) * vb(k); k += 1 }
+      dot / (na * nb)
     }.toDF("id_a", "id_b", "sim")
     scored.select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
