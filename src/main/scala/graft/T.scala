@@ -14,7 +14,19 @@ object T {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Plan cache: each `spark.read.parquet` call pays a footer/schema
+    * inference job; table accessors are called hundreds of times across
+    * a bench run, so reuse the (immutable) DataFrame per session+path.
+    * Keyed on the session identity — a DataFrame must not leak across
+    * sessions. */
+  private val planCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    planCache.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir, name), build(spark, sfDir, name))
+
+  private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects outright; read it as raw ns-since-epoch and

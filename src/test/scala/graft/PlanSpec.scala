@@ -73,6 +73,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p1.contains("CartesianProduct") && !p2.contains("CartesianProduct"))
   }
 
+  test("exact-cosine grid is shuffle-only: no broadcast, no cartesian, no scan collect") {
+    val p = plan(graft.operators.Similarity.exactCosinePairs(
+      T.embeddings(spark, sf), "vec_id", "embedding", 0.4))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastExchange"),
+      s"grid must not broadcast or cross-join:\n$p")
+    assert(!p.contains("CollectLimit"), s"no driver collects in the plan:\n$p")
+  }
+
+  test("q53 tf-idf builds without running any eager job (corpus count is in-plan)") {
+    val tracker = spark.sparkContext.statusTracker
+    T.documents(spark, sf).schema // parquet schema inference job, not q53's
+    Thread.sleep(300)
+    val before = tracker.getJobIdsForGroup(null).length
+    val df = SparkEntry.queries("q53_tfidf")(spark, sf)
+    Thread.sleep(500) // let async job-start events register
+    // the old eager docs.count() ran a separate job while the query was
+    // still being BUILT; now building must be job-free (AQE may still
+    // split the actual execution into several jobs)
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(after === before, s"query building ran ${after - before} eager jobs")
+    assert(df.collect().nonEmpty)
+  }
+
   test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
     val p = plan(T.orders(spark, sf)
       .orderBy(col("o_totalprice").desc).limit(25))
