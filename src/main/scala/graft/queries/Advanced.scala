@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, T}
 import org.apache.spark.sql.functions._
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, SkewJoin}
 
 /** Advanced relational surface (SURVEY.md §2B rows the first batch left
   * implicit): temporal/as-of join, correlated subqueries, pivot,
@@ -300,6 +300,30 @@ object Advanced {
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
         .orderBy("n_name")
+    },
+
+    // ---- salted skew join (row-identical to the plain join) ----------
+    // The manual hot-key mitigation for when AQE's skew split can't
+    // apply; graded against the UNSALTED oracle join to prove salting
+    // never changes results. Hot keys = the top-20 order keys by line
+    // count, so both the salted and plain paths execute.
+    Q("q61_salted_join",
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+        |  round(sum(l.l_extendedprice), 2) AS gross
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin) { (s, d) =>
+      val li = T.lineitem(s, d)
+      val hot = li.groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_orderkey")).limit(20)
+        .select("l_orderkey")
+      val orders = T.orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      SkewJoin.saltedJoin(li, orders, "l_orderkey", salt = 8,
+          hotKeys = Some(hot))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("gross"))
+        .orderBy("o_orderpriority")
     })
 
   def queries: Seq[Q] = ql
