@@ -24,6 +24,29 @@ class PropertySpec extends AnyFunSuite {
   private val fileName: Gen[String] =
     Gen.nonEmptyListOf(Gen.alphaNumChar).map(cs => s"data/${cs.mkString.take(12)}.parquet")
 
+  test("property: GridSelfJoin scores every unordered pair exactly once") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // random corpora: sparse/dense ids (incl. negatives), varied sizes
+    val corpusGen = for {
+      n <- Gen.choose(0, 60)
+      ids <- Gen.listOfN(n, Gen.choose(-1000L, 1000L)).map(_.distinct)
+      vals <- Gen.listOfN(ids.size, Gen.choose(-5.0, 5.0))
+    } yield ids.zip(vals)
+    for ((corpus, blocks) <- samples(corpusGen, 12).zip(
+        LazyList.continually(Seq(2, 3, 5, 16)).flatten)) {
+      val rows = spark.createDataset(corpus).map { case (id, v) => (id, v) }
+      val got = graft.operators.GridSelfJoin.pairs(rows, blocks, Double.MinValue) {
+        (a, b) => a + b // symmetric score; threshold keeps every pair
+      }.collect().toSeq
+      val expect = (for {
+        (ia, va) <- corpus; (ib, vb) <- corpus if ia < ib
+      } yield (ia, ib, va + vb)).toSeq
+      assert(got.sorted === expect.sorted,
+        s"blocks=$blocks n=${corpus.size}")
+    }
+  }
+
   test("property: snapshot ids contiguous; files partition across every changesSince cut") {
     val commitsGen = Gen.nonEmptyListOf(
       Gen.nonEmptyListOf(fileName).map(_.distinct))

@@ -93,6 +93,23 @@ class ServiceSpec extends AnyFunSuite {
     assert(small.spillDir.isEmpty && small.df.count() === 10000)
   }
 
+  test("concurrent do_put to a new table: exactly one creates, no rows lost") {
+    withService { (c, client, _) =>
+      import org.apache.spark.sql.functions.col
+      val writers = (0 until 4).map { w =>
+        new Thread(() => {
+          val df = spark.range(w * 100L, w * 100L + 100L, 1, 1)
+            .select(col("id"), col("id").cast("string").as("v"))
+          new FlightClient(spark, "localhost", client.port).doPut("raced", df)
+        })
+      }
+      writers.foreach(_.start()); writers.foreach(_.join())
+      // every writer's rows must land exactly once, whoever won create
+      assert(c.count("raced") === 400)
+      assert(c.query("raced").select("id").distinct().count() === 400)
+    }
+  }
+
   test("multi-chunk do_put round-trips through the service") {
     withService { (c, client, _) =>
       import org.apache.spark.sql.functions.col
