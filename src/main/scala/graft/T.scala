@@ -16,15 +16,19 @@ object T {
 
   /** Plan cache: each `spark.read.parquet` call pays a footer/schema
     * inference job; table accessors are called hundreds of times across
-    * a bench run, so reuse the (immutable) DataFrame per session+path.
-    * Keyed on the session identity — a DataFrame must not leak across
-    * sessions. */
+    * a bench run, so reuse the (immutable) DataFrame per path. Only ONE
+    * session's plans are retained (reference-compared — a DataFrame must
+    * never leak across sessions, and dead sessions must not be pinned);
+    * a new session simply drops the previous session's entries. */
   private val planCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  @volatile private var cacheSession: SparkSession = null
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    planCache.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir, name), build(spark, sfDir, name))
+    synchronized {
+      if (cacheSession ne spark) { planCache.clear(); cacheSession = spark }
+      planCache.getOrElseUpdate((sfDir, name), build(spark, sfDir, name))
+    }
 
   private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {

@@ -154,13 +154,16 @@ object Dedup {
     // the wide path additionally bounds total mask volume (docs ×
     // ceil(vocab/64) × 8 B ≤ 512 MB — 4M docs at a 1k-token vocab,
     // ~64k docs at the 65536-token worst case): it shuffles each mask
-    // to ~blocks grid cells, so base volume must stay modest
-    val words = (vocabN + 63) / 64
+    // to ~blocks grid cells, so base volume must stay modest.
+    // max(1, …) keeps the division defined for an empty vocabulary.
+    val words = math.max(1L, (vocabN + 63) / 64)
     val maxBlockDocs = (512L << 20) / (words * 8L)
-    // ONE doc-count probe bounded by the larger threshold, forced only
-    // when a bitmask path is still in play
+    // ONE doc-count probe, bounded at bitmaskDocCap + 1 (both bitmask
+    // branches require nDocs ≤ cap, and a count that comes back ≤ cap is
+    // exact, so it also decides the maxBlockDocs comparison); forced
+    // only when a bitmask path is still in play
     lazy val nDocs = toks.limit(math.min(
-      math.max(bitmaskDocCap, maxBlockDocs) + 1, Int.MaxValue.toLong).toInt).count()
+      bitmaskDocCap + 1, Int.MaxValue.toLong).toInt).count()
     if (vocabN <= 64 && nDocs <= bitmaskDocCap) {
       lastJaccardStrategy.set("bitmask64")
       return jaccardJoinBitmask(toks, dfreq, threshold)
@@ -169,7 +172,7 @@ object Dedup {
         OpUtil.isIntegralId(toks.schema("id").dataType) &&
         nDocs <= bitmaskDocCap && nDocs <= maxBlockDocs) {
       lastJaccardStrategy.set("bitmask-wide")
-      return jaccardJoinBitmaskWide(toks, threshold, vocabN)
+      return jaccardJoinBitmaskWide(toks, threshold, vocabN, dfreq)
     }
     lastJaccardStrategy.set("prefix")
     val prefix = tokDoc.join(dfreq, "tok")
@@ -228,17 +231,19 @@ object Dedup {
     * the caller's [[bitmaskDocCap]]/memory gates, past which the
     * sub-quadratic prefix-filter path applies. */
   private def jaccardJoinBitmaskWide(toks: DataFrame, threshold: Double,
-      vocabN: Long): DataFrame = {
+      vocabN: Long, dfreq: DataFrame): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
     val words = ((vocabN + 63) >>> 6).toInt
     // The DICTIONARY is collected and broadcast — bounded at ≤65536
     // entries by the strategy gate regardless of corpus size (a
-    // dimension-table broadcast, not a corpus materialization). Masks
-    // are then built row-locally in one compiled pass: no explode, no
-    // join, no aggregation.
-    val vocab: Map[String, Int] = toks.select(explode(col("toks")).as("tok"))
-      .distinct().as[String].collect().sorted.zipWithIndex.toMap
+    // dimension-table broadcast, not a corpus materialization). It is
+    // collected from the caller's dfreq aggregate (the same frame that
+    // sized vocabN/words — one source of truth, no second corpus scan).
+    // Masks are then built row-locally in one compiled pass: no explode,
+    // no join, no aggregation.
+    val vocab: Map[String, Int] =
+      dfreq.select(col("tok")).as[String].collect().sorted.zipWithIndex.toMap
     val bcVocab = spark.sparkContext.broadcast(vocab)
     val rows = toks.select(col("id").cast("long"), col("toks"))
       .as[(Long, Seq[String])]
@@ -481,10 +486,7 @@ object Dedup {
   def minhashDedupPoly(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5): DataFrame = {
     val cands = minhashCandidatesPoly(df, idCol, textCol, threshold = threshold)
-    val comp = components(df, idCol, cands)
-    df.join(comp, df(idCol) === comp("id"))
-      .filter(col(idCol) === col("canonical_id"))
-      .drop("id", "canonical_id")
+    keepCanonical(df, idCol, cands)
   }
 
   /** 31-bit SimHash on the portable hash (bits 0..30 of the token
@@ -503,18 +505,6 @@ object Dedup {
       .select(col("id"), assembled.reduce(_ + _).as("simhash"))
   }
 
-  /** Connected components over candidate pairs by iterative min-label
-    * propagation, then keep the component minimum as canonical.
-    * Converges in O(log n) joins for realistic dup clusters (which are
-    * tiny); `maxIter` bounds pathological chains.
-    *
-    * The iteration runs only over nodes that actually have an edge
-    * (isolated docs are their own canonical, appended at the end), and
-    * every iterate is `localCheckpoint`ed so the candidate pipeline is
-    * computed exactly once — not once per iteration per join.
-    *
-    * Returns (id, canonical_id) for every id in `df`.
-    */
   /** Embedding-cosine near-duplicate FULL dedup: keep one canonical row
     * (min id) per cosine-connected cluster — the embedding-space
     * analogue of [[minhashDedupPoly]]. Pairs come from the exact
@@ -528,12 +518,34 @@ object Dedup {
     val pairs =
       if (exact) Similarity.exactCosinePairs(df, idCol, vecCol, threshold)
       else Similarity.cosineNearDupPairs(df, idCol, vecCol, threshold)
-    val comp = components(df, idCol, pairs)
-    df.join(comp, df(idCol) === comp("id"))
-      .filter(col(idCol) === col("canonical_id"))
-      .drop("id", "canonical_id")
+    keepCanonical(df, idCol, pairs)
   }
 
+  /** Keep only the rows that are their component's canonical (min-id)
+    * member. Internal columns carry reserved names so an id column
+    * literally named "id" can't collide with the component frame. */
+  private def keepCanonical(df: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val comp = components(df, idCol, pairs)
+      .withColumnRenamed("id", "__cc_id")
+      .withColumnRenamed("canonical_id", "__cc_canonical")
+    df.join(comp, df(idCol) === comp("__cc_id"))
+      .filter(col("__cc_id") === col("__cc_canonical"))
+      .drop("__cc_id", "__cc_canonical")
+  }
+
+  /** Connected components over candidate pairs by iterative min-label
+    * propagation, then keep the component minimum as canonical.
+    * Converges in O(log n) joins for realistic dup clusters (which are
+    * tiny); `maxIter` bounds pathological chains.
+    *
+    * The iteration runs only over nodes that actually have an edge
+    * (isolated docs are their own canonical, appended at the end), and
+    * every iterate is `localCheckpoint`ed so the candidate pipeline is
+    * computed exactly once — not once per iteration per join.
+    *
+    * Returns (id, canonical_id) for every id in `df`.
+    */
   def components(df: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 200): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))

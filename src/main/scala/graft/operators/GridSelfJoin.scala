@@ -12,17 +12,18 @@ import org.apache.spark.sql.{Dataset, Encoder, Encoders}
   * block-matrix inner loop without a driver-collected corpus block.
   *
   * Scale shape: no collect, no broadcast; per-task memory O(n/blocks)
-  * rows, shuffle volume O(n·blocks/2) rows. O(n²) *scoring* is inherent
-  * to exact all-pairs semantics — bound the corpus or use an LSH
-  * candidate path when that is too much.
+  * rows, shuffle volume O(n·blocks) rows (each row ships b+1 tagged
+  * copies across ~b distinct cells). O(n²) *scoring* is inherent to
+  * exact all-pairs semantics — bound the corpus or use an LSH candidate
+  * path when that is too much.
   */
 object GridSelfJoin {
 
   /** Default block count: cells = b(b+1)/2 ≈ 4× the core count — enough
     * task granularity for full parallelism, but replication (each row
-    * ships to ~b/2+1 cells) stays modest. Callers with corpora too big
-    * for cell-sized memory pass a larger `blocks` explicitly: per-cell
-    * memory shrinks as O(n/blocks) at O(blocks/2) replication cost. */
+    * ships b+1 copies) stays modest. Callers with corpora too big for
+    * cell-sized memory pass a larger `blocks` explicitly: per-cell
+    * memory shrinks as O(n/blocks) at O(blocks) replication cost. */
   def defaultBlocks(spark: org.apache.spark.sql.SparkSession): Int =
     math.max(2, math.ceil(math.sqrt(
       8.0 * spark.sparkContext.defaultParallelism)).toInt)

@@ -44,24 +44,32 @@ final class FlightClient(spark: SparkSession, val host: String, val port: Int,
     * locations the same way — `icerunner.py:925-934`). Returns `this`
     * when the endpoint is the connection itself.
     *
-    * Cached per table so steady-state poll loops don't pay an extra
-    * control round trip every tick; callers invalidate on data-plane
-    * errors ([[invalidateEndpoint]]) so a moved endpoint re-resolves on
-    * the next attempt. */
-  def forEndpoint(table: String): FlightClient =
-    endpointCache.getOrElseUpdate(table, {
-      val info = getFlightInfo(table)
-      val h = if (info.host.isEmpty) host else info.host
-      if (h == host && info.port == port) this
-      else new FlightClient(spark, h, info.port, batchRows)
-    })
+    * Cached per table with a TTL so steady-state poll loops don't pay
+    * an extra control round trip every tick, yet an endpoint that MOVES
+    * while the old node still answers is re-followed within
+    * [[FlightClient.EndpointTtlMs]]; callers additionally invalidate on
+    * data-plane errors ([[invalidateEndpoint]]) for immediate
+    * re-resolution when the old node goes away. */
+  def forEndpoint(table: String): FlightClient = {
+    val now = System.currentTimeMillis()
+    endpointCache.get(table) match {
+      case Some((c, at)) if now - at < FlightClient.EndpointTtlMs => c
+      case _ =>
+        val info = getFlightInfo(table)
+        val h = if (info.host.isEmpty) host else info.host
+        val c = if (h == host && info.port == port) this
+          else new FlightClient(spark, h, info.port, batchRows)
+        endpointCache.put(table, (c, now))
+        c
+    }
+  }
 
   /** Drop the cached endpoint for `table` (call after a data-plane
     * failure; the next [[forEndpoint]] re-resolves). */
   def invalidateEndpoint(table: String): Unit = endpointCache.remove(table)
 
   private val endpointCache =
-    scala.collection.concurrent.TrieMap.empty[String, FlightClient]
+    scala.collection.concurrent.TrieMap.empty[String, (FlightClient, Long)]
 
   /** Full table read (reference: `do_get`, `icerunner.py:272-282`).
     * Returns the rows together with the snapshot id they were read AT —
@@ -113,6 +121,11 @@ final class FlightClient(spark: SparkSession, val host: String, val port: Int,
 }
 
 object FlightClient {
+  /** How long a resolved data-plane endpoint is trusted before the next
+    * `forEndpoint` re-reads `get_flight_info` (bounds staleness when an
+    * advertisement changes while the old node keeps serving). */
+  val EndpointTtlMs: Long = 60000L
+
   /** A fetched body plus the snapshot it was pinned at. `cleanup()`
     * releases any client-side spill chunks once the rows are consumed. */
   final case class Fetched(df: DataFrame, snapshotId: Long,

@@ -163,10 +163,12 @@ final class FlightService(connector: Connector, port: Int = 0,
         // they arrive, so ingest memory is bounded regardless of size.
         val body = ArrowCodec.read(connector.spark, in)
         try {
-          // createTable is idempotent-false when the table exists (incl.
-          // LOSING a concurrent create race) — the loser must append, not
-          // silently drop its rows, so the fallback keys on the return
-          // value rather than a check-then-act tableExists probe
+          // Keyed on createTable's return value, not a check-then-act
+          // tableExists probe: when it reports the table already existed
+          // the body is appended instead of silently dropped. Row safety
+          // under a true create RACE comes from the snapshot log's
+          // link(2) commit protocol (both racers' appends land; the
+          // `created` flag is then best-effort, not a race verdict).
           val created = connector.createTable(req.table, body.df)
           if (!created) connector.insert(req.table, body.df)
           Wire.writeLine(out, Wire.obj(

@@ -93,6 +93,19 @@ class PipelineSpec extends AnyFunSuite {
     } finally Dedup.bitmaskDocCap = before
   }
 
+  test("edge cases: empty-vocabulary Jaccard and an id column literally named 'id'") {
+    val spark2 = spark
+    import spark2.implicits._
+    // all texts shorter than the n-gram → empty vocabulary, empty result
+    val tiny = Seq((1L, "ab"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    assert(Dedup.charNgramJaccard(tiny, "doc_id", "text", n = 3).count() === 0)
+    // dedup with idCol named "id" must not hit an ambiguous reference
+    val emb = T.embeddings(spark, sf).withColumnRenamed("vec_id", "id").limit(50)
+    val kept = Dedup.cosineDedup(emb, "id", "embedding", threshold = 0.95)
+    assert(kept.columns.toSeq === Seq("id", "embedding", "label"))
+    assert(kept.count() > 0)
+  }
+
   test("minhash estimate tracks true word-shingle Jaccard within 0.25") {
     val docs = T.documents(spark, sf).limit(120)
     val est = Dedup.minhashCandidatesPoly(docs, "doc_id", "text", threshold = 0.4)

@@ -84,15 +84,21 @@ class PlanSpec extends AnyFunSuite {
 
   test("q53 tf-idf builds without running any eager job (corpus count is in-plan)") {
     val tracker = spark.sparkContext.statusTracker
+    // wait until the async job-event stream is quiescent, so a straggling
+    // event from earlier work can't shift the before/after counts
+    def settledJobCount(): Int = {
+      var prev = -1
+      var cur = tracker.getJobIdsForGroup(null).length
+      while (cur != prev) { prev = cur; Thread.sleep(250); cur = tracker.getJobIdsForGroup(null).length }
+      cur
+    }
     T.documents(spark, sf).schema // parquet schema inference job, not q53's
-    Thread.sleep(300)
-    val before = tracker.getJobIdsForGroup(null).length
+    val before = settledJobCount()
     val df = SparkEntry.queries("q53_tfidf")(spark, sf)
-    Thread.sleep(500) // let async job-start events register
     // the old eager docs.count() ran a separate job while the query was
     // still being BUILT; now building must be job-free (AQE may still
     // split the actual execution into several jobs)
-    val after = tracker.getJobIdsForGroup(null).length
+    val after = settledJobCount()
     assert(after === before, s"query building ran ${after - before} eager jobs")
     assert(df.collect().nonEmpty)
   }
