@@ -71,6 +71,8 @@ object PolyHash31 {
   * via SparkSessionExtensions). Activate with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(PolyHash31.functionDescriptor)
+    ext.injectFunction(ArrayDot.functionDescriptor)
+  }
 }

@@ -19,19 +19,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-order dot product over primitive double arrays —
-    * accumulation order matches both the HOF formulation and DuckDB's
-    * list_dot_product, so results are bit-identical. */
-  private val dotU = udf { (a: Array[Double], b: Array[Double]) =>
-    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
-    else {
-      val n = math.min(a.length, b.length)
-      var s = 0.0
-      var i = 0
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      java.lang.Double.valueOf(s)
-    }
-  }
+  /** Sequential-order dot product via the NATIVE codegen'd expression
+    * (graft.functions.ArrayDot): no ScalaUDF boundary, no ArrayData
+    * copies, stays inside whole-stage codegen. Accumulation order
+    * matches the HOF formulation and DuckDB's list_dot_product, so
+    * results are bit-identical. */
+  private def dotU(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.ArrayDot(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   /** Dot product of two numeric array columns (double math, HOF form —
     * kept for composition in single-pass aggregates where a UDF would

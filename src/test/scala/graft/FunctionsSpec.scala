@@ -15,6 +15,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(spark.sql("SELECT poly_hash31(NULL) AS h").head().isNullAt(0))
   }
 
+  test("array_dot: registered, codegen'd, IEEE-identical to the HOF formulation") {
+    // SQL registration + nulls
+    assert(spark.sql(
+      "SELECT array_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0) === 32.0)
+    assert(spark.sql("SELECT array_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d")
+      .head().isNullAt(0))
+    // codegen: no ScalaUDF boundary in a similarity projection
+    val emb = T.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val df = emb.selectExpr("vec_id",
+      "array_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) AS sq")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf"), s"no UDF boundary expected:\n$plan")
+    // bit-identical to the sequential HOF accumulation (oracle parity)
+    val hof = emb.select(col("vec_id"),
+      graft.operators.Similarity.dot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("sq"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val native = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(native === hof)
+  }
+
   test("native expression stays inside whole-stage codegen") {
     val docs = T.documents(spark, "/root/testdata/sf0.001").limit(20)
     val df = docs.selectExpr("doc_id", "poly_hash31(text) AS h")
