@@ -82,6 +82,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CollectLimit"), s"no driver collects in the plan:\n$p")
   }
 
+  test("jaccard joins never degrade to cartesian/nested-loop pair joins") {
+    // wide-bitmask path (trigram vocab > 64): grid cells, no cross join
+    val wide = plan(Dedup.charNgramJaccard(
+      T.documents(spark, sf).limit(40), "doc_id", "text", 3, 0.8))
+    assert(!wide.contains("CartesianProduct") && !wide.contains("BroadcastNestedLoopJoin"),
+      s"wide bitmask path must stay cell-keyed:\n$wide")
+    // prefix-filter path: candidate join shuffles on tokens
+    val before = Dedup.bitmaskDocCap
+    try {
+      Dedup.bitmaskDocCap = 1L
+      val prefix = plan(Dedup.charNgramJaccard(
+        T.documents(spark, sf).limit(40), "doc_id", "text", 3, 0.8))
+      assert(Dedup.lastJaccardStrategy.get() === "prefix")
+      assert(!prefix.contains("CartesianProduct") && !prefix.contains("BroadcastNestedLoopJoin"),
+        s"prefix path must stay token-keyed:\n$prefix")
+    } finally Dedup.bitmaskDocCap = before
+  }
+
   test("q53 tf-idf builds without running any eager job (corpus count is in-plan)") {
     val tracker = spark.sparkContext.statusTracker
     // wait until the async job-event stream is quiescent, so a straggling

@@ -253,6 +253,41 @@ class WarehouseSpec extends AnyFunSuite {
     assert(hits === 1L)
   }
 
+  test("follower feeds each row exactly once across appends, expiry self-heal included") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    val offset = Files.createTempDirectory("graft-follow").resolve("offset")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def consume(df: org.apache.spark.sql.DataFrame, full: Boolean): Unit = {
+      if (full) seen.clear() // full feed resets downstream state
+      seen ++= df.select("id").as[Long].collect()
+    }
+    val t1 = graft.warehouse.Follower.followOnce(t, offset)(consume)
+    assert(t1.status === "full" && seen.size === 20)
+    c.insert("t", Seq((21L, "v21"), (22L, "v22")).toDF("id", "v"))
+    val t2 = graft.warehouse.Follower.followOnce(t, offset)(consume)
+    assert(t2.status === "incremental" && t2.rows === 2)
+    assert(seen.sorted.toSeq === (1L to 22L))
+    val t3 = graft.warehouse.Follower.followOnce(t, offset)(consume)
+    assert(t3.status === "up_to_date" && seen.size === 22)
+
+    // expire history past the follower's offset → full re-feed, no dupes
+    c.insert("t", Seq((23L, "v23")).toDF("id", "v"))
+    val compacted = t.compact(targetFiles = 1)
+    c.insert("t", Seq((24L, "v24")).toDF("id", "v"))
+    // rewind the offset before the horizon, then expire
+    java.nio.file.Files.writeString(offset, "1")
+    t.expireSnapshots(compacted.snapshotId)
+    val t4 = graft.warehouse.Follower.followOnce(t, offset)(consume)
+    assert(t4.status === "full_resync", s"got ${t4.status}")
+    assert(seen.sorted.toSeq === (1L to 24L))
+    // loop mode converges
+    val t5 = graft.warehouse.Follower.run(t, offset, intervalMs = 1,
+      iterations = Some(2))(consume)
+    assert(t5.status === "up_to_date")
+  }
+
   test("snapshot log json round-trip incl. escapes") {
     val dir = Files.createTempDirectory("graft-log-")
     val log = new SnapshotLog(dir)
