@@ -24,11 +24,22 @@ object T {
     scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   @volatile private var cacheSession: SparkSession = null
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    synchronized {
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val cached = synchronized {
       if (cacheSession ne spark) { planCache.clear(); cacheSession = spark }
-      planCache.getOrElseUpdate((sfDir, name), build(spark, sfDir, name))
+      planCache.get((sfDir, name))
     }
+    cached.getOrElse {
+      // build OUTSIDE the lock (schema inference runs a Spark job;
+      // concurrent callers must not serialize on it) — a racing double
+      // build is harmless, last one wins
+      val df = build(spark, sfDir, name)
+      synchronized {
+        if (cacheSession eq spark) planCache.put((sfDir, name), df)
+      }
+      df
+    }
+  }
 
   private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {

@@ -18,8 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, NullType}
   * fused. Accumulation order is left-to-right, IEEE-identical to the
   * UDF formulation and DuckDB's `list_dot_product` (oracle parity).
   *
-  * Elements must be non-null (embedding vectors); a null ARRAY yields
-  * null (nullIntolerant).
+  * A null ARRAY yields null (nullIntolerant). Null ELEMENTS are
+  * rejected loudly — reading a null slot as 0.0 would return a
+  * wrong-looking number silently, and embedding vectors never contain
+  * them (the parquet element type is merely declared nullable).
   */
 case class ArrayDot(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -56,7 +58,13 @@ object ArrayDot {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"array_dot: null element at index $i (vectors must be dense)")
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 

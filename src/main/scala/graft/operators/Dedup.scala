@@ -150,7 +150,12 @@ object Dedup {
     // BOTH bitmask paths additionally require the doc count under
     // [[bitmaskDocCap]] — vocabulary size alone must never route a huge
     // corpus onto an O(n²) pair phase.
-    val vocabN = dfreq.limit(65537).count()
+    // ONE corpus aggregation both decides the strategy and supplies the
+    // bitmask dictionaries: up to 65537 distinct tokens land on the
+    // driver (~1 MB worst case — a bounded dimension collect).
+    val vocabToks: Array[String] = dfreq.select(col("tok")).limit(65537)
+      .collect().map(_.getString(0))
+    val vocabN = vocabToks.length.toLong
     // the wide path additionally bounds total mask volume (docs ×
     // ceil(vocab/64) × 8 B ≤ 512 MB — 4M docs at a 1k-token vocab,
     // ~64k docs at the 65536-token worst case): it shuffles each mask
@@ -166,13 +171,13 @@ object Dedup {
       bitmaskDocCap + 1, Int.MaxValue.toLong).toInt).count()
     if (vocabN <= 64 && nDocs <= bitmaskDocCap) {
       lastJaccardStrategy.set("bitmask64")
-      return jaccardJoinBitmask(toks, dfreq, threshold)
+      return jaccardJoinBitmask(toks, vocabToks.sorted, threshold)
     }
     if (vocabN > 64 && vocabN <= 65536 &&
         OpUtil.isIntegralId(toks.schema("id").dataType) &&
         nDocs <= bitmaskDocCap && nDocs <= maxBlockDocs) {
       lastJaccardStrategy.set("bitmask-wide")
-      return jaccardJoinBitmaskWide(toks, threshold, vocabN, dfreq)
+      return jaccardJoinBitmaskWide(toks, threshold, vocabToks.sorted)
     }
     lastJaccardStrategy.set("prefix")
     val prefix = tokDoc.join(dfreq, "tok")
@@ -195,15 +200,17 @@ object Dedup {
   }
 
   /** Small-vocabulary Jaccard join: dictionary-encode the ≤64-token
-    * vocabulary to bit positions, OR each document's tokens into one
+    * vocabulary (supplied pre-collected by the strategy gate — no extra
+    * corpus scan) to bit positions, OR each document's tokens into one
     * long, and score pairs with `bit_count(a&b) / bit_count(a|b)` — all
     * codegen'd integer ops, no arrays, no UDF. The pair join broadcasts
     * the (id, mask) projection (16 bytes/row), so the only wide work is
     * the O(n²) predicate evaluation at ~1ns/pair. */
-  private def jaccardJoinBitmask(toks: DataFrame, dfreq: DataFrame,
+  private def jaccardJoinBitmask(toks: DataFrame, vocabSorted: Array[String],
       threshold: Double): DataFrame = {
-    val vocab = dfreq.select(col("tok"),
-      (row_number().over(Window.orderBy(col("tok"))) - 1).as("bit"))
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val vocab = vocabSorted.zipWithIndex.toSeq.toDF("tok", "bit")
     val masks = toks.select(col("id"), explode(col("toks")).as("tok"))
       .join(broadcast(vocab), "tok")
       .groupBy("id")
@@ -231,19 +238,17 @@ object Dedup {
     * the caller's [[bitmaskDocCap]]/memory gates, past which the
     * sub-quadratic prefix-filter path applies. */
   private def jaccardJoinBitmaskWide(toks: DataFrame, threshold: Double,
-      vocabN: Long, dfreq: DataFrame): DataFrame = {
+      vocabSorted: Array[String]): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
-    val words = ((vocabN + 63) >>> 6).toInt
-    // The DICTIONARY is collected and broadcast — bounded at ≤65536
-    // entries by the strategy gate regardless of corpus size (a
-    // dimension-table broadcast, not a corpus materialization). It is
-    // collected from the caller's dfreq aggregate (the same frame that
-    // sized vocabN/words — one source of truth, no second corpus scan).
-    // Masks are then built row-locally in one compiled pass: no explode,
-    // no join, no aggregation.
-    val vocab: Map[String, Int] =
-      dfreq.select(col("tok")).as[String].collect().sorted.zipWithIndex.toMap
+    val words = ((vocabSorted.length + 63) >>> 6).toInt
+    // The DICTIONARY arrives pre-collected from the strategy gate —
+    // bounded at ≤65536 entries regardless of corpus size (a
+    // dimension-table broadcast, not a corpus materialization), and the
+    // same array that sized the gate (one source of truth, no second
+    // corpus scan). Masks are built row-locally in one compiled pass:
+    // no explode, no join, no aggregation.
+    val vocab: Map[String, Int] = vocabSorted.zipWithIndex.toMap
     val bcVocab = spark.sparkContext.broadcast(vocab)
     val rows = toks.select(col("id").cast("long"), col("toks"))
       .as[(Long, Seq[String])]
@@ -586,10 +591,7 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, threshold = threshold)
-    val comp = components(df, idCol, cands)
-    df.join(comp, df(idCol) === comp("id"))
-      .filter(col(idCol) === col("canonical_id"))
-      .drop("id", "canonical_id")
+    keepCanonical(df, idCol, cands)
   }
 
   /** 64-bit SimHash over word tokens, codegen-friendly: explode tokens,

@@ -23,28 +23,35 @@ object Follower {
 
   /** One poll tick. `fn(df, full)`: `full = true` means `df` is the
     * whole table (initial feed or post-expiry re-sync) rather than a
-    * delta. */
+    * delta. The feed is persisted around (count, fn) so each tick reads
+    * the underlying files once; the offset advances only after `fn`
+    * returns. */
   def followOnce(table: GraftTable, offsetFile: Path)(
       fn: (DataFrame, Boolean) => Unit): Tick = {
     val head = table.currentSnapshotId.getOrElse(0L)
-    def feedFull(status: String): Tick = {
-      val full = table.read(Some(head))
-      fn(full, true)
-      writeOffset(offsetFile, head)
-      Tick(status, full.count(), head)
+    def feed(df: DataFrame, full: Boolean, status: String): Tick = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = df.count()
+        fn(df, full)
+        writeOffset(offsetFile, head)
+        Tick(status, n, head)
+      } finally df.unpersist()
     }
     readOffset(offsetFile) match {
       case Some(l) if l == head => Tick("up_to_date", 0L, head)
+      case Some(l) if l > head =>
+        // offset from a previous incarnation (table dropped/rebuilt):
+        // the recorded position does not exist in this history — re-feed
+        // everything rather than silently fast-forwarding past rows
+        feed(table.read(Some(head)), full = true, "full_resync")
       case Some(l) =>
-        try {
-          val delta = table.changesSince(l, head)
-          fn(delta, false)
-          writeOffset(offsetFile, head)
-          Tick("incremental", delta.count(), head)
-        } catch {
-          case _: HistoryExpiredException => feedFull("full_resync")
+        try feed(table.changesSince(l, head), full = false, "incremental")
+        catch {
+          case _: HistoryExpiredException =>
+            feed(table.read(Some(head)), full = true, "full_resync")
         }
-      case None => feedFull("full")
+      case None => feed(table.read(Some(head)), full = true, "full")
     }
   }
 
@@ -72,7 +79,10 @@ object Follower {
     }
 
   private def writeOffset(p: Path, id: Long): Unit = {
-    val tmp = Files.createTempFile(p.getParent, ".offset-", ".tmp")
+    val dir = Option(p.toAbsolutePath.getParent)
+      .getOrElse(throw new IllegalArgumentException(s"offset path has no parent: $p"))
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, ".offset-", ".tmp")
     Files.writeString(tmp, id.toString)
     // REPLACE is correct for offsets: single follower, last write wins
     Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,

@@ -107,7 +107,13 @@ class PlanSpec extends AnyFunSuite {
     def settledJobCount(): Int = {
       var prev = -1
       var cur = tracker.getJobIdsForGroup(null).length
-      while (cur != prev) { prev = cur; Thread.sleep(250); cur = tracker.getJobIdsForGroup(null).length }
+      var spins = 0
+      while (cur != prev && spins < 40) { // bounded: ~10s, then fail loudly below
+        prev = cur; Thread.sleep(250)
+        cur = tracker.getJobIdsForGroup(null).length
+        spins += 1
+      }
+      assert(spins < 40, "job-event stream never settled; cannot audit eager jobs")
       cur
     }
     T.documents(spark, sf).schema // parquet schema inference job, not q53's
