@@ -75,10 +75,44 @@ object Similarity {
         round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Deterministic pseudo-random hyperplane coefficient for (dim, bit),
+    * BIT-IDENTICAL to the expression formulation's
+    * `xxhash64(i, b·7919) / Long.MaxValue`: XxHash64 folds its children
+    * left-to-right from seed 42 with the int-width hash, so the chain
+    * is hashInt(d, 42) → hashInt(b·7919, ·). Reproducible across runs
+    * and engines without storing the planes. */
+  def hyperplane(d: Int, b: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    XXH64.hashInt(b * 7919, XXH64.hashInt(d, 42L))
+      .toDouble / Long.MaxValue.toDouble
+  }
+
+  /** Compiled random-hyperplane signature: bit b = sign of
+    * Σ_d v(d)·hyperplane(d, b). The LSH hot path — primitive loops, one
+    * UDF call per row (vs the interpreted nested-HOF formulation below,
+    * which evaluates per element with boxing). */
+  private def hyperplaneSigU(bits: Int) = udf { v: Seq[Double] =>
+    if (v == null) null.asInstanceOf[java.lang.Long]
+    else {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        var s = 0.0
+        var d = 0
+        val n = v.length
+        while (d < n) { s += v(d) * hyperplane(d, b); d += 1 }
+        if (s > 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+  }
+
   /** Random-hyperplane signature (SimHash for vectors): bit i = sign of
     * dot(v, h_i) where h_i is a deterministic pseudo-random hyperplane
-    * derived from xxhash64(dim, seed) — reproducible across runs and
-    * engines without storing the planes.
+    * derived from xxhash64(dim, seed) — the expression-only formulation,
+    * kept as the reference twin for the compiled [[hyperplaneSigU]]
+    * (interpreted per element; don't use on hot paths).
     */
   def hyperplaneSignature(vecCol: Column, bits: Int): Column =
     aggregate(
@@ -110,7 +144,7 @@ object Similarity {
     require(bits % bands == 0)
     val rowsPerBand = bits / bands
     def banded(df: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
-      val sig = hyperplaneSignature(col(vec), bits)
+      val sig = hyperplaneSigU(bits)(col(vec))
       df.withColumn("__sig", sig)
         .select(col(id), col(vec), col(nrm),
           posexplode(array((0 until bands).map(b =>
@@ -340,7 +374,7 @@ object Similarity {
     require(bits % bands == 0)
     val rowsPerBand = bits / bands
     val base = prepped(df, idCol, vecCol, "id", "v", "nrm")
-      .withColumn("__sig", hyperplaneSignature(col("v"), bits))
+      .withColumn("__sig", hyperplaneSigU(bits)(col("v")))
     val banded = base.select(col("id"), col("v"), col("nrm"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("__sig"), b * rowsPerBand)

@@ -45,6 +45,26 @@ class PipelineSpec extends AnyFunSuite {
       s"IVF top-1 recall ${hits.toDouble / exact.size} ($hits/${exact.size})")
   }
 
+  test("compiled hyperplane signature is bit-identical to the expression formulation") {
+    val emb = T.embeddings(spark, sf).limit(100)
+    val viaHof = emb.select(col("vec_id"),
+        Similarity.hyperplaneSignature(col("embedding").cast("array<double>"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // lshTopK's banded() computes the compiled form internally; rebuild
+    // the same value via the public hyperplane() coefficients
+    val viaCompiled = emb.select("vec_id", "embedding").collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      var sig = 0L
+      for (b <- 0 until 16) {
+        var s = 0.0
+        for (d <- v.indices) s += v(d) * Similarity.hyperplane(d, b)
+        if (s > 0) sig |= (1L << b)
+      }
+      r.getLong(0) -> sig
+    }.toMap
+    assert(viaCompiled === viaHof)
+  }
+
   test("cosineNearDupPairs is a subset of the exact pairs with decent recall") {
     val emb = T.embeddings(spark, sf)
     val exact = Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.4)
