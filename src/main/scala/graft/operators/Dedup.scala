@@ -32,6 +32,19 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** CDC-style dedup: keep the LATEST row per key (order column
+    * descending, deterministic tiebreaker) — the upsert-compaction shape
+    * every event/feature store needs. Same single hash shuffle + window
+    * as [[exact]]. */
+  def latest(df: DataFrame, key: Seq[String], orderCol: String,
+      tiebreak: String): DataFrame = {
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tiebreak).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Normalized-text fingerprint: lowercase, collapse whitespace, md5.
     * Catches trivially-reformatted duplicates; md5 keeps the oracle
     * (DuckDB `md5`) bit-identical.

@@ -89,6 +89,20 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- CDC-style keep-latest dedup (upsert compaction) --------------
+    Q("q62_dedup_latest",
+      """SELECT event_id, user_id, event_type, round(value, 4) AS value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      Dedup.latest(T.events(s, d), Seq("user_id", "event_type"), "ts", "event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"))
+        .orderBy("user_id", "event_type")
+    },
+
     // ---- near-dup by normalized-text md5 fingerprint ----
     Q("q22_dedup_fingerprint",
       """SELECT doc_id, lang FROM (
@@ -409,6 +423,51 @@ object Pipeline {
       Dedup.cosineDedup(T.embeddings(s, d), "vec_id", "embedding", 0.4)
         .select("vec_id", "label")
         .orderBy("vec_id")
+    },
+
+    // ---- ordered conversion funnel (sequential pattern per user) ------
+    // Stage reached in strict order: first view, first click AFTER that
+    // view, first purchase AFTER that click. Each stage is one
+    // filter+agg and one key join — no self cross products.
+    Q("q63_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CASE WHEN p.user_id IS NOT NULL THEN 3
+        |       WHEN c.user_id IS NOT NULL THEN 2
+        |       WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin) { (s, d) =>
+      val e = T.events(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = e.join(v.withColumnRenamed("user_id", "vuid"),
+          col("user_id") === col("vuid") && col("ts") > col("t_view"))
+        .filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = e.join(c.withColumnRenamed("user_id", "cuid"),
+          col("user_id") === col("cuid") && col("ts") > col("t_click"))
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      e.select("user_id").distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          when(col("t_purchase").isNotNull, 3)
+            .when(col("t_click").isNotNull, 2)
+            .when(col("t_view").isNotNull, 1)
+            .otherwise(0).as("stage"))
+        .orderBy("user_id")
     },
 
     // ---- per-label embedding stats (norms via higher-order funcs) ----
