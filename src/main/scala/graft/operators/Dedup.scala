@@ -190,7 +190,7 @@ object Dedup {
         OpUtil.isIntegralId(toks.schema("id").dataType) &&
         nDocs <= bitmaskDocCap && nDocs <= maxBlockDocs) {
       lastJaccardStrategy.set("bitmask-wide")
-      return jaccardJoinBitmaskWide(toks, threshold, vocabToks.sorted)
+      return jaccardJoinBitmaskWide(toks, threshold, vocabToks.sorted, nDocs)
     }
     lastJaccardStrategy.set("prefix")
     val prefix = tokDoc.join(dfreq, "tok")
@@ -251,7 +251,7 @@ object Dedup {
     * the caller's [[bitmaskDocCap]]/memory gates, past which the
     * sub-quadratic prefix-filter path applies. */
   private def jaccardJoinBitmaskWide(toks: DataFrame, threshold: Double,
-      vocabSorted: Array[String]): DataFrame = {
+      vocabSorted: Array[String], nDocs: Long): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
     val words = ((vocabSorted.length + 63) >>> 6).toInt
@@ -273,7 +273,10 @@ object Dedup {
         }
         (id, (m, ts.size))
       }
-    val b = GridSelfJoin.defaultBlocks(spark)
+    // adaptive: the strategy gate already paid for the doc count, so the
+    // grid sizes itself from real corpus volume (mask payload = words·8 B
+    // plus tuple overhead) instead of parallelism alone
+    val b = GridSelfJoin.adaptiveBlocks(spark, nDocs, words * 8L + 32L)
     val out = GridSelfJoin.pairs(rows, b, threshold) { (a, c) =>
       val (ma, na) = a; val (mb, nb) = c
       var common = 0; var w = 0
@@ -554,18 +557,104 @@ object Dedup {
 
   /** Connected components over candidate pairs by iterative min-label
     * propagation, then keep the component minimum as canonical.
-    * Converges in O(log n) joins for realistic dup clusters (which are
-    * tiny); `maxIter` bounds pathological chains.
+    * Converges in O(graph diameter) rounds for realistic dup clusters
+    * (which are tiny); `maxIter` bounds pathological chains and
+    * non-convergence FAILS LOUDLY rather than silently splitting
+    * clusters.
     *
-    * The iteration runs only over nodes that actually have an edge
-    * (isolated docs are their own canonical, appended at the end), and
-    * every iterate is `localCheckpoint`ed so the candidate pipeline is
-    * computed exactly once — not once per iteration per join.
+    * Physical shape (integral ids — the hot path): the edge list drops
+    * to an RDD hash-partitioned ONCE by destination node; per iteration
+    * the edge⋈label join and the label merge are then NARROW (partitioner
+    * reuse — a DataFrame loop re-shuffles the edges every round, which
+    * dominated the wall clock), so each round costs exactly one
+    * min-reduce shuffle of the neighbor-label stream. Convergence is
+    * detected by an accumulator inside the same materializing action —
+    * no separate per-round convergence job. This is the one operator
+    * family where RDD partitioner control genuinely beats the DataFrame
+    * API (iterative graph propagation; same reason GraphX sits on RDDs).
     *
     * Returns (id, canonical_id) for every id in `df`.
     */
   def components(df: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 200): DataFrame = {
+    val idT = pairs.schema("id_a").dataType
+    val labels =
+      if (OpUtil.isIntegralId(idT)) componentLabelsRdd(pairs, maxIter)
+      else componentLabelsDf(pairs, maxIter)
+    val all = df.select(col(idCol).as("id")).distinct()
+    all.join(labels.withColumnRenamed("label", "canonical_id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("canonical_id"), col("id")).as("canonical_id"))
+  }
+
+  /** Diagnostic switch: per-round timing on stderr (tests/profiling). */
+  private[graft] var ccDebug: Boolean = false
+
+  /** RDD min-label propagation (see [[components]] scaladoc): returns
+    * (id, label) for every node with at least one edge. */
+  private def componentLabelsRdd(pairs: DataFrame, maxIter: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, sc.defaultParallelism))
+    // (dst, src) both ways, partitioned once by dst and pinned: every
+    // iteration's join against the co-partitioned labels is narrow.
+    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // nodes-with-edges, deduped per partition (edges are key-complete
+      // within their partition) — no extra shuffle
+      var labels = edges.mapPartitions({ it =>
+        val seen = new java.util.HashSet[Long]()
+        it.flatMap { case (k, _) =>
+          if (seen.add(k)) Iterator((k, k)) else Iterator.empty }
+      }, preservesPartitioning = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var iter = 0
+      val t0 = System.nanoTime()
+      var converged = labels.isEmpty()
+      if (ccDebug) System.err.println(
+        f"[cc] init+edges ${(System.nanoTime() - t0) / 1e9}%.3f s, edges=${edges.count()}")
+      while (iter < maxIter && !converged) {
+        val ti = System.nanoTime()
+        val changed = sc.longAccumulator(s"cc-changed-$iter")
+        val neighborMin = edges.join(labels) // narrow both sides
+          .map { case (_, (src, lbl)) => (src, lbl) }
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // the round's single shuffle
+        val upd = labels.leftOuterJoin(neighborMin, part).mapValues {
+          case (old, nmin) =>
+            val nl = math.min(old, nmin.getOrElse(old))
+            if (nl < old) changed.add(1L)
+            nl
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        upd.count() // materialize + fill the accumulator in ONE action
+        val prev = labels
+        labels = upd
+        prev.unpersist(blocking = false)
+        converged = changed.value == 0L
+        if (ccDebug) System.err.println(
+          f"[cc] iter $iter ${(System.nanoTime() - ti) / 1e9}%.3f s changed=${changed.value}")
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"components did not converge in $maxIter iterations " +
+            "(duplicate-graph diameter exceeds the cap; raise maxIter)")
+      // hand the final labels back to SQL; the eager localCheckpoint
+      // materializes the copy, after which the cached iterate can go
+      val out = labels.toDF("id", "label").localCheckpoint(eager = true)
+      labels.unpersist(blocking = false)
+      out
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** DataFrame fallback for non-integral id types: same semantics, one
+    * localCheckpoint per round (edges re-shuffle each round — acceptable
+    * for the cold path). */
+  private def componentLabelsDf(pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint(eager = true)
@@ -575,10 +664,6 @@ object Dedup {
     var iter = 0
     var converged = edges.isEmpty
     while (iter < maxIter && !converged) {
-      // min-label propagation advances one hop per iteration: cost is
-      // O(graph diameter), and convergence exits early — the cap only
-      // bounds pathological chains, and non-convergence FAILS LOUDLY
-      // below rather than silently splitting clusters.
       val neighborMin = edges.join(labels, edges("id_b") === labels("id"))
         .groupBy(col("id_a").as("id")).agg(min("label").as("nmin"))
       val upd = labels.as("l")
@@ -594,9 +679,7 @@ object Dedup {
       throw new IllegalStateException(
         s"components did not converge in $maxIter iterations " +
           "(duplicate-graph diameter exceeds the cap; raise maxIter)")
-    val all = df.select(col(idCol).as("id")).distinct()
-    all.join(labels.withColumnRenamed("label", "canonical_id"), Seq("id"), "left")
-      .select(col("id"), coalesce(col("canonical_id"), col("id")).as("canonical_id"))
+    labels
   }
 
   /** Full MinHash near-dup pipeline: candidates → components → keep the

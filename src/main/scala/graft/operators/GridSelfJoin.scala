@@ -28,6 +28,36 @@ object GridSelfJoin {
     math.max(2, math.ceil(math.sqrt(
       8.0 * spark.sparkContext.defaultParallelism)).toInt)
 
+  /** Corpus-aware block count. The parallelism-derived [[defaultBlocks]]
+    * is the GRANULARITY TARGET, applied as a cap, not a floor; two
+    * corpus-volume guards adjust it:
+    *
+    *   - replication cap: each row ships b+1 copies, so when
+    *     n·rowBytes·(b+1) would exceed `shuffleBudgetBytes`, b shrinks
+    *     (a corpus with wide payloads — 8 KB masks, big vectors —
+    *     shouldn't pay 17× replication for task granularity it can't
+    *     use; measured on the sf0.1 trigram corpus the replication cost
+    *     of b=16 at 64 B/row is noise, so small payloads keep full
+    *     granularity);
+    *   - memory floor: a cell materializes ~2n/b rows, so b grows until
+    *     a cell fits `cellBudgetBytes` — the hard constraint, allowed to
+    *     override the replication cap.
+    *
+    * Callers pass an exact-or-capped row count (a capped count stays
+    * valid: the formula is monotone and saturates) and a per-row payload
+    * estimate. */
+  def adaptiveBlocks(spark: org.apache.spark.sql.SparkSession, nRows: Long,
+      rowBytes: Long, cellBudgetBytes: Long = 256L << 20,
+      shuffleBudgetBytes: Long = 4L << 30): Int = {
+    val bPar = defaultBlocks(spark).toLong
+    val volPerCopy = math.max(1L, nRows) * math.max(1L, rowBytes)
+    val bShuffle = math.max(2L, shuffleBudgetBytes / volPerCopy - 1L)
+    val bMem = math.ceil(
+      2.0 * nRows * math.max(1L, rowBytes) / cellBudgetBytes).toLong
+    math.min(4096L, math.max(math.max(2L, bMem),
+      math.min(bPar, bShuffle))).toInt
+  }
+
   /** Score all unordered pairs; emit (min id, max id, score) for pairs
     * where `score` returns a value ≥ `threshold`. `score` MUST be
     * symmetric in its two payload arguments. */

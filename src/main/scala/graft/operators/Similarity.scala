@@ -87,24 +87,52 @@ object Similarity {
       .toDouble / Long.MaxValue.toDouble
   }
 
-  /** Compiled random-hyperplane signature: bit b = sign of
-    * Σ_d v(d)·hyperplane(d, b). The LSH hot path — primitive loops, one
-    * UDF call per row (vs the interpreted nested-HOF formulation below,
-    * which evaluates per element with boxing). */
-  private def hyperplaneSigU(bits: Int) = udf { v: Seq[Double] =>
-    if (v == null) null.asInstanceOf[java.lang.Long]
-    else {
-      var sig = 0L
-      var b = 0
-      while (b < bits) {
-        var s = 0.0
-        var d = 0
-        val n = v.length
-        while (d < n) { s += v(d) * hyperplane(d, b); d += 1 }
-        if (s > 0) sig |= (1L << b)
-        b += 1
+  /** Executor-local cache of the hyperplane coefficient matrix
+    * `planes(b)(d) = hyperplane(d, b)` — the matrix is a pure function
+    * of (bits, dims), so recomputing its 2·bits·dims XXH64 chains per
+    * ROW (~2k hash calls for 16×64) was pure waste. One instance is
+    * captured per UDF closure; the matrix rebuilds lazily on first use
+    * per executor (and on a dims change). Unsynchronized racing rebuilds
+    * are benign (same deterministic values). */
+  private final class PlaneCache(bits: Int) extends Serializable {
+    @transient @volatile private var cached: (Int, Array[Array[Double]]) = null
+    def get(dims: Int): Array[Array[Double]] = {
+      val c = cached
+      if (c != null && c._1 == dims) c._2
+      else {
+        val m = Array.tabulate(bits, dims)((b, d) => hyperplane(d, b))
+        cached = (dims, m)
+        m
       }
-      java.lang.Long.valueOf(sig)
+    }
+  }
+
+  /** Compiled random-hyperplane signature: bit b = sign of
+    * Σ_d v(d)·hyperplane(d, b). The LSH hot path — primitive loops over
+    * the cached coefficient matrix, one UDF call per row (vs the
+    * interpreted nested-HOF formulation below, which evaluates per
+    * element with boxing). Outputs stay bit-identical to
+    * [[hyperplaneSignature]] (same coefficients, same accumulation
+    * order). */
+  private def hyperplaneSigU(bits: Int) = {
+    val cache = new PlaneCache(bits)
+    udf { v: Seq[Double] =>
+      if (v == null) null.asInstanceOf[java.lang.Long]
+      else {
+        val n = v.length
+        val planes = cache.get(n)
+        var sig = 0L
+        var b = 0
+        while (b < bits) {
+          val row = planes(b)
+          var s = 0.0
+          var d = 0
+          while (d < n) { s += v(d) * row(d); d += 1 }
+          if (s > 0) sig |= (1L << b)
+          b += 1
+        }
+        java.lang.Long.valueOf(sig)
+      }
     }
   }
 
@@ -152,17 +180,26 @@ object Similarity {
               .bitwiseAND((1L << rowsPerBand) - 1)): _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     }
-    val qb = banded(prepped(queries, idCol, vecCol, "query_id", "qv", "qn"),
-      "query_id", "qv", "qn")
-    val cb = banded(prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn"),
-      "neighbor_id", "cv", "cn")
-    val cands = cb.join(qb, Seq("band", "bucket"))
+    val q = prepped(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val c = prepped(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    // Slim candidate join: band/bucket join and pair-dedup carry BARE
+    // ids — the vectors re-attach to the few surviving pairs afterwards.
+    // (Shuffling the duplicate-heavy candidate stream with both
+    // embedding arrays attached was ~an order of magnitude more shuffle
+    // volume than the ids.)
+    val qb = banded(q, "query_id", "qv", "qn")
+      .select("query_id", "band", "bucket")
+    val cb = banded(c, "neighbor_id", "cv", "cn")
+      .select("neighbor_id", "band", "bucket")
+    val idPairs = cb.join(qb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    cands
+    idPairs
+      .join(q, "query_id")
+      .join(c, "neighbor_id")
       .withColumn("sim", dotU(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -192,7 +229,16 @@ object Similarity {
   def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blocks: Int = 0): DataFrame = {
     val b = if (blocks > 0) blocks
-      else GridSelfJoin.defaultBlocks(df.sparkSession)
+      else {
+        // two bounded probes (first-row dims + capped count) size the
+        // grid from corpus volume; the cap keeps the probe cheap and is
+        // formula-safe (adaptiveBlocks saturates above it)
+        val dims = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+          .limit(1).collect().headOption
+          .map(_.getSeq[Any](0).length).getOrElse(0)
+        val n = df.select(col(idCol)).limit(16 << 20).count()
+        GridSelfJoin.adaptiveBlocks(df.sparkSession, n, 8L * dims + 24L)
+      }
     if (!OpUtil.isIntegralId(df.schema(idCol).dataType))
       return exactCosinePairsGridSql(df, idCol, vecCol, threshold, b)
     // Typed cell scoring via GridSelfJoin: each cell scored with
@@ -374,19 +420,23 @@ object Similarity {
     require(bits % bands == 0)
     val rowsPerBand = bits / bands
     val base = prepped(df, idCol, vecCol, "id", "v", "nrm")
+    // Slim candidate join (see lshTopK): bucket join and pair-dedup on
+    // bare ids; vectors re-attach to the deduped pairs only.
+    val banded = base
       .withColumn("__sig", hyperplaneSigU(bits)(col("v")))
-    val banded = base.select(col("id"), col("v"), col("nrm"),
+      .select(col("id"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("__sig"), b * rowsPerBand)
             .bitwiseAND((1L << rowsPerBand) - 1)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    banded.as("a").join(banded.as("b"),
+    val idPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"),
-        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    idPairs
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .withColumn("sim", dotU(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))

@@ -33,8 +33,15 @@ class PropertySpec extends AnyFunSuite {
       ids <- Gen.listOfN(n, Gen.choose(-1000L, 1000L)).map(_.distinct)
       vals <- Gen.listOfN(ids.size, Gen.choose(-5.0, 5.0))
     } yield ids.zip(vals)
+    // sweep fixed block counts AND the adaptive sizes the operators
+    // actually pick (small/wide/huge corpora hit the cap, the
+    // replication guard, and the memory floor respectively)
+    val adaptive = Seq(
+      graft.operators.GridSelfJoin.adaptiveBlocks(spark, 5000L, 64L),
+      graft.operators.GridSelfJoin.adaptiveBlocks(spark, 65536L, 8224L),
+      graft.operators.GridSelfJoin.adaptiveBlocks(spark, 4L << 20, 536L))
     for ((corpus, blocks) <- samples(corpusGen, 12).zip(
-        LazyList.continually(Seq(2, 3, 5, 16)).flatten)) {
+        LazyList.continually(Seq(2, 3, 5, 16) ++ adaptive).flatten)) {
       val rows = spark.createDataset(corpus).map { case (id, v) => (id, v) }
       val got = graft.operators.GridSelfJoin.pairs(rows, blocks, Double.MinValue) {
         (a, b) => a + b // symmetric score; threshold keeps every pair
@@ -44,6 +51,32 @@ class PropertySpec extends AnyFunSuite {
       } yield (ia, ib, va + vb)).toSeq
       assert(got.sorted === expect.sorted,
         s"blocks=$blocks n=${corpus.size}")
+    }
+  }
+
+  test("property: adaptiveBlocks honors the parallelism cap, replication guard, and memory floor") {
+    val spark = SparkTestSession.spark
+    import graft.operators.GridSelfJoin.{adaptiveBlocks, defaultBlocks}
+    val cap = defaultBlocks(spark)
+    val g = for {
+      n <- Gen.choose(0L, 8L << 20)
+      bytes <- Gen.choose(1L, 16384L)
+    } yield (n, bytes)
+    for ((n, bytes) <- samples(g, 200)) {
+      val b = adaptiveBlocks(spark, n, bytes)
+      assert(b >= 2 && b <= 4096, s"n=$n bytes=$bytes b=$b")
+      val cellBytes = if (b == 0) 0.0 else 2.0 * n * bytes / b
+      // memory floor: a cell fits the budget (unless the 4096 hard cap bit)
+      assert(b == 4096 || cellBytes <= (256L << 20).toDouble, s"n=$n bytes=$bytes b=$b")
+      // small corpora ride the parallelism-derived default (cap, not floor)
+      if (n * bytes * (cap + 1) <= (4L << 30) && 2.0 * n * bytes / cap <= (256L << 20).toDouble)
+        assert(b == cap, s"small corpus must take the default: n=$n bytes=$bytes b=$b cap=$cap")
+      // replication guard: above budget, the tagged shuffle stays bounded
+      // unless the memory floor forced it higher
+      val shipped = n * bytes * (b + 1)
+      if (shipped > (4L << 30))
+        assert(2.0 * n * bytes / math.max(1, b - 1) > (256L << 20).toDouble || b == 2,
+          s"oversize shuffle without a memory reason: n=$n bytes=$bytes b=$b")
     }
   }
 
