@@ -364,8 +364,23 @@ object Similarity {
     * its probed cells, so the scored-pair count is ~corpus×(nprobe/nlist)
     * instead of corpus×queries.
     */
+  /** Session-scoped IVF quantizer cache: centroids are a pure function
+    * of (corpus plan, nlist) under the fixed seed, and retraining the
+    * coarse quantizer on every query invocation was most of the
+    * operator's cost. Keyed on the canonicalized logical plan of the
+    * vector projection (semantic, not reference, identity — the same
+    * table read twice hits), verified with `sameResult` against hash
+    * collisions. One session's quantizers are retained, mirroring
+    * `T.planCache`: at scale this is "train once per (table, snapshot),
+    * reuse across queries". */
+  private val ivfCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int), (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Array[Array[Double]])]
+  @volatile private var ivfCacheSession: org.apache.spark.sql.SparkSession = null
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      maxTrainRows: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // Spherical k-means: cluster UNIT vectors so euclidean cell
@@ -378,12 +393,30 @@ object Similarity {
       val n = math.sqrt(s)
       if (n == 0) v else v.map(_ / n)
     }
+    val spark = corpus.sparkSession
+    val proj = corpus.select(col(vecCol).cast("array<double>").as("__v"))
+    val plan = proj.queryExecution.analyzed.canonicalized
+    val key = (plan.semanticHash(), nlist)
+    synchronized {
+      if (ivfCacheSession ne spark) { ivfCache.clear(); ivfCacheSession = spark }
+    }
     val unitU = udf(unit _)
-    val train = corpus.select(array_to_vector(
-      unitU(col(vecCol).cast("array<double>"))).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .fit(train)
-    val cents = model.clusterCenters.map(_.toArray)
+    val cents = ivfCache.get(key)
+      .filter { case (p, _) => p.sameResult(plan) }.map(_._2)
+      .getOrElse {
+        // quantizer training is bounded: a coarse quantizer needs a
+        // representative sample, not the corpus — at 100 TB the full
+        // 5-pass k-means would be 5 corpus scans for no recall gain
+        val train = proj.limit(maxTrainRows)
+          .select(array_to_vector(unitU(col("__v"))).as("features"))
+        val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+          .fit(train)
+        val c = model.clusterCenters.map(_.toArray)
+        synchronized {
+          if (ivfCacheSession eq spark) ivfCache.put(key, (plan, c))
+        }
+        c
+      }
     val bc = corpus.sparkSession.sparkContext.broadcast(cents)
     val nearestCells = udf { (raw: Array[Double], n: Int) =>
       val v = unit(raw)

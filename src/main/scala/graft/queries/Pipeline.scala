@@ -425,10 +425,29 @@ object Pipeline {
         .orderBy("vec_id")
     },
 
+    // ---- embedding-cosine dedup, LSH candidate path (the 100 TB plan) --
+    // Same downstream closure as q60 but candidates come from the
+    // sub-quadratic hyperplane-LSH bucket join instead of the exact
+    // all-pairs grid — the shape that survives a 100x corpus. Hash-based
+    // bucketing has no DuckDB twin, so the driver checks rows-only;
+    // PipelineSpec asserts the containment law (every exactly-kept row
+    // is LSH-kept) and a dedup-power recall floor vs the exact path.
+    Q.noOracle("q64_cosine_dedup_lsh") { (s, d) =>
+      Dedup.cosineDedup(T.embeddings(s, d), "vec_id", "embedding", 0.4,
+          exact = false)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    },
+
     // ---- ordered conversion funnel (sequential pattern per user) ------
     // Stage reached in strict order: first view, first click AFTER that
-    // view, first purchase AFTER that click. Each stage is one
-    // filter+agg and one key join — no self cross products.
+    // view, first purchase AFTER that click. ONE shuffle: a single
+    // groupBy(user_id) collects the conditional min view time plus the
+    // per-user click/purchase timestamp lists; the staged "first after"
+    // logic is then row-local array arithmetic (filter + array_min). The
+    // lists are bounded by one user's click/purchase counts — at event-log
+    // scale that is the natural per-key state (and the reason this beats
+    // the 4-shuffle join-per-stage formulation the oracle SQL spells out).
     Q("q63_funnel",
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),
@@ -448,20 +467,15 @@ object Pipeline {
         |LEFT JOIN p ON u.user_id = p.user_id
         |ORDER BY u.user_id""".stripMargin) { (s, d) =>
       val e = T.events(s, d)
-      val v = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t_view"))
-      val c = e.join(v.withColumnRenamed("user_id", "vuid"),
-          col("user_id") === col("vuid") && col("ts") > col("t_view"))
-        .filter(col("event_type") === "click")
-        .groupBy("user_id").agg(min("ts").as("t_click"))
-      val p = e.join(c.withColumnRenamed("user_id", "cuid"),
-          col("user_id") === col("cuid") && col("ts") > col("t_click"))
-        .filter(col("event_type") === "purchase")
-        .groupBy("user_id").agg(min("ts").as("t_purchase"))
-      e.select("user_id").distinct()
-        .join(v, Seq("user_id"), "left")
-        .join(c, Seq("user_id"), "left")
-        .join(p, Seq("user_id"), "left")
+      e.groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          collect_list(when(col("event_type") === "click", col("ts"))).as("clicks"),
+          collect_list(when(col("event_type") === "purchase", col("ts"))).as("purchases"))
+        .withColumn("t_click",
+          array_min(filter(col("clicks"), t => t > col("t_view"))))
+        .withColumn("t_purchase",
+          array_min(filter(col("purchases"), t => t > col("t_click"))))
         .select(col("user_id"),
           when(col("t_purchase").isNotNull, 3)
             .when(col("t_click").isNotNull, 2)

@@ -45,6 +45,32 @@ class PipelineSpec extends AnyFunSuite {
       s"IVF top-1 recall ${hits.toDouble / exact.size} ($hits/${exact.size})")
   }
 
+  test("ivfTopK caches the quantizer: second invocation runs fewer jobs, same result") {
+    val emb = T.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    def runCountingJobs(group: String): (Int, Array[(Long, Long, Int)]) = {
+      val sc = spark.sparkContext
+      sc.setJobGroup(group, group)
+      val rows =
+        try Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+            nlist = 4, nprobe = 2)
+          .orderBy("query_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        finally sc.clearJobGroup()
+      // the status store fills asynchronously — poll until stable
+      def count() = sc.statusTracker.getJobIdsForGroup(group).length
+      var last = -1
+      var cur = count()
+      while (cur != last) { Thread.sleep(200); last = cur; cur = count() }
+      (cur, rows)
+    }
+    val (jobs1, rows1) = runCountingJobs("ivf-first")
+    val (jobs2, rows2) = runCountingJobs("ivf-second")
+    assert(rows1 === rows2)
+    assert(jobs2 < jobs1,
+      s"cached invocation should skip the k-means training jobs ($jobs2 vs $jobs1)")
+  }
+
   test("compiled hyperplane signature is bit-identical to the expression formulation") {
     val emb = T.embeddings(spark, sf).limit(100)
     val viaHof = emb.select(col("vec_id"),
@@ -162,6 +188,29 @@ class PipelineSpec extends AnyFunSuite {
       threshold = 0.95, exact = false)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(dups.select("vec_id").collect().map(_.getLong(0)).forall(!lshKept.contains(_)))
+  }
+
+  test("q64 LSH cosine dedup: exact-kept ⊆ lsh-kept, and dedup power holds up") {
+    val emb = T.embeddings(spark, sf)
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val keptExact = Dedup.cosineDedup(emb, "vec_id", "embedding", 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val keptLsh = Dedup.cosineDedup(emb, "vec_id", "embedding", 0.4, exact = false)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // containment law: LSH edges ⊆ exact edges, so each exact component's
+    // min id is also the min of its LSH sub-component — exact-kept rows
+    // can never be dropped by the LSH path
+    assert(keptExact.subsetOf(keptLsh))
+    // dedup-power recall: of the rows the exact path removes, the LSH
+    // path must remove most (the quantity that matters at 100 TB)
+    val droppedExact = all -- keptExact
+    val droppedLsh = all -- keptLsh
+    assert(droppedLsh.subsetOf(droppedExact))
+    if (droppedExact.nonEmpty) {
+      val recall = droppedLsh.size.toDouble / droppedExact.size
+      assert(recall >= 0.5, s"dedup-power recall $recall " +
+        s"(${droppedLsh.size}/${droppedExact.size})")
+    }
   }
 
   test("minhashDedupPoly keeps exactly one canonical doc per duplicate cluster") {

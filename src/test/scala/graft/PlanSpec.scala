@@ -127,6 +127,14 @@ class PlanSpec extends AnyFunSuite {
     assert(df.collect().nonEmpty)
   }
 
+  test("funnel is a single aggregation shuffle (+ presentation sort)") {
+    val p = plan(SparkEntry.queries("q63_funnel")(spark, sf))
+    // one hash exchange for groupBy(user_id), one range exchange for the
+    // output ORDER BY — the staged first-after logic must stay row-local
+    assert(countIn(p, "Exchange") <= 2, s"expected <=2 exchanges:\n$p")
+    assert(!p.contains("Join"), s"funnel must not join per stage:\n$p")
+  }
+
   test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
     val p = plan(T.orders(spark, sf)
       .orderBy(col("o_totalprice").desc).limit(25))
