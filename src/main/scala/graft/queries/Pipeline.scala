@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, T}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+import graft.operators.{Contamination, Dedup, Packing, Sampling, Similarity, TextAnalysis => TA}
 
 /** LLM-training-data pipeline surface (SURVEY.md §2C): dedup, text
   * analysis, and vector similarity over the `documents` / `embeddings`
@@ -482,6 +482,71 @@ object Pipeline {
             .when(col("t_view").isNotNull, 1)
             .otherwise(0).as("stage"))
         .orderBy("user_id")
+    },
+
+    // ---- deterministic hash-split sampling (train/eval carve-out) ------
+    // Membership is a pure function of the key's portable hash: stable
+    // under repartitioning and append, unlike df.sample — and DuckDB
+    // recomputes the identical hash, so the split is hash-verified.
+    Q("q65_hash_split",
+      s"""SELECT doc_id,
+         |  h % 100 AS bucket,
+         |  CASE WHEN h % 100 < 90 THEN 'train' ELSE 'eval' END AS split
+         |FROM (SELECT doc_id,
+         |  ${polyHashOf("CAST(doc_id AS VARCHAR)")} AS h FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.split(T.documents(s, d), "doc_id", 90)
+        .select(col("doc_id"),
+          Sampling.hashBucket(col("doc_id"), 100).as("bucket"),
+          col("split"))
+        .orderBy("doc_id")
+    },
+
+    // ---- sequence packing (token-budget shard binning) -----------------
+    // Greedy contiguous offset packing per language shard: bin =
+    // floor(start_offset / 2048) over the shard's running token sum —
+    // the data-loader layout pass, one partitioned window, no shuffle
+    // beyond the shard hash.
+    Q("q66_sequence_packing",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+        |              - n_tokens) / 2048.0) AS BIGINT) AS bin
+        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d).select(col("doc_id"), col("lang"),
+        TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Packing.packBins(docs, "n_tokens", "doc_id", 2048, Seq("lang"))
+        .orderBy("doc_id")
+    },
+
+    // ---- benchmark decontamination (8-gram overlap vs eval set) --------
+    // Training docs (doc_id >= 20) sharing any distinct 8-word shingle
+    // with the benchmark slice (doc_id < 20); shuffle key = shingle.
+    Q("q67_decontamination",
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(greatest(len(toks) - 8, 0) + 1),
+        |    j -> array_to_string(toks[j+1:j+8], ' ')))) AS s
+        |  FROM docs),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20)
+        |SELECT a.doc_id, count(*) AS n_shared
+        |FROM sh a JOIN bench b ON a.s = b.s
+        |WHERE a.doc_id >= 20
+        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+      Contamination.overlap(
+          docs.filter(col("doc_id") >= 20),
+          docs.filter(col("doc_id") < 20),
+          "doc_id", "text", 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     },
 
     // ---- per-label embedding stats (norms via higher-order funcs) ----

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Contamination, Dedup, Packing, Sampling, Similarity}
 
 /** Differential tests for the approximate operators against their exact
   * counterparts — the check the DuckDB oracle can't express for
@@ -211,6 +211,60 @@ class PipelineSpec extends AnyFunSuite {
       assert(recall >= 0.5, s"dedup-power recall $recall " +
         s"(${droppedLsh.size}/${droppedExact.size})")
     }
+  }
+
+  test("hash-split sampling is stable under repartitioning and splits near the target") {
+    val docs = T.documents(spark, sf)
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Sampling.split(df, "doc_id", 90).select("doc_id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = splits(docs)
+    val b = splits(docs.repartition(17, col("lang")))
+    assert(a === b, "split membership must not depend on partition layout")
+    val trainFrac = a.values.count(_ == "train").toDouble / a.size
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction $trainFrac")
+    // sampleByHash is the split's filter twin
+    val sampled = Sampling.sampleByHash(docs, "doc_id", 90)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled === a.filter(_._2 == "train").keySet)
+  }
+
+  test("sequence packing fills bins in order within each shard") {
+    val docs = T.documents(spark, sf).select(col("doc_id"), col("lang"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val capacity = 500L
+    val packed = Packing.packBins(docs, "n_tokens", "doc_id", capacity, Seq("lang"))
+      .select("lang", "doc_id", "n_tokens", "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // local reference: greedy offset packing per shard in doc_id order
+    packed.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, id, n, bin) =>
+        assert(bin === cum / capacity, s"doc $id expected bin ${cum / capacity}")
+        cum += n
+      }
+    }
+    // bins are dense from 0 within each shard
+    packed.groupBy(_._1).foreach { case (lang, rows) =>
+      val bins = rows.map(_._4).distinct.sorted
+      assert(bins === (0L to bins.max).toArray.toSeq, s"holes in $lang bins")
+    }
+  }
+
+  test("decontamination flags a planted benchmark copy with its full shingle count") {
+    val docs = T.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") < 10)
+    // plant one verbatim benchmark doc inside the training corpus
+    val planted = bench.limit(1).withColumn("doc_id", col("doc_id") + 5000000)
+    val train = docs.filter(col("doc_id") >= 10).unionByName(planted)
+    val hits = Contamination.overlap(train, bench, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plantedId = planted.select("doc_id").collect().head.getLong(0)
+    val expectedShingles = bench.limit(1)
+      .select(explode(Dedup.wordShinglesCompiled(8)(col("text"))))
+      .distinct().count()
+    assert(hits.get(plantedId).contains(expectedShingles),
+      s"planted copy: got ${hits.get(plantedId)}, want $expectedShingles")
   }
 
   test("minhashDedupPoly keeps exactly one canonical doc per duplicate cluster") {
