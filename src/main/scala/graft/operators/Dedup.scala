@@ -595,15 +595,29 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
-    val part = new org.apache.spark.HashPartitioner(
-      math.max(1, sc.defaultParallelism))
-    // (dst, src) both ways, partitioned once by dst and pinned: every
-    // iteration's join against the co-partitioned labels is narrow.
-    val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // (dst, src) both ways; the candidate pipeline materializes exactly
+    // once (cached before the sizing count)
+    val rawEdges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .as[(Long, Long)].rdd
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Partition count follows the GRAPH, not the cluster: dup graphs are
+    // usually tiny next to their corpus, and a fixed 32-partition layout
+    // makes every propagation round pay 32-task scheduling for
+    // millisecond work (measured: most of the loop's wall clock at
+    // sf0.1). ~100k edges per task, capped at 4x parallelism for the
+    // genuinely huge case.
+    val nEdges = rawEdges.count()
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1L, math.min(nEdges / 100000L + 1L,
+        4L * sc.defaultParallelism)).toInt)
+    // partitioned once by dst and pinned: every iteration's join against
+    // the co-partitioned labels is narrow.
+    val edges = rawEdges.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    edges.count() // materialize fully from the cached raw edges BEFORE
+    rawEdges.unpersist(blocking = false) // dropping them (a partial cache
+    // would silently recompute the whole candidate pipeline per round)
     try {
       // nodes-with-edges, deduped per partition (edges are key-complete
       // within their partition) — no extra shuffle
@@ -621,9 +635,18 @@ object Dedup {
       while (iter < maxIter && !converged) {
         val ti = System.nanoTime()
         val changed = sc.longAccumulator(s"cc-changed-$iter")
-        val neighborMin = edges.join(labels) // narrow both sides
+        // hop 1 — neighbor min: every node takes the min label among its
+        // neighbors (one min-reduce shuffle; edge join is narrow)
+        val neighborMin = edges.join(labels)
           .map { case (_, (src, lbl)) => (src, lbl) }
-          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b)) // the round's single shuffle
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        // merge — one narrow join; measured note: pointer-jumping
+        // variants (label <- label(label), single and chained) were
+        // tried here and LOST: rounds barely drop on similarity-cluster
+        // topologies (labels don't form compressible chains under
+        // min-propagation) while per-round cost doubles. Keep the
+        // single-hop round; the adaptive partitioner above is what
+        // actually bounds per-round cost.
         val upd = labels.leftOuterJoin(neighborMin, part).mapValues {
           case (old, nmin) =>
             val nl = math.min(old, nmin.getOrElse(old))

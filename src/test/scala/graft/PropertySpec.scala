@@ -80,6 +80,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: components matches a local union-find on random graphs") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val graphGen = for {
+      n <- Gen.choose(1, 80)
+      m <- Gen.choose(0, 120)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield (n.toLong, edges.filter(e => e._1 != e._2).distinct)
+    for ((n, edges) <- samples(graphGen, 8)) {
+      // local union-find reference
+      val parent = scala.collection.mutable.Map((0L to n).map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0L to n).map(i => i -> {
+        // canonical = min of component = root under min-merge union
+        find(i)
+      }).toMap
+      val df = (0L to n).toDF("id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = graft.operators.Dedup.components(df, "id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect, s"n=$n edges=${edges.size}")
+    }
+  }
+
   test("property: snapshot ids contiguous; files partition across every changesSince cut") {
     val commitsGen = Gen.nonEmptyListOf(
       Gen.nonEmptyListOf(fileName).map(_.distinct))
