@@ -35,4 +35,21 @@ object Contamination {
       .groupBy("id")
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** The operator a pipeline actually runs before shipping: the CLEAN
+    * corpus — every row of `corpus` sharing NO `n`-word shingle with
+    * `benchmark`. Same shingle-keyed shuffle shape as [[overlap]]; the
+    * contaminated-id set (small: bounded by |corpus rows that match|) is
+    * left-anti-joined against the full corpus, keeping all original
+    * columns. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val sh = Dedup.wordShinglesCompiled(n)
+    val corpusSh = corpus.select(col(idCol), explode(sh(col(textCol))).as("shingle"))
+    val benchSh = benchmark
+      .select(explode(sh(col(textCol))).as("shingle")).distinct()
+    val dirty = corpusSh.join(benchSh, "shingle")
+      .select(col(idCol)).distinct()
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
 }

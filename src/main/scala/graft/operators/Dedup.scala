@@ -378,7 +378,7 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 8192): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, shingleWords, numHashes)
@@ -388,9 +388,13 @@ object Dedup {
         col("sig")(b * rowsPerBand + r)): _*)): _*)
     // Band join and pair-dedup carry only (id, band, bucket) — the 64-long
     // signature arrays are re-attached to the deduped pairs afterwards,
-    // shrinking the wide shuffle ~16x.
-    val banded = sig.select(col("id"), posexplode(bandHashes))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // shrinking the wide shuffle ~16x. The stream is skew-capped
+    // (OpUtil.capBuckets): a degenerate corpus collapsing into one band
+    // bucket bounds the self-join at cap² pairs instead of |docs|².
+    val banded = OpUtil.capBuckets(
+      sig.select(col("id"), posexplode(bandHashes))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"), maxBucketSize, "graft.minhash.bucket_drops")
     val idPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))
@@ -474,7 +478,7 @@ object Dedup {
     * false candidates. */
   def minhashCandidatesPoly(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucketSize: Int = 8192): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sig = minhashSignaturesPoly(df, idCol, textCol, shingleWords, numHashes)
@@ -482,9 +486,13 @@ object Dedup {
       slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)): _*)
     // Same slim-shuffle shape as the xxhash variant: band join and dedup
     // on bare ids (bucket = raw slice for oracle-exact equality), then
-    // re-attach signatures to the few surviving pairs.
-    val banded = sig.select(col("id"), posexplode(bandSlices))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // re-attach signatures to the few surviving pairs. Skew-capped like
+    // the xxhash variant; a triggered cap trades oracle-exactness for
+    // bounded work and is LOUD (accumulator), never silent.
+    val banded = OpUtil.capBuckets(
+      sig.select(col("id"), posexplode(bandSlices))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"), maxBucketSize, "graft.minhash.poly.bucket_drops")
     val idPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))

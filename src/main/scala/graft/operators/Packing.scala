@@ -17,11 +17,22 @@ import org.apache.spark.sql.functions._
   * inherently sequential; this keeps the same average fill with one
   * window pass).
   *
-  * Scale: the window is PARTITIONED BY the shard columns — per-task
-  * state is one shard's running sum, so the operator scales with shard
-  * count. An unpartitioned global cumulative sum would serialize the
-  * corpus through one task; callers must supply shard columns at scale
-  * (empty `shardCols` is accepted for small corpora and tests).
+  * Two entry points with different scale shapes:
+  *
+  *  - [[packBins]] — one partitioned window per shard. Per-task state is
+  *    one shard's running sum, so it scales with SHARD CARDINALITY: fine
+  *    when the shard key is fine-grained, an anti-scale shape when it is
+  *    near-constant (a `lang` key serializes the `en` majority of a
+  *    100 TB corpus through one task).
+  *  - [[packBinsScaled]] — two-phase hierarchical packing for coarse
+  *    shard keys. Each shard hash-splits into `subShards` deterministic
+  *    sub-shards (portable key hash, so the layout is reproducible
+  *    across engines); phase 1 packs each sub-shard independently
+  *    (parallelism = shards × subShards, per-task state one SUB-shard);
+  *    phase 2 composes global bin ids by offsetting each sub-shard's
+  *    local bins by the bins used by lower-numbered sub-shards — a tiny
+  *    aggregate (shards × subShards rows) broadcast back. Bins stay
+  *    dense per shard; each sub-shard owns a contiguous bin range.
   */
 object Packing {
 
@@ -36,5 +47,41 @@ object Packing {
         floor((col("__cum") - col(tokenCol)) / lit(capacity.toDouble))
           .cast("long"))
       .drop("__cum")
+  }
+
+  /** Two-phase packing: per-task state bounded by one (shard, sub-shard)
+    * slice instead of a whole shard. The sub-shard assignment is the
+    * portable polynomial hash of the order key ([[Sampling.hashBucket]]),
+    * so a SQL oracle can rebuild the identical layout. The phase-2
+    * offset table has `|shards| × subShards` rows — broadcast-joined, so
+    * the extra stage is narrow. */
+  def packBinsScaled(df: DataFrame, tokenCol: String, orderCol: String,
+      capacity: Long, shardCols: Seq[String], subShards: Int,
+      binCol: String = "bin"): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(subShards > 0, "subShards must be positive")
+    val keys = shardCols :+ "__sub"
+    val sub = df.withColumn("__sub",
+      Sampling.hashBucket(col(orderCol), subShards))
+    // phase 1: independent greedy offset packing per (shard, sub-shard)
+    val localW = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val local = sub
+      .withColumn("__cum", sum(col(tokenCol)).over(localW))
+      .withColumn("__lbin",
+        floor((col("__cum") - col(tokenCol)) / lit(capacity.toDouble))
+          .cast("long"))
+    // phase 2: bins used per sub-shard -> global offset = bins used by
+    // lower-numbered sub-shards of the same shard (tiny running sum over
+    // subShards rows per shard)
+    val offW = Window.partitionBy(shardCols.map(col): _*).orderBy(col("__sub"))
+    val offsets = local.groupBy(keys.map(col): _*)
+      .agg((max(col("__lbin")) + lit(1L)).as("__nb"))
+      .withColumn("__off", sum(col("__nb")).over(offW) - col("__nb"))
+      .select(keys.map(col) :+ col("__off"): _*)
+    local.join(broadcast(offsets), keys)
+      .withColumn(binCol, (col("__off") + col("__lbin")).cast("long"))
+      // the equi-join hoists key columns to the front; restore the
+      // caller's column order (same contract as packBins)
+      .select(df.columns.map(col) :+ col(binCol): _*)
   }
 }

@@ -168,7 +168,8 @@ object Similarity {
     *         bruteForceTopK, so callers can A/B recall
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 16, bands: Int = 4): DataFrame = {
+      vecCol: String, k: Int, bits: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 8192): DataFrame = {
     require(bits % bands == 0)
     val rowsPerBand = bits / bands
     def banded(df: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
@@ -189,8 +190,14 @@ object Similarity {
     // volume than the ids.)
     val qb = banded(q, "query_id", "qv", "qn")
       .select("query_id", "band", "bucket")
-    val cb = banded(c, "neighbor_id", "cv", "cn")
-      .select("neighbor_id", "band", "bucket")
+    // skew guard: a degenerate corpus collapsing into one (band, bucket)
+    // would make the candidate join quadratic inside it — cap the corpus
+    // side's bucket population (drops are counted loudly, see
+    // OpUtil.capBuckets)
+    val cb = OpUtil.capBuckets(
+      banded(c, "neighbor_id", "cv", "cn")
+        .select("neighbor_id", "band", "bucket"),
+      Seq("band", "bucket"), maxBucketSize, "graft.lsh.topk.bucket_drops")
     val idPairs = cb.join(qb, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
@@ -226,17 +233,56 @@ object Similarity {
     * candidates); [[exactCosinePairsBlock]] is the single-node-fastest
     * variant for corpora that fit a memory budget.
     */
+  /** Row-count cap for the sizing probes: counts saturate here, so the
+    * probe stays cheap on an arbitrarily large corpus. A count AT the cap
+    * means "at least this many" — consumers must treat it as a lower
+    * bound (adaptiveBlocks saturates; the block-broadcast gate must
+    * refuse). */
+  private val ProbeCountCap: Long = 16L << 20
+
+  /** Session-scoped (dims, cappedCount) cache for the sizing probes,
+    * keyed like [[ivfCache]] on the canonicalized plan of the (id, vec)
+    * projection and verified with `sameResult` against hash collisions.
+    * The probes are two bounded jobs (first-row dims + capped count);
+    * without the cache every exactCosinePairs / exactCosinePairsBlock
+    * call re-ran them even when the same corpus was probed moments
+    * before (q60's dedup gate + q33 in one session). */
+  private val statsCache = scala.collection.concurrent.TrieMap
+    .empty[Int, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Long)]
+  @volatile private var statsCacheSession: org.apache.spark.sql.SparkSession = null
+
+  private def corpusStats(df: DataFrame, idCol: String,
+      vecCol: String): (Int, Long) = {
+    val spark = df.sparkSession
+    val proj = df.select(col(idCol), col(vecCol))
+    val plan = proj.queryExecution.analyzed.canonicalized
+    val key = plan.semanticHash()
+    synchronized {
+      if (statsCacheSession ne spark) { statsCache.clear(); statsCacheSession = spark }
+    }
+    statsCache.get(key).filter(_._1.sameResult(plan))
+      .map(t => (t._2, t._3))
+      .getOrElse {
+        val dims = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
+          .limit(1).collect().headOption
+          .map(_.getSeq[Any](0).length).getOrElse(0)
+        val n = df.select(col(idCol))
+          .limit(math.min(ProbeCountCap, Int.MaxValue.toLong).toInt).count()
+        synchronized {
+          if (statsCacheSession eq spark) statsCache.put(key, (plan, dims, n))
+        }
+        (dims, n)
+      }
+  }
+
   def exactCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blocks: Int = 0): DataFrame = {
     val b = if (blocks > 0) blocks
       else {
-        // two bounded probes (first-row dims + capped count) size the
-        // grid from corpus volume; the cap keeps the probe cheap and is
-        // formula-safe (adaptiveBlocks saturates above it)
-        val dims = df.select(col(vecCol)).filter(col(vecCol).isNotNull)
-          .limit(1).collect().headOption
-          .map(_.getSeq[Any](0).length).getOrElse(0)
-        val n = df.select(col(idCol)).limit(16 << 20).count()
+        // bounded probes (cached per plan) size the grid from corpus
+        // volume; a capped count is formula-safe (adaptiveBlocks
+        // saturates above it)
+        val (dims, n) = corpusStats(df, idCol, vecCol)
         GridSelfJoin.adaptiveBlocks(df.sparkSession, n, 8L * dims + 24L)
       }
     if (!OpUtil.isIntegralId(df.schema(idCol).dataType))
@@ -303,13 +349,11 @@ object Similarity {
       threshold: Double, maxBlockBytes: Long = 512L << 20): DataFrame = {
     if (!OpUtil.isIntegralId(df.schema(idCol).dataType))
       return exactCosinePairs(df, idCol, vecCol, threshold)
-    val dims = df.select(col(vecCol)).filter(col(vecCol).isNotNull).limit(1)
-      .collect().headOption.map(_.getSeq[Any](0).length).getOrElse(0)
-    val maxDocs = if (dims == 0) Long.MaxValue
-      else maxBlockBytes / (8L * dims + 24L)
-    val probe = df.select(col(idCol)).limit(
-      math.min(maxDocs + 1, Int.MaxValue.toLong).toInt).count()
-    if (probe > maxDocs)
+    val (dims, n) = corpusStats(df, idCol, vecCol)
+    val maxDocs = if (dims == 0) 0L else maxBlockBytes / (8L * dims + 24L)
+    // a count AT the probe cap is a lower bound, not an exact size —
+    // refuse the broadcast path rather than trust it
+    if (n > maxDocs || n >= ProbeCountCap)
       return exactCosinePairs(df, idCol, vecCol, threshold)
     val spark = df.sparkSession
     import spark.implicits._
@@ -449,19 +493,24 @@ object Similarity {
     * >= threshold, via LSH candidates (scale) — used for
     * embedding-cosine near-dup dedup. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 16, bands: Int = 4): DataFrame = {
+      threshold: Double, bits: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 8192): DataFrame = {
     require(bits % bands == 0)
     val rowsPerBand = bits / bands
     val base = prepped(df, idCol, vecCol, "id", "v", "nrm")
     // Slim candidate join (see lshTopK): bucket join and pair-dedup on
-    // bare ids; vectors re-attach to the deduped pairs only.
-    val banded = base
-      .withColumn("__sig", hyperplaneSigU(bits)(col("v")))
-      .select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          shiftright(col("__sig"), b * rowsPerBand)
-            .bitwiseAND((1L << rowsPerBand) - 1)): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // bare ids; vectors re-attach to the deduped pairs only. The banded
+    // stream is skew-capped (OpUtil.capBuckets) so one degenerate bucket
+    // can't make the self-join quadratic in the corpus.
+    val banded = OpUtil.capBuckets(
+      base
+        .withColumn("__sig", hyperplaneSigU(bits)(col("v")))
+        .select(col("id"),
+          posexplode(array((0 until bands).map(b =>
+            shiftright(col("__sig"), b * rowsPerBand)
+              .bitwiseAND((1L << rowsPerBand) - 1)): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+      Seq("band", "bucket"), maxBucketSize, "graft.lsh.neardup.bucket_drops")
     val idPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id"))

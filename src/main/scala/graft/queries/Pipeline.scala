@@ -441,13 +441,12 @@ object Pipeline {
 
     // ---- ordered conversion funnel (sequential pattern per user) ------
     // Stage reached in strict order: first view, first click AFTER that
-    // view, first purchase AFTER that click. ONE shuffle: a single
-    // groupBy(user_id) collects the conditional min view time plus the
-    // per-user click/purchase timestamp lists; the staged "first after"
-    // logic is then row-local array arithmetic (filter + array_min). The
-    // lists are bounded by one user's click/purchase counts — at event-log
-    // scale that is the natural per-key state (and the reason this beats
-    // the 4-shuffle join-per-stage formulation the oracle SQL spells out).
+    // view, first purchase AFTER that click. ONE hash exchange
+    // (repartition on user) + partition-local sort + a single-pass state
+    // machine with O(|stages|) per-key state — no collect_list buffers
+    // (a power user with millions of events would otherwise OOM one
+    // aggregation buffer), and still none of the 4-shuffle
+    // join-per-stage formulation the oracle SQL spells out.
     Q("q63_funnel",
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),
@@ -466,21 +465,8 @@ object Pipeline {
         |LEFT JOIN c ON u.user_id = c.user_id
         |LEFT JOIN p ON u.user_id = p.user_id
         |ORDER BY u.user_id""".stripMargin) { (s, d) =>
-      val e = T.events(s, d)
-      e.groupBy("user_id")
-        .agg(
-          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
-          collect_list(when(col("event_type") === "click", col("ts"))).as("clicks"),
-          collect_list(when(col("event_type") === "purchase", col("ts"))).as("purchases"))
-        .withColumn("t_click",
-          array_min(filter(col("clicks"), t => t > col("t_view"))))
-        .withColumn("t_purchase",
-          array_min(filter(col("purchases"), t => t > col("t_click"))))
-        .select(col("user_id"),
-          when(col("t_purchase").isNotNull, 3)
-            .when(col("t_click").isNotNull, 2)
-            .when(col("t_view").isNotNull, 1)
-            .otherwise(0).as("stage"))
+      graft.operators.Funnel.ordered(T.events(s, d), "user_id",
+          "event_type", "ts", Seq("view", "click", "purchase"))
         .orderBy("user_id")
     },
 
@@ -503,22 +489,36 @@ object Pipeline {
     },
 
     // ---- sequence packing (token-budget shard binning) -----------------
-    // Greedy contiguous offset packing per language shard: bin =
-    // floor(start_offset / 2048) over the shard's running token sum —
-    // the data-loader layout pass, one partitioned window, no shuffle
-    // beyond the shard hash.
+    // TWO-PHASE hierarchical packing: the lang shard key is near-constant
+    // cardinality, so a single per-shard running-sum window would
+    // serialize the majority language through one task at scale. Phase 1
+    // packs each of 8 deterministic hash sub-shards independently
+    // (parallelism = langs x 8, per-task state one sub-shard); phase 2
+    // offsets each sub-shard's bins by the bins used below it (tiny
+    // broadcast agg). The oracle rebuilds the identical layout from the
+    // same portable key hash.
     Q("q66_sequence_packing",
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    len(string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS n_tokens
-        |  FROM documents)
-        |SELECT doc_id, lang, n_tokens,
-        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
-        |              - n_tokens) / 2048.0) AS BIGINT) AS bin
-        |FROM t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')) AS n_tokens,
+         |    ${polyHashOf("CAST(doc_id AS VARCHAR)")} % 8 AS sub
+         |  FROM documents),
+         |loc AS (
+         |  SELECT doc_id, lang, n_tokens, sub,
+         |    CAST(floor((sum(n_tokens) OVER (PARTITION BY lang, sub ORDER BY doc_id)
+         |                - n_tokens) / 2048.0) AS BIGINT) AS lbin
+         |  FROM t),
+         |nb AS (SELECT lang, sub, max(lbin) + 1 AS nb FROM loc GROUP BY lang, sub),
+         |off AS (SELECT lang, sub,
+         |          sum(nb) OVER (PARTITION BY lang ORDER BY sub) - nb AS off
+         |        FROM nb)
+         |SELECT loc.doc_id, loc.lang, loc.n_tokens,
+         |  CAST(loc.lbin + off.off AS BIGINT) AS bin
+         |FROM loc JOIN off ON loc.lang = off.lang AND loc.sub = off.sub
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = T.documents(s, d).select(col("doc_id"), col("lang"),
         TA.tokenCount(col("text")).cast("long").as("n_tokens"))
-      Packing.packBins(docs, "n_tokens", "doc_id", 2048, Seq("lang"))
+      Packing.packBinsScaled(docs, "n_tokens", "doc_id", 2048, Seq("lang"), 8)
         .orderBy("doc_id")
     },
 
@@ -546,6 +546,36 @@ object Pipeline {
           docs.filter(col("doc_id") < 20),
           "doc_id", "text", 8)
         .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // ---- decontamination FILTER (the op a pipeline actually ships) ----
+    // q67 reports the overlap; this returns the CLEAN corpus — training
+    // docs sharing NO 8-gram shingle with the benchmark slice, via a
+    // left-anti join on the contaminated-id set.
+    Q("q68_decontaminate_filter",
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(greatest(len(toks) - 8, 0) + 1),
+        |    j -> array_to_string(toks[j+1:j+8], ' ')))) AS s
+        |  FROM docs),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+        |dirty AS (
+        |  SELECT DISTINCT a.doc_id FROM sh a JOIN bench b ON a.s = b.s
+        |  WHERE a.doc_id >= 20)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id >= 20 AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+      Contamination.decontaminate(
+          docs.filter(col("doc_id") >= 20),
+          docs.filter(col("doc_id") < 20),
+          "doc_id", "text", 8)
+        .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     },
 

@@ -251,6 +251,111 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("two-phase packing composes sub-shard packings into dense shard bins") {
+    val docs = T.documents(spark, sf).select(col("doc_id"), col("lang"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val capacity = 500L
+    val k = 4
+    val packed = Packing.packBinsScaled(docs, "n_tokens", "doc_id", capacity,
+        Seq("lang"), k)
+      .select("lang", "doc_id", "n_tokens", "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver reference: hash-split each shard into k sub-shards, pack each
+    // greedily in doc_id order, then offset by bins used below it
+    def subOf(id: Long): Long = {
+      var h = 7L
+      id.toString.foreach(c => h = (h * 131 + c.toLong) % 2147483647L)
+      h % k
+    }
+    packed.groupBy(_._1).foreach { case (lang, rows) =>
+      val bySub = rows.groupBy(r => subOf(r._2)).toSeq.sortBy(_._1)
+      var off = 0L
+      val expected = scala.collection.mutable.Map.empty[Long, Long]
+      bySub.foreach { case (_, subRows) =>
+        var cum = 0L
+        var maxLocal = -1L
+        subRows.sortBy(_._2).foreach { case (_, id, n, _) =>
+          val lbin = cum / capacity
+          expected(id) = off + lbin
+          maxLocal = math.max(maxLocal, lbin)
+          cum += n
+        }
+        off += maxLocal + 1
+      }
+      rows.foreach { case (_, id, _, bin) =>
+        assert(bin === expected(id), s"doc $id in $lang")
+      }
+      // bins stay dense from 0 within the shard (phase-2 contract)
+      val bins = rows.map(_._4).distinct.sorted
+      assert(bins === (0L to bins.max).toArray.toSeq, s"holes in $lang bins")
+    }
+  }
+
+  test("two-phase packing bounds per-task state by sub-shard, not shard") {
+    val docs = T.documents(spark, sf).select(col("doc_id"), col("lang"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val out = Packing.packBinsScaled(docs, "n_tokens", "doc_id", 500L,
+      Seq("lang"), 8)
+    // the phase-1 window must partition by (shard, sub) — the sub column
+    // in the Window spec is what splits a near-constant shard key's
+    // running sum across tasks
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("__sub"), s"phase-1 window must partition by sub-shard:\n$p")
+    // with one near-constant shard, work splits into ~8 sub-groups
+    val subCounts = docs.groupBy(
+        graft.operators.Sampling.hashBucket(col("doc_id"), 8)).count().count()
+    assert(subCounts === 8L)
+  }
+
+  test("LSH bucket-skew guard bounds a degenerate corpus of identical vectors") {
+    val emb = T.embeddings(spark, sf)
+    // 2000 copies of ONE vector: every band collapses them into a single
+    // mega-bucket, which un-guarded goes quadratic (~2M candidate pairs)
+    val clones = emb.limit(1).select(col("embedding"))
+      .crossJoin(spark.range(2000))
+      .select((col("id") + 1000000L).as("vec_id"), col("embedding"))
+    val distinctPart = emb.filter(col("vec_id") < 100)
+    val corpus = distinctPart.select("vec_id", "embedding").unionByName(clones)
+    val pairs = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding",
+      0.9, maxBucketSize = 64)
+    val n = pairs.count()
+    // mega-buckets (the 2000 clones) are dropped loudly; the distinct
+    // 100-vector part still pairs normally — far below the ~2M quadratic
+    assert(n < 20000, s"degenerate corpus produced $n pairs — cap not applied")
+    // and the guarded operator with a cap ABOVE every bucket is a no-op
+    val unguarded = Similarity.cosineNearDupPairs(distinctPart, "vec_id",
+      "embedding", 0.9, maxBucketSize = 1 << 20).count()
+    val guarded = Similarity.cosineNearDupPairs(distinctPart, "vec_id",
+      "embedding", 0.9).count()
+    assert(guarded === unguarded)
+  }
+
+  test("funnel state machine handles out-of-order stages and timestamp ties") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val events = Seq(
+      // u1: full funnel in order
+      (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      // u2: click BEFORE the first view must not count; no click after
+      (2L, "click", ts(5)), (2L, "view", ts(10)),
+      // u3: click ties the view timestamp (strict > required)
+      (3L, "view", ts(10)), (3L, "click", ts(10)),
+      // u4: purchase ties the click (strict > required) -> stage 2
+      (4L, "view", ts(1)), (4L, "click", ts(2)), (4L, "purchase", ts(2)),
+      // u5: no view at all -> stage 0
+      (5L, "purchase", ts(1)),
+      // u6: second click qualifies after the FIRST qualifying click set
+      // t_click=20; purchase after 20 counts even though a later click
+      // (ts 40) also exists
+      (6L, "view", ts(10)), (6L, "click", ts(20)), (6L, "click", ts(40)),
+      (6L, "purchase", ts(25))
+    ).toDF("user_id", "event_type", "ts")
+    val got = graft.operators.Funnel.ordered(events, "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 0, 6L -> 3))
+  }
+
   test("decontamination flags a planted benchmark copy with its full shingle count") {
     val docs = T.documents(spark, sf)
     val bench = docs.filter(col("doc_id") < 10)
@@ -265,6 +370,21 @@ class PipelineSpec extends AnyFunSuite {
       .distinct().count()
     assert(hits.get(plantedId).contains(expectedShingles),
       s"planted copy: got ${hits.get(plantedId)}, want $expectedShingles")
+  }
+
+  test("decontaminate keeps exactly the corpus minus the overlap set") {
+    val docs = T.documents(spark, sf)
+    val bench = docs.filter(col("doc_id") < 10)
+    val planted = bench.limit(1).withColumn("doc_id", col("doc_id") + 5000000)
+    val train = docs.filter(col("doc_id") >= 10).unionByName(planted)
+    val dirty = Contamination.overlap(train, bench, "doc_id", "text", 8)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val kept = Contamination.decontaminate(train, bench, "doc_id", "text", 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === all -- dirty)
+    val plantedId = planted.select("doc_id").collect().head.getLong(0)
+    assert(!kept.contains(plantedId), "planted benchmark copy survived")
   }
 
   test("minhashDedupPoly keeps exactly one canonical doc per duplicate cluster") {

@@ -127,12 +127,44 @@ class PlanSpec extends AnyFunSuite {
     assert(df.collect().nonEmpty)
   }
 
+  test("exactCosinePairs sizing probes run once per corpus plan (cached)") {
+    import graft.operators.Similarity
+    val tracker = spark.sparkContext.statusTracker
+    def settledJobCount(): Int = {
+      var prev = -1
+      var cur = tracker.getJobIdsForGroup(null).length
+      var spins = 0
+      while (cur != prev && spins < 40) {
+        prev = cur; Thread.sleep(250)
+        cur = tracker.getJobIdsForGroup(null).length
+        spins += 1
+      }
+      assert(spins < 40, "job-event stream never settled; cannot audit eager jobs")
+      cur
+    }
+    val emb = T.embeddings(spark, sf)
+    // first build may run the two bounded probe jobs (dims + capped count)
+    Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.8)
+    val before = settledJobCount()
+    // same corpus plan again: the (dims, count) cache must answer — no
+    // jobs may run while the query is BUILT (exactCosinePairsBlock also
+    // shares the cache, but its block path collects by design, so only
+    // the shuffle-only builder can be audited for zero jobs)
+    Similarity.exactCosinePairs(emb, "vec_id", "embedding", 0.8)
+    val after = settledJobCount()
+    assert(after === before,
+      s"re-probing a cached corpus ran ${after - before} jobs")
+  }
+
   test("funnel is a single aggregation shuffle (+ presentation sort)") {
     val p = plan(SparkEntry.queries("q63_funnel")(spark, sf))
-    // one hash exchange for groupBy(user_id), one range exchange for the
-    // output ORDER BY — the staged first-after logic must stay row-local
+    // one hash exchange for repartition(user_id), one range exchange for
+    // the output ORDER BY — the staged first-after logic must stay
+    // row-local (partition-local sort + single-pass state machine)
     assert(countIn(p, "Exchange") <= 2, s"expected <=2 exchanges:\n$p")
     assert(!p.contains("Join"), s"funnel must not join per stage:\n$p")
+    // per-key state must be O(|stages|), not the user's event list
+    assert(!p.contains("collect_list"), s"funnel must not buffer event lists:\n$p")
   }
 
   test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
