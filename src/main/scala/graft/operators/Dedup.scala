@@ -298,6 +298,34 @@ object Dedup {
       i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
   }
 
+  /** Compiled word n-gram shingles WITH duplicates — the multiset the
+    * repetition profile needs (the distinct variant below erases the
+    * very counts it measures). Same tokenizer and window rule as
+    * [[wordShinglesCompiled]]. */
+  def wordShinglesAllCompiled(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      if (text == null) Array.empty[String]
+      else {
+        val toks = text.trim.toLowerCase.split("\\s+")
+        val last = math.max(toks.length - n, 0)
+        val out = new Array[String](last + 1)
+        var i = 0
+        while (i <= last) {
+          val end = math.min(i + n, toks.length)
+          val sb = new java.lang.StringBuilder()
+          var j = i
+          while (j < end) {
+            if (j > i) sb.append(' ')
+            sb.append(toks(j))
+            j += 1
+          }
+          out(i) = sb.toString
+          i += 1
+        }
+        out
+      }
+    }
+
   /** Compiled distinct word n-gram shingles — same SET as
     * [[wordShingles]] (order differs, irrelevant downstream: minhash
     * aggregates are order-insensitive). ~10× the interpreted

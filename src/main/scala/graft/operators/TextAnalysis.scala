@@ -90,4 +90,31 @@ object TextAnalysis {
       transform(tokens(textCol), t => (ascii(t) + length(t)).cast("long")),
       lit(0L),
       (acc, v) => (acc * 131L + v) % 1000000007L)
+
+  /** Per-document n-gram repetition profile — the "is this doc mostly
+    * one phrase looping" signal repetition filters key on (boilerplate,
+    * generated spam, and scraped nav bars all repeat short n-grams).
+    *
+    * Returns (idCol, n_shingles, n_distinct, max_rep, rep_ratio) where
+    * max_rep is the highest occurrence count of any single n-gram and
+    * rep_ratio = 1 − distinct/total (0 = no repetition).
+    *
+    * Scale: explode to the n-gram multiset (compiled tokenizer), two
+    * hash aggregations — (doc, n-gram) then (doc) — both with map-side
+    * partial aggregation; the shuffle key is never skewed beyond one
+    * document's n-gram diversity. */
+  def repetitionProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+        explode(Dedup.wordShinglesAllCompiled(n)(col(textCol))).as("__sh"))
+      .groupBy(col(idCol), col("__sh"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum("__c").as("n_shingles"),
+        count(lit(1)).as("n_distinct"),
+        max("__c").as("max_rep"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_shingles").cast("double"), 4))
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, T}
 import org.apache.spark.sql.functions._
-import graft.operators.{Contamination, Dedup, Packing, Sampling, Similarity, TextAnalysis => TA}
+import graft.operators.{Chunking, Contamination, Dedup, Packing, Sampling, Scrub, Similarity, TextAnalysis => TA}
 
 /** LLM-training-data pipeline surface (SURVEY.md §2C): dedup, text
   * analysis, and vector similarity over the `documents` / `embeddings`
@@ -576,6 +576,61 @@ object Pipeline {
           docs.filter(col("doc_id") < 20),
           "doc_id", "text", 8)
         .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // ---- document chunking (fixed-token windows with overlap) ----------
+    // Chunk i covers tokens [i*224, i*224+256): 256-token windows, 32
+    // overlap. Row-local explode — no shuffle, chunks at scan speed.
+    Q("q69_doc_chunking",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 224)) AS start
+        |  FROM t)
+        |SELECT doc_id, CAST(start // 224 AS BIGINT) AS chunk_id,
+        |  array_to_string(toks[start+1:start+256], ' ') AS chunk_text,
+        |  CAST(least(256, len(toks) - start) AS BIGINT) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+      Chunking.chunk(T.documents(s, d), "text", chunkTokens = 256, overlap = 32)
+        .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // ---- n-gram repetition profile (boilerplate/spam signal) -----------
+    Q("q70_repetition",
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(greatest(len(toks) - 3, 0) + 1),
+        |    j -> array_to_string(toks[j+1:j+3], ' '))) AS s
+        |  FROM docs),
+        |cnt AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+        |  count(*) AS n_distinct, max(c) AS max_rep,
+        |  round(1 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS rep_ratio
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TA.repetitionProfile(T.documents(s, d), "doc_id", "text", 3)
+        .orderBy("doc_id")
+    },
+
+    // ---- PII masking (emails + long digit runs) ------------------------
+    Q("q71_pii_mask",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS masked
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Scrub.mask(T.documents(s, d), "text")
+        .select("doc_id", "n_emails", "n_longnums", "masked")
         .orderBy("doc_id")
     },
 

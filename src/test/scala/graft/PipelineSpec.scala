@@ -387,6 +387,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(!kept.contains(plantedId), "planted benchmark copy survived")
   }
 
+  test("chunking covers every token with the declared overlap") {
+    import spark.implicits._
+    val words = (1 to 600).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val chunks = graft.operators.Chunking.chunk(docs, "text",
+        chunkTokens = 256, overlap = 32)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_text", "chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" "), r.getLong(2)))
+    // starts 0, 224, 448 -> sizes 256, 256, 152
+    assert(chunks.map(c => (c._1, c._3)).toSeq === Seq((0L, 256L), (1L, 256L), (2L, 152L)))
+    chunks.foreach { case (_, toks, n) => assert(toks.length.toLong === n) }
+    // consecutive chunks overlap by exactly 32 tokens
+    chunks.sliding(2).foreach {
+      case Array((_, a, _), (_, b, _)) =>
+        assert(a.takeRight(32).toSeq === b.take(32).toSeq)
+      case _ =>
+    }
+    // stride prefixes reassemble the document exactly
+    val rebuilt = chunks.init.flatMap(_._2.take(224)) ++ chunks.last._2
+    assert(rebuilt.toSeq === words)
+  }
+
+  test("repetition profile counts the dominant n-gram") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a b c a b c"), (2L, "x y z w v")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.repetitionProfile(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // 9 tokens -> 7 shingles: "a b c"x3, "b c a"x2, "c a b"x2
+    assert(got(1L) === ((7L, 3L, 3L, BigDecimal(1.0 - 3.0 / 7.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // 5 distinct tokens -> 3 unique shingles, no repetition
+    assert(got(2L) === ((3L, 3L, 1L, 0.0)))
+  }
+
+  test("PII masking replaces emails and long digit runs, counting both") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or call 12345678 today"),
+      (2L, "short 12345 stays; a@b.io goes")).toDF("doc_id", "text")
+    val got = graft.operators.Scrub.mask(docs, "text")
+      .select("doc_id", "n_emails", "n_longnums", "masked")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) === ((1L, 1L, "contact <EMAIL> or call <NUM> today")))
+    assert(got(2L) === ((1L, 0L, "short 12345 stays; <EMAIL> goes")))
+  }
+
   test("minhashDedupPoly keeps exactly one canonical doc per duplicate cluster") {
     val docs = T.documents(spark, sf)
     // plant exact duplicate clusters with higher ids

@@ -167,6 +167,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("collect_list"), s"funnel must not buffer event lists:\n$p")
   }
 
+  test("chunking and PII masking are row-local (no shuffle before the output sort)") {
+    val p1 = plan(SparkEntry.queries("q69_doc_chunking")(spark, sf))
+    assert(countIn(p1, "Exchange") <= 1, s"chunking must not shuffle:\n$p1")
+    val p2 = plan(SparkEntry.queries("q71_pii_mask")(spark, sf))
+    assert(countIn(p2, "Exchange") <= 1, s"pii masking must not shuffle:\n$p2")
+  }
+
   test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
     val p = plan(T.orders(spark, sf)
       .orderBy(col("o_totalprice").desc).limit(25))
