@@ -37,7 +37,7 @@ private[operators] object OpUtil {
     val keep = udf { (n: Long) =>
       // at-least-once on task retries — fine for a skew alarm
       if (n > cap) { acc.add(1L); false } else true
-    }
+    }.asNondeterministic() // side-effecting: Catalyst must not clone/reorder it
     val w = Window.partitionBy(keys.map(col): _*)
     df.withColumn("__bc", count(lit(1)).over(w))
       .filter(keep(col("__bc")))

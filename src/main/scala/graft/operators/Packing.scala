@@ -77,11 +77,14 @@ object Packing {
     val offsets = local.groupBy(keys.map(col): _*)
       .agg((max(col("__lbin")) + lit(1L)).as("__nb"))
       .withColumn("__off", sum(col("__nb")).over(offW) - col("__nb"))
-      .select(keys.map(col) :+ col("__off"): _*)
-    local.join(broadcast(offsets), keys)
+      .select(keys.map(k => col(k).as(s"__o_$k")) :+ col("__off"): _*)
+    // null-safe key equality: a NULL shard value is a legal group (the
+    // single-phase window keeps it; a plain equi-join would drop it)
+    val cond = keys.map(k => col(k) <=> col(s"__o_$k")).reduce(_ && _)
+    local.join(broadcast(offsets), cond)
       .withColumn(binCol, (col("__off") + col("__lbin")).cast("long"))
-      // the equi-join hoists key columns to the front; restore the
-      // caller's column order (same contract as packBins)
+      // drop the internals; restore the caller's column order (same
+      // contract as packBins)
       .select(df.columns.map(col) :+ col(binCol): _*)
   }
 }

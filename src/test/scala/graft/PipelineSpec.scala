@@ -291,6 +291,20 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("two-phase packing keeps NULL shard keys (window parity)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Option("en"), 100L), (2L, Option.empty[String], 100L),
+      (3L, Option("en"), 100L), (4L, Option.empty[String], 100L)
+    ).toDF("doc_id", "lang", "n_tokens")
+    val out = Packing.packBinsScaled(docs, "n_tokens", "doc_id", 150L,
+      Seq("lang"), 2)
+    // a plain equi-join on the shard key would silently drop the NULL
+    // group; the single-phase window keeps it, so the scaled path must too
+    assert(out.count() === 4L)
+    assert(out.filter(col("lang").isNull).count() === 2L)
+  }
+
   test("two-phase packing bounds per-task state by sub-shard, not shard") {
     val docs = T.documents(spark, sf).select(col("doc_id"), col("lang"),
       graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
