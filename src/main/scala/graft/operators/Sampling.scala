@@ -47,4 +47,45 @@ object Sampling {
     require(pct >= 0 && pct <= 100, "pct must be in [0,100]")
     df.filter(hashBucket(col(keyCol), 100) < pct)
   }
+
+  /** Raw portable hash of the key's string rendering — the stable
+    * pseudo-random ORDER the stratified sampler ranks by (bucketing
+    * collapses ties; ordering needs the full 31-bit value). */
+  def keyHash(key: Column): Column = polyHashCol(key.cast("string"))
+
+  /** Deterministic stratified sample: up to `k` rows per group, chosen
+    * by portable-hash order with the key as tie-break — a reproducible
+    * "uniform-ish k per stratum" carve-out (eval slices per language,
+    * per source, …) that is stable under repartitioning and appends
+    * (new rows displace old ones only by hash order, never by arrival).
+    *
+    * Scale: one shuffle on the group key; Spark ≥3.5 plans the
+    * rank-filter window as WindowGroupLimit, so each task keeps a
+    * running top-k instead of sorting whole groups. */
+  def stratified(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(keyHash(col(keyCol)), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Deterministic weighted mix: keep ~pct% of each group (source,
+    * domain, …), pct from `pctByGroup` with `defaultPct` elsewhere —
+    * the up/down-sampling step that rebalances a multi-source corpus.
+    * Membership is a pure function of (key, group weights): row-local,
+    * no shuffle, reproducible across engines. */
+  def weightedMix(df: DataFrame, keyCol: String, groupCol: String,
+      pctByGroup: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    (pctByGroup.values ++ Seq(defaultPct)).foreach(p =>
+      require(p >= 0 && p <= 100, s"pct must be in [0,100], got $p"))
+    // deterministic CASE order (sorted keys) so plans are stable
+    val pct = pctByGroup.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (g, p)) => when(col(groupCol) === g, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol), 100) < pct)
+  }
 }

@@ -488,6 +488,45 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- stratified sample (deterministic k per group) -----------------
+    // Up to 20 docs per language, picked by portable-hash order with the
+    // key as tie-break — reproducible across engines and partition
+    // layouts; Spark plans the rank filter as WindowGroupLimit (running
+    // top-k per task, no full group sort).
+    Q("q72_stratified_sample",
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source,
+         |    ${polyHashOf("CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM documents)
+         |SELECT doc_id, lang, source FROM (
+         |  SELECT doc_id, lang, source,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
+         |  FROM h) t
+         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.stratified(T.documents(s, d), Seq("lang"), "doc_id", 20)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
+    // ---- weighted source mix (per-group deterministic down-sampling) ---
+    // Rebalance a multi-source corpus: keep 25% of src0, 50% of src1,
+    // 90% elsewhere — membership a pure function of (doc_id, weights),
+    // row-local, hash-verified end-to-end like q65.
+    Q("q73_weighted_mix",
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source,
+         |    ${polyHashOf("CAST(doc_id AS VARCHAR)")} % 100 AS b
+         |  FROM documents)
+         |SELECT doc_id, lang, source FROM h
+         |WHERE b < (CASE source WHEN 'src0' THEN 25 WHEN 'src1' THEN 50
+         |           ELSE 90 END)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Sampling.weightedMix(T.documents(s, d), "doc_id", "source",
+          Map("src0" -> 25, "src1" -> 50), defaultPct = 90)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     // ---- sequence packing (token-budget shard binning) -----------------
     // TWO-PHASE hierarchical packing: the lang shard key is near-constant
     // cardinality, so a single per-shard running-sum window would

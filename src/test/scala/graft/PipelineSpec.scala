@@ -401,6 +401,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(!kept.contains(plantedId), "planted benchmark copy survived")
   }
 
+  test("stratified sample is k-capped per group and layout-independent") {
+    val docs = T.documents(spark, sf)
+    val a = Sampling.stratified(docs, Seq("lang"), "doc_id", 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // per-group cap holds
+    val sizes = Sampling.stratified(docs, Seq("lang"), "doc_id", 7)
+      .groupBy("lang").count().collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 7))
+    // same rows regardless of partition layout (df.sample would differ)
+    val b = Sampling.stratified(docs.repartition(13), Seq("lang"), "doc_id", 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("weighted mix keeps each group at its configured rate") {
+    val docs = T.documents(spark, sf)
+    val kept = Sampling.weightedMix(docs, "doc_id", "source",
+      Map("src0" -> 0, "src1" -> 100), defaultPct = 50)
+    val bySource = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySource.contains("src0"), "0% group must vanish")
+    val src1Total = docs.filter(col("source") === "src1").count()
+    assert(bySource("src1") === src1Total, "100% group must be complete")
+    // membership is the q65 hash: the 50% groups keep exactly the rows
+    // whose bucket < 50
+    val expected = docs.filter(col("source") =!= "src0" && col("source") =!= "src1")
+      .filter(Sampling.hashBucket(col("doc_id"), 100) < 50).count()
+    val gotOther = kept.filter(col("source") =!= "src1").count()
+    assert(gotOther === expected)
+  }
+
   test("chunking covers every token with the declared overlap") {
     import spark.implicits._
     val words = (1 to 600).map(i => s"w$i")

@@ -174,6 +174,12 @@ class PlanSpec extends AnyFunSuite {
     assert(countIn(p2, "Exchange") <= 1, s"pii masking must not shuffle:\n$p2")
   }
 
+  test("stratified sample plans a WindowGroupLimit (running top-k per group)") {
+    val p = plan(SparkEntry.queries("q72_stratified_sample")(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter should push a group limit below the window:\n$p")
+  }
+
   test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
     val p = plan(T.orders(spark, sf)
       .orderBy(col("o_totalprice").desc).limit(25))
