@@ -174,6 +174,14 @@ class PlanSpec extends AnyFunSuite {
     assert(countIn(p2, "Exchange") <= 1, s"pii masking must not shuffle:\n$p2")
   }
 
+  test("two-phase packing broadcasts the offset table (no shard-sized join shuffle)") {
+    val p = plan(SparkEntry.queries("q66_sequence_packing")(spark, sf))
+    // the phase-2 offset table is |shards|x|subShards| rows — it must
+    // come back as a broadcast, not a repartition of the corpus
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not re-shuffle for offsets:\n$p")
+  }
+
   test("stratified sample plans a WindowGroupLimit (running top-k per group)") {
     val p = plan(SparkEntry.queries("q72_stratified_sample")(spark, sf))
     assert(p.contains("WindowGroupLimit"),
