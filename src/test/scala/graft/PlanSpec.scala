@@ -182,6 +182,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus must not re-shuffle for offsets:\n$p")
   }
 
+  test("repetition profile is two partial aggregations (+ presentation sort)") {
+    val p = plan(SparkEntry.queries("q70_repetition")(spark, sf))
+    // (doc, gram) agg + (doc) agg + output ORDER BY; partial aggregation
+    // must be present so the wire carries counts, not raw n-grams
+    assert(countIn(p, "Exchange hashpartitioning") <= 2, s"too many shuffles:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial"), s"no map-side combine:\n$p")
+  }
+
   test("stratified sample plans a WindowGroupLimit (running top-k per group)") {
     val p = plan(SparkEntry.queries("q72_stratified_sample")(spark, sf))
     assert(p.contains("WindowGroupLimit"),

@@ -196,6 +196,28 @@ class PropertySpec extends AnyFunSuite {
         Integer.signum(a.compareTo(b)), s"($a,$b)")
   }
 
+  test("property: two-phase packing with one sub-shard reduces to single-phase packBins") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      toks <- Gen.listOfN(n, Gen.choose(1L, 400L))
+      shards <- Gen.choose(1, 3)
+    } yield (toks, shards)
+    samples(gen, 20).foreach { case (toks, shards) =>
+      val df = toks.zipWithIndex
+        .map { case (t, i) => (i.toLong, s"s${i % shards}", t) }
+        .toDF("doc_id", "shard", "n_tokens")
+      val single = graft.operators.Packing
+        .packBins(df, "n_tokens", "doc_id", 300L, Seq("shard"))
+        .select("doc_id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val scaled = graft.operators.Packing
+        .packBinsScaled(df, "n_tokens", "doc_id", 300L, Seq("shard"), 1)
+        .select("doc_id", "bin").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(scaled === single)
+    }
+  }
+
   test("property: minhash estimate stays in [0,1] and self-similarity is 1") {
     val spark = SparkTestSession.spark
     val docs = T.documents(spark, "/root/testdata/sf0.001").limit(50)
