@@ -72,10 +72,20 @@ object Packing {
           .cast("long"))
     // phase 2: bins used per sub-shard -> global offset = bins used by
     // lower-numbered sub-shards of the same shard (tiny running sum over
-    // subShards rows per shard)
+    // subShards rows per shard). Bins-used is computed from a PLAIN
+    // aggregate, not from the phase-1 window: start offsets are monotone
+    // in window order, so max(local_bin) sits at the last row —
+    // floor((Σtokens − last_token)/capacity) — and the expensive
+    // sub-shard sort runs exactly once (for the rows themselves), not
+    // twice (measured 2× wall-clock on a 16M-row single-shard corpus
+    // when the offsets re-evaluated the window).
     val offW = Window.partitionBy(shardCols.map(col): _*).orderBy(col("__sub"))
-    val offsets = local.groupBy(keys.map(col): _*)
-      .agg((max(col("__lbin")) + lit(1L)).as("__nb"))
+    val offsets = sub.groupBy(keys.map(col): _*)
+      .agg(sum(col(tokenCol)).as("__tot"),
+        max_by(col(tokenCol), col(orderCol)).as("__last"))
+      .withColumn("__nb",
+        floor((col("__tot") - col("__last")) / lit(capacity.toDouble))
+          .cast("long") + lit(1L))
       .withColumn("__off", sum(col("__nb")).over(offW) - col("__nb"))
       .select(keys.map(k => col(k).as(s"__o_$k")) :+ col("__off"): _*)
     // null-safe key equality: a NULL shard value is a legal group (the
