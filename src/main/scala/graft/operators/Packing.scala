@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * Deterministic offset packing: a document's bin is
   * `floor(start_offset / capacity)` where `start_offset` is the running
-  * token sum of all earlier documents in its shard (window order). A
+  * token sum of all earlier documents in its shard (window order).
+  * `orderCol` must be UNIQUE within a shard — ties make the running sum
+  * (and the two-phase `max_by` last-row shortcut) order-dependent. A
   * document straddling a boundary counts toward the bin it starts in —
   * the standard greedy contiguous approximation (exact bin-capping is
   * inherently sequential; this keeps the same average fill with one
