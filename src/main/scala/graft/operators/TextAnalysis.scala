@@ -91,6 +91,46 @@ object TextAnalysis {
       lit(0L),
       (acc, v) => (acc * 131L + v) % 1000000007L)
 
+  /** Lowercased whitespace tokens (the dedup-side normalization). */
+  def tokensLower(textCol: Column): Column =
+    split(regexp_replace(lower(trim(textCol)), "\\s+", " "), " ")
+
+  /** Corpus vocabulary: the `k` most frequent lowercase tokens with
+    * dense ranks — the vocab-building pass of a tokenizer/embedding
+    * pipeline. Returns (tok, freq, token_id) with token_id 1..k by
+    * (freq desc, tok).
+    *
+    * Scale: explode → one partial-agg count shuffle (heavy hitters are
+    * combined map-side, so stopword skew never concentrates raw rows),
+    * then a global top-k (`TakeOrderedAndProject`, not a full sort) and
+    * a rank window over only the k survivors. */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("tok"))
+    df.select(explode(tokensLower(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(k)
+      .withColumn("token_id", row_number().over(w))
+  }
+
+  /** Per-document out-of-vocabulary rate against a (small) vocabulary:
+    * (idCol, n_tokens, n_oov, oov_rate). The vocab side broadcasts; one
+    * shuffle on the document id. The standard "does this doc look like
+    * the corpus the tokenizer was built for" quality gate. */
+  def oovRate(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(tokensLower(col(textCol))).as("tok"))
+      .join(broadcast(vocab.select(col("tok"), lit(1).as("__v"))),
+        Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4))
+
   /** Per-document n-gram repetition profile — the "is this doc mostly
     * one phrase looping" signal repetition filters key on (boilerplate,
     * generated spam, and scraped nav bars all repeat short n-grams).

@@ -673,6 +673,42 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- corpus vocabulary (top-k tokens with ranks) --------------------
+    // One partial-agg count shuffle + TakeOrdered top-k; the rank window
+    // runs over only the k survivors.
+    Q("q74_vocabulary",
+      """WITH toks AS (
+        |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+        |top AS (SELECT tok, freq FROM cnt ORDER BY freq DESC, tok LIMIT 500)
+        |SELECT tok, freq,
+        |  row_number() OVER (ORDER BY freq DESC, tok) AS token_id
+        |FROM top ORDER BY token_id""".stripMargin) { (s, d) =>
+      TA.vocabulary(T.documents(s, d), "text", 500)
+        .orderBy("token_id")
+    },
+
+    // ---- per-doc out-of-vocabulary rate (tokenizer-fit gate) ------------
+    Q("q75_oov_rate",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+        |vocab AS (SELECT tok FROM cnt ORDER BY freq DESC, tok LIMIT 100)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+        |        / CAST(count(*) AS DOUBLE), 4) AS oov_rate
+        |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+      TA.oovRate(docs, "doc_id", "text",
+          TA.vocabulary(docs, "text", 100))
+        .orderBy("doc_id")
+    },
+
     // ---- per-label embedding stats (norms via higher-order funcs) ----
     Q("q34_embedding_stats",
       """SELECT label, count(*) AS n,

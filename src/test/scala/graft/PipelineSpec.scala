@@ -432,6 +432,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(gotOther === expected)
   }
 
+  test("vocabulary ranks by frequency; OOV rate is 0 under a full vocab") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat")).toDF("doc_id", "text")
+    val vocab = graft.operators.TextAnalysis.vocabulary(docs, "text", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // "the" x3, then "sat" x2, then ties at 1 broken lexicographically
+    assert(vocab.toSeq === Seq(("the", 3L, 1), ("sat", 2L, 2), ("cat", 1L, 3)))
+    val full = graft.operators.TextAnalysis.vocabulary(docs, "text", 100)
+    val oov = graft.operators.TextAnalysis.oovRate(docs, "doc_id", "text", full)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(oov(1L) === ((6L, 0L, 0.0)))
+    assert(oov(2L) === ((3L, 0L, 0.0)))
+    // a 1-token vocab ("the") leaves everything else OOV
+    val tiny = graft.operators.TextAnalysis.vocabulary(docs, "text", 1)
+    val oov2 = graft.operators.TextAnalysis.oovRate(docs, "doc_id", "text", tiny)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(oov2 === Map(1L -> 4L, 2L -> 2L))
+  }
+
   test("chunking covers every token with the declared overlap") {
     import spark.implicits._
     val words = (1 to 600).map(i => s"w$i")

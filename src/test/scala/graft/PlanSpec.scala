@@ -196,6 +196,16 @@ class PlanSpec extends AnyFunSuite {
       s"rank filter should push a group limit below the window:\n$p")
   }
 
+  test("vocabulary top-k avoids a global sort; OOV joins broadcast the vocab") {
+    val p1 = plan(SparkEntry.queries("q74_vocabulary")(spark, sf))
+    assert(p1.contains("TakeOrderedAndProject"),
+      s"vocab top-k must not globally sort the token counts:\n$p1")
+    val p2 = plan(SparkEntry.queries("q75_oov_rate")(spark, sf))
+    assert(p2.contains("BroadcastHashJoin"), s"vocab side must broadcast:\n$p2")
+    assert(!p2.contains("SortMergeJoin"),
+      s"token stream must not shuffle for the vocab join:\n$p2")
+  }
+
   test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
     val p = plan(T.orders(spark, sf)
       .orderBy(col("o_totalprice").desc).limit(25))
