@@ -131,6 +131,43 @@ object TextAnalysis {
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4))
 
+  /** Collocation extraction: the `k` strongest two-word associations by
+    * lift = p(a,b) / (p(a)·p(b)) — PMI's argument, kept un-logged so the
+    * score is a chain of IEEE mul/div that DuckDB reproduces
+    * bit-identically (libm `ln` may differ at the last ulp across
+    * engines and flip rounded ties).
+    *
+    * Scale: bigram + unigram counts are partial-agg shuffles; the two
+    * unigram attachments join on the token (vocabulary-sized, not
+    * corpus-sized); the (N_tokens, N_bigrams) totals broadcast as one
+    * row. Output: (a, b, c_ab, lift) top-k by (lift desc, a, b).
+    */
+  def collocations(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minCount: Long = 5L, k: Int = 50): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(explode(tokensLower(col(textCol))).as("tok"))
+    val multi = df.select(col(textCol))
+      .filter(size(tokensLower(col(textCol))) >= 2)
+    val bi = multi.select(
+      explode(Dedup.wordShinglesAllCompiled(2)(col(textCol))).as("bg"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totals = toks.agg(count(lit(1)).as("nt"))
+      .crossJoin(bi.agg(count(lit(1)).as("nb")))
+    bi.groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .withColumn("a", split(col("bg"), " ")(0))
+      .withColumn("b", split(col("bg"), " ")(1))
+      .join(uni.select(col("tok").as("a"), col("cnt").as("c_a")), "a")
+      .join(uni.select(col("tok").as("b"), col("cnt").as("c_b")), "b")
+      .crossJoin(broadcast(totals))
+      // left-assoc mul/div chain — the oracle spells the same order
+      .withColumn("lift",
+        round(col("c_ab").cast("double") / col("c_a") / col("c_b") *
+          col("nt") / col("nb") * col("nt"), 4))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+      .select("a", "b", "c_ab", "lift")
+  }
+
   /** Per-document n-gram repetition profile — the "is this doc mostly
     * one phrase looping" signal repetition filters key on (boilerplate,
     * generated spam, and scraped nav bars all repeat short n-grams).

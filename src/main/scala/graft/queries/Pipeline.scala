@@ -709,6 +709,33 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- collocations (bigram lift — corpus phrase mining) -------------
+    // lift = p(a,b)/(p(a)p(b)): PMI's argument without the log, so the
+    // score is an IEEE mul/div chain both engines compute bit-identically.
+    Q("q76_collocations",
+      """WITH docs AS (
+        |  SELECT string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |toks AS (SELECT unnest(toks) AS tok FROM docs),
+        |bi AS (
+        |  SELECT unnest(list_transform(range(len(toks) - 1),
+        |    j -> array_to_string(toks[j+1:j+2], ' '))) AS bg
+        |  FROM docs WHERE len(toks) >= 2),
+        |uni AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |cab AS (SELECT bg, count(*) AS c_ab FROM bi GROUP BY bg HAVING count(*) >= 5),
+        |tot AS (SELECT (SELECT count(*) FROM toks) AS nt,
+        |               (SELECT count(*) FROM bi) AS nb)
+        |SELECT string_split(c.bg, ' ')[1] AS a, string_split(c.bg, ' ')[2] AS b,
+        |  c.c_ab,
+        |  round(CAST(c.c_ab AS DOUBLE) / ua.cnt / ub.cnt * t.nt / t.nb * t.nt, 4) AS lift
+        |FROM cab c
+        |JOIN uni ua ON ua.tok = string_split(c.bg, ' ')[1]
+        |JOIN uni ub ON ub.tok = string_split(c.bg, ' ')[2]
+        |CROSS JOIN tot t
+        |ORDER BY lift DESC, a, b LIMIT 50""".stripMargin) { (s, d) =>
+      TA.collocations(T.documents(s, d), "text", minCount = 5L, k = 50)
+    },
+
     // ---- per-label embedding stats (norms via higher-order funcs) ----
     Q("q34_embedding_stats",
       """SELECT label, count(*) AS n,
