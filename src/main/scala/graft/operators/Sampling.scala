@@ -88,4 +88,54 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol), 100) < pct)
   }
+
+  /** Modulus of the portable hash (2^31 − 1): [[keyHash]] values lie in
+    * [0, HashMod). Range-bucketing divides this interval. */
+  val HashMod: Long = 2147483647L
+
+  /** Token-budget sampling: per group, keep documents in portable-hash
+    * order until the group's running token sum reaches `budget` — the
+    * "cut each source down to N tokens" step of a corpus mixing recipe.
+    * A document whose tokens START below the budget is kept (greedy
+    * prefix, same straddle convention as [[Packing.packBins]]), so kept
+    * token mass is budget ± one document.
+    *
+    * Semantics are EXACTLY the single global window
+    * `sum(tokens) OVER (PARTITION BY group ORDER BY hash(key), key)` —
+    * but computed scale-safe in two phases: the hash RANGE is cut into
+    * `subShards` contiguous slices (slice i = hashes in
+    * [i·Mod/k, (i+1)·Mod/k)), so hash order nests across slices and
+    * per-slice prefix sums compose into the global prefix with one tiny
+    * offset aggregate (|groups| × subShards rows, broadcast back).
+    * Unlike a mod-hash split, range slices preserve the global order —
+    * the two-phase plan is a pure parallelization, not an alternate
+    * layout, which is why a plain one-window SQL oracle hash-matches it.
+    * Hash values are uniform-ish, so range slices are balanced; per-task
+    * state is one (group, slice) running sum. */
+  def tokenBudget(df: DataFrame, keyCol: String, tokenCol: String,
+      groupCols: Seq[String], budget: Long, subShards: Int = 16): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(subShards > 0, "subShards must be positive")
+    val hh = keyHash(col(keyCol))
+    // contiguous hash-range slice: floor(hh * k / Mod) ∈ [0, k)
+    val sub = df.withColumn("__hh", hh)
+      .withColumn("__sub", (col("__hh") * subShards / lit(HashMod))
+        .cast("long"))
+    val keys = groupCols :+ "__sub"
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__hh"), col(keyCol))
+    val local = sub.withColumn("__cum", sum(col(tokenCol)).over(localW))
+    // offsets: token mass in lower slices of the same group
+    val offW = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(col("__sub"))
+    val offsets = sub.groupBy(keys.map(col): _*)
+      .agg(sum(col(tokenCol)).as("__tot"))
+      .withColumn("__off", sum(col("__tot")).over(offW) - col("__tot"))
+      .select(keys.map(k => col(k).as(s"__o_$k")) :+ col("__off"): _*)
+    val cond = keys.map(k => col(k) <=> col(s"__o_$k")).reduce(_ && _)
+    local.join(broadcast(offsets), cond)
+      .filter(col("__off") + col("__cum") - col(tokenCol) < budget)
+      .select(df.columns.map(col): _*)
+  }
 }

@@ -41,6 +41,33 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Symmetric int8 scalar quantization of an embedding column — the
+    * 4× storage/bandwidth compression step of a vector index build
+    * (each component mapped to round(x·127/max|x|) ∈ [−127, 127]).
+    *
+    * Row-local (no shuffle, stays in whole-stage codegen) and
+    * engine-portable: rounding is `floor(x·scale + 0.5)` — exact IEEE
+    * floor, no round-half-to-even ambiguity across engines — and the
+    * scale is an IEEE double division both engines compute
+    * bit-identically. An all-zero vector quantizes to zeros with
+    * scale 0 (guarded; nothing to preserve).
+    *
+    * Output columns: the input's, plus `qCol` (array&lt;int&gt;) and
+    * `scaleCol` (double; multiply q by 1/scale to dequantize). */
+  def quantize(df: DataFrame, vecCol: String,
+      qCol: String = "q", scaleCol: String = "scale"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val maxAbs = aggregate(v, lit(0.0),
+      (acc, x) => greatest(acc, abs(x)))
+    df.withColumn("__maxabs", maxAbs)
+      .withColumn(scaleCol,
+        when(col("__maxabs") === 0.0, lit(0.0))
+          .otherwise(lit(127.0) / col("__maxabs")))
+      .withColumn(qCol,
+        transform(v, x => floor(x * col(scaleCol) + 0.5).cast("int")))
+      .drop("__maxabs")
+  }
+
   /** (id, v: array&lt;double&gt;, nrm) projection: cast once, norm once per
     * row. */
   private def prepped(df: DataFrame, idCol: String, vecCol: String,

@@ -194,4 +194,83 @@ object TextAnalysis {
       .withColumn("rep_ratio",
         round(lit(1.0) - col("n_distinct").cast("double") /
           col("n_shingles").cast("double"), 4))
+
+  /** Token frequency spectrum (Zipf profile): how many distinct tokens
+    * occur with each order-of-magnitude frequency — the corpus-health
+    * summary that exposes boilerplate floods (fat head) or OCR noise
+    * (fat singleton tail). Bucket = bit length of the count
+    * (1, 2, 3–4, 5–8, …): pure integer arithmetic via the binary string
+    * rendering, so both engines bucket identically — `floor(log2(c))`
+    * would ride on libm and can flip at exact powers of two.
+    *
+    * Scale: one partial-agg token-count shuffle, then an agg over the
+    * (vocabulary-sized) counts — the spectrum itself is ≤64 rows. */
+  def freqSpectrum(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(tokensLower(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .groupBy(length(bin(col("freq"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_tokens"), sum("freq").as("n_occurrences"))
+      .withColumn("bucket_lo", expr("CAST(pow(2, bucket - 1) AS BIGINT)"))
+
+  /** Inverted index over the corpus: for each of the `k` highest-df
+    * terms, the document frequency and the first `maxPostings` doc ids
+    * (ascending) — the bounded-postings shape of a real index build
+    * (production postings are delta-encoded chunks, never one
+    * unbounded array; the cap keeps the per-term state and the output
+    * row bounded no matter how common the term).
+    *
+    * Scale: distinct (term, doc) pairs in one partial-agg shuffle;
+    * per-term posting cap via a rank filter Spark plans as
+    * WindowGroupLimit (running top-k per task, no full posting sort);
+    * df counted over ALL pairs on the same shuffle key, so the join of
+    * the two aggregates is co-partitioned. */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int, maxPostings: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(k > 0 && maxPostings > 0, "k and maxPostings must be positive")
+    val pairs = df.select(col(idCol).as("__id"),
+        explode(tokensLower(col(textCol))).as("tok"))
+      .distinct()
+    val dfreq = pairs.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tok")).orderBy(col("__id"))
+    val postings = pairs
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPostings)
+      .groupBy("tok")
+      .agg(sort_array(collect_list(col("__id"))).as("postings"))
+    dfreq.join(postings, Seq("tok"))
+      .orderBy(col("df").desc, col("tok")).limit(k)
+  }
+
+  /** Curriculum bucketing: assign each document a difficulty bucket
+    * 1..n from exact quality-score quantiles — the ordering step of a
+    * curriculum-learning data loader. A global `ntile` window would
+    * serialize the corpus through one task; instead the (n−1) exact
+    * percentile thresholds are one aggregate row broadcast back, and
+    * assignment is a row-local threshold scan: bucket i ⇔ score ≤ t_i.
+    * Exact-`percentile` interpolation matches DuckDB `percentile_cont`
+    * (the q49 equivalence), so the layout is hash-verifiable.
+    *
+    * At 100 TB swap the exact percentile for `approx_percentile` — the
+    * plan shape (tiny agg + broadcast + row-local CASE) is unchanged;
+    * exact is kept here as the oracle-checkable baseline. */
+  def curriculum(df: org.apache.spark.sql.DataFrame, textCol: String,
+      nBuckets: Int, scoreCol: String = "score",
+      bucketCol: String = "bucket"): org.apache.spark.sql.DataFrame = {
+    require(nBuckets > 1, "nBuckets must be > 1")
+    val scored = df.withColumn(scoreCol, qualityScore(col(textCol)))
+    val pcts = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val thresholds = scored.agg(
+      expr(s"percentile($scoreCol, array(${pcts.mkString(",")}))")
+        .as("__t"))
+    val bucket = (1 until nBuckets).reverse.foldLeft(lit(nBuckets)) {
+      case (acc, i) =>
+        when(col(scoreCol) <= element_at(col("__t"), i), lit(i)).otherwise(acc)
+    }
+    scored.crossJoin(broadcast(thresholds))
+      .withColumn(bucketCol, bucket)
+      .drop("__t")
+  }
 }

@@ -736,6 +736,111 @@ object Pipeline {
       TA.collocations(T.documents(s, d), "text", minCount = 5L, k = 50)
     },
 
+    // ---- token-budget sampling (per-source token cap) -------------------
+    // Cut each source to ~600 tokens, docs taken in portable-hash order.
+    // The Spark side computes the prefix sum TWO-PHASE over contiguous
+    // hash-RANGE slices (order nests across slices, so per-slice sums
+    // compose exactly); the oracle is the plain one-window formulation —
+    // the hash-match IS the proof that the scale-safe plan preserves the
+    // single-window semantics.
+    Q("q77_token_budget",
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($duckToks) AS BIGINT) AS n_tokens,
+         |    ${polyHashOf("CAST(doc_id AS VARCHAR)")} AS hh
+         |  FROM documents)
+         |SELECT doc_id, source, n_tokens FROM (
+         |  SELECT doc_id, source, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source ORDER BY hh, doc_id) AS cum
+         |  FROM t)
+         |WHERE cum - n_tokens < 600
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d).select(col("doc_id"), col("source"),
+        TA.tokenCount(col("text")).cast("long").as("n_tokens"))
+      Sampling.tokenBudget(docs, "doc_id", "n_tokens", Seq("source"),
+          budget = 600, subShards = 8)
+        .orderBy("doc_id")
+    },
+
+    // ---- int8 embedding quantization (row-local, portable rounding) ----
+    Q("q78_quantize",
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, e,
+        |    CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 0.0
+        |         ELSE 127.0 / list_max(list_transform(e, x -> abs(x))) END AS s
+        |  FROM v)
+        |SELECT vec_id, round(s, 6) AS scale,
+        |  list_transform(e, x -> CAST(floor(x * s + 0.5) AS INT)) AS q
+        |FROM m ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Similarity.quantize(T.embeddings(s, d), "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("q"))
+        .orderBy("vec_id")
+    },
+
+    // ---- curriculum bucketing (exact quantiles, no global window) ------
+    // ntile would serialize the corpus through one global sort task; the
+    // thresholds here are ONE aggregate row broadcast back, assignment is
+    // row-local. quantile_cont == Spark exact percentile (q49).
+    Q("q79_curriculum",
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    round(least(CAST(len($duckToks) AS DOUBLE) / 50.0, 1.0) * 0.4
+         |        + least(CAST(len(list_filter($duckToks, t -> t IN $duckStops)) AS DOUBLE)
+         |                / len($duckToks) / 0.05, 1.0) * 0.4
+         |        + greatest(0.0, 1.0 - CAST(length(trim(text))
+         |            - length(regexp_replace(trim(text), '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |            / length(trim(text)) * 5.0) * 0.2, 6) AS score
+         |  FROM documents),
+         |t AS (SELECT quantile_cont(score, [0.25, 0.5, 0.75]) AS th FROM sc)
+         |SELECT doc_id, score,
+         |  CASE WHEN score <= th[1] THEN 1 WHEN score <= th[2] THEN 2
+         |       WHEN score <= th[3] THEN 3 ELSE 4 END AS bucket
+         |FROM sc CROSS JOIN t ORDER BY doc_id""".stripMargin) { (s, d) =>
+      TA.curriculum(T.documents(s, d), "text", 4)
+        .select(col("doc_id"), col("score"), col("bucket"))
+        .orderBy("doc_id")
+    },
+
+    // ---- token frequency spectrum (Zipf profile) ------------------------
+    // Bucket = bit length of the token count: integer-exact in both
+    // engines (floor(log2) rides on libm and flips at powers of two).
+    Q("q80_freq_spectrum",
+      s"""WITH toks AS (
+         |  SELECT unnest($duckToksLower) AS tok FROM documents),
+         |cnt AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+         |b AS (SELECT CAST(len(bin(freq)) AS BIGINT) AS bucket, freq FROM cnt)
+         |SELECT bucket, count(*) AS n_tokens,
+         |  CAST(sum(freq) AS BIGINT) AS n_occurrences,
+         |  CAST(pow(2, bucket - 1) AS BIGINT) AS bucket_lo
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
+      TA.freqSpectrum(T.documents(s, d), "text")
+        .select("bucket", "n_tokens", "n_occurrences", "bucket_lo")
+        .orderBy("bucket")
+    },
+
+    // ---- inverted index (bounded postings per term) ---------------------
+    Q("q81_inverted_index",
+      s"""WITH p0 AS (
+         |  SELECT doc_id, unnest($duckToksLower) AS tok FROM documents),
+         |pairs AS (SELECT DISTINCT doc_id, tok FROM p0),
+         |dfq AS (SELECT tok, count(*) AS df FROM pairs GROUP BY tok),
+         |post AS (
+         |  SELECT tok, list(doc_id ORDER BY doc_id) AS postings FROM (
+         |    SELECT tok, doc_id,
+         |      row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+         |    FROM pairs) t
+         |  WHERE rn <= 20 GROUP BY tok)
+         |SELECT d.tok, d.df, p.postings
+         |FROM dfq d JOIN post p USING (tok)
+         |ORDER BY df DESC, tok LIMIT 100""".stripMargin) { (s, d) =>
+      TA.invertedIndex(T.documents(s, d), "doc_id", "text",
+          k = 100, maxPostings = 20)
+        .select("tok", "df", "postings")
+        .orderBy(col("df").desc, col("tok"))
+    },
+
     // ---- per-label embedding stats (norms via higher-order funcs) ----
     Q("q34_embedding_stats",
       """SELECT label, count(*) AS n,

@@ -514,4 +514,111 @@ class PipelineSpec extends AnyFunSuite {
     assert(docs.limit(5).select("doc_id").collect().map(_.getLong(0))
       .forall(keptIds.contains))
   }
+
+  test("tokenBudget two-phase equals the single-window prefix filter") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = T.documents(spark, sf).select(col("doc_id"), col("source"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+    // reference semantics: one window per group in (hash, key) order
+    val w = Window.partitionBy("source")
+      .orderBy(Sampling.keyHash(col("doc_id")), col("doc_id"))
+    val single = docs.withColumn("__cum", sum(col("n")).over(w))
+      .filter(col("__cum") - col("n") < 600)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (k <- Seq(1, 3, 8)) {
+      val got = Sampling.tokenBudget(docs, "doc_id", "n", Seq("source"),
+          budget = 600, subShards = k)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === single, s"subShards=$k diverged from single-window")
+    }
+    // layout independence
+    val re = Sampling.tokenBudget(docs.repartition(13), "doc_id", "n",
+        Seq("source"), budget = 600, subShards = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(re === single)
+  }
+
+  test("tokenBudget kept token mass stays within budget + one document") {
+    val docs = T.documents(spark, sf).select(col("doc_id"), col("source"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+    val maxDoc = docs.agg(max("n")).collect().head.getLong(0)
+    val kept = Sampling.tokenBudget(docs, "doc_id", "n", Seq("source"),
+      budget = 600, subShards = 8)
+    val perGroup = kept.groupBy("source").agg(sum("n").as("tot"))
+      .collect().map(_.getLong(1))
+    assert(perGroup.nonEmpty)
+    assert(perGroup.forall(t => t < 600 + maxDoc),
+      s"a group overshot budget+maxDoc: ${perGroup.max}")
+  }
+
+  test("quantize bounds components, reconstructs within half a step") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // all-zero guard
+      (3L, Array(3.0f, -2.0f, 1.5f, 0.1f))).toDF("vec_id", "embedding")
+    val rows = Similarity.quantize(df, "embedding")
+      .select("vec_id", "embedding", "q", "scale").collect()
+    for (r <- rows) {
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val q = r.getSeq[Int](2)
+      val s = r.getDouble(3)
+      assert(q.forall(x => x >= -127 && x <= 127))
+      if (s == 0.0) assert(q.forall(_ == 0)) // zero vector
+      else v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x - qi / s) <= 0.5 / s + 1e-12,
+          s"component $x reconstructed as ${qi / s} (scale $s)")
+      }
+    }
+  }
+
+  test("curriculum buckets are ordered; tie-free input buckets evenly") {
+    // real corpus: scores tie heavily (length component saturates), so
+    // upper buckets may legally be empty — assert order, not balance
+    val got = graft.operators.TextAnalysis.curriculum(
+        T.documents(spark, sf), "text", 4)
+      .groupBy("bucket")
+      .agg(min("score").as("lo"), max("score").as("hi"), count(lit(1)).as("n"))
+      .orderBy("bucket").collect()
+    assert(got.map(_.getInt(0)).forall(b => b >= 1 && b <= 4))
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getDouble(2) <= b.getDouble(1),
+          s"bucket ${a.getInt(0)} hi ${a.getDouble(2)} > bucket ${b.getInt(0)} lo ${b.getDouble(1)}")
+      case _ => ()
+    }
+    // tie-free synthetic (distinct token counts 1..40, no stopwords or
+    // punctuation): exact quartiles, 10 docs per bucket
+    import spark.implicits._
+    val docs = (1 to 40).map(n => (n.toLong, Seq.fill(n)("word").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sizes = graft.operators.TextAnalysis.curriculum(docs, "text", 4)
+      .groupBy("bucket").count().orderBy("bucket").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    assert(sizes.toSeq === Seq(1 -> 10L, 2 -> 10L, 3 -> 10L, 4 -> 10L))
+  }
+
+  test("freqSpectrum buckets by bit length and conserves token mass") {
+    import spark.implicits._
+    // counts: a=5 (bucket 3), b=2 (bucket 2), c=1, d=1 (bucket 1)
+    val df = Seq("a a a b", "a a b c", "d").toDF("text")
+    val got = graft.operators.TextAnalysis.freqSpectrum(df, "text")
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L, 2L, 1L), (2L, 1L, 2L, 2L), (3L, 1L, 5L, 4L)))
+  }
+
+  test("invertedIndex caps postings, keeps them sorted, df counts all docs") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i =>
+      (i, if (i <= 25) "common filler" else "rare filler")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .invertedIndex(docs, "doc_id", "text", k = 10, maxPostings = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getSeq[Long](2)))).toMap
+    assert(got("filler")._1 === 30L) // df counts beyond the posting cap
+    assert(got("filler")._2 === Seq(1L, 2L, 3L, 4L, 5L)) // capped + sorted
+    assert(got("common")._1 === 25L)
+    assert(got("rare")._2 === Seq(26L, 27L, 28L, 29L, 30L))
+  }
 }
