@@ -206,6 +206,38 @@ class PlanSpec extends AnyFunSuite {
       s"token stream must not shuffle for the vocab join:\n$p2")
   }
 
+  test("token budget broadcasts the offset table; no global single-partition window") {
+    val p = plan(SparkEntry.queries("q77_token_budget")(spark, sf))
+    // phase-2 offsets are |groups|×subShards rows — broadcast back, and
+    // the corpus-side prefix sum must stay partitioned (a global window
+    // would show a SinglePartition exchange)
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not re-shuffle for offsets:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"prefix sum must not serialize through one task:\n$p")
+  }
+
+  test("quantization is row-local; curriculum broadcasts one threshold row") {
+    val p1 = plan(graft.operators.Similarity.quantize(
+      T.embeddings(spark, sf), "embedding"))
+    assert(!p1.contains("Exchange"), s"quantize must not shuffle:\n$p1")
+    val p2 = plan(SparkEntry.queries("q79_curriculum")(spark, sf))
+    // percentile agg collapses to one row; assignment is a broadcast
+    // nested loop over a 1-row build side (a cross join by name, but
+    // 1×n — the shape that replaces the global ntile sort)
+    assert(p2.contains("Broadcast"), s"thresholds must broadcast:\n$p2")
+    assert(countIn(p2, "Exchange SinglePartition") <= 1,
+      s"only the 1-row threshold agg may single-partition:\n$p2")
+  }
+
+  test("inverted index caps postings below the window (WindowGroupLimit)") {
+    val p = plan(SparkEntry.queries("q81_inverted_index")(spark, sf))
+    assert(p.contains("WindowGroupLimit"),
+      s"posting cap should push a group limit below the window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"term top-k must not globally sort:\n$p")
+  }
+
   test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
     val p = plan(T.orders(spark, sf)
       .orderBy(col("o_totalprice").desc).limit(25))
