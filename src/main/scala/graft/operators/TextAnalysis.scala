@@ -244,6 +244,31 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("tok")).limit(k)
   }
 
+  /** Shingle-novelty profile: for each document, the share of its
+    * distinct word n-grams whose corpus-wide FIRST occurrence (minimum
+    * doc id) is this document — the "how much genuinely new text does
+    * this doc add" signal an incremental crawl uses to rank candidate
+    * additions (a near-copy of earlier material scores ~0).
+    *
+    * Scale: distinct shingles explode row-locally; first-occurrence is
+    * one partial-agg min shuffle on the shingle (near-unique key, so
+    * skew-bounded); the join back is on the same shuffle key
+    * (co-partitioned); the final doc rollup is one more partial agg.
+    * Output: (idCol, n_shingles, n_novel, novelty). */
+  def noveltyProfile(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      explode(Dedup.wordShinglesCompiled(n)(col(textCol))).as("__s"))
+    val first = sh.groupBy("__s").agg(min("__id").as("__first"))
+    sh.join(first, Seq("__s"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 4))
+  }
+
   /** Curriculum bucketing: assign each document a difficulty bucket
     * 1..n from exact quality-score quantiles — the ordering step of a
     * curriculum-learning data loader. A global `ntile` window would

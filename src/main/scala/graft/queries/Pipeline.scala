@@ -841,6 +841,38 @@ object Pipeline {
         .orderBy(col("df").desc, col("tok"))
     },
 
+    // ---- k-means document clustering (bounded train, row-local assign) --
+    // Cluster ids are k-means-seed-specific (no SQL twin) → rows-only
+    // gate; label quality is differentially tested in PipelineSpec
+    // (planted well-separated blobs recover their partition).
+    Q.noOracle("q82_embedding_cluster") { (s, d) =>
+      Similarity.kmeansAssign(T.embeddings(s, d), "vec_id", "embedding",
+          k = 8, maxIter = 10)
+        .orderBy("vec_id")
+    },
+
+    // ---- shingle novelty (first-occurrence share per doc) ---------------
+    // The incremental-crawl "new text" signal: share of a doc's distinct
+    // 3-grams first seen (min doc_id) in that doc.
+    Q("q83_novelty",
+      s"""WITH docs AS (
+         |  SELECT doc_id, $duckToksLower AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(greatest(len(toks) - 3, 0) + 1),
+         |    j -> array_to_string(toks[j+1:j+3], ' ')))) AS s
+         |  FROM docs),
+         |first AS (SELECT s, min(doc_id) AS fd FROM sh GROUP BY s)
+         |SELECT a.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.fd = a.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  round(sum(CASE WHEN f.fd = a.doc_id THEN 1 ELSE 0 END)
+         |        / CAST(count(*) AS DOUBLE), 4) AS novelty
+         |FROM sh a JOIN first f ON a.s = f.s
+         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin) { (s, d) =>
+      TA.noveltyProfile(T.documents(s, d), "doc_id", "text", 3)
+        .orderBy("doc_id")
+    },
+
     // ---- per-label embedding stats (norms via higher-order funcs) ----
     Q("q34_embedding_stats",
       """SELECT label, count(*) AS n,

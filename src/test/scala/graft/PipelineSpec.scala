@@ -608,6 +608,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 2L, 2L, 1L), (2L, 1L, 2L, 2L), (3L, 1L, 5L, 4L)))
   }
 
+  test("kmeansAssign recovers planted well-separated blobs") {
+    import spark.implicits._
+    // three blobs at distance >> intra-blob spread; any reasonable
+    // k-means must give each blob one pure label
+    val pts = (0 until 30).map { i =>
+      val blob = i % 3
+      val base = Array.fill(8)(blob * 100.0)
+      (i.toLong, base.zipWithIndex.map { case (b, j) =>
+        (b + ((i * 7 + j * 13) % 5) * 0.1).toFloat })
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val byBlob = got.groupBy { case (id, _) => id % 3 }
+      .view.mapValues(_.map(_._2).toSet).toMap
+    byBlob.foreach { case (blob, labels) =>
+      assert(labels.size === 1, s"blob $blob split across labels $labels")
+    }
+    assert(byBlob.values.flatten.toSet.size === 3, "blobs share a label")
+    // assignment is total: every input row gets exactly one cluster
+    assert(got.length === 30)
+  }
+
+  test("noveltyProfile: exact copies score zero; first occurrence scores one") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // all shingles first here
+      (2L, "alpha beta gamma delta epsilon"), // exact copy -> novelty 0
+      (3L, "zeta eta theta iota kappa")       // disjoint -> novelty 1
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .noveltyProfile(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L)._3 === 1.0)
+    assert(got(2L)._3 === 0.0) // every shingle first seen in doc 1
+    assert(got(3L)._3 === 1.0)
+    assert(got(1L)._1 === 3L) // 5 tokens -> 3 distinct 3-grams
+  }
+
   test("invertedIndex caps postings, keeps them sorted, df counts all docs") {
     import spark.implicits._
     val docs = (1L to 30L).map(i =>
