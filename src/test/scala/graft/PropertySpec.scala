@@ -218,6 +218,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: tokenBudget two-phase equals single-window for any sub-shard count") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      toks <- Gen.listOfN(n, Gen.choose(1L, 400L))
+      groups <- Gen.choose(1, 3)
+      budget <- Gen.choose(50L, 2000L)
+      k <- Gen.oneOf(1, 2, 5, 16)
+    } yield (toks, groups, budget, k)
+    samples(gen, 15).foreach { case (toks, groups, budget, k) =>
+      val df = toks.zipWithIndex
+        .map { case (t, i) => (i.toLong, s"g${i % groups}", t) }
+        .toDF("doc_id", "grp", "n")
+      // reference: one window per group in (hash, key) order
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+        .orderBy(graft.operators.Sampling.keyHash(col("doc_id")), col("doc_id"))
+      val expect = df.withColumn("__cum", fsum(col("n")).over(w))
+        .filter(col("__cum") - col("n") < budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val got = graft.operators.Sampling
+        .tokenBudget(df, "doc_id", "n", Seq("grp"), budget, k)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === expect, s"n=${toks.size} groups=$groups budget=$budget k=$k")
+    }
+  }
+
   test("property: minhash estimate stays in [0,1] and self-similarity is 1") {
     val spark = SparkTestSession.spark
     val docs = T.documents(spark, "/root/testdata/sf0.001").limit(50)
