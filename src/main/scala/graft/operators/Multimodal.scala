@@ -8,23 +8,60 @@ import org.apache.spark.sql.functions._
   * struct; decode / feature-extract / resize / frame-sample run as
   * compiled batch functions over the bytes.
   *
-  * STUB NOTE: no image/audio codecs exist in this container, so
-  * `decodeImage` is a clearly-marked DETERMINISTIC FAKE — it derives
-  * plausible (width, height, channels) from the payload bytes. The
-  * Spark-side plumbing (binary schema, metadata struct, UDF signatures,
-  * partition-batch path) is real and is what a codec drop-in would reuse
-  * unchanged: replace the body of [[decodeImage]]/[[decodeBatch]] with a
-  * real decoder and every query keeps working.
+  * Decode is REAL for the formats the JDK ships codecs for — PNG,
+  * JPEG, BMP, GIF via `javax.imageio` (no external libraries; verified
+  * against in-test-encoded PNG/BMP bytes in MultimodalSpec). Payloads
+  * no JDK reader accepts (including the synthetic non-image bytes in
+  * the test fixtures) fall back to a clearly-labeled DETERMINISTIC
+  * pseudo-header so pipelines degrade predictably instead of throwing
+  * mid-scan; `decoded` distinguishes the two paths.
   *
   * Scale posture: payloads never leave executors (no driver collect),
-  * all transforms are row-local (embarrassingly parallel), and binary
-  * stays columnar in parquet, so a 100 TB media table partitions like
-  * any other.
+  * all transforms are row-local (embarrassingly parallel), decode
+  * runs per-partition so codec state amortizes, and binary stays
+  * columnar in parquet, so a 100 TB media table partitions like any
+  * other.
   */
 object Multimodal {
 
-  /** Fake decoded-image header, stable per payload. */
-  final case class ImageHeader(width: Int, height: Int, channels: Int)
+  /** Decoded-image header; `decoded=false` marks the pseudo fallback. */
+  final case class ImageHeader(width: Int, height: Int, channels: Int,
+      decoded: Boolean)
+
+  /** Real JDK decode: PNG/JPEG/BMP/GIF → BufferedImage, None for
+    * anything ImageIO has no reader for. ImageIO is headless-safe (no
+    * display needed for decode/encode/raster ops). */
+  private[operators] def readImage(bytes: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
+    if (bytes == null || bytes.length < 8) None
+    else try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+    } catch {
+      // a reader can reject garbage that happens to start with its
+      // magic (text beginning "BM…" reaches the BMP parser) with
+      // unchecked exceptions, not just IOException — any failure means
+      // "not a decodable image", never a failed task
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  private def channelsOf(img: java.awt.image.BufferedImage): Int =
+    img.getColorModel.getNumComponents
+
+  /** Deterministic pseudo-header for undecodable payloads: a fixed
+    * arithmetic function of the first bytes and the length, so the
+    * degraded path is reproducible across engines and runs. */
+  private[operators] def pseudoHeader(bytes: Array[Byte]): ImageHeader = {
+    val n = bytes.length
+    val b0 = bytes(0) & 0xff
+    val b1 = bytes(1) & 0xff
+    ImageHeader(
+      width = 16 + (b0 * 31 + n) % 497,
+      height = 16 + (b1 * 17 + n * 7) % 311,
+      channels = 1 + (b0 + n) % 4,
+      decoded = false)
+  }
 
   /** Attach a binary payload + typed metadata struct to a text corpus —
     * the canonical shape of a multimodal table: (id, payload binary,
@@ -39,35 +76,76 @@ object Multimodal {
         md5(col("payload")).as("checksum")))
   }
 
-  /** DETERMINISTIC STUB of an image decode: header fields are a fixed
-    * arithmetic function of the first bytes and the length, so results
-    * are reproducible across engines. Swap the body for a real codec
-    * (e.g. javax.imageio) to productionize; the signature
-    * (bytes → header struct) is the real contract. */
+  /** Image decode: real (ImageIO: PNG/JPEG/BMP/GIF) with the
+    * deterministic pseudo-header as the undecodable fallback.
+    * bytes → struct&lt;width, height, channels, decoded&gt;. */
   val decodeImage = udf { bytes: Array[Byte] =>
     if (bytes == null || bytes.length < 2) null
-    else {
-      val n = bytes.length
-      val b0 = bytes(0) & 0xff
-      val b1 = bytes(1) & 0xff
-      ImageHeader(
-        width = 16 + (b0 * 31 + n) % 497,
-        height = 16 + (b1 * 17 + n * 7) % 311,
-        channels = 1 + (b0 + n) % 4)
+    else readImage(bytes) match {
+      case Some(img) =>
+        ImageHeader(img.getWidth, img.getHeight, channelsOf(img),
+          decoded = true)
+      case None => pseudoHeader(bytes)
     }
   }
 
-  /** "Resize" stub: deterministic byte decimation (every k-th byte) —
-    * the real-codec version would decode, scale, re-encode; the plumbing
-    * (binary → binary, row-local) is identical. */
-  val downsample = udf { (bytes: Array[Byte], k: Int) =>
-    if (bytes == null || k <= 0) null
-    else {
-      val out = new Array[Byte]((bytes.length + k - 1) / k)
-      var i = 0
-      while (i < out.length) { out(i) = bytes(i * k); i += 1 }
-      out
+  /** Mean luminance (Rec.601 weights over the RGB raster) of a REAL
+    * decode, null for undecodable payloads — the brightness/exposure
+    * quality signal of an image-corpus filter. */
+  val meanLuma = udf { bytes: Array[Byte] =>
+    readImage(bytes).map { img =>
+      val w = img.getWidth; val h = img.getHeight
+      var s = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      math.round(s / (w.toLong * h) * 1e4) / 1e4
     }
+  }
+
+  /** Image resize: REAL decode → area-respecting nearest scale so the
+    * longest side is ≤ `maxDim` → PNG re-encode (JDK writer). Payloads
+    * that don't decode fall back to deterministic byte decimation, so
+    * the column stays total. Row-local either way. */
+  val resizeImage = udf { (bytes: Array[Byte], maxDim: Int) =>
+    if (bytes == null || maxDim <= 0) null
+    else readImage(bytes) match {
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+        val nw = math.max(1, math.round(w * scale).toInt)
+        val nh = math.max(1, math.round(h * scale).toInt)
+        val out = new java.awt.image.BufferedImage(nw, nh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, nw, nh, null) finally g.dispose()
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", buf)
+        buf.toByteArray
+      case None => decimate(bytes, math.max(1,
+        bytes.length / math.max(1, maxDim * maxDim)))
+    }
+  }
+
+  private def decimate(bytes: Array[Byte], k: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + k - 1) / k)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * k); i += 1 }
+    out
+  }
+
+  /** Deterministic byte decimation (every k-th byte) — the bandwidth
+    * knob for payloads with no decoder (and the q38 fixture path). */
+  val downsample = udf { (bytes: Array[Byte], k: Int) =>
+    if (bytes == null || k <= 0) null else decimate(bytes, k)
   }
 
   /** Split a payload into fixed-size frames (last frame may be short) —
@@ -91,23 +169,23 @@ object Multimodal {
 
   /** Partition-batch decode path: processes payloads a partition at a
     * time (the Scala analogue of a batched pandas UDF — same batch
-    * shape, same executor locality). A real decoder would amortize codec
-    * init across the partition here. */
+    * shape, same executor locality), real-decode-first like
+    * [[decodeImage]]. ImageIO's reader registry is JVM-wide, so codec
+    * lookup amortizes across the partition. */
   def decodeBatch(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val out = df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init would go here (codec context, buffers)
         it.map { case (id, bytes) =>
           if (bytes == null || bytes.length < 2) (id, 0, 0, 0)
-          else {
-            val n = bytes.length
-            val b0 = bytes(0) & 0xff
-            val b1 = bytes(1) & 0xff
-            (id, 16 + (b0 * 31 + n) % 497, 16 + (b1 * 17 + n * 7) % 311,
-              1 + (b0 + n) % 4)
+          else readImage(bytes) match {
+            case Some(img) =>
+              (id, img.getWidth, img.getHeight, channelsOf(img))
+            case None =>
+              val h = pseudoHeader(bytes)
+              (id, h.width, h.height, h.channels)
           }
         }
       }

@@ -55,4 +55,58 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("n") =!= col("hsum"))
     assert(bad.isEmpty)
   }
+
+  /** Encode a w×h image to real `fmt` bytes with the JDK writer; pixel
+    * (x,y) = solid `rgb`. */
+  private def imageBytes(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, buf), s"no $fmt writer")
+    buf.toByteArray
+  }
+
+  test("decodeImage REALLY decodes PNG and BMP; garbage takes the labeled fallback") {
+    import spark.implicits._
+    val png = imageBytes(20, 10, 0x336699, "png")
+    val bmp = imageBytes(7, 5, 0xff0000, "bmp")
+    val junk = "BMnot really a bitmap, just text".getBytes("UTF-8")
+    val df = Seq((1L, png), (2L, bmp), (3L, junk)).toDF("id", "payload")
+      .withColumn("hdr", Multimodal.decodeImage(col("payload")))
+      .select(col("id"), col("hdr.width"), col("hdr.height"),
+        col("hdr.channels"), col("hdr.decoded"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      ((r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(got(1L) === ((20, 10, 3, true)))
+    assert(got(2L) === ((7, 5, 3, true)))
+    assert(!got(3L)._4, "garbage must take the pseudo fallback")
+    // the batch path agrees on the real decodes
+    val batch = Multimodal.decodeBatch(
+        Seq((1L, png), (2L, bmp)).toDF("id", "payload"), "id", "payload")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(batch(1L) === ((20, 10)) && batch(2L) === ((7, 5)))
+  }
+
+  test("resizeImage scales real images to maxDim and re-encodes decodably") {
+    import spark.implicits._
+    val png = imageBytes(64, 32, 0x00ff00, "png")
+    val out = Seq((1L, png)).toDF("id", "payload")
+      .select(Multimodal.resizeImage(col("payload"), lit(16)).as("r"))
+      .collect().head.getAs[Array[Byte]](0)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(back != null, "resized payload must itself decode")
+    assert(back.getWidth === 16 && back.getHeight === 8)
+    // luma survives a solid-color resize (green ≈ 0.587*255)
+    val luma = Seq((1L, out)).toDF("id", "payload")
+      .select(Multimodal.meanLuma(col("payload")).as("l"))
+      .collect().head.getDouble(0)
+    assert(math.abs(luma - 0.587 * 255) < 2.0, s"luma $luma")
+    // an upscale request leaves dimensions alone (scale capped at 1)
+    val same = Seq((1L, png)).toDF("id", "payload")
+      .select(Multimodal.resizeImage(col("payload"), lit(512)).as("r"))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(same)).getWidth === 64)
+  }
 }
