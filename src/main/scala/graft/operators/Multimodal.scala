@@ -193,4 +193,95 @@ object Multimodal {
   }
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Solid-gray PNG generator (REAL JDK encoder) — the deterministic
+    * image synthesizer for codec roundtrip checks: a w×h TYPE_INT_RGB
+    * raster of gray level `v`, PNG-encoded. Decoding it back must
+    * return exactly (w, h) and mean luma v (gray luma is the identity
+    * under the Rec.601 weights). Row-local. */
+  val solidPng = udf { (gray: Int, w: Int, h: Int) =>
+    if (w <= 0 || h <= 0) null
+    else {
+      val v = ((gray % 256) + 256) % 256
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (v << 16) | (v << 8) | v
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+  }
+
+  /** Parsed WAV header (RIFF/WAVE fmt + data chunks). */
+  final case class WavHeader(sampleRate: Int, channels: Int,
+      bitsPerSample: Int, nSamples: Long, durationMs: Double)
+
+  /** Minimal PCM WAV generator: a standard 44-byte RIFF/WAVE header +
+    * silent 16-bit PCM frames — the audio-side synthesizer for
+    * roundtrip checks. Row-local. */
+  val pcmWav = udf { (sampleRate: Int, channels: Int, nSamples: Int) =>
+    if (sampleRate <= 0 || channels <= 0 || nSamples < 0) null
+    else {
+      val bits = 16
+      val blockAlign = channels * bits / 8
+      val dataLen = nSamples * blockAlign
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort) // PCM
+        .putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * blockAlign) // byte rate
+        .putShort(blockAlign.toShort).putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      bb.array()
+    }
+  }
+
+  /** REAL WAV header parse: walks the RIFF chunk list (not a fixed
+    * 44-byte assumption — fmt and data may be separated by LIST/fact
+    * chunks), returns null for anything that isn't a PCM WAVE. The
+    * audio twin of [[decodeImage]]: real parse, loud null fallback,
+    * row-local. */
+  val decodeWav = udf { bytes: Array[Byte] =>
+    if (bytes == null || bytes.length < 44) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int): String =
+        new String(bytes, off, 4, "US-ASCII")
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") None
+      else {
+        var off = 12
+        var rate = -1; var ch = -1; var bits = -1; var dataLen = -1L
+        while (off + 8 <= bytes.length && (rate < 0 || dataLen < 0)) {
+          val id = tag(off)
+          val len = bb.getInt(off + 4)
+          if (len < 0 || off + 8 + len.toLong > bytes.length) {
+            off = bytes.length // malformed length: stop, fall through to null
+          } else {
+            if (id == "fmt " && len >= 16) {
+              ch = bb.getShort(off + 10).toInt
+              rate = bb.getInt(off + 12)
+              bits = bb.getShort(off + 22).toInt
+            } else if (id == "data") dataLen = len.toLong
+            off += 8 + len + (len & 1) // chunks are word-aligned
+          }
+        }
+        if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0) None
+        else {
+          val n = dataLen / (ch * bits / 8)
+          Some(WavHeader(rate, ch, bits, n,
+            math.round(n.toDouble / rate * 1e5) / 1e2))
+        }
+      }
+    }
+  }
 }

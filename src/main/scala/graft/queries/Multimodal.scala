@@ -96,6 +96,57 @@ object Multimodal {
         .select(col("doc_id"), col("pos").cast("long").as("bucket"),
           col("col").cast("long").as("cnt"))
         .orderBy("doc_id", "bucket")
+    },
+
+    // ---- REAL codec roundtrip: PNG encode → ImageIO decode ----------
+    // Each doc renders a solid-gray PNG whose dimensions and gray level
+    // are pure functions of (n_chars, doc_id); the REAL decoder must
+    // hand back exactly those dimensions and (gray is a luma fixpoint
+    // under Rec.601) exactly that luma. The oracle computes the
+    // expected values symbolically — the hash-match certifies the
+    // actual JDK encode/decode roundtrip, not a stub.
+    Q("q84_mm_codec_roundtrip",
+      """SELECT doc_id,
+        |  CAST(16 + n_chars % 32 AS INT) AS width,
+        |  CAST(8 + n_chars % 16 AS INT) AS height,
+        |  TRUE AS decoded,
+        |  CAST(doc_id % 256 AS DOUBLE) AS luma
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .withColumn("png", MM.solidPng(
+          pmod(col("doc_id"), lit(256)).cast("int"),
+          (lit(16) + pmod(col("n_chars"), lit(32))).cast("int"),
+          (lit(8) + pmod(col("n_chars"), lit(16))).cast("int")))
+        .withColumn("hdr", MM.decodeImage(col("png")))
+        .select(col("doc_id"), col("hdr.width").as("width"),
+          col("hdr.height").as("height"), col("hdr.decoded").as("decoded"),
+          MM.meanLuma(col("png")).as("luma"))
+        .orderBy("doc_id")
+    },
+
+    // ---- REAL audio metadata: PCM WAV encode → RIFF chunk-walk parse --
+    Q("q85_wav_meta",
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(n_chars % 4096 AS BIGINT) AS n_samples,
+        |  round((n_chars % 4096) / CAST(8000 + (doc_id % 8) * 1000 AS DOUBLE)
+        |        * 100000) / 100 AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      T.documents(s, d)
+        .withColumn("wav", MM.pcmWav(
+          (lit(8000) + pmod(col("doc_id"), lit(8)) * 1000).cast("int"),
+          (lit(1) + pmod(col("doc_id"), lit(2))).cast("int"),
+          pmod(col("n_chars"), lit(4096)).cast("int")))
+        .withColumn("w", MM.decodeWav(col("wav")))
+        .select(col("doc_id"),
+          col("w.sampleRate").as("sample_rate"),
+          col("w.channels").as("channels"),
+          col("w.bitsPerSample").as("bits"),
+          col("w.nSamples").as("n_samples"),
+          col("w.durationMs").as("duration_ms"))
+        .orderBy("doc_id")
     })
 
   def queries: Seq[Q] = ql

@@ -88,6 +88,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(batch(1L) === ((20, 10)) && batch(2L) === ((7, 5)))
   }
 
+  test("decodeWav walks RIFF chunks (LIST between fmt and data) and rejects junk") {
+    import spark.implicits._
+    // standard wav from the generator
+    val std = Seq((1L, 8000, 2, 100)).toDF("id", "r", "c", "n")
+      .select(Multimodal.pcmWav(col("r"), col("c"), col("n")).as("wav"))
+      .collect().head.getAs[Array[Byte]](0)
+    // splice a LIST chunk between fmt and data — a layout a fixed
+    // 44-byte-offset parser would misread
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = std.slice(0, 36) ++ listChunk ++ std.drop(36)
+    val riffFix = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riffFix.putInt(4, spliced.length - 8) // RIFF length covers the splice
+    val rows = Seq((1L, std), (2L, spliced),
+        (3L, "RIFFjunk not a wave file at all padding".getBytes("UTF-8")))
+      .toDF("id", "wav")
+      .select(col("id"), Multimodal.decodeWav(col("wav")).as("w"))
+      .select(col("id"), col("w.sampleRate"), col("w.channels"),
+        col("w.nSamples"), col("w.durationMs"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L)) {
+      val r = rows(id)
+      assert(r.getInt(1) === 8000 && r.getInt(2) === 2 && r.getLong(3) === 100L,
+        s"row $id parsed wrong: $r")
+      assert(r.getDouble(4) === 12.5) // 100 / 8000 s
+    }
+    assert(rows(3L).isNullAt(1), "junk must parse to null, not throw")
+  }
+
   test("resizeImage scales real images to maxDim and re-encodes decodably") {
     import spark.implicits._
     val png = imageBytes(64, 32, 0x00ff00, "png")
