@@ -105,6 +105,39 @@ object Dedup {
     jaccardJoinOnTokens(df.select(col(idCol).as("id"),
       array_sort(normTokens(col(textCol))).as("toks")), threshold)
 
+  /** Cross-corpus near-dup filter: the incremental-crawl dedup step —
+    * drop `incoming` docs whose distinct-token Jaccard against ANY
+    * `corpus` doc clears `threshold`, keep the rest (this is dedup
+    * AGAINST an existing snapshot, not within a batch: a new crawl is
+    * cleaned against everything already ingested).
+    *
+    * Exact semantics (the oracle-checkable baseline): token-keyed
+    * A×B co-occurrence counts — one shuffle on the token, partial-agg
+    * combined — then the Jaccard verify on (|A|, |B|, common) and a
+    * left-anti join back on the incoming id. At 100 TB run the same
+    * shape over MinHash band buckets instead of raw tokens
+    * ([[minhashCandidatesPoly]] on the tagged union, cross-side pairs
+    * only) — sub-quadratic candidates, identical filter contract. */
+  def crossNearDupFilter(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    def toks(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as),
+        array_sort(normTokens(col(textCol))).as("toks"))
+    val a = toks(incoming, "__na")
+      .select(col("__na"), size(col("toks")).as("na"),
+        explode(col("toks")).as("tok"))
+    val b = toks(corpus, "__ob")
+      .select(col("__ob"), size(col("toks")).as("nb"),
+        explode(col("toks")).as("tok"))
+    val dirty = a.join(b, Seq("tok"))
+      .groupBy(col("__na"), col("__ob"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c").cast("double") /
+        (col("na") + col("nb") - col("c")) >= threshold)
+      .select("__na").distinct()
+    incoming.join(dirty, incoming(idCol) === dirty("__na"), "left_anti")
+  }
+
   /** Character n-gram Jaccard similarity join: same algorithm over the
     * distinct character n-grams of the whitespace-normalized lowercase
     * text — catches near-duplicates that word-level tokens miss

