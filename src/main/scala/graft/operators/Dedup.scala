@@ -111,30 +111,32 @@ object Dedup {
     * AGAINST an existing snapshot, not within a batch: a new crawl is
     * cleaned against everything already ingested).
     *
-    * Exact semantics (the oracle-checkable baseline): token-keyed
-    * A×B co-occurrence counts — one shuffle on the token, partial-agg
-    * combined — then the Jaccard verify on (|A|, |B|, common) and a
-    * left-anti join back on the incoming id. At 100 TB run the same
-    * shape over MinHash band buckets instead of raw tokens
-    * ([[minhashCandidatesPoly]] on the tagged union, cross-side pairs
-    * only) — sub-quadratic candidates, identical filter contract. */
+    * Rides the SAME adaptive engine as [[jaccardJoin]] — bitmask64 /
+    * bitmask-wide / AllPairs prefix filtering — by parity-tagging ids
+    * (corpus → 2·id, incoming → 2·id+1; ids must be integral and
+    * < 2^62) and keeping only cross-parity pairs. A naive token-keyed
+    * A×B join melts on small-vocabulary corpora (ubiquitous tokens →
+    * quadratic fan-out; measured 7.6 s vs 0.9 s on the sf0.1 fixture);
+    * the engine's strategy gate is exactly the machinery that handles
+    * that. At 100 TB with a snapshot far larger than the batch, run
+    * MinHash bands over the tagged union instead
+    * ([[minhashCandidatesPoly]] + the same parity filter) so
+    * snapshot×snapshot candidates never materialize. */
   def crossNearDupFilter(incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame = {
-    def toks(df: DataFrame, as: String) =
-      df.select(col(idCol).as(as),
-        array_sort(normTokens(col(textCol))).as("toks"))
-    val a = toks(incoming, "__na")
-      .select(col("__na"), size(col("toks")).as("na"),
-        explode(col("toks")).as("tok"))
-    val b = toks(corpus, "__ob")
-      .select(col("__ob"), size(col("toks")).as("nb"),
-        explode(col("toks")).as("tok"))
-    val dirty = a.join(b, Seq("tok"))
-      .groupBy(col("__na"), col("__ob"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c").cast("double") /
-        (col("na") + col("nb") - col("c")) >= threshold)
-      .select("__na").distinct()
+    require(OpUtil.isIntegralId(incoming.schema(idCol).dataType),
+      s"$idCol must be integral (parity tagging)")
+    val a = incoming.select((col(idCol).cast("long") * 2 + 1).as("__id"),
+      col(textCol).as("__t"))
+    val b = corpus.select((col(idCol).cast("long") * 2).as("__id"),
+      col(textCol).as("__t"))
+    val pairs = jaccardJoin(a.unionByName(b), "__id", "__t", threshold)
+    val dirty = pairs
+      .filter(pmod(col("id_a"), lit(2)) =!= pmod(col("id_b"), lit(2)))
+      .select(when(pmod(col("id_a"), lit(2)) === 1, col("id_a"))
+        .otherwise(col("id_b")).as("__odd"))
+      .select(expr("(__odd - 1) div 2").as("__na"))
+      .distinct()
     incoming.join(dirty, incoming(idCol) === dirty("__na"), "left_anti")
   }
 
