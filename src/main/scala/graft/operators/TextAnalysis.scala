@@ -244,6 +244,55 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("tok")).limit(k)
   }
 
+  /** Bigram language-model scoring: train an add-one-smoothed bigram
+    * model on the corpus itself and score every document by its average
+    * negative log-probability per bigram — the classic
+    * perplexity-style quality filter (fluent text that looks like the
+    * corpus scores low; word soup and boilerplate-stitched text score
+    * high).
+    *
+    * Scale: bigram and unigram counts are two partial-agg shuffles
+    * (vocabulary-sized outputs); scoring joins each doc bigram to the
+    * count tables on the bigram/unigram keys and rolls up per doc —
+    * every join key is a token or token pair, never the corpus.
+    * `V` (the smoothing denominator's vocabulary size) is a one-row
+    * aggregate broadcast into the probability expression.
+    *
+    * Determinism note: the score is a sum of `ln` terms; Spark and
+    * DuckDB both evaluate libm `log` within 1 ulp, so the per-doc sum
+    * agrees to ~1e-13 relative — rounding the AVERAGE to 4 dp leaves
+    * orders of magnitude of slack (asserted by the q87 oracle
+    * hash-match at every round).
+    *
+    * Output: (idCol, n_bigrams, avg_nll) — docs shorter than 2 tokens
+    * are absent (no bigrams to score). */
+  def bigramLmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      tokensLower(col(textCol)).as("__toks"))
+    // (id, a, b) bigram pairs: zip the token list with its own tail
+    val pairs = toks.select(col("__id"),
+      explode(zip_with(
+        expr("slice(__toks, 1, size(__toks) - 1)"),
+        expr("slice(__toks, 2, size(__toks) - 1)"),
+        (x, y) => struct(x.as("a"), y.as("b")))).as("bg"))
+      .select(col("__id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val uni = toks.select(explode(col("__toks")).as("a"))
+      .groupBy("a").agg(count(lit(1)).as("ca"))
+    val big = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val v = uni.agg(count(lit(1)).as("__v"))
+    pairs
+      .join(big, Seq("a", "b"))
+      .join(uni, Seq("a"))
+      .crossJoin(broadcast(v))
+      .withColumn("__nll",
+        -log((col("cab") + 1).cast("double") /
+          (col("ca") + col("__v")).cast("double")))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__nll")), 4).as("avg_nll"))
+  }
+
   /** Shingle-novelty profile: for each document, the share of its
     * distinct word n-grams whose corpus-wide FIRST occurrence (minimum
     * doc id) is this document — the "how much genuinely new text does

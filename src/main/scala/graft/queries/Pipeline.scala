@@ -904,6 +904,35 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- bigram LM perplexity-style scoring ------------------------------
+    // Add-one-smoothed bigram model trained on the corpus, each doc
+    // scored by avg -ln p(b|a). ln agrees across engines to ~1 ulp; the
+    // 4-dp round on the per-doc AVERAGE has ~9 orders of magnitude of
+    // slack over the accumulated drift.
+    Q("q87_bigram_lm",
+      s"""WITH docs AS (
+         |  SELECT doc_id, $duckToksLower AS toks FROM documents),
+         |pairs AS (
+         |  SELECT doc_id, toks[j+1] AS a, toks[j+2] AS b
+         |  FROM docs CROSS JOIN LATERAL unnest(range(len(toks) - 1)) AS t(j)
+         |  WHERE len(toks) >= 2),
+         |uni AS (
+         |  SELECT unnest(toks) AS a FROM docs),
+         |ca AS (SELECT a, count(*) AS ca FROM uni GROUP BY a),
+         |cab AS (SELECT a, b, count(*) AS cab FROM pairs GROUP BY a, b),
+         |v AS (SELECT count(*) AS v FROM ca)
+         |SELECT p.doc_id, count(*) AS n_bigrams,
+         |  round(avg(-ln((cab.cab + 1) / CAST(ca.ca + v.v AS DOUBLE))), 4)
+         |    AS avg_nll
+         |FROM pairs p
+         |JOIN cab ON p.a = cab.a AND p.b = cab.b
+         |JOIN ca ON p.a = ca.a
+         |CROSS JOIN v
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin) { (s, d) =>
+      TA.bigramLmScore(T.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ---- per-label embedding stats (norms via higher-order funcs) ----
     Q("q34_embedding_stats",
       """SELECT label, count(*) AS n,

@@ -668,6 +668,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1L)._1 === 3L) // 5 tokens -> 3 distinct 3-grams
   }
 
+  test("bigramLmScore: corpus-typical text scores lower NLL than rare word soup") {
+    import spark.implicits._
+    val common = (1L to 20L).map(i => (i, "the cat sat on the mat"))
+    val rare = Seq((99L, "zyx wvu tsr qpo nml kji"))
+    val docs = (common ++ rare).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bigramLmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) < got(99L),
+      s"typical ${got(1L)} should beat word soup ${got(99L)}")
+    // identical docs score identically, and every doc with >=2 tokens
+    // is present
+    assert(got(1L) === got(20L))
+    assert(got.size === 21)
+    // smoothing keeps scores finite and positive
+    assert(got.values.forall(v => v > 0 && !v.isInfinite))
+  }
+
   test("invertedIndex caps postings, keeps them sorted, df counts all docs") {
     import spark.implicits._
     val docs = (1L to 30L).map(i =>
