@@ -42,6 +42,13 @@ case class PolyHash31(child: Expression) extends UnaryExpression {
 }
 
 object PolyHash31 {
+  /** THE engine-defining hash modulus (2^31 − 1): hash values lie in
+    * [0, Mod). Every consumer (Sampling's range slices, Dedup's
+    * permutation family, the DuckDB oracle SQL) must reference this
+    * definition — the cross-engine contract breaks if any copy
+    * drifts. */
+  val Mod: Long = 2147483647L
+
   /** Static hot path shared by interpreted eval and generated code.
     * Iterates UTF-16 code units via String — identical to the UDF and
     * the DuckDB `list_reduce` on the ASCII corpus. */
@@ -49,7 +56,7 @@ object PolyHash31 {
     val s = u.toString
     var a = 7L
     var i = 0
-    while (i < s.length) { a = (a * 131 + s.charAt(i)) % 2147483647L; i += 1 }
+    while (i < s.length) { a = (a * 131 + s.charAt(i)) % Mod; i += 1 }
     a
   }
 

@@ -124,8 +124,9 @@ object Dedup {
     * snapshot×snapshot candidates never materialize. */
   def crossNearDupFilter(incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double): DataFrame = {
-    require(OpUtil.isIntegralId(incoming.schema(idCol).dataType),
-      s"$idCol must be integral (parity tagging)")
+    require(OpUtil.isIntegralId(incoming.schema(idCol).dataType) &&
+      OpUtil.isIntegralId(corpus.schema(idCol).dataType),
+      s"$idCol must be integral on BOTH sides (parity tagging)")
     val a = incoming.select((col(idCol).cast("long") * 2 + 1).as("__id"),
       col(textCol).as("__t"))
     val b = corpus.select((col(idCol).cast("long") * 2).as("__id"),
@@ -389,10 +390,11 @@ object Dedup {
       }
     }
 
-  /** Mersenne prime 2^31-1: the permutation-hash domain. Products of two
+  /** Mersenne prime 2^31-1: the permutation-hash domain (aliases the
+    * authoritative [[graft.functions.PolyHash31.Mod]]). Products of two
     * 31-bit values stay < 2^62, so the arithmetic below can never
     * overflow a Long (relevant under ANSI mode, default in Spark 4). */
-  private val P: Long = 2147483647L
+  private val P: Long = graft.functions.PolyHash31.Mod
 
   /** Deterministic universal-hash family params (a_i, b_i), a_i ∈ [1,P),
     * b_i ∈ [0,P). Fixed seed → reproducible across runs and engines. */

@@ -226,10 +226,12 @@ object Multimodal {
     * silent 16-bit PCM frames — the audio-side synthesizer for
     * roundtrip checks. Row-local. */
   val pcmWav = udf { (sampleRate: Int, channels: Int, nSamples: Int) =>
-    if (sampleRate <= 0 || channels <= 0 || nSamples < 0) null
+    val bits = 16
+    val blockAlign = if (channels > 0) channels * bits / 8 else 0
+    // data length must fit the RIFF 32-bit size field AND the JVM array
+    if (sampleRate <= 0 || channels <= 0 || nSamples < 0 ||
+        nSamples.toLong * blockAlign > Int.MaxValue - 44L) null
     else {
-      val bits = 16
-      val blockAlign = channels * bits / 8
       val dataLen = nSamples * blockAlign
       val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -260,6 +262,7 @@ object Multimodal {
       if (tag(0) != "RIFF" || tag(8) != "WAVE") None
       else {
         var off = 12
+        var fmtTag = -1
         var rate = -1; var ch = -1; var bits = -1; var dataLen = -1L
         while (off + 8 <= bytes.length && (rate < 0 || dataLen < 0)) {
           val id = tag(off)
@@ -268,6 +271,7 @@ object Multimodal {
             off = bytes.length // malformed length: stop, fall through to null
           } else {
             if (id == "fmt " && len >= 16) {
+              fmtTag = bb.getShort(off + 8).toInt
               ch = bb.getShort(off + 10).toInt
               rate = bb.getInt(off + 12)
               bits = bb.getShort(off + 22).toInt
@@ -275,9 +279,14 @@ object Multimodal {
             off += 8 + len + (len & 1) // chunks are word-aligned
           }
         }
-        if (rate <= 0 || ch <= 0 || bits <= 0 || dataLen < 0) None
+        // PCM only (fmtTag 1), whole-byte samples only: the block-align
+        // math below is meaningless for float/ADPCM frames or bits < 8,
+        // and a zero block size must never divide
+        val blockAlign = if (ch > 0 && bits > 0) ch * (bits / 8) else 0
+        if (fmtTag != 1 || rate <= 0 || ch <= 0 || bits <= 0 ||
+            bits % 8 != 0 || blockAlign <= 0 || dataLen < 0) None
         else {
-          val n = dataLen / (ch * bits / 8)
+          val n = dataLen / blockAlign
           Some(WavHeader(rate, ch, bits, n,
             math.round(n.toDouble / rate * 1e5) / 1e2))
         }

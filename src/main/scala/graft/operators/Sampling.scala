@@ -89,9 +89,10 @@ object Sampling {
     df.filter(hashBucket(col(keyCol), 100) < pct)
   }
 
-  /** Modulus of the portable hash (2^31 − 1): [[keyHash]] values lie in
-    * [0, HashMod). Range-bucketing divides this interval. */
-  val HashMod: Long = 2147483647L
+  /** Modulus of the portable hash: [[keyHash]] values lie in
+    * [0, HashMod). Range-bucketing divides this interval. Aliases the
+    * authoritative constant next to the hash itself. */
+  val HashMod: Long = graft.functions.PolyHash31.Mod
 
   /** Token-budget sampling: per group, keep documents in portable-hash
     * order until the group's running token sum reaches `budget` — the

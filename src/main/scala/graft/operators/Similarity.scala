@@ -429,12 +429,16 @@ object Similarity {
     * sampling quotas, cluster-balanced eval splits) next to dedup and
     * ANN in a training-data pipeline.
     *
-    * Training is bounded (`maxTrainRows` sample, fixed seed — a coarse
-    * clustering needs a representative sample, not 100 TB of corpus);
-    * assignment is ROW-LOCAL: the k centroid vectors broadcast to every
-    * executor and each row takes one argmin pass, so the labeling step
-    * is a narrow map at scan speed with no shuffle. Output: the input's
-    * id column plus `cluster` (0..k−1).
+    * Training is bounded AND deterministic: the `maxTrainRows` sample
+    * is the top-k by portable key hash (TakeOrdered, not `limit` —
+    * `limit` takes whatever rows arrive first, so centroids would
+    * change with partition layout; cf. the same rule in
+    * [[graft.operators.Sampling]]); a coarse clustering needs a
+    * representative sample, not 100 TB of corpus. Assignment is
+    * ROW-LOCAL: the k centroid vectors broadcast to every executor and
+    * each row takes one argmin pass, so the labeling step is a narrow
+    * map at scan speed with no shuffle. Output: the input's id column
+    * plus `cluster` (0..k−1; null for null vectors).
     */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
       maxIter: Int = 10, maxTrainRows: Int = 100000): DataFrame = {
@@ -442,24 +446,29 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     require(k > 0, "k must be positive")
     val proj = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val train = proj.limit(maxTrainRows)
+    val train = proj.filter(col("__v").isNotNull)
+      .orderBy(Sampling.keyHash(col(idCol).cast("string")), col(idCol))
+      .limit(maxTrainRows)
       .select(array_to_vector(col("__v")).as("features"))
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter)
       .fit(train)
     val cents = model.clusterCenters.map(_.toArray)
     val bc = df.sparkSession.sparkContext.broadcast(cents)
     val assign = udf { v: Seq[Double] =>
-      val cs = bc.value
-      var best = 0; var bd = Double.MaxValue; var c = 0
-      while (c < cs.length) {
-        val cv = cs(c)
-        var d = 0.0; var i = 0
-        val n = math.min(cv.length, v.length)
-        while (i < n) { val t = v(i) - cv(i); d += t * t; i += 1 }
-        if (d < bd) { bd = d; best = c }
-        c += 1
+      if (v == null) null.asInstanceOf[java.lang.Integer]
+      else {
+        val cs = bc.value
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cs.length) {
+          val cv = cs(c)
+          var d = 0.0; var i = 0
+          val n = math.min(cv.length, v.length)
+          while (i < n) { val t = v(i) - cv(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        java.lang.Integer.valueOf(best)
       }
-      best
     }
     proj.select(col(idCol), assign(col("__v")).as("cluster"))
   }

@@ -337,7 +337,7 @@ object TextAnalysis {
     val scored = df.withColumn(scoreCol, qualityScore(col(textCol)))
     val pcts = (1 until nBuckets).map(_.toDouble / nBuckets)
     val thresholds = scored.agg(
-      expr(s"percentile($scoreCol, array(${pcts.mkString(",")}))")
+      expr(s"percentile(`$scoreCol`, array(${pcts.mkString(",")}))")
         .as("__t"))
     val bucket = (1 until nBuckets).reverse.foldLeft(lit(nBuckets)) {
       case (acc, i) =>

@@ -116,6 +116,20 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getDouble(4) === 12.5) // 100 / 8000 s
     }
     assert(rows(3L).isNullAt(1), "junk must parse to null, not throw")
+    // non-PCM and sub-byte sample widths must reject (null, no crash):
+    // patch the fmt tag to IEEE-float (3) and the bit width to 4
+    def patched(patch: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val c = std.clone()
+      patch(java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN))
+      c
+    }
+    val floatWav = patched(_.putShort(20, 3.toShort)) // fmt audioFormat
+    val adpcmish = patched(_.putShort(34, 4.toShort)) // bitsPerSample
+    val rej = Seq((1L, floatWav), (2L, adpcmish)).toDF("id", "wav")
+      .select(col("id"), Multimodal.decodeWav(col("wav")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(rej(1L), "IEEE-float WAV must parse to null (PCM-only contract)")
+    assert(rej(2L), "4-bit frames must parse to null, not divide by zero")
   }
 
   test("resizeImage scales real images to maxDim and re-encodes decodably") {

@@ -528,12 +528,22 @@ class PipelineSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(copies.select("doc_id").collect().map(_.getLong(0))
       .forall(!kept.contains(_)), "an exact cross-side copy survived")
-    // novel docs survive a 0.95 bar unless the corpus really contains a
-    // 95% twin — check against the exact pair join for the same bar
-    val novelIds = novel.select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(novelIds.subsetOf(kept) || kept.nonEmpty)
-    // filter is a subset of incoming, never invents rows
-    assert(kept.subsetOf(incoming.select("doc_id").collect().map(_.getLong(0)).toSet))
+    // differential: an independent naive token-keyed A×B Jaccard (fine
+    // at test scale) must produce EXACTLY the same dirty set — both
+    // over- and under-dropping fail
+    import org.apache.spark.sql.functions.{array_distinct, count => fcount, explode, lit => flit, size => fsize, split => fsplit, regexp_replace, lower, trim}
+    def toks(d: org.apache.spark.sql.DataFrame, as: String) = d.select(
+      col("doc_id").as(as),
+      array_distinct(fsplit(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " ")).as("t"))
+    val a = toks(incoming, "na").select(col("na"), fsize(col("t")).as("sa"), explode(col("t")).as("tok"))
+    val b = toks(corpus, "ob").select(col("ob"), fsize(col("t")).as("sb"), explode(col("t")).as("tok"))
+    val expectedDirty = a.join(b, "tok")
+      .groupBy("na", "ob", "sa", "sb").agg(fcount(flit(1)).as("c"))
+      .filter(col("c").cast("double") / (col("sa") + col("sb") - col("c")) >= 0.95)
+      .select("na").distinct().collect().map(_.getLong(0)).toSet
+    val allIncoming = incoming.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === allIncoming -- expectedDirty,
+      s"filter diverged from the independent pair join: kept=$kept expectedDirty=$expectedDirty")
   }
 
   test("tokenBudget two-phase equals the single-window prefix filter") {
