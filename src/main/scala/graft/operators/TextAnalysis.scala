@@ -244,6 +244,75 @@ object TextAnalysis {
       .orderBy(col("df").desc, col("tok")).limit(k)
   }
 
+  /** BPE merge training: learn `numMerges` byte-pair-encoding merges
+    * from the corpus — the actual tokenizer-training step (q51's
+    * regex splitter consumes a vocabulary like the one this builds).
+    *
+    * Shape: the CORPUS-side work — counting distinct words — is one
+    * distributed partial-agg shuffle; everything after runs on the
+    * (word, count) VOCABULARY, which is dictionary-sized by
+    * construction (standard BPE trains on word counts, not the raw
+    * corpus). The vocab is collected under an explicit row budget —
+    * a bounded dimension collect like the Jaccard bitmask gate, loud
+    * when exceeded (at 100 TB a word vocab is millions of rows, not
+    * billions; raise the budget or pre-prune hapax words if it trips).
+    *
+    * Merge selection is fully deterministic: best pair by (count desc,
+    * left asc, right asc). Words carry an end-of-word marker "</w>" so
+    * suffix merges don't leak across word boundaries.
+    *
+    * @return merges as (rank, left, right, pair_count), rank 1..n */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int, maxVocabRows: Int = 4 << 20)
+      : org.apache.spark.sql.DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = df.sparkSession
+    val wordCounts = df
+      .select(explode(tokensLower(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .limit(maxVocabRows + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(wordCounts.length <= maxVocabRows,
+      s"word vocabulary exceeds the $maxVocabRows-row training budget; " +
+        "raise maxVocabRows or pre-prune rare words")
+    // symbol sequences: chars + end-of-word marker
+    var vocab: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
+      (w.map(_.toString).toArray :+ "</w>", c)
+    }
+    val merges = Array.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var continue = true
+    while (rank <= numMerges && continue) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        pairCounts.updateWith((syms(i), syms(i + 1)))(
+          v => Some(v.getOrElse(0L) + c))
+      if (pairCounts.isEmpty) continue = false
+      else {
+        val ((l, r), cnt) = pairCounts.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((rank, l, r, cnt))
+        val lr = l + r
+        vocab = vocab.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = Array.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += lr; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), c)
+          }
+        }
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
   /** Bigram language-model scoring: train an add-one-smoothed bigram
     * model on the corpus itself and score every document by its average
     * negative log-probability per bigram — the classic

@@ -933,6 +933,16 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- BPE merge training (tokenizer learning) ------------------------
+    // The iterative argmax merge loop has no SQL twin (aggregation
+    // inside recursion) → rows-only gate; the merge sequence is pinned
+    // exactly on the classic Sennrich corpus in PipelineSpec, including
+    // layout-independence.
+    Q.noOracle("q88_bpe_merges") { (s, d) =>
+      TA.bpeTrain(T.documents(s, d), "text", numMerges = 40)
+        .orderBy("rank")
+    },
+
     // ---- per-label embedding stats (norms via higher-order funcs) ----
     Q("q34_embedding_stats",
       """SELECT label, count(*) AS n,

@@ -678,6 +678,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1L)._1 === 3L) // 5 tokens -> 3 distinct 3-grams
   }
 
+  test("bpeTrain learns the classic merges on the Sennrich corpus") {
+    import spark.implicits._
+    // low×5, lower×2, newest×6, widest×3 — the worked example from the
+    // original BPE-for-NMT paper (Sennrich et al. 2016, §3.2)
+    val docs = Seq(
+      Seq.fill(5)("low"), Seq.fill(2)("lower"),
+      Seq.fill(6)("newest"), Seq.fill(3)("widest")
+    ).flatten.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // (e,s) 9 wins rank 1 on the (count desc, left asc) tie-break over
+    // (s,t) and (t,</w>); the chain then extends deterministically
+    assert(merges.toSeq === Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "</w>", 9L)))
+    // determinism: same input, same merges, regardless of layout
+    val again = graft.operators.TextAnalysis
+      .bpeTrain(docs.repartition(7), "text", 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(again.toSeq === merges.toSeq)
+  }
+
   test("bigramLmScore: corpus-typical text scores lower NLL than rare word soup") {
     import spark.implicits._
     val common = (1L to 20L).map(i => (i, "the cat sat on the mat"))
