@@ -313,6 +313,50 @@ object TextAnalysis {
     merges.result().toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** BPE encoding with a learned merge table: the apply side of
+    * [[bpeTrain]]. The merge ranks broadcast to every executor
+    * (tokenizer-sized — exactly what inference tokenizers ship); each
+    * word then merges its lowest-rank adjacent pair until none
+    * applies — the standard greedy BPE application. Row-local, one
+    * narrow map over the corpus.
+    *
+    * @return input plus `outCol`: the document's BPE token sequence */
+  def bpeEncode(df: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: org.apache.spark.sql.DataFrame,
+      outCol: String = "bpe_tokens"): org.apache.spark.sql.DataFrame = {
+    val ranks: Map[(String, String), Int] = merges
+      .select(col("left"), col("right"), col("rank").cast("int"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val bc = df.sparkSession.sparkContext.broadcast(ranks)
+    val enc = udf { text: String =>
+      if (text == null) null
+      else {
+        val rk = bc.value
+        text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .flatMap { w =>
+            var syms = w.map(_.toString).toVector :+ "</w>"
+            var done = false
+            while (!done && syms.length > 1) {
+              var bestI = -1; var bestR = Int.MaxValue
+              var i = 0
+              while (i < syms.length - 1) {
+                rk.get((syms(i), syms(i + 1))).foreach { r =>
+                  if (r < bestR) { bestR = r; bestI = i }
+                }
+                i += 1
+              }
+              if (bestI < 0) done = true
+              else syms = (syms.take(bestI) :+
+                (syms(bestI) + syms(bestI + 1))) ++ syms.drop(bestI + 2)
+            }
+            syms
+          }
+      }
+    }
+    df.withColumn(outCol, enc(col(textCol)))
+  }
+
   /** Bigram language-model scoring: train an add-one-smoothed bigram
     * model on the corpus itself and score every document by its average
     * negative log-probability per bigram — the classic

@@ -943,6 +943,16 @@ object Pipeline {
         .orderBy("rank")
     },
 
+    // ---- BPE encoding with the learned merges (train → apply loop) -----
+    Q.noOracle("q89_bpe_encode") { (s, d) =>
+      val docs = T.documents(s, d)
+      val merges = TA.bpeTrain(docs, "text", numMerges = 40)
+      TA.bpeEncode(docs, "text", merges)
+        .select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe_tokens"),
+          TA.tokenCount(col("text")).as("n_words"))
+        .orderBy("doc_id")
+    },
+
     // ---- per-label embedding stats (norms via higher-order funcs) ----
     Q("q34_embedding_stats",
       """SELECT label, count(*) AS n,

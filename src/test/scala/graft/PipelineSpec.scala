@@ -702,6 +702,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.toSeq === merges.toSeq)
   }
 
+  test("bpeEncode applies learned merges greedily by rank") {
+    import spark.implicits._
+    val docs = Seq(
+      Seq.fill(5)("low"), Seq.fill(2)("lower"),
+      Seq.fill(6)("newest"), Seq.fill(3)("widest")
+    ).flatten.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = graft.operators.TextAnalysis.bpeTrain(docs, "text", 5)
+    // "lowest" is unseen but composed of learned subwords: est-chain
+    // fires first (ranks 1-3), then lo (4), low (5)
+    val got = graft.operators.TextAnalysis.bpeEncode(
+        Seq((1L, "lowest")).toDF("id", "text"), "text", merges)
+      .select("bpe_tokens").collect().head.getSeq[String](0)
+    assert(got === Seq("low", "est</w>"))
+    // unknown characters survive as singleton symbols
+    val unk = graft.operators.TextAnalysis.bpeEncode(
+        Seq((1L, "zq")).toDF("id", "text"), "text", merges)
+      .select("bpe_tokens").collect().head.getSeq[String](0)
+    assert(unk === Seq("z", "q", "</w>"))
+  }
+
   test("bigramLmScore: corpus-typical text scores lower NLL than rare word soup") {
     import spark.implicits._
     val common = (1L to 20L).map(i => (i, "the cat sat on the mat"))
