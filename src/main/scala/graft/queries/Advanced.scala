@@ -101,6 +101,34 @@ object Advanced {
         .orderBy("l_returnflag")
     },
 
+    // ---- unpivot (wide metrics back to long form) -----------------------
+    // The inverse of q44: per-returnflag metric columns melted to
+    // (metric, value) rows via Spark's native unpivot (melt) operator;
+    // oracle is the portable UNION-ALL formulation.
+    Q("q90_unpivot",
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    round(sum(l_quantity), 2) AS qty,
+        |    round(sum(l_extendedprice), 2) AS price,
+        |    round(avg(l_discount), 4) AS disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS metric, qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'price', price FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'disc', disc FROM wide
+        |ORDER BY l_returnflag, metric""".stripMargin) { (s, d) =>
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("qty"),
+          round(sum("l_extendedprice"), 2).as("price"),
+          round(avg("l_discount"), 4).as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    },
+
     // ---- lateral explode (words of p_type) -----------------------------
     Q("q45_lateral_explode",
       """SELECT w AS word, CAST(count(*) AS BIGINT) AS n

@@ -1,6 +1,6 @@
 package graft.warehouse
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
@@ -104,6 +104,120 @@ final class GraftTable private (
       else collectStats(commitDir, wanted)
     log.commit(if (existing.isEmpty) "create" else "append", files,
       schemaJson, stats)
+  }
+
+  /** Copy-on-write UPSERT (MERGE INTO by key): rows of `incoming`
+    * replace current rows with the same `keyCols` tuple; unmatched
+    * incoming rows insert. `incoming` must carry at most one row per
+    * key (last-writer-wins among files is undefined otherwise — dedupe
+    * with [[graft.operators.Dedup.keepLatest]] first).
+    *
+    * Only the files that actually CONTAIN a matching key are rewritten
+    * (located with one key-projected probe scan); untouched files stay
+    * byte-identical, so write amplification is proportional to the hit
+    * set, not the table — the Iceberg copy-on-write MERGE shape. The
+    * commit is conditional on the head observed at read time (same CAS
+    * + retry discipline as [[compact]]); old files remain on disk for
+    * time travel until their adding snapshot expires. Incremental
+    * readers ([[changesSince]]) refuse to cross an upsert — a rewrite's
+    * delta is not expressible as added rows — which routes replicas
+    * onto their full-re-sync path. */
+  def upsert(incoming: DataFrame, keyCols: Seq[String],
+      statsCols: Seq[String] = Nil): Snapshot = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    if (log.head.isEmpty) return append(incoming, statsCols = statsCols)
+    var attempt = 0
+    while (true) {
+      val base = log.head.get
+      val expected = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+      require(compatible(expected, incoming.schema),
+        s"upsert schema mismatch for $name:\n expected $expected\n got ${incoming.schema}")
+      val keys = incoming.select(keyCols.map(col): _*).distinct()
+      // probe: which current files hold a matching key? (key-projected
+      // join; file paths come back as a bounded driver list)
+      val affected = read(Some(base.snapshotId))
+        .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+        .join(keys, keyCols)
+        .select("__f").distinct()
+        .collect().map(_.getString(0))
+        .map(f => dir.relativize(Paths.get(java.net.URI.create(f).getPath)).toString)
+        .toSeq.sorted
+      val commitDir = dir.resolve("data").resolve(s"u${UUID.randomUUID().toString.take(12)}")
+      val survivors =
+        if (affected.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            schemaAsOf(Some(base.snapshotId)))
+        else spark.read.schema(schemaAsOf(Some(base.snapshotId)))
+          .parquet(affected.map(f => dir.resolve(f).toString): _*)
+          .join(keys, keyCols, "left_anti")
+      survivors.unionByName(incoming.select(survivors.columns.map(col): _*))
+        .write.parquet(commitDir.toString)
+      val files = Files.list(commitDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => dir.relativize(p).toString)
+        .toSeq.sorted
+      val stats = if (statsCols.isEmpty) Map.empty[String, FileStat]
+        else collectStats(commitDir, statsCols)
+      try {
+        return log.commit("upsert", files, base.schemaJson, stats,
+          expectedHead = Some(base.snapshotId), removedFiles = affected)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          val walk = Files.walk(commitDir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          finally walk.close()
+          attempt += 1
+          if (attempt >= 20) throw new IllegalStateException(
+            s"upsert of $name lost $attempt head races; giving up", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Copy-on-write DELETE: remove rows matching `cond`. Same
+    * file-targeted rewrite + conditional commit as [[upsert]]; files
+    * with no matching row are untouched. */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Snapshot = {
+    import org.apache.spark.sql.functions.input_file_name
+    var attempt = 0
+    while (true) {
+      val head = log.head.getOrElse(
+        throw new IllegalStateException(s"table $name has no snapshots"))
+      val sch = schemaAsOf(Some(head.snapshotId))
+      val affected = read(Some(head.snapshotId))
+        .filter(cond)
+        .select(input_file_name().as("__f")).distinct()
+        .collect().map(_.getString(0))
+        .map(f => dir.relativize(Paths.get(java.net.URI.create(f).getPath)).toString)
+        .toSeq.sorted
+      if (affected.isEmpty)
+        return head // nothing matches: no-op, current head stands
+      val commitDir = dir.resolve("data").resolve(s"d${UUID.randomUUID().toString.take(12)}")
+      spark.read.schema(sch)
+        .parquet(affected.map(f => dir.resolve(f).toString): _*)
+        .filter(!cond)
+        .write.parquet(commitDir.toString)
+      val files = Files.list(commitDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => dir.relativize(p).toString)
+        .toSeq.sorted
+      try {
+        return log.commit("delete", files, head.schemaJson,
+          expectedHead = Some(head.snapshotId), removedFiles = affected)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          val walk = Files.walk(commitDir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          finally walk.close()
+          attempt += 1
+          if (attempt >= 20) throw new IllegalStateException(
+            s"delete of $name lost $attempt head races; giving up", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Per-file min/max for `cols`, keyed by manifest-relative path. One

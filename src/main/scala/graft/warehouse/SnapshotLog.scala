@@ -23,7 +23,12 @@ final case class Snapshot(
     operation: String,
     addedFiles: Seq[String],
     schemaJson: String,
-    stats: Map[String, FileStat] = Map.empty)
+    stats: Map[String, FileStat] = Map.empty,
+    /** Files this snapshot REMOVES from the visible set (copy-on-write
+      * upsert/delete rewrites). Removal affects view resolution only —
+      * the bytes stay on disk for time travel until the snapshot that
+      * ADDED them expires. */
+    removedFiles: Seq[String] = Nil)
 
 /** Per-data-file column statistics recorded in the manifest at commit
   * time — the Iceberg-style metadata that lets a reader prune files
@@ -169,9 +174,14 @@ final class SnapshotLog(tableDir: Path) {
     val cut = asOf.getOrElse(Long.MaxValue)
     val visible = snapshots.filter(_.snapshotId <= cut)
     val baseline = visible.lastIndexWhere(_.operation == "compact")
-    visible.drop(math.max(baseline, 0))
-      .flatMap(_.addedFiles)
-      .map(f => tableDir.resolve(f).toString)
+    // fold in commit order: adds first, then removals (a rewrite may
+    // remove files added by any earlier snapshot since the baseline)
+    val files = new java.util.LinkedHashSet[String]()
+    visible.drop(math.max(baseline, 0)).foreach { s =>
+      s.addedFiles.foreach(files.add)
+      s.removedFiles.foreach(files.remove)
+    }
+    files.iterator().asScala.map(f => tableDir.resolve(f).toString).toSeq
   }
 
   /** Files added by snapshots in `(sinceId, head]` — the corrected
@@ -190,8 +200,19 @@ final class SnapshotLog(tableDir: Path) {
       throw new HistoryExpiredException(
         s"changes since $sinceId unavailable: history before snapshot " +
           s"$firstId has been expired; full re-sync required")
-    snaps.filter(s => s.snapshotId > sinceId && s.snapshotId <= untilId &&
-        s.operation != "compact")
+    val window = snaps.filter(s =>
+      s.snapshotId > sinceId && s.snapshotId <= untilId)
+    // A rewrite (upsert/delete) REPLACES rows; its added files mix
+    // surviving old rows with new versions, so an append-only file
+    // delta across it would double-count — same stance as Iceberg's
+    // incremental scan on replace snapshots: refuse, forcing the
+    // consumer (Mirror) onto its full-re-sync path.
+    window.find(_.removedFiles.nonEmpty).foreach { s =>
+      throw new HistoryExpiredException(
+        s"changes since $sinceId unavailable: snapshot ${s.snapshotId} " +
+          s"(${s.operation}) rewrote rows; full re-sync required")
+    }
+    window.filter(_.operation != "compact")
       .flatMap(_.addedFiles)
       .map(f => tableDir.resolve(f).toString)
   }
@@ -221,7 +242,8 @@ final class SnapshotLog(tableDir: Path) {
     * instead. */
   def commit(operation: String, addedFiles: Seq[String], schemaJson: String,
       stats: Map[String, FileStat] = Map.empty,
-      expectedHead: Option[Long] = None): Snapshot = {
+      expectedHead: Option[Long] = None,
+      removedFiles: Seq[String] = Nil): Snapshot = {
     init()
     var attempt = 0
     while (attempt < 10000) {
@@ -232,7 +254,7 @@ final class SnapshotLog(tableDir: Path) {
       }
       val id = head + 1
       val snap = Snapshot(id, System.currentTimeMillis(), operation,
-        addedFiles, schemaJson, stats)
+        addedFiles, schemaJson, stats, removedFiles)
       val tmp = Files.createTempFile(snapDir, ".commit-", ".tmp")
       Files.writeString(tmp, SnapshotJson.write(snap))
       try {
@@ -267,6 +289,7 @@ private[warehouse] object SnapshotJson {
 
   def write(s: Snapshot): String = {
     val files = s.addedFiles.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
+    val removed = s.removedFiles.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
     def strMap(m: Map[String, String]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
         .mkString("{", ",", "}")
@@ -280,7 +303,7 @@ private[warehouse] object SnapshotJson {
     }.mkString("{", ",", "}")
     s"""{"snapshotId":${s.snapshotId},"timestampMs":${s.timestampMs},""" +
       s""""operation":"${esc(s.operation)}","addedFiles":$files,""" +
-      s""""stats":$stats,""" +
+      s""""removedFiles":$removed,"stats":$stats,""" +
       s""""schemaJson":"${esc(s.schemaJson)}"}"""
   }
 
@@ -307,6 +330,8 @@ private[warehouse] object SnapshotJson {
       (v \ "operation").extract[String],
       (v \ "addedFiles").extract[Seq[String]],
       (v \ "schemaJson").extract[String],
-      stats)
+      stats,
+      // absent in pre-upsert manifests: default to no removals
+      (v \ "removedFiles").extractOrElse[Seq[String]](Nil))
   }
 }

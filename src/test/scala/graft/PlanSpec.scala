@@ -238,6 +238,17 @@ class PlanSpec extends AnyFunSuite {
       s"term top-k must not globally sort:\n$p")
   }
 
+  test("bigram LM wires through partial aggs; only the V row single-partitions") {
+    val p = plan(SparkEntry.queries("q87_bigram_lm")(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"count shuffles must map-side combine:\n$p")
+    // the vocabulary-size aggregate is the only legal 1-row collapse
+    assert(countIn(p, "Exchange SinglePartition") <= 1,
+      s"only V may single-partition:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"V must broadcast, not cartesian:\n$p")
+  }
+
   test("global top-k compiles to TakeOrderedAndProject, not a full sort") {
     val p = plan(T.orders(spark, sf)
       .orderBy(col("o_totalprice").desc).limit(25))

@@ -118,7 +118,13 @@ class PropertySpec extends AnyFunSuite {
   test("property: snapshot ids contiguous; files partition across every changesSince cut") {
     val commitsGen = Gen.nonEmptyListOf(
       Gen.nonEmptyListOf(fileName).map(_.distinct))
-    for (commits <- samples(commitsGen, 25)) {
+    for (commits0 <- samples(commitsGen, 25)) {
+      // file paths are globally unique in a real table (each commit owns
+      // a UUID directory) — prefix with the commit index to match, since
+      // dataFiles resolves a SET (a repeated path would double-read)
+      val commits = commits0.zipWithIndex.map { case (files, i) =>
+        files.map(f => s"c$i/$f")
+      }
       val log = new SnapshotLog(Files.createTempDirectory("graft-prop"))
       commits.zipWithIndex.foreach { case (files, i) =>
         log.commit(if (i == 0) "create" else "append", files, "{}")

@@ -288,6 +288,76 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t5.status === "up_to_date")
   }
 
+  test("upsert replaces matched keys, inserts new ones, leaves other files alone") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.append((11L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val preFiles = t.log.dataFiles().toSet
+    val s1 = t.currentSnapshotId.get
+    // update 2 rows in the first file's range, insert 1 new key
+    val snap = t.upsert(Seq((1L, "NEW1"), (5L, "NEW5"), (99L, "NEW99"))
+      .toDF("id", "v"), Seq("id"))
+    assert(snap.operation === "upsert")
+    val now = t.read().as[(Long, String)].collect().toMap
+    assert(now.size === 21)
+    assert(now(1L) === "NEW1" && now(5L) === "NEW5" && now(99L) === "NEW99")
+    assert(now(2L) === "v2" && now(15L) === "v15")
+    // write amplification is bounded to the hit files: the second
+    // append's files (ids 11-20, no matches) must still be referenced
+    val postFiles = t.log.dataFiles().toSet
+    val untouched = preFiles.intersect(postFiles)
+    assert(untouched.nonEmpty, "files without matching keys were rewritten")
+    // time travel: the pre-upsert snapshot still reads the old values
+    val before = t.read(Some(s1)).as[(Long, String)].collect().toMap
+    assert(before(1L) === "v1" && before.size === 20)
+    // incremental readers refuse to cross the rewrite
+    intercept[graft.warehouse.HistoryExpiredException] {
+      t.changesSince(s1).count()
+    }
+  }
+
+  test("deleteWhere removes matching rows; no-match is a snapshotless no-op") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 20L).map(i => (i, i % 3)).toDF("id", "m"))
+    val t = c.loadTable("t")
+    val s0 = t.currentSnapshotId.get
+    t.deleteWhere(org.apache.spark.sql.functions.col("m") === 1)
+    val left = t.read().select("id").as[Long].collect().toSet
+    assert(left === (1L to 20L).filter(_ % 3 != 1).toSet)
+    // no-op delete commits nothing
+    val sBefore = t.currentSnapshotId.get
+    t.deleteWhere(org.apache.spark.sql.functions.col("m") === 99)
+    assert(t.currentSnapshotId.get === sBefore)
+    // time travel unaffected
+    assert(t.read(Some(s0)).count() === 20)
+  }
+
+  test("upsert racing a concurrent append retries and loses no rows") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    val appender = new Thread(() => {
+      spark match {
+        case cs: org.apache.spark.sql.classic.SparkSession =>
+          org.apache.spark.sql.classic.SparkSession.setActiveSession(cs)
+        case _ =>
+      }
+      (1 to 5).foreach { k =>
+        t.append((1L to 10L).map(i => (1000L * k + i, s"x$k$i")).toDF("id", "v"))
+      }
+    })
+    appender.start()
+    (1 to 3).foreach { r =>
+      t.upsert(Seq((1L, s"U$r"), (50000L + r, s"I$r")).toDF("id", "v"), Seq("id"))
+    }
+    appender.join()
+    val rows = t.read().as[(Long, String)].collect().toMap
+    assert(rows.size === 50 + 50 + 3, s"got ${rows.size}") // 50 base + 5x10 appends + 3 inserts
+    assert(rows(1L) === "U3")
+    (1 to 5).foreach(k => assert(rows(1000L * k + 7) === s"x${k}7"))
+  }
+
   test("snapshot log json round-trip incl. escapes") {
     val dir = Files.createTempDirectory("graft-log-")
     val log = new SnapshotLog(dir)
