@@ -58,6 +58,24 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     true
   }
 
+  /** Copy-on-write MERGE INTO by key (parity-plus: the reference is
+    * insert-only). Matching rows replace, new keys insert; see
+    * [[GraftTable.upsert]] for the file-targeted rewrite contract. */
+  def upsert(name: String, data: DataFrame, keyCols: Seq[String]): Boolean = {
+    val t = loadTable(name)
+    t.upsert(data, keyCols)
+    reflectView(name)
+    true
+  }
+
+  /** Copy-on-write DELETE of rows matching `cond` (parity-plus). */
+  def delete(name: String, cond: org.apache.spark.sql.Column): Boolean = {
+    val t = loadTable(name)
+    t.deleteWhere(cond)
+    reflectView(name)
+    true
+  }
+
   /** Full scan (reference: `query`, `icerunner.py:180-188`). */
   def query(name: String): DataFrame = loadTable(name).read()
 

@@ -358,6 +358,17 @@ class WarehouseSpec extends AnyFunSuite {
     (1 to 5).foreach(k => assert(rows(1000L * k + 7) === s"x${k}7"))
   }
 
+  test("connector upsert/delete re-reflect views so sql() sees the change") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    c.sql("SELECT * FROM t").count() // prime the view
+    c.upsert("t", Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+    val got = c.sql("SELECT v FROM t ORDER BY id").as[String].collect().toSeq
+    assert(got === Seq("a", "B2", "c"))
+    c.delete("t", org.apache.spark.sql.functions.col("id") === 1L)
+    assert(c.sql("SELECT count(*) FROM t").as[Long].head() === 2L)
+  }
+
   test("snapshot log json round-trip incl. escapes") {
     val dir = Files.createTempDirectory("graft-log-")
     val log = new SnapshotLog(dir)
