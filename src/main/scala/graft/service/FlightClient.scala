@@ -118,6 +118,24 @@ final class FlightClient(spark: SparkSession, val host: String, val port: Int,
       new Wire.Resp(Wire.readLine(in)).require().num("snapshot_id")
     } finally sock.close()
   }
+
+  /** Copy-on-write MERGE INTO by key over the wire (parity-plus: the
+    * reference writer can only append). Creates the table when absent;
+    * returns the new snapshot id. */
+  def doUpsert(table: String, df: DataFrame, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "doUpsert requires at least one key column")
+    val sock = new Socket(host, port)
+    try {
+      val out = new BufferedOutputStream(sock.getOutputStream)
+      val in = new BufferedInputStream(sock.getInputStream)
+      Wire.writeLine(out, Wire.obj("action" -> "do_upsert",
+        "table" -> table, "keys" -> keys))
+      ArrowCodec.write(df, out, batchRows)
+      out.flush()
+      sock.shutdownOutput()
+      new Wire.Resp(Wire.readLine(in)).require().num("snapshot_id")
+    } finally sock.close()
+  }
 }
 
 object FlightClient {

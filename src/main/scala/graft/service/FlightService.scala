@@ -176,6 +176,23 @@ final class FlightService(connector: Connector, port: Int = 0,
             "snapshot_id" -> Wire.JNum(connector.getCurrentSnapshotId(req.table).getOrElse(0L))))
         } finally body.cleanup()
 
+      case "do_upsert" =>
+        // MERGE INTO by key over the wire (parity-plus; the reference is
+        // insert-only). Same bounded-spill body handling as do_put.
+        val body = ArrowCodec.read(connector.spark, in)
+        try {
+          if (req.keys.isEmpty)
+            Wire.writeLine(out, Wire.obj("ok" -> false,
+              "code" -> "bad_request", "error" -> "do_upsert requires keys"))
+          else {
+            val created = connector.createTable(req.table, body.df)
+            if (!created) connector.upsert(req.table, body.df, req.keys)
+            Wire.writeLine(out, Wire.obj(
+              "ok" -> true, "created" -> created,
+              "snapshot_id" -> Wire.JNum(connector.getCurrentSnapshotId(req.table).getOrElse(0L))))
+          }
+        } finally body.cleanup()
+
       case other =>
         Wire.writeLine(out, Wire.obj("ok" -> false, "error" -> s"unknown action: $other"))
     }
@@ -198,7 +215,8 @@ final class FlightService(connector: Connector, port: Int = 0,
 
 /** Line-framed JSON for the control plane; bodies are raw Arrow IPC. */
 private[service] object Wire {
-  final case class Req(action: String, table: String, since: Long)
+  final case class Req(action: String, table: String, since: Long,
+      keys: Seq[String] = Nil)
 
   /** Marker: the ok-line went out but the Arrow body failed mid-stream. */
   final case class BodyFailed(cause: Throwable) extends RuntimeException(cause)
@@ -231,7 +249,8 @@ private[service] object Wire {
     Req(
       (v \ "action").extractOrElse[String](""),
       (v \ "table").extractOrElse[String](""),
-      (v \ "since").extractOrElse[Long](0L))
+      (v \ "since").extractOrElse[Long](0L),
+      (v \ "keys").extractOrElse[Seq[String]](Nil))
   }
 
   def esc(s: String): String = s.flatMap {

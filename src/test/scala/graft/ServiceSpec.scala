@@ -68,6 +68,26 @@ class ServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("do_upsert merges by key over the wire; missing keys is a typed error") {
+    withService { (c, client, _) =>
+      import spark.implicits._
+      client.doPut("u1", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      val snap = client.doUpsert("u1",
+        Seq((2L, "B2"), (3L, "c")).toDF("id", "v"), Seq("id"))
+      assert(snap === 2L)
+      val got = client.doGet("u1").df.as[(Long, String)].collect().toMap
+      assert(got === Map(1L -> "a", 2L -> "B2", 3L -> "c"))
+      // creates when absent (same as do_put)
+      client.doUpsert("u2", Seq((1L, "x")).toDF("id", "v"), Seq("id"))
+      assert(client.doGet("u2").df.count() === 1)
+      // a bad key column surfaces as a relayed service error, not a hang
+      val err = intercept[RuntimeException] {
+        client.doUpsert("u1", Seq((9L, "z")).toDF("id", "v"), Seq("nokey"))
+      }
+      assert(err.getMessage.nonEmpty)
+    }
+  }
+
   test("chunked ingest bounds driver buffering and spills to staged parquet") {
     import org.apache.spark.sql.functions.col
     val df = spark.range(0, 10000, 1, 4)
@@ -209,6 +229,30 @@ class ServiceSpec extends AnyFunSuite {
       // and the next tick is healthy incremental/up_to_date again
       val r3 = Mirror.performSync(client, url, "src2", targetWh, "dst2", state)
       assert(r3.status === "up_to_date" && targetWh.count("dst2") === 16)
+    }
+  }
+
+  test("mirror full-re-syncs across a source upsert (rewrites break increments)") {
+    withService { (c, client, svc) =>
+      import spark.implicits._
+      client.doPut("src3", (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+      val targetWh = new Connector(spark, tmpDir("graft-ups"))
+      val state = SyncState(tmpDir("graft-upsstate"))
+      val url = s"grpc://localhost:${svc.boundPort}/src3"
+      val r1 = Mirror.performSync(client, url, "src3", targetWh, "dst3", state)
+      assert(r1.status === "full_sync" && targetWh.count("dst3") === 10)
+
+      // a rewrite lands on the source: the replica must NOT consume it
+      // as appended rows (that would duplicate survivors) — it rebuilds
+      client.doUpsert("src3", Seq((1L, "NEW"), (11L, "ins")).toDF("id", "v"), Seq("id"))
+      val r2 = Mirror.performSync(client, url, "src3", targetWh, "dst3", state)
+      assert(r2.status === "full_resync", s"got ${r2.status}")
+      assert(targetWh.count("dst3") === 11)
+      val replica = targetWh.query("dst3").as[(Long, String)].collect().toMap
+      assert(replica(1L) === "NEW" && replica(11L) === "ins")
+
+      val r3 = Mirror.performSync(client, url, "src3", targetWh, "dst3", state)
+      assert(r3.status === "up_to_date")
     }
   }
 
