@@ -135,4 +135,31 @@ object EventStreams {
         ()
       }
       .start()
+
+  /** Streaming CDC apply: stream → `foreachBatch` → keyed copy-on-write
+    * UPSERT — change capture materialized into the warehouse. Within a
+    * micro-batch the LAST version per key wins (ordered by `orderCol`,
+    * e.g. an event/commit timestamp: the upsert contract needs one row
+    * per key); across batches later batches overwrite earlier ones.
+    * Unlike [[ingestToWarehouse]] the result table holds CURRENT STATE,
+    * not an event log — the replica of a mutating source. A crash
+    * between upsert and checkpoint replays the batch; upserts are
+    * idempotent for identical rows, so the replay converges (same
+    * at-least-once window as the append path). */
+  def cdcApply(changes: DataFrame, connector: Connector, table: String,
+      keyCols: Seq[String], orderCol: String, tiebreak: String,
+      checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val latest = graft.operators.Dedup.latest(
+            batch, keyCols, orderCol, tiebreak)
+          if (!connector.tableExists(table)) connector.createTable(table, latest)
+          else connector.upsert(table, latest, keyCols)
+        }
+        ()
+      }
+      .start()
 }

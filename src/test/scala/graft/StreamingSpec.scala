@@ -148,6 +148,30 @@ class StreamingSpec extends AnyFunSuite {
       funnelBatch.exceptAll(funnel).isEmpty)
   }
 
+  test("streaming CDC apply converges the warehouse to the latest row per key") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-cdc").toString
+    // micro-batch 1: initial versions; micro-batch 2: updates + an insert
+    Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L))
+      .toDF("id", "v", "ver").coalesce(1).write.mode("append").parquet(dir)
+    Seq((2L, "B2", 20L), (2L, "B2-stale", 15L), (4L, "d", 20L))
+      .toDF("id", "v", "ver").coalesce(1).write.mode("append").parquet(dir)
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("ver", LongType)))
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val wh = new Connector(spark, Files.createTempDirectory("graft-cdcwh").toString)
+    val q = EventStreams.cdcApply(stream, wh, "state", Seq("id"), "ver", "v",
+      Files.createTempDirectory("graft-cdcckpt").toString)
+    q.awaitTermination(120000)
+    val got = wh.query("state").select("id", "v")
+      .as[(Long, String)].collect().toMap
+    // current state, not an event log: within-batch keep-latest dropped
+    // the stale intermediate, cross-batch upsert replaced v1 of id=2
+    assert(got === Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
+  }
+
   test("streaming ingestion commits snapshots the warehouse can read incrementally") {
     val (dir, batchDf) = stageEvents()
     val wh = new Connector(spark, Files.createTempDirectory("graft-swh").toString)
