@@ -185,8 +185,14 @@ final class FlightService(connector: Connector, port: Int = 0,
             Wire.writeLine(out, Wire.obj("ok" -> false,
               "code" -> "bad_request", "error" -> "do_upsert requires keys"))
           else {
-            val created = connector.createTable(req.table, body.df)
-            if (!created) connector.upsert(req.table, body.df, req.keys)
+            // Create an EMPTY table when absent, then ALWAYS merge: two
+            // concurrent do_upserts to a fresh table must serialize
+            // through the upsert CAS, not both append raw bodies (the
+            // do_put create race is harmless for append semantics, NOT
+            // for one-row-per-key merge semantics). Racing zero-row
+            // creates land as empty snapshots, harmlessly.
+            val created = connector.createTable(req.table, body.df.limit(0))
+            connector.upsert(req.table, body.df, req.keys)
             Wire.writeLine(out, Wire.obj(
               "ok" -> true, "created" -> created,
               "snapshot_id" -> Wire.JNum(connector.getCurrentSnapshotId(req.table).getOrElse(0L))))

@@ -140,7 +140,9 @@ object EventStreams {
     * UPSERT — change capture materialized into the warehouse. Within a
     * micro-batch the LAST version per key wins (ordered by `orderCol`,
     * e.g. an event/commit timestamp: the upsert contract needs one row
-    * per key); across batches later batches overwrite earlier ones.
+    * per key); ACROSS batches a version guard applies only rows at
+    * least as new as the stored one (micro-batch boundaries are
+    * arbitrary, so a later batch can carry an older version).
     * Unlike [[ingestToWarehouse]] the result table holds CURRENT STATE,
     * not an event log — the replica of a mutating source. A crash
     * between upsert and checkpoint replays the batch; upserts are
@@ -157,7 +159,20 @@ object EventStreams {
           val latest = graft.operators.Dedup.latest(
             batch, keyCols, orderCol, tiebreak)
           if (!connector.tableExists(table)) connector.createTable(table, latest)
-          else connector.upsert(table, latest, keyCols)
+          else {
+            // cross-batch reorder guard: micro-batch boundaries are
+            // arbitrary (file mtimes, trigger splits), so a LATER batch
+            // can carry an OLDER version — apply only rows at least as
+            // new as the stored one, or the replica regresses
+            val cur = connector.query(table).select(
+              keyCols.map(c => col(c).as(s"__c_$c")) :+
+                col(orderCol).as("__cur_ord"): _*)
+            val cond = keyCols.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _)
+            val fresh = latest.join(cur, cond, "left")
+              .filter(col("__cur_ord").isNull || col(orderCol) >= col("__cur_ord"))
+              .select(latest.columns.map(col): _*)
+            if (!fresh.isEmpty) connector.upsert(table, fresh, keyCols)
+          }
         }
         ()
       }

@@ -61,9 +61,13 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   /** Copy-on-write MERGE INTO by key (parity-plus: the reference is
     * insert-only). Matching rows replace, new keys insert; see
     * [[GraftTable.upsert]] for the file-targeted rewrite contract. */
-  def upsert(name: String, data: DataFrame, keyCols: Seq[String]): Boolean = {
+  def upsert(name: String, data: DataFrame, keyCols: Seq[String],
+      statsCols: Seq[String] = Nil): Boolean = {
     val t = loadTable(name)
-    t.upsert(data, keyCols)
+    // default the rewrite's stats to the key columns: a rewritten file
+    // with no stats would be unprunable for every future readWhere —
+    // the silent regression the compact path also guards against
+    t.upsert(data, keyCols, if (statsCols.nonEmpty) statsCols else keyCols)
     reflectView(name)
     true
   }

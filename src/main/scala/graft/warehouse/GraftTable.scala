@@ -133,12 +133,34 @@ final class GraftTable private (
       val expected = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
       require(compatible(expected, incoming.schema),
         s"upsert schema mismatch for $name:\n expected $expected\n got ${incoming.schema}")
-      val keys = incoming.select(keyCols.map(col): _*).distinct()
-      // probe: which current files hold a matching key? (key-projected
-      // join; file paths come back as a bounded driver list)
-      val affected = read(Some(base.snapshotId))
+      // null-SAFE key projection: a NULL key must match its stored NULL
+      // twin (plain equality would never match, so every upsert of a
+      // NULL-keyed row would accumulate a duplicate)
+      val keys = incoming
+        .select(keyCols.map(c => col(c).as(s"__k_$c")): _*).distinct()
+      val keyCond = keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+      // probe: which current files hold a matching key? Manifest stats
+      // prune non-intersecting files first (single-key tables clustered
+      // on the key skip most of a 100 TB table before any scan); the
+      // scan itself is key-projected, and file paths come back as a
+      // bounded driver list.
+      val probeSrc =
+        if (keyCols.size == 1) {
+          val k = keyCols.head
+          import org.apache.spark.sql.functions.{max => fmax, min => fmin, sum => fsum, when => fwhen}
+          val bounds = incoming.agg(fmin(col(k)), fmax(col(k)),
+            fsum(fwhen(col(k).isNull, 1L).otherwise(0L))).collect().head
+          // range pruning is sound only for non-NULL incoming keys:
+          // file stats skip nulls, so a stored NULL twin could hide in
+          // a file whose recorded range misses [min, max]
+          if (bounds.isNullAt(0) || bounds.getLong(2) > 0)
+            read(Some(base.snapshotId))
+          else readWhere(k, Some(bounds.get(0)), Some(bounds.get(1)),
+            Some(base.snapshotId))
+        } else read(Some(base.snapshotId))
+      val affected = probeSrc
         .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
-        .join(keys, keyCols)
+        .join(keys, keyCond)
         .select("__f").distinct()
         .collect().map(_.getString(0))
         .map(f => dir.relativize(Paths.get(java.net.URI.create(f).getPath)).toString)
@@ -150,7 +172,7 @@ final class GraftTable private (
             schemaAsOf(Some(base.snapshotId)))
         else spark.read.schema(schemaAsOf(Some(base.snapshotId)))
           .parquet(affected.map(f => dir.resolve(f).toString): _*)
-          .join(keys, keyCols, "left_anti")
+          .join(keys, keyCond, "left_anti")
       survivors.unionByName(incoming.select(survivors.columns.map(col): _*))
         .write.parquet(commitDir.toString)
       val files = Files.list(commitDir).iterator().asScala
@@ -197,7 +219,11 @@ final class GraftTable private (
       val commitDir = dir.resolve("data").resolve(s"d${UUID.randomUUID().toString.take(12)}")
       spark.read.schema(sch)
         .parquet(affected.map(f => dir.resolve(f).toString): _*)
-        .filter(!cond)
+        // SQL DELETE semantics: remove only rows where cond is TRUE. A
+        // bare `!cond` would also drop NULL-evaluating rows (NULL
+        // satisfies neither side) — silent data loss.
+        .filter(!org.apache.spark.sql.functions.coalesce(cond,
+          org.apache.spark.sql.functions.lit(false)))
         .write.parquet(commitDir.toString)
       val files = Files.list(commitDir).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -386,7 +412,9 @@ object GraftTable {
     * reference's create_table (`icerunner.py:133-161`): returns None if
     * the table already exists. */
   def create(spark: SparkSession, dir: Path, name: String, data: DataFrame): Option[GraftTable] = {
-    val t = new GraftTable(name, dir, spark)
+    // absolute dir: the rewrite probes relativize input_file_name()'s
+    // absolute URIs, which throws against a relative table dir
+    val t = new GraftTable(name, dir.toAbsolutePath.normalize(), spark)
     if (t.log.exists && t.log.head.nonEmpty) None
     else {
       Files.createDirectories(dir)
@@ -397,7 +425,7 @@ object GraftTable {
   }
 
   def load(spark: SparkSession, dir: Path, name: String): Option[GraftTable] = {
-    val t = new GraftTable(name, dir, spark)
+    val t = new GraftTable(name, dir.toAbsolutePath.normalize(), spark)
     if (t.log.exists && t.log.head.nonEmpty) Some(t) else None
   }
 }

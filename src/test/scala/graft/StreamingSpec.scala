@@ -152,10 +152,15 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("graft-cdc").toString
-    // micro-batch 1: initial versions; micro-batch 2: updates + an insert
+    // micro-batch 1: initial versions; micro-batch 2: updates + an
+    // insert; micro-batch 3: an OUT-OF-ORDER stale version for id=2
+    // (batch boundaries are arbitrary in a real feed — the cross-batch
+    // version guard must not regress ver=20 to ver=5)
     Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L))
       .toDF("id", "v", "ver").coalesce(1).write.mode("append").parquet(dir)
     Seq((2L, "B2", 20L), (2L, "B2-stale", 15L), (4L, "d", 20L))
+      .toDF("id", "v", "ver").coalesce(1).write.mode("append").parquet(dir)
+    Seq((2L, "B2-ancient", 5L))
       .toDF("id", "v", "ver").coalesce(1).write.mode("append").parquet(dir)
     val sch = StructType(Seq(StructField("id", LongType),
       StructField("v", StringType), StructField("ver", LongType)))

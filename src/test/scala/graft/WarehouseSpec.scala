@@ -333,6 +333,48 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.read(Some(s0)).count() === 20)
   }
 
+  test("deleteWhere keeps NULL-evaluating rows (SQL DELETE semantics)") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "x"), (2L, null.asInstanceOf[String]), (3L, "y"))
+      .toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.deleteWhere(org.apache.spark.sql.functions.col("v") === "x")
+    // row 2's predicate evaluates to NULL — it must SURVIVE (a bare
+    // !cond filter would silently drop it)
+    assert(t.read().select("id").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
+  test("upsert matches NULL keys null-safely (no duplicate accumulation)") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "n1")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.upsert(Seq((null.asInstanceOf[java.lang.Long], "n2")).toDF("id", "v"), Seq("id"))
+    t.upsert(Seq((null.asInstanceOf[java.lang.Long], "n3")).toDF("id", "v"), Seq("id"))
+    val rows = t.read().collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toMap
+    assert(rows.size === 2, s"NULL key duplicated: ${rows.mkString(",")}")
+    assert(rows(-1L) === "n3" && rows(1L) === "a")
+  }
+
+  test("upsert prunes probe files via key stats when the table is clustered") {
+    val c = new Connector(spark, freshWarehouse())
+    val wide = (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    c.createTable("t", wide.limit(0))
+    val t = c.loadTable("t")
+    t.append(wide, clusterBy = Seq("id"), statsCols = Seq("id"), clusterParts = 8)
+    // a one-key upsert must not mark distant files affected: the stats
+    // range check keeps untouched files out of removedFiles
+    val before = t.log.dataFiles().size
+    val snap = t.upsert(Seq((5L, "NEW")).toDF("id", "v"), Seq("id"),
+      statsCols = Seq("id"))
+    assert(snap.removedFiles.size < before,
+      s"stats pruning ineffective: rewrote ${snap.removedFiles.size}/$before files")
+    assert(t.read().filter(org.apache.spark.sql.functions.col("id") === 5L)
+      .select("v").as[String].head() === "NEW")
+    assert(t.read().count() === 1000)
+  }
+
   test("upsert racing a concurrent append retries and loses no rows") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
