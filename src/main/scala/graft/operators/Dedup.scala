@@ -127,9 +127,20 @@ object Dedup {
     require(OpUtil.isIntegralId(incoming.schema(idCol).dataType) &&
       OpUtil.isIntegralId(corpus.schema(idCol).dataType),
       s"$idCol must be integral on BOTH sides (parity tagging)")
-    val a = incoming.select((col(idCol).cast("long") * 2 + 1).as("__id"),
+    // 2·id(+1) must not wrap: enforce |id| < 2^62 at runtime, per row,
+    // inside the tagging expression itself (no extra aggregation job).
+    // Silent non-ANSI overflow here would corrupt the parity mapping
+    // and drop/keep the WRONG incoming docs.
+    val lim = 1L << 62
+    def tagged(c: Column, odd: Int): Column = {
+      val id = c.cast("long")
+      when(id >= lim || id <= -lim, raise_error(concat(
+        lit(s"crossNearDupFilter: |$idCol| must be < 2^62 for parity tagging, got "),
+        id.cast("string")))).otherwise(id * 2 + odd)
+    }
+    val a = incoming.select(tagged(col(idCol), 1).as("__id"),
       col(textCol).as("__t"))
-    val b = corpus.select((col(idCol).cast("long") * 2).as("__id"),
+    val b = corpus.select(tagged(col(idCol), 0).as("__id"),
       col(textCol).as("__t"))
     val pairs = jaccardJoin(a.unionByName(b), "__id", "__t", threshold)
     val dirty = pairs

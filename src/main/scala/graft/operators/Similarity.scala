@@ -163,6 +163,76 @@ object Similarity {
     }
   }
 
+  /** Query-directed multiprobe band buckets: for each band, the base
+    * bucket plus `nprobe − 1` variants with ONE bit flipped — flipping
+    * the bits whose hyperplane projection magnitude is smallest first
+    * (the bits most likely to differ for a true near neighbor; Lv et
+    * al., "Multi-Probe LSH", VLDB 2007). nprobe = 1 degenerates to the
+    * plain signature banding, bit-identical to [[hyperplaneSigU]].
+    *
+    * Query-side only: the corpus keeps one bucket per band, so the
+    * index (and its shuffle) doesn't grow — only the probe fan-out
+    * does, by ≤ nprobe×. Returns (band, bucket) pairs. */
+  private def bandProbesU(bits: Int, bands: Int, nprobe: Int) = {
+    val cache = new PlaneCache(bits)
+    val rowsPerBand = bits / bands
+    udf { v: Seq[Double] =>
+      if (v == null) Seq.empty[(Int, Long)]
+      else {
+        val n = v.length
+        val planes = cache.get(n)
+        val proj = new Array[Double](bits)
+        var sig = 0L
+        var b = 0
+        while (b < bits) {
+          val row = planes(b)
+          var s = 0.0
+          var d = 0
+          while (d < n) { s += v(d) * row(d); d += 1 }
+          proj(b) = s
+          if (s > 0) sig |= (1L << b)
+          b += 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Int, Long)](bands * nprobe)
+        var band = 0
+        while (band < bands) {
+          val base = (sig >>> (band * rowsPerBand)) & ((1L << rowsPerBand) - 1)
+          if (nprobe <= 1) out += ((band, base))
+          else {
+            // probe sequence = the nprobe flip-SETS with the smallest
+            // summed projection magnitude (∅ scores 0, so the base
+            // bucket is always probe #1); a two-weak-bit flip can beat
+            // a one-strong-bit flip, which single-bit probing misses
+            val masks = Array.range(0, 1 << rowsPerBand)
+            val score = masks.map { m =>
+              var s = 0.0
+              var i = 0
+              while (i < rowsPerBand) {
+                if ((m & (1 << i)) != 0) {
+                  val p = proj(band * rowsPerBand + i)
+                  // squared distance-to-hyperplane: the expected-score
+                  // model of Lv et al. §4.1 (two weak flips beat one
+                  // strong flip more often than under |p| scoring)
+                  s += p * p
+                }
+                i += 1
+              }
+              s
+            }
+            val seq = masks.sortBy(m => score(m))
+            var p = 0
+            while (p < nprobe && p < seq.length) {
+              out += ((band, base ^ seq(p).toLong))
+              p += 1
+            }
+          }
+          band += 1
+        }
+        out.toSeq
+      }
+    }
+  }
+
   /** Random-hyperplane signature (SimHash for vectors): bit i = sign of
     * dot(v, h_i) where h_i is a deterministic pseudo-random hyperplane
     * derived from xxhash64(dim, seed) — the expression-only formulation,
@@ -188,16 +258,19 @@ object Similarity {
     *
     * Scale path: the candidate join shuffles on (band, bucket) — the
     * |corpus|×|queries| cross product never materializes. Recall is
-    * tuned by (bits, bands): more bands → more candidates → higher
-    * recall, more work.
+    * tuned by (bits, bands) and by `nprobe` (query-directed multiprobe:
+    * each extra probe also visits the band bucket with the
+    * least-confident signature bit flipped — recall rises without
+    * growing the corpus-side index).
     *
     * @return (query_id, neighbor_id, sim, rank) — same shape as
     *         bruteForceTopK, so callers can A/B recall
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, bits: Int = 16, bands: Int = 4,
-      maxBucketSize: Int = 8192): DataFrame = {
+      maxBucketSize: Int = 8192, nprobe: Int = 1): DataFrame = {
     require(bits % bands == 0)
+    require(nprobe >= 1)
     val rowsPerBand = bits / bands
     def banded(df: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
       val sig = hyperplaneSigU(bits)(col(vec))
@@ -215,8 +288,11 @@ object Similarity {
     // (Shuffling the duplicate-heavy candidate stream with both
     // embedding arrays attached was ~an order of magnitude more shuffle
     // volume than the ids.)
-    val qb = banded(q, "query_id", "qv", "qn")
-      .select("query_id", "band", "bucket")
+    val qb = q
+      .select(col("query_id"),
+        explode(bandProbesU(bits, bands, nprobe)(col("qv"))).as("__bb"))
+      .select(col("query_id"), col("__bb._1").as("band"),
+        col("__bb._2").as("bucket"))
     // skew guard: a degenerate corpus collapsing into one (band, bucket)
     // would make the candidate join quadratic inside it — cap the corpus
     // side's bucket population (drops are counted loudly, see

@@ -279,10 +279,12 @@ object Pipeline {
     },
 
     // ---- LSH-bucketed approximate top-k (hash-based: rows-only) ----
+    // Differential anchor: PipelineSpec "lshTopK multiprobe" (top-1
+    // recall ≥ 0.85 at nprobe = 4 vs bruteForceTopK on the same corpus).
     Q.noOracle("q32_lsh_topk") { (s, d) =>
       val emb = T.embeddings(s, d)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
-          "vec_id", "embedding", 5)
+          "vec_id", "embedding", 5, nprobe = 4)
         .orderBy("query_id", "rank")
     },
 
@@ -772,10 +774,15 @@ object Pipeline {
         |         ELSE 127.0 / list_max(list_transform(e, x -> abs(x))) END AS s
         |  FROM v)
         |SELECT vec_id, round(s, 6) AS scale,
-        |  list_transform(e, x -> CAST(floor(x * s + 0.5) AS INT)) AS q
+        |  array_to_string(list_transform(e, x -> CAST(floor(x * s + 0.5) AS INT)), ',') AS q
         |FROM m ORDER BY vec_id""".stripMargin) { (s, d) =>
+      // The graded projection joins q to a csv string: the driver's
+      // pandas-based harness cannot sort/hash raw array columns
+      // (CORRECTNESS_r05: "unhashable type: numpy.ndarray"). Semantics
+      // unchanged — element order is positional and total.
       Similarity.quantize(T.embeddings(s, d), "embedding")
-        .select(col("vec_id"), round(col("scale"), 6).as("scale"), col("q"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          concat_ws(",", col("q")).as("q"))
         .orderBy("vec_id")
     },
 
@@ -832,12 +839,13 @@ object Pipeline {
          |      row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
          |    FROM pairs) t
          |  WHERE rn <= 20 GROUP BY tok)
-         |SELECT d.tok, d.df, p.postings
+         |SELECT d.tok, d.df, array_to_string(p.postings, ',') AS postings
          |FROM dfq d JOIN post p USING (tok)
          |ORDER BY df DESC, tok LIMIT 100""".stripMargin) { (s, d) =>
+      // postings rendered as csv for the same harness reason as q78.
       TA.invertedIndex(T.documents(s, d), "doc_id", "text",
           k = 100, maxPostings = 20)
-        .select("tok", "df", "postings")
+        .select(col("tok"), col("df"), concat_ws(",", col("postings")).as("postings"))
         .orderBy(col("df").desc, col("tok"))
     },
 

@@ -181,9 +181,17 @@ final class FlightService(connector: Connector, port: Int = 0,
         // insert-only). Same bounded-spill body handling as do_put.
         val body = ArrowCodec.read(connector.spark, in)
         try {
+          val bodyCols = body.df.columns.toSet
+          val missing = req.keys.filterNot(bodyCols.contains)
           if (req.keys.isEmpty)
             Wire.writeLine(out, Wire.obj("ok" -> false,
               "code" -> "bad_request", "error" -> "do_upsert requires keys"))
+          else if (missing.nonEmpty)
+            // Reject BEFORE any create: a failed request must not leave
+            // a freshly-created empty table behind as a side effect.
+            Wire.writeLine(out, Wire.obj("ok" -> false,
+              "code" -> "bad_request",
+              "error" -> s"do_upsert keys absent from body schema: ${missing.mkString(", ")}"))
           else {
             // Create an EMPTY table when absent, then ALWAYS merge: two
             // concurrent do_upserts to a fresh table must serialize
@@ -192,7 +200,18 @@ final class FlightService(connector: Connector, port: Int = 0,
             // for one-row-per-key merge semantics). Racing zero-row
             // creates land as empty snapshots, harmlessly.
             val created = connector.createTable(req.table, body.df.limit(0))
-            connector.upsert(req.table, body.df, req.keys)
+            try connector.upsert(req.table, body.df, req.keys)
+            catch {
+              case e: Throwable =>
+                // Undo the create-on-demand if the merge failed and WE
+                // made the table this request (best-effort: a racing
+                // writer may have appended meanwhile — then keep it).
+                if (created &&
+                    connector.getCurrentSnapshotId(req.table).contains(1L) &&
+                    connector.count(req.table) == 0L)
+                  try connector.dropTable(req.table) catch { case _: Throwable => () }
+                throw e
+            }
             Wire.writeLine(out, Wire.obj(
               "ok" -> true, "created" -> created,
               "snapshot_id" -> Wire.JNum(connector.getCurrentSnapshotId(req.table).getOrElse(0L))))

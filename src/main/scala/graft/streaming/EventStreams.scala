@@ -163,13 +163,21 @@ object EventStreams {
             // cross-batch reorder guard: micro-batch boundaries are
             // arbitrary (file mtimes, trigger splits), so a LATER batch
             // can carry an OLDER version — apply only rows at least as
-            // new as the stored one, or the replica regresses
+            // new as the stored one, or the replica regresses. The
+            // comparison is lexicographic over (orderCol, tiebreak) to
+            // match Dedup.latest's within-batch ordering: on an orderCol
+            // tie the tiebreak decides, with NULL ranking lowest (the
+            // same posture as latest's desc-nulls-last sort).
             val cur = connector.query(table).select(
               keyCols.map(c => col(c).as(s"__c_$c")) :+
-                col(orderCol).as("__cur_ord"): _*)
+                col(orderCol).as("__cur_ord") :+
+                col(tiebreak).as("__cur_tb"): _*)
             val cond = keyCols.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _)
             val fresh = latest.join(cur, cond, "left")
-              .filter(col("__cur_ord").isNull || col(orderCol) >= col("__cur_ord"))
+              .filter(col("__cur_ord").isNull ||
+                col(orderCol) > col("__cur_ord") ||
+                (col(orderCol) === col("__cur_ord") &&
+                  (col("__cur_tb").isNull || col(tiebreak) >= col("__cur_tb"))))
               .select(latest.columns.map(col): _*)
             if (!fresh.isEmpty) connector.upsert(table, fresh, keyCols)
           }

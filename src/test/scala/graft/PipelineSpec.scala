@@ -14,34 +14,56 @@ class PipelineSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("lshTopK hits the exact top-1 neighbor for most queries (recall ≥ 0.6)") {
+  test("lshTopK multiprobe hits the exact top-1 neighbor (recall ≥ 0.85 at nprobe=4)") {
+    // Measured curve on this 500×64-dim near-random corpus (16 queries,
+    // so granularity is 1/16): nprobe 1→0.69, 3→0.75, 4→0.875, 6→0.94,
+    // 12→1.0. The floor is pinned one step past the 0.85 crossing.
     val emb = T.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 16)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1)
       .select("query_id", "neighbor_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 1)
-      .select("query_id", "neighbor_id").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val hits = exact.count { case (q, n) => approx.get(q).contains(n) }
-    assert(hits.toDouble / exact.size >= 0.6,
-      s"top-1 recall ${hits.toDouble / exact.size} ($hits/${exact.size})")
+    def recallAt(nprobe: Int): Double = {
+      val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 1,
+          nprobe = nprobe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.count { case (q, n) => approx.get(q).contains(n) }.toDouble / exact.size
+    }
+    val r1 = recallAt(1)
+    val r4 = recallAt(4)
+    assert(r1 >= 0.6, s"top-1 recall at nprobe=1: $r1")
+    assert(r4 >= 0.85, s"top-1 recall at nprobe=4: $r4")
+    assert(r4 >= r1, s"multiprobe must not lose recall ($r4 vs $r1)")
   }
 
-  test("ivfTopK hits the exact top-1 neighbor for most queries (recall ≥ 0.6)") {
+  test("lshTopK at nprobe=1 returns exactly the plain-signature banding result") {
+    val emb = T.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 16)
+    // nprobe=1 must be a pure refactor of the original single-bucket
+    // probe: same candidates, same ranks
+    val a = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 3)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val b = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 3, nprobe = 1)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(a === b)
+  }
+
+  test("ivfTopK hits the exact top-1 neighbor (recall ≥ 0.85 at nprobe=3)") {
     val emb = T.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 16)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 1)
       .select("query_id", "neighbor_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // nlist ~ sqrt(n)/3 for this 500-vector corpus; probing half the
-    // cells gives full recall here
+    // nlist ~ sqrt(n)/3 for this 500-vector corpus
     val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 1,
-        nlist = 8, nprobe = 4)
+        nlist = 8, nprobe = 3)
       .select("query_id", "neighbor_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hits = exact.count { case (q, n) => approx.get(q).contains(n) }
-    assert(hits.toDouble / exact.size >= 0.9,
+    assert(hits.toDouble / exact.size >= 0.85,
       s"IVF top-1 recall ${hits.toDouble / exact.size} ($hits/${exact.size})")
   }
 
