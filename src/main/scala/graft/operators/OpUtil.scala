@@ -26,21 +26,36 @@ private[operators] object OpUtil {
     * accumulator (visible in the Spark UI and to specs) — silence never
     * masquerades as coverage.
     *
-    * The bucket-count window partitions on the same keys the candidate
-    * join shuffles on, so the exchange is shared — the guard adds a
-    * partition-local sort, not a shuffle.
-    */
+    * Physical shape (round 6, replacing the r5 count-window): bucket
+    * populations come from a groupBy — map-side partial aggregation, so
+    * only per-partition (key, count) rows shuffle, not the stream — and
+    * the (usually empty) overflow set anti-joins back by BROADCAST. The
+    * big banded stream is never shuffled or sorted by the guard; it is
+    * scanned twice, which for an LSH stream is a narrow re-map of the
+    * source. The r5 window formulation shuffled the whole stream and
+    * cost q32 +38% for a guard that almost never fires; skew itself
+    * bounds the broadcast (hot buckets number ≤ |stream|/cap, and a
+    * corpus degenerate enough to overflow that is concentrated, not
+    * spread). */
   def capBuckets(df: DataFrame, keys: Seq[String], cap: Int,
       metricName: String): DataFrame = {
     require(cap > 0, "bucket cap must be positive")
     val acc = df.sparkSession.sparkContext.longAccumulator(metricName)
-    val keep = udf { (n: Long) =>
-      // at-least-once on task retries — fine for a skew alarm
-      if (n > cap) { acc.add(1L); false } else true
-    }.asNondeterministic() // side-effecting: Catalyst must not clone/reorder it
-    val w = Window.partitionBy(keys.map(col): _*)
-    df.withColumn("__bc", count(lit(1)).over(w))
-      .filter(keep(col("__bc")))
+    // at-least-once on broadcast rebuild/retry — fine for a skew alarm
+    val mark = udf { (n: Long) => { acc.add(n); n } }
+      .asNondeterministic() // side-effecting: Catalyst must not clone/reorder it
+    // hot side carries RENAMED keys: the anti-join is a self-join of the
+    // banded stream's lineage, and plan-qualified references would be
+    // ambiguous
+    val hot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > cap)
+      .select(keys.map(k => col(k).as(s"__hot_$k")) :+
+        mark(col("__bc")).as("__bc"): _*)
       .drop("__bc")
+    // null-safe equality so an (unlikely) NULL-keyed mega-bucket is still
+    // guarded — matches the window formulation's partition semantics
+    val cond = keys.map(k => col(k) <=> col(s"__hot_$k")).reduce(_ && _)
+    df.join(broadcast(hot), cond, "left_anti")
   }
 }

@@ -267,15 +267,29 @@ object TextAnalysis {
       : org.apache.spark.sql.DataFrame = {
     require(numMerges > 0, "numMerges must be positive")
     val spark = df.sparkSession
-    val wordCounts = df
+    val grouped = df
       .select(explode(tokensLower(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
+    val firstPass = grouped
       .limit(maxVocabRows + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    require(wordCounts.length <= maxVocabRows,
-      s"word vocabulary exceeds the $maxVocabRows-row training budget; " +
-        "raise maxVocabRows or pre-prune rare words")
+    val wordCounts =
+      if (firstPass.length <= maxVocabRows) firstPass
+      else {
+        // Degrade, don't die (the bitmask-gate stance): at 100 TB a word
+        // vocab can exceed any fixed driver budget — keep the
+        // top-frequency words (count desc, word asc: deterministic),
+        // which carry almost all pair mass, and train on those. The
+        // top-N runs as TakeOrderedAndProject (per-partition heaps + one
+        // driver merge), not a global sort.
+        System.err.println(s"[graft] bpeTrain: word vocabulary exceeds " +
+          s"the $maxVocabRows-row training budget; training on the " +
+          s"$maxVocabRows most frequent words (rare-word pair mass is " +
+          "dropped — raise maxVocabRows to include it)")
+        grouped.orderBy(col("c").desc, col("w")).limit(maxVocabRows)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+      }
     // symbol sequences: chars + end-of-word marker
     var vocab: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>
       (w.map(_.toString).toArray :+ "</w>", c)

@@ -296,8 +296,9 @@ object Advanced {
 
     // ---- approximate distinct counting (HLL++) -------------------------
     // rows-only: Spark's HLL++ and DuckDB's approx_count_distinct are
-    // different sketches with different estimates; the 2%-of-exact
-    // accuracy bound is asserted in AdvancedSpec instead.
+    // different sketches with different estimates. Differential anchor:
+    // AdvancedSpec "approx_count_distinct lands within 5% of the exact
+    // count per group".
     Q.noOracle("q56_approx_distinct") { (s, d) =>
       T.lineitem(s, d)
         .groupBy("l_returnflag")

@@ -289,6 +289,9 @@ object Pipeline {
     },
 
     // ---- IVF-bucketed approximate top-k (trained quantizer: rows-only) ----
+    // Differential anchors: PipelineSpec "ivfTopK hits the exact top-1
+    // neighbor" (recall ≥ 0.85 at nprobe=3) and "ivfTopK caches the
+    // quantizer" (second invocation: fewer jobs, identical rows).
     Q.noOracle("q55_ivf_topk") { (s, d) =>
       val emb = T.embeddings(s, d)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
@@ -952,6 +955,8 @@ object Pipeline {
     },
 
     // ---- BPE encoding with the learned merges (train → apply loop) -----
+    // Differential anchor: PipelineSpec "bpeEncode applies learned merges
+    // greedily by rank" (subword composition + unknown-char fallback).
     Q.noOracle("q89_bpe_encode") { (s, d) =>
       val docs = T.documents(s, d)
       val merges = TA.bpeTrain(docs, "text", numMerges = 40)

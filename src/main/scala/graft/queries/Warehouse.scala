@@ -1,0 +1,51 @@
+package graft.queries
+
+import graft.{Q, T}
+import org.apache.spark.sql.functions._
+
+import graft.warehouse.Connector
+
+/** Graded warehouse-DML surface: the copy-on-write upsert / deleteWhere
+  * path (`GraftTable.scala`) exercised end-to-end under the driver's
+  * DuckDB oracle. The reference is insert-only (`icerunner.py:163-178`);
+  * this is the parity-plus DML the r4/r5 rounds added, previously
+  * visible only to scalatest.
+  *
+  * The query materializes a REAL warehouse table in a fresh temp dir —
+  * create → keyed upsert (doubled price for keys ≡ 0 mod 10) → predicate
+  * delete — then reads the committed result back through the snapshot
+  * log. The oracle rebuilds the same keep-latest-minus-deleted relation
+  * in plain SQL from the raw `orders` parquet, so a hash match proves
+  * the whole DML stack (file-targeted rewrite, manifest commit, read
+  * path) computes exactly the declarative semantics.
+  */
+object Warehouse {
+
+  private val ql: Seq[Q] = Seq(
+    Q("q91_warehouse_dml",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice * 2, 2)
+        |       ELSE round(o_totalprice, 2) END AS price,
+        |  o_orderstatus
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 3)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // fresh dir per invocation: upsert-after-delete on a stale table
+      // would resurrect deleted keys, so the run must start from create
+      val wh = java.nio.file.Files.createTempDirectory("graft_q91_wh").toString
+      val conn = new Connector(s, wh)
+      val base = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("o_orderstatus"))
+      conn.createTable("orders_dml", base)
+      val changes = T.orders(s, d)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 2, 2).as("price"), col("o_orderstatus"))
+      conn.upsert("orders_dml", changes, Seq("o_orderkey"))
+      conn.delete("orders_dml",
+        col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 3)
+      conn.query("orders_dml").orderBy("o_orderkey")
+    })
+
+  def queries: Seq[Q] = ql
+}

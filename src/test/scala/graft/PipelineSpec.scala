@@ -724,6 +724,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.toSeq === merges.toSeq)
   }
 
+  test("bpeTrain over the vocab budget samples top-frequency words instead of dying") {
+    import spark.implicits._
+    // Sennrich corpus + two rare noise words; budget 4 keeps exactly the
+    // four frequent words (count desc, word asc), so the classic merges
+    // must come out unchanged — the fallback trains on the kept mass
+    val docs = (Seq(
+      Seq.fill(5)("low"), Seq.fill(2)("lower"),
+      Seq.fill(6)("newest"), Seq.fill(3)("widest"),
+      Seq("zzq"), Seq("xxj")
+    ).flatten).zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    assert(docs.select("text").distinct().count() === 6)
+    val merges = graft.operators.TextAnalysis
+      .bpeTrain(docs, "text", 3, maxVocabRows = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "est", "</w>", 9L)))
+  }
+
   test("bpeEncode applies learned merges greedily by rank") {
     import spark.implicits._
     val docs = Seq(
