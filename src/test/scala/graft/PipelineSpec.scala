@@ -537,6 +537,21 @@ class PipelineSpec extends AnyFunSuite {
       .forall(keptIds.contains))
   }
 
+  test("crossNearDupFilter fails loudly on ids too large for parity tagging") {
+    import spark.implicits._
+    // 2·id+1 on an id ≥ 2^62 silently wraps under non-ANSI arithmetic,
+    // corrupting the parity mapping — the guard must raise instead
+    val big = Seq(((1L << 62), "some text here")).toDF("doc_id", "text")
+    val ok = Seq((1L, "other text entirely")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.operators.Dedup.crossNearDupFilter(big, ok, "doc_id", "text", 0.5)
+        .collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("parity tagging")), chain(e).mkString(" | "))
+  }
+
   test("crossNearDupFilter drops cross-side near-copies, keeps novel docs") {
     val docs = T.documents(spark, sf)
     val corpus = docs.filter(col("doc_id") < 250)

@@ -85,6 +85,15 @@ class ServiceSpec extends AnyFunSuite {
         client.doUpsert("u1", Seq((9L, "z")).toDF("id", "v"), Seq("nokey"))
       }
       assert(err.getMessage.nonEmpty)
+      // ...and a bad key against an ABSENT table is rejected BEFORE the
+      // create-on-demand: the failed request must not leave a
+      // freshly-created empty table behind
+      val err2 = intercept[RuntimeException] {
+        client.doUpsert("u_nope", Seq((9L, "z")).toDF("id", "v"), Seq("nokey"))
+      }
+      assert(err2.getMessage.contains("nokey"))
+      assert(!c.tableExists("u_nope"),
+        "failed do_upsert left an empty table behind")
     }
   }
 

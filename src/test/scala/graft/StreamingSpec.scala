@@ -177,6 +177,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
   }
 
+  test("CDC apply breaks orderCol ties across batches with the tiebreak column") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-cdc-tb").toString
+    // Both batches carry ver=10 rows. Within a batch keep-latest is
+    // (ver desc, tiebreak desc); the CROSS-batch guard must apply the
+    // same lexicographic rule: a later-arriving row with an equal ver
+    // and a LOWER tiebreak must not overwrite the stored winner, while
+    // an equal-ver HIGHER tiebreak must.
+    Seq((1L, "z", 10L), (2L, "a", 10L))
+      .toDF("id", "v", "ver").coalesce(1).write.mode("append").parquet(dir)
+    Seq((1L, "a", 10L), (2L, "z", 10L))
+      .toDF("id", "v", "ver").coalesce(1).write.mode("append").parquet(dir)
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("ver", LongType)))
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val wh = new Connector(spark, Files.createTempDirectory("graft-cdc-tbwh").toString)
+    val q = EventStreams.cdcApply(stream, wh, "state", Seq("id"), "ver", "v",
+      Files.createTempDirectory("graft-cdc-tbckpt").toString)
+    q.awaitTermination(120000)
+    val got = wh.query("state").select("id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "z", 2L -> "z"))
+  }
+
   test("streaming ingestion commits snapshots the warehouse can read incrementally") {
     val (dir, batchDf) = stageEvents()
     val wh = new Connector(spark, Files.createTempDirectory("graft-swh").toString)
