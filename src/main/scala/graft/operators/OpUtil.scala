@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Shared predicates for adaptive physical-strategy choices. */
-private[operators] object OpUtil {
+private[graft] object OpUtil {
   /** Ids the block-broadcast scorers can key on (cast-to-long safe). */
   def isIntegralId(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType => true
@@ -37,22 +37,36 @@ private[operators] object OpUtil {
     * bounds the broadcast (hot buckets number ≤ |stream|/cap, and a
     * corpus degenerate enough to overflow that is concentrated, not
     * spread). */
+  /** Last-created drop accumulator per metric name — the spec/debug
+    * hook for the loudness invariant (named accumulators are also in
+    * the Spark UI, but tests need programmatic access). Last writer
+    * wins on a name collision; an alarm metric, not a ledger. */
+  val dropCounters =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.util.LongAccumulator]
+
   def capBuckets(df: DataFrame, keys: Seq[String], cap: Int,
       metricName: String): DataFrame = {
     require(cap > 0, "bucket cap must be positive")
     val acc = df.sparkSession.sparkContext.longAccumulator(metricName)
-    // at-least-once on broadcast rebuild/retry — fine for a skew alarm
-    val mark = udf { (n: Long) => { acc.add(n); n } }
-      .asNondeterministic() // side-effecting: Catalyst must not clone/reorder it
+    dropCounters.put(metricName, acc)
+    // The side effect lives in the FILTER predicate, not a projected
+    // column: a projected-then-dropped column is eliminated by Catalyst
+    // column pruning (asNondeterministic blocks reordering/cloning, NOT
+    // pruning of an unused output — verified empirically), which would
+    // silence the drop alarm entirely. A filter's predicate is always
+    // evaluated. Adds n (dropped rows) once per hot bucket, during the
+    // broadcast build; at-least-once on rebuild/retry — fine for an
+    // alarm.
+    val hotOnly = udf { (n: Long) =>
+      if (n > cap) { acc.add(n); true } else false
+    }.asNondeterministic()
     // hot side carries RENAMED keys: the anti-join is a self-join of the
     // banded stream's lineage, and plan-qualified references would be
     // ambiguous
     val hot = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bc"))
-      .filter(col("__bc") > cap)
-      .select(keys.map(k => col(k).as(s"__hot_$k")) :+
-        mark(col("__bc")).as("__bc"): _*)
-      .drop("__bc")
+      .filter(hotOnly(col("__bc")))
+      .select(keys.map(k => col(k).as(s"__hot_$k")): _*)
     // null-safe equality so an (unlikely) NULL-keyed mega-bucket is still
     // guarded — matches the window formulation's partition semantics
     val cond = keys.map(k => col(k) <=> col(s"__hot_$k")).reduce(_ && _)

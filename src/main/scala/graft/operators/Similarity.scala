@@ -271,6 +271,12 @@ object Similarity {
       maxBucketSize: Int = 8192, nprobe: Int = 1): DataFrame = {
     require(bits % bands == 0)
     require(nprobe >= 1)
+    // multiprobe enumerates 2^(bits/bands) flip-masks per band per query
+    // row; unbounded this is an Int-shift overflow at 31+ bits and an
+    // effective hang in the 20s — bound it well below either cliff
+    require(nprobe == 1 || bits / bands <= 12,
+      s"multiprobe needs bits/bands <= 12 (got ${bits / bands}); " +
+        "use more bands or nprobe = 1")
     val rowsPerBand = bits / bands
     def banded(df: DataFrame, id: String, vec: String, nrm: String): DataFrame = {
       val sig = hyperplaneSigU(bits)(col(vec))

@@ -271,24 +271,25 @@ object TextAnalysis {
       .select(explode(tokensLower(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val firstPass = grouped
+    // ONE ordered pass serves both budget detection and the fallback:
+    // TakeOrderedAndProject (per-partition heaps + driver merge, not a
+    // global sort) fetches budget+1 rows; row budget+1 existing is the
+    // over-budget signal and the first budget rows ARE the top-frequency
+    // sample. Degrade, don't die (the bitmask-gate stance): at 100 TB a
+    // word vocab can exceed any fixed driver budget — the kept
+    // top-frequency words (count desc, word asc: deterministic) carry
+    // almost all pair mass.
+    val ordered = grouped.orderBy(col("c").desc, col("w"))
       .limit(maxVocabRows + 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val wordCounts =
-      if (firstPass.length <= maxVocabRows) firstPass
+      if (ordered.length <= maxVocabRows) ordered
       else {
-        // Degrade, don't die (the bitmask-gate stance): at 100 TB a word
-        // vocab can exceed any fixed driver budget — keep the
-        // top-frequency words (count desc, word asc: deterministic),
-        // which carry almost all pair mass, and train on those. The
-        // top-N runs as TakeOrderedAndProject (per-partition heaps + one
-        // driver merge), not a global sort.
         System.err.println(s"[graft] bpeTrain: word vocabulary exceeds " +
           s"the $maxVocabRows-row training budget; training on the " +
           s"$maxVocabRows most frequent words (rare-word pair mass is " +
           "dropped — raise maxVocabRows to include it)")
-        grouped.orderBy(col("c").desc, col("w")).limit(maxVocabRows)
-          .collect().map(r => (r.getString(0), r.getLong(1)))
+        ordered.take(maxVocabRows)
       }
     // symbol sequences: chars + end-of-word marker
     var vocab: Array[(Array[String], Long)] = wordCounts.map { case (w, c) =>

@@ -21,6 +21,22 @@ import graft.warehouse.Connector
   */
 object Warehouse {
 
+  /** Per-JVM base for q91's throwaway warehouses, removed recursively
+    * at JVM exit — bench/verify invoke the query repeatedly and each
+    * run writes real parquet commits; without cleanup /tmp accumulates
+    * a table copy per invocation. */
+  private lazy val scratchBase: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_q91_wh")
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => { try Files.deleteIfExists(f) catch { case _: Throwable => () }; () })
+      catch { case _: Throwable => () }
+    }
+    p
+  }
+
   private val ql: Seq[Q] = Seq(
     Q("q91_warehouse_dml",
       """SELECT o_orderkey,
@@ -32,7 +48,8 @@ object Warehouse {
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       // fresh dir per invocation: upsert-after-delete on a stale table
       // would resurrect deleted keys, so the run must start from create
-      val wh = java.nio.file.Files.createTempDirectory("graft_q91_wh").toString
+      val wh = java.nio.file.Files
+        .createTempDirectory(scratchBase, "run").toString
       val conn = new Connector(s, wh)
       val base = T.orders(s, d).select(col("o_orderkey"),
         round(col("o_totalprice"), 2).as("price"), col("o_orderstatus"))

@@ -181,8 +181,15 @@ final class FlightService(connector: Connector, port: Int = 0,
         // insert-only). Same bounded-spill body handling as do_put.
         val body = ArrowCodec.read(connector.spark, in)
         try {
-          val bodyCols = body.df.columns.toSet
-          val missing = req.keys.filterNot(bodyCols.contains)
+          // resolution must match the engine's: Spark resolves columns
+          // case-insensitively unless spark.sql.caseSensitive is set
+          val caseSensitive = connector.spark.conf
+            .get("spark.sql.caseSensitive", "false").toBoolean
+          val bodyCols =
+            if (caseSensitive) body.df.columns.toSet
+            else body.df.columns.map(_.toLowerCase).toSet
+          val missing = req.keys.filterNot(k =>
+            bodyCols.contains(if (caseSensitive) k else k.toLowerCase))
           if (req.keys.isEmpty)
             Wire.writeLine(out, Wire.obj("ok" -> false,
               "code" -> "bad_request", "error" -> "do_upsert requires keys"))
@@ -199,19 +206,15 @@ final class FlightService(connector: Connector, port: Int = 0,
             // do_put create race is harmless for append semantics, NOT
             // for one-row-per-key merge semantics). Racing zero-row
             // creates land as empty snapshots, harmlessly.
+            // No rollback of the create if the merge then fails: a
+            // drop here would be check-then-act racing concurrent
+            // writers (their committed snapshots could land between any
+            // emptiness check and the drop, and dropTable deletes the
+            // directory). The key pre-validation above removes the
+            // common failure mode; a rare fresh-create-then-merge-fail
+            // leaves an empty table, which is benign and re-usable.
             val created = connector.createTable(req.table, body.df.limit(0))
-            try connector.upsert(req.table, body.df, req.keys)
-            catch {
-              case e: Throwable =>
-                // Undo the create-on-demand if the merge failed and WE
-                // made the table this request (best-effort: a racing
-                // writer may have appended meanwhile — then keep it).
-                if (created &&
-                    connector.getCurrentSnapshotId(req.table).contains(1L) &&
-                    connector.count(req.table) == 0L)
-                  try connector.dropTable(req.table) catch { case _: Throwable => () }
-                throw e
-            }
+            connector.upsert(req.table, body.df, req.keys)
             Wire.writeLine(out, Wire.obj(
               "ok" -> true, "created" -> created,
               "snapshot_id" -> Wire.JNum(connector.getCurrentSnapshotId(req.table).getOrElse(0L))))

@@ -168,15 +168,24 @@ object EventStreams {
             // match Dedup.latest's within-batch ordering: on an orderCol
             // tie the tiebreak decides, with NULL ranking lowest (the
             // same posture as latest's desc-nulls-last sort).
+            // __cur_present marks a JOIN HIT: "no stored row" must be
+            // detected by its own marker, not by __cur_ord's nullness —
+            // a stored row whose orderCol IS NULL would otherwise be
+            // conflated with absence and unconditionally overwritten.
             val cur = connector.query(table).select(
               keyCols.map(c => col(c).as(s"__c_$c")) :+
                 col(orderCol).as("__cur_ord") :+
-                col(tiebreak).as("__cur_tb"): _*)
+                col(tiebreak).as("__cur_tb") :+
+                lit(true).as("__cur_present"): _*)
             val cond = keyCols.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _)
             val fresh = latest.join(cur, cond, "left")
-              .filter(col("__cur_ord").isNull ||
+              .filter(col("__cur_present").isNull ||
+                // NULL ranks lowest on both components (the desc-nulls-
+                // last posture of Dedup.latest): a non-null beats a
+                // null, <=> ties both-null with both-equal
+                (col(orderCol).isNotNull && col("__cur_ord").isNull) ||
                 col(orderCol) > col("__cur_ord") ||
-                (col(orderCol) === col("__cur_ord") &&
+                (col(orderCol) <=> col("__cur_ord") &&
                   (col("__cur_tb").isNull || col(tiebreak) >= col("__cur_tb"))))
               .select(latest.columns.map(col): _*)
             if (!fresh.isEmpty) connector.upsert(table, fresh, keyCols)

@@ -358,6 +358,12 @@ class PipelineSpec extends AnyFunSuite {
     // mega-buckets (the 2000 clones) are dropped loudly; the distinct
     // 100-vector part still pairs normally — far below the ~2M quadratic
     assert(n < 20000, s"degenerate corpus produced $n pairs — cap not applied")
+    // LOUDLY means the drop accumulator actually fired — Catalyst once
+    // pruned a projected-then-dropped side-effect column and silenced
+    // the alarm entirely; the counter hook pins it evaluated
+    val drops = graft.operators.OpUtil
+      .dropCounters("graft.lsh.neardup.bucket_drops").value
+    assert(drops > 0L, "bucket drops happened but the alarm counted zero")
     // and the guarded operator with a cap ABOVE every bucket is a no-op
     val unguarded = Similarity.cosineNearDupPairs(distinctPart, "vec_id",
       "embedding", 0.9, maxBucketSize = 1 << 20).count()

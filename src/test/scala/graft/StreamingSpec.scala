@@ -203,6 +203,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Map(1L -> "z", 2L -> "z"))
   }
 
+  test("CDC apply does not conflate a stored NULL orderCol with key absence") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-cdc-no").toString
+    // id=1: stored (NULL ver, tiebreak "z"); a later (NULL ver, "a")
+    // must NOT overwrite (NULL ties resolve by tiebreak, and "no stored
+    // row" must be its own signal, not __cur_ord's nullness).
+    // id=2: stored NULL ver, later NON-NULL ver must win (non-null
+    // beats null). id=3 arrives only in batch 2 (the true-absence path).
+    Seq((1L, "z", Option.empty[Long]), (2L, "b", Option.empty[Long]))
+      .toDF("id", "v", "ver").coalesce(1).write.mode("append").parquet(dir)
+    Seq((1L, "a", Option.empty[Long]), (2L, "B2", Option(5L)),
+        (3L, "c", Option.empty[Long]))
+      .toDF("id", "v", "ver").coalesce(1).write.mode("append").parquet(dir)
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("ver", LongType)))
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val wh = new Connector(spark, Files.createTempDirectory("graft-cdc-nowh").toString)
+    val q = EventStreams.cdcApply(stream, wh, "state", Seq("id"), "ver", "v",
+      Files.createTempDirectory("graft-cdc-nockpt").toString)
+    q.awaitTermination(120000)
+    val got = wh.query("state").select("id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "z", 2L -> "B2", 3L -> "c"))
+  }
+
   test("streaming ingestion commits snapshots the warehouse can read incrementally") {
     val (dir, batchDf) = stageEvents()
     val wh = new Connector(spark, Files.createTempDirectory("graft-swh").toString)
