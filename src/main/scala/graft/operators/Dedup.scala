@@ -673,16 +673,63 @@ object Dedup {
   /** Diagnostic switch: per-round timing on stderr (tests/profiling). */
   private[graft] var ccDebug: Boolean = false
 
+  /** Edge-count bound for the driver union-find fast path: below this
+    * many (undirected) candidate pairs the whole component labeling runs
+    * on the driver in one collect (≤ ~16 MB of edge tuples, microseconds
+    * of union-find) instead of O(diameter) distributed rounds that are
+    * pure job-scheduling overhead on a small graph. Dup graphs are
+    * usually tiny next to their corpus even at 100 TB — but when they
+    * are not, the count gate falls through to the partitioner-pinned
+    * RDD propagation loop, which is the scale path. Var (not val) so
+    * specs can force the distributed path on small inputs. */
+  private[graft] var smallGraphEdgeCap: Long = 1L << 19
+
+  /** Driver union-find over a SMALL edge list (≤ [[smallGraphEdgeCap]]):
+    * union-by-min-root (so a component's final root is its min id) with
+    * path compression. Returns (id, min id in component) per node. */
+  private def unionFindLabels(edges: Array[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, java.lang.Long](edges.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r).longValue != r) r = parent.get(r).longValue
+      var c = x
+      while (c != r) { val n = parent.get(c).longValue; parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.put(rb, ra)
+      else if (rb < ra) parent.put(ra, rb)
+    }
+    import scala.jdk.CollectionConverters._
+    parent.keySet().asScala.iterator.map(k => (k, find(k)))
+  }
+
   /** RDD min-label propagation (see [[components]] scaladoc): returns
     * (id, label) for every node with at least one edge. */
   private def componentLabelsRdd(pairs: DataFrame, maxIter: Int): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     val sc = spark.sparkContext
-    // (dst, src) both ways; the candidate pipeline materializes exactly
-    // once (cached before the sizing count)
-    val rawEdges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+    // undirected pairs, cached so the candidate pipeline materializes
+    // exactly once (the sizing count below, then EITHER the driver
+    // collect OR the directed-edge expansion, read the cache)
+    val pairEdges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
       .as[(Long, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = pairEdges.count()
+    if (nPairs <= smallGraphEdgeCap) {
+      // small graph: one bounded collect + driver union-find replaces
+      // the whole propagation loop (each round of which is a scheduled
+      // job — pure overhead at this size). The result is a local
+      // relation, so the caller's label join broadcasts.
+      val labels = unionFindLabels(pairEdges.collect()).toSeq
+      pairEdges.unpersist(blocking = false)
+      return labels.toDF("id", "label")
+    }
+    val rawEdges = pairEdges
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Partition count follows the GRAPH, not the cluster: dup graphs are
@@ -691,7 +738,7 @@ object Dedup {
     // millisecond work (measured: most of the loop's wall clock at
     // sf0.1). ~100k edges per task, capped at 4x parallelism for the
     // genuinely huge case.
-    val nEdges = rawEdges.count()
+    val nEdges = nPairs * 2
     val part = new org.apache.spark.HashPartitioner(
       math.max(1L, math.min(nEdges / 100000L + 1L,
         4L * sc.defaultParallelism)).toInt)
@@ -702,6 +749,7 @@ object Dedup {
     edges.count() // materialize fully from the cached raw edges BEFORE
     rawEdges.unpersist(blocking = false) // dropping them (a partial cache
     // would silently recompute the whole candidate pipeline per round)
+    pairEdges.unpersist(blocking = false)
     try {
       // nodes-with-edges, deduped per partition (edges are key-complete
       // within their partition) — no extra shuffle

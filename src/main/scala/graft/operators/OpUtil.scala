@@ -40,9 +40,31 @@ private[graft] object OpUtil {
   /** Last-created drop accumulator per metric name — the spec/debug
     * hook for the loudness invariant (named accumulators are also in
     * the Spark UI, but tests need programmatic access). Last writer
-    * wins on a name collision; an alarm metric, not a ledger. */
-  val dropCounters =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.util.LongAccumulator]
+    * wins on a name collision; an alarm metric, not a ledger. BOUNDED:
+    * an access-ordered LRU of the most recent 64 metric names, so a
+    * long-lived server session running many guarded queries can't grow
+    * this registry without bound (the accumulators themselves are tiny,
+    * but unbounded-in-query-count driver state is a smell). */
+  object dropCounters {
+    private val MaxEntries = 64
+    private val m =
+      new java.util.LinkedHashMap[String, org.apache.spark.util.LongAccumulator](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, org.apache.spark.util.LongAccumulator]) =
+          size() > MaxEntries
+      }
+    def put(k: String, v: org.apache.spark.util.LongAccumulator): Unit =
+      m.synchronized { m.put(k, v); () }
+    def apply(k: String): org.apache.spark.util.LongAccumulator =
+      m.synchronized {
+        val v = m.get(k)
+        require(v != null, s"no drop counter registered under '$k'")
+        v
+      }
+    def get(k: String): Option[org.apache.spark.util.LongAccumulator] =
+      m.synchronized(Option(m.get(k)))
+  }
 
   def capBuckets(df: DataFrame, keys: Seq[String], cap: Int,
       metricName: String): DataFrame = {
@@ -71,5 +93,30 @@ private[graft] object OpUtil {
     // guarded — matches the window formulation's partition semantics
     val cond = keys.map(k => col(k) <=> col(s"__hot_$k")).reduce(_ && _)
     df.join(broadcast(hot), cond, "left_anti")
+  }
+
+  /** [[capBuckets]] for a stream the CALLER has already hash-partitioned
+    * by `keys` (e.g. an explicit `repartition(keys)` ahead of a bucket
+    * self-join, which must shuffle on those keys regardless): the bucket
+    * census becomes a partition-local window count — EnsureRequirements
+    * sees the partitioning satisfied, so the guard adds ZERO exchanges
+    * and zero broadcast-build jobs, only a partition-local sort. Do NOT
+    * use on an unshuffled stream: the window would introduce the very
+    * exchange [[capBuckets]] exists to avoid — that path (q32's static
+    * corpus index probed by a broadcast query side) keeps the
+    * census-and-broadcast-anti-join form. Same loud-drop invariant: each
+    * dropped row bumps the named accumulator from the filter predicate. */
+  def capBucketsPartitioned(df: DataFrame, keys: Seq[String], cap: Int,
+      metricName: String): DataFrame = {
+    require(cap > 0, "bucket cap must be positive")
+    val acc = df.sparkSession.sparkContext.longAccumulator(metricName)
+    dropCounters.put(metricName, acc)
+    val keep = udf { (n: Long) =>
+      if (n > cap) { acc.add(1L); false } else true
+    }.asNondeterministic()
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__bc", count(lit(1)).over(w))
+      .filter(keep(col("__bc")))
+      .drop("__bc")
   }
 }

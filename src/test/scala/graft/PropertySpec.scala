@@ -109,9 +109,20 @@ class PropertySpec extends AnyFunSuite {
       }).toMap
       val df = (0L to n).toDF("id")
       val pairs = edges.toDF("id_a", "id_b")
+      // default cap routes these small graphs through the driver
+      // union-find fast path
       val got = graft.operators.Dedup.components(df, "id", pairs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === expect, s"n=$n edges=${edges.size}")
+      // force the distributed RDD propagation loop (the 100 TB path) on
+      // the same graph — both paths must agree with the local reference
+      val prevCap = graft.operators.Dedup.smallGraphEdgeCap
+      graft.operators.Dedup.smallGraphEdgeCap = -1L
+      try {
+        val gotRdd = graft.operators.Dedup.components(df, "id", pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotRdd === expect, s"RDD path: n=$n edges=${edges.size}")
+      } finally graft.operators.Dedup.smallGraphEdgeCap = prevCap
     }
   }
 
