@@ -21,7 +21,7 @@ import graft.warehouse.Connector
   */
 object Warehouse {
 
-  /** Per-JVM base for q91's throwaway warehouses, removed recursively
+  /** Per-JVM base for the warehouse queries' throwaway warehouses, removed recursively
     * at JVM exit — bench/verify invoke the query repeatedly and each
     * run writes real parquet commits; without cleanup /tmp accumulates
     * a table copy per invocation. */
@@ -62,6 +62,38 @@ object Warehouse {
       conn.delete("orders_dml",
         col("o_orderstatus") === "F" && col("o_orderkey") % 7 === 3)
       conn.query("orders_dml").orderBy("o_orderkey")
+    },
+
+    // ---- time travel + incremental read, graded end-to-end -----------
+    // q91 grades the DML write path; this grades the snapshot-log READ
+    // paths: create (snapshot 1) → append twice (snapshots 2, 3), then
+    // read-as-of snapshot 1 (must see ONLY the created slice) unioned
+    // with changes-since snapshot 1 (must see EXACTLY the two appended
+    // slices — SnapshotLog.changedFiles' (since, head] file set). The
+    // deltas are deterministic row sets of the raw `orders` parquet, so
+    // the oracle rebuilds both eras in plain SQL; a hash match proves
+    // both time-travel file resolution and the incremental-read cut.
+    Q("q92_time_travel",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, 'asof' AS era
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice, 2) AS price, 'delta' AS era
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |ORDER BY era, o_orderkey""".stripMargin) { (s, d) =>
+      val wh = java.nio.file.Files
+        .createTempDirectory(scratchBase, "run").toString
+      val conn = new Connector(s, wh)
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_tt", orders.filter(col("o_orderkey") % 3 === 0))
+      val s1 = conn.loadTable("orders_tt").currentSnapshotId
+        .getOrElse(sys.error("create committed no snapshot"))
+      conn.insert("orders_tt", orders.filter(col("o_orderkey") % 3 === 1))
+      conn.insert("orders_tt", orders.filter(col("o_orderkey") % 3 === 2))
+      val t = conn.loadTable("orders_tt")
+      t.read(asOf = Some(s1)).withColumn("era", lit("asof"))
+        .unionByName(t.changesSince(s1).withColumn("era", lit("delta")))
+        .orderBy("era", "o_orderkey")
     })
 
   def queries: Seq[Q] = ql
