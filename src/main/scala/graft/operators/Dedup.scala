@@ -465,11 +465,18 @@ object Dedup {
     // Band join and pair-dedup carry only (id, band, bucket) — the 64-long
     // signature arrays are re-attached to the deduped pairs afterwards,
     // shrinking the wide shuffle ~16x. The stream is skew-capped
-    // (OpUtil.capBuckets): a degenerate corpus collapsing into one band
-    // bucket bounds the self-join at cap² pairs instead of |docs|².
-    val banded = OpUtil.capBuckets(
+    // (capBucketsPartitioned): a degenerate corpus collapsing into one
+    // band bucket bounds the self-join at cap² pairs instead of |docs|².
+    // As in cosineNearDupPairs: the self-join must hash-shuffle the
+    // banded stream by (band, bucket) regardless, so shuffle ONCE
+    // explicitly — both join sides read a single reused exchange and the
+    // skew guard is a partition-local window count, instead of the
+    // signature pipeline (shingle explode + 64 permutations + groupBy,
+    // the expensive half of the query) re-deriving per plan reference.
+    val banded = OpUtil.capBucketsPartitioned(
       sig.select(col("id"), posexplode(bandHashes))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        .repartition(col("band"), col("bucket")),
       Seq("band", "bucket"), maxBucketSize, "graft.minhash.bucket_drops")
     val idPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -564,10 +571,13 @@ object Dedup {
     // on bare ids (bucket = raw slice for oracle-exact equality), then
     // re-attach signatures to the few surviving pairs. Skew-capped like
     // the xxhash variant; a triggered cap trades oracle-exactness for
-    // bounded work and is LOUD (accumulator), never silent.
-    val banded = OpUtil.capBuckets(
+    // bounded work and is LOUD (accumulator), never silent. Shuffled
+    // once explicitly (see minhashCandidates): both self-join sides
+    // reuse the exchange instead of re-deriving the signature pipeline.
+    val banded = OpUtil.capBucketsPartitioned(
       sig.select(col("id"), posexplode(bandSlices))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+        .repartition(col("band"), col("bucket")),
       Seq("band", "bucket"), maxBucketSize, "graft.minhash.poly.bucket_drops")
     val idPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

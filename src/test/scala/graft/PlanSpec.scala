@@ -100,6 +100,26 @@ class PlanSpec extends AnyFunSuite {
     } finally Dedup.bitmaskDocCap = before
   }
 
+  test("banded candidate self-joins shuffle the stream once (reused exchange)") {
+    // The LSH/minhash candidate self-join must not re-derive the banded
+    // signature stream per plan reference: the stream is repartitioned
+    // ONCE by (band, bucket) and the second join side reads a
+    // ReusedExchange of that shuffle in the final adaptive plan. A lost
+    // reuse means the signature pipeline (UDF over the whole corpus)
+    // runs twice — invisible at test scale, 2x the scan cost at 100 TB.
+    def reusesRepartition(df: DataFrame): Unit = {
+      df.collect() // AQE: reuse is only visible in the executed plan
+      val p = df.queryExecution.executedPlan.toString
+      val reused = p.linesIterator.exists(l =>
+        l.contains("ReusedExchange") && l.contains("REPARTITION_BY_COL"))
+      assert(reused, s"no ReusedExchange over the banded repartition in:\n$p")
+    }
+    reusesRepartition(graft.operators.Similarity.cosineNearDupPairs(
+      T.embeddings(spark, sf), "vec_id", "embedding", 0.4))
+    reusesRepartition(Dedup.minhashCandidatesPoly(
+      T.documents(spark, sf), "doc_id", "text", threshold = 0.5))
+  }
+
   test("q53 tf-idf builds without running any eager job (corpus count is in-plan)") {
     val tracker = spark.sparkContext.statusTracker
     // wait until the async job-event stream is quiescent, so a straggling
