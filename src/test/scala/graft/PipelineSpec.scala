@@ -372,6 +372,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(guarded === unguarded)
   }
 
+  test("minhash bucket-skew guard bounds a degenerate corpus of identical docs") {
+    import org.apache.spark.sql.functions._
+    val docs = T.documents(spark, sf)
+    // 2000 copies of ONE text: every band collapses into a mega-bucket
+    val clones = docs.limit(1).select(col("text"))
+      .crossJoin(spark.range(2000))
+      .select((col("id") + 1000000L).as("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 100).select("doc_id", "text")
+      .unionByName(clones)
+    val pairs = Dedup.minhashCandidatesPoly(corpus, "doc_id", "text",
+      threshold = 0.5, maxBucketSize = 64)
+    val n = pairs.count()
+    assert(n < 20000, s"degenerate corpus produced $n pairs — cap not applied")
+    val drops = graft.operators.OpUtil
+      .dropCounters("graft.minhash.poly.bucket_drops").value
+    assert(drops > 0L, "bucket drops happened but the alarm counted zero")
+  }
+
   test("funnel state machine handles out-of-order stages and timestamp ties") {
     import spark.implicits._
     def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
