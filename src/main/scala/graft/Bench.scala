@@ -30,17 +30,26 @@ object Bench {
     val only = args.headOption.map(_.split(',').toSet)
     val fns = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt.max(1)
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse(3).max(1)
     fns.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val results = fns.map { case (name, fn) =>
+      // (elapsed, succeeded) per pass; the min is taken over SUCCESSFUL
+      // passes only — a pass that throws fails fast, and letting its
+      // time-to-exception win the min would report a phantom speedup
+      // (the inverse of the load-poisoning the min exists to reject).
+      // All passes failed → report the failure elapsed, not a blank.
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      val good = times.filter(_._2)
+      name -> (if (good.nonEmpty) good.map(_._1).min else times.map(_._1).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

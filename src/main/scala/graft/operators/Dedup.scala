@@ -464,19 +464,17 @@ object Dedup {
         col("sig")(b * rowsPerBand + r)): _*)): _*)
     // Band join and pair-dedup carry only (id, band, bucket) — the 64-long
     // signature arrays are re-attached to the deduped pairs afterwards,
-    // shrinking the wide shuffle ~16x. The stream is skew-capped
-    // (capBucketsPartitioned): a degenerate corpus collapsing into one
-    // band bucket bounds the self-join at cap² pairs instead of |docs|².
-    // As in cosineNearDupPairs: the self-join must hash-shuffle the
-    // banded stream by (band, bucket) regardless, so shuffle ONCE
-    // explicitly — both join sides read a single reused exchange and the
-    // skew guard is a partition-local window count, instead of the
-    // signature pipeline (shingle explode + 64 permutations + groupBy,
-    // the expensive half of the query) re-deriving per plan reference.
-    val banded = OpUtil.capBucketsPartitioned(
+    // shrinking the wide shuffle ~16x. The stream is skew-capped and
+    // then explicitly shuffled once (capBucketsForSelfJoin): a
+    // degenerate corpus collapsing into one band bucket bounds the
+    // self-join at cap² pairs instead of |docs|², the drop happens
+    // before the shuffle, and both join sides read a single reused
+    // exchange instead of the signature pipeline (shingle explode + 64
+    // permutations + groupBy, the expensive half of the query)
+    // re-deriving per plan reference.
+    val banded = OpUtil.capBucketsForSelfJoin(
       sig.select(col("id"), posexplode(bandHashes))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-        .repartition(col("band"), col("bucket")),
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
       Seq("band", "bucket"), maxBucketSize, "graft.minhash.bucket_drops")
     val idPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -571,13 +569,13 @@ object Dedup {
     // on bare ids (bucket = raw slice for oracle-exact equality), then
     // re-attach signatures to the few surviving pairs. Skew-capped like
     // the xxhash variant; a triggered cap trades oracle-exactness for
-    // bounded work and is LOUD (accumulator), never silent. Shuffled
-    // once explicitly (see minhashCandidates): both self-join sides
-    // reuse the exchange instead of re-deriving the signature pipeline.
-    val banded = OpUtil.capBucketsPartitioned(
+    // bounded work and is LOUD (accumulator), never silent. Capped then
+    // shuffled once explicitly (see minhashCandidates): both self-join
+    // sides reuse the exchange instead of re-deriving the signature
+    // pipeline.
+    val banded = OpUtil.capBucketsForSelfJoin(
       sig.select(col("id"), posexplode(bandSlices))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-        .repartition(col("band"), col("bucket")),
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
       Seq("band", "bucket"), maxBucketSize, "graft.minhash.poly.bucket_drops")
     val idPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -739,9 +737,10 @@ object Dedup {
       pairEdges.unpersist(blocking = false)
       return labels.toDF("id", "label")
     }
+    // NOT persisted: consumed exactly once (materializing `edges` below)
+    // and a recomputation would read the cached pairEdges anyway
     val rawEdges = pairEdges
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Partition count follows the GRAPH, not the cluster: dup graphs are
     // usually tiny next to their corpus, and a fixed 32-partition layout
     // makes every propagation round pay 32-task scheduling for
@@ -756,10 +755,9 @@ object Dedup {
     // the co-partitioned labels is narrow.
     val edges = rawEdges.partitionBy(part)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    edges.count() // materialize fully from the cached raw edges BEFORE
-    rawEdges.unpersist(blocking = false) // dropping them (a partial cache
+    edges.count() // materialize fully from the cached pair edges BEFORE
+    pairEdges.unpersist(blocking = false) // dropping them (a partial cache
     // would silently recompute the whole candidate pipeline per round)
-    pairEdges.unpersist(blocking = false)
     try {
       // nodes-with-edges, deduped per partition (edges are key-complete
       // within their partition) — no extra shuffle

@@ -95,28 +95,21 @@ private[graft] object OpUtil {
     df.join(broadcast(hot), cond, "left_anti")
   }
 
-  /** [[capBuckets]] for a stream the CALLER has already hash-partitioned
-    * by `keys` (e.g. an explicit `repartition(keys)` ahead of a bucket
-    * self-join, which must shuffle on those keys regardless): the bucket
-    * census becomes a partition-local window count — EnsureRequirements
-    * sees the partitioning satisfied, so the guard adds ZERO exchanges
-    * and zero broadcast-build jobs, only a partition-local sort. Do NOT
-    * use on an unshuffled stream: the window would introduce the very
-    * exchange [[capBuckets]] exists to avoid — that path (q32's static
-    * corpus index probed by a broadcast query side) keeps the
-    * census-and-broadcast-anti-join form. Same loud-drop invariant: each
-    * dropped row bumps the named accumulator from the filter predicate. */
-  def capBucketsPartitioned(df: DataFrame, keys: Seq[String], cap: Int,
-      metricName: String): DataFrame = {
-    require(cap > 0, "bucket cap must be positive")
-    val acc = df.sparkSession.sparkContext.longAccumulator(metricName)
-    dropCounters.put(metricName, acc)
-    val keep = udf { (n: Long) =>
-      if (n > cap) { acc.add(1L); false } else true
-    }.asNondeterministic()
-    val w = Window.partitionBy(keys.map(col): _*)
-    df.withColumn("__bc", count(lit(1)).over(w))
-      .filter(keep(col("__bc")))
-      .drop("__bc")
-  }
+  /** [[capBuckets]] followed by an explicit hash repartition on `keys` —
+    * for callers about to SELF-join the capped stream on those keys (the
+    * join must shuffle on them regardless). Ordering matters twice over:
+    *  - the guard runs BEFORE the shuffle, so a degenerate mega-bucket is
+    *    dropped map-side and never funnels onto a single reducer (a
+    *    window-count-after-repartition variant was tried here and
+    *    reverted: it sorted the entire degenerate corpus in one task —
+    *    the exact hotspot the guard exists to bound);
+    *  - the repartition is the stream's ONLY exchange, so both self-join
+    *    sides (and anything else keyed on `keys`) read one
+    *    ReusedExchange and the upstream pipeline — including the census
+    *    + anti-join guard and any signature UDF feeding it — evaluates
+    *    once, not once per plan reference. */
+  def capBucketsForSelfJoin(df: DataFrame, keys: Seq[String], cap: Int,
+      metricName: String): DataFrame =
+    capBuckets(df, keys, cap, metricName)
+      .repartition(keys.map(col): _*)
 }

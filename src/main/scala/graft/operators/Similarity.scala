@@ -664,22 +664,21 @@ object Similarity {
     // Unlike the q32 probe path (static corpus index, query-side
     // fan-out, stream never shuffled — the query side broadcasts), the
     // candidate SELF-join here must hash-shuffle the banded stream by
-    // (band, bucket) no matter what — so shuffle it ONCE, explicitly.
-    // Both self-join sides read that single reused exchange (the r6
-    // regression: the guard stopped shuffling, so the join stopped
-    // finding a reusable exchange and the signature UDF ran twice), and
-    // the skew guard becomes a partition-local window count
-    // (capBucketsPartitioned): zero extra exchanges, zero
-    // broadcast-census jobs.
-    val banded = OpUtil.capBucketsPartitioned(
+    // (band, bucket) no matter what — so shuffle the CAPPED stream once,
+    // explicitly (capBucketsForSelfJoin). Both self-join sides read that
+    // single reused exchange (the r6 regression: with no explicit
+    // repartition the join found no reusable exchange and the signature
+    // UDF ran once per plan reference), and the guard drops mega-buckets
+    // BEFORE the shuffle so a degenerate corpus never lands on one
+    // reducer.
+    val banded = OpUtil.capBucketsForSelfJoin(
       base
         .withColumn("__sig", hyperplaneSigU(bits)(col("v")))
         .select(col("id"),
           posexplode(array((0 until bands).map(b =>
             shiftright(col("__sig"), b * rowsPerBand)
               .bitwiseAND((1L << rowsPerBand) - 1)): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-        .repartition(col("band"), col("bucket")),
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"),
       Seq("band", "bucket"), maxBucketSize, "graft.lsh.neardup.bucket_drops")
     val idPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
