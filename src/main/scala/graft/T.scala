@@ -35,7 +35,12 @@ object T {
       // build is harmless, last one wins
       val df = build(spark, sfDir, name)
       synchronized {
-        if (cacheSession eq spark) planCache.put((sfDir, name), df)
+        // bounded (10 table names x a handful of sf dirs in practice,
+        // but never trust "in practice" for process-lifetime state)
+        if (cacheSession eq spark) {
+          if (planCache.size >= 64) planCache.clear()
+          planCache.put((sfDir, name), df)
+        }
       }
       df
     }
