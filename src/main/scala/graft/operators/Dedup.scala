@@ -252,6 +252,11 @@ object Dedup {
     candPairs
       .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
       .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      // size bound before the merge-intersect UDF: J <= min/max, so a
+      // length-mismatched candidate can't clear the threshold — cheap
+      // integer filter below the project that runs the per-pair loop
+      .filter(least(size(col("toks_a")), size(col("toks_b"))).cast("double")
+        >= lit(threshold) * greatest(size(col("toks_a")), size(col("toks_b"))))
       .withColumn("common", sortedIntersectCount(col("toks_a"), col("toks_b")))
       .withColumn("jaccard", col("common").cast("double") /
         (size(col("toks_a")) + size(col("toks_b")) - col("common")))
@@ -326,11 +331,17 @@ object Dedup {
     val b = GridSelfJoin.adaptiveBlocks(spark, nDocs, words * 8L + 32L)
     val out = GridSelfJoin.pairs(rows, b, threshold) { (a, c) =>
       val (ma, na) = a; val (mb, nb) = c
-      var common = 0; var w = 0
-      while (w < words) {
-        common += java.lang.Long.bitCount(ma(w) & mb(w)); w += 1
+      // size bound: J(A,B) <= min(|A|,|B|)/max(|A|,|B|) — when even that
+      // can't reach the threshold, skip the popcount loop entirely (the
+      // common case on mixed-length corpora at high thresholds)
+      if (math.min(na, nb) < threshold * math.max(na, nb)) -1.0
+      else {
+        var common = 0; var w = 0
+        while (w < words) {
+          common += java.lang.Long.bitCount(ma(w) & mb(w)); w += 1
+        }
+        common.toDouble / (na + nb - common)
       }
-      common.toDouble / (na + nb - common)
     }.toDF("id_a", "id_b", "jaccard")
     out.select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
