@@ -966,6 +966,58 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- composed prep pipeline (dedup -> quality -> per-lang cap) ----
+    // Integration-level grade: three already-graded operators chained as
+    // a real training-data prep flow — fingerprint dedup, quality
+    // scoring with a floor, then a per-language quality-ranked cap
+    // (budgeted corpus mix). Each step is individually hash-graded
+    // (q22, q28, q72's window shape); this pins their COMPOSITION —
+    // column plumbing, filter-before-rank ordering, deterministic
+    // tiebreaks — against one end-to-end oracle. Physical shape: one
+    // fingerprint shuffle, row-local scoring, one lang shuffle for the
+    // rank window; nothing corpus-quadratic, no driver state.
+    Q("q93_prep_pipeline",
+      s"""WITH dedup AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text, row_number() OVER (
+         |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |    FROM documents) t
+         |  WHERE rn = 1),
+         |scored AS (
+         |  SELECT doc_id, lang,
+         |    round(least(n_tokens / 50.0, 1.0) * 0.4
+         |        + least(stop_ratio / 0.05, 1.0) * 0.4
+         |        + greatest(0.0, 1.0 - punct_ratio * 5.0) * 0.2, 6) AS quality
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |      CAST(len($duckToks) AS DOUBLE) AS n_tokens,
+         |      CAST(len(list_filter($duckToks, t -> t IN $duckStops)) AS DOUBLE)
+         |        / len($duckToks) AS stop_ratio,
+         |      CAST(length(trim(text))
+         |         - length(regexp_replace(trim(text), '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |        / length(trim(text)) AS punct_ratio
+         |    FROM dedup) t),
+         |kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+         |ranked AS (
+         |  SELECT doc_id, lang, quality, row_number() OVER (
+         |    PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn
+         |  FROM kept)
+         |SELECT doc_id, lang, quality FROM ranked
+         |WHERE rn <= 50 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val deduped = Dedup.byFingerprint(T.documents(s, d), "text", "doc_id")
+      val kept = deduped
+        .withColumn("quality", TA.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5)
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      kept.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy("doc_id")
+    },
+
     // ---- per-label embedding stats (norms via higher-order funcs) ----
     Q("q34_embedding_stats",
       """SELECT label, count(*) AS n,
