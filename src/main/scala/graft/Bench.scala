@@ -41,7 +41,8 @@ object Bench {
       // passes only — a pass that throws fails fast, and letting its
       // time-to-exception win the min would report a phantom speedup
       // (the inverse of the load-poisoning the min exists to reject).
-      // All passes failed → report the failure elapsed, not a blank.
+      // All passes failed → -1, a sentinel no timing can produce, so a
+      // broken query reads as broken instead of as a fast success.
       val times = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
@@ -49,11 +50,13 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, ok)
       }
       val good = times.filter(_._2)
-      name -> (if (good.nonEmpty) good.map(_._1).min else times.map(_._1).min)
+      name -> (if (good.nonEmpty) good.map(_._1).min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries (sentinel -1) stay visible per-query but must not
+    // subtract from the headline total
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -21,7 +21,7 @@ object T {
     * never leak across sessions, and dead sessions must not be pinned);
     * a new session simply drops the previous session's entries. */
   private val planCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    new graft.operators.BoundedLru[(String, String), DataFrame](64)
   @volatile private var cacheSession: SparkSession = null
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
@@ -35,12 +35,7 @@ object T {
       // build is harmless, last one wins
       val df = build(spark, sfDir, name)
       synchronized {
-        // bounded (10 table names x a handful of sf dirs in practice,
-        // but never trust "in practice" for process-lifetime state)
-        if (cacheSession eq spark) {
-          if (planCache.size >= 64) planCache.clear()
-          planCache.put((sfDir, name), df)
-        }
+        if (cacheSession eq spark) planCache.put((sfDir, name), df)
       }
       df
     }

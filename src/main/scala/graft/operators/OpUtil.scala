@@ -5,6 +5,22 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
+/** Tiny synchronized access-ordered LRU for bounded driver-side
+  * registries (drop counters, plan-keyed probe stats, IVF quantizers,
+  * table plans). Evicts ONE eldest entry at the cap, so a steady
+  * working set under the cap stays hot — a clear-all-at-cap variant
+  * degenerates to ~0% hit rate once the working set touches the cap,
+  * re-paying exactly the probe jobs the cache exists to avoid. */
+private[graft] final class BoundedLru[K, V](max: Int) {
+  private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]) =
+      size() > max
+  }
+  def get(k: K): Option[V] = m.synchronized(Option(m.get(k)))
+  def put(k: K, v: V): Unit = m.synchronized { m.put(k, v); () }
+  def clear(): Unit = m.synchronized(m.clear())
+}
+
 /** Shared predicates for adaptive physical-strategy choices. */
 private[graft] object OpUtil {
   /** Ids the block-broadcast scorers can key on (cast-to-long safe). */
@@ -46,24 +62,12 @@ private[graft] object OpUtil {
     * this registry without bound (the accumulators themselves are tiny,
     * but unbounded-in-query-count driver state is a smell). */
   object dropCounters {
-    private val MaxEntries = 64
-    private val m =
-      new java.util.LinkedHashMap[String, org.apache.spark.util.LongAccumulator](
-          16, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[String, org.apache.spark.util.LongAccumulator]) =
-          size() > MaxEntries
-      }
-    def put(k: String, v: org.apache.spark.util.LongAccumulator): Unit =
-      m.synchronized { m.put(k, v); () }
+    private val m = new BoundedLru[String, org.apache.spark.util.LongAccumulator](64)
+    def put(k: String, v: org.apache.spark.util.LongAccumulator): Unit = m.put(k, v)
     def apply(k: String): org.apache.spark.util.LongAccumulator =
-      m.synchronized {
-        val v = m.get(k)
-        require(v != null, s"no drop counter registered under '$k'")
-        v
-      }
-    def get(k: String): Option[org.apache.spark.util.LongAccumulator] =
-      m.synchronized(Option(m.get(k)))
+      m.get(k).getOrElse(
+        throw new NoSuchElementException(s"no drop counter registered under '$k'"))
+    def get(k: String): Option[org.apache.spark.util.LongAccumulator] = m.get(k)
   }
 
   def capBuckets(df: DataFrame, keys: Seq[String], cap: Int,
@@ -105,9 +109,15 @@ private[graft] object OpUtil {
     *    the exact hotspot the guard exists to bound);
     *  - the repartition is the stream's ONLY exchange, so both self-join
     *    sides (and anything else keyed on `keys`) read one
-    *    ReusedExchange and the upstream pipeline — including the census
-    *    + anti-join guard and any signature UDF feeding it — evaluates
-    *    once, not once per plan reference. */
+    *    ReusedExchange instead of re-deriving the stream per plan
+    *    reference.
+    * Cost model, stated honestly: the upstream pipeline is computed
+    * TWICE — once by the census groupBy (map-side combined; only (key,
+    * count) rows shuffle) and once feeding the repartition — and then
+    * never again. That narrow second scan is the price of dropping
+    * mega-buckets before the wide shuffle; the alternative (census from
+    * the shuffled stream) computes upstream once but ships the whole
+    * degenerate corpus through single reducers first. */
   def capBucketsForSelfJoin(df: DataFrame, keys: Seq[String], cap: Int,
       metricName: String): DataFrame =
     capBuckets(df, keys, cap, metricName)

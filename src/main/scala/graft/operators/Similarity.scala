@@ -355,18 +355,15 @@ object Similarity {
     * The probes are two bounded jobs (first-row dims + capped count);
     * without the cache every exactCosinePairs / exactCosinePairsBlock
     * call re-ran them even when the same corpus was probed moments
-    * before (q60's dedup gate + q33 in one session). BOUNDED at
-    * [[PlanCacheCap]] entries (same hygiene rule as
-    * `OpUtil.dropCounters`): each entry retains a canonicalized
-    * LogicalPlan, so unbounded growth across a long-lived server
-    * session's distinct corpora would leak plan trees; at the cap the
-    * cache resets — a cold re-probe costs two bounded jobs. */
-  private val statsCache = scala.collection.concurrent.TrieMap
-    .empty[Int, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Long)]
+    * before (q60's dedup gate + q33 in one session). BOUNDED (LRU, same
+    * hygiene rule as `OpUtil.dropCounters`): each entry retains a
+    * canonicalized LogicalPlan, so unbounded growth across a long-lived
+    * server session's distinct corpora would leak plan trees; LRU
+    * eviction keeps a steady working set hot and a cold re-probe costs
+    * two bounded jobs. */
+  private val statsCache = new BoundedLru[
+    Int, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int, Long)](64)
   @volatile private var statsCacheSession: org.apache.spark.sql.SparkSession = null
-
-  /** Entry cap for the plan-keyed caches ([[statsCache]], [[ivfCache]]). */
-  private val PlanCacheCap = 64
 
   private def corpusStats(df: DataFrame, idCol: String,
       vecCol: String): (Int, Long) = {
@@ -386,10 +383,7 @@ object Similarity {
         val n = df.select(col(idCol))
           .limit(math.min(ProbeCountCap, Int.MaxValue.toLong).toInt).count()
         synchronized {
-          if (statsCacheSession eq spark) {
-            if (statsCache.size >= PlanCacheCap) statsCache.clear()
-            statsCache.put(key, (plan, dims, n))
-          }
+          if (statsCacheSession eq spark) statsCache.put(key, (plan, dims, n))
         }
         (dims, n)
       }
@@ -586,9 +580,9 @@ object Similarity {
     * collisions. One session's quantizers are retained, mirroring
     * `T.planCache`: at scale this is "train once per (table, snapshot),
     * reuse across queries". */
-  private val ivfCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, Int), (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      Array[Array[Double]])]
+  private val ivfCache = new BoundedLru[
+    (Int, Int), (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Array[Array[Double]])](64)
   @volatile private var ivfCacheSession: org.apache.spark.sql.SparkSession = null
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -626,10 +620,7 @@ object Similarity {
           .fit(train)
         val c = model.clusterCenters.map(_.toArray)
         synchronized {
-          if (ivfCacheSession eq spark) {
-            if (ivfCache.size >= PlanCacheCap) ivfCache.clear()
-            ivfCache.put(key, (plan, c))
-          }
+          if (ivfCacheSession eq spark) ivfCache.put(key, (plan, c))
         }
         c
       }

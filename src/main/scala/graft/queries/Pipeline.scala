@@ -217,11 +217,13 @@ object Pipeline {
          |FROM (
          |  SELECT doc_id,
          |    CAST(len($duckToks) AS DOUBLE) AS n_tokens,
-         |    CAST(len(list_filter($duckToks, t -> t IN $duckStops)) AS DOUBLE)
-         |      / len($duckToks) AS stop_ratio,
-         |    CAST(length(trim(text))
-         |       - length(regexp_replace(trim(text), '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-         |      / length(trim(text)) AS punct_ratio
+         |    CASE WHEN len($duckToks) = 0 THEN 0.0 ELSE
+         |      CAST(len(list_filter($duckToks, t -> t IN $duckStops)) AS DOUBLE)
+         |        / len($duckToks) END AS stop_ratio,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+         |      CAST(length(trim(text))
+         |         - length(regexp_replace(trim(text), '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |        / length(trim(text)) END AS punct_ratio
          |  FROM documents) t
          |ORDER BY doc_id""".stripMargin) { (s, d) =>
       T.documents(s, d).select(
@@ -992,11 +994,13 @@ object Pipeline {
          |  FROM (
          |    SELECT doc_id, lang,
          |      CAST(len($duckToks) AS DOUBLE) AS n_tokens,
-         |      CAST(len(list_filter($duckToks, t -> t IN $duckStops)) AS DOUBLE)
-         |        / len($duckToks) AS stop_ratio,
-         |      CAST(length(trim(text))
-         |         - length(regexp_replace(trim(text), '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
-         |        / length(trim(text)) AS punct_ratio
+         |      CASE WHEN len($duckToks) = 0 THEN 0.0 ELSE
+         |        CAST(len(list_filter($duckToks, t -> t IN $duckStops)) AS DOUBLE)
+         |          / len($duckToks) END AS stop_ratio,
+         |      CASE WHEN length(trim(text)) = 0 THEN 0.0 ELSE
+         |        CAST(length(trim(text))
+         |           - length(regexp_replace(trim(text), '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+         |          / length(trim(text)) END AS punct_ratio
          |    FROM dedup) t),
          |kept AS (SELECT * FROM scored WHERE quality >= 0.5),
          |ranked AS (
