@@ -21,22 +21,6 @@ import graft.warehouse.Connector
   */
 object Warehouse {
 
-  /** Per-JVM base for the warehouse queries' throwaway warehouses, removed recursively
-    * at JVM exit — bench/verify invoke the query repeatedly and each
-    * run writes real parquet commits; without cleanup /tmp accumulates
-    * a table copy per invocation. */
-  private lazy val scratchBase: java.nio.file.Path = {
-    val p = java.nio.file.Files.createTempDirectory("graft_q91_wh")
-    sys.addShutdownHook {
-      import java.nio.file.{Files, Path}
-      import java.util.Comparator
-      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => { try Files.deleteIfExists(f) catch { case _: Throwable => () }; () })
-      catch { case _: Throwable => () }
-    }
-    p
-  }
-
   private val ql: Seq[Q] = Seq(
     Q("q91_warehouse_dml",
       """SELECT o_orderkey,
@@ -48,8 +32,7 @@ object Warehouse {
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       // fresh dir per invocation: upsert-after-delete on a stale table
       // would resurrect deleted keys, so the run must start from create
-      val wh = java.nio.file.Files
-        .createTempDirectory(scratchBase, "run").toString
+      val wh = Scratch.dir("run")
       val conn = new Connector(s, wh)
       val base = T.orders(s, d).select(col("o_orderkey"),
         round(col("o_totalprice"), 2).as("price"), col("o_orderstatus"))
@@ -80,8 +63,7 @@ object Warehouse {
         |SELECT o_orderkey, round(o_totalprice, 2) AS price, 'delta' AS era
         |FROM orders WHERE o_orderkey % 3 <> 0
         |ORDER BY era, o_orderkey""".stripMargin) { (s, d) =>
-      val wh = java.nio.file.Files
-        .createTempDirectory(scratchBase, "run").toString
+      val wh = Scratch.dir("run")
       val conn = new Connector(s, wh)
       val orders = T.orders(s, d).select(col("o_orderkey"),
         round(col("o_totalprice"), 2).as("price"))
@@ -94,6 +76,38 @@ object Warehouse {
       t.read(asOf = Some(s1)).withColumn("era", lit("asof"))
         .unionByName(t.changesSince(s1).withColumn("era", lit("delta")))
         .orderBy("era", "o_orderkey")
+    },
+
+    // ---- compaction + history expiry + schema evolution, graded ------
+    // The remaining ungraded maintenance path: three small-file commits
+    // are compacted into 4 files, the pre-compact manifests (and their
+    // now-unreferenced data files) are EXPIRED — so the final read can
+    // only resolve through the rewrite; a stale or row-losing compact
+    // cannot hash-match — then the schema gains a nullable `tag` column
+    // and a fourth slice appends WITH it. The read must merge evolved
+    // and pre-evolution files (old files lack the column physically;
+    // the snapshot-log schema fills NULLs), which the oracle states
+    // declaratively: tag = 'late' exactly on the %4=3 slice.
+    Q("q96_compact_evolve",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |  CASE WHEN o_orderkey % 4 = 3 THEN 'late' ELSE NULL END AS tag
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_ce", orders.filter(col("o_orderkey") % 4 === 0))
+      conn.insert("orders_ce", orders.filter(col("o_orderkey") % 4 === 1))
+      conn.insert("orders_ce", orders.filter(col("o_orderkey") % 4 === 2))
+      val t = conn.loadTable("orders_ce")
+      val compacted = t.compact(targetFiles = 4)
+      t.expireSnapshots(compacted.snapshotId)
+      t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+      conn.insert("orders_ce", orders.filter(col("o_orderkey") % 4 === 3)
+        .withColumn("tag", lit("late")))
+      conn.query("orders_ce").orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

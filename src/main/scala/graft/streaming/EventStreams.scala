@@ -188,7 +188,13 @@ object EventStreams {
                 (col(orderCol) <=> col("__cur_ord") &&
                   (col("__cur_tb").isNull || col(tiebreak) >= col("__cur_tb"))))
               .select(latest.columns.map(col): _*)
-            if (!fresh.isEmpty) connector.upsert(table, fresh, keyCols)
+              // evaluated twice below (emptiness gate + the upsert's own
+              // probe/rewrite reads) — without the persist each pass
+              // re-runs the dedup window AND the guard join, which is
+              // pure added micro-batch latency
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try { if (!fresh.isEmpty) connector.upsert(table, fresh, keyCols) }
+            finally { fresh.unpersist(); () }
           }
         }
         ()
