@@ -20,11 +20,30 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Scale posture: both queries exercise the operators exactly as a
   * cluster deployment would — state-store aggregation partitioned by
-  * group key (q94) and foreachBatch copy-on-write upsert into the
+  * group key (q94, q97), stream-stream join state (q98), and
+  * foreachBatch copy-on-write upsert into the
   * snapshot-log warehouse (q95). The staging write is the test rig,
   * not the operator.
   */
 object Streaming {
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set:
+    * a streaming query's STATE STORE count is fixed at this value per
+    * stateful operator per side, and every micro-batch commits every
+    * store — for the join/session queries below the state is a few
+    * tens of thousands of rows, so 32 stores × batches of commit
+    * overhead dominates the actual work. 8 is the partition count
+    * you'd pick for this state size on a real cluster too; the
+    * previous value is restored before the graded result is consumed
+    * (bench/verify run queries sequentially, so nothing else observes
+    * the window). */
+  private def withShufflePartitions[A](s: org.apache.spark.sql.SparkSession,
+      n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
 
   private val ql: Seq[Q] = Seq(
     // ---- q94: watermarked tumbling-window aggregation ----------------
@@ -50,12 +69,14 @@ object Streaming {
       // invocation, and bounded per process (a few hundred rows each,
       // one per bench/verify pass of this query)
       val sink = "q94_sink_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
-      val sq = agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", Scratch.dir("q94_ckpt"))
-        .trigger(Trigger.AvailableNow())
-        .start()
-      sq.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val sq = agg.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .option("checkpointLocation", Scratch.dir("q94_ckpt"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
       s.table(sink)
         .select(col("win_start").cast("date").as("win_start"),
           col("event_type"), col("n"), col("sum_value"))
@@ -63,7 +84,7 @@ object Streaming {
     },
 
     // ---- q95: streaming CDC apply into the warehouse -----------------
-    // Grades EventStreams.cdcApply end-to-end: 8 unordered micro-
+    // Grades EventStreams.cdcApply end-to-end: 4 unordered micro-
     // batches of per-user events upserted copy-on-write into a real
     // snapshot-log table. The graded invariant is the operator's whole
     // contract — the terminal replica equals global keep-latest per key
@@ -86,16 +107,127 @@ object Streaming {
       val staging = Scratch.dir("q95_stage")
       T.events(s, d).repartition(4).write.mode("overwrite").parquet(staging)
       val conn = new Connector(s, Scratch.dir("q95_wh"))
-      val sq = EventStreams.cdcApply(
-        EventStreams.readEvents(s, staging, maxFilesPerTrigger = 1),
-        conn, "user_state",
-        keyCols = Seq("user_id"), orderCol = "ts", tiebreak = "event_id",
-        checkpointDir = Scratch.dir("q95_ckpt"))
-      sq.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val sq = EventStreams.cdcApply(
+          EventStreams.readEvents(s, staging, maxFilesPerTrigger = 1),
+          conn, "user_state",
+          keyCols = Seq("user_id"), orderCol = "ts", tiebreak = "event_id",
+          checkpointDir = Scratch.dir("q95_ckpt"))
+        sq.awaitTermination()
+      }
       conn.query("user_state")
         .select(col("user_id"), col("event_id"), col("event_type"),
           round(col("value"), 2).as("value"))
         .orderBy("user_id")
+    },
+
+    // ---- q97: gap-based session windows under streaming state --------
+    // Grades EventStreams.userSessions: session_window MERGES state
+    // across micro-batches — an event in batch 5 can bridge two
+    // sessions opened by batches 1 and 3 into one — which plain window
+    // aggs never exercise. Unordered batches force those merges;
+    // complete mode keeps the terminal state equal to batch
+    // sessionization (no eviction), which the oracle rebuilds with the
+    // lag/cumulative-sum idiom. Boundary semantics: session_window's
+    // per-event window is [ts, ts+gap) — end EXCLUSIVE — so a gap of
+    // exactly 30 min starts a NEW session (diff >= 1800 below, not >).
+    // Timestamps are graded as epoch MICROSECONDS with the oracle
+    // casting ns→µs first, keeping both tie domains identical.
+    // 4 staged files: complete mode re-emits the ENTIRE session set to
+    // the sink every micro-batch (~1 session/user/day of corpus), so
+    // sink traffic — not state work — scales with batch count; 4
+    // unordered batches still force cross-batch session merges.
+    Q("q97_stream_sessions",
+      """WITH g AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN date_diff('second',
+        |        lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)),
+        |        CAST(ts AS TIMESTAMP)) >= 1800
+        |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g)
+        |SELECT user_id, epoch_us(min(ts)) AS sess_start_us,
+        |  epoch_us(max(ts) + INTERVAL 30 MINUTE) AS sess_end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start_us""".stripMargin) { (s, d) =>
+      val staging = Scratch.dir("q97_stage")
+      T.events(s, d).repartition(4).write.mode("overwrite").parquet(staging)
+      // watermark far past the corpus span: staged batches are NOT
+      // time-ordered, so a realistic watermark would drop late INPUT
+      // rows (confirmed: 2 days loses ~2/3 of the sessions) and the
+      // result would depend on file order; late-drop behavior belongs
+      // to StreamingSpec, the graded surface is merge correctness
+      val sess = EventStreams.userSessions(
+        EventStreams.readEvents(s, staging, maxFilesPerTrigger = 1),
+        gap = "30 minutes", watermark = "3650 days")
+      val sink = "q97_sink_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      withShufflePartitions(s, 8) {
+        val sq = sess.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .option("checkpointLocation", Scratch.dir("q97_ckpt"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
+      s.table(sink)
+        .select(col("user_id"),
+          unix_micros(col("sess_start")).as("sess_start_us"),
+          unix_micros(col("sess_end")).as("sess_end_us"),
+          col("n_events"))
+        .orderBy("user_id", "sess_start_us")
+    },
+
+    // ---- q98: watermarked stream-stream join -------------------------
+    // Grades EventStreams.followedBy (view→click within 30 min, same
+    // user): BOTH sides buffer keyed state and batches arrive in no
+    // time order, so nearly every match pairs rows from different
+    // micro-batches. Inner-join results emit as matches are found, so
+    // append mode needs no watermark wait; the watermark is set far
+    // past the corpus span so no state is evicted mid-run and the
+    // terminal output equals the batch range self-join the oracle
+    // states (eviction timing is StreamingSpec's job — a tight
+    // watermark over UNORDERED files would drop pairs
+    // nondeterministically). 4 files per side bound the batch count:
+    // join state maintenance is the per-batch cost here.
+    Q("q98_stream_join",
+      """SELECT a.user_id AS user_id, a.event_id AS a_event,
+        |  b.event_id AS b_event,
+        |  epoch_us(CAST(a.ts AS TIMESTAMP)) AS a_ts_us,
+        |  epoch_us(CAST(b.ts AS TIMESTAMP)) AS b_ts_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'click'
+        | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+        | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+        |ORDER BY user_id, a_event, b_event""".stripMargin) { (s, d) =>
+      val staging = Scratch.dir("q98_stage")
+      T.events(s, d).repartition(4).write.mode("overwrite").parquet(staging)
+      val joined = EventStreams.followedBy(
+        EventStreams.readEvents(s, staging, maxFilesPerTrigger = 1),
+        firstType = "view", thenType = "click",
+        maxGap = "30 minutes", watermark = "3650 days")
+      val sink = "q98_sink_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      // a stream-stream join keeps FOUR stores per partition (two per
+      // side), so halve the partition count again vs the aggregations
+      withShufflePartitions(s, 4) {
+        val sq = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation", Scratch.dir("q98_ckpt"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
+      s.table(sink)
+        .select(col("user_id"), col("a_event"), col("b_event"),
+          unix_micros(col("a_ts")).as("a_ts_us"),
+          unix_micros(col("b_ts")).as("b_ts_us"))
+        .orderBy("user_id", "a_event", "b_event")
     })
 
   def queries: Seq[Q] = ql
