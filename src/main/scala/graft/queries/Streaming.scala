@@ -228,6 +228,44 @@ object Streaming {
           unix_micros(col("a_ts")).as("a_ts_us"),
           unix_micros(col("b_ts")).as("b_ts_us"))
         .orderBy("user_id", "a_event", "b_event")
+    },
+
+    // ---- q99: arbitrary stateful processing (flatMapGroupsWithState) -
+    // Grades EventStreams.runningUserTotals, the custom-state shape
+    // windowed aggs can't express: per-user state carried across
+    // micro-batches, one cumulative emission per batch a user appears
+    // in. The append-mode sink therefore holds a PREFIX LADDER of
+    // totals per user; n_events is strictly increasing along it, so
+    // max_by(n_events) selects the terminal state, which must equal
+    // the batch aggregate the oracle states. Rounding to 2 absorbs the
+    // batch-order-vs-single-sum double accumulation difference (~1e-12
+    // relative; same rule as every graded double agg).
+    Q("q99_stream_running_totals",
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val staging = Scratch.dir("q99_stage")
+      T.events(s, d).repartition(4).write.mode("overwrite").parquet(staging)
+      val totals = EventStreams.runningUserTotals(
+        EventStreams.readEvents(s, staging, maxFilesPerTrigger = 1)
+          .as[EventStreams.Event])
+      val sink = "q99_sink_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      withShufflePartitions(s, 8) {
+        val sq = totals.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation", Scratch.dir("q99_ckpt"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
+      s.table(sink)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          round(expr("max_by(total_value, n_events)"), 2).as("total_value"))
+        .orderBy("user_id")
     })
 
   def queries: Seq[Q] = ql
