@@ -23,7 +23,14 @@ private[graft] final class BoundedLru[K, V](max: Int,
     }
   }
   def get(k: K): Option[V] = m.synchronized(Option(m.get(k)))
-  def put(k: K, v: V): Unit = m.synchronized { m.put(k, v); () }
+  def put(k: K, v: V): Unit = m.synchronized {
+    val prev = m.put(k, v)
+    // a REPLACED value ages out just like an evicted one — two racing
+    // builders of the same key would otherwise leak the loser's
+    // resources (e.g. a persisted DataFrame's blocks)
+    if (prev != null && (prev.asInstanceOf[AnyRef] ne v.asInstanceOf[AnyRef]))
+      onEvict(k, prev)
+  }
   def clear(): Unit = m.synchronized {
     m.forEach((k, v) => onEvict(k, v))
     m.clear()

@@ -130,7 +130,11 @@ object Streaming {
     // sessionization (no eviction), which the oracle rebuilds with the
     // lag/cumulative-sum idiom. Boundary semantics: session_window's
     // per-event window is [ts, ts+gap) — end EXCLUSIVE — so a gap of
-    // exactly 30 min starts a NEW session (diff >= 1800 below, not >).
+    // exactly 30 min starts a NEW session (>= below, not >), and the
+    // gap is compared in exact MICROSECONDS: date_diff('second')
+    // counts second-boundary CROSSINGS, not elapsed time, so a
+    // 1799.34 s gap can read as 1800 and split a session the engine
+    // merges (a real such pair exists in the sf0.1 corpus).
     // Timestamps are graded as epoch MICROSECONDS with the oracle
     // casting ns→µs first, keeping both tie domains identical.
     // 4 staged files: complete mode re-emits the ENTIRE session set to
@@ -140,9 +144,9 @@ object Streaming {
     Q("q97_stream_sessions",
       """WITH g AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    CASE WHEN date_diff('second',
-        |        lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)),
-        |        CAST(ts AS TIMESTAMP)) >= 1800
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+        |        - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)))
+        |        >= 1800 * 1000000
         |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) IS NULL
         |    THEN 1 ELSE 0 END AS new_sess
         |  FROM events),
