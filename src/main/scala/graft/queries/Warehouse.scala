@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Q, T}
 import org.apache.spark.sql.functions._
 
-import graft.warehouse.Connector
+import graft.warehouse.{Connector, Follower}
 
 /** Graded warehouse-DML surface: the copy-on-write upsert / deleteWhere
   * path (`GraftTable.scala`) exercised end-to-end under the driver's
@@ -108,6 +108,59 @@ object Warehouse {
       conn.insert("orders_ce", orders.filter(col("o_orderkey") % 4 === 3)
         .withColumn("tag", lit("late")))
       conn.query("orders_ce").orderBy("o_orderkey")
+    },
+
+    // ---- q100: incremental follower → replica, with expiry self-heal -
+    // Grades graft.warehouse.Follower end-to-end: three ticks feed a
+    // REPLICA table, and each fed row is tagged from the follower's OWN
+    // feed decision (first-full / incremental / full-after-expiry), so
+    // a wrong decision — a missed delta, a double feed, a silent
+    // fast-forward past expired history — lands in the replica under
+    // the wrong tag (or count) and hash-mismatches. Tick 3's history is
+    // genuinely unknowable: the source was compacted and its
+    // pre-compact manifests EXPIRED past the recorded offset, which
+    // must route the follower onto the full-resync path, not an error
+    // and not an empty delta. The reference's reader re-reads the full
+    // table every tick (`icerunner.py:716-736`); this is the
+    // incremental upgrade, graded.
+    Q("q100_follower",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, 'a_full' AS tag
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice, 2) AS price, 'b_delta' AS tag
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice, 2) AS price, 'c_resync' AS tag
+        |FROM orders
+        |ORDER BY tag, o_orderkey""".stripMargin) { (s, d) =>
+      val wh = Scratch.dir("run")
+      val conn = new Connector(s, wh)
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_src", orders.filter(col("o_orderkey") % 3 === 0))
+      val src = conn.loadTable("orders_src")
+      val offset = java.nio.file.Paths.get(wh, "follower.offset")
+      var ticks = 0
+      val feed: (org.apache.spark.sql.DataFrame, Boolean) => Unit = (df, full) => {
+        ticks += 1
+        val tag = (ticks, full) match {
+          case (1, true)  => "a_full"
+          case (_, false) => "b_delta"
+          case (_, true)  => "c_resync"
+        }
+        val tagged = df.withColumn("tag", lit(tag))
+        if (!conn.tableExists("replica")) conn.createTable("replica", tagged)
+        else conn.insert("replica", tagged)
+        ()
+      }
+      Follower.followOnce(src, offset)(feed)          // initial: full table
+      conn.insert("orders_src", orders.filter(col("o_orderkey") % 3 === 1))
+      Follower.followOnce(src, offset)(feed)          // incremental delta
+      conn.insert("orders_src", orders.filter(col("o_orderkey") % 3 === 2))
+      val compacted = src.compact(targetFiles = 4)
+      src.expireSnapshots(compacted.snapshotId)       // offset now pre-history
+      Follower.followOnce(src, offset)(feed)          // must self-heal: resync
+      conn.query("replica").orderBy("tag", "o_orderkey")
     })
 
   def queries: Seq[Q] = ql
