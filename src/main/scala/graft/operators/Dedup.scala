@@ -482,7 +482,7 @@ object Dedup {
       minhashSignaturesUncached(df, idCol, textCol, shingleWords, numHashes)
     }
 
-  private def minhashSignaturesUncached(df: DataFrame, idCol: String,
+  private[graft] def minhashSignaturesUncached(df: DataFrame, idCol: String,
       textCol: String, shingleWords: Int, numHashes: Int): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"),
@@ -599,7 +599,7 @@ object Dedup {
       minhashSignaturesPolyUncached(df, idCol, textCol, shingleWords, numHashes)
     }
 
-  private def minhashSignaturesPolyUncached(df: DataFrame, idCol: String,
+  private[graft] def minhashSignaturesPolyUncached(df: DataFrame, idCol: String,
       textCol: String, shingleWords: Int, numHashes: Int): DataFrame = {
     val exploded = df
       .select(col(idCol).as("id"),

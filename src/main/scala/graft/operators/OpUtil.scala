@@ -133,7 +133,12 @@ private[graft] object OpUtil {
     * never again. That narrow second scan is the price of dropping
     * mega-buckets before the wide shuffle; the alternative (census from
     * the shuffled stream) computes upstream once but ships the whole
-    * degenerate corpus through single reducers first. */
+    * degenerate corpus through single reducers first.
+    * When the upstream pipeline reads a PERSISTED relation (the minhash
+    * sigCache), AQE does not reuse exchanges over cached adaptive
+    * subplans, so the self-join sides each shuffle the slim stream from
+    * the cache instead of sharing one exchange — acceptable, because
+    * the cache already guarantees the expensive derivation ran once. */
   def capBucketsForSelfJoin(df: DataFrame, keys: Seq[String], cap: Int,
       metricName: String): DataFrame =
     capBuckets(df, keys, cap, metricName)
