@@ -17,7 +17,8 @@ object SparkEntry {
       _root_.graft.queries.Multimodal.queries ++
       _root_.graft.queries.Advanced.queries ++
       _root_.graft.queries.Warehouse.queries ++
-      _root_.graft.queries.Streaming.queries
+      _root_.graft.queries.Streaming.queries ++
+      _root_.graft.queries.Service.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

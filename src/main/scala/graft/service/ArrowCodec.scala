@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
 import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
-import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit}
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
@@ -26,7 +26,9 @@ import org.apache.spark.sql.types._
   * Type surface = the reference's declared conversion table
   * (`icerunner.py:112-131`) plus the widths its generator actually emits
   * (int8/16/32, which the reference lossily stringifies — SURVEY.md §1.2
-  * treats that as a bug, so here they stay typed) plus binary.
+  * treats that as a bug, so here they stay typed) plus binary, DATE
+  * (Arrow date32) and wall-clock TimestampNTZ (Arrow timestamp with no
+  * timezone — what the driver testdata's orders dates decode as).
   */
 object ArrowCodec {
 
@@ -45,6 +47,10 @@ object ArrowCodec {
       case StringType => ArrowType.Utf8.INSTANCE
       case BooleanType => ArrowType.Bool.INSTANCE
       case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+      // session-time-agnostic wall-clock timestamp: Arrow timestamp with
+      // NO timezone (the Arrow spec's NTZ encoding)
+      case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
+      case DateType => new ArrowType.Date(DateUnit.DAY)
       case BinaryType => ArrowType.Binary.INSTANCE
       case other => throw new IllegalArgumentException(
         s"unsupported service type for field ${f.name}: $other")
@@ -67,7 +73,9 @@ object ArrowCodec {
           if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
       case _: ArrowType.Utf8 => StringType
       case _: ArrowType.Bool => BooleanType
+      case t: ArrowType.Timestamp if t.getTimezone == null => TimestampNTZType
       case _: ArrowType.Timestamp => TimestampType
+      case _: ArrowType.Date => DateType
       case _: ArrowType.Binary => BinaryType
       case other => throw new IllegalArgumentException(
         s"unsupported arrow type for field ${f.getName}: $other")
@@ -97,6 +105,14 @@ object ArrowCodec {
     case x: Timestamp =>
       val micros = x.getTime * 1000L + (x.getNanos % 1000000L) / 1000L
       v.asInstanceOf[TimeStampMicroTZVector].setSafe(i, micros)
+    case x: java.time.LocalDateTime =>
+      val micros = x.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        x.getNano / 1000L
+      v.asInstanceOf[TimeStampMicroVector].setSafe(i, micros)
+    case x: java.sql.Date =>
+      v.asInstanceOf[DateDayVector].setSafe(i, x.toLocalDate.toEpochDay.toInt)
+    case x: java.time.LocalDate =>
+      v.asInstanceOf[DateDayVector].setSafe(i, x.toEpochDay.toInt)
     case x: Array[Byte] => v.asInstanceOf[VarBinaryVector].setSafe(i, x)
     case other => throw new IllegalArgumentException(
       s"unsupported value ${other.getClass} for ${v.getName}")
@@ -118,6 +134,14 @@ object ArrowCodec {
         val ts = new Timestamp(Math.floorDiv(micros, 1000L))
         ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
         ts
+      case x: TimeStampMicroVector =>
+        val micros = x.get(i)
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case x: DateDayVector => java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(x.get(i).toLong))
       case x: VarBinaryVector => x.get(i)
       case other => throw new IllegalArgumentException(
         s"unsupported vector ${other.getClass}")

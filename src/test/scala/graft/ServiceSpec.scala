@@ -28,12 +28,16 @@ class ServiceSpec extends AnyFunSuite {
       StructField("s", ShortType), StructField("b", ByteType),
       StructField("d", DoubleType), StructField("f", FloatType),
       StructField("str", StringType), StructField("bool", BooleanType),
-      StructField("ts", TimestampType), StructField("bin", BinaryType)))
+      StructField("ts", TimestampType), StructField("bin", BinaryType),
+      StructField("ntz", TimestampNTZType), StructField("dt", DateType)))
     val rows = Seq(
       Row(1L, 2, 3.toShort, 4.toByte, 5.5, 6.5f, "seven", true,
         java.sql.Timestamp.valueOf("2026-01-02 03:04:05.123456"),
-        Array[Byte](1, 2, 3)),
-      Row(null, null, null, null, null, null, null, null, null, null))
+        Array[Byte](1, 2, 3),
+        java.time.LocalDateTime.parse("2026-01-02T03:04:05.123456"),
+        java.sql.Date.valueOf("2026-01-02")),
+      Row(null, null, null, null, null, null, null, null, null, null,
+        null, null))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
     val bos = new java.io.ByteArrayOutputStream()
@@ -46,7 +50,8 @@ class ServiceSpec extends AnyFunSuite {
     val e = df.orderBy(col("l").asc_nulls_last).collect()
     assert(a.length === 2)
     // binary needs element-wise compare; the rest compares structurally
-    assert(a(0).toSeq.dropRight(1) === e(0).toSeq.dropRight(1))
+    val binIdx = schema.fieldIndex("bin")
+    assert(a(0).toSeq.patch(binIdx, Nil, 1) === e(0).toSeq.patch(binIdx, Nil, 1))
     assert(a(0).getAs[Array[Byte]]("bin").toSeq === Seq[Byte](1, 2, 3))
     assert(a(1).toSeq.forall(_ == null))
   }
