@@ -28,34 +28,81 @@ import org.apache.spark.sql.functions._
 object Service {
 
   private val ql: Seq[Q] = Seq(
-    // the %4 slice keeps the row-at-a-time data plane (the honest wire
+    // the %8 slice keeps the row-at-a-time data plane (the honest wire
     // cost: toLocalIterator -> Arrow -> socket, both directions) at a
     // bench-proportionate volume; codec fidelity and MERGE semantics are
     // row-count-independent
     Q("q101_wire_roundtrip",
       """SELECT o_orderkey,
-        |  CASE WHEN o_orderkey % 8 = 0 THEN round(o_totalprice * 3, 2)
+        |  CASE WHEN o_orderkey % 16 = 0 THEN round(o_totalprice * 3, 2)
         |       ELSE round(o_totalprice, 2) END AS price,
         |  o_orderstatus, o_orderpriority, o_orderdate
         |FROM orders
-        |WHERE o_orderkey % 4 = 0
+        |WHERE o_orderkey % 8 = 0
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val conn = new Connector(s, Scratch.dir("run"))
       val svc = new FlightService(conn, 0)
       try {
         val client = new FlightClient(s, "localhost", svc.boundPort)
-        val base = T.orders(s, d).filter(col("o_orderkey") % 4 === 0)
+        val base = T.orders(s, d).filter(col("o_orderkey") % 8 === 0)
           .select(col("o_orderkey"),
             round(col("o_totalprice"), 2).as("price"),
             col("o_orderstatus"), col("o_orderpriority"), col("o_orderdate"))
         client.doPut("orders_wire", base)
         val changes = T.orders(s, d)
-          .filter(col("o_orderkey") % 8 === 0)
+          .filter(col("o_orderkey") % 16 === 0)
           .select(col("o_orderkey"),
             round(col("o_totalprice") * 3, 2).as("price"),
             col("o_orderstatus"), col("o_orderpriority"), col("o_orderdate"))
         client.doUpsert("orders_wire", changes, Seq("o_orderkey"))
         client.doGet("orders_wire").df.orderBy("o_orderkey")
+      } finally svc.close()
+    },
+
+    // ---- q102: wire mirror replication, incrementality enforced ------
+    // Grades Mirror.performSync over a real socket: full sync, then an
+    // incremental delta after a source append. The replica's OWN
+    // snapshot log is the witness that sync 2 was a true increment:
+    // read-as-of the post-full-sync snapshot must see exactly the first
+    // slice, and changes-since it exactly the second. A mirror that
+    // silently full-resyncs instead (drop + recreate, the reference's
+    // only mode — its per-tick re-read, `icerunner.py:1139-1149`)
+    // restarts the replica's history, so the as-of cut resolves to the
+    // WHOLE table and the hash mismatches. Sliced to %32 strata: the
+    // wire data plane is row-at-a-time, and replication mechanics are
+    // volume-independent.
+    Q("q102_mirror",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, 'a_full' AS era
+        |FROM orders WHERE o_orderkey % 32 = 0
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice, 2) AS price, 'b_delta' AS era
+        |FROM orders WHERE o_orderkey % 32 = 16
+        |ORDER BY era, o_orderkey""".stripMargin) { (s, d) =>
+      val srcConn = new Connector(s, Scratch.dir("run"))
+      val dstConn = new Connector(s, Scratch.dir("run"))
+      val svc = new FlightService(srcConn, 0)
+      try {
+        val client = new FlightClient(s, "localhost", svc.boundPort)
+        val state = graft.service.SyncState(Scratch.dir("run"))
+        val url = s"grpc://localhost:${svc.boundPort}/orders_src"
+        val orders = T.orders(s, d).select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        srcConn.createTable("orders_src",
+          orders.filter(col("o_orderkey") % 32 === 0))
+        val r1 = graft.service.Mirror.performSync(
+          client, url, "orders_src", dstConn, "orders_dst", state)
+        require(r1.status == "full_sync", s"expected full_sync, got ${r1.status}")
+        val s1 = dstConn.loadTable("orders_dst").currentSnapshotId
+          .getOrElse(sys.error("full sync committed no snapshot"))
+        srcConn.insert("orders_src",
+          orders.filter(col("o_orderkey") % 32 === 16))
+        val r2 = graft.service.Mirror.performSync(
+          client, url, "orders_src", dstConn, "orders_dst", state)
+        require(r2.status == "incremental", s"expected incremental, got ${r2.status}")
+        val t = dstConn.loadTable("orders_dst")
+        t.read(asOf = Some(s1)).withColumn("era", lit("a_full"))
+          .unionByName(t.changesSince(s1).withColumn("era", lit("b_delta")))
+          .orderBy("era", "o_orderkey")
       } finally svc.close()
     })
 
