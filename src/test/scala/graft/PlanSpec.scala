@@ -127,7 +127,11 @@ class PlanSpec extends AnyFunSuite {
     // sizes the relation exceeds any broadcast threshold and the
     // reused-exchange shape below is what executes
     val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val abcast = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", bcast)
+    // optional conf: when unset it FALLS BACK to the non-adaptive
+    // threshold, so it must be restored by unsetting, not pinned to a
+    // point-in-time value (that would sever the fallback for later
+    // suites sharing this session)
+    val abcast = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
@@ -165,7 +169,10 @@ class PlanSpec extends AnyFunSuite {
         s"banded stream must be hash-partitioned for the self-join:\n$p")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", abcast)
+      abcast match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
     }
   }
 
