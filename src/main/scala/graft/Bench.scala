@@ -23,6 +23,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A 102-query × 4-pass run executes thousands of jobs in ONE
+      // JVM; bound the app-status bookkeeping so it cannot grow with
+      // run length. (Observed: the micro-batch-heavy queries, which
+      // sort last, measure ~1.5× their fresh-JVM cost by the end of a
+      // full run — in-process accumulation, not box load; a 2-minute
+      // periodic-GC was tried against it and rejected because full-GC
+      // pauses on a 24 g heap land inside timed windows.)
+      .config("spark.ui.retainedJobs", "200")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.retainedExecutions", "50")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional arg: comma-separated query names (local iteration aid —

@@ -45,6 +45,19 @@ object Streaming {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Land a memory-sink table as parquet under [[Scratch]] and DROP the
+    * sink's temp view: a complete-mode sink holds its whole result in
+    * driver memory for the session's lifetime, and bench/verify invoke
+    * each query 4+ times — without this, every invocation's full result
+    * lingers on the heap for the rest of the run. */
+  private def landSink(s: org.apache.spark.sql.SparkSession,
+      sink: String): org.apache.spark.sql.DataFrame = {
+    val landed = Scratch.dir(sink + "_out")
+    s.table(sink).write.mode("overwrite").parquet(landed)
+    s.catalog.dropTempView(sink)
+    s.read.parquet(landed)
+  }
+
   private val ql: Seq[Q] = Seq(
     // ---- q94: watermarked tumbling-window aggregation ----------------
     // Grades EventStreams.tumblingCounts: 8 input files → 8 micro-
@@ -66,8 +79,8 @@ object Streaming {
         EventStreams.readEvents(s, staging, maxFilesPerTrigger = 1),
         windowLen = "1 day", watermark = "2 days")
       // memory-sink table names are session-global: unique per
-      // invocation, and bounded per process (a few hundred rows each,
-      // one per bench/verify pass of this query)
+      // invocation; landSink drops the view (and its held rows) before
+      // the query returns
       val sink = "q94_sink_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       withShufflePartitions(s, 8) {
         val sq = agg.writeStream.format("memory").queryName(sink)
@@ -77,7 +90,7 @@ object Streaming {
           .start()
         sq.awaitTermination()
       }
-      s.table(sink)
+      landSink(s, sink)
         .select(col("win_start").cast("date").as("win_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("win_start", "event_type")
@@ -179,7 +192,7 @@ object Streaming {
           .start()
         sq.awaitTermination()
       }
-      s.table(sink)
+      landSink(s, sink)
         .select(col("user_id"),
           unix_micros(col("sess_start")).as("sess_start_us"),
           unix_micros(col("sess_end")).as("sess_end_us"),
@@ -227,7 +240,7 @@ object Streaming {
           .start()
         sq.awaitTermination()
       }
-      s.table(sink)
+      landSink(s, sink)
         .select(col("user_id"), col("a_event"), col("b_event"),
           unix_micros(col("a_ts")).as("a_ts_us"),
           unix_micros(col("b_ts")).as("b_ts_us"))
@@ -265,7 +278,7 @@ object Streaming {
           .start()
         sq.awaitTermination()
       }
-      s.table(sink)
+      landSink(s, sink)
         .groupBy(col("user_id"))
         .agg(max(col("n_events")).as("n_events"),
           round(expr("max_by(total_value, n_events)"), 2).as("total_value"))
