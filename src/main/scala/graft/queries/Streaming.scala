@@ -18,12 +18,12 @@ import org.apache.spark.sql.streaming.Trigger
   * batch-in-disguise — and returns the terminal result, which a plain
   * batch SQL oracle over the same rows must reproduce exactly.
   *
-  * Scale posture: both queries exercise the operators exactly as a
+  * Scale posture: the queries exercise the operators exactly as a
   * cluster deployment would — state-store aggregation partitioned by
-  * group key (q94, q97), stream-stream join state (q98), and
-  * foreachBatch copy-on-write upsert into the
-  * snapshot-log warehouse (q95). The staging write is the test rig,
-  * not the operator.
+  * group key (q94, q97), stream-stream join state (q98), custom
+  * per-key state (q99), and foreachBatch copy-on-write upsert into
+  * the snapshot-log warehouse (q95). The staging write is the test
+  * rig, not the operator.
   */
 object Streaming {
 
