@@ -294,16 +294,31 @@ object Advanced {
         .orderBy("o_custkey", "o_orderkey")
     },
 
-    // ---- approximate distinct counting (HLL++) -------------------------
-    // rows-only: Spark's HLL++ and DuckDB's approx_count_distinct are
-    // different sketches with different estimates. Differential anchor:
-    // AdvancedSpec "approx_count_distinct lands within 5% of the exact
-    // count per group".
-    Q.noOracle("q56_approx_distinct") { (s, d) =>
+    // ---- approximate distinct counting (HLL++, invariant-graded) -------
+    // Spark's HLL++ and DuckDB's sketch give different estimates, so the
+    // estimate itself can't hash-match — instead the query computes the
+    // EXACT distinct count alongside the sketch in the same aggregate
+    // and emits the error-bound verdict the oracle states literally
+    // (q84/q85 pattern): |hll − exact| / exact ≤ 0.05 at rsd = 0.02
+    // (measured ≤ 0.0103 at both SFs — 5× of slack). A sketch
+    // regression flips the boolean and hash-mismatches. The exact count
+    // doubles as a hash-graded distinct-agg row.
+    // Spec anchor retained: AdvancedSpec "approx_count_distinct lands
+    // within 5% of the exact count per group".
+    Q("q56_approx_distinct",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  count(*) AS n, TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
       T.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("__approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          (abs(col("__approx") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.05).as("within_5pct"))
         .orderBy("l_returnflag")
     },
 

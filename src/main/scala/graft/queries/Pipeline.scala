@@ -29,6 +29,30 @@ object Pipeline {
   private val duckToksLower =
     "string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')"
 
+  /** Self-grading rig for the approximate top-k paths (q32/q55): left-
+    * join the exact anchor's (query, neighbor) pairs against the
+    * approximate result, reduce to one macro-averaged recall scalar, and
+    * re-attach it to the per-query result counts. Output rows are fully
+    * oracle-predictable: (query_id, n_results = k, recall_ok = floor
+    * verdict). The anchor side defines the query universe, so a query
+    * the index starved to < k results (or lost entirely) changes
+    * n_results / drops a row — both hash-visible. */
+  private def recallGraded(approx: org.apache.spark.sql.DataFrame,
+      exact: org.apache.spark.sql.DataFrame, floor: Double)
+      : org.apache.spark.sql.DataFrame = {
+    val hit = approx.select(col("query_id"), col("neighbor_id"),
+      lit(1).as("__hit"))
+    val recall = exact.select("query_id", "neighbor_id")
+      .join(hit, Seq("query_id", "neighbor_id"), "left")
+      .agg((count(col("__hit")).cast("double") / count(lit(1))).as("__recall"))
+    approx.groupBy("query_id")
+      .agg(count(lit(1)).cast("long").as("n_results"))
+      .crossJoin(broadcast(recall))
+      .select(col("query_id"), col("n_results"),
+        (col("__recall") >= floor).as("recall_ok"))
+      .orderBy("query_id")
+  }
+
   /** 31-bit polynomial rolling hash of column `tok`/`s` — must stay in
     * lock-step with Dedup.polyHash (h₀=7, ×131, mod 2^31−1). */
   private def polyHashOf(c: String): String =
@@ -280,25 +304,49 @@ object Pipeline {
         .orderBy("query_id", "rank")
     },
 
-    // ---- LSH-bucketed approximate top-k (hash-based: rows-only) ----
-    // Differential anchor: PipelineSpec "lshTopK multiprobe" (top-1
-    // recall ≥ 0.85 at nprobe = 4 vs bruteForceTopK on the same corpus).
-    Q.noOracle("q32_lsh_topk") { (s, d) =>
+    // ---- LSH-bucketed approximate top-k (invariant-graded) -------------
+    // Hash-based bucketing has no DuckDB twin, so the query grades ITSELF
+    // (the q84/q85 symbolic-oracle pattern): it runs the in-query exact
+    // top-k (q31's shape) as the anchor, computes macro recall@5 of the
+    // LSH result against it, and emits per query the verdicts the oracle
+    // states literally — n_results = k (the index produced enough
+    // candidates) and recall ≥ 0.85 (the PipelineSpec floor; measured
+    // 0.925 at sf0.01 / 0.90 at sf0.1, nprobe = 4). A recall regression
+    // or a starved bucket now hash-MISMATCHES instead of hiding behind a
+    // rows-only count. At 100 TB the anchor runs over a query SAMPLE;
+    // here the query set is already 8 vectors.
+    // Spec anchor retained: PipelineSpec "lshTopK multiprobe".
+    Q("q32_lsh_topk",
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin) { (s, d) =>
       val emb = T.embeddings(s, d)
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8),
-          "vec_id", "embedding", 5, nprobe = 4)
-        .orderBy("query_id", "rank")
+      val qs = emb.filter(col("vec_id") < 8)
+      recallGraded(
+        Similarity.lshTopK(emb, qs, "vec_id", "embedding", 5, nprobe = 4),
+        Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5),
+        floor = 0.85)
     },
 
-    // ---- IVF-bucketed approximate top-k (trained quantizer: rows-only) ----
-    // Differential anchors: PipelineSpec "ivfTopK hits the exact top-1
-    // neighbor" (recall ≥ 0.85 at nprobe=3) and "ivfTopK caches the
-    // quantizer" (second invocation: fewer jobs, identical rows).
-    Q.noOracle("q55_ivf_topk") { (s, d) =>
+    // ---- IVF-bucketed approximate top-k (invariant-graded) -------------
+    // Same self-grading shape as q32. nprobe = 8 (of nlist = 16) because
+    // the fixture embeddings are near-random — the hardest case for a
+    // clustering-based index (recall@5: nprobe 4 → 0.70, 6 → 0.80,
+    // 8 → 0.90 at both SFs); at 100 TB nlist grows ~√n, so the probed
+    // FRACTION falls even as recall holds. Floor 0.85 with the measured
+    // 0.90 at both SFs.
+    // Spec anchors retained: PipelineSpec "ivfTopK hits the exact top-1
+    // neighbor" + "ivfTopK caches the quantizer".
+    Q("q55_ivf_topk",
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin) { (s, d) =>
       val emb = T.embeddings(s, d)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8),
-          "vec_id", "embedding", 5)
-        .orderBy("query_id", "rank")
+      val qs = emb.filter(col("vec_id") < 8)
+      recallGraded(
+        Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5, nprobe = 8),
+        Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5),
+        floor = 0.85)
     },
 
     // ---- exact embedding-cosine near-dup pairs ----
@@ -436,13 +484,53 @@ object Pipeline {
     // Same downstream closure as q60 but candidates come from the
     // sub-quadratic hyperplane-LSH bucket join instead of the exact
     // all-pairs grid — the shape that survives a 100x corpus. Hash-based
-    // bucketing has no DuckDB twin, so the driver checks rows-only;
-    // PipelineSpec asserts the containment law (every exactly-kept row
-    // is LSH-kept) and a dedup-power recall floor vs the exact path.
-    Q.noOracle("q64_cosine_dedup_lsh") { (s, d) =>
-      Dedup.cosineDedup(T.embeddings(s, d), "vec_id", "embedding", 0.4,
-          exact = false)
+    // bucketing has no DuckDB twin, so the query grades itself (q84/q85
+    // pattern) against the in-query exact path: rows are the EXACT-kept
+    // set (the oracle rebuilds it with q60's recursive CTE), `lsh_kept`
+    // witnesses the containment law per row (LSH edges ⊆ exact edges ⇒
+    // an exact-kept row can never be LSH-dropped), and `power_ok`
+    // witnesses dedup power — of the rows the exact path removes, the
+    // LSH path removes ≥ 50% (the PipelineSpec floor; measured 0.60 at
+    // sf0.01 / 0.53 at sf0.1). A bucketing regression flips one of the
+    // booleans and hash-mismatches.
+    // Spec anchor retained: PipelineSpec "q64 LSH cosine dedup".
+    Q("q64_cosine_dedup_lsh",
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.4),
+        |edges AS (
+        |  SELECT id_a AS x, id_b AS y FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |comp AS (
+        |  SELECT vec_id AS id, vec_id AS m FROM embeddings
+        |  UNION
+        |  SELECT e.x, c.m FROM edges e JOIN comp c ON c.id = e.y),
+        |canon AS (SELECT id, min(m) AS canonical FROM comp GROUP BY id)
+        |SELECT emb.vec_id, emb.label, TRUE AS lsh_kept, TRUE AS power_ok
+        |FROM embeddings emb
+        |JOIN canon c ON emb.vec_id = c.id
+        |WHERE c.canonical = emb.vec_id ORDER BY emb.vec_id""".stripMargin) { (s, d) =>
+      val emb = T.embeddings(s, d)
+      val keptExact = Dedup.cosineDedup(emb, "vec_id", "embedding", 0.4)
         .select("vec_id", "label")
+      val keptLsh = Dedup.cosineDedup(emb, "vec_id", "embedding", 0.4,
+          exact = false)
+        .select(col("vec_id").as("__lsh_id"))
+      // dedup-power scalar: (dropped by LSH) / (dropped by exact) ≥ 0.5,
+      // vacuously true when the exact path drops nothing
+      val power = emb.agg(count(lit(1)).as("__n")).crossJoin(
+          keptExact.agg(count(lit(1)).as("__ne"))).crossJoin(
+          keptLsh.agg(count(lit(1)).as("__nl")))
+        .select((col("__n") === col("__ne") ||
+          (col("__n") - col("__nl")).cast("double") /
+            (col("__n") - col("__ne")) >= 0.5).as("power_ok"))
+      keptExact
+        .join(keptLsh, col("vec_id") === col("__lsh_id"), "left")
+        .crossJoin(broadcast(power))
+        .select(col("vec_id"), col("label"),
+          col("__lsh_id").isNotNull.as("lsh_kept"), col("power_ok"))
         .orderBy("vec_id")
     },
 
@@ -854,14 +942,41 @@ object Pipeline {
         .orderBy(col("df").desc, col("tok"))
     },
 
-    // ---- k-means document clustering (bounded train, row-local assign) --
-    // Cluster ids are k-means-seed-specific (no SQL twin) → rows-only
-    // gate; label quality is differentially tested in PipelineSpec
-    // (planted well-separated blobs recover their partition).
-    Q.noOracle("q82_embedding_cluster") { (s, d) =>
-      Similarity.kmeansAssign(T.embeddings(s, d), "vec_id", "embedding",
-          k = 8, maxIter = 10)
-        .orderBy("vec_id")
+    // ---- k-means document clustering (planted-blob recovery, graded) ---
+    // Cluster ids are k-means-seed-specific, so raw assignments have no
+    // SQL twin — instead the query grades itself (q84/q85 pattern) with
+    // the spec's planted-blob recovery metric promoted to the oracle
+    // surface: each embedding is displaced onto one of 8 well-separated
+    // blob centers (axis `vec_id % 8` at +100, the original vector kept
+    // as ×0.01 noise so the real data still perturbs the geometry), the
+    // REAL kmeansAssign (bounded TakeOrdered train + broadcast-centroid
+    // assign) clusters the result, and the emitted rows state what any
+    // correct k-means must produce: every blob pure (1 cluster id) and
+    // all 8 blobs separated (8 distinct ids). Blob sizes are exact-SQL
+    // facts, so a clustering regression hash-mismatches.
+    // Spec anchor retained: PipelineSpec "kmeansAssign recovers planted
+    // well-separated blobs".
+    Q("q82_embedding_cluster",
+      """SELECT vec_id % 8 AS blob, count(*) AS n,
+        |  TRUE AS pure, TRUE AS separated
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val planted = T.embeddings(s, d).select(col("vec_id"),
+        pmod(col("vec_id"), lit(8)).as("blob"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => x * lit(0.01) +
+            when(i === pmod(col("vec_id"), lit(8)).cast("int"), lit(100.0))
+              .otherwise(lit(0.0))).as("__pv"))
+      val assigned = Similarity.kmeansAssign(planted, "vec_id", "__pv",
+        k = 8, maxIter = 10)
+      val joined = planted.select("vec_id", "blob").join(assigned, "vec_id")
+      val separated = joined
+        .agg(countDistinct(col("cluster")).as("__nsep"))
+      joined.groupBy("blob")
+        .agg(count(lit(1)).as("n"), countDistinct(col("cluster")).as("__nc"))
+        .crossJoin(broadcast(separated))
+        .select(col("blob"), col("n"), (col("__nc") === 1).as("pure"),
+          (col("__nsep") === 8).as("separated"))
+        .orderBy("blob")
     },
 
     // ---- shingle novelty (first-occurrence share per doc) ---------------
@@ -946,25 +1061,71 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
-    // ---- BPE merge training (tokenizer learning) ------------------------
-    // The iterative argmax merge loop has no SQL twin (aggregation
-    // inside recursion) → rows-only gate; the merge sequence is pinned
-    // exactly on the classic Sennrich corpus in PipelineSpec, including
-    // layout-independence.
-    Q.noOracle("q88_bpe_merges") { (s, d) =>
-      TA.bpeTrain(T.documents(s, d), "text", numMerges = 40)
+    // ---- BPE merge training (tokenizer learning, graded) ----------------
+    // The iterative argmax merge loop has no SQL twin (aggregation inside
+    // recursion) — but its output on a KNOWN corpus is a literal the
+    // oracle can state (q84/q85 pattern). The first 16 documents project
+    // onto the Sennrich et al. 2016 §3.2 worked corpus (low×5, lower×2,
+    // newest×6, widest×3) and training runs to exhaustion; the full
+    // 15-merge sequence below is hand-derived from the (count desc, left
+    // asc, right asc) rule — independent of the implementation — so a
+    // tie-break or pair-count regression hash-mismatches. The real
+    // distributed word-count + 40-merge training on the full corpus is
+    // still graded through q89's encode side.
+    // Spec anchors retained: PipelineSpec "bpeTrain learns the classic
+    // merges" + the vocab-budget degradation test.
+    Q("q88_bpe_merges",
+      """SELECT * FROM (VALUES
+        |  (1, 'e', 's', CAST(9 AS BIGINT)),
+        |  (2, 'es', 't', CAST(9 AS BIGINT)),
+        |  (3, 'est', '</w>', CAST(9 AS BIGINT)),
+        |  (4, 'l', 'o', CAST(7 AS BIGINT)),
+        |  (5, 'lo', 'w', CAST(7 AS BIGINT)),
+        |  (6, 'e', 'w', CAST(6 AS BIGINT)),
+        |  (7, 'ew', 'est</w>', CAST(6 AS BIGINT)),
+        |  (8, 'n', 'ewest</w>', CAST(6 AS BIGINT)),
+        |  (9, 'low', '</w>', CAST(5 AS BIGINT)),
+        |  (10, 'd', 'est</w>', CAST(3 AS BIGINT)),
+        |  (11, 'i', 'dest</w>', CAST(3 AS BIGINT)),
+        |  (12, 'w', 'idest</w>', CAST(3 AS BIGINT)),
+        |  (13, 'e', 'r', CAST(2 AS BIGINT)),
+        |  (14, 'er', '</w>', CAST(2 AS BIGINT)),
+        |  (15, 'low', 'er</w>', CAST(2 AS BIGINT))
+        |) t(rank, "left", "right", pair_count) ORDER BY rank""".stripMargin) { (s, d) =>
+      val sennrich = T.documents(s, d).filter(col("doc_id") < 16)
+        .select(col("doc_id"),
+          when(col("doc_id") < 5, "low").when(col("doc_id") < 7, "lower")
+            .when(col("doc_id") < 13, "newest").otherwise("widest")
+            .as("text"))
+      // 20 requested; the corpus exhausts after exactly 15 merges — the
+      // stop-on-empty path is part of what the literal oracle witnesses
+      TA.bpeTrain(sennrich, "text", numMerges = 20)
         .orderBy("rank")
     },
 
     // ---- BPE encoding with the learned merges (train → apply loop) -----
-    // Differential anchor: PipelineSpec "bpeEncode applies learned merges
-    // greedily by rank" (subword composition + unknown-char fallback).
-    Q.noOracle("q89_bpe_encode") { (s, d) =>
+    // Trains the REAL 40-merge table on the full corpus (the distributed
+    // word-count shuffle + argmax loop), encodes every document with it,
+    // and grades the lossless-segmentation invariant: greedy merge
+    // application must yield subwords that concatenate (with "</w>" as
+    // the word seam) back to the normalized text, for every document —
+    // an encoder that drops, duplicates, or mis-merges symbols flips
+    // `roundtrip_ok` and hash-mismatches. n_words anchors the row to the
+    // q51-graded tokenization.
+    // Spec anchor retained: PipelineSpec "bpeEncode applies learned
+    // merges greedily by rank".
+    Q("q89_bpe_encode",
+      s"""SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_words,
+         |  TRUE AS roundtrip_ok
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = T.documents(s, d)
       val merges = TA.bpeTrain(docs, "text", numMerges = 40)
       TA.bpeEncode(docs, "text", merges)
-        .select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe_tokens"),
-          TA.tokenCount(col("text")).as("n_words"))
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).cast("long").as("n_words"),
+          (regexp_replace(lower(trim(col("text"))), "\\s+", " ") ===
+            rtrim(regexp_replace(concat_ws("", col("bpe_tokens")),
+              "</w>", " "))).as("roundtrip_ok"))
         .orderBy("doc_id")
     },
 
