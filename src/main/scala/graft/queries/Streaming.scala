@@ -60,13 +60,17 @@ object Streaming {
 
   private val ql: Seq[Q] = Seq(
     // ---- q94: watermarked tumbling-window aggregation ----------------
-    // Grades EventStreams.tumblingCounts: 8 input files → 8 micro-
+    // Grades EventStreams.tumblingCounts: 4 input files → 4 micro-
     // batches whose per-window partial states must merge across batches
     // (events are NOT time-ordered across files, so nearly every window
-    // is touched by several batches). Complete output mode keeps the
-    // terminal result equal to the batch aggregation — the determinism
-    // the oracle needs; append-mode emission timing is covered by
-    // StreamingSpec. round(,4) matches tumblingCounts' own rounding.
+    // is touched by several batches — 4 unordered files already
+    // guarantee that, the same argument q95/q97/q98/q99 make; the
+    // per-micro-batch state-store commit is the whole bench bill, so
+    // batch count buys nothing past merge coverage). Complete output
+    // mode keeps the terminal result equal to the batch aggregation —
+    // the determinism the oracle needs; append-mode emission timing is
+    // covered by StreamingSpec. round(,4) matches tumblingCounts' own
+    // rounding.
     Q("q94_stream_tumbling",
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS win_start, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
@@ -74,7 +78,7 @@ object Streaming {
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin) { (s, d) =>
       val staging = Scratch.dir("q94_stage")
-      T.events(s, d).repartition(8).write.mode("overwrite").parquet(staging)
+      T.events(s, d).repartition(4).write.mode("overwrite").parquet(staging)
       val agg = EventStreams.tumblingCounts(
         EventStreams.readEvents(s, staging, maxFilesPerTrigger = 1),
         windowLen = "1 day", watermark = "2 days")
