@@ -92,8 +92,4 @@ object Q {
   def apply(name: String, oracle: String)(
       run: (SparkSession, String) => DataFrame): Q =
     Q(name, run, Some(oracle))
-
-  /** Non-SQL-expressible op: driver records a weaker rows-only check. */
-  def noOracle(name: String)(run: (SparkSession, String) => DataFrame): Q =
-    Q(name, run, None)
 }

@@ -463,16 +463,32 @@ object Dedup {
     val plan = df.select(col(idCol), col(textCol))
       .queryExecution.analyzed.canonicalized
     val key = (plan.semanticHash(), shingleWords, numHashes, family)
-    synchronized {
+    // session check + lookup are ONE atomic step: the unsynchronized
+    // r7 shape let a clear() (new session) land between another
+    // thread's get and its query — unpersisting a DataFrame mid-use
+    // (ADVICE r7 check-then-act race).
+    def lookup(): Option[DataFrame] = synchronized {
       if (sigCacheSession ne spark) { sigCache.clear(); sigCacheSession = spark }
+      sigCache.get(key).filter(_._1.sameResult(plan)).map(_._2)
     }
-    sigCache.get(key).filter(_._1.sameResult(plan)).map(_._2).getOrElse {
+    lookup().getOrElse {
       val sig = build.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       synchronized {
-        if (sigCacheSession eq spark) sigCache.put(key, (plan, sig))
+        if (sigCacheSession ne spark) { sigCache.clear(); sigCacheSession = spark }
+        sigCache.get(key).filter(_._1.sameResult(plan)).map(_._2) match {
+          case Some(winner) =>
+            // lost a build race: discard OUR unpublished copy and adopt
+            // the cached winner. The r7 shape instead put() over the
+            // winner, whose onEvict unpersisted a DataFrame the winning
+            // thread was possibly mid-query over (silent recompute).
+            try sig.unpersist(false) catch { case _: Throwable => () }
+            winner
+          case None =>
+            sigCache.put(key, (plan, sig))
+            sig
+        }
       }
-      sig
     }
   }
 

@@ -7,33 +7,54 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
 
 /** Tiny synchronized access-ordered LRU for bounded driver-side
   * registries (drop counters, plan-keyed probe stats, IVF quantizers,
-  * table plans). Evicts ONE eldest entry at the cap, so a steady
+  * table plans). Evicts eldest entries above the cap, so a steady
   * working set under the cap stays hot — a clear-all-at-cap variant
   * degenerates to ~0% hit rate once the working set touches the cap,
-  * re-paying exactly the probe jobs the cache exists to avoid. */
+  * re-paying exactly the probe jobs the cache exists to avoid.
+  *
+  * `onEvict` runs OUTSIDE the map monitor (ADVICE r7): callbacks here
+  * release external resources (a persisted DataFrame's blocks — an RPC
+  * to the block manager), and running them under the lock would stall
+  * every concurrent get() behind storage I/O and invite lock-order
+  * inversions with Spark-internal monitors. Displaced entries are
+  * collected under the lock, callbacks fire after release — each
+  * displaced value sees exactly one onEvict (PropertySpec pins this
+  * under concurrent puts). An evicted value may still be in use by a
+  * reader that get()'d it moments earlier; callbacks must therefore be
+  * degrade-not-break (unpersist ⇒ recompute), which all three caches'
+  * callbacks are. */
 private[graft] final class BoundedLru[K, V](max: Int,
     onEvict: (K, V) => Unit = (_: K, _: V) => ()) {
-  private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
-    override def removeEldestEntry(e: java.util.Map.Entry[K, V]) = {
-      val evict = size() > max
-      // entries may hold external resources (persisted DataFrames) —
-      // release them as they age out, and on clear() below
-      if (evict) onEvict(e.getKey, e.getValue)
-      evict
-    }
-  }
+  require(max > 0, "LRU cap must be positive")
+  private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true)
   def get(k: K): Option[V] = m.synchronized(Option(m.get(k)))
-  def put(k: K, v: V): Unit = m.synchronized {
-    val prev = m.put(k, v)
-    // a REPLACED value ages out just like an evicted one — two racing
-    // builders of the same key would otherwise leak the loser's
-    // resources (e.g. a persisted DataFrame's blocks)
-    if (prev != null && (prev.asInstanceOf[AnyRef] ne v.asInstanceOf[AnyRef]))
-      onEvict(k, prev)
+  def put(k: K, v: V): Unit = {
+    val displaced = m.synchronized {
+      val out = List.newBuilder[(K, V)]
+      val prev = m.put(k, v)
+      // a REPLACED value ages out just like an evicted one — two racing
+      // builders of the same key would otherwise leak the loser's
+      // resources
+      if (prev != null && (prev.asInstanceOf[AnyRef] ne v.asInstanceOf[AnyRef]))
+        out += ((k, prev))
+      while (m.size() > max) {
+        val it = m.entrySet().iterator()
+        val e = it.next() // eldest in access order; never k (just touched)
+        out += ((e.getKey, e.getValue))
+        it.remove()
+      }
+      out.result()
+    }
+    displaced.foreach { case (dk, dv) => onEvict(dk, dv) }
   }
-  def clear(): Unit = m.synchronized {
-    m.forEach((k, v) => onEvict(k, v))
-    m.clear()
+  def clear(): Unit = {
+    val all = m.synchronized {
+      val snap = List.newBuilder[(K, V)]
+      m.forEach((k, v) => snap += ((k, v)))
+      m.clear()
+      snap.result()
+    }
+    all.foreach { case (k, v) => onEvict(k, v) }
   }
 }
 
@@ -80,9 +101,16 @@ private[graft] object OpUtil {
   object dropCounters {
     private val m = new BoundedLru[String, org.apache.spark.util.LongAccumulator](64)
     def put(k: String, v: org.apache.spark.util.LongAccumulator): Unit = m.put(k, v)
+    /** Read the counter, or a fresh ZERO accumulator if the name was
+      * never registered or has aged out of the 64-entry window (ADVICE
+      * r7: the old throw made a >64-guarded-query session fail
+      * spuriously on a late read). Zero-on-miss keeps the alarm
+      * contract loud where it matters: every spec asserts `value > 0`
+      * right after the guarded query runs, so an evicted-or-mistyped
+      * name still fails the assertion instead of crashing the session.
+      * Read promptly after the query if you need the true count. */
     def apply(k: String): org.apache.spark.util.LongAccumulator =
-      m.get(k).getOrElse(
-        throw new NoSuchElementException(s"no drop counter registered under '$k'"))
+      m.get(k).getOrElse(new org.apache.spark.util.LongAccumulator)
     def get(k: String): Option[org.apache.spark.util.LongAccumulator] = m.get(k)
   }
 

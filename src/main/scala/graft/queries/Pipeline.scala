@@ -7,10 +7,15 @@ import graft.operators.{Chunking, Contamination, Dedup, Packing, Sampling, Scrub
 /** LLM-training-data pipeline surface (SURVEY.md §2C): dedup, text
   * analysis, and vector similarity over the `documents` / `embeddings`
   * fixtures. Everything with a deterministic ANSI-SQL twin carries a
-  * DuckDB oracle; hash-based operators (MinHash/SimHash/LSH — Spark
-  * `xxhash64`/`hash` have no DuckDB equivalent) are rows-only checked
-  * here and differentially tested against their exact counterparts in
-  * scalatest (see PipelineSpec).
+  * DuckDB oracle stating the result literally; operators whose raw
+  * output has no SQL twin (MinHash/SimHash/LSH buckets, approximate
+  * top-k, trained models) are graded through self-computed invariants
+  * the oracle states as literals — recall floors vs an in-query exact
+  * anchor, error bounds vs an exact count, containment vs the exact
+  * closure, planted-structure recovery, hand-derived merge tables
+  * (the q84/q85 symbolic-oracle pattern; every query here hash-matches
+  * as of round 8). Differential tests against exact counterparts live
+  * in PipelineSpec.
   *
   * Scale posture: every operator is row-local or shuffle-keyed (token,
   * fingerprint, LSH bucket) — no driver materialization, no O(n²) unless
@@ -31,8 +36,12 @@ object Pipeline {
 
   /** Self-grading rig for the approximate top-k paths (q32/q55): left-
     * join the exact anchor's (query, neighbor) pairs against the
-    * approximate result, reduce to one macro-averaged recall scalar, and
-    * re-attach it to the per-query result counts. Output rows are fully
+    * approximate result, reduce to one MACRO-averaged recall scalar —
+    * per-query hit ratio first, then the mean over queries (ADVICE r8:
+    * the r8 shape pooled all pairs into one ratio, so a severe
+    * single-query collapse could partially hide under the other
+    * queries' hits; macro weighs every query equally) — and re-attach
+    * it to the per-query result counts. Output rows are fully
     * oracle-predictable: (query_id, n_results = k, recall_ok = floor
     * verdict). The anchor side defines the query universe, so a query
     * the index starved to < k results (or lost entirely) changes
@@ -44,7 +53,9 @@ object Pipeline {
       lit(1).as("__hit"))
     val recall = exact.select("query_id", "neighbor_id")
       .join(hit, Seq("query_id", "neighbor_id"), "left")
-      .agg((count(col("__hit")).cast("double") / count(lit(1))).as("__recall"))
+      .groupBy("query_id")
+      .agg((count(col("__hit")).cast("double") / count(lit(1))).as("__r"))
+      .agg(avg(col("__r")).as("__recall"))
     approx.groupBy("query_id")
       .agg(count(lit(1)).cast("long").as("n_results"))
       .crossJoin(broadcast(recall))

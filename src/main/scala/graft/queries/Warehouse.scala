@@ -161,6 +161,47 @@ object Warehouse {
       src.expireSnapshots(compacted.snapshotId)       // offset now pre-history
       Follower.followOnce(src, offset)(feed)          // must self-heal: resync
       conn.query("replica").orderBy("tag", "o_orderkey")
+    },
+
+    // ---- q103: manifest-stats file skipping (readWhere), graded ------
+    // Grades GraftTable.readWhere — planning-time file pruning from
+    // manifest min/max stats: O(manifest) metadata work replaces an
+    // O(table) scan, the single biggest scan lever at 100 TB — which
+    // was previously visible only to WarehouseSpec (r7 task #3). The
+    // rig range-clusters the orders table into two snapshots of 8
+    // stats-bearing files each (pruning must resolve stats across
+    // MULTIPLE manifests, not just the head's), range-reads the bottom
+    // quartile of the key space, and grades two things the oracle
+    // states literally: the row set (plain SQL WHERE over the raw
+    // parquet — pruning may lose no rows) and `pruned_ok` — the scan's
+    // input files are a non-empty STRICT subset of the table's data
+    // files, witnessed from the resolved scan inputs. A readWhere that
+    // silently degraded to a full scan would still return correct
+    // rows; the witness column is what makes the PRUNING itself
+    // hash-graded. The quartile bound is computed by both sides from
+    // the data (floor-div by 4), so the query is scale-factor-free.
+    Q("q103_read_where",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |  TRUE AS pruned_ok
+        |FROM orders
+        |WHERE o_orderkey <= (SELECT CAST(floor(max(o_orderkey) / 4.0) AS BIGINT)
+        |                     FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_rw", base.limit(0)) // schema-only create
+      val t = conn.loadTable("orders_rw")
+      Seq(0, 1).foreach { p =>
+        t.append(base.filter(col("o_orderkey") % 2 === p),
+          clusterBy = Seq("o_orderkey"), clusterParts = 8)
+      }
+      val upper = base.agg(max(col("o_orderkey"))).head.getLong(0) / 4
+      val slice = t.readWhere("o_orderkey", None, Some(upper))
+      val scanned = slice.inputFiles.length
+      val total = t.log.dataFiles(None).length
+      slice.withColumn("pruned_ok", lit(scanned > 0 && scanned < total))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql
