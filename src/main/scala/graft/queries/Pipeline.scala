@@ -1117,26 +1117,52 @@ object Pipeline {
     // ---- BPE encoding with the learned merges (train → apply loop) -----
     // Trains the REAL 40-merge table on the full corpus (the distributed
     // word-count shuffle + argmax loop), encodes every document with it,
-    // and grades the lossless-segmentation invariant: greedy merge
-    // application must yield subwords that concatenate (with "</w>" as
-    // the word seam) back to the normalized text, for every document —
-    // an encoder that drops, duplicates, or mis-merges symbols flips
-    // `roundtrip_ok` and hash-mismatches. n_words anchors the row to the
-    // q51-graded tokenization.
+    // and grades three invariants:
+    //  - `roundtrip_ok` (per doc): greedy merge application must yield
+    //    subwords that concatenate (with "</w>" as the word seam) back
+    //    to the normalized text — an encoder that drops, duplicates, or
+    //    mis-merges symbols flips it. This is encode-side only: ANY
+    //    merge table segments losslessly, so alone it says nothing
+    //    about training (ADVICE r8).
+    //  - `n_merges` (pinned literal 40): training on the full corpus
+    //    must deliver every requested merge — a truncated table (early
+    //    exhaustion, a broken argmax loop returning short) mismatches.
+    //  - `merges_ok` (corpus-wide verdict): every trained merge rank
+    //    APPLIES at least once when the training corpus is re-encoded.
+    //    Greedy lowest-rank-first application replays training in rank
+    //    order on the corpus the table was learned from (merge k's
+    //    operands are single chars or products of merges < k), so each
+    //    rank's training-time pair_count ≥ 1 must reappear; a permuted,
+    //    foreign, or wrongly-ranked table starves some rank and flips
+    //    the verdict. This makes the distributed word-count/argmax path
+    //    on the full corpus oracle-visible, not just PipelineSpec-
+    //    visible. n_words anchors the row to the q51-graded tokenizer.
     // Spec anchor retained: PipelineSpec "bpeEncode applies learned
     // merges greedily by rank".
     Q("q89_bpe_encode",
       s"""SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_words,
-         |  TRUE AS roundtrip_ok
+         |  TRUE AS roundtrip_ok, CAST(40 AS BIGINT) AS n_merges,
+         |  TRUE AS merges_ok
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = T.documents(s, d)
       val merges = TA.bpeTrain(docs, "text", numMerges = 40)
-      TA.bpeEncode(docs, "text", merges)
-        .select(col("doc_id"),
+      val enc = TA.bpeEncode(docs, "text", merges, rankAppsCol = "rank_apps")
+      // corpus-wide replay verdict: element-wise sum of the per-doc
+      // rank-application arrays, then "every rank fired" as one boolean.
+      // posexplode of a 40-long array per doc + one 40-group agg — noise
+      // next to the training shuffle; the verdict row is a 1-row
+      // broadcast (q56 pattern).
+      val verdict = enc
+        .select(posexplode(col("rank_apps")).as(Seq("rk", "n_apps")))
+        .groupBy(col("rk")).agg(sum(col("n_apps")).as("total"))
+        .agg((count(lit(1)).as("n_merges")),
+          (min(col("total")) > 0L).as("merges_ok"))
+      enc.select(col("doc_id"),
           TA.tokenCount(col("text")).cast("long").as("n_words"),
           (regexp_replace(lower(trim(col("text"))), "\\s+", " ") ===
             rtrim(regexp_replace(concat_ws("", col("bpe_tokens")),
               "</w>", " "))).as("roundtrip_ok"))
+        .crossJoin(broadcast(verdict))
         .orderBy("doc_id")
     },
 
