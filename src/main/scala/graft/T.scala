@@ -43,9 +43,14 @@ object T {
 
   private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects outright; read it as raw ns-since-epoch and
-      // truncate to µs (matches DuckDB semantics at µs granularity).
+      // CURRENT testdata (regenerated 2026-08-13): every timestamp column
+      // is parquet timestamp[us] tz=None, which Spark 4 reads as
+      // TIMESTAMP_NTZ — no special handling needed; the branch below is
+      // belt-and-suspenders for the PREVIOUS generator, which emitted
+      // events.ts as TIMESTAMP(NANOS) (rejected by the vectorized reader
+      // unless read as raw ns-since-epoch and truncated to µs). If the
+      // generator ever flips back, this keeps reads working; on today's
+      // data the LongType branch never fires.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)

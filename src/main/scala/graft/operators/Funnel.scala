@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types._
 
 /** Ordered conversion funnel: the highest stage each user reached with
   * STRICTLY increasing timestamps — stage i counts only if an event of
@@ -37,6 +37,29 @@ object Funnel {
     val slim = df.select(col(userCol), col(typeCol), col(tsCol))
       .filter(col(tsCol).isNotNull && col(typeCol).isNotNull)
     val stageArr = stages.toArray
+    // Resolve the micros extractor from the SCHEMA type, once, outside the
+    // per-row loop. The external Row type of a timestamp depends on the
+    // parquet logical type: TIMESTAMP (with tz) surfaces java.sql.Timestamp,
+    // TIMESTAMP_NTZ surfaces java.time.LocalDateTime — getTimestamp() on the
+    // latter throws ClassCastException. Comparing epoch-micros longs handles
+    // both, avoids boxed compareTo in the hot loop, and is independent of the
+    // session timezone (NTZ wall-clock is mapped at a fixed UTC offset; only
+    // the ORDER matters here, and a fixed offset preserves it exactly).
+    val micros: Row => Long = slim.schema(2).dataType match {
+      case TimestampType => r => {
+        val t = r.getTimestamp(2)
+        t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      }
+      case TimestampNTZType => r => {
+        val t = r.getAs[java.time.LocalDateTime](2)
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
+      }
+      case DateType => r =>
+        r.getAs[java.sql.Date](2).getTime * 1000L
+      case LongType => _.getLong(2)
+      case other => throw new IllegalArgumentException(
+        s"funnel ts column '$tsCol' has unsupported type $other")
+    }
     slim
       .repartition(col(userCol))
       .sortWithinPartitions(col(userCol), col(tsCol))
@@ -49,13 +72,13 @@ object Funnel {
           override def next(): Row = {
             val u = buf.head.get(0)
             var reached = 0
-            var lastTs: java.sql.Timestamp = null
+            var lastTs = Long.MinValue
             while (buf.hasNext && buf.head.get(0) == u) {
               val row = buf.next()
               if (reached < stageArr.length &&
                   row.getString(1) == stageArr(reached)) {
-                val ts = row.getTimestamp(2)
-                if (reached == 0 || ts.compareTo(lastTs) > 0) {
+                val ts = micros(row)
+                if (reached == 0 || ts > lastTs) {
                   lastTs = ts
                   reached += 1
                 }

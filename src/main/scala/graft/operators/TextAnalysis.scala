@@ -354,10 +354,20 @@ object TextAnalysis {
       merges: org.apache.spark.sql.DataFrame,
       outCol: String = "bpe_tokens",
       rankAppsCol: String = null): org.apache.spark.sql.DataFrame = {
-    val ranks: Map[(String, String), Int] = merges
+    val rankRows = merges
       .select(col("left"), col("right"), col("rank").cast("int"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+      .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
+    // A duplicate (left,right) key would make one of its ranks
+    // unreachable in the greedy lookup below (toMap keeps the last) and
+    // spuriously flip q89's merges_ok replay verdict on a CORRECT
+    // pipeline. Training can in principle re-learn a pair whose string
+    // re-forms via a different merge path, so fail LOUD here instead of
+    // letting the grading invariant rot silently.
+    require(rankRows.map(_._1).distinct.length == rankRows.length,
+      "merge table has duplicate (left,right) pairs at different ranks — " +
+        "greedy rank lookup cannot represent it; dedupe the table first")
+    val ranks: Map[(String, String), Int] = rankRows.toMap
     val maxRank = if (ranks.isEmpty) 0 else ranks.values.max
     val bc = df.sparkSession.sparkContext.broadcast(ranks)
     val enc = udf { text: String =>

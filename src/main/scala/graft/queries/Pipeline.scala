@@ -1146,7 +1146,18 @@ object Pipeline {
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = T.documents(s, d)
       val merges = TA.bpeTrain(docs, "text", numMerges = 40)
+      // The verdict aggregate and the per-doc projection are two plan
+      // references to `enc`; without materialization each re-runs the
+      // full-corpus encode UDF (ADVICE r9 — measured ~2× q89). AQE does
+      // NOT stage-reuse the two subtrees here (probed: the crossJoin
+      // dedup re-IDs the broadcast side and the stages plan apart), and
+      // `persist` pins blocks in CacheManager until an unpersist this
+      // rig has no post-consumption hook to issue. `localCheckpoint`
+      // (eager) runs the encode ONCE, parks the result as executor-local
+      // RDD blocks both consumers read, and the ContextCleaner reclaims
+      // them when the plan is GC'd — single evaluation, no ownership.
       val enc = TA.bpeEncode(docs, "text", merges, rankAppsCol = "rank_apps")
+        .localCheckpoint()
       // corpus-wide replay verdict: element-wise sum of the per-doc
       // rank-application arrays, then "every rank fired" as one boolean.
       // posexplode of a 40-long array per doc + one 40-group agg — noise

@@ -200,7 +200,11 @@ object Warehouse {
       val slice = t.readWhere("o_orderkey", None, Some(upper))
       val scanned = slice.inputFiles.length
       val total = t.log.dataFiles(None).length
-      slice.withColumn("pruned_ok", lit(scanned > 0 && scanned < total))
+      // readWhere prunes at FILE granularity (its contract: the caller
+      // still applies the row-level filter) — boundary files whose
+      // [min,max] straddles the bound contribute rows above it otherwise.
+      slice.filter(col("o_orderkey") <= upper)
+        .withColumn("pruned_ok", lit(scanned > 0 && scanned < total))
         .orderBy("o_orderkey")
     })
 

@@ -271,6 +271,15 @@ final class GraftTable private (
             numMax += c -> FileStat.dirDouble(mx, up = true)
           case (mn: java.sql.Timestamp, mx: java.sql.Timestamp) =>
             numMin += c -> mn.getTime.toDouble; numMax += c -> mx.getTime.toDouble
+          // TIMESTAMP_NTZ surfaces as LocalDateTime (the current testdata's
+          // type); record epoch-millis-at-UTC to stay unit-compatible with
+          // the Timestamp case so mayContain compares like with like
+          case (mn: java.time.LocalDateTime, mx: java.time.LocalDateTime) =>
+            numMin += c -> mn.toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble
+            numMax += c -> mx.toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble
+          case (mn: java.time.Instant, mx: java.time.Instant) =>
+            numMin += c -> mn.toEpochMilli.toDouble
+            numMax += c -> mx.toEpochMilli.toDouble
           case (mn, mx) =>
             strMin += c -> mn.toString; strMax += c -> mx.toString
         }
@@ -387,6 +396,18 @@ final class GraftTable private (
     * This is the Iceberg metadata-skip path — O(manifest) work replaces
     * an O(table) scan when the table is clustered on `column`. */
   def readWhere(column: String, lower: Option[Any], upper: Option[Any],
+      asOf: Option[Long] = None): DataFrame =
+    readWhereAll(Seq((column, lower, upper)), asOf)
+
+  /** Multi-predicate file pruning: keep only files whose stats may
+    * satisfy EVERY (column, lower, upper) conjunct. With a Z-order
+    * clustered table ([[ZOrder.cluster]]) each file covers a small
+    * hyper-rectangle in every clustered dimension, so a conjunction
+    * prunes multiplicatively — the layout that makes two-column
+    * range queries skip at file granularity on a single table copy.
+    * Same contract as [[readWhere]]: the caller still applies the
+    * row-level filters. */
+  def readWhereAll(preds: Seq[(String, Option[Any], Option[Any])],
       asOf: Option[Long] = None): DataFrame = {
     val snaps = log.snapshots
     val cut = asOf.getOrElse(Long.MaxValue)
@@ -394,7 +415,8 @@ final class GraftTable private (
       .flatMap(s => s.stats).toMap
     val kept = log.dataFiles(asOf).filter { abs =>
       val rel = dir.relativize(java.nio.file.Paths.get(abs)).toString
-      statsByFile.get(rel).forall(_.mayContain(column, lower, upper))
+      statsByFile.get(rel).forall(st =>
+        preds.forall { case (c, lo, hi) => st.mayContain(c, lo, hi) })
     }
     val sch = schemaAsOf(asOf) // consistent with read(asOf) across evolutions
     if (kept.isEmpty)

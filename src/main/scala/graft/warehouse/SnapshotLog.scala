@@ -49,6 +49,11 @@ final case class FileStat(
     def num(v: Any, up: Boolean): Double = v match {
       case n: Number => FileStat.dirDouble(n, up)
       case t: java.sql.Timestamp => t.getTime.toDouble
+      // NTZ bound (LocalDateTime) / java8-API bound (Instant): same
+      // epoch-millis-at-UTC unit the stats writer records for them
+      case t: java.time.LocalDateTime =>
+        t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble
+      case t: java.time.Instant => t.toEpochMilli.toDouble
       case other => other.toString.toDouble
     }
     (numMin.get(column), numMax.get(column)) match {

@@ -1,0 +1,84 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering for multi-dimensional file
+  * skipping: lay a table out so each data file covers a small
+  * hyper-rectangle in TWO dimensions at once, making
+  * [[GraftTable.readWhereAll]] prune files for range predicates on
+  * either column — or both, multiplicatively — from ONE table copy.
+  * Single-column range clustering (append's `clusterBy`) gives perfect
+  * skipping on one column and none on any other; Z-order trades a
+  * little of the first for usable skipping on both. The reference has
+  * no layout control at all (its appends land row-batches as-is).
+  *
+  * Scale shape: one 4-value min/max aggregate (driver-side O(1)) to
+  * learn the normalization bounds, then a single range-exchange on the
+  * interleaved key — the same one shuffle a plain clustered write pays.
+  * The Z-value itself is pure Catalyst bit arithmetic (shift/and/or),
+  * codegen'd, never a UDF.
+  *
+  * Normalization matters: interleaving RAW values lets the wider
+  * column's high bits dominate the curve (a 2^16-range column next to
+  * a 2^11-range one degenerates to ordering by the wide column alone),
+  * so both columns are first linearly rank-scaled to 16 bits. Linear
+  * scaling assumes roughly uniform key mass — the TPC-H-ish key
+  * columns here are exactly that; heavily skewed columns would want a
+  * quantile-based rank (percentile buckets) in place of min/max
+  * scaling, same curve downstream.
+  */
+object ZOrder {
+
+  /** Interleave one zero bit between the low 16 bits (Morton spread),
+    * via the standard mask-doubling ladder — five shift/and/or steps,
+    * all Catalyst built-ins. */
+  private def spread16(c: Column): Column = {
+    var x = c.bitwiseAND(lit(0xFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+    x
+  }
+
+  /** 32-bit Z-value of two 16-bit ranks (a in even bits, b in odd). */
+  private[graft] def zvalue(rankA: Column, rankB: Column): Column =
+    spread16(rankA).bitwiseOR(shiftleft(spread16(rankB), 1))
+
+  /** Linear 16-bit rank of a numeric column over [lo, hi]. */
+  private def rank16(c: Column, lo: Double, hi: Double): Column =
+    if (hi > lo)
+      ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0))
+        .cast("long")
+    else lit(0L)
+
+  /** Re-lay `df` along the Z-curve of two numeric columns. Append the
+    * result with per-column stats and both columns prune:
+    * {{{
+    * table.append(ZOrder.cluster(df, "a", "b", parts = 16),
+    *              statsCols = Seq("a", "b"))
+    * }}}
+    * The Z key is computed, range-partitioned on, sorted within
+    * partitions (row-group-level locality inside each file), and
+    * DROPPED — the stored schema is untouched.
+    *
+    * @param parts file granularity: number of Z-ranges (≈ data files);
+    *              more files = finer skipping, smaller row groups */
+  def cluster(df: DataFrame, colA: String, colB: String,
+      parts: Int): DataFrame = {
+    require(parts > 0, "parts must be positive")
+    val b = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    require(!b.isNullAt(0) && !b.isNullAt(2),
+      s"Z-order needs non-null bounds for $colA and $colB")
+    val tmp = "__graft_zvalue"
+    df.withColumn(tmp,
+        zvalue(rank16(col(colA), b.getDouble(0), b.getDouble(1)),
+               rank16(col(colB), b.getDouble(2), b.getDouble(3))))
+      .repartitionByRange(parts, col(tmp))
+      .sortWithinPartitions(tmp)
+      .drop(tmp)
+  }
+}

@@ -438,6 +438,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 0, 6L -> 3))
   }
 
+  test("funnel accepts TIMESTAMP_NTZ (the driver testdata's current type)") {
+    // java.time.LocalDateTime encodes as TimestampNTZType, whose external
+    // Row type is LocalDateTime, not java.sql.Timestamp — this pins the
+    // type axis that crashed q63 when the testdata regenerated as µs-NTZ.
+    import spark.implicits._
+    def ts(s: Long) = java.time.LocalDateTime.ofEpochSecond(
+      s, 0, java.time.ZoneOffset.UTC)
+    val events = Seq(
+      (1L, "view", ts(10)), (1L, "click", ts(20)), (1L, "purchase", ts(30)),
+      (2L, "click", ts(5)), (2L, "view", ts(10)),
+      (3L, "view", ts(10)), (3L, "click", ts(10)), // tie: strict > required
+      (4L, "view", ts(1)), (4L, "click", ts(2)), (4L, "purchase", ts(2)),
+      (5L, "purchase", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    assert(events.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    val got = graft.operators.Funnel.ordered(events, "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 0))
+  }
+
   test("decontamination flags a planted benchmark copy with its full shingle count") {
     val docs = T.documents(spark, sf)
     val bench = docs.filter(col("doc_id") < 10)

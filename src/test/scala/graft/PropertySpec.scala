@@ -263,6 +263,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: BoundedLru fires exactly one onEvict per displaced value under concurrent puts/gets/clear") {
+    // Conservation law (the OpUtil.scala scaladoc claim): after a final
+    // clear() flushes residents, the evict log must contain EVERY value
+    // ever put EXACTLY once — a missed callback (leak) shows as absence,
+    // a doubled one (e.g. replacement + eviction both firing for the
+    // same value, or clear racing put) shows as a duplicate. Values are
+    // globally unique so the multiset comparison is exact. The keyspace
+    // (32) is 4× the cap (8), so capacity eviction, same-key
+    // replacement, and mid-run clear() all fire constantly.
+    val evicted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val lru = new graft.operators.BoundedLru[Int, Long](8,
+      (_, v) => { evicted.add(v); () })
+    val nThreads = 8; val perThread = 500
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        try {
+          val rnd = new scala.util.Random(0xBEEF + t)
+          var i = 0
+          while (i < perThread) {
+            lru.put(rnd.nextInt(32), t * 1000000L + i)
+            if (i % 7 == 0) lru.get(rnd.nextInt(32)) // churn access order
+            if (t == 0 && i % 101 == 100) lru.clear() // clear vs put race
+            i += 1
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"worker threw: ${failures.peek()}")
+    lru.clear() // flush survivors — winners must evict HERE, once
+    val log = {
+      import scala.jdk.CollectionConverters._
+      evicted.iterator().asScala.toVector
+    }
+    val all = for {
+      t <- 0 until nThreads; i <- 0 until perThread
+    } yield t * 1000000L + i
+    val dup = log.groupBy(identity).filter(_._2.size > 1).keys.take(5)
+    assert(dup.isEmpty, s"values evicted more than once: $dup")
+    assert(log.sorted == all.sorted.toVector,
+      s"evict log ${log.size} values vs ${all.size} put — leak or double-fire")
+  }
+
   test("property: minhash estimate stays in [0,1] and self-similarity is 1") {
     val spark = SparkTestSession.spark
     val docs = T.documents(spark, "/root/testdata/sf0.001").limit(50)

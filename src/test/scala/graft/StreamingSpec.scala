@@ -54,6 +54,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("tumbling windows merge state across MULTIPLE micro-batches (q94 coverage witness)") {
+    // The q94 rig's whole point is cross-batch partial-state merging
+    // (4 unordered files × maxFilesPerTrigger=1). A trigger/staging
+    // change could silently collapse that to one batch-in-disguise and
+    // the oracle would still pass — so pin the merge coverage here.
+    // Pigeonhole witness: each batch updates a state row at most once,
+    // so Σ(per-batch numRowsUpdated) > |final windows| forces at least
+    // one window updated by ≥2 batches.
+    val dir = Files.createTempDirectory("graft-stream-mb").toString
+    T.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4).write.mode("overwrite").parquet(dir)
+    val agg = EventStreams.tumblingCounts(
+      EventStreams.readEvents(spark, dir, maxFilesPerTrigger = 1))
+    val q = agg.writeStream
+      .format("memory").queryName("tumbling_mb")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val progresses = q.recentProgress.toSeq
+    val dataBatches = progresses.count(_.numInputRows > 0)
+    assert(dataBatches >= 2,
+      s"only $dataBatches micro-batch(es) carried data — staging no " +
+        "longer exercises cross-batch merging")
+    val totalUpdates = progresses
+      .flatMap(_.stateOperators.toSeq).map(_.numRowsUpdated).sum
+    val finalRows = spark.table("tumbling_mb").count()
+    assert(finalRows > 0)
+    assert(totalUpdates > finalRows,
+      s"state updates ($totalUpdates) ≤ final windows ($finalRows): no " +
+        "window was touched by more than one batch — merge coverage lost")
+    spark.catalog.dropTempView("tumbling_mb")
+  }
+
   test("session windows produce per-user sessions covering all events") {
     val (dir, batchDf) = stageEvents()
     runToTable(EventStreams.userSessions(
