@@ -350,6 +350,49 @@ object Relational {
           n("n_nationkey") > r("r_regionkey") * 4)
         .select(col("n_name"), col("r_name"))
         .orderBy("n_name", "r_name")
+    },
+
+    // ---- bucketed co-located join (shuffle-free fact×fact) ----
+    // At 100 TB the orders⋈lineitem shuffle IS the query cost; bucketing
+    // both tables on the join key at write time makes every subsequent
+    // join/agg on that key exchange-free — the classic pay-once layout.
+    // The plan witness makes the LAYOUT graded, not just the rows: the
+    // physical plan must contain a SortMergeJoin and NO hash-partition
+    // exchange (a broadcast sneaking in, bucketing silently disabled, or
+    // mismatched bucket counts all flip it). The merge hint pins SMJ so
+    // the witness can't be trivially true via a BroadcastHashJoin.
+    Q("q104_bucketed_join",
+      """SELECT o_orderkey, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS revenue,
+        |  TRUE AS colocated_ok
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val oT = s"orders_bkt_$tag"; val lT = s"lineitem_bkt_$tag"
+      T.orders(s, d).select(col("o_orderkey"))
+        .write.bucketBy(8, "o_orderkey")
+        .option("path", Scratch.dir("q104_o")).saveAsTable(oT)
+      T.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+        .write.bucketBy(8, "l_orderkey")
+        .option("path", Scratch.dir("q104_l")).saveAsTable(lT)
+      val joined = s.table(oT).hint("merge")
+        .join(s.table(lT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+      // the grouped plan (pre-ORDER BY: the final sort legitimately
+      // range-exchanges) must be exchange-free end to end — bucketed
+      // scans satisfy the join AND the same-key aggregation
+      val plan = joined.queryExecution.executedPlan.toString
+      val colocated = plan.contains("SortMergeJoin") &&
+        !plan.contains("Exchange hashpartitioning")
+      val landed = Scratch.dir("q104_out")
+      joined.withColumn("colocated_ok", lit(colocated))
+        .write.mode("overwrite").parquet(landed)
+      s.sql(s"DROP TABLE IF EXISTS $oT")
+      s.sql(s"DROP TABLE IF EXISTS $lT")
+      s.read.parquet(landed).orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Q, T}
 import org.apache.spark.sql.functions._
 
-import graft.warehouse.{Connector, Follower}
+import graft.warehouse.{Connector, Follower, ZOrder}
 
 /** Graded warehouse-DML surface: the copy-on-write upsert / deleteWhere
   * path (`GraftTable.scala`) exercised end-to-end under the driver's
@@ -205,6 +205,49 @@ object Warehouse {
       // [min,max] straddles the bound contribute rows above it otherwise.
       slice.filter(col("o_orderkey") <= upper)
         .withColumn("pruned_ok", lit(scanned > 0 && scanned < total))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- q105: Z-order clustering → two-dimensional file skipping ----
+    // One table copy, clustered along the Morton curve of (o_custkey,
+    // o_orderkey), must prune files for a range predicate on EITHER
+    // column — and multiplicatively for their conjunction. The witness
+    // grades the layout property itself: each single-column readWhere
+    // must skip files, and the conjunctive readWhereAll must skip at
+    // least as much as either alone. Single-column range clustering
+    // (q103's layout) can never satisfy the off-cluster half of that.
+    // Rows are re-checked with the row-level filters per the readWhere
+    // contract, so the oracle equality holds regardless of which
+    // boundary files survive pruning.
+    Q("q105_zorder_prune",
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+        |  TRUE AS zprune_ok
+        |FROM orders
+        |WHERE o_custkey <= (SELECT CAST(floor(max(o_custkey) / 4.0) AS BIGINT)
+        |                    FROM orders)
+        |  AND o_orderkey <= (SELECT CAST(floor(max(o_orderkey) / 4.0) AS BIGINT)
+        |                     FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_z", base.limit(0))
+      val t = conn.loadTable("orders_z")
+      t.append(ZOrder.cluster(base, "o_custkey", "o_orderkey", 16),
+        statsCols = Seq("o_custkey", "o_orderkey"))
+      val bounds = base.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+      val ck = bounds.getAs[Number](0).longValue() / 4
+      val ok = bounds.getAs[Number](1).longValue() / 4
+      val slice = t.readWhereAll(Seq(
+        ("o_custkey", None, Some(ck)), ("o_orderkey", None, Some(ok))))
+      val total = t.log.dataFiles(None).length
+      val both = slice.inputFiles.length
+      val onlyA = t.readWhere("o_custkey", None, Some(ck)).inputFiles.length
+      val onlyB = t.readWhere("o_orderkey", None, Some(ok)).inputFiles.length
+      val witness = both > 0 && onlyA < total && onlyB < total &&
+        both <= onlyA && both <= onlyB
+      slice.filter(col("o_custkey") <= ck && col("o_orderkey") <= ok)
+        .withColumn("zprune_ok", lit(witness))
         .orderBy("o_orderkey")
     })
 

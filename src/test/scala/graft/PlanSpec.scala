@@ -331,6 +331,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("bucketed tables join and aggregate with zero hash exchanges") {
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bkt-").toString
+    T.orders(spark, sf).select(col("o_orderkey"))
+      .write.bucketBy(4, "o_orderkey")
+      .option("path", s"$dir/o").saveAsTable(s"o_$tag")
+    T.lineitem(spark, sf).select(col("l_orderkey"), col("l_extendedprice"))
+      .write.bucketBy(4, "l_orderkey")
+      .option("path", s"$dir/l").saveAsTable(s"l_$tag")
+    val joined = spark.table(s"o_$tag").hint("merge")
+      .join(spark.table(s"l_$tag"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"))
+    val p = plan(joined)
+    assert(p.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed join+agg must not shuffle:\n$p")
+    // co-location changed the plan, not the answer
+    val plain = T.orders(spark, sf).select(col("o_orderkey"))
+      .join(T.lineitem(spark, sf).select(col("l_orderkey"), col("l_extendedprice")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"))
+    assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+    spark.sql(s"DROP TABLE IF EXISTS o_$tag")
+    spark.sql(s"DROP TABLE IF EXISTS l_$tag")
+  }
+
   test("pricing summary pushes the shipdate filter and prunes columns") {
     val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),

@@ -116,6 +116,54 @@ class WarehouseSpec extends AnyFunSuite {
       f.numMin.contains("id") && f.strMin.contains("name")))
   }
 
+  test("ZOrder.zvalue matches a reference Morton interleave bit-for-bit") {
+    // independent formulation: per-bit loop, no mask ladder
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+      }
+    val rnd = new scala.util.Random(0x5EED)
+    val cases = Seq((0L, 0L), (65535L, 65535L), (1L, 0L), (0L, 1L)) ++
+      Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val df = cases.toDF("a", "b").withColumn("z",
+      graft.warehouse.ZOrder.zvalue(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) === morton(r.getLong(0), r.getLong(1)),
+        s"a=${r.getLong(0)} b=${r.getLong(1)}")
+    }
+  }
+
+  test("Z-order clustered table prunes files on BOTH columns; slices stay sound") {
+    val c = new Connector(spark, freshWarehouse())
+    // deliberately different ranges per dim: x in [0,1000), y in
+    // [0,64000) — the normalization must keep x-pruning useful anyway
+    val df = spark.range(0, 16000).toDF("i")
+      .withColumn("x", $"i" % 1000)
+      .withColumn("y", ($"i" * 37) % 64000)
+      .select("x", "y")
+    c.createTable("tz", df.limit(0))
+    val t = c.loadTable("tz")
+    t.append(graft.warehouse.ZOrder.cluster(df, "x", "y", 16),
+      statsCols = Seq("x", "y"))
+    val total = t.read().inputFiles.length
+    assert(total > 4, s"want multiple files, got $total")
+    val px = t.readWhere("x", None, Some(249L)).inputFiles.length
+    val py = t.readWhere("y", None, Some(15999L)).inputFiles.length
+    val pb = t.readWhereAll(Seq(
+      ("x", None, Some(249L)), ("y", None, Some(15999L)))).inputFiles.length
+    assert(px < total, s"x alone must prune: $px of $total")
+    assert(py < total, s"y alone must prune: $py of $total")
+    assert(pb <= px && pb <= py && pb > 0,
+      s"conjunction must prune at least as hard: $pb vs ($px, $py)")
+    // soundness: pruned scan + row filter ≡ full scan + row filter
+    val want = t.read().filter($"x" <= 249 && $"y" <= 15999).count()
+    val got = t.readWhereAll(Seq(("x", None, Some(249L)), ("y", None, Some(15999L))))
+      .filter($"x" <= 249 && $"y" <= 15999).count()
+    assert(got === want)
+  }
+
   test("compact rewrites files without changing content; expiry reclaims them") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
