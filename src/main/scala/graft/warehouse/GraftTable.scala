@@ -317,7 +317,10 @@ final class GraftTable private (
     * reference writes one row per second per writer) otherwise mean
     * thousands of tiny files per scan. */
   def compact(targetFiles: Int = 0, clusterBy: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil): Snapshot = {
+      statsCols: Seq[String] = Nil,
+      zOrderBy: Option[(String, String)] = None): Snapshot = {
+    require(zOrderBy.isEmpty || clusterBy.isEmpty,
+      "pick zOrderBy OR clusterBy — the layouts are mutually exclusive")
     // A compact REPLACES the visible file set, so it must be conditional
     // on the snapshot it rewrote: an append that commits between our
     // read and our commit would otherwise be silently dropped from head
@@ -332,11 +335,17 @@ final class GraftTable private (
       val parts = if (targetFiles > 0) targetFiles
         else math.max(1, spark.sparkContext.defaultParallelism / 2)
       val commitDir = dir.resolve("data").resolve(s"c${UUID.randomUUID().toString.take(12)}")
-      val out =
-        if (clusterBy.nonEmpty)
-          current.repartitionByRange(parts,
-            clusterBy.map(org.apache.spark.sql.functions.col): _*)
-        else current.repartition(parts)
+      val out = zOrderBy match {
+        // compaction is WHEN a long-appended table gets its Z-layout:
+        // appends land in arrival order; one rewrite re-lays the whole
+        // visible set along the curve and re-collects prunable stats
+        case Some((a, b)) => ZOrder.cluster(current, a, b, parts)
+        case None =>
+          if (clusterBy.nonEmpty)
+            current.repartitionByRange(parts,
+              clusterBy.map(org.apache.spark.sql.functions.col): _*)
+          else current.repartition(parts)
+      }
       out.write.parquet(commitDir.toString)
       val files = Files.list(commitDir).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -344,7 +353,8 @@ final class GraftTable private (
         .toSeq.sorted
       // without re-collected stats the compacted files would be unprunable
       // (a silent regression for readWhere) — record them when asked
-      val wanted = (clusterBy ++ statsCols).distinct
+      val wanted = (zOrderBy.toSeq.flatMap(t => Seq(t._1, t._2)) ++
+        clusterBy ++ statsCols).distinct
       val stats = if (wanted.isEmpty) Map.empty[String, FileStat]
         else collectStats(commitDir, wanted)
       try {

@@ -164,6 +164,28 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("compact with zOrderBy re-lays arrival-order appends into a prunable Z layout") {
+    val c = new Connector(spark, freshWarehouse())
+    val df = spark.range(0, 16000).toDF("i")
+      .withColumn("x", $"i" % 1000)
+      .withColumn("y", ($"i" * 37) % 64000)
+      .select("x", "y")
+    c.createTable("tzc", df.limit(0))
+    val t = c.loadTable("tzc")
+    // two arrival-order appends: stats (if any) span the full range,
+    // so nothing prunes before the rewrite
+    t.append(df.filter($"x" % 2 === 0), clusterParts = 4)
+    t.append(df.filter($"x" % 2 =!= 0), clusterParts = 4)
+    val before = t.read().count()
+    t.compact(targetFiles = 16, zOrderBy = Some(("x", "y")))
+    assert(t.read().count() === before, "compact must not change content")
+    val total = t.read().inputFiles.length
+    val px = t.readWhere("x", None, Some(249L)).inputFiles.length
+    val py = t.readWhere("y", None, Some(15999L)).inputFiles.length
+    assert(px < total && py < total,
+      s"z-compacted table must prune on both columns: $px, $py of $total")
+  }
+
   test("compact rewrites files without changing content; expiry reclaims them") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
