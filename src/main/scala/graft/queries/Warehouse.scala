@@ -249,6 +249,85 @@ object Warehouse {
       slice.filter(col("o_custkey") <= ck && col("o_orderkey") <= ok)
         .withColumn("zprune_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q106: snapshot diff — the row changelog between snapshots --
+    // Grades GraftTable.diff end-to-end: create a table, upsert a batch
+    // that UPDATES half the even keys (doubled price) and INSERTS odd
+    // keys divisible by 3, then diff across the upsert. Every update
+    // must surface as delete-of-old + insert-of-new, every fresh key as
+    // a bare insert, and the copy-on-write rewrite's untouched rows
+    // must cancel silently — the oracle reconstructs all three sets
+    // from the raw orders table, so a spurious or missing change row
+    // breaks the hash. Multiplying an already-2dp-rounded price by 2 is
+    // exact in binary floating point, so both engines agree without a
+    // second round.
+    Q("q106_snapshot_diff",
+      """WITH upd AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) * 2 AS price
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |), ins AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+        |), del AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderkey % 4 = 0
+        |)
+        |SELECT o_orderkey, price, change_type FROM (
+        |  SELECT *, 'insert' AS change_type FROM upd
+        |  UNION ALL SELECT *, 'insert' AS change_type FROM ins
+        |  UNION ALL SELECT *, 'delete' AS change_type FROM del
+        |) ORDER BY change_type, o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val orders = T.orders(s, d)
+      val base = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_cdf", base)
+      val t = conn.loadTable("orders_cdf")
+      val s1 = t.currentSnapshotId.get
+      val incoming = orders.filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey"),
+            (round(col("o_totalprice"), 2) * 2).as("price"))
+        .unionByName(
+          orders.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price")))
+      t.upsert(incoming, Seq("o_orderkey"))
+      t.diff(s1)
+        .withColumnRenamed("_change_type", "change_type")
+        .orderBy("change_type", "o_orderkey")
+    },
+
+    // ---- q107: incremental prep tick (changesSince ∘ incremental dedup)
+    // The growing-corpus composition a 100 TB crawl pipeline runs every
+    // tick: batch1 committed, batch2 appended; the incremental path
+    // reads ONLY the new files (changesSince), dedupes the batch within
+    // itself and against the existing corpus's fingerprints
+    // (first-seen-wins by arrival), and never rescans batch1's text.
+    // The oracle replays the same semantic over the FULL corpus in
+    // DuckDB — incremental must equal recompute.
+    Q("q107_incremental_prep",
+      """WITH fp AS (
+        |  SELECT doc_id, lang,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+        |    doc_id % 2 AS newb
+        |  FROM documents)
+        |SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, f,
+        |    row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        |  FROM fp WHERE newb = 1) t
+        |WHERE rn = 1 AND f NOT IN (SELECT f FROM fp WHERE newb = 0)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val docs = T.documents(s, d).select("doc_id", "text", "lang")
+      conn.createTable("docs_inc", docs.filter(col("doc_id") % 2 === 0))
+      val t = conn.loadTable("docs_inc")
+      val s1 = t.currentSnapshotId.get
+      t.append(docs.filter(col("doc_id") % 2 === 1))
+      val newRows = t.changesSince(s1)
+      graft.operators.Dedup
+        .incrementalByFingerprint(newRows, t.read(Some(s1)), "text", "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     })
 
   def queries: Seq[Q] = ql

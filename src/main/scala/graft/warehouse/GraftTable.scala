@@ -405,6 +405,52 @@ final class GraftTable private (
     * conservatively; the caller still applies the row-level filter.
     * This is the Iceberg metadata-skip path — O(manifest) work replaces
     * an O(table) scan when the table is clustered on `column`. */
+  /** Row-level changes between two snapshots as a changelog feed
+    * (the Delta-CDF / Iceberg-changelog shape the reference's mirror
+    * could diff against instead of re-reading tables): each row of
+    * the result is a table row plus `_change_type` ∈
+    * {`insert`, `delete`}; an upsert's update appears as the delete
+    * of the old version plus the insert of the new one.
+    *
+    * Unlike [[changesSince]] (append-only, refuses to cross a
+    * rewrite), diff crosses upserts, deletes, and compactions, because
+    * it works on the FILE sets: only files added or removed between
+    * the cuts are read — O(changed files), never O(table) — and the
+    * multiset difference cancels content that merely moved files, so
+    * a pure rewrite (compact) or the untouched rows of a
+    * copy-on-write upsert produce no spurious changes. The cost model
+    * holds at 100 TB exactly because copy-on-write keeps the rewritten
+    * file set proportional to the hit set.
+    *
+    * Additive schema evolution between the cuts is read with the
+    * `toId` schema (missing columns in older files surface as null,
+    * same rule as [[read]] across evolutions).
+    *
+    * @param fromId exclusive-side snapshot (0 = before the table
+    *               existed: every current row reads as an insert)
+    * @param toId   inclusive snapshot to diff to (defaults to head) */
+  def diff(fromId: Long, toId: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val to = if (toId == Long.MaxValue)
+      currentSnapshotId.getOrElse(
+        throw new IllegalStateException(s"table $name has no snapshots"))
+      else toId
+    require(to >= fromId, s"diff range reversed: ($fromId, $to]")
+    val before = log.dataFiles(Some(fromId)).toSet
+    val after = log.dataFiles(Some(to)).toSet
+    val sch = schemaAsOf(Some(to))
+    def readFiles(fs: Set[String]): DataFrame =
+      if (fs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+      else spark.read.schema(sch).parquet(fs.toSeq.sorted: _*)
+    val added = readFiles(after -- before)
+    val removed = readFiles(before -- after)
+    added.exceptAll(removed).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        removed.exceptAll(added).withColumn("_change_type", lit("delete")))
+  }
+
   def readWhere(column: String, lower: Option[Any], upper: Option[Any],
       asOf: Option[Long] = None): DataFrame =
     readWhereAll(Seq((column, lower, upper)), asOf)

@@ -460,6 +460,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 0))
   }
 
+  test("incremental fingerprint dedup is first-seen-by-ARRIVAL, not by id") {
+    import spark.implicits._
+    val existing = Seq(
+      (10L, "alpha beta gamma", "en"),
+      (11L, "delta epsilon", "en")).toDF("doc_id", "text", "lang")
+    val fresh = Seq(
+      // id 1 < 10 but collides with committed doc 10 → must be DROPPED
+      // (an incremental pass cannot rewrite history)
+      (1L, "  ALPHA   beta GAMMA ", "en"),
+      // within-batch collision: keep lowest id (2), drop 3
+      (2L, "zeta eta", "en"),
+      (3L, "ZETA ETA", "de"),
+      (4L, "unique text here", "fr")).toDF("doc_id", "text", "lang")
+    val kept = graft.operators.Dedup
+      .incrementalByFingerprint(fresh, existing, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L))
+  }
+
   test("decontamination flags a planted benchmark copy with its full shingle count") {
     val docs = T.documents(spark, sf)
     val bench = docs.filter(col("doc_id") < 10)

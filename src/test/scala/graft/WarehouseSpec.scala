@@ -164,6 +164,46 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("diff yields exact row changelogs across append/upsert/delete and is silent across compact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val c = new Connector(spark, freshWarehouse())
+    val b1 = spark.range(0, 1000).toDF("id").withColumn("v", $"id" * 10)
+    c.createTable("td", b1)
+    val t = c.loadTable("td")
+    val s1 = t.currentSnapshotId.get
+    // diff from 0 = everything is an insert
+    val all = t.diff(0L)
+    assert(all.filter($"_change_type" === "insert").count() === 1000)
+    assert(all.filter($"_change_type" === "delete").count() === 0)
+    // upsert: update 100 rows, insert 50 new
+    val incoming = spark.range(0, 100).toDF("id").withColumn("v", $"id" * 10 + 1)
+      .unionByName(spark.range(1000, 1050).toDF("id").withColumn("v", $"id" * 10))
+    t.upsert(incoming, Seq("id"))
+    val s2 = t.currentSnapshotId.get
+    val d12 = t.diff(s1, s2).cache()
+    val ins = d12.filter($"_change_type" === "insert").drop("_change_type")
+    val del = d12.filter($"_change_type" === "delete").drop("_change_type")
+    // inserts = the 150 incoming rows; deletes = the 100 OLD versions
+    assert(ins.exceptAll(incoming).isEmpty && incoming.exceptAll(ins).isEmpty)
+    val oldVersions = b1.filter($"id" < 100)
+    assert(del.exceptAll(oldVersions).isEmpty && oldVersions.exceptAll(del).isEmpty)
+    d12.unpersist()
+    // semantic invariant: before ⊎ inserts ∖ deletes = after (multiset)
+    val reconstructed = t.read(Some(s1)).unionByName(ins).exceptAll(del)
+    val after = t.read(Some(s2))
+    assert(reconstructed.exceptAll(after).isEmpty && after.exceptAll(reconstructed).isEmpty)
+    // deleteWhere shows as pure deletes
+    t.deleteWhere(col("id") >= 1040)
+    val s3 = t.currentSnapshotId.get
+    val d23 = t.diff(s2, s3)
+    assert(d23.filter($"_change_type" === "insert").count() === 0)
+    assert(d23.filter($"_change_type" === "delete").count() === 10)
+    // compact moves every row to new files but changes none: diff is EMPTY
+    t.compact(targetFiles = 4)
+    assert(t.diff(s3).count() === 0,
+      "a pure rewrite must produce no spurious changes")
+  }
+
   test("compact with zOrderBy re-lays arrival-order appends into a prunable Z layout") {
     val c = new Connector(spark, freshWarehouse())
     val df = spark.range(0, 16000).toDF("i")
