@@ -113,6 +113,59 @@ object Service {
           .unionByName(t.changesSince(s1).withColumn("era", lit("b_delta")))
           .orderBy("era", "o_orderkey")
       } finally svc.close()
+    },
+
+    // ---- q108: mirror survives a source UPSERT via the changelog ----
+    // The rewrite case q102 cannot cover: an upsert breaks append-only
+    // increments, and before r10 the mirror's only recourse was a full
+    // re-copy. Now the source serves `get_diff` (GraftTable.diff over
+    // the wire) and the replica applies delete-of-old + insert-of-new —
+    // only the delta crosses the wire. The witness pins all of it: the
+    // tick must report `incremental_diff`, the wire delta must be
+    // exactly 2·|updates| + |inserts| change rows, and strictly smaller
+    // than the source table (i.e. NOT a disguised full copy). The final
+    // replica must hash-equal the oracle's reconstruction of the
+    // post-upsert source.
+    Q("q108_mirror_cdf",
+      """SELECT o_orderkey, price, TRUE AS cdf_ok FROM (
+        |  SELECT o_orderkey, round(o_totalprice, 2) * 2 AS price
+        |  FROM orders WHERE o_orderkey % 128 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderkey % 16 = 0 AND o_orderkey % 128 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderkey % 128 = 8
+        |) ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val srcConn = new Connector(s, Scratch.dir("run"))
+      val dstConn = new Connector(s, Scratch.dir("run"))
+      val svc = new FlightService(srcConn, 0)
+      try {
+        val client = new FlightClient(s, "localhost", svc.boundPort)
+        val state = graft.service.SyncState(Scratch.dir("run"))
+        val url = s"grpc://localhost:${svc.boundPort}/orders_cdc"
+        val orders = T.orders(s, d).select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        srcConn.createTable("orders_cdc",
+          orders.filter(col("o_orderkey") % 16 === 0))
+        val r1 = graft.service.Mirror.performSync(
+          client, url, "orders_cdc", dstConn, "orders_cdc_dst", state)
+        require(r1.status == "full_sync", s"expected full_sync, got ${r1.status}")
+        val updates = orders.filter(col("o_orderkey") % 128 === 0)
+          .withColumn("price", col("price") * 2)
+        val inserts = orders.filter(col("o_orderkey") % 128 === 8)
+        srcConn.upsert("orders_cdc", updates.unionByName(inserts),
+          Seq("o_orderkey"))
+        val r2 = graft.service.Mirror.performSync(
+          client, url, "orders_cdc", dstConn, "orders_cdc_dst", state)
+        val expectedDelta = 2 * updates.count() + inserts.count()
+        val srcRows = srcConn.count("orders_cdc")
+        val witness = r2.status == "incremental_diff" &&
+          r2.rowsSynced == expectedDelta && r2.rowsSynced < srcRows
+        dstConn.query("orders_cdc_dst")
+          .withColumn("cdf_ok", lit(witness))
+          .orderBy("o_orderkey")
+      } finally svc.close()
     })
 
   def queries: Seq[Q] = ql

@@ -92,6 +92,15 @@ final class FlightClient(spark: SparkSession, val host: String, val port: Int,
       FlightClient.Fetched(body.df, r.num("snapshot_id"), () => body.cleanup())
     }
 
+  /** Changelog read: `_change_type`-tagged rows in `(since, snapshot]`,
+    * valid across rewrites the append-only getChanges refuses. */
+  def getDiff(table: String, since: Long): FlightClient.Fetched =
+    call(Wire.obj("action" -> "get_diff", "table" -> table,
+        "since" -> since)) { (r, in) =>
+      val body = ArrowCodec.read(spark, in)
+      FlightClient.Fetched(body.df, r.num("snapshot_id"), () => body.cleanup())
+    }
+
   /** Schema only (reference client command: `icerunner.py:942-952`). */
   def getSchema(table: String): StructType =
     call(Wire.obj("action" -> "get_schema", "table" -> table)) { (r, _) =>

@@ -141,6 +141,18 @@ final class FlightService(connector: Connector, port: Int = 0,
         Wire.writeLine(out, Wire.obj("ok" -> true, "snapshot_id" -> Wire.JNum(snap)))
         writeBody(df, out)
 
+      case "get_diff" =>
+        // Row changelog in (since, head]: crosses upserts/deletes/
+        // compactions that get_changes refuses (GraftTable.diff works
+        // on the file-set difference), carrying only the delta over the
+        // wire — the mirror's alternative to a full re-copy after a
+        // source rewrite. Rows arrive with a `_change_type` column.
+        val t = connector.loadTable(req.table)
+        val snap = t.currentSnapshotId.getOrElse(0L)
+        val df = t.diff(req.since, snap)
+        Wire.writeLine(out, Wire.obj("ok" -> true, "snapshot_id" -> Wire.JNum(snap)))
+        writeBody(df, out)
+
       case "get_metadata" =>
         val t = connector.loadTable(req.table)
         Wire.writeLine(out, Wire.obj(

@@ -16,7 +16,12 @@ import graft.warehouse.Connector
   *  2. target missing → full `do_get`, create, record (S, rows).
   *  3. state has last-synced snapshot L:
   *     - L == S → no-op (idempotent tick);
-  *     - L <  S → `get_changes(since = L)` → append delta only.
+  *     - L <  S → `get_changes(since = L)` → append delta only;
+  *     - source refuses (rewrite in (L, S], or L expired) →
+  *       `get_diff(since = L)` → apply the row changelog (delete old
+  *       versions, insert new) — only the DELTA crosses the wire even
+  *       across an upsert; if the diff base itself has expired, fall
+  *       back to the full replica rebuild.
   *  4. target exists but no state (adopted table) → record S without
   *     copying — never silently duplicate; a `--full` initial copy is
   *     what case 2 is for.
@@ -42,6 +47,46 @@ object Mirror {
       connector.dropTable(targetTable)
       connector.createTable(targetTable, f.df)
       ("full_resync", connector.count(targetTable), f.snapshotId)
+    } finally f.cleanup()
+  }
+
+  /** Apply a `get_diff` changelog to the replica: next = current ∖
+    * deletes ⊎ inserts (multiset), staged locally before the
+    * drop-and-recreate (the plan still READS the current replica's
+    * files — dropping first would scan deleted paths). Wire cost is
+    * the DELTA only; the replica-local rewrite is the price of a
+    * keyless row-level apply, and still strictly cheaper than
+    * [[fullResync]], which pays that rewrite AND ships the whole
+    * table. `rowsSynced` reports change rows applied. */
+  private def diffSync(data: FlightClient, sourceTable: String,
+      connector: Connector, targetTable: String,
+      since: Long): (String, Long, Long) = {
+    import org.apache.spark.sql.functions.col
+    val f = data.getDiff(sourceTable, since)
+    try {
+      if (f.snapshotId == since) ("up_to_date", 0L, since)
+      else {
+        val ins = f.df.filter(col("_change_type") === "insert")
+          .drop("_change_type")
+        val del = f.df.filter(col("_change_type") === "delete")
+          .drop("_change_type")
+        val applied = f.df.count()
+        val staged = java.nio.file.Files
+          .createTempDirectory("graft-diffsync").toString
+        connector.query(targetTable).exceptAll(del).unionByName(ins)
+          .write.mode("overwrite").parquet(staged)
+        val stagedDf = connector.spark.read.parquet(staged)
+        connector.dropTable(targetTable)
+        connector.createTable(targetTable, stagedDf)
+        // the create copied staged content into the table dir
+        try {
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(staged))
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally walk.close()
+        } catch { case _: Throwable => () }
+        ("incremental_diff", applied, f.snapshotId)
+      }
     } finally f.cleanup()
   }
 
@@ -78,13 +123,19 @@ object Mirror {
                 }
               } finally f.cleanup()
             } catch {
-              // Source history expired past our snapshot: the delta is
-              // unknowable (SnapshotLog.changedFiles throws rather than
-              // returning a partial delta, relayed over the wire as a
-              // structured code). Self-heal with a replica rebuild
-              // instead of erroring on every tick forever.
+              // The append-only incremental read refused: either a
+              // rewrite (upsert/delete/replace) sits in (L, head] or L
+              // itself has expired — both relayed as the structured
+              // history_expired code. First try the CHANGELOG path:
+              // get_diff crosses rewrites and ships only the delta. If
+              // the diff base is also unknowable (manifests truly
+              // expired), self-heal with the full replica rebuild.
               case Wire.ServiceError("history_expired", _) =>
-                fullResync(data, sourceTable, connector, targetTable)
+                try diffSync(data, sourceTable, connector, targetTable, l)
+                catch {
+                  case Wire.ServiceError("history_expired", _) =>
+                    fullResync(data, sourceTable, connector, targetTable)
+                }
             }
           case None =>
             // Existing target with no state: adopt the current source

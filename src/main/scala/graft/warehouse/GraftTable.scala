@@ -436,6 +436,13 @@ final class GraftTable private (
         throw new IllegalStateException(s"table $name has no snapshots"))
       else toId
     require(to >= fromId, s"diff range reversed: ($fromId, $to]")
+    // An EXPIRED from-cut is unknowable: its manifests are gone, so the
+    // before-file-set would silently miss files and report phantom
+    // inserts. Same refuse-don't-guess stance as changesSince; retained
+    // cuts always resolve wholly (expiry severs only at compacts).
+    if (fromId > 0 && !log.snapshots.exists(_.snapshotId == fromId))
+      throw new HistoryExpiredException(
+        s"snapshot $fromId of $name expired — diff base unknowable")
     val before = log.dataFiles(Some(fromId)).toSet
     val after = log.dataFiles(Some(to)).toSet
     val sch = schemaAsOf(Some(to))

@@ -246,7 +246,7 @@ class ServiceSpec extends AnyFunSuite {
     }
   }
 
-  test("mirror full-re-syncs across a source upsert (rewrites break increments)") {
+  test("mirror applies a changelog across a source upsert (delta on the wire, no full copy)") {
     withService { (c, client, svc) =>
       import spark.implicits._
       client.doPut("src3", (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
@@ -257,16 +257,24 @@ class ServiceSpec extends AnyFunSuite {
       assert(r1.status === "full_sync" && targetWh.count("dst3") === 10)
 
       // a rewrite lands on the source: the replica must NOT consume it
-      // as appended rows (that would duplicate survivors) — it rebuilds
+      // as appended rows (that would duplicate survivors). Since r10 it
+      // also must not re-copy the table: the get_diff changelog carries
+      // exactly delete-of-old + insert-of-new.
       client.doUpsert("src3", Seq((1L, "NEW"), (11L, "ins")).toDF("id", "v"), Seq("id"))
       val r2 = Mirror.performSync(client, url, "src3", targetWh, "dst3", state)
-      assert(r2.status === "full_resync", s"got ${r2.status}")
+      assert(r2.status === "incremental_diff", s"got ${r2.status}")
+      assert(r2.rowsSynced === 3, // delete (1,v1) + insert (1,NEW) + insert (11,ins)
+        s"wire delta should be 3 change rows, got ${r2.rowsSynced}")
       assert(targetWh.count("dst3") === 11)
       val replica = targetWh.query("dst3").as[(Long, String)].collect().toMap
-      assert(replica(1L) === "NEW" && replica(11L) === "ins")
+      assert(replica(1L) === "NEW" && replica(11L) === "ins" && replica(2L) === "v2")
 
       val r3 = Mirror.performSync(client, url, "src3", targetWh, "dst3", state)
       assert(r3.status === "up_to_date")
+
+      // replica equals source exactly after the changelog apply
+      val src = c.query("src3").as[(Long, String)].collect().toMap
+      assert(replica === src)
     }
   }
 
