@@ -328,6 +328,33 @@ object Warehouse {
         .incrementalByFingerprint(newRows, t.read(Some(s1)), "text", "doc_id")
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // ---- q109: rollback — metadata-only undo of a bad commit --------
+    // A bad batch lands; rollbackTo reverts the head to the pre-batch
+    // snapshot WITHOUT reading or writing data files, while the bad
+    // commit stays time-travelable. The hash grade is the real check
+    // (post-rollback content ≡ the pre-batch table, bit-exact); the
+    // witness additionally pins that the bad snapshot remains readable
+    // above the reverted head (history preserved, not erased).
+    Q("q109_rollback",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, TRUE AS undo_ok
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val base = orders.filter(col("o_orderkey") % 2 === 0)
+      conn.createTable("orders_rb", base)
+      val t = conn.loadTable("orders_rb")
+      val s1 = t.currentSnapshotId.get
+      t.append(orders.filter(col("o_orderkey") % 2 =!= 0)) // the bad batch
+      val s2 = t.currentSnapshotId.get
+      t.rollbackTo(s1)
+      val headCount = t.read().count()
+      val travelable = t.read(Some(s2)).count()
+      val witness = travelable > headCount && headCount > 0
+      t.read().withColumn("undo_ok", lit(witness)).orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

@@ -399,6 +399,71 @@ final class GraftTable private (
     dead.foreach(s => log.deleteManifest(s.snapshotId))
   }
 
+  /** Roll the head back to `snapshotId` by committing a NEW snapshot
+    * whose visible file set equals that cut — the UNDO for a bad
+    * append/upsert/delete, preserving history (the rolled-back
+    * commits stay time-travelable until expiry; Iceberg's
+    * rollback_to_snapshot has the same shape). Metadata-only: no data
+    * is read, written, or deleted; the schema reverts to the target
+    * era's. Incremental readers refuse to cross it (rows were
+    * logically replaced), routing mirrors onto the changelog path —
+    * [[diff]] handles a rollback exactly like any rewrite. CAS on the
+    * head observed at entry: a concurrent commit aborts the rollback
+    * instead of being silently reverted. */
+  def rollbackTo(snapshotId: Long): Snapshot = {
+    val head = currentSnapshotId.getOrElse(
+      throw new IllegalStateException(s"table $name has no snapshots"))
+    require(log.snapshots.exists(_.snapshotId == snapshotId),
+      s"snapshot $snapshotId of $name does not exist (expired or never committed)")
+    require(snapshotId < head,
+      s"rollback target $snapshotId is not before head $head")
+    def rel(abs: Seq[String]): Set[String] =
+      abs.map(a => dir.relativize(java.nio.file.Paths.get(a)).toString).toSet
+    val target = rel(log.dataFiles(Some(snapshotId)))
+    val current = rel(log.dataFiles(Some(head)))
+    val added = (target -- current).toSeq.sorted
+    val removed = (current -- target).toSeq.sorted
+    // stats for re-added files travel with the snapshot that adds them:
+    // recover each file's stats from whichever retained snapshot
+    // recorded them, so readWhere keeps pruning after the rollback
+    val statsByFile = log.snapshots.flatMap(_.stats).toMap
+    log.commit("rollback", added, schemaAsOf(Some(snapshotId)).json,
+      statsByFile.filter { case (f, _) => added.contains(f) },
+      expectedHead = Some(head), removedFiles = removed)
+  }
+
+  /** Delete data files referenced by NO retained snapshot — the debris
+    * of crashed writes (data lands before the manifest commit; a
+    * failure in between strands it) and of expired history. Age-gated:
+    * only files modified more than `graceMs` ago are touched, so a
+    * concurrent writer's just-written, not-yet-committed files
+    * survive (same stance as Iceberg's remove_orphan_files default).
+    * Referenced means added OR removed by any retained snapshot —
+    * removed files stay addressable for time travel until their
+    * adding snapshot expires. Returns the deleted relative paths. */
+  def removeOrphans(graceMs: Long = 3600000L): Seq[String] = {
+    val referenced = log.snapshots
+      .flatMap(s => s.addedFiles ++ s.removedFiles).toSet
+    val dataDir = dir.resolve("data")
+    if (!Files.isDirectory(dataDir)) return Nil
+    val cutoff = System.currentTimeMillis() - graceMs
+    val deleted = Seq.newBuilder[String]
+    val walk = Files.walk(dataDir)
+    try {
+      walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val r = dir.relativize(p).toString
+          if (!referenced.contains(r) &&
+              Files.getLastModifiedTime(p).toMillis < cutoff) {
+            Files.deleteIfExists(p)
+            deleted += r
+          }
+        }
+    } finally walk.close()
+    deleted.result()
+  }
+
   /** Planning-time file pruning: read only the files whose recorded
     * [min, max] for `column` intersects [lower, upper] (both bounds
     * inclusive, either optional). Files without stats are read

@@ -164,6 +164,56 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("rollbackTo reverts head content, keeps history, and composes with diff") {
+    import org.apache.spark.sql.functions.col
+    val c = new Connector(spark, freshWarehouse())
+    val b1 = spark.range(0, 500).toDF("id").withColumn("v", $"id" * 2)
+    c.createTable("tr", b1)
+    val t = c.loadTable("tr")
+    val s1 = t.currentSnapshotId.get
+    val junk = spark.range(9000, 9100).toDF("id").withColumn("v", $"id")
+    t.append(junk)
+    // +1 so even id 0's new value differs from b1's (id*2 vs id*100+1) —
+    // an identical row would legitimately cancel out of the diff
+    t.upsert(spark.range(0, 10).toDF("id").withColumn("v", $"id" * 100 + 1), Seq("id"))
+    val s3 = t.currentSnapshotId.get
+    t.rollbackTo(s1)
+    // head reads as if the junk append and the upsert never happened
+    val now = t.read()
+    assert(now.exceptAll(b1).isEmpty && b1.exceptAll(now).isEmpty)
+    // ...but they remain time-travelable
+    assert(t.read(Some(s3)).count() === 600)
+    // append-only incremental readers refuse to cross the rollback
+    intercept[graft.warehouse.HistoryExpiredException] { t.changesSince(s3).count() }
+    // the changelog crosses it exactly: everything since s3 is the undo
+    val d = t.diff(s3)
+    assert(d.filter(col("_change_type") === "delete").count() === 110)
+    assert(d.filter(col("_change_type") === "insert").count() === 10)
+    // life goes on: a post-rollback append lands on the reverted state
+    t.append(spark.range(1000, 1010).toDF("id").withColumn("v", $"id"))
+    assert(t.read().count() === 510)
+  }
+
+  test("removeOrphans deletes only unreferenced aged files") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("to1", spark.range(0, 100).toDF("id"))
+    val t = c.loadTable("to1")
+    val dataDir = java.nio.file.Paths.get(t.dir.toString, "data", "crashed")
+    java.nio.file.Files.createDirectories(dataDir)
+    val orphan = dataDir.resolve("part-orphan.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    java.nio.file.Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 100000))
+    // a fresh (within-grace) orphan must survive
+    val fresh = dataDir.resolve("part-fresh.parquet")
+    java.nio.file.Files.write(fresh, Array[Byte](4, 5))
+    val deleted = t.removeOrphans(graceMs = 50000)
+    assert(deleted === Seq("data/crashed/part-orphan.parquet"))
+    assert(!java.nio.file.Files.exists(orphan))
+    assert(java.nio.file.Files.exists(fresh), "within-grace file must survive")
+    assert(t.read().count() === 100, "referenced files untouched")
+  }
+
   test("diff yields exact row changelogs across append/upsert/delete and is silent across compact") {
     import org.apache.spark.sql.functions.{col, lit}
     val c = new Connector(spark, freshWarehouse())
