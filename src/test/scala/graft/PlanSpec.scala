@@ -331,6 +331,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("diff reads only the files that changed between the cuts — never the table") {
+    val spark2 = spark
+    import spark2.implicits._
+    val c = new graft.warehouse.Connector(spark,
+      java.nio.file.Files.createTempDirectory("graft-diffplan").toString)
+    c.createTable("tdp", spark.range(0, 20000).toDF("id"))
+    val t = c.loadTable("tdp")
+    val s1 = t.currentSnapshotId.get
+    val before = t.read().inputFiles.toSet
+    t.append(spark.range(20000, 20100).toDF("id"))
+    val changed = t.read().inputFiles.toSet -- before
+    val scanned = t.diff(s1).inputFiles.toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(changed),
+      s"diff scanned ${scanned.size} files; only ${changed.size} changed — " +
+        "the O(changed files) contract broke")
+  }
+
   test("bucketed tables join and aggregate with zero hash exchanges") {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val dir = java.nio.file.Files.createTempDirectory("graft-bkt-").toString

@@ -263,6 +263,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: diff conservation law holds across random append/upsert/delete/compact/rollback histories") {
+    // For ANY snapshot pair i < j:  read(i) ⊎ inserts(i→j) ∖ deletes(i→j)
+    // must equal read(j) as a multiset. Random operation sequences probe
+    // the manifest resolution paths (compact baselines, rewrite
+    // removals, rollback re-adds) that a hand-written case might miss.
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(0xD1FF)
+    val c = new graft.warehouse.Connector(spark,
+      Files.createTempDirectory("graft-diffprop").toString)
+    c.createTable("tp", (0L until 300L).map(i => (i, i * 3)).toDF("id", "v"))
+    val t = c.loadTable("tp")
+    var nextId = 1000L
+    (1 to 8).foreach { _ =>
+      rnd.nextInt(4) match {
+        case 0 =>
+          val ids = (nextId until nextId + 40L); nextId += 40
+          t.append(ids.map(i => (i, i)).toDF("id", "v"))
+        case 1 =>
+          val lo = rnd.nextInt(250).toLong
+          t.upsert((lo until lo + 30L).map(i => (i, rnd.nextLong(1000000))).toDF("id", "v"), Seq("id"))
+        case 2 => t.deleteWhere(col("id") % 7 === rnd.nextInt(7).toLong)
+        case 3 => t.compact(targetFiles = 3)
+      }
+    }
+    t.rollbackTo(t.currentSnapshotId.get - 3) // exercise the rollback path too
+    val snaps = t.log.snapshots.map(_.snapshotId)
+    val pairs = Seq((snaps.head, snaps.last), (snaps(2), snaps(snaps.length - 2)),
+      (snaps(1), snaps(4)), (snaps(3), snaps(3)))
+    pairs.foreach { case (i, j) =>
+      val d = t.diff(i, j)
+      val ins = d.filter(col("_change_type") === "insert").drop("_change_type")
+      val del = d.filter(col("_change_type") === "delete").drop("_change_type")
+      val rebuilt = t.read(Some(i)).unionByName(ins).exceptAll(del)
+      val want = t.read(Some(j))
+      assert(rebuilt.exceptAll(want).isEmpty && want.exceptAll(rebuilt).isEmpty,
+        s"diff conservation broke for ($i, $j); ops=${t.log.snapshots.map(_.operation)}")
+    }
+  }
+
   test("property: BoundedLru fires exactly one onEvict per displaced value under concurrent puts/gets/clear") {
     // Conservation law (the OpUtil.scala scaladoc claim): after a final
     // clear() flushes residents, the evict log must contain EVERY value
