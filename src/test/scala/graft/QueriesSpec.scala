@@ -26,9 +26,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has matching oracle key or is rows-only") {
+  test("queries and oracles cover each other exactly") {
+    // Two-sided since r10: every graded query MUST carry an oracle — a
+    // forgotten oracle silently downgrades the query to the driver's
+    // weaker rows-only check, which is how grading gaps are born.
     val qs = SparkEntry.queries.keySet
-    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+    val os = SparkEntry.oracleSql.keySet
+    assert((os -- qs).isEmpty, s"orphan oracles: ${os -- qs}")
+    assert((qs -- os).isEmpty,
+      s"queries with NO oracle (rows-only grading): ${qs -- os}")
   }
 
   for (q <- SparkEntry.allQueries) {
