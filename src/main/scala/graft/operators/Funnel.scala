@@ -48,7 +48,10 @@ object Funnel {
     val micros: Row => Long = slim.schema(2).dataType match {
       case TimestampType => r => {
         val t = r.getTimestamp(2)
-        t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+        // floorDiv, not /: getTime truncates toward zero, which for
+        // pre-1970 instants would shift the second down-up and invert
+        // ordering around the epoch (getNanos is always non-negative)
+        Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
       }
       case TimestampNTZType => r => {
         val t = r.getAs[java.time.LocalDateTime](2)

@@ -370,29 +370,34 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
       val oT = s"orders_bkt_$tag"; val lT = s"lineitem_bkt_$tag"
-      T.orders(s, d).select(col("o_orderkey"))
-        .write.bucketBy(8, "o_orderkey")
-        .option("path", Scratch.dir("q104_o")).saveAsTable(oT)
-      T.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
-        .write.bucketBy(8, "l_orderkey")
-        .option("path", Scratch.dir("q104_l")).saveAsTable(lT)
-      val joined = s.table(oT).hint("merge")
-        .join(s.table(lT), col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"))
-        .agg(count(lit(1)).as("n_items"),
-          round(sum(col("l_extendedprice")), 2).as("revenue"))
-      // the grouped plan (pre-ORDER BY: the final sort legitimately
-      // range-exchanges) must be exchange-free end to end — bucketed
-      // scans satisfy the join AND the same-key aggregation
-      val plan = joined.queryExecution.executedPlan.toString
-      val colocated = plan.contains("SortMergeJoin") &&
-        !plan.contains("Exchange hashpartitioning")
-      val landed = Scratch.dir("q104_out")
-      joined.withColumn("colocated_ok", lit(colocated))
-        .write.mode("overwrite").parquet(landed)
-      s.sql(s"DROP TABLE IF EXISTS $oT")
-      s.sql(s"DROP TABLE IF EXISTS $lT")
-      s.read.parquet(landed).orderBy("o_orderkey")
+      // the session catalog is shared across every graded query and
+      // bench pass: a mid-run failure must not strand the tables
+      try {
+        T.orders(s, d).select(col("o_orderkey"))
+          .write.bucketBy(8, "o_orderkey")
+          .option("path", Scratch.dir("q104_o")).saveAsTable(oT)
+        T.lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice"))
+          .write.bucketBy(8, "l_orderkey")
+          .option("path", Scratch.dir("q104_l")).saveAsTable(lT)
+        val joined = s.table(oT).hint("merge")
+          .join(s.table(lT), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+        // the grouped plan (pre-ORDER BY: the final sort legitimately
+        // range-exchanges) must be exchange-free end to end — bucketed
+        // scans satisfy the join AND the same-key aggregation
+        val plan = joined.queryExecution.executedPlan.toString
+        val colocated = plan.contains("SortMergeJoin") &&
+          !plan.contains("Exchange hashpartitioning")
+        val landed = Scratch.dir("q104_out")
+        joined.withColumn("colocated_ok", lit(colocated))
+          .write.mode("overwrite").parquet(landed)
+        s.read.parquet(landed).orderBy("o_orderkey")
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $oT")
+        s.sql(s"DROP TABLE IF EXISTS $lT")
+      }
     })
 
   def queries: Seq[Q] = ql

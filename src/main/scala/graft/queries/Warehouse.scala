@@ -244,8 +244,14 @@ object Warehouse {
       val both = slice.inputFiles.length
       val onlyA = t.readWhere("o_custkey", None, Some(ck)).inputFiles.length
       val onlyB = t.readWhere("o_orderkey", None, Some(ok)).inputFiles.length
+      // NOTE both ≤ min(onlyA, onlyB) is true BY CONSTRUCTION
+      // (readWhereAll's keep-set is a subset of each single-predicate
+      // keep-set), so it would grade nothing; the conjunction witness
+      // must be STRICT — a quartile×quartile query on a 16-file Z
+      // layout intersects strictly fewer files than either quartile
+      // alone (≈¼ of the curve's cells vs ≈½ per single dim).
       val witness = both > 0 && onlyA < total && onlyB < total &&
-        both <= onlyA && both <= onlyB
+        both < math.min(onlyA, onlyB)
       slice.filter(col("o_custkey") <= ck && col("o_orderkey") <= ok)
         .withColumn("zprune_ok", lit(witness))
         .orderBy("o_orderkey")

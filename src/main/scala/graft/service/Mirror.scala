@@ -133,7 +133,17 @@ object Mirror {
               case Wire.ServiceError("history_expired", _) =>
                 try diffSync(data, sourceTable, connector, targetTable, l)
                 catch {
-                  case Wire.ServiceError("history_expired", _) =>
+                  // ANY diff-apply failure falls back to the rebuild,
+                  // not just an expired base: e.g. a source schema
+                  // evolution makes the changelog wider than the
+                  // replica and the multiset apply throws — the full
+                  // copy carries the new schema and recovers. The
+                  // self-heal guarantee must never be narrower than it
+                  // was before the changelog path existed (and q108 +
+                  // ServiceSpec pin that the upsert case still takes
+                  // the cheap path, so this cannot mask a systemic
+                  // diff regression as permanent full copies).
+                  case NonFatal(_) =>
                     fullResync(data, sourceTable, connector, targetTable)
                 }
             }

@@ -411,23 +411,28 @@ final class GraftTable private (
     * head observed at entry: a concurrent commit aborts the rollback
     * instead of being silently reverted. */
   def rollbackTo(snapshotId: Long): Snapshot = {
-    val head = currentSnapshotId.getOrElse(
+    // one atomic log capture serves every derived view (same
+    // discipline as diff); the CAS on expectedHead still rejects a
+    // commit that lands after this read
+    val snaps = log.snapshots
+    val head = snaps.lastOption.map(_.snapshotId).getOrElse(
       throw new IllegalStateException(s"table $name has no snapshots"))
-    require(log.snapshots.exists(_.snapshotId == snapshotId),
+    require(snaps.exists(_.snapshotId == snapshotId),
       s"snapshot $snapshotId of $name does not exist (expired or never committed)")
     require(snapshotId < head,
       s"rollback target $snapshotId is not before head $head")
     def rel(abs: Seq[String]): Set[String] =
       abs.map(a => dir.relativize(java.nio.file.Paths.get(a)).toString).toSet
-    val target = rel(log.dataFiles(Some(snapshotId)))
-    val current = rel(log.dataFiles(Some(head)))
+    val target = rel(log.dataFilesOf(snaps, Some(snapshotId)))
+    val current = rel(log.dataFilesOf(snaps, Some(head)))
     val added = (target -- current).toSeq.sorted
     val removed = (current -- target).toSeq.sorted
     // stats for re-added files travel with the snapshot that adds them:
     // recover each file's stats from whichever retained snapshot
     // recorded them, so readWhere keeps pruning after the rollback
-    val statsByFile = log.snapshots.flatMap(_.stats).toMap
-    log.commit("rollback", added, schemaAsOf(Some(snapshotId)).json,
+    val statsByFile = snaps.flatMap(_.stats).toMap
+    val targetSchema = snaps.filter(_.snapshotId <= snapshotId).last.schemaJson
+    log.commit("rollback", added, targetSchema,
       statsByFile.filter { case (f, _) => added.contains(f) },
       expectedHead = Some(head), removedFiles = removed)
   }
@@ -464,12 +469,6 @@ final class GraftTable private (
     deleted.result()
   }
 
-  /** Planning-time file pruning: read only the files whose recorded
-    * [min, max] for `column` intersects [lower, upper] (both bounds
-    * inclusive, either optional). Files without stats are read
-    * conservatively; the caller still applies the row-level filter.
-    * This is the Iceberg metadata-skip path — O(manifest) work replaces
-    * an O(table) scan when the table is clustered on `column`. */
   /** Row-level changes between two snapshots as a changelog feed
     * (the Delta-CDF / Iceberg-changelog shape the reference's mirror
     * could diff against instead of re-reading tables): each row of
@@ -496,21 +495,32 @@ final class GraftTable private (
     * @param toId   inclusive snapshot to diff to (defaults to head) */
   def diff(fromId: Long, toId: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val to = if (toId == Long.MaxValue)
-      currentSnapshotId.getOrElse(
-        throw new IllegalStateException(s"table $name has no snapshots"))
-      else toId
+    // ONE log capture: the head default, both existence guards, both
+    // file sets, and the schema all derive from the same atomic view —
+    // no torn read under a concurrent commit, no repeated manifest
+    // listing/parsing per derived value.
+    val snaps = log.snapshots
+    val head = snaps.lastOption.map(_.snapshotId).getOrElse(
+      throw new IllegalStateException(s"table $name has no snapshots"))
+    val to = if (toId == Long.MaxValue) head else toId
     require(to >= fromId, s"diff range reversed: ($fromId, $to]")
-    // An EXPIRED from-cut is unknowable: its manifests are gone, so the
-    // before-file-set would silently miss files and report phantom
-    // inserts. Same refuse-don't-guess stance as changesSince; retained
-    // cuts always resolve wholly (expiry severs only at compacts).
-    if (fromId > 0 && !log.snapshots.exists(_.snapshotId == fromId))
-      throw new HistoryExpiredException(
-        s"snapshot $fromId of $name expired — diff base unknowable")
-    val before = log.dataFiles(Some(fromId)).toSet
-    val after = log.dataFiles(Some(to)).toSet
-    val sch = schemaAsOf(Some(to))
+    require(to <= head, s"snapshot $to of $name does not exist (head is $head)")
+    // An EXPIRED cut is unknowable on EITHER side: its manifests are
+    // gone, so the file set would silently miss files and report
+    // phantom changes. Same refuse-don't-guess stance as changesSince;
+    // retained cuts always resolve wholly (expiry severs only at
+    // compacts). Ids are contiguous, so retained ⟺ present in snaps.
+    def requireRetained(id: Long, side: String): Unit =
+      if (id > 0 && !snaps.exists(_.snapshotId == id))
+        throw new HistoryExpiredException(
+          s"snapshot $id of $name expired — diff $side unknowable")
+    requireRetained(fromId, "base")
+    requireRetained(to, "target")
+    val before = log.dataFilesOf(snaps, Some(fromId)).toSet
+    val after = log.dataFilesOf(snaps, Some(to)).toSet
+    val sch = snaps.filter(_.snapshotId <= to).lastOption
+      .map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+      .getOrElse(schema)
     def readFiles(fs: Set[String]): DataFrame =
       if (fs.isEmpty)
         spark.createDataFrame(
@@ -523,6 +533,12 @@ final class GraftTable private (
         removed.exceptAll(added).withColumn("_change_type", lit("delete")))
   }
 
+  /** Planning-time file pruning: read only the files whose recorded
+    * [min, max] for `column` intersects [lower, upper] (both bounds
+    * inclusive, either optional). Files without stats are read
+    * conservatively; the caller still applies the row-level filter.
+    * This is the Iceberg metadata-skip path — O(manifest) work replaces
+    * an O(table) scan when the table is clustered on `column`. */
   def readWhere(column: String, lower: Option[Any], upper: Option[Any],
       asOf: Option[Long] = None): DataFrame =
     readWhereAll(Seq((column, lower, upper)), asOf)

@@ -175,9 +175,17 @@ final class SnapshotLog(tableDir: Path) {
     * files carry the whole table at that point), so resolution starts
     * from the latest compact at-or-before the cut and adds later
     * appends only. */
-  def dataFiles(asOf: Option[Long] = None): Seq[String] = {
+  def dataFiles(asOf: Option[Long] = None): Seq[String] =
+    dataFilesOf(snapshots, asOf)
+
+  /** Same resolution over an ALREADY-captured snapshot list: callers
+    * deriving several views of the log (diff's two cuts + schema,
+    * rollback's target + head) capture `snapshots` once and pass it
+    * here — one directory listing, one parse, and one ATOMIC view (no
+    * torn read between the views under a concurrent commit). */
+  def dataFilesOf(snaps: Seq[Snapshot], asOf: Option[Long]): Seq[String] = {
     val cut = asOf.getOrElse(Long.MaxValue)
-    val visible = snapshots.filter(_.snapshotId <= cut)
+    val visible = snaps.filter(_.snapshotId <= cut)
     val baseline = visible.lastIndexWhere(_.operation == "compact")
     // fold in commit order: adds first, then removals (a rewrite may
     // remove files added by any earlier snapshot since the baseline)

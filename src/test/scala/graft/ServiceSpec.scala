@@ -278,6 +278,34 @@ class ServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("mirror self-heals when the changelog can't apply (source schema evolved + upsert)") {
+    withService { (c, client, svc) =>
+      import spark.implicits._
+      client.doPut("src4", (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v"))
+      val targetWh = new Connector(spark, tmpDir("graft-evo"))
+      val state = SyncState(tmpDir("graft-evostate"))
+      val url = s"grpc://localhost:${svc.boundPort}/src4"
+      val r1 = Mirror.performSync(client, url, "src4", targetWh, "dst4", state)
+      assert(r1.status === "full_sync")
+
+      // widen the source schema, then rewrite: the get_diff changelog is
+      // now WIDER than the replica, the multiset apply throws, and the
+      // tick must recover via the full rebuild — not fail forever (the
+      // pre-changelog self-heal guarantee)
+      c.loadTable("src4").addColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+      c.upsert("src4", Seq((1L, "NEW", 7L)).toDF("id", "v", "extra"), Seq("id"))
+      val r2 = Mirror.performSync(client, url, "src4", targetWh, "dst4", state)
+      assert(r2.status === "full_resync", s"got ${r2.status}")
+      assert(targetWh.count("dst4") === 8)
+      assert(targetWh.query("dst4").columns.contains("extra"),
+        "rebuilt replica must carry the evolved schema")
+      val r3 = Mirror.performSync(client, url, "src4", targetWh, "dst4", state)
+      assert(r3.status === "up_to_date")
+    }
+  }
+
   test("flag parser accepts -b and --batch-size (reference CLI surface)") {
     assert(Main.flags(List("-b", "512", "-n", "t")) ===
       Map("b" -> "512", "n" -> "t"))
