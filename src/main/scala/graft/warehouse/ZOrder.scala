@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Z-order (Morton-curve) clustering for multi-dimensional file
   * skipping: lay a table out so each data file covers a small
-  * hyper-rectangle in TWO dimensions at once, making
+  * hyper-rectangle in two (or three) dimensions at once, making
   * [[GraftTable.readWhereAll]] prune files for range predicates on
   * either column — or both, multiplicatively — from ONE table copy.
   * Single-column range clustering (append's `clusterBy`) gives perfect
@@ -46,11 +46,30 @@ object ZOrder {
   private[graft] def zvalue(rankA: Column, rankB: Column): Column =
     spread16(rankA).bitwiseOR(shiftleft(spread16(rankB), 1))
 
-  /** Linear 16-bit rank of a numeric column over [lo, hi]. */
-  private def rank16(c: Column, lo: Double, hi: Double): Column =
+  /** Interleave TWO zero bits between the low 21 bits (3-D Morton
+    * spread) — the standard 64-bit three-way mask ladder. */
+  private def spread21(c: Column): Column = {
+    var x = c.bitwiseAND(lit(0x1FFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 32)).bitwiseAND(lit(0x1F00000000FFFFL))
+    x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x1F0000FF0000FFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x1249249249249249L))
+    x
+  }
+
+  /** 63-bit Z-value of three 21-bit ranks. */
+  private[graft] def zvalue3(rankA: Column, rankB: Column,
+      rankC: Column): Column =
+    spread21(rankA)
+      .bitwiseOR(shiftleft(spread21(rankB), 1))
+      .bitwiseOR(shiftleft(spread21(rankC), 2))
+
+  /** Linear b-bit rank of a numeric column over [lo, hi]. */
+  private def rank(c: Column, lo: Double, hi: Double, bits: Int): Column =
     if (hi > lo)
-      ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0))
-        .cast("long")
+      ((c.cast("double") - lit(lo)) / lit(hi - lo)
+        * lit(((1L << bits) - 1).toDouble)).cast("long")
     else lit(0L)
 
   /** Re-lay `df` along the Z-curve of two numeric columns. Append the
@@ -66,17 +85,26 @@ object ZOrder {
     * @param parts file granularity: number of Z-ranges (≈ data files);
     *              more files = finer skipping, smaller row groups */
   def cluster(df: DataFrame, colA: String, colB: String,
-      parts: Int): DataFrame = {
+      parts: Int): DataFrame = cluster(df, Seq(colA, colB), parts)
+
+  /** General form: 2 or 3 numeric columns (16- / 21-bit ranks). */
+  def cluster(df: DataFrame, cols: Seq[String], parts: Int): DataFrame = {
     require(parts > 0, "parts must be positive")
-    val b = df.agg(
-      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
-      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
-    require(!b.isNullAt(0) && !b.isNullAt(2),
-      s"Z-order needs non-null bounds for $colA and $colB")
+    require(cols.size == 2 || cols.size == 3,
+      s"Z-order supports 2 or 3 columns, got ${cols.size}")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.foreach(i => require(!b.isNullAt(2 * i),
+      s"Z-order needs non-null bounds for ${cols(i)}"))
+    val bits = if (cols.size == 2) 16 else 21
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      rank(col(c), b.getDouble(2 * i), b.getDouble(2 * i + 1), bits)
+    }
+    val z = if (cols.size == 2) zvalue(ranks(0), ranks(1))
+      else zvalue3(ranks(0), ranks(1), ranks(2))
     val tmp = "__graft_zvalue"
-    df.withColumn(tmp,
-        zvalue(rank16(col(colA), b.getDouble(0), b.getDouble(1)),
-               rank16(col(colB), b.getDouble(2), b.getDouble(3))))
+    df.withColumn(tmp, z)
       .repartitionByRange(parts, col(tmp))
       .sortWithinPartitions(tmp)
       .drop(tmp)

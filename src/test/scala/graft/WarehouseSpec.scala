@@ -135,6 +135,52 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("ZOrder.zvalue3 matches a reference 3-way Morton interleave bit-for-bit") {
+    def morton3(a: Long, b: Long, c: Long): Long =
+      (0 until 21).foldLeft(0L) { (z, i) =>
+        z | ((a >> i) & 1L) << (3 * i) |
+          ((b >> i) & 1L) << (3 * i + 1) |
+          ((c >> i) & 1L) << (3 * i + 2)
+      }
+    val rnd = new scala.util.Random(0x3D)
+    val lim = 1 << 21
+    val cases = Seq((0L, 0L, 0L), ((lim - 1).toLong, (lim - 1).toLong, (lim - 1).toLong)) ++
+      Seq.fill(200)((rnd.nextInt(lim).toLong, rnd.nextInt(lim).toLong, rnd.nextInt(lim).toLong))
+    val df = cases.toDF("a", "b", "c").withColumn("z",
+      graft.warehouse.ZOrder.zvalue3(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"),
+        org.apache.spark.sql.functions.col("c")))
+    df.collect().foreach { r =>
+      assert(r.getLong(3) === morton3(r.getLong(0), r.getLong(1), r.getLong(2)),
+        s"(${r.getLong(0)}, ${r.getLong(1)}, ${r.getLong(2)})")
+    }
+  }
+
+  test("three-column Z-order prunes on every clustered dimension") {
+    val c = new Connector(spark, freshWarehouse())
+    val df = spark.range(0, 24000).toDF("i")
+      .withColumn("x", $"i" % 1000)
+      .withColumn("y", ($"i" * 37) % 64000)
+      .withColumn("w", ($"i" * 11) % 500)
+      .select("x", "y", "w")
+    c.createTable("tz3", df.limit(0))
+    val t = c.loadTable("tz3")
+    t.append(graft.warehouse.ZOrder.cluster(df, Seq("x", "y", "w"), 27),
+      statsCols = Seq("x", "y", "w"))
+    val total = t.read().inputFiles.length
+    assert(total > 8, s"want many files, got $total")
+    val px = t.readWhere("x", None, Some(124L)).inputFiles.length
+    val py = t.readWhere("y", None, Some(7999L)).inputFiles.length
+    val pw = t.readWhere("w", None, Some(62L)).inputFiles.length
+    assert(px < total && py < total && pw < total,
+      s"each dim must prune: $px, $py, $pw of $total")
+    val want = t.read().filter($"x" <= 124 && $"w" <= 62).count()
+    val got = t.readWhereAll(Seq(("x", None, Some(124L)), ("w", None, Some(62L))))
+      .filter($"x" <= 124 && $"w" <= 62).count()
+    assert(got === want)
+  }
+
   test("Z-order clustered table prunes files on BOTH columns; slices stay sound") {
     val c = new Connector(spark, freshWarehouse())
     // deliberately different ranges per dim: x in [0,1000), y in
