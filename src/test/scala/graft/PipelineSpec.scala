@@ -460,6 +460,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 0))
   }
 
+  test("funnel orders pre-epoch TimestampType events correctly (floorDiv, not truncation)") {
+    // getTime/1000 truncates toward zero: -800ms would rank AFTER
+    // +100ms. Events straddling 1970-01-01 pin the floorDiv fix.
+    import spark.implicits._
+    def ts(ms: Long) = { val t = new java.sql.Timestamp(ms); t }
+    val events = Seq(
+      // u1: view just BEFORE the epoch, click just after — valid funnel
+      (1L, "view", ts(-800L)), (1L, "click", ts(100L)),
+      // u2: click BEFORE the pre-epoch view must not count
+      (2L, "view", ts(-100L)), (2L, "click", ts(-900L))
+    ).toDF("user_id", "event_type", "ts")
+    assert(events.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val got = graft.operators.Funnel.ordered(events, "user_id",
+        "event_type", "ts", Seq("view", "click"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 2, 2L -> 1))
+  }
+
   test("incremental fingerprint dedup is first-seen-by-ARRIVAL, not by id") {
     import spark.implicits._
     val existing = Seq(
