@@ -22,6 +22,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that THROWS must be loud: in round 9 a crashed query was
+    // simply absent from the correctness report (no parquet, stderr
+    // swallowed) and read as "not graded" instead of "broken". Record
+    // every failure in a manifest the driver/judge can see.
+    val failures = List.newBuilder[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -29,6 +34,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -47,6 +53,11 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val fl = failures.result()
+    Files.writeString(Paths.get(s"$outDir/_verify_failures.json"),
+      fl.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (fl.nonEmpty)
+      System.err.println(s"[verify] ${fl.size} quer${if (fl.size == 1) "y" else "ies"} FAILED: ${fl.map(_._1).mkString(", ")}")
     spark.stop()
   }
 }

@@ -300,6 +300,27 @@ class WarehouseSpec extends AnyFunSuite {
       "a pure rewrite must produce no spurious changes")
   }
 
+  test("stats-pruned reads time-travel: asOf resolves that era's files AND stats") {
+    val c = new Connector(spark, freshWarehouse())
+    val df = spark.range(0, 8000).toDF("i")
+      .withColumn("x", $"i" % 1000).withColumn("y", ($"i" * 37) % 64000)
+      .select("x", "y")
+    c.createTable("tzt", df.limit(0))
+    val t = c.loadTable("tzt")
+    t.append(graft.warehouse.ZOrder.cluster(df, "x", "y", 8),
+      statsCols = Seq("x", "y"))
+    val s1 = t.currentSnapshotId.get
+    // junk era: overlapping values, unclustered — must be invisible asOf s1
+    t.append(df.withColumn("x", $"x" + 1), clusterParts = 2)
+    val slice = t.readWhereAll(Seq(("x", None, Some(249L))), asOf = Some(s1))
+    assert(slice.inputFiles.length < t.read(Some(s1)).inputFiles.length,
+      "era-1 stats must still prune under time travel")
+    val want = t.read(Some(s1)).filter($"x" <= 249).count()
+    assert(slice.filter($"x" <= 249).count() === want)
+    assert(slice.count() < t.read().filter($"x" <= 249 + 1).count(),
+      "the junk era must not leak into the pinned read")
+  }
+
   test("compact with zOrderBy re-lays arrival-order appends into a prunable Z layout") {
     val c = new Connector(spark, freshWarehouse())
     val df = spark.range(0, 16000).toDF("i")
