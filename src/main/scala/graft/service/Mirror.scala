@@ -143,7 +143,12 @@ object Mirror {
                   // ServiceSpec pin that the upsert case still takes
                   // the cheap path, so this cannot mask a systemic
                   // diff regression as permanent full copies).
-                  case NonFatal(_) =>
+                  case NonFatal(diffErr) =>
+                    // keep the diagnostic: a systemic diff regression
+                    // would otherwise read as silent full copies
+                    System.err.println(s"[mirror] changelog apply for " +
+                      s"$sourceTable failed (${diffErr.getClass.getSimpleName}: " +
+                      s"${diffErr.getMessage}); falling back to full rebuild")
                     fullResync(data, sourceTable, connector, targetTable)
                 }
             }

@@ -34,12 +34,20 @@ final class GraftTable private (
 
   /** Schema visible at a given snapshot (head when None) — time travel
     * across a schema evolution reads with the schema of that era. */
-  def schemaAsOf(asOf: Option[Long]): StructType = asOf match {
-    case None => schema
-    case Some(cut) =>
-      log.snapshots.filter(_.snapshotId <= cut).lastOption
-        .map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
-        .getOrElse(schema)
+  def schemaAsOf(asOf: Option[Long]): StructType =
+    schemaAsOfIn(log.snapshots, asOf)
+
+  /** Same resolution over an already-captured snapshot list (pairs
+    * with SnapshotLog.dataFilesOf — one atomic log view serves every
+    * derived value). Shared by read/diff/rollbackTo so the
+    * schema-at-cut rule lives in exactly one place. */
+  private def schemaAsOfIn(snaps: Seq[Snapshot],
+      asOf: Option[Long]): StructType = {
+    val cut = asOf.getOrElse(Long.MaxValue)
+    snaps.filter(_.snapshotId <= cut).lastOption.orElse(snaps.lastOption)
+      .map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"table $name has no snapshots"))
   }
 
   /** Read the table head (or a past snapshot). Empty-but-created tables
@@ -318,7 +326,7 @@ final class GraftTable private (
     * thousands of tiny files per scan. */
   def compact(targetFiles: Int = 0, clusterBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil,
-      zOrderBy: Option[(String, String)] = None): Snapshot = {
+      zOrderBy: Seq[String] = Nil): Snapshot = {
     require(zOrderBy.isEmpty || clusterBy.isEmpty,
       "pick zOrderBy OR clusterBy — the layouts are mutually exclusive")
     // A compact REPLACES the visible file set, so it must be conditional
@@ -335,17 +343,16 @@ final class GraftTable private (
       val parts = if (targetFiles > 0) targetFiles
         else math.max(1, spark.sparkContext.defaultParallelism / 2)
       val commitDir = dir.resolve("data").resolve(s"c${UUID.randomUUID().toString.take(12)}")
-      val out = zOrderBy match {
-        // compaction is WHEN a long-appended table gets its Z-layout:
-        // appends land in arrival order; one rewrite re-lays the whole
-        // visible set along the curve and re-collects prunable stats
-        case Some((a, b)) => ZOrder.cluster(current, a, b, parts)
-        case None =>
-          if (clusterBy.nonEmpty)
-            current.repartitionByRange(parts,
-              clusterBy.map(org.apache.spark.sql.functions.col): _*)
-          else current.repartition(parts)
-      }
+      // compaction is WHEN a long-appended table gets its Z-layout:
+      // appends land in arrival order; one rewrite re-lays the whole
+      // visible set along the curve (2 or 3 columns, matching
+      // ZOrder.cluster) and re-collects prunable stats
+      val out =
+        if (zOrderBy.nonEmpty) ZOrder.cluster(current, zOrderBy, parts)
+        else if (clusterBy.nonEmpty)
+          current.repartitionByRange(parts,
+            clusterBy.map(org.apache.spark.sql.functions.col): _*)
+        else current.repartition(parts)
       out.write.parquet(commitDir.toString)
       val files = Files.list(commitDir).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -353,8 +360,7 @@ final class GraftTable private (
         .toSeq.sorted
       // without re-collected stats the compacted files would be unprunable
       // (a silent regression for readWhere) — record them when asked
-      val wanted = (zOrderBy.toSeq.flatMap(t => Seq(t._1, t._2)) ++
-        clusterBy ++ statsCols).distinct
+      val wanted = (zOrderBy ++ clusterBy ++ statsCols).distinct
       val stats = if (wanted.isEmpty) Map.empty[String, FileStat]
         else collectStats(commitDir, wanted)
       try {
@@ -431,7 +437,7 @@ final class GraftTable private (
     // recover each file's stats from whichever retained snapshot
     // recorded them, so readWhere keeps pruning after the rollback
     val statsByFile = snaps.flatMap(_.stats).toMap
-    val targetSchema = snaps.filter(_.snapshotId <= snapshotId).last.schemaJson
+    val targetSchema = schemaAsOfIn(snaps, Some(snapshotId)).json
     log.commit("rollback", added, targetSchema,
       statsByFile.filter { case (f, _) => added.contains(f) },
       expectedHead = Some(head), removedFiles = removed)
@@ -518,9 +524,7 @@ final class GraftTable private (
     requireRetained(to, "target")
     val before = log.dataFilesOf(snaps, Some(fromId)).toSet
     val after = log.dataFilesOf(snaps, Some(to)).toSet
-    val sch = snaps.filter(_.snapshotId <= to).lastOption
-      .map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
-      .getOrElse(schema)
+    val sch = schemaAsOfIn(snaps, Some(to))
     def readFiles(fs: Set[String]): DataFrame =
       if (fs.isEmpty)
         spark.createDataFrame(
@@ -553,16 +557,21 @@ final class GraftTable private (
     * row-level filters. */
   def readWhereAll(preds: Seq[(String, Option[Any], Option[Any])],
       asOf: Option[Long] = None): DataFrame = {
+    // one atomic log capture for stats, file set, and schema — a
+    // commit landing mid-call can no longer leave the stats map
+    // missing files the listing already sees (which would silently
+    // disable pruning for those files), and the manifest directory is
+    // listed/parsed once instead of three times
     val snaps = log.snapshots
     val cut = asOf.getOrElse(Long.MaxValue)
     val statsByFile = snaps.filter(_.snapshotId <= cut)
       .flatMap(s => s.stats).toMap
-    val kept = log.dataFiles(asOf).filter { abs =>
+    val kept = log.dataFilesOf(snaps, asOf).filter { abs =>
       val rel = dir.relativize(java.nio.file.Paths.get(abs)).toString
       statsByFile.get(rel).forall(st =>
         preds.forall { case (c, lo, hi) => st.mayContain(c, lo, hi) })
     }
-    val sch = schemaAsOf(asOf) // consistent with read(asOf) across evolutions
+    val sch = schemaAsOfIn(snaps, asOf) // consistent with read(asOf) across evolutions
     if (kept.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     else spark.read.schema(sch).parquet(kept: _*)

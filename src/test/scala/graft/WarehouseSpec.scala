@@ -310,15 +310,19 @@ class WarehouseSpec extends AnyFunSuite {
     t.append(graft.warehouse.ZOrder.cluster(df, "x", "y", 8),
       statsCols = Seq("x", "y"))
     val s1 = t.currentSnapshotId.get
+    val era1Files = t.read(Some(s1)).inputFiles.toSet
     // junk era: overlapping values, unclustered — must be invisible asOf s1
     t.append(df.withColumn("x", $"x" + 1), clusterParts = 2)
     val slice = t.readWhereAll(Seq(("x", None, Some(249L))), asOf = Some(s1))
-    assert(slice.inputFiles.length < t.read(Some(s1)).inputFiles.length,
+    assert(slice.inputFiles.length < era1Files.size,
       "era-1 stats must still prune under time travel")
     val want = t.read(Some(s1)).filter($"x" <= 249).count()
     assert(slice.filter($"x" <= 249).count() === want)
-    assert(slice.count() < t.read().filter($"x" <= 249 + 1).count(),
-      "the junk era must not leak into the pinned read")
+    // leak check on FILE IDENTITY, not row counts — range-partition
+    // sampling wobbles kept-row counts by ~±100, which is smaller than
+    // any count-based margin would reliably separate
+    assert(slice.inputFiles.toSet.subsetOf(era1Files),
+      "the junk era's files must not leak into the pinned read")
   }
 
   test("compact with zOrderBy re-lays arrival-order appends into a prunable Z layout") {
@@ -334,7 +338,7 @@ class WarehouseSpec extends AnyFunSuite {
     t.append(df.filter($"x" % 2 === 0), clusterParts = 4)
     t.append(df.filter($"x" % 2 =!= 0), clusterParts = 4)
     val before = t.read().count()
-    t.compact(targetFiles = 16, zOrderBy = Some(("x", "y")))
+    t.compact(targetFiles = 16, zOrderBy = Seq("x", "y"))
     assert(t.read().count() === before, "compact must not change content")
     val total = t.read().inputFiles.length
     val px = t.readWhere("x", None, Some(249L)).inputFiles.length
