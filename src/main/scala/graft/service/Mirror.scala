@@ -51,13 +51,18 @@ object Mirror {
   }
 
   /** Apply a `get_diff` changelog to the replica: next = current ∖
-    * deletes ⊎ inserts (multiset), staged locally before the
-    * drop-and-recreate (the plan still READS the current replica's
-    * files — dropping first would scan deleted paths). Wire cost is
-    * the DELTA only; the replica-local rewrite is the price of a
-    * keyless row-level apply, and still strictly cheaper than
-    * [[fullResync]], which pays that rewrite AND ships the whole
-    * table. `rowsSynced` reports change rows applied. */
+    * deletes ⊎ inserts (multiset), committed via the replica table's
+    * own transactional [[graft.warehouse.GraftTable.replace]] — ONE
+    * CAS snapshot swaps the visible file set, so a concurrent replica
+    * reader observes either the pre- or post-apply table (the old
+    * drop-and-recreate exposed a missing-table gap, and a crash
+    * between the two steps stranded the staged data until a later
+    * full resync). A crash mid-apply now leaves only orphan data
+    * files with the old head intact. Wire cost is the DELTA only;
+    * the replica-local rewrite is the price of a keyless row-level
+    * apply, and still strictly cheaper than [[fullResync]], which
+    * pays that rewrite AND ships the whole table. `rowsSynced`
+    * reports change rows applied. */
   private def diffSync(data: FlightClient, sourceTable: String,
       connector: Connector, targetTable: String,
       since: Long): (String, Long, Long) = {
@@ -71,20 +76,8 @@ object Mirror {
         val del = f.df.filter(col("_change_type") === "delete")
           .drop("_change_type")
         val applied = f.df.count()
-        val staged = java.nio.file.Files
-          .createTempDirectory("graft-diffsync").toString
-        connector.query(targetTable).exceptAll(del).unionByName(ins)
-          .write.mode("overwrite").parquet(staged)
-        val stagedDf = connector.spark.read.parquet(staged)
-        connector.dropTable(targetTable)
-        connector.createTable(targetTable, stagedDf)
-        // the create copied staged content into the table dir
-        try {
-          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(staged))
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-          finally walk.close()
-        } catch { case _: Throwable => () }
+        connector.replaceTable(targetTable,
+          connector.query(targetTable).exceptAll(del).unionByName(ins))
         ("incremental_diff", applied, f.snapshotId)
       }
     } finally f.cleanup()

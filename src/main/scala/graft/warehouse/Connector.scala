@@ -80,6 +80,17 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     true
   }
 
+  /** Atomic full-content replacement (see [[GraftTable.replace]]) — the
+    * transactional alternative to drop+create when a table must be
+    * rebuilt in place (mirror changelog apply): one CAS commit swaps
+    * the visible set, readers never observe a missing table. */
+  def replaceTable(name: String, data: DataFrame): Boolean = {
+    val t = loadTable(name)
+    t.replace(data)
+    reflectView(name)
+    true
+  }
+
   /** Full scan (reference: `query`, `icerunner.py:180-188`). */
   def query(name: String): DataFrame = loadTable(name).read()
 

@@ -296,6 +296,50 @@ final class GraftTable private (
     }.toMap
   }
 
+  /** Transactionally REPLACE the table's contents with `df` (which may
+    * change the schema): data files are written first, then one CAS
+    * commit swaps the visible file set — readers observe either the
+    * old table or the new one, never a gap, and a crash mid-write
+    * leaves only orphan files with the old head intact. This is the
+    * atomic form of drop-and-recreate (the mirror's changelog apply
+    * uses it; a drop+create leaves the replica missing between the
+    * two steps and strands staged data on a crash). Commits as a
+    * `replace` snapshot: [[changesSince]] refuses to cross it (rows
+    * were rewritten — `removedFiles` covers the whole prior set) and
+    * [[diff]] resolves it like any rewrite; prior snapshots stay
+    * time-travelable until expiry. */
+  def replace(df: DataFrame, statsCols: Seq[String] = Nil): Snapshot = {
+    var attempt = 0
+    while (true) {
+      val base = log.head.getOrElse(
+        throw new IllegalStateException(s"table $name has no snapshots"))
+      val removed = log.dataFiles(Some(base.snapshotId))
+        .map(f => dir.relativize(Paths.get(f)).toString).sorted
+      val commitDir = dir.resolve("data").resolve(s"r${UUID.randomUUID().toString.take(12)}")
+      df.write.parquet(commitDir.toString)
+      val files = Files.list(commitDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => dir.relativize(p).toString)
+        .toSeq.sorted
+      val stats = if (statsCols.isEmpty) Map.empty[String, FileStat]
+        else collectStats(commitDir, statsCols)
+      try {
+        return log.commit("replace", files, df.schema.json, stats,
+          expectedHead = Some(base.snapshotId), removedFiles = removed)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          val walk = Files.walk(commitDir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          finally walk.close()
+          attempt += 1
+          if (attempt >= 20) throw new IllegalStateException(
+            s"replace of $name lost $attempt head races; giving up", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Additive schema evolution: append new NULLABLE columns to the table
     * schema via a metadata-only `evolve` snapshot (no data files).
     * Existing parquet files simply lack the new columns, and reads —
@@ -448,11 +492,19 @@ final class GraftTable private (
     * failure in between strands it) and of expired history. Age-gated:
     * only files modified more than `graceMs` ago are touched, so a
     * concurrent writer's just-written, not-yet-committed files
-    * survive (same stance as Iceberg's remove_orphan_files default).
-    * Referenced means added OR removed by any retained snapshot —
-    * removed files stay addressable for time travel until their
-    * adding snapshot expires. Returns the deleted relative paths. */
-  def removeOrphans(graceMs: Long = 3600000L): Seq[String] = {
+    * survive. The default grace is 72 HOURS (Iceberg's
+    * remove_orphan_files uses 3 days for the same reason): every
+    * in-flight write — including a full-table [[compact]] rewrite,
+    * which at 100 TB can run for hours — stages its data files BEFORE
+    * its manifest commit, so any grace shorter than the longest
+    * plausible write phase lets orphan removal delete files a
+    * concurrent commit is about to reference (silent row loss on
+    * read). Do not pass a short grace while writers or compactions
+    * may be running. Referenced means added OR removed by any
+    * retained snapshot — removed files stay addressable for time
+    * travel until their adding snapshot expires. Returns the deleted
+    * relative paths. */
+  def removeOrphans(graceMs: Long = 259200000L): Seq[String] = {
     val referenced = log.snapshots
       .flatMap(s => s.addedFiles ++ s.removedFiles).toSet
     val dataDir = dir.resolve("data")
@@ -485,12 +537,17 @@ final class GraftTable private (
     * Unlike [[changesSince]] (append-only, refuses to cross a
     * rewrite), diff crosses upserts, deletes, and compactions, because
     * it works on the FILE sets: only files added or removed between
-    * the cuts are read — O(changed files), never O(table) — and the
-    * multiset difference cancels content that merely moved files, so
-    * a pure rewrite (compact) or the untouched rows of a
-    * copy-on-write upsert produce no spurious changes. The cost model
-    * holds at 100 TB exactly because copy-on-write keeps the rewritten
-    * file set proportional to the hit set.
+    * the cuts are read, and the multiset difference cancels content
+    * that merely moved files, so a pure rewrite (compact) or the
+    * untouched rows of a copy-on-write upsert produce no spurious
+    * changes. Cost is O(changed files) for append/upsert/delete
+    * windows — proportional to the hit set, which is what holds at
+    * 100 TB — but a COMPACT between the cuts replaces the entire
+    * visible file set, so both sides of the difference then read the
+    * whole table (the result is still correct — unchanged rows
+    * cancel — just at full-scan cost; diff across a maintenance
+    * rewrite is inherently a full-table comparison in a file-set
+    * model with no row lineage).
     *
     * Additive schema evolution between the cuts is read with the
     * `toId` schema (missing columns in older files surface as null,

@@ -43,7 +43,18 @@ final case class FileStat(
   /** Can this file contain rows with `column` in [lower, upper]?
     * Unknown columns conservatively match. Query bounds are converted
     * directionally (lower rounds down, upper rounds up), so a long above
-    * 2^53 can never tighten a bound and falsely prune a file. */
+    * 2^53 can never tighten a bound and falsely prune a file.
+    *
+    * Bound TYPE contract (pruning is only sound when bound and stat
+    * share a unit): numeric columns take any `Number`; timestamp /
+    * timestamp_ntz columns take `java.sql.Timestamp`,
+    * `java.time.LocalDateTime` (compared at UTC), or
+    * `java.time.Instant` — all normalized to the epoch-MILLIS unit the
+    * stats writer records. Passing a raw epoch Long for a timestamp
+    * column would compare micros (or seconds) against millis stats and
+    * falsely prune, so there is deliberately NO implicit numeric
+    * coercion for temporal values and NO string-to-number fallback:
+    * an unsupported bound type throws instead of guessing. */
   def mayContain(column: String,
       lower: Option[Any], upper: Option[Any]): Boolean = {
     def num(v: Any, up: Boolean): Double = v match {
@@ -54,7 +65,11 @@ final case class FileStat(
       case t: java.time.LocalDateTime =>
         t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli.toDouble
       case t: java.time.Instant => t.toEpochMilli.toDouble
-      case other => other.toString.toDouble
+      case other => throw new IllegalArgumentException(
+        s"unsupported pruning bound for numeric-stat column '$column': " +
+          s"${other.getClass.getName} — pass a Number, or a Timestamp/" +
+          "LocalDateTime/Instant for temporal columns (unit-ambiguous " +
+          "values are refused rather than risking a false prune)")
     }
     (numMin.get(column), numMax.get(column)) match {
       case (Some(mn), Some(mx)) =>
