@@ -264,6 +264,62 @@ object Warehouse {
         .orderBy("o_orderkey")
     },
 
+    // ---- q110: quantile-rank Z-order — file skipping on SKEWED data --
+    // q105's linear min/max ranks assume uniform key mass; on a
+    // power-law column they collapse nearly all rows onto a handful of
+    // low rank values, every file then spans the whole dense region in
+    // that dimension, and min/max stats prune nothing (WarehouseSpec
+    // pins that degeneration explicitly). This rig derives a
+    // deterministic power-law-shaped column from orders with PURE
+    // INTEGER arithmetic (identical in both engines): 99% of rows land
+    // in [0, 97), 1% scatter above 10^6 — the user_id / doc-length
+    // shape a real pipeline Z-orders on. ZOrder.clusterQuantile ranks
+    // by equal-mass percentile buckets instead, so each of the 16
+    // files covers a narrow mass slice per dimension and the same
+    // witness q105 grades (single-column prunes + conjunction skips at
+    // least as much, never trivially) must hold ON the skewed column.
+    // Rows are re-filtered per the readWhere contract, so oracle
+    // equality is layout-independent; the witness column is what makes
+    // the skew-robust PRUNING itself hash-graded.
+    Q("q110_zorder_skew",
+      """SELECT o_orderkey AS key,
+        |  CASE WHEN o_orderkey % 100 = 0 THEN 1000000 + o_orderkey
+        |       ELSE o_orderkey % 97 END AS v,
+        |  TRUE AS qprune_ok
+        |FROM orders
+        |WHERE (CASE WHEN o_orderkey % 100 = 0 THEN 1000000 + o_orderkey
+        |            ELSE o_orderkey % 97 END) <= 45
+        |  AND o_orderkey <= (SELECT CAST(floor(max(o_orderkey) / 4.0) AS BIGINT)
+        |                     FROM orders)
+        |ORDER BY key""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val vExpr = when(col("o_orderkey") % 100 === 0,
+        lit(1000000L) + col("o_orderkey")).otherwise(col("o_orderkey") % 97)
+      val base = T.orders(s, d).select(col("o_orderkey").as("key"),
+        vExpr.as("v"))
+      conn.createTable("orders_zq", base.limit(0))
+      val t = conn.loadTable("orders_zq")
+      t.append(ZOrder.clusterQuantile(base, Seq("v", "key"), 16),
+        statsCols = Seq("v", "key"))
+      val kb = base.agg(max(col("key"))).head.getLong(0) / 4
+      val slice = t.readWhereAll(Seq(
+        ("v", None, Some(45L)), ("key", None, Some(kb))))
+      val total = t.log.dataFiles(None).length
+      val both = slice.inputFiles.length
+      val onlyV = t.readWhere("v", None, Some(45L)).inputFiles.length
+      val onlyK = t.readWhere("key", None, Some(kb)).inputFiles.length
+      // same tie-tolerant conjunction witness as q105: the graded
+      // content on SKEWED data is onlyV < total — exactly what linear
+      // ranks cannot deliver (q105's layout over this column reads
+      // every file for the v predicate)
+      val minSingle = math.min(onlyV, onlyK)
+      val witness = both > 0 && onlyV < total && onlyK < total &&
+        (both < minSingle || (both == minSingle && both * 2 <= total))
+      slice.filter(col("v") <= 45 && col("key") <= kb)
+        .withColumn("qprune_ok", lit(witness))
+        .orderBy("key")
+    },
+
     // ---- q106: snapshot diff — the row changelog between snapshots --
     // Grades GraftTable.diff end-to-end: create a table, upsert a batch
     // that UPDATES half the even keys (doubled price) and INSERTS odd

@@ -370,7 +370,8 @@ final class GraftTable private (
     * thousands of tiny files per scan. */
   def compact(targetFiles: Int = 0, clusterBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil,
-      zOrderBy: Seq[String] = Nil): Snapshot = {
+      zOrderBy: Seq[String] = Nil,
+      zOrderQuantile: Boolean = false): Snapshot = {
     require(zOrderBy.isEmpty || clusterBy.isEmpty,
       "pick zOrderBy OR clusterBy — the layouts are mutually exclusive")
     // A compact REPLACES the visible file set, so it must be conditional
@@ -390,9 +391,14 @@ final class GraftTable private (
       // compaction is WHEN a long-appended table gets its Z-layout:
       // appends land in arrival order; one rewrite re-lays the whole
       // visible set along the curve (2 or 3 columns, matching
-      // ZOrder.cluster) and re-collects prunable stats
+      // ZOrder.cluster; zOrderQuantile switches to the skew-robust
+      // equal-mass ranks of ZOrder.clusterQuantile) and re-collects
+      // prunable stats
       val out =
-        if (zOrderBy.nonEmpty) ZOrder.cluster(current, zOrderBy, parts)
+        if (zOrderBy.nonEmpty) {
+          if (zOrderQuantile) ZOrder.clusterQuantile(current, zOrderBy, parts)
+          else ZOrder.cluster(current, zOrderBy, parts)
+        }
         else if (clusterBy.nonEmpty)
           current.repartitionByRange(parts,
             clusterBy.map(org.apache.spark.sql.functions.col): _*)

@@ -22,11 +22,21 @@ import org.apache.spark.sql.functions._
   * Normalization matters: interleaving RAW values lets the wider
   * column's high bits dominate the curve (a 2^16-range column next to
   * a 2^11-range one degenerates to ordering by the wide column alone),
-  * so both columns are first linearly rank-scaled to 16 bits. Linear
-  * scaling assumes roughly uniform key mass — the TPC-H-ish key
-  * columns here are exactly that; heavily skewed columns would want a
-  * quantile-based rank (percentile buckets) in place of min/max
-  * scaling, same curve downstream.
+  * so both columns are first rank-scaled to 16 bits. TWO rank
+  * functions are offered, same curve downstream:
+  *
+  *  - [[cluster]]: linear min/max scaling — exact and cheapest (one
+  *    4-value aggregate), correct when key mass is roughly uniform
+  *    (the TPC-H-ish key columns);
+  *  - [[clusterQuantile]]: equal-MASS percentile buckets — the rank of
+  *    a value is its quantile bucket, learned from one
+  *    `approxQuantile` sketch pass. Required for heavily skewed
+  *    columns (power-law user ids, document lengths): under linear
+  *    scaling 99% of the mass can collapse onto a handful of rank
+  *    values, every file then spans the full dense region in that
+  *    dimension, and min/max stats prune nothing (the degeneration
+  *    WarehouseSpec pins); quantile ranks give every file a narrow
+  *    equal-mass slice, restoring file skipping.
   */
 object ZOrder {
 
@@ -100,6 +110,68 @@ object ZOrder {
     val bits = if (cols.size == 2) 16 else 21
     val ranks = cols.zipWithIndex.map { case (c, i) =>
       rank(col(c), b.getDouble(2 * i), b.getDouble(2 * i + 1), bits)
+    }
+    val z = if (cols.size == 2) zvalue(ranks(0), ranks(1))
+      else zvalue3(ranks(0), ranks(1), ranks(2))
+    val tmp = "__graft_zvalue"
+    df.withColumn(tmp, z)
+      .repartitionByRange(parts, col(tmp))
+      .sortWithinPartitions(tmp)
+      .drop(tmp)
+  }
+
+  /** Quantile-bucket b-bit rank: `thr` is the (deduped, ascending)
+    * quantile-threshold ladder; a value's bucket is the count of
+    * thresholds ≤ it, scaled to the full b-bit space so both
+    * dimensions' bits carry equal curve significance regardless of how
+    * many distinct thresholds each column produced. The count is a
+    * codegen'd higher-order `filter` over a literal array (≤ 255
+    * comparisons per row, no UDF); NULLs rank 0 (the curve's origin,
+    * matching range-partitioning's nulls-first). */
+  private def quantRank(c: Column, thr: Seq[Double], bits: Int): Column = {
+    val cnt = size(filter(
+      array(thr.map(lit): _*), t => c.cast("double") >= t)).cast("long")
+    val m = thr.size.toLong // cnt ∈ [0, m]
+    // scale as (cnt * maxRank) / m — dividing maxRank by m FIRST and
+    // multiplying after would truncate low and then overshoot past the
+    // bit mask at cnt = m (e.g. 99 * (65535/99) = 65538 > 0xFFFF)
+    // Column./ is floating-point division — truncate back to a long
+    // rank (values are nonnegative, so the cast is a floor); the
+    // product stays well under 2^53, so the double round-trip is exact
+    if (m == 0) lit(0L) else ((cnt * lit((1L << bits) - 1)) / lit(m)).cast("long")
+  }
+
+  /** Re-lay `df` along the Z-curve of 2 or 3 numeric columns using
+    * EQUAL-MASS quantile ranks — the skew-robust variant of
+    * [[cluster]] (see the object scaladoc for when each applies).
+    *
+    * Scale shape: ONE `approxQuantile` sketch pass learns all
+    * columns' threshold ladders (Greenwald-Khanna; driver receives ≤
+    * `buckets` doubles per column — O(KB), never rows), then the same
+    * single range-exchange on the interleaved key that [[cluster]]
+    * pays. At 100 TB the sketch pass is a full scan of only the
+    * clustered columns; `relErr` trades sketch memory for bucket-edge
+    * accuracy and only shifts bucket boundaries, never correctness
+    * (stats are recorded from the actual written files).
+    *
+    * @param buckets quantile resolution per column (≤ 256 keeps the
+    *                per-row rank cost at a ≤255-step codegen'd array
+    *                filter; more buys nothing at realistic file counts)
+    */
+  def clusterQuantile(df: DataFrame, cols: Seq[String], parts: Int,
+      buckets: Int = 256, relErr: Double = 0.001): DataFrame = {
+    require(parts > 0, "parts must be positive")
+    require(cols.size == 2 || cols.size == 3,
+      s"Z-order supports 2 or 3 columns, got ${cols.size}")
+    require(buckets >= 2 && buckets <= 4096,
+      s"buckets must be in [2, 4096], got $buckets")
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val ladders = df.stat.approxQuantile(cols.toArray, probs, relErr)
+    val bits = if (cols.size == 2) 16 else 21
+    val ranks = cols.zip(ladders).map { case (c, thr) =>
+      val t = thr.distinct.sorted.toSeq
+      require(t.nonEmpty, s"quantile ranks need non-null values for $c")
+      quantRank(col(c), t, bits)
     }
     val z = if (cols.size == 2) zvalue(ranks(0), ranks(1))
       else zvalue3(ranks(0), ranks(1), ranks(2))

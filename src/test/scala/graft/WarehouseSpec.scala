@@ -347,6 +347,88 @@ class WarehouseSpec extends AnyFunSuite {
       s"z-compacted table must prune on both columns: $px, $py of $total")
   }
 
+  test("replace swaps contents in one snapshot: time travel kept, changesSince refuses, diff resolves") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("tr", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val t = c.loadTable("tr")
+    val s1 = t.currentSnapshotId.get
+    t.replace(Seq((2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v"))
+    // head shows the new contents; the old cut is still readable
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
+    assert(t.read(Some(s1)).select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // an append-only incremental read cannot express a replace
+    intercept[graft.warehouse.HistoryExpiredException] { t.changesSince(s1).count() }
+    // the changelog can: delete of 1, inserts of 3 and 4; row 2 cancels
+    val d = t.diff(s1).groupBy("_change_type")
+      .agg(org.apache.spark.sql.functions.collect_list("id").as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).sorted).toMap
+    assert(d("insert") == Seq(3L, 4L) && d("delete") == Seq(1L))
+    // replace may also change the schema (mirror evolution continuation)
+    t.replace(Seq((5L, "e", 1L)).toDF("id", "v", "extra"))
+    assert(t.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    assert(t.read(Some(s1)).columns.toSeq == Seq("id", "v"),
+      "pre-replace cuts keep their era's schema")
+  }
+
+  test("quantile Z-ranks prune skewed columns where linear min/max ranks cannot") {
+    // power-law shape: 99% of rows in [0, 90), 1% scattered above 10^5.
+    // Linear ranks collapse the dense 99% onto ~a dozen rank values, so
+    // every z-range file contains dense-region rows in the v dimension
+    // and a low-v predicate prunes NOTHING; equal-mass quantile buckets
+    // spread the same 99% across the rank space, restoring pruning.
+    import graft.warehouse.ZOrder
+    val df = spark.range(1, 20001).toDF("id")
+      .withColumn("v",
+        org.apache.spark.sql.functions.when($"id" % 100 === 0, $"id" + 100000L)
+          .otherwise($"id" % 90))
+      .select("v", "id")
+    def layout(name: String, clustered: org.apache.spark.sql.DataFrame): GraftTable = {
+      val c = new Connector(spark, freshWarehouse())
+      c.createTable(name, df.limit(0))
+      val t = c.loadTable(name)
+      t.append(clustered, statsCols = Seq("v", "id"))
+      t
+    }
+    val linear = layout("tlin", ZOrder.cluster(df, Seq("v", "id"), 16))
+    val quant = layout("tq", ZOrder.clusterQuantile(df, Seq("v", "id"), 16))
+    assert(quant.read().count() === df.count(),
+      "quantile clustering must not change content")
+    val totalL = linear.read().inputFiles.length
+    val totalQ = quant.read().inputFiles.length
+    val pLin = linear.readWhere("v", None, Some(45L)).inputFiles.length
+    val pQ = quant.readWhere("v", None, Some(45L)).inputFiles.length
+    // the degeneration this test exists to pin: min/max ranks leave the
+    // skewed dimension unprunable (every file spans the dense region)
+    assert(pLin === totalL,
+      s"expected linear ranks to prune nothing on the skewed column, got $pLin of $totalL")
+    assert(pQ < totalQ,
+      s"quantile ranks must prune the skewed column: $pQ of $totalQ")
+    // and the uniform dimension still prunes under quantile ranks
+    val pId = quant.readWhere("id", None, Some(5000L)).inputFiles.length
+    assert(pId < totalQ, s"uniform dim must still prune: $pId of $totalQ")
+  }
+
+  test("compact with zOrderQuantile re-lays a skewed table into a prunable layout") {
+    val c = new Connector(spark, freshWarehouse())
+    val df = spark.range(1, 20001).toDF("id")
+      .withColumn("v",
+        org.apache.spark.sql.functions.when($"id" % 100 === 0, $"id" + 100000L)
+          .otherwise($"id" % 90))
+      .select("v", "id")
+    c.createTable("tzq", df.limit(0))
+    val t = c.loadTable("tzq")
+    t.append(df.filter($"id" % 2 === 0), clusterParts = 4)
+    t.append(df.filter($"id" % 2 =!= 0), clusterParts = 4)
+    val before = t.read().count()
+    t.compact(targetFiles = 16, zOrderBy = Seq("v", "id"), zOrderQuantile = true)
+    assert(t.read().count() === before, "compact must not change content")
+    val total = t.read().inputFiles.length
+    val pv = t.readWhere("v", None, Some(45L)).inputFiles.length
+    val pid = t.readWhere("id", None, Some(5000L)).inputFiles.length
+    assert(pv < total && pid < total,
+      s"quantile-z compact must prune on both columns: $pv, $pid of $total")
+  }
+
   test("compact rewrites files without changing content; expiry reclaims them") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
