@@ -399,6 +399,56 @@ object Warehouse {
         .orderBy("doc_id")
     },
 
+    // ---- q112: conditional MERGE with a delete arm — one-commit CDC --
+    // Grades GraftTable.merge end-to-end: a single changelog batch
+    // carrying updates (op U), inserts (op I), deletes (op D) AND
+    // tombstones for keys that were never in the table is applied in
+    // ONE commit — `whenMatchedDelete = (_op = 'D')`. Every arm is
+    // hash-graded: updates must replace (doubled price), inserts must
+    // land, matched deletes must drop the stored row, absent-key
+    // tombstones must no-op (at-least-once delivery), and the
+    // changelog's `_op` column must NOT leak into the stored schema.
+    // The witness pins single-commit atomicity: the head advanced by
+    // exactly one snapshot. The U/D/I/ghost strata (%6∧¬%15, %15,
+    // %3=1, %3=2∧%7) are mutually disjoint, honoring merge's
+    // one-row-per-key contract. Doubling an already-2dp price is
+    // exact in binary FP (q106 precedent).
+    Q("q112_merge_cdc",
+      """SELECT o_orderkey, price, TRUE AS merge_ok FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 6 = 0 THEN round(o_totalprice, 2) * 2
+        |         ELSE round(o_totalprice, 2) END AS price
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 15 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |) ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_mg", orders.filter(col("o_orderkey") % 3 === 0))
+      val t = conn.loadTable("orders_mg")
+      val s0 = t.currentSnapshotId.get
+      val upd = orders
+        .filter(col("o_orderkey") % 6 === 0 && col("o_orderkey") % 15 =!= 0)
+        .withColumn("price", col("price") * 2).withColumn("_op", lit("U"))
+      val del = orders.filter(col("o_orderkey") % 15 === 0)
+        .withColumn("_op", lit("D"))
+      val ins = orders.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("_op", lit("I"))
+      val ghost = orders
+        .filter(col("o_orderkey") % 3 === 2 && col("o_orderkey") % 7 === 0)
+        .withColumn("_op", lit("D"))
+      conn.merge("orders_mg",
+        upd.unionByName(del).unionByName(ins).unionByName(ghost),
+        Seq("o_orderkey"), col("_op") === "D")
+      val witness = t.currentSnapshotId.contains(s0 + 1) &&
+        t.schema.fieldNames.toSeq == Seq("o_orderkey", "price")
+      conn.query("orders_mg")
+        .withColumn("merge_ok", lit(witness))
+        .orderBy("o_orderkey")
+    },
+
     // ---- q109: rollback — metadata-only undo of a bad commit --------
     // A bad batch lands; rollbackTo reverts the head to the pre-batch
     // snapshot WITHOUT reading or writing data files, while the bad

@@ -150,7 +150,15 @@ object EventStreams {
     * at-least-once window as the append path). */
   def cdcApply(changes: DataFrame, connector: Connector, table: String,
       keyCols: Seq[String], orderCol: String, tiebreak: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      /** when-matched-DELETE arm, evaluated against the change row
+        * (e.g. `col("_op") === "D"`): matching keys whose latest
+        * version satisfies it are dropped from the replica instead of
+        * replaced — the full CDC changelog shape. None = pure
+        * insert/update apply (upsert). Tombstones are not persisted,
+        * so a delete only wins over versions the reorder guard has
+        * seen; see GraftTable.merge. */
+      deleteWhen: Option[org.apache.spark.sql.Column] = None): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -158,7 +166,12 @@ object EventStreams {
         if (!batch.isEmpty) {
           val latest = graft.operators.Dedup.latest(
             batch, keyCols, orderCol, tiebreak)
-          if (!connector.tableExists(table)) connector.createTable(table, latest)
+          val delArm = deleteWhen.getOrElse(lit(false))
+          if (!connector.tableExists(table))
+            // first batch: tombstones for a table that does not exist
+            // yet are no-ops — create from the surviving versions only
+            connector.createTable(table,
+              latest.filter(!coalesce(delArm, lit(false))))
           else {
             // cross-batch reorder guard: micro-batch boundaries are
             // arbitrary (file mtimes, trigger splits), so a LATER batch
@@ -193,7 +206,9 @@ object EventStreams {
               // re-runs the dedup window AND the guard join, which is
               // pure added micro-batch latency
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try { if (!fresh.isEmpty) connector.upsert(table, fresh, keyCols) }
+            try {
+              if (!fresh.isEmpty) connector.merge(table, fresh, keyCols, delArm)
+            }
             finally { fresh.unpersist(); () }
           }
         }

@@ -72,6 +72,19 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     true
   }
 
+  /** Full conditional MERGE (parity-plus): [[upsert]] plus a
+    * when-matched-DELETE arm evaluated against the incoming row —
+    * the one-commit CDC apply (see [[GraftTable.merge]]). */
+  def merge(name: String, data: DataFrame, keyCols: Seq[String],
+      whenMatchedDelete: org.apache.spark.sql.Column,
+      statsCols: Seq[String] = Nil): Boolean = {
+    val t = loadTable(name)
+    t.merge(data, keyCols, whenMatchedDelete,
+      if (statsCols.nonEmpty) statsCols else keyCols)
+    reflectView(name)
+    true
+  }
+
   /** Copy-on-write DELETE of rows matching `cond` (parity-plus). */
   def delete(name: String, cond: org.apache.spark.sql.Column): Boolean = {
     val t = loadTable(name)

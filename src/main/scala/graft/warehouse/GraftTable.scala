@@ -131,19 +131,64 @@ final class GraftTable private (
     * delta is not expressible as added rows — which routes replicas
     * onto their full-re-sync path. */
   def upsert(incoming: DataFrame, keyCols: Seq[String],
+      statsCols: Seq[String] = Nil): Snapshot =
+    merge(incoming, keyCols,
+      whenMatchedDelete = org.apache.spark.sql.functions.lit(false),
+      statsCols = statsCols)
+
+  /** Full conditional MERGE — [[upsert]] plus a when-matched-DELETE
+    * arm, the CDC-apply shape a changelog consumer needs in ONE
+    * commit: for each incoming row matching an existing key,
+    * `whenMatchedDelete` (evaluated against the incoming row, e.g.
+    * `col("_op") === "D"`) decides whether the stored row is DROPPED
+    * (tombstone) or REPLACED; unmatched incoming rows INSERT unless
+    * they are delete rows (a tombstone for an absent key is a no-op,
+    * the idempotent at-least-once delivery case). `incoming` may
+    * carry EXTRA columns (the changelog's op/metadata fields) used
+    * only by the predicate — stored rows are projected to the table
+    * schema, which every table column must match by name and type.
+    *
+    * Same scale/concurrency shape as [[upsert]] (it IS this method
+    * with a never-true delete arm): one key-projected, stats-pruned
+    * probe locates the files containing ANY incoming key — update
+    * and delete targets alike — and only those are rewritten;
+    * CAS-committed as a `merge` snapshot whose rewrite incremental
+    * readers refuse to cross. NOTE tombstones are not persisted: a
+    * later out-of-order version of a deleted key re-inserts it
+    * (streaming consumers order batches via their own reorder guard,
+    * see EventStreams.cdcApply). */
+  def merge(incoming: DataFrame, keyCols: Seq[String],
+      whenMatchedDelete: org.apache.spark.sql.Column,
       statsCols: Seq[String] = Nil): Snapshot = {
-    require(keyCols.nonEmpty, "upsert needs at least one key column")
-    import org.apache.spark.sql.functions.{col, input_file_name}
-    if (log.head.isEmpty) return append(incoming, statsCols = statsCols)
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
+    // rows that UPSERT (insert-or-replace) vs rows that only tombstone;
+    // NULL-evaluating predicates keep the row on the upsert side (SQL
+    // WHEN-semantics: an arm fires only when its condition is TRUE)
+    val delPred = coalesce(whenMatchedDelete, lit(false))
+    val upserts = incoming.filter(!delPred)
+    if (log.head.isEmpty) {
+      // empty table: tombstones have nothing to match — pure insert
+      // (callers merging a changelog with extra metadata columns should
+      // create the table with its intended schema first; this path
+      // keeps upsert's historical create-from-incoming behavior)
+      return append(upserts, statsCols = statsCols)
+    }
     var attempt = 0
     while (true) {
       val base = log.head.get
       val expected = DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
-      require(compatible(expected, incoming.schema),
-        s"upsert schema mismatch for $name:\n expected $expected\n got ${incoming.schema}")
+      val byName = incoming.schema.fields.map(f => f.name -> f.dataType).toMap
+      expected.fields.foreach { f =>
+        require(byName.get(f.name).contains(f.dataType),
+          s"merge schema mismatch for $name: table column ${f.name}: " +
+            s"${f.dataType} absent or mistyped in incoming ${incoming.schema}")
+      }
       // null-SAFE key projection: a NULL key must match its stored NULL
       // twin (plain equality would never match, so every upsert of a
-      // NULL-keyed row would accumulate a duplicate)
+      // NULL-keyed row would accumulate a duplicate). ALL incoming keys
+      // participate — update and delete targets both locate files and
+      // both evict the stored version; only upsert rows re-insert.
       val keys = incoming
         .select(keyCols.map(c => col(c).as(s"__k_$c")): _*).distinct()
       val keyCond = keyCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
@@ -181,7 +226,7 @@ final class GraftTable private (
         else spark.read.schema(schemaAsOf(Some(base.snapshotId)))
           .parquet(affected.map(f => dir.resolve(f).toString): _*)
           .join(keys, keyCond, "left_anti")
-      survivors.unionByName(incoming.select(survivors.columns.map(col): _*))
+      survivors.unionByName(upserts.select(survivors.columns.map(col): _*))
         .write.parquet(commitDir.toString)
       val files = Files.list(commitDir).iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -190,7 +235,7 @@ final class GraftTable private (
       val stats = if (statsCols.isEmpty) Map.empty[String, FileStat]
         else collectStats(commitDir, statsCols)
       try {
-        return log.commit("upsert", files, base.schemaJson, stats,
+        return log.commit("merge", files, base.schemaJson, stats,
           expectedHead = Some(base.snapshotId), removedFiles = affected)
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -200,7 +245,7 @@ final class GraftTable private (
           finally walk.close()
           attempt += 1
           if (attempt >= 20) throw new IllegalStateException(
-            s"upsert of $name lost $attempt head races; giving up", e)
+            s"merge of $name lost $attempt head races; giving up", e)
       }
     }
     throw new IllegalStateException("unreachable")

@@ -267,6 +267,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Map(1L -> "z", 2L -> "B2", 3L -> "c"))
   }
 
+  test("CDC apply with a delete arm drops tombstoned keys, guard-orders deletes too") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-cdc-del").toString
+    // batch 1 creates 1..3 (plus a tombstone for absent id=9: no-op;
+    // first-batch tombstones must also not CREATE rows); batch 2
+    // deletes id=2 and updates id=3; batch 3 carries a STALE delete for
+    // id=3 (ver=5 < stored 20) — the reorder guard must discard it.
+    Seq((1L, "a", 10L, "U"), (2L, "b", 10L, "U"), (3L, "c", 10L, "U"),
+        (9L, "x", 10L, "D"))
+      .toDF("id", "v", "ver", "op").coalesce(1).write.mode("append").parquet(dir)
+    Seq((2L, "x", 20L, "D"), (3L, "C2", 20L, "U"))
+      .toDF("id", "v", "ver", "op").coalesce(1).write.mode("append").parquet(dir)
+    Seq((3L, "x", 5L, "D"))
+      .toDF("id", "v", "ver", "op").coalesce(1).write.mode("append").parquet(dir)
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", StringType), StructField("ver", LongType),
+      StructField("op", StringType)))
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val wh = new Connector(spark, Files.createTempDirectory("graft-cdc-delwh").toString)
+    val q = EventStreams.cdcApply(stream, wh, "state", Seq("id"), "ver", "v",
+      Files.createTempDirectory("graft-cdc-delckpt").toString,
+      deleteWhen = Some($"op" === "D"))
+    q.awaitTermination(120000)
+    val got = wh.query("state").select("id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a", 3L -> "C2"))
+  }
+
   test("streaming ingestion commits snapshots the warehouse can read incrementally") {
     val (dir, batchDf) = stageEvents()
     val wh = new Connector(spark, Files.createTempDirectory("graft-swh").toString)

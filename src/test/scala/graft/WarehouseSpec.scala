@@ -611,7 +611,7 @@ class WarehouseSpec extends AnyFunSuite {
     // update 2 rows in the first file's range, insert 1 new key
     val snap = t.upsert(Seq((1L, "NEW1"), (5L, "NEW5"), (99L, "NEW99"))
       .toDF("id", "v"), Seq("id"))
-    assert(snap.operation === "upsert")
+    assert(snap.operation === "merge") // upsert = merge with a never-true delete arm
     val now = t.read().as[(Long, String)].collect().toMap
     assert(now.size === 21)
     assert(now(1L) === "NEW1" && now(5L) === "NEW5" && now(99L) === "NEW99")
@@ -628,6 +628,32 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[graft.warehouse.HistoryExpiredException] {
       t.changesSince(s1).count()
     }
+  }
+
+  test("merge applies update+insert+delete in one commit; absent-key tombstones no-op") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("tm", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val t = c.loadTable("tm")
+    val s0 = t.currentSnapshotId.get
+    // U on 2, D on 3, I of 4, D of never-present 9 — one changelog batch
+    val cl = Seq((2L, "B", "U"), (3L, "x", "D"), (4L, "d", "I"), (9L, "x", "D"))
+      .toDF("id", "v", "_op")
+    c.merge("tm", cl, Seq("id"), $"_op" === "D")
+    assert(t.read().as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 2L -> "B", 4L -> "d"))
+    // single commit, merge snapshot, predicate column not persisted
+    assert(t.currentSnapshotId.contains(s0 + 1))
+    assert(t.log.head.get.operation === "merge")
+    assert(t.schema.fieldNames.toSeq === Seq("id", "v"))
+    // delete-of-old + insert-of-new changelog crosses the merge
+    val d = t.diff(s0).groupBy("_change_type")
+      .agg(org.apache.spark.sql.functions.collect_list("id").as("ids"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).sorted).toMap
+    assert(d("delete") === Seq(2L, 3L) && d("insert") === Seq(2L, 4L))
+    // NULL-evaluating delete predicate keeps the row on the upsert arm
+    val cl2 = Seq((1L, "A", null.asInstanceOf[String])).toDF("id", "v", "_op")
+    c.merge("tm", cl2, Seq("id"), $"_op" === "D")
+    assert(t.read().as[(Long, String)].collect().toMap.apply(1L) === "A")
   }
 
   test("deleteWhere removes matching rows; no-match is a snapshotless no-op") {
