@@ -215,7 +215,9 @@ object Streaming {
     // states (eviction timing is StreamingSpec's job — a tight
     // watermark over UNORDERED files would drop pairs
     // nondeterministically). 4 files per side bound the batch count:
-    // join state maintenance is the per-batch cost here.
+    // join state maintenance is the per-batch cost here. q111 is the
+    // production-shaped counterpart: TIME-ORDERED staging makes a
+    // finite 1-hour watermark safe and grades that state is evicted.
     Q("q98_stream_join",
       """SELECT a.user_id AS user_id, a.event_id AS a_event,
         |  b.event_id AS b_event,
@@ -248,6 +250,75 @@ object Streaming {
         .select(col("user_id"), col("a_event"), col("b_event"),
           unix_micros(col("a_ts")).as("a_ts_us"),
           unix_micros(col("b_ts")).as("b_ts_us"))
+        .orderBy("user_id", "a_event", "b_event")
+    },
+
+    // ---- q111: stream-stream join under a FINITE watermark -----------
+    // q98 deliberately runs with an effectively-infinite watermark
+    // (unordered staging files would otherwise drop rows
+    // nondeterministically) — which also means its rig retains ALL
+    // join state, the one shape that cannot survive a 100× scale-up.
+    // This variant stages the same corpus as 8 TIME-ORDERED slices
+    // (day-of-month ranges of the one-month corpus, written
+    // sequentially so file modification times follow event time and
+    // each micro-batch's minimum ts is >= the previous batch's
+    // maximum), which makes a REALISTIC 1-hour watermark safe: the
+    // global watermark only advances at batch boundaries, so
+    // within-batch disorder never drops input, and any qualifying
+    // click lives in a batch at-or-before the one whose completion
+    // evicts its view — no lost matches, terminal output still equals
+    // the batch self-join the oracle states. The graded witness is
+    // the 100-TB property itself: the maximum state-store row count
+    // across all micro-batches stays under HALF the qualifying input
+    // (in practice ~a 1.5-hour tail per batch; an infinite watermark
+    // would hold the entire corpus), proving view/click state is
+    // actually evicted while the result stays exact.
+    Q("q111_stream_join_watermark",
+      """SELECT a.user_id AS user_id, a.event_id AS a_event,
+        |  b.event_id AS b_event,
+        |  epoch_us(CAST(a.ts AS TIMESTAMP)) AS a_ts_us,
+        |  epoch_us(CAST(b.ts AS TIMESTAMP)) AS b_ts_us,
+        |  TRUE AS bounded_state_ok
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'click'
+        | AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+        | AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+        |ORDER BY user_id, a_event, b_event""".stripMargin) { (s, d) =>
+      val staging = Scratch.dir("q111_stage")
+      val ev = T.events(s, d)
+        .filter(col("event_type").isin("view", "click"))
+      // 8 sequential single-file writes in event-time order: the file
+      // source replays them as 8 micro-batches in modification-time
+      // order, so arrival order == event-time order at batch granularity
+      (0 until 8).foreach { g =>
+        ev.filter(dayofmonth(col("ts")).between(g * 4 + 1, g * 4 + 4))
+          .coalesce(1).write.mode("append").parquet(staging)
+      }
+      val joined = EventStreams.followedBy(
+        EventStreams.readEvents(s, staging, maxFilesPerTrigger = 1),
+        firstType = "view", thenType = "click",
+        maxGap = "30 minutes", watermark = "1 hour")
+      val sink = "q111_sink_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      var maxState = 0L
+      withShufflePartitions(s, 4) {
+        val sq = joined.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation", Scratch.dir("q111_ckpt"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        maxState = sq.recentProgress
+          .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max)
+      }
+      val qualifying = ev.count()
+      val witness = maxState > 0 && maxState * 2 < qualifying
+      landSink(s, sink)
+        .select(col("user_id"), col("a_event"), col("b_event"),
+          unix_micros(col("a_ts")).as("a_ts_us"),
+          unix_micros(col("b_ts")).as("b_ts_us"))
+        .withColumn("bounded_state_ok", lit(witness))
         .orderBy("user_id", "a_event", "b_event")
     },
 
