@@ -166,6 +166,78 @@ object Service {
           .withColumn("cdf_ok", lit(witness))
           .orderBy("o_orderkey")
       } finally svc.close()
+    },
+
+    // ---- q113: mirror survives source SCHEMA EVOLUTION incrementally -
+    // Before r11 an additive source evolution demoted replication: the
+    // append-path insert threw (error tick) and the changelog apply
+    // fell back to a full rebuild. Now the mirror evolves the REPLICA
+    // in place (nullable adds) on either delta path and keeps
+    // streaming increments. The rig evolves the source TWICE — tag
+    // before an append (getChanges path), tag2 before an upsert
+    // (get_diff path) — and the witness pins the statuses
+    // (full_sync → incremental → incremental_diff: neither evolution
+    // tick degraded to full_resync), the exact wire-delta sizes
+    // (|B| rows, then 2·|C| change rows), and the replica's evolved
+    // 4-column schema. The hash grades the content rule everywhere:
+    // pre-evolution rows surface NULL in later columns, exactly as
+    // the source's own reads do.
+    Q("q113_mirror_evolve",
+      """SELECT o_orderkey, price, tag, tag2, TRUE AS evo_ok FROM (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |         CAST(NULL AS VARCHAR) AS tag, CAST(NULL AS VARCHAR) AS tag2
+        |  FROM orders WHERE o_orderkey % 16 = 0 AND o_orderkey % 32 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice, 2) * 2, 'upd', 'u2'
+        |  FROM orders WHERE o_orderkey % 32 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice, 2), 'late',
+        |         CAST(NULL AS VARCHAR)
+        |  FROM orders WHERE o_orderkey % 16 = 1
+        |) ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val srcConn = new Connector(s, Scratch.dir("run"))
+      val dstConn = new Connector(s, Scratch.dir("run"))
+      val svc = new FlightService(srcConn, 0)
+      try {
+        val client = new FlightClient(s, "localhost", svc.boundPort)
+        val state = graft.service.SyncState(Scratch.dir("run"))
+        val url = s"grpc://localhost:${svc.boundPort}/orders_evo"
+        val orders = T.orders(s, d).select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        srcConn.createTable("orders_evo",
+          orders.filter(col("o_orderkey") % 16 === 0))
+        val r1 = graft.service.Mirror.performSync(
+          client, url, "orders_evo", dstConn, "orders_evo_dst", state)
+        // evolution 1 (tag) + APPEND: the getChanges path must evolve
+        // the replica and stay incremental
+        srcConn.loadTable("orders_evo").addColumns(StructType(Seq(
+          StructField("tag", StringType, nullable = true))))
+        val lateB = orders.filter(col("o_orderkey") % 16 === 1)
+          .withColumn("tag", lit("late"))
+        srcConn.insert("orders_evo", lateB)
+        val r2 = graft.service.Mirror.performSync(
+          client, url, "orders_evo", dstConn, "orders_evo_dst", state)
+        // evolution 2 (tag2) + UPSERT: the get_diff path must evolve
+        // the replica and apply only the changelog
+        srcConn.loadTable("orders_evo").addColumns(StructType(Seq(
+          StructField("tag2", StringType, nullable = true))))
+        val updC = orders.filter(col("o_orderkey") % 32 === 0)
+          .withColumn("price", col("price") * 2)
+          .withColumn("tag", lit("upd")).withColumn("tag2", lit("u2"))
+        srcConn.upsert("orders_evo", updC, Seq("o_orderkey"))
+        val r3 = graft.service.Mirror.performSync(
+          client, url, "orders_evo", dstConn, "orders_evo_dst", state)
+        val witness = r1.status == "full_sync" &&
+          r2.status == "incremental" && r2.rowsSynced == lateB.count() &&
+          r3.status == "incremental_diff" &&
+          r3.rowsSynced == 2 * updC.count() &&
+          dstConn.loadTable("orders_evo_dst").schema.fieldNames.toSeq ==
+            Seq("o_orderkey", "price", "tag", "tag2")
+        dstConn.query("orders_evo_dst")
+          .withColumn("evo_ok", lit(witness))
+          .orderBy("o_orderkey")
+      } finally svc.close()
     })
 
   def queries: Seq[Q] = ql

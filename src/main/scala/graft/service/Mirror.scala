@@ -21,7 +21,12 @@ import graft.warehouse.Connector
   *       `get_diff(since = L)` → apply the row changelog (delete old
   *       versions, insert new) — only the DELTA crosses the wire even
   *       across an upsert; if the diff base itself has expired, fall
-  *       back to the full replica rebuild.
+  *       back to the full replica rebuild;
+  *     - ADDITIVE source schema evolution in the window → evolve the
+  *       replica in place (nullable adds) on EITHER delta path and
+  *       keep streaming increments; only a non-additive change routes
+  *       to the rebuild (which ships the new schema wholesale, via
+  *       the atomic in-place replace when the table exists).
   *  4. target exists but no state (adopted table) → record S without
   *     copying — never silently duplicate; a `--full` initial copy is
   *     what case 2 is for.
@@ -37,17 +42,48 @@ object Mirror {
 
   /** Rebuild the replica from a full pinned read — the recovery for a
     * source whose history has been expired past the replica's recorded
-    * snapshot (delta unknowable). Drops and recreates the target so an
-    * append-only table never double-counts (the reference's fallback
-    * re-appends the full table every tick instead). */
+    * snapshot (delta unknowable). An EXISTING replica is rebuilt via
+    * its own transactional [[graft.warehouse.GraftTable.replace]] (one
+    * CAS snapshot — readers never observe a missing table, and the
+    * new contents may carry an evolved schema); only a never-created
+    * target goes through create. Either way an append-only table never
+    * double-counts (the reference's fallback re-appends the full table
+    * every tick instead). */
   private def fullResync(data: FlightClient, sourceTable: String,
       connector: Connector, targetTable: String): (String, Long, Long) = {
     val f = data.doGet(sourceTable)
     try {
-      connector.dropTable(targetTable)
-      connector.createTable(targetTable, f.df)
+      if (connector.tableExists(targetTable))
+        connector.replaceTable(targetTable, f.df)
+      else connector.createTable(targetTable, f.df)
       ("full_resync", connector.count(targetTable), f.snapshotId)
     } finally f.cleanup()
+  }
+
+  /** Additive schema-evolution continuation: when the wire delta
+    * carries columns the replica lacks, evolve the replica in place
+    * (nullable adds via [[graft.warehouse.GraftTable.addColumns]])
+    * and keep the delta stream flowing — a source evolution must not
+    * demote incremental replication to full rebuilds. Every column
+    * the replica already has must still match by name and type;
+    * anything non-additive throws, routing the caller onto its
+    * rebuild fallback (which ships the new schema wholesale). */
+  private def evolveForDelta(connector: Connector, targetTable: String,
+      incoming: org.apache.spark.sql.types.StructType): Unit = {
+    val t = connector.loadTable(targetTable)
+    val cur = t.schema
+    val extra = incoming.fields.filterNot(f => cur.fieldNames.contains(f.name))
+    if (extra.nonEmpty) {
+      cur.fields.foreach { f =>
+        require(incoming.fields.exists(g =>
+            g.name == f.name && g.dataType == f.dataType),
+          s"non-additive schema change for $targetTable: " +
+            s"replica column ${f.name}: ${f.dataType} missing or retyped " +
+            s"in source delta $incoming")
+      }
+      t.addColumns(org.apache.spark.sql.types.StructType(
+        extra.map(_.copy(nullable = true))))
+    }
   }
 
   /** Apply a `get_diff` changelog to the replica: next = current ∖
@@ -71,13 +107,21 @@ object Mirror {
     try {
       if (f.snapshotId == since) ("up_to_date", 0L, since)
       else {
+        // a changelog read with the source's evolved schema evolves
+        // the replica first, then applies aligned to the replica's
+        // column order (exceptAll resolves positionally)
+        evolveForDelta(connector, targetTable,
+          org.apache.spark.sql.types.StructType(
+            f.df.schema.fields.filterNot(_.name == "_change_type")))
+        val tgtCols = connector.loadTable(targetTable).schema.fieldNames.toSeq
         val ins = f.df.filter(col("_change_type") === "insert")
-          .drop("_change_type")
+          .select(tgtCols.map(col): _*)
         val del = f.df.filter(col("_change_type") === "delete")
-          .drop("_change_type")
+          .select(tgtCols.map(col): _*)
         val applied = f.df.count()
         connector.replaceTable(targetTable,
-          connector.query(targetTable).exceptAll(del).unionByName(ins))
+          connector.query(targetTable).select(tgtCols.map(col): _*)
+            .exceptAll(del).unionByName(ins))
         ("incremental_diff", applied, f.snapshotId)
       }
     } finally f.cleanup()
@@ -111,7 +155,18 @@ object Mirror {
                 if (f.snapshotId == l) ("up_to_date", 0L, l)
                 else {
                   val n = f.df.count()
-                  if (n > 0) connector.insert(targetTable, f.df)
+                  if (n > 0) {
+                    // additive source evolution: widen the replica and
+                    // keep appending deltas (pre-evolution files in
+                    // the window read as nulls in the new columns,
+                    // matching the source's own read rule)
+                    evolveForDelta(connector, targetTable, f.df.schema)
+                    val tgtCols =
+                      connector.loadTable(targetTable).schema.fieldNames.toSeq
+                    connector.insert(targetTable,
+                      f.df.select(tgtCols.map(
+                        org.apache.spark.sql.functions.col): _*))
+                  }
                   ("incremental", n, f.snapshotId)
                 }
               } finally f.cleanup()
@@ -144,6 +199,17 @@ object Mirror {
                       s"${diffErr.getMessage}); falling back to full rebuild")
                     fullResync(data, sourceTable, connector, targetTable)
                 }
+              // a delta APPLY failure (e.g. a non-additive schema
+              // change evolveForDelta refuses) self-heals via the
+              // rebuild, which ships the new schema wholesale — the
+              // replica must converge, not error forever; the
+              // diagnostic keeps a systemic regression visible (q108 +
+              // ServiceSpec pin that the cheap paths still run)
+              case NonFatal(e) =>
+                System.err.println(s"[mirror] incremental apply for " +
+                  s"$sourceTable failed (${e.getClass.getSimpleName}: " +
+                  s"${e.getMessage}); falling back to full rebuild")
+                fullResync(data, sourceTable, connector, targetTable)
             }
           case None =>
             // Existing target with no state: adopt the current source

@@ -278,7 +278,7 @@ class ServiceSpec extends AnyFunSuite {
     }
   }
 
-  test("mirror self-heals when the changelog can't apply (source schema evolved + upsert)") {
+  test("mirror continues incrementally across additive evolution; rebuilds only on divergence") {
     withService { (c, client, svc) =>
       import spark.implicits._
       client.doPut("src4", (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v"))
@@ -288,21 +288,39 @@ class ServiceSpec extends AnyFunSuite {
       val r1 = Mirror.performSync(client, url, "src4", targetWh, "dst4", state)
       assert(r1.status === "full_sync")
 
-      // widen the source schema, then rewrite: the get_diff changelog is
-      // now WIDER than the replica, the multiset apply throws, and the
-      // tick must recover via the full rebuild — not fail forever (the
-      // pre-changelog self-heal guarantee)
+      // widen the source schema, then rewrite: since r11 the WIDER
+      // get_diff changelog evolves the replica in place and the tick
+      // stays on the changelog path (previously this fell back to a
+      // full rebuild)
       c.loadTable("src4").addColumns(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("extra",
           org.apache.spark.sql.types.LongType, nullable = true))))
       c.upsert("src4", Seq((1L, "NEW", 7L)).toDF("id", "v", "extra"), Seq("id"))
       val r2 = Mirror.performSync(client, url, "src4", targetWh, "dst4", state)
-      assert(r2.status === "full_resync", s"got ${r2.status}")
+      assert(r2.status === "incremental_diff", s"got ${r2.status}")
       assert(targetWh.count("dst4") === 8)
       assert(targetWh.query("dst4").columns.contains("extra"),
-        "rebuilt replica must carry the evolved schema")
+        "evolved replica must carry the new column")
+      assert(targetWh.query("dst4").filter($"id" === 1L)
+        .select("v", "extra").as[(String, Option[Long])].head() === (("NEW", Some(7L))))
+      assert(targetWh.query("dst4").filter($"id" === 2L)
+        .select("v", "extra").as[(String, Option[Long])].head() === (("v2", None)))
+
+      // a replica that diverged WIDER than the source (non-additive
+      // from the delta's perspective) still self-heals via the atomic
+      // rebuild, converging to the source schema
+      targetWh.loadTable("dst4").addColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("local_only",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+      c.upsert("src4", Seq((2L, "NEW2", 9L)).toDF("id", "v", "extra"), Seq("id"))
       val r3 = Mirror.performSync(client, url, "src4", targetWh, "dst4", state)
-      assert(r3.status === "up_to_date")
+      assert(r3.status === "full_resync", s"got ${r3.status}")
+      assert(!targetWh.query("dst4").columns.contains("local_only"),
+        "rebuild must converge the replica to the source schema")
+      assert(targetWh.query("dst4").filter($"id" === 2L)
+        .select("v").as[String].head() === "NEW2")
+      val r4 = Mirror.performSync(client, url, "src4", targetWh, "dst4", state)
+      assert(r4.status === "up_to_date")
     }
   }
 
