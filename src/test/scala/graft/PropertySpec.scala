@@ -348,6 +348,40 @@ class PropertySpec extends AnyFunSuite {
       s"evict log ${log.size} values vs ${all.size} put — leak or double-fire")
   }
 
+  test("property: CROSS-PROCESS commit race — one winner per id, every commit durable") {
+    // The link(2) EEXIST CAS is a FILESYSTEM primitive; in-JVM races
+    // (the existing commit-race specs) can never prove it holds across
+    // address spaces. Three real child JVMs (no Spark — SnapshotLog is
+    // pure NIO) hammer one table dir concurrently; afterwards the ids
+    // must be exactly contiguous (no gap = no lost manifest, no dup =
+    // no overwritten winner) and every writer's every commit must be
+    // present exactly once — rename(2)-based publishing passes in-JVM
+    // tests and fails exactly this one.
+    val dir = Files.createTempDirectory("graft-xproc-race")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val writers = Seq("w1", "w2", "w3")
+    val n = 40
+    val procs = writers.map { w =>
+      new ProcessBuilder(javaBin, "-cp", cp, "graft.CommitRaceChild",
+        dir.toString, w, n.toString).redirectErrorStream(true).start()
+    }
+    val results = procs.map { p =>
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      (p.waitFor(), out)
+    }
+    results.foreach { case (rc, out) =>
+      assert(rc === 0, s"child JVM failed:\n$out")
+    }
+    val snaps = new SnapshotLog(dir).snapshots
+    assert(snaps.map(_.snapshotId) === (1L to (writers.size * n).toLong),
+      "snapshot ids must be contiguous: a gap is a lost manifest, a dup an overwrite")
+    val files = snaps.flatMap(_.addedFiles)
+    val expected = for { w <- writers; i <- 1 to n } yield s"data/$w-$i.parquet"
+    assert(files.sorted === expected.sorted,
+      "every writer's every commit must be durable exactly once")
+  }
+
   test("property: minhash estimate stays in [0,1] and self-similarity is 1") {
     val spark = SparkTestSession.spark
     val docs = T.documents(spark, "/root/testdata/sf0.001").limit(50)
