@@ -449,6 +449,51 @@ object Warehouse {
         .orderBy("o_orderkey")
     },
 
+    // ---- q114: WAP — write-audit-publish branch staging --------------
+    // Grades the branch workflow end-to-end: a dirty batch (negative
+    // prices injected on the %5 stratum) is staged on a branch, the
+    // audit query CATCHES it against the branch view while main stays
+    // byte-identical, and the branch is dropped — metadata only. The
+    // clean batches then stage on a fresh branch, audit green, and
+    // publish lands them as ONE CAS commit. The witness pins every leg:
+    // the audit caught >0 bad rows, main's head never moved during
+    // either staging (no unvetted row was ever visible), the publish
+    // advanced the head by exactly one snapshot, and the dropped
+    // branch's files never leaked into main. The final content is plain
+    // SQL over orders, so the hash grades that publish delivered
+    // exactly the audited rows — nothing from the dropped attempt.
+    Q("q114_wap",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, TRUE AS wap_ok
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_wap", orders.filter(col("o_orderkey") % 3 === 0))
+      val t = conn.loadTable("orders_wap")
+      val s1 = t.currentSnapshotId.get
+      // attempt 1: stage a batch with corrupt rows; audit must catch it
+      t.createBranch("audit")
+      val dirty = orders.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("price", when(col("o_orderkey") % 5 === 0, -col("price"))
+          .otherwise(col("price")))
+      t.appendBranch("audit", dirty)
+      val caught = t.readBranch("audit").filter(col("price") < 0).count()
+      val mainClean1 = t.currentSnapshotId.contains(s1) &&
+        t.read().filter(col("price") < 0).isEmpty
+      t.dropBranch("audit")
+      // attempt 2: stage the clean batches, audit green, publish
+      t.createBranch("audit")
+      t.appendBranch("audit", orders.filter(col("o_orderkey") % 3 === 1))
+      t.appendBranch("audit", orders.filter(col("o_orderkey") % 3 === 2))
+      val auditGreen = t.readBranch("audit").filter(col("price") < 0).isEmpty
+      val mainClean2 = t.currentSnapshotId.contains(s1)
+      t.publishBranch("audit")
+      val witness = caught > 0 && mainClean1 && auditGreen && mainClean2 &&
+        t.currentSnapshotId.contains(s1 + 1) && t.branches.isEmpty
+      t.read().withColumn("wap_ok", lit(witness)).orderBy("o_orderkey")
+    },
+
     // ---- q109: rollback — metadata-only undo of a bad commit --------
     // A bad batch lands; rollbackTo reverts the head to the pre-batch
     // snapshot WITHOUT reading or writing data files, while the bad

@@ -556,7 +556,11 @@ final class GraftTable private (
     * travel until their adding snapshot expires. Returns the deleted
     * relative paths. */
   def removeOrphans(graceMs: Long = 259200000L): Seq[String] = {
-    val referenced = log.snapshots
+    // an OPEN branch's staged commits reference data files that no main
+    // snapshot knows yet — they are pending, not orphaned; only a
+    // dropBranch turns them into collectable debris
+    val referenced = (log.snapshots ++
+        branches.flatMap(b => new SnapshotLog(dir, Some(b)).snapshots))
       .flatMap(s => s.addedFiles ++ s.removedFiles).toSet
     val dataDir = dir.resolve("data")
     if (!Files.isDirectory(dataDir)) return Nil
@@ -576,6 +580,138 @@ final class GraftTable private (
         }
     } finally walk.close()
     deleted.result()
+  }
+
+  // ---------------------------------------------------------------- WAP
+  // Write-audit-publish branches (Iceberg's branch refs, scoped to the
+  // staging workflow they exist for): a branch stages commits in its own
+  // manifest sequence, INVISIBLE to every main-table read; audit queries
+  // run against the branch view (main-at-fork + staged commits); publish
+  // lands the whole branch as ONE CAS-conditional main commit, so
+  // concurrent main writers are detected, a crash mid-publish is
+  // impossible to half-observe, and un-published data is dropped by
+  // deleting metadata only. At 100 TB this is how a daily load runs its
+  // quality gates without ever exposing unvetted rows to readers.
+
+  private def branchDir(b: String): Path =
+    dir.resolve("_snapshots").resolve(s"branch-$b")
+
+  private def requireBranchName(b: String): Unit =
+    require(b.matches("[A-Za-z0-9_-]+"), s"invalid branch name: '$b'")
+
+  /** Open branches of this table. */
+  def branches: Seq[String] = {
+    val snapRoot = dir.resolve("_snapshots")
+    if (!Files.isDirectory(snapRoot)) return Nil
+    Files.list(snapRoot).iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("branch-"))
+      .map(_.getFileName.toString.stripPrefix("branch-"))
+      .toSeq.sorted
+  }
+
+  /** Fork a branch at the current head. Returns the fork-point (parent)
+    * snapshot id the branch's reads and its publish CAS are pinned to. */
+  def createBranch(b: String): Long = {
+    requireBranchName(b)
+    val parent = currentSnapshotId.getOrElse(
+      throw new IllegalStateException(s"table $name has no snapshots"))
+    val bd = branchDir(b)
+    try Files.createDirectories(bd.getParent)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    Files.createDirectory(bd) // atomic: EEXIST ⇒ branch already open
+    Files.writeString(bd.resolve("parent"), parent.toString)
+    parent
+  }
+
+  private def branchParent(b: String): Long = {
+    val p = branchDir(b).resolve("parent")
+    require(Files.exists(p), s"branch '$b' of $name does not exist")
+    Files.readString(p).trim.toLong
+  }
+
+  /** Stage an append on a branch: data files land under the table's
+    * data dir exactly as [[append]] writes them (publish is then
+    * metadata-only — no copy), but the manifest commits to the BRANCH
+    * sequence, so main readers cannot observe the rows. */
+  def appendBranch(b: String, df: DataFrame, clusterBy: Seq[String] = Nil,
+      statsCols: Seq[String] = Nil): Snapshot = {
+    val parent = branchParent(b)
+    val expected = schemaAsOf(Some(parent))
+    require(compatible(expected, df.schema),
+      s"branch append schema mismatch for $name@$b:\n" +
+        s" expected $expected\n got ${df.schema}")
+    val commitDir = dir.resolve("data").resolve(s"b${UUID.randomUUID().toString.take(12)}")
+    val out = if (clusterBy.isEmpty) df
+      else df.repartitionByRange(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+    out.write.parquet(commitDir.toString)
+    val files = Files.list(commitDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => dir.relativize(p).toString)
+      .toSeq.sorted
+    val wanted = (clusterBy ++ statsCols).distinct
+    val stats = if (wanted.isEmpty) Map.empty[String, FileStat]
+      else collectStats(commitDir, wanted)
+    new SnapshotLog(dir, Some(b)).commit("append", files, expected.json, stats)
+  }
+
+  /** The audit view: main as of the fork point plus every staged branch
+    * commit — what [[publishBranch]] would make the head. */
+  def readBranch(b: String): DataFrame = {
+    val parent = branchParent(b)
+    val sch = schemaAsOf(Some(parent))
+    val files = new java.util.LinkedHashSet[String]()
+    log.dataFiles(Some(parent))
+      .map(a => dir.relativize(Paths.get(a)).toString)
+      .foreach(files.add)
+    new SnapshotLog(dir, Some(b)).snapshots.foreach { s =>
+      s.addedFiles.foreach(files.add)
+      s.removedFiles.foreach(files.remove)
+    }
+    val abs = files.iterator().asScala.map(f => dir.resolve(f).toString).toSeq
+    if (abs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    else spark.read.schema(sch).parquet(abs: _*)
+  }
+
+  /** Fast-forward main to the branch in ONE conditional commit: the
+    * staged commits' net file delta publishes atomically (op
+    * `publish`), CAS-pinned to the fork point — if main advanced since
+    * the fork, the publish throws [[java.util.ConcurrentModificationException]]
+    * instead of silently dropping the concurrent commit's rows; the
+    * caller re-forks and re-audits (rebase). Branch metadata is deleted
+    * on success; the staged data files are now owned by main. */
+  def publishBranch(b: String): Snapshot = {
+    val parent = branchParent(b)
+    val bsnaps = new SnapshotLog(dir, Some(b)).snapshots
+    require(bsnaps.nonEmpty, s"branch '$b' of $name has no staged commits")
+    val added = new java.util.LinkedHashSet[String]()
+    val removed = new java.util.LinkedHashSet[String]()
+    bsnaps.foreach { s =>
+      s.addedFiles.foreach(added.add)
+      // a file staged then un-staged within the branch cancels; a
+      // removal of a pre-fork main file carries into the publish
+      s.removedFiles.foreach(f => if (!added.remove(f)) removed.add(f))
+    }
+    val stats = bsnaps.flatMap(_.stats).toMap
+      .filter { case (f, _) => added.contains(f) }
+    val snap = log.commit("publish",
+      added.iterator().asScala.toSeq, schemaAsOf(Some(parent)).json, stats,
+      expectedHead = Some(parent),
+      removedFiles = removed.iterator().asScala.toSeq)
+    dropBranch(b)
+    snap
+  }
+
+  /** Discard a branch: metadata-only delete (the audit-failed path).
+    * Staged data files become unreferenced debris for [[removeOrphans]]. */
+  def dropBranch(b: String): Unit = {
+    val bd = branchDir(b)
+    if (!Files.isDirectory(bd)) return
+    val walk = Files.walk(bd)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+    finally walk.close()
   }
 
   /** Row-level changes between two snapshots as a changelog feed

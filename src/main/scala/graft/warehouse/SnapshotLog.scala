@@ -150,8 +150,15 @@ final class HistoryExpiredException(msg: String)
   * an explicit file list, so planning-time pruning replaces any
   * directory listing of a 100 TB table.
   */
-final class SnapshotLog(tableDir: Path) {
-  private val snapDir: Path = tableDir.resolve("_snapshots")
+final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
+  private val snapDir: Path = branch match {
+    // a branch keeps its own manifest sequence under the main log's
+    // dir; main-log listings never see it (directories don't match the
+    // vNNN.json manifest pattern), so branch commits are invisible to
+    // every main-table read until publish
+    case Some(b) => tableDir.resolve("_snapshots").resolve(s"branch-$b")
+    case None => tableDir.resolve("_snapshots")
+  }
 
   private def manifestPath(id: Long): Path =
     snapDir.resolve(f"v$id%016d.json")

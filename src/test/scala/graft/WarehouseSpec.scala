@@ -750,6 +750,72 @@ class WarehouseSpec extends AnyFunSuite {
     assert(c.sql("SELECT count(*) FROM t").as[Long].head() === 2L)
   }
 
+  test("branch staging is invisible to main until a one-commit publish") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    val s1 = t.currentSnapshotId.get
+    val fork = t.createBranch("wap")
+    assert(fork == s1)
+    t.appendBranch("wap", Seq((3L, "c")).toDF("id", "v"))
+    t.appendBranch("wap", Seq((4L, "d")).toDF("id", "v"))
+    // main untouched; branch view = main-at-fork + both staged commits
+    assert(t.currentSnapshotId.contains(s1))
+    assert(t.read().count() == 2)
+    assert(t.readBranch("wap").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    assert(t.branches == Seq("wap"))
+    val pub = t.publishBranch("wap")
+    // both staged commits land as ONE snapshot; branch metadata gone
+    assert(pub.snapshotId == s1 + 1)
+    assert(pub.operation == "publish")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    assert(t.branches.isEmpty)
+    // published rows flow to incremental readers as an ordinary delta
+    assert(t.changesSince(s1).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L))
+  }
+
+  test("publish CAS-fails when main advanced past the fork; drop discards staging") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.createBranch("wap")
+    t.appendBranch("wap", Seq((2L, "b")).toDF("id", "v"))
+    c.insert("t", Seq((9L, "z")).toDF("id", "v")) // concurrent main commit
+    intercept[java.util.ConcurrentModificationException] {
+      t.publishBranch("wap")
+    }
+    // rebase: re-fork from the new head and publish cleanly
+    val staged = t.readBranch("wap").filter($"id" === 2L)
+      .select("id", "v").as[(Long, String)].collect().toSeq
+    t.dropBranch("wap")
+    t.createBranch("wap")
+    t.appendBranch("wap", staged.toDF("id", "v"))
+    t.publishBranch("wap")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 9L))
+  }
+
+  test("dropped-branch files are orphans; open-branch files survive GC") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.createBranch("keep")
+    t.appendBranch("keep", Seq((2L, "b")).toDF("id", "v"))
+    t.createBranch("dead")
+    t.appendBranch("dead", Seq((3L, "c")).toDF("id", "v"))
+    t.dropBranch("dead")
+    val removed = t.removeOrphans(graceMs = 0L)
+    // exactly the dropped branch's staged files were collected
+    assert(removed.nonEmpty)
+    assert(t.readBranch("keep").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L), "open branch staging must survive orphan GC")
+    t.publishBranch("keep")
+    assert(t.read().count() == 2)
+  }
+
   test("snapshot log json round-trip incl. escapes") {
     val dir = Files.createTempDirectory("graft-log-")
     val log = new SnapshotLog(dir)
