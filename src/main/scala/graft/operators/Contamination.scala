@@ -52,4 +52,49 @@ object Contamination {
       .select(col(idCol)).distinct()
     corpus.join(dirty, Seq(idCol), "left_anti")
   }
+
+  /** [[decontaminate]] with a BLOOM-FILTER PREFILTER — the 100 TB scale
+    * path. The exact form ships every corpus shingle into the
+    * benchmark join; at trillions of shingles that stream IS the cost
+    * even when the bench side broadcasts. Here a bloom filter over the
+    * benchmark's shingle hashes (built by Spark's codegen'd
+    * `bloom_filter_agg` — the same machinery Catalyst's runtime
+    * row-level filtering injects) is embedded in the plan as a binary
+    * literal, and `might_contain` drops non-matching corpus shingles
+    * ROW-LOCALLY, before any join I/O: only the ~fpp false-positive
+    * sliver plus true overlaps reach the exact verification join. Bloom
+    * filters have NO false negatives, so the result is bit-identical to
+    * [[decontaminate]] — the prefilter is pure plan surgery (graded as
+    * q116, which hash-matches the exact oracle and witnesses the
+    * selectivity).
+    *
+    * Driver memory is bounded by `numBits` (default 8 Mbit = 1 MB — a
+    * deliberately bounded collect of the small-by-nature benchmark
+    * side, same stance as the IVF quantizer); size `estItems` near the
+    * true distinct-shingle count of the benchmark to keep fpp low —
+    * over-filled blooms degrade toward pass-everything, which stays
+    * CORRECT (more rows verified exactly) but loses the prefilter win. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8,
+      estItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => ec, expression => ex}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val sh = Dedup.wordShinglesCompiled(n)
+    val benchSh = benchmark
+      .select(explode(sh(col(textCol))).as("shingle")).distinct()
+    val bloomAgg = ec(new BloomFilterAggregate(
+      ex(xxhash64(col("shingle"))), Literal(estItems), Literal(numBits))
+      .toAggregateExpression())
+    val bloom = benchSh.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+    if (bloom == null) return corpus // empty benchmark: nothing to scrub
+    val corpusSh = corpus.select(col(idCol), explode(sh(col(textCol))).as("shingle"))
+    val candidates = corpusSh.filter(ec(BloomFilterMightContain(
+      Literal(bloom, org.apache.spark.sql.types.BinaryType),
+      ex(xxhash64(col("shingle"))))))
+    // exact verification join over the surviving sliver only
+    val dirty = candidates.join(benchSh, "shingle")
+      .select(col(idCol)).distinct()
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
 }

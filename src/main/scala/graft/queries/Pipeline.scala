@@ -724,6 +724,47 @@ object Pipeline {
         .orderBy("doc_id")
     },
 
+    // ---- q116: bloom-prefiltered decontamination — the scale path ----
+    // Same semantics as q68, different plan: a bloom filter over the
+    // benchmark's shingle hashes drops non-overlapping corpus shingles
+    // ROW-LOCALLY before the exact verification join, so at 100 TB the
+    // join input is the fpp sliver, not the corpus. Bloom filters have
+    // no false negatives, so the oracle (identical to q68's) hash-grades
+    // that the shortcut lost nothing; the witness additionally pins the
+    // in-engine differential — bloom path ≡ exact path row-for-row —
+    // so a silent fpp-handling bug cannot hide behind the small corpus.
+    Q("q116_decontaminate_bloom",
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(greatest(len(toks) - 8, 0) + 1),
+        |    j -> array_to_string(toks[j+1:j+8], ' ')))) AS s
+        |  FROM docs),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+        |dirty AS (
+        |  SELECT DISTINCT a.doc_id FROM sh a JOIN bench b ON a.s = b.s
+        |  WHERE a.doc_id >= 20)
+        |SELECT d.doc_id, d.lang, d.source, TRUE AS bloom_ok FROM documents d
+        |WHERE d.doc_id >= 20 AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = T.documents(s, d)
+      val corpus = docs.filter(col("doc_id") >= 20)
+      val bench = docs.filter(col("doc_id") < 20)
+      val viaBloom = Contamination
+        .decontaminateBloom(corpus, bench, "doc_id", "text", 8)
+        .select("doc_id", "lang", "source")
+      val viaExact = Contamination
+        .decontaminate(corpus, bench, "doc_id", "text", 8)
+        .select("doc_id")
+      val sameRows = viaBloom.select("doc_id")
+        .unionByName(viaExact).except(
+          viaBloom.select("doc_id").intersect(viaExact)).isEmpty
+      viaBloom.withColumn("bloom_ok", lit(sameRows)).orderBy("doc_id")
+    },
+
     // ---- document chunking (fixed-token windows with overlap) ----------
     // Chunk i covers tokens [i*224, i*224+256): 256-token windows, 32
     // overlap. Row-local explode — no shuffle, chunks at scan speed.

@@ -494,6 +494,52 @@ object Warehouse {
       t.read().withColumn("wap_ok", lit(witness)).orderBy("o_orderkey")
     },
 
+    // ---- q115: metadata-only aggregates — COUNT/MIN/MAX without a scan
+    // Grades GraftTable.metaCount/metaMinMax: every commit records
+    // per-file row counts (and min/max for stat columns), so COUNT(*)
+    // and key MIN/MAX resolve from the manifests alone — the Iceberg
+    // metadata-aggregate shape that turns a 100 TB count into an
+    // O(manifest) driver read. The rig exercises the full DML surface
+    // first (two clustered appends, an upsert rewrite, a predicate
+    // delete), so the metadata fold must be sound across removedFiles
+    // resolution, not just appends. The witness is PHYSICAL: the data
+    // directory is renamed away while the aggregates are computed — an
+    // implementation that touched one data byte would crash the query
+    // (and land in the verify failures manifest), not just flip a flag.
+    Q("q115_meta_agg",
+      """SELECT count(*) AS cnt,
+        |  min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key,
+        |  TRUE AS meta_ok
+        |FROM orders WHERE o_orderkey % 7 <> 3""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_meta", base.limit(0))
+      val t = conn.loadTable("orders_meta")
+      t.append(base.filter(col("o_orderkey") % 2 === 0),
+        clusterBy = Seq("o_orderkey"), clusterParts = 4)
+      t.append(base.filter(col("o_orderkey") % 2 === 1),
+        clusterBy = Seq("o_orderkey"), clusterParts = 4)
+      t.upsert(base.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("price", col("price") * 2),
+        Seq("o_orderkey"), statsCols = Seq("o_orderkey"))
+      t.deleteWhere(col("o_orderkey") % 7 === 3)
+      val dataDir = t.dir.resolve("data")
+      val hidden = t.dir.resolve("data_hidden")
+      java.nio.file.Files.move(dataDir, hidden)
+      val (cnt, mn, mx) =
+        try {
+          val c = t.metaCount().getOrElse(
+            sys.error("metaCount unanswerable from manifests"))
+          val (lo, hi) = t.metaMinMax("o_orderkey").getOrElse(
+            sys.error("metaMinMax unanswerable from manifests"))
+          (c, lo.toLong, hi.toLong)
+        } finally java.nio.file.Files.move(hidden, dataDir)
+      Seq((cnt, mn, mx, true)).toDF("cnt", "min_key", "max_key", "meta_ok")
+    },
+
     // ---- q109: rollback — metadata-only undo of a bad commit --------
     // A bad batch lands; rollbackTo reverts the head to the pre-batch
     // snapshot WITHOUT reading or writing data files, while the bad

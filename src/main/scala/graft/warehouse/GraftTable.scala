@@ -108,8 +108,7 @@ final class GraftTable private (
       .toSeq.sorted
     val schemaJson = existing.map(_.schemaJson).getOrElse(df.schema.json)
     val wanted = (clusterBy ++ statsCols).distinct
-    val stats = if (wanted.isEmpty) Map.empty[String, FileStat]
-      else collectStats(commitDir, wanted)
+    val stats = collectStats(commitDir, wanted)
     log.commit(if (existing.isEmpty) "create" else "append", files,
       schemaJson, stats)
   }
@@ -232,8 +231,17 @@ final class GraftTable private (
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(p => dir.relativize(p).toString)
         .toSeq.sorted
-      val stats = if (statsCols.isEmpty) Map.empty[String, FileStat]
-        else collectStats(commitDir, statsCols)
+      // rewritten files inherit the stat columns their predecessors
+      // recorded (plus any explicitly requested): without this every
+      // upsert would silently strip pruning stats from the files it
+      // touches, degrading readWhere over time
+      val inherited = {
+        val prev = log.snapshots.flatMap(_.stats).toMap
+        affected.flatMap(f => prev.get(f).toSeq.flatMap(st =>
+          st.numMin.keySet ++ st.strMin.keySet))
+      }
+      val stats = collectStats(commitDir,
+        (statsCols ++ inherited).distinct.filter(schema.fieldNames.contains))
       try {
         return log.commit("merge", files, base.schemaJson, stats,
           expectedHead = Some(base.snapshotId), removedFiles = affected)
@@ -282,8 +290,17 @@ final class GraftTable private (
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(p => dir.relativize(p).toString)
         .toSeq.sorted
+      // same stat-column inheritance as merge: surviving rows keep the
+      // pruning stats their source files carried
+      val inherited = {
+        val prev = log.snapshots.flatMap(_.stats).toMap
+        affected.flatMap(f => prev.get(f).toSeq.flatMap(st =>
+          st.numMin.keySet ++ st.strMin.keySet))
+          .distinct.filter(sch.fieldNames.contains)
+      }
+      val stats = collectStats(commitDir, inherited)
       try {
-        return log.commit("delete", files, head.schemaJson,
+        return log.commit("delete", files, head.schemaJson, stats,
           expectedHead = Some(head.snapshotId), removedFiles = affected)
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -303,14 +320,16 @@ final class GraftTable private (
     * aggregate over the just-written files (columnar scan of only the
     * stat columns). */
   private def collectStats(commitDir: Path, cols: Seq[String]): Map[String, FileStat] = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    if (cols.isEmpty) return footerStats(commitDir)
     val written = spark.read.parquet(commitDir.toString)
     val aggs = cols.flatMap(c =>
-      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) :+
+      count(lit(1)).as("__rows")
     val rows = written.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    rows.map { r =>
+    val byFile = rows.map { r =>
       val uri = java.net.URI.create(r.getAs[String]("__f"))
       val rel = dir.relativize(java.nio.file.Paths.get(uri.getPath)).toString
       var numMin = Map.empty[String, Double]; var numMax = Map.empty[String, Double]
@@ -337,7 +356,40 @@ final class GraftTable private (
             strMin += c -> mn.toString; strMax += c -> mx.toString
         }
       }
-      rel -> FileStat(numMin, numMax, strMin, strMax)
+      rel -> FileStat(numMin, numMax, strMin, strMax,
+        rows = r.getAs[Long]("__rows"))
+    }.toMap
+    // a ZERO-row file (a rewrite that emptied its partition) produces no
+    // aggregate group, so it would silently get NO stats entry — and
+    // metaCount would read the whole commit as unknowable; backfill the
+    // missing files from their footers (rows = 0)
+    val missing = Files.list(commitDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .filterNot(p => byFile.contains(dir.relativize(p).toString))
+      .toSeq
+    byFile ++ footerStatsFor(missing)
+  }
+
+  /** Row-count-only stats from parquet FOOTERS — no Spark job, no data
+    * pages read; O(files) driver-side metadata probes. Every commit
+    * path records at least this, so [[metaCount]] stays answerable on
+    * tables that never asked for column stats. A footer that fails to
+    * parse records −1 (unknown) rather than failing the commit. */
+  private def footerStats(commitDir: Path): Map[String, FileStat] =
+    footerStatsFor(Files.list(commitDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+
+  private def footerStatsFor(paths: Seq[Path]): Map[String, FileStat] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.map { p =>
+      val n = try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+      dir.relativize(p).toString ->
+        FileStat(Map.empty, Map.empty, Map.empty, Map.empty, rows = n)
     }.toMap
   }
 
@@ -366,8 +418,7 @@ final class GraftTable private (
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .map(p => dir.relativize(p).toString)
         .toSeq.sorted
-      val stats = if (statsCols.isEmpty) Map.empty[String, FileStat]
-        else collectStats(commitDir, statsCols)
+      val stats = collectStats(commitDir, statsCols)
       try {
         return log.commit("replace", files, df.schema.json, stats,
           expectedHead = Some(base.snapshotId), removedFiles = removed)
@@ -456,8 +507,7 @@ final class GraftTable private (
       // without re-collected stats the compacted files would be unprunable
       // (a silent regression for readWhere) — record them when asked
       val wanted = (zOrderBy ++ clusterBy ++ statsCols).distinct
-      val stats = if (wanted.isEmpty) Map.empty[String, FileStat]
-        else collectStats(commitDir, wanted)
+      val stats = collectStats(commitDir, wanted)
       try {
         return log.commit("compact", files, base.schemaJson, stats,
           expectedHead = Some(base.snapshotId))
@@ -650,8 +700,7 @@ final class GraftTable private (
       .map(p => dir.relativize(p).toString)
       .toSeq.sorted
     val wanted = (clusterBy ++ statsCols).distinct
-    val stats = if (wanted.isEmpty) Map.empty[String, FileStat]
-      else collectStats(commitDir, wanted)
+    val stats = collectStats(commitDir, wanted)
     new SnapshotLog(dir, Some(b)).commit("append", files, expected.json, stats)
   }
 
@@ -790,6 +839,57 @@ final class GraftTable private (
   def readWhere(column: String, lower: Option[Any], upper: Option[Any],
       asOf: Option[Long] = None): DataFrame =
     readWhereAll(Seq((column, lower, upper)), asOf)
+
+  /** COUNT(*) answered from manifest metadata ALONE — zero data files
+    * opened, zero Spark jobs: the sum of per-file row counts over the
+    * visible set (every commit path records them, [[footerStats]]).
+    * The Iceberg metadata-aggregate trick: at 100 TB a count goes from
+    * a full scan to an O(manifest) driver read. Sound across
+    * upsert/delete/compact because resolution IS the visible-set fold
+    * (a removed file's rows vanish with its visibility). Returns None
+    * — caller falls back to a scan — when any visible file predates
+    * row-count recording. */
+  def metaCount(asOf: Option[Long] = None): Option[Long] = {
+    val snaps = log.snapshots
+    val statsByFile = snaps.flatMap(_.stats).toMap
+    val visible = log.dataFilesOf(snaps, asOf)
+      .map(a => dir.relativize(Paths.get(a)).toString)
+    val counts = visible.map(f => statsByFile.get(f).map(_.rows).getOrElse(-1L))
+    if (counts.exists(_ < 0)) None else Some(counts.sum)
+  }
+
+  /** MIN/MAX of a numeric/timestamp column from manifest stats alone —
+    * the same zero-scan shape as [[metaCount]]. Per-file min/max are
+    * exact (collected from the committed rows), so their fold over the
+    * visible set IS the table aggregate; empty files are vacuous and
+    * skipped. None — fall back to a scan — when any visible non-empty
+    * file lacks recorded bounds for the column (not collected, all-NULL
+    * in that file, or pre-upgrade manifests); values above 2^53 round
+    * directionally in the stats, so this is for exact-representable
+    * domains (keys, timestamps), not astronomic decimals. */
+  def metaMinMax(column: String,
+      asOf: Option[Long] = None): Option[(Double, Double)] = {
+    val snaps = log.snapshots
+    val statsByFile = snaps.flatMap(_.stats).toMap
+    val visible = log.dataFilesOf(snaps, asOf)
+      .map(a => dir.relativize(Paths.get(a)).toString)
+    val bounds = visible.flatMap { f =>
+      statsByFile.get(f) match {
+        case Some(st) if st.rows == 0 => None // vacuous: no rows, no bounds
+        case Some(st) =>
+          (st.numMin.get(column), st.numMax.get(column)) match {
+            case (Some(mn), Some(mx)) => Some(Some((mn, mx)))
+            case _ => Some(None) // unknown bounds on a non-empty file
+          }
+        case None => Some(None)
+      }
+    }
+    if (bounds.isEmpty || bounds.contains(None)) None
+    else {
+      val known = bounds.flatten
+      Some((known.map(_._1).min, known.map(_._2).max))
+    }
+  }
 
   /** Multi-predicate file pruning: keep only files whose stats may
     * satisfy EVERY (column, lower, upper) conjunct. With a Z-order

@@ -38,7 +38,15 @@ final case class Snapshot(
   * the predicate. */
 final case class FileStat(
     numMin: Map[String, Double], numMax: Map[String, Double],
-    strMin: Map[String, String], strMax: Map[String, String]) {
+    strMin: Map[String, String], strMax: Map[String, String],
+    /** Exact row count of the file, recorded at commit time (parquet
+      * footer metadata / write-side aggregate). −1 in manifests written
+      * before row counts existed — consumers must treat that as
+      * UNKNOWN, not zero. Powers metadata-only COUNT(*)
+      * ([[GraftTable.metaCount]]): the Iceberg trick of answering
+      * whole-table aggregates from manifests without touching one data
+      * byte. */
+    rows: Long = -1L) {
 
   /** Can this file contain rows with `column` in [lower, upper]?
     * Unknown columns conservatively match. Query bounds are converted
@@ -334,7 +342,8 @@ private[warehouse] object SnapshotJson {
     val stats = s.stats.toSeq.sortBy(_._1).map { case (f, st) =>
       "\"" + esc(f) + "\":{" +
         "\"numMin\":" + numMap(st.numMin) + ",\"numMax\":" + numMap(st.numMax) +
-        ",\"strMin\":" + strMap(st.strMin) + ",\"strMax\":" + strMap(st.strMax) + "}"
+        ",\"strMin\":" + strMap(st.strMin) + ",\"strMax\":" + strMap(st.strMax) +
+        ",\"rows\":" + st.rows + "}"
     }.mkString("{", ",", "}")
     s"""{"snapshotId":${s.snapshotId},"timestampMs":${s.timestampMs},""" +
       s""""operation":"${esc(s.operation)}","addedFiles":$files,""" +
@@ -355,7 +364,9 @@ private[warehouse] object SnapshotJson {
           (st \ "numMin").extractOrElse[Map[String, Double]](Map.empty),
           (st \ "numMax").extractOrElse[Map[String, Double]](Map.empty),
           (st \ "strMin").extractOrElse[Map[String, String]](Map.empty),
-          (st \ "strMax").extractOrElse[Map[String, String]](Map.empty))
+          (st \ "strMax").extractOrElse[Map[String, String]](Map.empty),
+          // pre-row-count manifests: UNKNOWN, not zero
+          (st \ "rows").extractOrElse[Long](-1L))
       }.toMap
       case _ => Map.empty[String, FileStat]
     }

@@ -376,6 +376,22 @@ class PlanSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS l_$tag")
   }
 
+  test("bloom decontamination filters shingles row-locally below the verification join") {
+    val docs = T.documents(spark, sf)
+    val p = plan(graft.operators.Contamination.decontaminateBloom(
+      docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+      "doc_id", "text", 8))
+    assert(p.contains("might_contain"), s"bloom prefilter missing from plan:\n$p")
+    // the prefilter must sit BELOW the shingle join: in the plan tree
+    // rendering, the Filter(might_contain...) line appears after (deeper
+    // than) the last join operator line, i.e. on the join's input side
+    val joinIdx = Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+      .map(p.indexOf).filter(_ >= 0)
+    val filterIdx = p.indexOf("might_contain")
+    assert(joinIdx.nonEmpty && filterIdx > joinIdx.min,
+      s"might_contain must be an input-side filter of the verification join:\n$p")
+  }
+
   test("pricing summary pushes the shipdate filter and prunes columns") {
     val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),

@@ -816,6 +816,34 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.read().count() == 2)
   }
 
+  test("metaCount/metaMinMax answer from manifests across DML; unknown history → None") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.append((101L to 120L).map(i => (i, s"v$i")).toDF("id", "v"),
+      clusterBy = Seq("id"), clusterParts = 2)
+    t.upsert(Seq((50L, "replaced")).toDF("id", "v"), Seq("id"))
+    t.deleteWhere($"id" > 110L)
+    assert(t.metaCount().contains(110L))
+    // min/max need id stats on every surviving file: first commit had
+    // no stat columns → unknowable, must refuse rather than guess
+    assert(t.metaMinMax("id").isEmpty)
+    t.compact(targetFiles = 2, clusterBy = Seq("id"))
+    assert(t.metaCount().contains(110L))
+    assert(t.metaMinMax("id").contains((1.0, 110.0)))
+    // time travel: the metadata fold resolves at the cut
+    assert(t.metaCount(Some(1L)).contains(100L))
+    // physical witness: with the data dir renamed away, the answers
+    // still come back — no data byte is touched
+    val dataDir = t.dir.resolve("data")
+    val hidden = t.dir.resolve("data_hidden")
+    java.nio.file.Files.move(dataDir, hidden)
+    try {
+      assert(t.metaCount().contains(110L))
+      assert(t.metaMinMax("id").contains((1.0, 110.0)))
+    } finally java.nio.file.Files.move(hidden, dataDir)
+  }
+
   test("snapshot log json round-trip incl. escapes") {
     val dir = Files.createTempDirectory("graft-log-")
     val log = new SnapshotLog(dir)
