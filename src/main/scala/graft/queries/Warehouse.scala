@@ -540,6 +540,51 @@ object Warehouse {
       Seq((cnt, mn, mx, true)).toDF("cnt", "min_key", "max_key", "meta_ok")
     },
 
+    // ---- q117: incremental materialized aggregate view ---------------
+    // Grades MaterializedAgg end-to-end: a count/sum rollup over the
+    // base is maintained from the base's row CHANGELOG (GraftTable.diff)
+    // across an append tick, an upsert tick that MIGRATES rows between
+    // groups (custkey shifted for the %12 stratum — the delta must debit
+    // the old group and credit the new one), and a delete tick — never
+    // re-aggregating the base. The oracle recomputes the rollup over the
+    // final relation declaratively, so any double-applied, missed, or
+    // misattributed delta breaks the hash; the witness pins that every
+    // tick actually took the INCREMENTAL path (a silent fallback to full
+    // re-aggregation would be correct but defeats the operator) and that
+    // emptied groups left the view.
+    Q("q117_incremental_mv",
+      """WITH rel AS (
+        |  SELECT CASE WHEN o_orderkey % 12 = 0 THEN o_custkey + 1000000
+        |              ELSE o_custkey END AS g,
+        |         o_orderkey AS k
+        |  FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 3)
+        |SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, TRUE AS mv_ok
+        |FROM rel GROUP BY g ORDER BY g""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val whDir = java.nio.file.Paths.get(Scratch.dir("mv"))
+      val orders = T.orders(s, d).select(col("o_custkey").as("g"),
+        col("o_orderkey").as("k"))
+      conn.createTable("orders_mv", orders.filter(col("k") % 3 === 0))
+      val t = conn.loadTable("orders_mv")
+      val mv = graft.warehouse.MaterializedAgg.create(
+        t, whDir.resolve("mv_view"), "mv_view", Seq("g"), Seq("k"))
+      t.append(orders.filter(col("k") % 3 === 1))
+      val r1 = mv.refresh()
+      t.upsert(orders.filter(col("k") % 12 === 0)
+          .withColumn("g", col("g") + 1000000L), Seq("k"))
+      val r2 = mv.refresh()
+      t.deleteWhere(col("k") % 7 === 3)
+      val r3 = mv.refresh()
+      val witness = Seq(r1, r2, r3).forall(_ == "incremental") &&
+        mv.refresh() == "fresh"
+      mv.view.read()
+        .select(col("g"), col("cnt"), col("sum_k"))
+        .withColumn("mv_ok", lit(witness))
+        .orderBy("g")
+    },
+
     // ---- q109: rollback — metadata-only undo of a bad commit --------
     // A bad batch lands; rollbackTo reverts the head to the pre-batch
     // snapshot WITHOUT reading or writing data files, while the bad

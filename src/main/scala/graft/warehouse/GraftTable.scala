@@ -22,7 +22,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 final class GraftTable private (
     val name: String,
     val dir: Path,
-    spark: SparkSession) {
+    private[warehouse] val spark: SparkSession) {
 
   val log = new SnapshotLog(dir)
 

@@ -844,6 +844,55 @@ class WarehouseSpec extends AnyFunSuite {
     } finally java.nio.file.Files.move(hidden, dataDir)
   }
 
+  test("materialized aggregate maintains count/sum from diffs; WAL survives both crash windows") {
+    import graft.warehouse.MaterializedAgg
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("b", Seq((1L, 10L), (1L, 5L), (2L, 7L)).toDF("g", "v"))
+    val t = c.loadTable("b")
+    val vd = Files.createTempDirectory("graft-mv-")
+    val mv = MaterializedAgg.create(t, vd.resolve("v"), "v", Seq("g"), Seq("v"))
+    val state = vd.resolve("v").resolve("_mv_state.json")
+    def stateApplied: Long = Files.readString(state).trim.split(",")(0).toLong
+    def viewMap: Map[Long, (Long, Long)] = mv.view.read().collect()
+      .map(r => r.getAs[Long]("g") ->
+        ((r.getAs[Long]("cnt"), r.getAs[Long]("sum_v")))).toMap
+    assert(viewMap == Map(1L -> ((2L, 15L)), 2L -> ((1L, 7L))))
+    assert(mv.refresh() == "fresh")
+    t.append(Seq((2L, 3L), (3L, 1L)).toDF("g", "v"))
+    assert(mv.refresh() == "incremental")
+    assert(viewMap == Map(1L -> ((2L, 15L)), 2L -> ((2L, 10L)), 3L -> ((1L, 1L))))
+    // an emptied group must leave the view through the merge delete arm
+    t.deleteWhere($"g" === 1L)
+    assert(mv.refresh() == "incremental")
+    assert(viewMap == Map(2L -> ((2L, 10L)), 3L -> ((1L, 1L))))
+    // crash window A: pending marker written, merge never landed — the
+    // marker must be recognized as aborted and the delta applied once
+    val appliedA = stateApplied
+    t.append(Seq((4L, 9L)).toDF("g", "v"))
+    Files.writeString(state,
+      s"$appliedA,${t.currentSnapshotId.get},${mv.view.currentSnapshotId.get}")
+    assert(mv.refresh() == "incremental")
+    assert(viewMap(4L) == ((1L, 9L)))
+    // crash window B: merge landed, applied-state write lost — the
+    // marker must be recognized as committed; re-applying would double
+    val appliedB = stateApplied
+    val preViewHead = mv.view.currentSnapshotId.get
+    t.append(Seq((4L, 1L)).toDF("g", "v"))
+    assert(mv.refresh() == "incremental")
+    Files.writeString(state,
+      s"$appliedB,${t.currentSnapshotId.get},$preViewHead")
+    assert(mv.refresh() == "fresh", "a landed merge must not re-apply")
+    assert(viewMap(4L) == ((2L, 10L)))
+    // history expired past the applied snapshot → loud full rebuild
+    val comp = t.compact(targetFiles = 2)
+    t.expireSnapshots(comp.snapshotId)
+    t.append(Seq((5L, 2L)).toDF("g", "v"))
+    assert(mv.refresh() == "rebuild")
+    assert(viewMap == Map(2L -> ((2L, 10L)), 3L -> ((1L, 1L)),
+      4L -> ((2L, 10L)), 5L -> ((1L, 2L))))
+    assert(mv.refresh() == "fresh")
+  }
+
   test("snapshot log json round-trip incl. escapes") {
     val dir = Files.createTempDirectory("graft-log-")
     val log = new SnapshotLog(dir)
