@@ -985,4 +985,60 @@ object Dedup {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** EXACT-SUBSTRING span removal (the Lee et al. 2022 "Deduplicating
+    * Training Data" shape, at whitespace-token granularity): any
+    * `k`-token window occurring MORE THAN ONCE in the corpus — across
+    * docs or repeated within one — is a duplicated span, and every
+    * token covered by a duplicated window is cut from its document.
+    * Doc-level near-dup dedup keeps one copy of a template page;
+    * this removes the boilerplate that doc-level passes can't see
+    * (headers, license blocks, navigation chrome repeated inside
+    * otherwise-unique pages).
+    *
+    * Plan shape (no suffix array needed for fixed k): one explode to
+    * (doc, pos, gram) — shuffle key = the gram, near-unique so
+    * skew-bounded like decontamination; a map-side-combined count
+    * finds grams with count ≥ 2; matching window starts come back as
+    * ONE bounded array per doc (size ≤ token count), and the cut
+    * itself is a row-local higher-order-function filter: token i
+    * survives iff no duplicated window start s has s ≤ i < s+k. Work
+    * is O(corpus tokens) plus O(duplicated-window occurrences) — the
+    * 100 TB posture; nothing is quadratic in docs or corpus size.
+    *
+    * Returns (idCol, n_tokens, n_removed, clean_text) — one row per
+    * input doc, clean_text preserving original token order. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, s"span window must be at least 2 tokens, got $k")
+    val toks = df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+    val wins = toks.select(col(idCol), col("__toks"),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(col("__toks")) - k, lit(0))),
+          j => concat_ws(" ", slice(col("__toks"), j + 1, lit(k))))))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__gram")
+      // a doc shorter than k tokens has one (clamped) window narrower
+      // than k; it can never equal a true k-token gram from elsewhere
+      // unless identical text repeats, which is exactly the semantics
+      .select(col(idCol), col("__pos"), col("__gram"))
+    val dupGrams = wins.groupBy("__gram")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2)
+      .select("__gram")
+    val dupStarts = wins.join(dupGrams, "__gram")
+      .groupBy(idCol).agg(collect_list(col("__pos")).as("__starts"))
+    toks.join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(col("__starts"), array().cast("array<int>")).as("__starts"),
+        col("__toks"))
+      .withColumn("__kept", filter(
+        transform(sequence(lit(0), size(col("__toks")) - 1),
+          i => struct(i.as("i"), element_at(col("__toks"), i + 1).as("t"))),
+        x => !exists(col("__starts"),
+          s => s <= x.getField("i") && x.getField("i") < s + k)))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("__kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", transform(col("__kept"), x => x.getField("t")))
+          .as("clean_text"))
+  }
 }

@@ -765,6 +765,52 @@ object Pipeline {
       viaBloom.withColumn("bloom_ok", lit(sameRows)).orderBy("doc_id")
     },
 
+    // ---- q118: exact-substring span removal (Lee et al. 2022 shape) --
+    // Doc-level dedup keeps one copy of a template page; this removes
+    // the REPEATED SPANS doc-level passes can't see: any 8-token window
+    // occurring ≥2 times in the corpus (across docs or within one) is
+    // boilerplate, and every token it covers is cut. The oracle
+    // recomputes window multiset, coverage, and the per-doc surviving
+    // token sequence declaratively — clean_text must match token for
+    // token, so an off-by-one in window coverage or a lost/reordered
+    // surviving token breaks the hash. Plan: one gram-keyed shuffle
+    // (near-unique key, skew-bounded), coverage applied row-locally via
+    // higher-order functions — nothing quadratic at 100 TB.
+    Q("q118_span_dedup",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, j AS pos, array_to_string(toks[j+1:j+8], ' ') AS gram
+        |  FROM (SELECT doc_id, toks,
+        |        unnest(range(greatest(len(toks) - 8, 0) + 1)) AS j FROM t)),
+        |dup AS (SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + u AS i
+        |  FROM (SELECT doc_id, pos, unnest(range(8)) AS u
+        |        FROM w WHERE gram IN (SELECT gram FROM dup))),
+        |sel AS (
+        |  SELECT doc_id, j AS i, toks[j+1] AS tok
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS j FROM t)),
+        |keep AS (
+        |  SELECT s.doc_id, s.i, s.tok FROM sel s
+        |  LEFT JOIN cov c ON s.doc_id = c.doc_id AND s.i = c.i
+        |  WHERE c.i IS NULL),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept,
+        |    string_agg(tok, ' ' ORDER BY i) AS txt
+        |  FROM keep GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.toks) - coalesce(a.kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(a.txt, '') AS clean_text
+        |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      Dedup.removeDuplicatedSpans(T.documents(s, d), "doc_id", "text", 8)
+        .orderBy("doc_id")
+    },
+
     // ---- document chunking (fixed-token windows with overlap) ----------
     // Chunk i covers tokens [i*224, i*224+256): 256-token windows, 32
     // overlap. Row-local explode — no shuffle, chunks at scan speed.

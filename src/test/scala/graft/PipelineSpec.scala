@@ -916,4 +916,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(got("common")._1 === 25L)
     assert(got("rare")._2 === Seq(26L, 27L, 28L, 29L, 30L))
   }
+
+  test("span removal cuts exactly the tokens covered by repeated k-grams") {
+    import spark.implicits._
+    // k=3; docs 1 and 2 share the 3-gram "b c d" (cross-doc dup); doc 3
+    // repeats "x y z" internally (self dup); doc 4 is clean
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "b c d q r"),
+      (3L, "x y z w x y z"),
+      (4L, "p q r s t u")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .removeDuplicatedSpans(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))
+    // doc 1: window at pos 1 covers tokens 1..3 → "a ... e" survive
+    assert(got(0) == ((1L, 5L, 3L, "a e")))
+    // doc 2: window at pos 0 covers 0..2 → "q r" survive
+    assert(got(1) == ((2L, 5L, 3L, "q r")))
+    // doc 3: "x y z" at pos 0 and 4 → covers 0..2 and 4..6, "w" survives
+    assert(got(2) == ((3L, 7L, 6L, "w")))
+    // doc 4: untouched, and "p q r"/"q r s" don't recur ("q r" alone is
+    // only 2 tokens — shorter than k, never a window)
+    assert(got(3) == ((4L, 6L, 0L, "p q r s t u")))
+  }
 }
