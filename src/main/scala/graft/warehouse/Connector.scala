@@ -107,8 +107,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   /** Full scan (reference: `query`, `icerunner.py:180-188`). */
   def query(name: String): DataFrame = loadTable(name).read()
 
-  /** Row count (reference: `count`, `icerunner.py:190-198`). */
-  def count(name: String): Long = query(name).count()
+  /** Row count (reference: `count`, `icerunner.py:190-198`): answered
+    * from manifest row counts when every visible file recorded one
+    * ([[GraftTable.metaCount]] — zero data files opened, no Spark job;
+    * the reference pays a full DuckDB scan here), scan fallback
+    * otherwise (pre-upgrade manifests). */
+  def count(name: String): Long = {
+    val t = loadTable(name)
+    t.metaCount().getOrElse(t.read().count())
+  }
 
   /** Raw SQL over all warehouse tables (reference: `sql`,
     * `icerunner.py:200-207`) — the full relational surface via Catalyst.
