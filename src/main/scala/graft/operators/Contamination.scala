@@ -77,24 +77,49 @@ object Contamination {
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 8,
       estItems: Long = 1000000L, numBits: Long = 8388608L): DataFrame = {
-    import org.apache.spark.sql.GraftColumnBridge.{column => ec, expression => ex}
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val sh = Dedup.wordShinglesCompiled(n)
-    val benchSh = benchmark
-      .select(explode(sh(col(textCol))).as("shingle")).distinct()
-    val bloomAgg = ec(new BloomFilterAggregate(
-      ex(xxhash64(col("shingle"))), Literal(estItems), Literal(numBits))
-      .toAggregateExpression())
-    val bloom = benchSh.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+    val benchSh = benchShingles(benchmark, textCol, n)
+    val bloom = benchBloom(benchSh, estItems, numBits)
     if (bloom == null) return corpus // empty benchmark: nothing to scrub
+    val sh = Dedup.wordShinglesCompiled(n)
     val corpusSh = corpus.select(col(idCol), explode(sh(col(textCol))).as("shingle"))
-    val candidates = corpusSh.filter(ec(BloomFilterMightContain(
-      Literal(bloom, org.apache.spark.sql.types.BinaryType),
-      ex(xxhash64(col("shingle"))))))
+    val candidates = corpusSh.filter(mightContain(bloom, col("shingle")))
     // exact verification join over the surviving sliver only
     val dirty = candidates.join(benchSh, "shingle")
       .select(col(idCol)).distinct()
     corpus.join(dirty, Seq(idCol), "left_anti")
+  }
+
+  /** Distinct n-word shingles of the benchmark side (the bloom's item
+    * domain and the exact join's build side). */
+  def benchShingles(benchmark: DataFrame, textCol: String, n: Int): DataFrame =
+    benchmark.select(
+      explode(Dedup.wordShinglesCompiled(n)(col(textCol))).as("shingle"))
+      .distinct()
+
+  /** Serialized bloom filter over the shingles' xxhash64 values — built
+    * by Spark's codegen'd `bloom_filter_agg` (the machinery Catalyst's
+    * runtime row-level filtering injects); null for an empty input.
+    * Bounded driver memory: ≤ `numBits`/8 bytes. */
+  def benchBloom(benchSh: DataFrame, estItems: Long = 1000000L,
+      numBits: Long = 8388608L): Array[Byte] = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => ec, expression => ex}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bloomAgg = ec(new BloomFilterAggregate(
+      ex(xxhash64(col("shingle"))), Literal(estItems), Literal(numBits))
+      .toAggregateExpression())
+    benchSh.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]]("bf")
+  }
+
+  /** Row-local `might_contain` predicate over the serialized bloom —
+    * embedded as a plan literal, evaluated inside codegen; the
+    * prefilter that keeps 100 TB of clean shingles out of the join. */
+  def mightContain(bloom: Array[Byte],
+      shingle: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => ec, expression => ex}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    ec(BloomFilterMightContain(
+      Literal(bloom, org.apache.spark.sql.types.BinaryType),
+      ex(xxhash64(shingle))))
   }
 }

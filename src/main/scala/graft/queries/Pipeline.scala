@@ -729,10 +729,13 @@ object Pipeline {
     // benchmark's shingle hashes drops non-overlapping corpus shingles
     // ROW-LOCALLY before the exact verification join, so at 100 TB the
     // join input is the fpp sliver, not the corpus. Bloom filters have
-    // no false negatives, so the oracle (identical to q68's) hash-grades
-    // that the shortcut lost nothing; the witness additionally pins the
-    // in-engine differential — bloom path ≡ exact path row-for-row —
-    // so a silent fpp-handling bug cannot hide behind the small corpus.
+    // no false negatives, so the oracle (q68's exact semantics in SQL)
+    // hash-grades that the shortcut lost nothing; the witness pins the
+    // PREFILTER itself — the bloom must reject most corpus shingles
+    // (candidates < half the windows) — so a degenerate pass-everything
+    // bloom (overfilled, or a broken might_contain) fails the grade
+    // even though it would still be row-correct. PlanSpec additionally
+    // pins might_contain below the verification join.
     Q("q116_decontaminate_bloom",
       """WITH docs AS (
         |  SELECT doc_id,
@@ -753,16 +756,28 @@ object Pipeline {
       val docs = T.documents(s, d)
       val corpus = docs.filter(col("doc_id") >= 20)
       val bench = docs.filter(col("doc_id") < 20)
-      val viaBloom = Contamination
-        .decontaminateBloom(corpus, bench, "doc_id", "text", 8)
+      val benchSh = Contamination.benchShingles(bench, "text", 8)
+      val bloom = Contamination.benchBloom(benchSh)
+      val sh = org.apache.spark.sql.functions.explode(
+        graft.operators.Dedup.wordShinglesCompiled(8)(col("text")))
+      val windows = corpus.select(sh.as("shingle"))
+      val stats = windows.agg(
+        count(lit(1)).as("total"),
+        sum(when(Contamination.mightContain(bloom, col("shingle")), 1L)
+          .otherwise(0L)).as("cand")).head
+      val selective = stats.getLong(1) > 0 &&
+        stats.getLong(1) * 2 < stats.getLong(0)
+      // same composition decontaminateBloom wires, reusing the ONE bloom
+      // built above for the witness
+      val corpusSh = corpus.select(col("doc_id"), sh.as("shingle"))
+      val dirty = corpusSh
+        .filter(Contamination.mightContain(bloom, col("shingle")))
+        .join(benchSh, "shingle")
+        .select("doc_id").distinct()
+      corpus.join(dirty, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source")
-      val viaExact = Contamination
-        .decontaminate(corpus, bench, "doc_id", "text", 8)
-        .select("doc_id")
-      val sameRows = viaBloom.select("doc_id")
-        .unionByName(viaExact).except(
-          viaBloom.select("doc_id").intersect(viaExact)).isEmpty
-      viaBloom.withColumn("bloom_ok", lit(sameRows)).orderBy("doc_id")
+        .withColumn("bloom_ok", lit(selective))
+        .orderBy("doc_id")
     },
 
     // ---- q118: exact-substring span removal (Lee et al. 2022 shape) --
