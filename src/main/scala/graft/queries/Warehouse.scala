@@ -585,6 +585,49 @@ object Warehouse {
         .orderBy("g")
     },
 
+    // ---- q119: point-set file pruning (readWhereIn) ------------------
+    // The batch-key-lookup shape: fetch a handful of specific keys from
+    // a clustered table. The requested set is 3 smallest + 3 largest
+    // keys — its RANGE spans the whole key space, so a [min,max] range
+    // prune keeps every file; per-value probing must keep only the
+    // edge files. The witness grades exactly that separation: the IN
+    // prune reads fewer files than the range prune over the same set's
+    // span AND at most a quarter of the table — the capability range
+    // pruning cannot deliver. Rows are re-filtered with the IN
+    // predicate per the readWhere contract, so oracle equality holds
+    // regardless of boundary files.
+    Q("q119_read_in",
+      """WITH ks AS (
+        |  (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)
+        |  UNION ALL
+        |  (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 3))
+        |SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |  TRUE AS inprune_ok
+        |FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM ks)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_in", base.limit(0))
+      val t = conn.loadTable("orders_in")
+      t.append(base, clusterBy = Seq("o_orderkey"), clusterParts = 16)
+      val lows = base.orderBy(col("o_orderkey"))
+        .limit(3).collect().map(_.getLong(0))
+      val highs = base.orderBy(col("o_orderkey").desc)
+        .limit(3).collect().map(_.getLong(0))
+      val keys = (lows ++ highs).toSeq
+      val slice = t.readWhereIn("o_orderkey", keys)
+      val total = t.log.dataFiles(None).length
+      val inFiles = slice.inputFiles.length
+      val rangeFiles = t.readWhere("o_orderkey",
+        Some(keys.min), Some(keys.max)).inputFiles.length
+      val witness = inFiles > 0 && inFiles < rangeFiles &&
+        inFiles * 4 <= total
+      slice.filter(col("o_orderkey").isin(keys: _*))
+        .withColumn("inprune_ok", lit(witness))
+        .orderBy("o_orderkey")
+    },
+
     // ---- q109: rollback — metadata-only undo of a bad commit --------
     // A bad batch lands; rollbackTo reverts the head to the pre-batch
     // snapshot WITHOUT reading or writing data files, while the bad

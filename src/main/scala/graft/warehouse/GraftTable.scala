@@ -912,10 +912,43 @@ final class GraftTable private (
       .flatMap(s => s.stats).toMap
     val kept = log.dataFilesOf(snaps, asOf).filter { abs =>
       val rel = dir.relativize(java.nio.file.Paths.get(abs)).toString
-      statsByFile.get(rel).forall(st =>
+      // rows == 0 ⇒ the file can contain nothing (schema-only creates,
+      // rewrites that emptied a partition) — skip unconditionally
+      statsByFile.get(rel).forall(st => st.rows != 0 &&
         preds.forall { case (c, lo, hi) => st.mayContain(c, lo, hi) })
     }
     val sch = schemaAsOfIn(snaps, asOf) // consistent with read(asOf) across evolutions
+    if (kept.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    else spark.read.schema(sch).parquet(kept: _*)
+  }
+
+  /** POINT-SET file pruning: keep only files whose stats may contain
+    * at least ONE of `values` in `column` — the batch-key-lookup shape
+    * (fetch these 10k doc ids out of a 100 TB table). A range prune
+    * over [min(values), max(values)] keeps every file the span
+    * straddles; per-value probing keeps only files whose recorded
+    * range actually contains some requested point, which on a
+    * clustered/Z-ordered layout is the difference between reading the
+    * whole key span and reading |values| files. Same contract as
+    * [[readWhere]]: row-level filtering (an IN predicate, pushed to
+    * the parquet scan by Catalyst) remains the caller's job.
+    * Cost: O(files × |values|) driver-side stat probes — sort-based
+    * per-file pruning keeps it cheap for big value sets; cluster the
+    * table on `column` for the layout that makes the skips real. */
+  def readWhereIn(column: String, values: Seq[Any],
+      asOf: Option[Long] = None): DataFrame = {
+    require(values.nonEmpty, "readWhereIn needs at least one value")
+    val snaps = log.snapshots
+    val cut = asOf.getOrElse(Long.MaxValue)
+    val statsByFile = snaps.filter(_.snapshotId <= cut)
+      .flatMap(s => s.stats).toMap
+    val kept = log.dataFilesOf(snaps, asOf).filter { abs =>
+      val rel = dir.relativize(java.nio.file.Paths.get(abs)).toString
+      statsByFile.get(rel).forall(st => st.rows != 0 &&
+        values.exists(v => st.mayContain(column, Some(v), Some(v))))
+    }
+    val sch = schemaAsOfIn(snaps, asOf)
     if (kept.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     else spark.read.schema(sch).parquet(kept: _*)

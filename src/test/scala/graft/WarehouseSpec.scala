@@ -393,12 +393,14 @@ class WarehouseSpec extends AnyFunSuite {
     val quant = layout("tq", ZOrder.clusterQuantile(df, Seq("v", "id"), 16))
     assert(quant.read().count() === df.count(),
       "quantile clustering must not change content")
-    val totalL = linear.read().inputFiles.length
-    val totalQ = quant.read().inputFiles.length
+    // the schema-only create's empty file is pruned by its rows==0 stat
+    // on every stats path — the degeneration claim is about DATA files
+    val totalL = linear.read().inputFiles.length - 1
+    val totalQ = quant.read().inputFiles.length - 1
     val pLin = linear.readWhere("v", None, Some(45L)).inputFiles.length
     val pQ = quant.readWhere("v", None, Some(45L)).inputFiles.length
     // the degeneration this test exists to pin: min/max ranks leave the
-    // skewed dimension unprunable (every file spans the dense region)
+    // skewed dimension unprunable (every data file spans the dense region)
     assert(pLin === totalL,
       s"expected linear ranks to prune nothing on the skewed column, got $pLin of $totalL")
     assert(pQ < totalQ,
@@ -891,6 +893,27 @@ class WarehouseSpec extends AnyFunSuite {
     assert(viewMap == Map(2L -> ((2L, 10L)), 3L -> ((1L, 1L)),
       4L -> ((2L, 10L)), 5L -> ((1L, 2L))))
     assert(mv.refresh() == "fresh")
+  }
+
+  test("readWhereIn prunes per-value where a range prune keeps the whole span") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 80L).map(i => (i, s"v$i")).toDF("id", "v").limit(0))
+    val t = c.loadTable("t")
+    t.append((1L to 80L).map(i => (i, s"v$i")).toDF("id", "v"),
+      clusterBy = Seq("id"), clusterParts = 8)
+    val total = t.log.dataFiles(None).length
+    assert(total == 9) // 8 clustered files + the schema-only create's empty file
+    // 3 and 77 live in the first and last file; their RANGE spans all 8
+    // (the empty create file prunes via its rows==0 stat on both paths)
+    val in = t.readWhereIn("id", Seq(3L, 77L))
+    assert(in.inputFiles.length == 2)
+    assert(t.readWhere("id", Some(3L), Some(77L)).inputFiles.length == 8)
+    // soundness: the kept files contain every requested row
+    assert(in.filter($"id".isin(3L, 77L)).count() == 2)
+    // files without stats conservatively match (stats-free first commit)
+    val c2 = new Connector(spark, freshWarehouse())
+    c2.createTable("u", Seq((1L, "a")).toDF("id", "v"))
+    assert(c2.loadTable("u").readWhereIn("id", Seq(99L)).inputFiles.nonEmpty)
   }
 
   test("snapshot log json round-trip incl. escapes") {
