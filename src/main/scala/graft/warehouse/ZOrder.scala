@@ -152,14 +152,17 @@ object ZOrder {
     * pays. At 100 TB the sketch pass is a full scan of only the
     * clustered columns; `relErr` trades sketch memory for bucket-edge
     * accuracy and only shifts bucket boundaries, never correctness
-    * (stats are recorded from the actual written files).
+    * (stats are recorded from the actual written files). The default
+    * (half the 1/256 bucket width — Greenwald-Khanna cost scales with
+    * 1/relErr, so needlessly tight error taxes every row of the scan)
+    * keeps edge drift within half a bucket.
     *
     * @param buckets quantile resolution per column (≤ 256 keeps the
     *                per-row rank cost at a ≤255-step codegen'd array
     *                filter; more buys nothing at realistic file counts)
     */
   def clusterQuantile(df: DataFrame, cols: Seq[String], parts: Int,
-      buckets: Int = 256, relErr: Double = 0.001): DataFrame = {
+      buckets: Int = 256, relErr: Double = 0.002): DataFrame = {
     require(parts > 0, "parts must be positive")
     require(cols.size == 2 || cols.size == 3,
       s"Z-order supports 2 or 3 columns, got ${cols.size}")
