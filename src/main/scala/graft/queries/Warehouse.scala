@@ -628,6 +628,50 @@ object Warehouse {
         .orderBy("o_orderkey")
     },
 
+    // ---- q120: merge-on-read equality deletes ------------------------
+    // Grades GraftTable.deleteKeysMor end-to-end: a delete commits as a
+    // KEY-TUPLE sidecar — no data file read or rewritten, O(|keys|)
+    // write latency at any table size (the Iceberg v2 / deletion-vector
+    // shape) — and reads apply tombstones with sequence semantics: a
+    // key re-inserted AFTER its tombstone stays visible (the rig
+    // re-inserts the %10 stratum at tripled price between two deletes,
+    // so a scope bug surfaces as missing or resurrected rows under the
+    // hash). compact() then materializes: tombstones gone, content
+    // bit-identical. The witness pins the write-latency claim (the
+    // delete snapshots added ZERO data files), pre-delete time travel,
+    // and the compact's content preservation.
+    Q("q120_mor_delete",
+      """WITH final AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice, 2) * 3 AS price
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey, price, TRUE AS mor_ok
+        |FROM final WHERE o_orderkey % 7 <> 3
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_mor", orders)
+      val t = conn.loadTable("orders_mor")
+      val s1 = t.currentSnapshotId.get
+      val d1 = t.deleteKeysMor(
+        orders.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"))
+      t.append(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("price", col("price") * 3))
+      val d2 = t.deleteKeysMor(
+        orders.filter(col("o_orderkey") % 7 === 3).select("o_orderkey"))
+      val noRewrite = d1.addedFiles.isEmpty && d2.addedFiles.isEmpty &&
+        d1.deleteFiles.nonEmpty
+      val travelOk = t.read(Some(s1)).count() == orders.count()
+      val preCompact = t.read().count()
+      t.compact(targetFiles = 4)
+      val witness = noRewrite && travelOk &&
+        t.liveEqDeletes().isEmpty && t.read().count() == preCompact
+      t.read().withColumn("mor_ok", lit(witness)).orderBy("o_orderkey")
+    },
+
     // ---- q109: rollback — metadata-only undo of a bad commit --------
     // A bad batch lands; rollbackTo reverts the head to the pre-batch
     // snapshot WITHOUT reading or writing data files, while the bad

@@ -51,14 +51,96 @@ final class GraftTable private (
   }
 
   /** Read the table head (or a past snapshot). Empty-but-created tables
-    * read as an empty DataFrame with the committed schema. */
+    * read as an empty DataFrame with the committed schema. Live
+    * merge-on-read equality deletes ([[deleteKeysMor]]) are applied
+    * era-correctly: a delete scopes only data files committed before
+    * it, so a later re-insert of a deleted key stays visible. */
   def read(asOf: Option[Long] = None): DataFrame = {
-    val files = log.dataFiles(asOf)
-    val sch = schemaAsOf(asOf)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-    else
-      spark.read.schema(sch).parquet(files: _*)
+    val snaps = log.snapshots
+    val sch = schemaAsOfIn(snaps, asOf)
+    readWithDeletes(log.filesWithSnapOf(snaps, asOf),
+      log.eqDeletesOf(snaps, asOf), sch)
+  }
+
+  private def emptyDf(sch: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+
+  /** Assemble a read over `filesWithSnap` with the visible equality
+    * deletes applied (Iceberg v2 sequence semantics): a delete
+    * committed at snapshot d scopes exactly the data files whose
+    * adding snapshot is < d. Files are grouped by the FIRST delete
+    * that applies to them — one group per "era" between delete
+    * commits, each anti-joined (null-safely, on the delete file's own
+    * key columns) with every delete at-or-after its era. Plan cost:
+    * |eras| ≤ |delete commits since the last compact| extra
+    * anti-joins, each broadcast-sized in the common case (delete key
+    * sets are small relative to the table). */
+  private def readWithDeletes(filesWithSnap: Seq[(String, Long)],
+      deletes: Seq[(Long, String)], sch: StructType): DataFrame = {
+    if (filesWithSnap.isEmpty) return emptyDf(sch)
+    if (deletes.isEmpty)
+      return spark.read.schema(sch).parquet(filesWithSnap.map(_._1): _*)
+    val delSnaps = deletes.map(_._1)
+    val keyDfs = deletes.map { case (_, p) => spark.read.parquet(p) }
+    val groups = filesWithSnap.groupBy { case (_, s) =>
+      delSnaps.indexWhere(_ > s) // -1: committed after every delete
+    }
+    groups.toSeq.sortBy(_._1).map { case (firstDel, fs) =>
+      var df = spark.read.schema(sch).parquet(fs.map(_._1): _*)
+      if (firstDel >= 0) keyDfs.drop(firstDel).foreach { kd =>
+        val cond = kd.columns.map(c => df(c) <=> kd(c)).reduce(_ && _)
+        df = df.join(kd, cond, "left_anti")
+      }
+      df
+    }.reduce(_ unionByName _)
+  }
+
+  /** MERGE-ON-READ equality delete (Iceberg v2 / deletion-vector
+    * write-latency shape): commit the KEY TUPLES to delete as a small
+    * parquet sidecar — no data file is read or rewritten, so the
+    * commit is O(|keys|) regardless of table size; reads apply the
+    * tombstones ([[read]]) until a [[compact]] or [[replace]]
+    * materializes them. Columns of `keys` name the equality columns
+    * (any subset of the schema, types must match); NULL keys match
+    * their stored NULL twins. Sequence semantics: rows appended AFTER
+    * this commit are never affected, even for matching keys.
+    *
+    * Copy-on-write DML (upsert/merge/deleteWhere), rollback, branch
+    * forks, and incremental/metadata readers refuse while tombstones
+    * are live — compact first; [[GraftTable.diff]] stays incremental
+    * across appends as long as the visible delete set is unchanged
+    * between its cuts. */
+  def deleteKeysMor(keys: DataFrame): Snapshot = {
+    val head = log.head.getOrElse(
+      throw new IllegalStateException(s"table $name has no snapshots"))
+    require(keys.schema.fields.nonEmpty, "delete needs at least one key column")
+    val sch = schema
+    keys.schema.fields.foreach { f =>
+      val m = sch.fields.find(_.name == f.name)
+      require(m.exists(_.dataType == f.dataType),
+        s"equality-delete column ${f.name}: ${f.dataType} absent or " +
+          s"mistyped for table schema $sch")
+    }
+    val commitDir = dir.resolve("data").resolve(s"e${UUID.randomUUID().toString.take(12)}")
+    keys.distinct().write.parquet(commitDir.toString)
+    val files = Files.list(commitDir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => dir.relativize(p).toString)
+      .toSeq.sorted
+    log.commit("eqdelete", Seq.empty, head.schemaJson,
+      deleteFiles = files)
+  }
+
+  /** Live equality-delete sidecars at a cut (empty ⇔ reads are
+    * pure-file-set; see [[deleteKeysMor]]). */
+  def liveEqDeletes(asOf: Option[Long] = None): Seq[(Long, String)] =
+    log.eqDeletesOf(log.snapshots, asOf)
+
+  private def requireNoEqDeletes(op: String): Unit = {
+    val live = log.eqDeletesOf(log.snapshots, None)
+    require(live.isEmpty,
+      s"$op on $name requires materializing ${live.size} live " +
+        "merge-on-read delete(s) first — run compact()")
   }
 
   /** Rows appended by snapshots in `(sinceId, head]` — incremental read
@@ -173,6 +255,10 @@ final class GraftTable private (
       // keeps upsert's historical create-from-incoming behavior)
       return append(upserts, statsCols = statsCols)
     }
+    // a CoW rewrite reads affected files directly; doing that under
+    // live merge-on-read tombstones would resurrect deleted rows in
+    // the rewritten files
+    requireNoEqDeletes("merge/upsert")
     var attempt = 0
     while (true) {
       val base = log.head.get
@@ -264,6 +350,7 @@ final class GraftTable private (
     * with no matching row are untouched. */
   def deleteWhere(cond: org.apache.spark.sql.Column): Snapshot = {
     import org.apache.spark.sql.functions.input_file_name
+    requireNoEqDeletes("deleteWhere")
     var attempt = 0
     while (true) {
       val head = log.head.getOrElse(
@@ -543,8 +630,8 @@ final class GraftTable private (
         snaps.exists(s => s.snapshotId == keepFromId && s.operation == "compact"),
       s"expiry horizon must be a compact snapshot id (history severs only at a rewrite)")
     val (dead, live) = snaps.partition(_.snapshotId < keepFromId)
-    val liveFiles = live.flatMap(_.addedFiles).toSet
-    dead.flatMap(_.addedFiles).distinct
+    val liveFiles = live.flatMap(s => s.addedFiles ++ s.deleteFiles).toSet
+    dead.flatMap(s => s.addedFiles ++ s.deleteFiles).distinct
       .filterNot(liveFiles.contains)
       .foreach(f => Files.deleteIfExists(dir.resolve(f)))
     dead.foreach(s => log.deleteManifest(s.snapshotId))
@@ -566,6 +653,13 @@ final class GraftTable private (
     // discipline as diff); the CAS on expectedHead still rejects a
     // commit that lands after this read
     val snaps = log.snapshots
+    // a rollback snapshot reconstructs a FILE set; it cannot carry the
+    // target era's tombstone visibility — refuse rather than silently
+    // resurrect (or re-kill) rows
+    require(log.eqDeletesOf(snaps, None).isEmpty &&
+        log.eqDeletesOf(snaps, Some(snapshotId)).isEmpty,
+      s"rollback of $name across merge-on-read deletes unsupported — " +
+        "compact() to materialize them first")
     val head = snaps.lastOption.map(_.snapshotId).getOrElse(
       throw new IllegalStateException(s"table $name has no snapshots"))
     require(snaps.exists(_.snapshotId == snapshotId),
@@ -611,7 +705,7 @@ final class GraftTable private (
     // dropBranch turns them into collectable debris
     val referenced = (log.snapshots ++
         branches.flatMap(b => new SnapshotLog(dir, Some(b)).snapshots))
-      .flatMap(s => s.addedFiles ++ s.removedFiles).toSet
+      .flatMap(s => s.addedFiles ++ s.removedFiles ++ s.deleteFiles).toSet
     val dataDir = dir.resolve("data")
     if (!Files.isDirectory(dataDir)) return Nil
     val cutoff = System.currentTimeMillis() - graceMs
@@ -664,6 +758,7 @@ final class GraftTable private (
     * snapshot id the branch's reads and its publish CAS are pinned to. */
   def createBranch(b: String): Long = {
     requireBranchName(b)
+    requireNoEqDeletes("createBranch")
     val parent = currentSnapshotId.getOrElse(
       throw new IllegalStateException(s"table $name has no snapshots"))
     val bd = branchDir(b)
@@ -815,6 +910,17 @@ final class GraftTable private (
           s"snapshot $id of $name expired — diff $side unknowable")
     requireRetained(fromId, "base")
     requireRetained(to, "target")
+    // merge-on-read deletes change rows WITHOUT changing file sets; a
+    // file-set diff is sound only when both cuts see the SAME visible
+    // delete set (shared files' tombstoned rows then cancel
+    // identically, and files appended in the window postdate every
+    // live delete). A delete or a materializing rewrite in the window
+    // breaks that — refuse loudly, same stance as expiry (consumers
+    // rebuild; MaterializedAgg does so automatically).
+    if (log.eqDeletesOf(snaps, Some(fromId)) != log.eqDeletesOf(snaps, Some(to)))
+      throw new HistoryExpiredException(
+        s"diff ($fromId, $to] of $name crosses a merge-on-read delete " +
+          "— compact() to materialize, or full re-sync")
     val before = log.dataFilesOf(snaps, Some(fromId)).toSet
     val after = log.dataFilesOf(snaps, Some(to)).toSet
     val sch = schemaAsOfIn(snaps, Some(to))
@@ -851,6 +957,8 @@ final class GraftTable private (
     * row-count recording. */
   def metaCount(asOf: Option[Long] = None): Option[Long] = {
     val snaps = log.snapshots
+    // live tombstones hide an unknown number of rows — fall back
+    if (log.eqDeletesOf(snaps, asOf).nonEmpty) return None
     val statsByFile = snaps.flatMap(_.stats).toMap
     val visible = log.dataFilesOf(snaps, asOf)
       .map(a => dir.relativize(Paths.get(a)).toString)
@@ -870,6 +978,8 @@ final class GraftTable private (
   def metaMinMax(column: String,
       asOf: Option[Long] = None): Option[(Double, Double)] = {
     val snaps = log.snapshots
+    // a tombstoned extremum would surface as a stale bound — fall back
+    if (log.eqDeletesOf(snaps, asOf).nonEmpty) return None
     val statsByFile = snaps.flatMap(_.stats).toMap
     val visible = log.dataFilesOf(snaps, asOf)
       .map(a => dir.relativize(Paths.get(a)).toString)
@@ -910,7 +1020,7 @@ final class GraftTable private (
     val cut = asOf.getOrElse(Long.MaxValue)
     val statsByFile = snaps.filter(_.snapshotId <= cut)
       .flatMap(s => s.stats).toMap
-    val kept = log.dataFilesOf(snaps, asOf).filter { abs =>
+    val kept = log.filesWithSnapOf(snaps, asOf).filter { case (abs, _) =>
       val rel = dir.relativize(java.nio.file.Paths.get(abs)).toString
       // rows == 0 ⇒ the file can contain nothing (schema-only creates,
       // rewrites that emptied a partition) — skip unconditionally
@@ -918,9 +1028,9 @@ final class GraftTable private (
         preds.forall { case (c, lo, hi) => st.mayContain(c, lo, hi) })
     }
     val sch = schemaAsOfIn(snaps, asOf) // consistent with read(asOf) across evolutions
-    if (kept.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-    else spark.read.schema(sch).parquet(kept: _*)
+    // live merge-on-read tombstones apply after pruning (anti-joins
+    // only ever remove rows, so pruning soundness is unaffected)
+    readWithDeletes(kept, log.eqDeletesOf(snaps, asOf), sch)
   }
 
   /** POINT-SET file pruning: keep only files whose stats may contain
@@ -943,15 +1053,13 @@ final class GraftTable private (
     val cut = asOf.getOrElse(Long.MaxValue)
     val statsByFile = snaps.filter(_.snapshotId <= cut)
       .flatMap(s => s.stats).toMap
-    val kept = log.dataFilesOf(snaps, asOf).filter { abs =>
+    val kept = log.filesWithSnapOf(snaps, asOf).filter { case (abs, _) =>
       val rel = dir.relativize(java.nio.file.Paths.get(abs)).toString
       statsByFile.get(rel).forall(st => st.rows != 0 &&
         values.exists(v => st.mayContain(column, Some(v), Some(v))))
     }
     val sch = schemaAsOfIn(snaps, asOf)
-    if (kept.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-    else spark.read.schema(sch).parquet(kept: _*)
+    readWithDeletes(kept, log.eqDeletesOf(snaps, asOf), sch)
   }
 
   private def compatible(expected: StructType, got: StructType): Boolean =

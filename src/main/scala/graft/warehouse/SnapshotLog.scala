@@ -28,7 +28,14 @@ final case class Snapshot(
       * upsert/delete rewrites). Removal affects view resolution only —
       * the bytes stay on disk for time travel until the snapshot that
       * ADDED them expires. */
-    removedFiles: Seq[String] = Nil)
+    removedFiles: Seq[String] = Nil,
+    /** EQUALITY-DELETE files (merge-on-read): parquet files of key
+      * tuples whose matching rows are invisible in every data file
+      * committed BEFORE this snapshot (Iceberg v2 sequence-number
+      * semantics — a later re-insert of the same key is NOT affected).
+      * Only `eqdelete` snapshots carry these; a compact/replace
+      * materializes and clears them. */
+    deleteFiles: Seq[String] = Nil)
 
 /** Per-data-file column statistics recorded in the manifest at commit
   * time — the Iceberg-style metadata that lets a reader prune files
@@ -213,18 +220,41 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
     * rollback's target + head) capture `snapshots` once and pass it
     * here — one directory listing, one parse, and one ATOMIC view (no
     * torn read between the views under a concurrent commit). */
-  def dataFilesOf(snaps: Seq[Snapshot], asOf: Option[Long]): Seq[String] = {
+  def dataFilesOf(snaps: Seq[Snapshot], asOf: Option[Long]): Seq[String] =
+    filesWithSnapOf(snaps, asOf).map(_._1)
+
+  /** Same resolution, keeping each visible file's ADDING snapshot id —
+    * the "data sequence number" merge-on-read deletes are scoped by
+    * (an equality delete applies only to files committed before it). */
+  def filesWithSnapOf(snaps: Seq[Snapshot],
+      asOf: Option[Long]): Seq[(String, Long)] = {
     val cut = asOf.getOrElse(Long.MaxValue)
     val visible = snaps.filter(_.snapshotId <= cut)
     val baseline = visible.lastIndexWhere(_.operation == "compact")
     // fold in commit order: adds first, then removals (a rewrite may
     // remove files added by any earlier snapshot since the baseline)
-    val files = new java.util.LinkedHashSet[String]()
+    val files = new java.util.LinkedHashMap[String, Long]()
     visible.drop(math.max(baseline, 0)).foreach { s =>
-      s.addedFiles.foreach(files.add)
+      s.addedFiles.foreach(f => files.put(f, s.snapshotId))
       s.removedFiles.foreach(files.remove)
     }
-    files.iterator().asScala.map(f => tableDir.resolve(f).toString).toSeq
+    files.entrySet().iterator().asScala
+      .map(e => (tableDir.resolve(e.getKey).toString, e.getValue.longValue()))
+      .toSeq
+  }
+
+  /** Equality-delete files visible at a cut: `eqdelete` commits after
+    * the latest MATERIALIZING rewrite (compact/replace — both rebuild
+    * the row set with deletes applied) at-or-before the cut, as
+    * (deleteSnapshotId, absolutePath) pairs in commit order. */
+  def eqDeletesOf(snaps: Seq[Snapshot],
+      asOf: Option[Long]): Seq[(Long, String)] = {
+    val cut = asOf.getOrElse(Long.MaxValue)
+    val visible = snaps.filter(_.snapshotId <= cut)
+    val baseline = visible.lastIndexWhere(s =>
+      s.operation == "compact" || s.operation == "replace")
+    visible.drop(math.max(baseline, 0)).flatMap(s =>
+      s.deleteFiles.map(f => s.snapshotId -> tableDir.resolve(f).toString))
   }
 
   /** Files added by snapshots in `(sinceId, head]` — the corrected
@@ -250,11 +280,12 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
     // delta across it would double-count — same stance as Iceberg's
     // incremental scan on replace snapshots: refuse, forcing the
     // consumer (Mirror) onto its full-re-sync path.
-    window.find(_.removedFiles.nonEmpty).foreach { s =>
-      throw new HistoryExpiredException(
-        s"changes since $sinceId unavailable: snapshot ${s.snapshotId} " +
-          s"(${s.operation}) rewrote rows; full re-sync required")
-    }
+    window.find(s => s.removedFiles.nonEmpty || s.deleteFiles.nonEmpty)
+      .foreach { s =>
+        throw new HistoryExpiredException(
+          s"changes since $sinceId unavailable: snapshot ${s.snapshotId} " +
+            s"(${s.operation}) rewrote or deleted rows; full re-sync required")
+      }
     window.filter(_.operation != "compact")
       .flatMap(_.addedFiles)
       .map(f => tableDir.resolve(f).toString)
@@ -286,7 +317,8 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
   def commit(operation: String, addedFiles: Seq[String], schemaJson: String,
       stats: Map[String, FileStat] = Map.empty,
       expectedHead: Option[Long] = None,
-      removedFiles: Seq[String] = Nil): Snapshot = {
+      removedFiles: Seq[String] = Nil,
+      deleteFiles: Seq[String] = Nil): Snapshot = {
     init()
     var attempt = 0
     while (attempt < 10000) {
@@ -297,7 +329,7 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
       }
       val id = head + 1
       val snap = Snapshot(id, System.currentTimeMillis(), operation,
-        addedFiles, schemaJson, stats, removedFiles)
+        addedFiles, schemaJson, stats, removedFiles, deleteFiles)
       val tmp = Files.createTempFile(snapDir, ".commit-", ".tmp")
       Files.writeString(tmp, SnapshotJson.write(snap))
       try {
@@ -333,6 +365,7 @@ private[warehouse] object SnapshotJson {
   def write(s: Snapshot): String = {
     val files = s.addedFiles.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
     val removed = s.removedFiles.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
+    val dels = s.deleteFiles.map(f => "\"" + esc(f) + "\"").mkString("[", ",", "]")
     def strMap(m: Map[String, String]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
         .mkString("{", ",", "}")
@@ -347,7 +380,7 @@ private[warehouse] object SnapshotJson {
     }.mkString("{", ",", "}")
     s"""{"snapshotId":${s.snapshotId},"timestampMs":${s.timestampMs},""" +
       s""""operation":"${esc(s.operation)}","addedFiles":$files,""" +
-      s""""removedFiles":$removed,"stats":$stats,""" +
+      s""""removedFiles":$removed,"deleteFiles":$dels,"stats":$stats,""" +
       s""""schemaJson":"${esc(s.schemaJson)}"}"""
   }
 
@@ -378,6 +411,8 @@ private[warehouse] object SnapshotJson {
       (v \ "schemaJson").extract[String],
       stats,
       // absent in pre-upsert manifests: default to no removals
-      (v \ "removedFiles").extractOrElse[Seq[String]](Nil))
+      (v \ "removedFiles").extractOrElse[Seq[String]](Nil),
+      // absent before merge-on-read deletes existed
+      (v \ "deleteFiles").extractOrElse[Seq[String]](Nil))
   }
 }

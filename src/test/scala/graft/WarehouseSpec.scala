@@ -916,6 +916,68 @@ class WarehouseSpec extends AnyFunSuite {
     assert(c2.loadTable("u").readWhereIn("id", Seq(99L)).inputFiles.nonEmpty)
   }
 
+  test("merge-on-read deletes: era-scoped tombstones, guards, compact materialization") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    val s1 = t.currentSnapshotId.get
+    // tombstone commit writes NO data files (addedFiles empty)
+    val del1 = t.deleteKeysMor(Seq(2L, 4L, 6L).toDF("id"))
+    assert(del1.operation == "eqdelete" && del1.addedFiles.isEmpty &&
+      del1.deleteFiles.nonEmpty)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L, 7L, 8L, 9L, 10L))
+    // time travel BEFORE the delete still sees everything
+    assert(t.read(Some(s1)).count() == 10)
+    // era semantics: re-inserting a deleted key AFTER the tombstone is
+    // visible — the delete scopes only pre-existing files
+    t.append(Seq((4L, "reborn")).toDF("id", "v"))
+    assert(t.read().filter($"id" === 4L).select("v").as[String].collect().toSeq ==
+      Seq("reborn"))
+    // a second tombstone applies to everything before it, incl. reborn
+    t.deleteKeysMor(Seq(4L, 7L).toDF("id"))
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L, 8L, 9L, 10L))
+    // guards: CoW DML, rollback, branch forks, incremental + metadata
+    // readers all refuse while tombstones are live
+    intercept[IllegalArgumentException] {
+      t.upsert(Seq((1L, "x")).toDF("id", "v"), Seq("id"))
+    }
+    intercept[IllegalArgumentException] { t.deleteWhere($"id" === 1L) }
+    intercept[IllegalArgumentException] { t.rollbackTo(s1) }
+    intercept[IllegalArgumentException] { t.createBranch("b") }
+    intercept[graft.warehouse.HistoryExpiredException] { t.changesSince(s1) }
+    assert(t.metaCount().isEmpty)
+    // diff stays incremental across appends while the delete set is
+    // UNCHANGED between the cuts…
+    val sA = t.currentSnapshotId.get
+    t.append(Seq((20L, "w")).toDF("id", "v"))
+    assert(t.diff(sA).select("id").as[Long].collect().toSeq == Seq(20L))
+    // …and refuses when a delete lands in the window
+    intercept[graft.warehouse.HistoryExpiredException] { t.diff(s1) }
+    // compact materializes: content unchanged, tombstones gone, DML back
+    val pre = t.read().select("id").as[Long].collect().sorted.toSeq
+    t.compact(targetFiles = 2)
+    assert(t.liveEqDeletes().isEmpty)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == pre)
+    assert(t.metaCount().contains(pre.size.toLong))
+    t.upsert(Seq((1L, "x")).toDF("id", "v"), Seq("id"))
+    assert(t.read().filter($"id" === 1L).select("v").as[String].head() == "x")
+  }
+
+  test("merge-on-read deletes match null keys null-safely and respect multi-column keys") {
+    val c = new Connector(spark, freshWarehouse())
+    val rows = Seq((Some(1L), "a", 10L), (None, "b", 20L), (Some(3L), "b", 30L))
+    c.createTable("t", rows.toDF("id", "grp", "x"))
+    val t = c.loadTable("t")
+    // delete by (id, grp) incl. a NULL id — must match the stored NULL twin
+    t.deleteKeysMor(Seq((Option.empty[Long], "b"), (Some(3L), "zzz"))
+      .toDF("id", "grp"))
+    val left = t.read().select("x").as[Long].collect().sorted.toSeq
+    // (None,"b") deleted; (3,"zzz") matches nothing ⇒ (1,a) and (3,b) stay
+    assert(left == Seq(10L, 30L))
+  }
+
   test("snapshot log json round-trip incl. escapes") {
     val dir = Files.createTempDirectory("graft-log-")
     val log = new SnapshotLog(dir)
