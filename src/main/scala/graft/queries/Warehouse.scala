@@ -672,6 +672,40 @@ object Warehouse {
       t.read().withColumn("mor_ok", lit(witness)).orderBy("o_orderkey")
     },
 
+    // ---- q121: snapshot tags — named, expiry-protected time travel ---
+    // Grades tagSnapshot/readTag: "the data the March run trained on"
+    // stays addressable by NAME, and expiry REFUSES to delete history a
+    // tag still pins (the protection is the graded content — q92
+    // already grades raw as-of reads). The witness pins that an expiry
+    // past the tag was refused while the tagged read stayed whole; the
+    // hash grades the tagged era's exact content against the head's.
+    Q("q121_tagged_travel",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, 'a_tag' AS era,
+        |  TRUE AS tag_ok
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice, 2) AS price, 'b_head' AS era,
+        |  TRUE AS tag_ok
+        |FROM orders
+        |ORDER BY era, o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_tag", orders.filter(col("o_orderkey") % 2 === 0))
+      val t = conn.loadTable("orders_tag")
+      t.tagSnapshot("train-v1")
+      conn.insert("orders_tag", orders.filter(col("o_orderkey") % 2 =!= 0))
+      val comp = t.compact(targetFiles = 4)
+      val guarded =
+        try { t.expireSnapshots(comp.snapshotId); false }
+        catch { case _: IllegalArgumentException => true }
+      val witness = guarded && t.tags.get("train-v1").nonEmpty
+      t.readTag("train-v1").withColumn("era", lit("a_tag"))
+        .unionByName(t.read().withColumn("era", lit("b_head")))
+        .withColumn("tag_ok", lit(witness))
+        .orderBy("era", "o_orderkey")
+    },
+
     // ---- q109: rollback — metadata-only undo of a bad commit --------
     // A bad batch lands; rollbackTo reverts the head to the pre-batch
     // snapshot WITHOUT reading or writing data files, while the bad

@@ -629,6 +629,13 @@ final class GraftTable private (
     require(keepFromId <= firstId ||
         snaps.exists(s => s.snapshotId == keepFromId && s.operation == "compact"),
       s"expiry horizon must be a compact snapshot id (history severs only at a rewrite)")
+    // tags PROTECT their snapshot: expiring past one would silently
+    // break its pinned read — refuse until the tag is dropped
+    val protectedTags = tags.filter(_._2 < keepFromId)
+    require(protectedTags.isEmpty,
+      s"expiry to $keepFromId would break tag(s) " +
+        protectedTags.map { case (n, id) => s"'$n'@$id" }.mkString(", ") +
+        " — drop them first")
     val (dead, live) = snaps.partition(_.snapshotId < keepFromId)
     val liveFiles = live.flatMap(s => s.addedFiles ++ s.deleteFiles).toSet
     dead.flatMap(s => s.addedFiles ++ s.deleteFiles).distinct
@@ -846,6 +853,51 @@ final class GraftTable private (
     dropBranch(b)
     snap
   }
+
+  // --------------------------------------------------------------- tags
+  // Named snapshot refs (Iceberg tags): a tag pins a snapshot id under
+  // a stable name — "the data the March run trained on" — and PROTECTS
+  // it from expiry until dropped. Metadata-only: one tiny ref file.
+
+  private def tagPath(name: String): Path =
+    dir.resolve("_snapshots").resolve(s"tag-$name")
+
+  /** Pin `snapshotId` (default: current head) under `name`. */
+  def tagSnapshot(name: String, snapshotId: Long = -1L): Long = {
+    require(name.matches("[A-Za-z0-9_.-]+"), s"invalid tag name: '$name'")
+    val snaps = log.snapshots
+    val id = if (snapshotId < 0)
+      snaps.lastOption.map(_.snapshotId).getOrElse(
+        throw new IllegalStateException(s"table $name has no snapshots"))
+    else snapshotId
+    require(snaps.exists(_.snapshotId == id),
+      s"snapshot $id of ${this.name} does not exist (expired or never committed)")
+    val p = tagPath(name)
+    require(!Files.exists(p), s"tag '$name' already exists on ${this.name}")
+    Files.writeString(p, id.toString)
+    id
+  }
+
+  /** All tags as name → snapshot id. */
+  def tags: Map[String, Long] = {
+    val snapRoot = dir.resolve("_snapshots")
+    if (!Files.isDirectory(snapRoot)) return Map.empty
+    Files.list(snapRoot).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.startsWith("tag-"))
+      .map(p => p.getFileName.toString.stripPrefix("tag-") ->
+        Files.readString(p).trim.toLong)
+      .toMap
+  }
+
+  /** Read the table as of a tag. */
+  def readTag(name: String): DataFrame = {
+    val id = tags.getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' on ${this.name}"))
+    read(Some(id))
+  }
+
+  def dropTag(name: String): Unit = Files.deleteIfExists(tagPath(name))
 
   /** Discard a branch: metadata-only delete (the audit-failed path).
     * Staged data files become unreferenced debris for [[removeOrphans]]. */

@@ -304,6 +304,53 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: MOR reads equal an in-memory era model across random append/eqdelete/compact histories") {
+    // Model: each surviving row is (id, v, addStep); an equality delete
+    // at step t removes rows with matching id and addStep < t; compact
+    // re-stamps every survivor at the compact step. The table's read()
+    // must equal the model's multiset after every mutation — this walks
+    // the era-grouping/anti-join logic across delete-after-delete,
+    // re-insert-after-delete, and materialize-then-delete-again orders
+    // a hand case can't cover.
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x30A)
+    val c = new graft.warehouse.Connector(spark,
+      Files.createTempDirectory("graft-morprop").toString)
+    var model = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    val init = (0L until 30L).map(i => (i, i * 7))
+    c.createTable("tm", init.toDF("id", "v"))
+    model ++= init.map { case (i, v) => (i, v, 0) }
+    val t = c.loadTable("tm")
+    def check(step: Int): Unit = {
+      val got = t.read().select("id", "v").as[(Long, Long)]
+        .collect().sorted.toSeq
+      val want = model.map { case (i, v, _) => (i, v) }.sorted.toSeq
+      assert(got == want, s"diverged at step $step: " +
+        s"ops=${t.log.snapshots.map(_.operation)}")
+    }
+    (1 to 12).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 | 1 => // append, reusing ids ~half the time (re-inserts)
+          val rows = (0 until 8).map { _ =>
+            val id = rnd.nextInt(40).toLong
+            (id, rnd.nextInt(1000).toLong)
+          }
+          t.append(rows.toDF("id", "v"))
+          model ++= rows.map { case (i, v) => (i, v, step) }
+        case 2 => // equality delete of a random id set
+          val ids = (0 until 6).map(_ => rnd.nextInt(40).toLong).distinct
+          t.deleteKeysMor(ids.toDF("id"))
+          model = model.filterNot { case (i, _, s) =>
+            ids.contains(i) && s < step }
+        case 3 =>
+          t.compact(targetFiles = 2)
+          model = model.map { case (i, v, _) => (i, v, step) }
+      }
+      check(step)
+    }
+  }
+
   test("property: BoundedLru fires exactly one onEvict per displaced value under concurrent puts/gets/clear") {
     // Conservation law (the OpUtil.scala scaladoc claim): after a final
     // clear() flushes residents, the evict log must contain EVERY value

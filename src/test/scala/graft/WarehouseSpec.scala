@@ -978,6 +978,28 @@ class WarehouseSpec extends AnyFunSuite {
     assert(left == Seq(10L, 30L))
   }
 
+  test("tags pin snapshots, protect them from expiry, read their era") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    val s1 = t.tagSnapshot("v1") // defaults to head
+    assert(s1 == t.currentSnapshotId.get)
+    c.insert("t", Seq((3L, "c")).toDF("id", "v"))
+    assert(t.readTag("v1").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L))
+    intercept[IllegalArgumentException] { t.tagSnapshot("v1") } // duplicate
+    intercept[IllegalArgumentException] { t.tagSnapshot("v2", 99L) } // absent
+    val comp = t.compact(targetFiles = 2)
+    // the tag protects its snapshot from expiry…
+    intercept[IllegalArgumentException] { t.expireSnapshots(comp.snapshotId) }
+    assert(t.readTag("v1").count() == 2, "tagged read must survive the refusal")
+    // …until dropped
+    t.dropTag("v1")
+    t.expireSnapshots(comp.snapshotId)
+    assert(t.tags.isEmpty)
+    assert(t.read().count() == 3)
+  }
+
   test("snapshot log json round-trip incl. escapes") {
     val dir = Files.createTempDirectory("graft-log-")
     val log = new SnapshotLog(dir)
