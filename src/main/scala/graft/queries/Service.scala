@@ -168,6 +168,69 @@ object Service {
       } finally svc.close()
     },
 
+    // ---- q122: mirror replays MOR deletes from the op log ------------
+    // A source merge-on-read delete changes rows without changing file
+    // sets, so both get_changes AND get_diff refuse its window; before
+    // the op-log path that meant a full replica rebuild for an O(|keys|)
+    // source operation. Now the mirror fetches the source's op log,
+    // validates the window (appends + eqdeletes only), and REPLAYS it in
+    // order — appends ship rows, deletes ship key tuples, and replaying
+    // in sequence preserves the era scoping: the rig re-inserts a
+    // deleted stratum at doubled price between two deletes, so a replica
+    // that applied deletes out of order (or as one merged set) loses or
+    // resurrects rows under the hash. The witness pins the status
+    // (incremental_oplog — neither a diff nor a rebuild), the exact wire
+    // payload (appended rows + delete keys), and that the payload was a
+    // strict fraction of the table.
+    Q("q122_mirror_mor",
+      """SELECT o_orderkey, price, TRUE AS oplog_ok FROM (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderkey % 4 = 0 AND o_orderkey % 40 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice, 2) * 2 AS price
+        |  FROM orders WHERE o_orderkey % 40 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |  FROM orders WHERE o_orderkey % 4 = 2 AND o_orderkey % 36 <> 2
+        |) ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val srcConn = new Connector(s, Scratch.dir("run"))
+      val dstConn = new Connector(s, Scratch.dir("run"))
+      val svc = new FlightService(srcConn, 0)
+      try {
+        val client = new FlightClient(s, "localhost", svc.boundPort)
+        val state = graft.service.SyncState(Scratch.dir("run"))
+        val url = s"grpc://localhost:${svc.boundPort}/orders_mm"
+        val orders = T.orders(s, d).select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        srcConn.createTable("orders_mm",
+          orders.filter(col("o_orderkey") % 4 === 0))
+        val r1 = graft.service.Mirror.performSync(
+          client, url, "orders_mm", dstConn, "orders_mm_dst", state)
+        require(r1.status == "full_sync", s"expected full_sync, got ${r1.status}")
+        val t = srcConn.loadTable("orders_mm")
+        val del1 = orders.filter(col("o_orderkey") % 40 === 0)
+          .select("o_orderkey")
+        t.deleteKeysMor(del1)
+        val appended = orders.filter(col("o_orderkey") % 4 === 2)
+          .unionByName(orders.filter(col("o_orderkey") % 40 === 0)
+            .withColumn("price", col("price") * 2))
+        t.append(appended)
+        val del2 = orders.filter(col("o_orderkey") % 36 === 2)
+          .select("o_orderkey")
+        t.deleteKeysMor(del2)
+        val r2 = graft.service.Mirror.performSync(
+          client, url, "orders_mm", dstConn, "orders_mm_dst", state)
+        val expectedWire =
+          appended.count() + del1.count() + del2.count()
+        val witness = r2.status == "incremental_oplog" &&
+          r2.rowsSynced == expectedWire &&
+          r2.rowsSynced < srcConn.count("orders_mm")
+        dstConn.query("orders_mm_dst")
+          .withColumn("oplog_ok", lit(witness))
+          .orderBy("o_orderkey")
+      } finally svc.close()
+    },
+
     // ---- q113: mirror survives source SCHEMA EVOLUTION incrementally -
     // Before r11 an additive source evolution demoted replication: the
     // append-path insert threw (error tick) and the changelog apply

@@ -85,9 +85,28 @@ final class FlightClient(spark: SparkSession, val host: String, val port: Int,
     * snapshot pinned server-side at read time (the action the
     * reference's mirror requests but its server never serves —
     * `icerunner.py:996-1016`). */
-  def getChanges(table: String, since: Long): FlightClient.Fetched =
+  def getChanges(table: String, since: Long,
+      until: Long = Long.MaxValue): FlightClient.Fetched =
     call(Wire.obj("action" -> "get_changes", "table" -> table,
-        "since" -> since)) { (r, in) =>
+        "since" -> since, "until" -> until)) { (r, in) =>
+      val body = ArrowCodec.read(spark, in)
+      FlightClient.Fetched(body.df, r.num("snapshot_id"), () => body.cleanup())
+    }
+
+  /** The source's operation log in `(since, head]` as (snapshotId,
+    * operation) pairs, plus the head id — lets a replica decide
+    * REPLAYABILITY before moving any data (Mirror's op-log path). */
+  def getOplog(table: String, since: Long): (Long, Seq[(Long, String)]) =
+    call(Wire.obj("action" -> "get_oplog", "table" -> table,
+        "since" -> since)) { (r, _) =>
+      (r.num("snapshot_id"), r.nums("op_ids").zip(r.strs("op_names")))
+    }
+
+  /** Key tuples of one eqdelete snapshot — the wire form of a
+    * merge-on-read delete ([[graft.warehouse.GraftTable.deleteKeysOf]]). */
+  def getDeleteKeys(table: String, snapshotId: Long): FlightClient.Fetched =
+    call(Wire.obj("action" -> "get_delete_keys", "table" -> table,
+        "since" -> snapshotId)) { (r, in) =>
       val body = ArrowCodec.read(spark, in)
       FlightClient.Fetched(body.df, r.num("snapshot_id"), () => body.cleanup())
     }

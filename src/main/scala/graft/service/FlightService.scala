@@ -137,8 +137,35 @@ final class FlightService(connector: Connector, port: Int = 0,
       case "get_changes" =>
         val t = connector.loadTable(req.table)
         val snap = t.currentSnapshotId.getOrElse(0L)
-        val df = t.changesSince(req.since, snap)
-        Wire.writeLine(out, Wire.obj("ok" -> true, "snapshot_id" -> Wire.JNum(snap)))
+        // optional `until` bounds the window — the op-log replay asks
+        // for exactly the appends between two replayed operations
+        val until = if (req.until > snap) snap else req.until
+        val df = t.changesSince(req.since, until)
+        Wire.writeLine(out, Wire.obj("ok" -> true, "snapshot_id" -> Wire.JNum(until)))
+        writeBody(df, out)
+
+      case "get_oplog" =>
+        // The source's operation log in (since, head]: (id, operation)
+        // pairs — what lets a replica decide whether the window is
+        // REPLAYABLE op by op (appends + merge-on-read deletes) without
+        // shipping any data yet.
+        val t = connector.loadTable(req.table)
+        val snaps = t.log.snapshots
+        val head = snaps.lastOption.map(_.snapshotId).getOrElse(0L)
+        val window = snaps.filter(_.snapshotId > req.since)
+        Wire.writeLine(out, Wire.obj(
+          "ok" -> true,
+          "snapshot_id" -> Wire.JNum(head),
+          "op_ids" -> Wire.JSeq(window.map(s => Wire.JNum(s.snapshotId))),
+          "op_names" -> Wire.JSeq(window.map(s => Wire.JStr(s.operation)))))
+
+      case "get_delete_keys" =>
+        // The key tuples of one eqdelete snapshot (`since` names it) —
+        // the wire form of a merge-on-read delete, O(|keys|) payload.
+        val t = connector.loadTable(req.table)
+        val df = t.deleteKeysOf(req.since)
+        Wire.writeLine(out,
+          Wire.obj("ok" -> true, "snapshot_id" -> Wire.JNum(req.since)))
         writeBody(df, out)
 
       case "get_diff" =>
@@ -256,7 +283,7 @@ final class FlightService(connector: Connector, port: Int = 0,
 /** Line-framed JSON for the control plane; bodies are raw Arrow IPC. */
 private[service] object Wire {
   final case class Req(action: String, table: String, since: Long,
-      keys: Seq[String] = Nil)
+      keys: Seq[String] = Nil, until: Long = Long.MaxValue)
 
   /** Marker: the ok-line went out but the Arrow body failed mid-stream. */
   final case class BodyFailed(cause: Throwable) extends RuntimeException(cause)
@@ -290,7 +317,8 @@ private[service] object Wire {
       (v \ "action").extractOrElse[String](""),
       (v \ "table").extractOrElse[String](""),
       (v \ "since").extractOrElse[Long](0L),
-      (v \ "keys").extractOrElse[Seq[String]](Nil))
+      (v \ "keys").extractOrElse[Seq[String]](Nil),
+      (v \ "until").extractOrElse[Long](Long.MaxValue))
   }
 
   def esc(s: String): String = s.flatMap {
@@ -340,6 +368,7 @@ private[service] object Wire {
     def num(k: String): Long = (v \ k).extractOrElse[Long](0L)
     def bool(k: String): Boolean = (v \ k).extractOrElse[Boolean](false)
     def strs(k: String): Seq[String] = (v \ k).extractOrElse[Seq[String]](Nil)
+    def nums(k: String): Seq[Long] = (v \ k).extractOrElse[Seq[Long]](Nil)
     def require(): Resp = {
       if (!ok) throw ServiceError(code, error)
       this

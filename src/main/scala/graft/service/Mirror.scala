@@ -86,6 +86,69 @@ object Mirror {
     }
   }
 
+  /** Thrown BEFORE any replica mutation when the op-log window
+    * contains an operation the replay can't reproduce — the caller
+    * safely falls through to the changelog (diff) path. Any failure
+    * AFTER replay started must instead route to [[fullResync]] (whose
+    * replace converges regardless of partial application). */
+  private final class OplogNotReplayable(msg: String)
+    extends RuntimeException(msg)
+
+  /** OP-LOG REPLAY: reproduce the source's operation sequence on the
+    * replica — appends/publishes ship their rows, merge-on-read
+    * equality deletes ship their KEY TUPLES ([[FlightClient.getDeleteKeys]])
+    * and re-apply as the replica's own `deleteKeysMor` — so a source
+    * eqdelete no longer demotes replication to a changelog or rebuild:
+    * only the window's new rows and delete keys cross the wire, and
+    * replaying in source order preserves the era scoping (a replica
+    * append replayed before a replayed delete is hit by it; one
+    * replayed after is not — exactly the source's sequence semantics).
+    * Consecutive appends coalesce into one bounded `get_changes`
+    * fetch. Validates the WHOLE window for replayability before
+    * touching the replica. */
+  private def oplogSync(data: FlightClient, sourceTable: String,
+      connector: Connector, targetTable: String,
+      since: Long): (String, Long, Long) = {
+    val (head, ops) = data.getOplog(sourceTable, since)
+    if (ops.isEmpty) return ("up_to_date", 0L, since)
+    if (ops.head._1 > since + 1)
+      throw new OplogNotReplayable(
+        s"oplog window ($since, $head] truncated by expiry")
+    val replayable = Set("append", "publish", "eqdelete")
+    ops.find(o => !replayable(o._2)).foreach { case (id, op) =>
+      throw new OplogNotReplayable(s"op $op at snapshot $id is not replayable")
+    }
+    var applied = 0L
+    var prev = since
+    def flushAppends(until: Long): Unit = if (until > prev) {
+      val f = data.getChanges(sourceTable, prev, until)
+      try {
+        val n = f.df.count()
+        if (n > 0) {
+          evolveForDelta(connector, targetTable, f.df.schema)
+          val tgtCols = connector.loadTable(targetTable).schema.fieldNames.toSeq
+          connector.insert(targetTable,
+            f.df.select(tgtCols.map(org.apache.spark.sql.functions.col): _*))
+        }
+        applied += n
+      } finally f.cleanup()
+      prev = until
+    }
+    ops.foreach { case (id, op) =>
+      if (op == "eqdelete") {
+        flushAppends(id - 1)
+        val f = data.getDeleteKeys(sourceTable, id)
+        try {
+          applied += f.df.count()
+          connector.loadTable(targetTable).deleteKeysMor(f.df)
+        } finally f.cleanup()
+        prev = id
+      }
+    }
+    flushAppends(head)
+    ("incremental_oplog", applied, head)
+  }
+
   /** Apply a `get_diff` changelog to the replica: next = current ∖
     * deletes ⊎ inserts (multiset), committed via the replica table's
     * own transactional [[graft.warehouse.GraftTable.replace]] — ONE
@@ -179,24 +242,40 @@ object Mirror {
               // the diff base is also unknowable (manifests truly
               // expired), self-heal with the full replica rebuild.
               case Wire.ServiceError("history_expired", _) =>
-                try diffSync(data, sourceTable, connector, targetTable, l)
+                // Escalation ladder: op-log replay (appends + MOR
+                // deletes, cheapest) → changelog diff → full rebuild.
+                // oplogSync validates BEFORE mutating, so its
+                // not-replayable refusal is safe to catch here; any
+                // failure AFTER replay began must go straight to the
+                // rebuild (replace converges over a partial apply),
+                // never to diffSync (which diffs against replica state).
+                try oplogSync(data, sourceTable, connector, targetTable, l)
                 catch {
-                  // ANY diff-apply failure falls back to the rebuild,
-                  // not just an expired base: e.g. a source schema
-                  // evolution makes the changelog wider than the
-                  // replica and the multiset apply throws — the full
-                  // copy carries the new schema and recovers. The
-                  // self-heal guarantee must never be narrower than it
-                  // was before the changelog path existed (and q108 +
-                  // ServiceSpec pin that the upsert case still takes
-                  // the cheap path, so this cannot mask a systemic
-                  // diff regression as permanent full copies).
-                  case NonFatal(diffErr) =>
-                    // keep the diagnostic: a systemic diff regression
-                    // would otherwise read as silent full copies
-                    System.err.println(s"[mirror] changelog apply for " +
-                      s"$sourceTable failed (${diffErr.getClass.getSimpleName}: " +
-                      s"${diffErr.getMessage}); falling back to full rebuild")
+                  case _: OplogNotReplayable =>
+                    // ANY diff-apply failure falls back to the rebuild,
+                    // not just an expired base: e.g. a source schema
+                    // evolution makes the changelog wider than the
+                    // replica and the multiset apply throws — the full
+                    // copy carries the new schema and recovers. The
+                    // self-heal guarantee must never be narrower than it
+                    // was before the changelog path existed (and q108 +
+                    // ServiceSpec pin that the upsert case still takes
+                    // the cheap path, so this cannot mask a systemic
+                    // diff regression as permanent full copies).
+                    try diffSync(data, sourceTable, connector, targetTable, l)
+                    catch {
+                      case NonFatal(diffErr) =>
+                        // keep the diagnostic: a systemic diff regression
+                        // would otherwise read as silent full copies
+                        System.err.println(s"[mirror] changelog apply for " +
+                          s"$sourceTable failed (${diffErr.getClass.getSimpleName}: " +
+                          s"${diffErr.getMessage}); falling back to full rebuild")
+                        fullResync(data, sourceTable, connector, targetTable)
+                    }
+                  case NonFatal(replayErr) =>
+                    System.err.println(s"[mirror] oplog replay for " +
+                      s"$sourceTable failed (${replayErr.getClass.getSimpleName}: " +
+                      s"${replayErr.getMessage}); falling back to full rebuild")
                     fullResync(data, sourceTable, connector, targetTable)
                 }
               // a delta APPLY failure (e.g. a non-additive schema

@@ -136,6 +136,17 @@ final class GraftTable private (
   def liveEqDeletes(asOf: Option[Long] = None): Seq[(Long, String)] =
     log.eqDeletesOf(log.snapshots, asOf)
 
+  /** The key tuples one `eqdelete` snapshot committed — what a replica
+    * needs to REPLAY the delete (Mirror's op-log path). */
+  def deleteKeysOf(snapshotId: Long): DataFrame = {
+    val snap = log.snapshots.find(_.snapshotId == snapshotId).getOrElse(
+      throw new HistoryExpiredException(
+        s"snapshot $snapshotId of $name expired or never committed"))
+    require(snap.deleteFiles.nonEmpty,
+      s"snapshot $snapshotId of $name is not an equality delete")
+    spark.read.parquet(snap.deleteFiles.map(f => dir.resolve(f).toString): _*)
+  }
+
   private def requireNoEqDeletes(op: String): Unit = {
     val live = log.eqDeletesOf(log.snapshots, None)
     require(live.isEmpty,
