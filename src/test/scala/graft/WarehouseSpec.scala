@@ -893,6 +893,13 @@ class WarehouseSpec extends AnyFunSuite {
     assert(viewMap == Map(2L -> ((2L, 10L)), 3L -> ((1L, 1L)),
       4L -> ((2L, 10L)), 5L -> ((1L, 2L))))
     assert(mv.refresh() == "fresh")
+    // a merge-on-read delete changes rows without changing file sets —
+    // diff refuses, and the refresh must rebuild over the era-aware
+    // read (group 4 loses both rows and leaves the view entirely)
+    t.deleteKeysMor(Seq(4L).toDF("g"))
+    assert(mv.refresh() == "rebuild")
+    assert(viewMap == Map(2L -> ((2L, 10L)), 3L -> ((1L, 1L)),
+      5L -> ((1L, 2L))))
   }
 
   test("readWhereIn prunes per-value where a range prune keeps the whole span") {
