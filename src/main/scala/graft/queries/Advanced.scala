@@ -368,6 +368,37 @@ object Advanced {
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("l_extendedprice")), 2).as("gross"))
         .orderBy("o_orderpriority")
+    },
+
+    // ---- q124: interval join without a nested-loop plan ----------------
+    // Attach every event to each ±1 h promotional window around selected
+    // purchase events. The declarative BETWEEN join has no equi-key —
+    // Catalyst can only nested-loop it — so RangeJoin.intervalJoin
+    // quantizes the time axis into 1 h buckets and plans a plain
+    // equi-join (PlanSpec pins that the naive form nested-loops and this
+    // form does not). DuckDB executes its own IEJoin for the oracle; the
+    // hash compare proves the bucketed rewrite loses/duplicates nothing.
+    Q("q124_interval_join",
+      """WITH w AS (
+        |  SELECT event_id AS window_id,
+        |    ts - INTERVAL 1 HOUR AS ws, ts + INTERVAL 1 HOUR AS we
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 37 = 0)
+        |SELECT e.event_id, e.event_type, w.window_id
+        |FROM events e JOIN w ON e.ts BETWEEN w.ws AND w.we
+        |ORDER BY e.event_id, w.window_id""".stripMargin) { (s, d) =>
+      val ev = T.events(s, d).select("event_id", "event_type", "ts")
+      val w = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 37 === 0)
+        .select(col("event_id").as("window_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("ws"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("we"))
+      val micros = (c: org.apache.spark.sql.Column) =>
+        unix_micros(c.cast("timestamp"))
+      graft.operators.RangeJoin.intervalJoin(
+          ev, micros(col("ts")), w, micros(col("ws")), micros(col("we")),
+          bucketWidth = 3600L * 1000000L)
+        .select("event_id", "event_type", "window_id")
+        .orderBy("event_id", "window_id")
     })
 
   def queries: Seq[Q] = ql

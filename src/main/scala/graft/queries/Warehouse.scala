@@ -731,6 +731,53 @@ object Warehouse {
       val travelable = t.read(Some(s2)).count()
       val witness = travelable > headCount && headCount > 0
       t.read().withColumn("undo_ok", lit(witness)).orderBy("o_orderkey")
+    },
+
+    // ---- q123: hidden partitioning — bucket pruning across evolution -
+    // Iceberg-style hidden partitioning (Partitioning.scala): the table
+    // declares bucket(8) over o_custkey, half the orders land under it,
+    // the spec EVOLVES to bucket(16) — metadata-only, no rewrite — and
+    // the other half lands under the new spec. A point lookup on a
+    // customer then maps through BOTH transform eras and reads one
+    // bucket's files per era, on a layout where raw min/max ranges
+    // prune nothing (each bucket file spans the whole key range — the
+    // 100 TB point-lookup shape range stats can't serve). The hash
+    // grade is era-correctness itself: rows live in different eras, so
+    // probing any era with the wrong transform drops or misses rows.
+    // Witness pins that the lookup read a sliver of the file set while
+    // a raw-range probe over the same keys read essentially all of it.
+    Q("q123_partition_prune",
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+        |  TRUE AS part_ok
+        |FROM orders
+        |WHERE o_custkey IN ((SELECT min(o_custkey) FROM orders),
+        |                    (SELECT max(o_custkey) FROM orders))
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_part", base.limit(0))
+      val t = conn.loadTable("orders_part")
+      t.setPartitionSpec(Seq(
+        graft.warehouse.PartitionField("bucket", "o_custkey", 8)))
+      t.append(base.filter(col("o_orderkey") % 2 === 0).repartition(4))
+      t.setPartitionSpec(Seq(
+        graft.warehouse.PartitionField("bucket", "o_custkey", 16)))
+      t.append(base.filter(col("o_orderkey") % 2 =!= 0).repartition(4))
+      val b = base.agg(min(col("o_custkey")), max(col("o_custkey"))).head()
+      val keys = Seq(b.getLong(0), b.getLong(1)).distinct
+      val slice = t.readWhereIn("o_custkey", keys)
+      val total = t.log.dataFiles(None).length
+      val kept = slice.inputFiles.length
+      // raw-range probe over the same span: hash layout leaves every
+      // file overlapping, so it must NOT show the pruning the
+      // transform probes do (no column stats were even collected)
+      val rangeKept = t.readWhere("o_custkey",
+        Some(keys.min), Some(keys.max)).inputFiles.length
+      val witness = kept > 0 && kept * 3 <= total && rangeKept * 2 > total
+      slice.filter(col("o_custkey").isin(keys: _*))
+        .withColumn("part_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

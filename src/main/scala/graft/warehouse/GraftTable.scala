@@ -176,6 +176,59 @@ final class GraftTable private (
     *    cluster columns) in the manifest, enabling [[readWhere]] to
     *    prune files at planning time without touching parquet footers.
     */
+  // ---- hidden partitioning (see Partitioning.scala) -----------------
+
+  private def specsPath: Path = dir.resolve("partition_specs.txt")
+
+  /** Declare the partition spec used by FUTURE [[append]]s (Iceberg
+    * hidden partitioning: transforms over source columns, not stored
+    * columns). Changing the spec is metadata-only — NO rewrite: files
+    * written under earlier specs keep their era's manifest entries and
+    * keep pruning correctly ([[Partitioning]] scaladoc). Appends to the
+    * specs file atomically; pass Nil to stop partitioning new writes. */
+  def setPartitionSpec(fields: Seq[PartitionField]): Unit = {
+    log.head.foreach { _ =>
+      val names = schema.fieldNames.toSet
+      fields.foreach(f => require(names.contains(f.column),
+        s"partition column '${f.column}' not in schema of $name"))
+    }
+    val prior =
+      if (Files.exists(specsPath)) Files.readString(specsPath) else ""
+    val tmp = Files.createTempFile(dir, ".spec-", ".tmp")
+    Files.writeString(tmp, prior + Partitioning.specLine(fields) + "\n")
+    Files.move(tmp, specsPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The spec new appends will use (last declared; Nil = unpartitioned). */
+  def partitionSpec: Seq[PartitionField] =
+    if (!Files.exists(specsPath)) Nil
+    else Files.readAllLines(specsPath).asScala.lastOption
+      .map(Partitioning.parseSpecLine).getOrElse(Nil)
+
+  /** Every field EVER declared — readers probe all eras' entries. */
+  def partitionSpecHistory: Seq[PartitionField] =
+    if (!Files.exists(specsPath)) Nil
+    else Files.readAllLines(specsPath).asScala.toSeq
+      .flatMap(Partitioning.parseSpecLine).distinct
+
+  /** Map a range predicate on a source column through every MONOTONE
+    * transform in the spec history → extra manifest probes in partition
+    * space (bucket scrambles order and is point-only, [[readWhereIn]]).
+    * Unsupported bound/type combinations skip the probe (conservative). */
+  private def partitionProbes(sch: StructType, c: String,
+      lo: Option[Any], hi: Option[Any])
+      : Seq[(String, Option[Any], Option[Any])] =
+    partitionSpecHistory.filter(f => f.column == c && f.monotone).flatMap { f =>
+      sch.fields.find(_.name == c).map(_.dataType) match {
+        case Some(dt) if f.recordable(dt) =>
+          scala.util.Try((f.statName,
+            lo.map(f.apply(_, dt)), hi.map(f.apply(_, dt)))).toOption
+        case _ => None
+      }
+    }
+
   def append(df: DataFrame, clusterBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil, clusterParts: Int = 0): Snapshot = {
     val existing = log.head
@@ -194,16 +247,50 @@ final class GraftTable private (
         if (clusterParts > 0) df.repartitionByRange(clusterParts, cols: _*)
         else df.repartitionByRange(cols: _*)
       }
-    out.write.parquet(commitDir.toString)
-    val files = Files.list(commitDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
+    val pspec = partitionSpec
+      .filter(f => df.schema.fieldNames.contains(f.column))
+    if (pspec.isEmpty) out.write.parquet(commitDir.toString)
+    else {
+      // derive partition values with codegen'd expressions, let Spark
+      // lay out one directory per value; partitionBy DROPS the derived
+      // columns from the data files (hidden partitioning: the source
+      // columns stay, the transform is recomputable)
+      val withP = pspec.foldLeft(out) { (d, f) =>
+        d.withColumn(f.statName, f.expr(df.schema(f.column).dataType))
+      }
+      withP.write.partitionBy(pspec.map(_.statName): _*)
+        .parquet(commitDir.toString)
+    }
+    val files = parquetFilesIn(commitDir)
       .map(p => dir.relativize(p).toString)
       .toSeq.sorted
     val schemaJson = existing.map(_.schemaJson).getOrElse(df.schema.json)
     val wanted = (clusterBy ++ statsCols).distinct
-    val stats = collectStats(commitDir, wanted)
+    val stats0 = collectStats(commitDir, wanted)
+    val stats =
+      if (pspec.isEmpty) stats0
+      else {
+        val hist = partitionSpecHistory
+        val dtOf = (c: String) =>
+          df.schema.fields.find(_.name == c).map(_.dataType)
+        stats0.map { case (rel, st) =>
+          val (nm, sm) = Partitioning.pathStatEntries(rel, hist, dtOf)
+          rel -> st.copy(
+            numMin = st.numMin ++ nm, numMax = st.numMax ++ nm,
+            strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
+        }
+      }
     log.commit(if (existing.isEmpty) "create" else "append", files,
       schemaJson, stats)
+  }
+
+  /** All parquet data files under `root`, recursively (partitioned
+    * commits nest files in one directory per partition value). */
+  private def parquetFilesIn(root: Path): Seq[Path] = {
+    val s = Files.walk(root)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    finally s.close()
   }
 
   /** Copy-on-write UPSERT (MERGE INTO by key): rows of `incoming`
@@ -461,10 +548,8 @@ final class GraftTable private (
     // aggregate group, so it would silently get NO stats entry — and
     // metaCount would read the whole commit as unknowable; backfill the
     // missing files from their footers (rows = 0)
-    val missing = Files.list(commitDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
+    val missing = parquetFilesIn(commitDir)
       .filterNot(p => byFile.contains(dir.relativize(p).toString))
-      .toSeq
     byFile ++ footerStatsFor(missing)
   }
 
@@ -474,8 +559,7 @@ final class GraftTable private (
     * tables that never asked for column stats. A footer that fails to
     * parse records −1 (unknown) rather than failing the commit. */
   private def footerStats(commitDir: Path): Map[String, FileStat] =
-    footerStatsFor(Files.list(commitDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
+    footerStatsFor(parquetFilesIn(commitDir))
 
   private def footerStatsFor(paths: Seq[Path]): Map[String, FileStat] = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1083,14 +1167,20 @@ final class GraftTable private (
     val cut = asOf.getOrElse(Long.MaxValue)
     val statsByFile = snaps.filter(_.snapshotId <= cut)
       .flatMap(s => s.stats).toMap
+    val sch = schemaAsOfIn(snaps, asOf) // consistent with read(asOf) across evolutions
+    // hidden-partitioning probes: each range conjunct also checks the
+    // file's partition-space entries for every monotone transform era
+    // (files without an era's entry conservatively match)
+    val allPreds = preds.flatMap { case p @ (c, lo, hi) =>
+      p +: partitionProbes(sch, c, lo, hi)
+    }
     val kept = log.filesWithSnapOf(snaps, asOf).filter { case (abs, _) =>
       val rel = dir.relativize(java.nio.file.Paths.get(abs)).toString
       // rows == 0 ⇒ the file can contain nothing (schema-only creates,
       // rewrites that emptied a partition) — skip unconditionally
       statsByFile.get(rel).forall(st => st.rows != 0 &&
-        preds.forall { case (c, lo, hi) => st.mayContain(c, lo, hi) })
+        allPreds.forall { case (c, lo, hi) => st.mayContain(c, lo, hi) })
     }
-    val sch = schemaAsOfIn(snaps, asOf) // consistent with read(asOf) across evolutions
     // live merge-on-read tombstones apply after pruning (anti-joins
     // only ever remove rows, so pruning soundness is unaffected)
     readWithDeletes(kept, log.eqDeletesOf(snaps, asOf), sch)
@@ -1116,12 +1206,30 @@ final class GraftTable private (
     val cut = asOf.getOrElse(Long.MaxValue)
     val statsByFile = snaps.filter(_.snapshotId <= cut)
       .flatMap(s => s.stats).toMap
+    val sch = schemaAsOfIn(snaps, asOf)
+    // hidden-partitioning point probes: equality maps through EVERY
+    // transform era on this column — including bucket, the transform
+    // range pruning can't use; a file survives for a value only when
+    // the raw stats AND all its partition-era entries may contain it
+    val hist = partitionSpecHistory.filter(_.column == column)
+    val dtOpt = sch.fields.find(_.name == column).map(_.dataType)
+    val probes: Seq[(Any, Seq[(String, Any)])] = values.map { v =>
+      val mapped = dtOpt match {
+        case Some(dt) => hist.filter(_.recordable(dt)).flatMap(f =>
+          scala.util.Try(f.statName -> f.apply(v, dt)).toOption)
+        case None => Nil
+      }
+      v -> mapped
+    }
     val kept = log.filesWithSnapOf(snaps, asOf).filter { case (abs, _) =>
       val rel = dir.relativize(java.nio.file.Paths.get(abs)).toString
       statsByFile.get(rel).forall(st => st.rows != 0 &&
-        values.exists(v => st.mayContain(column, Some(v), Some(v))))
+        probes.exists { case (v, mapped) =>
+          st.mayContain(column, Some(v), Some(v)) &&
+            mapped.forall { case (nm, pv) =>
+              st.mayContain(nm, Some(pv), Some(pv)) }
+        })
     }
-    val sch = schemaAsOfIn(snaps, asOf)
     readWithDeletes(kept, log.eqDeletesOf(snaps, asOf), sch)
   }
 

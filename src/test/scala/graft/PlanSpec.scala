@@ -399,4 +399,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("l_partkey"),
       s"unused columns should be pruned:\n$p")
   }
+
+  test("interval join plans an equi-join where the naive BETWEEN nested-loops") {
+    import graft.operators.RangeJoin
+    val ev = T.events(spark, sf).select("event_id", "ts")
+    val w = ev.filter(col("event_id") % 37 === 0)
+      .select(col("event_id").as("window_id"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("ws"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("we"))
+    // the declarative form: no equi-key, so Catalyst can ONLY nested-loop
+    val naive = plan(ev.join(w, col("ts") >= col("ws") && col("ts") <= col("we")))
+    assert(naive.contains("BroadcastNestedLoopJoin") || naive.contains("CartesianProduct"),
+      s"premise: naive BETWEEN should nested-loop:\n$naive")
+    // the bucketed rewrite: a plain equi-join on the bucket id
+    val micros = (c: org.apache.spark.sql.Column) => unix_micros(c.cast("timestamp"))
+    val p = plan(RangeJoin.intervalJoin(ev, micros(col("ts")),
+      w, micros(col("ws")), micros(col("we")), bucketWidth = 3600L * 1000000L))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed interval join must be an equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected a hash/merge equi-join:\n$p")
+  }
 }

@@ -1019,4 +1019,105 @@ class WarehouseSpec extends AnyFunSuite {
     assert(log.changedFiles(1L).size == 2)
     assert(log.dataFiles().size == 3)
   }
+
+  // ---- hidden partitioning -------------------------------------------
+
+  test("driver-side partition transforms equal the engine's expressions") {
+    import graft.warehouse.PartitionField
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    // bucket over longs — the driver evaluates the SAME Murmur3Hash
+    // Catalyst expression; a divergence here silently breaks pruning
+    val longs = Seq(0L, 1L, -1L, 42L, 123456789L, Long.MaxValue, Long.MinValue)
+    val fb = PartitionField("bucket", "x", 16)
+    val engineL = spark.createDataset(longs).toDF("x")
+      .select(fb.expr(LongType).as("b")).as[Int].collect().toSeq
+    assert(engineL == longs.map(v => fb.apply(v, LongType)))
+    // bucket over ints must hash as INT (not widened to long)
+    val ints = Seq(0, 7, -3, Int.MaxValue)
+    val engineI = spark.createDataset(ints).toDF("x")
+      .select(fb.expr(IntegerType).as("b")).as[Int].collect().toSeq
+    assert(engineI == ints.map(v => fb.apply(v, IntegerType)))
+    // bucket over strings (incl. non-ASCII)
+    val strs = Seq("", "a", "hello", "héllo", "你好")
+    val engineS = spark.createDataset(strs).toDF("x")
+      .select(fb.expr(StringType).as("b")).as[Int].collect().toSeq
+    assert(engineS == strs.map(v => fb.apply(v, StringType)))
+    // day over NTZ timestamps (the testdata's type; session TZ = UTC)
+    val fd = PartitionField("day", "x")
+    val ldts = Seq(
+      java.time.LocalDateTime.of(1970, 1, 1, 0, 0, 0),
+      java.time.LocalDateTime.of(1969, 12, 31, 23, 59, 59),
+      java.time.LocalDateTime.of(2026, 8, 14, 5, 30, 0))
+    val engineD = spark.createDataset(ldts).toDF("x")
+      .select(fd.expr(TimestampNTZType).as("d")).as[Int].collect().toSeq
+    assert(engineD == ldts.map(v => fd.apply(v, TimestampNTZType)))
+    // truncate: strings by prefix, longs by floor-multiple (negatives!);
+    // Long.MinValue's floor multiple is unrepresentable — both sides
+    // refuse it under ANSI arithmetic rather than wrapping
+    val truncLongs = longs.filterNot(_ == Long.MinValue)
+    val ft = PartitionField("truncate", "x", 3)
+    val engineT = spark.createDataset(truncLongs).toDF("x")
+      .select(ft.expr(LongType).as("t")).as[Long].collect().toSeq
+    assert(engineT == truncLongs.map(v => ft.apply(v, LongType)))
+    intercept[ArithmeticException] { ft.apply(Long.MinValue, LongType) }
+    val engineTs = spark.createDataset(strs).toDF("x")
+      .select(ft.expr(StringType).as("t")).as[String].collect().toSeq
+    assert(engineTs == strs.map(v => ft.apply(v, StringType)))
+  }
+
+  test("bucket partitioning prunes point lookups era-correctly across spec evolution") {
+    import graft.warehouse.PartitionField
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-part-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq.empty[(Long, Long)].toDF("id", "grp")).get
+    t.setPartitionSpec(Seq(PartitionField("bucket", "id", 8)))
+    t.append(spark.range(0, 800).toDF("id")
+      .select(col("id"), (col("id") * 7).as("grp")).repartition(4))
+    // METADATA-ONLY spec change: bucket width doubles, nothing rewritten
+    t.setPartitionSpec(Seq(PartitionField("bucket", "id", 16)))
+    t.append(spark.range(800, 1600).toDF("id")
+      .select(col("id"), (col("id") * 7).as("grp")).repartition(4))
+    val total = t.read().inputFiles.length
+    assert(t.read().count() == 1600)
+    // a hash-partitioned layout has NO usable raw-column ranges (each
+    // bucket file spans the whole id range) — only the transform prunes
+    for (v <- Seq(5L, 803L, 1599L, 0L)) {
+      val df = t.readWhereIn("id", Seq(v))
+      assert(df.filter(col("id") === v).count() == 1, s"lookup $v")
+      val kept = df.inputFiles.length
+      assert(kept > 0 && kept < total / 4,
+        s"lookup $v kept $kept of $total files — bucket pruning inert")
+    }
+    // multi-point probe unions the per-value keep sets
+    val multi = t.readWhereIn("id", Seq(5L, 803L))
+    assert(multi.filter(col("id").isin(5L, 803L)).count() == 2)
+    // range reads must NOT use the scrambling bucket transform: a full
+    // range scan still sees every row
+    assert(t.readWhere("id", Some(0L), Some(1599L)).count() == 1600)
+  }
+
+  test("day partitioning prunes time-range reads from path metadata alone") {
+    import graft.warehouse.PartitionField
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-part-day-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq.empty[(java.time.LocalDateTime, Long)].toDF("ts", "v")).get
+    t.setPartitionSpec(Seq(PartitionField("day", "ts")))
+    val base = java.time.LocalDateTime.of(2026, 3, 1, 0, 0, 0)
+    val rows = (0 until 800).map(i =>
+      (base.plusHours(i % (8 * 24)), i.toLong)) // 8 distinct days
+    t.append(spark.createDataset(rows).toDF("ts", "v").repartition(3))
+    val total = t.read().inputFiles.length
+    val lo = base.plusDays(3)
+    val hi = base.plusDays(3).plusHours(23)
+    val day3 = t.readWhere("ts", Some(lo), Some(hi))
+    assert(day3.inputFiles.length < total / 2,
+      s"kept ${day3.inputFiles.length} of $total — day pruning inert")
+    assert(day3.filter(col("ts") >= lo && col("ts") <= hi).count() ==
+      rows.count(r => !r._1.isBefore(lo) && !r._1.isAfter(hi)))
+    // a NULL-day or unknown file would conservatively match; full scan intact
+    assert(t.read().count() == 800)
+  }
 }
