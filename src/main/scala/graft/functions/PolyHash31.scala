@@ -81,5 +81,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(PolyHash31.functionDescriptor)
     ext.injectFunction(ArrayDot.functionDescriptor)
+    ext.injectFunction(MisraGries.functionDescriptor)
   }
 }

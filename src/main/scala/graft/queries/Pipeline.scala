@@ -1344,6 +1344,47 @@ object Pipeline {
         .agg(count(lit(1)).as("n"),
           round(avg(Similarity.norm(col("embedding"))), 4).as("avg_norm"))
         .orderBy("label")
+    },
+
+    // ---- q125: heavy hitters via a NATIVE Misra-Gries aggregate --------
+    // Which tokens exceed 1/(cap+1) of the whole corpus? The 100 TB
+    // shape: a full GROUP BY shuffles every distinct token; the
+    // MisraGries TypedImperativeAggregate instead summarizes each task
+    // into <= 32 counters (partials serialize into the shuffle, merges
+    // compose with the mergeable-summaries bound), and ONLY the <= 32
+    // candidate keys — a guaranteed superset of the true hitters — are
+    // exactly re-counted through a broadcast semi-join, so the
+    // verification shuffle carries 32 groups, not the vocabulary. The
+    // hash grade against DuckDB's exact HAVING proves the sketch
+    // dropped no hitter and the verification dropped every false
+    // candidate; the witness pins that the candidate set really was
+    // sketch-sized.
+    Q("q125_heavy_hitters",
+      """WITH toks AS (
+        |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |cnt AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok)
+        |SELECT c.tok, c.freq, TRUE AS mg_ok
+        |FROM cnt c, tot t WHERE c.freq * 33 > t.n
+        |ORDER BY c.tok""".stripMargin) { (s, d) =>
+      val cap = 32
+      val toks = T.documents(s, d)
+        .select(explode(TA.tokensLower(col("text"))).as("tok"))
+      val cand = toks
+        .agg(graft.functions.MisraGries.sketch(col("tok"), cap).as("sk"))
+        .select(explode(col("sk")).as("kv"))
+        .select(col("kv.key").as("tok"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      val nCand = cand.count()
+      val verified = toks
+        .join(broadcast(cand), Seq("tok"), "left_semi")
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .crossJoin(broadcast(total))
+        .filter(col("freq") * (cap + 1) > col("n"))
+      verified.select(col("tok"), col("freq"),
+          lit(nCand <= cap).as("mg_ok"))
+        .orderBy("tok")
     })
 
   def queries: Seq[Q] = ql

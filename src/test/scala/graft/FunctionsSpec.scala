@@ -50,4 +50,45 @@ class FunctionsSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> Dedup.polyHash31(r.getAs[String]("text"))).toMap
     assert(viaExpr === viaScala)
   }
+
+  test("misra_gries: candidate set contains every true heavy hitter across merges") {
+    import spark.implicits._
+    // harmonic skew: key k appears 1200/k times, plus 3000 unique noise
+    // keys; spread over 8 partitions so serialize/merge paths run
+    val skew = (1L to 60L).flatMap(k => Seq.fill((1200 / k).toInt)(k))
+    val noise = (1000000L until 1003000L)
+    val n = skew.size + noise.size
+    val df = spark.createDataset(skew ++ noise).toDF("k").repartition(8)
+    val cap = 16
+    val rows = df.agg(graft.functions.MisraGries.sketch(col("k"), cap).as("sk"))
+      .selectExpr("explode(sk) AS kv").select("kv.key", "kv.lb").collect()
+    assert(rows.length <= cap, s"sketch must hold <= $cap counters")
+    val cand = rows.map(_.getLong(0)).toSet
+    val exact = (skew ++ noise).groupBy(identity).view.mapValues(_.size).toMap
+    val trueHitters = exact.filter { case (_, f) => f.toLong * (cap + 1) > n }.keySet
+    assert(trueHitters.nonEmpty, "premise: the skew must produce hitters")
+    assert(trueHitters.subsetOf(cand),
+      s"MG must never drop a true hitter: missing ${trueHitters -- cand}")
+    // lower-bound property: lb <= true frequency for every candidate
+    rows.foreach { r =>
+      assert(r.getLong(1) <= exact.getOrElse(r.getLong(0), 0),
+        s"lb must lower-bound the true count for key ${r.getLong(0)}")
+    }
+  }
+
+  test("misra_gries: exact when distinct keys fit the capacity; SQL-registered over strings") {
+    val words = Seq("a", "b", "a", "c", "a", "b", "b", "a")
+    import spark.implicits._
+    spark.createDataset(words).toDF("tok").repartition(3)
+      .createOrReplaceTempView("mg_words")
+    val rows = spark.sql(
+      "SELECT kv.key AS tok, kv.lb FROM (SELECT explode(misra_gries(tok, 8)) kv FROM mg_words)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // capacity 8 > 3 distinct keys: no decrements anywhere, counts exact
+    assert(rows === Map("a" -> 4L, "b" -> 3L, "c" -> 1L))
+    // deterministic key order in the array itself
+    val arr = spark.sql("SELECT misra_gries(tok, 8) sk FROM mg_words")
+      .selectExpr("transform(sk, x -> x.key) AS ks").head().getSeq[String](0)
+    assert(arr == arr.sorted)
+  }
 }
