@@ -358,6 +358,62 @@ object Streaming {
         .agg(max(col("n_events")).as("n_events"),
           round(expr("max_by(total_value, n_events)"), 2).as("total_value"))
         .orderBy("user_id")
+    },
+
+    // ---- q126: streaming key-dedup under at-least-once redelivery ----
+    // The ingestion-front-door shape: an at-least-once source redelivers
+    // a third of the corpus, each retry RESTAMPED 1 s later — so
+    // dedupEvents' (id, ts) composite key can never collapse it (the
+    // StreamingSpec differential pins that); only key-only dedup with
+    // watermark-bounded state (dropDuplicatesWithinWatermark) both
+    // dedups the drifted retry AND evicts state as the watermark
+    // passes. Staging replays time-ordered (q111's slice rig) with each
+    // retry landing in its original's batch, within the 1 h watermark.
+    // Output carries the duplicate-invariant columns (which copy
+    // survives is engine-internal; its payload is identical). The
+    // witness is the 100-TB property: max state rows across batches
+    // stays under half the delivered input — keys are evicted, not
+    // accumulated, while the terminal result still equals the exact
+    // distinct set.
+    Q("q126_stream_dedup",
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value,
+        |  TRUE AS dedup_state_ok
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val staging = Scratch.dir("q126_stage")
+      val ev = T.events(s, d)
+      // 8 sequential slices in event-time order; each slice delivers
+      // its events plus restamped retries of every third event
+      (0 until 8).foreach { g =>
+        val slice = ev.filter(dayofmonth(col("ts")).between(g * 4 + 1, g * 4 + 4))
+        val retries = slice.filter(col("event_id") % 3 === 0)
+          .withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND"))
+        slice.unionByName(retries)
+          .coalesce(1).write.mode("append").parquet(staging)
+      }
+      val deduped = EventStreams.dedupWithinWatermark(
+        EventStreams.readEvents(s, staging, maxFilesPerTrigger = 1),
+        keys = Seq("event_id"), watermark = "1 hour")
+      val sink = "q126_sink_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      var maxState = 0L
+      withShufflePartitions(s, 4) {
+        val sq = deduped.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation", Scratch.dir("q126_ckpt"))
+          .trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        maxState = sq.recentProgress
+          .map(p => p.stateOperators.map(_.numRowsTotal).sum)
+          .foldLeft(0L)(math.max)
+      }
+      val delivered = ev.count() + ev.filter(col("event_id") % 3 === 0).count()
+      val witness = maxState > 0 && maxState * 2 < delivered
+      landSink(s, sink)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+        .withColumn("dedup_state_ok", lit(witness))
+        .orderBy("event_id")
     })
 
   def queries: Seq[Q] = ql

@@ -66,6 +66,20 @@ object EventStreams {
   def dedupEvents(events: DataFrame, watermark: String = "2 days"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** Streaming dedup on the BUSINESS KEY alone, state evicted by the
+    * watermark (`dropDuplicatesWithinWatermark`): collapses
+    * at-least-once redelivery even when the retry was RESTAMPED (a
+    * duplicate whose event time drifted a few seconds never matches
+    * [[dedupEvents]]'s (id, ts) composite key — StreamingSpec pins the
+    * difference). State per key lives only until the watermark passes
+    * its first arrival, the bounded-state shape that survives an
+    * unbounded stream; q126 grades it end-to-end with a max-state
+    * witness. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Custom state: running per-user totals via flatMapGroupsWithState —
     * the arbitrary-stateful-processing shape (KeyValueGroupedDataset)
     * for logic windowed aggs can't express. Emits the updated running

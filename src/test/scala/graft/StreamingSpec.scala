@@ -313,4 +313,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterFirst.count() === batchDf.count() - snaps.head.addedFiles.length * 0 -
       wh.loadTable("events_live").read(Some(snaps.head.snapshotId)).count())
   }
+
+  test("key-only watermark dedup collapses restamped retries; (id,ts) dedup cannot") {
+    // at-least-once redelivery with a drifted event time: the retry of
+    // every third event arrives restamped 1 s later
+    val dir = Files.createTempDirectory("graft-stream-dd").toString
+    val events = T.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val retries = events.filter(col("event_id") % 3 === 0)
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND"))
+    events.coalesce(1).write.mode("append").parquet(dir)
+    retries.coalesce(1).write.mode("append").parquet(dir)
+    val n = events.count()
+    val nRetries = retries.count()
+
+    def runAppend(df: DataFrame, name: String): Unit = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    // composite (id, ts) dedup: the restamped retry is a DIFFERENT key —
+    // every duplicate survives (the premise that motivates the operator)
+    runAppend(EventStreams.dedupEvents(
+      EventStreams.readEvents(spark, dir), watermark = "1 hour"), "dd_idts")
+    assert(spark.table("dd_idts").count() === n + nRetries)
+    // key-only watermark dedup: exactly the distinct events remain, and
+    // the payload matches the batch-distinct set
+    runAppend(EventStreams.dedupWithinWatermark(
+      EventStreams.readEvents(spark, dir), Seq("event_id"),
+      watermark = "1 hour"), "dd_key")
+    val got = spark.table("dd_key").select("event_id", "user_id", "event_type")
+    val want = events.select("event_id", "user_id", "event_type")
+    assert(got.count() === n)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    spark.catalog.dropTempView("dd_idts")
+    spark.catalog.dropTempView("dd_key")
+  }
 }
