@@ -778,6 +778,51 @@ object Warehouse {
       slice.filter(col("o_custkey").isin(keys: _*))
         .withColumn("part_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q127: manifest bloom filters — point skipping, no layout ----
+    // q119's point pruning needs a CLUSTERED table (ranges must be
+    // narrow); q123's needs a DECLARED partition spec. This grades the
+    // third skipping index: per-file bloom filters recorded in the
+    // manifest at append time (Spark's own bloom_filter_agg over
+    // xxhash64), which prune point lookups on an UNCLUSTERED
+    // high-cardinality column — arrival-order data where every file's
+    // min/max spans the whole key domain and range stats keep
+    // everything. The witness pins exactly that separation: the range
+    // probe over the same keys' span keeps every file, the bloom probe
+    // keeps ~|keys| (+ the documented fp sliver); the hash grade pins
+    // no-false-negatives (a lost key = missing rows = mismatch).
+    Q("q127_bloom_prune",
+      """WITH ks AS (
+        |  (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3)
+        |  UNION ALL
+        |  (SELECT o_orderkey FROM orders ORDER BY o_orderkey DESC LIMIT 3))
+        |SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |  TRUE AS bloom_ok
+        |FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM ks)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_bloom", base.limit(0))
+      val t = conn.loadTable("orders_bloom")
+      // round-robin: every file spans the full key range (NO clustering)
+      t.append(base.repartition(16),
+        statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      val lows = base.orderBy(col("o_orderkey"))
+        .limit(3).collect().map(_.getLong(0))
+      val highs = base.orderBy(col("o_orderkey").desc)
+        .limit(3).collect().map(_.getLong(0))
+      val keys = (lows ++ highs).toSeq
+      val slice = t.readWhereIn("o_orderkey", keys)
+      val kept = slice.inputFiles.length
+      val rangeKept = t.readWhere("o_orderkey",
+        Some(keys.min), Some(keys.max)).inputFiles.length
+      val witness = kept > 0 && rangeKept >= 16 &&
+        kept <= keys.size + 4 && kept < rangeKept
+      slice.filter(col("o_orderkey").isin(keys: _*))
+        .withColumn("bloom_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

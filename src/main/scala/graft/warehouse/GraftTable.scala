@@ -229,8 +229,15 @@ final class GraftTable private (
       }
     }
 
+  /** @param bloomCols columns to record a per-file BLOOM FILTER for in
+    *   the manifest (over xxhash64 of the value, Spark's own
+    *   `bloom_filter_agg`): the point-lookup skipping index for
+    *   UNCLUSTERED high-cardinality columns where min/max ranges prune
+    *   nothing. [[readWhereIn]] probes it; ~2% false positives cost a
+    *   spurious file read, false negatives are impossible. */
   def append(df: DataFrame, clusterBy: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil, clusterParts: Int = 0): Snapshot = {
+      statsCols: Seq[String] = Nil, clusterParts: Int = 0,
+      bloomCols: Seq[String] = Nil): Snapshot = {
     val existing = log.head
     existing.foreach { h =>
       val expected = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
@@ -280,9 +287,68 @@ final class GraftTable private (
             strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
         }
       }
+    val statsB =
+      if (bloomCols.isEmpty) stats
+      else mergeBlooms(commitDir, stats,
+        bloomCols.filter(df.schema.fieldNames.contains))
     log.commit(if (existing.isEmpty) "create" else "append", files,
-      schemaJson, stats)
+      schemaJson, statsB)
   }
+
+  /** Per-file bloom sketches for `cols`, sized from the commit's own
+    * row counts, merged into the stat map. One distributed aggregation
+    * over the freshly-written files; driver holds ≤ numBits/8 bytes per
+    * (file, column). */
+  private def mergeBlooms(commitDir: Path, stats: Map[String, FileStat],
+      cols: Seq[String]): Map[String, FileStat] = {
+    if (cols.isEmpty) return stats
+    import org.apache.spark.sql.GraftColumnBridge.{column => ec, expression => ex}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
+    val nFiles = math.max(1, stats.size)
+    val knownRows = stats.values.map(_.rows).filter(_ > 0)
+    val items = math.max(1024L,
+      if (knownRows.isEmpty) 4096L else knownRows.sum * 2 / nFiles)
+    val bits = math.min(1L << 23, math.max(1L << 13, items * 10))
+    val aggs = cols.map { c =>
+      ec(new BloomFilterAggregate(ex(xxhash64(col(c))),
+        Literal(items), Literal(bits)).toAggregateExpression()).as(s"__bf_$c")
+    }
+    val rows = spark.read.parquet(commitDir.toString)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val byFile = rows.map { r =>
+      val uri = java.net.URI.create(r.getAs[String]("__f"))
+      val rel = dir.relativize(Paths.get(uri.getPath)).toString
+      rel -> cols.flatMap(c =>
+        Option(r.getAs[Array[Byte]](s"__bf_$c")).map(c -> _)).toMap
+    }.toMap
+    stats.map { case (rel, st) =>
+      rel -> byFile.get(rel).filter(_.nonEmpty)
+        .map(b => st.copy(blooms = b)).getOrElse(st)
+    }
+  }
+
+  /** Driver-side twin of the engine's `xxhash64(col)` on one value —
+    * evaluates the SAME Catalyst expression on a literal normalized to
+    * the column type (a widened Int would hash differently). None ⇒
+    * the caller skips the bloom probe (conservative). */
+  private def xxhashOf(v: Any, dt: DataType): Option[Long] = scala.util.Try {
+    import org.apache.spark.sql.types._
+    val norm: Any = dt match {
+      case LongType    => v.asInstanceOf[Number].longValue
+      case IntegerType => v.asInstanceOf[Number].intValue
+      case ShortType   => v.asInstanceOf[Number].shortValue
+      case ByteType    => v.asInstanceOf[Number].byteValue
+      case StringType  => v.toString
+      case _           => v
+    }
+    new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(norm, dt)))
+      .eval(null).asInstanceOf[Long]
+  }.toOption
 
   /** All parquet data files under `root`, recursively (partitioned
     * commits nest files in one directory per partition value). */
@@ -1213,21 +1279,24 @@ final class GraftTable private (
     // the raw stats AND all its partition-era entries may contain it
     val hist = partitionSpecHistory.filter(_.column == column)
     val dtOpt = sch.fields.find(_.name == column).map(_.dataType)
-    val probes: Seq[(Any, Seq[(String, Any)])] = values.map { v =>
+    val probes: Seq[(Any, Seq[(String, Any)], Option[Long])] = values.map { v =>
       val mapped = dtOpt match {
         case Some(dt) => hist.filter(_.recordable(dt)).flatMap(f =>
           scala.util.Try(f.statName -> f.apply(v, dt)).toOption)
         case None => Nil
       }
-      v -> mapped
+      // bloom probe: the driver-side xxhash64 twin of the recorded sketch
+      val h = dtOpt.flatMap(dt => xxhashOf(v, dt))
+      (v, mapped, h)
     }
     val kept = log.filesWithSnapOf(snaps, asOf).filter { case (abs, _) =>
       val rel = dir.relativize(java.nio.file.Paths.get(abs)).toString
       statsByFile.get(rel).forall(st => st.rows != 0 &&
-        probes.exists { case (v, mapped) =>
+        probes.exists { case (v, mapped, h) =>
           st.mayContain(column, Some(v), Some(v)) &&
             mapped.forall { case (nm, pv) =>
-              st.mayContain(nm, Some(pv), Some(pv)) }
+              st.mayContain(nm, Some(pv), Some(pv)) } &&
+            h.forall(st.bloomMayContain(column, _))
         })
     }
     readWithDeletes(kept, log.eqDeletesOf(snaps, asOf), sch)

@@ -53,7 +53,27 @@ final case class FileStat(
       * ([[GraftTable.metaCount]]): the Iceberg trick of answering
       * whole-table aggregates from manifests without touching one data
       * byte. */
-    rows: Long = -1L) {
+    rows: Long = -1L,
+    /** Per-column BLOOM FILTERS over the file's xxhash64(column) values
+      * (Spark's own `bloom_filter_agg` sketch, base64 in the manifest)
+      * — the point-lookup skipping index for UNCLUSTERED high-cardinality
+      * columns, where min/max ranges span everything and prune nothing
+      * (Iceberg stores the same idea in puffin sidecars; inline keeps
+      * our commit atomic — a production port would sidecar them).
+      * Recorded only when the writer asked ([[GraftTable.append]]
+      * `bloomCols`); absent ⇒ probes conservatively match. */
+    blooms: Map[String, Array[Byte]] = Map.empty) {
+
+  /** Can this file contain a row whose xxhash64(column) is `hash`?
+    * True when no bloom was recorded for the column (unknown ⇒ match);
+    * a recorded bloom answers with its configured false-positive rate
+    * and NO false negatives — pruning stays sound. */
+  def bloomMayContain(column: String, hash: Long): Boolean =
+    blooms.get(column) match {
+      case None => true
+      case Some(bytes) =>
+        FileStat.parseBloom(bytes).mightContainLong(hash)
+    }
 
   /** Can this file contain rows with `column` in [lower, upper]?
     * Unknown columns conservatively match. Query bounds are converted
@@ -105,6 +125,27 @@ final case class FileStat(
 }
 
 object FileStat {
+  /** Parse-once cache for manifest blooms: the same byte array is
+    * probed for every (file, value) pair of a readWhereIn call, and
+    * snapshots (with their stat maps) are re-read per call — key on
+    * identity-ish (length, first longs) is unsafe, so key on the array
+    * reference per JVM via a weak map. */
+  private val bloomCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Array[Byte], org.apache.spark.util.sketch.BloomFilter]())
+
+  private[warehouse] def parseBloom(bytes: Array[Byte])
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val got = bloomCache.get(bytes)
+    if (got != null) got
+    else {
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      bloomCache.put(bytes, bf)
+      bf
+    }
+  }
+
   /** Directionally-safe Double conversion for stats and bounds: when the
     * exact value is not representable (longs/decimals above 2^53), round
     * toward the safe side (`up = false` → never above the true value,
@@ -372,11 +413,18 @@ private[warehouse] object SnapshotJson {
     def numMap(m: Map[String, Double]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + esc(k) + "\":" + v }
         .mkString("{", ",", "}")
+    def bloomMap(m: Map[String, Array[Byte]]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + esc(k) + "\":\"" +
+          java.util.Base64.getEncoder.encodeToString(v) + "\""
+      }.mkString("{", ",", "}")
     val stats = s.stats.toSeq.sortBy(_._1).map { case (f, st) =>
       "\"" + esc(f) + "\":{" +
         "\"numMin\":" + numMap(st.numMin) + ",\"numMax\":" + numMap(st.numMax) +
         ",\"strMin\":" + strMap(st.strMin) + ",\"strMax\":" + strMap(st.strMax) +
-        ",\"rows\":" + st.rows + "}"
+        ",\"rows\":" + st.rows +
+        (if (st.blooms.isEmpty) ""
+         else ",\"blooms\":" + bloomMap(st.blooms)) + "}"
     }.mkString("{", ",", "}")
     s"""{"snapshotId":${s.snapshotId},"timestampMs":${s.timestampMs},""" +
       s""""operation":"${esc(s.operation)}","addedFiles":$files,""" +
@@ -399,7 +447,11 @@ private[warehouse] object SnapshotJson {
           (st \ "strMin").extractOrElse[Map[String, String]](Map.empty),
           (st \ "strMax").extractOrElse[Map[String, String]](Map.empty),
           // pre-row-count manifests: UNKNOWN, not zero
-          (st \ "rows").extractOrElse[Long](-1L))
+          (st \ "rows").extractOrElse[Long](-1L),
+          // absent before bloom skipping indexes existed
+          (st \ "blooms").extractOrElse[Map[String, String]](Map.empty)
+            .map { case (c, b64) =>
+              c -> java.util.Base64.getDecoder.decode(b64) })
       }.toMap
       case _ => Map.empty[String, FileStat]
     }

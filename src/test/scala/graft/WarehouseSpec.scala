@@ -1098,6 +1098,42 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.readWhere("id", Some(0L), Some(1599L)).count() == 1600)
   }
 
+  test("manifest blooms prune point lookups on an unclustered high-cardinality column") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val dir = Files.createTempDirectory("graft-bloom-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq.empty[(Long, String)].toDF("id", "s")).get
+    // round-robin layout: every file spans the whole id range, so
+    // min/max stats keep everything — only the bloom can skip
+    val data = spark.range(0, 4000).toDF("id")
+      .withColumn("s", concat(lit("k"), col("id")))
+      .repartition(8)
+    t.append(data, statsCols = Seq("id"), bloomCols = Seq("id", "s"))
+    // range stats are useless on this layout (premise): a point range
+    // probe keeps every data file (the schema-only create file is
+    // zero-row-pruned on all stats paths)
+    val total = t.readWhere("id", Some(1234L), Some(1234L)).inputFiles.length
+    assert(total >= 8)
+    // bloom probe reads ~1 file (+ the fp sliver), through the JSON
+    // manifest round-trip (readWhereIn re-reads manifests from disk)
+    val kept = t.readWhereIn("id", Seq(1234L)).inputFiles.length
+    assert(kept <= 3, s"bloom kept $kept of $total files")
+    // string blooms too
+    val keptS = t.readWhereIn("s", Seq("k77")).inputFiles.length
+    assert(keptS <= 3, s"string bloom kept $keptS of $total files")
+    // soundness: a present key is NEVER pruned away
+    (0L until 4000L by 79L).foreach { v =>
+      assert(t.readWhereIn("id", Seq(v))
+        .filter(col("id") === v).count() == 1, s"lost id $v")
+    }
+    // absent keys usually prune to zero files (fp rate makes this
+    // probabilistic per key; over 20 absent keys at ~2% fp, all-kept
+    // would be astronomically unlikely)
+    val absentKept = (100000L until 100020L)
+      .map(v => t.readWhereIn("id", Seq(v)).inputFiles.length).sum
+    assert(absentKept < total * 20 / 2, "absent keys should mostly prune")
+  }
+
   test("day partitioning prunes time-range reads from path metadata alone") {
     import graft.warehouse.PartitionField
     import org.apache.spark.sql.functions.col
