@@ -736,6 +736,51 @@ object Dedup {
     keepCanonical(df, idCol, pairs)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+    * with K-MEANS BLOCKING — the third candidate generator next to the
+    * exact grid ([[cosineDedup]] `exact = true`) and hyperplane LSH
+    * (`exact = false`). Embeddings are binned into `k` coarse clusters
+    * (bounded, seeded training; row-local broadcast-centroid
+    * assignment — [[Similarity.kmeansAssign]]), candidate pairs are
+    * generated ONLY within a cluster by a plain equi-join on the
+    * cluster id, and the same cosine-threshold closure keeps one
+    * canonical (min-id) row per component.
+    *
+    * Scale shape: the pair space drops from n²/2 to Σ_c n_c²/2 —
+    * ~n²/(2k) under balanced cells — via ONE shuffle on the cluster
+    * key; `k` is the dial (the paper runs 50k clusters over 5B
+    * embeddings). A skewed cell degrades toward its own quadratic but
+    * never to the global one. Candidate edges are a SUBSET of the
+    * exact edges, so components only get finer: an exact-canonical row
+    * is always sem-canonical (the q128 containment witness), and the
+    * clustering only affects RECALL (cross-cluster dups survive),
+    * never correctness of kept rows. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int = 16, probes: Int = 2): DataFrame = {
+    // soft assignment: a row lives in its `probes` nearest cells, so a
+    // dup pair split across one boundary still meets in the shared
+    // second-nearest cell (multi-probe, same trick as the IVF reader)
+    val assigned = Similarity.kmeansAssignN(df, idCol, vecCol, k, probes)
+      .withColumnRenamed(idCol, "__sd_id")
+    val base = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__sd_v"))
+      .join(assigned, col(idCol) === col("__sd_id"))
+      .select(col(idCol).as("__sd_i"), col("__sd_v"),
+        explode(col("clusters")).as("cluster"))
+    val pairs = base
+      .select(col("__sd_i").as("id_a"), col("__sd_v").as("__va"), col("cluster"))
+      .join(base.select(col("__sd_i").as("id_b"),
+        col("__sd_v").as("__vb"), col("cluster")), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      // a pair sharing several probed cells arrives once per shared
+      // cell — dedupe BEFORE the cosine evaluation, not after
+      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .select("id_a", "id_b")
+    keepCanonical(df, idCol, pairs)
+  }
+
   /** Keep only the rows that are their component's canonical (min-id)
     * member. Internal columns carry reserved names so an id column
     * literally named "id" can't collide with the component frame. */

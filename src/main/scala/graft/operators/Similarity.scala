@@ -560,6 +560,49 @@ object Similarity {
     proj.select(col(idCol), assign(col("__v")).as("cluster"))
   }
 
+  /** SOFT k-means assignment: each row's `probes` nearest centroids
+    * (ascending squared distance), for multi-probe blocking — a near
+    * -dup pair split across a cell boundary usually shares a
+    * second-nearest cell, so candidate recall rises steeply with 2-3
+    * probes while cost grows only ~probes² per shared cell
+    * ([[graft.operators.Dedup.semDedup]]). Same bounded seeded
+    * training and row-local broadcast assignment as [[kmeansAssign]];
+    * output: id column + `clusters` array<int> (null vectors → empty). */
+  def kmeansAssignN(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      probes: Int, maxIter: Int = 10, maxTrainRows: Int = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(k > 0, "k must be positive")
+    require(probes > 0 && probes <= k, s"probes must be in [1, $k]")
+    val proj = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val train = proj.filter(col("__v").isNotNull)
+      .orderBy(Sampling.keyHash(col(idCol).cast("string")), col(idCol))
+      .limit(maxTrainRows)
+      .select(array_to_vector(col("__v")).as("features"))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter)
+      .fit(train)
+    val cents = model.clusterCenters.map(_.toArray)
+    val bc = df.sparkSession.sparkContext.broadcast(cents)
+    val p = probes
+    val assign = udf { v: Seq[Double] =>
+      if (v == null) Array.empty[Int]
+      else {
+        val cs = bc.value
+        val d = new Array[Double](cs.length)
+        var c = 0
+        while (c < cs.length) {
+          val cv = cs(c)
+          var s = 0.0; var i = 0
+          val n = math.min(cv.length, v.length)
+          while (i < n) { val t = v(i) - cv(i); s += t * t; i += 1 }
+          d(c) = s; c += 1
+        }
+        d.indices.sortBy(d).take(p).toArray
+      }
+    }
+    proj.select(col(idCol), assign(col("__v")).as("clusters"))
+  }
+
   /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer
     * partitions the corpus into `nlist` cells; each query probes its
     * `nprobe` nearest centroids and exact-reranks only those cells.

@@ -206,6 +206,15 @@ final class HistoryExpiredException(msg: String)
   * an explicit file list, so planning-time pruning replaces any
   * directory listing of a 100 TB table.
   */
+object SnapshotLog {
+  /** Per-JVM parse cache for immutable MAIN-log manifests (see
+    * [[SnapshotLog.snapshots]] for the immutability argument). Sized
+    * for tens of live tables with thousands of commits each; LRU keeps
+    * a long-lived session bounded. */
+  private val parseCache =
+    new graft.operators.BoundedLru[String, Snapshot](65536)
+}
+
 final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
   private val snapDir: Path = branch match {
     // a branch keeps its own manifest sequence under the main log's
@@ -223,13 +232,32 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
 
   def exists: Boolean = Files.isDirectory(snapDir)
 
-  /** All snapshots in id order. */
+  /** All snapshots in id order.
+    *
+    * MAIN-log manifests parse through a per-JVM LRU: a published
+    * `vN.json` is immutable (commit's `link(2)` refuses to replace,
+    * rollback APPENDS a new snapshot, expiry only DELETES) and the
+    * directory listing gates visibility, so a path-keyed cache can
+    * never serve stale content — at 10k commits this turns every
+    * read's O(#snapshots) JSON re-parse into O(new manifests), the
+    * metadata-read scaling a 100 TB table actually needs. BRANCH logs
+    * are excluded: drop + recreate of a branch restarts its id
+    * sequence, reusing paths with new content. */
   def snapshots: Seq[Snapshot] = {
     if (!Files.isDirectory(snapDir)) return Seq.empty
-    Files.list(snapDir).iterator().asScala
+    val paths = Files.list(snapDir).iterator().asScala
       .filter(p => p.getFileName.toString.matches("v\\d{16}\\.json"))
       .toSeq.sortBy(_.getFileName.toString)
-      .map(p => SnapshotJson.read(Files.readString(p)))
+    if (branch.nonEmpty)
+      paths.map(p => SnapshotJson.read(Files.readString(p)))
+    else paths.map { p =>
+      val key = p.toAbsolutePath.toString
+      SnapshotLog.parseCache.get(key).getOrElse {
+        val s = SnapshotJson.read(Files.readString(p))
+        SnapshotLog.parseCache.put(key, s)
+        s
+      }
+    }
   }
 
   def head: Option[Snapshot] = snapshots.lastOption

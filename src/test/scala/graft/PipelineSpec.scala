@@ -257,6 +257,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q128 SemDeDup: exact-kept ⊆ sem-kept; 2-probe blocking keeps dedup power") {
+    val emb = T.embeddings(spark, sf)
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    val keptExact = Dedup.cosineDedup(emb, "vec_id", "embedding", 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val keptSem = Dedup.semDedup(emb, "vec_id", "embedding", 0.4, k = 8, probes = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // within-cell edges ⊆ exact edges for ANY clustering: components
+    // only refine, so an exact canonical stays canonical
+    assert(keptExact.subsetOf(keptSem))
+    val droppedExact = all -- keptExact
+    val droppedSem = all -- keptSem
+    assert(droppedSem.subsetOf(droppedExact))
+    if (droppedExact.nonEmpty) {
+      val recall = droppedSem.size.toDouble / droppedExact.size
+      assert(recall >= 0.5, s"SemDeDup dedup-power recall $recall " +
+        s"(${droppedSem.size}/${droppedExact.size})")
+    }
+    // single-probe hard assignment is the degraded baseline the probes
+    // exist for — it must still obey containment
+    val keptHard = Dedup.semDedup(emb, "vec_id", "embedding", 0.4, k = 8, probes = 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptExact.subsetOf(keptHard))
+  }
+
   test("hash-split sampling is stable under repartitioning and splits near the target") {
     val docs = T.documents(spark, sf)
     def splits(df: org.apache.spark.sql.DataFrame) =
