@@ -107,6 +107,17 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   /** Full scan (reference: `query`, `icerunner.py:180-188`). */
   def query(name: String): DataFrame = loadTable(name).read()
 
+  /** Metadata inspection (parity-plus over the reference's PyIceberg
+    * `table.snapshots()` walks): `inspect(t, "snapshots")` — commit
+    * history; `inspect(t, "files")` — visible files with row counts
+    * and recorded skipping indexes. Manifest-only; no data read. */
+  def inspect(name: String, kind: String): DataFrame = kind match {
+    case "snapshots" => loadTable(name).snapshotsDf
+    case "files"     => loadTable(name).filesDf()
+    case other => throw new IllegalArgumentException(
+      s"unknown metadata table '$other' — use 'snapshots' or 'files'")
+  }
+
   /** Row count (reference: `count`, `icerunner.py:190-198`): answered
     * from manifest row counts when every visible file recorded one
     * ([[GraftTable.metaCount]] — zero data files opened, no Spark job;

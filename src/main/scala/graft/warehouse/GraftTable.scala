@@ -712,10 +712,14 @@ final class GraftTable private (
     * append-heavy table needs: thousands of poll-loop appends (the
     * reference writes one row per second per writer) otherwise mean
     * thousands of tiny files per scan. */
+  /** @param bloomCols re-record per-file bloom sketches on the rewritten
+    *   files (see [[append]]) — without this a compact silently sheds
+    *   the point-skipping index the appends built. */
   def compact(targetFiles: Int = 0, clusterBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil,
       zOrderBy: Seq[String] = Nil,
-      zOrderQuantile: Boolean = false): Snapshot = {
+      zOrderQuantile: Boolean = false,
+      bloomCols: Seq[String] = Nil): Snapshot = {
     require(zOrderBy.isEmpty || clusterBy.isEmpty,
       "pick zOrderBy OR clusterBy — the layouts are mutually exclusive")
     // A compact REPLACES the visible file set, so it must be conditional
@@ -747,15 +751,43 @@ final class GraftTable private (
           current.repartitionByRange(parts,
             clusterBy.map(org.apache.spark.sql.functions.col): _*)
         else current.repartition(parts)
-      out.write.parquet(commitDir.toString)
-      val files = Files.list(commitDir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
+      // the current partition spec survives a plain compact (same rule
+      // as Iceberg's rewrite): files re-land one-partition-value-each
+      // and keep pruning; an explicit zOrder/cluster layout wins instead
+      val pspec =
+        if (zOrderBy.isEmpty && clusterBy.isEmpty)
+          partitionSpec.filter(f => current.schema.fieldNames.contains(f.column))
+        else Nil
+      if (pspec.isEmpty) out.write.parquet(commitDir.toString)
+      else {
+        val withP = pspec.foldLeft(out) { (d, f) =>
+          d.withColumn(f.statName, f.expr(current.schema(f.column).dataType))
+        }
+        withP.write.partitionBy(pspec.map(_.statName): _*)
+          .parquet(commitDir.toString)
+      }
+      val files = parquetFilesIn(commitDir)
         .map(p => dir.relativize(p).toString)
         .toSeq.sorted
       // without re-collected stats the compacted files would be unprunable
       // (a silent regression for readWhere) — record them when asked
       val wanted = (zOrderBy ++ clusterBy ++ statsCols).distinct
-      val stats = collectStats(commitDir, wanted)
+      val stats0 = collectStats(commitDir, wanted)
+      val statsP =
+        if (pspec.isEmpty) stats0
+        else {
+          val hist = partitionSpecHistory
+          val dtOf = (c: String) =>
+            current.schema.fields.find(_.name == c).map(_.dataType)
+          stats0.map { case (rel, st) =>
+            val (nm, sm) = Partitioning.pathStatEntries(rel, hist, dtOf)
+            rel -> st.copy(
+              numMin = st.numMin ++ nm, numMax = st.numMax ++ nm,
+              strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
+          }
+        }
+      val stats = mergeBlooms(commitDir, statsP,
+        bloomCols.filter(current.schema.fieldNames.contains))
       try {
         return log.commit("compact", files, base.schemaJson, stats,
           expectedHead = Some(base.snapshotId))
@@ -1300,6 +1332,41 @@ final class GraftTable private (
         })
     }
     readWithDeletes(kept, log.eqDeletesOf(snaps, asOf), sch)
+  }
+
+  /** Iceberg-style `$snapshots` metadata table: the commit history as
+    * a DataFrame (PyIceberg users read `table.snapshots()` /
+    * `table.inspect` — `icerunner.py:209-259` walks it for sync
+    * decisions). Driver-side manifest fold; no data file opened. */
+  def snapshotsDf: DataFrame = {
+    import spark.implicits._
+    log.snapshots.map { s =>
+      (s.snapshotId, new java.sql.Timestamp(s.timestampMs), s.operation,
+        s.addedFiles.size, s.removedFiles.size, s.deleteFiles.size)
+    }.toDF("snapshot_id", "committed_at", "operation",
+      "added_files", "removed_files", "delete_files")
+  }
+
+  /** Iceberg-style `$files` metadata table: the VISIBLE data files at
+    * `asOf` with their manifest metadata — which snapshot added each
+    * file, its recorded row count, and which columns carry prunable
+    * range stats / bloom sketches. The debugging surface for "why did
+    * my query read N files": join a prune decision against this. */
+  def filesDf(asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val snaps = log.snapshots
+    val cut = asOf.getOrElse(Long.MaxValue)
+    val statsByFile = snaps.filter(_.snapshotId <= cut)
+      .flatMap(_.stats).toMap
+    log.filesWithSnapOf(snaps, asOf).map { case (abs, sid) =>
+      val rel = dir.relativize(Paths.get(abs)).toString
+      val st = statsByFile.get(rel)
+      (rel, sid,
+        st.map(_.rows).getOrElse(-1L),
+        st.map(s => (s.numMin.keySet ++ s.strMin.keySet).toSeq.sorted)
+          .getOrElse(Nil),
+        st.map(_.blooms.keySet.toSeq.sorted).getOrElse(Nil))
+    }.toDF("file", "added_by", "rows", "stat_columns", "bloom_columns")
   }
 
   private def compatible(expected: StructType, got: StructType): Boolean =

@@ -1096,6 +1096,15 @@ class WarehouseSpec extends AnyFunSuite {
     // range reads must NOT use the scrambling bucket transform: a full
     // range scan still sees every row
     assert(t.readWhere("id", Some(0L), Some(1599L)).count() == 1600)
+    // a plain compact preserves the CURRENT spec: rewritten files
+    // re-land one-bucket-value-each and keep pruning (old-era entries
+    // vanish with the old files; history probes stay conservative)
+    t.compact(targetFiles = 4)
+    val total2 = t.read().inputFiles.length
+    assert(t.read().count() == 1600)
+    val kept2 = t.readWhereIn("id", Seq(5L)).inputFiles.length
+    assert(kept2 > 0 && kept2 * 4 <= total2,
+      s"post-compact lookup kept $kept2 of $total2 — spec not preserved")
   }
 
   test("manifest blooms prune point lookups on an unclustered high-cardinality column") {
@@ -1132,6 +1141,39 @@ class WarehouseSpec extends AnyFunSuite {
     val absentKept = (100000L until 100020L)
       .map(v => t.readWhereIn("id", Seq(v)).inputFiles.length).sum
     assert(absentKept < total * 20 / 2, "absent keys should mostly prune")
+    // compact(bloomCols) re-records the index on the rewritten files
+    t.compact(targetFiles = 8, bloomCols = Seq("id"))
+    val kept2 = t.readWhereIn("id", Seq(1234L)).inputFiles.length
+    assert(kept2 <= 3, s"post-compact bloom kept $kept2 files")
+    assert(t.readWhereIn("id", Seq(1234L))
+      .filter(col("id") === 1234L).count() == 1)
+  }
+
+  test("metadata tables: snapshots history and visible files from manifests alone") {
+    import org.apache.spark.sql.functions.col
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    c.insert("t", Seq((3L, "c")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.append(Seq((4L, "d")).toDF("id", "v"), statsCols = Seq("id"),
+      bloomCols = Seq("id"))
+    t.deleteWhere(col("id") === 2L)
+    val snaps = c.inspect("t", "snapshots")
+    assert(snaps.select("operation").as[String].collect().toSeq ==
+      Seq("create", "append", "append", "delete"))
+    assert(snaps.columns.contains("committed_at"))
+    val files = c.inspect("t", "files")
+    // visible rows from metadata == actual table count
+    assert(files.agg(org.apache.spark.sql.functions.sum("rows"))
+      .head().getLong(0) == t.read().count())
+    // the bloom-indexed append advertises its skipping indexes
+    val withBloom = files.filter(org.apache.spark.sql.functions
+      .array_contains(col("bloom_columns"), "id"))
+    assert(withBloom.count() >= 1)
+    assert(files.filter(col("added_by").isNull).count() == 0)
+    // time travel: the pre-delete cut still lists the deleted row's file
+    val preDelete = t.filesDf(Some(3L))
+    assert(preDelete.count() >= files.count())
   }
 
   test("day partitioning prunes time-range reads from path metadata alone") {
