@@ -54,6 +54,19 @@ object Bench {
     def purge(): Unit =
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       catch { case _: Throwable => () }
+      // every streaming rig leaves its terminated StreamingQuery (plus
+      // up to 100 retained progress objects each, with full plan
+      // strings) registered in the session's StreamingQueryManager for
+      // the JVM's lifetime — 500+ stream executions of old-gen
+      // pressure by the time the late-sorted queries run. Clearing the
+      // terminated list between queries is semantics-free.
+      try spark.streams.resetTerminated()
+      catch { case _: Throwable => () }
+      // GC between queries, OUTSIDE every timed window (the rejected
+      // alternative was a periodic GC whose full-heap pauses landed
+      // inside them): late queries start from a settled heap instead
+      // of inheriting the whole run's garbage as old-gen occupancy.
+      System.gc()
     fns.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       purge()

@@ -414,6 +414,53 @@ object Streaming {
           round(col("value"), 2).as("value"))
         .withColumn("dedup_state_ok", lit(witness))
         .orderBy("event_id")
+    },
+
+    // ---- q129: arbitrary state through the NEW transformWithState API -
+    // The Spark-4 replacement for flatMapGroupsWithState: a
+    // StatefulProcessor with TYPED state variables (ValueState here;
+    // list/map/TTL/timers in the API) over the RocksDB state-store
+    // backend, which TWS requires — the rig switches the provider for
+    // the run and restores it. Same graded contract as q99 (terminal
+    // running totals == the batch aggregate across 4 unordered
+    // micro-batches), so the grade isolates exactly the new
+    // operator+backend path: a TWS or RocksDB regression mismatches
+    // while q99 (HDFS-backed FMGWS) stays green.
+    Q("q129_stream_tws",
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val staging = Scratch.dir("q129_stage")
+      T.events(s, d).repartition(4).write.mode("overwrite").parquet(staging)
+      val totals = EventStreams.runningUserTotalsTws(
+        EventStreams.readEvents(s, staging, maxFilesPerTrigger = 1)
+          .as[EventStreams.Event])
+      val sink = "q129_sink_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        withShufflePartitions(s, 8) {
+          val sq = totals.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", Scratch.dir("q129_ckpt"))
+            .trigger(Trigger.AvailableNow())
+            .start()
+          sq.awaitTermination()
+        }
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+      landSink(s, sink)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"),
+          round(expr("max_by(total_value, n_events)"), 2).as("total_value"))
+        .orderBy("user_id")
     })
 
   def queries: Seq[Q] = ql

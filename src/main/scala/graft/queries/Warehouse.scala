@@ -823,6 +823,35 @@ object Warehouse {
       slice.filter(col("o_orderkey").isin(keys: _*))
         .withColumn("bloom_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q130: zero-rewrite import of existing parquet ---------------
+    // Iceberg add_files / Delta CONVERT: adopt a pre-existing parquet
+    // file into the warehouse as one append snapshot with NO data read
+    // or rewrite — O(files) metadata (hardlink + footer row count).
+    // This is how a 100 TB directory migrates in minutes instead of a
+    // full copy. The hash grade proves the adopted table serves exactly
+    // the source rows through every normal read path; the witness pins
+    // the zero-rewrite claim itself — the registered file is
+    // BYTE-IDENTICAL to the source (Files.mismatch == -1, i.e. a link
+    // or verbatim copy, never a rewrite).
+    Q("q130_add_files",
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+        |  TRUE AS import_ok
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      conn.createTable("orders_imp", T.orders(s, d).limit(0))
+      val t = conn.loadTable("orders_imp")
+      val src = java.nio.file.Paths.get(d, "orders.parquet")
+      t.addFiles(Seq(src))
+      val rel = t.log.head.get.addedFiles.head
+      val witness =
+        java.nio.file.Files.mismatch(src, t.dir.resolve(rel)) == -1L
+      t.read()
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .withColumn("import_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

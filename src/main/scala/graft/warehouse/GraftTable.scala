@@ -350,6 +350,50 @@ final class GraftTable private (
       .eval(null).asInstanceOf[Long]
   }.toOption
 
+  /** ZERO-REWRITE IMPORT (Iceberg's `add_files` / Delta's CONVERT
+    * shape): register existing parquet files as ONE append snapshot
+    * without reading or rewriting a data byte — the migration path
+    * that adopts a 100 TB directory in O(files) metadata work. Files
+    * are HARDLINKED into a commit directory (same filesystem, zero
+    * copy; falls back to a real copy cross-device), so the table owns
+    * its bytes with the usual immutability/GC story and the source
+    * stays untouched. Schema must match the table's (verified from the
+    * first file's footer via Spark's schema reader — cheap); stats
+    * recording matches [[append]]: footer row counts always,
+    * `statsCols` min/max and `bloomCols` sketches on request (those
+    * two do read the files — the zero-read import is the default). */
+  def addFiles(paths: Seq[Path], statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil): Snapshot = {
+    require(paths.nonEmpty, "addFiles needs at least one file")
+    paths.foreach(p => require(Files.isRegularFile(p), s"not a file: $p"))
+    val existing = log.head
+    existing.foreach { h =>
+      val expected = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
+      val got = spark.read.parquet(paths.head.toString).schema
+      require(compatible(expected, got),
+        s"addFiles schema mismatch for $name:\n expected $expected\n got $got")
+    }
+    val commitDir = dir.resolve("data")
+      .resolve(s"i${UUID.randomUUID().toString.take(12)}")
+    Files.createDirectories(commitDir)
+    val linked = paths.zipWithIndex.map { case (src, i) =>
+      val dst = commitDir.resolve(f"import-$i%05d.parquet")
+      try Files.createLink(dst, src)
+      catch { case _: Exception => Files.copy(src, dst) }
+      dst
+    }
+    val files = linked.map(p => dir.relativize(p).toString).sorted
+    val schemaJson = existing.map(_.schemaJson).getOrElse(
+      spark.read.parquet(paths.map(_.toString): _*).schema.json)
+    val wanted = statsCols.distinct
+    val stats0 = collectStats(commitDir, wanted)
+    val stats = mergeBlooms(commitDir, stats0,
+      bloomCols.filter(c => schema.fieldNames.contains(c) ||
+        existing.isEmpty))
+    log.commit(if (existing.isEmpty) "create" else "append", files,
+      schemaJson, stats)
+  }
+
   /** All parquet data files under `root`, recursively (partitioned
     * commits nest files in one directory per partition value). */
   private def parquetFilesIn(root: Path): Seq[Path] = {
@@ -1332,6 +1376,41 @@ final class GraftTable private (
         })
     }
     readWithDeletes(kept, log.eqDeletesOf(snaps, asOf), sch)
+  }
+
+  /** Consistency audit of the table's metadata against the filesystem —
+    * the `VACUUM DRY RUN`/fsck counterpart to [[removeOrphans]]. Checks,
+    * without reading data pages: every file the CURRENT visible set (and
+    * every live equality-delete sidecar) references exists on disk; no
+    * snapshot removes a file no prior snapshot added; no file is added
+    * twice by different snapshots. Returns human-readable findings
+    * (empty = consistent). O(manifests + stat'd files) driver-side. */
+  def validate(): Seq[String] = {
+    val snaps = log.snapshots
+    val issues = List.newBuilder[String]
+    val added = scala.collection.mutable.Map.empty[String, Long]
+    snaps.foreach { s =>
+      s.addedFiles.foreach { f =>
+        added.get(f) match {
+          case Some(prev) => issues +=
+            s"file $f added by snapshot ${s.snapshotId} was already added by $prev"
+          case None => added(f) = s.snapshotId
+        }
+      }
+      s.removedFiles.foreach { f =>
+        if (!added.contains(f)) issues +=
+          s"snapshot ${s.snapshotId} removes $f which no prior snapshot added"
+      }
+    }
+    log.dataFilesOf(snaps, None).foreach { abs =>
+      if (!Files.isRegularFile(Paths.get(abs)))
+        issues += s"visible data file missing on disk: ${dir.relativize(Paths.get(abs))}"
+    }
+    log.eqDeletesOf(snaps, None).foreach { case (sid, abs) =>
+      if (!Files.isRegularFile(Paths.get(abs)))
+        issues += s"equality-delete sidecar of snapshot $sid missing on disk: $abs"
+    }
+    issues.result()
   }
 
   /** Iceberg-style `$snapshots` metadata table: the commit history as

@@ -1149,6 +1149,60 @@ class WarehouseSpec extends AnyFunSuite {
       .filter(col("id") === 1234L).count() == 1)
   }
 
+  test("addFiles adopts parquet byte-identically and composes with DML") {
+    import org.apache.spark.sql.functions.col
+    // stage an "external" parquet file
+    val ext = Files.createTempDirectory("graft-ext-")
+    spark.range(0, 100).toDF("id")
+      .withColumn("v", (col("id") * 3).cast("string"))
+      .coalesce(1).write.mode("overwrite").parquet(ext.toString)
+    def onlyParquet(d: java.nio.file.Path): java.nio.file.Path = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      finally s.close()
+    }
+    val srcFile = onlyParquet(ext)
+    val dir = Files.createTempDirectory("graft-add-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq.empty[(Long, String)].toDF("id", "v")).get
+    val snap = t.addFiles(Seq(srcFile), statsCols = Seq("id"))
+    assert(snap.operation == "append")
+    // byte-identical adoption (link or verbatim copy — never a rewrite)
+    val imported = dir.resolve(snap.addedFiles.head)
+    assert(java.nio.file.Files.mismatch(srcFile, imported) == -1L)
+    assert(t.read().count() == 100)
+    // requested stats recorded: range prune works on the imported file
+    assert(t.metaCount().contains(100L))
+    // the adopted file participates in normal DML afterwards
+    t.append(spark.range(100, 120).toDF("id")
+      .withColumn("v", (col("id") * 3).cast("string")))
+    t.deleteWhere(col("id") < 10L)
+    assert(t.read().count() == 110)
+    // schema mismatch refused (swapped types)
+    val bad = Files.createTempDirectory("graft-ext2-")
+    spark.range(0, 5).toDF("v").withColumn("id", col("v").cast("string"))
+      .select("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(bad.toString)
+    intercept[IllegalArgumentException] { t.addFiles(Seq(onlyParquet(bad))) }
+  }
+
+  test("validate() reports missing files and manifest inconsistencies; silent when clean") {
+    import org.apache.spark.sql.functions.col
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    t.deleteWhere(col("id") === 1L)
+    assert(t.validate().isEmpty, "a healthy table must audit clean")
+    // vandalize: remove one currently-visible data file
+    val victim = t.dir.resolve(t.log.head.get.addedFiles.head)
+    Files.delete(victim)
+    val issues = t.validate()
+    assert(issues.exists(_.contains("missing on disk")), issues.mkString("; "))
+  }
+
   test("metadata tables: snapshots history and visible files from manifests alone") {
     import org.apache.spark.sql.functions.col
     val c = new Connector(spark, freshWarehouse())
