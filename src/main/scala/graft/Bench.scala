@@ -39,7 +39,27 @@ object Bench {
     // optional arg: comma-separated query names (local iteration aid —
     // the driver always times the full surface)
     val only = args.headOption.map(_.split(',').toSet)
+    // Execution ORDER is a measurement decision, not cosmetics: profiling
+    // (r11) showed the warehouse/service rigs leave hundreds of live
+    // threads behind (Spark's cached shuffle-exchange / AQE-stage /
+    // broadcast pools grow to max-ever concurrency and never drain
+    // between back-to-back queries; Hadoop's local-FS Shell execs leave
+    // process reapers), which taxes exactly the queries that schedule
+    // hundreds of tiny driver jobs — the streaming micro-batch rigs
+    // measured 2.5-3x their true cost when name-sorted last. Run the
+    // latency-sensitive streaming block FIRST on the clean JVM, plain
+    // relational/pipeline queries next, and the pool-polluting
+    // warehouse/service rigs (whose own commit/socket cost dominates
+    // their numbers regardless) last.
+    val serviceNames = Set("q100_follower", "q101_wire_roundtrip",
+      "q102_mirror", "q108_mirror_cdf", "q113_mirror_evolve",
+      "q122_mirror_mor")
+    def sensitivity(n: String): Int =
+      if (n.contains("stream")) 0
+      else if (serviceNames.contains(n)) 2
+      else 1
     val fns = SparkEntry.queries.toSeq.sortBy(_._1)
+      .sortBy { case (n, _) => sensitivity(n) } // stable: name order within groups
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
@@ -67,11 +87,17 @@ object Bench {
       // inside them): late queries start from a settled heap instead
       // of inheriting the whole run's garbage as old-gen occupancy.
       System.gc()
-    fns.foreach { case (_, fn) =>
+    val results = fns.map { case (name, fn) =>
+      // PER-QUERY warm-up (one untimed run immediately before the timed
+      // passes) instead of a single global warm-up phase: the global
+      // phase executed every rig once — including the pool-polluting
+      // ones — BEFORE any timing, so even the first-ordered queries
+      // measured a dirtied JVM. Per-query warm-up still absorbs the
+      // one-time costs that are not query cost (JIT, codegen cache,
+      // footer reads) while timing each query on the JVM state its
+      // ORDER position implies.
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       purge()
-    }
-    val results = fns.map { case (name, fn) =>
       // (elapsed, succeeded) per pass; the min is taken over SUCCESSFUL
       // passes only — a pass that throws fails fast, and letting its
       // time-to-exception win the min would report a phantom speedup

@@ -1378,6 +1378,46 @@ final class GraftTable private (
     readWithDeletes(kept, log.eqDeletesOf(snaps, asOf), sch)
   }
 
+  /** SHALLOW CLONE (Delta's CLONE shape): a new independent table over
+    * the CURRENT visible file set, materialized by hardlinks (copy
+    * fallback cross-device) — zero data rewritten, O(files) metadata,
+    * and the clone then evolves separately (its commits never touch
+    * this table's files; hardlinked bytes stay immutable under both
+    * tables' append-only discipline, and each side's GC only ever
+    * unlinks its own directory entries). Column stats and blooms ride
+    * along (remapped to the clone's paths), so pruning works on the
+    * clone immediately. The dev/test-fork tool next to [[createBranch]]
+    * (which stays within ONE table's history). Refuses live
+    * merge-on-read tombstones — compact first, a clone of the data
+    * files alone would resurrect deleted rows. */
+  def cloneTo(dstDir: Path, newName: String): GraftTable = {
+    requireNoEqDeletes("cloneTo")
+    val snaps = log.snapshots
+    val head = snaps.lastOption.getOrElse(
+      throw new IllegalStateException(s"table $name has no snapshots"))
+    val statsByFile = snaps.flatMap(_.stats).toMap
+    val dst = new GraftTable(newName, dstDir.toAbsolutePath.normalize(), spark)
+    require(!(dst.log.exists && dst.log.head.nonEmpty),
+      s"clone target $newName already exists")
+    Files.createDirectories(dstDir)
+    dst.log.init()
+    val commitDir = dst.dir.resolve("data")
+      .resolve(s"k${UUID.randomUUID().toString.take(12)}")
+    Files.createDirectories(commitDir)
+    val mapped = log.dataFiles(None).zipWithIndex.map { case (abs, i) =>
+      val src = Paths.get(abs)
+      val to = commitDir.resolve(f"clone-$i%05d.parquet")
+      try Files.createLink(to, src)
+      catch { case _: Exception => Files.copy(src, to) }
+      dir.relativize(src).toString -> dst.dir.relativize(to).toString
+    }
+    val stats = mapped.flatMap { case (oldRel, newRel) =>
+      statsByFile.get(oldRel).map(newRel -> _)
+    }.toMap
+    dst.log.commit("create", mapped.map(_._2).sorted, head.schemaJson, stats)
+    dst
+  }
+
   /** Consistency audit of the table's metadata against the filesystem —
     * the `VACUUM DRY RUN`/fsck counterpart to [[removeOrphans]]. Checks,
     * without reading data pages: every file the CURRENT visible set (and

@@ -447,4 +447,56 @@ class PropertySpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.expr("id_b = id_a + 1000000"))
     assert(pairs.count() === 3)
   }
+
+  test("property: partition transforms — driver apply == engine expr on random inputs") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import graft.warehouse.PartitionField
+    // random LONGS (full-range + small) through bucket and truncate;
+    // one engine pass over the whole sample, no per-value jobs
+    val longs = (samples(Gen.long, 150) ++
+      samples(Gen.choose(-1000L, 1000L), 100))
+      .filter(_ != Long.MinValue).distinct
+    for (f <- Seq(PartitionField("bucket", "x", 32),
+                  PartitionField("truncate", "x", 7))) {
+      val engine = spark.createDataset(longs).toDF("x")
+        .select(col("x"), f.expr(LongType).cast("long").as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      longs.foreach { v =>
+        assert(engine(v) == f.apply(v, LongType).asInstanceOf[Number].longValue,
+          s"${f.kind} mismatch for long $v")
+      }
+    }
+    // random INTS must hash as ints (width bug would shift every bucket)
+    val ints = samples(Gen.choose(Int.MinValue, Int.MaxValue), 150).distinct
+    val fbI = PartitionField("bucket", "x", 16)
+    val engineI = spark.createDataset(ints).toDF("x")
+      .select(col("x"), fbI.expr(IntegerType).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    ints.foreach(v => assert(engineI(v) == fbI.apply(v, IntegerType)))
+    // random unicode STRINGS through bucket and prefix-truncate
+    val strs = samples(Gen.listOfN(6, Gen.choose(32, 0x2FFF).map(_.toChar))
+      .map(_.mkString), 120).distinct
+    val fbS = PartitionField("bucket", "x", 16)
+    val ftS = PartitionField("truncate", "x", 3)
+    val engineS = spark.createDataset(strs).toDF("x")
+      .select(col("x"), fbS.expr(StringType).as("b"), ftS.expr(StringType).as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    strs.foreach { v =>
+      val (b, t) = engineS(v)
+      assert(b == fbS.apply(v, StringType), s"bucket mismatch for string '$v'")
+      assert(t == ftS.apply(v, StringType), s"truncate mismatch for string '$v'")
+    }
+    // random NTZ timestamps through day (epoch-day at UTC)
+    val ldts = samples(Gen.choose(-2000000000L, 4000000000L), 100).distinct
+      .map(s => java.time.LocalDateTime.ofEpochSecond(s, 0, java.time.ZoneOffset.UTC))
+    val fd = PartitionField("day", "x")
+    val engineD = spark.createDataset(ldts).toDF("x")
+      .select(col("x"), fd.expr(TimestampNTZType).as("d"))
+      .collect().map(r => r.getAs[java.time.LocalDateTime](0) -> r.getInt(1)).toMap
+    ldts.foreach(v => assert(engineD(v) == fd.apply(v, TimestampNTZType),
+      s"day mismatch for $v"))
+  }
 }

@@ -1,19 +1,39 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Throwaway profiling main for tuning — NOT part of the library.
-  * Current probe: SemDeDup blocking recall (q128) per cluster count. */
+  * Current probe: what the service queries leave behind that slows
+  * later streaming micro-batches (the bench-tail inflation). */
 object Scratch {
   def time[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime()
     val r = f
-    println(f"  $label%-40s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    println(f"  $label%-44s ${(System.nanoTime() - t0) / 1e9}%.3f s")
     r
   }
 
+  private def stats(label: String): Unit = {
+    System.gc(); Thread.sleep(300)
+    val rt = Runtime.getRuntime
+    val used = (rt.totalMemory - rt.freeMemory) / (1 << 20)
+    val threads = Thread.activeCount()
+    val root = Thread.currentThread.getThreadGroup.getParent match {
+      case null => Thread.currentThread.getThreadGroup
+      case p =>
+        var g = p; while (g.getParent != null) g = g.getParent; g
+    }
+    val all = new Array[Thread](root.activeCount() + 64)
+    val n = root.enumerate(all, true)
+    val byName = all.take(n).filter(_ != null).map(_.getName)
+      .groupBy(_.replaceAll("[-0-9]+$", "")).view.mapValues(_.length)
+      .toSeq.sortBy(-_._2).take(12)
+    println(s"== $label: heapUsed=${used}MB threads=$n")
+    byName.foreach { case (k, c) => println(f"     $c%4d  $k") }
+  }
+
   def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -21,23 +41,24 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import graft.operators.Dedup
+    spark.sparkContext.setLogLevel("ERROR")
+    val fns = SparkEntry.queries
 
-    for (sf <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
-      val emb = T.embeddings(spark, sf)
-      val n = emb.count()
-      val ne = time(s"$sf exact kept")(
-        Dedup.cosineDedup(emb, "vec_id", "embedding", 0.4).count())
-      println(s"  n=$n exactKept=$ne exactDropped=${n - ne}")
-      for (k <- Seq(4, 8, 16); p <- Seq(1, 2, 3)) {
-        val ns = time(s"  sem k=$k p=$p kept")(
-          Dedup.semDedup(emb, "vec_id", "embedding", 0.4, k, p).count())
-        val power =
-          if (n == ne) 1.0 else (n - ns).toDouble / (n - ne)
-        println(f"  k=$k%-3d p=$p semKept=$ns power=$power%.3f")
-      }
-    }
+    def run(name: String): Unit =
+      time(name)(fns(name)(spark, sfDir).count())
+
+    stats("fresh")
+    run("q94_stream_tumbling")
+    run("q94_stream_tumbling")
+    stats("after 2x q94")
+    val svc = Seq("q100_follower", "q101_wire_roundtrip", "q102_mirror",
+      "q108_mirror_cdf", "q113_mirror_evolve", "q122_mirror_mor")
+    for (round <- 1 to 4; q <- svc) run(q)
+    stats("after 4x service block")
+    run("q94_stream_tumbling")
+    run("q94_stream_tumbling")
+    run("q94_stream_tumbling")
+    stats("after q94 again")
     spark.stop()
   }
 }

@@ -1188,6 +1188,34 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.addFiles(Seq(onlyParquet(bad))) }
   }
 
+  test("shallow clone shares bytes, evolves independently, and prunes via carried stats") {
+    import org.apache.spark.sql.functions.col
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("src", Seq.empty[(Long, String)].toDF("id", "v"))
+    val t = c.loadTable("src")
+    t.append(spark.range(0, 400).toDF("id")
+      .withColumn("v", col("id").cast("string")),
+      clusterBy = Seq("id"), clusterParts = 8)
+    val clone = t.cloneTo(
+      Files.createTempDirectory("graft-clone-"), "src_clone")
+    assert(clone.read().count() == 400)
+    // stats traveled: the clone prunes immediately
+    val total = clone.read().inputFiles.length
+    assert(clone.readWhere("id", Some(10L), Some(20L)).inputFiles.length < total)
+    // clone evolves independently; source untouched
+    clone.append(spark.range(400, 500).toDF("id")
+      .withColumn("v", col("id").cast("string")))
+    clone.deleteWhere(col("id") < 50L)
+    assert(clone.read().count() == 450)
+    assert(t.read().count() == 400)
+    // source evolves independently; clone untouched
+    t.deleteWhere(col("id") >= 200L)
+    assert(t.read().count() == 200)
+    assert(clone.read().count() == 450)
+    // both audit clean afterwards (shared bytes were never mutated)
+    assert(t.validate().isEmpty && clone.validate().isEmpty)
+  }
+
   test("validate() reports missing files and manifest inconsistencies; silent when clean") {
     import org.apache.spark.sql.functions.col
     val c = new Connector(spark, freshWarehouse())
