@@ -852,6 +852,58 @@ object Warehouse {
           round(col("o_totalprice"), 2).as("price"))
         .withColumn("import_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q131: shallow clone — zero-copy fork, independent evolution -
+    // Delta CLONE shape: the clone hardlinks the source's visible files
+    // (no data rewritten) and then evolves separately — here the clone
+    // deletes half its rows and appends a re-priced stratum while the
+    // SOURCE must stay byte-for-byte what it was. The graded rows are
+    // the CLONE's final state (declaratively restated by the oracle);
+    // the witness pins zero-copy (a clone file is byte-identical to a
+    // source file), source isolation (source count unchanged after the
+    // clone's DML), carried-stats pruning on the clone, and a clean
+    // validate() fsck on BOTH tables at the end (shared bytes never
+    // mutated).
+    Q("q131_shallow_clone",
+      """WITH base AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders)
+        |SELECT o_orderkey, price, TRUE AS clone_ok FROM (
+        |  SELECT o_orderkey, price FROM base WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, price * 2 AS price FROM base
+        |  WHERE o_orderkey % 10 = 0)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_src", base.limit(0))
+      val t = conn.loadTable("orders_src")
+      t.append(base, clusterBy = Seq("o_orderkey"), clusterParts = 8)
+      val srcCount = t.read().count()
+      val clone = t.cloneTo(
+        java.nio.file.Paths.get(Scratch.dir("clone")), "orders_clone")
+      // zero-copy: first clone file byte-identical to a source file
+      val cloneFile = clone.dir.resolve(clone.log.head.get.addedFiles.head)
+      val zeroCopy = t.log.dataFiles(None).exists { abs =>
+        java.nio.file.Files.mismatch(
+          java.nio.file.Paths.get(abs), cloneFile) == -1L
+      }
+      // carried stats prune on the clone before any clone-side commit
+      val total = clone.read().inputFiles.length
+      val pruned = clone.readWhere("o_orderkey",
+        None, Some(base.agg(min(col("o_orderkey"))).head().getLong(0)))
+        .inputFiles.length < total
+      // independent evolution
+      clone.deleteWhere(col("o_orderkey") % 2 === 0)
+      clone.append(base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("price", col("price") * 2))
+      val witness = zeroCopy && pruned &&
+        t.read().count() == srcCount &&
+        t.validate().isEmpty && clone.validate().isEmpty
+      clone.read()
+        .withColumn("clone_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql
