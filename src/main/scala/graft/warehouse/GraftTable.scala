@@ -519,23 +519,51 @@ final class GraftTable private (
         else spark.read.schema(schemaAsOf(Some(base.snapshotId)))
           .parquet(affected.map(f => dir.resolve(f).toString): _*)
           .join(keys, keyCond, "left_anti")
-      survivors.unionByName(upserts.select(survivors.columns.map(col): _*))
-        .write.parquet(commitDir.toString)
-      val files = Files.list(commitDir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
+      val rewritten =
+        survivors.unionByName(upserts.select(survivors.columns.map(col): _*))
+      // the table's partition spec survives the rewrite (same rule as
+      // compact): rewritten rows re-land one-partition-value-per-file,
+      // so point pruning doesn't decay under DML
+      val pspec = partitionSpec
+        .filter(f => rewritten.schema.fieldNames.contains(f.column))
+      if (pspec.isEmpty) rewritten.write.parquet(commitDir.toString)
+      else {
+        val withP = pspec.foldLeft(rewritten) { (dd, f) =>
+          dd.withColumn(f.statName, f.expr(rewritten.schema(f.column).dataType))
+        }
+        withP.write.partitionBy(pspec.map(_.statName): _*)
+          .parquet(commitDir.toString)
+      }
+      val files = parquetFilesIn(commitDir)
         .map(p => dir.relativize(p).toString)
         .toSeq.sorted
       // rewritten files inherit the stat columns their predecessors
       // recorded (plus any explicitly requested): without this every
       // upsert would silently strip pruning stats from the files it
-      // touches, degrading readWhere over time
-      val inherited = {
-        val prev = log.snapshots.flatMap(_.stats).toMap
-        affected.flatMap(f => prev.get(f).toSeq.flatMap(st =>
-          st.numMin.keySet ++ st.strMin.keySet))
-      }
-      val stats = collectStats(commitDir,
+      // touches, degrading readWhere over time. Bloom sketches inherit
+      // the same way (recomputed — bloom bytes cannot merge by range).
+      val prevStats = log.snapshots.flatMap(_.stats).toMap
+      val inherited = affected.flatMap(f => prevStats.get(f).toSeq.flatMap(st =>
+        st.numMin.keySet ++ st.strMin.keySet))
+      val inheritedBlooms = affected.flatMap(f =>
+        prevStats.get(f).toSeq.flatMap(_.blooms.keySet)).distinct
+      val stats0 = collectStats(commitDir,
         (statsCols ++ inherited).distinct.filter(schema.fieldNames.contains))
+      val statsP =
+        if (pspec.isEmpty) stats0
+        else {
+          val hist = partitionSpecHistory
+          val dtOf = (c: String) =>
+            rewritten.schema.fields.find(_.name == c).map(_.dataType)
+          stats0.map { case (rel, st) =>
+            val (nm, sm) = Partitioning.pathStatEntries(rel, hist, dtOf)
+            rel -> st.copy(
+              numMin = st.numMin ++ nm, numMax = st.numMax ++ nm,
+              strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
+          }
+        }
+      val stats = mergeBlooms(commitDir, statsP,
+        inheritedBlooms.filter(schema.fieldNames.contains))
       try {
         return log.commit("merge", files, base.schemaJson, stats,
           expectedHead = Some(base.snapshotId), removedFiles = affected)
@@ -573,27 +601,49 @@ final class GraftTable private (
       if (affected.isEmpty)
         return head // nothing matches: no-op, current head stands
       val commitDir = dir.resolve("data").resolve(s"d${UUID.randomUUID().toString.take(12)}")
-      spark.read.schema(sch)
+      val survivors = spark.read.schema(sch)
         .parquet(affected.map(f => dir.resolve(f).toString): _*)
         // SQL DELETE semantics: remove only rows where cond is TRUE. A
         // bare `!cond` would also drop NULL-evaluating rows (NULL
         // satisfies neither side) — silent data loss.
         .filter(!org.apache.spark.sql.functions.coalesce(cond,
           org.apache.spark.sql.functions.lit(false)))
-        .write.parquet(commitDir.toString)
-      val files = Files.list(commitDir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
+      // spec survives the rewrite, same as merge/compact
+      val pspec = partitionSpec.filter(f => sch.fieldNames.contains(f.column))
+      if (pspec.isEmpty) survivors.write.parquet(commitDir.toString)
+      else {
+        val withP = pspec.foldLeft(survivors) { (dd, f) =>
+          dd.withColumn(f.statName, f.expr(sch(f.column).dataType))
+        }
+        withP.write.partitionBy(pspec.map(_.statName): _*)
+          .parquet(commitDir.toString)
+      }
+      val files = parquetFilesIn(commitDir)
         .map(p => dir.relativize(p).toString)
         .toSeq.sorted
-      // same stat-column inheritance as merge: surviving rows keep the
-      // pruning stats their source files carried
-      val inherited = {
-        val prev = log.snapshots.flatMap(_.stats).toMap
-        affected.flatMap(f => prev.get(f).toSeq.flatMap(st =>
-          st.numMin.keySet ++ st.strMin.keySet))
-          .distinct.filter(sch.fieldNames.contains)
-      }
-      val stats = collectStats(commitDir, inherited)
+      // same stat-column (and bloom) inheritance as merge: surviving
+      // rows keep the pruning stats their source files carried
+      val prevStats = log.snapshots.flatMap(_.stats).toMap
+      val inherited = affected.flatMap(f => prevStats.get(f).toSeq.flatMap(st =>
+        st.numMin.keySet ++ st.strMin.keySet))
+        .distinct.filter(sch.fieldNames.contains)
+      val inheritedBlooms = affected.flatMap(f =>
+        prevStats.get(f).toSeq.flatMap(_.blooms.keySet))
+        .distinct.filter(sch.fieldNames.contains)
+      val stats0 = collectStats(commitDir, inherited)
+      val statsP =
+        if (pspec.isEmpty) stats0
+        else {
+          val hist = partitionSpecHistory
+          val dtOf = (c: String) => sch.fields.find(_.name == c).map(_.dataType)
+          stats0.map { case (rel, st) =>
+            val (nm, sm) = Partitioning.pathStatEntries(rel, hist, dtOf)
+            rel -> st.copy(
+              numMin = st.numMin ++ nm, numMax = st.numMax ++ nm,
+              strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
+          }
+        }
+      val stats = mergeBlooms(commitDir, statsP, inheritedBlooms)
       try {
         return log.commit("delete", files, head.schemaJson, stats,
           expectedHead = Some(head.snapshotId), removedFiles = affected)
@@ -1414,6 +1464,10 @@ final class GraftTable private (
     val stats = mapped.flatMap { case (oldRel, newRel) =>
       statsByFile.get(oldRel).map(newRel -> _)
     }.toMap
+    // the partition spec travels: cloned files keep their (remapped)
+    // partition entries above, and FUTURE clone appends keep the layout
+    if (Files.exists(specsPath))
+      Files.copy(specsPath, dst.dir.resolve("partition_specs.txt"))
     dst.log.commit("create", mapped.map(_._2).sorted, head.schemaJson, stats)
     dst
   }

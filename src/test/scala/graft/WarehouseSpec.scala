@@ -1105,6 +1105,14 @@ class WarehouseSpec extends AnyFunSuite {
     val kept2 = t.readWhereIn("id", Seq(5L)).inputFiles.length
     assert(kept2 > 0 && kept2 * 4 <= total2,
       s"post-compact lookup kept $kept2 of $total2 — spec not preserved")
+    // DML rewrites keep the layout too: after a predicate delete the
+    // rewritten survivors re-land one-bucket-value-each and still prune
+    t.deleteWhere(col("id") % 13 === 0)
+    assert(t.readWhereIn("id", Seq(5L)).filter(col("id") === 5L).count() == 1)
+    val total3 = t.read().inputFiles.length
+    val kept3 = t.readWhereIn("id", Seq(5L)).inputFiles.length
+    assert(kept3 > 0 && kept3 * 4 <= total3,
+      s"post-delete lookup kept $kept3 of $total3 — spec lost in rewrite")
   }
 
   test("manifest blooms prune point lookups on an unclustered high-cardinality column") {
@@ -1147,6 +1155,13 @@ class WarehouseSpec extends AnyFunSuite {
     assert(kept2 <= 3, s"post-compact bloom kept $kept2 files")
     assert(t.readWhereIn("id", Seq(1234L))
       .filter(col("id") === 1234L).count() == 1)
+    // DML rewrites INHERIT blooms: the rewritten survivors re-record
+    // the sketch, so point skipping survives a delete
+    t.deleteWhere(col("id") % 97 === 0)
+    assert(t.readWhereIn("id", Seq(1234L))
+      .filter(col("id") === 1234L).count() == 1)
+    val kept3 = t.readWhereIn("id", Seq(1234L)).inputFiles.length
+    assert(kept3 <= 3, s"post-delete bloom kept $kept3 files — sketch lost")
   }
 
   test("addFiles adopts parquet byte-identically and composes with DML") {
