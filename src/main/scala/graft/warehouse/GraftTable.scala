@@ -755,12 +755,35 @@ final class GraftTable private (
       val removed = log.dataFiles(Some(base.snapshotId))
         .map(f => dir.relativize(Paths.get(f)).toString).sorted
       val commitDir = dir.resolve("data").resolve(s"r${UUID.randomUUID().toString.take(12)}")
-      df.write.parquet(commitDir.toString)
-      val files = Files.list(commitDir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
+      // same spec-preservation rule as append/merge/compact: a rebuild
+      // (mirror changelog apply, MV recovery) re-lands partitioned
+      val pspec = partitionSpec
+        .filter(f => df.schema.fieldNames.contains(f.column))
+      if (pspec.isEmpty) df.write.parquet(commitDir.toString)
+      else {
+        val withP = pspec.foldLeft(df) { (dd, f) =>
+          dd.withColumn(f.statName, f.expr(df.schema(f.column).dataType))
+        }
+        withP.write.partitionBy(pspec.map(_.statName): _*)
+          .parquet(commitDir.toString)
+      }
+      val files = parquetFilesIn(commitDir)
         .map(p => dir.relativize(p).toString)
         .toSeq.sorted
-      val stats = collectStats(commitDir, statsCols)
+      val stats0 = collectStats(commitDir, statsCols)
+      val stats =
+        if (pspec.isEmpty) stats0
+        else {
+          val hist = partitionSpecHistory
+          val dtOf = (c: String) =>
+            df.schema.fields.find(_.name == c).map(_.dataType)
+          stats0.map { case (rel, st) =>
+            val (nm, sm) = Partitioning.pathStatEntries(rel, hist, dtOf)
+            rel -> st.copy(
+              numMin = st.numMin ++ nm, numMax = st.numMax ++ nm,
+              strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
+          }
+        }
       try {
         return log.commit("replace", files, df.schema.json, stats,
           expectedHead = Some(base.snapshotId), removedFiles = removed)
