@@ -461,6 +461,82 @@ object Streaming {
         .agg(max(col("n_events")).as("n_events"),
           round(expr("max_by(total_value, n_events)"), 2).as("total_value"))
         .orderBy("user_id")
+    },
+
+    // ---- q132: EVENT-TIME TIMERS (transformWithState sessionization) -
+    // The timer half of the TWS API (q129 grades typed state): per-user
+    // inactivity-gap sessions where a session closed by a later event
+    // emits input-driven, and a session nothing follows emits when its
+    // REGISTERED TIMER (last event + 30 min) passes the watermark — the
+    // custom-per-session-logic shape session_window cannot host. Staged
+    // as q111's time-ordered slices (so a finite 1 h watermark is
+    // drop-free) plus a far-future sentinel slice that pushes the final
+    // watermark past every real session's horizon — the tail sessions
+    // must be emitted BY TIMERS, so a timer regression loses exactly
+    // them and hash-mismatches. The oracle restates gap sessionization
+    // declaratively at microsecond precision; terminal output must be
+    // identical session-for-session.
+    Q("q132_stream_timers",
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) -
+        |        epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |      OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sx AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |  epoch_us(CAST(min(ts) AS TIMESTAMP)) AS s_start_us,
+        |  epoch_us(CAST(max(ts) AS TIMESTAMP)) AS s_end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM sx GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val staging = Scratch.dir("q132_stage")
+      val ev = T.events(s, d)
+      (0 until 8).foreach { g =>
+        ev.filter(dayofmonth(col("ts")).between(g * 4 + 1, g * 4 + 4))
+          .coalesce(1).write.mode("append").parquet(staging)
+      }
+      // sentinel slice: one far-future event for a user the output
+      // filters away; its watermark passes every real timer
+      ev.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", col("ts") + expr("INTERVAL 400 DAYS"))
+        .coalesce(1).write.mode("append").parquet(staging)
+      val sessions = EventStreams.timerSessions(
+        EventStreams.readEvents(s, staging, maxFilesPerTrigger = 1)
+          .as[EventStreams.Event],
+        gapSec = 1800, watermark = "1 hour")
+      val sink = "q132_sink_" + java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProv = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        withShufflePartitions(s, 4) {
+          val sq = sessions.writeStream.format("memory").queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", Scratch.dir("q132_ckpt"))
+            .trigger(Trigger.AvailableNow())
+            .start()
+          sq.awaitTermination()
+        }
+      } finally prevProv match {
+        case Some(v) => s.conf.set(provKey, v)
+        case None => s.conf.unset(provKey)
+      }
+      import org.apache.spark.sql.expressions.Window
+      landSink(s, sink)
+        .filter(col("user_id") =!= -1L)
+        .withColumn("sess_id", row_number().over(
+          Window.partitionBy("user_id").orderBy("s_start_us")).cast("long"))
+        .select("user_id", "sess_id", "s_start_us", "s_end_us", "n_events")
+        .orderBy("user_id", "sess_id")
     })
 
   def queries: Seq[Q] = ql

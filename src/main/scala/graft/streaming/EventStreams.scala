@@ -143,6 +143,89 @@ object EventStreams {
     }
   }
 
+  /** A closed inactivity-gap session (bounds in epoch MICROS — exact
+    * against the µs event times; a Timestamp round-trip through millis
+    * would shear them). */
+  final case class Session(user_id: Long, s_start_us: Long,
+      s_end_us: Long, n_events: Long)
+
+  private final case class SessState(startUs: Long, lastUs: Long, n: Long)
+
+  /** Gap sessionization through EVENT-TIME TIMERS (`transformWithState`
+    * + `TimeMode.EventTime`) — the timer half of the TWS API q129's
+    * ValueState variant doesn't touch. A session closed by a FOLLOWING
+    * event emits input-driven; a session nothing follows emits when its
+    * timer (last event + gap) passes the watermark — the pattern
+    * `session_window` can't express once per-session custom logic is
+    * needed. Within-batch disorder is absorbed by sorting each (user,
+    * batch) slice; across batches the caller must replay in event-time
+    * order at batch granularity (q132's slice rig), the same contract
+    * as every finite-watermark rig here. */
+  def timerSessions(events: Dataset[Event], gapSec: Long = 1800,
+      watermark: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSec * 1000000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  private def tsMicros(t: Timestamp): Long =
+    (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+
+  private class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, Session] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Session] = {
+      val sorted = rows.toArray.sortBy(e => (tsMicros(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var cur: Option[SessState] =
+        if (st.exists()) Some(st.get()) else None
+      sorted.foreach { e =>
+        val t = tsMicros(e.ts)
+        cur match {
+          case Some(s) if t - s.lastUs > gapUs =>
+            out += Session(uid, s.startUs, s.lastUs, s.n)
+            cur = Some(SessState(t, t, 1))
+          case Some(s) =>
+            cur = Some(SessState(s.startUs, math.max(s.lastUs, t), s.n + 1))
+          case None => cur = Some(SessState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        st.update(s)
+        // ONE live timer per key: re-arm at the open session's horizon
+        getHandle.listTimers().foreach(old =>
+          getHandle.deleteTimer(old.asInstanceOf[Long]))
+        getHandle.registerTimer(s.lastUs / 1000L + gapUs / 1000L + 1L)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long,
+        timers: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[Session] = {
+      if (!st.exists()) return Iterator.empty
+      val s = st.get()
+      st.clear()
+      Iterator.single(Session(uid, s.startUs, s.lastUs, s.n))
+    }
+  }
+
   /** Stream-static enrichment join: each micro-batch joins against a
     * (small, broadcastable) static dimension — the streaming analogue of
     * the fact⋈dim pattern; the static side re-resolves per batch, so a
