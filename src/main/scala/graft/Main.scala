@@ -36,6 +36,8 @@ object Main {
        |  write  [-p <port=8816>] -n <table> [-i <intervalSec=1>] [-b <batchRows=4096>] [--iterations k]
        |  mirror -s <sourceUrl> -n <targetTable> -w <warehouseDir>
        |         [-i <intervalSec=60>] [-b <batchRows=4096>] [--one-time]
+       |  fsck   <warehouseDir> [table]        # validate() manifests vs filesystem
+       |  inspect <warehouseDir> <table> <snapshots|files>
        |  demo   <warehouseDir>""".stripMargin
 
   /** Tiny flag parser for the reference's CLI surface.
@@ -60,9 +62,35 @@ object Main {
     case "read" :: rest => readCmd(flags(rest))
     case "write" :: rest => writeCmd(flags(rest))
     case "mirror" :: rest => mirrorCmd(flags(rest))
+    case "fsck" :: whPath :: rest if rest.size <= 1 => fsck(whPath, rest.headOption)
+    case "inspect" :: whPath :: table :: kind :: Nil => inspect(whPath, table, kind)
     case other =>
       System.err.println(usage + s"\n(got: ${other.mkString(" ")})")
       sys.exit(2)
+  }
+
+  /** Manifest-vs-filesystem audit over one table or the whole warehouse
+    * (exit 1 when any issue is found — scriptable like a real fsck). */
+  private def fsck(whPath: String, table: Option[String]): Unit = {
+    val spark = session("graft-fsck")
+    val conn = new Connector(spark, whPath)
+    val targets = table.map(Seq(_)).getOrElse(conn.tables)
+    var bad = 0
+    targets.foreach { t =>
+      val issues = conn.loadTable(t).validate()
+      if (issues.isEmpty) println(s"$t: OK")
+      else { bad += issues.size; issues.foreach(i => println(s"$t: $i")) }
+    }
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+
+  /** Print a metadata table ($snapshots / $files) for a warehouse table. */
+  private def inspect(whPath: String, table: String, kind: String): Unit = {
+    val spark = session("graft-inspect")
+    new Connector(spark, whPath).inspect(table, kind)
+      .show(1000, truncate = false)
+    spark.stop()
   }
 
   /** Bootstrap + serve (reference: `run_server`, `icerunner.py:669-713`):
