@@ -235,6 +235,36 @@ final class GraftTable private (
     *   UNCLUSTERED high-cardinality columns where min/max ranges prune
     *   nothing. [[readWhereIn]] probes it; ~2% false positives cost a
     *   spurious file read, false negatives are impossible. */
+  // ---- declared default layout (Iceberg sort orders) ----------------
+
+  private def sortOrderPath: Path = dir.resolve("sort_order.txt")
+
+  /** Declare the table's DEFAULT clustered layout (Iceberg's sort
+    * order): every future [[append]] and plain [[compact]] that does
+    * not request an explicit layout range-clusters on these columns
+    * and records their stats, so writers stop re-stating the layout at
+    * every call site and file skipping holds by default. Metadata-only
+    * (existing files keep their layout); Nil clears it. */
+  def setSortOrder(cols: Seq[String]): Unit = {
+    log.head.foreach { _ =>
+      val names = schema.fieldNames.toSet
+      cols.foreach(c => require(names.contains(c),
+        s"sort-order column '$c' not in schema of $name"))
+    }
+    cols.foreach(c => require(!c.contains(',') && !c.contains('\n'),
+      s"unsupported character in sort-order column '$c'"))
+    val tmp = Files.createTempFile(dir, ".sort-", ".tmp")
+    Files.writeString(tmp, cols.mkString(","))
+    Files.move(tmp, sortOrderPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def sortOrder: Seq[String] =
+    if (!Files.exists(sortOrderPath)) Nil
+    else Files.readString(sortOrderPath).split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+
   def append(df: DataFrame, clusterBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil, clusterParts: Int = 0,
       bloomCols: Seq[String] = Nil): Snapshot = {
@@ -245,10 +275,15 @@ final class GraftTable private (
         s"append schema mismatch for $name:\n expected $expected\n got ${df.schema}")
     }
     val commitDir = dir.resolve("data").resolve(s"s${UUID.randomUUID().toString.take(12)}")
+    // an explicit clusterBy wins; otherwise the table's declared sort
+    // order applies by default ([[setSortOrder]])
+    val effCluster =
+      if (clusterBy.nonEmpty) clusterBy
+      else sortOrder.filter(df.schema.fieldNames.contains)
     val out =
-      if (clusterBy.isEmpty) df
+      if (effCluster.isEmpty) df
       else {
-        val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+        val cols = effCluster.map(org.apache.spark.sql.functions.col)
         // explicit partition count pins file granularity (AQE otherwise
         // coalesces small test/tail writes into one wide-range file)
         if (clusterParts > 0) df.repartitionByRange(clusterParts, cols: _*)
@@ -272,7 +307,7 @@ final class GraftTable private (
       .map(p => dir.relativize(p).toString)
       .toSeq.sorted
     val schemaJson = existing.map(_.schemaJson).getOrElse(df.schema.json)
-    val wanted = (clusterBy ++ statsCols).distinct
+    val wanted = (effCluster ++ statsCols).distinct
     val stats0 = collectStats(commitDir, wanted)
     val stats =
       if (pspec.isEmpty) stats0
@@ -867,7 +902,15 @@ final class GraftTable private (
         else if (clusterBy.nonEmpty)
           current.repartitionByRange(parts,
             clusterBy.map(org.apache.spark.sql.functions.col): _*)
-        else current.repartition(parts)
+        else {
+          // the declared default sort order applies to a plain compact
+          // too ([[setSortOrder]]) — maintenance keeps the table's
+          // layout without the caller restating it
+          val so = sortOrder.filter(current.schema.fieldNames.contains)
+          if (so.nonEmpty) current.repartitionByRange(parts,
+            so.map(org.apache.spark.sql.functions.col): _*)
+          else current.repartition(parts)
+        }
       // the current partition spec survives a plain compact (same rule
       // as Iceberg's rewrite): files re-land one-partition-value-each
       // and keep pruning; an explicit zOrder/cluster layout wins instead
@@ -888,7 +931,10 @@ final class GraftTable private (
         .toSeq.sorted
       // without re-collected stats the compacted files would be unprunable
       // (a silent regression for readWhere) — record them when asked
-      val wanted = (zOrderBy ++ clusterBy ++ statsCols).distinct
+      val wanted = (zOrderBy ++ clusterBy ++
+        (if (zOrderBy.isEmpty && clusterBy.isEmpty)
+          sortOrder.filter(current.schema.fieldNames.contains) else Nil) ++
+        statsCols).distinct
       val stats0 = collectStats(commitDir, wanted)
       val statsP =
         if (pspec.isEmpty) stats0
@@ -1487,10 +1533,13 @@ final class GraftTable private (
     val stats = mapped.flatMap { case (oldRel, newRel) =>
       statsByFile.get(oldRel).map(newRel -> _)
     }.toMap
-    // the partition spec travels: cloned files keep their (remapped)
-    // partition entries above, and FUTURE clone appends keep the layout
+    // layout declarations travel: cloned files keep their (remapped)
+    // partition entries above, and FUTURE clone appends keep both the
+    // partition spec and the default sort order
     if (Files.exists(specsPath))
       Files.copy(specsPath, dst.dir.resolve("partition_specs.txt"))
+    if (Files.exists(sortOrderPath))
+      Files.copy(sortOrderPath, dst.dir.resolve("sort_order.txt"))
     dst.log.commit("create", mapped.map(_._2).sorted, head.schemaJson, stats)
     dst
   }

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import graft.streaming.EventStreams
 import graft.warehouse.{Connector, GraftTable, SnapshotLog}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -1244,6 +1245,61 @@ class WarehouseSpec extends AnyFunSuite {
     Files.delete(victim)
     val issues = t.validate()
     assert(issues.exists(_.contains("missing on disk")), issues.mkString("; "))
+  }
+
+  test("declared sort order: appends and plain compacts cluster by default") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-so-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq.empty[(Long, String)].toDF("id", "v")).get
+    t.setSortOrder(Seq("id"))
+    // caller does NOT restate the layout: the declared order clusters
+    t.append(spark.range(0, 2000).toDF("id")
+      .withColumn("v", col("id").cast("string")).repartition(8))
+    val total = t.read().inputFiles.length
+    assert(total >= 2)
+    val kept = t.readWhere("id", Some(0L), Some(100L)).inputFiles.length
+    assert(kept < total, s"default sort order inert: kept $kept of $total")
+    // a plain compact keeps the declared layout and its stats
+    t.append(spark.range(2000, 4000).toDF("id")
+      .withColumn("v", col("id").cast("string")).repartition(8))
+    t.compact(targetFiles = 6)
+    val total2 = t.read().inputFiles.length
+    val kept2 = t.readWhere("id", Some(0L), Some(100L)).inputFiles.length
+    assert(kept2 < total2, s"post-compact order inert: kept $kept2 of $total2")
+    // the order travels with a clone
+    val clone = t.cloneTo(Files.createTempDirectory("graft-so-c-"), "tc")
+    assert(clone.sortOrder == Seq("id"))
+  }
+
+  test("streaming ingestion into a partition-specced table lands prunable") {
+    import org.apache.spark.sql.functions.col
+    // the foreachBatch sink appends through the same GraftTable.append,
+    // so a declared bucket spec applies to STREAMED data too
+    val c = new Connector(spark, freshWarehouse())
+    // table schema must match the STREAMED shape (readEvents reads ts as
+    // TimestampType via eventSchema, not the raw parquet's NTZ)
+    c.createTable("ev", spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      EventStreams.eventSchema))
+    c.loadTable("ev").setPartitionSpec(Seq(
+      graft.warehouse.PartitionField("bucket", "user_id", 8)))
+    val stage = Files.createTempDirectory("graft-ing-").toString
+    T.events(spark, "/root/testdata/sf0.001").coalesce(2)
+      .write.mode("overwrite").parquet(stage)
+    val sq = EventStreams.ingestToWarehouse(
+      EventStreams.readEvents(spark, stage), c, "ev",
+      Files.createTempDirectory("graft-ing-ckpt").toString)
+    sq.awaitTermination(120000)
+    val t = c.loadTable("ev")
+    val uid = t.read().select("user_id").head().getLong(0)
+    val total = t.read().inputFiles.length
+    val kept = t.readWhereIn("user_id", Seq(uid)).inputFiles.length
+    assert(kept > 0 && kept < total,
+      s"streamed files not partition-prunable: kept $kept of $total")
+    assert(t.readWhereIn("user_id", Seq(uid))
+      .filter(col("user_id") === uid).count() ==
+      t.read().filter(col("user_id") === uid).count())
   }
 
   test("metadata tables: snapshots history and visible files from manifests alone") {
