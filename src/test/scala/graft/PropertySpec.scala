@@ -448,6 +448,37 @@ class PropertySpec extends AnyFunSuite {
     assert(pairs.count() === 3)
   }
 
+  test("property: intervalJoin equals brute-force containment on random axes and widths") {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    for (round <- 0 until 3) {
+      val pts = samples(Gen.choose(-500L, 500L), 80 + round * 40).distinct
+      val ivs = samples(Gen.zip(Gen.choose(-520L, 480L), Gen.choose(-5L, 60L)),
+        25 + round * 10).zipWithIndex
+        .map { case ((s, len), i) => (i.toLong, s, s + len) } // len<0 ⇒ empty
+      val width = Seq(3L, 10L, 64L)(round)
+      val pdf = spark.createDataset(pts).toDF("p")
+      val idf = spark.createDataset(ivs).toDF("iid", "lo", "hi")
+      val got = graft.operators.RangeJoin.intervalJoin(
+          pdf, col("p"), idf, col("lo"), col("hi"), bucketWidth = width)
+        .select("p", "iid").as[(Long, Long)].collect().toSet
+      val want = (for {
+        p <- pts; (iid, lo, hi) <- ivs if p >= lo && p <= hi
+      } yield (p, iid)).toSet
+      assert(got == want,
+        s"width=$width missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      // left join: every point appears; unmatched exactly once with null
+      val left = graft.operators.RangeJoin.intervalJoin(
+          pdf, col("p"), idf, col("lo"), col("hi"),
+          bucketWidth = width, joinType = "left")
+        .select("p", "iid").collect()
+      val matchedPts = want.map(_._1)
+      assert(left.count(r => r.isNullAt(1)) == pts.count(!matchedPts.contains(_)))
+      assert(left.length == want.size + pts.count(!matchedPts.contains(_)))
+    }
+  }
+
   test("property: partition transforms — driver apply == engine expr on random inputs") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
