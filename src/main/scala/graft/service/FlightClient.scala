@@ -126,6 +126,13 @@ final class FlightClient(spark: SparkSession, val host: String, val port: Int,
       Wire.schemaOf(r.str("schema"))
     }
 
+  /** Declared layout (serialized partition spec + sort order) for
+    * replication — the mirror re-declares it on the replica. */
+  def getLayout(table: String): (String, String) =
+    call(Wire.obj("action" -> "get_layout", "table" -> table)) { (r, _) =>
+      (r.str("spec"), r.str("sort"))
+    }
+
   /** Snapshot metadata (reference client: `icerunner.py:1021-1037`). */
   def getMetadata(table: String): FlightClient.Meta =
     call(Wire.obj("action" -> "get_metadata", "table" -> table)) { (r, _) =>

@@ -187,6 +187,16 @@ final class FlightService(connector: Connector, port: Int = 0,
           "snapshot_id" -> Wire.JNum(t.currentSnapshotId.getOrElse(0L)),
           "schema" -> t.schema.json))
 
+      case "get_layout" =>
+        // the declared layout travels with replication: the mirror
+        // applies the source's partition spec / sort order to the
+        // replica so delta appends land prunable there too
+        val t = connector.loadTable(req.table)
+        Wire.writeLine(out, Wire.obj(
+          "ok" -> true,
+          "spec" -> t.partitionSpecSerialized,
+          "sort" -> t.sortOrder.mkString(",")))
+
       case "get_schema" =>
         // The reference's mirror sends this command and falls back to
         // schema-from-first-batch when unanswered (`icerunner.py:942-961`)

@@ -55,10 +55,28 @@ object Mirror {
     try {
       if (connector.tableExists(targetTable))
         connector.replaceTable(targetTable, f.df)
-      else connector.createTable(targetTable, f.df)
+      else {
+        connector.createTable(targetTable, f.df)
+        applyLayout(data, sourceTable, connector, targetTable)
+      }
       ("full_resync", connector.count(targetTable), f.snapshotId)
     } finally f.cleanup()
   }
+
+  /** Re-declare the SOURCE's layout (partition spec + sort order) on a
+    * freshly created replica, so the replica's own delta appends land
+    * partition-/cluster-prunable like the source's. Best-effort: a
+    * source without `get_layout` (or with none declared) leaves the
+    * replica's layout local — replication correctness never depends
+    * on it. */
+  private def applyLayout(ctl: FlightClient, sourceTable: String,
+      connector: Connector, targetTable: String): Unit =
+    try {
+      val (spec, sort) = ctl.getLayout(sourceTable)
+      val t = connector.loadTable(targetTable)
+      if (spec.nonEmpty) t.setPartitionSpecSerialized(spec)
+      if (sort.nonEmpty) t.setSortOrder(sort.split(",").toSeq)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Additive schema-evolution continuation: when the wire delta
     * carries columns the replica lacks, evolve the replica in place
@@ -208,6 +226,7 @@ object Mirror {
           val f = data.doGet(sourceTable)
           try {
             connector.createTable(targetTable, f.df)
+            applyLayout(client, sourceTable, connector, targetTable)
             ("full_sync", connector.count(targetTable), f.snapshotId)
           } finally f.cleanup()
         } else prev.sourceSnapshotId match {

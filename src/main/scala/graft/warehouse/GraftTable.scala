@@ -207,6 +207,14 @@ final class GraftTable private (
     else Files.readAllLines(specsPath).asScala.lastOption
       .map(Partitioning.parseSpecLine).getOrElse(Nil)
 
+  /** Serialized forms of the declared layout, for wire replication
+    * ([[graft.service.Mirror]] applies a source's layout to its
+    * replica so delta appends land prunable there too). */
+  def partitionSpecSerialized: String = Partitioning.specLine(partitionSpec)
+
+  def setPartitionSpecSerialized(line: String): Unit =
+    setPartitionSpec(Partitioning.parseSpecLine(line))
+
   /** Every field EVER declared — readers probe all eras' entries. */
   def partitionSpecHistory: Seq[PartitionField] =
     if (!Files.exists(specsPath)) Nil

@@ -191,6 +191,39 @@ class ServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("mirror re-declares the source's layout; replica deltas land prunable") {
+    withService { (srcConn, client, _) =>
+      client.doPut("lsrc", SampleData.create(spark, 20, "analytics"))
+      val st = srcConn.loadTable("lsrc")
+      st.setPartitionSpec(Seq(
+        graft.warehouse.PartitionField("bucket", "visitor_id", 4)))
+      st.setSortOrder(Seq("session_id"))
+      val targetWh = new Connector(spark, tmpDir("graft-mirror-l"))
+      val state = SyncState(tmpDir("graft-state-l"))
+      val url = "grpc://localhost:1/lsrc"
+      val r1 = Mirror.performSync(client, url, "lsrc", targetWh, "ldst", state)
+      assert(r1.status === "full_sync")
+      val rt = targetWh.loadTable("ldst")
+      assert(rt.partitionSpec === st.partitionSpec)
+      assert(rt.sortOrder === st.sortOrder)
+      // the incremental delta appends through the replica's own spec:
+      // its files land one-bucket-value-each and point lookups prune
+      client.doPut("lsrc", SampleData.create(spark, 40, "analytics", seed = 7))
+      val r2 = Mirror.performSync(client, url, "lsrc", targetWh, "ldst", state)
+      assert(r2.status === "incremental")
+      val vid = rt.read().select("visitor_id").head().getString(0)
+      val total = rt.read().inputFiles.length
+      val kept = rt.readWhereIn("visitor_id", Seq(vid)).inputFiles.length
+      assert(kept > 0 && kept < total,
+        s"replica delta not partition-prunable: kept $kept of $total")
+      assert(rt.readWhereIn("visitor_id", Seq(vid))
+        .filter(org.apache.spark.sql.functions.col("visitor_id") === vid)
+        .count() === rt.read()
+        .filter(org.apache.spark.sql.functions.col("visitor_id") === vid)
+        .count())
+    }
+  }
+
   test("mirror replays merge-on-read deletes from the op log: delta + keys only, era preserved") {
     withService { (src, client, svc) =>
       import spark.implicits._
