@@ -1329,6 +1329,36 @@ class WarehouseSpec extends AnyFunSuite {
     assert(preDelete.count() >= files.count())
   }
 
+  test("multi-field spec: bucket x day prunes multiplicatively through one layout") {
+    import graft.warehouse.PartitionField
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-part2-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq.empty[(Long, java.time.LocalDateTime)].toDF("id", "ts")).get
+    t.setPartitionSpec(Seq(
+      PartitionField("bucket", "id", 4), PartitionField("day", "ts")))
+    val base = java.time.LocalDateTime.of(2026, 5, 1, 0, 0, 0)
+    val rows = (0L until 1200L).map(i => (i, base.plusHours(i % (6 * 24))))
+    t.append(spark.createDataset(rows).toDF("id", "ts").repartition(2))
+    val total = t.read().inputFiles.length
+    assert(total >= 20, s"expected a 4x6-cell layout, got $total files")
+    // single-dimension probes each keep a slice...
+    val dayLo = base.plusDays(2); val dayHi = base.plusDays(2).plusHours(23)
+    val byDay = t.readWhere("ts", Some(dayLo), Some(dayHi)).inputFiles.length
+    val byId = t.readWhereIn("id", Seq(7L)).inputFiles.length
+    assert(byDay < total && byId < total)
+    // ...and the readWhereIn probe composes BOTH fields for a point row:
+    // value 7 pins the id-bucket; its day entry can't help a pure id
+    // probe, but the bucket alone already beats either slice bound
+    assert(byId * 2 <= total, s"bucket kept $byId of $total")
+    // correctness through the 2-field layout
+    assert(t.read().count() == 1200)
+    assert(t.readWhereIn("id", Seq(7L)).filter(col("id") === 7L).count() == 1)
+    val want = rows.count(r => !r._2.isBefore(dayLo) && !r._2.isAfter(dayHi))
+    assert(t.readWhere("ts", Some(dayLo), Some(dayHi))
+      .filter(col("ts") >= dayLo && col("ts") <= dayHi).count() == want)
+  }
+
   test("day partitioning prunes time-range reads from path metadata alone") {
     import graft.warehouse.PartitionField
     import org.apache.spark.sql.functions.col
