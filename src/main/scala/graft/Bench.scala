@@ -71,7 +71,7 @@ object Bench {
     // tax the late-sorted queries (the documented ~1.5× end-of-run
     // inflation). Unloading them between queries is semantics-free:
     // StateStore lazily reloads on next use.
-    def purge(): Unit =
+    def purge(): Unit = {
       try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
       catch { case _: Throwable => () }
       // every streaming rig leaves its terminated StreamingQuery (plus
@@ -87,6 +87,7 @@ object Bench {
       // inside them): late queries start from a settled heap instead
       // of inheriting the whole run's garbage as old-gen occupancy.
       System.gc()
+    }
     val results = fns.map { case (name, fn) =>
       // PER-QUERY warm-up (one untimed run immediately before the timed
       // passes) instead of a single global warm-up phase: the global

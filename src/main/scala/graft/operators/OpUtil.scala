@@ -56,6 +56,21 @@ private[graft] final class BoundedLru[K, V](max: Int,
     }
     all.foreach { case (k, v) => onEvict(k, v) }
   }
+  /** Remove every entry whose key matches `pred` (invalidation hook —
+    * e.g. dropping a table must purge cached state keyed under its
+    * path, or a recreate at the same path would serve stale values). */
+  def removeKeys(pred: K => Boolean): Unit = {
+    val removed = m.synchronized {
+      val snap = List.newBuilder[(K, V)]
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (pred(e.getKey)) { snap += ((e.getKey, e.getValue)); it.remove() }
+      }
+      snap.result()
+    }
+    removed.foreach { case (k, v) => onEvict(k, v) }
+  }
 }
 
 /** Shared predicates for adaptive physical-strategy choices. */

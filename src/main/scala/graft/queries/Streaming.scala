@@ -537,6 +537,58 @@ object Streaming {
           Window.partitionBy("user_id").orderBy("s_start_us")).cast("long"))
         .select("user_id", "sess_id", "s_start_us", "s_end_us", "n_events")
         .orderBy("user_id", "sess_id")
+    },
+
+    // ---- q133: EXACTLY-ONCE streaming ingestion under crash-replay ---
+    // Grades the txn-marker sink protocol (EventStreams.
+    // ingestBatchExactlyOnce): every foreachBatch append records its
+    // (checkpoint, batchId) in the commit's snapshot summary, and a
+    // batch whose id is at-or-below the table's last marker no-ops.
+    // The rig runs a real 4-micro-batch ingest to completion, then
+    // SIMULATES the crash window (failure between append and
+    // checkpoint advance — Structured Streaming then re-runs the same
+    // batch with the same id) by invoking the sink body again with the
+    // final batchId AND with an earlier one. Without the skip the
+    // replays would re-append (the reference's mirror does exactly
+    // that on re-sync, `icerunner.py:1042-1076`) and the hash against
+    // the plain events oracle would fail on the doubled rows; the
+    // witness additionally pins that the replays committed NO new
+    // snapshot.
+    Q("q133_exactly_once_ingest",
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value,
+        |  TRUE AS replay_noop_ok
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val staging = Scratch.dir("q133_stage")
+      T.events(s, d).repartition(4).write.mode("overwrite").parquet(staging)
+      val conn = new Connector(s, Scratch.dir("q133_wh"))
+      val ckpt = Scratch.dir("q133_ckpt")
+      withShufflePartitions(s, 8) {
+        val sq = EventStreams.ingestToWarehouse(
+          EventStreams.readEvents(s, staging, maxFilesPerTrigger = 1),
+          conn, "events_ingested", ckpt)
+        sq.awaitTermination()
+      }
+      val t = conn.loadTable("events_ingested")
+      val headBefore = t.currentSnapshotId.get
+      val lastBatch = t.lastTxnBatch(EventStreams.txnAppId(ckpt)).get
+      // crash-replay 1: the final batch re-runs with its own id (the
+      // exact shape of a crash between commit and checkpoint advance).
+      // The replayed content is the whole staged corpus — maximally
+      // sensitive: any failure of the skip doubles the table.
+      EventStreams.ingestBatchExactlyOnce(conn, "events_ingested", ckpt,
+        s.read.parquet(staging), lastBatch)
+      // crash-replay 2: an older batch id (restart from a stale
+      // checkpoint) must equally no-op — markers are monotone
+      EventStreams.ingestBatchExactlyOnce(conn, "events_ingested", ckpt,
+        s.read.parquet(staging), 0L)
+      val headAfter = conn.loadTable("events_ingested").currentSnapshotId.get
+      val witness = headAfter == headBefore && lastBatch >= 3L
+      conn.query("events_ingested")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+        .withColumn("replay_noop_ok", lit(witness))
+        .orderBy("event_id")
     })
 
   def queries: Seq[Q] = ql

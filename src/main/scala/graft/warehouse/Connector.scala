@@ -43,17 +43,21 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       .getOrElse(throw new NoSuchElementException(s"table not found: $name"))
 
   /** Idempotent create-with-data (reference: `create_table`,
-    * `icerunner.py:133-161`). Returns false if it already existed. */
-  def createTable(name: String, data: DataFrame): Boolean = {
-    val created = GraftTable.create(spark, tableDir(name), name, data)
+    * `icerunner.py:133-161`). Returns false if it already existed.
+    * `properties` land in the create snapshot's summary (txn markers
+    * for exactly-once streaming sinks — see GraftTable.lastTxnBatch). */
+  def createTable(name: String, data: DataFrame,
+      properties: Map[String, String] = Map.empty): Boolean = {
+    val created = GraftTable.create(spark, tableDir(name), name, data, properties)
     created.foreach(_ => reflectView(name))
     created.isDefined
   }
 
   /** Transactional append (reference: `insert`, `icerunner.py:163-178`). */
-  def insert(name: String, data: DataFrame): Boolean = {
+  def insert(name: String, data: DataFrame,
+      properties: Map[String, String] = Map.empty): Boolean = {
     val t = loadTable(name)
-    t.append(data)
+    t.append(data, properties = properties)
     reflectView(name)
     true
   }
@@ -77,10 +81,11 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * the one-commit CDC apply (see [[GraftTable.merge]]). */
   def merge(name: String, data: DataFrame, keyCols: Seq[String],
       whenMatchedDelete: org.apache.spark.sql.Column,
-      statsCols: Seq[String] = Nil): Boolean = {
+      statsCols: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Boolean = {
     val t = loadTable(name)
     t.merge(data, keyCols, whenMatchedDelete,
-      if (statsCols.nonEmpty) statsCols else keyCols)
+      if (statsCols.nonEmpty) statsCols else keyCols, properties)
     reflectView(name)
     true
   }
@@ -176,6 +181,10 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       try walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(p => Files.deleteIfExists(p))
       finally walk.close()
+      // a recreate at this path restarts the manifest id sequence,
+      // reusing v…1.json paths with new content — purge the per-JVM
+      // manifest parse cache or reads would serve the dropped table
+      SnapshotLog.invalidateUnder(dir)
       spark.catalog.dropTempView(name)
       reflectedAt.remove(name)
       true

@@ -154,6 +154,25 @@ final class GraftTable private (
         "merge-on-read delete(s) first — run compact()")
   }
 
+  /** Highest micro-batch id a streaming sink identified by `appId` has
+    * COMMITTED into this table (the Delta `txn` lookup): scans visible
+    * manifests for `graft.txn.*` markers. A sink replaying a batch
+    * after a crash-between-commit-and-checkpoint compares its batchId
+    * against this and no-ops — the exactly-once half the checkpoint
+    * alone cannot give. Caveat: [[expireSnapshots]] past the LAST
+    * marker of an app forgets it; expiry should keep at least one
+    * recent snapshot per live sink (replay windows are short — the
+    * batch right after a crash — so any sane retention satisfies
+    * this). */
+  def lastTxnBatch(appId: String): Option[Long] = {
+    val snaps = log.snapshots
+    snaps.flatMap { s =>
+      if (s.properties.get(GraftTable.TxnAppIdKey).contains(appId))
+        s.properties.get(GraftTable.TxnBatchKey).flatMap(_.toLongOption)
+      else None
+    }.maxOption
+  }
+
   /** Rows appended by snapshots in `(sinceId, head]` — incremental read
     * without any join (fixes `icerunner.py:243-252`, SURVEY.md §2A-12). */
   def changesSince(sinceId: Long, untilId: Long = Long.MaxValue): DataFrame = {
@@ -179,33 +198,72 @@ final class GraftTable private (
   // ---- hidden partitioning (see Partitioning.scala) -----------------
 
   private def specsPath: Path = dir.resolve("partition_specs.txt")
+  private def specsDir: Path = dir.resolve("partition_specs")
 
   /** Declare the partition spec used by FUTURE [[append]]s (Iceberg
     * hidden partitioning: transforms over source columns, not stored
     * columns). Changing the spec is metadata-only — NO rewrite: files
     * written under earlier specs keep their era's manifest entries and
-    * keep pruning correctly ([[Partitioning]] scaladoc). Appends to the
-    * specs file atomically; pass Nil to stop partitioning new writes. */
+    * keep pruning correctly ([[Partitioning]] scaladoc). Pass Nil to
+    * stop partitioning new writes.
+    *
+    * Each declaration publishes its OWN versioned file via `link(2)`
+    * (same CAS protocol as every manifest commit): a racing committer
+    * loses with EEXIST and retries with the next version, so a
+    * concurrent declaration can never be silently lost — the
+    * read-prior/append/replace shape this replaced dropped one of two
+    * racing spec lines, leaving later writes recording entries for a
+    * spec era readers never probed. Pre-CAS tables' legacy
+    * `partition_specs.txt` is still read as the earliest history. */
   def setPartitionSpec(fields: Seq[PartitionField]): Unit = {
     log.head.foreach { _ =>
       val names = schema.fieldNames.toSet
       fields.foreach(f => require(names.contains(f.column),
         s"partition column '${f.column}' not in schema of $name"))
     }
-    val prior =
-      if (Files.exists(specsPath)) Files.readString(specsPath) else ""
-    val tmp = Files.createTempFile(dir, ".spec-", ".tmp")
-    Files.writeString(tmp, prior + Partitioning.specLine(fields) + "\n")
-    Files.move(tmp, specsPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.createDirectories(specsDir)
+    val line = Partitioning.specLine(fields)
+    var attempt = 0
+    while (attempt < 10000) {
+      val next = specVersions.lastOption.getOrElse(0L) + 1
+      val tmp = Files.createTempFile(specsDir, ".spec-", ".tmp")
+      Files.writeString(tmp, line + "\n")
+      try {
+        Files.createLink(specsDir.resolve(f"s$next%016d.txt"), tmp)
+        Files.deleteIfExists(tmp)
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1 // lost the race; re-probe versions and retry
+      }
+    }
+    throw new IllegalStateException(
+      "partition-spec contention: 10000 failed attempts")
+  }
+
+  private def specVersions: Seq[Long] =
+    if (!Files.isDirectory(specsDir)) Nil
+    else Files.list(specsDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.matches("s\\d{16}\\.txt"))
+      .map(n => n.substring(1, 17).toLong)
+      .toSeq.sorted
+
+  /** All declared spec lines in declaration order: legacy single-file
+    * lines (pre-CAS tables) first, then versioned CAS files. */
+  private def specLines: Seq[String] = {
+    val legacy =
+      if (!Files.exists(specsPath)) Nil
+      else Files.readAllLines(specsPath).asScala.toSeq.filter(_.nonEmpty)
+    val versioned = specVersions.map(v =>
+      Files.readString(specsDir.resolve(f"s$v%016d.txt")).trim)
+    legacy ++ versioned
   }
 
   /** The spec new appends will use (last declared; Nil = unpartitioned). */
   def partitionSpec: Seq[PartitionField] =
-    if (!Files.exists(specsPath)) Nil
-    else Files.readAllLines(specsPath).asScala.lastOption
-      .map(Partitioning.parseSpecLine).getOrElse(Nil)
+    specLines.lastOption.map(Partitioning.parseSpecLine).getOrElse(Nil)
 
   /** Serialized forms of the declared layout, for wire replication
     * ([[graft.service.Mirror]] applies a source's layout to its
@@ -217,9 +275,7 @@ final class GraftTable private (
 
   /** Every field EVER declared — readers probe all eras' entries. */
   def partitionSpecHistory: Seq[PartitionField] =
-    if (!Files.exists(specsPath)) Nil
-    else Files.readAllLines(specsPath).asScala.toSeq
-      .flatMap(Partitioning.parseSpecLine).distinct
+    specLines.flatMap(Partitioning.parseSpecLine).distinct
 
   /** Map a range predicate on a source column through every MONOTONE
     * transform in the spec history → extra manifest probes in partition
@@ -275,7 +331,8 @@ final class GraftTable private (
 
   def append(df: DataFrame, clusterBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil, clusterParts: Int = 0,
-      bloomCols: Seq[String] = Nil): Snapshot = {
+      bloomCols: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Snapshot = {
     val existing = log.head
     existing.foreach { h =>
       val expected = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
@@ -335,7 +392,7 @@ final class GraftTable private (
       else mergeBlooms(commitDir, stats,
         bloomCols.filter(df.schema.fieldNames.contains))
     log.commit(if (existing.isEmpty) "create" else "append", files,
-      schemaJson, statsB)
+      schemaJson, statsB, properties = properties)
   }
 
   /** Per-file bloom sketches for `cols`, sized from the commit's own
@@ -430,9 +487,12 @@ final class GraftTable private (
       spark.read.parquet(paths.map(_.toString): _*).schema.json)
     val wanted = statsCols.distinct
     val stats0 = collectStats(commitDir, wanted)
+    // check existing.isEmpty FIRST: on the table-creating commit
+    // `schema` has no snapshots to read and would throw before the
+    // short-circuit could apply
     val stats = mergeBlooms(commitDir, stats0,
-      bloomCols.filter(c => schema.fieldNames.contains(c) ||
-        existing.isEmpty))
+      bloomCols.filter(c => existing.isEmpty ||
+        schema.fieldNames.contains(c)))
     log.commit(if (existing.isEmpty) "create" else "append", files,
       schemaJson, stats)
   }
@@ -463,10 +523,11 @@ final class GraftTable private (
     * delta is not expressible as added rows — which routes replicas
     * onto their full-re-sync path. */
   def upsert(incoming: DataFrame, keyCols: Seq[String],
-      statsCols: Seq[String] = Nil): Snapshot =
+      statsCols: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Snapshot =
     merge(incoming, keyCols,
       whenMatchedDelete = org.apache.spark.sql.functions.lit(false),
-      statsCols = statsCols)
+      statsCols = statsCols, properties = properties)
 
   /** Full conditional MERGE — [[upsert]] plus a when-matched-DELETE
     * arm, the CDC-apply shape a changelog consumer needs in ONE
@@ -491,7 +552,8 @@ final class GraftTable private (
     * see EventStreams.cdcApply). */
   def merge(incoming: DataFrame, keyCols: Seq[String],
       whenMatchedDelete: org.apache.spark.sql.Column,
-      statsCols: Seq[String] = Nil): Snapshot = {
+      statsCols: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Snapshot = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
     // rows that UPSERT (insert-or-replace) vs rows that only tombstone;
@@ -504,7 +566,7 @@ final class GraftTable private (
       // (callers merging a changelog with extra metadata columns should
       // create the table with its intended schema first; this path
       // keeps upsert's historical create-from-incoming behavior)
-      return append(upserts, statsCols = statsCols)
+      return append(upserts, statsCols = statsCols, properties = properties)
     }
     // a CoW rewrite reads affected files directly; doing that under
     // live merge-on-read tombstones would resurrect deleted rows in
@@ -609,7 +671,8 @@ final class GraftTable private (
         inheritedBlooms.filter(schema.fieldNames.contains))
       try {
         return log.commit("merge", files, base.schemaJson, stats,
-          expectedHead = Some(base.snapshotId), removedFiles = affected)
+          expectedHead = Some(base.snapshotId), removedFiles = affected,
+          properties = properties)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           val walk = Files.walk(commitDir)
@@ -1546,6 +1609,14 @@ final class GraftTable private (
     // partition spec and the default sort order
     if (Files.exists(specsPath))
       Files.copy(specsPath, dst.dir.resolve("partition_specs.txt"))
+    if (Files.isDirectory(specsDir)) {
+      Files.createDirectories(dst.dir.resolve("partition_specs"))
+      specVersions.foreach { v =>
+        val fn = f"s$v%016d.txt"
+        Files.copy(specsDir.resolve(fn),
+          dst.dir.resolve("partition_specs").resolve(fn))
+      }
+    }
     if (Files.exists(sortOrderPath))
       Files.copy(sortOrderPath, dst.dir.resolve("sort_order.txt"))
     dst.log.commit("create", mapped.map(_._2).sorted, head.schemaJson, stats)
@@ -1631,7 +1702,13 @@ object GraftTable {
   /** Create a new table from initial data. Idempotency matches the
     * reference's create_table (`icerunner.py:133-161`): returns None if
     * the table already exists. */
-  def create(spark: SparkSession, dir: Path, name: String, data: DataFrame): Option[GraftTable] = {
+  /** Snapshot-property keys of the streaming-sink transaction markers
+    * (see [[GraftTable.lastTxnBatch]]). */
+  val TxnAppIdKey = "graft.txn.appId"
+  val TxnBatchKey = "graft.txn.batchId"
+
+  def create(spark: SparkSession, dir: Path, name: String, data: DataFrame,
+      properties: Map[String, String] = Map.empty): Option[GraftTable] = {
     // absolute dir: the rewrite probes relativize input_file_name()'s
     // absolute URIs, which throws against a relative table dir
     val t = new GraftTable(name, dir.toAbsolutePath.normalize(), spark)
@@ -1639,7 +1716,7 @@ object GraftTable {
     else {
       Files.createDirectories(dir)
       t.log.init()
-      t.append(data)
+      t.append(data, properties = properties)
       Some(t)
     }
   }

@@ -35,7 +35,14 @@ final case class Snapshot(
       * semantics — a later re-insert of the same key is NOT affected).
       * Only `eqdelete` snapshots carry these; a compact/replace
       * materializes and clears them. */
-    deleteFiles: Seq[String] = Nil)
+    deleteFiles: Seq[String] = Nil,
+    /** Free-form commit metadata (the Iceberg snapshot-summary shape).
+      * Carries the streaming-sink transaction markers
+      * (`graft.txn.appId`/`graft.txn.batchId` — see
+      * `EventStreams.ingestToWarehouse`): a crash-replayed micro-batch
+      * finds its batchId already committed and becomes a no-op, the
+      * Delta-style exactly-once sink protocol. */
+    properties: Map[String, String] = Map.empty)
 
 /** Per-data-file column statistics recorded in the manifest at commit
   * time — the Iceberg-style metadata that lets a reader prune files
@@ -213,6 +220,18 @@ object SnapshotLog {
     * a long-lived session bounded. */
   private val parseCache =
     new graft.operators.BoundedLru[String, Snapshot](65536)
+
+  /** Purge cached manifest parses under a table directory. The
+    * immutability argument in [[SnapshotLog.snapshots]] covers
+    * commit/rollback/expiry but NOT drop + recreate at the same path:
+    * the recreated table restarts its id sequence and reuses
+    * `v0000000000000001.json` with new content, so a path-only cache
+    * would keep serving the dropped table's snapshots. Every drop MUST
+    * call this (see `Connector.dropTable`). */
+  def invalidateUnder(tableDir: Path): Unit = {
+    val prefix = tableDir.toAbsolutePath.toString + java.io.File.separator
+    parseCache.removeKeys(_.startsWith(prefix))
+  }
 }
 
 final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
@@ -387,7 +406,8 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
       stats: Map[String, FileStat] = Map.empty,
       expectedHead: Option[Long] = None,
       removedFiles: Seq[String] = Nil,
-      deleteFiles: Seq[String] = Nil): Snapshot = {
+      deleteFiles: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Snapshot = {
     init()
     var attempt = 0
     while (attempt < 10000) {
@@ -398,7 +418,7 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
       }
       val id = head + 1
       val snap = Snapshot(id, System.currentTimeMillis(), operation,
-        addedFiles, schemaJson, stats, removedFiles, deleteFiles)
+        addedFiles, schemaJson, stats, removedFiles, deleteFiles, properties)
       val tmp = Files.createTempFile(snapDir, ".commit-", ".tmp")
       Files.writeString(tmp, SnapshotJson.write(snap))
       try {
@@ -454,9 +474,12 @@ private[warehouse] object SnapshotJson {
         (if (st.blooms.isEmpty) ""
          else ",\"blooms\":" + bloomMap(st.blooms)) + "}"
     }.mkString("{", ",", "}")
+    val props =
+      if (s.properties.isEmpty) ""
+      else ",\"properties\":" + strMap(s.properties)
     s"""{"snapshotId":${s.snapshotId},"timestampMs":${s.timestampMs},""" +
       s""""operation":"${esc(s.operation)}","addedFiles":$files,""" +
-      s""""removedFiles":$removed,"deleteFiles":$dels,"stats":$stats,""" +
+      s""""removedFiles":$removed,"deleteFiles":$dels,"stats":$stats$props,""" +
       s""""schemaJson":"${esc(s.schemaJson)}"}"""
   }
 
@@ -493,6 +516,8 @@ private[warehouse] object SnapshotJson {
       // absent in pre-upsert manifests: default to no removals
       (v \ "removedFiles").extractOrElse[Seq[String]](Nil),
       // absent before merge-on-read deletes existed
-      (v \ "deleteFiles").extractOrElse[Seq[String]](Nil))
+      (v \ "deleteFiles").extractOrElse[Seq[String]](Nil),
+      // absent before snapshot properties (txn markers) existed
+      (v \ "properties").extractOrElse[Map[String, String]](Map.empty))
   }
 }

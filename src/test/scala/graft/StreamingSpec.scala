@@ -353,4 +353,67 @@ class StreamingSpec extends AnyFunSuite {
     spark.catalog.dropTempView("dd_idts")
     spark.catalog.dropTempView("dd_key")
   }
+
+  test("crash-replayed ingest batches are no-ops (txn markers make the sink exactly-once)") {
+    val (dir, batchDf) = stageEvents()
+    val wh = new Connector(spark, Files.createTempDirectory("graft-swh").toString)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = EventStreams.ingestToWarehouse(
+      EventStreams.readEvents(spark, dir, maxFilesPerTrigger = 1),
+      wh, "ev", ckpt)
+    q.awaitTermination(120000)
+    val n = batchDf.count()
+    assert(wh.count("ev") === n)
+    val t = wh.loadTable("ev")
+    val appId = EventStreams.txnAppId(ckpt)
+    val last = t.lastTxnBatch(appId).get
+    val head = t.currentSnapshotId.get
+    // replay the last batch (crash between append and checkpoint):
+    // must not commit, must not change row count
+    EventStreams.ingestBatchExactlyOnce(wh, "ev", ckpt,
+      spark.read.parquet(dir), last)
+    assert(wh.count("ev") === n, "replayed batch re-appended rows")
+    assert(wh.loadTable("ev").currentSnapshotId.get === head,
+      "replayed batch committed a snapshot")
+    // an older batch id equally no-ops
+    EventStreams.ingestBatchExactlyOnce(wh, "ev", ckpt,
+      spark.read.parquet(dir), 0L)
+    assert(wh.count("ev") === n)
+    // a genuinely NEW batch id still appends (the marker gate is not a
+    // write lock)
+    val extra = batchDf.limit(5)
+    EventStreams.ingestBatchExactlyOnce(wh, "ev", ckpt, extra, last + 1)
+    assert(wh.count("ev") === n + 5)
+    assert(wh.loadTable("ev").lastTxnBatch(appId).contains(last + 1))
+    // a DIFFERENT sink identity (other checkpoint) is unaffected by
+    // this app's markers
+    val otherCkpt = Files.createTempDirectory("graft-ckpt2").toString
+    EventStreams.ingestBatchExactlyOnce(wh, "ev", otherCkpt, extra, 0L)
+    assert(wh.count("ev") === n + 10)
+  }
+
+  test("crash-replayed CDC batches are no-ops (delete arm replay cannot re-delete)") {
+    import spark.implicits._
+    val wh = new Connector(spark, Files.createTempDirectory("graft-swh").toString)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    def batch(rows: Seq[(Long, Long, Long, String)]): DataFrame =
+      rows.toDF("k", "ord", "tb", "op")
+    val delArm = Some(col("op") === "D")
+    def apply(b: DataFrame, id: Long): Unit =
+      EventStreams.cdcBatchExactlyOnce(wh, "state", Seq("k"),
+        "ord", "tb", ckpt, delArm, b, id)
+    apply(batch(Seq((1L, 1L, 0L, "U"), (2L, 1L, 0L, "U"))), 0L)
+    apply(batch(Seq((1L, 2L, 0L, "D"))), 1L) // delete k=1
+    apply(batch(Seq((1L, 3L, 0L, "U"))), 2L) // re-insert k=1
+    assert(wh.query("state").select("k").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L))
+    val head = wh.loadTable("state").currentSnapshotId.get
+    // crash-replay of the DELETE batch: without the marker skip this
+    // could tombstone the re-inserted key again (and at minimum costs
+    // a commit); with it the apply is a no-op
+    apply(batch(Seq((1L, 2L, 0L, "D"))), 1L)
+    assert(wh.query("state").select("k").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L), "replayed delete batch re-deleted a key")
+    assert(wh.loadTable("state").currentSnapshotId.get === head)
+  }
 }

@@ -1381,4 +1381,40 @@ class WarehouseSpec extends AnyFunSuite {
     // a NULL-day or unknown file would conservatively match; full scan intact
     assert(t.read().count() == 800)
   }
+
+  test("drop + recreate at the same path serves the NEW table (manifest cache invalidated)") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("dr", Seq((1L, "old-a"), (2L, "old-b")).toDF("id", "v"))
+    // parse (and cache) the first table's v…1 manifest
+    assert(c.query("dr").select("v").as[String].collect().forall(_.startsWith("old")))
+    assert(c.dropTable("dr"))
+    // the recreated table restarts its id sequence: v…1.json is REUSED
+    // with new content — a path-keyed cache that survived the drop
+    // would resolve the old schema/file list here
+    c.createTable("dr", Seq((10L, "new-x")).toDF("id", "v"))
+    val vs = c.query("dr").select("v").as[String].collect().toSeq
+    assert(vs == Seq("new-x"), s"stale manifest cache served: $vs")
+    assert(c.count("dr") == 1)
+  }
+
+  test("concurrent setPartitionSpec declarations are never lost (CAS spec files)") {
+    import graft.warehouse.PartitionField
+    val dir = Files.createTempDirectory("graft-spec-race-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq.empty[(Long, Long)].toDF("a", "b")).get
+    val threads = (1 to 8).map { i =>
+      new Thread(() =>
+        t.setPartitionSpec(Seq(PartitionField("bucket", "a", i * 2))))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // every declaration must appear in history — the pre-CAS
+    // read-modify-write dropped racing lines silently
+    val buckets = t.partitionSpecHistory.collect {
+      case f if f.kind == "bucket" => f.param
+    }.toSet
+    assert(buckets == (1 to 8).map(_ * 2).toSet,
+      s"lost spec declarations: got $buckets")
+    // current spec is exactly one of the declared ones
+    assert(t.partitionSpec.nonEmpty)
+  }
 }
