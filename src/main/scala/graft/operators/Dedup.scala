@@ -755,18 +755,51 @@ object Dedup {
     * is always sem-canonical (the q128 containment witness), and the
     * clustering only affects RECALL (cross-cluster dups survive),
     * never correctness of kept rows. */
+  /** Auto-k for [[semDedup]]: one cell per `targetCellRows` rows — the
+    * paper's posture scaled (Abbas et al. run 50k clusters over 5B
+    * embeddings ≈ 10^5 rows/cell; our default keeps cells small enough
+    * that a cell's pair quadratic stays cheap at any corpus size —
+    * pair work ≈ n·targetCellRows/2 grows LINEARLY in n once k tracks
+    * it, which a caller-fixed constant k cannot give). */
+  def semDedupAutoK(n: Long, targetCellRows: Int = 512): Int =
+    // floor 2: MLlib KMeans refuses k = 1; two cells of a small corpus
+    // is the harmless degenerate of "no blocking needed"
+    math.max(2, ((n + targetCellRows - 1) / targetCellRows).toInt)
+
+  /** Default worst-cell row cap for [[semDedup]] (see `cellCap`). */
+  def semDedupCellCap(targetCellRows: Int = 512): Int =
+    math.max(64, targetCellRows * 8)
+
+  /** @param k       cluster count; <= 0 derives it from the corpus size
+    *                ([[semDedupAutoK]]) so pair work scales linearly
+    * @param cellCap worst-cell ROW cap (<= 0 → [[semDedupCellCap]]):
+    *                rows in any (soft-assigned) cell beyond the cap are
+    *                dropped from candidate generation BEFORE the
+    *                self-join — a degenerate corpus collapsing into one
+    *                cell bounds at cap²/2 pairs instead of n²/2, the
+    *                same counted-LOUD guard as every LSH path (metric
+    *                `graft.semdedup.cellcap.drops`; recall cost only on
+    *                the overflowing cell's members). */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, k: Int = 16, probes: Int = 2): DataFrame = {
+      threshold: Double, k: Int = 0, probes: Int = 2,
+      targetCellRows: Int = 512, cellCap: Int = 0): DataFrame = {
+    val kEff = if (k > 0) k else semDedupAutoK(df.count(), targetCellRows)
+    val capEff = if (cellCap > 0) cellCap else semDedupCellCap(targetCellRows)
+    // a small corpus can auto-size below the probe count (k=1 is the
+    // degenerate one-cell case — all pairs, which at that size is fine)
+    val probesEff = math.min(probes, kEff)
     // soft assignment: a row lives in its `probes` nearest cells, so a
     // dup pair split across one boundary still meets in the shared
     // second-nearest cell (multi-probe, same trick as the IVF reader)
-    val assigned = Similarity.kmeansAssignN(df, idCol, vecCol, k, probes)
+    val assigned = Similarity.kmeansAssignN(df, idCol, vecCol, kEff, probesEff)
       .withColumnRenamed(idCol, "__sd_id")
-    val base = df
+    val base0 = df
       .select(col(idCol), col(vecCol).cast("array<double>").as("__sd_v"))
       .join(assigned, col(idCol) === col("__sd_id"))
       .select(col(idCol).as("__sd_i"), col("__sd_v"),
         explode(col("clusters")).as("cluster"))
+    val base = OpUtil.capBucketsForSelfJoin(base0, Seq("cluster"), capEff,
+      "graft.semdedup.cellcap.drops")
     val pairs = base
       .select(col("__sd_i").as("id_a"), col("__sd_v").as("__va"), col("cluster"))
       .join(base.select(col("__sd_i").as("id_b"),

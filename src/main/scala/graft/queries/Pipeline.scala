@@ -1375,15 +1375,19 @@ object Pipeline {
         |  UNION
         |  SELECT e.x, c.m FROM edges e JOIN comp c ON c.id = e.y),
         |canon AS (SELECT id, min(m) AS canonical FROM comp GROUP BY id)
-        |SELECT emb.vec_id, emb.label, TRUE AS sem_kept, TRUE AS power_ok
+        |SELECT emb.vec_id, emb.label, TRUE AS sem_kept, TRUE AS power_ok,
+        |  TRUE AS cell_ok
         |FROM embeddings emb
         |JOIN canon c ON emb.vec_id = c.id
         |WHERE c.canonical = emb.vec_id ORDER BY emb.vec_id""".stripMargin) { (s, d) =>
       val emb = T.embeddings(s, d)
       val keptExact = Dedup.cosineDedup(emb, "vec_id", "embedding", 0.4)
         .select("vec_id", "label")
+      // k derives from the corpus (n / targetCellRows — the r12 auto-k:
+      // pair work scales linearly once k tracks n) and the worst cell
+      // is row-capped with counted drops, like every LSH path
       val keptSem = Dedup.semDedup(emb, "vec_id", "embedding", 0.4,
-          k = 8, probes = 2)
+          probes = 2)
         .select(col("vec_id").as("__sem_id"))
       val power = emb.agg(count(lit(1)).as("__n")).crossJoin(
           keptExact.agg(count(lit(1)).as("__ne"))).crossJoin(
@@ -1391,11 +1395,27 @@ object Pipeline {
         .select((col("__n") === col("__ne") ||
           (col("__n") - col("__ns")).cast("double") /
             (col("__n") - col("__ne")) >= 0.5).as("power_ok"))
+      // max-cell-pairs witness: re-derive the SAME seeded soft
+      // assignment at the auto k — the worst cell's population must
+      // respect the cap (so no cell's pair quadratic can exceed
+      // cap^2/2), and on this corpus the guard must not have dropped
+      // rows (drops only fire on degenerate collapse)
+      val kAuto = Dedup.semDedupAutoK(emb.count())
+      val cap = Dedup.semDedupCellCap()
+      val maxCell = graft.operators.Similarity
+        .kmeansAssignN(emb, "vec_id", "embedding", kAuto, math.min(2, kAuto))
+        .select(explode(col("clusters")).as("cluster"))
+        .groupBy("cluster").count()
+        .agg(max(col("count")).as("m")).collect().head.getLong(0)
+      val drops = graft.operators.OpUtil
+        .dropCounters("graft.semdedup.cellcap.drops").value
+      val cellOk = maxCell <= cap && drops == 0L
       keptExact
         .join(keptSem, col("vec_id") === col("__sem_id"), "left")
         .crossJoin(broadcast(power))
         .select(col("vec_id"), col("label"),
           col("__sem_id").isNotNull.as("sem_kept"), col("power_ok"))
+        .withColumn("cell_ok", lit(cellOk))
         .orderBy("vec_id")
     },
 

@@ -301,6 +301,68 @@ object Service {
           .withColumn("evo_ok", lit(witness))
           .orderBy("o_orderkey")
       } finally svc.close()
+    },
+
+    // ---- q135: mirror survives source RENAME + DROP incrementally ----
+    // q113 covers ADDITIVE evolution; this grades the NON-additive
+    // half: the source renames price→amount before one append and
+    // drops its note column before another, and the mirror must stay
+    // on the `incremental` path both times — it fetches the source's
+    // retained schema eras (`get_schema_history`, field ids in the
+    // JSON) and REPLAYS the rename/drop on the replica as the same
+    // metadata-only evolve commits, instead of demoting a zero-byte
+    // source op to a full replica rebuild. The hash grades both
+    // sides' era projection: the replica's pre-rename files must
+    // surface their data under the NEW name (a name-only read nulls
+    // them), and the witness pins statuses, exact per-tick wire-delta
+    // sizes, and the replica's terminal 2-column schema.
+    Q("q135_mirror_rename",
+      """SELECT o_orderkey,
+        |  round(o_totalprice, 2) *
+        |    (CASE WHEN o_orderkey % 8 = 1 THEN 2 ELSE 1 END) AS amount,
+        |  TRUE AS ren_ok
+        |FROM orders WHERE o_orderkey % 8 IN (0, 1, 2)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val srcConn = new Connector(s, Scratch.dir("run"))
+      val dstConn = new Connector(s, Scratch.dir("run"))
+      val svc = new FlightService(srcConn, 0)
+      try {
+        val client = new FlightClient(s, "localhost", svc.boundPort)
+        val state = graft.service.SyncState(Scratch.dir("run"))
+        val url = s"grpc://localhost:${svc.boundPort}/orders_ren"
+        val orders = T.orders(s, d).select(col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"),
+          concat(lit("n"), (col("o_orderkey") % 5).cast("string")).as("note"))
+        srcConn.createTable("orders_ren",
+          orders.filter(col("o_orderkey") % 8 === 0))
+        val r1 = graft.service.Mirror.performSync(
+          client, url, "orders_ren", dstConn, "orders_ren_dst", state)
+        // rename tick: metadata-only on the source; the delta append
+        // arrives under the NEW name and the replica must replay the
+        // rename, not rebuild
+        srcConn.loadTable("orders_ren").renameColumn("price", "amount")
+        val sliceB = orders.filter(col("o_orderkey") % 8 === 1)
+          .select(col("o_orderkey"), (col("price") * 2).as("amount"), col("note"))
+        srcConn.insert("orders_ren", sliceB)
+        val r2 = graft.service.Mirror.performSync(
+          client, url, "orders_ren", dstConn, "orders_ren_dst", state)
+        // drop tick: the source sheds `note`; the replica drops it too
+        // and keeps streaming
+        srcConn.loadTable("orders_ren").dropColumn("note")
+        val sliceC = orders.filter(col("o_orderkey") % 8 === 2)
+          .select(col("o_orderkey"), col("price").as("amount"))
+        srcConn.insert("orders_ren", sliceC)
+        val r3 = graft.service.Mirror.performSync(
+          client, url, "orders_ren", dstConn, "orders_ren_dst", state)
+        val witness = r1.status == "full_sync" &&
+          r2.status == "incremental" && r2.rowsSynced == sliceB.count() &&
+          r3.status == "incremental" && r3.rowsSynced == sliceC.count() &&
+          dstConn.loadTable("orders_ren_dst").schema.fieldNames.toSeq ==
+            Seq("o_orderkey", "amount")
+        dstConn.query("orders_ren_dst")
+          .withColumn("ren_ok", lit(witness))
+          .orderBy("o_orderkey")
+      } finally svc.close()
     })
 
   def queries: Seq[Q] = ql

@@ -540,6 +540,63 @@ object Warehouse {
       Seq((cnt, mn, mx, true)).toDF("cnt", "min_key", "max_key", "meta_ok")
     },
 
+    // ---- q139: $partitions metadata table — spec-era aware -----------
+    // The Iceberg `$partitions` inspection surface: one row per
+    // (spec-era partition field, partition value) with file/row/byte
+    // counts, answered from MANIFESTS ALONE — the data directory is
+    // physically renamed away while the query runs (the q115 trick),
+    // so any file-touching implementation crashes. The rig evolves
+    // the spec mid-history (identity(status) era, then bucket(4) on
+    // the key), and the oracle predicts the identity era's
+    // per-status row counts declaratively; the bucket era —
+    // murmur3-valued, not oracle-expressible — is graded by witness:
+    // exactly 4 bucket partitions whose recorded rows sum to the odd
+    // half, byte counts known-positive everywhere, and the two eras'
+    // row totals each covering their half of the table.
+    Q("q139_partitions_meta",
+      """SELECT 'p_id_status' AS spec_field, o_orderstatus AS value,
+        |  CAST(count(*) AS BIGINT) AS rows_in_part, TRUE AS part_ok
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY o_orderstatus
+        |ORDER BY value""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.warehouse.PartitionField
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"),
+        col("o_orderstatus").as("status"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_pm", base.limit(0))
+      val t = conn.loadTable("orders_pm")
+      t.setPartitionSpec(Seq(PartitionField("identity", "status")))
+      t.append(base.filter(col("o_orderkey") % 2 === 0))
+      // spec evolution: metadata-only; later files record under the
+      // bucket era while the identity era's entries stay queryable
+      t.setPartitionSpec(Seq(PartitionField("bucket", "o_orderkey", 4)))
+      t.append(base.filter(col("o_orderkey") % 2 === 1))
+      val dataDir = t.dir.resolve("data")
+      val hidden = t.dir.resolve("data_hidden")
+      java.nio.file.Files.move(dataDir, hidden)
+      val (idRows, witness) =
+        try {
+          val parts = t.partitionsDf().collect()
+          val id = parts.filter(_.getString(0) == "p_id_status")
+          val bk = parts.filter(_.getString(0) == "p_b4_o_orderkey")
+          val evenN = base.filter(col("o_orderkey") % 2 === 0).count()
+          val oddN = base.filter(col("o_orderkey") % 2 === 1).count()
+          val w = bk.length == 4 &&
+            bk.map(r => r.getLong(3)).sum == oddN &&
+            id.map(r => r.getLong(3)).sum == evenN &&
+            parts.forall(r => !r.isNullAt(4) && r.getLong(4) > 0) &&
+            parts.forall(r => r.getLong(2) > 0)
+          (id.map(r => (r.getString(1), r.getLong(3))).toSeq, w)
+        } finally java.nio.file.Files.move(hidden, dataDir)
+      idRows.toDF("value", "rows_in_part")
+        .withColumn("spec_field", lit("p_id_status"))
+        .withColumn("part_ok", lit(witness))
+        .select("spec_field", "value", "rows_in_part", "part_ok")
+        .orderBy("value")
+    },
+
     // ---- q117: incremental materialized aggregate view ---------------
     // Grades MaterializedAgg end-to-end: a count/sum rollup over the
     // base is maintained from the base's row CHANGELOG (GraftTable.diff)
@@ -582,6 +639,62 @@ object Warehouse {
       mv.view.read()
         .select(col("g"), col("cnt"), col("sum_k"))
         .withColumn("mv_ok", lit(witness))
+        .orderBy("g")
+    },
+
+    // ---- q138: MV min/max — delete-aware PARTIAL recompute -----------
+    // Extends q117's incremental view surface to the NON-abelian
+    // aggregates: min/max can't apply signed deltas — a delete that
+    // removes a group's stored extremum makes the incremental bound
+    // unrecoverable. The maintainer re-aggregates ONLY the affected
+    // groups from the base, file-pruned on the leading group column
+    // (readWhereIn over the g-clustered layout), keeping every other
+    // group incremental. The rig's delete strips the even-keyed rows
+    // of groups g ≤ 30 — low-g files only — so the witness can pin the
+    // 100-TB property: the recompute read > 0 files but at most a
+    // quarter of the base (a naive maintainer re-scans everything),
+    // while both ticks stay on the `incremental` path and the hash
+    // checks all four aggregates of every group against the
+    // declarative oracle.
+    Q("q138_mv_minmax",
+      """WITH rel AS (
+        |  SELECT o_custkey AS g, o_orderkey AS k FROM orders
+        |  WHERE NOT (o_custkey <= 30 AND o_orderkey % 2 = 0))
+        |SELECT g, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+        |  TRUE AS mvx_ok
+        |FROM rel GROUP BY g ORDER BY g""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val whDir = java.nio.file.Paths.get(Scratch.dir("mvx"))
+      val orders = T.orders(s, d).select(col("o_custkey").as("g"),
+        col("o_orderkey").as("k"))
+      conn.createTable("orders_mvx", orders.limit(0))
+      val t = conn.loadTable("orders_mvx")
+      t.append(orders.filter(col("k") % 2 === 0),
+        clusterBy = Seq("g"), clusterParts = 16)
+      val mv = graft.warehouse.MaterializedAgg.create(
+        t, whDir.resolve("mvx_view"), "mvx_view",
+        Seq("g"), Seq("k"), minMaxCols = Seq("k"))
+      // insert tick: pure inserts never trigger a recompute
+      t.append(orders.filter(col("k") % 2 === 1),
+        clusterBy = Seq("g"), clusterParts = 16)
+      val r1 = mv.refresh()
+      val noRedoOnInsert = mv.lastRedoScan.isEmpty
+      // extremum-removing delete tick: groups g ≤ 30 lose their even
+      // keys — for the groups whose max (or min) key was even, the
+      // stored bound dies and only THOSE groups re-aggregate
+      t.deleteWhere(col("g") <= 30L && col("k") % 2 === 0)
+      val r2 = mv.refresh()
+      val redoOk = mv.lastRedoScan.exists { case (read, total) =>
+        read > 0 && read * 4 <= total
+      }
+      val witness = r1 == "incremental" && noRedoOnInsert &&
+        r2 == "incremental" && redoOk && mv.refresh() == "fresh"
+      mv.view.read()
+        .select(col("g"), col("cnt"), col("sum_k"),
+          col("min_k"), col("max_k"))
+        .withColumn("mvx_ok", lit(witness))
         .orderBy("g")
     },
 
@@ -670,6 +783,116 @@ object Warehouse {
       val witness = noRewrite && travelOk &&
         t.liveEqDeletes().isEmpty && t.read().count() == preCompact
       t.read().withColumn("mor_ok", lit(witness)).orderBy("o_orderkey")
+    },
+
+    // ---- q136: PREDICATE merge-on-read delete — O(1) write latency ---
+    // q120 grades key-tuple tombstones (O(|keys|) sidecar); this
+    // grades the PREDICATE form: `DELETE WHERE` commits the
+    // predicate's SQL text in the snapshot summary — ZERO files
+    // written or read (the witness pins both delete commits at no
+    // added, no removed, and no delete-sidecar files at all), where
+    // copy-on-write deleteWhere would probe and rewrite every hit
+    // file. Era scoping is the graded content: rows re-appended AFTER
+    // the price predicate stay visible even where the predicate still
+    // matches their key's old version, while the second (key-modulo)
+    // predicate scopes both eras committed before it. The same
+    // refusal set as key tombstones is pinned (CoW DML, rollback,
+    // branches, incremental reads, metadata count), and compact
+    // materializes both predicates bit-identically.
+    Q("q136_mor_delete_pred",
+      """WITH final AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |  FROM orders WHERE round(o_totalprice, 2) >= 50000
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice, 2) * 3 AS price
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderkey, price, TRUE AS morp_ok
+        |FROM final WHERE o_orderkey % 7 <> 3
+        |ORDER BY o_orderkey, price""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_morp", orders)
+      val t = conn.loadTable("orders_morp")
+      val s1 = t.currentSnapshotId.get
+      val d1 = t.deleteWhereMor(col("price") < 50000)
+      // era semantics: this append lands AFTER d1 — its rows stay
+      // visible even though many have tripled prices whose ORIGINAL
+      // version d1 just tombstoned
+      t.append(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("price", round(col("price") * 3, 2)))
+      val d2 = t.deleteWhereMor(col("o_orderkey") % 7 === 3)
+      val zeroFiles =
+        d1.addedFiles.isEmpty && d1.removedFiles.isEmpty &&
+        d1.deleteFiles.isEmpty && d2.addedFiles.isEmpty &&
+        d2.removedFiles.isEmpty && d2.deleteFiles.isEmpty
+      // while tombstones are live: the full refusal set
+      val refusals =
+        (try { t.deleteWhere(col("price") < 0); false }
+         catch { case _: IllegalArgumentException => true }) &&
+        (try { t.rollbackTo(s1); false }
+         catch { case _: IllegalArgumentException => true }) &&
+        (try { t.createBranch("x"); false }
+         catch { case _: IllegalArgumentException => true }) &&
+        (try { t.changesSince(s1); false }
+         catch { case _: graft.warehouse.HistoryExpiredException => true }) &&
+        t.metaCount().isEmpty
+      val travelOk = t.read(Some(s1)).count() == orders.count()
+      val preCompact = t.read().count()
+      t.compact(targetFiles = 4)
+      val witness = zeroFiles && refusals && travelOk &&
+        t.liveEqDeletes().isEmpty && t.read().count() == preCompact
+      t.read().withColumn("morp_ok", lit(witness))
+        .orderBy("o_orderkey", "price")
+    },
+
+    // ---- q137: MERGE with WHEN NOT MATCHED BY SOURCE — full sync -----
+    // The SQL:2023 / Delta merge arm q112's conditional MERGE lacked:
+    // ONE commit converges the target to a source snapshot with no
+    // changelog — matched keys update, unmatched source rows insert,
+    // and target rows absent from the source DELETE (the
+    // not-matched-by-source arm). The rig starts the target with rows
+    // the source dropped (keys ≡ 1 mod 4, to be deleted), overlapping
+    // keys at stale prices (≡ 0, 2 mod 4, to be updated to doubled
+    // price), and misses keys the source has (≡ 3 mod 4, to be
+    // inserted); the oracle simply restates the source — convergence
+    // IS the grade. Witness pins single-commit atomicity (head
+    // advanced exactly once) and that the arm honors its CONDITION:
+    // protected rows (note='keep') survive deletion even when absent
+    // from the source.
+    Q("q137_merge_full_sync",
+      """SELECT o_orderkey, round(o_totalprice, 2) * 2 AS price,
+        |  CAST(NULL AS VARCHAR) AS note, TRUE AS sync_ok
+        |FROM orders WHERE o_orderkey % 4 IN (0, 2, 3)
+        |UNION ALL
+        |SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |  'keep' AS note, TRUE AS sync_ok
+        |FROM orders WHERE o_orderkey % 8 = 1
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      // target: keys ≡ 0,1,2 mod 4 at stale prices; every ≡1 mod 8
+      // row is marked 'keep' (protected from the delete arm)
+      conn.createTable("orders_fs", orders
+        .filter(col("o_orderkey") % 4 =!= 3)
+        .withColumn("note", when(col("o_orderkey") % 8 === 1, lit("keep"))
+          .otherwise(lit(null).cast("string"))))
+      // source snapshot: keys ≡ 0,2,3 mod 4 at doubled prices, no note
+      val source = orders.filter(col("o_orderkey") % 4 =!= 1)
+        .withColumn("price", col("price") * 2)
+        .withColumn("note", lit(null).cast("string"))
+      val t = conn.loadTable("orders_fs")
+      val headBefore = t.currentSnapshotId.get
+      t.merge(source, Seq("o_orderkey"),
+        whenMatchedDelete = lit(false),
+        whenNotMatchedBySourceDelete = Some(col("note").isNull ||
+          col("note") =!= "keep"))
+      val headAfter = t.currentSnapshotId.get
+      val witness = headAfter == headBefore + 1
+      conn.query("orders_fs")
+        .withColumn("sync_ok", lit(witness))
+        .orderBy("o_orderkey")
     },
 
     // ---- q121: snapshot tags — named, expiry-protected time travel ---
@@ -903,6 +1126,60 @@ object Warehouse {
         t.validate().isEmpty && clone.validate().isEmpty
       clone.read()
         .withColumn("clone_ok", lit(witness))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- q134: FIELD-ID schema evolution (rename + drop) -------------
+    // The Iceberg column-identity contract, graded end-to-end: rename
+    // and drop are METADATA-ONLY evolve commits (witness pins zero
+    // added/removed data files on both), old files keep their physical
+    // names, and every read projects them to the current schema by
+    // FIELD ID — so two eras' files (pre-rename "price", post-rename
+    // "amount") union into one correct column, the dropped "note"
+    // column vanishes from reads while staying time-travelable, and a
+    // keyed UPSERT that rewrites pre-rename files must decode them
+    // era-correctly (a name-only read would null the renamed column
+    // for the old era and hash-mismatch every untouched row in a
+    // rewritten file). The oracle restates the terminal content
+    // declaratively from raw orders.
+    Q("q134_rename_drop",
+      """SELECT o_orderkey,
+        |  round(round(o_totalprice, 2) *
+        |    (CASE WHEN o_orderkey % 10 = 0 THEN 3 ELSE 1 END), 2) AS amount,
+        |  TRUE AS evolve_ok
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        concat(lit("n"), (col("o_orderkey") % 5).cast("string")).as("note"))
+      conn.createTable("orders_rd", orders.filter(col("o_orderkey") % 3 === 0))
+      conn.insert("orders_rd", orders.filter(col("o_orderkey") % 3 === 1))
+      val t = conn.loadTable("orders_rd")
+      val preEvolveSnap = t.currentSnapshotId.get
+      val renSnap = t.renameColumn("price", "amount")
+      val dropSnap = t.dropColumn("note")
+      // post-evolution append lands under the new schema
+      conn.insert("orders_rd", orders.filter(col("o_orderkey") % 3 === 2)
+        .select(col("o_orderkey"), col("price").as("amount")))
+      // cross-era DML: triple keys ≡ 0 mod 10 — the rewrite must
+      // decode pre-rename files by field id
+      val upd = conn.query("orders_rd")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), round(col("amount") * 3, 2).as("amount"))
+      conn.upsert("orders_rd", upd, Seq("o_orderkey"))
+      val t2 = conn.loadTable("orders_rd")
+      val witness =
+        // rename and drop were metadata-only commits
+        renSnap.addedFiles.isEmpty && renSnap.removedFiles.isEmpty &&
+        dropSnap.addedFiles.isEmpty && dropSnap.removedFiles.isEmpty &&
+        t2.schema.fieldNames.toSeq == Seq("o_orderkey", "amount") &&
+        // the dropped column stays TIME-TRAVELABLE under its old name
+        t2.read(Some(preEvolveSnap)).columns.toSeq ==
+          Seq("o_orderkey", "price", "note")
+      conn.query("orders_rd")
+        .select(col("o_orderkey"), col("amount"))
+        .withColumn("evolve_ok", lit(witness))
         .orderBy("o_orderkey")
     })
 

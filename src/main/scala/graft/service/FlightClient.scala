@@ -126,6 +126,14 @@ final class FlightClient(spark: SparkSession, val host: String, val port: Int,
       Wire.schemaOf(r.str("schema"))
     }
 
+  /** The source's retained schema eras in commit order — the record a
+    * replica replays rename/drop evolution from (field ids ride in the
+    * schema JSON's field metadata). */
+  def getSchemaHistory(table: String): Seq[StructType] =
+    call(Wire.obj("action" -> "get_schema_history", "table" -> table)) {
+      (r, _) => r.strs("schemas").map(Wire.schemaOf)
+    }
+
   /** Declared layout (serialized partition spec + sort order) for
     * replication — the mirror re-declares it on the replica. */
   def getLayout(table: String): (String, String) =

@@ -204,6 +204,18 @@ final class FlightService(connector: Connector, port: Int = 0,
         Wire.writeLine(out, Wire.obj(
           "ok" -> true, "schema" -> connector.loadTable(req.table).schema.json))
 
+      case "get_schema_history" =>
+        // The retained SCHEMA ERAS in commit order (consecutive
+        // duplicates collapsed): what a replica needs to replay
+        // rename/drop evolution by field id instead of a full rebuild
+        // ([[Mirror]] reconciliation). Manifest-only.
+        val hist = connector.loadTable(req.table).log.snapshots
+          .map(_.schemaJson)
+          .foldLeft(List.empty[String]) { (acc, s) =>
+            if (acc.headOption.contains(s)) acc else s :: acc
+          }.reverse
+        Wire.writeLine(out, Wire.obj("ok" -> true, "schemas" -> hist))
+
       case "do_put" =>
         // Body follows the request line; appends, creating on first put
         // (the reference's default writer/server pairing cannot create —

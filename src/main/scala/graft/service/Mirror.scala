@@ -104,6 +104,75 @@ object Mirror {
     }
   }
 
+  /** RENAME/DROP continuation: when the incoming delta's schema is not
+    * an additive widening of the replica's, replay the SOURCE's schema
+    * history on the replica instead of demoting to a full rebuild —
+    * the metadata-only source op stays metadata-only on the replica.
+    * The source's retained eras arrive via `get_schema_history`
+    * (field ids ride in the schema JSON); the replica's schema matches
+    * some era by (name, type) — every later era-pair then replays as:
+    * same field id, new name → [[graft.warehouse.GraftTable.renameColumn]];
+    * id gone → dropColumn; added names are left to [[evolveForDelta]]
+    * (the delta batch carries them). The replica needs no source ids
+    * of its own — its renames mint local ids, and induction keeps its
+    * names equal to the source era it has replayed to. Throws when the
+    * replica matches no retained era (caller falls back to rebuild). */
+  private def reconcileEvolution(data: FlightClient, sourceTable: String,
+      connector: Connector, targetTable: String): Unit = {
+    import graft.warehouse.GraftTable.fieldIdOf
+    val hist = data.getSchemaHistory(sourceTable)
+    def names(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    val t = connector.loadTable(targetTable)
+    // latest era whose (name, type) sequence is a PREFIX of-or-equal to
+    // the replica's (the replica may have extra local columns only in
+    // theory; exact match is the real case)
+    val startIdx = hist.lastIndexWhere(h => names(h) == names(t.schema))
+    require(startIdx >= 0,
+      s"replica $targetTable matches no retained source schema era")
+    hist.drop(startIdx).sliding(2).foreach {
+      case Seq(a, b) =>
+        val aById = a.fields.flatMap(f => fieldIdOf(f).map(_ -> f)).toMap
+        val bById = b.fields.flatMap(f => fieldIdOf(f).map(_ -> f)).toMap
+        bById.foreach { case (id, bf) =>
+          aById.get(id).filter(_.name != bf.name).foreach { af =>
+            connector.loadTable(targetTable).renameColumn(af.name, bf.name)
+          }
+        }
+        aById.foreach { case (id, af) =>
+          if (!bById.contains(id) &&
+              connector.loadTable(targetTable).schema.fieldNames.contains(af.name))
+            connector.loadTable(targetTable).dropColumn(af.name)
+        }
+      case _ => ()
+    }
+  }
+
+  /** [[evolveForDelta]] with the rename/drop escalation: a
+    * non-additive delta first tries the schema-history replay, then
+    * re-checks additivity (leftover adds apply); only a genuinely
+    * un-replayable divergence propagates (→ rebuild). */
+  private def alignForDelta(data: FlightClient, sourceTable: String,
+      connector: Connector, targetTable: String,
+      incoming: org.apache.spark.sql.types.StructType): Unit = {
+    // a replica column ABSENT from the delta means the source renamed
+    // or dropped it (deltas always carry the source's full current
+    // schema) — evolveForDelta alone would no-op on a pure drop and
+    // the insert would then fail on the missing column
+    val gone = connector.loadTable(targetTable).schema.fieldNames
+      .exists(n => !incoming.fieldNames.contains(n))
+    if (gone) {
+      reconcileEvolution(data, sourceTable, connector, targetTable)
+      evolveForDelta(connector, targetTable, incoming)
+    } else
+      try evolveForDelta(connector, targetTable, incoming)
+      catch {
+        case _: IllegalArgumentException =>
+          reconcileEvolution(data, sourceTable, connector, targetTable)
+          evolveForDelta(connector, targetTable, incoming)
+      }
+  }
+
   /** Thrown BEFORE any replica mutation when the op-log window
     * contains an operation the replay can't reproduce — the caller
     * safely falls through to the changelog (diff) path. Any failure
@@ -143,7 +212,7 @@ object Mirror {
       try {
         val n = f.df.count()
         if (n > 0) {
-          evolveForDelta(connector, targetTable, f.df.schema)
+          alignForDelta(data, sourceTable, connector, targetTable, f.df.schema)
           val tgtCols = connector.loadTable(targetTable).schema.fieldNames.toSeq
           connector.insert(targetTable,
             f.df.select(tgtCols.map(org.apache.spark.sql.functions.col): _*))
@@ -191,7 +260,7 @@ object Mirror {
         // a changelog read with the source's evolved schema evolves
         // the replica first, then applies aligned to the replica's
         // column order (exceptAll resolves positionally)
-        evolveForDelta(connector, targetTable,
+        alignForDelta(data, sourceTable, connector, targetTable,
           org.apache.spark.sql.types.StructType(
             f.df.schema.fields.filterNot(_.name == "_change_type")))
         val tgtCols = connector.loadTable(targetTable).schema.fieldNames.toSeq
@@ -242,7 +311,8 @@ object Mirror {
                     // keep appending deltas (pre-evolution files in
                     // the window read as nulls in the new columns,
                     // matching the source's own read rule)
-                    evolveForDelta(connector, targetTable, f.df.schema)
+                    alignForDelta(data, sourceTable, connector,
+                      targetTable, f.df.schema)
                     val tgtCols =
                       connector.loadTable(targetTable).schema.fieldNames.toSeq
                     connector.insert(targetTable,

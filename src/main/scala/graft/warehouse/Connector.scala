@@ -82,10 +82,13 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   def merge(name: String, data: DataFrame, keyCols: Seq[String],
       whenMatchedDelete: org.apache.spark.sql.Column,
       statsCols: Seq[String] = Nil,
-      properties: Map[String, String] = Map.empty): Boolean = {
+      properties: Map[String, String] = Map.empty,
+      whenNotMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None)
+      : Boolean = {
     val t = loadTable(name)
     t.merge(data, keyCols, whenMatchedDelete,
-      if (statsCols.nonEmpty) statsCols else keyCols, properties)
+      if (statsCols.nonEmpty) statsCols else keyCols, properties,
+      whenNotMatchedBySourceDelete)
     reflectView(name)
     true
   }
@@ -117,10 +120,11 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * history; `inspect(t, "files")` — visible files with row counts
     * and recorded skipping indexes. Manifest-only; no data read. */
   def inspect(name: String, kind: String): DataFrame = kind match {
-    case "snapshots" => loadTable(name).snapshotsDf
-    case "files"     => loadTable(name).filesDf()
+    case "snapshots"  => loadTable(name).snapshotsDf
+    case "files"      => loadTable(name).filesDf()
+    case "partitions" => loadTable(name).partitionsDf()
     case other => throw new IllegalArgumentException(
-      s"unknown metadata table '$other' — use 'snapshots' or 'files'")
+      s"unknown metadata table '$other' — use 'snapshots', 'files', or 'partitions'")
   }
 
   /** Row count (reference: `count`, `icerunner.py:190-198`): answered

@@ -59,11 +59,51 @@ final class GraftTable private (
     val snaps = log.snapshots
     val sch = schemaAsOfIn(snaps, asOf)
     readWithDeletes(log.filesWithSnapOf(snaps, asOf),
-      log.eqDeletesOf(snaps, asOf), sch)
+      log.eqDeletesOf(snaps, asOf), sch, snaps)
   }
 
   private def emptyDf(sch: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+
+  /** Era-correct decode of `filesWithSnap` projected to `target`: each
+    * file reads with the schema of its ADDING snapshot's era and maps
+    * to the current columns by FIELD ID ([[GraftTable.eraProjection]]
+    * — the Iceberg column-projection contract), so a renamed column
+    * keeps its data across old files, a dropped column disappears,
+    * and a re-added name never resurrects retired bytes. Eras whose
+    * mapping is the name-identity (no rename/drop in play — the
+    * overwhelmingly common case, including plain additive evolution)
+    * take the single vectorized by-name scan exactly as before; only
+    * genuinely renamed eras pay a per-era Project + union. */
+  private def readFilesProjected(filesWithSnap: Seq[(String, Long)],
+      snaps: Seq[Snapshot], target: StructType): DataFrame = {
+    if (filesWithSnap.isEmpty) return emptyDf(target)
+    val eraJson = scala.collection.mutable.Map.empty[Long, String]
+    def eraOf(sid: Long): String =
+      eraJson.getOrElseUpdate(sid, schemaAsOfIn(snaps, Some(sid)).json)
+    lazy val legacy = GraftTable.legacyNames(snaps)
+    val groups = filesWithSnap.groupBy { case (_, sid) => eraOf(sid) }
+    val parts = groups.toSeq.sortBy(_._1).map { case (json, fs) =>
+      val era = DataType.fromJson(json).asInstanceOf[StructType]
+      val mapping = GraftTable.eraProjection(era, target, legacy)
+      val eraNames = era.fieldNames.toSet
+      val nameIdentity = mapping.forall {
+        case (Some(src), tgt) => src == tgt.name
+        case (None, tgt) => !eraNames.contains(tgt.name)
+      }
+      if (nameIdentity)
+        spark.read.schema(target).parquet(fs.map(_._1): _*)
+      else {
+        import org.apache.spark.sql.functions.{col, lit}
+        val raw = spark.read.schema(era).parquet(fs.map(_._1): _*)
+        raw.select(mapping.map {
+          case (Some(src), tgt) => col(src).as(tgt.name)
+          case (None, tgt) => lit(null).cast(tgt.dataType).as(tgt.name)
+        }: _*)
+      }
+    }
+    parts.reduce(_ unionByName _)
+  }
 
   /** Assemble a read over `filesWithSnap` with the visible equality
     * deletes applied (Iceberg v2 sequence semantics): a delete
@@ -74,22 +114,34 @@ final class GraftTable private (
     * key columns) with every delete at-or-after its era. Plan cost:
     * |eras| ≤ |delete commits since the last compact| extra
     * anti-joins, each broadcast-sized in the common case (delete key
-    * sets are small relative to the table). */
+    * sets are small relative to the table). Files decode
+    * era-projected ([[readFilesProjected]]); delete keys were
+    * committed under current-era names (rename/drop refuse while
+    * tombstones are live), so the anti-join binds on the projected
+    * columns soundly. */
   private def readWithDeletes(filesWithSnap: Seq[(String, Long)],
-      deletes: Seq[(Long, String)], sch: StructType): DataFrame = {
+      deletes: Seq[(Long, Tomb)], sch: StructType,
+      snaps: Seq[Snapshot]): DataFrame = {
     if (filesWithSnap.isEmpty) return emptyDf(sch)
     if (deletes.isEmpty)
-      return spark.read.schema(sch).parquet(filesWithSnap.map(_._1): _*)
+      return readFilesProjected(filesWithSnap, snaps, sch)
     val delSnaps = deletes.map(_._1)
-    val keyDfs = deletes.map { case (_, p) => spark.read.parquet(p) }
     val groups = filesWithSnap.groupBy { case (_, s) =>
       delSnaps.indexWhere(_ > s) // -1: committed after every delete
     }
     groups.toSeq.sortBy(_._1).map { case (firstDel, fs) =>
-      var df = spark.read.schema(sch).parquet(fs.map(_._1): _*)
-      if (firstDel >= 0) keyDfs.drop(firstDel).foreach { kd =>
-        val cond = kd.columns.map(c => df(c) <=> kd(c)).reduce(_ && _)
-        df = df.join(kd, cond, "left_anti")
+      var df = readFilesProjected(fs, snaps, sch)
+      if (firstDel >= 0) deletes.drop(firstDel).foreach {
+        case (_, Tomb.Keys(p)) =>
+          val kd = spark.read.parquet(p)
+          val cond = kd.columns.map(c => df(c) <=> kd(c)).reduce(_ && _)
+          df = df.join(kd, cond, "left_anti")
+        case (_, Tomb.Pred(sql)) =>
+          // SQL DELETE semantics: a NULL-evaluating predicate keeps
+          // the row (only TRUE deletes) — same rule as deleteWhere
+          df = df.filter(!org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.expr(sql),
+            org.apache.spark.sql.functions.lit(false)))
       }
       df
     }.reduce(_ unionByName _)
@@ -131,9 +183,47 @@ final class GraftTable private (
       deleteFiles = files)
   }
 
-  /** Live equality-delete sidecars at a cut (empty ⇔ reads are
-    * pure-file-set; see [[deleteKeysMor]]). */
-  def liveEqDeletes(asOf: Option[Long] = None): Seq[(Long, String)] =
+  /** PREDICATE merge-on-read delete: `DELETE WHERE` at O(1) write
+    * latency — the predicate's SQL text commits in the snapshot's
+    * properties, ZERO data files read or written (the copy-on-write
+    * [[deleteWhere]] instead probes and rewrites every affected file).
+    * Reads apply it era-correctly like [[deleteKeysMor]]: only data
+    * files committed BEFORE the delete are filtered, so later appends
+    * of matching rows stay visible (Iceberg sequence semantics);
+    * [[compact]]/[[replace]] materialize and clear it. Same refusal
+    * set as key tombstones while live: CoW DML, rollback, branches,
+    * incremental readers, metadata aggregates all decline.
+    *
+    * The predicate must be DETERMINISTIC and reference only table
+    * columns (validated by resolving it against the current schema —
+    * a stored predicate that failed to re-parse would silently
+    * resurrect rows on read). */
+  def deleteWhereMor(cond: org.apache.spark.sql.Column): Snapshot = {
+    val head = log.head.getOrElse(
+      throw new IllegalStateException(s"table $name has no snapshots"))
+    // resolve against the schema: unknown columns / unresolvable
+    // functions throw HERE, not at some later read; the stored SQL is
+    // rendered from the RESOLVED condition (the raw Column wrapper's
+    // node has no stable SQL form in Spark 4)
+    val analyzed = emptyDf(schema).filter(cond).queryExecution.analyzed
+    val filterCond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(throw new IllegalArgumentException(
+      s"predicate delete on $name: condition did not analyze to a filter"))
+    require(filterCond.deterministic,
+      s"predicate delete on $name requires a deterministic predicate")
+    val sql = filterCond.sql
+    // round-trip guard: the stored text must re-parse to the same
+    // semantic filter (expr() is how every future read applies it)
+    emptyDf(schema).filter(org.apache.spark.sql.functions.expr(sql))
+      .queryExecution.assertAnalyzed()
+    log.commit("eqdelete", Seq.empty, head.schemaJson,
+      properties = Map(SnapshotLog.PredDeleteKey -> sql))
+  }
+
+  /** Live merge-on-read tombstones at a cut (empty ⇔ reads are
+    * pure-file-set; see [[deleteKeysMor]] / [[deleteWhereMor]]). */
+  def liveEqDeletes(asOf: Option[Long] = None): Seq[(Long, Tomb)] =
     log.eqDeletesOf(log.snapshots, asOf)
 
   /** The key tuples one `eqdelete` snapshot committed — what a replica
@@ -176,11 +266,11 @@ final class GraftTable private (
   /** Rows appended by snapshots in `(sinceId, head]` — incremental read
     * without any join (fixes `icerunner.py:243-252`, SURVEY.md §2A-12). */
   def changesSince(sinceId: Long, untilId: Long = Long.MaxValue): DataFrame = {
-    val files = log.changedFiles(sinceId, untilId)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema).parquet(files: _*)
+    val files = log.changedFilesWithSnap(sinceId, untilId)
+    // era-projected: a rename in the window is an evolve commit (no
+    // files), but files added BEFORE it still decode under their own
+    // era's names and map to the current columns by field id
+    readFilesProjected(files, log.snapshots, schema)
   }
 
   /** Transactional append: write data files first, commit the manifest
@@ -550,10 +640,22 @@ final class GraftTable private (
     * later out-of-order version of a deleted key re-inserts it
     * (streaming consumers order batches via their own reorder guard,
     * see EventStreams.cdcApply). */
+  /** @param whenNotMatchedBySourceDelete the MERGE `WHEN NOT MATCHED
+    *   BY SOURCE THEN DELETE` arm (Delta/SQL:2023 shape), evaluated
+    *   against the STORED row: target rows whose key appears in NO
+    *   incoming row are dropped when the condition is TRUE — in the
+    *   SAME single commit as the update/insert/matched-delete arms.
+    *   `Some(lit(true))` is the full-snapshot-sync: one merge
+    *   converges the target to exactly the source with no changelog.
+    *   Files holding qualifying rows are located by the same probe
+    *   discipline (they join the rewrite set); an unconditional arm
+    *   inherently probes the whole table — that IS the semantics. */
   def merge(incoming: DataFrame, keyCols: Seq[String],
       whenMatchedDelete: org.apache.spark.sql.Column,
       statsCols: Seq[String] = Nil,
-      properties: Map[String, String] = Map.empty): Snapshot = {
+      properties: Map[String, String] = Map.empty,
+      whenNotMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None)
+      : Snapshot = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
     // rows that UPSERT (insert-or-replace) vs rows that only tombstone;
@@ -609,21 +711,53 @@ final class GraftTable private (
           else readWhere(k, Some(bounds.get(0)), Some(bounds.get(1)),
             Some(base.snapshotId))
         } else read(Some(base.snapshotId))
-      val affected = probeSrc
+      val keyHitFiles = probeSrc
         .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
         .join(keys, keyCond)
         .select("__f").distinct()
         .collect().map(_.getString(0))
         .map(f => dir.relativize(Paths.get(java.net.URI.create(f).getPath)).toString)
-        .toSeq.sorted
+        .toSeq
+      // the not-matched-by-source arm adds every file holding a stored
+      // row with NO incoming key that satisfies its condition — those
+      // rows must be dropped, so their files join the rewrite set (an
+      // unconditional arm probes the whole table: that IS full-sync)
+      val nmsFiles = whenNotMatchedBySourceDelete match {
+        case None => Nil
+        case Some(c) =>
+          read(Some(base.snapshotId))
+            .withColumn("__f", input_file_name())
+            .join(keys, keyCond, "left_anti")
+            .filter(coalesce(c, lit(false)))
+            .select("__f").distinct()
+            .collect().map(_.getString(0))
+            .map(f => dir.relativize(Paths.get(java.net.URI.create(f).getPath)).toString)
+            .toSeq
+      }
+      val affected = (keyHitFiles ++ nmsFiles).distinct.sorted
       val commitDir = dir.resolve("data").resolve(s"u${UUID.randomUUID().toString.take(12)}")
-      val survivors =
+      // era-projected rewrite source: affected files may predate a
+      // rename — decode each under its own era and rewrite under the
+      // CURRENT names (rewrites normalize old eras as a side effect)
+      val snapsNow = log.snapshots
+      val sidByRel = log.filesWithSnapOf(snapsNow, Some(base.snapshotId))
+        .map { case (abs, sid) =>
+          dir.relativize(Paths.get(abs)).toString -> sid }.toMap
+      val survivors0 =
         if (affected.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             schemaAsOf(Some(base.snapshotId)))
-        else spark.read.schema(schemaAsOf(Some(base.snapshotId)))
-          .parquet(affected.map(f => dir.resolve(f).toString): _*)
+        else readFilesProjected(
+          affected.map(f => dir.resolve(f).toString ->
+            sidByRel.getOrElse(f, base.snapshotId)),
+          snapsNow, schemaAsOf(Some(base.snapshotId)))
           .join(keys, keyCond, "left_anti")
+      // not-matched-by-source deletes: unmatched stored rows whose arm
+      // condition is TRUE are dropped (NULL keeps, SQL WHEN-semantics)
+      val survivors = whenNotMatchedBySourceDelete match {
+        case None => survivors0
+        case Some(c) => survivors0.filter(!coalesce(c, lit(false)))
+      }
       val rewritten =
         survivors.unionByName(upserts.select(survivors.columns.map(col): _*))
       // the table's partition spec survives the rewrite (same rule as
@@ -707,8 +841,15 @@ final class GraftTable private (
       if (affected.isEmpty)
         return head // nothing matches: no-op, current head stands
       val commitDir = dir.resolve("data").resolve(s"d${UUID.randomUUID().toString.take(12)}")
-      val survivors = spark.read.schema(sch)
-        .parquet(affected.map(f => dir.resolve(f).toString): _*)
+      // era-projected rewrite source (see merge): old-era files decode
+      // under their own names and re-land under the current schema
+      val snapsNow = log.snapshots
+      val sidByRel = log.filesWithSnapOf(snapsNow, Some(head.snapshotId))
+        .map { case (abs, sid) =>
+          dir.relativize(Paths.get(abs)).toString -> sid }.toMap
+      val survivors = readFilesProjected(
+        affected.map(f => dir.resolve(f).toString ->
+          sidByRel.getOrElse(f, head.snapshotId)), snapsNow, sch)
         // SQL DELETE semantics: remove only rows where cond is TRUE. A
         // bare `!cond` would also drop NULL-evaluating rows (NULL
         // satisfies neither side) — silent data loss.
@@ -808,7 +949,8 @@ final class GraftTable private (
         }
       }
       rel -> FileStat(numMin, numMax, strMin, strMax,
-        rows = r.getAs[Long]("__rows"))
+        rows = r.getAs[Long]("__rows"),
+        bytes = scala.util.Try(Files.size(dir.resolve(rel))).getOrElse(-1L))
     }.toMap
     // a ZERO-row file (a rewrite that emptied its partition) produces no
     // aggregate group, so it would silently get NO stats entry — and
@@ -837,7 +979,8 @@ final class GraftTable private (
         try r.getRecordCount finally r.close()
       } catch { case scala.util.control.NonFatal(_) => -1L }
       dir.relativize(p).toString ->
-        FileStat(Map.empty, Map.empty, Map.empty, Map.empty, rows = n)
+        FileStat(Map.empty, Map.empty, Map.empty, Map.empty, rows = n,
+          bytes = scala.util.Try(Files.size(p)).getOrElse(-1L))
     }.toMap
   }
 
@@ -914,15 +1057,146 @@ final class GraftTable private (
     * nulls; subsequent appends must carry the evolved schema. The one
     * evolution shape Iceberg users lean on most, absent from the
     * reference (its mirror freezes the first batch's schema —
-    * `icerunner.py:939-967`). */
+    * `icerunner.py:939-967`).
+    *
+    * On a FIELD-ID table (one that has seen [[renameColumn]] /
+    * [[dropColumn]]) new columns get fresh ids above every id any
+    * retained era ever used, and re-using a name that a RETAINED era
+    * knew under a different id is refused — without parquet-embedded
+    * ids (Iceberg writes them into the files; we cannot retrofit),
+    * re-adding a dropped name would resurrect the old column's data
+    * through by-name reads. Expire the old eras first. */
   def addColumns(newCols: StructType): Snapshot = {
     val current = schema
     require(newCols.fields.forall(_.nullable),
       s"new columns must be nullable: $newCols")
     require(newCols.fields.forall(f => !current.fieldNames.contains(f.name)),
       s"column already exists: ${newCols.fieldNames.mkString(",")}")
-    val evolved = StructType(current.fields ++ newCols.fields)
+    val snaps = log.snapshots
+    val idMode = current.fields.exists(f => GraftTable.fieldIdOf(f).nonEmpty)
+    val added =
+      if (!idMode) newCols.fields
+      else {
+        newCols.fieldNames.foreach(n => requireNameFresh(snaps, n, None))
+        var next = GraftTable.maxFieldId(snaps) + 1
+        newCols.fields.map { f =>
+          val tagged = GraftTable.withFieldId(f, next); next += 1; tagged
+        }
+      }
+    val evolved = StructType(current.fields ++ added)
     log.commit("evolve", Seq.empty, evolved.json)
+  }
+
+  /** Does any RETAINED era know `name` under an id other than
+    * `allowedId` (or with no id at all)? By-name projection of
+    * pre-field-id eras makes such reuse unsound — refuse it. */
+  private def requireNameFresh(snaps: Seq[Snapshot], name: String,
+      allowedId: Option[Long]): Unit = {
+    val legacy = GraftTable.legacyNames(snaps)
+    snaps.filter(_.schemaJson.nonEmpty).foreach { s =>
+      val era = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+      era.fields.find(_.name == name).foreach { f =>
+        val id = GraftTable.fieldIdOf(f)
+        // a retained era's use of the name is benign only when it is
+        // THE SAME field: same id, or (id-less era) the legacy binding
+        // of the allowed id is this name
+        val sameField = allowedId.nonEmpty && (id == allowedId ||
+          (id.isEmpty && allowedId.exists(a => legacy.get(a).contains(name))))
+        require(sameField,
+          s"column name '$name' was used by retained snapshot " +
+            s"${s.snapshotId} of ${this.name} under a different field id " +
+            "— re-using it would resurrect the old column's data via " +
+            "by-name reads; expire that history first or pick a new name")
+      }
+    }
+  }
+
+  private def requireEvolvable(op: String): Unit = {
+    requireNoEqDeletes(op)
+    require(branches.isEmpty,
+      s"$op on $name with open branch(es) ${branches.mkString(",")} " +
+        "unsupported — the branch view is pinned to the fork-point " +
+        "schema; publish or drop them first")
+  }
+
+  /** RENAME a column — metadata-only (the Iceberg field-id contract:
+    * no data file is touched; old files keep the old physical name and
+    * every read projects them by field id). First use upgrades the
+    * table to FIELD-ID mode: the evolve commit's schema carries a
+    * stable id per column, assigned positionally; eras before the
+    * upgrade keep matching by name, which stays sound because
+    * [[addColumns]]/[[renameColumn]] refuse to re-bind a retained
+    * era's name to a different id. Layout declarations
+    * ([[setSortOrder]], [[setPartitionSpec]]) that referenced the old
+    * name are re-declared under the new one; manifest column STATS of
+    * pre-rename files stay keyed by the old name, so range/bloom
+    * pruning on the renamed column degrades to conservative (full
+    * read) for those files until a [[compact]] re-records them —
+    * soundness is unaffected. */
+  def renameColumn(oldName: String, newName: String): Snapshot = {
+    requireEvolvable("renameColumn")
+    val current = ensureFieldIds()
+    val snaps = log.snapshots
+    require(current.fieldNames.contains(oldName),
+      s"no column '$oldName' in $name")
+    require(!current.fieldNames.contains(newName),
+      s"column '$newName' already exists in $name")
+    require(oldName != newName, "rename to the same name")
+    val myId = GraftTable.fieldIdOf(current(oldName))
+    requireNameFresh(snaps, newName, myId)
+    val evolved = StructType(current.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val snap = log.commit("evolve", Seq.empty, evolved.json)
+    renameInLayouts(oldName, newName)
+    snap
+  }
+
+  /** Upgrade the table to FIELD-ID mode if needed: ONE evolve commit
+    * whose schema carries ids with UNCHANGED names — the bridge record
+    * that lets id-less eras resolve by the name each id had at upgrade
+    * time ([[GraftTable.legacyNames]]). Returns the id-bearing head
+    * schema. */
+  private def ensureFieldIds(): StructType = {
+    val current = schema
+    if (current.fields.forall(f => GraftTable.fieldIdOf(f).nonEmpty)) current
+    else {
+      val up = GraftTable.withFieldIds(current)
+      log.commit("evolve", Seq.empty, up.json)
+      up
+    }
+  }
+
+  /** DROP a column — metadata-only: the field leaves the schema, reads
+    * project it away from every era's files (the bytes stay for time
+    * travel until expiry). Same field-id upgrade + refusals as
+    * [[renameColumn]]; a column still referenced by the current
+    * partition spec must be removed from the spec first (its partition
+    * values derive from it), and it is dropped from the declared sort
+    * order automatically. */
+  def dropColumn(colName: String): Snapshot = {
+    requireEvolvable("dropColumn")
+    val current = ensureFieldIds()
+    require(current.fieldNames.contains(colName),
+      s"no column '$colName' in $name")
+    require(current.fields.length > 1,
+      s"cannot drop the last column of $name")
+    require(!partitionSpec.exists(_.column == colName),
+      s"column '$colName' is referenced by the current partition spec " +
+        s"of $name — declare a spec without it first")
+    val evolved = StructType(current.fields.filterNot(_.name == colName))
+    val snap = log.commit("evolve", Seq.empty, evolved.json)
+    if (sortOrder.contains(colName))
+      setSortOrder(sortOrder.filterNot(_ == colName))
+    snap
+  }
+
+  private def renameInLayouts(oldName: String, newName: String): Unit = {
+    if (sortOrder.contains(oldName))
+      setSortOrder(sortOrder.map(c => if (c == oldName) newName else c))
+    val spec = partitionSpec
+    if (spec.exists(_.column == oldName))
+      setPartitionSpec(spec.map(f =>
+        if (f.column == oldName) f.copy(column = newName) else f))
   }
 
   /** Small-file compaction: rewrite the current table contents into
@@ -1237,19 +1511,22 @@ final class GraftTable private (
     * commit — what [[publishBranch]] would make the head. */
   def readBranch(b: String): DataFrame = {
     val parent = branchParent(b)
-    val sch = schemaAsOf(Some(parent))
-    val files = new java.util.LinkedHashSet[String]()
-    log.dataFiles(Some(parent))
-      .map(a => dir.relativize(Paths.get(a)).toString)
-      .foreach(files.add)
+    val snaps = log.snapshots
+    val sch = schemaAsOfIn(snaps, Some(parent))
+    // (relPath → adding snapshot) so pre-rename main files decode
+    // era-projected; branch-staged files were written under the
+    // fork-point schema — their "era" is the parent snapshot
+    val files = new java.util.LinkedHashMap[String, Long]()
+    log.filesWithSnapOf(snaps, Some(parent)).foreach { case (a, sid) =>
+      files.put(dir.relativize(Paths.get(a)).toString, sid)
+    }
     new SnapshotLog(dir, Some(b)).snapshots.foreach { s =>
-      s.addedFiles.foreach(files.add)
+      s.addedFiles.foreach(f => files.put(f, parent))
       s.removedFiles.foreach(files.remove)
     }
-    val abs = files.iterator().asScala.map(f => dir.resolve(f).toString).toSeq
-    if (abs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-    else spark.read.schema(sch).parquet(abs: _*)
+    val withSnap = files.entrySet().iterator().asScala
+      .map(e => dir.resolve(e.getKey).toString -> e.getValue.longValue()).toSeq
+    readFilesProjected(withSnap, snaps, sch)
   }
 
   /** Fast-forward main to the branch in ONE conditional commit: the
@@ -1400,16 +1677,16 @@ final class GraftTable private (
       throw new HistoryExpiredException(
         s"diff ($fromId, $to] of $name crosses a merge-on-read delete " +
           "— compact() to materialize, or full re-sync")
-    val before = log.dataFilesOf(snaps, Some(fromId)).toSet
-    val after = log.dataFilesOf(snaps, Some(to)).toSet
+    val before = log.filesWithSnapOf(snaps, Some(fromId)).toMap
+    val after = log.filesWithSnapOf(snaps, Some(to)).toMap
     val sch = schemaAsOfIn(snaps, Some(to))
-    def readFiles(fs: Set[String]): DataFrame =
-      if (fs.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
-      else spark.read.schema(sch).parquet(fs.toSeq.sorted: _*)
-    val added = readFiles(after -- before)
-    val removed = readFiles(before -- after)
+    // era-projected to the `toId` schema: the diff of a window that
+    // crosses a rename reports changes under the CURRENT column names
+    // for both sides (old-era files decode by field id)
+    def readFiles(fs: Map[String, Long]): DataFrame =
+      readFilesProjected(fs.toSeq.sortBy(_._1), snaps, sch)
+    val added = readFiles(after -- before.keySet)
+    val removed = readFiles(before -- after.keySet)
     added.exceptAll(removed).withColumn("_change_type", lit("insert"))
       .unionByName(
         removed.exceptAll(added).withColumn("_change_type", lit("delete")))
@@ -1515,7 +1792,7 @@ final class GraftTable private (
     }
     // live merge-on-read tombstones apply after pruning (anti-joins
     // only ever remove rows, so pruning soundness is unaffected)
-    readWithDeletes(kept, log.eqDeletesOf(snaps, asOf), sch)
+    readWithDeletes(kept, log.eqDeletesOf(snaps, asOf), sch, snaps)
   }
 
   /** POINT-SET file pruning: keep only files whose stats may contain
@@ -1565,7 +1842,7 @@ final class GraftTable private (
             h.forall(st.bloomMayContain(column, _))
         })
     }
-    readWithDeletes(kept, log.eqDeletesOf(snaps, asOf), sch)
+    readWithDeletes(kept, log.eqDeletesOf(snaps, asOf), sch, snaps)
   }
 
   /** SHALLOW CLONE (Delta's CLONE shape): a new independent table over
@@ -1651,9 +1928,11 @@ final class GraftTable private (
       if (!Files.isRegularFile(Paths.get(abs)))
         issues += s"visible data file missing on disk: ${dir.relativize(Paths.get(abs))}"
     }
-    log.eqDeletesOf(snaps, None).foreach { case (sid, abs) =>
-      if (!Files.isRegularFile(Paths.get(abs)))
-        issues += s"equality-delete sidecar of snapshot $sid missing on disk: $abs"
+    log.eqDeletesOf(snaps, None).foreach {
+      case (sid, Tomb.Keys(abs)) =>
+        if (!Files.isRegularFile(Paths.get(abs)))
+          issues += s"equality-delete sidecar of snapshot $sid missing on disk: $abs"
+      case (_, Tomb.Pred(_)) => () // predicate rides in the manifest itself
     }
     issues.result()
   }
@@ -1693,6 +1972,54 @@ final class GraftTable private (
     }.toDF("file", "added_by", "rows", "stat_columns", "bloom_columns")
   }
 
+  /** Iceberg-style `$partitions` metadata table: one row per
+    * (spec-era partition field, partition value) over the VISIBLE
+    * file set at `asOf`, with file/row/byte counts — MANIFEST-ONLY
+    * (partition values come from the spec-versioned stat entries
+    * every partitioned append records, so the data directory need
+    * not even exist). Spec evolution is first-class: each era's
+    * transform reports under its own `spec_field` (e.g.
+    * `p_id_status` then `p_b4_o_orderkey`), so "how is this table
+    * laid out, era by era" is one query. Files with no partition
+    * entry at all group under `<unpartitioned>`; row/byte sums go
+    * NULL when any contributing file predates row/byte recording
+    * (UNKNOWN, never a silent undercount). */
+  def partitionsDf(asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val snaps = log.snapshots
+    val cut = asOf.getOrElse(Long.MaxValue)
+    val statsByFile = snaps.filter(_.snapshotId <= cut).flatMap(_.stats).toMap
+    val hist = partitionSpecHistory
+    def fmtNum(v: Double): String =
+      if (v == math.floor(v) && math.abs(v) < (1L << 53).toDouble)
+        v.toLong.toString
+      else v.toString
+    val perFile = log.filesWithSnapOf(snaps, asOf).flatMap { case (abs, _) =>
+      val rel = dir.relativize(Paths.get(abs)).toString
+      val st = statsByFile.get(rel)
+      val entries = hist.flatMap { f =>
+        st.flatMap(stt =>
+          stt.numMin.get(f.statName).map(v => (f.statName, fmtNum(v)))
+            .orElse(stt.strMin.get(f.statName).map(v => (f.statName, v))))
+      }
+      val tagged =
+        if (entries.isEmpty) Seq(("<unpartitioned>", null: String))
+        else entries
+      tagged.map { case (fld, v) =>
+        (fld, v, st.map(_.rows).getOrElse(-1L), st.map(_.bytes).getOrElse(-1L))
+      }
+    }
+    val folded = perFile.groupBy(r => (r._1, Option(r._2))).toSeq
+      .map { case ((fld, v), fs) =>
+        (fld, v.orNull,
+          fs.size.toLong,
+          if (fs.exists(_._3 < 0)) None else Some(fs.map(_._3).sum),
+          if (fs.exists(_._4 < 0)) None else Some(fs.map(_._4).sum))
+      }
+      .sortBy(r => (r._1, Option(r._2).getOrElse("")))
+    folded.toDF("spec_field", "value", "files", "rows", "bytes")
+  }
+
   private def compatible(expected: StructType, got: StructType): Boolean =
     expected.fields.map(f => (f.name, f.dataType)).sameElements(
       got.fields.map(f => (f.name, f.dataType)))
@@ -1706,6 +2033,81 @@ object GraftTable {
     * (see [[GraftTable.lastTxnBatch]]). */
   val TxnAppIdKey = "graft.txn.appId"
   val TxnBatchKey = "graft.txn.batchId"
+
+  /** StructField-metadata key of the stable FIELD ID (the Iceberg
+    * column-identity contract): rename keeps the id, drop retires it,
+    * reads project era files to the current schema by id. Assigned
+    * lazily — a table acquires ids on its first rename/drop (or on
+    * addColumns once in id mode); earlier eras match by name. */
+  val FieldIdKey = "graft.fieldId"
+
+  private[graft] def fieldIdOf(f: org.apache.spark.sql.types.StructField): Option[Long] =
+    if (f.metadata.contains(FieldIdKey)) Some(f.metadata.getLong(FieldIdKey))
+    else None
+
+  private[warehouse] def withFieldId(
+      f: org.apache.spark.sql.types.StructField, id: Long)
+      : org.apache.spark.sql.types.StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(FieldIdKey, id).build())
+
+  /** Assign ids 1..n positionally to fields that lack one (fields that
+    * already have ids keep them; fresh ids start above the max). */
+  private[warehouse] def withFieldIds(sch: StructType): StructType = {
+    var next = sch.fields.flatMap(fieldIdOf).maxOption.getOrElse(0L) + 1
+    StructType(sch.fields.map { f =>
+      if (fieldIdOf(f).nonEmpty) f
+      else { val t = withFieldId(f, next); next += 1; t }
+    })
+  }
+
+  /** Highest field id any retained era ever used (dropped columns'
+    * ids must not be re-issued while their files are readable). */
+  private[warehouse] def maxFieldId(snaps: Seq[Snapshot]): Long =
+    snaps.flatMap { s =>
+      DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+        .fields.flatMap(fieldIdOf)
+    }.maxOption.getOrElse(0L)
+
+  /** For each `target` field, the ERA field that holds its data (None
+    * = null-fill): matched by FIELD ID when the target has one, with a
+    * same-name fallback only against id-LESS era fields (pre-upgrade
+    * continuity — an era field carrying a DIFFERENT id under the same
+    * name must never leak through). Type mismatches never match. */
+  /** Name each field id was bound to in PRE-UPGRADE (id-less) eras:
+    * the EARLIEST retained id-bearing schema is the upgrade commit,
+    * which assigned ids with unchanged names (`ensureFieldIds`) — its
+    * (id → name) is the legacy binding. Fields added after the
+    * upgrade carry ids absent from it and can never match a legacy
+    * era (correct: those eras predate the field). */
+  private[warehouse] def legacyNames(snaps: Seq[Snapshot]): Map[Long, String] =
+    snaps.iterator
+      .map(s => DataType.fromJson(s.schemaJson).asInstanceOf[StructType])
+      .find(_.fields.exists(f => fieldIdOf(f).nonEmpty))
+      .map(_.fields.flatMap(f => fieldIdOf(f).map(_ -> f.name)).toMap)
+      .getOrElse(Map.empty)
+
+  /** For each `target` field, the ERA field that holds its data (None
+    * = null-fill): matched by FIELD ID when the target has one; an
+    * id-LESS era resolves through the `legacy` binding (the name the
+    * id had at upgrade time). An era field carrying a DIFFERENT id
+    * under the same name never leaks through; type mismatches never
+    * match. */
+  private[warehouse] def eraProjection(era: StructType, target: StructType,
+      legacy: Map[Long, String])
+      : Seq[(Option[String], org.apache.spark.sql.types.StructField)] = {
+    val byId = era.fields.flatMap(f => fieldIdOf(f).map(_ -> f)).toMap
+    target.fields.toSeq.map { tf =>
+      val src = fieldIdOf(tf) match {
+        case Some(id) => byId.get(id).orElse {
+          val boundName = legacy.getOrElse(id, tf.name)
+          era.fields.find(f => f.name == boundName && fieldIdOf(f).isEmpty)
+        }
+        case None => era.fields.find(f => f.name == tf.name)
+      }
+      (src.filter(_.dataType == tf.dataType).map(_.name), tf)
+    }
+  }
 
   def create(spark: SparkSession, dir: Path, name: String, data: DataFrame,
       properties: Map[String, String] = Map.empty): Option[GraftTable] = {

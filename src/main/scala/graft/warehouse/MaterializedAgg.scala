@@ -39,11 +39,23 @@ final class MaterializedAgg private (
     val base: GraftTable,
     val view: GraftTable,
     groupCols: Seq[String],
-    sumCols: Seq[String]) {
+    sumCols: Seq[String],
+    minMaxCols: Seq[String]) {
 
   import MaterializedAgg._
 
-  private val statePath: Path = view.dir.resolve("_mv_state.json")
+  // lazy: create() builds a view-less scratch instance to reuse
+  // aggregate() for the initial materialization
+  private lazy val statePath: Path = view.dir.resolve("_mv_state.json")
+
+  /** Witness of the last refresh's DELETE-AWARE extremum recompute:
+    * (files read by the group-pruned re-aggregate, total base files) —
+    * None when no recompute was needed. min/max are NOT abelian: a
+    * delete that removes a group's current extremum makes the
+    * incremental bound unrecoverable, so ONLY the affected groups
+    * re-aggregate from the base, group-pruned via readWhereIn over the
+    * leading group column — sub-full-scan, which this pair proves. */
+  @volatile var lastRedoScan: Option[(Long, Long)] = None
 
   /** Catch up with the base. Returns the refresh mode actually taken:
     * `fresh` (nothing to do), `incremental` (delta applied), or
@@ -64,18 +76,71 @@ final class MaterializedAgg private (
           return "rebuild"
       }
     val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val isIns = col("_change_type") === "insert"
     val deltaAgg = delta.groupBy(groupCols.map(col): _*).agg(
       sum(sign).as("_dcnt"),
-      sumCols.map(c => sum(col(c) * sign).as(s"_d_$c")): _*)
+      (sumCols.map(c => sum(col(c) * sign).as(s"_d_$c")) ++
+        // per-group extremum bookkeeping: inserted bounds tighten the
+        // view's min/max incrementally; DELETED bounds only DETECT
+        // whether the stored extremum may have been removed
+        minMaxCols.flatMap(c => Seq(
+          min(when(isIns, col(c))).as(s"_imin_$c"),
+          max(when(isIns, col(c))).as(s"_imax_$c"),
+          min(when(!isIns, col(c))).as(s"_delmin_$c"),
+          max(when(!isIns, col(c))).as(s"_delmax_$c")))): _*)
     // join current totals for ONLY the touched groups; new groups read
     // as zero. The join keys on the view's group columns — proportional
     // to |touched groups|, not |base|.
     val joined = deltaAgg.join(view.read(), groupCols, "left")
-    val merged = joined.select(
-      groupCols.map(col) ++
-        Seq((coalesce(col("cnt"), lit(0L)) + col("_dcnt")).as("cnt")) ++
-        sumCols.map(c =>
-          (coalesce(col(s"sum_$c"), lit(0L)) + col(s"_d_$c")).as(s"sum_$c")): _*)
+    val newCnt = (coalesce(col("cnt"), lit(0L)) + col("_dcnt")).as("cnt")
+    val newSums = sumCols.map(c =>
+      (coalesce(col(s"sum_$c"), lit(0L)) + col(s"_d_$c")).as(s"sum_$c"))
+    // least/greatest skip NULLs, so a new group takes the inserted
+    // bound and an untouched-extremum group keeps the stored one
+    val newMins = minMaxCols.map(c =>
+      least(col(s"min_$c"), col(s"_imin_$c")).as(s"min_$c"))
+    val newMaxs = minMaxCols.map(c =>
+      greatest(col(s"max_$c"), col(s"_imax_$c")).as(s"max_$c"))
+    // a group needs base recompute iff a DELETE may have removed its
+    // stored extremum (deleted bound reaches the stored bound; equal
+    // values are conservative — the extremum may survive as a twin)
+    val redoFlag =
+      if (minMaxCols.isEmpty) lit(false)
+      else minMaxCols.map(c =>
+        (col(s"_delmin_$c").isNotNull &&
+          (col(s"min_$c").isNull || col(s"_delmin_$c") <= col(s"min_$c"))) ||
+        (col(s"_delmax_$c").isNotNull &&
+          (col(s"max_$c").isNull || col(s"_delmax_$c") >= col(s"max_$c"))))
+        .reduce(_ || _)
+    val mergedAll = joined.select(
+      groupCols.map(col) ++ Seq(newCnt) ++ newSums ++ newMins ++ newMaxs :+
+        (redoFlag &&
+          (coalesce(col("cnt"), lit(0L)) + col("_dcnt")) > 0L).as("_redo"): _*)
+    lastRedoScan = None
+    val merged =
+      if (minMaxCols.isEmpty) mergedAll.drop("_redo")
+      else {
+        val redoRows = mergedAll.filter(col("_redo"))
+          .select(groupCols.map(col): _*).collect()
+        if (redoRows.isEmpty) mergedAll.drop("_redo")
+        else {
+          // re-aggregate ONLY the affected groups from the base,
+          // file-pruned on the leading group column's recorded stats —
+          // the sub-full-scan path lastRedoScan witnesses
+          val spark = base.spark
+          val keySchema = org.apache.spark.sql.types.StructType(
+            groupCols.map(c => view.schema(c)))
+          val redoKeys = spark.createDataFrame(
+            java.util.Arrays.asList(redoRows: _*), keySchema)
+          val pruned = base.readWhereIn(groupCols.head,
+            redoRows.map(_.get(0)).distinct.toSeq, Some(head))
+          lastRedoScan = Some((pruned.inputFiles.length.toLong,
+            base.log.dataFiles(Some(head)).length.toLong))
+          val redoBase = pruned.join(broadcast(redoKeys), groupCols, "left_semi")
+          mergedAll.filter(!col("_redo")).drop("_redo")
+            .unionByName(aggregate(redoBase))
+        }
+      }
     // emptied groups ride the merge's delete arm out of the view
     view.merge(writeStatePendingThen(st, head, merged), groupCols,
       whenMatchedDelete = col("cnt") === 0L)
@@ -88,7 +153,9 @@ final class MaterializedAgg private (
   private def aggregate(rel: DataFrame): DataFrame =
     rel.groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("cnt"),
-      sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+      (sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+        minMaxCols.flatMap(c => Seq(
+          min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
 
   /** Write the pending marker BEFORE the merge commits (see the WAL
     * note in the class doc); returns `merged` untouched. */
@@ -135,16 +202,16 @@ object MaterializedAgg {
   /** Materialize the initial view over the base's current snapshot and
     * return the maintainer. `viewDir` must not already hold a table. */
   def create(base: GraftTable, viewDir: Path, viewName: String,
-      groupCols: Seq[String], sumCols: Seq[String]): MaterializedAgg = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): MaterializedAgg = {
     require(groupCols.nonEmpty, "materialized aggregate needs group columns")
     val head = base.currentSnapshotId.getOrElse(
       sys.error(s"base table ${base.name} has no snapshots"))
-    val init = base.read(Some(head)).groupBy(groupCols.map(col): _*).agg(
-      count(lit(1)).as("cnt"),
-      sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+    val mv0 = new MaterializedAgg(base, null, groupCols, sumCols, minMaxCols)
+    val init = mv0.aggregate(base.read(Some(head)))
     val view = GraftTable.create(base.spark, viewDir, viewName, init)
       .getOrElse(sys.error(s"view table already exists at $viewDir"))
-    val mv = new MaterializedAgg(base, view, groupCols, sumCols)
+    val mv = new MaterializedAgg(base, view, groupCols, sumCols, minMaxCols)
     writeState(mv.view.dir.resolve("_mv_state.json"),
       State(head, 0L, view.currentSnapshotId.get))
     mv
@@ -152,9 +219,10 @@ object MaterializedAgg {
 
   /** Re-attach to an existing materialized view. */
   def load(base: GraftTable, viewDir: Path, viewName: String,
-      groupCols: Seq[String], sumCols: Seq[String]): MaterializedAgg = {
+      groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil): MaterializedAgg = {
     val view = GraftTable.load(base.spark, viewDir, viewName)
       .getOrElse(sys.error(s"no view table at $viewDir"))
-    new MaterializedAgg(base, view, groupCols, sumCols)
+    new MaterializedAgg(base, view, groupCols, sumCols, minMaxCols)
   }
 }

@@ -61,6 +61,12 @@ final case class FileStat(
       * whole-table aggregates from manifests without touching one data
       * byte. */
     rows: Long = -1L,
+    /** File size in BYTES, recorded at commit time (one driver-side
+      * stat call while the file demonstrably exists) — lets the
+      * `$partitions`/`$files` metadata surfaces report byte counts
+      * without touching the filesystem at read time. −1 in manifests
+      * written before sizes were recorded (UNKNOWN, not zero). */
+    bytes: Long = -1L,
     /** Per-column BLOOM FILTERS over the file's xxhash64(column) values
       * (Spark's own `bloom_filter_agg` sketch, base64 in the manifest)
       * — the point-lookup skipping index for UNCLUSTERED high-cardinality
@@ -194,6 +200,16 @@ object FileStat {
 final class HistoryExpiredException(msg: String)
   extends IllegalStateException(msg)
 
+/** One live merge-on-read tombstone's payload (see
+  * [[SnapshotLog.eqDeletesOf]]). */
+sealed trait Tomb
+object Tomb {
+  /** Absolute path of a key-tuple parquet sidecar ([[GraftTable.deleteKeysMor]]). */
+  final case class Keys(absPath: String) extends Tomb
+  /** SQL text of a predicate delete ([[GraftTable.deleteWhereMor]]). */
+  final case class Pred(sql: String) extends Tomb
+}
+
 /** Append-only snapshot log stored as one JSON manifest per commit under
   * `<tableDir>/_snapshots/v%016d.json`.
   *
@@ -214,6 +230,11 @@ final class HistoryExpiredException(msg: String)
   * directory listing of a 100 TB table.
   */
 object SnapshotLog {
+  /** Snapshot-property key holding a PREDICATE merge-on-read delete's
+    * SQL text (see [[GraftTable.deleteWhereMor]]): the commit carries
+    * no files at all — O(1) write latency at any table size. */
+  val PredDeleteKey = "graft.delete.predicate"
+
   /** Per-JVM parse cache for immutable MAIN-log manifests (see
     * [[SnapshotLog.snapshots]] for the immutability argument). Sized
     * for tens of live tables with thousands of commits each; LRU keeps
@@ -331,18 +352,25 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
       .toSeq
   }
 
-  /** Equality-delete files visible at a cut: `eqdelete` commits after
-    * the latest MATERIALIZING rewrite (compact/replace — both rebuild
-    * the row set with deletes applied) at-or-before the cut, as
-    * (deleteSnapshotId, absolutePath) pairs in commit order. */
+  /** Merge-on-read tombstones visible at a cut: `eqdelete` commits
+    * after the latest MATERIALIZING rewrite (compact/replace — both
+    * rebuild the row set with deletes applied) at-or-before the cut,
+    * as (deleteSnapshotId, payload) pairs in commit order. A payload
+    * is either the absolute path of a KEY-TUPLE sidecar
+    * ([[Tomb.Keys]]) or the SQL text of a PREDICATE delete
+    * ([[Tomb.Pred]] — stored in the commit's properties, zero files). */
   def eqDeletesOf(snaps: Seq[Snapshot],
-      asOf: Option[Long]): Seq[(Long, String)] = {
+      asOf: Option[Long]): Seq[(Long, Tomb)] = {
     val cut = asOf.getOrElse(Long.MaxValue)
     val visible = snaps.filter(_.snapshotId <= cut)
     val baseline = visible.lastIndexWhere(s =>
       s.operation == "compact" || s.operation == "replace")
-    visible.drop(math.max(baseline, 0)).flatMap(s =>
-      s.deleteFiles.map(f => s.snapshotId -> tableDir.resolve(f).toString))
+    visible.drop(math.max(baseline, 0)).flatMap { s =>
+      s.deleteFiles.map(f =>
+        s.snapshotId -> (Tomb.Keys(tableDir.resolve(f).toString): Tomb)) ++
+        s.properties.get(SnapshotLog.PredDeleteKey).map(p =>
+          s.snapshotId -> (Tomb.Pred(p): Tomb))
+    }
   }
 
   /** Files added by snapshots in `(sinceId, head]` — the corrected
@@ -354,7 +382,14 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
     * past that horizon the delta is UNKNOWABLE and this method throws
     * rather than silently returning a partial delta (a lagging replica
     * must full-re-sync, not diverge). */
-  def changedFiles(sinceId: Long, untilId: Long = Long.MaxValue): Seq[String] = {
+  def changedFiles(sinceId: Long, untilId: Long = Long.MaxValue): Seq[String] =
+    changedFilesWithSnap(sinceId, untilId).map(_._1)
+
+  /** [[changedFiles]] keeping each file's ADDING snapshot id — what an
+    * era-projected read needs to decode files committed before a
+    * rename with their own era's schema. */
+  def changedFilesWithSnap(sinceId: Long,
+      untilId: Long = Long.MaxValue): Seq[(String, Long)] = {
     val snaps = snapshots
     val firstId = snaps.headOption.map(_.snapshotId).getOrElse(1L)
     if (sinceId < firstId - 1)
@@ -368,15 +403,16 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
     // delta across it would double-count — same stance as Iceberg's
     // incremental scan on replace snapshots: refuse, forcing the
     // consumer (Mirror) onto its full-re-sync path.
-    window.find(s => s.removedFiles.nonEmpty || s.deleteFiles.nonEmpty)
+    window.find(s => s.removedFiles.nonEmpty || s.deleteFiles.nonEmpty ||
+        s.properties.contains(SnapshotLog.PredDeleteKey))
       .foreach { s =>
         throw new HistoryExpiredException(
           s"changes since $sinceId unavailable: snapshot ${s.snapshotId} " +
             s"(${s.operation}) rewrote or deleted rows; full re-sync required")
       }
     window.filter(_.operation != "compact")
-      .flatMap(_.addedFiles)
-      .map(f => tableDir.resolve(f).toString)
+      .flatMap(s => s.addedFiles.map(f =>
+        tableDir.resolve(f).toString -> s.snapshotId))
   }
 
   /** Remove one manifest (snapshot-expiry path — see
@@ -470,7 +506,7 @@ private[warehouse] object SnapshotJson {
       "\"" + esc(f) + "\":{" +
         "\"numMin\":" + numMap(st.numMin) + ",\"numMax\":" + numMap(st.numMax) +
         ",\"strMin\":" + strMap(st.strMin) + ",\"strMax\":" + strMap(st.strMax) +
-        ",\"rows\":" + st.rows +
+        ",\"rows\":" + st.rows + ",\"bytes\":" + st.bytes +
         (if (st.blooms.isEmpty) ""
          else ",\"blooms\":" + bloomMap(st.blooms)) + "}"
     }.mkString("{", ",", "}")
@@ -499,6 +535,8 @@ private[warehouse] object SnapshotJson {
           (st \ "strMax").extractOrElse[Map[String, String]](Map.empty),
           // pre-row-count manifests: UNKNOWN, not zero
           (st \ "rows").extractOrElse[Long](-1L),
+          // absent before byte sizes were recorded
+          (st \ "bytes").extractOrElse[Long](-1L),
           // absent before bloom skipping indexes existed
           (st \ "blooms").extractOrElse[Map[String, String]](Map.empty)
             .map { case (c, b64) =>

@@ -419,6 +419,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(guarded === unguarded)
   }
 
+  test("semDedup cell cap bounds a degenerate corpus; auto-k tracks corpus size") {
+    val emb = T.embeddings(spark, sf)
+    // auto-k: one cell per targetCellRows rows, never below 1
+    assert(Dedup.semDedupAutoK(100, 512) === 2)
+    assert(Dedup.semDedupAutoK(5000, 512) === 10)
+    assert(Dedup.semDedupAutoK(0, 512) === 2)
+    // 2000 identical vectors collapse every k-means cell assignment
+    // onto one cell — un-capped that is ~2M within-cell pairs; the
+    // cell cap drops the overflow LOUDLY and keeps the run bounded
+    val clones = emb.limit(1).select(col("embedding"))
+      .crossJoin(spark.range(2000))
+      .select((col("id") + 1000000L).as("vec_id"), col("embedding"),
+        lit("x").as("label"))
+    val kept = Dedup.semDedup(clones, "vec_id", "embedding", 0.9,
+      cellCap = 64)
+    // capped: the run completes with bounded pair work, and no cell
+    // above the cap reached the join (cap construction) — the drop
+    // accumulator must have fired for the overflow
+    kept.count()
+    val drops = graft.operators.OpUtil
+      .dropCounters("graft.semdedup.cellcap.drops").value
+    assert(drops > 0L, "cell overflow dropped silently — alarm not counted")
+    // a cap above every cell is a no-op: same kept set either way
+    val distinctPart = emb.filter(col("vec_id") < 100)
+    val a = Dedup.semDedup(distinctPart, "vec_id", "embedding", 0.4,
+      cellCap = 1 << 20).select("vec_id").collect().map(_.getLong(0)).sorted
+    val b = Dedup.semDedup(distinctPart, "vec_id", "embedding", 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("minhash bucket-skew guard bounds a degenerate corpus of identical docs") {
     import org.apache.spark.sql.functions._
     val docs = T.documents(spark, sf)

@@ -1417,4 +1417,182 @@ class WarehouseSpec extends AnyFunSuite {
     // current spec is exactly one of the declared ones
     assert(t.partitionSpec.nonEmpty)
   }
+
+  test("MV min/max: incremental on inserts, group-pruned recompute on extremum deletes") {
+    import org.apache.spark.sql.functions.col
+    import graft.warehouse.MaterializedAgg
+    val baseDir = Files.createTempDirectory("graft-mvx-")
+    val rows = Seq((1L, 1L), (1L, 5L), (1L, 9L), (2L, 2L), (2L, 6L),
+      (2L, 10L), (3L, 3L), (4L, 4L), (4L, 8L), (4L, 12L))
+    val t = GraftTable.create(spark, baseDir, "b",
+      rows.toDF("g", "k").repartition(1)).get
+    val mv = MaterializedAgg.create(t,
+      Files.createTempDirectory("graft-mvxv-"), "v",
+      Seq("g"), Seq("k"), minMaxCols = Seq("k"))
+    def viewMap() = mv.view.read()
+      .select("g", "cnt", "min_k", "max_k").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(viewMap() == Map(1L -> (3L, 1L, 9L), 2L -> (3L, 2L, 10L),
+      3L -> (1L, 3L, 3L), 4L -> (3L, 4L, 12L)))
+    // pure insert: incremental bounds, no recompute
+    t.append(Seq((2L, 0L)).toDF("g", "k"))
+    assert(mv.refresh() == "incremental" && mv.lastRedoScan.isEmpty)
+    assert(viewMap()(2L) == (4L, 0L, 10L))
+    // NON-extremum delete: no recompute needed
+    t.deleteWhere(col("g") === 4L && col("k") === 8L)
+    assert(mv.refresh() == "incremental" && mv.lastRedoScan.isEmpty)
+    assert(viewMap()(4L) == (2L, 4L, 12L))
+    // extremum delete: only g=1 recomputes from the base
+    t.deleteWhere(col("g") === 1L && col("k") === 9L)
+    assert(mv.refresh() == "incremental" && mv.lastRedoScan.nonEmpty)
+    assert(viewMap()(1L) == (2L, 1L, 5L))
+    // emptied group leaves the view without a recompute
+    t.deleteWhere(col("g") === 3L)
+    assert(mv.refresh() == "incremental")
+    assert(!viewMap().contains(3L))
+    assert(mv.refresh() == "fresh")
+  }
+
+  test("merge WHEN NOT MATCHED BY SOURCE deletes absent keys in the same commit") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = Files.createTempDirectory("graft-nms-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq((1L, "old1"), (2L, "old2"), (3L, "gone"), (4L, "gone")).toDF("id", "v")).get
+    val head = t.currentSnapshotId.get
+    // source: updates 1, inserts 5, omits 2/3/4; arm deletes only ids > 2
+    t.merge(Seq((1L, "new1"), (5L, "new5")).toDF("id", "v"), Seq("id"),
+      whenMatchedDelete = lit(false),
+      whenNotMatchedBySourceDelete = Some(col("id") > 2L))
+    assert(t.currentSnapshotId.get == head + 1, "must be ONE commit")
+    assert(t.read().as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "new1"), (2L, "old2"), (5L, "new5")))
+    // unconditional arm = full snapshot sync
+    t.merge(Seq((7L, "only")).toDF("id", "v"), Seq("id"),
+      whenMatchedDelete = lit(false),
+      whenNotMatchedBySourceDelete = Some(lit(true)))
+    assert(t.read().as[(Long, String)].collect().toSeq == Seq((7L, "only")))
+  }
+
+  test("predicate MOR delete: era-scoped, zero files, refuses bad predicates") {
+    import org.apache.spark.sql.functions.{col, rand}
+    val dir = Files.createTempDirectory("graft-morp-")
+    val t = GraftTable.create(spark, dir, "t",
+      (1L to 20L).map(i => (i, i * 10.0)).toDF("id", "x")).get
+    // unknown column / nondeterministic predicates refused at commit
+    intercept[Exception] { t.deleteWhereMor(col("nope") > 0) }
+    intercept[IllegalArgumentException] { t.deleteWhereMor(rand() < 0.5) }
+    val snap = t.deleteWhereMor(col("x") <= 50.0)
+    assert(snap.addedFiles.isEmpty && snap.deleteFiles.isEmpty)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == (6L to 20L))
+    // era semantics: re-append a matching row AFTER the delete — visible
+    t.append(Seq((3L, 30.0)).toDF("id", "x"))
+    assert(t.read().filter(col("id") === 3L).count() == 1)
+    // NULL-evaluating predicate keeps the row (SQL DELETE semantics)
+    val dir2 = Files.createTempDirectory("graft-morp2-")
+    val t2 = GraftTable.create(spark, dir2, "t2",
+      Seq((1L, Some(1.0)), (2L, None: Option[Double])).toDF("id", "x")).get
+    t2.deleteWhereMor(col("x") > 0.0)
+    assert(t2.read().select("id").as[Long].collect().toSeq == Seq(2L))
+    // compact materializes; the predicate never reapplies to new rows
+    t.compact()
+    assert(t.liveEqDeletes().isEmpty)
+    assert(t.read().filter(col("id") === 3L).count() == 1)
+    t.append(Seq((4L, 40.0)).toDF("id", "x"))
+    assert(t.read().filter(col("id") === 4L).count() == 1)
+  }
+
+  test("renameColumn is metadata-only and era-correct: old files keep their data") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-ren-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")).get
+    val filesBefore = t.read().inputFiles.toSet
+    val preRename = t.currentSnapshotId.get
+    t.renameColumn("v", "label")
+    // metadata-only: same physical files
+    assert(t.read().inputFiles.toSet == filesBefore)
+    assert(t.schema.fieldNames.toSeq == Seq("id", "label"))
+    // old files' data surfaces under the NEW name
+    assert(t.read().select("id", "label").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "b")))
+    // time travel before the rename reads with the OLD name
+    assert(t.read(Some(preRename)).columns.toSeq == Seq("id", "v"))
+    // appends carry the new schema; both eras union correctly
+    t.append(Seq((3L, "c")).toDF("id", "label"))
+    assert(t.read().select("id", "label").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // changesSince across the rename window projects old-era files too
+    val delta = t.changesSince(0L)
+    assert(delta.columns.toSeq == Seq("id", "label") && delta.count() == 3)
+    // rename back-and-forth via field ids
+    t.renameColumn("label", "v")
+    assert(t.read().select("id", "v").as[(Long, String)].collect().sorted.toSeq
+      == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("dropColumn retires the field; a re-used name never resurrects old data") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-drop-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq((1L, "secret", 10.0), (2L, "hidden", 20.0)).toDF("id", "v", "x")).get
+    val preDrop = t.currentSnapshotId.get
+    t.dropColumn("v")
+    assert(t.schema.fieldNames.toSeq == Seq("id", "x"))
+    assert(t.read().columns.toSeq == Seq("id", "x") && t.read().count() == 2)
+    // time travel still sees the dropped column
+    assert(t.read(Some(preDrop)).columns.contains("v"))
+    // re-adding the retired NAME while its era files are retained is
+    // refused (by-name reads of old files would resurrect the data)
+    intercept[IllegalArgumentException] {
+      t.addColumns(StructType(Seq(StructField("v", StringType))))
+    }
+    // a fresh name is fine and null-fills
+    t.addColumns(StructType(Seq(StructField("note", StringType))))
+    assert(t.read().filter(col("note").isNull).count() == 2)
+  }
+
+  test("DML after a rename rewrites old-era files under the new name") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-rendml-")
+    val t = GraftTable.create(spark, dir, "t",
+      (1L to 10L).map(i => (i, s"v$i", i * 1.0)).toDF("id", "v", "x")).get
+    t.renameColumn("v", "label")
+    // upsert keyed on id touches old-era files: survivors must decode
+    // era-correctly (label <- v), not null out
+    t.upsert(Seq((3L, "NEW", 33.0)).toDF("id", "label", "x"), Seq("id"))
+    val got = t.read().select("id", "label").as[(Long, String)]
+      .collect().toMap
+    assert(got(3L) == "NEW" && got(1L) == "v1" && got(10L) == "v10")
+    // deleteWhere on the renamed column
+    t.deleteWhere(col("label") === "v5")
+    assert(t.read().count() == 9)
+    // diff across the rename+DML window reports under current names
+    val d = t.diff(0L)
+    assert(d.columns.contains("label") && !d.columns.contains("v"))
+    // compact normalizes every era; reads stay identical
+    val before = t.read().select("id", "label", "x").collect().sortBy(_.getLong(0))
+    t.compact()
+    val after = t.read().select("id", "label", "x").collect().sortBy(_.getLong(0))
+    assert(before.toSeq == after.toSeq)
+  }
+
+  test("rename re-declares layout declarations that referenced the old name") {
+    import graft.warehouse.PartitionField
+    val dir = Files.createTempDirectory("graft-renlay-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq.empty[(Long, Long)].toDF("a", "b")).get
+    t.setSortOrder(Seq("a"))
+    t.setPartitionSpec(Seq(PartitionField("bucket", "a", 8)))
+    t.renameColumn("a", "a2")
+    assert(t.sortOrder == Seq("a2"))
+    assert(t.partitionSpec.map(_.column) == Seq("a2"))
+    // dropping a partition-spec column is refused until re-declared
+    intercept[IllegalArgumentException] { t.dropColumn("a2") }
+    t.setPartitionSpec(Nil)
+    t.dropColumn("a2")
+    assert(t.schema.fieldNames.toSeq == Seq("b"))
+    // the sort order shed the dropped column
+    assert(!t.sortOrder.contains("a2"))
+  }
 }
