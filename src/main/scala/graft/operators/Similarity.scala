@@ -569,19 +569,58 @@ object Similarity {
     * training and row-local broadcast assignment as [[kmeansAssign]];
     * output: id column + `clusters` array<int> (null vectors → empty). */
   def kmeansAssignN(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      probes: Int, maxIter: Int = 10, maxTrainRows: Int = 100000): DataFrame =
+    kmeansAssignNVec(df, idCol, vecCol, k, probes, maxIter, maxTrainRows)
+      .drop("__v")
+
+  /** Session-scoped centroid cache for [[kmeansAssignNVec]] — the
+    * same shape (and argument) as [[ivfCache]]: centroids are a pure
+    * function of (corpus plan, k) under the fixed seed, and the
+    * bounded training pass is most of an assignment call's cost, so a
+    * re-invocation over the same corpus (bench passes, a rig's
+    * witness re-derivation, repeated semDedup ticks over one
+    * snapshot) must not retrain. Keyed on the canonicalized plan of
+    * the (id, vec) projection, sameResult-verified. */
+  private val assignCache = new BoundedLru[
+    (Int, Int, Int), (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Array[Array[Double]])](64)
+  @volatile private var assignCacheSession: org.apache.spark.sql.SparkSession = null
+
+  /** [[kmeansAssignN]] that KEEPS the projected double-vector (`__v`)
+    * beside the assignment — callers that need vectors downstream
+    * (semDedup's within-cell cosine) read them from this one pass
+    * instead of re-joining assignments back to the source, which
+    * re-derived the whole projection per plan reference. */
+  def kmeansAssignNVec(df: DataFrame, idCol: String, vecCol: String, k: Int,
       probes: Int, maxIter: Int = 10, maxTrainRows: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(k > 0, "k must be positive")
     require(probes > 0 && probes <= k, s"probes must be in [1, $k]")
+    val spark = df.sparkSession
     val proj = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val train = proj.filter(col("__v").isNotNull)
-      .orderBy(Sampling.keyHash(col(idCol).cast("string")), col(idCol))
-      .limit(maxTrainRows)
-      .select(array_to_vector(col("__v")).as("features"))
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter)
-      .fit(train)
-    val cents = model.clusterCenters.map(_.toArray)
+    val plan = proj.queryExecution.analyzed.canonicalized
+    val key = (plan.semanticHash(), k, maxIter)
+    synchronized {
+      if (assignCacheSession ne spark) {
+        assignCache.clear(); assignCacheSession = spark
+      }
+    }
+    val cents = assignCache.get(key)
+      .filter { case (p, _) => p.sameResult(plan) }.map(_._2)
+      .getOrElse {
+        val train = proj.filter(col("__v").isNotNull)
+          .orderBy(Sampling.keyHash(col(idCol).cast("string")), col(idCol))
+          .limit(maxTrainRows)
+          .select(array_to_vector(col("__v")).as("features"))
+        val model = new KMeans().setK(k).setSeed(42L).setMaxIter(maxIter)
+          .fit(train)
+        val c = model.clusterCenters.map(_.toArray)
+        synchronized {
+          if (assignCacheSession eq spark) assignCache.put(key, (plan, c))
+        }
+        c
+      }
     val bc = df.sparkSession.sparkContext.broadcast(cents)
     val p = probes
     val assign = udf { v: Seq[Double] =>
@@ -600,7 +639,7 @@ object Similarity {
         d.indices.sortBy(d).take(p).toArray
       }
     }
-    proj.select(col(idCol), assign(col("__v")).as("clusters"))
+    proj.select(col(idCol), col("__v"), assign(col("__v")).as("clusters"))
   }
 
   /** IVF (inverted-file) approximate top-k: a coarse k-means quantizer

@@ -1396,26 +1396,26 @@ object Pipeline {
           (col("__n") - col("__ns")).cast("double") /
             (col("__n") - col("__ne")) >= 0.5).as("power_ok"))
       // max-cell-pairs witness: re-derive the SAME seeded soft
-      // assignment at the auto k — the worst cell's population must
-      // respect the cap (so no cell's pair quadratic can exceed
-      // cap^2/2), and on this corpus the guard must not have dropped
-      // rows (drops only fire on degenerate collapse)
+      // assignment at the auto k (centroids come from the session
+      // cache — no retraining) and bound the worst cell's population
+      // by the cap, so no cell's pair quadratic can exceed cap²/2;
+      // enforcement under degenerate collapse is PipelineSpec's pin.
+      // In-plan (one crossJoined scalar), so the whole grade stays a
+      // single action.
       val kAuto = Dedup.semDedupAutoK(emb.count())
       val cap = Dedup.semDedupCellCap()
-      val maxCell = graft.operators.Similarity
+      val cells = graft.operators.Similarity
         .kmeansAssignN(emb, "vec_id", "embedding", kAuto, math.min(2, kAuto))
         .select(explode(col("clusters")).as("cluster"))
         .groupBy("cluster").count()
-        .agg(max(col("count")).as("m")).collect().head.getLong(0)
-      val drops = graft.operators.OpUtil
-        .dropCounters("graft.semdedup.cellcap.drops").value
-      val cellOk = maxCell <= cap && drops == 0L
+        .agg((max(col("count")) <= cap).as("cell_ok"))
       keptExact
         .join(keptSem, col("vec_id") === col("__sem_id"), "left")
         .crossJoin(broadcast(power))
+        .crossJoin(broadcast(cells))
         .select(col("vec_id"), col("label"),
-          col("__sem_id").isNotNull.as("sem_kept"), col("power_ok"))
-        .withColumn("cell_ok", lit(cellOk))
+          col("__sem_id").isNotNull.as("sem_kept"), col("power_ok"),
+          col("cell_ok"))
         .orderBy("vec_id")
     },
 

@@ -94,12 +94,21 @@ final class FlightClient(spark: SparkSession, val host: String, val port: Int,
     }
 
   /** The source's operation log in `(since, head]` as (snapshotId,
-    * operation) pairs, plus the head id — lets a replica decide
-    * REPLAYABILITY before moving any data (Mirror's op-log path). */
-  def getOplog(table: String, since: Long): (Long, Seq[(Long, String)]) =
+    * operation, predicateSql) triples — predicateSql non-empty only
+    * for PREDICATE merge-on-read deletes, whose whole payload is that
+    * SQL text — plus the head id. Lets a replica decide REPLAYABILITY
+    * before moving any data (Mirror's op-log path). Servers predating
+    * `op_preds` yield empty strings (json4s default), which reads as
+    * "no predicate" — the replay then refuses a file-less eqdelete
+    * loudly instead of guessing. */
+  def getOplog(table: String, since: Long): (Long, Seq[(Long, String, String)]) =
     call(Wire.obj("action" -> "get_oplog", "table" -> table,
         "since" -> since)) { (r, _) =>
-      (r.num("snapshot_id"), r.nums("op_ids").zip(r.strs("op_names")))
+      val ids = r.nums("op_ids"); val names = r.strs("op_names")
+      val preds = r.strs("op_preds")
+        .padTo(ids.length, "") // pre-op_preds server: all non-predicate
+      (r.num("snapshot_id"),
+        ids.indices.map(i => (ids(i), names(i), preds(i))))
     }
 
   /** Key tuples of one eqdelete snapshot — the wire form of a

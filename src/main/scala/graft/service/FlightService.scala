@@ -157,7 +157,14 @@ final class FlightService(connector: Connector, port: Int = 0,
           "ok" -> true,
           "snapshot_id" -> Wire.JNum(head),
           "op_ids" -> Wire.JSeq(window.map(s => Wire.JNum(s.snapshotId))),
-          "op_names" -> Wire.JSeq(window.map(s => Wire.JStr(s.operation)))))
+          "op_names" -> Wire.JSeq(window.map(s => Wire.JStr(s.operation))),
+          // PREDICATE-delete payloads ride the log itself (zero files
+          // source-side, zero rows on the wire): the replica re-applies
+          // the SQL text as its own deleteWhereMor — "" for every
+          // non-predicate op
+          "op_preds" -> Wire.JSeq(window.map(s => Wire.JStr(
+            s.properties.getOrElse(
+              graft.warehouse.SnapshotLog.PredDeleteKey, ""))))))
 
       case "get_delete_keys" =>
         // The key tuples of one eqdelete snapshot (`since` names it) —

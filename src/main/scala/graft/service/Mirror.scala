@@ -202,7 +202,7 @@ object Mirror {
       throw new OplogNotReplayable(
         s"oplog window ($since, $head] truncated by expiry")
     val replayable = Set("append", "publish", "eqdelete")
-    ops.find(o => !replayable(o._2)).foreach { case (id, op) =>
+    ops.find(o => !replayable(o._2)).foreach { case (id, op, _) =>
       throw new OplogNotReplayable(s"op $op at snapshot $id is not replayable")
     }
     var applied = 0L
@@ -221,14 +221,23 @@ object Mirror {
       } finally f.cleanup()
       prev = until
     }
-    ops.foreach { case (id, op) =>
+    ops.foreach { case (id, op, pred) =>
       if (op == "eqdelete") {
         flushAppends(id - 1)
-        val f = data.getDeleteKeys(sourceTable, id)
-        try {
-          applied += f.df.count()
-          connector.loadTable(targetTable).deleteKeysMor(f.df)
-        } finally f.cleanup()
+        if (pred.nonEmpty) {
+          // PREDICATE delete: the SQL text IS the payload — re-apply
+          // as the replica's own zero-file predicate tombstone (same
+          // era scoping, since replay preserves relative order)
+          connector.loadTable(targetTable)
+            .deleteWhereMor(org.apache.spark.sql.functions.expr(pred))
+          applied += 1
+        } else {
+          val f = data.getDeleteKeys(sourceTable, id)
+          try {
+            applied += f.df.count()
+            connector.loadTable(targetTable).deleteKeysMor(f.df)
+          } finally f.cleanup()
+        }
         prev = id
       }
     }

@@ -422,9 +422,9 @@ class PipelineSpec extends AnyFunSuite {
   test("semDedup cell cap bounds a degenerate corpus; auto-k tracks corpus size") {
     val emb = T.embeddings(spark, sf)
     // auto-k: one cell per targetCellRows rows, never below 1
-    assert(Dedup.semDedupAutoK(100, 512) === 2)
-    assert(Dedup.semDedupAutoK(5000, 512) === 10)
-    assert(Dedup.semDedupAutoK(0, 512) === 2)
+    assert(Dedup.semDedupAutoK(100, 1024) === 8)
+    assert(Dedup.semDedupAutoK(100000, 1024) === 98)
+    assert(Dedup.semDedupAutoK(0, 1024) === 8)
     // 2000 identical vectors collapse every k-means cell assignment
     // onto one cell — un-capped that is ~2M within-cell pairs; the
     // cell cap drops the overflow LOUDLY and keeps the run bounded

@@ -269,6 +269,36 @@ class ServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("mirror replays PREDICATE deletes from the op log: SQL text only on the wire") {
+    withService { (src, client, svc) =>
+      import spark.implicits._
+      src.createTable("psrc", (1L to 20L).map(i => (i, i * 10.0)).toDF("id", "x"))
+      val targetWh = new Connector(spark, tmpDir("graft-predmir"))
+      val state = SyncState(tmpDir("graft-predstate"))
+      val url = s"grpc://localhost:${svc.boundPort}/psrc"
+      val r1 = Mirror.performSync(client, url, "psrc", targetWh, "pdst", state)
+      assert(r1.status === "full_sync")
+      // source: predicate delete → append (era: re-landed rows survive
+      // even where the predicate matches) → second predicate delete
+      val t = src.loadTable("psrc")
+      t.deleteWhereMor(org.apache.spark.sql.functions.col("x") <= 50.0)
+      t.append(Seq((3L, 30.0), (21L, 210.0)).toDF("id", "x"))
+      t.deleteWhereMor(org.apache.spark.sql.functions.col("id") % 7 === 0)
+      val r2 = Mirror.performSync(client, url, "psrc", targetWh, "pdst", state)
+      assert(r2.status === "incremental_oplog", s"got ${r2.status}")
+      val want = t.read().select("id", "x").as[(Long, Double)].collect().sorted.toSeq
+      val got = targetWh.query("pdst").select("id", "x")
+        .as[(Long, Double)].collect().sorted.toSeq
+      assert(got === want)
+      // era semantics replicated: 3 survives (re-appended after the
+      // price predicate), 7/14/21 are gone (second predicate)
+      assert(got.exists(_ == (3L, 30.0)) && !got.exists(_._1 == 7L) &&
+        !got.exists(_._1 == 21L))
+      assert(Mirror.performSync(client, url, "psrc", targetWh, "pdst", state)
+        .status === "up_to_date")
+    }
+  }
+
   test("mirror loop discovers the source table and converges in bounded iterations") {
     withService { (_, client, svc) =>
       client.doPut("only_table", SampleData.create(spark, 12, "default"))
