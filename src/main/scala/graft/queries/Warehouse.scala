@@ -597,6 +597,102 @@ object Warehouse {
         .orderBy("value")
     },
 
+    // ---- q140: PARTIAL binpack compaction (rewrite_data_files) -------
+    // Iceberg's binpack strategy, the maintenance shape that holds at
+    // 100 TB: a full compact() rewrites the whole table per tick —
+    // impossible at scale — while compactSmall rewrites ONLY the
+    // files below the size threshold (sizes from the manifests, no
+    // filesystem walk), leaving right-sized files byte-untouched. The
+    // rig builds the poll-loop pathology (one big clustered file + 8
+    // tiny appends), binpacks, then appends again; the witness pins
+    // that the big file survived UN-rewritten, the file count shrank,
+    // the commit was a `rewrite` (rows unchanged), and — the scale
+    // property CoW rewrites can't give — an incremental reader's
+    // changesSince FLOWS THROUGH the rewrite, returning exactly the
+    // post-rewrite append instead of refusing into a full re-sync.
+    Q("q140_binpack",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, TRUE AS bp_ok
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_bp", orders.limit(0))
+      val t = conn.loadTable("orders_bp")
+      val bigSnap = t.append(orders.filter(col("o_orderkey") % 2 === 0),
+        clusterBy = Seq("o_orderkey"), clusterParts = 1)
+      // the big append's own files (the schema-only create file is
+      // legitimately packable and must not count as "big")
+      val bigFiles = bigSnap.addedFiles
+        .map(f => t.dir.resolve(f).toUri.getPath).toSet
+      // 8 tiny appends, minus the slice held back for the delta check
+      (0 until 8).filter(_ != 7).foreach { i =>
+        t.append(orders.filter(col("o_orderkey") % 2 === 1)
+          .filter(col("o_orderkey") % 16 === (i * 2 + 1)))
+      }
+      val s1 = t.currentSnapshotId.get
+      val preFiles = t.read().inputFiles.length
+      // threshold: strictly below the big file's recorded size
+      val sizes = t.log.snapshots.flatMap(_.stats).toMap
+      val maxBytes = t.read().inputFiles
+        .map(f => sizes.get(t.dir.relativize(
+          java.nio.file.Paths.get(java.net.URI.create(f).getPath)).toString)
+          .map(_.bytes).getOrElse(0L)).max
+      val snap = t.compactSmall(smallBytes = maxBytes, targetBytes = 8L << 20)
+      // post-rewrite append: the delta an incremental reader must see
+      t.append(orders.filter(col("o_orderkey") % 16 === 15))
+      val post = t.read().inputFiles
+        .map(f => java.net.URI.create(f).getPath).toSet
+      val delta = t.changesSince(s1)
+      val witness = snap.exists(_.operation == "rewrite") &&
+        bigFiles.subsetOf(post) &&
+        post.size < preFiles &&
+        delta.count() == orders.filter(col("o_orderkey") % 16 === 15).count() &&
+        t.validate().isEmpty
+      conn.query("orders_bp")
+        .withColumn("bp_ok", lit(witness))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- q141: TYPE WIDENING (Iceberg promotion) + mirror replay -----
+    // int→long promotion as a metadata-only evolve: old files keep
+    // int32 pages and reads CAST them era-correctly (the vectorized
+    // reader refuses an int32 page under a long schema, so this is a
+    // real decode-path capability, not a cast sugar); post-widen
+    // appends carry values beyond Int.MaxValue — any era-confusion
+    // nulls or truncates and breaks the hash. The rig also sums the
+    // column: correct only if both eras decode at full width. Witness
+    // pins the metadata-only commit and the schema promotion.
+    Q("q141_widen",
+      """SELECT o_orderkey,
+        |  CAST(CASE WHEN o_orderkey % 2 = 1
+        |       THEN o_orderkey + 4000000000 ELSE o_orderkey END AS BIGINT) AS qty,
+        |  TRUE AS widen_ok
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.LongType
+      val conn = new Connector(s, Scratch.dir("run"))
+      val orders = T.orders(s, d).select(col("o_orderkey"))
+      // era 1: qty fits int32
+      conn.createTable("orders_w", orders
+        .filter(col("o_orderkey") % 2 === 0)
+        .withColumn("qty", col("o_orderkey").cast("int")))
+      val t = conn.loadTable("orders_w")
+      val filesBefore = t.read().inputFiles.toSet
+      val wSnap = t.widenColumn("qty", LongType)
+      // era 2: values far beyond Int.MaxValue
+      conn.insert("orders_w", orders
+        .filter(col("o_orderkey") % 2 === 1)
+        .withColumn("qty", col("o_orderkey") + 4000000000L))
+      val witness = wSnap.addedFiles.isEmpty && wSnap.removedFiles.isEmpty &&
+        t.read().inputFiles.toSet.intersect(filesBefore) == filesBefore &&
+        conn.loadTable("orders_w").schema("qty").dataType == LongType
+      conn.query("orders_w")
+        .select(col("o_orderkey"), col("qty"))
+        .withColumn("widen_ok", lit(witness))
+        .orderBy("o_orderkey")
+    },
+
     // ---- q117: incremental materialized aggregate view ---------------
     // Grades MaterializedAgg end-to-end: a count/sum rollup over the
     // base is maintained from the base's row CHANGELOG (GraftTable.diff)

@@ -135,8 +135,13 @@ object Mirror {
         val aById = a.fields.flatMap(f => fieldIdOf(f).map(_ -> f)).toMap
         val bById = b.fields.flatMap(f => fieldIdOf(f).map(_ -> f)).toMap
         bById.foreach { case (id, bf) =>
-          aById.get(id).filter(_.name != bf.name).foreach { af =>
-            connector.loadTable(targetTable).renameColumn(af.name, bf.name)
+          aById.get(id).foreach { af =>
+            if (af.name != bf.name)
+              connector.loadTable(targetTable).renameColumn(af.name, bf.name)
+            if (af.dataType != bf.dataType)
+              // type promotion (int→long etc.): replay the widening
+              connector.loadTable(targetTable)
+                .widenColumn(bf.name, bf.dataType)
           }
         }
         aById.foreach { case (id, af) =>
@@ -156,11 +161,14 @@ object Mirror {
       connector: Connector, targetTable: String,
       incoming: org.apache.spark.sql.types.StructType): Unit = {
     // a replica column ABSENT from the delta means the source renamed
-    // or dropped it (deltas always carry the source's full current
-    // schema) — evolveForDelta alone would no-op on a pure drop and
-    // the insert would then fail on the missing column
-    val gone = connector.loadTable(targetTable).schema.fieldNames
-      .exists(n => !incoming.fieldNames.contains(n))
+    // or dropped it, and a same-name column at a DIFFERENT type means
+    // a widening (deltas always carry the source's full current
+    // schema) — evolveForDelta alone would no-op on both (it only
+    // type-checks when new columns appear) and the insert/append
+    // would then fail downstream
+    val gone = connector.loadTable(targetTable).schema.fields
+      .exists(f => !incoming.fields.exists(g =>
+        g.name == f.name && g.dataType == f.dataType))
     if (gone) {
       reconcileEvolution(data, sourceTable, connector, targetTable)
       evolveForDelta(connector, targetTable, incoming)

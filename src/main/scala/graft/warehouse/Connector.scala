@@ -171,6 +171,14 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     reflectView(name)
   }
 
+  /** Partial binpack compaction (see [[GraftTable.compactSmall]]). */
+  def compactSmall(name: String, smallBytes: Long,
+      targetBytes: Long = 128L << 20): Boolean = {
+    val r = loadTable(name).compactSmall(smallBytes, targetBytes)
+    r.foreach(_ => reflectView(name))
+    r.isDefined
+  }
+
   def expireSnapshots(name: String, keepFromId: Long): Unit =
     loadTable(name).expireSnapshots(keepFromId)
 

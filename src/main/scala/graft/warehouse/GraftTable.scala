@@ -87,8 +87,12 @@ final class GraftTable private (
       val era = DataType.fromJson(json).asInstanceOf[StructType]
       val mapping = GraftTable.eraProjection(era, target, legacy)
       val eraNames = era.fieldNames.toSet
+      // fast path needs name AND type identity: a widened column must
+      // decode with its era's narrow physical type and cast (the
+      // vectorized reader refuses an int32 page under a long schema)
       val nameIdentity = mapping.forall {
-        case (Some(src), tgt) => src == tgt.name
+        case (Some(src), tgt) =>
+          src.name == tgt.name && src.dataType == tgt.dataType
         case (None, tgt) => !eraNames.contains(tgt.name)
       }
       if (nameIdentity)
@@ -97,7 +101,8 @@ final class GraftTable private (
         import org.apache.spark.sql.functions.{col, lit}
         val raw = spark.read.schema(era).parquet(fs.map(_._1): _*)
         raw.select(mapping.map {
-          case (Some(src), tgt) => col(src).as(tgt.name)
+          case (Some(src), tgt) =>
+            col(src.name).cast(tgt.dataType).as(tgt.name)
           case (None, tgt) => lit(null).cast(tgt.dataType).as(tgt.name)
         }: _*)
       }
@@ -1166,6 +1171,28 @@ final class GraftTable private (
     }
   }
 
+  /** WIDEN a column's type — metadata-only (Iceberg type promotion:
+    * int→long, float→double, and integral up-widening): the evolve
+    * commit re-declares the field at the wider type under its field
+    * id; era files keep the narrow PHYSICAL type and reads cast
+    * ([[GraftTable.widens]]), appends must carry the wide type from
+    * here on. Recorded min/max stats stay valid (they are stored as
+    * doubles), so pruning survives the widening untouched. Same
+    * field-id upgrade + refusals as [[renameColumn]]. */
+  def widenColumn(colName: String,
+      to: org.apache.spark.sql.types.DataType): Snapshot = {
+    requireEvolvable("widenColumn")
+    val current = ensureFieldIds()
+    val f = current.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(s"no column '$colName' in $name"))
+    require(GraftTable.widens(f.dataType, to),
+      s"cannot widen ${f.dataType} to $to for $colName of $name — " +
+        "only lossless promotions (integral up-widening, float→double)")
+    val evolved = StructType(current.fields.map(g =>
+      if (g.name == colName) g.copy(dataType = to) else g))
+    log.commit("evolve", Seq.empty, evolved.json)
+  }
+
   /** DROP a column — metadata-only: the field leaves the schema, reads
     * project it away from every era's files (the bytes stay for time
     * travel until expiry). Same field-id upgrade + refusals as
@@ -1310,6 +1337,99 @@ final class GraftTable private (
           attempt += 1
           if (attempt >= 20) throw new IllegalStateException(
             s"compact of $name lost $attempt head races; giving up", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** PARTIAL binpack compaction (Iceberg's `rewrite_data_files`
+    * binpack strategy): rewrite ONLY the visible files smaller than
+    * `smallBytes` into ~`targetBytes` outputs, leaving every
+    * right-sized file UNTOUCHED — the maintenance shape that holds at
+    * 100 TB, where a full [[compact]] rewrite of the table per
+    * maintenance tick is impossible. File sizes come from the
+    * manifests ([[FileStat.bytes]]; a pre-upgrade file stats its size
+    * from disk once). Commits as a `rewrite` snapshot: added files
+    * re-house exactly the removed files' rows, so [[changesSince]]
+    * SKIPS it (incremental readers and mirrors flow straight through
+    * — no demotion to diff or rebuild, unlike CoW DML rewrites) and
+    * time travel before it stays whole. The current partition spec
+    * and the inherited stat/bloom columns re-land like every rewrite.
+    * Refuses live merge-on-read tombstones (a rewrite would move rows
+    * across delete-era boundaries); needs ≥ 2 small files to be worth
+    * a commit — returns None otherwise. */
+  def compactSmall(smallBytes: Long, targetBytes: Long = 128L << 20,
+      statsCols: Seq[String] = Nil): Option[Snapshot] = {
+    require(smallBytes > 0 && targetBytes > 0, "sizes must be positive")
+    requireNoEqDeletes("compactSmall")
+    var attempt = 0
+    while (true) {
+      val base = log.head.getOrElse(
+        throw new IllegalStateException(s"table $name has no snapshots"))
+      val snaps = log.snapshots
+      val statsByFile = snaps.flatMap(_.stats).toMap
+      val visible = log.filesWithSnapOf(snaps, Some(base.snapshotId))
+      def sizeOf(abs: String, rel: String): Long =
+        statsByFile.get(rel).map(_.bytes).filter(_ >= 0)
+          .getOrElse(scala.util.Try(Files.size(Paths.get(abs))).getOrElse(0L))
+      val small = visible.map { case (abs, sid) =>
+        (abs, sid, dir.relativize(Paths.get(abs)).toString)
+      }.filter { case (abs, _, rel) => sizeOf(abs, rel) < smallBytes }
+      if (small.size < 2) return None
+      val totalBytes = small.map { case (abs, _, rel) => sizeOf(abs, rel) }.sum
+      val parts = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
+      val sch = schemaAsOfIn(snaps, Some(base.snapshotId))
+      val packed = readFilesProjected(
+        small.map { case (abs, sid, _) => (abs, sid) }, snaps, sch)
+        .repartition(parts)
+      val commitDir = dir.resolve("data")
+        .resolve(s"p${UUID.randomUUID().toString.take(12)}")
+      val pspec = partitionSpec.filter(f => sch.fieldNames.contains(f.column))
+      if (pspec.isEmpty) packed.write.parquet(commitDir.toString)
+      else {
+        val withP = pspec.foldLeft(packed) { (dd, f) =>
+          dd.withColumn(f.statName, f.expr(sch(f.column).dataType))
+        }
+        withP.write.partitionBy(pspec.map(_.statName): _*)
+          .parquet(commitDir.toString)
+      }
+      val files = parquetFilesIn(commitDir)
+        .map(p => dir.relativize(p).toString).toSeq.sorted
+      val removed = small.map(_._3).sorted
+      // same stat/bloom inheritance discipline as merge/deleteWhere
+      val inherited = removed.flatMap(f => statsByFile.get(f).toSeq
+        .flatMap(st => st.numMin.keySet ++ st.strMin.keySet))
+        .distinct.filter(sch.fieldNames.contains)
+      val inheritedBlooms = removed.flatMap(f =>
+        statsByFile.get(f).toSeq.flatMap(_.blooms.keySet))
+        .distinct.filter(sch.fieldNames.contains)
+      val stats0 = collectStats(commitDir,
+        (statsCols ++ inherited).distinct.filter(sch.fieldNames.contains))
+      val statsP =
+        if (pspec.isEmpty) stats0
+        else {
+          val hist = partitionSpecHistory
+          val dtOf = (c: String) => sch.fields.find(_.name == c).map(_.dataType)
+          stats0.map { case (rel, st) =>
+            val (nm, sm) = Partitioning.pathStatEntries(rel, hist, dtOf)
+            rel -> st.copy(
+              numMin = st.numMin ++ nm, numMax = st.numMax ++ nm,
+              strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
+          }
+        }
+      val stats = mergeBlooms(commitDir, statsP, inheritedBlooms)
+      try {
+        return Some(log.commit("rewrite", files, base.schemaJson, stats,
+          expectedHead = Some(base.snapshotId), removedFiles = removed))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          val walk = Files.walk(commitDir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          finally walk.close()
+          attempt += 1
+          if (attempt >= 20) throw new IllegalStateException(
+            s"compactSmall of $name lost $attempt head races; giving up", e)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -2087,15 +2207,31 @@ object GraftTable {
       .map(_.fields.flatMap(f => fieldIdOf(f).map(_ -> f.name)).toMap)
       .getOrElse(Map.empty)
 
+  /** May a value of era type `from` be read as target type `to`
+    * losslessly? The Iceberg type-promotion set: integral up-widening
+    * and float→double. Widening is METADATA-ONLY ([[GraftTable.widenColumn]]);
+    * era files keep the narrow physical type and reads CAST. */
+  private[graft] def widens(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   /** For each `target` field, the ERA field that holds its data (None
     * = null-fill): matched by FIELD ID when the target has one; an
     * id-LESS era resolves through the `legacy` binding (the name the
     * id had at upgrade time). An era field carrying a DIFFERENT id
-    * under the same name never leaks through; type mismatches never
-    * match. */
+    * under the same name never leaks through; a type matches when
+    * equal OR losslessly widenable ([[widens]] — the read casts). */
   private[warehouse] def eraProjection(era: StructType, target: StructType,
       legacy: Map[Long, String])
-      : Seq[(Option[String], org.apache.spark.sql.types.StructField)] = {
+      : Seq[(Option[org.apache.spark.sql.types.StructField],
+          org.apache.spark.sql.types.StructField)] = {
     val byId = era.fields.flatMap(f => fieldIdOf(f).map(_ -> f)).toMap
     target.fields.toSeq.map { tf =>
       val src = fieldIdOf(tf) match {
@@ -2105,7 +2241,8 @@ object GraftTable {
         }
         case None => era.fields.find(f => f.name == tf.name)
       }
-      (src.filter(_.dataType == tf.dataType).map(_.name), tf)
+      (src.filter(f => f.dataType == tf.dataType ||
+        widens(f.dataType, tf.dataType)), tf)
     }
   }
 

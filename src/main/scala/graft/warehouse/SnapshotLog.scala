@@ -402,15 +402,20 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
     // surviving old rows with new versions, so an append-only file
     // delta across it would double-count — same stance as Iceberg's
     // incremental scan on replace snapshots: refuse, forcing the
-    // consumer (Mirror) onto its full-re-sync path.
-    window.find(s => s.removedFiles.nonEmpty || s.deleteFiles.nonEmpty ||
+    // consumer (Mirror) onto its full-re-sync path. A `rewrite`
+    // snapshot (PARTIAL binpack compaction) is the exception: like
+    // `compact` it changes NO logical rows — its added files re-house
+    // rows from its removed files — so the incremental read SKIPS it
+    // entirely (Iceberg does the same for replace snapshots).
+    window.find(s => (s.removedFiles.nonEmpty && s.operation != "rewrite") ||
+        s.deleteFiles.nonEmpty ||
         s.properties.contains(SnapshotLog.PredDeleteKey))
       .foreach { s =>
         throw new HistoryExpiredException(
           s"changes since $sinceId unavailable: snapshot ${s.snapshotId} " +
             s"(${s.operation}) rewrote or deleted rows; full re-sync required")
       }
-    window.filter(_.operation != "compact")
+    window.filter(s => s.operation != "compact" && s.operation != "rewrite")
       .flatMap(s => s.addedFiles.map(f =>
         tableDir.resolve(f).toString -> s.snapshotId))
   }

@@ -299,6 +299,27 @@ class ServiceSpec extends AnyFunSuite {
     }
   }
 
+  test("mirror replays a source type widening and stays incremental") {
+    withService { (src, client, svc) =>
+      import spark.implicits._
+      src.createTable("wsrc", Seq((1L, 10), (2L, 20)).toDF("id", "qty"))
+      val targetWh = new Connector(spark, tmpDir("graft-widemir"))
+      val state = SyncState(tmpDir("graft-widestate"))
+      val url = s"grpc://localhost:${svc.boundPort}/wsrc"
+      assert(Mirror.performSync(client, url, "wsrc", targetWh, "wdst", state)
+        .status === "full_sync")
+      val t = src.loadTable("wsrc")
+      t.widenColumn("qty", org.apache.spark.sql.types.LongType)
+      src.insert("wsrc", Seq((3L, 5000000000L)).toDF("id", "qty"))
+      val r2 = Mirror.performSync(client, url, "wsrc", targetWh, "wdst", state)
+      assert(r2.status === "incremental", s"got ${r2.status}")
+      assert(targetWh.loadTable("wdst").schema("qty").dataType ===
+        org.apache.spark.sql.types.LongType)
+      assert(targetWh.query("wdst").select("qty").as[Long]
+        .collect().sorted.toSeq === Seq(10L, 20L, 5000000000L))
+    }
+  }
+
   test("mirror loop discovers the source table and converges in bounded iterations") {
     withService { (_, client, svc) =>
       client.doPut("only_table", SampleData.create(spark, 12, "default"))

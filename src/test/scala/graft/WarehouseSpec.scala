@@ -1418,6 +1418,41 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.partitionSpec.nonEmpty)
   }
 
+  test("compactSmall binpacks only small files; incremental readers flow through") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-binpack-")
+    val t = GraftTable.create(spark, dir, "t",
+      spark.range(0, 50000).toDF("id")
+        .withColumn("v", col("id").cast("string")).coalesce(1)).get
+    val bigFiles = t.read().inputFiles.toSet
+    assert(bigFiles.size == 1)
+    // 6 tiny appends — the poll-loop small-file problem
+    (0 until 6).foreach(i => t.append(
+      Seq((100000L + i, s"x$i")).toDF("id", "v")))
+    val s1 = t.currentSnapshotId.get
+    t.append(Seq((200000L, "post")).toDF("id", "v"))
+    val preCount = t.read().count()
+    val preFiles = t.read().inputFiles.length
+    // small threshold far below the 50k-row file's size
+    val snap = t.compactSmall(smallBytes = 64 << 10, targetBytes = 1 << 20)
+    assert(snap.nonEmpty && snap.get.operation == "rewrite")
+    // the big file was NOT rewritten; the 7 small ones packed into few
+    val post = t.read().inputFiles.toSet
+    assert(bigFiles.subsetOf(post), "right-sized file was rewritten")
+    assert(post.size < preFiles, s"no packing: $preFiles -> ${post.size}")
+    assert(t.read().count() == preCount)
+    // nothing to do → no commit
+    assert(t.compactSmall(smallBytes = 1L).isEmpty)
+    // incremental readers FLOW THROUGH the rewrite (no refusal, no
+    // double-count): delta since s1 is exactly the one post-rewrite row
+    val delta = t.changesSince(s1)
+    assert(delta.select("id").as[Long].collect().toSeq == Seq(200000L))
+    // time travel before the rewrite still resolves
+    assert(t.read(Some(s1)).count() == preCount - 1)
+    // fsck clean
+    assert(t.validate().isEmpty)
+  }
+
   test("MV min/max: incremental on inserts, group-pruned recompute on extremum deletes") {
     import org.apache.spark.sql.functions.col
     import graft.warehouse.MaterializedAgg
@@ -1499,6 +1534,35 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.read().filter(col("id") === 3L).count() == 1)
     t.append(Seq((4L, 40.0)).toDF("id", "x"))
     assert(t.read().filter(col("id") === 4L).count() == 1)
+  }
+
+  test("widenColumn promotes int->long metadata-only; era files cast on read") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-widen-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq((1L, 10), (2L, 20)).toDF("id", "qty")).get
+    val filesBefore = t.read().inputFiles.toSet
+    intercept[IllegalArgumentException] { t.widenColumn("qty", StringType) }
+    t.widenColumn("qty", LongType)
+    // metadata-only: same physical files; old int32 pages read as long
+    assert(t.read().inputFiles.toSet == filesBefore)
+    assert(t.schema("qty").dataType == LongType)
+    // appends carry the wide type; values beyond Int.MaxValue land
+    t.append(Seq((3L, 5000000000L)).toDF("id", "qty"))
+    assert(t.read().select("qty").as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L, 5000000000L))
+    // cross-era DML decodes the narrow era correctly
+    t.upsert(Seq((1L, 11L)).toDF("id", "qty"), Seq("id"))
+    assert(t.read().select("id", "qty").as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 11L), (2L, 20L), (3L, 5000000000L)))
+    // pruning still works across the widening (stats are type-agnostic)
+    val pruned = t.readWhere("id", Some(3L), Some(3L))
+    assert(pruned.filter(col("id") === 3L).count() == 1)
+    // float -> double too; rename composes with widen
+    t.renameColumn("qty", "amount")
+    assert(t.read().select("amount").as[Long].collect().sorted.toSeq ==
+      Seq(11L, 20L, 5000000000L))
   }
 
   test("renameColumn is metadata-only and era-correct: old files keep their data") {
