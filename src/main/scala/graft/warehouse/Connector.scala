@@ -123,8 +123,10 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     case "snapshots"  => loadTable(name).snapshotsDf
     case "files"      => loadTable(name).filesDf()
     case "partitions" => loadTable(name).partitionsDf()
+    case "refs"       => loadTable(name).refsDf
     case other => throw new IllegalArgumentException(
-      s"unknown metadata table '$other' — use 'snapshots', 'files', or 'partitions'")
+      s"unknown metadata table '$other' — use 'snapshots', 'files', " +
+        "'partitions', or 'refs'")
   }
 
   /** Row count (reference: `count`, `icerunner.py:190-198`): answered

@@ -83,7 +83,15 @@ final class GraftTable private (
       eraJson.getOrElseUpdate(sid, schemaAsOfIn(snaps, Some(sid)).json)
     lazy val legacy = GraftTable.legacyNames(snaps)
     val groups = filesWithSnap.groupBy { case (_, sid) => eraOf(sid) }
-    val parts = groups.toSeq.sortBy(_._1).map { case (json, fs) =>
+    // Every era whose mapping to `target` is the NAME-AND-TYPE identity
+    // reads TOGETHER in one vectorized by-name scan (the parquet reader
+    // null-fills additively-missing columns and skips dropped-name-free
+    // extras) — so plain tables AND additively-evolved ones keep the
+    // single-scan plan; only genuinely renamed/widened eras pay a
+    // per-era decode + Project (PlanSpec pins both shapes).
+    val fastFiles = Seq.newBuilder[String]
+    val slowParts = Seq.newBuilder[DataFrame]
+    groups.toSeq.sortBy(_._1).foreach { case (json, fs) =>
       val era = DataType.fromJson(json).asInstanceOf[StructType]
       val mapping = GraftTable.eraProjection(era, target, legacy)
       val eraNames = era.fieldNames.toSet
@@ -95,18 +103,22 @@ final class GraftTable private (
           src.name == tgt.name && src.dataType == tgt.dataType
         case (None, tgt) => !eraNames.contains(tgt.name)
       }
-      if (nameIdentity)
-        spark.read.schema(target).parquet(fs.map(_._1): _*)
+      if (nameIdentity) fastFiles ++= fs.map(_._1)
       else {
         import org.apache.spark.sql.functions.{col, lit}
         val raw = spark.read.schema(era).parquet(fs.map(_._1): _*)
-        raw.select(mapping.map {
+        slowParts += raw.select(mapping.map {
           case (Some(src), tgt) =>
             col(src.name).cast(tgt.dataType).as(tgt.name)
           case (None, tgt) => lit(null).cast(tgt.dataType).as(tgt.name)
         }: _*)
       }
     }
+    val fast = fastFiles.result()
+    val parts =
+      (if (fast.isEmpty) Nil
+       else Seq(spark.read.schema(target).parquet(fast: _*))) ++
+        slowParts.result()
     parts.reduce(_ unionByName _)
   }
 
@@ -2090,6 +2102,24 @@ final class GraftTable private (
           .getOrElse(Nil),
         st.map(_.blooms.keySet.toSeq.sorted).getOrElse(Nil))
     }.toDF("file", "added_by", "rows", "stat_columns", "bloom_columns")
+  }
+
+  /** Iceberg-style `$refs` metadata table: every named ref — TAGS
+    * (expiry-protected pinned snapshots) and open WAP BRANCHES (with
+    * their fork-point parent and staged-commit count) — as one
+    * DataFrame. Metadata-only; the "what is pinning my history /
+    * what is in flight" inspection surface. */
+  def refsDf: DataFrame = {
+    import spark.implicits._
+    val tagRows = tags.toSeq.sorted.map { case (n, id) =>
+      (n, "tag", id, 0L)
+    }
+    val branchRows = branches.map { b =>
+      (b, "branch", branchParent(b),
+        new SnapshotLog(dir, Some(b)).snapshots.size.toLong)
+    }
+    (tagRows ++ branchRows)
+      .toDF("name", "type", "snapshot_id", "staged_commits")
   }
 
   /** Iceberg-style `$partitions` metadata table: one row per

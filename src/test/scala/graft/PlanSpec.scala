@@ -348,6 +348,61 @@ class PlanSpec extends AnyFunSuite {
         "the O(changed files) contract broke")
   }
 
+  test("era projection keeps the single-scan fast path unless a rename is in play") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec => s
+      }.size
+    val dir = java.nio.file.Files.createTempDirectory("graft-eraplan-")
+    val t = graft.warehouse.GraftTable.create(spark, dir, "t",
+      Seq((1L, "a")).toDF("id", "v")).get
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    // plain multi-commit table: ONE vectorized scan
+    assert(scanCount(t.read()) == 1)
+    // ADDITIVE evolution keeps the fast path (by-name null-fill needs
+    // no per-era projection — a regression here turns every evolved
+    // table's read into a per-era union)
+    t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.StringType))))
+    t.append(Seq((3L, "c", "x")).toDF("id", "v", "w"))
+    assert(scanCount(t.read()) == 1,
+      "additive evolution must not split the read into era groups")
+    // a RENAME genuinely needs per-era decode: each DISTINCT pre-rename
+    // schema era projects with its own scan (two here: before and after
+    // the w add), the post-rename files merge into one fast scan — and
+    // crucially the count tracks ERAS, never commits
+    t.renameColumn("v", "label")
+    t.append(Seq((4L, "d", "y")).toDF("id", "label", "w"))
+    t.append(Seq((5L, "e", "z")).toDF("id", "label", "w"))
+    assert(scanCount(t.read()) == 3,
+      "rename should cost one scan per distinct era, not one per commit")
+    // compact re-normalizes: back to one scan
+    t.compact()
+    assert(scanCount(t.read()) == 1)
+  }
+
+  test("refs metadata table lists tags and open branches") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-refs-")
+    val t = graft.warehouse.GraftTable.create(spark, dir, "t",
+      Seq((1L, "a")).toDF("id", "v")).get
+    t.tagSnapshot("v1")
+    t.createBranch("wap")
+    t.appendBranch("wap", Seq((2L, "b")).toDF("id", "v"))
+    val refs = t.refsDf.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(refs.contains(("v1", "tag", 1L, 0L)))
+    assert(refs.contains(("wap", "branch", 1L, 1L)))
+    t.dropBranch("wap")
+    t.dropTag("v1")
+    assert(t.refsDf.count() == 0)
+  }
+
   test("bucketed tables join and aggregate with zero hash exchanges") {
     val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val dir = java.nio.file.Files.createTempDirectory("graft-bkt-").toString
