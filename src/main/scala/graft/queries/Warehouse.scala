@@ -693,6 +693,55 @@ object Warehouse {
         .orderBy("o_orderkey")
     },
 
+    // ---- q142: metadata CHECKPOINT — expiry without a data rewrite ---
+    // History expiry severs only at a full-set snapshot, and a table
+    // maintained by PARTIAL rewrites (q140's binpack) never mints one
+    // — before this round, unbounded manifest growth or a full-table
+    // compact were the only options. checkpoint() commits a
+    // compact-resolving snapshot re-listing the current visible set
+    // WITHOUT touching a data byte (Iceberg's rewrite-manifests
+    // shape), carrying every recorded stat. The rig binpacks, pins
+    // that expiry at the rewrite is refused, checkpoints (witness:
+    // the added file set is EXACTLY the prior visible set — zero new
+    // physical files), expires everything before the checkpoint, and
+    // proves reads, appends, and stats-pruning all survive on the
+    // one-manifest history.
+    Q("q142_checkpoint_expire",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, TRUE AS ck_ok
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_ck", orders.limit(0))
+      val t = conn.loadTable("orders_ck")
+      t.append(orders.filter(col("o_orderkey") % 2 === 0),
+        clusterBy = Seq("o_orderkey"), clusterParts = 2)
+      (0 until 3).foreach { i =>
+        t.append(orders.filter(col("o_orderkey") % 8 === (i * 2 + 1)))
+      }
+      val bp = t.compactSmall(smallBytes = 512L << 10, targetBytes = 8L << 20)
+      // a partial rewrite is NOT an expiry horizon — the refusal is
+      // exactly why the metadata checkpoint exists
+      val refused =
+        try { t.expireSnapshots(t.currentSnapshotId.get); false }
+        catch { case _: IllegalArgumentException => true }
+      val visBefore = t.log.dataFiles(None).map(f =>
+        java.nio.file.Paths.get(f).getFileName.toString).toSet
+      val ck = t.checkpoint()
+      val zeroWrite = ck.addedFiles.map(f =>
+        java.nio.file.Paths.get(f).getFileName.toString).toSet == visBefore
+      t.expireSnapshots(ck.snapshotId)
+      val oneManifest = t.log.snapshots.size == 1
+      // liveness after expiry: append + stats-pruned read still work
+      t.append(orders.filter(col("o_orderkey") % 8 === 7))
+      val witness = bp.exists(_.operation == "rewrite") && refused &&
+        zeroWrite && oneManifest && t.validate().isEmpty
+      conn.query("orders_ck")
+        .withColumn("ck_ok", lit(witness))
+        .orderBy("o_orderkey")
+    },
+
     // ---- q117: incremental materialized aggregate view ---------------
     // Grades MaterializedAgg end-to-end: a count/sum rollup over the
     // base is maintained from the base's row CHANGELOG (GraftTable.diff)

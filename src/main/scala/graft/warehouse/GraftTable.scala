@@ -1447,6 +1447,51 @@ final class GraftTable private (
     throw new IllegalStateException("unreachable")
   }
 
+  /** METADATA CHECKPOINT: commit a `compact`-resolving snapshot that
+    * re-lists the CURRENT visible file set without touching one data
+    * byte (Iceberg's rewrite-manifests shape) — the expiry enabler
+    * for tables maintained by PARTIAL rewrites: [[expireSnapshots]]
+    * severs history only at a full-set snapshot, and before this the
+    * only way to mint one was a full-table [[compact]], impossible at
+    * 100 TB. All recorded stats/blooms carry over (pruning
+    * unaffected); O(files) metadata, zero Spark jobs.
+    *
+    * Refuses while the visible set contains RENAMED or WIDENED eras
+    * (the checkpoint re-binds every file to the head schema era — a
+    * pre-rename file would then decode by the wrong name; run a real
+    * [[compact]] to normalize first) and while merge-on-read
+    * tombstones are live (re-binding changes delete-era scoping).
+    * Additive evolution is fine: by-name null-fill is era-agnostic. */
+  def checkpoint(): Snapshot = {
+    requireNoEqDeletes("checkpoint")
+    val snaps = log.snapshots
+    val base = snaps.lastOption.getOrElse(
+      throw new IllegalStateException(s"table $name has no snapshots"))
+    val head = schemaAsOfIn(snaps, None)
+    val legacy = GraftTable.legacyNames(snaps)
+    val visible = log.filesWithSnapOf(snaps, Some(base.snapshotId))
+    // era-identity guard: every visible file's era must map to the
+    // head schema by pure name+type identity
+    visible.map(_._2).distinct.foreach { sid =>
+      val era = schemaAsOfIn(snaps, Some(sid))
+      val eraNames = era.fieldNames.toSet
+      val identity = GraftTable.eraProjection(era, head, legacy).forall {
+        case (Some(src), tgt) =>
+          src.name == tgt.name && src.dataType == tgt.dataType
+        case (None, tgt) => !eraNames.contains(tgt.name)
+      }
+      require(identity,
+        s"checkpoint of $name would re-bind files of schema era " +
+          s"$sid across a rename/widening — compact() first")
+    }
+    val statsByFile = snaps.flatMap(_.stats).toMap
+    val rel = visible.map { case (abs, _) =>
+      dir.relativize(Paths.get(abs)).toString }.sorted
+    log.commit("compact", rel, base.schemaJson,
+      statsByFile.filter { case (f, _) => rel.contains(f) },
+      expectedHead = Some(base.snapshotId))
+  }
+
   /** Expire history: delete manifests with id < `keepFromId` and any
     * data file referenced ONLY by them. Time travel before the horizon
     * is gone; current reads and changes-since after it are unaffected.
@@ -2046,9 +2091,12 @@ final class GraftTable private (
     snaps.foreach { s =>
       s.addedFiles.foreach { f =>
         added.get(f) match {
-          case Some(prev) => issues +=
+          // a `compact` may legitimately RE-LIST already-added files:
+          // the metadata checkpoint re-binds the visible set without
+          // writing data (real compacts always write fresh files)
+          case Some(prev) if s.operation != "compact" => issues +=
             s"file $f added by snapshot ${s.snapshotId} was already added by $prev"
-          case None => added(f) = s.snapshotId
+          case _ => added(f) = s.snapshotId
         }
       }
       s.removedFiles.foreach { f =>

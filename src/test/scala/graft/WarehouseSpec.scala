@@ -1453,6 +1453,43 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.validate().isEmpty)
   }
 
+  test("checkpoint re-lists the visible set metadata-only and unlocks expiry") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-ckptmeta-")
+    val t = GraftTable.create(spark, dir, "t",
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")).get
+    (0 until 4).foreach(i => t.append(Seq((200L + i, "x")).toDF("id", "v")))
+    t.compactSmall(smallBytes = 1L << 20) // partial rewrite: not an expiry horizon
+    intercept[IllegalArgumentException] {
+      t.expireSnapshots(t.currentSnapshotId.get)
+    }
+    val dataFilesBefore = t.log.dataFiles(None).map(
+      f => java.nio.file.Paths.get(f).getFileName.toString).toSet
+    val preCount = t.read().count()
+    val ck = t.checkpoint()
+    // ZERO data writes: the checkpoint lists exactly the same files
+    assert(ck.operation == "compact")
+    assert(ck.addedFiles.map(f =>
+      java.nio.file.Paths.get(f).getFileName.toString).toSet == dataFilesBefore)
+    // expiry now severs at the checkpoint; reads stay whole
+    t.expireSnapshots(ck.snapshotId)
+    assert(t.read().count() == preCount)
+    assert(t.log.snapshots.size == 1)
+    assert(t.validate().isEmpty)
+    // stats carried: pruning still works after checkpoint+expiry
+    t.append((300L to 400L).map(i => (i, "y")).toDF("id", "v"),
+      clusterBy = Seq("id"))
+    assert(t.readWhere("id", Some(350L), Some(350L))
+      .filter(col("id") === 350L).count() == 1)
+    // rename makes the visible set era-mixed: checkpoint refuses
+    t.renameColumn("v", "label")
+    t.append(Seq((500L, "z")).toDF("id", "label"))
+    intercept[IllegalArgumentException] { t.checkpoint() }
+    // a real compact normalizes; checkpoint works again
+    t.compact()
+    assert(t.checkpoint().operation == "compact")
+  }
+
   test("MV min/max: incremental on inserts, group-pruned recompute on extremum deletes") {
     import org.apache.spark.sql.functions.col
     import graft.warehouse.MaterializedAgg
