@@ -589,6 +589,68 @@ object Streaming {
           round(col("value"), 2).as("value"))
         .withColumn("replay_noop_ok", lit(witness))
         .orderBy("event_id")
+    },
+
+    // ---- q143: exactly-once CDC apply under crash-replay -------------
+    // The q133 protocol graded through the SECOND sink: cdcApply with
+    // a DELETE arm (a user whose latest event is a purchase churns
+    // out of the state table) runs 4 real micro-batches, then the rig
+    // replays both the final batch and a stale one through the sink
+    // body. The txn markers must make both replays byte-level no-ops
+    // — witnessed by the replica's snapshot head not moving — because
+    // a replayed DELETE batch is the case upsert idempotence cannot
+    // save (see cdcBatchExactlyOnce: after a later re-insert, a
+    // same-version replayed tombstone would re-delete the key). The
+    // terminal state hash-matches the global keep-latest-with-churn
+    // oracle regardless of batch boundaries.
+    Q("q143_exactly_once_cdc",
+      """WITH latest AS (
+        |  SELECT user_id, event_id, event_type, round(value, 2) AS value
+        |  FROM events
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1)
+        |SELECT user_id, event_id, event_type, value, TRUE AS cdc_xo_ok
+        |FROM latest WHERE event_type <> 'purchase'
+        |ORDER BY user_id""".stripMargin) { (s, d) =>
+      val staging = Scratch.dir("q143_stage")
+      // TIME-ORDERED slices (q111's rig): tombstones are not persisted
+      // (GraftTable.merge scaladoc), so a batch arriving after a
+      // delete must only carry NEWER events for the semantics to be
+      // batch-boundary-independent — day-ordered staging guarantees it
+      val ev = T.events(s, d)
+      (0 until 4).foreach { g =>
+        ev.filter(dayofmonth(col("ts")).between(g * 8 + 1, g * 8 + 8))
+          .coalesce(1).write.mode("append").parquet(staging)
+      }
+      val conn = new Connector(s, Scratch.dir("q143_wh"))
+      val ckpt = Scratch.dir("q143_ckpt")
+      val delArm = Some(col("event_type") === "purchase")
+      withShufflePartitions(s, 8) {
+        val sq = EventStreams.cdcApply(
+          EventStreams.readEvents(s, staging, maxFilesPerTrigger = 1),
+          conn, "user_state",
+          keyCols = Seq("user_id"), orderCol = "ts", tiebreak = "event_id",
+          checkpointDir = ckpt, deleteWhen = delArm)
+        sq.awaitTermination()
+      }
+      val t = conn.loadTable("user_state")
+      val headBefore = t.currentSnapshotId.get
+      val lastBatch = t.lastTxnBatch(EventStreams.txnAppId(ckpt)).get
+      // crash-replays: the final batch under its own id, then a stale
+      // one — both must no-op without committing
+      EventStreams.cdcBatchExactlyOnce(conn, "user_state",
+        Seq("user_id"), "ts", "event_id", ckpt, delArm,
+        s.read.parquet(staging), lastBatch)
+      EventStreams.cdcBatchExactlyOnce(conn, "user_state",
+        Seq("user_id"), "ts", "event_id", ckpt, delArm,
+        s.read.parquet(staging), 0L)
+      val headAfter = conn.loadTable("user_state").currentSnapshotId.get
+      val witness = headAfter == headBefore && lastBatch >= 3L
+      conn.query("user_state")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+        .withColumn("cdc_xo_ok", lit(witness))
+        .orderBy("user_id")
     })
 
   def queries: Seq[Q] = ql
