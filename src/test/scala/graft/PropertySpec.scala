@@ -263,6 +263,89 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: era projection matches a row model across random evolution histories") {
+    // Random sequences of append / rename / drop / widen / addColumns /
+    // compact / binpack, checked after EVERY op against an in-memory
+    // model keyed by stable column identity — probes the era-projection
+    // matrix (legacy bindings, multi-rename chains, re-adds under fresh
+    // names, widened decodes, era merges) a hand-written case can't.
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(0xE70)
+    val dir = Files.createTempDirectory("graft-evoprop-")
+    // model state, indexed by stable column IDENTITY
+    var names = Vector("c0", "c1") // current visible name
+    var wide = Vector(false, false) // widened to long yet?
+    var live = Vector(true, true)
+    var rows = Vector.empty[Map[Int, Long]] // identity -> value
+    var nextRow = 1L
+    var nextCol = 2
+    val t = graft.warehouse.GraftTable.create(spark, dir, "t",
+      Seq((0, 0)).toDF("c0", "c1")).get
+    rows = rows :+ Map(0 -> 0L, 1 -> 0L)
+    def liveIdx = live.indices.filter(live)
+    def check(tag: String): Unit = {
+      val idx = liveIdx
+      val want = rows.map(r => idx.map(i =>
+        r.get(i).map(v => v: Any).orNull).toVector).toSet
+      val got = t.read().select(idx.map(i =>
+          org.apache.spark.sql.functions.col(names(i)).cast("long")): _*)
+        .collect().map(r => idx.indices.map(k =>
+          if (r.isNullAt(k)) null else (r.getLong(k): Any)).toVector).toSet
+      assert(got == want, s"$tag: got $got\nwant $want\n" +
+        s"(names=${idx.map(names)}, ops=${t.log.snapshots.map(_.operation)})")
+      assert(t.read().columns.toSeq == idx.map(names),
+        s"$tag: schema ${t.read().columns.toSeq} != ${idx.map(names)}")
+    }
+    (1 to 24).foreach { step =>
+      rnd.nextInt(8) match {
+        case 0 | 1 => // append two rows under the current schema
+          val idx = liveIdx
+          val newRows = (0 until 2).map { _ =>
+            val r = idx.map(i => i -> (nextRow * 100 + i +
+              (if (wide(i)) 3000000000L else 0L))).toMap
+            nextRow += 1; r
+          }
+          val sch = StructType(idx.map(i => StructField(names(i),
+            if (wide(i)) LongType else IntegerType)).toSeq)
+          val jrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+          newRows.foreach(r => jrows.add(org.apache.spark.sql.Row.fromSeq(
+            idx.map(i => if (wide(i)) r(i) else r(i).toInt))))
+          t.append(spark.createDataFrame(jrows, sch))
+          rows = rows ++ newRows
+        case 2 => // rename a live column
+          val idx = liveIdx
+          val i = idx(rnd.nextInt(idx.size))
+          val nn = s"n$nextCol"; nextCol += 1
+          t.renameColumn(names(i), nn)
+          names = names.updated(i, nn)
+        case 3 if liveIdx.size > 1 => // drop a live column
+          val idx = liveIdx
+          val i = idx(rnd.nextInt(idx.size))
+          t.dropColumn(names(i))
+          live = live.updated(i, false)
+        case 4 => // add a fresh nullable column
+          val nn = s"n$nextCol"; nextCol += 1
+          t.addColumns(StructType(Seq(StructField(nn, IntegerType))))
+          names = names :+ nn; wide = wide :+ false; live = live :+ true
+        case 5 => // widen a narrow live column to long
+          val narrow = liveIdx.filter(i => !wide(i))
+          if (narrow.nonEmpty) {
+            val i = narrow(rnd.nextInt(narrow.size))
+            t.widenColumn(names(i), LongType)
+            wide = wide.updated(i, true)
+          }
+        case 6 => t.compact(targetFiles = 2)
+        case 7 =>
+          t.compactSmall(smallBytes = 1L << 30, targetBytes = 1L << 20)
+          ()
+        case _ => ()
+      }
+      check(s"step $step")
+    }
+  }
+
   test("property: diff conservation law holds across random append/upsert/delete/compact/rollback histories") {
     // For ANY snapshot pair i < j:  read(i) ⊎ inserts(i→j) ∖ deletes(i→j)
     // must equal read(j) as a multiset. Random operation sequences probe
