@@ -274,10 +274,38 @@ final class GraftTable private (
   def lastTxnBatch(appId: String): Option[Long] = {
     val snaps = log.snapshots
     snaps.flatMap { s =>
-      if (s.properties.get(GraftTable.TxnAppIdKey).contains(appId))
-        s.properties.get(GraftTable.TxnBatchKey).flatMap(_.toLongOption)
-      else None
+      val direct =
+        if (s.properties.get(GraftTable.TxnAppIdKey).contains(appId))
+          s.properties.get(GraftTable.TxnBatchKey).flatMap(_.toLongOption)
+        else None
+      // markers CARRIED across an expiry horizon by compact/checkpoint
+      val carried = s.properties
+        .get(GraftTable.TxnCarryPrefix + appId).flatMap(_.toLongOption)
+      direct.toSeq ++ carried.toSeq
     }.maxOption
+  }
+
+  /** The latest batchId per streaming appId across `snaps`, re-keyed
+    * for carry-forward: full-set snapshots (compact/checkpoint — the
+    * only valid expiry horizons) record these so expiring the
+    * manifests that held the direct markers cannot forget a sink's
+    * progress and re-open the crash-replay window [[lastTxnBatch]]
+    * closes. */
+  private def carriedTxnMarkers(snaps: Seq[Snapshot]): Map[String, String] = {
+    val latest = scala.collection.mutable.Map.empty[String, Long]
+    def bump(a: String, b: Long): Unit =
+      latest(a) = math.max(latest.getOrElse(a, Long.MinValue), b)
+    snaps.foreach { s =>
+      for (a <- s.properties.get(GraftTable.TxnAppIdKey);
+           b <- s.properties.get(GraftTable.TxnBatchKey).flatMap(_.toLongOption))
+        bump(a, b)
+      s.properties.foreach { case (k, v) =>
+        if (k.startsWith(GraftTable.TxnCarryPrefix))
+          v.toLongOption.foreach(bump(k.stripPrefix(GraftTable.TxnCarryPrefix), _))
+      }
+    }
+    latest.map { case (a, b) =>
+      (GraftTable.TxnCarryPrefix + a) -> b.toString }.toMap
   }
 
   /** Rows appended by snapshots in `(sinceId, head]` — incremental read
@@ -1337,7 +1365,8 @@ final class GraftTable private (
         bloomCols.filter(current.schema.fieldNames.contains))
       try {
         return log.commit("compact", files, base.schemaJson, stats,
-          expectedHead = Some(base.snapshotId))
+          expectedHead = Some(base.snapshotId),
+          properties = carriedTxnMarkers(log.snapshots))
       } catch {
         case e: java.util.ConcurrentModificationException =>
           // lost to a concurrent commit: discard the stale rewrite and
@@ -1489,7 +1518,8 @@ final class GraftTable private (
       dir.relativize(Paths.get(abs)).toString }.sorted
     log.commit("compact", rel, base.schemaJson,
       statsByFile.filter { case (f, _) => rel.contains(f) },
-      expectedHead = Some(base.snapshotId))
+      expectedHead = Some(base.snapshotId),
+      properties = carriedTxnMarkers(snaps))
   }
 
   /** Expire history: delete manifests with id < `keepFromId` and any
@@ -2231,6 +2261,9 @@ object GraftTable {
     * (see [[GraftTable.lastTxnBatch]]). */
   val TxnAppIdKey = "graft.txn.appId"
   val TxnBatchKey = "graft.txn.batchId"
+  /** Prefix of carried-forward marker keys (`<prefix><appId> ->
+    * batchId`) on compact/checkpoint snapshots — see `lastTxnBatch`. */
+  val TxnCarryPrefix = "graft.txn.carried."
 
   /** StructField-metadata key of the stable FIELD ID (the Iceberg
     * column-identity contract): rename keeps the id, drop retires it,

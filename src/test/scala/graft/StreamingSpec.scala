@@ -392,6 +392,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(wh.count("ev") === n + 10)
   }
 
+  test("txn markers survive compact + expiry (carried forward on the horizon snapshot)") {
+    val (dir, batchDf) = stageEvents()
+    val wh = new Connector(spark, Files.createTempDirectory("graft-swh").toString)
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    EventStreams.ingestToWarehouse(
+      EventStreams.readEvents(spark, dir, maxFilesPerTrigger = 1),
+      wh, "ev", ckpt).awaitTermination(120000)
+    val n = batchDf.count()
+    val t = wh.loadTable("ev")
+    val appId = EventStreams.txnAppId(ckpt)
+    val last = t.lastTxnBatch(appId).get
+    // compact then EXPIRE the marker-carrying manifests
+    val comp = t.compact(targetFiles = 2)
+    t.expireSnapshots(comp.snapshotId)
+    assert(t.log.snapshots.size == 1)
+    // the horizon snapshot carried the marker — a crash-replay after
+    // maintenance must STILL no-op
+    assert(t.lastTxnBatch(appId).contains(last),
+      "expiry forgot the sink's txn marker — replay window reopened")
+    EventStreams.ingestBatchExactlyOnce(wh, "ev", ckpt,
+      spark.read.parquet(dir), last)
+    assert(wh.count("ev") === n, "replayed batch re-appended after expiry")
+    // metadata checkpoint carries markers the same way
+    EventStreams.ingestBatchExactlyOnce(wh, "ev", ckpt,
+      batchDf.limit(3), last + 1)
+    val ck = t.checkpoint()
+    t.expireSnapshots(ck.snapshotId)
+    assert(t.lastTxnBatch(appId).contains(last + 1))
+    EventStreams.ingestBatchExactlyOnce(wh, "ev", ckpt,
+      spark.read.parquet(dir), last + 1)
+    assert(wh.count("ev") === n + 3)
+  }
+
   test("crash-replayed CDC batches are no-ops (delete arm replay cannot re-delete)") {
     import spark.implicits._
     val wh = new Connector(spark, Files.createTempDirectory("graft-swh").toString)
