@@ -1228,6 +1228,26 @@ final class GraftTable private (
     require(GraftTable.widens(f.dataType, to),
       s"cannot widen ${f.dataType} to $to for $colName of $name — " +
         "only lossless promotions (integral up-widening, float→double)")
+    // HASH-DOMAIN guards: bucket partition values and bloom sketches
+    // hash the STORED width — murmur3(5: Int) != murmur3(5L), so a
+    // probe at the new width against old-era entries would FALSELY
+    // prune files (missed rows, not conservatism). Min/max range
+    // stats are width-agnostic (doubles) and stay valid.
+    require(!partitionSpecHistory.exists(p =>
+        p.column == colName && p.kind == "bucket"),
+      s"widening bucket-partitioned column '$colName' of $name would " +
+        "change its hash domain under the recorded partition entries — " +
+        "declare a spec off the column and compact() first")
+    val snapsW = log.snapshots
+    val statsW = snapsW.flatMap(_.stats).toMap
+    val bloomed = log.filesWithSnapOf(snapsW, None).exists { case (abs, _) =>
+      statsW.get(dir.relativize(Paths.get(abs)).toString)
+        .exists(_.blooms.contains(colName))
+    }
+    require(!bloomed,
+      s"widening '$colName' of $name while visible files carry bloom " +
+        "sketches on it would break their hash domain — compact(" +
+        "bloomCols=...) first to re-record them")
     val evolved = StructType(current.fields.map(g =>
       if (g.name == colName) g.copy(dataType = to) else g))
     log.commit("evolve", Seq.empty, evolved.json)
@@ -1544,6 +1564,13 @@ final class GraftTable private (
       s"expiry to $keepFromId would break tag(s) " +
         protectedTags.map { case (n, id) => s"'$n'@$id" }.mkString(", ") +
         " — drop them first")
+    // an OPEN branch's audit view resolves from its fork-point parent:
+    // expiring past it would break readBranch/publishBranch mid-flight
+    val brokenBranches = branches.filter(b => branchParent(b) < keepFromId)
+    require(brokenBranches.isEmpty,
+      s"expiry to $keepFromId would sever open branch(es) " +
+        brokenBranches.mkString(", ") + " from their fork point — " +
+        "publish or drop them first")
     val (dead, live) = snaps.partition(_.snapshotId < keepFromId)
     val liveFiles = live.flatMap(s => s.addedFiles ++ s.deleteFiles).toSet
     dead.flatMap(s => s.addedFiles ++ s.deleteFiles).distinct

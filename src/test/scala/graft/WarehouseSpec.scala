@@ -1602,6 +1602,42 @@ class WarehouseSpec extends AnyFunSuite {
       Seq(11L, 20L, 5000000000L))
   }
 
+  test("widen refuses hash-domain breaks; expiry refuses severing open branches") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    import graft.warehouse.PartitionField
+    // bucket-partitioned column: murmur3(int) != murmur3(long), so a
+    // widen would falsely prune against old-era partition entries
+    val d1 = Files.createTempDirectory("graft-wguard1-")
+    val t1 = GraftTable.create(spark, d1, "t1",
+      Seq.empty[(Int, Long)].toDF("k", "v")).get
+    t1.setPartitionSpec(Seq(PartitionField("bucket", "k", 8)))
+    t1.append((1 to 100).map(i => (i, i.toLong)).toDF("k", "v"))
+    intercept[IllegalArgumentException] { t1.widenColumn("k", LongType) }
+    // bloom-sketched column: same hash-domain argument
+    val d2 = Files.createTempDirectory("graft-wguard2-")
+    val t2 = GraftTable.create(spark, d2, "t2",
+      Seq.empty[(Int, Long)].toDF("k", "v")).get
+    t2.append((1 to 100).map(i => (i, i.toLong)).toDF("k", "v"),
+      bloomCols = Seq("k"))
+    intercept[IllegalArgumentException] { t2.widenColumn("k", LongType) }
+    // a compact re-records under the new layout; widen then proceeds
+    t2.compact()
+    t2.widenColumn("k", LongType)
+    assert(t2.schema("k").dataType == LongType)
+    assert(t2.read().filter(col("k") === 50L).count() == 1)
+    // expiry refuses to sever an open branch from its fork point
+    val d3 = Files.createTempDirectory("graft-bguard-")
+    val t3 = GraftTable.create(spark, d3, "t3",
+      Seq((1L, "a")).toDF("id", "v")).get
+    t3.createBranch("wip")
+    val comp = t3.compact()
+    intercept[IllegalArgumentException] { t3.expireSnapshots(comp.snapshotId) }
+    t3.dropBranch("wip")
+    t3.expireSnapshots(comp.snapshotId)
+    assert(t3.read().count() == 1)
+  }
+
   test("renameColumn is metadata-only and era-correct: old files keep their data") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-ren-")
