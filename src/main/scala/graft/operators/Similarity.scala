@@ -582,7 +582,7 @@ object Similarity {
     * snapshot) must not retrain. Keyed on the canonicalized plan of
     * the (id, vec) projection, sameResult-verified. */
   private val assignCache = new BoundedLru[
-    (Int, Int, Int), (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+    (Int, Int, Int, Int), (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
       Array[Array[Double]])](64)
   @volatile private var assignCacheSession: org.apache.spark.sql.SparkSession = null
 
@@ -600,7 +600,9 @@ object Similarity {
     val spark = df.sparkSession
     val proj = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val plan = proj.queryExecution.analyzed.canonicalized
-    val key = (plan.semanticHash(), k, maxIter)
+    // maxTrainRows participates: it bounds the training sample, so two
+    // calls differing only in it train DIFFERENT centroids
+    val key = (plan.semanticHash(), k, maxIter, maxTrainRows)
     synchronized {
       if (assignCacheSession ne spark) {
         assignCache.clear(); assignCacheSession = spark

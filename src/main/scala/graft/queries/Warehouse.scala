@@ -971,10 +971,10 @@ object Warehouse {
         d1.addedFiles.isEmpty && d1.removedFiles.isEmpty &&
         d1.deleteFiles.isEmpty && d2.addedFiles.isEmpty &&
         d2.removedFiles.isEmpty && d2.deleteFiles.isEmpty
-      // while tombstones are live: the full refusal set
+      // while tombstones are live: the refusal set (CoW DML left it in
+      // r13 — q144 grades merge/deleteWhere materializing inline; the
+      // non-rewrite ops below still decline)
       val refusals =
-        (try { t.deleteWhere(col("price") < 0); false }
-         catch { case _: IllegalArgumentException => true }) &&
         (try { t.rollbackTo(s1); false }
          catch { case _: IllegalArgumentException => true }) &&
         (try { t.createBranch("x"); false }
@@ -1038,6 +1038,72 @@ object Warehouse {
       conn.query("orders_fs")
         .withColumn("sync_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q144: CoW DML with LIVE merge-on-read tombstones ------------
+    // r12 and before, merge/deleteWhere REFUSED while eq/predicate
+    // tombstones were live: the O(1)-delete path cost a full-table
+    // compact before the next DML. Since r13 the rewrite materializes
+    // live tombstones INLINE (Iceberg's rewrite behavior): survivor
+    // selection reads delete-applied, rewritten files land AFTER every
+    // live delete (outside its era scope), and untouched files keep
+    // their tombstones applying at read. The rig chains all four forms
+    // with NO compact anywhere: deleteKeysMor (keys ≡ 0 mod 5) →
+    // merge over the low-key quartile at doubled price (re-INSERTS the
+    // tombstoned keys it covers — they were invisible, so they take
+    // the insert arm) → deleteWhereMor (keys ≡ 3 mod 7) → CoW
+    // deleteWhere (keys ≡ 5 mod 11). The witness pins: both MOR
+    // deletes wrote zero data files; the merge rewrite was PARTIAL
+    // (clustered layout — only the quartile's files rewrote); no
+    // compact/replace snapshot anywhere; both tombstones SURVIVE the
+    // DML still live; and era-correctness held mid-chain (outside the
+    // merge range ≡0-mod-5 keys stayed invisible, inside it they
+    // returned at doubled price).
+    Q("q144_mor_then_dml",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price,
+        |    (SELECT max(o_orderkey) FROM orders) AS maxk
+        |  FROM orders)
+        |SELECT k AS o_orderkey,
+        |  CASE WHEN k * 4 <= maxk THEN price * 2 ELSE price END AS price,
+        |  TRUE AS morw_ok
+        |FROM base
+        |WHERE (k % 5 <> 0 OR k * 4 <= maxk)
+        |  AND k % 7 <> 3 AND k % 11 <> 5
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val maxk = orders.agg(max("o_orderkey")).collect()
+        .head.getAs[Number](0).longValue
+      val wh = java.nio.file.Paths.get(Scratch.dir("run"))
+      val t = graft.warehouse.GraftTable.create(s, wh.resolve("orders_mw"),
+        "orders_mw", orders).get
+      // clustered multi-file layout so the quartile merge is partial
+      t.compact(targetFiles = 8, clusterBy = Seq("o_orderkey"),
+        statsCols = Seq("o_orderkey"))
+      val d1 = t.deleteKeysMor(
+        orders.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"))
+      val filesBefore = t.read().inputFiles.length
+      val m = t.merge(
+        orders.filter(col("o_orderkey") * 4 <= maxk)
+          .withColumn("price", col("price") * 2),
+        Seq("o_orderkey"), whenMatchedDelete = lit(false))
+      // era-correctness mid-chain: outside the merge range, tombstoned
+      // keys stay invisible (their files untouched, tombstone live);
+      // inside it, they are back at the doubled price
+      val vis = t.read().filter(col("o_orderkey") % 5 === 0)
+      val eraOk =
+        vis.filter(col("o_orderkey") * 4 > maxk).limit(1).count() == 0 &&
+          vis.filter(col("o_orderkey") * 4 <= maxk).limit(1).count() == 1
+      val d2 = t.deleteWhereMor(col("o_orderkey") % 7 === 3)
+      t.deleteWhere(col("o_orderkey") % 11 === 5)
+      val noFullRewrite = t.log.snapshots.count(sn =>
+        sn.operation == "compact" || sn.operation == "replace") == 1 // the layout compact only
+      val witness = d1.addedFiles.isEmpty && d2.addedFiles.isEmpty &&
+        d2.deleteFiles.isEmpty && // predicate delete: zero files entirely
+        m.removedFiles.nonEmpty && m.removedFiles.size < filesBefore &&
+        noFullRewrite && eraOk && t.liveEqDeletes().size == 2
+      t.read().withColumn("morw_ok", lit(witness)).orderBy("o_orderkey")
     },
 
     // ---- q121: snapshot tags — named, expiry-protected time travel ---

@@ -216,8 +216,12 @@ final class FlightService(connector: Connector, port: Int = 0,
         // duplicates collapsed): what a replica needs to replay
         // rename/drop evolution by field id instead of a full rebuild
         // ([[Mirror]] reconciliation). Manifest-only.
+        // empty schemaJson entries are dropped BEFORE collapsing (same
+        // guard as requireNameFresh): an empty era string would make
+        // the client's Wire.schemaOf throw inside reconcileEvolution,
+        // demoting a replayable rename tick to a full rebuild
         val hist = connector.loadTable(req.table).log.snapshots
-          .map(_.schemaJson)
+          .map(_.schemaJson).filter(_.nonEmpty)
           .foldLeft(List.empty[String]) { (acc, s) =>
             if (acc.headOption.contains(s)) acc else s :: acc
           }.reverse

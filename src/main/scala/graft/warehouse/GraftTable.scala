@@ -62,6 +62,16 @@ final class GraftTable private (
       log.eqDeletesOf(snaps, asOf), sch, snaps)
   }
 
+  /** [[read]] with a pre-tombstone-join `input_file_name()` column —
+    * the (row, file) view the DML file-target probes need (see
+    * [[readWithDeletes]]' tagFile note). */
+  private def readTagged(asOf: Option[Long], fileCol: String): DataFrame = {
+    val snaps = log.snapshots
+    val sch = schemaAsOfIn(snaps, asOf)
+    readWithDeletes(log.filesWithSnapOf(snaps, asOf),
+      log.eqDeletesOf(snaps, asOf), sch, snaps, Some(fileCol))
+  }
+
   private def emptyDf(sch: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
 
@@ -136,18 +146,28 @@ final class GraftTable private (
     * committed under current-era names (rename/drop refuse while
     * tombstones are live), so the anti-join binds on the projected
     * columns soundly. */
+  /** @param tagFile when set, each era-group's scan gets an
+    *   `input_file_name()` column of this name BEFORE any tombstone
+    *   anti-join is applied — the DML probes need (row, file) pairs of
+    *   the delete-applied view, and Spark's PreReadCheck refuses
+    *   `input_file_name()` above a JOIN of two file sources (the key
+    *   sidecar is one); tagging below the join is both legal and
+    *   correct (the row's file is its data file, never the sidecar). */
   private def readWithDeletes(filesWithSnap: Seq[(String, Long)],
       deletes: Seq[(Long, Tomb)], sch: StructType,
-      snaps: Seq[Snapshot]): DataFrame = {
-    if (filesWithSnap.isEmpty) return emptyDf(sch)
+      snaps: Seq[Snapshot], tagFile: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.input_file_name
+    def tag(df: DataFrame): DataFrame =
+      tagFile.map(c => df.withColumn(c, input_file_name())).getOrElse(df)
+    if (filesWithSnap.isEmpty) return tag(emptyDf(sch))
     if (deletes.isEmpty)
-      return readFilesProjected(filesWithSnap, snaps, sch)
+      return tag(readFilesProjected(filesWithSnap, snaps, sch))
     val delSnaps = deletes.map(_._1)
     val groups = filesWithSnap.groupBy { case (_, s) =>
       delSnaps.indexWhere(_ > s) // -1: committed after every delete
     }
     groups.toSeq.sortBy(_._1).map { case (firstDel, fs) =>
-      var df = readFilesProjected(fs, snaps, sch)
+      var df = tag(readFilesProjected(fs, snaps, sch))
       if (firstDel >= 0) deletes.drop(firstDel).foreach {
         case (_, Tomb.Keys(p)) =>
           val kd = spark.read.parquet(p)
@@ -174,11 +194,16 @@ final class GraftTable private (
     * their stored NULL twins. Sequence semantics: rows appended AFTER
     * this commit are never affected, even for matching keys.
     *
-    * Copy-on-write DML (upsert/merge/deleteWhere), rollback, branch
-    * forks, and incremental/metadata readers refuse while tombstones
-    * are live — compact first; [[GraftTable.diff]] stays incremental
-    * across appends as long as the visible delete set is unchanged
-    * between its cuts. */
+    * Copy-on-write DML ([[upsert]]/[[merge]]/[[deleteWhere]]) runs
+    * WITH live tombstones (since r13): the rewrite applies them to its
+    * survivor selection and the rewritten files fall outside every
+    * tombstone's era scope, while untouched files keep their
+    * tombstones applying at read — Iceberg's rewrite behavior, no
+    * pre-compact required. Rollback, branch forks, binpack, clone,
+    * checkpoint, and incremental/metadata readers still refuse while
+    * tombstones are live — compact first; [[GraftTable.diff]] stays
+    * incremental across appends as long as the visible delete set is
+    * unchanged between its cuts. */
   def deleteKeysMor(keys: DataFrame): Snapshot = {
     val head = log.head.getOrElse(
       throw new IllegalStateException(s"table $name has no snapshots"))
@@ -207,9 +232,10 @@ final class GraftTable private (
     * Reads apply it era-correctly like [[deleteKeysMor]]: only data
     * files committed BEFORE the delete are filtered, so later appends
     * of matching rows stay visible (Iceberg sequence semantics);
-    * [[compact]]/[[replace]] materialize and clear it. Same refusal
-    * set as key tombstones while live: CoW DML, rollback, branches,
-    * incremental readers, metadata aggregates all decline.
+    * [[compact]]/[[replace]] materialize and clear it. Same live-
+    * tombstone rules as key tombstones: CoW DML folds it into its
+    * rewrites; rollback, branches, incremental readers, and metadata
+    * aggregates decline.
     *
     * The predicate must be DETERMINISTIC and reference only table
     * columns (validated by resolving it against the current schema —
@@ -474,6 +500,7 @@ final class GraftTable private (
       require(compatible(expected, df.schema),
         s"append schema mismatch for $name:\n expected $expected\n got ${df.schema}")
     }
+    healRenamedLayouts()
     val commitDir = dir.resolve("data").resolve(s"s${UUID.randomUUID().toString.take(12)}")
     // an explicit clusterBy wins; otherwise the table's declared sort
     // order applies by default ([[setSortOrder]])
@@ -702,7 +729,7 @@ final class GraftTable private (
       whenNotMatchedBySourceDelete: Option[org.apache.spark.sql.Column] = None)
       : Snapshot = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
-    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     // rows that UPSERT (insert-or-replace) vs rows that only tombstone;
     // NULL-evaluating predicates keep the row on the upsert side (SQL
     // WHEN-semantics: an arm fires only when its condition is TRUE)
@@ -715,10 +742,14 @@ final class GraftTable private (
       // keeps upsert's historical create-from-incoming behavior)
       return append(upserts, statsCols = statsCols, properties = properties)
     }
-    // a CoW rewrite reads affected files directly; doing that under
-    // live merge-on-read tombstones would resurrect deleted rows in
-    // the rewritten files
-    requireNoEqDeletes("merge/upsert")
+    // Live merge-on-read tombstones do NOT block a merge (the Iceberg
+    // rewrite stance, since r13): the rewrite applies them to its
+    // survivor selection below, so rewritten files carry no deleted
+    // rows — and being committed AFTER every live delete they fall
+    // outside every tombstone's era scope. Untouched files keep their
+    // tombstones applying at read, era-correctly, until a compact
+    // materializes table-wide. The O(1)-delete path no longer costs a
+    // full-table compact before the next DML.
     var attempt = 0
     while (true) {
       val base = log.head.get
@@ -752,12 +783,13 @@ final class GraftTable private (
           // file stats skip nulls, so a stored NULL twin could hide in
           // a file whose recorded range misses [min, max]
           if (bounds.isNullAt(0) || bounds.getLong(2) > 0)
-            read(Some(base.snapshotId))
-          else readWhere(k, Some(bounds.get(0)), Some(bounds.get(1)),
-            Some(base.snapshotId))
-        } else read(Some(base.snapshotId))
+            readTagged(Some(base.snapshotId), "__f")
+          else readWhereAllImpl(
+            Seq((k, Some(bounds.get(0)), Some(bounds.get(1)))),
+            Some(base.snapshotId), Some("__f"))
+        } else readTagged(Some(base.snapshotId), "__f")
       val keyHitFiles = probeSrc
-        .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+        .select(keyCols.map(col) :+ col("__f"): _*)
         .join(keys, keyCond)
         .select("__f").distinct()
         .collect().map(_.getString(0))
@@ -770,8 +802,7 @@ final class GraftTable private (
       val nmsFiles = whenNotMatchedBySourceDelete match {
         case None => Nil
         case Some(c) =>
-          read(Some(base.snapshotId))
-            .withColumn("__f", input_file_name())
+          readTagged(Some(base.snapshotId), "__f")
             .join(keys, keyCond, "left_anti")
             .filter(coalesce(c, lit(false)))
             .select("__f").distinct()
@@ -788,14 +819,18 @@ final class GraftTable private (
       val sidByRel = log.filesWithSnapOf(snapsNow, Some(base.snapshotId))
         .map { case (abs, sid) =>
           dir.relativize(Paths.get(abs)).toString -> sid }.toMap
+      // live tombstones apply to the rewrite source (readWithDeletes —
+      // era-grouped anti-joins/predicate filters), so a rewritten file
+      // can never resurrect a merge-on-read-deleted row
       val survivors0 =
         if (affected.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             schemaAsOf(Some(base.snapshotId)))
-        else readFilesProjected(
+        else readWithDeletes(
           affected.map(f => dir.resolve(f).toString ->
             sidByRel.getOrElse(f, base.snapshotId)),
-          snapsNow, schemaAsOf(Some(base.snapshotId)))
+          log.eqDeletesOf(snapsNow, Some(base.snapshotId)),
+          schemaAsOf(Some(base.snapshotId)), snapsNow)
           .join(keys, keyCond, "left_anti")
       // not-matched-by-source deletes: unmatched stored rows whose arm
       // condition is TRUE are dropped (NULL keeps, SQL WHEN-semantics)
@@ -870,16 +905,16 @@ final class GraftTable private (
     * file-targeted rewrite + conditional commit as [[upsert]]; files
     * with no matching row are untouched. */
   def deleteWhere(cond: org.apache.spark.sql.Column): Snapshot = {
-    import org.apache.spark.sql.functions.input_file_name
-    requireNoEqDeletes("deleteWhere")
+    // live tombstones don't block (see merge): they apply to the
+    // survivor read below and keep applying to untouched files
     var attempt = 0
     while (true) {
       val head = log.head.getOrElse(
         throw new IllegalStateException(s"table $name has no snapshots"))
       val sch = schemaAsOf(Some(head.snapshotId))
-      val affected = read(Some(head.snapshotId))
+      val affected = readTagged(Some(head.snapshotId), "__f")
         .filter(cond)
-        .select(input_file_name().as("__f")).distinct()
+        .select("__f").distinct()
         .collect().map(_.getString(0))
         .map(f => dir.relativize(Paths.get(java.net.URI.create(f).getPath)).toString)
         .toSeq.sorted
@@ -892,9 +927,10 @@ final class GraftTable private (
       val sidByRel = log.filesWithSnapOf(snapsNow, Some(head.snapshotId))
         .map { case (abs, sid) =>
           dir.relativize(Paths.get(abs)).toString -> sid }.toMap
-      val survivors = readFilesProjected(
+      val survivors = readWithDeletes(
         affected.map(f => dir.resolve(f).toString ->
-          sidByRel.getOrElse(f, head.snapshotId)), snapsNow, sch)
+          sidByRel.getOrElse(f, head.snapshotId)),
+        log.eqDeletesOf(snapsNow, Some(head.snapshotId)), sch, snapsNow)
         // SQL DELETE semantics: remove only rows where cond is TRUE. A
         // bare `!cond` would also drop NULL-evaluating rows (NULL
         // satisfies neither side) — silent data loss.
@@ -1286,6 +1322,46 @@ final class GraftTable private (
         if (f.column == oldName) f.copy(column = newName) else f))
   }
 
+  /** Lazily repair layout declarations orphaned by a crash BETWEEN a
+    * rename/drop's evolve commit and its layout re-declaration
+    * ([[renameColumn]] cannot re-declare first — [[setPartitionSpec]]
+    * validates against the pre-rename schema): a declared sort-order /
+    * partition-spec column missing from the current schema maps to its
+    * current name via field-id history and is re-declared; a column
+    * that was DROPPED (no surviving id) leaves the sort order. Without
+    * this, writes after such a crash silently land unpartitioned /
+    * unclustered forever. Called from [[append]]; no-op (two cheap
+    * membership checks) when every declared column exists. */
+  private def healRenamedLayouts(): Unit = {
+    if (log.head.isEmpty) return
+    val cur = schema
+    val names = cur.fieldNames.toSet
+    // old name -> current name of the SAME field id, from retained eras
+    lazy val renamedTo: Map[String, String] = {
+      val curById = cur.fields.flatMap(f =>
+        GraftTable.fieldIdOf(f).map(_ -> f.name)).toMap
+      log.snapshots.filter(_.schemaJson.nonEmpty).flatMap { s =>
+        DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
+          .fields.toSeq.flatMap(f => GraftTable.fieldIdOf(f).flatMap(id =>
+            curById.get(id).filter(_ != f.name).map(f.name -> _)))
+      }.toMap
+    }
+    val so = sortOrder
+    if (so.exists(c => !names.contains(c))) {
+      val healed = so.flatMap(c =>
+        if (names.contains(c)) Some(c) else renamedTo.get(c)).distinct
+      if (healed != so) setSortOrder(healed)
+    }
+    val spec = partitionSpec
+    if (spec.exists(f => !names.contains(f.column))) {
+      val healed = spec.map(f =>
+        if (names.contains(f.column)) f
+        else renamedTo.get(f.column).map(n => f.copy(column = n)).getOrElse(f))
+      if (healed != spec && healed.forall(f => names.contains(f.column)))
+        setPartitionSpec(healed)
+    }
+  }
+
   /** Small-file compaction: rewrite the current table contents into
     * `targetFiles` files and commit a `compact` snapshot that REPLACES
     * the visible file set (reads resolve from it; see
@@ -1536,8 +1612,11 @@ final class GraftTable private (
     val statsByFile = snaps.flatMap(_.stats).toMap
     val rel = visible.map { case (abs, _) =>
       dir.relativize(Paths.get(abs)).toString }.sorted
+    // Set membership, not Seq.contains: the carry filter runs once per
+    // recorded stat — linear, not O(stats × files), at metadata scale
+    val relSet = rel.toSet
     log.commit("compact", rel, base.schemaJson,
-      statsByFile.filter { case (f, _) => rel.contains(f) },
+      statsByFile.filter { case (f, _) => relSet(f) },
       expectedHead = Some(base.snapshotId),
       properties = carriedTxnMarkers(snaps))
   }
@@ -1916,9 +1995,14 @@ final class GraftTable private (
     val sch = schemaAsOfIn(snaps, Some(to))
     // era-projected to the `toId` schema: the diff of a window that
     // crosses a rename reports changes under the CURRENT column names
-    // for both sides (old-era files decode by field id)
+    // for both sides (old-era files decode by field id). Both sides
+    // read DELETE-APPLIED (the sets are equal at the two cuts, guarded
+    // above): a merge/deleteWhere rewrite inside the window removes
+    // files that live tombstones scope, and reading those raw would
+    // report rows invisible since before the window as phantom deletes.
+    val dels = log.eqDeletesOf(snaps, Some(to))
     def readFiles(fs: Map[String, Long]): DataFrame =
-      readFilesProjected(fs.toSeq.sortBy(_._1), snaps, sch)
+      readWithDeletes(fs.toSeq.sortBy(_._1), dels, sch, snaps)
     val added = readFiles(after -- before.keySet)
     val removed = readFiles(before -- after.keySet)
     added.exceptAll(removed).withColumn("_change_type", lit("insert"))
@@ -2000,7 +2084,11 @@ final class GraftTable private (
     * Same contract as [[readWhere]]: the caller still applies the
     * row-level filters. */
   def readWhereAll(preds: Seq[(String, Option[Any], Option[Any])],
-      asOf: Option[Long] = None): DataFrame = {
+      asOf: Option[Long] = None): DataFrame =
+    readWhereAllImpl(preds, asOf, None)
+
+  private def readWhereAllImpl(preds: Seq[(String, Option[Any], Option[Any])],
+      asOf: Option[Long], tagFile: Option[String]): DataFrame = {
     // one atomic log capture for stats, file set, and schema — a
     // commit landing mid-call can no longer leave the stats map
     // missing files the listing already sees (which would silently
@@ -2026,7 +2114,7 @@ final class GraftTable private (
     }
     // live merge-on-read tombstones apply after pruning (anti-joins
     // only ever remove rows, so pruning soundness is unaffected)
-    readWithDeletes(kept, log.eqDeletesOf(snaps, asOf), sch, snaps)
+    readWithDeletes(kept, log.eqDeletesOf(snaps, asOf), sch, snaps, tagFile)
   }
 
   /** POINT-SET file pruning: keep only files whose stats may contain

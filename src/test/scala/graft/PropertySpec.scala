@@ -412,8 +412,13 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"diverged at step $step: " +
         s"ops=${t.log.snapshots.map(_.operation)}")
     }
-    (1 to 12).foreach { step =>
-      rnd.nextInt(4) match {
+    // CoW DML (cases 4/5) runs WITH live tombstones since r13: its
+    // rewrite re-lands affected-file survivors at the DML step, but the
+    // model needn't track file membership — every future delete at step
+    // t scopes addStep < t, which old and re-stamped survivors satisfy
+    // alike, so the model is insensitive to the re-stamp.
+    (1 to 16).foreach { step =>
+      rnd.nextInt(6) match {
         case 0 | 1 => // append, reusing ids ~half the time (re-inserts)
           val rows = (0 until 8).map { _ =>
             val id = rnd.nextInt(40).toLong
@@ -429,6 +434,18 @@ class PropertySpec extends AnyFunSuite {
         case 3 =>
           t.compact(targetFiles = 2)
           model = model.map { case (i, v, _) => (i, v, step) }
+        case 4 => // CoW predicate delete, tombstones folded into the rewrite
+          val lo = rnd.nextInt(35).toLong
+          t.deleteWhere($"id" >= lo && $"id" < lo + 5)
+          model = model.filterNot { case (i, _, _) => i >= lo && i < lo + 5 }
+        case 5 => // keyed upsert under whatever tombstones are live
+          val rows = (0 until 4).map(_ =>
+              (rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+            .distinctBy(_._1)
+          t.upsert(rows.toDF("id", "v"), Seq("id"))
+          val ks = rows.map(_._1).toSet
+          model = model.filterNot { case (i, _, _) => ks.contains(i) }
+          model ++= rows.map { case (i, v) => (i, v, step) }
       }
       check(step)
     }

@@ -946,12 +946,9 @@ class WarehouseSpec extends AnyFunSuite {
     t.deleteKeysMor(Seq(4L, 7L).toDF("id"))
     assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 3L, 5L, 8L, 9L, 10L))
-    // guards: CoW DML, rollback, branch forks, incremental + metadata
-    // readers all refuse while tombstones are live
-    intercept[IllegalArgumentException] {
-      t.upsert(Seq((1L, "x")).toDF("id", "v"), Seq("id"))
-    }
-    intercept[IllegalArgumentException] { t.deleteWhere($"id" === 1L) }
+    // guards: rollback, branch forks, incremental + metadata readers
+    // refuse while tombstones are live (CoW DML materializes inline
+    // since r13 — its own test below)
     intercept[IllegalArgumentException] { t.rollbackTo(s1) }
     intercept[IllegalArgumentException] { t.createBranch("b") }
     intercept[graft.warehouse.HistoryExpiredException] { t.changesSince(s1) }
@@ -971,6 +968,43 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.metaCount().contains(pre.size.toLong))
     t.upsert(Seq((1L, "x")).toDF("id", "v"), Seq("id"))
     assert(t.read().filter($"id" === 1L).select("v").as[String].head() == "x")
+  }
+
+  test("CoW DML materializes live tombstones inline — no pre-compact required") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 12L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.deleteKeysMor(Seq(2L, 4L).toDF("id"))
+    t.deleteWhereMor($"id" >= 11L)
+    // diff across the coming merge window must NOT report phantom
+    // deletes for rows the tombstones already hid
+    val sB = t.currentSnapshotId.get
+    // upsert with BOTH tombstone kinds live: updates 1, inserts 13;
+    // tombstoned keys in the rewritten file stay gone
+    t.upsert(Seq((1L, "x"), (13L, "new")).toDF("id", "v"), Seq("id"))
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L, 6L, 7L, 8L, 9L, 10L, 13L))
+    assert(t.read().filter($"id" === 1L).select("v").as[String].head() == "x")
+    val ch = t.diff(sB).select("id", "_change_type")
+      .as[(Long, String)].collect().toSet
+    assert(ch == Set((1L, "delete"), (1L, "insert"), (13L, "insert")),
+      s"phantom changes: $ch")
+    // tombstones SURVIVE the DML, still applying to untouched files
+    assert(t.liveEqDeletes().size == 2)
+    // upserting a TOMBSTONED key re-inserts it (invisible ⇒ insert arm)
+    t.upsert(Seq((4L, "reborn")).toDF("id", "v"), Seq("id"))
+    assert(t.read().filter($"id" === 4L).select("v").as[String]
+      .collect().toSeq == Seq("reborn"))
+    // CoW deleteWhere under live tombstones
+    t.deleteWhere($"id" === 9L)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L, 10L, 13L))
+    // the rewrites never resurrected a tombstoned row: compact's
+    // materialization is content-identical
+    val pre = t.read().select("id").as[Long].collect().sorted.toSeq
+    t.compact(targetFiles = 2)
+    assert(t.liveEqDeletes().isEmpty)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == pre)
   }
 
   test("merge-on-read deletes match null keys null-safely and respect multi-column keys") {
