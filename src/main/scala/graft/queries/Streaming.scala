@@ -651,6 +651,68 @@ object Streaming {
           round(col("value"), 2).as("value"))
         .withColumn("cdc_xo_ok", lit(witness))
         .orderBy("user_id")
+    },
+
+    // ---- q145: warehouse table as a Structured Streaming SOURCE ------
+    // Grades graft.streaming.GraftTableSource — the Delta streaming-
+    // source shape: `spark.readStream` over a GraftTable with offsets =
+    // SNAPSHOT IDS and batches = changesSince deltas. Three real
+    // readStream runs share ONE checkpoint: run 1 consumes the initial
+    // snapshot; between runs the source table takes an append, a
+    // PARTIAL BINPACK compaction (a `rewrite` snapshot the incremental
+    // read must flow THROUGH — its re-housed rows must not re-deliver),
+    // and a second append; run 2 must deliver EXACTLY the two appended
+    // slices (with maxSnapshotsPerBatch=1 forcing one source commit
+    // per micro-batch — real multi-batch consumption, not one batch in
+    // disguise); run 3, with no new commits, must deliver ZERO rows —
+    // the offset-replay witness (restart from checkpoint re-reads
+    // nothing). The union of everything delivered must hash-equal the
+    // plain orders oracle: a duplicated or dropped delta cannot pass.
+    Q("q145_table_stream_source",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, TRUE AS src_ok
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val wh = java.nio.file.Paths.get(Scratch.dir("q145_wh"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val t = graft.warehouse.GraftTable.create(s, wh.resolve("orders_src"),
+        "orders_src", orders.filter(col("o_orderkey") % 3 === 0)).get
+      val ckpt = Scratch.dir("q145_ckpt")
+      val outDir = Scratch.dir("q145_out")
+      val runRows = new java.util.concurrent.atomic.AtomicLong()
+      def runStream(): Long = {
+        runRows.set(0L)
+        withShufflePartitions(s, 8) {
+          val sq = s.readStream
+            .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+            .option("path", wh.resolve("orders_src").toString)
+            .option("maxSnapshotsPerBatch", "1")
+            .load()
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              runRows.addAndGet(b.count())
+              b.write.mode("append").parquet(outDir): Unit
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          sq.awaitTermination()
+        }
+        runRows.get()
+      }
+      val c0 = t.read().count()
+      val rows1 = runStream() // initial snapshot
+      t.append(orders.filter(col("o_orderkey") % 3 === 1))
+      t.compactSmall(smallBytes = 1L << 30) // binpack: rewrite flows through
+      t.append(orders.filter(col("o_orderkey") % 3 === 2))
+      val c1 = orders.filter(col("o_orderkey") % 3 === 1).count()
+      val c2 = orders.filter(col("o_orderkey") % 3 === 2).count()
+      val rows2 = runStream() // exactly the two appended slices
+      val rows3 = runStream() // nothing new: re-reads NOTHING
+      val witness = rows1 == c0 && rows2 == c1 + c2 && rows3 == 0L
+      s.read.parquet(outDir)
+        .withColumn("src_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, GraftStreamBridge, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.StructType
+
+import graft.warehouse.GraftTable
+
+/** Structured Streaming SOURCE over a [[graft.warehouse.GraftTable]] —
+  * the Delta/Iceberg streaming-source shape the reference's polling
+  * reader approximates by re-reading the FULL table every tick
+  * (`icerunner.py:723-736`; our `warehouse.Follower` fixed the
+  * re-read but still polls as an API). This makes a warehouse table a
+  * first-class `spark.readStream` input:
+  *
+  * {{{
+  * spark.readStream
+  *   .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+  *   .option("path", tableDir)           // the GraftTable directory
+  *   .option("maxSnapshotsPerBatch", 1)  // optional admission control
+  *   .load()
+  * }}}
+  *
+  * Semantics (the Delta streaming-source contract):
+  *  - OFFSETS ARE SNAPSHOT IDS. The checkpoint's offset log stores the
+  *    last processed snapshot, so a restart resumes exactly where the
+  *    previous run committed — nothing is re-read (exactly-once at the
+  *    source when paired with an idempotent/txn-marker sink).
+  *  - The FIRST batch of a fresh checkpoint is the full table pinned
+  *    at the start head (the "initial snapshot"); every later batch is
+  *    `changesSince(start, end]` — O(new files), era-projected across
+  *    additive schema evolution.
+  *  - REWRITE snapshots (partial binpack compaction) flow through:
+  *    `changesSince` skips them, so maintenance on the source table
+  *    neither duplicates rows nor disturbs the stream. A snapshot that
+  *    REWRITES ROWS (merge/delete/replace/rollback) or a merge-on-read
+  *    delete makes the delta inexpressible as appended rows —
+  *    `changesSince` throws, failing the query loudly (the consumer
+  *    must restart from a fresh checkpoint / full re-sync, exactly the
+  *    Mirror escalation rule; Delta's source has the same stance
+  *    unless told to ignoreChanges).
+  *  - `maxSnapshotsPerBatch` bounds how many source commits one
+  *    micro-batch may cover (admission control via the v2
+  *    `SupportsAdmissionControl.latestOffset` clamp, so it bounds each
+  *    BATCH even under `Trigger.AvailableNow`) — at 100 TB a long-idle
+  *    consumer must not get its entire backlog as one giant batch.
+  *
+  * Scale: offset resolution and file planning are O(manifest)
+  * driver-side; the data path is the same pruned vectorized parquet
+  * scan every table read uses — no extra copy, no listener state. */
+final class GraftTableSourceProvider extends StreamSourceProvider {
+
+  private def load(sqlContext: SQLContext,
+      parameters: Map[String, String]): GraftTable = {
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft streaming source needs option 'path' = table directory"))
+    val dir = Paths.get(path)
+    GraftTable.load(sqlContext.sparkSession, dir, dir.getFileName.toString)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no graft table at $path"))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("graft-table", schema.getOrElse(load(sqlContext, parameters).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val maxSnaps = parameters.get("maxSnapshotsPerBatch").map(_.toLong)
+    maxSnaps.foreach(m => require(m > 0, "maxSnapshotsPerBatch must be > 0"))
+    new GraftTableSource(sqlContext, load(sqlContext, parameters), maxSnaps)
+  }
+}
+
+/** Offset = the snapshot id already processed (inclusive). */
+final case class GraftSnapOffset(id: Long) extends V1Offset {
+  override def json: String = id.toString
+}
+
+final class GraftTableSource(
+    sqlContext: SQLContext,
+    table: GraftTable,
+    maxSnapshotsPerBatch: Option[Long])
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => OffsetV2}
+
+  override val schema: StructType = table.schema
+
+  /** Head captured at `Trigger.AvailableNow` start: the run processes
+    * up to here (in maxSnapshotsPerBatch-bounded batches) and stops,
+    * even while concurrent commits keep landing — the
+    * SupportsTriggerAvailableNow contract. None under other triggers. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  private def idOf(o: OffsetV2): Long =
+    o match {
+      case GraftSnapOffset(i) => i
+      case other => other.json.trim.toLong // SerializedOffset (checkpoint log)
+    }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = table.currentSnapshotId
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission control (the FileStreamSource pattern — a V1 Source
+    * implementing the v2 mixins): the engine calls this per batch with
+    * the last planned offset, so the snapshot clamp bounds each BATCH
+    * and the run still drains to the AvailableNow cap — the plain-V1
+    * `getOffset` clamp could not (the AvailableNow wrapper captures
+    * one getOffset as the whole run's end). */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val start = Option(startOffset).map(idOf).getOrElse(0L)
+    val headRaw = table.currentSnapshotId.getOrElse(return null)
+    val head = availableNowCap.map(math.min(headRaw, _)).getOrElse(headRaw)
+    val end = maxSnapshotsPerBatch
+      .map(m => math.min(head, start + m)).getOrElse(head)
+    GraftSnapOffset(math.max(end, start))
+  }
+
+  override def getOffset: Option[V1Offset] =
+    table.currentSnapshotId.map(GraftSnapOffset(_))
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endId = idOf(end)
+    val spark = sqlContext.sparkSession
+    val df0 = start match {
+      // fresh checkpoint: the initial snapshot, pinned at the batch end
+      case None => table.read(Some(endId))
+      case Some(s) =>
+        val sinceId = idOf(s)
+        if (sinceId >= endId)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else table.changesSince(sinceId, endId)
+    }
+    // bind to the CAPTURED source schema: additive evolution mid-stream
+    // null-fills columns the era lacks and drops columns added after
+    // the stream started (the consumer's schema is fixed for the run —
+    // restart the query to pick up new columns, Delta's rule too)
+    val out = df0.select(schema.fields.toSeq.map { f =>
+      if (df0.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    GraftStreamBridge.streamingDf(spark, out.queryExecution.toRdd, schema)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftTableSource(${table.name})"
+}

@@ -449,4 +449,61 @@ class StreamingSpec extends AnyFunSuite {
       === Seq(1L, 2L), "replayed delete batch re-deleted a key")
     assert(wh.loadTable("state").currentSnapshotId.get === head)
   }
+
+  test("table streaming source: incremental offsets, additive evolution, rewrite-row refusal") {
+    import spark.implicits._
+    val whDir = Files.createTempDirectory("graft-src")
+    val t = graft.warehouse.GraftTable.create(spark,
+      whDir.resolve("t"), "t", (1L to 5L).map(i => (i, s"v$i")).toDF("id", "v")).get
+    val ckpt = Files.createTempDirectory("graft-srcckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    def run(): Unit = {
+      val sq = spark.readStream
+        .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+        .option("path", whDir.resolve("t").toString)
+        .option("maxSnapshotsPerBatch", "1")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val ids = b.select("id").as[Long].collect().sorted.toSeq
+          seen.synchronized { seen += ids }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    run() // initial snapshot
+    assert(seen.flatten.sorted == (1L to 5L), s"initial snapshot: $seen")
+    // two appends + an additive evolution: the restarted run must
+    // deliver ONLY the deltas, null-binding the column added after the
+    // stream's schema was captured
+    t.append(Seq((6L, "v6")).toDF("id", "v"))
+    t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType))))
+    t.append(Seq((7L, "v7", 70L)).toDF("id", "v", "extra"))
+    seen.clear()
+    run()
+    // maxSnapshotsPerBatch=1 ⇒ one source commit per micro-batch:
+    // append(6) / evolve(empty) / append(7), never one merged batch
+    assert(seen.flatten.sorted == Seq(6L, 7L), s"delta run: $seen")
+    assert(seen.count(_.nonEmpty) == 2, s"expected 2 non-empty batches: $seen")
+    // nothing new: restart re-reads NOTHING
+    seen.clear()
+    run()
+    assert(seen.flatten.isEmpty, s"replay leaked rows: $seen")
+    // a snapshot that REWRITES rows makes the delta inexpressible —
+    // the stream must fail loudly, not silently skip or duplicate
+    t.upsert(Seq((1L, "x", 0L)).toDF("id", "v", "extra"), Seq("id"))
+    seen.clear()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run()
+    }
+    def causes(e: Throwable): Seq[Throwable] =
+      Option(e).toSeq.flatMap(t => t +: causes(t.getCause))
+    assert(causes(failed).exists(
+      _.isInstanceOf[graft.warehouse.HistoryExpiredException]),
+      s"expected HistoryExpiredException, got $failed")
+  }
 }
