@@ -1106,6 +1106,55 @@ object Warehouse {
       t.read().withColumn("morw_ok", lit(witness)).orderBy("o_orderkey")
     },
 
+    // ---- q146: month/year temporal partition transforms --------------
+    // q123 grades bucket-spec evolution; this grades the TEMPORAL
+    // transforms r13 added (Iceberg's month/year/hour encodings:
+    // months/years since 1970, negative before the epoch) through a
+    // spec EVOLUTION on orders.o_orderdate: era 1 partitions by
+    // year(o_orderdate) (~8 values), era 2 by month(o_orderdate)
+    // (~80) — the most common Iceberg layout migration (coarse →
+    // finer grain as a table grows), metadata-only as always. A
+    // 6-month range query maps its bounds through BOTH monotone
+    // transform eras (year hits 1 file of ~8, month ~6 of ~80); NO
+    // column stats are collected, so every pruned file is pruned by
+    // partition-space entries alone. The witness pins kept·4 ≤ total
+    // with rows surviving from both eras (even AND odd keys — a
+    // transform-era bug drops one parity); `hour` is spec-pinned in
+    // WarehouseSpec (events span one month, a single month partition
+    // — no prunable month layout exists in the events data).
+    Q("q146_temporal_partition",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, TRUE AS tpart_ok
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+        |  AND o_orderdate < TIMESTAMP '1996-09-01'
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_tpart", base.limit(0))
+      val t = conn.loadTable("orders_tpart")
+      t.setPartitionSpec(Seq(
+        graft.warehouse.PartitionField("year", "o_orderdate")))
+      t.append(base.filter(col("o_orderkey") % 2 === 0).coalesce(1))
+      t.setPartitionSpec(Seq(
+        graft.warehouse.PartitionField("month", "o_orderdate")))
+      t.append(base.filter(col("o_orderkey") % 2 =!= 0).coalesce(1))
+      val lo = java.time.LocalDateTime.of(1996, 3, 1, 0, 0)
+      val hi = java.time.LocalDateTime.of(1996, 8, 31, 23, 59, 59)
+      val slice = t.readWhere("o_orderdate", Some(lo), Some(hi))
+      val total = t.log.dataFiles(None).length
+      val kept = slice.inputFiles.length
+      val rows = slice.filter(col("o_orderdate") >= lit(lo) &&
+        col("o_orderdate") < lit(java.time.LocalDateTime.of(1996, 9, 1, 0, 0)))
+      val bothEras =
+        rows.filter(col("o_orderkey") % 2 === 0).limit(1).count() == 1 &&
+          rows.filter(col("o_orderkey") % 2 =!= 0).limit(1).count() == 1
+      val witness = kept > 0 && kept * 4 <= total && bothEras
+      rows.select(col("o_orderkey"), col("price"))
+        .withColumn("tpart_ok", lit(witness))
+        .orderBy("o_orderkey")
+    },
+
     // ---- q121: snapshot tags — named, expiry-protected time travel ---
     // Grades tagSnapshot/readTag: "the data the March run trained on"
     // stays addressable by NAME, and expiry REFUSES to delete history a

@@ -57,6 +57,9 @@ final case class PartitionField(kind: String, column: String, param: Int = 0) {
     case "bucket"   => s"p_b${param}_$column"
     case "truncate" => s"p_t${param}_$column"
     case "day"      => s"p_day_$column"
+    case "month"    => s"p_month_$column"
+    case "year"     => s"p_year_$column"
+    case "hour"     => s"p_hour_$column"
   }
 
   /** Engine-side derivation of the partition value (codegen'd built-ins
@@ -70,6 +73,20 @@ final case class PartitionField(kind: String, column: String, param: Int = 0) {
     }
     // session TZ is UTC (build.sbt), so the cast is the UTC epoch-day
     case "day" => datediff(col(column).cast(DateType), lit("1970-01-01").cast(DateType))
+    // Iceberg's temporal-transform encodings: months/years since
+    // 1970-01 / 1970 (negative before the epoch — 1969-12 is month −1,
+    // our formula (y−1970)·12 + m−1 = −12 + 11 = −1 matches), hours
+    // as floor(epoch-seconds / 3600) — all calendar math proleptic
+    // Gregorian, same as the driver-side java.time twin.
+    case "month" =>
+      val d = col(column).cast(DateType)
+      ((year(d) - lit(1970)) * lit(12) + month(d) - lit(1)).cast(IntegerType)
+    case "year" => (year(col(column).cast(DateType)) - lit(1970)).cast(IntegerType)
+    case "hour" =>
+      // NTZ casts to TimestampType at the UTC session TZ first;
+      // unix_timestamp floors to epoch seconds, floor handles pre-1970
+      floor(unix_timestamp(col(column).cast(TimestampType)) / lit(3600))
+        .cast(IntegerType)
   }
 
   /** True when the transform preserves order, i.e. range bounds may be
@@ -81,7 +98,7 @@ final case class PartitionField(kind: String, column: String, param: Int = 0) {
     * it; a string that merely looks numeric must NOT become a numeric
     * stat or bound-type checks would throw on probe). */
   def numericValue(dt: DataType): Boolean = kind match {
-    case "bucket" | "day" => true
+    case "bucket" | "day" | "month" | "year" | "hour" => true
     case "identity" | "truncate" => dt match {
       case _: NumericType => true
       case _ => false
@@ -92,8 +109,12 @@ final case class PartitionField(kind: String, column: String, param: Int = 0) {
     * writes locale-fragile directory names — skipped, conservative.) */
   def recordable(dt: DataType): Boolean = kind match {
     case "bucket" => PartitionField.bucketable(dt)
-    case "day" => dt match {
+    case "day" | "month" | "year" => dt match {
       case DateType | TimestampType | TimestampNTZType => true; case _ => false
+    }
+    // a date has no hour — Iceberg scopes hour() to timestamps too
+    case "hour" => dt match {
+      case TimestampType | TimestampNTZType => true; case _ => false
     }
     case "truncate" => dt match {
       case StringType | LongType | IntegerType | ShortType | ByteType => true
@@ -122,12 +143,16 @@ final case class PartitionField(kind: String, column: String, param: Int = 0) {
         val l = v.asInstanceOf[Number].longValue
         java.lang.Math.subtractExact(l, java.lang.Math.floorMod(l, param.toLong))
     }
-    case "day" => PartitionField.epochDay(v)
+    case "day"   => PartitionField.epochDay(v)
+    case "month" => PartitionField.epochMonth(v)
+    case "year"  => PartitionField.epochYear(v)
+    case "hour"  => PartitionField.epochHour(v)
   }
 }
 
 object PartitionField {
-  val kinds: Set[String] = Set("identity", "bucket", "truncate", "day")
+  val kinds: Set[String] =
+    Set("identity", "bucket", "truncate", "day", "month", "year", "hour")
 
   private[warehouse] def bucketable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | StringType => true
@@ -165,6 +190,44 @@ object PartitionField {
     case d: java.time.LocalDate => d.toEpochDay
     case other => throw new IllegalArgumentException(
       s"day transform needs a temporal value, got ${other.getClass.getName}")
+  }).toInt
+
+  /** The UTC calendar date of a driver-side temporal value — proleptic
+    * Gregorian (java.time), matching Spark's datetime semantics. */
+  private def utcDate(v: Any): java.time.LocalDate = v match {
+    case t: java.sql.Timestamp =>
+      java.time.LocalDate.ofEpochDay(java.lang.Math.floorDiv(t.getTime, 86400000L))
+    case t: java.time.LocalDateTime => t.toLocalDate
+    case t: java.time.Instant =>
+      java.time.LocalDate.ofEpochDay(
+        java.lang.Math.floorDiv(t.toEpochMilli, 86400000L))
+    case d: java.sql.Date => d.toLocalDate
+    case d: java.time.LocalDate => d
+    case other => throw new IllegalArgumentException(
+      s"temporal transform needs a temporal value, got ${other.getClass.getName}")
+  }
+
+  /** Months since 1970-01 (Iceberg's month encoding; 1969-12 is −1). */
+  private[warehouse] def epochMonth(v: Any): Int = {
+    val d = utcDate(v)
+    (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+  }
+
+  /** Years since 1970 (Iceberg's year encoding; 1969 is −1). */
+  private[warehouse] def epochYear(v: Any): Int = utcDate(v).getYear - 1970
+
+  /** Hours since the epoch, floored (timestamps only — a date has no
+    * hour, [[PartitionField.recordable]] scopes it out). */
+  private[warehouse] def epochHour(v: Any): Int = (v match {
+    case t: java.sql.Timestamp =>
+      java.lang.Math.floorDiv(t.getTime, 3600000L)
+    case t: java.time.LocalDateTime =>
+      java.lang.Math.floorDiv(
+        t.toInstant(java.time.ZoneOffset.UTC).toEpochMilli, 3600000L)
+    case t: java.time.Instant =>
+      java.lang.Math.floorDiv(t.toEpochMilli, 3600000L)
+    case other => throw new IllegalArgumentException(
+      s"hour transform needs a timestamp value, got ${other.getClass.getName}")
   }).toInt
 }
 

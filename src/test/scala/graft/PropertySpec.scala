@@ -620,14 +620,28 @@ class PropertySpec extends AnyFunSuite {
       assert(b == fbS.apply(v, StringType), s"bucket mismatch for string '$v'")
       assert(t == ftS.apply(v, StringType), s"truncate mismatch for string '$v'")
     }
-    // random NTZ timestamps through day (epoch-day at UTC)
+    // random NTZ timestamps through every temporal transform — day,
+    // and the r13 month/year/hour Iceberg encodings (sample range
+    // spans pre-1970, so the negative-date edge is exercised: 1969-12
+    // must be month −1, year −1, and hours floor toward −∞)
     val ldts = samples(Gen.choose(-2000000000L, 4000000000L), 100).distinct
       .map(s => java.time.LocalDateTime.ofEpochSecond(s, 0, java.time.ZoneOffset.UTC))
     val fd = PartitionField("day", "x")
+    val fm = PartitionField("month", "x")
+    val fy = PartitionField("year", "x")
+    val fh = PartitionField("hour", "x")
     val engineD = spark.createDataset(ldts).toDF("x")
-      .select(col("x"), fd.expr(TimestampNTZType).as("d"))
-      .collect().map(r => r.getAs[java.time.LocalDateTime](0) -> r.getInt(1)).toMap
-    ldts.foreach(v => assert(engineD(v) == fd.apply(v, TimestampNTZType),
-      s"day mismatch for $v"))
+      .select(col("x"), fd.expr(TimestampNTZType).as("d"),
+        fm.expr(TimestampNTZType).as("m"), fy.expr(TimestampNTZType).as("y"),
+        fh.expr(TimestampNTZType).as("h"))
+      .collect().map(r => r.getAs[java.time.LocalDateTime](0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    ldts.foreach { v =>
+      val (d, m, y, h) = engineD(v)
+      assert(d == fd.apply(v, TimestampNTZType), s"day mismatch for $v")
+      assert(m == fm.apply(v, TimestampNTZType), s"month mismatch for $v")
+      assert(y == fy.apply(v, TimestampNTZType), s"year mismatch for $v")
+      assert(h == fh.apply(v, TimestampNTZType), s"hour mismatch for $v")
+    }
   }
 }

@@ -1416,6 +1416,35 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.read().count() == 800)
   }
 
+  test("hour partitioning prunes a time-window lookup; month/year handle pre-1970 dates") {
+    import graft.warehouse.PartitionField
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-part-hour-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq.empty[(java.time.LocalDateTime, Long)].toDF("ts", "v")).get
+    t.setPartitionSpec(Seq(PartitionField("hour", "ts")))
+    val base = java.time.LocalDateTime.of(2026, 3, 1, 0, 0, 0)
+    val rows = (0 until 480).map(i => (base.plusMinutes(i * 6), i.toLong)) // 48 hours
+    t.append(spark.createDataset(rows).toDF("ts", "v").coalesce(1))
+    val total = t.read().inputFiles.length
+    val lo = base.plusHours(5)
+    val hi = base.plusHours(7).plusMinutes(59)
+    val win = t.readWhere("ts", Some(lo), Some(hi))
+    assert(win.inputFiles.length * 4 <= total,
+      s"kept ${win.inputFiles.length} of $total — hour pruning inert")
+    assert(win.filter(col("ts") >= lo && col("ts") <= hi).count() ==
+      rows.count(r => !r._1.isBefore(lo) && !r._1.isAfter(hi)))
+    // negative-date edge (Iceberg encoding): 1969-12-31 is month −1 /
+    // year −1; an off-by-one (truncation toward zero) would collide it
+    // with 1970-01 and misprune
+    assert(graft.warehouse.PartitionField("month", "ts")
+      .apply(java.time.LocalDateTime.of(1969, 12, 31, 23, 0), null) == -1)
+    assert(graft.warehouse.PartitionField("year", "ts")
+      .apply(java.time.LocalDateTime.of(1969, 12, 31, 23, 0), null) == -1)
+    assert(graft.warehouse.PartitionField("hour", "ts")
+      .apply(java.time.LocalDateTime.of(1969, 12, 31, 23, 30), null) == -1)
+  }
+
   test("drop + recreate at the same path serves the NEW table (manifest cache invalidated)") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("dr", Seq((1L, "old-a"), (2L, "old-b")).toDF("id", "v"))
