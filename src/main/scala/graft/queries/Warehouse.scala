@@ -705,19 +705,29 @@ object Warehouse {
     // the added file set is EXACTLY the prior visible set — zero new
     // physical files), expires everything before the checkpoint, and
     // proves reads, appends, and stats-pruning all survive on the
-    // one-manifest history.
+    // one-manifest history. SINCE r13 the rig continues: rename
+    // (price→amount) + type widening (qty int→long) + an evolved
+    // append, then a SECOND checkpoint — which records per-file ERA
+    // BINDINGS for the pre-evolution files (stored era schemas with
+    // field ids materialized) — and a second expiry with NO compact
+    // anywhere. The read after the horizon must stay hash-identical:
+    // pre-evolution files decode by the stored era (old names, narrow
+    // int pages) and project by field id, even though every evolve
+    // commit is expired.
     Q("q142_checkpoint_expire",
-      """SELECT o_orderkey, round(o_totalprice, 2) AS price, TRUE AS ck_ok
+      """SELECT o_orderkey, round(o_totalprice, 2) AS amount,
+        |  CAST(o_orderkey % 100 AS BIGINT) AS qty, TRUE AS ck_ok
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val conn = new Connector(s, Scratch.dir("run"))
       val orders = T.orders(s, d).select(col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("price"))
+        round(col("o_totalprice"), 2).as("price"),
+        (col("o_orderkey") % 100).cast("int").as("qty"))
       conn.createTable("orders_ck", orders.limit(0))
       val t = conn.loadTable("orders_ck")
       t.append(orders.filter(col("o_orderkey") % 2 === 0),
         clusterBy = Seq("o_orderkey"), clusterParts = 2)
-      (0 until 3).foreach { i =>
+      (0 until 2).foreach { i =>
         t.append(orders.filter(col("o_orderkey") % 8 === (i * 2 + 1)))
       }
       val bp = t.compactSmall(smallBytes = 512L << 10, targetBytes = 8L << 20)
@@ -734,9 +744,25 @@ object Warehouse {
       t.expireSnapshots(ck.snapshotId)
       val oneManifest = t.log.snapshots.size == 1
       // liveness after expiry: append + stats-pruned read still work
-      t.append(orders.filter(col("o_orderkey") % 8 === 7))
+      t.append(orders.filter(col("o_orderkey") % 8 === 5))
+      // r13: evolve (rename + widen), append under the new schema,
+      // checkpoint WITH era bindings, expire — zero compacts
+      t.renameColumn("price", "amount")
+      t.widenColumn("qty", org.apache.spark.sql.types.LongType)
+      t.append(orders.filter(col("o_orderkey") % 8 === 7)
+        .withColumnRenamed("price", "amount")
+        .withColumn("qty", col("qty").cast("long")))
+      def sums() = t.read().agg(sum(col("o_orderkey")), sum(col("amount")),
+        sum(col("qty"))).collect().head.toSeq
+      val preHorizon = sums()
+      val ck2 = t.checkpoint()
+      val eraBindings = ck2.properties.keys.exists(_.startsWith("graft.eraof."))
+      t.expireSnapshots(ck2.snapshotId)
+      val postHorizon = sums()
       val witness = bp.exists(_.operation == "rewrite") && refused &&
-        zeroWrite && oneManifest && t.validate().isEmpty
+        zeroWrite && oneManifest && eraBindings &&
+        preHorizon == postHorizon && t.log.snapshots.size == 1 &&
+        t.validate().isEmpty
       conn.query("orders_ck")
         .withColumn("ck_ok", lit(witness))
         .orderBy("o_orderkey")

@@ -91,8 +91,24 @@ final class GraftTable private (
     val eraJson = scala.collection.mutable.Map.empty[Long, String]
     def eraOf(sid: Long): String =
       eraJson.getOrElseUpdate(sid, schemaAsOfIn(snaps, Some(sid)).json)
+    // a file whose adding snapshot is a METADATA CHECKPOINT may carry a
+    // per-file era binding ([[GraftTable.checkpoint]] records one for
+    // every non-identity era it re-lists — the stored era has field ids
+    // materialized, so this resolution survives expiry of the original
+    // evolve history); files without a binding decode under the
+    // checkpoint's own (head) schema, which IS their identity era
+    lazy val ckBySid: Map[Long, Snapshot] = snaps.iterator
+      .filter(_.properties.contains(GraftTable.CheckpointKey))
+      .map(s => s.snapshotId -> s).toMap
+    def eraOfFile(abs: String, sid: Long): String =
+      ckBySid.get(sid) match {
+        case Some(ck) =>
+          GraftTable.checkpointEraOf(ck,
+            dir.relativize(Paths.get(abs)).toString).getOrElse(eraOf(sid))
+        case None => eraOf(sid)
+      }
     lazy val legacy = GraftTable.legacyNames(snaps)
-    val groups = filesWithSnap.groupBy { case (_, sid) => eraOf(sid) }
+    val groups = filesWithSnap.groupBy { case (f, sid) => eraOfFile(f, sid) }
     // Every era whose mapping to `target` is the NAME-AND-TYPE identity
     // reads TOGETHER in one vectorized by-name scan (the parquet reader
     // null-fills additively-missing columns and skips dropped-name-free
@@ -1174,20 +1190,29 @@ final class GraftTable private (
   private def requireNameFresh(snaps: Seq[Snapshot], name: String,
       allowedId: Option[Long]): Unit = {
     val legacy = GraftTable.legacyNames(snaps)
+    def check(id: Option[Long], where: String): Unit = {
+      // a retained era's use of the name is benign only when it is
+      // THE SAME field: same id, or (id-less era) the legacy binding
+      // of the allowed id is this name
+      val sameField = allowedId.nonEmpty && (id == allowedId ||
+        (id.isEmpty && allowedId.exists(a => legacy.get(a).contains(name))))
+      require(sameField,
+        s"column name '$name' was used by $where of ${this.name} " +
+          "under a different field id — re-using it would resurrect " +
+          "the old column's data via by-name reads; expire that " +
+          "history first or pick a new name")
+    }
     snaps.filter(_.schemaJson.nonEmpty).foreach { s =>
       val era = DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
-      era.fields.find(_.name == name).foreach { f =>
-        val id = GraftTable.fieldIdOf(f)
-        // a retained era's use of the name is benign only when it is
-        // THE SAME field: same id, or (id-less era) the legacy binding
-        // of the allowed id is this name
-        val sameField = allowedId.nonEmpty && (id == allowedId ||
-          (id.isEmpty && allowedId.exists(a => legacy.get(a).contains(name))))
-        require(sameField,
-          s"column name '$name' was used by retained snapshot " +
-            s"${s.snapshotId} of ${this.name} under a different field id " +
-            "— re-using it would resurrect the old column's data via " +
-            "by-name reads; expire that history first or pick a new name")
+      era.fields.find(_.name == name).foreach(f =>
+        check(GraftTable.fieldIdOf(f), s"retained snapshot ${s.snapshotId}"))
+    }
+    // bindings a checkpoint carried across an expiry horizon: the era
+    // commits are gone but their bytes are still readable
+    snaps.foreach { s =>
+      GraftTable.retiredBindings(s).foreach { case (n, id) =>
+        if (n == name)
+          check(id, s"a carried era of checkpoint ${s.snapshotId}")
       }
     }
   }
@@ -1581,12 +1606,19 @@ final class GraftTable private (
     * 100 TB. All recorded stats/blooms carry over (pruning
     * unaffected); O(files) metadata, zero Spark jobs.
     *
-    * Refuses while the visible set contains RENAMED or WIDENED eras
-    * (the checkpoint re-binds every file to the head schema era — a
-    * pre-rename file would then decode by the wrong name; run a real
-    * [[compact]] to normalize first) and while merge-on-read
-    * tombstones are live (re-binding changes delete-era scoping).
-    * Additive evolution is fine: by-name null-fill is era-agnostic. */
+    * EVOLVED tables checkpoint too (since r13 — binpack maintenance
+    * makes compact-free expiry most valuable exactly there): a carried
+    * file whose era is NOT name+type identity with the head schema
+    * (renamed / widened eras) gets a per-file ERA BINDING in the
+    * checkpoint's properties — the era schema stored with field ids
+    * MATERIALIZED through the legacy binding captured now, while the
+    * pre-upgrade history still exists — and reads resolve it
+    * ([[readFilesProjected]]) even after expiry severs every evolve
+    * commit before the horizon. Every (name, id) binding those eras
+    * contain that differs from the head's is recorded as RETIRED, so
+    * name-freshness and id-issuance guards keep refusing re-use while
+    * the bytes remain readable. Still refuses while merge-on-read
+    * tombstones are live (re-binding changes delete-era scoping). */
   def checkpoint(): Snapshot = {
     requireNoEqDeletes("checkpoint")
     val snaps = log.snapshots
@@ -1594,20 +1626,60 @@ final class GraftTable private (
       throw new IllegalStateException(s"table $name has no snapshots"))
     val head = schemaAsOfIn(snaps, None)
     val legacy = GraftTable.legacyNames(snaps)
+    val legacyInv = legacy.map(_.swap) // name -> id at upgrade time
+    val headIdByName = head.fields
+      .map(f => f.name -> GraftTable.fieldIdOf(f)).toMap
+    val ckBySid = snaps.iterator
+      .filter(_.properties.contains(GraftTable.CheckpointKey))
+      .map(s => s.snapshotId -> s).toMap
+    val eraJson = scala.collection.mutable.Map.empty[Long, String]
+    def eraOf(sid: Long): String =
+      eraJson.getOrElseUpdate(sid, schemaAsOfIn(snaps, Some(sid)).json)
     val visible = log.filesWithSnapOf(snaps, Some(base.snapshotId))
-    // era-identity guard: every visible file's era must map to the
-    // head schema by pure name+type identity
-    visible.map(_._2).distinct.foreach { sid =>
-      val era = schemaAsOfIn(snaps, Some(sid))
+    val props = scala.collection.mutable.Map.empty[String, String]
+    val eraIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val retired = scala.collection.mutable.LinkedHashSet.empty[(String, Option[Long])]
+    visible.foreach { case (abs, sid) =>
+      val rel = dir.relativize(Paths.get(abs)).toString
+      // resolve through a PRIOR checkpoint's binding: chained
+      // checkpoints keep re-carrying the original era
+      val json = ckBySid.get(sid)
+        .flatMap(GraftTable.checkpointEraOf(_, rel)).getOrElse(eraOf(sid))
+      val era = DataType.fromJson(json).asInstanceOf[StructType]
       val eraNames = era.fieldNames.toSet
       val identity = GraftTable.eraProjection(era, head, legacy).forall {
         case (Some(src), tgt) =>
           src.name == tgt.name && src.dataType == tgt.dataType
         case (None, tgt) => !eraNames.contains(tgt.name)
       }
-      require(identity,
-        s"checkpoint of $name would re-bind files of schema era " +
-          s"$sid across a rename/widening — compact() first")
+      if (!identity) {
+        // materialize ids so the stored era resolves by id past expiry
+        val tagged = StructType(era.fields.map { f =>
+          if (GraftTable.fieldIdOf(f).nonEmpty) f
+          else legacyInv.get(f.name)
+            .map(GraftTable.withFieldId(f, _)).getOrElse(f)
+        }).json
+        val idx = eraIdx.getOrElseUpdate(tagged, eraIdx.size)
+        props(GraftTable.EraOfPrefix + rel) = idx.toString
+      }
+      // name-freshness memory: every era binding (identity eras too —
+      // a DROPPED column's bytes sit in an identity-era file) that is
+      // not the head's binding of that name
+      era.fields.foreach { f =>
+        val id = GraftTable.fieldIdOf(f)
+        val sameAsHead = headIdByName.get(f.name).exists(hid =>
+          id == hid || (id.isEmpty && hid.exists(h => legacy.get(h).contains(f.name))))
+        if (!sameAsHead) retired += ((f.name, id))
+      }
+    }
+    eraIdx.foreach { case (json, idx) =>
+      props(GraftTable.EraPrefix + idx) = json }
+    // carry PRIOR checkpoints' retired bindings too (their files may
+    // have been rewritten since, but conservatism here only refuses
+    // name reuse, never data)
+    snaps.foreach(s => GraftTable.retiredBindings(s).foreach(retired += _))
+    retired.toSeq.zipWithIndex.foreach { case ((n, id), i) =>
+      props(GraftTable.RetiredPrefix + i) = s"${id.map(_.toString).getOrElse("-")}:$n"
     }
     val statsByFile = snaps.flatMap(_.stats).toMap
     val rel = visible.map { case (abs, _) =>
@@ -1618,7 +1690,8 @@ final class GraftTable private (
     log.commit("compact", rel, base.schemaJson,
       statsByFile.filter { case (f, _) => relSet(f) },
       expectedHead = Some(base.snapshotId),
-      properties = carriedTxnMarkers(snaps))
+      properties = carriedTxnMarkers(snaps) ++ props +
+        (GraftTable.CheckpointKey -> "true"))
   }
 
   /** Expire history: delete manifests with id < `keepFromId` and any
@@ -2234,12 +2307,14 @@ final class GraftTable private (
     val issues = List.newBuilder[String]
     val added = scala.collection.mutable.Map.empty[String, Long]
     snaps.foreach { s =>
+      // only a MARKED metadata checkpoint may re-list already-added
+      // files; a real compact always writes fresh files, so its
+      // double-add is corruption and stays flagged
+      val isCheckpoint = s.operation == "compact" &&
+        s.properties.contains(GraftTable.CheckpointKey)
       s.addedFiles.foreach { f =>
         added.get(f) match {
-          // a `compact` may legitimately RE-LIST already-added files:
-          // the metadata checkpoint re-binds the visible set without
-          // writing data (real compacts always write fresh files)
-          case Some(prev) if s.operation != "compact" => issues +=
+          case Some(prev) if !isCheckpoint => issues +=
             s"file $f added by snapshot ${s.snapshotId} was already added by $prev"
           case _ => added(f) = s.snapshotId
         }
@@ -2380,6 +2455,41 @@ object GraftTable {
     * batchId`) on compact/checkpoint snapshots — see `lastTxnBatch`. */
   val TxnCarryPrefix = "graft.txn.carried."
 
+  /** Property marking a `compact` snapshot as a METADATA CHECKPOINT
+    * ([[GraftTable.checkpoint]]): it re-LISTS already-added files
+    * instead of writing fresh ones, so [[GraftTable.validate]] exempts
+    * only marked compacts from the double-add check (a real compact
+    * re-listing a file is corruption and stays flagged), and reads
+    * consult its per-file era bindings. */
+  val CheckpointKey = "graft.checkpoint"
+  /** `graft.era.<n>` → era schema JSON (field ids materialized) stored
+    * by a checkpoint; `graft.eraof.<relPath>` → n binds a carried file
+    * to its decode era. Only files whose era is NOT name+type identity
+    * with the head schema get entries — identity files decode under
+    * the head schema by name exactly as before. */
+  private[warehouse] val EraPrefix = "graft.era."
+  private[warehouse] val EraOfPrefix = "graft.eraof."
+  /** `graft.retired.<n>` → `<id|->:<name>` — every (column name, field
+    * id) binding a checkpoint's carried files physically contain that
+    * differs from the head schema's binding of that name. This is the
+    * name-freshness memory that survives expiry: [[requireNameFresh]]
+    * and [[maxFieldId]] consult it so a name/id retired before the
+    * horizon cannot be re-issued while its bytes are still readable. */
+  private[warehouse] val RetiredPrefix = "graft.retired."
+
+  /** The era schema JSON a checkpoint recorded for a carried file, if
+    * any (None ⇒ the file decodes under the checkpoint's own schema). */
+  private[warehouse] def checkpointEraOf(s: Snapshot, rel: String): Option[String] =
+    s.properties.get(EraOfPrefix + rel).flatMap(i => s.properties.get(EraPrefix + i))
+
+  /** (name, field id or None) bindings a checkpoint carried forward. */
+  private[warehouse] def retiredBindings(s: Snapshot): Seq[(String, Option[Long])] =
+    s.properties.toSeq.collect { case (k, v) if k.startsWith(RetiredPrefix) =>
+      val i = v.indexOf(':')
+      val idPart = v.substring(0, i)
+      (v.substring(i + 1), if (idPart == "-") None else idPart.toLongOption)
+    }
+
   /** StructField-metadata key of the stable FIELD ID (the Iceberg
     * column-identity contract): rename keeps the id, drop retires it,
     * reads project era files to the current schema by id. Assigned
@@ -2408,11 +2518,14 @@ object GraftTable {
   }
 
   /** Highest field id any retained era ever used (dropped columns'
-    * ids must not be re-issued while their files are readable). */
+    * ids must not be re-issued while their files are readable) —
+    * including ids a checkpoint's carried eras retired across an
+    * expiry horizon. */
   private[warehouse] def maxFieldId(snaps: Seq[Snapshot]): Long =
     snaps.flatMap { s =>
       DataType.fromJson(s.schemaJson).asInstanceOf[StructType]
-        .fields.flatMap(fieldIdOf)
+        .fields.flatMap(fieldIdOf) ++
+        retiredBindings(s).flatMap(_._2)
     }.maxOption.getOrElse(0L)
 
   /** For each `target` field, the ERA field that holds its data (None

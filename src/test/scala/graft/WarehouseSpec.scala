@@ -1544,13 +1544,31 @@ class WarehouseSpec extends AnyFunSuite {
       clusterBy = Seq("id"))
     assert(t.readWhere("id", Some(350L), Some(350L))
       .filter(col("id") === 350L).count() == 1)
-    // rename makes the visible set era-mixed: checkpoint refuses
+    // rename makes the visible set era-mixed: the checkpoint records
+    // per-file ERA BINDINGS (r13) and expiry still severs here — reads
+    // stay era-projected across the horizon with no compact anywhere
     t.renameColumn("v", "label")
     t.append(Seq((500L, "z")).toDF("id", "label"))
-    intercept[IllegalArgumentException] { t.checkpoint() }
-    // a real compact normalizes; checkpoint works again
+    val preEvolved = t.read().orderBy("id").collect().toSeq
+    val ck2 = t.checkpoint()
+    assert(ck2.properties.keys.exists(_.startsWith("graft.eraof.")),
+      "expected per-file era bindings on an era-mixed checkpoint")
+    t.expireSnapshots(ck2.snapshotId)
+    assert(t.log.snapshots.size == 1)
+    assert(t.read().orderBy("id").collect().toSeq == preEvolved,
+      "era-projected read diverged across the checkpoint horizon")
+    assert(t.validate().isEmpty)
+    // the carried RETIRED binding refuses re-using the pre-rename name
+    // even though every evolve commit before the horizon is expired
+    intercept[IllegalArgumentException] {
+      t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    }
+    // a real compact normalizes; the next checkpoint needs no bindings
     t.compact()
-    assert(t.checkpoint().operation == "compact")
+    val ck3 = t.checkpoint()
+    assert(!ck3.properties.keys.exists(_.startsWith("graft.eraof.")))
   }
 
   test("MV min/max: incremental on inserts, group-pruned recompute on extremum deletes") {
