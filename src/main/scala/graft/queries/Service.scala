@@ -208,21 +208,31 @@ object Service {
           client, url, "orders_mm", dstConn, "orders_mm_dst", state)
         require(r1.status == "full_sync", s"expected full_sync, got ${r1.status}")
         val t = srcConn.loadTable("orders_mm")
+        // r13: SOURCE MAINTENANCE inside the replay window — a partial
+        // binpack rewrite (before tombstones exist; it refuses them)
+        // and a full compact (after, materializing them) must both
+        // pass through the op-log replay as ZERO-ROW ops instead of
+        // demoting the tick to changelog/rebuild
+        val appendedA = orders.filter(col("o_orderkey") % 8 === 2)
+        t.append(appendedA)
+        val bp = t.compactSmall(smallBytes = 1L << 30)
         val del1 = orders.filter(col("o_orderkey") % 40 === 0)
           .select("o_orderkey")
         t.deleteKeysMor(del1)
-        val appended = orders.filter(col("o_orderkey") % 4 === 2)
+        val appendedB = orders.filter(col("o_orderkey") % 8 === 6)
           .unionByName(orders.filter(col("o_orderkey") % 40 === 0)
             .withColumn("price", col("price") * 2))
-        t.append(appended)
+        t.append(appendedB)
         val del2 = orders.filter(col("o_orderkey") % 36 === 2)
           .select("o_orderkey")
         t.deleteKeysMor(del2)
+        t.compact(targetFiles = 4)
         val r2 = graft.service.Mirror.performSync(
           client, url, "orders_mm", dstConn, "orders_mm_dst", state)
         val expectedWire =
-          appended.count() + del1.count() + del2.count()
+          appendedA.count() + appendedB.count() + del1.count() + del2.count()
         val witness = r2.status == "incremental_oplog" &&
+          bp.exists(_.operation == "rewrite") &&
           r2.rowsSynced == expectedWire &&
           r2.rowsSynced < srcConn.count("orders_mm")
         dstConn.query("orders_mm_dst")

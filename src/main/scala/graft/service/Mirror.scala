@@ -209,7 +209,15 @@ object Mirror {
     if (ops.head._1 > since + 1)
       throw new OplogNotReplayable(
         s"oplog window ($since, $head] truncated by expiry")
-    val replayable = Set("append", "publish", "eqdelete")
+    // `rewrite` (partial binpack) and `compact` (full relayout or
+    // metadata checkpoint) change NO logical rows — the source's
+    // get_changes skips them, so they pass through the replay as
+    // zero-row ops (since r13): routine source maintenance no longer
+    // demotes a MOR-delete window to changelog/rebuild. A source
+    // compact also MATERIALIZES its live tombstones; the replica's
+    // replayed tombstones simply stay live with identical visibility,
+    // converging at the replica's own next compact.
+    val replayable = Set("append", "publish", "eqdelete", "rewrite", "compact")
     ops.find(o => !replayable(o._2)).foreach { case (id, op, _) =>
       throw new OplogNotReplayable(s"op $op at snapshot $id is not replayable")
     }
