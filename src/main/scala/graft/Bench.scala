@@ -51,18 +51,25 @@ object Bench {
     // relational/pipeline queries next, and the pool-polluting
     // warehouse/service rigs (whose own commit/socket cost dominates
     // their numbers regardless) last.
-    val serviceNames = Set("q100_follower", "q101_wire_roundtrip",
-      "q102_mirror", "q108_mirror_cdf", "q113_mirror_evolve",
-      "q122_mirror_mor", "q135_mirror_rename")
+    // EVERY warehouse/service rig materializes real commit state
+    // (temp tables, sockets, micro-batch sinks) — classified by
+    // MODULE, not by name pattern: r12's name-based list missed the
+    // ~40 warehouse rigs, whose lexicographic position (q1xx < q5x)
+    // ran them mid-block BEFORE the plain pipeline queries and
+    // inflated q53/q61/q68/q77/q87/q96 1.3-1.7x vs their r11 numbers.
+    val pollutingNames =
+      (_root_.graft.queries.Warehouse.queries ++
+        _root_.graft.queries.Service.queries).map(_.name).toSet
     def sensitivity(n: String): Int =
-      // the exactly-once rigs are stream+warehouse HYBRIDS: their
-      // commit machinery pollutes thread pools like the service rigs
-      // (placing them in the clean-JVM streaming block inflated
-      // q94/q97 by ~1.3x), and their own cost is commit-dominated —
-      // run them with the pool-polluting block at the end
-      if (n.contains("exactly_once")) 2
+      // the exactly-once rigs and the table-source rig are
+      // stream+warehouse HYBRIDS: their commit machinery pollutes
+      // thread pools like the service rigs (placing them in the
+      // clean-JVM streaming block inflated q94/q97 by ~1.3x), and
+      // their own cost is commit-dominated — run them with the
+      // pool-polluting block at the end
+      if (n.contains("exactly_once") || n == "q145_table_stream_source") 2
+      else if (pollutingNames.contains(n)) 2
       else if (n.contains("stream")) 0
-      else if (serviceNames.contains(n)) 2
       else 1
     val fns = SparkEntry.queries.toSeq.sortBy(_._1)
       .sortBy { case (n, _) => sensitivity(n) } // stable: name order within groups

@@ -30,9 +30,11 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * `icerunner.py:105-110`). */
   def tables: Seq[String] = {
     if (!Files.isDirectory(root)) return Seq.empty
-    Files.list(root).iterator().asScala
+    val listing = Files.list(root) // close: fd leak otherwise
+    try listing.iterator().asScala
       .filter(p => Files.isDirectory(p.resolve("_snapshots")))
       .map(_.getFileName.toString).toSeq.sorted
+    finally listing.close()
   }
 
   def tableExists(name: String): Boolean =

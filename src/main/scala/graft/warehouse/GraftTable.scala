@@ -233,10 +233,13 @@ final class GraftTable private (
     }
     val commitDir = dir.resolve("data").resolve(s"e${UUID.randomUUID().toString.take(12)}")
     keys.distinct().write.parquet(commitDir.toString)
-    val files = Files.list(commitDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => dir.relativize(p).toString)
-      .toSeq.sorted
+    val listing = Files.list(commitDir) // close: fd leak otherwise
+    val files =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => dir.relativize(p).toString)
+        .toSeq.sorted
+      finally listing.close()
     log.commit("eqdelete", Seq.empty, head.schemaJson,
       deleteFiles = files)
   }
@@ -421,11 +424,15 @@ final class GraftTable private (
 
   private def specVersions: Seq[Long] =
     if (!Files.isDirectory(specsDir)) Nil
-    else Files.list(specsDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.matches("s\\d{16}\\.txt"))
-      .map(n => n.substring(1, 17).toLong)
-      .toSeq.sorted
+    else {
+      val listing = Files.list(specsDir) // close: fd leak otherwise
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("s\\d{16}\\.txt"))
+        .map(n => n.substring(1, 17).toLong)
+        .toSeq.sorted
+      finally listing.close()
+    }
 
   /** All declared spec lines in declaration order: legacy single-file
     * lines (pre-CAS tables) first, then versioned CAS files. */
@@ -1841,11 +1848,13 @@ final class GraftTable private (
   def branches: Seq[String] = {
     val snapRoot = dir.resolve("_snapshots")
     if (!Files.isDirectory(snapRoot)) return Nil
-    Files.list(snapRoot).iterator().asScala
+    val listing = Files.list(snapRoot) // close: fd leak otherwise
+    try listing.iterator().asScala
       .filter(p => Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("branch-"))
       .map(_.getFileName.toString.stripPrefix("branch-"))
       .toSeq.sorted
+    finally listing.close()
   }
 
   /** Fork a branch at the current head. Returns the fork-point (parent)
@@ -1884,10 +1893,13 @@ final class GraftTable private (
     val out = if (clusterBy.isEmpty) df
       else df.repartitionByRange(clusterBy.map(org.apache.spark.sql.functions.col): _*)
     out.write.parquet(commitDir.toString)
-    val files = Files.list(commitDir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => dir.relativize(p).toString)
-      .toSeq.sorted
+    val listing = Files.list(commitDir) // close: fd leak otherwise
+    val files =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => dir.relativize(p).toString)
+        .toSeq.sorted
+      finally listing.close()
     val wanted = (clusterBy ++ statsCols).distinct
     val stats = collectStats(commitDir, wanted)
     new SnapshotLog(dir, Some(b)).commit("append", files, expected.json, stats)
@@ -1972,12 +1984,14 @@ final class GraftTable private (
   def tags: Map[String, Long] = {
     val snapRoot = dir.resolve("_snapshots")
     if (!Files.isDirectory(snapRoot)) return Map.empty
-    Files.list(snapRoot).iterator().asScala
+    val listing = Files.list(snapRoot) // close: fd leak otherwise
+    try listing.iterator().asScala
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.startsWith("tag-"))
       .map(p => p.getFileName.toString.stripPrefix("tag-") ->
         Files.readString(p).trim.toLong)
       .toMap
+    finally listing.close()
   }
 
   /** Read the table as of a tag. */

@@ -285,9 +285,16 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
     * sequence, reusing paths with new content. */
   def snapshots: Seq[Snapshot] = {
     if (!Files.isDirectory(snapDir)) return Seq.empty
-    val paths = Files.list(snapDir).iterator().asScala
-      .filter(p => p.getFileName.toString.matches("v\\d{16}\\.json"))
-      .toSeq.sortBy(_.getFileName.toString)
+    // Files.list holds an open directory fd until CLOSED — no cleaner
+    // reclaims it on GC, and this runs once per table read: an
+    // unclosed stream here exhausts the process fd limit over a long
+    // session (found as "Too many open files" across a full suite run)
+    val listing = Files.list(snapDir)
+    val paths =
+      try listing.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("v\\d{16}\\.json"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
     if (branch.nonEmpty)
       paths.map(p => SnapshotJson.read(Files.readString(p)))
     else paths.map { p =>
@@ -309,11 +316,13 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
     * view reflection skip unchanged tables. */
   def headIdByName: Option[Long] = {
     if (!Files.isDirectory(snapDir)) return None
-    Files.list(snapDir).iterator().asScala
+    val listing = Files.list(snapDir)
+    try listing.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.matches("v\\d{16}\\.json"))
       .map(n => n.substring(1, 17).toLong)
       .maxOption
+    finally listing.close()
   }
 
   /** Data files visible at snapshot `asOf` (or head when None),
