@@ -1132,6 +1132,78 @@ object Warehouse {
       t.read().withColumn("morw_ok", lit(witness)).orderBy("o_orderkey")
     },
 
+    // ---- q147: POSITION merge-on-read deletes ------------------------
+    // q120/q136 grade key-tuple and predicate tombstones; this grades
+    // the third Iceberg-v2 shape: POSITION deletes — the predicate is
+    // evaluated ONCE and the matching (file, row_index) pairs commit
+    // as a sidecar, zero data rewritten. File-scoping is the graded
+    // semantic: positions address exact rows of exact immutable files,
+    // so rows re-appended later stay visible EVEN THOUGH the same
+    // predicate matches them (deleteWhereMor's stored predicate would
+    // need era bookkeeping for this; positions get it by
+    // construction). The witness pins the zero-rewrite commit, that
+    // only the clustered low-half files were NAMED (a position delete
+    // is surgical, not table-wide), the one-row-per-key visibility of
+    // the re-added low-half stratum vs two-rows-per-key in the
+    // untouched high half, and that a CoW deleteWhere ran with the
+    // position tombstone live (folding it into its rewrite) before a
+    // final compact materialized everything bit-identically.
+    Q("q147_pos_delete",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price,
+        |    (SELECT max(o_orderkey) FROM orders) AS maxk
+        |  FROM orders),
+        |vis AS (
+        |  SELECT k, price FROM base WHERE NOT (k % 10 = 1 AND k * 2 <= maxk)
+        |  UNION ALL
+        |  SELECT k, price * 5 AS price FROM base WHERE k % 20 = 1)
+        |SELECT k AS o_orderkey, price, TRUE AS posd_ok
+        |FROM vis WHERE k % 9 <> 4
+        |ORDER BY o_orderkey, price""".stripMargin) { (s, d) =>
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val maxk = orders.agg(max("o_orderkey")).collect()
+        .head.getAs[Number](0).longValue
+      val wh = java.nio.file.Paths.get(Scratch.dir("run"))
+      val t = graft.warehouse.GraftTable.create(s, wh.resolve("orders_pd"),
+        "orders_pd", orders).get
+      t.compact(targetFiles = 8, clusterBy = Seq("o_orderkey"),
+        statsCols = Seq("o_orderkey"))
+      val filesBefore = t.read().inputFiles.length
+      val d1 = t.deletePosMor(col("o_orderkey") % 10 === 1 &&
+        col("o_orderkey") * 2 <= maxk)
+      val named = d1.properties(graft.warehouse.SnapshotLog.PosFilesKey)
+        .split('\n').length
+      t.append(orders.filter(col("o_orderkey") % 20 === 1)
+        .withColumn("price", col("price") * 5))
+      // file-scoping: low-half re-adds are the ONLY visible version of
+      // their key (original rows position-deleted); high-half keys
+      // keep BOTH versions (their files were never named)
+      val lowKeys = orders
+        .filter(col("o_orderkey") % 20 === 1 && col("o_orderkey") * 2 <= maxk)
+        .count()
+      val highKeys = orders
+        .filter(col("o_orderkey") % 20 === 1 && col("o_orderkey") * 2 > maxk)
+        .count()
+      val lowRows = t.read()
+        .filter(col("o_orderkey") % 20 === 1 && col("o_orderkey") * 2 <= maxk)
+        .count()
+      val highRows = t.read()
+        .filter(col("o_orderkey") % 20 === 1 && col("o_orderkey") * 2 > maxk)
+        .count()
+      // CoW delete with the position tombstone LIVE — folded inline
+      t.deleteWhere(col("o_orderkey") % 9 === 4)
+      val stillLive = t.liveEqDeletes().size == 1
+      val pre = t.read().count()
+      t.compact(targetFiles = 4)
+      val witness = d1.addedFiles.isEmpty && d1.deleteFiles.nonEmpty &&
+        named > 0 && named * 2 <= filesBefore &&
+        lowRows == lowKeys && highRows == 2 * highKeys &&
+        stillLive && t.liveEqDeletes().isEmpty && t.read().count() == pre
+      t.read().withColumn("posd_ok", lit(witness))
+        .orderBy("o_orderkey", "price")
+    },
+
     // ---- q146: month/year temporal partition transforms --------------
     // q123 grades bucket-spec evolution; this grades the TEMPORAL
     // transforms r13 added (Iceberg's month/year/hour encodings:

@@ -85,8 +85,15 @@ final class GraftTable private (
     * overwhelmingly common case, including plain additive evolution)
     * take the single vectorized by-name scan exactly as before; only
     * genuinely renamed eras pay a per-era Project + union. */
+  /** @param posTag when set, every scan branch also carries the file's
+    *   `_metadata.row_index` under this column name — the per-row
+    *   position [[deletePosMor]] addresses rows by. Must be selected
+    *   at the scan root (the metadata struct resolves only against a
+    *   file-source relation, not above a union/join). */
   private def readFilesProjected(filesWithSnap: Seq[(String, Long)],
-      snaps: Seq[Snapshot], target: StructType): DataFrame = {
+      snaps: Seq[Snapshot], target: StructType,
+      posTag: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => fcol}
     if (filesWithSnap.isEmpty) return emptyDf(target)
     val eraJson = scala.collection.mutable.Map.empty[Long, String]
     def eraOf(sid: Long): String =
@@ -133,18 +140,24 @@ final class GraftTable private (
       else {
         import org.apache.spark.sql.functions.{col, lit}
         val raw = spark.read.schema(era).parquet(fs.map(_._1): _*)
-        slowParts += raw.select(mapping.map {
+        val cols = mapping.map {
           case (Some(src), tgt) =>
             col(src.name).cast(tgt.dataType).as(tgt.name)
           case (None, tgt) => lit(null).cast(tgt.dataType).as(tgt.name)
-        }: _*)
+        } ++ posTag.map(p => col("_metadata.row_index").as(p)).toSeq
+        slowParts += raw.select(cols: _*)
       }
     }
     val fast = fastFiles.result()
     val parts =
       (if (fast.isEmpty) Nil
-       else Seq(spark.read.schema(target).parquet(fast: _*))) ++
-        slowParts.result()
+       else {
+         val scan = spark.read.schema(target).parquet(fast: _*)
+         Seq(posTag.map(p => scan.select(
+             (target.fieldNames.map(fcol).toSeq :+
+               fcol("_metadata.row_index").as(p)): _*))
+           .getOrElse(scan))
+       }) ++ slowParts.result()
     parts.reduce(_ unionByName _)
   }
 
@@ -169,22 +182,63 @@ final class GraftTable private (
     *   `input_file_name()` above a JOIN of two file sources (the key
     *   sidecar is one); tagging below the join is both legal and
     *   correct (the row's file is its data file, never the sidecar). */
+  /** @param posTag when set, rows also carry their `_metadata.row_index`
+    *   under this name (threaded to the scan roots) — the
+    *   [[deletePosMor]] write probe needs (row, file, position). */
   private def readWithDeletes(filesWithSnap: Seq[(String, Long)],
       deletes: Seq[(Long, Tomb)], sch: StructType,
-      snaps: Seq[Snapshot], tagFile: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.functions.input_file_name
+      snaps: Seq[Snapshot], tagFile: Option[String] = None,
+      posTag: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit}
     def tag(df: DataFrame): DataFrame =
       tagFile.map(c => df.withColumn(c, input_file_name())).getOrElse(df)
-    if (filesWithSnap.isEmpty) return tag(emptyDf(sch))
-    if (deletes.isEmpty)
-      return tag(readFilesProjected(filesWithSnap, snaps, sch))
-    val delSnaps = deletes.map(_._1)
+    if (filesWithSnap.isEmpty) {
+      var df = emptyDf(sch)
+      posTag.foreach(c => df = df.withColumn(c, lit(null).cast("long")))
+      return tag(df)
+    }
+    // POSITION tombstones are FILE-scoped (a position addresses one
+    // immutable, never-reused file), so unlike key/predicate
+    // tombstones they need no delete-era grouping: a file named by any
+    // visible position sidecar reads as its own single-file scan with
+    // the per-row `_metadata.row_index` anti-joined against the
+    // sidecar's positions for that file — tagged BELOW the join (the
+    // PreReadCheck rule, see tagFile note); unnamed files scan plain.
+    val posTombs = deletes.collect { case (_, p: Tomb.Pos) => p }
+    val rowDels = deletes.filterNot(_._2.isInstanceOf[Tomb.Pos])
+    val namedRels: Set[String] = posTombs.flatMap(_.files).toSet
+    lazy val sidecarDf =
+      spark.read.parquet(posTombs.flatMap(_.sidecars): _*)
+    def relOf(abs: String): String =
+      dir.relativize(Paths.get(abs)).toString
+    def readBase(fs: Seq[(String, Long)]): DataFrame = {
+      val (named, plain) = fs.partition { case (a, _) =>
+        namedRels.contains(relOf(a)) }
+      val parts =
+        (if (plain.nonEmpty)
+          Seq(tag(readFilesProjected(plain, snaps, sch, posTag)))
+        else Nil) ++
+        named.map { case (a, sid) =>
+          val pcol = posTag.getOrElse("__pd_pos")
+          val one = tag(readFilesProjected(Seq((a, sid)), snaps, sch, Some(pcol)))
+          val dead = sidecarDf.filter(col("file") === relOf(a))
+            .select(col("pos").cast("long").as(pcol))
+          val cleaned = one.join(dead, Seq(pcol), "left_anti")
+          if (posTag.isEmpty) cleaned.drop(pcol)
+          // restore the caller's column order (the USING join moved
+          // the position column first)
+          else cleaned.select(one.columns.map(col): _*)
+        }
+      parts.reduce(_ unionByName _)
+    }
+    if (rowDels.isEmpty) return readBase(filesWithSnap)
+    val delSnaps = rowDels.map(_._1)
     val groups = filesWithSnap.groupBy { case (_, s) =>
       delSnaps.indexWhere(_ > s) // -1: committed after every delete
     }
     groups.toSeq.sortBy(_._1).map { case (firstDel, fs) =>
-      var df = tag(readFilesProjected(fs, snaps, sch))
-      if (firstDel >= 0) deletes.drop(firstDel).foreach {
+      var df = readBase(fs)
+      if (firstDel >= 0) rowDels.drop(firstDel).foreach {
         case (_, Tomb.Keys(p)) =>
           val kd = spark.read.parquet(p)
           val cond = kd.columns.map(c => df(c) <=> kd(c)).reduce(_ && _)
@@ -195,6 +249,7 @@ final class GraftTable private (
           df = df.filter(!org.apache.spark.sql.functions.coalesce(
             org.apache.spark.sql.functions.expr(sql),
             org.apache.spark.sql.functions.lit(false)))
+        case (_, _: Tomb.Pos) => () // handled file-scoped in readBase
       }
       df
     }.reduce(_ unionByName _)
@@ -283,6 +338,74 @@ final class GraftTable private (
       properties = Map(SnapshotLog.PredDeleteKey -> sql))
   }
 
+  /** POSITION merge-on-read delete (the Iceberg v2 position-delete /
+    * deletion-vector shape — what engines emit for MERGE-produced
+    * deletes without a key column): evaluate `cond` ONCE against the
+    * current visible rows and commit the matching (file, row-position)
+    * pairs as a parquet sidecar — zero data files rewritten, write
+    * cost O(matching rows) + one column-pruned scan. Semantically
+    * STRONGER file-scoping than [[deleteWhereMor]]: positions address
+    * exact rows of exact immutable files, so a LATER append of rows
+    * matching the same predicate is untouched by construction (no era
+    * bookkeeping needed), and the predicate may even be
+    * nondeterministic — it is a one-time selection, not a stored
+    * filter. Reads anti-join only the NAMED files' `_metadata.row_index`
+    * against the sidecar (unnamed files scan plain); [[compact]]/
+    * [[replace]] materialize; same refusal set as the other tombstone
+    * kinds (CoW DML folds them into its rewrites, rollback/branches/
+    * incremental readers/metadata aggregates decline). NOT replayable
+    * over the wire (positions are source-local) — a mirror window
+    * containing one self-heals via changelog/rebuild. Returns the
+    * unchanged head when nothing matches. */
+  def deletePosMor(cond: org.apache.spark.sql.Column): Snapshot = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    val head = log.head.getOrElse(
+      throw new IllegalStateException(s"table $name has no snapshots"))
+    val snaps = log.snapshots
+    val sch = schemaAsOfIn(snaps, Some(head.snapshotId))
+    val matches = readWithDeletes(
+      log.filesWithSnapOf(snaps, Some(head.snapshotId)),
+      log.eqDeletesOf(snaps, Some(head.snapshotId)), sch, snaps,
+      tagFile = Some("__pd_f"), posTag = Some("__pd_pos"))
+      .filter(coalesce(cond, lit(false)))
+      .select(col("__pd_f"), col("__pd_pos"))
+    // distinct file uris: bounded by the AFFECTED file count — the
+    // same driver-side discipline as every DML probe. The uri → rel
+    // mapping happens here (driver, via the proven URI parse), so no
+    // row-side path decoding can ever mis-bind a position.
+    val uris = matches.select("__pd_f").distinct()
+      .collect().map(_.getString(0))
+    if (uris.isEmpty) return head
+    val relByUri = uris.map(u => u ->
+      dir.relativize(Paths.get(java.net.URI.create(u).getPath)).toString).toMap
+    val mapDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(relByUri.toSeq.map {
+        case (u, r) => org.apache.spark.sql.Row(u, r) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__pd_f",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType))))
+    val commitDir = dir.resolve("data")
+      .resolve(s"x${UUID.randomUUID().toString.take(12)}")
+    matches.join(broadcast(mapDf), "__pd_f")
+      .select(col("file"), col("__pd_pos").cast("long").as("pos"))
+      .distinct()
+      .write.parquet(commitDir.toString)
+    val listing = java.nio.file.Files.list(commitDir) // close: fd leak
+    val files =
+      try listing.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => dir.relativize(p).toString)
+        .toSeq.sorted
+      finally listing.close()
+    log.commit("posdelete", Seq.empty, head.schemaJson,
+      deleteFiles = files,
+      properties = Map(SnapshotLog.PosDeleteKey -> "1",
+        SnapshotLog.PosFilesKey ->
+          relByUri.values.toSeq.sorted.mkString("\n")))
+  }
+
   /** Live merge-on-read tombstones at a cut (empty ⇔ reads are
     * pure-file-set; see [[deleteKeysMor]] / [[deleteWhereMor]]). */
   def liveEqDeletes(asOf: Option[Long] = None): Seq[(Long, Tomb)] =
@@ -294,7 +417,8 @@ final class GraftTable private (
     val snap = log.snapshots.find(_.snapshotId == snapshotId).getOrElse(
       throw new HistoryExpiredException(
         s"snapshot $snapshotId of $name expired or never committed"))
-    require(snap.deleteFiles.nonEmpty,
+    require(snap.deleteFiles.nonEmpty &&
+        !snap.properties.contains(SnapshotLog.PosDeleteKey),
       s"snapshot $snapshotId of $name is not an equality delete")
     spark.read.parquet(snap.deleteFiles.map(f => dir.resolve(f).toString): _*)
   }
@@ -2346,6 +2470,11 @@ final class GraftTable private (
       case (sid, Tomb.Keys(abs)) =>
         if (!Files.isRegularFile(Paths.get(abs)))
           issues += s"equality-delete sidecar of snapshot $sid missing on disk: $abs"
+      case (sid, Tomb.Pos(sidecars, _)) =>
+        sidecars.foreach { abs =>
+          if (!Files.isRegularFile(Paths.get(abs)))
+            issues += s"position-delete sidecar of snapshot $sid missing on disk: $abs"
+        }
       case (_, Tomb.Pred(_)) => () // predicate rides in the manifest itself
     }
     issues.result()

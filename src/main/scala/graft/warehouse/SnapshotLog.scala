@@ -208,6 +208,13 @@ object Tomb {
   final case class Keys(absPath: String) extends Tomb
   /** SQL text of a predicate delete ([[GraftTable.deleteWhereMor]]). */
   final case class Pred(sql: String) extends Tomb
+  /** POSITION delete ([[GraftTable.deletePosMor]] — the Iceberg v2
+    * position-delete / deletion-vector shape): parquet sidecars of
+    * (file, pos) rows plus the set of NAMED manifest-relative data
+    * files. File-scoped by construction — a position addresses one
+    * immutable file, so unlike [[Keys]]/[[Pred]] no era grouping is
+    * needed and later appends can never be affected. */
+  final case class Pos(sidecars: Seq[String], files: Set[String]) extends Tomb
 }
 
 /** Append-only snapshot log stored as one JSON manifest per commit under
@@ -234,6 +241,14 @@ object SnapshotLog {
     * SQL text (see [[GraftTable.deleteWhereMor]]): the commit carries
     * no files at all — O(1) write latency at any table size. */
   val PredDeleteKey = "graft.delete.predicate"
+
+  /** Marks a snapshot whose `deleteFiles` are POSITION-delete sidecars
+    * — (file, pos) rows, not key tuples ([[GraftTable.deletePosMor]]). */
+  val PosDeleteKey = "graft.delete.positional"
+  /** Newline-joined manifest-relative paths of the data files a
+    * position delete NAMES — lets readers split named/unnamed files
+    * from the manifest alone, no sidecar scan at planning time. */
+  val PosFilesKey = "graft.delete.posfiles"
 
   /** Per-JVM parse cache for immutable MAIN-log manifests (see
     * [[SnapshotLog.snapshots]] for the immutability argument). Sized
@@ -375,10 +390,17 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
     val baseline = visible.lastIndexWhere(s =>
       s.operation == "compact" || s.operation == "replace")
     visible.drop(math.max(baseline, 0)).flatMap { s =>
-      s.deleteFiles.map(f =>
-        s.snapshotId -> (Tomb.Keys(tableDir.resolve(f).toString): Tomb)) ++
-        s.properties.get(SnapshotLog.PredDeleteKey).map(p =>
-          s.snapshotId -> (Tomb.Pred(p): Tomb))
+      if (s.properties.contains(SnapshotLog.PosDeleteKey))
+        Seq(s.snapshotId -> (Tomb.Pos(
+          s.deleteFiles.map(f => tableDir.resolve(f).toString),
+          s.properties.get(SnapshotLog.PosFilesKey)
+            .map(_.split('\n').filter(_.nonEmpty).toSet)
+            .getOrElse(Set.empty)): Tomb))
+      else
+        s.deleteFiles.map(f =>
+          s.snapshotId -> (Tomb.Keys(tableDir.resolve(f).toString): Tomb)) ++
+          s.properties.get(SnapshotLog.PredDeleteKey).map(p =>
+            s.snapshotId -> (Tomb.Pred(p): Tomb))
     }
   }
 

@@ -1007,6 +1007,45 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.read().select("id").as[Long].collect().sorted.toSeq == pre)
   }
 
+  test("position deletes: one-time selection, file-scoped, DML folds them, compact materializes") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 6L).map(i => (i, i * 10L)).toDF("id", "x"))
+    val t = c.loadTable("t")
+    t.append((7L to 12L).map(i => (i, i * 10L)).toDF("id", "x"))
+    val d = t.deletePosMor($"x" >= 40L && $"x" <= 90L) // kills ids 4..9
+    assert(d.operation == "posdelete" && d.addedFiles.isEmpty &&
+      d.deleteFiles.nonEmpty)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 10L, 11L, 12L))
+    // ONE-TIME selection: re-appending a row the predicate matches
+    // stays visible (positions are file-scoped, not a stored filter)
+    t.append(Seq((4L, 40L)).toDF("id", "x"))
+    assert(t.read().filter($"id" === 4L).count() == 1)
+    // a second position delete composes; both stay live
+    t.deletePosMor($"id" === 11L)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 10L, 12L))
+    assert(t.liveEqDeletes().size == 2)
+    // nothing matches ⇒ no-op, head unchanged
+    val h = t.currentSnapshotId.get
+    assert(t.deletePosMor($"id" === 999L).snapshotId == h)
+    // CoW DML folds position tombstones into its rewrite; a
+    // pos-deleted key upserts back via the insert arm
+    t.upsert(Seq((2L, 200L), (5L, 500L)).toDF("id", "x"), Seq("id"))
+    assert(t.read().orderBy("id").select("id", "x").as[(Long, Long)]
+      .collect().toSeq ==
+      Seq((1L, 10L), (2L, 200L), (3L, 30L), (4L, 40L), (5L, 500L),
+        (10L, 100L), (12L, 120L)))
+    // metadata aggregates decline; compact materializes bit-identically
+    assert(t.metaCount().isEmpty)
+    val pre = t.read().select("id").as[Long].collect().sorted.toSeq
+    t.compact(targetFiles = 2)
+    assert(t.liveEqDeletes().isEmpty)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == pre)
+    assert(t.validate().isEmpty)
+    assert(t.metaCount().contains(pre.size.toLong))
+  }
+
   test("merge-on-read deletes match null keys null-safely and respect multi-column keys") {
     val c = new Connector(spark, freshWarehouse())
     val rows = Seq((Some(1L), "a", 10L), (None, "b", 20L), (Some(3L), "b", 30L))
