@@ -1204,6 +1204,67 @@ object Warehouse {
         .orderBy("o_orderkey", "price")
     },
 
+    // ---- q148: BINPACK under live merge-on-read tombstones -----------
+    // r12's compactSmall refused live tombstones, so a write-heavy
+    // table doing MOR deletes could not run its routine binpack
+    // maintenance without a full-table compact. Since r13 the rewrite
+    // groups small files by TOMBSTONE ERA (the interval between
+    // key/predicate delete commits) and each output records the
+    // inherited era sid, so reads keep scoping re-housed rows by the
+    // sid their sources were committed at: pre-delete rows cannot
+    // escape a delete by being re-packed, and rows appended AFTER a
+    // delete keep their immunity. The rig builds three eras —
+    // originals → keys ≡1 mod 6 MOR-deleted → re-added at 3× →
+    // predicate delete (≡3 mod 8) → post-delete append (≡3 mod 24 at
+    // 7×, keys the predicate WOULD match, kept by era scoping) — and
+    // binpacks everything with both tombstones live. Witness pins the
+    // rewrite snapshot with inherited-sid properties, both tombstones
+    // surviving, the visible count unchanged across the rewrite,
+    // incremental flow-through (changesSince across the binpack
+    // delivers exactly the post-delete append), and a final compact
+    // materializing bit-identically.
+    Q("q148_binpack_tombstones",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+        |  FROM orders),
+        |vis AS (
+        |  SELECT k, price FROM base WHERE k % 6 <> 1 AND k % 8 <> 3
+        |  UNION ALL
+        |  SELECT k, price * 3 AS price FROM base WHERE k % 6 = 1 AND k % 8 <> 3
+        |  UNION ALL
+        |  SELECT k, price * 7 AS price FROM base WHERE k % 24 = 3)
+        |SELECT k AS o_orderkey, price, TRUE AS bpt_ok
+        |FROM vis ORDER BY o_orderkey, price""".stripMargin) { (s, d) =>
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val wh = java.nio.file.Paths.get(Scratch.dir("run"))
+      val t = graft.warehouse.GraftTable.create(s, wh.resolve("orders_bt"),
+        "orders_bt", orders).get
+      t.compact(targetFiles = 8, clusterBy = Seq("o_orderkey"),
+        statsCols = Seq("o_orderkey"))
+      t.deleteKeysMor(
+        orders.filter(col("o_orderkey") % 6 === 1).select("o_orderkey"))
+      t.append(orders.filter(col("o_orderkey") % 6 === 1)
+        .withColumn("price", col("price") * 3))
+      val d2 = t.deleteWhereMor(col("o_orderkey") % 8 === 3)
+      t.append(orders.filter(col("o_orderkey") % 24 === 3)
+        .withColumn("price", col("price") * 7))
+      val k24 = orders.filter(col("o_orderkey") % 24 === 3).count()
+      val preBp = t.read().count()
+      val bp = t.compactSmall(smallBytes = 1L << 30).getOrElse(
+        sys.error("binpack found nothing to pack"))
+      val flowOk = t.changesSince(d2.snapshotId).count() == k24
+      val stillLive = t.liveEqDeletes().size == 2
+      val pre2 = t.read().count()
+      t.compact(targetFiles = 4)
+      val witness = bp.operation == "rewrite" &&
+        bp.properties.keys.exists(_.startsWith("graft.tombsid.")) &&
+        preBp == pre2 && flowOk && stillLive &&
+        t.liveEqDeletes().isEmpty && t.read().count() == pre2
+      t.read().withColumn("bpt_ok", lit(witness))
+        .orderBy("o_orderkey", "price")
+    },
+
     // ---- q146: month/year temporal partition transforms --------------
     // q123 grades bucket-spec evolution; this grades the TEMPORAL
     // transforms r13 added (Iceberg's month/year/hour encodings:

@@ -233,8 +233,15 @@ final class GraftTable private (
     }
     if (rowDels.isEmpty) return readBase(filesWithSnap)
     val delSnaps = rowDels.map(_._1)
-    val groups = filesWithSnap.groupBy { case (_, s) =>
-      delSnaps.indexWhere(_ > s) // -1: committed after every delete
+    // tombstone scoping honors inherited eras: a binpack output's rows
+    // are scoped by the sid its SOURCES were committed at, not the
+    // rewrite's own ([[GraftTable.tombSidOf]])
+    lazy val tombBySid: Map[Long, Snapshot] = snaps.iterator
+      .filter(_.properties.keys.exists(_.startsWith(GraftTable.TombSidPrefix)))
+      .map(s => s.snapshotId -> s).toMap
+    val groups = filesWithSnap.groupBy { case (a, s) =>
+      // -1: committed after every delete
+      delSnaps.indexWhere(_ > GraftTable.tombSidOf(tombBySid, dir, a, s))
     }
     groups.toSeq.sortBy(_._1).map { case (firstDel, fs) =>
       var df = readBase(fs)
@@ -724,7 +731,11 @@ final class GraftTable private (
       ec(new BloomFilterAggregate(ex(xxhash64(col(c))),
         Literal(items), Literal(bits)).toAggregateExpression()).as(s"__bf_$c")
     }
-    val rows = spark.read.parquet(commitDir.toString)
+    // explicit file list, not the directory: a commit dir may nest
+    // non-partition subdirectories (binpack era groups), which break
+    // Spark's directory-based partition inference
+    val rows = spark.read
+      .parquet(parquetFilesIn(commitDir).map(_.toString): _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1142,7 +1153,9 @@ final class GraftTable private (
   private def collectStats(commitDir: Path, cols: Seq[String]): Map[String, FileStat] = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     if (cols.isEmpty) return footerStats(commitDir)
-    val written = spark.read.parquet(commitDir.toString)
+    // explicit files, not the dir — see mergeBlooms' subdirectory note
+    val written = spark.read
+      .parquet(parquetFilesIn(commitDir).map(_.toString): _*)
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) :+
       count(lit(1)).as("__rows")
@@ -1648,13 +1661,26 @@ final class GraftTable private (
     * — no demotion to diff or rebuild, unlike CoW DML rewrites) and
     * time travel before it stays whole. The current partition spec
     * and the inherited stat/bloom columns re-land like every rewrite.
-    * Refuses live merge-on-read tombstones (a rewrite would move rows
-    * across delete-era boundaries); needs ≥ 2 small files to be worth
-    * a commit — returns None otherwise. */
+    *
+    * Runs WITH live merge-on-read tombstones (since r13 — a
+    * write-heavy table binpacks and MOR-deletes constantly, and the
+    * old refusal forced a full-table compact between them): small
+    * files group by their TOMBSTONE ERA (the interval between
+    * key/predicate delete commits) and each group rewrites
+    * separately, its outputs recording the inherited era sid
+    * (`graft.tombsid.*`) so reads keep scoping them by the sid their
+    * SOURCE rows were committed at — pre-delete rows cannot escape a
+    * delete by being re-housed. Key/predicate tombstones are NOT
+    * applied (the flow-through invariant: a rewrite changes no
+    * logical rows, visible or tombstoned); POSITION tombstones
+    * ([[deletePosMor]]) are the exception — they address file
+    * identities that cease to exist, so the rewrite applies them,
+    * which leaves the VISIBLE rows unchanged and their sidecar
+    * entries vacuous. Needs ≥ 2 small files to be worth a commit —
+    * returns None otherwise. */
   def compactSmall(smallBytes: Long, targetBytes: Long = 128L << 20,
       statsCols: Seq[String] = Nil): Option[Snapshot] = {
     require(smallBytes > 0 && targetBytes > 0, "sizes must be positive")
-    requireNoEqDeletes("compactSmall")
     var attempt = 0
     while (true) {
       val base = log.head.getOrElse(
@@ -1669,22 +1695,50 @@ final class GraftTable private (
         (abs, sid, dir.relativize(Paths.get(abs)).toString)
       }.filter { case (abs, _, rel) => sizeOf(abs, rel) < smallBytes }
       if (small.size < 2) return None
-      val totalBytes = small.map { case (abs, _, rel) => sizeOf(abs, rel) }.sum
-      val parts = math.max(1, ((totalBytes + targetBytes - 1) / targetBytes).toInt)
       val sch = schemaAsOfIn(snaps, Some(base.snapshotId))
-      val packed = readFilesProjected(
-        small.map { case (abs, sid, _) => (abs, sid) }, snaps, sch)
-        .repartition(parts)
+      val dels = log.eqDeletesOf(snaps, Some(base.snapshotId))
+      val posDels = dels.filter(_._2.isInstanceOf[Tomb.Pos])
+      val rowDelSnaps = dels.collect {
+        case (s, t) if !t.isInstanceOf[Tomb.Pos] => s }
+      val bySid = snaps.map(s => s.snapshotId -> s).toMap
+      def eff(abs: String, sid: Long): Long =
+        GraftTable.tombSidOf(bySid, dir, abs, sid)
+      // one rewrite group per tombstone era (index -1: after every
+      // live delete); without live key/pred deletes this is ONE group
+      val eraGroups = small
+        .groupBy { case (abs, sid, _) =>
+          rowDelSnaps.indexWhere(_ > eff(abs, sid)) }
+        .toSeq.sortBy(_._1)
       val commitDir = dir.resolve("data")
         .resolve(s"p${UUID.randomUUID().toString.take(12)}")
       val pspec = partitionSpec.filter(f => sch.fieldNames.contains(f.column))
-      if (pspec.isEmpty) packed.write.parquet(commitDir.toString)
-      else {
-        val withP = pspec.foldLeft(packed) { (dd, f) =>
-          dd.withColumn(f.statName, f.expr(sch(f.column).dataType))
+      val tombProps = scala.collection.mutable.Map.empty[String, String]
+      eraGroups.zipWithIndex.foreach { case ((gi, gfiles), idx) =>
+        val gBytes = gfiles.map { case (abs, _, rel) => sizeOf(abs, rel) }.sum
+        val gParts = math.max(1, ((gBytes + targetBytes - 1) / targetBytes).toInt)
+        // position tombstones apply to the rewrite source (visible rows
+        // unchanged); key/pred tombstones deliberately do NOT
+        val packed = readWithDeletes(
+          gfiles.map { case (abs, sid, _) => (abs, sid) },
+          posDels, sch, snaps).repartition(gParts)
+        val sub = commitDir.resolve(f"g$idx%02d")
+        if (pspec.isEmpty) packed.write.parquet(sub.toString)
+        else {
+          val withP = pspec.foldLeft(packed) { (dd, f) =>
+            dd.withColumn(f.statName, f.expr(sch(f.column).dataType))
+          }
+          withP.write.partitionBy(pspec.map(_.statName): _*)
+            .parquet(sub.toString)
         }
-        withP.write.partitionBy(pspec.map(_.statName): _*)
-          .parquet(commitDir.toString)
+        if (gi >= 0) {
+          // the group's rows stay scoped by their sources' era: record
+          // the inherited sid (any member's effective sid — all map to
+          // the same delete-era interval by construction)
+          val repSid = eff(gfiles.head._1, gfiles.head._2)
+          parquetFilesIn(sub).foreach(p =>
+            tombProps(GraftTable.TombSidPrefix +
+              dir.relativize(p).toString) = repSid.toString)
+        }
       }
       val files = parquetFilesIn(commitDir)
         .map(p => dir.relativize(p).toString).toSeq.sorted
@@ -1713,7 +1767,8 @@ final class GraftTable private (
       val stats = mergeBlooms(commitDir, statsP, inheritedBlooms)
       try {
         return Some(log.commit("rewrite", files, base.schemaJson, stats,
-          expectedHead = Some(base.snapshotId), removedFiles = removed))
+          expectedHead = Some(base.snapshotId), removedFiles = removed,
+          properties = tombProps.toMap))
       } catch {
         case e: java.util.ConcurrentModificationException =>
           val walk = Files.walk(commitDir)
@@ -2624,6 +2679,24 @@ object GraftTable {
     * any (None ⇒ the file decodes under the checkpoint's own schema). */
   private[warehouse] def checkpointEraOf(s: Snapshot, rel: String): Option[String] =
     s.properties.get(EraOfPrefix + rel).flatMap(i => s.properties.get(EraPrefix + i))
+
+  /** `graft.tombsid.<relPath>` → snapshot id: the TOMBSTONE-ERA a
+    * binpack output file inherits from its sources
+    * ([[GraftTable.compactSmall]] under live merge-on-read deletes) —
+    * key/predicate tombstones scope "files committed before me", and
+    * a rewrite that re-houses pre-delete rows must not let them escape
+    * that scope. Chains collapse: a recorded value is itself an
+    * EFFECTIVE sid, so resolution is one property lookup. */
+  private[warehouse] val TombSidPrefix = "graft.tombsid."
+
+  /** The snapshot id a file's rows are tombstone-scoped by: its adding
+    * snapshot unless that snapshot recorded an inherited era for it. */
+  private[warehouse] def tombSidOf(bySid: Map[Long, Snapshot],
+      dir: Path, abs: String, sid: Long): Long =
+    bySid.get(sid).flatMap(s =>
+      s.properties.get(TombSidPrefix +
+          dir.relativize(Paths.get(abs)).toString)
+        .flatMap(_.toLongOption)).getOrElse(sid)
 
   /** (name, field id or None) bindings a checkpoint carried forward. */
   private[warehouse] def retiredBindings(s: Snapshot): Seq[(String, Option[Long])] =

@@ -417,8 +417,8 @@ class PropertySpec extends AnyFunSuite {
     // model needn't track file membership — every future delete at step
     // t scopes addStep < t, which old and re-stamped survivors satisfy
     // alike, so the model is insensitive to the re-stamp.
-    (1 to 16).foreach { step =>
-      rnd.nextInt(6) match {
+    (1 to 18).foreach { step =>
+      rnd.nextInt(7) match {
         case 0 | 1 => // append, reusing ids ~half the time (re-inserts)
           val rows = (0 until 8).map { _ =>
             val id = rnd.nextInt(40).toLong
@@ -446,6 +446,10 @@ class PropertySpec extends AnyFunSuite {
           val ks = rows.map(_._1).toSet
           model = model.filterNot { case (i, _, _) => ks.contains(i) }
           model ++= rows.map { case (i, v) => (i, v, step) }
+        case 6 => // binpack with tombstones live: era-grouped rewrite,
+          // NO model change at all — rows keep their inherited
+          // tombstone scoping (addSteps unchanged)
+          t.compactSmall(smallBytes = 1L << 30)
       }
       check(step)
     }

@@ -1007,6 +1007,47 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.read().select("id").as[Long].collect().sorted.toSeq == pre)
   }
 
+  test("binpack under live tombstones: era-grouped rewrite keeps delete scoping") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 6L).map(i => (i, s"a$i")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.deleteKeysMor(Seq(2L, 4L).toDF("id"))
+    // a key re-inserted AFTER its tombstone must stay visible across
+    // the rewrite (its file rewrites in a LATER era group)
+    t.append(Seq((4L, "reborn"), (7L, "b7")).toDF("id", "v"))
+    t.deleteWhereMor($"id" === 7L)
+    t.append(Seq((8L, "c8")).toDF("id", "v"))
+    val pre = t.read().select("id", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(pre.map(_._1) == Seq(1L, 3L, 4L, 5L, 6L, 8L))
+    val bp = t.compactSmall(smallBytes = 1L << 30).get
+    assert(bp.operation == "rewrite")
+    assert(bp.properties.keys.exists(_.startsWith("graft.tombsid.")),
+      "expected inherited tombstone-era sids on the outputs")
+    assert(t.read().select("id", "v").as[(Long, String)].collect().sorted.toSeq
+      == pre, "binpack under tombstones changed visible rows")
+    assert(t.liveEqDeletes().size == 2)
+    // chained binpack: the second rewrite resolves the first's
+    // inherited sids (one-hop) and scoping still holds
+    t.append(Seq((9L, "d9")).toDF("id", "v"))
+    t.compactSmall(smallBytes = 1L << 30).get
+    val withNine = (pre :+ ((9L, "d9"))).sorted
+    assert(t.read().select("id", "v").as[(Long, String)].collect().sorted.toSeq
+      == withNine)
+    // compact materializes identically
+    t.compact(targetFiles = 2)
+    assert(t.liveEqDeletes().isEmpty)
+    assert(t.read().select("id", "v").as[(Long, String)].collect().sorted.toSeq
+      == withNine)
+    // POSITION tombstones: the rewrite APPLIES them (their file
+    // identities cease to exist) — visible rows unchanged, fsck clean
+    t.deletePosMor($"id" === 1L)
+    t.append(Seq((10L, "e10")).toDF("id", "v"))
+    val vis = t.read().select("id").as[Long].collect().sorted.toSeq
+    t.compactSmall(smallBytes = 1L << 30).get
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == vis)
+    assert(t.validate().isEmpty)
+  }
+
   test("position deletes: one-time selection, file-scoped, DML folds them, compact materializes") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", (1L to 6L).map(i => (i, i * 10L)).toDF("id", "x"))
