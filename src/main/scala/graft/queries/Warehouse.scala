@@ -1265,6 +1265,70 @@ object Warehouse {
         .orderBy("o_orderkey", "price")
     },
 
+    // ---- q149: CHECKPOINT carries live tombstones across expiry ------
+    // A table under continuous MOR deletes never has a tombstone-free
+    // moment, so r12's checkpoint (which refused live tombstones) was
+    // unusable exactly where compact-free expiry matters most. Since
+    // r13 the checkpoint CARRIES each live tombstone — components
+    // with their original snapshot ids in properties, sidecars in its
+    // deleteFiles (expiry retains them), and per-file tombstone-era
+    // sids — so reads after the horizon re-materialize and scope them
+    // identically. The rig stacks the round's whole MOR surface: key
+    // delete → re-add at 3× → predicate delete → binpack UNDER both
+    // tombstones → checkpoint carrying them → expire (one-manifest
+    // history, zero compacts) → post-horizon append of keys the
+    // predicate would match (era immunity) → final compact
+    // materializing bit-identically. Witness pins the carried
+    // properties, both tombstones live after expiry, the one-manifest
+    // log, flow-through incremental reads, and clean fsck.
+    Q("q149_checkpoint_tombstones",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+        |  FROM orders),
+        |vis AS (
+        |  SELECT k, price FROM base WHERE k % 6 <> 1 AND k % 8 <> 3
+        |  UNION ALL
+        |  SELECT k, price * 3 AS price FROM base WHERE k % 6 = 1 AND k % 8 <> 3
+        |  UNION ALL
+        |  SELECT k, price * 7 AS price FROM base WHERE k % 24 = 3)
+        |SELECT k AS o_orderkey, price, TRUE AS ckt_ok
+        |FROM vis ORDER BY o_orderkey, price""".stripMargin) { (s, d) =>
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val wh = java.nio.file.Paths.get(Scratch.dir("run"))
+      val t = graft.warehouse.GraftTable.create(s, wh.resolve("orders_ct"),
+        "orders_ct", orders).get
+      t.compact(targetFiles = 8, clusterBy = Seq("o_orderkey"),
+        statsCols = Seq("o_orderkey"))
+      t.deleteKeysMor(
+        orders.filter(col("o_orderkey") % 6 === 1).select("o_orderkey"))
+      t.append(orders.filter(col("o_orderkey") % 6 === 1)
+        .withColumn("price", col("price") * 3))
+      t.deleteWhereMor(col("o_orderkey") % 8 === 3)
+      // binpack with both tombstones live (q148's path), THEN carry
+      t.compactSmall(smallBytes = 1L << 30)
+      val preCk = t.read().count()
+      val ck = t.checkpoint()
+      val carried = ck.properties.keys.exists(_.startsWith("graft.carrydel."))
+      t.expireSnapshots(ck.snapshotId)
+      val oneManifest = t.log.snapshots.size == 1
+      val liveAfter = t.liveEqDeletes().size == 2
+      val horizonOk = t.read().count() == preCk
+      // post-horizon append: keys the carried predicate WOULD match —
+      // era scoping keeps them visible
+      t.append(orders.filter(col("o_orderkey") % 24 === 3)
+        .withColumn("price", col("price") * 7))
+      val k24 = orders.filter(col("o_orderkey") % 24 === 3).count()
+      val flowOk = t.changesSince(ck.snapshotId).count() == k24
+      val pre2 = t.read().count()
+      t.compact(targetFiles = 4)
+      val witness = carried && oneManifest && liveAfter && horizonOk &&
+        flowOk && t.liveEqDeletes().isEmpty && t.read().count() == pre2 &&
+        t.validate().isEmpty
+      t.read().withColumn("ckt_ok", lit(witness))
+        .orderBy("o_orderkey", "price")
+    },
+
     // ---- q146: month/year temporal partition transforms --------------
     // q123 grades bucket-spec evolution; this grades the TEMPORAL
     // transforms r13 added (Iceberg's month/year/hour encodings:

@@ -126,9 +126,10 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     case "files"      => loadTable(name).filesDf()
     case "partitions" => loadTable(name).partitionsDf()
     case "refs"       => loadTable(name).refsDf
+    case "deletes"    => loadTable(name).deletesDf()
     case other => throw new IllegalArgumentException(
       s"unknown metadata table '$other' — use 'snapshots', 'files', " +
-        "'partitions', or 'refs'")
+        "'partitions', 'refs', or 'deletes'")
   }
 
   /** Row count (reference: `count`, `icerunner.py:190-198`): answered

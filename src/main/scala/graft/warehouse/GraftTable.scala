@@ -395,10 +395,10 @@ final class GraftTable private (
           org.apache.spark.sql.types.StringType))))
     val commitDir = dir.resolve("data")
       .resolve(s"x${UUID.randomUUID().toString.take(12)}")
-    matches.join(broadcast(mapDf), "__pd_f")
+    val sidecar = matches.join(broadcast(mapDf), "__pd_f")
       .select(col("file"), col("__pd_pos").cast("long").as("pos"))
       .distinct()
-      .write.parquet(commitDir.toString)
+    sidecar.write.parquet(commitDir.toString)
     val listing = java.nio.file.Files.list(commitDir) // close: fd leak
     val files =
       try listing.iterator().asScala
@@ -406,9 +406,17 @@ final class GraftTable private (
         .map(p => dir.relativize(p).toString)
         .toSeq.sorted
       finally listing.close()
+    // per-file position counts: the metadata-only COUNT stays exact
+    // under pure position tombstones ([[metaCount]]). One bounded
+    // aggregation over the just-written sidecar.
+    val counts = spark.read
+      .parquet(files.map(f => dir.resolve(f).toString): _*)
+      .groupBy("file").count().collect()
+      .map(r => (SnapshotLog.PosCountPrefix + r.getString(0)) ->
+        r.getLong(1).toString).toMap
     log.commit("posdelete", Seq.empty, head.schemaJson,
       deleteFiles = files,
-      properties = Map(SnapshotLog.PosDeleteKey -> "1",
+      properties = counts ++ Map(SnapshotLog.PosDeleteKey -> "1",
         SnapshotLog.PosFilesKey ->
           relByUri.values.toSeq.sorted.mkString("\n")))
   }
@@ -1803,10 +1811,22 @@ final class GraftTable private (
     * commit before the horizon. Every (name, id) binding those eras
     * contain that differs from the head's is recorded as RETIRED, so
     * name-freshness and id-issuance guards keep refusing re-use while
-    * the bytes remain readable. Still refuses while merge-on-read
-    * tombstones are live (re-binding changes delete-era scoping). */
+    * the bytes remain readable.
+    *
+    * LIVE merge-on-read tombstones are CARRIED (since r13 — a table
+    * under continuous MOR deletes never has a tombstone-free moment,
+    * which previously made checkpoints unusable exactly where binpack
+    * maintenance needs them): each live tombstone's components land
+    * in `graft.carrydel.*` properties with their ORIGINAL snapshot
+    * ids, the sidecar files join the checkpoint's `deleteFiles` (so
+    * expiry retains them and fsck keeps checking them), and every
+    * carried data file records its tombstone-era sid
+    * (`graft.tombsid.*`) — reads after the horizon re-materialize the
+    * tombstones and scope them exactly as before it. Incremental
+    * readers flow through (no NEW rows die at a checkpoint); [[diff]]
+    * windows crossing it stay incremental (the delete sets compare
+    * equal across the carry). */
   def checkpoint(): Snapshot = {
-    requireNoEqDeletes("checkpoint")
     val snaps = log.snapshots
     val base = snaps.lastOption.getOrElse(
       throw new IllegalStateException(s"table $name has no snapshots"))
@@ -1867,6 +1887,36 @@ final class GraftTable private (
     retired.toSeq.zipWithIndex.foreach { case ((n, id), i) =>
       props(GraftTable.RetiredPrefix + i) = s"${id.map(_.toString).getOrElse("-")}:$n"
     }
+    // LIVE tombstones carry across the horizon: components with their
+    // original sids, sidecars into deleteFiles, and a tombstone-era
+    // sid for every carried data file (eff resolves prior binpack/
+    // checkpoint inheritance, so chains collapse to one hop)
+    val dels = log.eqDeletesOf(snaps, Some(base.snapshotId))
+    val carrySidecars = Seq.newBuilder[String]
+    var cn = 0
+    def addCarry(v: String): Unit = {
+      props(SnapshotLog.CarryDelPrefix + cn) = v; cn += 1
+    }
+    dels.foreach {
+      case (sid, Tomb.Keys(abs)) =>
+        val r = dir.relativize(Paths.get(abs)).toString
+        addCarry(s"$sid:K:$r"); carrySidecars += r
+      case (sid, Tomb.Pred(sql)) => addCarry(s"$sid:P:$sql")
+      case (sid, Tomb.Pos(sidecars, files)) =>
+        sidecars.foreach { a =>
+          val r = dir.relativize(Paths.get(a)).toString
+          addCarry(s"$sid:O:$r"); carrySidecars += r
+        }
+        files.foreach(f => addCarry(s"$sid:F:$f"))
+    }
+    if (dels.nonEmpty) {
+      val tombBySid = snaps.map(s => s.snapshotId -> s).toMap
+      visible.foreach { case (abs, sid) =>
+        props(GraftTable.TombSidPrefix +
+          dir.relativize(Paths.get(abs)).toString) =
+          GraftTable.tombSidOf(tombBySid, dir, abs, sid).toString
+      }
+    }
     val statsByFile = snaps.flatMap(_.stats).toMap
     val rel = visible.map { case (abs, _) =>
       dir.relativize(Paths.get(abs)).toString }.sorted
@@ -1876,6 +1926,8 @@ final class GraftTable private (
     log.commit("compact", rel, base.schemaJson,
       statsByFile.filter { case (f, _) => relSet(f) },
       expectedHead = Some(base.snapshotId),
+      removedFiles = Nil,
+      deleteFiles = carrySidecars.result().distinct.sorted,
       properties = carriedTxnMarkers(snaps) ++ props +
         (GraftTable.CheckpointKey -> "true"))
   }
@@ -2297,13 +2349,32 @@ final class GraftTable private (
     * row-count recording. */
   def metaCount(asOf: Option[Long] = None): Option[Long] = {
     val snaps = log.snapshots
-    // live tombstones hide an unknown number of rows — fall back
-    if (log.eqDeletesOf(snaps, asOf).nonEmpty) return None
+    val dels = log.eqDeletesOf(snaps, asOf)
+    // key/predicate tombstones hide an UNKNOWN number of rows — fall
+    // back; PURE position tombstones are exact from metadata (each
+    // commit recorded its per-file position counts, positions are
+    // never duplicated across commits, and a named file that was since
+    // rewritten left the visible set with its positions)
+    if (dels.exists(d => !d._2.isInstanceOf[Tomb.Pos])) return None
     val statsByFile = snaps.flatMap(_.stats).toMap
     val visible = log.dataFilesOf(snaps, asOf)
       .map(a => dir.relativize(Paths.get(a)).toString)
     val counts = visible.map(f => statsByFile.get(f).map(_.rows).getOrElse(-1L))
-    if (counts.exists(_ < 0)) None else Some(counts.sum)
+    if (counts.exists(_ < 0)) return None
+    val visibleSet = visible.toSet
+    val bySid = snaps.map(s => s.snapshotId -> s).toMap
+    var deducted = 0L
+    dels.foreach { case (sid, Tomb.Pos(_, named)) =>
+      val snap = bySid.getOrElse(sid, return None)
+      named.intersect(visibleSet).foreach { f =>
+        snap.properties.get(SnapshotLog.PosCountPrefix + f)
+          .flatMap(_.toLongOption) match {
+          case Some(n) => deducted += n
+          case None => return None // pre-count-recording commit
+        }
+      }
+    }
+    Some(counts.sum - deducted)
   }
 
   /** MIN/MAX of a numeric/timestamp column from manifest stats alone —
@@ -2586,6 +2657,34 @@ final class GraftTable private (
     }
     (tagRows ++ branchRows)
       .toDF("name", "type", "snapshot_id", "staged_commits")
+  }
+
+  /** `$deletes` metadata table: every LIVE merge-on-read tombstone at
+    * `asOf` — kind, committing snapshot, payload summary — MANIFEST-
+    * only (no sidecar opened). The "why is this row invisible / what
+    * is blocking my checkpoint" inspection surface next to `$files`:
+    * `equality` rows carry the key-sidecar path, `predicate` rows the
+    * stored SQL, `position` rows the named files and (when recorded)
+    * the total deleted position count. */
+  def deletesDf(asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val snaps = log.snapshots
+    val bySid = snaps.map(s => s.snapshotId -> s).toMap
+    log.eqDeletesOf(snaps, asOf).map {
+      case (sid, Tomb.Keys(p)) =>
+        (sid, "equality", dir.relativize(Paths.get(p)).toString, -1L)
+      case (sid, Tomb.Pred(sql)) => (sid, "predicate", sql, -1L)
+      case (sid, Tomb.Pos(_, files)) =>
+        val counts = bySid.get(sid).map(s => files.toSeq.map(f =>
+          s.properties.get(SnapshotLog.PosCountPrefix + f)
+            .flatMap(_.toLongOption)))
+        val n = counts match {
+          case Some(cs) if cs.nonEmpty && cs.forall(_.nonEmpty) =>
+            cs.flatten.sum
+          case _ => -1L
+        }
+        (sid, "position", files.toSeq.sorted.mkString(","), n)
+    }.toDF("snapshot_id", "kind", "payload", "positions")
   }
 
   /** Iceberg-style `$partitions` metadata table: one row per

@@ -249,6 +249,22 @@ object SnapshotLog {
     * position delete NAMES — lets readers split named/unnamed files
     * from the manifest alone, no sidecar scan at planning time. */
   val PosFilesKey = "graft.delete.posfiles"
+  /** `<prefix><relPath>` → the number of positions the commit deleted
+    * from that file. Positions are file-scoped and never duplicated
+    * across commits (the probe reads delete-applied), so a
+    * metadata-only COUNT stays EXACT under pure position tombstones:
+    * Σ visible file rows − Σ recorded counts of visible named files. */
+  val PosCountPrefix = "graft.delete.poscount."
+
+  /** `<prefix><n>` → `<origSid>:<K|P|O|F>:<payload>` — one LIVE
+    * tombstone component a metadata CHECKPOINT carries across the
+    * expiry horizon (K = key sidecar rel path, P = predicate SQL,
+    * O = position sidecar rel path, F = position-named data file).
+    * [[eqDeletesOf]] re-materializes carried tombstones with their
+    * ORIGINAL snapshot ids, so era scoping (against the checkpoint's
+    * per-file `graft.tombsid.*` records) survives expiring the
+    * eqdelete commits themselves. */
+  val CarryDelPrefix = "graft.carrydel."
 
   /** Per-JVM parse cache for immutable MAIN-log manifests (see
     * [[SnapshotLog.snapshots]] for the immutability argument). Sized
@@ -390,7 +406,30 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
     val baseline = visible.lastIndexWhere(s =>
       s.operation == "compact" || s.operation == "replace")
     visible.drop(math.max(baseline, 0)).flatMap { s =>
-      if (s.properties.contains(SnapshotLog.PosDeleteKey))
+      val carried = s.properties.toSeq.collect {
+        case (k, v) if k.startsWith(SnapshotLog.CarryDelPrefix) => v }
+      if (carried.nonEmpty) {
+        // a carrying CHECKPOINT: re-materialize the tombstones it
+        // carried, under their ORIGINAL snapshot ids (its own
+        // deleteFiles are the carried sidecars — GC retention only)
+        val parsed = carried.map { v =>
+          val i = v.indexOf(':')
+          val j = v.indexOf(':', i + 1)
+          (v.substring(0, i).toLong, v.substring(i + 1, j), v.substring(j + 1))
+        }
+        val keys = parsed.collect { case (sid, "K", rel) =>
+          sid -> (Tomb.Keys(tableDir.resolve(rel).toString): Tomb) }
+        val preds = parsed.collect { case (sid, "P", sql) =>
+          sid -> (Tomb.Pred(sql): Tomb) }
+        val posBySid = parsed.filter(p => p._2 == "O" || p._2 == "F")
+          .groupBy(_._1).toSeq.map { case (sid, es) =>
+            sid -> (Tomb.Pos(
+              es.collect { case (_, "O", rel) =>
+                tableDir.resolve(rel).toString },
+              es.collect { case (_, "F", rel) => rel }.toSet): Tomb)
+          }
+        (keys ++ preds ++ posBySid).sortBy(_._1)
+      } else if (s.properties.contains(SnapshotLog.PosDeleteKey))
         Seq(s.snapshotId -> (Tomb.Pos(
           s.deleteFiles.map(f => tableDir.resolve(f).toString),
           s.properties.get(SnapshotLog.PosFilesKey)
@@ -438,14 +477,20 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
     // `compact` it changes NO logical rows — its added files re-house
     // rows from its removed files — so the incremental read SKIPS it
     // entirely (Iceberg does the same for replace snapshots).
-    window.find(s => (s.removedFiles.nonEmpty && s.operation != "rewrite") ||
-        s.deleteFiles.nonEmpty ||
-        s.properties.contains(SnapshotLog.PredDeleteKey))
-      .foreach { s =>
-        throw new HistoryExpiredException(
-          s"changes since $sinceId unavailable: snapshot ${s.snapshotId} " +
-            s"(${s.operation}) rewrote or deleted rows; full re-sync required")
-      }
+    window.find { s =>
+      // a carrying CHECKPOINT re-lists tombstones that were already
+      // live before the window — it deletes no NEW rows, so the
+      // incremental read flows through it like any compact
+      val carries = s.properties.keys.exists(
+        _.startsWith(SnapshotLog.CarryDelPrefix))
+      (s.removedFiles.nonEmpty && s.operation != "rewrite") ||
+        ((s.deleteFiles.nonEmpty ||
+          s.properties.contains(SnapshotLog.PredDeleteKey)) && !carries)
+    }.foreach { s =>
+      throw new HistoryExpiredException(
+        s"changes since $sinceId unavailable: snapshot ${s.snapshotId} " +
+          s"(${s.operation}) rewrote or deleted rows; full re-sync required")
+    }
     window.filter(s => s.operation != "compact" && s.operation != "rewrite")
       .flatMap(s => s.addedFiles.map(f =>
         tableDir.resolve(f).toString -> s.snapshotId))

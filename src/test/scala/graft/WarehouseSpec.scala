@@ -991,6 +991,8 @@ class WarehouseSpec extends AnyFunSuite {
       s"phantom changes: $ch")
     // tombstones SURVIVE the DML, still applying to untouched files
     assert(t.liveEqDeletes().size == 2)
+    assert(t.deletesDf().select("kind").as[String].collect().sorted.toSeq ==
+      Seq("equality", "predicate"))
     // upserting a TOMBSTONED key re-inserts it (invisible ⇒ insert arm)
     t.upsert(Seq((4L, "reborn")).toDF("id", "v"), Seq("id"))
     assert(t.read().filter($"id" === 4L).select("v").as[String]
@@ -1048,6 +1050,38 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.validate().isEmpty)
   }
 
+  test("checkpoint carries live tombstones across the expiry horizon") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 8L).map(i => (i, s"a$i")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.deleteKeysMor(Seq(2L, 4L).toDF("id"))
+    t.append(Seq((4L, "reborn")).toDF("id", "v")) // era: stays visible
+    t.deleteWhereMor($"v" === "a6")
+    t.deletePosMor($"id" === 8L)
+    val pre = t.read().select("id", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(pre.map(_._1) == Seq(1L, 3L, 4L, 5L, 7L))
+    val ck = t.checkpoint()
+    assert(ck.properties.keys.exists(_.startsWith("graft.carrydel.")),
+      "expected carried tombstones on the checkpoint")
+    assert(ck.deleteFiles.nonEmpty, "carried sidecars must ride deleteFiles")
+    t.expireSnapshots(ck.snapshotId)
+    assert(t.log.snapshots.size == 1)
+    assert(t.read().select("id", "v").as[(Long, String)].collect().sorted.toSeq
+      == pre, "tombstones lost across the horizon")
+    assert(t.liveEqDeletes().size == 3)
+    // era scoping survives the horizon: re-inserting a carried-deleted
+    // key stays visible (the carried tombstone scopes only old files)
+    t.append(Seq((2L, "back")).toDF("id", "v"))
+    assert(t.read().filter($"id" === 2L).select("v").as[String]
+      .collect().toSeq == Seq("back"))
+    // incremental reads flow THROUGH the carrying checkpoint
+    assert(t.changesSince(ck.snapshotId).count() == 1)
+    assert(t.validate().isEmpty)
+    val pre2 = t.read().count()
+    t.compact(targetFiles = 2)
+    assert(t.liveEqDeletes().isEmpty && t.read().count() == pre2)
+  }
+
   test("position deletes: one-time selection, file-scoped, DML folds them, compact materializes") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", (1L to 6L).map(i => (i, i * 10L)).toDF("id", "x"))
@@ -1067,6 +1101,10 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L, 3L, 4L, 10L, 12L))
     assert(t.liveEqDeletes().size == 2)
+    // $deletes inspection: both tombstones with their position counts
+    val dd = t.deletesDf().orderBy("snapshot_id")
+      .select("kind", "positions").as[(String, Long)].collect().toSeq
+    assert(dd == Seq(("position", 6L), ("position", 1L)), s"deletesDf: $dd")
     // nothing matches ⇒ no-op, head unchanged
     val h = t.currentSnapshotId.get
     assert(t.deletePosMor($"id" === 999L).snapshotId == h)
@@ -1077,9 +1115,12 @@ class WarehouseSpec extends AnyFunSuite {
       .collect().toSeq ==
       Seq((1L, 10L), (2L, 200L), (3L, 30L), (4L, 40L), (5L, 500L),
         (10L, 100L), (12L, 120L)))
-    // metadata aggregates decline; compact materializes bit-identically
-    assert(t.metaCount().isEmpty)
+    // metadata-only COUNT stays EXACT under pure position tombstones
+    // (per-file position counts recorded at commit); min/max declines
     val pre = t.read().select("id").as[Long].collect().sorted.toSeq
+    assert(t.metaCount().contains(pre.size.toLong),
+      s"metaCount under pos tombstones: got ${t.metaCount()}")
+    assert(t.metaMinMax("x").isEmpty)
     t.compact(targetFiles = 2)
     assert(t.liveEqDeletes().isEmpty)
     assert(t.read().select("id").as[Long].collect().sorted.toSeq == pre)
