@@ -385,6 +385,27 @@ class PlanSpec extends AnyFunSuite {
     assert(scanCount(t.read()) == 1)
   }
 
+  test("position deletes: unnamed files share one vectorized scan; one anti-join per named file") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-posplan-")
+    val t = graft.warehouse.GraftTable.create(spark, dir, "t",
+      spark.range(0, 100).toDF("id").coalesce(1)).get
+    t.append(spark.range(100, 200).toDF("id").coalesce(1))
+    t.append(spark.range(200, 300).toDF("id").coalesce(1))
+    t.deletePosMor($"id" === 250L) // names the third file ONLY
+    val p = plan(t.read())
+    // exactly: one shared scan for the two unnamed files, one scan for
+    // the named file, one sidecar scan — and ONE anti-join, never one
+    // per table file (100 TB posture: the tombstone tax is O(named))
+    assert(countIn(p, "LeftAnti") == 1,
+      s"expected one anti-join:\n$p")
+    assert(countIn(p, "FileScan parquet") == 3,
+      s"expected unnamed-group + named + sidecar scans:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    assert(t.read().count() == 299)
+  }
+
   test("refs metadata table lists tags and open branches") {
     val spark2 = spark
     import spark2.implicits._

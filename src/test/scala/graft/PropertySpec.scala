@@ -417,8 +417,8 @@ class PropertySpec extends AnyFunSuite {
     // model needn't track file membership — every future delete at step
     // t scopes addStep < t, which old and re-stamped survivors satisfy
     // alike, so the model is insensitive to the re-stamp.
-    (1 to 18).foreach { step =>
-      rnd.nextInt(7) match {
+    (1 to 20).foreach { step =>
+      rnd.nextInt(8) match {
         case 0 | 1 => // append, reusing ids ~half the time (re-inserts)
           val rows = (0 until 8).map { _ =>
             val id = rnd.nextInt(40).toLong
@@ -450,6 +450,11 @@ class PropertySpec extends AnyFunSuite {
           // NO model change at all — rows keep their inherited
           // tombstone scoping (addSteps unchanged)
           t.compactSmall(smallBytes = 1L << 30)
+        case 7 => // checkpoint + expire: live tombstones CARRY across
+          // the horizon with their era scoping — content invariant,
+          // so no model change (future deletes still see addSteps)
+          val ck = t.checkpoint()
+          t.expireSnapshots(ck.snapshotId)
       }
       check(step)
     }
