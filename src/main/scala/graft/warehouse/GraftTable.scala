@@ -277,9 +277,13 @@ final class GraftTable private (
     * survivor selection and the rewritten files fall outside every
     * tombstone's era scope, while untouched files keep their
     * tombstones applying at read — Iceberg's rewrite behavior, no
-    * pre-compact required. Rollback, branch forks, binpack, clone,
-    * checkpoint, and incremental/metadata readers still refuse while
-    * tombstones are live — compact first; [[GraftTable.diff]] stays
+    * pre-compact required. [[compactSmall]] era-groups its rewrite,
+    * [[checkpoint]] CARRIES live tombstones across the expiry
+    * horizon, and [[rollbackTo]] works whenever the delete set is
+    * unchanged between its cuts (all r13). Branch forks, clone,
+    * schema evolution, and incremental/metadata readers still refuse
+    * while tombstones are live — compact first ([[metaCount]] stays
+    * exact under pure POSITION tombstones); [[GraftTable.diff]] stays
     * incremental across appends as long as the visible delete set is
     * unchanged between its cuts. */
   def deleteKeysMor(keys: DataFrame): Snapshot = {
@@ -1985,13 +1989,19 @@ final class GraftTable private (
     // discipline as diff); the CAS on expectedHead still rejects a
     // commit that lands after this read
     val snaps = log.snapshots
-    // a rollback snapshot reconstructs a FILE set; it cannot carry the
-    // target era's tombstone visibility — refuse rather than silently
-    // resurrect (or re-kill) rows
-    require(log.eqDeletesOf(snaps, None).isEmpty &&
-        log.eqDeletesOf(snaps, Some(snapshotId)).isEmpty,
-      s"rollback of $name across merge-on-read deletes unsupported — " +
-        "compact() to materialize them first")
+    // LIVE tombstones allow a rollback exactly when the visible delete
+    // set is UNCHANGED between the target and the head (since r13 —
+    // the bad-batch-while-tombstones-are-live undo no longer costs a
+    // full-table compact): the re-listed files then inherit their
+    // tombstone-era sids below and scope identically. A delete (or a
+    // materializing compact/replace) INSIDE the window changes what
+    // the target's rows should see — refuse rather than silently
+    // resurrect (or re-kill) rows.
+    require(log.eqDeletesOf(snaps, None) ==
+        log.eqDeletesOf(snaps, Some(snapshotId)),
+      s"rollback of $name across a merge-on-read delete boundary " +
+        "unsupported (tombstone visibility differs between the cuts) " +
+        "— compact() to materialize first")
     val head = snaps.lastOption.map(_.snapshotId).getOrElse(
       throw new IllegalStateException(s"table $name has no snapshots"))
     require(snaps.exists(_.snapshotId == snapshotId),
@@ -2009,9 +2019,26 @@ final class GraftTable private (
     // recorded them, so readWhere keeps pruning after the rollback
     val statsByFile = snaps.flatMap(_.stats).toMap
     val targetSchema = schemaAsOfIn(snaps, Some(snapshotId)).json
+    // re-ADDED files inherit their tombstone-era sids (the rollback
+    // commit postdates every live delete — without this, re-listed
+    // pre-delete rows would escape their tombstones' scope)
+    val addedSet = added.toSet
+    val tombProps =
+      if (log.eqDeletesOf(snaps, None).isEmpty) Map.empty[String, String]
+      else {
+        val bySid = snaps.map(s => s.snapshotId -> s).toMap
+        log.filesWithSnapOf(snaps, Some(snapshotId)).collect {
+          case (abs, sid)
+              if addedSet(dir.relativize(Paths.get(abs)).toString) =>
+            (GraftTable.TombSidPrefix +
+              dir.relativize(Paths.get(abs)).toString) ->
+              GraftTable.tombSidOf(bySid, dir, abs, sid).toString
+        }.toMap
+      }
     log.commit("rollback", added, targetSchema,
       statsByFile.filter { case (f, _) => added.contains(f) },
-      expectedHead = Some(head), removedFiles = removed)
+      expectedHead = Some(head), removedFiles = removed,
+      properties = tombProps)
   }
 
   /** Delete data files referenced by NO retained snapshot — the debris

@@ -1050,6 +1050,36 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.validate().isEmpty)
   }
 
+  test("rollback with live tombstones when the delete set is unchanged between the cuts") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 6L).map(i => (i, s"a$i")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.deleteKeysMor(Seq(2L, 4L).toDF("id"))
+    val good = t.currentSnapshotId.get
+    val goodRows = t.read().select("id").as[Long].collect().sorted.toSeq
+    assert(goodRows == Seq(1L, 3L, 5L, 6L))
+    // a bad batch AND a bad upsert land while the tombstones are live
+    t.append(Seq((100L, "bad")).toDF("id", "v"))
+    t.upsert(Seq((1L, "oops")).toDF("id", "v"), Seq("id"))
+    // undo without a compact: the delete set is unchanged between the
+    // cuts, so the rollback re-lists files with inherited era sids
+    t.rollbackTo(good)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == goodRows,
+      "rollback under live tombstones diverged")
+    assert(t.read().filter($"id" === 1L).select("v").as[String].head() == "a1")
+    assert(t.liveEqDeletes().size == 1)
+    // era scoping survives: the re-listed pre-delete rows stay dead,
+    // and a post-rollback re-insert of a deleted key is visible
+    t.append(Seq((2L, "back")).toDF("id", "v"))
+    assert(t.read().filter($"id" === 2L).select("v").as[String]
+      .collect().toSeq == Seq("back"))
+    // a DELETE in the window still refuses (visibility differs)
+    val s2 = t.currentSnapshotId.get
+    t.deleteKeysMor(Seq(3L).toDF("id"))
+    intercept[IllegalArgumentException] { t.rollbackTo(s2) }
+    intercept[IllegalArgumentException] { t.rollbackTo(good) }
+  }
+
   test("checkpoint carries live tombstones across the expiry horizon") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", (1L to 8L).map(i => (i, s"a$i")).toDF("id", "v"))
