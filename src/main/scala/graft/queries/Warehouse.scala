@@ -1001,10 +1001,11 @@ object Warehouse {
       // r13 — q144 grades merge/deleteWhere materializing inline; the
       // non-rewrite ops below still decline)
       val refusals =
-        (try { t.rollbackTo(s1); false }
+        (try { t.rollbackTo(s1); false } // deletes in the window
          catch { case _: IllegalArgumentException => true }) &&
-        (try { t.createBranch("x"); false }
-         catch { case _: IllegalArgumentException => true }) &&
+        (try {
+          t.cloneTo(java.nio.file.Paths.get(Scratch.dir("run")), "x"); false
+        } catch { case _: IllegalArgumentException => true }) &&
         (try { t.changesSince(s1); false }
          catch { case _: graft.warehouse.HistoryExpiredException => true }) &&
         t.metaCount().isEmpty

@@ -2119,7 +2119,6 @@ final class GraftTable private (
     * snapshot id the branch's reads and its publish CAS are pinned to. */
   def createBranch(b: String): Long = {
     requireBranchName(b)
-    requireNoEqDeletes("createBranch")
     val parent = currentSnapshotId.getOrElse(
       throw new IllegalStateException(s"table $name has no snapshots"))
     val bd = branchDir(b)
@@ -2164,7 +2163,12 @@ final class GraftTable private (
   }
 
   /** The audit view: main as of the fork point plus every staged branch
-    * commit — what [[publishBranch]] would make the head. */
+    * commit — what [[publishBranch]] would make the head. LIVE
+    * tombstones at the fork apply (since r13 — WAP staging works on a
+    * MOR-deleted table): fork-cut main files are scoped as usual,
+    * while staged files — recorded at the parent sid, which every
+    * live delete's sid is ≤ — naturally escape scoping, exactly the
+    * sequence semantics a real append after the deletes would get. */
   def readBranch(b: String): DataFrame = {
     val parent = branchParent(b)
     val snaps = log.snapshots
@@ -2182,7 +2186,8 @@ final class GraftTable private (
     }
     val withSnap = files.entrySet().iterator().asScala
       .map(e => dir.resolve(e.getKey).toString -> e.getValue.longValue()).toSeq
-    readFilesProjected(withSnap, snaps, sch)
+    readWithDeletes(withSnap, log.eqDeletesOf(snaps, Some(parent)),
+      sch, snaps)
   }
 
   /** Fast-forward main to the branch in ONE conditional commit: the

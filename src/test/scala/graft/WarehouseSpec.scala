@@ -946,13 +946,29 @@ class WarehouseSpec extends AnyFunSuite {
     t.deleteKeysMor(Seq(4L, 7L).toDF("id"))
     assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 3L, 5L, 8L, 9L, 10L))
-    // guards: rollback, branch forks, incremental + metadata readers
-    // refuse while tombstones are live (CoW DML materializes inline
-    // since r13 — its own test below)
+    // guards: rollback-across-a-delete, clone, incremental + metadata
+    // readers refuse while tombstones are live (CoW DML materializes
+    // inline and WAP branches apply fork-cut tombstones since r13)
     intercept[IllegalArgumentException] { t.rollbackTo(s1) }
-    intercept[IllegalArgumentException] { t.createBranch("b") }
+    intercept[IllegalArgumentException] {
+      t.cloneTo(java.nio.file.Files.createTempDirectory("graft-clx-"), "clx")
+    }
     intercept[graft.warehouse.HistoryExpiredException] { t.changesSince(s1) }
     assert(t.metaCount().isEmpty)
+    // WAP under live tombstones: the branch audit view applies the
+    // fork-cut tombstones; staged rows escape them (sequence
+    // semantics); publish lands atomically as usual
+    val fork = t.createBranch("wapt")
+    t.appendBranch("wapt", Seq((2L, "staged2")).toDF("id", "v"))
+    val bv = t.readBranch("wapt").select("id", "v").as[(Long, String)]
+      .collect().sorted.toSeq
+    assert(bv.map(_._1) == Seq(1L, 2L, 3L, 5L, 8L, 9L, 10L),
+      s"branch view under tombstones: $bv")
+    assert(bv.contains((2L, "staged2")), "staged re-insert must escape scoping")
+    t.publishBranch("wapt")
+    assert(t.read().filter($"id" === 2L).select("v").as[String]
+      .collect().toSeq == Seq("staged2"))
+    assert(fork == s1 + 3)
     // diff stays incremental across appends while the delete set is
     // UNCHANGED between the cuts…
     val sA = t.currentSnapshotId.get
