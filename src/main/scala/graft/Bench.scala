@@ -133,17 +133,37 @@ object Bench {
     // failed queries (sentinel -1) stay visible per-query but must not
     // subtract from the headline total
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // Sidecar with the FULL per-query map: the driver's BENCH_rN.json
-    // snapshot keeps only a 2,000-char tail of stdout, which truncates
-    // a third of the per-query numbers — persist the whole line so
-    // cross-round comparison covers every query. Best-effort: a bench
-    // run must never fail on an unwritable sidecar path.
+    // snapshot keeps only a ~2,000-char tail of stdout, which the full
+    // map outgrew — persist the whole line so cross-round comparison
+    // covers every query. Best-effort: a bench run must never fail on
+    // an unwritable sidecar path.
     try {
       val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "BENCH_FULL.json")
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), line + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecar), fullLine + "\n")
     } catch { case _: Throwable => () }
+    // The STDOUT line must PARSE from that stdout tail: r10–r13's full
+    // per-query map (~4.5 KB at 149 queries) had its head truncated
+    // away, so the driver recorded parsed:null every round. Print a
+    // compact headline instead — the same schema, with `queries`
+    // holding the SLOWEST queries that fit a fixed byte budget (3-dp
+    // values) plus any failures, and a pointer to the sidecar.
+    def fmt(v: Double): String = // Locale.ROOT: a comma decimal mark would break the JSON
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    val budget = 1300 // line stays < ~1.6 KB incl. fixed fields
+    val top = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    results.filter(_._2 >= 0).sortBy(-_._2).foreach { case (k, v) =>
+      val e = s"\"$k\":${fmt(v)}"
+      if (used + e.length + 1 <= budget) { top += e; used += e.length + 1 }
+    }
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+      s""","queries":${top.mkString("{", ",", "}")}""" +
+      s""","queries_n":${results.size},"failed":${failed.mkString("[", ",", "]")}""" +
+      s""","full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    println(line)
     spark.stop()
   }
 }

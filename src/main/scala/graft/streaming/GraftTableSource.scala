@@ -122,8 +122,18 @@ final class GraftTableSource(
     val start = Option(startOffset).map(idOf).getOrElse(0L)
     val headRaw = table.currentSnapshotId.getOrElse(return null)
     val head = availableNowCap.map(math.min(headRaw, _)).getOrElse(headRaw)
+    // the INITIAL batch (fresh checkpoint, start=0) must never clamp
+    // below the first RETAINED snapshot: on a table whose early
+    // history was expired (checkpoint()+expireSnapshots, firstId=F),
+    // read(Some(end<F)) sees an empty visible set — the initial
+    // snapshot would be delivered as ZERO rows and offset `end`
+    // committed, silently skipping (end==F-1) or permanently wedging
+    // (end<F-1) the stream. Floor at F so the first batch is a real
+    // pinned read.
+    val floor =
+      if (startOffset == null) table.firstSnapshotId.getOrElse(0L) else 0L
     val end = maxSnapshotsPerBatch
-      .map(m => math.min(head, start + m)).getOrElse(head)
+      .map(m => math.min(head, math.max(floor, start + m))).getOrElse(head)
     GraftSnapOffset(math.max(end, start))
   }
 

@@ -32,6 +32,12 @@ final class GraftTable private (
 
   def currentSnapshotId: Option[Long] = log.currentSnapshotId
 
+  /** Oldest RETAINED snapshot id — the post-expiry floor below which
+    * reads see an empty visible set (time travel before it is gone).
+    * Streaming sources floor their initial-batch clamp here. */
+  def firstSnapshotId: Option[Long] =
+    log.snapshots.headOption.map(_.snapshotId)
+
   /** Schema visible at a given snapshot (head when None) — time travel
     * across a schema evolution reads with the schema of that era. */
   def schemaAsOf(asOf: Option[Long]): StructType =
@@ -280,8 +286,9 @@ final class GraftTable private (
     * pre-compact required. [[compactSmall]] era-groups its rewrite,
     * [[checkpoint]] CARRIES live tombstones across the expiry
     * horizon, and [[rollbackTo]] works whenever the delete set is
-    * unchanged between its cuts (all r13). Branch forks, clone,
-    * schema evolution, and incremental/metadata readers still refuse
+    * unchanged between its cuts (all r13). Branch forks work live
+    * (WAP over tombstones, also r13); clone, schema evolution, and
+    * incremental/metadata readers still refuse
     * while tombstones are live — compact first ([[metaCount]] stays
     * exact under pure POSITION tombstones); [[GraftTable.diff]] stays
     * incremental across appends as long as the visible delete set is
@@ -367,62 +374,93 @@ final class GraftTable private (
     * incremental readers/metadata aggregates decline). NOT replayable
     * over the wire (positions are source-local) — a mirror window
     * containing one self-heals via changelog/rebuild. Returns the
-    * unchanged head when nothing matches. */
+    * unchanged head when nothing matches.
+    *
+    * CAS-committed against the head the probe read: positions bind to
+    * EXACT files, so a concurrent rewrite (compact/merge/deleteWhere)
+    * landing between probe and commit would make the just-committed
+    * delete silently vacuous — the head race re-probes instead, like
+    * every CoW DML. */
   def deletePosMor(cond: org.apache.spark.sql.Column): Snapshot = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
-    val head = log.head.getOrElse(
-      throw new IllegalStateException(s"table $name has no snapshots"))
-    val snaps = log.snapshots
-    val sch = schemaAsOfIn(snaps, Some(head.snapshotId))
-    val matches = readWithDeletes(
-      log.filesWithSnapOf(snaps, Some(head.snapshotId)),
-      log.eqDeletesOf(snaps, Some(head.snapshotId)), sch, snaps,
-      tagFile = Some("__pd_f"), posTag = Some("__pd_pos"))
-      .filter(coalesce(cond, lit(false)))
-      .select(col("__pd_f"), col("__pd_pos"))
-    // distinct file uris: bounded by the AFFECTED file count — the
-    // same driver-side discipline as every DML probe. The uri → rel
-    // mapping happens here (driver, via the proven URI parse), so no
-    // row-side path decoding can ever mis-bind a position.
-    val uris = matches.select("__pd_f").distinct()
-      .collect().map(_.getString(0))
-    if (uris.isEmpty) return head
-    val relByUri = uris.map(u => u ->
-      dir.relativize(Paths.get(java.net.URI.create(u).getPath)).toString).toMap
-    val mapDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(relByUri.toSeq.map {
-        case (u, r) => org.apache.spark.sql.Row(u, r) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__pd_f",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("file",
-          org.apache.spark.sql.types.StringType))))
-    val commitDir = dir.resolve("data")
-      .resolve(s"x${UUID.randomUUID().toString.take(12)}")
-    val sidecar = matches.join(broadcast(mapDf), "__pd_f")
-      .select(col("file"), col("__pd_pos").cast("long").as("pos"))
-      .distinct()
-    sidecar.write.parquet(commitDir.toString)
-    val listing = java.nio.file.Files.list(commitDir) // close: fd leak
-    val files =
-      try listing.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(p => dir.relativize(p).toString)
-        .toSeq.sorted
-      finally listing.close()
-    // per-file position counts: the metadata-only COUNT stays exact
-    // under pure position tombstones ([[metaCount]]). One bounded
-    // aggregation over the just-written sidecar.
-    val counts = spark.read
-      .parquet(files.map(f => dir.resolve(f).toString): _*)
-      .groupBy("file").count().collect()
-      .map(r => (SnapshotLog.PosCountPrefix + r.getString(0)) ->
-        r.getLong(1).toString).toMap
-    log.commit("posdelete", Seq.empty, head.schemaJson,
-      deleteFiles = files,
-      properties = counts ++ Map(SnapshotLog.PosDeleteKey -> "1",
-        SnapshotLog.PosFilesKey ->
-          relByUri.values.toSeq.sorted.mkString("\n")))
+    var attempt = 0
+    while (true) {
+      val head = log.head.getOrElse(
+        throw new IllegalStateException(s"table $name has no snapshots"))
+      val snaps = log.snapshots
+      val sch = schemaAsOfIn(snaps, Some(head.snapshotId))
+      val matches = readWithDeletes(
+        log.filesWithSnapOf(snaps, Some(head.snapshotId)),
+        log.eqDeletesOf(snaps, Some(head.snapshotId)), sch, snaps,
+        tagFile = Some("__pd_f"), posTag = Some("__pd_pos"))
+        .filter(coalesce(cond, lit(false)))
+        .select(col("__pd_f"), col("__pd_pos"))
+      // ONE evaluation feeds both the uri collect and the sidecar
+      // write: the scaladoc blesses nondeterministic predicates as a
+      // one-time selection, and two scans of an uncached probe could
+      // disagree (rows matching only in the second, in files absent
+      // from the first, would be dropped by the join below) — persist
+      // pins the selection and saves the second full scan.
+      matches.persist()
+      try {
+        // distinct file uris: bounded by the AFFECTED file count — the
+        // same driver-side discipline as every DML probe. The uri → rel
+        // mapping happens here (driver, via the proven URI parse), so no
+        // row-side path decoding can ever mis-bind a position.
+        val uris = matches.select("__pd_f").distinct()
+          .collect().map(_.getString(0))
+        if (uris.isEmpty) return head
+        val relByUri = uris.map(u => u ->
+          dir.relativize(Paths.get(java.net.URI.create(u).getPath)).toString).toMap
+        val mapDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(relByUri.toSeq.map {
+            case (u, r) => org.apache.spark.sql.Row(u, r) }, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__pd_f",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("file",
+              org.apache.spark.sql.types.StringType))))
+        val commitDir = dir.resolve("data")
+          .resolve(s"x${UUID.randomUUID().toString.take(12)}")
+        val sidecar = matches.join(broadcast(mapDf), "__pd_f")
+          .select(col("file"), col("__pd_pos").cast("long").as("pos"))
+          .distinct()
+        sidecar.write.parquet(commitDir.toString)
+        val listing = java.nio.file.Files.list(commitDir) // close: fd leak
+        val files =
+          try listing.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(p => dir.relativize(p).toString)
+            .toSeq.sorted
+          finally listing.close()
+        // per-file position counts: the metadata-only COUNT stays exact
+        // under pure position tombstones ([[metaCount]]). One bounded
+        // aggregation over the just-written sidecar.
+        val counts = spark.read
+          .parquet(files.map(f => dir.resolve(f).toString): _*)
+          .groupBy("file").count().collect()
+          .map(r => (SnapshotLog.PosCountPrefix + r.getString(0)) ->
+            r.getLong(1).toString).toMap
+        try {
+          return log.commit("posdelete", Seq.empty, head.schemaJson,
+            deleteFiles = files,
+            expectedHead = Some(head.snapshotId),
+            properties = counts ++ Map(SnapshotLog.PosDeleteKey -> "1",
+              SnapshotLog.PosFilesKey ->
+                relByUri.values.toSeq.sorted.mkString("\n")))
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            val walk = Files.walk(commitDir)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+            finally walk.close()
+            attempt += 1
+            if (attempt >= 20) throw new IllegalStateException(
+              s"position delete of $name lost $attempt head races; giving up", e)
+        }
+      } finally matches.unpersist()
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Live merge-on-read tombstones at a cut (empty ⇔ reads are
@@ -1249,7 +1287,8 @@ final class GraftTable private (
     * were rewritten — `removedFiles` covers the whole prior set) and
     * [[diff]] resolves it like any rewrite; prior snapshots stay
     * time-travelable until expiry. */
-  def replace(df: DataFrame, statsCols: Seq[String] = Nil): Snapshot = {
+  def replace(df: DataFrame, statsCols: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Snapshot = {
     var attempt = 0
     while (true) {
       val base = log.head.getOrElse(
@@ -1288,7 +1327,8 @@ final class GraftTable private (
         }
       try {
         return log.commit("replace", files, df.schema.json, stats,
-          expectedHead = Some(base.snapshotId), removedFiles = removed)
+          expectedHead = Some(base.snapshotId), removedFiles = removed,
+          properties = properties)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           val walk = Files.walk(commitDir)
@@ -1911,7 +1951,16 @@ final class GraftTable private (
           val r = dir.relativize(Paths.get(a)).toString
           addCarry(s"$sid:O:$r"); carrySidecars += r
         }
-        files.foreach(f => addCarry(s"$sid:F:$f"))
+        files.foreach { f =>
+          addCarry(s"$sid:F:$f")
+          // re-record the commit's per-file position count (sid-scoped:
+          // several carried commits may name the same file) so the
+          // metadata-only COUNT stays exact after the posdelete
+          // snapshot itself expires; posCountOf resolves through a
+          // PRIOR checkpoint's carry, so chains keep the counts too
+          GraftTable.posCountOf(snaps, sid, f).foreach(n =>
+            props(SnapshotLog.PosCarryCountPrefix + s"$sid:$f") = n.toString)
+        }
     }
     if (dels.nonEmpty) {
       val tombBySid = snaps.map(s => s.snapshotId -> s).toMap
@@ -2394,13 +2443,10 @@ final class GraftTable private (
     val counts = visible.map(f => statsByFile.get(f).map(_.rows).getOrElse(-1L))
     if (counts.exists(_ < 0)) return None
     val visibleSet = visible.toSet
-    val bySid = snaps.map(s => s.snapshotId -> s).toMap
     var deducted = 0L
     dels.foreach { case (sid, Tomb.Pos(_, named)) =>
-      val snap = bySid.getOrElse(sid, return None)
       named.intersect(visibleSet).foreach { f =>
-        snap.properties.get(SnapshotLog.PosCountPrefix + f)
-          .flatMap(_.toLongOption) match {
+        GraftTable.posCountOf(snaps, sid, f) match {
           case Some(n) => deducted += n
           case None => return None // pre-count-recording commit
         }
@@ -2701,20 +2747,15 @@ final class GraftTable private (
   def deletesDf(asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val snaps = log.snapshots
-    val bySid = snaps.map(s => s.snapshotId -> s).toMap
     log.eqDeletesOf(snaps, asOf).map {
       case (sid, Tomb.Keys(p)) =>
         (sid, "equality", dir.relativize(Paths.get(p)).toString, -1L)
       case (sid, Tomb.Pred(sql)) => (sid, "predicate", sql, -1L)
       case (sid, Tomb.Pos(_, files)) =>
-        val counts = bySid.get(sid).map(s => files.toSeq.map(f =>
-          s.properties.get(SnapshotLog.PosCountPrefix + f)
-            .flatMap(_.toLongOption)))
-        val n = counts match {
-          case Some(cs) if cs.nonEmpty && cs.forall(_.nonEmpty) =>
-            cs.flatten.sum
-          case _ => -1L
-        }
+        val counts = files.toSeq.map(GraftTable.posCountOf(snaps, sid, _))
+        val n =
+          if (counts.nonEmpty && counts.forall(_.nonEmpty)) counts.flatten.sum
+          else -1L
         (sid, "position", files.toSeq.sorted.mkString(","), n)
     }.toDF("snapshot_id", "kind", "payload", "positions")
   }
@@ -2828,6 +2869,21 @@ object GraftTable {
       s.properties.get(TombSidPrefix +
           dir.relativize(Paths.get(abs)).toString)
         .flatMap(_.toLongOption)).getOrElse(sid)
+
+  /** A position-delete commit's recorded deleted-position count for
+    * one named file — from the committing snapshot itself when
+    * retained, else from the latest CHECKPOINT that re-recorded it
+    * under [[SnapshotLog.PosCarryCountPrefix]] (sid-scoped) while
+    * carrying the tombstone across the expiry horizon. None ⇒
+    * pre-count-recording commit; callers fall back to a scan. */
+  private[warehouse] def posCountOf(snaps: Seq[Snapshot], sid: Long,
+      f: String): Option[Long] =
+    snaps.find(_.snapshotId == sid)
+      .flatMap(_.properties.get(SnapshotLog.PosCountPrefix + f))
+      .orElse(snaps.reverseIterator.flatMap(
+        _.properties.get(SnapshotLog.PosCarryCountPrefix + s"$sid:$f"))
+        .nextOption())
+      .flatMap(_.toLongOption)
 
   /** (name, field id or None) bindings a checkpoint carried forward. */
   private[warehouse] def retiredBindings(s: Snapshot): Seq[(String, Option[Long])] =

@@ -255,6 +255,15 @@ object SnapshotLog {
     * metadata-only COUNT stays EXACT under pure position tombstones:
     * Σ visible file rows − Σ recorded counts of visible named files. */
   val PosCountPrefix = "graft.delete.poscount."
+  /** `<prefix><origSid>:<relPath>` → that commit's deleted-position
+    * count for the file, RE-RECORDED by a metadata checkpoint that
+    * carries the tombstone ([[GraftTable.checkpoint]]): the original
+    * keys live only in the posdelete snapshot's own properties, so
+    * without the carry a checkpoint + expiry would silently degrade
+    * [[GraftTable.metaCount]] from exact to scan-fallback. Sid-scoped
+    * because one checkpoint may carry SEVERAL position commits naming
+    * the same file. */
+  val PosCarryCountPrefix = "graft.delete.poscarry."
 
   /** `<prefix><n>` → `<origSid>:<K|P|O|F>:<payload>` — one LIVE
     * tombstone component a metadata CHECKPOINT carries across the

@@ -506,4 +506,46 @@ class StreamingSpec extends AnyFunSuite {
       _.isInstanceOf[graft.warehouse.HistoryExpiredException]),
       s"expected HistoryExpiredException, got $failed")
   }
+
+  test("table streaming source: initial batch floors at the first retained snapshot") {
+    import spark.implicits._
+    val whDir = Files.createTempDirectory("graft-srcfloor")
+    val t = graft.warehouse.GraftTable.create(spark,
+      whDir.resolve("t"), "t", (1L to 3L).map(i => (i, s"v$i")).toDF("id", "v")).get
+    (4L to 6L).foreach(i => t.append(Seq((i, s"v$i")).toDF("id", "v")))
+    // expire the early history: firstId jumps to the checkpoint's id
+    val ck = t.checkpoint()
+    t.expireSnapshots(ck.snapshotId)
+    assert(t.firstSnapshotId.contains(ck.snapshotId))
+    // fresh checkpoint + maxSnapshotsPerBatch=1: the unfloored clamp
+    // would plan the initial batch at offset min(head, 0+1)=1 — BELOW
+    // the first retained snapshot — delivering the initial snapshot as
+    // ZERO rows and poisoning the stream's checkpoint
+    val ckpt = Files.createTempDirectory("graft-floorckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    def run(): Unit = {
+      val sq = spark.readStream
+        .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+        .option("path", whDir.resolve("t").toString)
+        .option("maxSnapshotsPerBatch", "1")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val ids = b.select("id").as[Long].collect().sorted.toSeq
+          seen.synchronized { seen += ids }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    run()
+    assert(seen.flatten.sorted == (1L to 6L),
+      s"initial snapshot on expired-history table: $seen")
+    // and the stream keeps tailing normally from there
+    t.append(Seq((7L, "v7")).toDF("id", "v"))
+    seen.clear()
+    run()
+    assert(seen.flatten.sorted == Seq(7L), s"delta after floor: $seen")
+  }
 }

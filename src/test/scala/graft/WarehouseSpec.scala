@@ -1174,6 +1174,35 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.metaCount().contains(pre.size.toLong))
   }
 
+  test("metaCount stays exact across checkpoint+expiry under pure position tombstones") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 6L).map(i => (i, i * 10L)).toDF("id", "x"))
+    val t = c.loadTable("t")
+    t.append((7L to 12L).map(i => (i, i * 10L)).toDF("id", "x"))
+    t.deletePosMor($"id" >= 4L && $"id" <= 9L)   // kills 6
+    t.deletePosMor($"id" === 11L)                 // kills 1
+    assert(t.metaCount().contains(5L))
+    // the poscount keys live only on the posdelete snapshots — the
+    // checkpoint must RE-RECORD them (sid-scoped) or expiry silently
+    // degrades the metadata COUNT to scan-fallback
+    val ck = t.checkpoint()
+    t.expireSnapshots(ck.snapshotId)
+    assert(t.log.snapshots.size == 1)
+    assert(t.metaCount().contains(5L),
+      s"metaCount degraded across the horizon: ${t.metaCount()}")
+    // $deletes keeps reporting the carried counts too
+    val dd = t.deletesDf().orderBy("snapshot_id")
+      .select("positions").as[Long].collect().toSeq
+    assert(dd == Seq(6L, 1L), s"deletesDf positions after expiry: $dd")
+    // CHAINED checkpoints re-carry from the prior carry
+    t.append(Seq((13L, 130L)).toDF("id", "x"))
+    val ck2 = t.checkpoint()
+    t.expireSnapshots(ck2.snapshotId)
+    assert(t.metaCount().contains(6L),
+      s"metaCount lost through a checkpoint chain: ${t.metaCount()}")
+    assert(t.read().count() == 6L)
+  }
+
   test("merge-on-read deletes match null keys null-safely and respect multi-column keys") {
     val c = new Connector(spark, freshWarehouse())
     val rows = Seq((Some(1L), "a", 10L), (None, "b", 20L), (Some(3L), "b", 30L))
