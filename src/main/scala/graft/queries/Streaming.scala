@@ -713,6 +713,69 @@ object Streaming {
       s.read.parquet(outDir)
         .withColumn("src_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q150: warehouse table as a Structured Streaming SINK --------
+    // Grades graft.streaming.GraftTableSink — the write-side twin of
+    // q145, closing the first-class readStream/writeStream pair: a
+    // LAKE-TO-LAKE pipeline streams one GraftTable into another with
+    // `.writeStream.format(sink)` and NO foreachBatch wiring. Three
+    // runs share one checkpoint: run 1 lands the initial snapshot
+    // (creating the sink table, txn-marked batch 0); two source
+    // appends later, run 2 must commit EXACTLY one sink snapshot per
+    // source commit (maxSnapshotsPerBatch=1 ⇒ two micro-batches ⇒ two
+    // txn-marked appends — downstream changesSince consumers see each
+    // batch); run 3, idle, must commit NOTHING (not even an empty
+    // snapshot). Then a crash-replay drives the sink body directly
+    // with a stale batchId — the transaction marker must no-op it
+    // BEFORE any write (the at-least-once window the reference's
+    // writer loop leaves open, icerunner.py:848-906). The sink table
+    // hash-matches the plain orders oracle: a duplicated or dropped
+    // batch cannot pass.
+    Q("q150_table_stream_sink",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, TRUE AS sink_ok
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val wh = java.nio.file.Paths.get(Scratch.dir("q150_wh"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val src = graft.warehouse.GraftTable.create(s, wh.resolve("src"),
+        "src", orders.filter(col("o_orderkey") % 3 === 0)).get
+      val ckpt = Scratch.dir("q150_ckpt")
+      val dstDir = wh.resolve("dst")
+      def runStream(): Unit = withShufflePartitions(s, 8) {
+        val sq = s.readStream
+          .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+          .option("path", wh.resolve("src").toString)
+          .option("maxSnapshotsPerBatch", "1")
+          .load()
+          .writeStream
+          .format(classOf[graft.streaming.GraftTableSinkProvider].getName)
+          .option("path", dstDir.toString)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
+      runStream() // initial snapshot creates the sink table
+      src.append(orders.filter(col("o_orderkey") % 3 === 1))
+      src.append(orders.filter(col("o_orderkey") % 3 === 2))
+      runStream() // one sink commit PER source commit
+      val dst = graft.warehouse.GraftTable.load(s, dstDir, "dst").get
+      val snapsAfter2 = dst.log.snapshots.size
+      val headAfter2 = dst.currentSnapshotId.get
+      runStream() // idle: zero commits
+      val idleOk = dst.currentSnapshotId.get == headAfter2
+      // crash-replay a stale batch id straight through the sink body
+      val appId = graft.streaming.EventStreams.txnAppId(ckpt)
+      new graft.streaming.GraftTableSink(dstDir, appId, complete = false)
+        .addBatch(0L, orders.limit(5))
+      val replayOk = dst.currentSnapshotId.get == headAfter2
+      val marked = dst.log.snapshots.forall(
+        _.properties.contains(graft.warehouse.GraftTable.TxnBatchKey))
+      val witness = snapsAfter2 == 3 && idleOk && replayOk && marked
+      dst.read().withColumn("sink_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

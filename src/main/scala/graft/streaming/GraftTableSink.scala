@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{DataFrame, GraftStreamBridge, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.StreamSinkProvider
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.warehouse.GraftTable
+
+/** Structured Streaming SINK over a [[graft.warehouse.GraftTable]] —
+  * the write-side twin of [[GraftTableSourceProvider]], completing the
+  * first-class `readStream`/`writeStream` pair (the reference's write
+  * loop instead re-opens a Flight client per tick and appends
+  * at-least-once, `icerunner.py:848-906`):
+  *
+  * {{{
+  * df.writeStream
+  *   .format(classOf[graft.streaming.GraftTableSinkProvider].getName)
+  *   .option("path", tableDir)           // created on first batch
+  *   .option("checkpointLocation", ckpt)
+  *   .start()
+  * }}}
+  *
+  * Semantics:
+  *  - EXACTLY-ONCE, not at-least-once: every commit carries the
+  *    (appId, batchId) transaction marker — the Delta `txn` contract
+  *    already used by [[EventStreams.ingestBatchExactlyOnce]] — where
+  *    appId derives from the query's checkpoint location (the identity
+  *    a restart resumes under). A crash between commit and checkpoint
+  *    advance replays the batch; the marker makes the replay a no-op.
+  *    Pass option `txnAppId` to override (two queries writing the same
+  *    table from the same checkpoint path — never do that — would
+  *    otherwise share marker streams).
+  *  - `Append` mode appends one snapshot per non-empty micro-batch, so
+  *    downstream `changesSince` (and the table SOURCE) consume each
+  *    batch incrementally. `Complete` mode maps to [[GraftTable.replace]]
+  *    — the whole-result rewrite IS Complete's contract. `Update` is
+  *    refused (no keyed contract in a path-only sink — use
+  *    [[EventStreams.cdcApply]] for keyed upsert application).
+  *  - The table is CREATED on the first non-empty batch when absent;
+  *    later batches append under the table's declared schema rules
+  *    (additive evolution applies between restarts, same as any
+  *    writer).
+  *
+  * Scale: the batch writes through the same clustered/partitioned
+  * append path as every other writer (sort orders, hidden
+  * partitioning, stats/blooms all apply via table configuration —
+  * nothing sink-specific), and the marker probe is O(manifest). */
+final class GraftTableSinkProvider extends StreamSinkProvider {
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    // DataSource lowercases option keys inconsistently across paths —
+    // resolve case-insensitively
+    def opt(k: String): Option[String] =
+      parameters.collectFirst { case (p, v) if p.equalsIgnoreCase(k) => v }
+    val path = opt("path").getOrElse(throw new IllegalArgumentException(
+      "graft streaming sink needs option 'path' = table directory"))
+    require(outputMode != OutputMode.Update(),
+      "graft table sink supports Append and Complete modes; Update has " +
+        "no keyed contract here — use EventStreams.cdcApply")
+    val appId = opt("txnAppId")
+      .orElse(opt("checkpointLocation").map(EventStreams.txnAppId))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft streaming sink needs a checkpointLocation (or txnAppId) " +
+          "to anchor its exactly-once transaction markers"))
+    new GraftTableSink(Paths.get(path), appId,
+      complete = outputMode == OutputMode.Complete())
+  }
+}
+
+final class GraftTableSink(dir: java.nio.file.Path, appId: String,
+    complete: Boolean) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val tableOpt = GraftTable.load(spark, dir, dir.getFileName.toString)
+    // crash-replay probe BEFORE any work: a batchId at-or-below the
+    // table's last committed marker for this app already landed
+    if (tableOpt.exists(_.lastTxnBatch(appId).exists(_ >= batchId))) return
+    // the incoming DataFrame is streaming-flagged; rewrap its executed
+    // rows as a batch DF (the standard V1-sink move) so the table's
+    // plain write path plans it
+    val batch = GraftStreamBridge.batchDf(spark,
+      data.queryExecution.toRdd, data.schema)
+    val props = Map(GraftTable.TxnAppIdKey -> appId,
+      GraftTable.TxnBatchKey -> batchId.toString)
+    tableOpt match {
+      case None =>
+        if (batch.isEmpty) return // nothing to create a schema era from
+        GraftTable.create(spark, dir, dir.getFileName.toString, batch, props)
+        ()
+      case Some(t) =>
+        if (complete) { t.replace(batch, properties = props); () }
+        else if (!batch.isEmpty) { t.append(batch, properties = props); () }
+    }
+  }
+
+  override def toString: String = s"GraftTableSink($dir)"
+}

@@ -16,4 +16,14 @@ object GraftStreamBridge {
       schema: StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rows, schema, isStreaming = true)
+
+  /** The inverse direction, for graft's table SINK
+    * ([[graft.streaming.GraftTableSink]]): a V1 `Sink.addBatch` gets a
+    * streaming-flagged DataFrame it must NOT re-plan through the
+    * streaming path to write it — Spark's own sinks rewrap the
+    * executed rows as a BATCH DataFrame the same way. */
+  def batchDf(spark: SparkSession, rows: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rows, schema, isStreaming = false)
 }

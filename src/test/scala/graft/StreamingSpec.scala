@@ -507,6 +507,70 @@ class StreamingSpec extends AnyFunSuite {
       s"expected HistoryExpiredException, got $failed")
   }
 
+  test("table streaming sink: exactly-once appends, replay no-op, Complete replaces") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-sinkin").toString
+    (1L to 3L).toDF("id").coalesce(1).write.mode("append").parquet(inDir)
+    (4L to 6L).toDF("id").coalesce(1).write.mode("append").parquet(inDir)
+    val outDir = Files.createTempDirectory("graft-sinkout").resolve("t")
+    val ckpt = Files.createTempDirectory("graft-sinkckpt").toString
+    def run(): Unit = {
+      val sq = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+        .writeStream
+        .format(classOf[graft.streaming.GraftTableSinkProvider].getName)
+        .option("path", outDir.toString)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    run()
+    val t = graft.warehouse.GraftTable.load(spark, outDir, "t").get
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == (1L to 6L))
+    // one snapshot per micro-batch (create + append), each txn-marked
+    assert(t.log.snapshots.size == 2)
+    assert(t.log.snapshots.forall(
+      _.properties.contains(graft.warehouse.GraftTable.TxnBatchKey)))
+    val head = t.currentSnapshotId.get
+    // restart, nothing new: NO commit (not even an empty one)
+    run()
+    assert(t.currentSnapshotId.get == head, "idle restart committed")
+    // crash-replay: re-deliver an already-committed batchId directly —
+    // the marker probe must no-op before any write
+    val appId = graft.streaming.EventStreams.txnAppId(ckpt)
+    val sink = new graft.streaming.GraftTableSink(outDir, appId, complete = false)
+    sink.addBatch(1L, (100L to 102L).toDF("id"))
+    assert(t.currentSnapshotId.get == head, "replayed batch re-committed")
+    assert(t.read().count() == 6)
+    // Complete mode: each batch REPLACES — final state is the full agg
+    val aggDir = Files.createTempDirectory("graft-sinkagg").resolve("agg")
+    val aggCkpt = Files.createTempDirectory("graft-sinkaggckpt").toString
+    val sq2 = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .groupBy((col("id") % 2).as("par")).agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .format(classOf[graft.streaming.GraftTableSinkProvider].getName)
+      .option("path", aggDir.toString)
+      .option("checkpointLocation", aggCkpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq2.awaitTermination()
+    val ta = graft.warehouse.GraftTable.load(spark, aggDir, "agg").get
+    assert(ta.read().select("par", "n").as[(Long, Long)].collect().sorted.toSeq
+      == Seq((0L, 3L), (1L, 3L)))
+    assert(ta.log.head.get.operation == "replace")
+  }
+
   test("table streaming source: initial batch floors at the first retained snapshot") {
     import spark.implicits._
     val whDir = Files.createTempDirectory("graft-srcfloor")
