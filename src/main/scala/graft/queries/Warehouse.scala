@@ -1379,6 +1379,75 @@ object Warehouse {
         .orderBy("o_orderkey")
     },
 
+    // ---- q151: predicate-scoped atomic overwrite (replaceWhere) ------
+    // Grades overwriteWhere — the backfill primitive (Delta's
+    // replaceWhere / Iceberg's overwrite-by-filter): "replace these
+    // four months with the recomputed version" as ONE commit, so
+    // readers see the old slice or the new one, never the no-March
+    // gap a deleteWhere+append pair exposes. The rig month-partitions
+    // orders (hidden month(o_orderdate) transform), recomputes
+    // 1996-03..06 keeping only even keys at 2× price, and overwrites
+    // that range. Witness pins: the constraint check (replacement
+    // rows OUTSIDE the region refuse BEFORE any write, zero commits),
+    // single-commit atomicity, partition-aligned file surgery (only
+    // the target months' files removed — removed·3 ≤ total — and
+    // every untouched file survives byte-identical in the visible
+    // set), and incremental readers refusing across the rewrite. The
+    // hash grades the spliced final state against the declarative
+    // oracle.
+    Q("q151_overwrite_where",
+      """WITH vis AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1996-03-01'
+        |     OR o_orderdate >= TIMESTAMP '1996-07-01'
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice * 2, 2)
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-03-01'
+        |    AND o_orderdate < TIMESTAMP '1996-07-01'
+        |    AND o_orderkey % 2 = 0)
+        |SELECT k AS o_orderkey, price, TRUE AS ow_ok
+        |FROM vis ORDER BY o_orderkey, price""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"), col("o_orderdate"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_ow", base.limit(0))
+      val t = conn.loadTable("orders_ow")
+      t.setPartitionSpec(Seq(
+        graft.warehouse.PartitionField("month", "o_orderdate")))
+      t.append(base.coalesce(2))
+      val lo = java.time.LocalDateTime.of(1996, 3, 1, 0, 0)
+      val hi = java.time.LocalDateTime.of(1996, 7, 1, 0, 0)
+      val cond = col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi)
+      val filesBefore = t.read().inputFiles.toSet
+      val snapsBefore = t.log.snapshots.size
+      // constraint: a replacement row OUTSIDE the region refuses early
+      val refused =
+        try {
+          t.overwriteWhere(cond, base.filter(col("o_orderdate") >= lit(hi)).limit(3))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val noPartial = t.log.snapshots.size == snapsBefore
+      val repl = base.filter(cond && col("o_orderkey") % 2 === 0)
+        .withColumn("price", round(col("price") * 2, 2))
+      val ow = t.overwriteWhere(cond, repl)
+      val oneCommit = t.log.snapshots.size == snapsBefore + 1
+      val filesAfter = t.read().inputFiles.toSet
+      val surgical = ow.removedFiles.nonEmpty &&
+        ow.removedFiles.size * 3 <= filesBefore.size &&
+        filesAfter.intersect(filesBefore).size ==
+          filesBefore.size - ow.removedFiles.size
+      val refuses =
+        try { t.changesSince(snapsBefore.toLong).collect(); false }
+        catch { case _: graft.warehouse.HistoryExpiredException => true }
+      val witness = refused && noPartial && ow.operation == "overwrite" &&
+        oneCommit && surgical && refuses && t.validate().isEmpty
+      t.read().select(col("o_orderkey"), col("price"))
+        .withColumn("ow_ok", lit(witness))
+        .orderBy("o_orderkey", "price")
+    },
+
     // ---- q121: snapshot tags — named, expiry-protected time travel ---
     // Grades tagSnapshot/readTag: "the data the March run trained on"
     // stays addressable by NAME, and expiry REFUSES to delete history a

@@ -1197,6 +1197,126 @@ final class GraftTable private (
     throw new IllegalStateException("unreachable")
   }
 
+  /** Predicate-scoped atomic OVERWRITE (Delta's `replaceWhere` /
+    * Iceberg's overwrite-by-filter — the backfill primitive: "replace
+    * March with this recomputed March"): ONE commit removes every row
+    * matching `cond` and inserts `df`, so readers see either the old
+    * slice or the new one, never a gap or a mix. Equivalent to
+    * deleteWhere(cond) + append(df) EXCEPT atomicity — the two-commit
+    * sequence exposes a no-March state between them and lets a
+    * concurrent reader's changesSince straddle the hole.
+    *
+    * Every incoming row must satisfy `cond` (validated before any
+    * write, like Delta): an overwrite that smuggles rows OUTSIDE the
+    * replaced region would silently duplicate data the predicate did
+    * not remove. `cond` must be deterministic (it is evaluated against
+    * both the table and `df`). File-level plan: stats-pruned probe
+    * finds affected files, survivors (cond-false rows of those files)
+    * are rewritten era-projected, `df` lands as fresh files — files
+    * with no matching rows are NOT touched, so a partition-aligned
+    * overwrite rewrites nothing but the target slice. Live tombstones
+    * fold into the rewrite like every CoW DML; the new rows commit
+    * after them and are immune by sequence. CAS + re-probe on head
+    * races. Incremental readers treat the commit as a rewrite
+    * (changesSince refuses across it — rows were replaced). */
+  def overwriteWhere(cond: org.apache.spark.sql.Column,
+      df: DataFrame): Snapshot = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val sch0 = schema
+    require(compatible(sch0, df.schema),
+      s"overwrite schema mismatch for $name:\n expected $sch0\n got ${df.schema}")
+    // determinism gate, same rationale as deleteWhereMor
+    val analyzed = emptyDf(sch0).filter(cond).queryExecution.analyzed
+    analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        require(f.condition.deterministic,
+          s"overwriteWhere on $name requires a deterministic predicate")
+    }
+    // replaceWhere constraint: every incoming row must be INSIDE the
+    // replaced region — checked before any file is written
+    require(df.filter(!coalesce(cond, lit(false))).isEmpty,
+      s"overwriteWhere on $name: incoming rows violate the predicate " +
+        "(every replacement row must satisfy the overwrite condition)")
+    var attempt = 0
+    while (true) {
+      val head = log.head.getOrElse(
+        throw new IllegalStateException(s"table $name has no snapshots"))
+      val sch = schemaAsOf(Some(head.snapshotId))
+      val affected = readTagged(Some(head.snapshotId), "__f")
+        .filter(cond)
+        .select("__f").distinct()
+        .collect().map(_.getString(0))
+        .map(f => dir.relativize(Paths.get(java.net.URI.create(f).getPath)).toString)
+        .toSeq.sorted
+      val commitDir = dir.resolve("data").resolve(s"w${UUID.randomUUID().toString.take(12)}")
+      val snapsNow = log.snapshots
+      val pspec = partitionSpec.filter(f => sch.fieldNames.contains(f.column))
+      def land(rows: DataFrame, sub: String): Unit = {
+        val out = commitDir.resolve(sub)
+        if (pspec.isEmpty) rows.write.parquet(out.toString)
+        else {
+          val withP = pspec.foldLeft(rows) { (dd, f) =>
+            dd.withColumn(f.statName, f.expr(sch(f.column).dataType))
+          }
+          withP.write.partitionBy(pspec.map(_.statName): _*)
+            .parquet(out.toString)
+        }
+      }
+      if (affected.nonEmpty) {
+        val sidByRel = log.filesWithSnapOf(snapsNow, Some(head.snapshotId))
+          .map { case (abs, sid) =>
+            dir.relativize(Paths.get(abs)).toString -> sid }.toMap
+        val survivors = readWithDeletes(
+          affected.map(f => dir.resolve(f).toString ->
+            sidByRel.getOrElse(f, head.snapshotId)),
+          log.eqDeletesOf(snapsNow, Some(head.snapshotId)), sch, snapsNow)
+          .filter(!coalesce(cond, lit(false)))
+        land(survivors, "keep")
+      }
+      land(df, "new")
+      val files = parquetFilesIn(commitDir)
+        .map(p => dir.relativize(p).toString)
+        .toSeq.sorted
+      // survivors + new rows inherit the affected files' stat/bloom
+      // columns, same as deleteWhere/merge — pruning must not degrade
+      val prevStats = snapsNow.flatMap(_.stats).toMap
+      val inherited = affected.flatMap(f => prevStats.get(f).toSeq.flatMap(st =>
+        st.numMin.keySet ++ st.strMin.keySet))
+        .distinct.filter(sch.fieldNames.contains)
+      val inheritedBlooms = affected.flatMap(f =>
+        prevStats.get(f).toSeq.flatMap(_.blooms.keySet))
+        .distinct.filter(sch.fieldNames.contains)
+      val stats0 = collectStats(commitDir, inherited)
+      val statsP =
+        if (pspec.isEmpty) stats0
+        else {
+          val hist = partitionSpecHistory
+          val dtOf = (c: String) => sch.fields.find(_.name == c).map(_.dataType)
+          stats0.map { case (rel, st) =>
+            val (nm, sm) = Partitioning.pathStatEntries(rel, hist, dtOf)
+            rel -> st.copy(
+              numMin = st.numMin ++ nm, numMax = st.numMax ++ nm,
+              strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
+          }
+        }
+      val stats = mergeBlooms(commitDir, statsP, inheritedBlooms)
+      try {
+        return log.commit("overwrite", files, head.schemaJson, stats,
+          expectedHead = Some(head.snapshotId), removedFiles = affected)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          val walk = Files.walk(commitDir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          finally walk.close()
+          attempt += 1
+          if (attempt >= 20) throw new IllegalStateException(
+            s"overwrite of $name lost $attempt head races; giving up", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Per-file min/max for `cols`, keyed by manifest-relative path. One
     * aggregate over the just-written files (columnar scan of only the
     * stat columns). */

@@ -1174,6 +1174,46 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.metaCount().contains(pre.size.toLong))
   }
 
+  test("overwriteWhere: atomic predicate-scoped replace, untouched files kept, violations refused") {
+    val c = new Connector(spark, freshWarehouse())
+    val rows = (1L to 90L).map(i => (i, (i - 1) / 30 + 1, i * 10L)) // months 1..3
+    c.createTable("t", rows.toDF("id", "m", "v"))
+    val t = c.loadTable("t")
+    // cluster by month so the overwrite probe prunes to the target slice
+    t.compact(targetFiles = 3, clusterBy = Seq("m"), statsCols = Seq("m"))
+    val filesBefore = t.read().inputFiles.toSet
+    val snapsBefore = t.log.snapshots.size
+    // replacement rows OUTSIDE the region must refuse BEFORE any write
+    intercept[IllegalArgumentException] {
+      t.overwriteWhere($"m" === 2L, Seq((999L, 4L, 0L)).toDF("id", "m", "v"))
+    }
+    assert(t.log.snapshots.size == snapsBefore, "failed overwrite committed")
+    // the backfill: recompute month 2 with half the rows at 7× value
+    val repl = (31L to 45L).map(i => (i, 2L, i * 70L)).toDF("id", "m", "v")
+    val ow = t.overwriteWhere($"m" === 2L, repl)
+    assert(ow.operation == "overwrite")
+    assert(t.log.snapshots.size == snapsBefore + 1, "overwrite must be ONE commit")
+    val expect = rows.filter(_._2 != 2L) ++ (31L to 45L).map(i => (i, 2L, i * 70L))
+    assert(t.read().select("id", "m", "v").as[(Long, Long, Long)]
+      .collect().sorted.toSeq == expect.sorted)
+    // file-level surgery: month-1/3 files were never rewritten —
+    // exactly the removed count disappears from the visible set
+    val filesAfter = t.read().inputFiles.toSet
+    assert(filesAfter.intersect(filesBefore).size ==
+      filesBefore.size - ow.removedFiles.size,
+      "untouched files must survive the overwrite")
+    assert(ow.removedFiles.nonEmpty && ow.removedFiles.size < filesBefore.size,
+      "a partition-aligned overwrite must not rewrite the whole table")
+    // rows were REPLACED: incremental readers refuse across it
+    intercept[graft.warehouse.HistoryExpiredException] {
+      t.changesSince(snapsBefore.toLong).collect()
+    }
+    // nothing matches ⇒ the new rows still land (region was empty)
+    t.overwriteWhere($"m" === 9L, Seq((1000L, 9L, 1L)).toDF("id", "m", "v"))
+    assert(t.read().filter($"m" === 9L).count() == 1)
+    assert(t.validate().isEmpty)
+  }
+
   test("metaCount stays exact across checkpoint+expiry under pure position tombstones") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", (1L to 6L).map(i => (i, i * 10L)).toDF("id", "x"))
