@@ -1448,6 +1448,76 @@ object Warehouse {
         .orderBy("o_orderkey", "price")
     },
 
+    // ---- q152: position-tombstone compaction (delete-file rewrite) ---
+    // Grades compactDeletes — Iceberg's rewrite_position_delete_files:
+    // a table under continuous O(1) position deletes accrues one
+    // sidecar per commit and every read anti-joins ALL of them; the
+    // rewrite merges the live position tombstones into ONE sidecar and
+    // prunes DANGLING entries (positions naming files a CoW rewrite
+    // already consumed) — zero data files read or written, so the
+    // merge-on-read read path stays flat without paying a full
+    // compact. The rig stacks three position deletes, dangles some of
+    // their entries with a CoW deleteWhere, rewrites, and appends
+    // post-rewrite. Witness pins: 3 live tombstones → 1, a single
+    // merged sidecar, zero data-file churn in the rewrite commit,
+    // every surviving named file still visible (dangling pruned), the
+    // metadata-only COUNT exact off the fresh counts, and incremental
+    // readers flowing THROUGH the rewrite (it deletes no new rows —
+    // the post-rewrite append is the only delta). Hash grades the
+    // final visible state.
+    Q("q152_compact_deletes",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price,
+        |    (SELECT max(o_orderkey) FROM orders) AS maxk
+        |  FROM orders),
+        |vis AS (
+        |  SELECT k, price FROM base
+        |  WHERE k % 10 NOT IN (1, 5, 8) AND k * 4 > maxk
+        |  UNION ALL
+        |  SELECT k, round(price * 9, 2) AS price FROM base WHERE k % 100 = 1)
+        |SELECT k AS o_orderkey, price, TRUE AS cd_ok
+        |FROM vis ORDER BY o_orderkey, price""".stripMargin) { (s, d) =>
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val maxk = orders.agg(max("o_orderkey")).collect()
+        .head.getAs[Number](0).longValue
+      val wh = java.nio.file.Paths.get(Scratch.dir("run"))
+      val t = graft.warehouse.GraftTable.create(s, wh.resolve("orders_cd"),
+        "orders_cd", orders).get
+      t.compact(targetFiles = 8, clusterBy = Seq("o_orderkey"),
+        statsCols = Seq("o_orderkey"))
+      t.deletePosMor(col("o_orderkey") % 10 === 1)
+      t.deletePosMor(col("o_orderkey") % 10 === 5)
+      t.deletePosMor(col("o_orderkey") % 10 === 8)
+      val before = t.liveEqDeletes().size
+      // RANGE-scoped CoW delete (the table is range-clustered): only
+      // the low-quarter files rewrite, so exactly THEIR tombstone
+      // entries dangle while the high-range entries must survive
+      t.deleteWhere(col("o_orderkey") * 4 <= maxk)
+      val expectRows = t.read().count()
+      val rw = t.compactDeletes().getOrElse(
+        sys.error("compactDeletes found nothing live"))
+      val merged = t.liveEqDeletes().size == 1 &&
+        rw.deleteFiles.size == 1 && before == 3
+      val noChurn = rw.addedFiles.isEmpty && rw.removedFiles.isEmpty
+      val visible = t.read().inputFiles.map(u => wh.resolve("orders_cd")
+        .relativize(java.nio.file.Paths.get(java.net.URI.create(u).getPath))
+        .toString).toSet
+      val pruned = rw.properties(graft.warehouse.SnapshotLog.PosFilesKey)
+        .split('\n').toSet.subsetOf(visible)
+      val metaOk = t.metaCount().contains(expectRows) &&
+        t.read().count() == expectRows
+      // post-rewrite append: the ONLY delta an incremental reader sees
+      t.append(orders.filter(col("o_orderkey") % 100 === 1)
+        .withColumn("price", round(col("price") * 9, 2)))
+      val k100 = orders.filter(col("o_orderkey") % 100 === 1).count()
+      val flowOk = t.changesSince(rw.snapshotId - 1).count() == k100
+      val witness = merged && noChurn && pruned && metaOk && flowOk &&
+        t.validate().isEmpty
+      t.read().withColumn("cd_ok", lit(witness))
+        .orderBy("o_orderkey", "price")
+    },
+
     // ---- q121: snapshot tags — named, expiry-protected time travel ---
     // Grades tagSnapshot/readTag: "the data the March run trained on"
     // stays addressable by NAME, and expiry REFUSES to delete history a

@@ -2105,6 +2105,90 @@ final class GraftTable private (
         (GraftTable.CheckpointKey -> "true"))
   }
 
+  /** POSITION-TOMBSTONE compaction (Iceberg's
+    * `rewrite_position_delete_files`): merge every LIVE position
+    * tombstone's sidecars into one consolidated commit and PRUNE
+    * DANGLING entries — positions naming files that have since left
+    * the visible set (a CoW rewrite folded them in; the stale entries
+    * cost an anti-join probe per read for nothing). A table under
+    * continuous O(1) position deletes accrues one sidecar per commit;
+    * each read anti-joins every one of them, so maintenance here is
+    * what keeps the merge-on-read read path flat — WITHOUT the full
+    * data rewrite a [[compact]] costs (zero data files read or
+    * written; cost is O(tombstone rows)).
+    *
+    * The rewrite snapshot carries [[SnapshotLog.PosRewriteKey]]:
+    * [[SnapshotLog.eqDeletesOf]] drops every earlier position
+    * tombstone at it (key/predicate tombstones are untouched — their
+    * era scoping forbids cross-sid merging), and incremental readers
+    * flow THROUGH it like a carrying checkpoint (it deletes no new
+    * rows). Positions are file-scoped, so re-expressing them under
+    * the new snapshot id is semantics-free. Fresh per-file counts
+    * keep [[metaCount]] exact — tighter than before, since dangling
+    * entries no longer inflate nothing. CAS on the probed head (a
+    * concurrent delete/rewrite re-probes). None ⇔ no live position
+    * tombstones. */
+  def compactDeletes(): Option[Snapshot] = {
+    import org.apache.spark.sql.functions.col
+    var attempt = 0
+    while (true) {
+      val head = log.head.getOrElse(
+        throw new IllegalStateException(s"table $name has no snapshots"))
+      val snaps = log.snapshots
+      val pos = log.eqDeletesOf(snaps, Some(head.snapshotId))
+        .collect { case (sid, p: Tomb.Pos) => (sid, p) }
+      if (pos.isEmpty) return None
+      val visibleRel = log.dataFilesOf(snaps, Some(head.snapshotId))
+        .map(a => dir.relativize(Paths.get(a)).toString).toSet
+      val namedLive = pos.flatMap(_._2.files).toSet.intersect(visibleRel)
+      val commitDir = dir.resolve("data")
+        .resolve(s"x${UUID.randomUUID().toString.take(12)}")
+      var files = Seq.empty[String]
+      var counts = Map.empty[String, String]
+      if (namedLive.nonEmpty) {
+        // output sidecar count scales with tombstone volume, not with
+        // how fragmented the inputs were — usually exactly one file
+        val parts = math.max(1, pos.map(_._2.sidecars.size).sum / 16)
+        spark.read.parquet(pos.flatMap(_._2.sidecars): _*)
+          .filter(col("file").isInCollection(namedLive))
+          .distinct()
+          .coalesce(parts)
+          .write.parquet(commitDir.toString)
+        files = parquetFilesIn(commitDir)
+          .map(p => dir.relativize(p).toString).toSeq.sorted
+        counts = spark.read
+          .parquet(files.map(f => dir.resolve(f).toString): _*)
+          .groupBy("file").count().collect()
+          .map(r => (SnapshotLog.PosCountPrefix + r.getString(0)) ->
+            r.getLong(1).toString).toMap
+      }
+      // all-dangling ⇒ a pure CLEAR: PosRewriteKey alone supersedes
+      // the vacuous tombstones, no sidecar at all
+      val props = Map(SnapshotLog.PosRewriteKey -> "1") ++
+        (if (files.nonEmpty)
+          counts + (SnapshotLog.PosDeleteKey -> "1") +
+            (SnapshotLog.PosFilesKey -> namedLive.toSeq.sorted.mkString("\n"))
+        else Map.empty[String, String])
+      try {
+        return Some(log.commit("posrewrite", Seq.empty, head.schemaJson,
+          deleteFiles = files, expectedHead = Some(head.snapshotId),
+          properties = props))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (Files.isDirectory(commitDir)) {
+            val walk = Files.walk(commitDir)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+            finally walk.close()
+          }
+          attempt += 1
+          if (attempt >= 20) throw new IllegalStateException(
+            s"delete compaction of $name lost $attempt head races; giving up", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Expire history: delete manifests with id < `keepFromId` and any
     * data file referenced ONLY by them. Time travel before the horizon
     * is gone; current reads and changes-since after it are unaffected.

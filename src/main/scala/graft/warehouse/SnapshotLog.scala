@@ -255,6 +255,14 @@ object SnapshotLog {
     * metadata-only COUNT stays EXACT under pure position tombstones:
     * Σ visible file rows − Σ recorded counts of visible named files. */
   val PosCountPrefix = "graft.delete.poscount."
+  /** Marks a POSITION-TOMBSTONE REWRITE snapshot
+    * ([[GraftTable.compactDeletes]] — Iceberg's
+    * rewrite_position_delete_files): its merged sidecar SUPERSEDES
+    * every earlier live position tombstone ([[SnapshotLog.eqDeletesOf]]
+    * drops them at this snapshot), it deletes no NEW rows (dangling
+    * entries pruned, live ones re-expressed), so incremental readers
+    * flow through it like a carrying checkpoint. */
+  val PosRewriteKey = "graft.delete.posrewrite"
   /** `<prefix><origSid>:<relPath>` → that commit's deleted-position
     * count for the file, RE-RECORDED by a metadata checkpoint that
     * carries the tombstone ([[GraftTable.checkpoint]]): the original
@@ -414,7 +422,19 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
     val visible = snaps.filter(_.snapshotId <= cut)
     val baseline = visible.lastIndexWhere(s =>
       s.operation == "compact" || s.operation == "replace")
-    visible.drop(math.max(baseline, 0)).flatMap { s =>
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Tomb)]
+    visible.drop(math.max(baseline, 0)).foreach { s =>
+      // a position-tombstone REWRITE supersedes every earlier live
+      // position tombstone (its merged sidecar re-expresses them,
+      // dangling entries pruned) — key/predicate tombstones unaffected
+      if (s.properties.contains(SnapshotLog.PosRewriteKey))
+        out.filterInPlace(!_._2.isInstanceOf[Tomb.Pos])
+      out ++= tombsOf(s)
+    }
+    out.toSeq
+  }
+
+  private def tombsOf(s: Snapshot): Seq[(Long, Tomb)] = {
       val carried = s.properties.toSeq.collect {
         case (k, v) if k.startsWith(SnapshotLog.CarryDelPrefix) => v }
       if (carried.nonEmpty) {
@@ -449,7 +469,6 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
           s.snapshotId -> (Tomb.Keys(tableDir.resolve(f).toString): Tomb)) ++
           s.properties.get(SnapshotLog.PredDeleteKey).map(p =>
             s.snapshotId -> (Tomb.Pred(p): Tomb))
-    }
   }
 
   /** Files added by snapshots in `(sinceId, head]` — the corrected
@@ -490,8 +509,12 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
       // a carrying CHECKPOINT re-lists tombstones that were already
       // live before the window — it deletes no NEW rows, so the
       // incremental read flows through it like any compact
+      // ... and so does a position-tombstone REWRITE: it re-expresses
+      // tombstones that were already live (dangling entries pruned),
+      // deleting no new rows
       val carries = s.properties.keys.exists(
-        _.startsWith(SnapshotLog.CarryDelPrefix))
+        _.startsWith(SnapshotLog.CarryDelPrefix)) ||
+        s.properties.contains(SnapshotLog.PosRewriteKey)
       (s.removedFiles.nonEmpty && s.operation != "rewrite") ||
         ((s.deleteFiles.nonEmpty ||
           s.properties.contains(SnapshotLog.PredDeleteKey)) && !carries)

@@ -1243,6 +1243,60 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.read().count() == 6L)
   }
 
+  test("compactDeletes merges live position tombstones and prunes dangling entries") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 24L).map(i => (i, i * 10L)).toDF("id", "x"))
+    val t = c.loadTable("t")
+    t.compact(targetFiles = 6, clusterBy = Seq("id"), statsCols = Seq("id"))
+    // three O(1) position deletes — three live tombstones, three+ sidecars
+    t.deletePosMor($"id" === 2L)
+    t.deletePosMor($"id" === 7L || $"id" === 13L)
+    t.deletePosMor($"id" === 21L)
+    assert(t.liveEqDeletes().size == 3)
+    // a CoW delete folds the tombstones for ITS files, dangling their
+    // entries (the named files leave the visible set)
+    t.deleteWhere($"id" === 3L)
+    val expect = t.read().select("id").as[Long].collect().sorted.toSeq
+    assert(expect == (1L to 24L).filterNot(Set(2L, 3L, 7L, 13L, 21L)))
+    val rw = t.compactDeletes().get
+    assert(rw.operation == "posrewrite")
+    // ONE merged tombstone replaces the three
+    assert(t.liveEqDeletes().size == 1)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == expect)
+    // dangling pruned: every named file is still visible
+    val visible = t.read().inputFiles.map(u =>
+      t.dir.relativize(java.nio.file.Paths.get(java.net.URI.create(u).getPath))
+        .toString).toSet
+    val named = rw.properties(graft.warehouse.SnapshotLog.PosFilesKey)
+      .split('\n').toSet
+    assert(named.subsetOf(visible), s"dangling entries survived: $named")
+    // metadata COUNT stays exact off the rewrite's fresh counts
+    assert(t.metaCount().contains(expect.size.toLong))
+    // incremental readers flow THROUGH the rewrite (no new rows deleted)
+    t.append(Seq((100L, 1000L)).toDF("id", "x"))
+    assert(t.changesSince(rw.snapshotId - 1).count() == 1)
+    // checkpoint+expiry carry the MERGED tombstone
+    val ck = t.checkpoint()
+    t.expireSnapshots(ck.snapshotId)
+    assert(t.liveEqDeletes().size == 1)
+    assert(t.metaCount().contains(expect.size + 1L))
+    assert(t.validate().isEmpty)
+    // ALL-dangling: a fresh table where the CoW rewrite consumes every
+    // named file — compactDeletes becomes a pure CLEAR
+    c.createTable("u", (1L to 6L).map(i => (i, i)).toDF("id", "x").coalesce(1))
+    val u = c.loadTable("u")
+    u.deletePosMor($"id" === 4L)
+    u.deleteWhere($"id" === 5L) // single file table: rewrite consumes it
+    val clear = u.compactDeletes().get
+    assert(clear.deleteFiles.isEmpty &&
+      !clear.properties.contains(graft.warehouse.SnapshotLog.PosDeleteKey))
+    assert(u.liveEqDeletes().isEmpty)
+    assert(u.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 6L))
+    // nothing live ⇒ None
+    assert(u.compactDeletes().isEmpty)
+  }
+
   test("merge-on-read deletes match null keys null-safely and respect multi-column keys") {
     val c = new Connector(spark, freshWarehouse())
     val rows = Seq((Some(1L), "a", 10L), (None, "b", 20L), (Some(3L), "b", 30L))
