@@ -1518,6 +1518,68 @@ object Warehouse {
         .orderBy("o_orderkey", "price")
     },
 
+    // ---- q153: table-level CHECK constraints --------------------------
+    // Grades addCheckConstraint/dropCheckConstraint — Delta's ALTER
+    // TABLE ADD CONSTRAINT: a declared predicate gates EVERY
+    // row-introducing write (append/upsert/merge/replace/overwrite)
+    // with one extra aggregate pass over the incoming rows, violations
+    // refuse BEFORE any commit, and a constraint the existing data
+    // already violates is refused at declaration (one scan — Delta's
+    // rule). Constraints persist via the same link(2)-CAS versioned
+    // files as partition specs (concurrent declarations never silently
+    // lost), and rename/drop of a referenced column refuses while the
+    // constraint is active (the stored SQL would silently stop
+    // resolving). Witness pins: the existing-data refusal, a violating
+    // append refused with the head unmoved, the rename guard, and the
+    // post-drop append landing. Hash grades the final state: base +
+    // the valid 3× slice + the post-drop negative slice.
+    Q("q153_check_constraints",
+      """WITH vis AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS price
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice * 3, 2)
+        |  FROM orders WHERE o_orderkey % 100 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, round(o_totalprice * -1, 2)
+        |  FROM orders WHERE o_orderkey % 100 = 13)
+        |SELECT k AS o_orderkey, price, TRUE AS ck_ok
+        |FROM vis ORDER BY o_orderkey, price""".stripMargin) { (s, d) =>
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val wh = java.nio.file.Paths.get(Scratch.dir("run"))
+      val t = graft.warehouse.GraftTable.create(s, wh.resolve("orders_ck"),
+        "orders_ck", orders).get
+      t.addCheckConstraint("price_pos", "price >= 0")
+      // a constraint the existing data violates is a lie — refused
+      val refusedExisting =
+        try { t.addCheckConstraint("price_tiny", "price < 10"); false }
+        catch { case _: IllegalArgumentException => true }
+      // violating write: refused, the head never moves
+      val head = t.currentSnapshotId.get
+      val refusedWrite =
+        try {
+          t.append(orders.limit(50).withColumn("price", col("price") * -1))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val unmoved = t.currentSnapshotId.get == head
+      // valid write passes the gate
+      t.append(orders.filter(col("o_orderkey") % 100 === 7)
+        .withColumn("price", round(col("price") * 3, 2)))
+      // rename of the constrained column refuses while active
+      val guarded =
+        try { t.renameColumn("price", "amount"); false }
+        catch { case _: IllegalArgumentException => true }
+      // dropped constraint stops gating
+      t.dropCheckConstraint("price_pos")
+      t.append(orders.filter(col("o_orderkey") % 100 === 13)
+        .withColumn("price", round(col("price") * -1, 2)))
+      val witness = refusedExisting && refusedWrite && unmoved &&
+        guarded && t.checkConstraints.isEmpty && t.validate().isEmpty
+      t.read().withColumn("ck_ok", lit(witness))
+        .orderBy("o_orderkey", "price")
+    },
+
     // ---- q121: snapshot tags — named, expiry-protected time travel ---
     // Grades tagSnapshot/readTag: "the data the March run trained on"
     // stays addressable by NAME, and expiry REFUSES to delete history a

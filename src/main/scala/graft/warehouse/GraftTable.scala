@@ -694,6 +694,132 @@ final class GraftTable private (
     else Files.readString(sortOrderPath).split(",").toSeq
       .map(_.trim).filter(_.nonEmpty)
 
+  // ---- CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT) -------
+
+  private def constraintsDir: Path = dir.resolve("constraints")
+
+  private def constraintVersions: Seq[Long] =
+    if (!Files.isDirectory(constraintsDir)) Nil
+    else {
+      val listing = Files.list(constraintsDir) // close: fd leak otherwise
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("c\\d{16}\\.txt"))
+        .map(n => n.substring(1, 17).toLong)
+        .toSeq.sorted
+      finally listing.close()
+    }
+
+  /** (name, status, referenced columns, sql) per declaration, in CAS
+    * version order — the fold's last entry per name wins. */
+  private def constraintEntries: Seq[(String, String, Set[String], String)] =
+    constraintVersions.map { v =>
+      val line = Files.readString(
+        constraintsDir.resolve(f"c$v%016d.txt")).stripLineEnd
+      val parts = line.split("\t", 4)
+      (parts(0), parts(1),
+        parts(2).split(',').filter(_.nonEmpty).toSet,
+        if (parts.length > 3) parts(3) else "")
+    }
+
+  /** Same link(2)-CAS publication protocol as [[setPartitionSpec]]: a
+    * racing declaration loses with EEXIST and retries under the next
+    * version — concurrent adds are never silently dropped. */
+  private def publishConstraintLine(line: String): Unit = {
+    Files.createDirectories(constraintsDir)
+    var attempt = 0
+    while (attempt < 10000) {
+      val next = constraintVersions.lastOption.getOrElse(0L) + 1
+      val tmp = Files.createTempFile(constraintsDir, ".c-", ".tmp")
+      Files.writeString(tmp, line + "\n")
+      try {
+        Files.createLink(constraintsDir.resolve(f"c$next%016d.txt"), tmp)
+        Files.deleteIfExists(tmp)
+        return
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException(
+      "constraint contention: 10000 failed attempts")
+  }
+
+  /** Active CHECK constraints: name → predicate SQL. */
+  def checkConstraints: Map[String, String] =
+    constraintEntries.foldLeft(Map.empty[String, String]) {
+      case (acc, (n, "ACTIVE", _, sql)) => acc + (n -> sql)
+      case (acc, (n, _, _, _)) => acc - n
+    }
+
+  /** Columns each ACTIVE constraint references (the rename/drop guard). */
+  private def constraintCols: Map[String, Set[String]] =
+    constraintEntries.foldLeft(Map.empty[String, Set[String]]) {
+      case (acc, (n, "ACTIVE", cols, _)) => acc + (n -> cols)
+      case (acc, (n, _, _, _)) => acc - n
+    }
+
+  /** Declare a table-level CHECK constraint (Delta's `ALTER TABLE ADD
+    * CONSTRAINT`): every FUTURE write that introduces rows — append,
+    * upsert/merge incoming, replace, overwriteWhere — refuses when any
+    * incoming row evaluates the predicate to FALSE (SQL semantics:
+    * NULL passes, like a CHECK). Existing rows are validated NOW, one
+    * scan — a constraint the current data violates is a lie and is
+    * refused (Delta's rule). The predicate must be deterministic and
+    * reference only current columns; rename/drop of a referenced
+    * column refuses while the constraint is active. Enforcement costs
+    * one extra aggregate pass over each write's incoming rows — zero
+    * when no constraints are declared. */
+  def addCheckConstraint(cname: String, sql: String): Unit = {
+    require(cname.matches("[A-Za-z0-9_-]+"), s"invalid constraint name: '$cname'")
+    require(!checkConstraints.contains(cname),
+      s"constraint '$cname' already active on $name")
+    require(!sql.contains('\n') && !sql.contains('\t'),
+      "constraint SQL must be a single tab-free line")
+    val cond = org.apache.spark.sql.functions.expr(sql)
+    val analyzed = emptyDf(schema).filter(cond).queryExecution.analyzed
+    val filterCond = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(throw new IllegalArgumentException(
+      s"constraint '$cname' on $name: predicate did not analyze to a filter"))
+    require(filterCond.deterministic,
+      s"constraint '$cname' on $name must be deterministic")
+    val cols = filterCond.references.map(_.name).toSet
+    log.head.foreach { _ =>
+      import org.apache.spark.sql.functions.{coalesce, lit, not}
+      val bad = read().filter(not(coalesce(cond, lit(true)))).limit(1).count()
+      require(bad == 0,
+        s"cannot add constraint '$cname' to $name: existing rows violate it")
+    }
+    publishConstraintLine(
+      s"$cname\tACTIVE\t${cols.toSeq.sorted.mkString(",")}\t$sql")
+  }
+
+  def dropCheckConstraint(cname: String): Unit = {
+    require(checkConstraints.contains(cname),
+      s"no active constraint '$cname' on $name")
+    publishConstraintLine(s"$cname\tDROPPED\t\t")
+  }
+
+  /** One aggregate pass over `df` counting violations of every active
+    * constraint at once; throws naming the violated ones. No-op (no
+    * scan at all) when the table has no constraints. */
+  private def enforceConstraints(df: DataFrame, op: String): Unit = {
+    val cs = checkConstraints.toSeq.sortBy(_._1)
+    if (cs.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
+    val aggs = cs.map { case (n, sql) =>
+      sum(when(not(coalesce(expr(sql), lit(true))), 1L).otherwise(0L)).as(n) }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val violated = cs.zipWithIndex.collect {
+      case ((n, sql), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"'$n' (${row.getLong(i)} row(s): $sql)"
+    }
+    require(violated.isEmpty,
+      s"$op on $name violates CHECK constraint(s) ${violated.mkString(", ")}")
+  }
+
   def append(df: DataFrame, clusterBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil, clusterParts: Int = 0,
       bloomCols: Seq[String] = Nil,
@@ -704,6 +830,7 @@ final class GraftTable private (
       require(compatible(expected, df.schema),
         s"append schema mismatch for $name:\n expected $expected\n got ${df.schema}")
     }
+    enforceConstraints(df, "append")
     healRenamedLayouts()
     val commitDir = dir.resolve("data").resolve(s"s${UUID.randomUUID().toString.take(12)}")
     // an explicit clusterBy wins; otherwise the table's declared sort
@@ -950,6 +1077,9 @@ final class GraftTable private (
       // keeps upsert's historical create-from-incoming behavior)
       return append(upserts, statsCols = statsCols, properties = properties)
     }
+    // constraints gate the rows that LAND (tombstone rows only remove);
+    // checked once up front — the retry loop re-reads state, not input
+    enforceConstraints(upserts, "merge")
     // Live merge-on-read tombstones do NOT block a merge (the Iceberg
     // rewrite stance, since r13): the rewrite applies them to its
     // survivor selection below, so rewritten files carry no deleted
@@ -1237,6 +1367,7 @@ final class GraftTable private (
     require(df.filter(!coalesce(cond, lit(false))).isEmpty,
       s"overwriteWhere on $name: incoming rows violate the predicate " +
         "(every replacement row must satisfy the overwrite condition)")
+    enforceConstraints(df, "overwrite")
     var attempt = 0
     while (true) {
       val head = log.head.getOrElse(
@@ -1409,6 +1540,7 @@ final class GraftTable private (
     * time-travelable until expiry. */
   def replace(df: DataFrame, statsCols: Seq[String] = Nil,
       properties: Map[String, String] = Map.empty): Snapshot = {
+    enforceConstraints(df, "replace")
     var attempt = 0
     while (true) {
       val base = log.head.getOrElse(
@@ -1564,6 +1696,12 @@ final class GraftTable private (
     require(!current.fieldNames.contains(newName),
       s"column '$newName' already exists in $name")
     require(oldName != newName, "rename to the same name")
+    constraintCols.find(_._2.contains(oldName)).foreach { case (cn, _) =>
+      throw new IllegalArgumentException(
+        s"column '$oldName' is referenced by CHECK constraint '$cn' of " +
+          s"$name — drop the constraint first (its stored SQL would " +
+          "silently stop resolving)")
+    }
     val myId = GraftTable.fieldIdOf(current(oldName))
     requireNameFresh(snaps, newName, myId)
     val evolved = StructType(current.fields.map(f =>
@@ -1647,6 +1785,11 @@ final class GraftTable private (
     require(!partitionSpec.exists(_.column == colName),
       s"column '$colName' is referenced by the current partition spec " +
         s"of $name — declare a spec without it first")
+    constraintCols.find(_._2.contains(colName)).foreach { case (cn, _) =>
+      throw new IllegalArgumentException(
+        s"column '$colName' is referenced by CHECK constraint '$cn' of " +
+          s"$name — drop the constraint first")
+    }
     val evolved = StructType(current.fields.filterNot(_.name == colName))
     val snap = log.commit("evolve", Seq.empty, evolved.json)
     if (sortOrder.contains(colName))

@@ -1297,6 +1297,94 @@ class WarehouseSpec extends AnyFunSuite {
     assert(u.compactDeletes().isEmpty)
   }
 
+  test("removeOrphans reclaims unreferenced data files and honors the grace period") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.append(Seq((11L, "v11")).toDF("id", "v"))
+    t.deletePosMor($"id" === 3L) // a delete sidecar is REFERENCED too
+    val pre = t.read().select("id").as[Long].collect().sorted.toSeq
+    // plant orphans: a crashed writer's files that never got committed
+    val stage = Files.createTempDirectory("graft-orph")
+    Seq((99L, "z")).toDF("id", "v").coalesce(1).write
+      .parquet(stage.resolve("p").toString)
+    val src = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(stage.resolve("p"))
+      try s.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      finally s.close()
+    }
+    val orphanDir = t.dir.resolve("data").resolve("zzcrashed")
+    Files.createDirectories(orphanDir)
+    val oldOrphan = orphanDir.resolve("old.parquet")
+    val freshOrphan = orphanDir.resolve("fresh.parquet")
+    Files.copy(src, oldOrphan)
+    Files.copy(src, freshOrphan)
+    Files.setLastModifiedTime(oldOrphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    // grace period: only the OLD orphan goes; live files + sidecar stay
+    val removed = t.removeOrphans(graceMs = 3600000L)
+    assert(removed == Seq("data/zzcrashed/old.parquet"), s"removed: $removed")
+    assert(Files.exists(freshOrphan), "grace period violated")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == pre)
+    assert(t.liveEqDeletes().size == 1)
+    assert(t.validate().isEmpty)
+    // zero grace sweeps the fresh one; a second pass finds nothing
+    assert(t.removeOrphans(0L) == Seq("data/zzcrashed/fresh.parquet"))
+    assert(t.removeOrphans(0L).isEmpty)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == pre)
+    // time travel is untouched: orphans were never part of any cut
+    assert(t.read(Some(1L)).count() == 10)
+  }
+
+  test("CHECK constraints gate every row-introducing write; NULL passes; guards hold") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t",
+      Seq((1L, Option(10L)), (2L, Option(20L))).toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.addCheckConstraint("v_pos", "v >= 0")
+    assert(t.checkConstraints == Map("v_pos" -> "v >= 0"))
+    // a constraint the existing data violates is refused
+    intercept[IllegalArgumentException] {
+      t.addCheckConstraint("id_big", "id > 100")
+    }
+    // append: violating rows refuse, the commit never lands
+    val head = t.currentSnapshotId.get
+    intercept[IllegalArgumentException] {
+      t.append(Seq((3L, Option(-5L))).toDF("id", "v"))
+    }
+    assert(t.currentSnapshotId.get == head)
+    // NULL evaluates the CHECK to NULL — passes (SQL semantics)
+    t.append(Seq((3L, Option.empty[Long])).toDF("id", "v"))
+    // upsert/merge: violating incoming refuses; delete-arm rows exempt
+    intercept[IllegalArgumentException] {
+      t.upsert(Seq((1L, Option(-1L))).toDF("id", "v"), Seq("id"))
+    }
+    t.merge(Seq((1L, Option(-1L))).toDF("id", "v"), Seq("id"),
+      whenMatchedDelete =
+        org.apache.spark.sql.functions.lit(true)) // tombstone: no row lands
+    assert(t.read().filter($"id" === 1L).count() == 0)
+    // replace / overwriteWhere refuse violating payloads
+    intercept[IllegalArgumentException] {
+      t.replace(Seq((9L, Option(-9L))).toDF("id", "v"))
+    }
+    intercept[IllegalArgumentException] {
+      t.overwriteWhere($"id" === 2L, Seq((2L, Option(-2L))).toDF("id", "v"))
+    }
+    // rename/drop of a referenced column refuse while active
+    intercept[IllegalArgumentException] { t.renameColumn("v", "w") }
+    intercept[IllegalArgumentException] { t.dropColumn("v") }
+    // drop the constraint: the same writes now pass
+    t.dropCheckConstraint("v_pos")
+    assert(t.checkConstraints.isEmpty)
+    t.append(Seq((4L, Option(-4L))).toDF("id", "v"))
+    assert(t.read().filter($"v" < 0).count() == 1)
+    t.renameColumn("v", "w")
+    assert(t.validate().isEmpty)
+  }
+
   test("merge-on-read deletes match null keys null-safely and respect multi-column keys") {
     val c = new Connector(spark, freshWarehouse())
     val rows = Seq((Some(1L), "a", 10L), (None, "b", 20L), (Some(3L), "b", 30L))
