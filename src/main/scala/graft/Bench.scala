@@ -67,7 +67,8 @@ object Bench {
       // clean-JVM streaming block inflated q94/q97 by ~1.3x), and
       // their own cost is commit-dominated — run them with the
       // pool-polluting block at the end
-      if (n.contains("exactly_once") || n == "q145_table_stream_source") 2
+      if (n.contains("exactly_once") || n == "q145_table_stream_source" ||
+        n == "q150_table_stream_sink") 2
       else if (pollutingNames.contains(n)) 2
       else if (n.contains("stream")) 0
       else 1

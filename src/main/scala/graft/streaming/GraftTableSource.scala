@@ -33,7 +33,11 @@ import graft.warehouse.GraftTable
   *  - The FIRST batch of a fresh checkpoint is the full table pinned
   *    at the start head (the "initial snapshot"); every later batch is
   *    `changesSince(start, end]` — O(new files), era-projected across
-  *    additive schema evolution.
+  *    additive schema evolution. Option `startingSnapshotId` (Delta's
+  *    startingVersion) skips the initial snapshot: the consumer
+  *    declares it already holds the table's state at that cut, and the
+  *    first batch is the delta since it — a cut below the retention
+  *    horizon fails loudly instead of silently re-reading.
   *  - REWRITE snapshots (partial binpack compaction) flow through:
   *    `changesSince` skips them, so maintenance on the source table
   *    neither duplicates rows nor disturbs the stream. A snapshot that
@@ -48,6 +52,13 @@ import graft.warehouse.GraftTable
   *    `SupportsAdmissionControl.latestOffset` clamp, so it bounds each
   *    BATCH even under `Trigger.AvailableNow`) — at 100 TB a long-idle
   *    consumer must not get its entire backlog as one giant batch.
+  *    `maxBytesPerBatch` (Delta's maxBytesPerTrigger) budgets the same
+  *    admission by each commit's RECORDED added-file bytes instead of
+  *    by count — commit sizes vary 1000× in practice, so a byte budget
+  *    is what actually bounds executor memory; both clamps compose
+  *    (min wins), the minimum admission is always one commit, and a
+  *    commit with unrecorded sizes ends its batch rather than
+  *    silently overrunning the budget.
   *
   * Scale: offset resolution and file planning are O(manifest)
   * driver-side; the data path is the same pruned vectorized parquet
@@ -74,7 +85,11 @@ final class GraftTableSourceProvider extends StreamSourceProvider {
       parameters: Map[String, String]): Source = {
     val maxSnaps = parameters.get("maxSnapshotsPerBatch").map(_.toLong)
     maxSnaps.foreach(m => require(m > 0, "maxSnapshotsPerBatch must be > 0"))
-    new GraftTableSource(sqlContext, load(sqlContext, parameters), maxSnaps)
+    val maxBytes = parameters.get("maxBytesPerBatch").map(_.toLong)
+    maxBytes.foreach(m => require(m > 0, "maxBytesPerBatch must be > 0"))
+    val startAt = parameters.get("startingSnapshotId").map(_.toLong)
+    new GraftTableSource(sqlContext, load(sqlContext, parameters),
+      maxSnaps, maxBytes, startAt)
   }
 }
 
@@ -86,7 +101,9 @@ final case class GraftSnapOffset(id: Long) extends V1Offset {
 final class GraftTableSource(
     sqlContext: SQLContext,
     table: GraftTable,
-    maxSnapshotsPerBatch: Option[Long])
+    maxSnapshotsPerBatch: Option[Long],
+    maxBytesPerBatch: Option[Long] = None,
+    startingSnapshotId: Option[Long] = None)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -119,7 +136,8 @@ final class GraftTableSource(
     * `getOffset` clamp could not (the AvailableNow wrapper captures
     * one getOffset as the whole run's end). */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
-    val start = Option(startOffset).map(idOf).getOrElse(0L)
+    val start = Option(startOffset).map(idOf)
+      .orElse(startingSnapshotId).getOrElse(0L)
     val headRaw = table.currentSnapshotId.getOrElse(return null)
     val head = availableNowCap.map(math.min(headRaw, _)).getOrElse(headRaw)
     // the INITIAL batch (fresh checkpoint, start=0) must never clamp
@@ -130,10 +148,45 @@ final class GraftTableSource(
     // committed, silently skipping (end==F-1) or permanently wedging
     // (end<F-1) the stream. Floor at F so the first batch is a real
     // pinned read.
+    // the floor protects only the FULL-initial-read path; with
+    // startingSnapshotId the first batch is a changesSince delta, and
+    // a start below the retention horizon must fail LOUDLY there, not
+    // be silently bumped past expired history
     val floor =
-      if (startOffset == null) table.firstSnapshotId.getOrElse(0L) else 0L
-    val end = maxSnapshotsPerBatch
+      if (startOffset == null && startingSnapshotId.isEmpty)
+        table.firstSnapshotId.getOrElse(0L)
+      else 0L
+    val end0 = maxSnapshotsPerBatch
       .map(m => math.min(head, math.max(floor, start + m))).getOrElse(head)
+    val end = maxBytesPerBatch match {
+      case None => end0
+      case Some(budget) =>
+        // byte-budgeted admission (Delta's maxBytesPerTrigger): admit
+        // source commits in order while their recorded added-file
+        // bytes fit the budget. The MINIMUM admission — one snapshot,
+        // or the whole initial snapshot up to the floor (a pinned read
+        // cannot be split) — always goes through, so the stream can
+        // never wedge on one oversized commit. A commit with
+        // unrecorded sizes exhausts the budget after admission: the
+        // unmeasured cannot be budgeted, so it ends the batch rather
+        // than silently overrunning it. O(manifest) driver walk.
+        def bytesOf(s: graft.warehouse.Snapshot): Long = {
+          val bs = s.addedFiles.map(f => s.stats.get(f).map(_.bytes).getOrElse(-1L))
+          if (bs.exists(_ < 0)) Long.MaxValue / 4 else bs.sum
+        }
+        var end = math.min(head, math.max(floor, start + 1))
+        var acc = 0L
+        var open = true // admission stops at the FIRST over-budget commit
+        table.log.snapshots
+          .filter(s => s.snapshotId > start && s.snapshotId <= end0)
+          .foreach { s =>
+            val b = bytesOf(s)
+            if (s.snapshotId <= end) acc += b
+            else if (open && acc + b <= budget) { acc += b; end = s.snapshotId }
+            else open = false
+          }
+        end
+    }
     GraftSnapOffset(math.max(end, start))
   }
 
@@ -143,11 +196,14 @@ final class GraftTableSource(
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val endId = idOf(end)
     val spark = sqlContext.sparkSession
-    val df0 = start match {
-      // fresh checkpoint: the initial snapshot, pinned at the batch end
+    val df0 = start.map(idOf).orElse(startingSnapshotId) match {
+      // fresh checkpoint, no starting cut: the initial snapshot,
+      // pinned at the batch end
       case None => table.read(Some(endId))
-      case Some(s) =>
-        val sinceId = idOf(s)
+      // fresh checkpoint WITH startingSnapshotId (Delta's
+      // startingVersion): the first batch is already a delta — the
+      // consumer declared it has the table's state at that cut
+      case Some(sinceId) =>
         if (sinceId >= endId)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -571,6 +571,83 @@ class StreamingSpec extends AnyFunSuite {
     assert(ta.log.head.get.operation == "replace")
   }
 
+  test("table streaming source: maxBytesPerBatch budgets admission by recorded sizes") {
+    import spark.implicits._
+    val whDir = Files.createTempDirectory("graft-srcbytes")
+    val t = graft.warehouse.GraftTable.create(spark,
+      whDir.resolve("t"), "t", (1L to 3L).map(i => (i, s"v$i")).toDF("id", "v")).get
+    t.append(Seq((4L, "v4")).toDF("id", "v"))
+    t.append(Seq((5L, "v5")).toDF("id", "v"))
+    def run(ckpt: String, budget: Long): Seq[Seq[Long]] = {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      val sq = spark.readStream
+        .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+        .option("path", whDir.resolve("t").toString)
+        .option("maxBytesPerBatch", budget.toString)
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val ids = b.select("id").as[Long].collect().sorted.toSeq
+          seen.synchronized { seen += ids }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      seen.toSeq
+    }
+    // 1-byte budget: minimum admission only — one source commit per
+    // batch (the stream can never wedge on an oversized commit)
+    val tiny = run(Files.createTempDirectory("graft-bb1").toString, 1L)
+    assert(tiny.map(_.sorted) ==
+      Seq(Seq(1L, 2L, 3L), Seq(4L), Seq(5L)), s"tiny budget: $tiny")
+    // huge budget: everything drains as ONE batch
+    val huge = run(Files.createTempDirectory("graft-bb2").toString, 1L << 40)
+    assert(huge.map(_.sorted) == Seq(1L to 5L), s"huge budget: $huge")
+  }
+
+  test("table streaming source: startingSnapshotId starts from a delta cut") {
+    import spark.implicits._
+    val whDir = Files.createTempDirectory("graft-srcstart")
+    val t = graft.warehouse.GraftTable.create(spark,
+      whDir.resolve("t"), "t", (1L to 3L).map(i => (i, s"v$i")).toDF("id", "v")).get
+    val cut = t.append(Seq((4L, "v4")).toDF("id", "v")).snapshotId
+    t.append(Seq((5L, "v5")).toDF("id", "v"))
+    def run(opts: Map[String, String]): Seq[Long] = {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val sq = spark.readStream
+        .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+        .option("path", whDir.resolve("t").toString)
+        .options(opts)
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= b.select("id").as[Long].collect() }: Unit
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-startckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+      seen.toSeq.sorted
+    }
+    // the consumer already holds the state at `cut`: first batch is
+    // the delta since it — NOT the initial snapshot
+    assert(run(Map("startingSnapshotId" -> cut.toString)) == Seq(5L))
+    // a cut below the retention horizon fails LOUDLY, never re-reads
+    val ck = t.checkpoint()
+    t.expireSnapshots(ck.snapshotId)
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Map("startingSnapshotId" -> "1"))
+    }
+    def causes(e: Throwable): Seq[Throwable] =
+      Option(e).toSeq.flatMap(t => t +: causes(t.getCause))
+    assert(causes(failed).exists(
+      _.isInstanceOf[graft.warehouse.HistoryExpiredException]),
+      s"expected HistoryExpiredException, got $failed")
+  }
+
   test("table streaming source: initial batch floors at the first retained snapshot") {
     import spark.implicits._
     val whDir = Files.createTempDirectory("graft-srcfloor")
