@@ -417,8 +417,8 @@ class PropertySpec extends AnyFunSuite {
     // model needn't track file membership — every future delete at step
     // t scopes addStep < t, which old and re-stamped survivors satisfy
     // alike, so the model is insensitive to the re-stamp.
-    (1 to 20).foreach { step =>
-      rnd.nextInt(8) match {
+    (1 to 24).foreach { step =>
+      rnd.nextInt(11) match {
         case 0 | 1 => // append, reusing ids ~half the time (re-inserts)
           val rows = (0 until 8).map { _ =>
             val id = rnd.nextInt(40).toLong
@@ -455,6 +455,24 @@ class PropertySpec extends AnyFunSuite {
           // so no model change (future deletes still see addSteps)
           val ck = t.checkpoint()
           t.expireSnapshots(ck.snapshotId)
+        case 8 => // position delete: a ONE-TIME selection over the
+          // current visible rows — the model drops matching rows NOW,
+          // addStep-independent (positions bind files, not eras)
+          val lo = rnd.nextInt(35).toLong
+          t.deletePosMor($"id" >= lo && $"id" < lo + 4)
+          model = model.filterNot { case (i, _, _) => i >= lo && i < lo + 4 }
+        case 9 => // position-tombstone compaction: merged+pruned
+          // re-expression, NO logical change — model invariant
+          t.compactDeletes()
+        case 10 => // predicate-scoped atomic overwrite: replace the
+          // region with fresh rows (all satisfying the predicate)
+          val lo = rnd.nextInt(35).toLong
+          val rows = (0 until 3).map(_ =>
+            (lo + rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+          t.overwriteWhere($"id" >= lo && $"id" < lo + 5,
+            rows.toDF("id", "v"))
+          model = model.filterNot { case (i, _, _) => i >= lo && i < lo + 5 }
+          model ++= rows.map { case (i, v) => (i, v, step) }
       }
       check(step)
     }
