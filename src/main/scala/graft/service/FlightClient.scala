@@ -145,9 +145,13 @@ final class FlightClient(spark: SparkSession, val host: String, val port: Int,
 
   /** Declared layout (serialized partition spec + sort order) for
     * replication — the mirror re-declares it on the replica. */
-  def getLayout(table: String): (String, String) =
+  def getLayout(table: String): (String, String, Seq[(String, String)]) =
     call(Wire.obj("action" -> "get_layout", "table" -> table)) { (r, _) =>
-      (r.str("spec"), r.str("sort"))
+      (r.str("spec"), r.str("sort"),
+        r.strs("checks").map { e =>
+          val i = e.indexOf('=')
+          (e.substring(0, i), e.substring(i + 1))
+        })
     }
 
   /** Snapshot metadata (reference client: `icerunner.py:1021-1037`). */

@@ -196,13 +196,19 @@ final class FlightService(connector: Connector, port: Int = 0,
 
       case "get_layout" =>
         // the declared layout travels with replication: the mirror
-        // applies the source's partition spec / sort order to the
-        // replica so delta appends land prunable there too
+        // applies the source's partition spec / sort order / CHECK
+        // constraints to the replica so delta appends land prunable
+        // there too — and a replica promoted to primary keeps
+        // enforcing what the source enforced. One "name=sql" string
+        // per constraint (names are [A-Za-z0-9_-]+, so the FIRST '='
+        // is an unambiguous separator).
         val t = connector.loadTable(req.table)
         Wire.writeLine(out, Wire.obj(
           "ok" -> true,
           "spec" -> t.partitionSpecSerialized,
-          "sort" -> t.sortOrder.mkString(",")))
+          "sort" -> t.sortOrder.mkString(","),
+          "checks" -> t.checkConstraints.toSeq.sorted
+            .map { case (n, sql) => s"$n=$sql" }))
 
       case "get_schema" =>
         // The reference's mirror sends this command and falls back to

@@ -63,19 +63,27 @@ object Mirror {
     } finally f.cleanup()
   }
 
-  /** Re-declare the SOURCE's layout (partition spec + sort order) on a
-    * freshly created replica, so the replica's own delta appends land
-    * partition-/cluster-prunable like the source's. Best-effort: a
-    * source without `get_layout` (or with none declared) leaves the
-    * replica's layout local — replication correctness never depends
-    * on it. */
+  /** Re-declare the SOURCE's layout (partition spec + sort order +
+    * CHECK constraints) on a freshly created replica, so the replica's
+    * own delta appends land partition-/cluster-prunable like the
+    * source's — and a replica promoted to primary keeps enforcing what
+    * the source enforced. Best-effort: a source without `get_layout`
+    * (or with none declared) leaves the replica's layout local —
+    * replication correctness never depends on it. Constraint
+    * re-declaration validates the just-synced data (one scan per
+    * constraint, the addCheckConstraint contract); a constraint that
+    * somehow fails there is skipped, not fatal. */
   private def applyLayout(ctl: FlightClient, sourceTable: String,
       connector: Connector, targetTable: String): Unit =
     try {
-      val (spec, sort) = ctl.getLayout(sourceTable)
+      val (spec, sort, checks) = ctl.getLayout(sourceTable)
       val t = connector.loadTable(targetTable)
       if (spec.nonEmpty) t.setPartitionSpecSerialized(spec)
       if (sort.nonEmpty) t.setSortOrder(sort.split(",").toSeq)
+      checks.foreach { case (n, sql) =>
+        try if (!t.checkConstraints.contains(n)) t.addCheckConstraint(n, sql)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Additive schema-evolution continuation: when the wire delta

@@ -198,6 +198,7 @@ class ServiceSpec extends AnyFunSuite {
       st.setPartitionSpec(Seq(
         graft.warehouse.PartitionField("bucket", "visitor_id", 4)))
       st.setSortOrder(Seq("session_id"))
+      st.addCheckConstraint("vid_sane", "visitor_id <> 'bogus'")
       val targetWh = new Connector(spark, tmpDir("graft-mirror-l"))
       val state = SyncState(tmpDir("graft-state-l"))
       val url = "grpc://localhost:1/lsrc"
@@ -206,6 +207,8 @@ class ServiceSpec extends AnyFunSuite {
       val rt = targetWh.loadTable("ldst")
       assert(rt.partitionSpec === st.partitionSpec)
       assert(rt.sortOrder === st.sortOrder)
+      // CHECK constraints travel too: a promoted replica keeps enforcing
+      assert(rt.checkConstraints === st.checkConstraints)
       // the incremental delta appends through the replica's own spec:
       // its files land one-bucket-value-each and point lookups prune
       client.doPut("lsrc", SampleData.create(spark, 40, "analytics", seed = 7))
