@@ -37,7 +37,8 @@ object Main {
        |  mirror -s <sourceUrl> -n <targetTable> -w <warehouseDir>
        |         [-i <intervalSec=60>] [-b <batchRows=4096>] [--one-time]
        |  fsck   <warehouseDir> [table]        # validate() manifests vs filesystem
-       |  inspect <warehouseDir> <table> <snapshots|files>
+       |  vacuum <warehouseDir> [table] [-g <graceMs=259200000>]  # remove orphan files
+       |  inspect <warehouseDir> <table> <snapshots|files|partitions|refs|deletes|constraints>
        |  demo   <warehouseDir>""".stripMargin
 
   /** Tiny flag parser for the reference's CLI surface.
@@ -63,6 +64,12 @@ object Main {
     case "write" :: rest => writeCmd(flags(rest))
     case "mirror" :: rest => mirrorCmd(flags(rest))
     case "fsck" :: whPath :: rest if rest.size <= 1 => fsck(whPath, rest.headOption)
+    case "vacuum" :: whPath :: rest =>
+      val (tbl, fl) = rest match {
+        case t :: more if !t.startsWith("-") => (Some(t), flags(more))
+        case more => (None, flags(more))
+      }
+      vacuum(whPath, tbl, fl.get("g").map(_.toLong))
     case "inspect" :: whPath :: table :: kind :: Nil => inspect(whPath, table, kind)
     case other =>
       System.err.println(usage + s"\n(got: ${other.mkString(" ")})")
@@ -83,6 +90,25 @@ object Main {
     }
     spark.stop()
     if (bad > 0) sys.exit(1)
+  }
+
+  /** Orphan-file cleanup over one table or the whole warehouse
+    * ([[graft.warehouse.GraftTable.removeOrphans]]): crashed writers'
+    * debris reclaimed, age-gated so in-flight commits survive. */
+  private def vacuum(whPath: String, table: Option[String],
+      graceMs: Option[Long]): Unit = {
+    val spark = session("graft-vacuum")
+    val conn = new Connector(spark, whPath)
+    val targets = table.map(Seq(_)).getOrElse(conn.tables)
+    targets.foreach { t =>
+      val removed = graceMs match {
+        case Some(g) => conn.loadTable(t).removeOrphans(g)
+        case None => conn.loadTable(t).removeOrphans()
+      }
+      println(s"$t: removed ${removed.size} orphan file(s)" +
+        (if (removed.isEmpty) "" else removed.mkString(" [", ", ", "]")))
+    }
+    spark.stop()
   }
 
   /** Print a metadata table ($snapshots / $files) for a warehouse table. */

@@ -126,10 +126,11 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     case "files"      => loadTable(name).filesDf()
     case "partitions" => loadTable(name).partitionsDf()
     case "refs"       => loadTable(name).refsDf
-    case "deletes"    => loadTable(name).deletesDf()
+    case "deletes"     => loadTable(name).deletesDf()
+    case "constraints" => loadTable(name).constraintsDf
     case other => throw new IllegalArgumentException(
       s"unknown metadata table '$other' — use 'snapshots', 'files', " +
-        "'partitions', 'refs', or 'deletes'")
+        "'partitions', 'refs', 'deletes', or 'constraints'")
   }
 
   /** Row count (reference: `count`, `icerunner.py:190-198`): answered

@@ -3066,6 +3066,16 @@ final class GraftTable private (
     }.toDF("file", "added_by", "rows", "stat_columns", "bloom_columns")
   }
 
+  /** `$constraints` metadata table: the ACTIVE CHECK constraints —
+    * name, predicate SQL, referenced columns. Metadata-only. */
+  def constraintsDf: DataFrame = {
+    import spark.implicits._
+    val cols = constraintCols
+    checkConstraints.toSeq.sorted.map { case (n, sql) =>
+      (n, sql, cols.getOrElse(n, Set.empty[String]).toSeq.sorted)
+    }.toDF("name", "check_sql", "columns")
+  }
+
   /** Iceberg-style `$refs` metadata table: every named ref — TAGS
     * (expiry-protected pinned snapshots) and open WAP BRANCHES (with
     * their fork-point parent and staged-commit count) — as one
