@@ -58,6 +58,12 @@ final class GraftTableSinkProvider extends StreamSinkProvider {
       parameters.collectFirst { case (p, v) if p.equalsIgnoreCase(k) => v }
     val path = opt("path").getOrElse(throw new IllegalArgumentException(
       "graft streaming sink needs option 'path' = table directory"))
+    // refuse rather than silently ignore: layout is TABLE-level here
+    // (hidden partitioning via setPartitionSpec / setSortOrder applies
+    // to every writer), not a per-writer directive
+    require(partitionColumns.isEmpty,
+      "graft table sink ignores writeStream.partitionBy — declare the " +
+        "layout on the table itself (setPartitionSpec/setSortOrder)")
     require(outputMode != OutputMode.Update(),
       "graft table sink supports Append and Complete modes; Update has " +
         "no keyed contract here — use EventStreams.cdcApply")
