@@ -2199,6 +2199,7 @@ final class GraftTable private (
     // sid for every carried data file (eff resolves prior binpack/
     // checkpoint inheritance, so chains collapse to one hop)
     val dels = log.eqDeletesOf(snaps, Some(base.snapshotId))
+    val bySid = snaps.map(s => s.snapshotId -> s).toMap
     val carrySidecars = Seq.newBuilder[String]
     var cn = 0
     def addCarry(v: String): Unit = {
@@ -2221,7 +2222,7 @@ final class GraftTable private (
           // metadata-only COUNT stays exact after the posdelete
           // snapshot itself expires; posCountOf resolves through a
           // PRIOR checkpoint's carry, so chains keep the counts too
-          GraftTable.posCountOf(snaps, sid, f).foreach(n =>
+          GraftTable.posCountOf(snaps, bySid, sid, f).foreach(n =>
             props(SnapshotLog.PosCarryCountPrefix + s"$sid:$f") = n.toString)
         }
     }
@@ -2790,10 +2791,11 @@ final class GraftTable private (
     val counts = visible.map(f => statsByFile.get(f).map(_.rows).getOrElse(-1L))
     if (counts.exists(_ < 0)) return None
     val visibleSet = visible.toSet
+    val bySid = snaps.map(s => s.snapshotId -> s).toMap
     var deducted = 0L
     dels.foreach { case (sid, Tomb.Pos(_, named)) =>
       named.intersect(visibleSet).foreach { f =>
-        GraftTable.posCountOf(snaps, sid, f) match {
+        GraftTable.posCountOf(snaps, bySid, sid, f) match {
           case Some(n) => deducted += n
           case None => return None // pre-count-recording commit
         }
@@ -3104,12 +3106,13 @@ final class GraftTable private (
   def deletesDf(asOf: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val snaps = log.snapshots
+    val bySid = snaps.map(s => s.snapshotId -> s).toMap
     log.eqDeletesOf(snaps, asOf).map {
       case (sid, Tomb.Keys(p)) =>
         (sid, "equality", dir.relativize(Paths.get(p)).toString, -1L)
       case (sid, Tomb.Pred(sql)) => (sid, "predicate", sql, -1L)
       case (sid, Tomb.Pos(_, files)) =>
-        val counts = files.toSeq.map(GraftTable.posCountOf(snaps, sid, _))
+        val counts = files.toSeq.map(GraftTable.posCountOf(snaps, bySid, sid, _))
         val n =
           if (counts.nonEmpty && counts.forall(_.nonEmpty)) counts.flatten.sum
           else -1L
@@ -3232,13 +3235,21 @@ object GraftTable {
     * retained, else from the latest CHECKPOINT that re-recorded it
     * under [[SnapshotLog.PosCarryCountPrefix]] (sid-scoped) while
     * carrying the tombstone across the expiry horizon. None ⇒
-    * pre-count-recording commit; callers fall back to a scan. */
-  private[warehouse] def posCountOf(snaps: Seq[Snapshot], sid: Long,
-      f: String): Option[Long] =
-    snaps.find(_.snapshotId == sid)
+    * pre-count-recording commit; callers fall back to a scan.
+    *
+    * Callers pass a prebuilt `bySid` so the primary lookup is O(1) per
+    * (sid, file) — a linear snapshot find here would be O(tombstone
+    * files × snapshots) driver CPU at manifest scale, the same class
+    * of quadratic the r12 checkpoint stats filter had. The carry
+    * fallback scans only CHECKPOINT-marked snapshots, and only when
+    * the committing snapshot has already expired. */
+  private[warehouse] def posCountOf(snaps: Seq[Snapshot],
+      bySid: Map[Long, Snapshot], sid: Long, f: String): Option[Long] =
+    bySid.get(sid)
       .flatMap(_.properties.get(SnapshotLog.PosCountPrefix + f))
-      .orElse(snaps.reverseIterator.flatMap(
-        _.properties.get(SnapshotLog.PosCarryCountPrefix + s"$sid:$f"))
+      .orElse(snaps.reverseIterator
+        .filter(_.properties.contains(CheckpointKey))
+        .flatMap(_.properties.get(SnapshotLog.PosCarryCountPrefix + s"$sid:$f"))
         .nextOption())
       .flatMap(_.toLongOption)
 
