@@ -776,6 +776,67 @@ object Streaming {
       val witness = snapsAfter2 == 3 && idleOk && replayOk && marked
       dst.read().withColumn("sink_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q154: stream-source admission control -----------------------
+    // Grades the r14 source options together: `startingSnapshotId`
+    // (Delta's startingVersion — the consumer declares it already
+    // holds the table at that cut, so the FIRST batch is the delta
+    // since it, not the initial snapshot) and `maxBytesPerBatch`
+    // (Delta's maxBytesPerTrigger — admission budgeted by each
+    // commit's RECORDED added-file bytes; commit sizes vary 1000×, so
+    // the byte budget is what actually bounds executor memory when a
+    // long-idle consumer drains its backlog under
+    // Trigger.AvailableNow). A 1-byte budget forces the MINIMUM
+    // admission — exactly one source commit per micro-batch — so the
+    // witness pins: no initial-snapshot rows delivered (the % 3 == 0
+    // stratum never appears), one batch per post-cut commit, and an
+    // idle restart delivering ZERO rows. The union of delivered
+    // batches hash-matches the two post-cut slices.
+    Q("q154_stream_admission",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, TRUE AS adm_ok
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val wh = java.nio.file.Paths.get(Scratch.dir("q154_wh"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val t = graft.warehouse.GraftTable.create(s, wh.resolve("src"),
+        "src", orders.filter(col("o_orderkey") % 3 === 0)).get
+      val cut = t.currentSnapshotId.get
+      t.append(orders.filter(col("o_orderkey") % 3 === 1))
+      t.append(orders.filter(col("o_orderkey") % 3 === 2))
+      val ckpt = Scratch.dir("q154_ckpt")
+      val outDir = Scratch.dir("q154_out")
+      val batches = new java.util.concurrent.atomic.AtomicLong()
+      val rows = new java.util.concurrent.atomic.AtomicLong()
+      def runStream(): Unit = withShufflePartitions(s, 8) {
+        val sq = s.readStream
+          .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+          .option("path", wh.resolve("src").toString)
+          .option("startingSnapshotId", cut.toString)
+          .option("maxBytesPerBatch", "1")
+          .load()
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            val n = b.count()
+            rows.addAndGet(n)
+            if (n > 0) batches.incrementAndGet()
+            b.write.mode("append").parquet(outDir): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
+      runStream()
+      val batches1 = batches.get(); val rows1 = rows.get()
+      batches.set(0); rows.set(0)
+      runStream() // idle: nothing re-read
+      val expect = orders.filter(col("o_orderkey") % 3 =!= 0).count()
+      val witness = batches1 == 2 && rows1 == expect && rows.get() == 0L
+      s.read.parquet(outDir)
+        .withColumn("adm_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql
