@@ -38,6 +38,7 @@ object Main {
        |         [-i <intervalSec=60>] [-b <batchRows=4096>] [--one-time]
        |  fsck   <warehouseDir> [table]        # validate() manifests vs filesystem
        |  vacuum <warehouseDir> [table] [-g <graceMs=259200000>]  # remove orphan files
+       |  maintain <warehouseDir> [table] [--expire true] [-g <graceMs>]  # binpack+tombstones+orphans
        |  inspect <warehouseDir> <table> <snapshots|files|partitions|refs|deletes|constraints>
        |  demo   <warehouseDir>""".stripMargin
 
@@ -70,6 +71,13 @@ object Main {
         case more => (None, flags(more))
       }
       vacuum(whPath, tbl, fl.get("g").map(_.toLong))
+    case "maintain" :: whPath :: rest =>
+      val (tbl, fl) = rest match {
+        case t :: more if !t.startsWith("-") => (Some(t), flags(more))
+        case more => (None, flags(more))
+      }
+      maintainCmd(whPath, tbl, fl.get("expire").exists(_.toBoolean),
+        fl.get("g").map(_.toLong))
     case "inspect" :: whPath :: table :: kind :: Nil => inspect(whPath, table, kind)
     case other =>
       System.err.println(usage + s"\n(got: ${other.mkString(" ")})")
@@ -107,6 +115,27 @@ object Main {
       }
       println(s"$t: removed ${removed.size} orphan file(s)" +
         (if (removed.isEmpty) "" else removed.mkString(" [", ", ", "]")))
+    }
+    spark.stop()
+  }
+
+  /** One-call maintenance over one table or the whole warehouse
+    * ([[graft.warehouse.GraftTable.maintain]]): binpack + position-
+    * tombstone compaction + optional history expiry + orphan cleanup,
+    * with a per-table report line. */
+  private def maintainCmd(whPath: String, table: Option[String],
+      expire: Boolean, graceMs: Option[Long]): Unit = {
+    val spark = session("graft-maintain")
+    val conn = new Connector(spark, whPath)
+    val targets = table.map(Seq(_)).getOrElse(conn.tables)
+    targets.foreach { t =>
+      val r = conn.loadTable(t).maintain(
+        expireHistory = expire,
+        orphanGraceMs = graceMs.getOrElse(259200000L))
+      println(s"$t: binpacked=${r.binpacked} posMerged=${r.posMerged} " +
+        s"expired=${r.expired}" +
+        r.expireRefusal.map(m => s" expireRefusal='$m'").getOrElse("") +
+        s" orphansRemoved=${r.orphansRemoved.size}")
     }
     spark.stop()
   }

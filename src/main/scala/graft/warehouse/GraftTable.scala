@@ -2370,6 +2370,49 @@ final class GraftTable private (
     dead.foreach(s => log.deleteManifest(s.snapshotId))
   }
 
+  /** One-call table MAINTENANCE — the OPTIMIZE/nightly-job story, in
+    * the order the pieces compose best:
+    *
+    *  1. [[compactSmall]] binpacks small files (era-grouped, safe
+    *     under live tombstones; position tombstones get applied since
+    *     their named file identities retire);
+    *  2. [[compactDeletes]] consolidates the position tombstones the
+    *     binpack just dangled (plus any accrued ones) into one pruned
+    *     sidecar — or clears them outright when all dangling;
+    *  3. optionally ([[MaintainReport.expired]]) a metadata
+    *     [[checkpoint]] + [[expireSnapshots]] reclaims history — OFF
+    *     by default because it destroys time travel before now; a
+    *     refusal (protecting tag, open branch) is REPORTED, not
+    *     thrown, so the rest of maintenance still lands;
+    *  4. [[removeOrphans]] reclaims crashed writers' debris under the
+    *     grace period.
+    *
+    * Each step is a normal commit with its usual guarantees; a crash
+    * between steps leaves a consistent table that the next maintain
+    * simply resumes. Readers are never blocked (every step is either
+    * metadata-only or a CAS-committed rewrite). */
+  def maintain(smallBytes: Long = 32L << 20,
+      targetBytes: Long = 128L << 20,
+      expireHistory: Boolean = false,
+      orphanGraceMs: Long = 259200000L): GraftTable.MaintainReport = {
+    val binpacked = compactSmall(smallBytes, targetBytes).isDefined
+    val posMerged = compactDeletes().isDefined
+    var expired = false
+    var refusal: Option[String] = None
+    if (expireHistory) {
+      try {
+        val ck = checkpoint()
+        expireSnapshots(ck.snapshotId)
+        expired = true
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          refusal = Some(Option(e.getMessage).getOrElse(e.toString))
+      }
+    }
+    GraftTable.MaintainReport(binpacked, posMerged, expired, refusal,
+      removeOrphans(orphanGraceMs))
+  }
+
   /** Roll the head back to `snapshotId` by committing a NEW snapshot
     * whose visible file set equals that cut — the UNDO for a bad
     * append/upsert/delete, preserving history (the rolled-back
@@ -3177,6 +3220,11 @@ object GraftTable {
   /** Create a new table from initial data. Idempotency matches the
     * reference's create_table (`icerunner.py:133-161`): returns None if
     * the table already exists. */
+  /** What one [[GraftTable.maintain]] pass did. */
+  final case class MaintainReport(binpacked: Boolean, posMerged: Boolean,
+      expired: Boolean, expireRefusal: Option[String],
+      orphansRemoved: Seq[String])
+
   /** Snapshot-property keys of the streaming-sink transaction markers
     * (see [[GraftTable.lastTxnBatch]]). */
   val TxnAppIdKey = "graft.txn.appId"

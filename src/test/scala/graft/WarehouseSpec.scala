@@ -1385,6 +1385,42 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.validate().isEmpty)
   }
 
+  test("maintain composes binpack, tombstone compaction, expiry, and orphan cleanup") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "v1")).toDF("id", "v").coalesce(1))
+    val t = c.loadTable("t")
+    (2L to 6L).foreach(i =>
+      t.append(Seq((i, s"v$i")).toDF("id", "v").coalesce(1)))
+    t.deletePosMor($"id" === 3L)
+    t.tagSnapshot("pin")
+    // plant an aged orphan
+    val orphanDir = t.dir.resolve("data").resolve("zzm")
+    Files.createDirectories(orphanDir)
+    Files.writeString(orphanDir.resolve("junk.parquet"), "not parquet")
+    Files.setLastModifiedTime(orphanDir.resolve("junk.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(1000L))
+    val pre = t.read().select("id").as[Long].collect().sorted.toSeq
+    assert(pre == Seq(1L, 2L, 4L, 5L, 6L))
+    val filesBefore = t.read().inputFiles.length
+    // tag protects history: expiry REFUSED but reported, rest lands
+    val r1 = t.maintain(expireHistory = true)
+    assert(r1.binpacked, "six tiny files must binpack")
+    // binpack retires the pos-named file identities -> the tombstone
+    // dangles fully and compactDeletes CLEARS it
+    assert(r1.posMerged && t.liveEqDeletes().isEmpty)
+    assert(!r1.expired && r1.expireRefusal.exists(_.contains("tag")))
+    assert(r1.orphansRemoved == Seq("data/zzm/junk.parquet"))
+    assert(t.read().inputFiles.length < filesBefore)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == pre)
+    // tag dropped: the next maintain expires down to one manifest
+    t.dropTag("pin")
+    val r2 = t.maintain(expireHistory = true)
+    assert(r2.expired && r2.expireRefusal.isEmpty)
+    assert(t.log.snapshots.size == 1)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == pre)
+    assert(t.validate().isEmpty)
+  }
+
   test("merge-on-read deletes match null keys null-safely and respect multi-column keys") {
     val c = new Connector(spark, freshWarehouse())
     val rows = Seq((Some(1L), "a", 10L), (None, "b", 20L), (Some(3L), "b", 30L))
