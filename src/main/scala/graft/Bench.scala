@@ -68,7 +68,8 @@ object Bench {
       // their own cost is commit-dominated — run them with the
       // pool-polluting block at the end
       if (n.contains("exactly_once") || n == "q145_table_stream_source" ||
-        n == "q150_table_stream_sink" || n == "q154_stream_admission") 2
+        n == "q150_table_stream_sink" || n == "q154_stream_admission" ||
+        n == "q155_wap_stream") 2
       else if (pollutingNames.contains(n)) 2
       else if (n.contains("stream")) 0
       else 1

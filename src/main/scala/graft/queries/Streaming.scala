@@ -837,6 +837,75 @@ object Streaming {
       s.read.parquet(outDir)
         .withColumn("adm_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q155: WAP streaming — stage a stream onto a branch ----------
+    // Grades the sink's `branch` option (Iceberg's `spark.wap.branch`
+    // workflow): a stream lands micro-batches on a WAP branch, so MAIN
+    // readers never observe a single row until an auditor validates
+    // the branch view and publishes the whole staged run as ONE atomic
+    // commit — the quality-gated continuous load. Witness pins: main
+    // frozen at the pre-stream state while the branch view holds
+    // everything (per-batch staged commits with txn markers), the
+    // audit gate passing on the BRANCH view, exactly one `publish`
+    // snapshot landing both micro-batches, and a crash-replay arriving
+    // AFTER publish+drop no-oping off the carried markers (head
+    // unmoved, no branch resurrected). Hash grades the published
+    // state against plain orders.
+    Q("q155_wap_stream",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, TRUE AS wap_ok
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val wh = java.nio.file.Paths.get(Scratch.dir("q155_wh"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val t = graft.warehouse.GraftTable.create(s, wh.resolve("t"), "t",
+        orders.filter(col("o_orderkey") % 3 === 0)).get
+      val preMain = t.read().count()
+      t.createBranch("audit")
+      val staging = Scratch.dir("q155_stage")
+      orders.filter(col("o_orderkey") % 3 === 1).coalesce(1)
+        .write.mode("append").parquet(staging)
+      orders.filter(col("o_orderkey") % 3 === 2).coalesce(1)
+        .write.mode("append").parquet(staging)
+      val ckpt = Scratch.dir("q155_ckpt")
+      withShufflePartitions(s, 8) {
+        val sq = s.readStream
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("o_orderkey",
+              orders.schema("o_orderkey").dataType),
+            org.apache.spark.sql.types.StructField("price",
+              org.apache.spark.sql.types.DoubleType))))
+          .option("maxFilesPerTrigger", "1")
+          .parquet(staging)
+          .writeStream
+          .format(classOf[graft.streaming.GraftTableSinkProvider].getName)
+          .option("path", wh.resolve("t").toString)
+          .option("branch", "audit")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
+      // staging invisible to main; the AUDIT runs on the branch view
+      val mainFrozen = t.read().count() == preMain
+      val auditPassed =
+        t.readBranch("audit").filter(col("price") < 0).isEmpty
+      val total = orders.count()
+      val branchComplete = t.readBranch("audit").count() == total
+      val staged = new graft.warehouse.SnapshotLog(
+        wh.resolve("t"), Some("audit")).snapshots.size
+      val pub = t.publishBranch("audit")
+      // post-publish crash-replay: carried markers no-op it
+      val head = t.currentSnapshotId.get
+      new graft.streaming.GraftTableSink(wh.resolve("t"),
+        graft.streaming.EventStreams.txnAppId(ckpt),
+        complete = false, branch = Some("audit"))
+        .addBatch(0L, orders.limit(5))
+      val replayOk = t.currentSnapshotId.get == head && t.branches.isEmpty
+      val witness = mainFrozen && auditPassed && branchComplete &&
+        staged == 2 && pub.operation == "publish" && replayOk
+      t.read().withColumn("wap_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

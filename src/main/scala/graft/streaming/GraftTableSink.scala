@@ -43,6 +43,14 @@ import graft.warehouse.GraftTable
   *    later batches append under the table's declared schema rules
   *    (additive evolution applies between restarts, same as any
   *    writer).
+  *  - Option `branch` stages every micro-batch onto a WAP branch
+  *    instead of main (Iceberg's `spark.wap.branch` workflow): main
+  *    readers never observe the stream until an auditor
+  *    [[graft.warehouse.GraftTable.publishBranch]]es the staged
+  *    commits as ONE atomic main commit. The replay probe checks the
+  *    branch log AND main (publish carries the staged markers), so a
+  *    crash-replay arriving after publish+drop still no-ops. The
+  *    table and branch must exist before streaming starts.
   *
   * Scale: the batch writes through the same clustered/partitioned
   * append path as every other writer (sort orders, hidden
@@ -72,20 +80,31 @@ final class GraftTableSinkProvider extends StreamSinkProvider {
       .getOrElse(throw new IllegalArgumentException(
         "graft streaming sink needs a checkpointLocation (or txnAppId) " +
           "to anchor its exactly-once transaction markers"))
+    val branch = opt("branch")
+    require(branch.isEmpty || outputMode != OutputMode.Complete(),
+      "graft table sink: Complete mode cannot stage onto a branch " +
+        "(branches stage appends; publish is the whole-view commit)")
     new GraftTableSink(Paths.get(path), appId,
-      complete = outputMode == OutputMode.Complete())
+      complete = outputMode == OutputMode.Complete(), branch = branch)
   }
 }
 
 final class GraftTableSink(dir: java.nio.file.Path, appId: String,
-    complete: Boolean) extends Sink {
+    complete: Boolean, branch: Option[String] = None) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
     val tableOpt = GraftTable.load(spark, dir, dir.getFileName.toString)
     // crash-replay probe BEFORE any work: a batchId at-or-below the
-    // table's last committed marker for this app already landed
-    if (tableOpt.exists(_.lastTxnBatch(appId).exists(_ >= batchId))) return
+    // last committed marker for this app already landed. Branch
+    // staging probes the branch log AND the main log (publishBranch
+    // carries staged markers into its one main commit, so a replay
+    // arriving after publish+drop still no-ops).
+    val committed = branch match {
+      case Some(b) => tableOpt.flatMap(_.lastTxnBatchBranch(b, appId))
+      case None => tableOpt.flatMap(_.lastTxnBatch(appId))
+    }
+    if (committed.exists(_ >= batchId)) return
     // the incoming DataFrame is streaming-flagged; rewrap its executed
     // rows as a batch DF (the standard V1-sink move) so the table's
     // plain write path plans it
@@ -93,16 +112,23 @@ final class GraftTableSink(dir: java.nio.file.Path, appId: String,
       data.queryExecution.toRdd, data.schema)
     val props = Map(GraftTable.TxnAppIdKey -> appId,
       GraftTable.TxnBatchKey -> batchId.toString)
-    tableOpt match {
-      case None =>
+    (tableOpt, branch) match {
+      case (None, Some(b)) => throw new IllegalStateException(
+        s"graft table sink: cannot stage onto branch '$b' of a table " +
+          s"that does not exist yet ($dir) — create the table (and the " +
+          "branch) before streaming into it")
+      case (None, None) =>
         if (batch.isEmpty) return // nothing to create a schema era from
         GraftTable.create(spark, dir, dir.getFileName.toString, batch, props)
         ()
-      case Some(t) =>
+      case (Some(t), Some(b)) =>
+        if (!batch.isEmpty) { t.appendBranch(b, batch, properties = props); () }
+      case (Some(t), None) =>
         if (complete) { t.replace(batch, properties = props); () }
         else if (!batch.isEmpty) { t.append(batch, properties = props); () }
     }
   }
 
-  override def toString: String = s"GraftTableSink($dir)"
+  override def toString: String =
+    s"GraftTableSink($dir${branch.map("@" + _).getOrElse("")})"
 }

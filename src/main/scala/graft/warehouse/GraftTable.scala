@@ -2580,7 +2580,8 @@ final class GraftTable private (
     * metadata-only — no copy), but the manifest commits to the BRANCH
     * sequence, so main readers cannot observe the rows. */
   def appendBranch(b: String, df: DataFrame, clusterBy: Seq[String] = Nil,
-      statsCols: Seq[String] = Nil): Snapshot = {
+      statsCols: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): Snapshot = {
     val parent = branchParent(b)
     val expected = schemaAsOf(Some(parent))
     require(compatible(expected, df.schema),
@@ -2599,7 +2600,21 @@ final class GraftTable private (
       finally listing.close()
     val wanted = (clusterBy ++ statsCols).distinct
     val stats = collectStats(commitDir, wanted)
-    new SnapshotLog(dir, Some(b)).commit("append", files, expected.json, stats)
+    new SnapshotLog(dir, Some(b)).commit("append", files, expected.json, stats,
+      properties = properties)
+  }
+
+  /** [[lastTxnBatch]] for a sink staging onto BRANCH `b` (the WAP
+    * streaming workflow): the branch's own staged markers win, and the
+    * MAIN log answers for batches whose branch was already published —
+    * [[publishBranch]] carries the staged markers into its one main
+    * commit, so a replay arriving after publish+drop still no-ops. */
+  def lastTxnBatchBranch(b: String, appId: String): Option[Long] = {
+    val staged = new SnapshotLog(dir, Some(b)).snapshots.flatMap(s =>
+      if (s.properties.get(GraftTable.TxnAppIdKey).contains(appId))
+        s.properties.get(GraftTable.TxnBatchKey).flatMap(_.toLongOption)
+      else None).maxOption
+    (staged.toSeq ++ lastTxnBatch(appId).toSeq).maxOption
   }
 
   /** The audit view: main as of the fork point plus every staged branch
@@ -2654,6 +2669,10 @@ final class GraftTable private (
     val snap = log.commit("publish",
       added.iterator().asScala.toSeq, schemaAsOf(Some(parent)).json, stats,
       expectedHead = Some(parent),
+      // staged streaming txn markers ride the publish (carry-keyed, one
+      // per appId): a sink replay arriving AFTER publish+drop probes
+      // the main log and still no-ops instead of re-staging
+      properties = carriedTxnMarkers(bsnaps),
       removedFiles = removed.iterator().asScala.toSeq)
     dropBranch(b)
     snap

@@ -606,6 +606,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(huge.map(_.sorted) == Seq(1L to 5L), s"huge budget: $huge")
   }
 
+  test("table streaming sink stages onto a WAP branch; replay no-ops across publish") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft-wapsinkin").toString
+    (4L to 6L).toDF("id").coalesce(1).write.mode("append").parquet(inDir)
+    (7L to 9L).toDF("id").coalesce(1).write.mode("append").parquet(inDir)
+    val outDir = Files.createTempDirectory("graft-wapsinkout").resolve("t")
+    val t = graft.warehouse.GraftTable.create(spark, outDir, "t",
+      (1L to 3L).toDF("id")).get
+    t.createBranch("audit")
+    val ckpt = Files.createTempDirectory("graft-wapckpt").toString
+    val sq = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .writeStream
+      .format(classOf[graft.streaming.GraftTableSinkProvider].getName)
+      .option("path", outDir.toString)
+      .option("branch", "audit")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    // main readers never saw the stream; the audit view has everything
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == (1L to 3L))
+    assert(t.readBranch("audit").select("id").as[Long].collect().sorted.toSeq
+      == (1L to 9L))
+    // audit passes: ONE atomic publish lands both staged micro-batches
+    val pub = t.publishBranch("audit")
+    assert(pub.operation == "publish")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == (1L to 9L))
+    // crash-replay AFTER publish+drop: the carried markers no-op it —
+    // no exception, no re-staging, head unmoved
+    val head = t.currentSnapshotId.get
+    val appId = graft.streaming.EventStreams.txnAppId(ckpt)
+    new graft.streaming.GraftTableSink(outDir, appId,
+      complete = false, branch = Some("audit"))
+      .addBatch(1L, (100L to 102L).toDF("id"))
+    assert(t.currentSnapshotId.get == head && t.branches.isEmpty)
+    assert(t.read().count() == 9)
+  }
+
   test("table streaming source: startingSnapshotId starts from a delta cut") {
     import spark.implicits._
     val whDir = Files.createTempDirectory("graft-srcstart")
