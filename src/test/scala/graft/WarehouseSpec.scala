@@ -1214,6 +1214,32 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.validate().isEmpty)
   }
 
+  test("overwriteWhere era-projects under rename and folds live tombstones") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 10L).map(i => (i, i * 10L)).toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.renameColumn("v", "w")
+    t.append(Seq((11L, 110L), (12L, 120L)).toDF("id", "w"))
+    t.deleteKeysMor(Seq(2L, 11L).toDF("id"))
+    // the overwrite probe and survivor rewrite must decode OLD-era
+    // files (written as 'v') under the head schema AND apply the live
+    // key tombstones to survivor selection — while the tombstones
+    // keep applying to untouched files afterwards
+    t.overwriteWhere($"id" >= 5L && $"id" <= 8L,
+      Seq((5L, 999L), (6L, 999L)).toDF("id", "w"))
+    val got = t.read().select("id", "w").as[(Long, Long)]
+      .collect().sorted.toSeq
+    val want = Seq((1L, 10L), (3L, 30L), (4L, 40L), (5L, 999L),
+      (6L, 999L), (9L, 90L), (10L, 100L), (12L, 120L))
+    assert(got == want, s"got $got")
+    // tombstones still live and still era-scoped: re-adding id=2 works
+    assert(t.liveEqDeletes().size == 1)
+    t.append(Seq((2L, 222L)).toDF("id", "w"))
+    assert(t.read().filter($"id" === 2L).select("w").as[Long]
+      .collect().toSeq == Seq(222L))
+    assert(t.validate().isEmpty)
+  }
+
   test("metaCount stays exact across checkpoint+expiry under pure position tombstones") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", (1L to 6L).map(i => (i, i * 10L)).toDF("id", "x"))
