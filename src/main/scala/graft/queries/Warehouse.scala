@@ -999,13 +999,18 @@ object Warehouse {
         d2.removedFiles.isEmpty && d2.deleteFiles.isEmpty
       // while tombstones are live: the refusal set (CoW DML left it in
       // r13 — q144 grades merge/deleteWhere materializing inline; the
-      // non-rewrite ops below still decline)
+      // non-rewrite ops below still decline) — and since r14 cloneTo
+      // CARRIES the live tombstones instead of refusing (hash-level
+      // equality of the clone's delete-applied read is the witness)
       val refusals =
         (try { t.rollbackTo(s1); false } // deletes in the window
          catch { case _: IllegalArgumentException => true }) &&
-        (try {
-          t.cloneTo(java.nio.file.Paths.get(Scratch.dir("run")), "x"); false
-        } catch { case _: IllegalArgumentException => true }) &&
+        {
+          val cl = t.cloneTo(
+            java.nio.file.Paths.get(Scratch.dir("run")).resolve("clx"), "clx")
+          cl.liveEqDeletes().size == t.liveEqDeletes().size &&
+            cl.read().count() == t.read().count()
+        } &&
         (try { t.changesSince(s1); false }
          catch { case _: graft.warehouse.HistoryExpiredException => true }) &&
         t.metaCount().isEmpty

@@ -287,7 +287,8 @@ final class GraftTable private (
     * [[checkpoint]] CARRIES live tombstones across the expiry
     * horizon, and [[rollbackTo]] works whenever the delete set is
     * unchanged between its cuts (all r13). Branch forks work live
-    * (WAP over tombstones, also r13); clone, schema evolution, and
+    * (WAP over tombstones, r13) and [[cloneTo]] CARRIES live
+    * tombstones into the clone (r14); schema evolution and
     * incremental/metadata readers still refuse
     * while tombstones are live — compact first ([[metaCount]] stays
     * exact under pure POSITION tombstones); [[GraftTable.diff]] stays
@@ -3002,11 +3003,19 @@ final class GraftTable private (
     * unlinks its own directory entries). Column stats and blooms ride
     * along (remapped to the clone's paths), so pruning works on the
     * clone immediately. The dev/test-fork tool next to [[createBranch]]
-    * (which stays within ONE table's history). Refuses live
-    * merge-on-read tombstones — compact first, a clone of the data
-    * files alone would resurrect deleted rows. */
+    * (which stays within ONE table's history).
+    *
+    * LIVE tombstones CARRY into the clone (since r14 — the checkpoint
+    * carry mechanics on the fresh log): key sidecars hard-link,
+    * predicate SQL rides the create commit, position sidecars REWRITE
+    * with the clone's remapped file names (O(positions), dangling
+    * entries pruned for free), and every cloned file records its
+    * tombstone-era sid so scoping is preserved verbatim. The create
+    * commit pins itself at the SOURCE's head id ([[SnapshotLog.commit]]
+    * `atLeastId`), so the clone's future appends land ABOVE every
+    * carried sid and escape the carried deletes by sequence — exactly
+    * as they would have on the source. */
   def cloneTo(dstDir: Path, newName: String): GraftTable = {
-    requireNoEqDeletes("cloneTo")
     val snaps = log.snapshots
     val head = snaps.lastOption.getOrElse(
       throw new IllegalStateException(s"table $name has no snapshots"))
@@ -3026,9 +3035,75 @@ final class GraftTable private (
       catch { case _: Exception => Files.copy(src, to) }
       dir.relativize(src).toString -> dst.dir.relativize(to).toString
     }
+    val mappedByOld = mapped.toMap
     val stats = mapped.flatMap { case (oldRel, newRel) =>
       statsByFile.get(oldRel).map(newRel -> _)
     }.toMap
+    // ---- live-tombstone carry (see scaladoc) -------------------------
+    val dels = log.eqDeletesOf(snaps, Some(head.snapshotId))
+    val bySid = snaps.map(s => s.snapshotId -> s).toMap
+    val props = scala.collection.mutable.Map.empty[String, String]
+    val cloneSidecars = Seq.newBuilder[String]
+    var cn = 0
+    def addCarry(v: String): Unit = {
+      props(SnapshotLog.CarryDelPrefix + cn) = v; cn += 1
+    }
+    dels.foreach {
+      case (sid, Tomb.Keys(abs)) =>
+        // key tuples reference no files — hard-link the sidecar as-is
+        val src = Paths.get(abs)
+        val to = commitDir.resolve(f"clone-eq-$cn%05d.parquet")
+        try Files.createLink(to, src)
+        catch { case _: Exception => Files.copy(src, to) }
+        val rel = dst.dir.relativize(to).toString
+        addCarry(s"$sid:K:$rel"); cloneSidecars += rel
+      case (sid, Tomb.Pred(sql)) => addCarry(s"$sid:P:$sql")
+      case (sid, Tomb.Pos(sidecars, files)) =>
+        // positions bind SOURCE-relative paths — rewrite the sidecar
+        // under the clone's names (inner join prunes dangling entries)
+        val remap = files.toSeq.sorted
+          .flatMap(f => mappedByOld.get(f).map(f -> _))
+        if (remap.nonEmpty) {
+          val mapDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(remap.map { case (o, n) =>
+              org.apache.spark.sql.Row(o, n) }, 1),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("file",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("__new",
+                org.apache.spark.sql.types.StringType))))
+          val outDir = commitDir.resolve(f"clone-pd-$cn%05d")
+          spark.read.parquet(sidecars: _*)
+            .join(org.apache.spark.sql.functions.broadcast(mapDf), "file")
+            .select(org.apache.spark.sql.functions.col("__new").as("file"),
+              org.apache.spark.sql.functions.col("pos"))
+            .coalesce(1)
+            .write.parquet(outDir.toString)
+          parquetFilesIn(outDir).foreach { p =>
+            val rel = dst.dir.relativize(p).toString
+            addCarry(s"$sid:O:$rel"); cloneSidecars += rel
+          }
+          remap.foreach { case (of, nf) =>
+            addCarry(s"$sid:F:$nf")
+            // counts re-keyed to the CLONE's file names so the clone's
+            // metadata COUNT stays exact under pure position tombstones
+            GraftTable.posCountOf(snaps, bySid, sid, of).foreach(n =>
+              props(SnapshotLog.PosCarryCountPrefix + s"$sid:$nf") =
+                n.toString)
+          }
+        } // all dangling ⇒ the tombstone is vacuous: nothing to carry
+    }
+    if (dels.nonEmpty) {
+      // tombstone-era sids remapped per cloned file: scoping verbatim
+      log.filesWithSnapOf(snaps, Some(head.snapshotId)).foreach {
+        case (abs, sid) =>
+          val oldRel = dir.relativize(Paths.get(abs)).toString
+          mappedByOld.get(oldRel).foreach { nf =>
+            props(GraftTable.TombSidPrefix + nf) =
+              GraftTable.tombSidOf(bySid, dir, abs, sid).toString
+          }
+      }
+    }
     // layout declarations travel: cloned files keep their (remapped)
     // partition entries above, and FUTURE clone appends keep both the
     // partition spec and the default sort order
@@ -3044,7 +3119,11 @@ final class GraftTable private (
     }
     if (Files.exists(sortOrderPath))
       Files.copy(sortOrderPath, dst.dir.resolve("sort_order.txt"))
-    dst.log.commit("create", mapped.map(_._2).sorted, head.schemaJson, stats)
+    dst.log.commit("create", mapped.map(_._2).sorted, head.schemaJson, stats,
+      deleteFiles = cloneSidecars.result().distinct.sorted,
+      properties = props.toMap,
+      // pin at the source head id: carried sids < every future commit
+      atLeastId = Some(head.snapshotId))
     dst
   }
 
@@ -3313,9 +3392,12 @@ object GraftTable {
   private[warehouse] def posCountOf(snaps: Seq[Snapshot],
       bySid: Map[Long, Snapshot], sid: Long, f: String): Option[Long] =
     bySid.get(sid)
+      .filter(_.properties.contains(SnapshotLog.PosCountPrefix + f))
       .flatMap(_.properties.get(SnapshotLog.PosCountPrefix + f))
       .orElse(snaps.reverseIterator
-        .filter(_.properties.contains(CheckpointKey))
+        // carriers only: metadata checkpoints and clone-create commits
+        .filter(_.properties.keys.exists(
+          _.startsWith(SnapshotLog.CarryDelPrefix)))
         .flatMap(_.properties.get(SnapshotLog.PosCarryCountPrefix + s"$sid:$f"))
         .nextOption())
       .flatMap(_.toLongOption)

@@ -551,12 +551,20 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
     * concurrent append landed in between — the conditional commit turns
     * that into a retryable [[java.util.ConcurrentModificationException]]
     * instead. */
+  /** `atLeastId` floors the allocated snapshot id (still head+1 when
+    * that is higher): a CLONE's create commit pins itself at the
+    * SOURCE's head id so the tombstone sids it carries stay strictly
+    * below every future commit of the fresh log — a clone starting at
+    * id 1 would let new appends land BELOW a carried delete's sid and
+    * be wrongly scoped by it. Id gaps before the floor are fine:
+    * incremental reads treat pre-first-id cuts as expired history. */
   def commit(operation: String, addedFiles: Seq[String], schemaJson: String,
       stats: Map[String, FileStat] = Map.empty,
       expectedHead: Option[Long] = None,
       removedFiles: Seq[String] = Nil,
       deleteFiles: Seq[String] = Nil,
-      properties: Map[String, String] = Map.empty): Snapshot = {
+      properties: Map[String, String] = Map.empty,
+      atLeastId: Option[Long] = None): Snapshot = {
     init()
     var attempt = 0
     while (attempt < 10000) {
@@ -565,7 +573,7 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
         if (head != e) throw new java.util.ConcurrentModificationException(
           s"snapshot head moved: expected $e, found $head")
       }
-      val id = head + 1
+      val id = math.max(head + 1, atLeastId.getOrElse(0L))
       val snap = Snapshot(id, System.currentTimeMillis(), operation,
         addedFiles, schemaJson, stats, removedFiles, deleteFiles, properties)
       val tmp = Files.createTempFile(snapDir, ".commit-", ".tmp")

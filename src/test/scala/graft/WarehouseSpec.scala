@@ -946,13 +946,11 @@ class WarehouseSpec extends AnyFunSuite {
     t.deleteKeysMor(Seq(4L, 7L).toDF("id"))
     assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 3L, 5L, 8L, 9L, 10L))
-    // guards: rollback-across-a-delete, clone, incremental + metadata
-    // readers refuse while tombstones are live (CoW DML materializes
-    // inline and WAP branches apply fork-cut tombstones since r13)
+    // guards: rollback-across-a-delete, incremental + metadata readers
+    // refuse while tombstones are live (CoW DML materializes inline
+    // and WAP branches apply fork-cut tombstones since r13; cloneTo
+    // CARRIES live tombstones since r14 — dedicated test)
     intercept[IllegalArgumentException] { t.rollbackTo(s1) }
-    intercept[IllegalArgumentException] {
-      t.cloneTo(java.nio.file.Files.createTempDirectory("graft-clx-"), "clx")
-    }
     intercept[graft.warehouse.HistoryExpiredException] { t.changesSince(s1) }
     assert(t.metaCount().isEmpty)
     // WAP under live tombstones: the branch audit view applies the
@@ -1445,6 +1443,54 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.log.snapshots.size == 1)
     assert(t.read().select("id").as[Long].collect().sorted.toSeq == pre)
     assert(t.validate().isEmpty)
+  }
+
+  test("cloneTo carries live tombstones: scoping verbatim, positions remapped, future appends escape") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 12L).map(i => (i, i * 10L)).toDF("id", "x"))
+    val t = c.loadTable("t")
+    t.compact(targetFiles = 4, clusterBy = Seq("id"), statsCols = Seq("id"))
+    t.deleteKeysMor(Seq(2L).toDF("id"))
+    t.append(Seq((2L, 222L)).toDF("id", "x")) // era: re-add stays visible
+    t.deleteWhereMor($"x" === 50L)
+    t.deletePosMor($"id" === 8L)
+    val want = t.read().select("id", "x").as[(Long, Long)].collect().sorted.toSeq
+    val srcHead = t.currentSnapshotId.get
+    val srcFiles = t.read().inputFiles.length
+    val dstDir = Files.createTempDirectory("graft-clonemor").resolve("u")
+    val u = t.cloneTo(dstDir, "u")
+    // content identical, tombstones LIVE in the clone, zero data rewritten
+    assert(u.read().select("id", "x").as[(Long, Long)].collect().sorted.toSeq
+      == want)
+    assert(u.liveEqDeletes().size == 3)
+    assert(u.read().inputFiles.length == srcFiles)
+    // pure-pos exactness travels: not here (key+pred live) — but the
+    // clone's create pins at the source head id so future appends
+    // ESCAPE the carried deletes by sequence
+    assert(u.currentSnapshotId.contains(srcHead))
+    u.append(Seq((50L, 50L)).toDF("id", "x")) // x=50 matches the carried pred!
+    assert(u.read().filter($"id" === 50L).count() == 1,
+      "a post-clone append fell inside a carried tombstone's era")
+    // the clone evolves independently; the source is untouched
+    u.deleteWhere($"id" === 1L)
+    assert(t.read().select("id", "x").as[(Long, Long)].collect().sorted.toSeq
+      == want)
+    assert(u.validate().isEmpty && t.validate().isEmpty)
+    // compact materializes the carried tombstones bit-identically
+    val pre = u.read().count()
+    u.compact(targetFiles = 2)
+    assert(u.liveEqDeletes().isEmpty && u.read().count() == pre)
+    // pure-position clone keeps the metadata-only COUNT exact
+    c.createTable("p", (1L to 9L).map(i => (i, i)).toDF("id", "x"))
+    val p = c.loadTable("p")
+    p.deletePosMor($"id" >= 7L)
+    assert(p.metaCount().contains(6L))
+    val pc = p.cloneTo(Files.createTempDirectory("graft-clonepos")
+      .resolve("pc"), "pc")
+    assert(pc.metaCount().contains(6L),
+      s"clone lost pos-count exactness: ${pc.metaCount()}")
+    assert(pc.read().select("id").as[Long].collect().sorted.toSeq ==
+      (1L to 6L))
   }
 
   test("merge-on-read deletes match null keys null-safely and respect multi-column keys") {
