@@ -287,9 +287,10 @@ final class GraftTable private (
     * [[checkpoint]] CARRIES live tombstones across the expiry
     * horizon, and [[rollbackTo]] works whenever the delete set is
     * unchanged between its cuts (all r13). Branch forks work live
-    * (WAP over tombstones, r13) and [[cloneTo]] CARRIES live
-    * tombstones into the clone (r14); schema evolution and
-    * incremental/metadata readers still refuse
+    * (WAP over tombstones, r13), [[cloneTo]] CARRIES live tombstones
+    * into the clone (r14), and ADDITIVE evolution ([[addColumns]])
+    * changes no bindings so it never refused; rename/widen/drop
+    * evolution and incremental/metadata readers still refuse
     * while tombstones are live — compact first ([[metaCount]] stays
     * exact under pure POSITION tombstones); [[GraftTable.diff]] stays
     * incremental across appends as long as the visible delete set is

@@ -984,6 +984,39 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.read().filter($"id" === 1L).select("v").as[String].head() == "x")
   }
 
+  test("additive evolution is safe under live tombstones; rename/widen/drop refuse") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val t = c.loadTable("t")
+    t.deleteKeysMor(Seq(2L).toDF("id"))
+    t.deleteWhereMor($"v" === "v5")
+    t.deletePosMor($"id" === 6L)
+    // addColumns changes no bindings: key sidecars, stored predicates,
+    // position files, and era scoping are all untouched
+    t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.LongType))))
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 4L), "tombstones lost across addColumns")
+    // era semantics hold for NEW-era appends: a re-added deleted key
+    // (and a row the stored predicate would match) stay visible
+    t.append(Seq((2L, "v5", 20L)).toDF("id", "v", "extra"))
+    assert(t.read().filter($"id" === 2L).count() == 1)
+    assert(t.liveEqDeletes().size == 3)
+    // the non-additive ops still refuse while tombstones are live
+    intercept[IllegalArgumentException] { t.renameColumn("v", "w") }
+    intercept[IllegalArgumentException] { t.dropColumn("extra") }
+    intercept[IllegalArgumentException] {
+      t.widenColumn("id", org.apache.spark.sql.types.DoubleType)
+    }
+    // compact materializes bit-identically under the evolved schema
+    val pre = t.read().select("id").as[Long].collect().sorted.toSeq
+    t.compact(targetFiles = 2)
+    assert(t.liveEqDeletes().isEmpty)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == pre)
+    assert(t.validate().isEmpty)
+  }
+
   test("CoW DML materializes live tombstones inline — no pre-compact required") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", (1L to 12L).map(i => (i, s"v$i")).toDF("id", "v"))
