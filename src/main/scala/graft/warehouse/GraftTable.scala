@@ -1667,13 +1667,43 @@ final class GraftTable private (
     }
   }
 
-  private def requireEvolvable(op: String): Unit = {
-    requireNoEqDeletes(op)
+  private def requireEvolvable(op: String): Unit =
     require(branches.isEmpty,
       s"$op on $name with open branch(es) ${branches.mkString(",")} " +
         "unsupported — the branch view is pinned to the fork-point " +
         "schema; publish or drop them first")
+
+  /** Column names every LIVE tombstone binds: key-sidecar columns
+    * (equality deletes anti-join by NAME), stored-predicate references
+    * (the SQL re-resolves by name at every read). Position tombstones
+    * bind files, not columns — they constrain nothing here. One footer
+    * read per key sidecar; O(live tombstones), only ever called from
+    * the (rare) evolution ops. */
+  private def tombstoneRefs(): Set[String] = {
+    val snaps = log.snapshots
+    log.eqDeletesOf(snaps, None).iterator.flatMap {
+      case (_, Tomb.Keys(abs)) =>
+        spark.read.parquet(abs).schema.fieldNames.toSeq
+      case (sid, Tomb.Pred(sql)) =>
+        val era = schemaAsOfIn(snaps, Some(sid))
+        emptyDf(era).filter(org.apache.spark.sql.functions.expr(sql))
+          .queryExecution.analyzed.collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition.references.map(_.name).toSeq
+          }.getOrElse(era.fieldNames.toSeq) // unresolvable ⇒ conservative
+      case (_, _: Tomb.Pos) => Nil
+    }.toSet
   }
+
+  /** Refuse `op` on `colName` while a live tombstone BINDS that column
+    * (rename would silently unbind the sidecar/predicate; widen would
+    * type-skew the anti-join; drop would orphan it). Evolution of
+    * UNREFERENCED columns proceeds with tombstones live — the r14
+    * narrowing of the old any-tombstone refusal. */
+  private def requireColumnUnbound(op: String, colName: String): Unit =
+    require(!tombstoneRefs().contains(colName),
+      s"$op of column '$colName' on $name while a live merge-on-read " +
+        "delete binds it — compact() to materialize the tombstones first")
 
   /** RENAME a column — metadata-only (the Iceberg field-id contract:
     * no data file is touched; old files keep the old physical name and
@@ -1691,6 +1721,7 @@ final class GraftTable private (
     * soundness is unaffected. */
   def renameColumn(oldName: String, newName: String): Snapshot = {
     requireEvolvable("renameColumn")
+    requireColumnUnbound("rename", oldName)
     val current = ensureFieldIds()
     val snaps = log.snapshots
     require(current.fieldNames.contains(oldName),
@@ -1739,6 +1770,7 @@ final class GraftTable private (
   def widenColumn(colName: String,
       to: org.apache.spark.sql.types.DataType): Snapshot = {
     requireEvolvable("widenColumn")
+    requireColumnUnbound("widen", colName)
     val current = ensureFieldIds()
     val f = current.fields.find(_.name == colName).getOrElse(
       throw new IllegalArgumentException(s"no column '$colName' in $name"))
@@ -1779,6 +1811,7 @@ final class GraftTable private (
     * order automatically. */
   def dropColumn(colName: String): Snapshot = {
     requireEvolvable("dropColumn")
+    requireColumnUnbound("drop", colName)
     val current = ensureFieldIds()
     require(current.fieldNames.contains(colName),
       s"no column '$colName' in $name")

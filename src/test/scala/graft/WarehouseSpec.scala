@@ -1003,9 +1003,11 @@ class WarehouseSpec extends AnyFunSuite {
     t.append(Seq((2L, "v5", 20L)).toDF("id", "v", "extra"))
     assert(t.read().filter($"id" === 2L).count() == 1)
     assert(t.liveEqDeletes().size == 3)
-    // the non-additive ops still refuse while tombstones are live
+    // the non-additive ops still refuse on TOMBSTONE-BOUND columns
+    // (id: key sidecar, v: stored predicate); unreferenced columns
+    // evolve freely — see the dedicated narrowing test
     intercept[IllegalArgumentException] { t.renameColumn("v", "w") }
-    intercept[IllegalArgumentException] { t.dropColumn("extra") }
+    intercept[IllegalArgumentException] { t.dropColumn("v") }
     intercept[IllegalArgumentException] {
       t.widenColumn("id", org.apache.spark.sql.types.DoubleType)
     }
@@ -1014,6 +1016,44 @@ class WarehouseSpec extends AnyFunSuite {
     t.compact(targetFiles = 2)
     assert(t.liveEqDeletes().isEmpty)
     assert(t.read().select("id").as[Long].collect().sorted.toSeq == pre)
+    assert(t.validate().isEmpty)
+  }
+
+  test("evolution narrows to tombstone-bound columns: unreferenced rename/widen/drop proceed") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t",
+      (1L to 8L).map(i => (i, s"v$i", i.toInt)).toDF("id", "v", "aux"))
+    val t = c.loadTable("t")
+    t.deleteKeysMor(Seq(2L).toDF("id"))          // binds 'id'
+    t.deleteWhereMor($"v" === "v5")              // binds 'v'
+    t.deletePosMor($"aux" === 7)                 // binds NO column
+    val want = Seq(1L, 3L, 4L, 6L, 8L)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == want)
+    // bound columns refuse with the precise message
+    intercept[IllegalArgumentException] { t.renameColumn("id", "key") }
+    intercept[IllegalArgumentException] { t.widenColumn("id",
+      org.apache.spark.sql.types.DoubleType) }
+    intercept[IllegalArgumentException] { t.dropColumn("v") }
+    // the UNREFERENCED column evolves freely — tombstones keep applying
+    t.renameColumn("aux", "aux2")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == want,
+      "tombstones lost across an unreferenced rename")
+    t.widenColumn("aux2", org.apache.spark.sql.types.LongType)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == want)
+    // era semantics intact after the evolution: re-adds stay visible
+    t.append(Seq((2L, "v5", 20L)).toDF("id", "v", "aux2"))
+    assert(t.read().filter($"id" === 2L).count() == 1)
+    assert(t.liveEqDeletes().size == 3)
+    t.dropColumn("aux2")
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      (want :+ 2L).sorted)
+    // compact materializes bit-identically under the evolved schema
+    val pre = t.read().select("id", "v").as[(Long, String)]
+      .collect().sorted.toSeq
+    t.compact(targetFiles = 2)
+    assert(t.liveEqDeletes().isEmpty)
+    assert(t.read().select("id", "v").as[(Long, String)]
+      .collect().sorted.toSeq == pre)
     assert(t.validate().isEmpty)
   }
 
