@@ -290,8 +290,10 @@ final class GraftTable private (
     * (WAP over tombstones, r13), [[cloneTo]] CARRIES live tombstones
     * into the clone (r14), and ADDITIVE evolution ([[addColumns]])
     * changes no bindings so it never refused; rename/widen/drop
-    * evolution and incremental/metadata readers still refuse
-    * while tombstones are live — compact first ([[metaCount]] stays
+    * refuse only for columns a live tombstone BINDS (key-sidecar
+    * fields, stored-predicate references — r14), and incremental/
+    * metadata readers still refuse while tombstones are live —
+    * compact first ([[metaCount]] stays
     * exact under pure POSITION tombstones); [[GraftTable.diff]] stays
     * incremental across appends as long as the visible delete set is
     * unchanged between its cuts. */
