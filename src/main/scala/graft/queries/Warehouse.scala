@@ -1871,6 +1871,76 @@ object Warehouse {
         .select(col("o_orderkey"), col("amount"))
         .withColumn("evolve_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q156: per-commit CHANGE FEED (Delta CDF / Iceberg changelog)
+    // r14. diff (q92-adjacent) nets two cuts and REFUSES across MOR
+    // deletes; changeFeed walks the commits: every row change carries
+    // its _commit_snapshot_id + _change_type, MOR deletes surface as
+    // the delete events they are, and a merge's delete+insert of the
+    // same key pairs into update_preimage/update_postimage via the
+    // keys the commit recorded (GraftTable.DmlKeysKey). Changes derive
+    // at read time from committed file sets + tombstones — no
+    // write-time CDC sidecars (the Iceberg changelog design), cost
+    // O(each commit's affected files). The rig: create (k≡0 mod 3) →
+    // append (k≡1) → one merge doubling k≡0-mod-6 AND inserting the
+    // k≡2 slice → deleteWhereMor (k≡3 mod 7) → deleteKeysMor (k≡5 mod
+    // 11, keys drawn from ALL orders so already-dead keys must not
+    // re-report) → compact (must stay SILENT in the feed). The oracle
+    // rebuilds all five commits' change sets declaratively; the
+    // witness pins zero-data-file MOR deletes, a present-but-silent
+    // compact, and update pairing actually driven by the recorded key.
+    Q("q156_change_feed",
+      """WITH o AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS p
+        |           FROM orders)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS sid, 'insert' AS ctype,
+        |         k AS o_orderkey, p AS price, TRUE AS feed_ok
+        |  FROM o WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT 2, 'insert', k, p, TRUE FROM o WHERE k % 3 = 1
+        |  UNION ALL
+        |  SELECT 3, 'update_preimage', k, p, TRUE FROM o WHERE k % 6 = 0
+        |  UNION ALL
+        |  SELECT 3, 'update_postimage', k, round(p * 2, 2), TRUE
+        |  FROM o WHERE k % 6 = 0
+        |  UNION ALL
+        |  SELECT 3, 'insert', k, p, TRUE FROM o WHERE k % 3 = 2
+        |  UNION ALL
+        |  SELECT 4, 'delete', k,
+        |         CASE WHEN k % 6 = 0 THEN round(p * 2, 2) ELSE p END, TRUE
+        |  FROM o WHERE k % 7 = 3
+        |  UNION ALL
+        |  SELECT 5, 'delete', k,
+        |         CASE WHEN k % 6 = 0 THEN round(p * 2, 2) ELSE p END, TRUE
+        |  FROM o WHERE k % 11 = 5 AND k % 7 <> 3
+        |) ORDER BY sid, ctype, o_orderkey""".stripMargin) { (s, d) =>
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val wh = java.nio.file.Paths.get(Scratch.dir("run"))
+      val t = graft.warehouse.GraftTable.create(s, wh.resolve("orders_cf"),
+        "orders_cf", orders.filter(col("o_orderkey") % 3 === 0)).get // s1
+      t.append(orders.filter(col("o_orderkey") % 3 === 1))           // s2
+      val incoming = orders.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("price", round(col("price") * 2, 2))
+        .unionByName(orders.filter(col("o_orderkey") % 3 === 2))
+      val m = t.merge(incoming, Seq("o_orderkey"),
+        whenMatchedDelete = lit(false))                              // s3
+      val d1 = t.deleteWhereMor(col("o_orderkey") % 7 === 3)         // s4
+      val d2 = t.deleteKeysMor(                                      // s5
+        orders.filter(col("o_orderkey") % 11 === 5).select("o_orderkey"))
+      t.compact()                                                    // s6
+      val witness =
+        d1.addedFiles.isEmpty && d1.deleteFiles.isEmpty && // zero files
+        d2.addedFiles.isEmpty &&                           // sidecar only
+        m.properties.get(graft.warehouse.GraftTable.DmlKeysKey)
+          .contains("o_orderkey") &&                       // pairing key
+        t.log.snapshots.exists(_.operation == "compact")   // silent commit
+      t.changeFeed(0L)
+        .select(col("_commit_snapshot_id").as("sid"),
+          col("_change_type").as("ctype"), col("o_orderkey"), col("price"))
+        .withColumn("feed_ok", lit(witness))
+        .orderBy("sid", "ctype", "o_orderkey")
     })
 
   def queries: Seq[Q] = ql

@@ -1226,9 +1226,15 @@ final class GraftTable private (
       val stats = mergeBlooms(commitDir, statsP,
         inheritedBlooms.filter(schema.fieldNames.contains))
       try {
+        // record the merge keys so changeFeed can pair this commit's
+        // delete+insert rows into update pre/post images; ours second
+        // so a colliding caller property cannot shadow the real keys
+        val props =
+          if (keyCols.exists(_.contains(","))) properties
+          else properties + (GraftTable.DmlKeysKey -> keyCols.mkString(","))
         return log.commit("merge", files, base.schemaJson, stats,
           expectedHead = Some(base.snapshotId), removedFiles = affected,
-          properties = properties)
+          properties = props)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           val walk = Files.walk(commitDir)
@@ -2856,6 +2862,224 @@ final class GraftTable private (
         removed.exceptAll(added).withColumn("_change_type", lit("delete")))
   }
 
+  /** PER-COMMIT row-level change feed over `(fromId, toId]` — the
+    * Delta CDF / Iceberg changelog-view shape (`table_changes` /
+    * `create_changelog_view`): every row change each commit in the
+    * window introduced, tagged `_change_type` ∈ {`insert`, `delete`,
+    * `update_preimage`, `update_postimage`} plus
+    * `_commit_snapshot_id`/`_commit_timestamp` attribution.
+    *
+    * Unlike [[diff]] (net file-set difference between two cuts,
+    * refuses to cross a merge-on-read delete) the feed WALKS the
+    * commits, so it attributes each change to its commit, reports
+    * MOR deletes as the delete events they are, and pairs a merge's
+    * delete+insert of the same key into update pre/post images (keys
+    * from the commit's recorded [[GraftTable.DmlKeysKey]]; commits
+    * without recorded keys — deleteWhere, overwriteWhere, replace —
+    * report plain delete+insert, exactly Delta's CDF for those ops).
+    * Changes are DERIVED at read time from the committed file sets
+    * and tombstones — no write-time CDC sidecars, zero write-path
+    * cost (the Iceberg changelog design, vs Delta's materialized
+    * `_change_data` files).
+    *
+    * Per-commit read cost, the 100-TB posture:
+    *  - append/create/publish: the commit's own added files — O(delta).
+    *  - CoW merge/delete/overwrite/rollback: the commit's added +
+    *    removed files (both sides of its rewrite) — O(affected), the
+    *    same set the DML itself touched; the multiset `exceptAll`
+    *    cancels survivor rows that merely moved files.
+    *  - MOR key delete: the visible set STAT-PRUNED by the key
+    *    sidecar's per-column ranges (one tiny driver aggregate over
+    *    the sidecar — clustered tables skip most files), then one
+    *    semi-join; NULL-keyed or non-range-typed sidecars scan
+    *    unpruned (range pruning would be unsound — same rule as the
+    *    merge probe).
+    *  - MOR predicate delete: one filtered scan of the visible set
+    *    (the predicate's hit set is unknowable from metadata —
+    *    inherent, and what the original DELETE WHERE avoided paying
+    *    is paid here by the feed consumer instead).
+    *  - position delete: only the NAMED files, semi-joined with the
+    *    sidecar positions — O(named).
+    *  - replace: the full before+after sets (a whole-table overwrite
+    *    IS a whole-table change).
+    *  - evolve/compact/binpack/posrewrite/checkpoint: no logical row
+    *    changed — zero rows, zero reads.
+    *
+    * All rows are era-projected to the `toId` schema (Delta reads CDF
+    * under the latest schema the same way): a column dropped inside
+    * the window is absent from earlier change rows too. Expired cuts
+    * refuse ([[HistoryExpiredException]]); an unknown operation kind
+    * refuses rather than silently skipping. */
+  def changeFeed(fromId: Long, toId: Long = Long.MaxValue): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit,
+      max => fmax, min => fmin, sum => fsum, when => fwhen}
+    val snaps = log.snapshots
+    val head = snaps.lastOption.map(_.snapshotId).getOrElse(
+      throw new IllegalStateException(s"table $name has no snapshots"))
+    val to = if (toId == Long.MaxValue) head else toId
+    require(to >= fromId, s"changeFeed range reversed: ($fromId, $to]")
+    require(to <= head, s"snapshot $to of $name does not exist (head is $head)")
+    def requireRetained(id: Long, side: String): Unit =
+      if (id > 0 && !snaps.exists(_.snapshotId == id))
+        throw new HistoryExpiredException(
+          s"snapshot $id of $name expired — change feed $side unknowable")
+    requireRetained(fromId, "base")
+    requireRetained(to, "target")
+    val sch = schemaAsOfIn(snaps, Some(to))
+    def relOf(abs: String): String = dir.relativize(Paths.get(abs)).toString
+    def stamp(df: DataFrame, s: Snapshot): DataFrame =
+      df.withColumn("_commit_snapshot_id", lit(s.snapshotId))
+        .withColumn("_commit_timestamp",
+          lit(new java.sql.Timestamp(s.timestampMs)))
+    // ----- CoW commits (and plain adds): file-set diff of ONE commit
+    // s's added files as visible AT CUT s: readWithDeletes applies the
+    // tombstones live at s era-scoped, so a rollback's re-added old
+    // files stay inside their original tombstones' scope (via their
+    // inherited tombSids) while fresh CoW/append files — postdating
+    // every live delete — read raw at zero anti-join cost
+    def visAdded(s: Snapshot): DataFrame = {
+      val addedSet = s.addedFiles.toSet
+      val fs = log.filesWithSnapOf(snaps, Some(s.snapshotId))
+        .filter { case (a, _) => addedSet.contains(relOf(a)) }
+      readWithDeletes(fs, log.eqDeletesOf(snaps, Some(s.snapshotId)), sch, snaps)
+    }
+    // s's removed files as visible at the PREVIOUS cut (delete-applied:
+    // rows already dead under a live tombstone must not resurface as
+    // phantom deletes when their file is rewritten)
+    def visRemoved(s: Snapshot, prevId: Long): DataFrame = {
+      val remSet = s.removedFiles.toSet
+      val fs = log.filesWithSnapOf(snaps, Some(prevId))
+        .filter { case (a, _) => remSet.contains(relOf(a)) }
+      readWithDeletes(fs, log.eqDeletesOf(snaps, Some(prevId)), sch, snaps)
+    }
+    // pair a rewrite's delete+insert rows sharing a recorded merge key
+    // into update pre/post images; unpaired rows stay delete/insert
+    def paired(dels: DataFrame, ins: DataFrame, s: Snapshot): DataFrame = {
+      val ks = s.properties.get(GraftTable.DmlKeysKey)
+        .map(_.split(',').toSeq.filter(_.nonEmpty))
+        .filter(k => k.nonEmpty && k.forall(sch.fieldNames.contains))
+      ks match {
+        case None =>
+          dels.withColumn("_change_type", lit("delete"))
+            .unionByName(ins.withColumn("_change_type", lit("insert")))
+        case Some(keys) =>
+          val iK = ins.select(keys.map(c => col(c).as(s"__cfk_$c")): _*)
+            .distinct()
+          val dK = dels.select(keys.map(c => col(c).as(s"__cfk_$c")): _*)
+            .distinct()
+          def jc(l: DataFrame, r: DataFrame) =
+            keys.map(c => l(c) <=> r(s"__cfk_$c")).reduce(_ && _)
+          dels.join(iK, jc(dels, iK), "left_semi")
+            .withColumn("_change_type", lit("update_preimage"))
+            .unionByName(dels.join(iK, jc(dels, iK), "left_anti")
+              .withColumn("_change_type", lit("delete")))
+            .unionByName(ins.join(dK, jc(ins, dK), "left_semi")
+              .withColumn("_change_type", lit("update_postimage")))
+            .unionByName(ins.join(dK, jc(ins, dK), "left_anti")
+              .withColumn("_change_type", lit("insert")))
+      }
+    }
+    def cowChanges(s: Snapshot, prevId: Long): Option[DataFrame] = {
+      val df = (s.addedFiles.nonEmpty, s.removedFiles.nonEmpty) match {
+        case (true, false) => visAdded(s).withColumn("_change_type", lit("insert"))
+        case (false, true) =>
+          visRemoved(s, prevId).withColumn("_change_type", lit("delete"))
+        case (true, true) =>
+          val i = visAdded(s); val d = visRemoved(s, prevId)
+          paired(d.exceptAll(i), i.exceptAll(d), s)
+        case (false, false) => return None
+      }
+      Some(stamp(df, s))
+    }
+    // ----- MOR delete commits: the rows the tombstone killed
+    def killedBy(s: Snapshot): Option[DataFrame] = {
+      val delsAtS = log.eqDeletesOf(snaps, Some(s.snapshotId))
+      val mine = delsAtS.filter(_._1 == s.snapshotId).map(_._2)
+      if (mine.isEmpty) return None
+      val priorDels = delsAtS.filterNot(_._1 == s.snapshotId)
+      val files = log.filesWithSnapOf(snaps, Some(s.snapshotId))
+      lazy val statsByFile = snaps.flatMap(_.stats).toMap
+      // alive-at-commit-time rows of `fs`: prior tombstones applied,
+      // this commit's own NOT — exactly the set its delete selects from
+      def aliveAt(fs: Seq[(String, Long)]): DataFrame =
+        readWithDeletes(fs, priorDels, sch, snaps)
+      // stat-range prune the visible set by the sidecar's per-column
+      // bounds — sound only for range-typed, NULL-free key columns
+      // (stats skip nulls; same guard as the merge probe)
+      def pruneByKeys(kd: DataFrame): Seq[(String, Long)] = {
+        val cols = kd.schema.fields.toSeq
+        val rangeable = cols.forall(f => f.dataType match {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => true
+          case _ => false
+        })
+        if (!rangeable) return files
+        val aggs = cols.flatMap(f => Seq(fmin(col(f.name)), fmax(col(f.name)),
+          fsum(fwhen(col(f.name).isNull, 1L).otherwise(0L))))
+        val r = kd.agg(aggs.head, aggs.tail: _*).collect().head
+        val bounds = cols.indices.map(i => (r.get(i * 3), r.get(i * 3 + 1),
+          if (r.isNullAt(i * 3 + 2)) 0L else r.getLong(i * 3 + 2)))
+        if (bounds.exists(b => b._1 == null || b._3 > 0)) return files
+        files.filter { case (a, _) =>
+          statsByFile.get(relOf(a)).forall(st =>
+            cols.indices.forall(i => st.mayContain(cols(i).name,
+              Some(bounds(i)._1), Some(bounds(i)._2))))
+        }
+      }
+      val parts = mine.map {
+        case Tomb.Keys(p) =>
+          val kd = spark.read.parquet(p)
+          val names = kd.columns.toSeq
+          val kAl = kd.select(names.map(c => col(c).as(s"__cfk_$c")): _*)
+          val src = aliveAt(pruneByKeys(kd))
+          src.join(kAl,
+            names.map(c => src(c) <=> kAl(s"__cfk_$c")).reduce(_ && _),
+            "left_semi")
+        case Tomb.Pred(sql) =>
+          // DELETE WHERE kills rows where the predicate is TRUE (NULL
+          // keeps) — mirror of readWithDeletes' survivor filter
+          aliveAt(files).filter(coalesce(expr(sql), lit(false)))
+        case Tomb.Pos(sidecars, namedRels) =>
+          // positions were probed delete-applied, so they address
+          // exactly-live rows: no prior-tombstone application needed
+          val sidecarDf = spark.read.parquet(sidecars: _*)
+          files.filter { case (a, _) => namedRels.contains(relOf(a)) }
+            .map { case (a, sid) =>
+              val one =
+                readFilesProjected(Seq((a, sid)), snaps, sch, Some("__cf_pos"))
+              val dead = sidecarDf.filter(col("file") === relOf(a))
+                .select(col("pos").cast("long").as("__cf_pos"))
+              one.join(dead, Seq("__cf_pos"), "left_semi").drop("__cf_pos")
+            }.reduceOption(_ unionByName _).getOrElse(emptyDf(sch))
+      }
+      Some(stamp(parts.reduce(_ unionByName _)
+        .withColumn("_change_type", lit("delete")), s))
+    }
+    val window = snaps.filter(s => s.snapshotId > fromId && s.snapshotId <= to)
+    val parts = window.flatMap { s =>
+      val idx = snaps.indexWhere(_.snapshotId == s.snapshotId)
+      val prevId = if (idx > 0) snaps(idx - 1).snapshotId else 0L
+      s.operation match {
+        case "create" | "append" | "publish" | "merge" | "delete" |
+             "overwrite" | "replace" | "rollback" => cowChanges(s, prevId)
+        case "eqdelete" | "posdelete" => killedBy(s)
+        // logical no-ops: schema/layout maintenance moved or re-listed
+        // bytes but changed no visible row
+        case "evolve" | "compact" | "rewrite" | "posrewrite" => None
+        case other => throw new IllegalStateException(
+          s"changeFeed of $name: unknown operation '$other' at snapshot " +
+            s"${s.snapshotId} — refusing to silently skip")
+      }
+    }
+    if (parts.isEmpty)
+      emptyDf(sch)
+        .withColumn("_change_type", lit(null).cast("string"))
+        .withColumn("_commit_snapshot_id", lit(null).cast("long"))
+        .withColumn("_commit_timestamp", lit(null).cast("timestamp"))
+    else parts.reduce(_ unionByName _)
+  }
+
   /** Planning-time file pruning: read only the files whose recorded
     * [min, max] for `column` intersects [lower, upper] (both bounds
     * inclusive, either optional). Files without stats are read
@@ -3358,6 +3582,14 @@ object GraftTable {
   final case class MaintainReport(binpacked: Boolean, posMerged: Boolean,
       expired: Boolean, expireRefusal: Option[String],
       orphansRemoved: Seq[String])
+
+  /** Snapshot-property key recording a MERGE/upsert commit's key
+    * columns (comma-joined) — [[GraftTable.changeFeed]] pairs that
+    * commit's delete+insert rows sharing a key into
+    * `update_preimage`/`update_postimage` (the Delta CDF shape).
+    * Absent (pre-r14 commits, or a key column name containing a
+    * comma) ⇒ the feed reports plain delete+insert, still correct. */
+  val DmlKeysKey = "graft.dml.keys"
 
   /** Snapshot-property keys of the streaming-sink transaction markers
     * (see [[GraftTable.lastTxnBatch]]). */
