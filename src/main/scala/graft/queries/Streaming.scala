@@ -906,6 +906,89 @@ object Streaming {
         staged == 2 && pub.operation == "publish" && replayOk
       t.read().withColumn("wap_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q157: STREAMING change-data-feed consumption ----------------
+    // r14. q145's append-only stream FAILS on any commit that rewrites
+    // or deletes rows (changesSince refuses — correct but terminal:
+    // the consumer must full-re-sync). With `readChangeFeed` the same
+    // source delivers every commit as its per-commit row-level change
+    // set (GraftTable.changeFeed): updates arrive as pre/post image
+    // pairs, MOR deletes as delete rows, so a downstream mirror or
+    // incremental aggregate can follow DML without ever re-reading the
+    // table — Delta's CDF stream shape. The rig streams from
+    // startingSnapshotId=1 (the consumer declares it holds the create
+    // slice) across an append, a keyed merge doubling k≡0-mod-10, and
+    // a predicate MOR delete; maxSnapshotsPerBatch=1 forces one source
+    // commit per micro-batch. Witnesses: exactly 3 non-empty batches,
+    // each covering EXACTLY ONE commit id; an idle restart delivers
+    // zero rows; the MOR delete wrote zero data files yet arrived as
+    // real delete rows.
+    Q("q157_cdf_stream",
+      """WITH o AS (SELECT o_orderkey AS k, round(o_totalprice, 2) AS p
+        |           FROM orders)
+        |SELECT * FROM (
+        |  SELECT CAST(2 AS BIGINT) AS sid, 'insert' AS ctype,
+        |         k AS o_orderkey, p AS price, TRUE AS cdf_ok
+        |  FROM o WHERE k % 2 = 1
+        |  UNION ALL
+        |  SELECT 3, 'update_preimage', k, p, TRUE FROM o WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT 3, 'update_postimage', k, round(p * 2, 2), TRUE
+        |  FROM o WHERE k % 10 = 0
+        |  UNION ALL
+        |  SELECT 4, 'delete', k,
+        |         CASE WHEN k % 10 = 0 THEN round(p * 2, 2) ELSE p END, TRUE
+        |  FROM o WHERE k % 3 = 1
+        |) ORDER BY sid, ctype, o_orderkey""".stripMargin) { (s, d) =>
+      val wh = java.nio.file.Paths.get(Scratch.dir("q157_wh"))
+      val orders = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val t = graft.warehouse.GraftTable.create(s, wh.resolve("orders_cdf"),
+        "orders_cdf", orders.filter(col("o_orderkey") % 2 === 0)).get // s1
+      t.append(orders.filter(col("o_orderkey") % 2 === 1))            // s2
+      val m = t.merge(orders.filter(col("o_orderkey") % 10 === 0)     // s3
+          .withColumn("price", round(col("price") * 2, 2)),
+        Seq("o_orderkey"), whenMatchedDelete = lit(false))
+      val d1 = t.deleteWhereMor(col("o_orderkey") % 3 === 1)          // s4
+      val ckpt = Scratch.dir("q157_ckpt")
+      val outDir = Scratch.dir("q157_out")
+      val batches = new java.util.concurrent.atomic.AtomicLong()
+      val oneSidPerBatch = new java.util.concurrent.atomic.AtomicBoolean(true)
+      def runStream(): Long = {
+        batches.set(0L)
+        withShufflePartitions(s, 8) {
+          val sq = s.readStream
+            .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+            .option("path", wh.resolve("orders_cdf").toString)
+            .option("maxSnapshotsPerBatch", "1")
+            .option("startingSnapshotId", "1")
+            .option("readChangeFeed", "true")
+            .load()
+            .writeStream
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              val sids = b.select("_commit_snapshot_id").distinct().count()
+              if (sids > 1) oneSidPerBatch.set(false)
+              if (sids > 0) batches.incrementAndGet()
+              b.write.mode("append").parquet(outDir): Unit
+            }
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          sq.awaitTermination()
+        }
+        batches.get()
+      }
+      val b1 = runStream() // s2/s3/s4, one commit per batch
+      val b2 = runStream() // idle restart: nothing re-delivered
+      val witness = b1 == 3 && b2 == 0 && oneSidPerBatch.get() &&
+        d1.addedFiles.isEmpty && d1.deleteFiles.isEmpty &&
+        m.properties.contains(graft.warehouse.GraftTable.DmlKeysKey)
+      s.read.parquet(outDir)
+        .select(col("_commit_snapshot_id").as("sid"),
+          col("_change_type").as("ctype"), col("o_orderkey"), col("price"))
+        .withColumn("cdf_ok", lit(witness))
+        .orderBy("sid", "ctype", "o_orderkey")
     })
 
   def queries: Seq[Q] = ql

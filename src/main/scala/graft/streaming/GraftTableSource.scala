@@ -59,6 +59,17 @@ import graft.warehouse.GraftTable
   *    (min wins), the minimum admission is always one commit, and a
   *    commit with unrecorded sizes ends its batch rather than
   *    silently overrunning the budget.
+  *  - `readChangeFeed` (Delta's CDF stream): batches are the
+  *    PER-COMMIT row-level change feed ([[GraftTable.changeFeed]]) —
+  *    table columns plus `_change_type`/`_commit_snapshot_id`/
+  *    `_commit_timestamp` — so the stream FLOWS THROUGH
+  *    merge/delete/overwrite/MOR-delete commits as tagged change rows
+  *    instead of failing, and a downstream consumer can maintain a
+  *    mirror or an incremental aggregate from updates and deletes,
+  *    not just appends. The initial snapshot (no `startingSnapshotId`)
+  *    arrives as one batch of `insert` rows attributed to the pinned
+  *    snapshot; maintenance commits (compact/binpack/checkpoint)
+  *    contribute zero rows.
   *
   * Scale: offset resolution and file planning are O(manifest)
   * driver-side; the data path is the same pruned vectorized parquet
@@ -75,10 +86,16 @@ final class GraftTableSourceProvider extends StreamSourceProvider {
         s"no graft table at $path"))
   }
 
+  private def cdfOf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    ("graft-table", schema.getOrElse(load(sqlContext, parameters).schema))
+    ("graft-table", schema.getOrElse {
+      val base = load(sqlContext, parameters).schema
+      if (cdfOf(parameters)) GraftTableSource.cdfSchema(base) else base
+    })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -89,7 +106,19 @@ final class GraftTableSourceProvider extends StreamSourceProvider {
     maxBytes.foreach(m => require(m > 0, "maxBytesPerBatch must be > 0"))
     val startAt = parameters.get("startingSnapshotId").map(_.toLong)
     new GraftTableSource(sqlContext, load(sqlContext, parameters),
-      maxSnaps, maxBytes, startAt)
+      maxSnaps, maxBytes, startAt, cdfOf(parameters))
+  }
+}
+
+object GraftTableSource {
+  /** The CDF stream schema: table columns + the change-attribution
+    * triplet [[graft.warehouse.GraftTable.changeFeed]] emits. */
+  def cdfSchema(base: StructType): StructType = {
+    import org.apache.spark.sql.types._
+    StructType(base.fields ++ Seq(
+      StructField("_change_type", StringType),
+      StructField("_commit_snapshot_id", LongType),
+      StructField("_commit_timestamp", TimestampType)))
   }
 }
 
@@ -103,14 +132,17 @@ final class GraftTableSource(
     table: GraftTable,
     maxSnapshotsPerBatch: Option[Long],
     maxBytesPerBatch: Option[Long] = None,
-    startingSnapshotId: Option[Long] = None)
+    startingSnapshotId: Option[Long] = None,
+    readChangeFeed: Boolean = false)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => OffsetV2}
 
-  override val schema: StructType = table.schema
+  override val schema: StructType =
+    if (readChangeFeed) GraftTableSource.cdfSchema(table.schema)
+    else table.schema
 
   /** Head captured at `Trigger.AvailableNow` start: the run processes
     * up to here (in maxSnapshotsPerBatch-bounded batches) and stops,
@@ -198,8 +230,20 @@ final class GraftTableSource(
     val spark = sqlContext.sparkSession
     val df0 = start.map(idOf).orElse(startingSnapshotId) match {
       // fresh checkpoint, no starting cut: the initial snapshot,
-      // pinned at the batch end
-      case None => table.read(Some(endId))
+      // pinned at the batch end — under readChangeFeed it is delivered
+      // as one batch of `insert` rows attributed to the pinned
+      // snapshot (Delta CDF's initial-snapshot behavior)
+      case None =>
+        val base = table.read(Some(endId))
+        if (!readChangeFeed) base
+        else {
+          val ts = table.log.snapshots.filter(_.snapshotId <= endId)
+            .lastOption.map(_.timestampMs).getOrElse(0L)
+          base.withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_snapshot_id", lit(endId))
+            .withColumn("_commit_timestamp",
+              lit(new java.sql.Timestamp(ts)))
+        }
       // fresh checkpoint WITH startingSnapshotId (Delta's
       // startingVersion): the first batch is already a delta — the
       // consumer declared it has the table's state at that cut
@@ -207,6 +251,11 @@ final class GraftTableSource(
         if (sinceId >= endId)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        // readChangeFeed: the per-commit row-level feed — unlike
+        // changesSince it FLOWS THROUGH merge/delete/overwrite/MOR
+        // commits, reporting them as tagged change rows instead of
+        // failing the stream (Delta's CDF stream shape)
+        else if (readChangeFeed) table.changeFeed(sinceId, endId)
         else table.changesSince(sinceId, endId)
     }
     // bind to the CAPTURED source schema: additive evolution mid-stream

@@ -507,6 +507,55 @@ class StreamingSpec extends AnyFunSuite {
       s"expected HistoryExpiredException, got $failed")
   }
 
+  test("table streaming source: readChangeFeed flows through DML as tagged change rows") {
+    import spark.implicits._
+    val whDir = Files.createTempDirectory("graft-cdfsrc")
+    val t = graft.warehouse.GraftTable.create(spark,
+      whDir.resolve("t"), "t",
+      (1L to 4L).map(i => (i, i * 10)).toDF("id", "price")).get // s1
+    val ckpt = Files.createTempDirectory("graft-cdfckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, String, Long)]]
+    def run(): Unit = {
+      val sq = spark.readStream
+        .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+        .option("path", whDir.resolve("t").toString)
+        .option("maxSnapshotsPerBatch", "1")
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.select("_commit_snapshot_id", "_change_type", "id")
+            .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2, r._3)).toSeq
+          seen.synchronized { seen += rows }: Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination()
+    }
+    run() // initial snapshot: all rows as inserts attributed to s1
+    assert(seen.flatten.toSet ==
+      (1L to 4L).map(i => (1L, "insert", i)).toSet, s"initial: $seen")
+    // DML storm the append-only source would refuse: the CDF stream
+    // must deliver each commit as its tagged change rows
+    t.append(Seq((5L, 50L)).toDF("id", "price"))                    // s2
+    t.upsert(Seq((1L, 11L)).toDF("id", "price"), Seq("id"))         // s3
+    t.deleteKeysMor(Seq(2L).toDF("id"))                             // s4
+    t.compact()                                                     // s5
+    seen.clear()
+    run()
+    assert(seen.flatten.toSet == Set(
+      (2L, "insert", 5L),
+      (3L, "update_preimage", 1L), (3L, "update_postimage", 1L),
+      (4L, "delete", 2L)), s"delta run: $seen")
+    // one commit per micro-batch; the compact batch is silent
+    assert(seen.count(_.nonEmpty) == 3, s"expected 3 non-empty batches: $seen")
+    // restart: offsets hold, nothing re-delivered
+    seen.clear()
+    run()
+    assert(seen.flatten.isEmpty, s"replay leaked rows: $seen")
+  }
+
   test("table streaming sink: exactly-once appends, replay no-op, Complete replaces") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-sinkin").toString
