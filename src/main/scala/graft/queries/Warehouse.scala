@@ -786,7 +786,8 @@ object Warehouse {
         |              ELSE o_custkey END AS g,
         |         o_orderkey AS k
         |  FROM orders
-        |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 3)
+        |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 7 <> 3
+        |    AND o_orderkey % 11 <> 5)
         |SELECT g, CAST(count(*) AS BIGINT) AS cnt,
         |  CAST(sum(k) AS BIGINT) AS sum_k, TRUE AS mv_ok
         |FROM rel GROUP BY g ORDER BY g""".stripMargin) { (s, d) =>
@@ -805,8 +806,13 @@ object Warehouse {
       val r2 = mv.refresh()
       t.deleteWhere(col("k") % 7 === 3)
       val r3 = mv.refresh()
-      val witness = Seq(r1, r2, r3).forall(_ == "incremental") &&
-        mv.refresh() == "fresh"
+      // r14: a MERGE-ON-READ delete (zero data files written) must
+      // ALSO refresh incrementally — pre-r14, diff refused across it
+      // and the maintainer silently paid a full rebuild
+      val d4 = t.deleteWhereMor(col("k") % 11 === 5)
+      val r4 = mv.refresh()
+      val witness = Seq(r1, r2, r3, r4).forall(_ == "incremental") &&
+        d4.addedFiles.isEmpty && mv.refresh() == "fresh"
       mv.view.read()
         .select(col("g"), col("cnt"), col("sum_k"))
         .withColumn("mv_ok", lit(witness))

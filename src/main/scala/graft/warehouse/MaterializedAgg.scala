@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained materialized AGGREGATE view: a GraftTable
   * holding `GROUP BY groupCols → count(*), sum(sumCols…)` over a base
-  * table, refreshed from the base's row CHANGELOG ([[GraftTable.diff]])
-  * instead of re-aggregating the base.
+  * table, refreshed from the base's per-commit row change feed
+  * ([[GraftTable.changeFeed]]) instead of re-aggregating the base.
   *
   * Why this exists: at 100 TB the daily "refresh the rollup" job is the
   * difference between re-scanning the table and reading the day's
@@ -65,8 +65,16 @@ final class MaterializedAgg private (
     val head = base.currentSnapshotId.getOrElse(
       sys.error(s"base table ${base.name} has no snapshots"))
     if (head == st.applied) return "fresh"
+    // the PER-COMMIT change feed (r14; previously GraftTable.diff):
+    // unlike the net file-set diff it flows through merge-on-read
+    // deletes — reporting them as delete rows — and skips maintenance
+    // commits entirely (a compact inside the window cost diff a
+    // full-table compare; the feed reads zero bytes for it), so the
+    // refresh stays incremental under the O(1)-delete write path
+    // instead of rebuilding. Update pre/post images fold as the
+    // delete-of-old + insert-of-new the abelian algebra expects.
     val delta =
-      try base.diff(st.applied, head)
+      try base.changeFeed(st.applied, head)
       catch {
         case _: HistoryExpiredException =>
           // the delta is unknowable: rebuild from the base head —
@@ -75,8 +83,9 @@ final class MaterializedAgg private (
           writeState(statePath, State(head, 0L, view.currentSnapshotId.get))
           return "rebuild"
       }
-    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
-    val isIns = col("_change_type") === "insert"
+    val sign = when(col("_change_type")
+      .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+    val isIns = col("_change_type").isin("insert", "update_postimage")
     val deltaAgg = delta.groupBy(groupCols.map(col): _*).agg(
       sum(sign).as("_dcnt"),
       (sumCols.map(c => sum(col(c) * sign).as(s"_d_$c")) ++

@@ -895,10 +895,12 @@ class WarehouseSpec extends AnyFunSuite {
       4L -> ((2L, 10L)), 5L -> ((1L, 2L))))
     assert(mv.refresh() == "fresh")
     // a merge-on-read delete changes rows without changing file sets —
-    // diff refuses, and the refresh must rebuild over the era-aware
-    // read (group 4 loses both rows and leaves the view entirely)
+    // diff refused (pre-r14 this forced a rebuild), but the change
+    // FEED reports the killed rows as deletes, so the refresh stays
+    // incremental (group 4 loses both rows and leaves the view via
+    // the merge delete arm)
     t.deleteKeysMor(Seq(4L).toDF("g"))
-    assert(mv.refresh() == "rebuild")
+    assert(mv.refresh() == "incremental")
     assert(viewMap == Map(2L -> ((2L, 10L)), 3L -> ((1L, 1L)),
       5L -> ((1L, 2L))))
   }
