@@ -43,6 +43,29 @@ final class GraftTable private (
   def schemaAsOf(asOf: Option[Long]): StructType =
     schemaAsOfIn(log.snapshots, asOf)
 
+  /** TIMESTAMP time travel (Iceberg's `snapshot_id_as_of` / Delta's
+    * `TIMESTAMP AS OF`): the latest retained snapshot committed
+    * at-or-before `tsMillis`. None when the timestamp predates every
+    * RETAINED commit — before the table existed, or past the expiry
+    * horizon; the caller distinguishes the two via [[firstSnapshotId]]
+    * rather than this method guessing. Commit timestamps are
+    * wall-clock and monotone in snapshot id only as far as the clock
+    * is — the scan takes the LAST qualifying snapshot in id order, so
+    * a small clock regression inside the log cannot split history. */
+  def snapshotIdAsOfTime(tsMillis: Long): Option[Long] = {
+    val qual = log.snapshots.filter(_.timestampMs <= tsMillis)
+    qual.lastOption.map(_.snapshotId)
+  }
+
+  /** [[read]] pinned at the snapshot current at `tsMillis` — throws
+    * when the timestamp predates retained history (reading "before the
+    * table" as an empty relation would silently mask expiry). */
+  def readAsOfTime(tsMillis: Long): DataFrame =
+    read(Some(snapshotIdAsOfTime(tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no retained snapshot of $name at-or-before epoch-ms $tsMillis" +
+          s" — earliest retained is id ${firstSnapshotId.orNull}"))))
+
   /** Same resolution over an already-captured snapshot list (pairs
     * with SnapshotLog.dataFilesOf — one atomic log view serves every
     * derived value). Shared by read/diff/rollbackTo so the
@@ -1456,6 +1479,49 @@ final class GraftTable private (
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** DYNAMIC partition overwrite (Spark's
+    * `partitionOverwriteMode=dynamic` / Iceberg's
+    * `overwritePartitions`): atomically replace exactly the partitions
+    * the incoming rows land in — the daily-backfill shape where the
+    * caller re-computes some partitions and must not name them by
+    * hand. The replaced region is DERIVED: one aggregate computes the
+    * incoming rows' distinct partition-transform tuples (bounded
+    * driver list — O(partitions touched), never O(rows)), and the
+    * overwrite delegates to [[overwriteWhere]] with the disjunction of
+    * those tuples, inheriting its atomicity (readers see old-or-new,
+    * never a gap), its incoming-inside-region validation (trivially
+    * satisfied by construction), CAS retry, and file surgery (files
+    * wholly outside the touched partitions are never rewritten —
+    * partition-clustered layouts rewrite only the target slice).
+    * Transform-aware: a `month(ts)` spec replaces MONTHS, not raw
+    * timestamp values. Refuses on an unpartitioned table (the whole
+    * table would silently become the region — callers who mean that
+    * say [[replace]]) and on zero incoming rows (replacing nothing is
+    * almost always a bug upstream, not a no-op to swallow). */
+  def overwritePartitions(df: DataFrame): Snapshot = {
+    import org.apache.spark.sql.functions.lit
+    val sch = schema
+    require(compatible(sch, df.schema),
+      s"overwrite schema mismatch for $name:\n expected $sch\n got ${df.schema}")
+    val pspec = partitionSpec.filter(f => sch.fieldNames.contains(f.column))
+    require(pspec.nonEmpty,
+      s"overwritePartitions on $name: table has no partition spec — " +
+        "use replace() for a whole-table overwrite or overwriteWhere() " +
+        "for an explicit region")
+    val tupleCols = pspec.map(f => f.expr(sch(f.column).dataType).as(f.statName))
+    val tuples = df.select(tupleCols: _*).distinct().collect()
+    require(tuples.nonEmpty,
+      s"overwritePartitions on $name: zero incoming rows would replace " +
+        "nothing — refusing (an upstream bug reads better than a silent " +
+        "no-op)")
+    val cond = tuples.toSeq.map { row =>
+      pspec.zipWithIndex.map { case (f, i) =>
+        f.expr(sch(f.column).dataType) <=> lit(row.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    overwriteWhere(cond, df)
   }
 
   /** Per-file min/max for `cols`, keyed by manifest-relative path. One

@@ -905,6 +905,62 @@ class WarehouseSpec extends AnyFunSuite {
       5L -> ((1L, 2L))))
   }
 
+  test("timestamp time travel resolves the snapshot current at a wall-clock cut") {
+    val dir = Files.createTempDirectory("graft-tstt-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq((1L, "a")).toDF("id", "v")).get
+    val s1 = t.log.snapshots.head
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    val s2 = t.log.snapshots.last
+    // before the first commit: refuse loudly, never an empty relation
+    intercept[IllegalArgumentException] { t.readAsOfTime(s1.timestampMs - 1) }
+    assert(t.snapshotIdAsOfTime(s1.timestampMs - 1).isEmpty)
+    // at/after each commit: the snapshot current at that instant
+    assert(t.snapshotIdAsOfTime(s1.timestampMs).contains(s1.snapshotId))
+    assert(t.readAsOfTime(s2.timestampMs - 1).count() == 1 ||
+      s2.timestampMs == s1.timestampMs) // same-ms commits collapse
+    assert(t.snapshotIdAsOfTime(s2.timestampMs).contains(s2.snapshotId))
+    assert(t.readAsOfTime(System.currentTimeMillis()).count() == 2)
+  }
+
+  test("overwritePartitions replaces exactly the incoming rows' partitions") {
+    import graft.warehouse.PartitionField
+    val dir = Files.createTempDirectory("graft-dpo-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq.empty[(Long, Long, String)].toDF("id", "bucket_day", "v")).get
+    t.setPartitionSpec(Seq(PartitionField("identity", "bucket_day")))
+    // 3 partitions (day 1..3), clustered one-file-per-partition
+    t.append((1L to 9L).map(i => (i, (i - 1) / 3 + 1, s"old$i"))
+      .toDF("id", "bucket_day", "v"))
+    val filesBefore = t.read().inputFiles.toSet
+    // re-compute days 1 and 3 only; day 2 must survive byte-untouched
+    val snap = t.overwritePartitions(
+      Seq((101L, 1L, "new1"), (103L, 3L, "new3")).toDF("id", "bucket_day", "v"))
+    val got = t.read().select("id", "bucket_day", "v")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((4L, 2L, "old4"), (5L, 2L, "old5"), (6L, 2L, "old6"),
+      (101L, 1L, "new1"), (103L, 3L, "new3")))
+    // file surgery: the commit neither removed nor re-wrote anything
+    // in the untouched day-2 partition (partitionBy path layout)
+    assert(snap.removedFiles.forall(!_.contains("p_id_bucket_day=2")),
+      s"day-2 files were removed: ${snap.removedFiles}")
+    assert(snap.addedFiles.forall(!_.contains("p_id_bucket_day=2")),
+      s"day-2 files were rewritten: ${snap.addedFiles}")
+    assert(snap.removedFiles.nonEmpty && snap.removedFiles.size < filesBefore.size,
+      "overwrite was not a partial file surgery")
+    assert(snap.operation == "overwrite")
+    // refusals: unpartitioned table, empty incoming
+    t.setPartitionSpec(Nil)
+    intercept[IllegalArgumentException] {
+      t.overwritePartitions(Seq((1L, 1L, "x")).toDF("id", "bucket_day", "v"))
+    }
+    t.setPartitionSpec(Seq(PartitionField("identity", "bucket_day")))
+    intercept[IllegalArgumentException] {
+      t.overwritePartitions(
+        Seq.empty[(Long, Long, String)].toDF("id", "bucket_day", "v"))
+    }
+  }
+
   test("readWhereIn prunes per-value where a range prune keeps the whole span") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", (1L to 80L).map(i => (i, s"v$i")).toDF("id", "v").limit(0))
