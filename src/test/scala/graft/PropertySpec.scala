@@ -412,6 +412,29 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want, s"diverged at step $step: " +
         s"ops=${t.log.snapshots.map(_.operation)}")
     }
+    // changeFeed conservation law: state at the first retained cut,
+    // plus the feed's net changes over (first, head], must equal the
+    // visible table — across every op mix, including expiry windows
+    // (the feed starts at the first retained snapshot; the carried
+    // tombstones are already folded into the base read). Sampled every
+    // few steps: the feed plan grows with history length.
+    def checkFeed(step: Int): Unit = {
+      import org.apache.spark.sql.functions.col
+      val first = t.firstSnapshotId.get
+      val head = t.currentSnapshotId.get
+      if (first >= head) return
+      val base = t.read(Some(first)).select("id", "v")
+      val feed = t.changeFeed(first, head)
+      val plus = feed.filter(col("_change_type")
+        .isin("insert", "update_postimage")).select("id", "v")
+      val minus = feed.filter(col("_change_type")
+        .isin("delete", "update_preimage")).select("id", "v")
+      val got = base.unionByName(plus).exceptAll(minus)
+        .as[(Long, Long)].collect().sorted.toSeq
+      val want = model.map { case (i, v, _) => (i, v) }.sorted.toSeq
+      assert(got == want, s"feed conservation broke at step $step " +
+        s"(window ($first, $head]): ops=${t.log.snapshots.map(_.operation)}")
+    }
     // CoW DML (cases 4/5) runs WITH live tombstones since r13: its
     // rewrite re-lands affected-file survivors at the DML step, but the
     // model needn't track file membership — every future delete at step
@@ -475,6 +498,7 @@ class PropertySpec extends AnyFunSuite {
           model ++= rows.map { case (i, v) => (i, v, step) }
       }
       check(step)
+      if (step % 6 == 0 || step == 24) checkFeed(step)
     }
   }
 

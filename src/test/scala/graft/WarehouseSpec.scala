@@ -905,6 +905,25 @@ class WarehouseSpec extends AnyFunSuite {
       5L -> ((1L, 2L))))
   }
 
+  test("changeFeed reads under the window-end schema across a rename") {
+    val dir = Files.createTempDirectory("graft-cfren-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "v")).get // s1
+    t.renameColumn("v", "w")       // metadata-only (id-upgrade + evolve)
+    val ap = t.append(Seq((3L, 30L)).toDF("id", "w")).snapshotId
+    val dl = t.deleteWhere($"id" === 1L).snapshotId
+    val feed = t.changeFeed(0L)
+    // all rows — including the pre-rename create's — report under the
+    // CURRENT name (era projection by field id), the evolve commits are
+    // silent, and the delete's preimage decodes the old-era file
+    assert(feed.columns.contains("w") && !feed.columns.contains("v"))
+    val got = feed.select("_commit_snapshot_id", "_change_type", "id", "w")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "insert", 1L, 10L), (1L, "insert", 2L, 20L),
+      (ap, "insert", 3L, 30L), (dl, "delete", 1L, 10L)))
+  }
+
   test("timestamp time travel resolves the snapshot current at a wall-clock cut") {
     val dir = Files.createTempDirectory("graft-tstt-")
     val t = GraftTable.create(spark, dir, "t",
