@@ -177,13 +177,31 @@ final class FlightService(connector: Connector, port: Int = 0,
 
       case "get_diff" =>
         // Row changelog in (since, head]: crosses upserts/deletes/
-        // compactions that get_changes refuses (GraftTable.diff works
-        // on the file-set difference), carrying only the delta over the
-        // wire — the mirror's alternative to a full re-copy after a
-        // source rewrite. Rows arrive with a `_change_type` column.
+        // compactions that get_changes refuses, carrying only the
+        // delta over the wire — the mirror's alternative to a full
+        // re-copy after a source rewrite. Rows arrive with a
+        // `_change_type` column. Since r14 computed from the
+        // PER-COMMIT change feed and NETTED back to diff's insert/
+        // delete contract (transient in-window churn cancels, so the
+        // mirror's exceptAll apply stays sound) — unlike the file-set
+        // diff this stays valid across MERGE-ON-READ deletes in the
+        // window (previously a forced full rebuild) and skips
+        // maintenance compacts instead of paying a full-table compare.
         val t = connector.loadTable(req.table)
         val snap = t.currentSnapshotId.getOrElse(0L)
-        val df = t.diff(req.since, snap)
+        val df = {
+          import org.apache.spark.sql.functions.{col, lit}
+          val feed = t.changeFeed(req.since, snap)
+          val cols = feed.columns.filterNot(Set("_change_type",
+            "_commit_snapshot_id", "_commit_timestamp")).toSeq
+          val plus = feed.filter(col("_change_type")
+            .isin("insert", "update_postimage")).select(cols.map(col): _*)
+          val minus = feed.filter(col("_change_type")
+            .isin("delete", "update_preimage")).select(cols.map(col): _*)
+          plus.exceptAll(minus).withColumn("_change_type", lit("insert"))
+            .unionByName(minus.exceptAll(plus)
+              .withColumn("_change_type", lit("delete")))
+        }
         Wire.writeLine(out, Wire.obj("ok" -> true, "snapshot_id" -> Wire.JNum(snap)))
         writeBody(df, out)
 

@@ -407,6 +407,21 @@ class ServiceSpec extends AnyFunSuite {
       // replica equals source exactly after the changelog apply
       val src = c.query("src3").as[(Long, String)].collect().toMap
       assert(replica === src)
+
+      // r14: a window mixing a REWRITE and a MERGE-ON-READ delete used
+      // to defeat both incremental rungs (the oplog refuses the
+      // rewrite, the file-set diff refuses the tombstone) → full
+      // re-copy. The change-feed-backed get_diff nets the window into
+      // exactly the delta rows.
+      client.doUpsert("src3", Seq((2L, "NEW2")).toDF("id", "v"), Seq("id"))
+      c.loadTable("src3").deleteKeysMor(Seq(3L).toDF("id"))
+      val r4 = Mirror.performSync(client, url, "src3", targetWh, "dst3", state)
+      assert(r4.status === "incremental_diff", s"got ${r4.status}")
+      assert(r4.rowsSynced === 3, // del (2,v2) + ins (2,NEW2) + del (3,v3)
+        s"wire delta should be 3 change rows, got ${r4.rowsSynced}")
+      val replica2 = targetWh.query("dst3").as[(Long, String)].collect().toMap
+      assert(replica2 === c.query("src3").as[(Long, String)].collect().toMap)
+      assert(!replica2.contains(3L) && replica2(2L) === "NEW2")
     }
   }
 
