@@ -1383,7 +1383,25 @@ final class GraftTable private (
     * races. Incremental readers treat the commit as a rewrite
     * (changesSince refuses across it — rows were replaced). */
   def overwriteWhere(cond: org.apache.spark.sql.Column,
-      df: DataFrame): Snapshot = {
+      df: DataFrame): Snapshot = overwriteWhereImpl(cond, df, None)
+
+  /** (probed files, visible files) of the last [[overwriteWhere]] /
+    * [[overwritePartitions]] probe on THIS handle — the witness that a
+    * partition-aligned overwrite planned sub-full-scan. None until a
+    * pruned probe ran. */
+  @volatile var lastOverwriteProbe: Option[(Long, Long)] = None
+
+  /** @param pruneFiles manifest-stat prefilter for the affected-file
+    *   probe: given the visible (absPath, addingSid) list, returns the
+    *   candidate subset that could hold a `cond` row. MUST be
+    *   conservative (keep on unknown) — dropped files are never
+    *   probed. [[overwritePartitions]] passes the partition-tuple
+    *   prune so a two-partition backfill probes two partitions, not
+    *   the table. */
+  private def overwriteWhereImpl(cond: org.apache.spark.sql.Column,
+      df: DataFrame,
+      pruneFiles: Option[Seq[(String, Long)] => Seq[(String, Long)]])
+      : Snapshot = {
     import org.apache.spark.sql.functions.{coalesce, lit}
     val sch0 = schema
     require(compatible(sch0, df.schema),
@@ -1406,7 +1424,18 @@ final class GraftTable private (
       val head = log.head.getOrElse(
         throw new IllegalStateException(s"table $name has no snapshots"))
       val sch = schemaAsOf(Some(head.snapshotId))
-      val affected = readTagged(Some(head.snapshotId), "__f")
+      val probeSrc = pruneFiles match {
+        case None => readTagged(Some(head.snapshotId), "__f")
+        case Some(pf) =>
+          val snapsP = log.snapshots
+          val all = log.filesWithSnapOf(snapsP, Some(head.snapshotId))
+          val kept = pf(all)
+          lastOverwriteProbe = Some((kept.size.toLong, all.size.toLong))
+          readWithDeletes(kept,
+            log.eqDeletesOf(snapsP, Some(head.snapshotId)),
+            schemaAsOfIn(snapsP, Some(head.snapshotId)), snapsP, Some("__f"))
+      }
+      val affected = probeSrc
         .filter(cond)
         .select("__f").distinct()
         .collect().map(_.getString(0))
@@ -1521,7 +1550,30 @@ final class GraftTable private (
         f.expr(sch(f.column).dataType) <=> lit(row.get(i))
       }.reduce(_ && _)
     }.reduce(_ || _)
-    overwriteWhere(cond, df)
+    // manifest-stat probe prune: partitioned files carry their
+    // partition value as a point-range stat (min==max under the
+    // spec-versioned statName), so the affected-file probe reads ONLY
+    // files whose recorded value is one of the incoming tuples — a
+    // two-partition backfill on a 100-TB table probes two partitions,
+    // not the table. Conservative on unknowns: files without the stat
+    // (pre-spec eras, foreign layouts) and NULL-valued tuples keep
+    // every candidate.
+    val prune: Seq[(String, Long)] => Seq[(String, Long)] = { files =>
+      val statsByFile = log.snapshots.flatMap(_.stats).toMap
+      files.filter { case (abs, _) =>
+        statsByFile.get(dir.relativize(Paths.get(abs)).toString) match {
+          case None => true
+          case Some(st) => tuples.exists { row =>
+            pspec.indices.forall { i =>
+              row.get(i) == null ||
+                st.mayContain(pspec(i).statName,
+                  Some(row.get(i)), Some(row.get(i)))
+            }
+          }
+        }
+      }
+    }
+    overwriteWhereImpl(cond, df, Some(prune))
   }
 
   /** Per-file min/max for `cols`, keyed by manifest-relative path. One

@@ -968,6 +968,9 @@ class WarehouseSpec extends AnyFunSuite {
     assert(snap.removedFiles.nonEmpty && snap.removedFiles.size < filesBefore.size,
       "overwrite was not a partial file surgery")
     assert(snap.operation == "overwrite")
+    // the probe was manifest-pruned to the two target partitions
+    assert(t.lastOverwriteProbe.exists { case (p, v) => p < v },
+      s"probe not pruned: ${t.lastOverwriteProbe}")
     // refusals: unpartitioned table, empty incoming
     t.setPartitionSpec(Nil)
     intercept[IllegalArgumentException] {
