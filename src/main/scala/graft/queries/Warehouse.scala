@@ -2029,6 +2029,88 @@ object Warehouse {
       t.read().select(col("o_orderkey"), col("price"))
         .withColumn("dpo_ok", lit(witness))
         .orderBy("o_orderkey", "price")
+    },
+
+    // ---- q159: copy-on-write UPDATE ----------------------------------
+    // SQL UPDATE as first-class DML (updateWhere): two sequential
+    // updates — a key-range price doubling (file-pruned by the
+    // clustered layout) then a priority-gated bump that also sets a
+    // second column (multi-assignment, expression over the pre-image).
+    // Witnesses: the commit operation is "update"; the range update
+    // rewrote ONLY the low-quarter files (surgery, not table rewrite);
+    // changeFeed pairs the rewrite into equal update_preimage/
+    // update_postimage counts matching the touched-row count (paired
+    // via the recorded non-assigned columns); a no-match update is a
+    // snapshotless no-op; incremental readers refuse across the
+    // rewrite (rows changed in place — changesSince cannot express it).
+    Q("q159_update_where",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p,
+        |    o_orderpriority AS pr,
+        |    (SELECT max(o_orderkey) FROM orders) AS maxk
+        |  FROM orders),
+        |u1 AS (
+        |  SELECT k, pr, maxk,
+        |    CASE WHEN k * 4 <= maxk THEN round(p * 2, 2) ELSE p END AS p,
+        |    CASE WHEN k * 4 <= maxk THEN 'doubled' ELSE 'base' END AS status
+        |  FROM base),
+        |u2 AS (
+        |  SELECT k, pr,
+        |    CASE WHEN pr = '1-URGENT' THEN round(p + 1, 2) ELSE p END AS p,
+        |    CASE WHEN pr = '1-URGENT' THEN 'urgent' ELSE status END AS status
+        |  FROM u1)
+        |SELECT k AS o_orderkey, p AS price, status, TRUE AS upd_ok
+        |FROM u2 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_orderpriority").as("pr"))
+        .withColumn("status", lit("base"))
+      val maxk = base.agg(max("o_orderkey")).collect()
+        .head.getAs[Number](0).longValue
+      conn.createTable("orders_upd", base.limit(0))
+      val t = conn.loadTable("orders_upd")
+      t.append(base, clusterBy = Seq("o_orderkey"),
+        statsCols = Seq("o_orderkey"), clusterParts = 8)
+      val filesBefore = t.read().inputFiles.length
+      val s0 = t.currentSnapshotId.get
+      val lowRows = base.filter(col("o_orderkey") * 4 <= maxk).count()
+      // UPDATE 1: key-range — the clustered layout means only the
+      // low-quarter files hold matching rows, so the rewrite is surgery
+      val u1 = t.updateWhere(col("o_orderkey") * 4 <= maxk,
+        Map("price" -> round(col("price") * 2, 2),
+          "status" -> lit("doubled")))
+      // a quarter key-range of an 8-file clustered layout sits in 2-3
+      // files (boundary spill allowed) — half the table is a loose,
+      // stable surgery bound
+      val surgical = u1.operation == "update" &&
+        u1.removedFiles.nonEmpty && u1.removedFiles.size * 2 <= filesBefore
+      // changeFeed pairs the rewrite via the recorded non-assigned
+      // columns (o_orderkey, pr): every touched row appears exactly
+      // once as a pre-image and once as a post-image
+      val cf = t.changeFeed(s0, u1.snapshotId)
+        .groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cfPaired = cf.getOrElse("update_preimage", 0L) == lowRows &&
+        cf.getOrElse("update_postimage", 0L) == lowRows &&
+        !cf.contains("insert") && !cf.contains("delete")
+      // incremental readers cannot express an in-place rewrite
+      val incRefused =
+        try { t.changesSince(s0).count(); false }
+        catch { case _: IllegalStateException => true }
+      // UPDATE 2: multi-assignment gated on a non-clustered column
+      t.updateWhere(col("pr") === "1-URGENT",
+        Map("price" -> round(col("price") + 1, 2),
+          "status" -> lit("urgent")))
+      // no-match UPDATE is a snapshotless no-op
+      val headBefore = t.currentSnapshotId.get
+      t.updateWhere(col("o_orderkey") === -1, Map("status" -> lit("x")))
+      val noop = t.currentSnapshotId.get == headBefore
+      val witness = surgical && cfPaired && incRefused && noop &&
+        t.validate().isEmpty
+      t.read().select(col("o_orderkey"), col("price"), col("status"))
+        .withColumn("upd_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

@@ -1360,6 +1360,138 @@ final class GraftTable private (
     throw new IllegalStateException("unreachable")
   }
 
+  /** Copy-on-write UPDATE (SQL `UPDATE t SET c = expr WHERE cond`, the
+    * Delta/Iceberg update shape): rows where `cond` is TRUE get every
+    * assignment in `set` applied; NULL/false rows are untouched. Same
+    * file-targeted rewrite as [[deleteWhere]]: the stats-era probe
+    * finds affected files, ONLY those are rewritten (era-projected,
+    * live tombstones applied), untouched files keep their bytes and
+    * their pruning stats. Assignment semantics:
+    *
+    *  - every assignment sees the PRE-image row — `SET a = b, b = a`
+    *    swaps, it does not chain (the SQL standard's simultaneous
+    *    assignment);
+    *  - each expression is cast to its column's DECLARED type, so an
+    *    update cannot smuggle a type change past [[widenColumn]];
+    *  - CHECK constraints are enforced on the POST-image of updated
+    *    rows before anything commits (survivors re-land unchanged and
+    *    were admitted by their original write);
+    *  - an update of a PARTITION column moves rows to their new
+    *    partition directories in the same commit (hidden partitioning
+    *    recomputes from the new value).
+    *
+    * The commit records the non-assigned columns as pairing keys, so
+    * [[changeFeed]] reports the rewrite as `update_preimage` /
+    * `update_postimage` row pairs (pre and post share every column the
+    * SET did not touch) rather than bare delete+insert. Incremental
+    * readers treat it as a rewrite ([[changesSince]] refuses across
+    * it; Mirror escalates to diff) — rows changed in place. CAS +
+    * re-probe on head races, like every CoW DML. */
+  def updateWhere(cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Snapshot = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when => fwhen}
+    require(set.nonEmpty, s"update on $name: empty SET clause")
+    val sch0 = schema
+    set.keys.foreach(k => require(sch0.fieldNames.contains(k),
+      s"update on $name: SET column '$k' is not a table column"))
+    var attempt = 0
+    while (true) {
+      val head = log.head.getOrElse(
+        throw new IllegalStateException(s"table $name has no snapshots"))
+      val sch = schemaAsOf(Some(head.snapshotId))
+      val affected = readTagged(Some(head.snapshotId), "__f")
+        .filter(cond)
+        .select("__f").distinct()
+        .collect().map(_.getString(0))
+        .map(f => dir.relativize(Paths.get(java.net.URI.create(f).getPath)).toString)
+        .toSeq.sorted
+      if (affected.isEmpty)
+        return head // nothing matches: no-op, current head stands
+      val commitDir = dir.resolve("data").resolve(s"u${UUID.randomUUID().toString.take(12)}")
+      val snapsNow = log.snapshots
+      val sidByRel = log.filesWithSnapOf(snapsNow, Some(head.snapshotId))
+        .map { case (abs, sid) =>
+          dir.relativize(Paths.get(abs)).toString -> sid }.toMap
+      val src = readWithDeletes(
+        affected.map(f => dir.resolve(f).toString ->
+          sidByRel.getOrElse(f, head.snapshotId)),
+        log.eqDeletesOf(snapsNow, Some(head.snapshotId)), sch, snapsNow)
+      // one select, every branch reading INPUT columns: assignments
+      // cannot observe each other, and `cond` is evaluated on the
+      // pre-image (a SET that flips its own predicate still applies)
+      val hit = coalesce(cond, lit(false))
+      def postImage(d: DataFrame): DataFrame = d.select(sch.fields.toSeq.map { f =>
+        set.get(f.name) match {
+          case Some(e) => fwhen(hit, e.cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+      // constraints gate the post-image of the rows the update TOUCHES;
+      // one bounded agg over affected files, before any bytes land
+      enforceConstraints(postImage(src.filter(hit)), "update")
+      val rewritten = postImage(src)
+      val pspec = partitionSpec.filter(f => sch.fieldNames.contains(f.column))
+      if (pspec.isEmpty) rewritten.write.parquet(commitDir.toString)
+      else {
+        val withP = pspec.foldLeft(rewritten) { (dd, f) =>
+          dd.withColumn(f.statName, f.expr(sch(f.column).dataType))
+        }
+        withP.write.partitionBy(pspec.map(_.statName): _*)
+          .parquet(commitDir.toString)
+      }
+      val files = parquetFilesIn(commitDir)
+        .map(p => dir.relativize(p).toString)
+        .toSeq.sorted
+      // same stat-column and bloom inheritance as delete/merge: the
+      // rewrite keeps the pruning stats its source files carried
+      // (assigned columns recompute from the new bytes like any write)
+      val prevStats = log.snapshots.flatMap(_.stats).toMap
+      val inherited = affected.flatMap(f => prevStats.get(f).toSeq.flatMap(st =>
+        st.numMin.keySet ++ st.strMin.keySet))
+        .distinct.filter(sch.fieldNames.contains)
+      val inheritedBlooms = affected.flatMap(f =>
+        prevStats.get(f).toSeq.flatMap(_.blooms.keySet))
+        .distinct.filter(sch.fieldNames.contains)
+      val stats0 = collectStats(commitDir, inherited)
+      val statsP =
+        if (pspec.isEmpty) stats0
+        else {
+          val hist = partitionSpecHistory
+          val dtOf = (c: String) => sch.fields.find(_.name == c).map(_.dataType)
+          stats0.map { case (rel, st) =>
+            val (nm, sm) = Partitioning.pathStatEntries(rel, hist, dtOf)
+            rel -> st.copy(
+              numMin = st.numMin ++ nm, numMax = st.numMax ++ nm,
+              strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
+          }
+        }
+      val stats = mergeBlooms(commitDir, statsP, inheritedBlooms)
+      // pre and post images share every NON-assigned column — record
+      // them so changeFeed pairs this commit into update pre/post rows
+      val pairKeys = sch.fieldNames.toSeq.filterNot(set.contains)
+      val props =
+        if (pairKeys.isEmpty || pairKeys.exists(_.contains(",")))
+          Map.empty[String, String]
+        else Map(GraftTable.DmlKeysKey -> pairKeys.mkString(","))
+      try {
+        return log.commit("update", files, head.schemaJson, stats,
+          expectedHead = Some(head.snapshotId), removedFiles = affected,
+          properties = props)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          val walk = Files.walk(commitDir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+          finally walk.close()
+          attempt += 1
+          if (attempt >= 20) throw new IllegalStateException(
+            s"update of $name lost $attempt head races; giving up", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Predicate-scoped atomic OVERWRITE (Delta's `replaceWhere` /
     * Iceberg's overwrite-by-filter — the backfill primitive: "replace
     * March with this recomputed March"): ONE commit removes every row
@@ -3180,7 +3312,8 @@ final class GraftTable private (
       val prevId = if (idx > 0) snaps(idx - 1).snapshotId else 0L
       s.operation match {
         case "create" | "append" | "publish" | "merge" | "delete" |
-             "overwrite" | "replace" | "rollback" => cowChanges(s, prevId)
+             "update" | "overwrite" | "replace" | "rollback" =>
+          cowChanges(s, prevId)
         case "eqdelete" | "posdelete" => killedBy(s)
         // logical no-ops: schema/layout maintenance moved or re-listed
         // bytes but changed no visible row

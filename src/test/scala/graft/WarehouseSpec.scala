@@ -686,6 +686,83 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.read().select("id").as[Long].collect().toSet === Set(2L, 3L))
   }
 
+  test("updateWhere: simultaneous assignment, NULL-keep, file surgery, CDC pairing") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val c = new Connector(spark, freshWarehouse())
+    val base = (1L to 400L).map(i =>
+      (i, i * 10L, if (i % 7 == 0) null else s"g${i % 4}"))
+      .toDF("id", "a", "g")
+    c.createTable("t", base.limit(0))
+    val t = c.loadTable("t")
+    t.append(base, clusterBy = Seq("id"), statsCols = Seq("id"), clusterParts = 8)
+    val filesBefore = t.read().inputFiles.length
+    val s0 = t.currentSnapshotId.get
+    // SET a = a + 1, id = a (simultaneous: new id must be the OLD a)
+    val up = t.updateWhere(col("id") <= 50,
+      Map("a" -> (col("a") + 1), "id" -> col("a")))
+    assert(up.operation === "update")
+    // file surgery: the clustered layout means only the low-range files
+    // were rewritten
+    assert(up.removedFiles.nonEmpty && up.removedFiles.size < filesBefore,
+      s"update rewrote ${up.removedFiles.size} of $filesBefore files")
+    val got = t.read().filter(col("a") <= 501).orderBy("a")
+      .select("id", "a").as[(Long, Long)].collect()
+    assert(got.take(3).toSeq === Seq((10L, 11L), (20L, 21L), (30L, 31L)))
+    assert(got.length === 50)
+    // NULL-evaluating predicate leaves the row UNtouched (g is null at
+    // multiples of 7: g === "g1" is NULL there, not true). The %10
+    // guard excludes rows the FIRST update relocated (their new ids
+    // are all multiples of 10).
+    t.updateWhere(col("g") === "g1" && col("id") > 300 &&
+        col("id") % 10 =!= 0,
+      Map("a" -> lit(-1L)))
+    assert(t.read().filter(col("a") === -1L).count() ===
+      (301L to 400L).count(i => i % 4 == 1 && i % 7 != 0))
+    // no-match is a snapshotless no-op
+    val sBefore = t.currentSnapshotId.get
+    t.updateWhere(col("id") === -999, Map("a" -> lit(0L)))
+    assert(t.currentSnapshotId.get === sBefore)
+    // changeFeed pairs the rewrite into update pre/post images via the
+    // recorded non-assigned pairing key (g)
+    val cf = t.changeFeed(s0, up.snapshotId)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cf.getOrElse("update_preimage", 0L) === 50L &&
+      cf.getOrElse("update_postimage", 0L) === 50L,
+      s"changeFeed did not pair the update: $cf")
+    // assignments cast to the declared type; unknown SET column refuses
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") === 1, Map("nope" -> lit(1)))
+    }
+    // time travel pre-update unaffected
+    assert(t.read(Some(s0)).filter(col("id") <= 50).count() === 50)
+  }
+
+  test("updateWhere enforces CHECK constraints on the post-image and moves partitions") {
+    import org.apache.spark.sql.functions.col
+    val c = new Connector(spark, freshWarehouse())
+    val base = (1L to 100L).map(i => (i, i % 10)).toDF("id", "b")
+    c.createTable("t", base.limit(0))
+    val t = c.loadTable("t")
+    t.setPartitionSpec(Seq(graft.warehouse.PartitionField("identity", "b")))
+    t.append(base)
+    t.addCheckConstraint("b_range", "b BETWEEN 0 AND 20")
+    // post-image violates → refused before any commit
+    val head0 = t.currentSnapshotId.get
+    intercept[IllegalArgumentException] {
+      t.updateWhere(col("id") <= 5, Map("b" -> (col("b") + 100)))
+    }
+    assert(t.currentSnapshotId.get === head0)
+    // partition-column update relocates rows to the new directories
+    t.updateWhere(col("b") === 3, Map("b" -> (col("b") + 10)))
+    assert(t.read().filter(col("b") === 3).count() === 0)
+    assert(t.read().filter(col("b") === 13).count() === 10)
+    // the relocated rows are findable via partition pruning (the new
+    // files carry b=13 point-range path stats)
+    val pruned = t.readWhere("b", Some(13L), Some(13L))
+    assert(pruned.count() === 10)
+  }
+
   test("upsert matches NULL keys null-safely (no duplicate accumulation)") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", Seq((java.lang.Long.valueOf(1L), "a"),
