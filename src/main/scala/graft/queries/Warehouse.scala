@@ -2111,6 +2111,61 @@ object Warehouse {
       t.read().select(col("o_orderkey"), col("price"), col("status"))
         .withColumn("upd_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q160: column DEFAULTS (Iceberg v3 initial/write-default) ----
+    // addColumns with a constant default: rows in files that PREDATE
+    // the column read the default (filled by the vectorized reader
+    // from the schema's existence-default metadata — zero extra plan
+    // nodes, no rewrite), an append may OMIT the column (write-default
+    // fills it), an explicitly provided NULL is kept as NULL, and a
+    // compact MATERIALIZES the defaults without changing any value.
+    // Witnesses: the evolve commit added no files; the create-era
+    // files survive the add untouched (defaults are metadata, not a
+    // backfill); a full-row checksum is identical across the
+    // materializing compact.
+    Q("q160_column_defaults",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p FROM orders)
+        |SELECT k AS o_orderkey, p AS price,
+        |  CASE WHEN k % 3 = 1 THEN
+        |         (CASE WHEN k % 9 = 1 THEN NULL ELSE 'web' END)
+        |       ELSE 'store' END AS channel,
+        |  CASE WHEN k % 3 = 1 THEN CAST(0.05 AS DOUBLE)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS discount,
+        |  TRUE AS def_ok
+        |FROM base ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types._
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("orders_def", base.filter(col("o_orderkey") % 3 === 0))
+      val t = conn.loadTable("orders_def")
+      val createFiles = t.read().inputFiles.toSet
+      val ev = t.addColumns(
+        StructType(Seq(StructField("channel", StringType),
+          StructField("discount", DoubleType))),
+        defaults = Map("channel" -> "store", "discount" -> 0.0d))
+      // explicit values, including an explicit NULL — all kept as given
+      t.append(base.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("channel", when(col("o_orderkey") % 9 === 1, lit(null))
+          .otherwise(lit("web")))
+        .withColumn("discount", lit(0.05d)))
+      // write-default: this append OMITS both added columns
+      t.append(base.filter(col("o_orderkey") % 3 === 2))
+      // defaults are metadata: no rewrite happened, the create-era
+      // files are still the ones serving the defaulted rows
+      val noBackfill = ev.addedFiles.isEmpty && ev.removedFiles.isEmpty &&
+        createFiles.subsetOf(t.read().inputFiles.toSet)
+      def checksum(): Long = t.read()
+        .agg(sum(hash(col("o_orderkey"), col("price"), col("channel"),
+          col("discount")).cast("long"))).collect().head.getLong(0)
+      val pre = checksum()
+      t.compact() // materializes the defaults into real bytes
+      val materializedSame = checksum() == pre
+      val witness = noBackfill && materializedSame && t.validate().isEmpty
+      t.read().withColumn("def_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

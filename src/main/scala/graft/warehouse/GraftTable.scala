@@ -172,7 +172,11 @@ final class GraftTable private (
         val cols = mapping.map {
           case (Some(src), tgt) =>
             col(src.name).cast(tgt.dataType).as(tgt.name)
-          case (None, tgt) => lit(null).cast(tgt.dataType).as(tgt.name)
+          // era predates the column: its declared default (if any)
+          // fills here, mirroring what the fast path's reader does for
+          // absent columns via the existence-default metadata
+          case (None, tgt) => GraftTable.defaultOf(tgt)
+            .getOrElse(lit(null).cast(tgt.dataType)).as(tgt.name)
         } ++ posTag.map(p => col("_metadata.row_index").as(p)).toSeq
         slowParts += raw.select(cols: _*)
       }
@@ -847,11 +851,29 @@ final class GraftTable private (
       s"$op on $name violates CHECK constraint(s) ${violated.mkString(", ")}")
   }
 
-  def append(df: DataFrame, clusterBy: Seq[String] = Nil,
+  def append(df0: DataFrame, clusterBy: Seq[String] = Nil,
       statsCols: Seq[String] = Nil, clusterParts: Int = 0,
       bloomCols: Seq[String] = Nil,
       properties: Map[String, String] = Map.empty): Snapshot = {
     val existing = log.head
+    // write-default: a writer may OMIT a defaulted column entirely —
+    // it is filled with the declared constant and the frame reordered
+    // to the table schema (the Iceberg v3 write-default half; an
+    // explicitly provided column, even all-NULL, is kept as given)
+    val df = existing.map { h =>
+      val expected = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
+      val missing = expected.fields.filter(f =>
+        !df0.columns.contains(f.name) && GraftTable.defaultOf(f).nonEmpty)
+      if (missing.isEmpty ||
+          !expected.fieldNames.forall(n =>
+            df0.columns.contains(n) || missing.exists(_.name == n))) df0
+      else {
+        val filled = missing.foldLeft(df0)((d, f) =>
+          d.withColumn(f.name, GraftTable.defaultOf(f).get))
+        filled.select(expected.fieldNames.toSeq.map(
+          org.apache.spark.sql.functions.col): _*)
+      }
+    }.getOrElse(df0)
     existing.foreach { h =>
       val expected = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
       require(compatible(expected, df.schema),
@@ -1864,6 +1886,23 @@ final class GraftTable private (
     * reference (its mirror freezes the first batch's schema —
     * `icerunner.py:939-967`).
     *
+    * `defaults` (the Iceberg v3 `initial-default`/`write-default`
+    * shape) gives a new column a CONSTANT default instead of null:
+    *  - rows in files that PREDATE the column read the default (the
+    *    vectorized parquet reader fills absent columns from the
+    *    schema's existence-default metadata — zero extra plan nodes,
+    *    the single-scan fast path survives);
+    *  - rows written AFTER the add keep whatever the writer stored —
+    *    an explicit NULL stays NULL (absence of the column in the
+    *    FILE triggers the default, not null-ness of a value);
+    *  - [[append]]s that OMIT the column entirely get it filled with
+    *    the default at write time (the write-default half);
+    *  - a rewrite (compact/merge/update) MATERIALIZES the default into
+    *    the new files, after which the metadata is inert for them.
+    * The default must be a constant convertible to the column's type —
+    * it is rendered as a SQL literal into the schema metadata, which
+    * every era's read resolves.
+    *
     * On a FIELD-ID table (one that has seen [[renameColumn]] /
     * [[dropColumn]]) new columns get fresh ids above every id any
     * retained era ever used, and re-using a name that a RETAINED era
@@ -1871,15 +1910,18 @@ final class GraftTable private (
     * ids (Iceberg writes them into the files; we cannot retrofit),
     * re-adding a dropped name would resurrect the old column's data
     * through by-name reads. Expire the old eras first. */
-  def addColumns(newCols: StructType): Snapshot = {
+  def addColumns(newCols: StructType,
+      defaults: Map[String, Any] = Map.empty): Snapshot = {
     val current = schema
     require(newCols.fields.forall(_.nullable),
       s"new columns must be nullable: $newCols")
     require(newCols.fields.forall(f => !current.fieldNames.contains(f.name)),
       s"column already exists: ${newCols.fieldNames.mkString(",")}")
+    defaults.keys.foreach(k => require(newCols.fieldNames.contains(k),
+      s"default for '$k' names no added column"))
     val snaps = log.snapshots
     val idMode = current.fields.exists(f => GraftTable.fieldIdOf(f).nonEmpty)
-    val added =
+    val added0 =
       if (!idMode) newCols.fields
       else {
         newCols.fieldNames.foreach(n => requireNameFresh(snaps, n, None))
@@ -1888,6 +1930,26 @@ final class GraftTable private (
           val tagged = GraftTable.withFieldId(f, next); next += 1; tagged
         }
       }
+    val added = added0.map { f =>
+      defaults.get(f.name) match {
+        case None => f
+        case Some(v) =>
+          require(v != null, s"default for '${f.name}' must be a non-null " +
+            "constant (a null default IS the plain nullable add)")
+          // Literal.create both validates convertibility to the declared
+          // type and renders the canonical SQL literal text every future
+          // read re-parses (string escaping, timestamp/date forms)
+          val sqlText =
+            try org.apache.spark.sql.catalyst.expressions.Literal
+              .create(v, f.dataType).sql
+            catch { case e: Exception => throw new IllegalArgumentException(
+              s"default for '${f.name}' is not a ${f.dataType} constant: $v", e) }
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(GraftTable.ExistsDefaultKey, sqlText)
+            .putString(GraftTable.CurrentDefaultKey, sqlText).build())
+      }
+    }
     val evolved = StructType(current.fields ++ added)
     log.commit("evolve", Seq.empty, evolved.json)
   }
@@ -3841,6 +3903,23 @@ object GraftTable {
     * Absent (pre-r14 commits, or a key column name containing a
     * comma) ⇒ the feed reports plain delete+insert, still correct. */
   val DmlKeysKey = "graft.dml.keys"
+
+  /** StructField-metadata keys of a column's CONSTANT default (the
+    * Iceberg v3 initial-default / write-default pair) — Spark's own
+    * default-column metadata contract, which the vectorized parquet
+    * reader resolves for columns ABSENT from a file (so pre-add files
+    * read the default with zero extra plan nodes). The value is a SQL
+    * literal rendered by `Literal.sql`. */
+  val ExistsDefaultKey = "EXISTS_DEFAULT"
+  val CurrentDefaultKey = "CURRENT_DEFAULT"
+
+  /** The parsed default expression of a field, if it declares one. */
+  private[warehouse] def defaultOf(f: org.apache.spark.sql.types.StructField)
+      : Option[org.apache.spark.sql.Column] =
+    if (f.metadata.contains(ExistsDefaultKey))
+      Some(org.apache.spark.sql.functions
+        .expr(f.metadata.getString(ExistsDefaultKey)).cast(f.dataType))
+    else None
 
   /** Snapshot-property keys of the streaming-sink transaction markers
     * (see [[GraftTable.lastTxnBatch]]). */

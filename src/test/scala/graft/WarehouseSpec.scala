@@ -2530,6 +2530,70 @@ class WarehouseSpec extends AnyFunSuite {
     assert(!t.sortOrder.contains("a2"))
   }
 
+  test("column defaults: pre-add files read the constant, writes may omit, rewrites materialize") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-def-")
+    val t = GraftTable.create(spark, dir, "t",
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v")).get
+    val s0 = t.currentSnapshotId.get
+    t.addColumns(
+      StructType(Seq(StructField("score", DoubleType),
+        StructField("tag", StringType))),
+      defaults = Map("score" -> 2.5d, "tag" -> "none"))
+    // pre-add rows read the default (fast path: absent column filled by
+    // the reader from the existence-default metadata)
+    assert(t.read().filter(col("score") === 2.5 && col("tag") === "none")
+      .count() === 6)
+    // time travel BEFORE the add has no column at all
+    assert(!t.read(Some(s0)).columns.contains("score"))
+    // explicit values — including explicit NULL — are kept as given
+    t.append(Seq((7L, "v7", java.lang.Double.valueOf(9.0), "real"),
+      (8L, "v8", null.asInstanceOf[java.lang.Double],
+        null.asInstanceOf[String])).toDF("id", "v", "score", "tag"))
+    val by = t.read().collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) null else r.getDouble(2)))
+      .toMap
+    assert(by(7L) === 9.0 && by(8L) === null && by(1L) === 2.5)
+    // write-default: an append OMITTING the defaulted columns fills them
+    t.append(Seq((9L, "v9")).toDF("id", "v"))
+    val r9 = t.read().filter(col("id") === 9L).collect().head
+    assert(r9.getDouble(2) === 2.5 && r9.getString(3) === "none")
+    // an append omitting a NON-defaulted column still refuses
+    t.addColumns(StructType(Seq(StructField("plain", LongType))))
+    intercept[IllegalArgumentException] {
+      t.append(Seq((10L, "v10")).toDF("id", "v"))
+    }
+    // a rewrite materializes defaults; reads stay value-identical
+    val before = t.read().orderBy("id").collect().map(_.toSeq).toSeq
+    t.compact()
+    assert(t.read().orderBy("id").collect().map(_.toSeq).toSeq === before)
+    // wrong-typed default refuses at declaration time
+    intercept[IllegalArgumentException] {
+      t.addColumns(StructType(Seq(StructField("bad", LongType))),
+        defaults = Map("bad" -> "not-a-long"))
+    }
+  }
+
+  test("column defaults fill era-correctly through renamed-era (slow path) reads") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-defr-")
+    val t = GraftTable.create(spark, dir, "t",
+      (1L to 4L).map(i => (i, i * 10L)).toDF("id", "amt")).get
+    // rename forces field-id mode: pre-rename files decode per-era
+    t.renameColumn("amt", "amount")
+    t.addColumns(StructType(Seq(StructField("src", StringType))),
+      defaults = Map("src" -> "legacy"))
+    t.append(Seq((5L, 50L, "fresh")).toDF("id", "amount", "src"))
+    // old-era files (physical name `amt`, no `src`) take the slow
+    // projection path — the default must fill there too
+    val got = t.read().orderBy("id").select("id", "amount", "src")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got === Seq((1L, 10L, "legacy"), (2L, 20L, "legacy"),
+      (3L, 30L, "legacy"), (4L, 40L, "legacy"), (5L, 50L, "fresh")))
+  }
+
   test("changeFeed attributes per-commit inserts/deletes/updates across DML and MOR deletes") {
     val dir = Files.createTempDirectory("graft-cf-")
     val t = GraftTable.create(spark, dir, "t",
