@@ -2166,6 +2166,76 @@ object Warehouse {
       val witness = noBackfill && materializedSame && t.validate().isEmpty
       t.read().withColumn("def_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q161: ROW LINEAGE (Iceberg v3 _row_id) ----------------------
+    // Stable per-row identity: enablement assigns ids to EXISTING rows
+    // metadata-only (no rewrite), appends mint fresh ids from the
+    // table counter, and maintenance/DML that rewrites files PRESERVES
+    // ids by materializing them (compact, update, CoW delete) — the
+    // identity an incremental consumer needs to track rows across
+    // rewrites. Witnesses: ids are dense+distinct at enablement;
+    // appended rows continue the counter; a sampled id map is
+    // bit-identical across compact + update + delete (survivors);
+    // no id is ever reused.
+    Q("q161_row_lineage",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p,
+        |    (SELECT max(o_orderkey) FROM orders) AS maxk
+        |  FROM orders)
+        |SELECT k AS o_orderkey,
+        |  CASE WHEN k * 4 <= maxk THEN round(p * 2, 2) ELSE p END AS price,
+        |  TRUE AS rl_ok
+        |FROM base WHERE k % 9 <> 5 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val maxk = base.agg(max("o_orderkey")).collect()
+        .head.getAs[Number](0).longValue
+      conn.createTable("orders_rl", base.filter(col("o_orderkey") % 2 === 0))
+      val t = conn.loadTable("orders_rl")
+      val evenRows = t.read().count()
+      val en = t.enableRowLineage()
+      // enablement is metadata-only and retro-assigns densely
+      val retro = en.addedFiles.isEmpty && {
+        val agg = t.readLineage().agg(
+          countDistinct(col("_row_id")).as("d"),
+          min(col("_row_id")).as("lo"), max(col("_row_id")).as("hi"))
+          .collect().head
+        agg.getLong(0) == evenRows && agg.getLong(1) == 0L &&
+          agg.getLong(2) == evenRows - 1
+      }
+      // appended rows continue the counter — fresh, never recycled
+      t.append(base.filter(col("o_orderkey") % 2 === 1))
+      val freshIds = t.readLineage()
+        .filter(col("o_orderkey") % 2 === 1)
+        .agg(min(col("_row_id"))).collect().head.getLong(0) >= evenRows
+      // sample map: every ~97th key, tracked across maintenance + DML
+      def sample(): Map[Long, Long] = t.readLineage()
+        .filter(col("o_orderkey") % 97 === 0)
+        .select("o_orderkey", "_row_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val s0 = sample()
+      t.compact(targetFiles = 6, clusterBy = Seq("o_orderkey"),
+        statsCols = Seq("o_orderkey"))
+      val afterCompact = sample() == s0
+      t.updateWhere(col("o_orderkey") * 4 <= maxk,
+        Map("price" -> round(col("price") * 2, 2)))
+      val afterUpdate = sample() == s0
+      t.deleteWhere(col("o_orderkey") % 9 === 5)
+      val survivors = s0.filter { case (k, _) => k % 9 != 5 }
+      val afterDelete = sample() == survivors
+      // global uniqueness after everything
+      val uniq = {
+        val agg = t.readLineage().agg(count(lit(1)).as("n"),
+          countDistinct(col("_row_id")).as("d")).collect().head
+        agg.getLong(0) == agg.getLong(1)
+      }
+      val witness = retro && freshIds && afterCompact && afterUpdate &&
+        afterDelete && uniq && t.validate().isEmpty
+      t.read().select(col("o_orderkey"), col("price"))
+        .withColumn("rl_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

@@ -168,10 +168,22 @@ final class GraftTable private (
       if (nameIdentity) fastFiles ++= fs.map(_._1)
       else {
         import org.apache.spark.sql.functions.{col, lit}
-        val raw = spark.read.schema(era).parquet(fs.map(_._1): _*)
+        // a `_row_id` target column is PHYSICAL in the files of this
+        // group even though no era schema lists it (lineage reads pass
+        // target = era + _row_id ONLY for materialized-id files) —
+        // widen the decode schema so the real ids come through
+        val lineage = target.fieldNames.contains(GraftTable.RowIdCol) &&
+          !era.fieldNames.contains(GraftTable.RowIdCol)
+        val eraRead =
+          if (!lineage) era
+          else StructType(era.fields :+ org.apache.spark.sql.types.StructField(
+            GraftTable.RowIdCol, org.apache.spark.sql.types.LongType))
+        val raw = spark.read.schema(eraRead).parquet(fs.map(_._1): _*)
         val cols = mapping.map {
           case (Some(src), tgt) =>
             col(src.name).cast(tgt.dataType).as(tgt.name)
+          case (None, tgt) if lineage && tgt.name == GraftTable.RowIdCol =>
+            col(GraftTable.RowIdCol)
           // era predates the column: its declared default (if any)
           // fills here, mirroring what the fast path's reader does for
           // absent columns via the existence-default metadata
@@ -1320,10 +1332,14 @@ final class GraftTable private (
       val sidByRel = log.filesWithSnapOf(snapsNow, Some(head.snapshotId))
         .map { case (abs, sid) =>
           dir.relativize(Paths.get(abs)).toString -> sid }.toMap
-      val survivors = readWithDeletes(
-        affected.map(f => dir.resolve(f).toString ->
-          sidByRel.getOrElse(f, head.snapshotId)),
-        log.eqDeletesOf(snapsNow, Some(head.snapshotId)), sch, snapsNow)
+      val affectedWithSnap = affected.map(f => dir.resolve(f).toString ->
+        sidByRel.getOrElse(f, head.snapshotId))
+      val delsNow = log.eqDeletesOf(snapsNow, Some(head.snapshotId))
+      // row lineage: survivors keep their ids — read them, write them
+      val lineage = rowLineageEnabled(Some(head.snapshotId))
+      val survivors = (if (lineage)
+          readWithLineage(affectedWithSnap, delsNow, sch, snapsNow)
+        else readWithDeletes(affectedWithSnap, delsNow, sch, snapsNow))
         // SQL DELETE semantics: remove only rows where cond is TRUE. A
         // bare `!cond` would also drop NULL-evaluating rows (NULL
         // satisfies neither side) — silent data loss.
@@ -1367,7 +1383,10 @@ final class GraftTable private (
       val stats = mergeBlooms(commitDir, statsP, inheritedBlooms)
       try {
         return log.commit("delete", files, head.schemaJson, stats,
-          expectedHead = Some(head.snapshotId), removedFiles = affected)
+          expectedHead = Some(head.snapshotId), removedFiles = affected,
+          properties =
+            if (lineage) Map(SnapshotLog.RowIdMaterializedKey -> "1")
+            else Map.empty)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           val walk = Files.walk(commitDir)
@@ -1434,10 +1453,15 @@ final class GraftTable private (
       val sidByRel = log.filesWithSnapOf(snapsNow, Some(head.snapshotId))
         .map { case (abs, sid) =>
           dir.relativize(Paths.get(abs)).toString -> sid }.toMap
-      val src = readWithDeletes(
-        affected.map(f => dir.resolve(f).toString ->
-          sidByRel.getOrElse(f, head.snapshotId)),
-        log.eqDeletesOf(snapsNow, Some(head.snapshotId)), sch, snapsNow)
+      val affectedWithSnap = affected.map(f => dir.resolve(f).toString ->
+        sidByRel.getOrElse(f, head.snapshotId))
+      val delsNow = log.eqDeletesOf(snapsNow, Some(head.snapshotId))
+      // row lineage: an UPDATE preserves row identity — the pre-image's
+      // id rides through the assignment select into the rewrite
+      val lineage = rowLineageEnabled(Some(head.snapshotId))
+      val src = (if (lineage)
+          readWithLineage(affectedWithSnap, delsNow, sch, snapsNow)
+        else readWithDeletes(affectedWithSnap, delsNow, sch, snapsNow))
       // one select, every branch reading INPUT columns: assignments
       // cannot observe each other, and `cond` is evaluated on the
       // pre-image (a SET that flips its own predicate still applies)
@@ -1448,7 +1472,7 @@ final class GraftTable private (
             .otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
-      }: _*)
+      } ++ (if (lineage) Seq(col(GraftTable.RowIdCol)) else Nil): _*)
       // constraints gate the post-image of the rows the update TOUCHES;
       // one bounded agg over affected files, before any bytes land
       enforceConstraints(postImage(src.filter(hit)), "update")
@@ -1493,9 +1517,11 @@ final class GraftTable private (
       // them so changeFeed pairs this commit into update pre/post rows
       val pairKeys = sch.fieldNames.toSeq.filterNot(set.contains)
       val props =
-        if (pairKeys.isEmpty || pairKeys.exists(_.contains(",")))
+        (if (pairKeys.isEmpty || pairKeys.exists(_.contains(",")))
           Map.empty[String, String]
-        else Map(GraftTable.DmlKeysKey -> pairKeys.mkString(","))
+        else Map(GraftTable.DmlKeysKey -> pairKeys.mkString(","))) ++
+        (if (lineage) Map(SnapshotLog.RowIdMaterializedKey -> "1")
+         else Map.empty)
       try {
         return log.commit("update", files, head.schemaJson, stats,
           expectedHead = Some(head.snapshotId), removedFiles = affected,
@@ -2231,7 +2257,12 @@ final class GraftTable private (
     while (true) {
       val base = log.head.getOrElse(
         throw new IllegalStateException(s"table $name has no snapshots"))
-      val current = read(Some(base.snapshotId))
+      // row lineage: the rewrite READS every row's id and WRITES it as
+      // a physical column — maintenance preserves identity (v3's rule)
+      val lineage = rowLineageEnabled(Some(base.snapshotId))
+      val current =
+        if (lineage) readLineage(Some(base.snapshotId))
+        else read(Some(base.snapshotId))
       val parts = if (targetFiles > 0) targetFiles
         else math.max(1, spark.sparkContext.defaultParallelism / 2)
       val commitDir = dir.resolve("data").resolve(s"c${UUID.randomUUID().toString.take(12)}")
@@ -2301,7 +2332,12 @@ final class GraftTable private (
       try {
         return log.commit("compact", files, base.schemaJson, stats,
           expectedHead = Some(base.snapshotId),
-          properties = carriedTxnMarkers(log.snapshots))
+          properties = carriedTxnMarkers(log.snapshots) ++
+            (if (lineage)
+              Map(SnapshotLog.RowIdMaterializedKey -> "1",
+                SnapshotLog.RowIdNextKey ->
+                  SnapshotLog.rowIdNextOf(log.snapshots).get.toString)
+             else Map.empty))
       } catch {
         case e: java.util.ConcurrentModificationException =>
           // lost to a concurrent commit: discard the stale rewrite and
@@ -2366,6 +2402,7 @@ final class GraftTable private (
       }.filter { case (abs, _, rel) => sizeOf(abs, rel) < smallBytes }
       if (small.size < 2) return None
       val sch = schemaAsOfIn(snaps, Some(base.snapshotId))
+      val lineage = rowLineageEnabled(Some(base.snapshotId))
       val dels = log.eqDeletesOf(snaps, Some(base.snapshotId))
       val posDels = dels.filter(_._2.isInstanceOf[Tomb.Pos])
       val rowDelSnaps = dels.collect {
@@ -2387,10 +2424,13 @@ final class GraftTable private (
         val gBytes = gfiles.map { case (abs, _, rel) => sizeOf(abs, rel) }.sum
         val gParts = math.max(1, ((gBytes + targetBytes - 1) / targetBytes).toInt)
         // position tombstones apply to the rewrite source (visible rows
-        // unchanged); key/pred tombstones deliberately do NOT
-        val packed = readWithDeletes(
-          gfiles.map { case (abs, sid, _) => (abs, sid) },
-          posDels, sch, snaps).repartition(gParts)
+        // unchanged); key/pred tombstones deliberately do NOT. Row
+        // lineage: binpack must be invisible to identity — ids ride
+        // into the re-packed files as a physical column.
+        val gws = gfiles.map { case (abs, sid, _) => (abs, sid) }
+        val packed = (if (lineage) readWithLineage(gws, posDels, sch, snaps)
+          else readWithDeletes(gws, posDels, sch, snaps))
+          .repartition(gParts)
         val sub = commitDir.resolve(f"g$idx%02d")
         if (pspec.isEmpty) packed.write.parquet(sub.toString)
         else {
@@ -2438,7 +2478,9 @@ final class GraftTable private (
       try {
         return Some(log.commit("rewrite", files, base.schemaJson, stats,
           expectedHead = Some(base.snapshotId), removedFiles = removed,
-          properties = tombProps.toMap))
+          properties = tombProps.toMap ++
+            (if (lineage) Map(SnapshotLog.RowIdMaterializedKey -> "1")
+             else Map.empty)))
       } catch {
         case e: java.util.ConcurrentModificationException =>
           val walk = Files.walk(commitDir)
@@ -2588,6 +2630,22 @@ final class GraftTable private (
           dir.relativize(Paths.get(abs)).toString) =
           GraftTable.tombSidOf(tombBySid, dir, abs, sid).toString
       }
+    }
+    // ROW-LINEAGE carry: re-record every visible file's first-row-id
+    // (or its physical-ids flag) and the next counter — the assigning
+    // commits are exactly what expiry will drop, and without the carry
+    // ids would silently vanish with them
+    SnapshotLog.rowIdNextOf(snaps).foreach { next =>
+      val firsts = SnapshotLog.rowIdFirsts(snaps)
+      val matRels = SnapshotLog.rowIdMatRels(snaps)
+      visible.foreach { case (abs, _) =>
+        val r = dir.relativize(Paths.get(abs)).toString
+        if (matRels.contains(r))
+          props(SnapshotLog.RowIdMatFilePrefix + r) = "1"
+        else firsts.get(r).foreach(f =>
+          props(SnapshotLog.RowIdFirstPrefix + r) = f.toString)
+      }
+      props(SnapshotLog.RowIdNextKey) = next.toString
     }
     val statsByFile = snaps.flatMap(_.stats).toMap
     val rel = visible.map { case (abs, _) =>
@@ -3393,6 +3451,120 @@ final class GraftTable private (
     else parts.reduce(_ unionByName _)
   }
 
+  // ------------------------------------------------------------ lineage
+  // ROW LINEAGE (the Iceberg v3 row-id contract): every row gets a
+  // STABLE long `_row_id`, assigned at commit time and surviving
+  // maintenance — the identity an incremental consumer tracks rows by.
+  // Ids are virtual (first-row-id per file + _metadata.row_index, zero
+  // storage) until a rewrite MATERIALIZES them as a physical column.
+
+  /** Turn on row lineage: one metadata-only commit assigns every
+    * visible file its first row id (ids exist retroactively, no
+    * rewrite) and seeds the table counter. From here on every
+    * data-adding commit assigns ids automatically:
+    *  - [[append]]/[[addFiles]]/[[publishBranch]] rows get FRESH ids;
+    *  - merge-on-read deletes change no ids (no rewrite);
+    *  - [[compact]], [[compactSmall]], [[updateWhere]] and
+    *    [[deleteWhere]] PRESERVE ids by materializing them into the
+    *    rewritten files ([[checkpoint]] carries the bookkeeping across
+    *    the expiry horizon);
+    *  - [[merge]]/[[overwriteWhere]]/[[replace]] assign REWRITTEN rows
+    *    fresh ids (rows they never touched keep theirs — the files
+    *    holding them aren't rewritten). Iceberg v3 makes carrying ids
+    *    through row-changing DML optional; an updated row's identity
+    *    here is "preserved by UPDATE, re-minted by MERGE".  */
+  def enableRowLineage(): Snapshot = {
+    val snaps = log.snapshots
+    val head = snaps.lastOption.getOrElse(
+      throw new IllegalStateException(s"table $name has no snapshots"))
+    require(SnapshotLog.rowIdNextOf(snaps).isEmpty,
+      s"row lineage already enabled on $name")
+    require(!schema.fieldNames.contains(GraftTable.RowIdCol),
+      s"$name has a real column named ${GraftTable.RowIdCol}")
+    val statsByFile = snaps.flatMap(_.stats).toMap
+    val visible = log.filesWithSnapOf(snaps, None)
+      .map { case (a, _) => dir.relativize(Paths.get(a)).toString }.sorted
+    var n = 0L
+    val entries = visible.map { f =>
+      val rows = statsByFile.get(f).map(_.rows).getOrElse(-1L)
+      require(rows >= 0, s"enableRowLineage on $name: file $f has no " +
+        "recorded row count (pre-stats manifest) — compact() first")
+      val e = (SnapshotLog.RowIdFirstPrefix + f) -> n.toString
+      n += rows
+      e
+    }
+    log.commit("evolve", Seq.empty, head.schemaJson,
+      properties = entries.toMap + (SnapshotLog.RowIdNextKey -> n.toString))
+  }
+
+  /** Is row lineage on (at the cut)? */
+  def rowLineageEnabled(asOf: Option[Long] = None): Boolean = {
+    val snaps = log.snapshots
+    val upTo = asOf.map(c => snaps.filter(_.snapshotId <= c)).getOrElse(snaps)
+    SnapshotLog.rowIdNextOf(upTo).nonEmpty
+  }
+
+  /** [[read]] plus the stable `_row_id` column. */
+  def readLineage(asOf: Option[Long] = None): DataFrame = {
+    val snaps = log.snapshots
+    require(rowLineageEnabled(asOf),
+      s"row lineage not enabled on $name (enableRowLineage()) at this cut")
+    readWithLineage(log.filesWithSnapOf(snaps, asOf),
+      log.eqDeletesOf(snaps, asOf), schemaAsOfIn(snaps, asOf), snaps)
+  }
+
+  /** `files` read delete-applied with `_row_id` attached: files with
+    * PHYSICAL ids (materializing rewrites) read the column; everything
+    * else computes `first_row_id + _metadata.row_index` through one
+    * broadcast join against the manifest-recorded firsts. The rel-path
+    * join key derives from the decoded scan file name row-side with
+    * codegen'd builtins (url_decode/instr/substring) — no UDF. */
+  private def readWithLineage(filesWithSnap: Seq[(String, Long)],
+      dels: Seq[(Long, Tomb)], sch: StructType,
+      snaps: Seq[Snapshot]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, lit, url_decode}
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val outCols = sch.fieldNames.toSeq :+ GraftTable.RowIdCol
+    val matRels = SnapshotLog.rowIdMatRels(snaps)
+    val (mat, plain) = filesWithSnap.partition { case (a, _) =>
+      matRels.contains(dir.relativize(Paths.get(a)).toString) }
+    val parts = Seq.newBuilder[DataFrame]
+    if (plain.nonEmpty) {
+      val firsts = SnapshotLog.rowIdFirsts(snaps)
+      val plainRels = plain.map { case (a, _) =>
+        dir.relativize(Paths.get(a)).toString }
+      val missing = plainRels.filterNot(firsts.contains)
+      require(missing.isEmpty, s"row lineage on $name: no first-row-id " +
+        s"recorded for ${missing.take(3).mkString(", ")} — history hole")
+      val tagged = readWithDeletes(plain, dels, sch, snaps,
+        tagFile = Some("__rl_f"), posTag = Some("__rl_p"))
+      val dirAbs = dir.toAbsolutePath.toString
+      val mapDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(plainRels.distinct.map(r =>
+          org.apache.spark.sql.Row(r, firsts(r))), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          StructField("__rl_rel", org.apache.spark.sql.types.StringType),
+          StructField("__rl_first", LongType))))
+      val withRel = tagged
+        .withColumn("__rl_dir", lit(dirAbs))
+        .withColumn("__rl_dec", url_decode(col("__rl_f")))
+        .withColumn("__rl_rel", expr(
+          s"substring(__rl_dec, instr(__rl_dec, __rl_dir) + ${dirAbs.length + 1})"))
+      parts += withRel.join(broadcast(mapDf), "__rl_rel")
+        .withColumn(GraftTable.RowIdCol,
+          col("__rl_first") + col("__rl_p").cast("long"))
+        .select(outCols.map(col): _*)
+    }
+    if (mat.nonEmpty) {
+      val schPlus = StructType(sch.fields :+
+        StructField(GraftTable.RowIdCol, LongType))
+      parts += readWithDeletes(mat, dels, schPlus, snaps)
+        .select(outCols.map(col): _*)
+    }
+    parts.result().reduceOption(_ unionByName _).getOrElse(
+      emptyDf(sch).withColumn(GraftTable.RowIdCol, lit(null).cast(LongType)))
+  }
+
   /** Planning-time file pruning: read only the files whose recorded
     * [min, max] for `column` intersects [lower, upper] (both bounds
     * inclusive, either optional). Files without stats are read
@@ -3903,6 +4075,9 @@ object GraftTable {
     * Absent (pre-r14 commits, or a key column name containing a
     * comma) ⇒ the feed reports plain delete+insert, still correct. */
   val DmlKeysKey = "graft.dml.keys"
+
+  /** The row-lineage column name (the Iceberg v3 reserved field). */
+  val RowIdCol = "_row_id"
 
   /** StructField-metadata keys of a column's CONSTANT default (the
     * Iceberg v3 initial-default / write-default pair) — Spark's own

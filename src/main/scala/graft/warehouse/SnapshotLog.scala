@@ -283,6 +283,52 @@ object SnapshotLog {
     * eqdelete commits themselves. */
   val CarryDelPrefix = "graft.carrydel."
 
+  /** ROW LINEAGE (the Iceberg v3 row-id contract). `RowIdNextKey` →
+    * the table's next unassigned row id; its presence on any retained
+    * snapshot means lineage is ENABLED, and every id-assigning commit
+    * re-states the advanced counter. `RowIdFirstPrefix<relPath>` → the
+    * FIRST row id of that data file: a row's id is `first +
+    * _metadata.row_index` (v3's first-row-id inheritance — ids exist
+    * without any physical column). `RowIdMaterializedKey` on a commit
+    * means its added files carry a PHYSICAL `_row_id` column instead
+    * (how rewrites PRESERVE ids: compact/update/delete read ids and
+    * re-write them as real bytes); `RowIdMatFilePrefix<relPath>` is
+    * the per-file form a metadata checkpoint uses to carry that fact
+    * across the expiry horizon. */
+  val RowIdNextKey = "graft.rowid.next"
+  val RowIdFirstPrefix = "graft.rowid.first."
+  val RowIdMaterializedKey = "graft.rowid.materialized"
+  val RowIdMatFilePrefix = "graft.rowid.matfile."
+
+  /** The table's next unassigned row id at the cut, None ⇔ lineage
+    * never enabled. Latest wins: every assigning commit re-states it. */
+  def rowIdNextOf(snaps: Seq[Snapshot]): Option[Long] =
+    snaps.reverseIterator
+      .flatMap(_.properties.get(RowIdNextKey)).nextOption().map(_.toLong)
+
+  /** Every recorded first-row-id, keyed by data-file rel path. Rel
+    * paths are never reused (uuid commit dirs), so duplicates —
+    * checkpoint carries re-stating the adding commit's value — agree
+    * by construction. */
+  def rowIdFirsts(snaps: Seq[Snapshot]): Map[String, Long] =
+    snaps.iterator.flatMap(_.properties.iterator).collect {
+      case (k, v) if k.startsWith(RowIdFirstPrefix) =>
+        k.substring(RowIdFirstPrefix.length) -> v.toLong
+    }.toMap
+
+  /** Rel paths of files whose rows carry a PHYSICAL `_row_id` column:
+    * files added by a materializing rewrite, plus per-file flags a
+    * checkpoint carried past the rewrite commit's expiry. */
+  def rowIdMatRels(snaps: Seq[Snapshot]): Set[String] =
+    snaps.iterator.flatMap { s =>
+      (if (s.properties.contains(RowIdMaterializedKey)) s.addedFiles
+       else Seq.empty[String]) ++
+        s.properties.keysIterator.collect {
+          case k if k.startsWith(RowIdMatFilePrefix) =>
+            k.substring(RowIdMatFilePrefix.length)
+        }
+    }.toSet
+
   /** Per-JVM parse cache for immutable MAIN-log manifests (see
     * [[SnapshotLog.snapshots]] for the immutability argument). Sized
     * for tens of live tables with thousands of commits each; LRU keeps
@@ -573,9 +619,46 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
         if (head != e) throw new java.util.ConcurrentModificationException(
           s"snapshot head moved: expected $e, found $head")
       }
+      // ROW-LINEAGE auto-assignment (the Iceberg v3 first-row-id
+      // inheritance): once lineage is enabled, every commit that adds
+      // data files assigns each NEW file its first row id from the
+      // table counter and re-states the advanced counter — recomputed
+      // per attempt so a lost head race re-reads the winner's counter.
+      // Skipped when the commit states lineage itself (enablement and
+      // checkpoint carries pass RowIdNextKey; materializing rewrites
+      // pass RowIdMaterializedKey — their files carry physical ids),
+      // and per-file for rels that already have an identity (a
+      // rollback re-listing old files must not re-number them).
+      val effProps =
+        if (addedFiles.isEmpty ||
+            properties.contains(SnapshotLog.RowIdNextKey) ||
+            properties.contains(SnapshotLog.RowIdMaterializedKey)) properties
+        else {
+          val snaps = snapshots
+          SnapshotLog.rowIdNextOf(snaps) match {
+            case None => properties
+            case Some(next0) =>
+              val known = SnapshotLog.rowIdFirsts(snaps).keySet ++
+                SnapshotLog.rowIdMatRels(snaps)
+              val fresh = addedFiles.filterNot(known).sorted
+              if (fresh.isEmpty) properties
+              else {
+                var n = next0
+                val entries = fresh.map { f =>
+                  val rows = stats.get(f).map(_.rows).getOrElse(-1L)
+                  require(rows >= 0, s"row lineage on this table needs a " +
+                    s"recorded row count for every added file; '$f' has none")
+                  val e = (SnapshotLog.RowIdFirstPrefix + f) -> n.toString
+                  n += rows
+                  e
+                }
+                properties ++ entries + (SnapshotLog.RowIdNextKey -> n.toString)
+              }
+          }
+        }
       val id = math.max(head + 1, atLeastId.getOrElse(0L))
       val snap = Snapshot(id, System.currentTimeMillis(), operation,
-        addedFiles, schemaJson, stats, removedFiles, deleteFiles, properties)
+        addedFiles, schemaJson, stats, removedFiles, deleteFiles, effProps)
       val tmp = Files.createTempFile(snapDir, ".commit-", ".tmp")
       Files.writeString(tmp, SnapshotJson.write(snap))
       try {

@@ -2594,6 +2594,87 @@ class WarehouseSpec extends AnyFunSuite {
       (3L, 30L, "legacy"), (4L, 40L, "legacy"), (5L, 50L, "fresh")))
   }
 
+  test("row lineage: stable ids across maintenance, preserved by update/delete, fresh on append") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-rl-")
+    val t = GraftTable.create(spark, dir, "t",
+      (1L to 100L).map(i => (i, i * 10L)).toDF("id", "amt")).get
+    t.append((101L to 200L).map(i => (i, i * 10L)).toDF("id", "amt"))
+    // not enabled yet → refuse
+    intercept[IllegalArgumentException] { t.readLineage() }
+    t.enableRowLineage()
+    def ids(): Map[Long, Long] = t.readLineage().select("id", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    val ids0 = ids()
+    assert(ids0.size === 200 && ids0.values.toSet.size === 200,
+      "row ids not distinct")
+    assert(ids0.values.min === 0L && ids0.values.max === 199L,
+      s"retro-assignment not dense: ${ids0.values.min}..${ids0.values.max}")
+    // appends mint fresh ids above the counter
+    t.append((201L to 220L).map(i => (i, i * 10L)).toDF("id", "amt"))
+    val ids1 = ids()
+    assert((201L to 220L).map(ids1).toSet === (200L to 219L).toSet)
+    assert((1L to 200L).forall(k => ids1(k) == ids0(k)),
+      "append disturbed existing ids")
+    // a full compact preserves every id (materializes them)
+    t.compact(targetFiles = 3, clusterBy = Seq("id"), statsCols = Seq("id"))
+    assert(ids() === ids1, "compact changed row ids")
+    // UPDATE preserves the updated rows' ids
+    t.updateWhere(col("id") <= 10, Map("amt" -> (col("amt") + 1)))
+    assert(ids() === ids1, "update changed row ids")
+    // CoW DELETE: survivors keep ids, victims' ids never reused
+    t.deleteWhere(col("id") % 50 === 0)
+    val ids2 = ids()
+    assert(ids2 === ids1.removedAll(Seq(50L, 100L, 150L, 200L)))
+    // MOR delete: no rewrite, no id movement
+    t.deleteKeysMor(Seq(7L).toDF("id"))
+    assert(ids() === ids2.removed(7L))
+    // binpack preserves ids too (with the tombstone still live)
+    val bp = t.compactSmall(smallBytes = 1L << 30)
+    assert(bp.nonEmpty, "binpack found nothing to pack")
+    assert(ids() === ids2.removed(7L), "binpack changed row ids")
+    // merge re-mints ids for the rows it REWRITES, keeps the rest
+    t.compact() // materialize the tombstone so merge's file probe is clean
+    val before = ids()
+    t.merge(Seq((1L, 999L), (300L, 3000L)).toDF("id", "amt"), Seq("id"),
+      whenMatchedDelete = org.apache.spark.sql.functions.lit(false))
+    val after = ids()
+    assert(after(300L) >= 220L, "fresh merge insert got a recycled id")
+    assert(after(1L) != before(1L),
+      "merge rewrote row 1 but kept its id — expected a re-mint")
+    // rows in files merge never touched keep their ids; ids stay unique
+    assert(after.values.toSet.size === after.size)
+    // checkpoint + expiry: the carry keeps every id resolvable
+    val ck = t.checkpoint()
+    t.expireSnapshots(ck.snapshotId)
+    assert(ids() === after, "checkpoint/expiry lost row ids")
+  }
+
+  test("row lineage assigns through partitioned writes and era-projected (renamed) reads") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-rlp-")
+    val t = GraftTable.create(spark, dir, "t",
+      (1L to 60L).map(i => (i, i % 3)).toDF("id", "b")).get
+    t.setPartitionSpec(Seq(graft.warehouse.PartitionField("identity", "b")))
+    t.append((61L to 120L).map(i => (i, i % 3)).toDF("id", "b"))
+    t.enableRowLineage()
+    // partition-dir rel paths (p_b=0/...) resolve through the row-side
+    // decoded join key
+    val l0 = t.readLineage().select("id", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    assert(l0.size === 120 && l0.values.toSet.size === 120)
+    // rename forces the per-era slow path; materialized files carry
+    // physical ids through it
+    t.renameColumn("b", "bucket")
+    t.updateWhere(col("id") <= 5, Map("bucket" -> (col("bucket") + 0)))
+    assert(t.readLineage().select("id", "_row_id")
+      .as[(Long, Long)].collect().toMap === l0,
+      "rename + update lost ids on era-projected files")
+    // lineage refuses a second enable
+    intercept[IllegalArgumentException] { t.enableRowLineage() }
+  }
+
   test("changeFeed attributes per-commit inserts/deletes/updates across DML and MOR deletes") {
     val dir = Files.createTempDirectory("graft-cf-")
     val t = GraftTable.create(spark, dir, "t",
