@@ -131,6 +131,53 @@ object TextAnalysis {
       .withColumn("oov_rate",
         round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4))
 
+  /** BM25-scored top-k retrieval (Okapi BM25, Robertson et al., with
+    * the non-negative `ln(1 + …)` idf): rank documents against a bag
+    * of query terms — the relevance-mining pass a training-data
+    * pipeline runs to pull topic-focused subsets out of a web-scale
+    * corpus. Returns (idCol, bm25) for the `k` best documents, scored
+    * as Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) and
+    * rounded to 6 places so the cut is engine-deterministic (ties
+    * break by id).
+    *
+    * Scale: document length is ROW-LOCAL (the size of the token
+    * array — no corpus-wide shuffle for dl); N and avgdl are one
+    * broadcast scalar row; term document-frequencies aggregate only
+    * rows already filtered to the query terms, so the single keyed
+    * shuffle carries O(matching (doc, term) pairs), not O(corpus
+    * tokens); the df and stats sides broadcast into the scoring join;
+    * the top-k cut is TakeOrdered, not a full sort. */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, "k must be positive")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val withToks = df.select(col(idCol),
+        tokensLower(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("double"))
+    val stats = withToks.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__dl")).as("__avgdl"))
+    val hits = withToks
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("__tok"))
+      .filter(col("__tok").isin(terms: _*))
+    val tf = hits.groupBy(col(idCol), col("__dl"), col("__tok"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = hits.select(col(idCol), col("__tok")).distinct()
+      .groupBy("__tok").agg(count(lit(1)).cast("double").as("__df"))
+    tf.join(broadcast(dfreq), "__tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0))
+      .withColumn("__s", col("__idf") * (col("__tf") * (k1 + 1.0)) /
+        (col("__tf") +
+          (col("__dl") / col("__avgdl") * b + (1.0 - b)) * k1))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("__s")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Collocation extraction: the `k` strongest two-word associations by
     * lift = p(a,b) / (p(a)·p(b)) — PMI's argument, kept un-logged so the
     * score is a chain of IEEE mul/div that DuckDB reproduces

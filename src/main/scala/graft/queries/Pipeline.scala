@@ -1458,6 +1458,39 @@ object Pipeline {
       verified.select(col("tok"), col("freq"),
           lit(nCand <= cap).as("mg_ok"))
         .orderBy("tok")
+    },
+
+    // ---- q162: BM25 top-k retrieval -----------------------------------
+    // The relevance-mining pass of a training-data pipeline: pull the
+    // k most query-relevant documents from the corpus by Okapi BM25.
+    // Scale posture (see TextAnalysis.bm25TopK): dl is row-local, the
+    // only keyed shuffle carries (doc, query-term) HITS (prefiltered
+    // before aggregation), df/N/avgdl broadcast, top-k is TakeOrdered.
+    // The oracle replays the exact formula (same ln(1+…) idf, same
+    // k1/b, same 6-place rounding before the deterministic cut).
+    Q("q162_bm25",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(toks) * 1.0 AS dl FROM t),
+        |st AS (SELECT count(*) * 1.0 AS n, avg(dl) AS avgdl FROM d),
+        |hits AS (
+        |  SELECT doc_id, unnest(toks) AS tok FROM t)
+        |, fh AS (SELECT doc_id, tok FROM hits WHERE tok IN ('spark', 'join', 'vector')),
+        |tf AS (SELECT doc_id, tok, count(*) * 1.0 AS tf FROM fh GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(DISTINCT doc_id) * 1.0 AS df FROM fh GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |      (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / st.avgdl)) AS s
+        |  FROM tf JOIN dfq USING (tok) JOIN d ON tf.doc_id = d.doc_id
+        |  CROSS JOIN st)
+        |SELECT doc_id, round(sum(s), 6) AS bm25
+        |FROM scored GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      TA.bm25TopK(T.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "vector"), k = 25)
     })
 
   def queries: Seq[Q] = ql

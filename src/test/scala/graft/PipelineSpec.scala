@@ -998,4 +998,29 @@ class PipelineSpec extends AnyFunSuite {
     // only 2 tokens — shorter than k, never a window)
     assert(got(3) == ((4L, 6L, 0L, "p q r s t u")))
   }
+
+  test("bm25TopK matches the hand formula, drops no-hit docs, cuts at k deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"),   // tf(a)=2
+      (2L, "a b c"),   // tf(a)=1
+      (3L, "c c c"),   // no query term
+      (4L, "a b c"))   // tf(a)=1, ties with doc 2 → id breaks
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", Seq("a"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // N=4, avgdl=3, dl=3 ⇒ dl/avgdl=1; df(a)=3
+    val idf = math.log((4.0 - 3 + 0.5) / (3 + 0.5) + 1.0)
+    def s(tf: Double) = BigDecimal(idf * (tf * 2.2) / (tf + 1.2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.length === 2)
+    assert(got(0) === ((1L, s(2))), s"got ${got.toSeq}")
+    assert(got(1) === ((2L, s(1))), "tie must break by id: doc 2 before 4")
+    // multi-term: scores add per term; doc 3 appears once c is queried
+    val multi = graft.operators.TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", Seq("a", "c"), k = 4)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(multi === Set(1L, 2L, 3L, 4L))
+  }
 }
