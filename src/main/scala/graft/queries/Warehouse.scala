@@ -2236,6 +2236,84 @@ object Warehouse {
       t.read().select(col("o_orderkey"), col("price"))
         .withColumn("rl_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q163: IDENTITY-level change feed (CDF × row lineage) --------
+    // changeFeed(withRowIds): every change row carries its stable
+    // `_row_id`, and update pre/post images pair by ROW IDENTITY
+    // instead of recorded key columns — exact pairing even without
+    // unique keys. The rig: enable lineage → range UPDATE (preserved
+    // ids pair the images) → MOR key delete (the kill rows carry the
+    // victims' ids) → re-append of the killed keys at new prices
+    // (fresh ids ≥ the counter — identity died and was re-minted).
+    // Witnesses (computed as DataFrame aggregates, never collected at
+    // scale): zero pre/post pairs with mismatched ids, every MOR-kill
+    // id equal to the pre-update lineage capture, every insert id at
+    // or above the pre-append counter, and the id column is unique
+    // within each change side. The oracle replays the VALUE content of
+    // the feed declaratively (ids are layout-dependent and stay out of
+    // the graded columns).
+    Q("q163_identity_feed",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p,
+        |    (SELECT max(o_orderkey) FROM orders) AS maxk
+        |  FROM orders),
+        |cur AS (
+        |  SELECT k, CASE WHEN k * 4 <= maxk THEN round(p * 2, 2) ELSE p END AS p
+        |  FROM base)
+        |SELECT * FROM (
+        |  SELECT 'update_preimage' AS _change_type, k AS o_orderkey, p AS price
+        |  FROM base WHERE k * 4 <= maxk
+        |  UNION ALL
+        |  SELECT 'update_postimage', k, round(p * 2, 2)
+        |  FROM base WHERE k * 4 <= maxk
+        |  UNION ALL
+        |  SELECT 'delete', k, p FROM cur WHERE k % 10 = 7
+        |  UNION ALL
+        |  SELECT 'insert', k, round(p * 9, 2) FROM base WHERE k % 10 = 7
+        |) ORDER BY _change_type, o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      val maxk = base.agg(max("o_orderkey")).collect()
+        .head.getAs[Number](0).longValue
+      conn.createTable("orders_if", base)
+      val t = conn.loadTable("orders_if")
+      t.enableRowLineage()
+      val s1 = t.currentSnapshotId.get
+      val lin1 = t.readLineage(Some(s1))
+        .select(col("o_orderkey"), col("_row_id").as("__id1"))
+      t.updateWhere(col("o_orderkey") * 4 <= maxk,
+        Map("price" -> round(col("price") * 2, 2)))
+      t.deleteKeysMor(base.filter(col("o_orderkey") % 10 === 7)
+        .select("o_orderkey"))
+      val preAppendNext = graft.warehouse.SnapshotLog
+        .rowIdNextOf(t.log.snapshots).get
+      t.append(base.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("price", round(col("price") * 9, 2)))
+      val feed = t.changeFeed(s1, withRowIds = true)
+      // identity pairing: pre and post of the same key share the id
+      val pairBad = feed.filter(col("_change_type") === "update_preimage")
+        .select(col("o_orderkey"), col("_row_id").as("__pre"))
+        .join(feed.filter(col("_change_type") === "update_postimage")
+          .select(col("o_orderkey"), col("_row_id").as("__post")),
+          "o_orderkey")
+        .filter(col("__pre") =!= col("__post")).count() == 0
+      // MOR kills carry the victims' pre-update identities
+      val killBad = feed.filter(col("_change_type") === "delete")
+        .join(lin1, "o_orderkey")
+        .filter(col("_row_id") =!= col("__id1")).count() == 0
+      // re-appended keys are NEW identities minted at/after the counter
+      val freshOk = feed.filter(col("_change_type") === "insert")
+        .agg(min(col("_row_id"))).collect().head.getLong(0) >= preAppendNext
+      // ids unique within each change side
+      val uniq = feed.groupBy("_change_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("_row_id")).as("d"))
+        .filter(col("n") =!= col("d")).count() == 0
+      val witness = pairBad && killBad && freshOk && uniq
+      feed.select(col("_change_type"), col("o_orderkey"),
+          when(lit(witness), col("price")).otherwise(lit(-1.0)).as("price"))
+        .orderBy("_change_type", "o_orderkey")
     })
 
   def queries: Seq[Q] = ql

@@ -3279,8 +3279,20 @@ final class GraftTable private (
     * under the latest schema the same way): a column dropped inside
     * the window is absent from earlier change rows too. Expired cuts
     * refuse ([[HistoryExpiredException]]); an unknown operation kind
-    * refuses rather than silently skipping. */
-  def changeFeed(fromId: Long, toId: Long = Long.MaxValue): DataFrame = {
+    * refuses rather than silently skipping.
+    *
+    * `withRowIds` (requires [[enableRowLineage]]) attaches each change
+    * row's stable `_row_id` and switches update pairing from recorded
+    * key columns to ROW IDENTITY — an UPDATE's pre/post images share
+    * their id by construction (the rewrite materializes them), so the
+    * pairing is exact even without unique keys. The feed becomes
+    * IDENTITY-level: a MERGE re-mints ids for every row of the files
+    * it rewrites, so carried-along rows of those files report as
+    * delete(old id) + insert(new id) — true for identity consumers,
+    * noisier than the value-level default. Pick the view that matches
+    * what downstream tracks. */
+  def changeFeed(fromId: Long, toId: Long = Long.MaxValue,
+      withRowIds: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit,
       max => fmax, min => fmin, sum => fsum, when => fwhen}
     val snaps = log.snapshots
@@ -3295,8 +3307,16 @@ final class GraftTable private (
           s"snapshot $id of $name expired — change feed $side unknowable")
     requireRetained(fromId, "base")
     requireRetained(to, "target")
+    if (withRowIds) require(rowLineageEnabled(Some(to)),
+      s"changeFeed(withRowIds) on $name needs row lineage enabled at the cut")
     val sch = schemaAsOfIn(snaps, Some(to))
     def relOf(abs: String): String = dir.relativize(Paths.get(abs)).toString
+    // lineage-aware variants: identical file/tombstone plumbing, plus
+    // the per-row id (physical for materialized files, arithmetic
+    // first + row_index elsewhere)
+    def readVis(fs: Seq[(String, Long)], dels: Seq[(Long, Tomb)]): DataFrame =
+      if (withRowIds) readWithLineage(fs, dels, sch, snaps)
+      else readWithDeletes(fs, dels, sch, snaps)
     def stamp(df: DataFrame, s: Snapshot): DataFrame =
       df.withColumn("_commit_snapshot_id", lit(s.snapshotId))
         .withColumn("_commit_timestamp",
@@ -3311,7 +3331,7 @@ final class GraftTable private (
       val addedSet = s.addedFiles.toSet
       val fs = log.filesWithSnapOf(snaps, Some(s.snapshotId))
         .filter { case (a, _) => addedSet.contains(relOf(a)) }
-      readWithDeletes(fs, log.eqDeletesOf(snaps, Some(s.snapshotId)), sch, snaps)
+      readVis(fs, log.eqDeletesOf(snaps, Some(s.snapshotId)))
     }
     // s's removed files as visible at the PREVIOUS cut (delete-applied:
     // rows already dead under a live tombstone must not resurface as
@@ -3320,14 +3340,19 @@ final class GraftTable private (
       val remSet = s.removedFiles.toSet
       val fs = log.filesWithSnapOf(snaps, Some(prevId))
         .filter { case (a, _) => remSet.contains(relOf(a)) }
-      readWithDeletes(fs, log.eqDeletesOf(snaps, Some(prevId)), sch, snaps)
+      readVis(fs, log.eqDeletesOf(snaps, Some(prevId)))
     }
     // pair a rewrite's delete+insert rows sharing a recorded merge key
-    // into update pre/post images; unpaired rows stay delete/insert
+    // into update pre/post images; unpaired rows stay delete/insert.
+    // Under withRowIds the pairing key is ROW IDENTITY itself — exact
+    // for id-preserving rewrites (update/delete), empty-on-purpose for
+    // id-re-minting ones (merge)
     def paired(dels: DataFrame, ins: DataFrame, s: Snapshot): DataFrame = {
-      val ks = s.properties.get(GraftTable.DmlKeysKey)
-        .map(_.split(',').toSeq.filter(_.nonEmpty))
-        .filter(k => k.nonEmpty && k.forall(sch.fieldNames.contains))
+      val ks =
+        if (withRowIds) Some(Seq(GraftTable.RowIdCol))
+        else s.properties.get(GraftTable.DmlKeysKey)
+          .map(_.split(',').toSeq.filter(_.nonEmpty))
+          .filter(k => k.nonEmpty && k.forall(sch.fieldNames.contains))
       ks match {
         case None =>
           dels.withColumn("_change_type", lit("delete"))
@@ -3372,7 +3397,7 @@ final class GraftTable private (
       // alive-at-commit-time rows of `fs`: prior tombstones applied,
       // this commit's own NOT — exactly the set its delete selects from
       def aliveAt(fs: Seq[(String, Long)]): DataFrame =
-        readWithDeletes(fs, priorDels, sch, snaps)
+        readVis(fs, priorDels)
       // stat-range prune the visible set by the sidecar's per-column
       // bounds — sound only for range-typed, NULL-free key columns
       // (stats skip nulls; same guard as the merge probe)
@@ -3412,16 +3437,36 @@ final class GraftTable private (
           aliveAt(files).filter(coalesce(expr(sql), lit(false)))
         case Tomb.Pos(sidecars, namedRels) =>
           // positions were probed delete-applied, so they address
-          // exactly-live rows: no prior-tombstone application needed
+          // exactly-live rows: no prior-tombstone application needed.
+          // Per-file scans make the row id trivial here: physical
+          // column for materialized files, first + position otherwise.
           val sidecarDf = spark.read.parquet(sidecars: _*)
+          lazy val firsts = SnapshotLog.rowIdFirsts(snaps)
+          lazy val matRels = SnapshotLog.rowIdMatRels(snaps)
+          val schPlus = StructType(sch.fields :+
+            org.apache.spark.sql.types.StructField(GraftTable.RowIdCol,
+              org.apache.spark.sql.types.LongType))
           files.filter { case (a, _) => namedRels.contains(relOf(a)) }
             .map { case (a, sid) =>
-              val one =
-                readFilesProjected(Seq((a, sid)), snaps, sch, Some("__cf_pos"))
-              val dead = sidecarDf.filter(col("file") === relOf(a))
+              val rel = relOf(a)
+              val one0 =
+                if (!withRowIds)
+                  readFilesProjected(Seq((a, sid)), snaps, sch, Some("__cf_pos"))
+                else if (matRels.contains(rel))
+                  readFilesProjected(Seq((a, sid)), snaps, schPlus, Some("__cf_pos"))
+                else readFilesProjected(Seq((a, sid)), snaps, sch, Some("__cf_pos"))
+                  .withColumn(GraftTable.RowIdCol,
+                    lit(firsts.getOrElse(rel, sys.error(
+                      s"row lineage: no first-row-id for $rel"))) +
+                      col("__cf_pos").cast("long"))
+              val dead = sidecarDf.filter(col("file") === rel)
                 .select(col("pos").cast("long").as("__cf_pos"))
-              one.join(dead, Seq("__cf_pos"), "left_semi").drop("__cf_pos")
-            }.reduceOption(_ unionByName _).getOrElse(emptyDf(sch))
+              one0.join(dead, Seq("__cf_pos"), "left_semi").drop("__cf_pos")
+            }.reduceOption(_ unionByName _).getOrElse {
+              if (withRowIds) emptyDf(sch).withColumn(GraftTable.RowIdCol,
+                lit(null).cast("long"))
+              else emptyDf(sch)
+            }
       }
       Some(stamp(parts.reduce(_ unionByName _)
         .withColumn("_change_type", lit("delete")), s))
@@ -3443,12 +3488,16 @@ final class GraftTable private (
             s"${s.snapshotId} — refusing to silently skip")
       }
     }
-    if (parts.isEmpty)
-      emptyDf(sch)
+    if (parts.isEmpty) {
+      val base =
+        if (withRowIds) emptyDf(sch)
+          .withColumn(GraftTable.RowIdCol, lit(null).cast("long"))
+        else emptyDf(sch)
+      base
         .withColumn("_change_type", lit(null).cast("string"))
         .withColumn("_commit_snapshot_id", lit(null).cast("long"))
         .withColumn("_commit_timestamp", lit(null).cast("timestamp"))
-    else parts.reduce(_ unionByName _)
+    } else parts.reduce(_ unionByName _)
   }
 
   // ------------------------------------------------------------ lineage

@@ -2675,6 +2675,59 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.enableRowLineage() }
   }
 
+  test("changeFeed withRowIds: identity-paired updates, id-carrying MOR kills, merge re-mint") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-cfrl-")
+    val t = GraftTable.create(spark, dir, "t",
+      (1L to 10L).map(i => (i, i * 10L)).toDF("id", "price")).get
+    // refuses without lineage
+    intercept[IllegalArgumentException] { t.changeFeed(0L, withRowIds = true) }
+    t.enableRowLineage()
+    val idOf = t.readLineage().select("id", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    val s1 = t.currentSnapshotId.get
+    // UPDATE: pre/post images pair by the PRESERVED row id
+    val u = t.updateWhere(col("id") <= 3, Map("price" -> (col("price") + 1)))
+    val fu = t.changeFeed(s1, u.snapshotId, withRowIds = true)
+      .select("_change_type", "id", "_row_id")
+      .as[(String, Long, Long)].collect()
+    val pre = fu.filter(_._1 == "update_preimage").map(r => r._2 -> r._3).toMap
+    val post = fu.filter(_._1 == "update_postimage").map(r => r._2 -> r._3).toMap
+    assert(pre.keySet === Set(1L, 2L, 3L) && pre === post,
+      s"pre/post must share ids: $pre vs $post")
+    assert((1L to 3L).forall(k => pre(k) == idOf(k)),
+      "update changed the feed-reported identity")
+    // MOR kills carry the victim's id
+    val k1 = t.deleteKeysMor(Seq(5L).toDF("id"))
+    val k2 = t.deletePosMor(col("id") === 6L)
+    val kills = t.changeFeed(u.snapshotId, k2.snapshotId, withRowIds = true)
+      .select("_change_type", "id", "_row_id")
+      .as[(String, Long, Long)].collect()
+    assert(kills.toSet === Set(("delete", 5L, idOf(5L)), ("delete", 6L, idOf(6L))),
+      s"MOR kills wrong: ${kills.toSeq}; keysnap=${k1.snapshotId}")
+    // MERGE re-mints: the identity feed reports delete+insert (no
+    // update pairs), while the value feed still key-pairs
+    t.compact() // materialize tombstones so the merge probe is clean
+    val s2 = t.currentSnapshotId.get
+    t.merge(Seq((2L, 999L), (11L, 110L)).toDF("id", "price"), Seq("id"),
+      whenMatchedDelete = org.apache.spark.sql.functions.lit(false))
+    val idFeed = t.changeFeed(s2, withRowIds = true)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!idFeed.contains("update_preimage"),
+      s"identity feed must not pair a re-minting merge: $idFeed")
+    val valFeed = t.changeFeed(s2)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(valFeed.getOrElse("update_preimage", 0L) >= 1L,
+      s"value feed lost key pairing: $valFeed")
+    // identity feed ids remain unique per change side
+    val ids = t.changeFeed(s2, withRowIds = true)
+      .filter(col("_change_type") === "insert")
+      .select("_row_id").as[Long].collect()
+    assert(ids.distinct.length === ids.length)
+  }
+
   test("changeFeed attributes per-commit inserts/deletes/updates across DML and MOR deletes") {
     val dir = Files.createTempDirectory("graft-cf-")
     val t = GraftTable.create(spark, dir, "t",
