@@ -2291,7 +2291,11 @@ object Warehouse {
         .rowIdNextOf(t.log.snapshots).get
       t.append(base.filter(col("o_orderkey") % 10 === 7)
         .withColumn("price", round(col("price") * 9, 2)))
-      val feed = t.changeFeed(s1, withRowIds = true)
+      // the feed plan is a multi-branch union over commit file sets;
+      // four witnesses + the graded output would re-evaluate it five
+      // times — pin one evaluation (row count is feed-sized, tiny
+      // relative to the table)
+      val feed = t.changeFeed(s1, withRowIds = true).persist()
       // identity pairing: pre and post of the same key share the id
       val pairBad = feed.filter(col("_change_type") === "update_preimage")
         .select(col("o_orderkey"), col("_row_id").as("__pre"))
