@@ -1218,27 +1218,66 @@ final class GraftTable private (
       val sidByRel = log.filesWithSnapOf(snapsNow, Some(base.snapshotId))
         .map { case (abs, sid) =>
           dir.relativize(Paths.get(abs)).toString -> sid }.toMap
+      // row lineage (the v3 MERGE contract): carried-along survivors
+      // AND matched updates keep their identity — the rewrite reads
+      // every affected row's id, matched incoming rows inherit the
+      // stored row's id (min over duplicate-keyed stored rows), and
+      // only genuine INSERTS mint fresh ids from the counter
+      val lineage = rowLineageEnabled(Some(base.snapshotId))
+      val next0 =
+        if (lineage) SnapshotLog.rowIdNextOf(snapsNow).get else 0L
       // live tombstones apply to the rewrite source (readWithDeletes —
       // era-grouped anti-joins/predicate filters), so a rewritten file
       // can never resurrect a merge-on-read-deleted row
-      val survivors0 =
-        if (affected.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      val srcAll =
+        if (affected.isEmpty) {
+          val e = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             schemaAsOf(Some(base.snapshotId)))
-        else readWithDeletes(
-          affected.map(f => dir.resolve(f).toString ->
-            sidByRel.getOrElse(f, base.snapshotId)),
-          log.eqDeletesOf(snapsNow, Some(base.snapshotId)),
-          schemaAsOf(Some(base.snapshotId)), snapsNow)
-          .join(keys, keyCond, "left_anti")
+          if (lineage) e.withColumn(GraftTable.RowIdCol, lit(null).cast("long"))
+          else e
+        } else {
+          val fs = affected.map(f => dir.resolve(f).toString ->
+            sidByRel.getOrElse(f, base.snapshotId))
+          val dl = log.eqDeletesOf(snapsNow, Some(base.snapshotId))
+          val sc = schemaAsOf(Some(base.snapshotId))
+          if (lineage) readWithLineage(fs, dl, sc, snapsNow)
+          else readWithDeletes(fs, dl, sc, snapsNow)
+        }
+      val survivors0 = srcAll.join(keys, keyCond, "left_anti")
       // not-matched-by-source deletes: unmatched stored rows whose arm
       // condition is TRUE are dropped (NULL keeps, SQL WHEN-semantics)
       val survivors = whenNotMatchedBySourceDelete match {
         case None => survivors0
         case Some(c) => survivors0.filter(!coalesce(c, lit(false)))
       }
+      val upsertsW =
+        if (!lineage) upserts
+        else {
+          import org.apache.spark.sql.functions.{min => fmin, row_number}
+          // stored id per matched key (one row per incoming key; min
+          // disambiguates duplicate-keyed stored rows)
+          val idByKey = srcAll.join(keys, keyCond, "left_semi")
+            .groupBy(keyCols.map(col): _*)
+            .agg(fmin(col(GraftTable.RowIdCol)).as("__mid"))
+            .select(keyCols.map(c => col(c).as(s"__mk_$c")) :+ col("__mid"): _*)
+          val mCond = keyCols.map(c => col(c) <=> col(s"__mk_$c")).reduce(_ && _)
+          val joined = upserts.join(idByKey, mCond, "left")
+            .drop(keyCols.map(c => s"__mk_$c"): _*)
+          // inserts mint [next0, next0+count) through one row_number
+          // window — a single partition of INSERT rows only (bounded by
+          // the incoming batch, not the table; callers with giant
+          // insert-only batches should append() them instead)
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(keyCols.map(col): _*)
+          joined.filter(col("__mid").isNotNull)
+            .withColumn(GraftTable.RowIdCol, col("__mid")).drop("__mid")
+            .unionByName(joined.filter(col("__mid").isNull).drop("__mid")
+              .withColumn(GraftTable.RowIdCol,
+                lit(next0 - 1) + row_number().over(w).cast("long")))
+        }
       val rewritten =
-        survivors.unionByName(upserts.select(survivors.columns.map(col): _*))
+        survivors.unionByName(upsertsW.select(survivors.columns.map(col): _*))
       // the table's partition spec survives the rewrite (same rule as
       // compact): rewritten rows re-land one-partition-value-per-file,
       // so point pruning doesn't decay under DML
@@ -1286,9 +1325,29 @@ final class GraftTable private (
         // record the merge keys so changeFeed can pair this commit's
         // delete+insert rows into update pre/post images; ours second
         // so a colliding caller property cannot shadow the real keys
-        val props =
+        val props0 =
           if (keyCols.exists(_.contains(","))) properties
           else properties + (GraftTable.DmlKeysKey -> keyCols.mkString(","))
+        val props =
+          if (!lineage) props0
+          else {
+            // advance the counter past what the inserts minted — read
+            // back from the written files (one column-pruned scan of
+            // the NEW files), never regressing below the pre-merge next
+            val maxAssigned =
+              if (files.isEmpty) next0 - 1
+              else {
+                val r = spark.read.parquet(
+                    files.map(f => dir.resolve(f).toString): _*)
+                  .agg(org.apache.spark.sql.functions
+                    .max(col(GraftTable.RowIdCol))).collect().head
+                if (r.isNullAt(0)) next0 - 1 else r.getLong(0)
+              }
+            props0 ++ Map(
+              SnapshotLog.RowIdMaterializedKey -> "1",
+              SnapshotLog.RowIdNextKey ->
+                math.max(next0, maxAssigned + 1).toString)
+          }
         return log.commit("merge", files, base.schemaJson, stats,
           expectedHead = Some(base.snapshotId), removedFiles = affected,
           properties = props)
@@ -3283,14 +3342,14 @@ final class GraftTable private (
     *
     * `withRowIds` (requires [[enableRowLineage]]) attaches each change
     * row's stable `_row_id` and switches update pairing from recorded
-    * key columns to ROW IDENTITY — an UPDATE's pre/post images share
-    * their id by construction (the rewrite materializes them), so the
-    * pairing is exact even without unique keys. The feed becomes
-    * IDENTITY-level: a MERGE re-mints ids for every row of the files
-    * it rewrites, so carried-along rows of those files report as
-    * delete(old id) + insert(new id) — true for identity consumers,
-    * noisier than the value-level default. Pick the view that matches
-    * what downstream tracks. */
+    * key columns to ROW IDENTITY — an UPDATE's or MERGE's pre/post
+    * images share their id by construction (the rewrite materializes
+    * them; merge's matched rows inherit the stored id), so the pairing
+    * is exact even without unique keys, and carried-along survivor
+    * rows cancel out of the feed exactly as in the value-level view.
+    * Region replacements ([[overwriteWhere]]/[[replace]]) re-mint, so
+    * their feed rows report delete(old id) + insert(new id) — the
+    * identity-true view of a replacement. */
   def changeFeed(fromId: Long, toId: Long = Long.MaxValue,
       withRowIds: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit,
@@ -3517,11 +3576,11 @@ final class GraftTable private (
     *    [[deleteWhere]] PRESERVE ids by materializing them into the
     *    rewritten files ([[checkpoint]] carries the bookkeeping across
     *    the expiry horizon);
-    *  - [[merge]]/[[overwriteWhere]]/[[replace]] assign REWRITTEN rows
-    *    fresh ids (rows they never touched keep theirs — the files
-    *    holding them aren't rewritten). Iceberg v3 makes carrying ids
-    *    through row-changing DML optional; an updated row's identity
-    *    here is "preserved by UPDATE, re-minted by MERGE".  */
+    *  - [[merge]]/[[upsert]] preserve too (the v3 MERGE contract):
+    *    carried-along survivors and MATCHED updates keep the stored
+    *    row's id; only genuine inserts mint fresh ones;
+    *  - [[overwriteWhere]]/[[overwritePartitions]]/[[replace]] re-mint
+    *    — a region/table REPLACEMENT is new identity by definition. */
   def enableRowLineage(): Snapshot = {
     val snaps = log.snapshots
     val head = snaps.lastOption.getOrElse(

@@ -2633,16 +2633,18 @@ class WarehouseSpec extends AnyFunSuite {
     val bp = t.compactSmall(smallBytes = 1L << 30)
     assert(bp.nonEmpty, "binpack found nothing to pack")
     assert(ids() === ids2.removed(7L), "binpack changed row ids")
-    // merge re-mints ids for the rows it REWRITES, keeps the rest
+    // merge PRESERVES matched ids and mints only genuine inserts
     t.compact() // materialize the tombstone so merge's file probe is clean
     val before = ids()
     t.merge(Seq((1L, 999L), (300L, 3000L)).toDF("id", "amt"), Seq("id"),
       whenMatchedDelete = org.apache.spark.sql.functions.lit(false))
     val after = ids()
     assert(after(300L) >= 220L, "fresh merge insert got a recycled id")
-    assert(after(1L) != before(1L),
-      "merge rewrote row 1 but kept its id — expected a re-mint")
-    // rows in files merge never touched keep their ids; ids stay unique
+    assert(after(1L) == before(1L),
+      "merge updated row 1 — its identity must survive (v3 MERGE)")
+    assert(after.removed(300L) === before,
+      "merge disturbed ids it never touched")
+    // ids stay globally unique
     assert(after.values.toSet.size === after.size)
     // checkpoint + expiry: the carry keeps every id resolvable
     val ck = t.checkpoint()
@@ -2675,7 +2677,7 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.enableRowLineage() }
   }
 
-  test("changeFeed withRowIds: identity-paired updates, id-carrying MOR kills, merge re-mint") {
+  test("changeFeed withRowIds: identity-paired updates, id-carrying MOR kills, merge preservation") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-cfrl-")
     val t = GraftTable.create(spark, dir, "t",
@@ -2705,27 +2707,29 @@ class WarehouseSpec extends AnyFunSuite {
       .as[(String, Long, Long)].collect()
     assert(kills.toSet === Set(("delete", 5L, idOf(5L)), ("delete", 6L, idOf(6L))),
       s"MOR kills wrong: ${kills.toSeq}; keysnap=${k1.snapshotId}")
-    // MERGE re-mints: the identity feed reports delete+insert (no
-    // update pairs), while the value feed still key-pairs
+    // MERGE preserves matched identity: the identity feed pairs the
+    // matched update by the SAME id, reports the genuine insert as an
+    // insert, and survivor rows of the rewritten file cancel out
     t.compact() // materialize tombstones so the merge probe is clean
+    val idBefore = t.readLineage().select("id", "_row_id")
+      .as[(Long, Long)].collect().toMap
     val s2 = t.currentSnapshotId.get
     t.merge(Seq((2L, 999L), (11L, 110L)).toDF("id", "price"), Seq("id"),
       whenMatchedDelete = org.apache.spark.sql.functions.lit(false))
-    val idFeed = t.changeFeed(s2, withRowIds = true)
-      .groupBy("_change_type").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(!idFeed.contains("update_preimage"),
-      s"identity feed must not pair a re-minting merge: $idFeed")
-    val valFeed = t.changeFeed(s2)
-      .groupBy("_change_type").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(valFeed.getOrElse("update_preimage", 0L) >= 1L,
-      s"value feed lost key pairing: $valFeed")
-    // identity feed ids remain unique per change side
-    val ids = t.changeFeed(s2, withRowIds = true)
-      .filter(col("_change_type") === "insert")
-      .select("_row_id").as[Long].collect()
-    assert(ids.distinct.length === ids.length)
+    val mf = t.changeFeed(s2, withRowIds = true)
+      .select("_change_type", "id", "_row_id")
+      .as[(String, Long, Long)].collect()
+    val mPre = mf.filter(_._1 == "update_preimage").map(r => r._2 -> r._3).toMap
+    val mPost = mf.filter(_._1 == "update_postimage").map(r => r._2 -> r._3).toMap
+    assert(mPre === Map(2L -> idBefore(2L)) && mPost === mPre,
+      s"merge update must pair by the preserved id: $mPre vs $mPost")
+    val mIns = mf.filter(_._1 == "insert")
+    assert(mIns.map(_._2).toSeq === Seq(11L),
+      s"survivors must cancel; only the insert remains: ${mf.toSeq}")
+    assert(mIns.head._3 > idBefore.values.max,
+      "insert id must be freshly minted")
+    assert(!mf.exists(_._1 == "delete"),
+      s"no identity died in this merge: ${mf.toSeq}")
   }
 
   test("changeFeed attributes per-commit inserts/deletes/updates across DML and MOR deletes") {
