@@ -69,7 +69,12 @@ import graft.warehouse.GraftTable
   *    not just appends. The initial snapshot (no `startingSnapshotId`)
   *    arrives as one batch of `insert` rows attributed to the pinned
   *    snapshot; maintenance commits (compact/binpack/checkpoint)
-  *    contribute zero rows.
+  *    contribute zero rows. `withRowIds` (requires `readChangeFeed` +
+  *    [[GraftTable.enableRowLineage]]) subscribes to the IDENTITY
+  *    feed: every change row carries its stable `_row_id` and update
+  *    pre/post images pair by row identity — what a downstream
+  *    consumer needs to track rows across rewrites without unique
+  *    keys.
   *
   * Scale: offset resolution and file planning are O(manifest)
   * driver-side; the data path is the same pruned vectorized parquet
@@ -89,12 +94,22 @@ final class GraftTableSourceProvider extends StreamSourceProvider {
   private def cdfOf(parameters: Map[String, String]): Boolean =
     parameters.get("readChangeFeed").exists(_.toBoolean)
 
+  private def rowIdsOf(parameters: Map[String, String]): Boolean = {
+    val on = parameters.get("withRowIds").exists(_.toBoolean)
+    require(!on || cdfOf(parameters),
+      "option 'withRowIds' needs 'readChangeFeed' — the append-only " +
+        "stream has no change rows to attach identities to")
+    on
+  }
+
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     ("graft-table", schema.getOrElse {
       val base = load(sqlContext, parameters).schema
-      if (cdfOf(parameters)) GraftTableSource.cdfSchema(base) else base
+      if (cdfOf(parameters))
+        GraftTableSource.cdfSchema(base, rowIdsOf(parameters))
+      else base
     })
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -106,19 +121,22 @@ final class GraftTableSourceProvider extends StreamSourceProvider {
     maxBytes.foreach(m => require(m > 0, "maxBytesPerBatch must be > 0"))
     val startAt = parameters.get("startingSnapshotId").map(_.toLong)
     new GraftTableSource(sqlContext, load(sqlContext, parameters),
-      maxSnaps, maxBytes, startAt, cdfOf(parameters))
+      maxSnaps, maxBytes, startAt, cdfOf(parameters), rowIdsOf(parameters))
   }
 }
 
 object GraftTableSource {
   /** The CDF stream schema: table columns + the change-attribution
-    * triplet [[graft.warehouse.GraftTable.changeFeed]] emits. */
-  def cdfSchema(base: StructType): StructType = {
+    * triplet [[graft.warehouse.GraftTable.changeFeed]] emits —
+    * preceded by the stable `_row_id` when the stream subscribes to
+    * the IDENTITY feed (`withRowIds`). */
+  def cdfSchema(base: StructType, withRowIds: Boolean = false): StructType = {
     import org.apache.spark.sql.types._
-    StructType(base.fields ++ Seq(
-      StructField("_change_type", StringType),
-      StructField("_commit_snapshot_id", LongType),
-      StructField("_commit_timestamp", TimestampType)))
+    StructType(base.fields ++
+      (if (withRowIds) Seq(StructField("_row_id", LongType)) else Nil) ++
+      Seq(StructField("_change_type", StringType),
+        StructField("_commit_snapshot_id", LongType),
+        StructField("_commit_timestamp", TimestampType)))
   }
 }
 
@@ -133,7 +151,8 @@ final class GraftTableSource(
     maxSnapshotsPerBatch: Option[Long],
     maxBytesPerBatch: Option[Long] = None,
     startingSnapshotId: Option[Long] = None,
-    readChangeFeed: Boolean = false)
+    readChangeFeed: Boolean = false,
+    withRowIds: Boolean = false)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -141,7 +160,7 @@ final class GraftTableSource(
   import org.apache.spark.sql.connector.read.streaming.{ReadLimit, Offset => OffsetV2}
 
   override val schema: StructType =
-    if (readChangeFeed) GraftTableSource.cdfSchema(table.schema)
+    if (readChangeFeed) GraftTableSource.cdfSchema(table.schema, withRowIds)
     else table.schema
 
   /** Head captured at `Trigger.AvailableNow` start: the run processes
@@ -234,7 +253,9 @@ final class GraftTableSource(
       // as one batch of `insert` rows attributed to the pinned
       // snapshot (Delta CDF's initial-snapshot behavior)
       case None =>
-        val base = table.read(Some(endId))
+        val base =
+          if (withRowIds) table.readLineage(Some(endId))
+          else table.read(Some(endId))
         if (!readChangeFeed) base
         else {
           val ts = table.log.snapshots.filter(_.snapshotId <= endId)
@@ -255,7 +276,7 @@ final class GraftTableSource(
         // changesSince it FLOWS THROUGH merge/delete/overwrite/MOR
         // commits, reporting them as tagged change rows instead of
         // failing the stream (Delta's CDF stream shape)
-        else if (readChangeFeed) table.changeFeed(sinceId, endId)
+        else if (readChangeFeed) table.changeFeed(sinceId, endId, withRowIds)
         else table.changesSince(sinceId, endId)
     }
     // bind to the CAPTURED source schema: additive evolution mid-stream
