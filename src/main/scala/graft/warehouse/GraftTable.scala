@@ -1254,7 +1254,7 @@ final class GraftTable private (
       val upsertsW =
         if (!lineage) upserts
         else {
-          import org.apache.spark.sql.functions.{min => fmin, row_number}
+          import org.apache.spark.sql.functions.{min => fmin}
           // stored id per matched key (one row per incoming key; min
           // disambiguates duplicate-keyed stored rows)
           val idByKey = srcAll.join(keys, keyCond, "left_semi")
@@ -1264,17 +1264,12 @@ final class GraftTable private (
           val mCond = keyCols.map(c => col(c) <=> col(s"__mk_$c")).reduce(_ && _)
           val joined = upserts.join(idByKey, mCond, "left")
             .drop(keyCols.map(c => s"__mk_$c"): _*)
-          // inserts mint [next0, next0+count) through one row_number
-          // window — a single partition of INSERT rows only (bounded by
-          // the incoming batch, not the table; callers with giant
-          // insert-only batches should append() them instead)
-          val w = org.apache.spark.sql.expressions.Window
-            .orderBy(keyCols.map(col): _*)
+          // genuine inserts mint dense fresh ids [next0, next0+count)
+          // — distributed zipWithIndex, no single-partition window
           joined.filter(col("__mid").isNotNull)
             .withColumn(GraftTable.RowIdCol, col("__mid")).drop("__mid")
-            .unionByName(joined.filter(col("__mid").isNull).drop("__mid")
-              .withColumn(GraftTable.RowIdCol,
-                lit(next0 - 1) + row_number().over(w).cast("long")))
+            .unionByName(withMintedIds(
+              joined.filter(col("__mid").isNull).drop("__mid"), next0))
         }
       val rewritten =
         survivors.unionByName(upsertsW.select(survivors.columns.map(col): _*))
@@ -1330,24 +1325,7 @@ final class GraftTable private (
           else properties + (GraftTable.DmlKeysKey -> keyCols.mkString(","))
         val props =
           if (!lineage) props0
-          else {
-            // advance the counter past what the inserts minted — read
-            // back from the written files (one column-pruned scan of
-            // the NEW files), never regressing below the pre-merge next
-            val maxAssigned =
-              if (files.isEmpty) next0 - 1
-              else {
-                val r = spark.read.parquet(
-                    files.map(f => dir.resolve(f).toString): _*)
-                  .agg(org.apache.spark.sql.functions
-                    .max(col(GraftTable.RowIdCol))).collect().head
-                if (r.isNullAt(0)) next0 - 1 else r.getLong(0)
-              }
-            props0 ++ Map(
-              SnapshotLog.RowIdMaterializedKey -> "1",
-              SnapshotLog.RowIdNextKey ->
-                math.max(next0, maxAssigned + 1).toString)
-          }
+          else props0 ++ lineageCommitProps(files, next0)
         return log.commit("merge", files, base.schemaJson, stats,
           expectedHead = Some(base.snapshotId), removedFiles = affected,
           properties = props)
@@ -1694,18 +1672,28 @@ final class GraftTable private (
             .parquet(out.toString)
         }
       }
+      // row lineage: the replaced REGION's identity dies with it, but
+      // survivor rows of affected files are OUTSIDE the region — they
+      // must keep their ids (the property test caught the file-level
+      // re-mint), so survivors ride the lineage read and incoming rows
+      // mint dense fresh ids
+      val lineage = rowLineageEnabled(Some(head.snapshotId))
+      val next0 =
+        if (lineage) SnapshotLog.rowIdNextOf(snapsNow).get else 0L
       if (affected.nonEmpty) {
         val sidByRel = log.filesWithSnapOf(snapsNow, Some(head.snapshotId))
           .map { case (abs, sid) =>
             dir.relativize(Paths.get(abs)).toString -> sid }.toMap
-        val survivors = readWithDeletes(
-          affected.map(f => dir.resolve(f).toString ->
-            sidByRel.getOrElse(f, head.snapshotId)),
-          log.eqDeletesOf(snapsNow, Some(head.snapshotId)), sch, snapsNow)
-          .filter(!coalesce(cond, lit(false)))
+        val fs = affected.map(f => dir.resolve(f).toString ->
+          sidByRel.getOrElse(f, head.snapshotId))
+        val dl = log.eqDeletesOf(snapsNow, Some(head.snapshotId))
+        val survivors =
+          (if (lineage) readWithLineage(fs, dl, sch, snapsNow)
+           else readWithDeletes(fs, dl, sch, snapsNow))
+            .filter(!coalesce(cond, lit(false)))
         land(survivors, "keep")
       }
-      land(df, "new")
+      land(if (lineage) withMintedIds(df, next0) else df, "new")
       val files = parquetFilesIn(commitDir)
         .map(p => dir.relativize(p).toString)
         .toSeq.sorted
@@ -1734,7 +1722,9 @@ final class GraftTable private (
       val stats = mergeBlooms(commitDir, statsP, inheritedBlooms)
       try {
         return log.commit("overwrite", files, head.schemaJson, stats,
-          expectedHead = Some(head.snapshotId), removedFiles = affected)
+          expectedHead = Some(head.snapshotId), removedFiles = affected,
+          properties =
+            if (lineage) lineageCommitProps(files, next0) else Map.empty)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           val walk = Files.walk(commitDir)
@@ -3579,8 +3569,11 @@ final class GraftTable private (
     *  - [[merge]]/[[upsert]] preserve too (the v3 MERGE contract):
     *    carried-along survivors and MATCHED updates keep the stored
     *    row's id; only genuine inserts mint fresh ones;
-    *  - [[overwriteWhere]]/[[overwritePartitions]]/[[replace]] re-mint
-    *    — a region/table REPLACEMENT is new identity by definition. */
+    *  - [[overwriteWhere]]/[[overwritePartitions]] re-mint the
+    *    REPLACED REGION's rows (a replacement is new identity by
+    *    definition) while affected-file survivors OUTSIDE the region
+    *    keep theirs; [[replace]] (a whole-table overwrite) re-mints
+    *    everything. */
   def enableRowLineage(): Snapshot = {
     val snaps = log.snapshots
     val head = snaps.lastOption.getOrElse(
@@ -3671,6 +3664,39 @@ final class GraftTable private (
     }
     parts.result().reduceOption(_ unionByName _).getOrElse(
       emptyDf(sch).withColumn(GraftTable.RowIdCol, lit(null).cast(LongType)))
+  }
+
+  /** `df` plus freshly minted DENSE ids [start, start + count): RDD
+    * zipWithIndex — one partition-size count pass, then row-local
+    * assignment. Scales with the input (no single-partition window);
+    * used by the DML paths that mint identities for incoming rows. */
+  private def withMintedIds(df: DataFrame, start: Long): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val sch2 = StructType(df.schema.fields :+
+      StructField(GraftTable.RowIdCol, LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (start + i)) }
+    spark.createDataFrame(rdd, sch2)
+  }
+
+  /** Commit properties of a MATERIALIZING (id-carrying) rewrite: the
+    * physical-ids flag plus the counter advanced past whatever the
+    * commit minted — read back from the written files' max id (one
+    * column-pruned scan of the NEW files), never regressing below the
+    * pre-commit next (a rewrite touching only old low-id files must
+    * not make a later append collide). */
+  private def lineageCommitProps(files: Seq[String], next0: Long)
+      : Map[String, String] = {
+    import org.apache.spark.sql.functions.{col, max => fmax}
+    val maxAssigned =
+      if (files.isEmpty) next0 - 1
+      else {
+        val r = spark.read.parquet(files.map(f => dir.resolve(f).toString): _*)
+          .agg(fmax(col(GraftTable.RowIdCol))).collect().head
+        if (r.isNullAt(0)) next0 - 1 else r.getLong(0)
+      }
+    Map(SnapshotLog.RowIdMaterializedKey -> "1",
+      SnapshotLog.RowIdNextKey -> math.max(next0, maxAssigned + 1).toString)
   }
 
   /** Planning-time file pruning: read only the files whose recorded

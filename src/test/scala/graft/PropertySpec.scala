@@ -502,6 +502,100 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: row identity is preserved/minted exactly as declared across random histories") {
+    // Unique-key regime (one row per id) so identity is decidable per
+    // key. Each op declares its identity contract: PRESERVE (update,
+    // matched upsert, every maintenance rewrite), MINT (append,
+    // unmatched upsert, overwrite region), REMOVE (deletes). After
+    // every step the observed id→_row_id binding must (a) equal the
+    // previous binding for preserved keys, (b) be globally unique,
+    // (c) never recycle an id that any earlier step observed.
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(0x1D5)
+    val c = new graft.warehouse.Connector(spark,
+      Files.createTempDirectory("graft-rlprop").toString)
+    val init = (0L until 24L).map(i => (i, i * 3))
+    c.createTable("tr", init.toDF("id", "v"))
+    val t = c.loadTable("tr")
+    t.enableRowLineage()
+    // model: id -> (v, last observed _row_id)
+    val model = scala.collection.mutable.Map[Long, (Long, Option[Long])](
+      init.map { case (i, v) => i -> (v, None: Option[Long]) }: _*)
+    val seen = scala.collection.mutable.Set[Long]()
+    var nextFresh = 100L // ids for guaranteed-new appends
+    def observe(step: Int, minted: Set[Long]): Unit = {
+      val obs = t.readLineage().select("id", "v", "_row_id")
+        .as[(Long, Long, Long)].collect()
+      assert(obs.map(_._3).distinct.length == obs.length,
+        s"step $step: row ids not unique")
+      assert(obs.map(_._1).sorted.toSeq == model.keys.toSeq.sorted,
+        s"step $step: key set diverged")
+      obs.foreach { case (id, v, rid) =>
+        val (mv, prev) = model(id)
+        assert(v == mv, s"step $step: value diverged for id $id")
+        if (minted.contains(id))
+          assert(!seen.contains(rid),
+            s"step $step: minted id $id recycled row id $rid")
+        else prev.foreach(p => assert(p == rid,
+          s"step $step: id $id changed identity $p -> $rid " +
+            s"(ops=${t.log.snapshots.map(_.operation)})"))
+        model(id) = (v, Some(rid))
+      }
+      seen ++= obs.map(_._3)
+    }
+    observe(0, minted = model.keySet.toSet) // retro-assignment
+    (1 to 20).foreach { step =>
+      var minted = Set.empty[Long]
+      rnd.nextInt(9) match {
+        case 0 => // append of guaranteed-new keys → minted
+          val rows = (0 until 4).map { k => (nextFresh + k, rnd.nextInt(999).toLong) }
+          nextFresh += 4
+          t.append(rows.toDF("id", "v"))
+          rows.foreach { case (i, v) => model(i) = (v, None) }
+          minted = rows.map(_._1).toSet
+        case 1 => // UPDATE → preserved
+          val lo = rnd.nextInt(30).toLong
+          t.updateWhere(col("id") >= lo && col("id") < lo + 6,
+            Map("v" -> (col("v") + 1)))
+          model.keys.filter(i => i >= lo && i < lo + 6)
+            .foreach(i => model(i) = (model(i)._1 + 1, model(i)._2))
+        case 2 => // CoW delete → removed
+          val lo = rnd.nextInt(30).toLong
+          t.deleteWhere(col("id") >= lo && col("id") < lo + 4)
+          model.keys.filter(i => i >= lo && i < lo + 4).toSeq
+            .foreach(model.remove)
+        case 3 => // MOR key delete → removed, nothing else moves
+          val ids = (0 until 4).map(_ => rnd.nextInt(30).toLong).distinct
+          t.deleteKeysMor(ids.toDF("id"))
+          ids.foreach(model.remove)
+        case 4 => // upsert: matched keys PRESERVE, new keys MINT
+          val rows = (0 until 4).map(_ =>
+              (rnd.nextInt(40).toLong, rnd.nextInt(999).toLong))
+            .distinctBy(_._1)
+          t.upsert(rows.toDF("id", "v"), Seq("id"))
+          rows.foreach { case (i, v) =>
+            if (model.contains(i)) model(i) = (v, model(i)._2)
+            else { model(i) = (v, None); minted += i }
+          }
+        case 5 => // overwrite region → region identity dies, rows mint
+          val lo = rnd.nextInt(30).toLong
+          val rows = (0 until 3).map(k => (lo + k, rnd.nextInt(999).toLong))
+          t.overwriteWhere(col("id") >= lo && col("id") < lo + 3,
+            rows.toDF("id", "v"))
+          rows.foreach { case (i, v) => model(i) = (v, None) }
+          minted = rows.map(_._1).toSet
+        case 6 => t.compact(targetFiles = 2) // preserved
+        case 7 => t.compactSmall(smallBytes = 1L << 30): Unit // preserved
+        case 8 => // checkpoint + expire: the carry keeps identities
+          val ck = t.checkpoint()
+          t.expireSnapshots(ck.snapshotId)
+      }
+      observe(step, minted)
+    }
+  }
+
   test("property: BoundedLru fires exactly one onEvict per displaced value under concurrent puts/gets/clear") {
     // Conservation law (the OpUtil.scala scaladoc claim): after a final
     // clear() flushes residents, the evict log must contain EVERY value
