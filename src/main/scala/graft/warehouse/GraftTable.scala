@@ -3998,6 +3998,22 @@ final class GraftTable private (
     }
     if (Files.exists(sortOrderPath))
       Files.copy(sortOrderPath, dst.dir.resolve("sort_order.txt"))
+    // row lineage travels: each cloned file keeps its identity
+    // bookkeeping under its remapped name (physical-ids flag for
+    // materialized files, first-row-id otherwise) and the clone
+    // CONTINUES the source counter — clone-side appends can never
+    // collide with carried identities
+    SnapshotLog.rowIdNextOf(snaps).foreach { next =>
+      val firsts = SnapshotLog.rowIdFirsts(snaps)
+      val matRels = SnapshotLog.rowIdMatRels(snaps)
+      mapped.foreach { case (oldRel, newRel) =>
+        if (matRels.contains(oldRel))
+          props(SnapshotLog.RowIdMatFilePrefix + newRel) = "1"
+        else firsts.get(oldRel).foreach(f =>
+          props(SnapshotLog.RowIdFirstPrefix + newRel) = f.toString)
+      }
+      props(SnapshotLog.RowIdNextKey) = next.toString
+    }
     dst.log.commit("create", mapped.map(_._2).sorted, head.schemaJson, stats,
       deleteFiles = cloneSidecars.result().distinct.sorted,
       properties = props.toMap,

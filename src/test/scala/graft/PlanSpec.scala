@@ -496,4 +496,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), s"expected a hash/merge equi-join:\n$p")
   }
+
+  test("readLineage attaches ids with one broadcast join; materialized files scan plain") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-rlplan-")
+    val t = graft.warehouse.GraftTable.create(spark, dir, "t",
+      spark.range(1000).selectExpr("id", "id * 2 AS v")).get
+    t.enableRowLineage()
+    // plain (arithmetic-id) files: the rel→first map must BROADCAST —
+    // a sort-merge join here would shuffle the whole table just to
+    // attach ids
+    val p1 = plan(t.readLineage())
+    assert(p1.contains("BroadcastHashJoin"),
+      s"first-row-id map must broadcast:\n$p1")
+    assert(!p1.contains("SortMergeJoin") && !p1.contains("CartesianProduct"),
+      s"id attach must not shuffle or cross:\n$p1")
+    // after a materializing rewrite the ids are physical: NO join at
+    // all — one scan reading the _row_id column
+    t.compact(targetFiles = 2)
+    val p2 = plan(t.readLineage())
+    assert(!p2.contains("Join"), s"materialized lineage read must be join-free:\n$p2")
+    assert(p2.contains("_row_id"), s"physical id column missing from scan:\n$p2")
+  }
 }

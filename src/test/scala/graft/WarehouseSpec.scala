@@ -2677,6 +2677,36 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.enableRowLineage() }
   }
 
+  test("row lineage travels through cloneTo and survives rollback") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-rlc-")
+    val t = GraftTable.create(spark, dir, "t",
+      (1L to 40L).map(i => (i, i * 2L)).toDF("id", "v")).get
+    t.enableRowLineage()
+    t.updateWhere(col("id") <= 10, Map("v" -> (col("v") + 1))) // mat files
+    def idsOf(tt: GraftTable): Map[Long, Long] =
+      tt.readLineage().select("id", "_row_id")
+        .as[(Long, Long)].collect().toMap
+    val ids = idsOf(t)
+    // the clone preserves every identity under its remapped file names
+    val c2 = t.cloneTo(Files.createTempDirectory("graft-rlc2-"), "t2")
+    assert(idsOf(c2) === ids, "clone lost or remapped row identities")
+    // and CONTINUES the counter: clone appends can never collide
+    c2.append(Seq((100L, 1L)).toDF("id", "v"))
+    val cIds = idsOf(c2)
+    assert(cIds(100L) >= 40L && cIds.values.toSet.size === cIds.size)
+    // rollback restores identities and never re-numbers re-listed files
+    val cut = t.currentSnapshotId.get
+    t.append((41L to 45L).map(i => (i, i)).toDF("id", "v"))
+    val withNew = idsOf(t)
+    t.rollbackTo(cut)
+    assert(idsOf(t) === ids, "rollback disturbed row identities")
+    // rolled-back ids are burned, not recycled: the counter stands
+    t.append(Seq((200L, 1L)).toDF("id", "v"))
+    assert(idsOf(t)(200L) > withNew.values.max,
+      "post-rollback append recycled a rolled-back identity")
+  }
+
   test("changeFeed withRowIds: identity-paired updates, id-carrying MOR kills, merge preservation") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-cfrl-")
