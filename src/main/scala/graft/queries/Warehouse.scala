@@ -2075,15 +2075,20 @@ object Warehouse {
       val filesBefore = t.read().inputFiles.length
       val s0 = t.currentSnapshotId.get
       val lowRows = base.filter(col("o_orderkey") * 4 <= maxk).count()
-      // UPDATE 1: key-range — the clustered layout means only the
-      // low-quarter files hold matching rows, so the rewrite is surgery
-      val u1 = t.updateWhere(col("o_orderkey") * 4 <= maxk,
+      // UPDATE 1: key-range — the SARGABLE form (k <= maxk/4, integer-
+      // equivalent to k*4 <= maxk for positive keys) lets the probe
+      // stats-prune: only the low-quarter files are even READ to find
+      // targets, the 100-TB property (an update must not scan the
+      // table to plan itself)
+      val u1 = t.updateWhere(col("o_orderkey") <= maxk / 4,
         Map("price" -> round(col("price") * 2, 2),
           "status" -> lit("doubled")))
+      val probePruned = t.lastStatProbe.exists { case (kept, vis) =>
+        kept > 0 && kept < vis }
       // a quarter key-range of an 8-file clustered layout sits in 2-3
       // files (boundary spill allowed) — half the table is a loose,
       // stable surgery bound
-      val surgical = u1.operation == "update" &&
+      val surgical = u1.operation == "update" && probePruned &&
         u1.removedFiles.nonEmpty && u1.removedFiles.size * 2 <= filesBefore
       // changeFeed pairs the rewrite via the recorded non-assigned
       // columns (o_orderkey, pr): every touched row appears exactly

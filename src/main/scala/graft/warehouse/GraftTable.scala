@@ -1354,7 +1354,7 @@ final class GraftTable private (
       val head = log.head.getOrElse(
         throw new IllegalStateException(s"table $name has no snapshots"))
       val sch = schemaAsOf(Some(head.snapshotId))
-      val affected = readTagged(Some(head.snapshotId), "__f")
+      val affected = probeTagged(cond, head.snapshotId, sch)
         .filter(cond)
         .select("__f").distinct()
         .collect().map(_.getString(0))
@@ -1477,7 +1477,7 @@ final class GraftTable private (
       val head = log.head.getOrElse(
         throw new IllegalStateException(s"table $name has no snapshots"))
       val sch = schemaAsOf(Some(head.snapshotId))
-      val affected = readTagged(Some(head.snapshotId), "__f")
+      val affected = probeTagged(cond, head.snapshotId, sch)
         .filter(cond)
         .select("__f").distinct()
         .collect().map(_.getString(0))
@@ -1642,7 +1642,10 @@ final class GraftTable private (
         throw new IllegalStateException(s"table $name has no snapshots"))
       val sch = schemaAsOf(Some(head.snapshotId))
       val probeSrc = pruneFiles match {
-        case None => readTagged(Some(head.snapshotId), "__f")
+        // no partition-tuple hint: still stats-prune by the predicate's
+        // sargable conjuncts (a range overwrite on a clustered column
+        // probes the intersecting files, not the table)
+        case None => probeTagged(cond, head.snapshotId, sch)
         case Some(pf) =>
           val snapsP = log.snapshots
           val all = log.filesWithSnapOf(snapsP, Some(head.snapshotId))
@@ -3793,6 +3796,105 @@ final class GraftTable private (
       asOf: Option[Long] = None): DataFrame =
     readWhereAllImpl(preds, asOf, None)
 
+  /** (kept files, visible files) of the last stats-pruned read planned
+    * on THIS handle — the witness that a predicate-driven scan or DML
+    * probe planned sub-full-scan. */
+  @volatile var lastStatProbe: Option[(Long, Long)] = None
+
+  /** SARGABLE range constraints of `cond` — the manifest-evaluator
+    * shape (Iceberg converts DML predicates to expressions over file
+    * stats the same way): top-level AND conjuncts of the form
+    * `<column> (=|<=>|<|<=|>|>=) <literal>` (either orientation) map
+    * to (column, lower, upper) triples in the stats writer's value
+    * conventions; everything else contributes NOTHING (never prunes).
+    * Sound per conjunct: a file where one conjunct of an AND is
+    * impossible cannot hold a matching row; strict comparisons prune
+    * with inclusive bounds (keeps boundary files); temporal literals
+    * floor micros→millis, sound both directions because floor is
+    * monotone; NULL literals and non-range types are skipped. */
+  private def sargableBounds(cond: org.apache.spark.sql.Column,
+      sch: StructType): Seq[(String, Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val pred =
+      try emptyDf(sch).filter(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      } catch { case _: Exception => None }
+    def ext(l: Literal): Option[Any] = Option(l.value).flatMap { v =>
+      l.dataType match {
+        case _: DecimalType => None
+        case _: NumericType => Some(v)
+        case StringType => Some(v.toString)
+        case TimestampType => Some(new java.sql.Timestamp(
+          Math.floorDiv(v.asInstanceOf[Long], 1000L)))
+        case TimestampNTZType => Some(java.time.LocalDateTime.ofInstant(
+          java.time.Instant.ofEpochMilli(
+            Math.floorDiv(v.asInstanceOf[Long], 1000L)),
+          java.time.ZoneOffset.UTC))
+        case DateType => Some(java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)))
+        case _ => None
+      }
+    }
+    // the analyzer leaves `Cast(Literal)` unfolded (constant folding is
+    // an optimizer rule) — fold any foldable side here; unwrap a
+    // NUMERIC-upcast Cast around the attribute (comparing an int column
+    // to a long literal casts the COLUMN), sound because widening
+    // preserves order and stats compare as doubles either way
+    object Lit {
+      def unapply(e: Expression): Option[Literal] =
+        if (e.foldable)
+          scala.util.Try(Literal.create(e.eval(null), e.dataType)).toOption
+        else None
+    }
+    object Attr {
+      def unapply(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference => Some(a)
+        case Cast(a: AttributeReference, dt, _, _)
+            if a.dataType.isInstanceOf[NumericType] &&
+              !a.dataType.isInstanceOf[DecimalType] &&
+              dt.isInstanceOf[NumericType] &&
+              !dt.isInstanceOf[DecimalType] => Some(a)
+        case _ => None
+      }
+    }
+    def one(e: Expression): Option[(String, Option[Any], Option[Any])] =
+      e match {
+        case EqualTo(Attr(a), Lit(l)) => ext(l).map(v => (a.name, Some(v), Some(v)))
+        case EqualTo(Lit(l), Attr(a)) => ext(l).map(v => (a.name, Some(v), Some(v)))
+        case EqualNullSafe(Attr(a), Lit(l)) => ext(l).map(v => (a.name, Some(v), Some(v)))
+        case EqualNullSafe(Lit(l), Attr(a)) => ext(l).map(v => (a.name, Some(v), Some(v)))
+        case GreaterThan(Attr(a), Lit(l)) => ext(l).map(v => (a.name, Some(v), None))
+        case GreaterThanOrEqual(Attr(a), Lit(l)) => ext(l).map(v => (a.name, Some(v), None))
+        case LessThan(Attr(a), Lit(l)) => ext(l).map(v => (a.name, None, Some(v)))
+        case LessThanOrEqual(Attr(a), Lit(l)) => ext(l).map(v => (a.name, None, Some(v)))
+        case GreaterThan(Lit(l), Attr(a)) => ext(l).map(v => (a.name, None, Some(v)))
+        case GreaterThanOrEqual(Lit(l), Attr(a)) => ext(l).map(v => (a.name, None, Some(v)))
+        case LessThan(Lit(l), Attr(a)) => ext(l).map(v => (a.name, Some(v), None))
+        case LessThanOrEqual(Lit(l), Attr(a)) => ext(l).map(v => (a.name, Some(v), None))
+        case _ => None
+      }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    pred.toSeq.flatMap(conjuncts).flatMap(one)
+      .filter { case (c, _, _) => sch.fieldNames.contains(c) }
+  }
+
+  /** The DML file-target probe, stats-pruned when the predicate has
+    * sargable conjuncts: a range UPDATE/DELETE on a clustered column
+    * plans over the intersecting files, not the table. Falls back to
+    * the full tagged read (recording a no-prune probe) otherwise. */
+  private def probeTagged(cond: org.apache.spark.sql.Column,
+      headId: Long, sch: StructType): DataFrame = {
+    val bounds = sargableBounds(cond, sch)
+    if (bounds.isEmpty) {
+      lastStatProbe = None
+      readTagged(Some(headId), "__f")
+    } else readWhereAllImpl(bounds, Some(headId), Some("__f"))
+  }
+
   private def readWhereAllImpl(preds: Seq[(String, Option[Any], Option[Any])],
       asOf: Option[Long], tagFile: Option[String]): DataFrame = {
     // one atomic log capture for stats, file set, and schema — a
@@ -3811,13 +3913,15 @@ final class GraftTable private (
     val allPreds = preds.flatMap { case p @ (c, lo, hi) =>
       p +: partitionProbes(sch, c, lo, hi)
     }
-    val kept = log.filesWithSnapOf(snaps, asOf).filter { case (abs, _) =>
+    val all = log.filesWithSnapOf(snaps, asOf)
+    val kept = all.filter { case (abs, _) =>
       val rel = dir.relativize(java.nio.file.Paths.get(abs)).toString
       // rows == 0 ⇒ the file can contain nothing (schema-only creates,
       // rewrites that emptied a partition) — skip unconditionally
       statsByFile.get(rel).forall(st => st.rows != 0 &&
         allPreds.forall { case (c, lo, hi) => st.mayContain(c, lo, hi) })
     }
+    lastStatProbe = Some((kept.size.toLong, all.size.toLong))
     // live merge-on-read tombstones apply after pruning (anti-joins
     // only ever remove rows, so pruning soundness is unaffected)
     readWithDeletes(kept, log.eqDeletesOf(snaps, asOf), sch, snaps, tagFile)

@@ -701,6 +701,9 @@ class WarehouseSpec extends AnyFunSuite {
     val up = t.updateWhere(col("id") <= 50,
       Map("a" -> (col("a") + 1), "id" -> col("a")))
     assert(up.operation === "update")
+    // the sargable range predicate stats-pruned the file-target probe
+    assert(t.lastStatProbe.exists { case (k, v) => k > 0 && k < v },
+      s"probe not pruned: ${t.lastStatProbe}")
     // file surgery: the clustered layout means only the low-range files
     // were rewritten
     assert(up.removedFiles.nonEmpty && up.removedFiles.size < filesBefore,
