@@ -4197,6 +4197,12 @@ final class GraftTable private (
     val cut = asOf.getOrElse(Long.MaxValue)
     val statsByFile = snaps.filter(_.snapshotId <= cut)
       .flatMap(_.stats).toMap
+    // row-lineage bookkeeping per file (all-null columns when lineage
+    // was never enabled): the first row id of arithmetic-id files,
+    // whether the file carries a PHYSICAL _row_id column
+    val lineageOn = SnapshotLog.rowIdNextOf(snaps).nonEmpty
+    lazy val firsts = SnapshotLog.rowIdFirsts(snaps)
+    lazy val matRels = SnapshotLog.rowIdMatRels(snaps)
     log.filesWithSnapOf(snaps, asOf).map { case (abs, sid) =>
       val rel = dir.relativize(Paths.get(abs)).toString
       val st = statsByFile.get(rel)
@@ -4204,8 +4210,12 @@ final class GraftTable private (
         st.map(_.rows).getOrElse(-1L),
         st.map(s => (s.numMin.keySet ++ s.strMin.keySet).toSeq.sorted)
           .getOrElse(Nil),
-        st.map(_.blooms.keySet.toSeq.sorted).getOrElse(Nil))
-    }.toDF("file", "added_by", "rows", "stat_columns", "bloom_columns")
+        st.map(_.blooms.keySet.toSeq.sorted).getOrElse(Nil),
+        if (lineageOn && !matRels.contains(rel)) firsts.get(rel)
+        else None,
+        if (lineageOn) Some(matRels.contains(rel)) else None)
+    }.toDF("file", "added_by", "rows", "stat_columns", "bloom_columns",
+      "first_row_id", "has_physical_row_ids")
   }
 
   /** `$constraints` metadata table: the ACTIVE CHECK constraints —

@@ -2691,6 +2691,13 @@ class WarehouseSpec extends AnyFunSuite {
       tt.readLineage().select("id", "_row_id")
         .as[(Long, Long)].collect().toMap
     val ids = idsOf(t)
+    // $files advertises the bookkeeping: the update's files carry
+    // physical ids, untouched files carry their first-row-id
+    val fdf = t.filesDf()
+      .select("first_row_id", "has_physical_row_ids").collect()
+    assert(fdf.forall(r => !r.isNullAt(1)))
+    assert(fdf.exists(r => r.getBoolean(1)), "no materialized file listed")
+    assert(fdf.exists(r => !r.isNullAt(0)), "no arithmetic-id file listed")
     // the clone preserves every identity under its remapped file names
     val c2 = t.cloneTo(Files.createTempDirectory("graft-rlc2-"), "t2")
     assert(idsOf(c2) === ids, "clone lost or remapped row identities")
