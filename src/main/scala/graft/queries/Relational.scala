@@ -398,6 +398,35 @@ object Relational {
         s.sql(s"DROP TABLE IF EXISTS $oT")
         s.sql(s"DROP TABLE IF EXISTS $lT")
       }
+    },
+
+    // ---- q165: RECURSIVE CTE (iterative transitive closure in SQL) ---
+    // WITH RECURSIVE landed in Spark 4 — the last big ANSI surface the
+    // sql() path lacked (hierarchy walks, BOM explosions, graph
+    // reachability without dropping to RDD loops). The query is the
+    // SAME text on both engines: synthetic doubling chains over orders
+    // (odd keys are roots at depth 0; k → 2k edges), folded to
+    // per-depth count/sum so the result is tiny and order-stable.
+    // Each recursion step is one equi-join; depth ≈ log2(maxk) steps.
+    Q("q165_recursive_cte",
+      """WITH RECURSIVE chain AS (
+        |  SELECT o_orderkey AS k, 0 AS depth FROM orders
+        |  WHERE o_orderkey % 2 = 1
+        |  UNION ALL
+        |  SELECT o.o_orderkey, c.depth + 1
+        |  FROM chain c JOIN orders o ON o.o_orderkey = c.k * 2)
+        |SELECT depth, count(*) AS n, sum(k) AS sum_k
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
+      T.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """WITH RECURSIVE chain AS (
+          |  SELECT o_orderkey AS k, CAST(0 AS INT) AS depth FROM orders
+          |  WHERE o_orderkey % 2 = 1
+          |  UNION ALL
+          |  SELECT o.o_orderkey, c.depth + 1
+          |  FROM chain c JOIN orders o ON o.o_orderkey = c.k * 2)
+          |SELECT depth, count(*) AS n, sum(k) AS sum_k
+          |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
     })
 
   def queries: Seq[Q] = ql
