@@ -102,6 +102,39 @@ object Similarity {
         round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** HARD-NEGATIVE MINING (the contrastive-training data op): for each
+    * query vector, the `k` most-similar corpus items whose LABEL
+    * DIFFERS — maximally confusing negatives, what embedding-model
+    * training pairs against its positives. Same broadcast-query /
+    * streaming-corpus plan as [[bruteForceTopK]] with the label
+    * inequality folded into the join (null-safe: a NULL label differs
+    * from everything except NULL). At 100 TB run [[lshTopK]] over the
+    * corpus first and post-filter labels — this exact form is the
+    * correctness baseline and the small-query-set path.
+    *
+    * @return (query_id, q_label, neighbor_id, n_label, sim, rank) */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val q = queries.select(col(idCol).as("query_id"), v.as("qv"),
+        col(labelCol).as("q_label"))
+      .withColumn("qn", sqrt(dotU(col("qv"), col("qv"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), v.as("cv"),
+        col(labelCol).as("n_label"))
+      .withColumn("cn", sqrt(dotU(col("cv"), col("cv"))))
+    val scored = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") &&
+          !(col("n_label") <=> col("q_label")))
+      .withColumn("sim", dotU(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("q_label"), col("neighbor_id"),
+        col("n_label"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplane coefficient for (dim, bit),
     * BIT-IDENTICAL to the expression formulation's
     * `xxhash64(i, b·7919) / Long.MaxValue`: XxHash64 folds its children

@@ -315,6 +315,32 @@ object Pipeline {
         .orderBy("query_id", "rank")
     },
 
+    // ---- hard-negative mining (contrastive-training pairs) -------------
+    // For each query embedding: the k most-similar corpus vectors with
+    // a DIFFERENT label — the maximally-confusing negatives an
+    // embedding model trains against. q31's broadcast-query plan with
+    // the label inequality folded into the join.
+    Q("q166_hard_negatives",
+      """SELECT query_id, q_label, neighbor_id, n_label,
+        |       round(sim, 6) AS sim, rank FROM (
+        |  SELECT q.vec_id AS query_id, q.label AS q_label,
+        |    c.vec_id AS neighbor_id, c.label AS n_label,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS sim,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                             CAST(c.embedding AS DOUBLE[])) DESC,
+        |      c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id <> c.vec_id AND q.label IS DISTINCT FROM c.label
+        |  WHERE q.vec_id < 8) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+      val emb = T.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", "label", 5)
+        .orderBy("query_id", "rank")
+    },
+
     // ---- LSH-bucketed approximate top-k (invariant-graded) -------------
     // Hash-based bucketing has no DuckDB twin, so the query grades ITSELF
     // (the q84/q85 symbolic-oracle pattern): it runs the in-query exact
