@@ -2835,6 +2835,24 @@ final class GraftTable private (
     dead.foreach(s => log.deleteManifest(s.snapshotId))
   }
 
+  /** AGE-based retention (how retention is actually configured —
+    * "keep 7 days"): expire every snapshot older than `tsMillis`,
+    * severing at the NEWEST full-set snapshot (compact / checkpoint)
+    * committed at-or-before the instant — the closest legal horizon,
+    * since history only severs at a rewrite. Returns the horizon id,
+    * or None when no full-set snapshot that old exists (nothing can be
+    * expired yet — run [[checkpoint]] first; a table maintained by
+    * partial rewrites mints one in O(metadata)). Tag/branch
+    * protections are [[expireSnapshots]]'s, unchanged. */
+  def expireOlderThan(tsMillis: Long): Option[Long] = {
+    val snaps = log.snapshots
+    val horizon = snaps
+      .filter(s => s.operation == "compact" && s.timestampMs <= tsMillis)
+      .lastOption.map(_.snapshotId)
+    horizon.filter(h => snaps.headOption.exists(_.snapshotId < h))
+      .map { h => expireSnapshots(h); h }
+  }
+
   /** One-call table MAINTENANCE — the OPTIMIZE/nightly-job story, in
     * the order the pieces compose best:
     *

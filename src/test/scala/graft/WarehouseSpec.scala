@@ -2680,6 +2680,27 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.enableRowLineage() }
   }
 
+  test("expireOlderThan severs at the newest qualifying full-set snapshot") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-age-")
+    val t = GraftTable.create(spark, dir, "t",
+      (1L to 30L).map(i => (i, i)).toDF("id", "v")).get
+    t.append(Seq((31L, 31L)).toDF("id", "v"))
+    t.compact(targetFiles = 2)
+    t.append(Seq((32L, 32L)).toDF("id", "v"))
+    val ck = t.checkpoint()
+    // nothing that old: no full-set snapshot before the epoch
+    assert(t.expireOlderThan(0L).isEmpty)
+    // sever at the checkpoint (the newest full-set snapshot <= now)
+    val got = t.expireOlderThan(System.currentTimeMillis() + 1000L)
+    assert(got.contains(ck.snapshotId), s"horizon $got != ${ck.snapshotId}")
+    assert(t.firstSnapshotId.contains(ck.snapshotId))
+    assert(t.read().count() === 32)
+    assert(t.read().filter(col("id") === 32L).count() === 1)
+    // already at the horizon: no-op
+    assert(t.expireOlderThan(System.currentTimeMillis() + 1000L).isEmpty)
+  }
+
   test("row lineage travels through cloneTo and survives rollback") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-rlc-")
