@@ -876,7 +876,11 @@ final class GraftTable private (
       val expected = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
       val missing = expected.fields.filter(f =>
         !df0.columns.contains(f.name) && GraftTable.defaultOf(f).nonEmpty)
+      // fill ONLY when the incoming columns are a subset of the table's
+      // — an unknown extra column (a typo'd name) must keep failing the
+      // schema check loudly, not be silently discarded by the reorder
       if (missing.isEmpty ||
+          !df0.columns.forall(expected.fieldNames.contains) ||
           !expected.fieldNames.forall(n =>
             df0.columns.contains(n) || missing.exists(_.name == n))) df0
       else {
@@ -1254,7 +1258,17 @@ final class GraftTable private (
       val upsertsW =
         if (!lineage) upserts
         else {
-          import org.apache.spark.sql.functions.{min => fmin}
+          import org.apache.spark.sql.functions.{count => fcount, lit => flit, min => fmin}
+          // duplicate-keyed INCOMING rows are documented-undefined for
+          // content, but under lineage they would both inherit the
+          // stored row's id — breaking the table-level id-uniqueness
+          // invariant for every future reader. Refuse loudly instead
+          // (one bounded aggregation over the incoming batch).
+          val dup = upserts.groupBy(keyCols.map(col): _*)
+            .agg(fcount(flit(1)).as("__n")).filter(col("__n") > 1).count()
+          require(dup == 0, s"merge into $name under row lineage: " +
+            s"$dup incoming key(s) appear more than once — identities " +
+            "would duplicate; dedupe the batch first")
           // stored id per matched key (one row per incoming key; min
           // disambiguates duplicate-keyed stored rows)
           val idByKey = srcAll.join(keys, keyCond, "left_semi")
@@ -3415,8 +3429,9 @@ final class GraftTable private (
     // pair a rewrite's delete+insert rows sharing a recorded merge key
     // into update pre/post images; unpaired rows stay delete/insert.
     // Under withRowIds the pairing key is ROW IDENTITY itself — exact
-    // for id-preserving rewrites (update/delete), empty-on-purpose for
-    // id-re-minting ones (merge)
+    // for id-preserving rewrites (update, CoW delete, AND merge, whose
+    // matched rows inherit the stored id); empty-on-purpose for the
+    // re-minting region replacements (overwrite/replace)
     def paired(dels: DataFrame, ins: DataFrame, s: Snapshot): DataFrame = {
       val ks =
         if (withRowIds) Some(Seq(GraftTable.RowIdCol))
@@ -3596,27 +3611,44 @@ final class GraftTable private (
     *    keep theirs; [[replace]] (a whole-table overwrite) re-mints
     *    everything. */
   def enableRowLineage(): Snapshot = {
-    val snaps = log.snapshots
-    val head = snaps.lastOption.getOrElse(
-      throw new IllegalStateException(s"table $name has no snapshots"))
-    require(SnapshotLog.rowIdNextOf(snaps).isEmpty,
-      s"row lineage already enabled on $name")
-    require(!schema.fieldNames.contains(GraftTable.RowIdCol),
-      s"$name has a real column named ${GraftTable.RowIdCol}")
-    val statsByFile = snaps.flatMap(_.stats).toMap
-    val visible = log.filesWithSnapOf(snaps, None)
-      .map { case (a, _) => dir.relativize(Paths.get(a)).toString }.sorted
-    var n = 0L
-    val entries = visible.map { f =>
-      val rows = statsByFile.get(f).map(_.rows).getOrElse(-1L)
-      require(rows >= 0, s"enableRowLineage on $name: file $f has no " +
-        "recorded row count (pre-stats manifest) — compact() first")
-      val e = (SnapshotLog.RowIdFirstPrefix + f) -> n.toString
-      n += rows
-      e
+    // CAS on the head like every multi-step commit: an append racing
+    // the enablement would otherwise land a visible file the retro-
+    // assignment never saw (it can't auto-assign — the counter isn't
+    // committed yet), permanently holing every future lineage read
+    var attempt = 0
+    while (true) {
+      val snaps = log.snapshots
+      val head = snaps.lastOption.getOrElse(
+        throw new IllegalStateException(s"table $name has no snapshots"))
+      require(SnapshotLog.rowIdNextOf(snaps).isEmpty,
+        s"row lineage already enabled on $name")
+      require(!schema.fieldNames.contains(GraftTable.RowIdCol),
+        s"$name has a real column named ${GraftTable.RowIdCol}")
+      val statsByFile = snaps.flatMap(_.stats).toMap
+      val visible = log.filesWithSnapOf(snaps, Some(head.snapshotId))
+        .map { case (a, _) => dir.relativize(Paths.get(a)).toString }.sorted
+      var n = 0L
+      val entries = visible.map { f =>
+        val rows = statsByFile.get(f).map(_.rows).getOrElse(-1L)
+        require(rows >= 0, s"enableRowLineage on $name: file $f has no " +
+          "recorded row count (pre-stats manifest) — compact() first")
+        val e = (SnapshotLog.RowIdFirstPrefix + f) -> n.toString
+        n += rows
+        e
+      }
+      try {
+        return log.commit("evolve", Seq.empty, head.schemaJson,
+          expectedHead = Some(head.snapshotId),
+          properties = entries.toMap +
+            (SnapshotLog.RowIdNextKey -> n.toString))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt >= 20) throw new IllegalStateException(
+            s"enableRowLineage on $name lost $attempt head races; giving up", e)
+      }
     }
-    log.commit("evolve", Seq.empty, head.schemaJson,
-      properties = entries.toMap + (SnapshotLog.RowIdNextKey -> n.toString))
+    throw new IllegalStateException("unreachable")
   }
 
   /** Is row lineage on (at the cut)? */
@@ -3657,7 +3689,10 @@ final class GraftTable private (
         dir.relativize(Paths.get(a)).toString }
       val missing = plainRels.filterNot(firsts.contains)
       require(missing.isEmpty, s"row lineage on $name: no first-row-id " +
-        s"recorded for ${missing.take(3).mkString(", ")} — history hole")
+        s"recorded for ${missing.take(3).mkString(", ")} — the read " +
+        "touches files that left the visible set BEFORE lineage was " +
+        "enabled (retro-assignment covers only files visible at the " +
+        "enablement commit); start the window at or after it")
       val tagged = readWithDeletes(plain, dels, sch, snaps,
         tagFile = Some("__rl_f"), posTag = Some("__rl_p"))
       val dirAbs = dir.toAbsolutePath.toString
@@ -3672,9 +3707,18 @@ final class GraftTable private (
         .withColumn("__rl_dec", url_decode(col("__rl_f")))
         .withColumn("__rl_rel", expr(
           s"substring(__rl_dec, instr(__rl_dec, __rl_dir) + ${dirAbs.length + 1})"))
-      parts += withRel.join(broadcast(mapDf), "__rl_rel")
+      // LEFT join + raise_error, not an inner join: if the row-side rel
+      // derivation ever disagrees with the manifest keys (a path-
+      // rendering change, a symlinked scratch dir), rows must FAIL the
+      // read loudly instead of silently vanishing from it
+      parts += withRel.join(broadcast(mapDf), Seq("__rl_rel"), "left")
         .withColumn(GraftTable.RowIdCol,
-          col("__rl_first") + col("__rl_p").cast("long"))
+          org.apache.spark.sql.functions.when(col("__rl_first").isNull,
+            org.apache.spark.sql.functions.raise_error(
+              org.apache.spark.sql.functions.concat(
+                lit(s"row lineage on $name: scan path resolved to no " +
+                  "manifest entry: "), col("__rl_f"))))
+            .otherwise(col("__rl_first") + col("__rl_p").cast("long")))
         .select(outCols.map(col): _*)
     }
     if (mat.nonEmpty) {
@@ -3868,8 +3912,14 @@ final class GraftTable private (
     object Attr {
       def unapply(e: Expression): Option[AttributeReference] = e match {
         case a: AttributeReference => Some(a)
+        // ONLY the analyzer's implicit widening (canUpCast — lossless,
+        // monotone) may unwrap: a user-written NARROWING cast like
+        // cast(price AS INT) = 5 matches raw values the bound excludes
+        // (5.2 truncates to 5), and unwrapping it would prune files
+        // that hold matching rows — silent row loss in DML
         case Cast(a: AttributeReference, dt, _, _)
-            if a.dataType.isInstanceOf[NumericType] &&
+            if Cast.canUpCast(a.dataType, dt) &&
+              a.dataType.isInstanceOf[NumericType] &&
               !a.dataType.isInstanceOf[DecimalType] &&
               dt.isInstanceOf[NumericType] &&
               !dt.isInstanceOf[DecimalType] => Some(a)

@@ -2680,6 +2680,56 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.enableRowLineage() }
   }
 
+  test("DML probe pruning never unwraps a narrowing cast (soundness)") {
+    import org.apache.spark.sql.functions.col
+    val c = new Connector(spark, freshWarehouse())
+    // clustered doubles: one file holds (5.2 .. 5.9) — a pruned probe
+    // keyed on the RAW values would skip it for cast(price AS INT) = 5
+    val rows = (1L to 400L).map(i => (i, 5.0 + i / 100.0))
+    c.createTable("t", rows.toDF("id", "price").limit(0))
+    val t = c.loadTable("t")
+    t.append(rows.toDF("id", "price"), clusterBy = Seq("price"),
+      statsCols = Seq("price"), clusterParts = 8)
+    val hit = rows.count { case (_, p) => p.toInt == 7 }
+    t.deleteWhere(col("price").cast("int") === 7)
+    assert(t.read().count() === 400 - hit,
+      "narrowing-cast predicate must not be stats-pruned")
+    // the WIDENING analyzer cast still prunes (long col vs int literal)
+    val c2 = new Connector(spark, freshWarehouse())
+    c2.createTable("t2", rows.toDF("id", "price").limit(0))
+    val t2 = c2.loadTable("t2")
+    t2.append(rows.toDF("id", "price"), clusterBy = Seq("id"),
+      statsCols = Seq("id"), clusterParts = 8)
+    t2.deleteWhere(col("id") <= 50)
+    assert(t2.lastStatProbe.exists { case (k, v) => k > 0 && k < v },
+      s"widening-cast range should still prune: ${t2.lastStatProbe}")
+  }
+
+  test("lineage guards: duplicate-keyed merge refuses; typo'd append column still fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-rlg-")
+    val t = GraftTable.create(spark, dir, "t",
+      (1L to 10L).map(i => (i, i)).toDF("id", "v")).get
+    t.enableRowLineage()
+    // duplicate incoming keys would give both rows the inherited id —
+    // refuse instead of corrupting the uniqueness invariant
+    intercept[IllegalArgumentException] {
+      t.merge(Seq((1L, 5L), (1L, 6L)).toDF("id", "v"), Seq("id"),
+        whenMatchedDelete = org.apache.spark.sql.functions.lit(false))
+    }
+    // write-default fill must not swallow an unknown (typo'd) column
+    import org.apache.spark.sql.types._
+    t.addColumns(StructType(Seq(StructField("tag", StringType))),
+      defaults = Map("tag" -> "x"))
+    intercept[IllegalArgumentException] {
+      t.append(Seq((11L, 11L, "oops")).toDF("id", "v", "tga"))
+    }
+    // the legitimate omission still fills
+    t.append(Seq((11L, 11L)).toDF("id", "v"))
+    assert(t.read().filter(col("id") === 11L && col("tag") === "x")
+      .count() === 1)
+  }
+
   test("expireOlderThan severs at the newest qualifying full-set snapshot") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-age-")
