@@ -493,10 +493,7 @@ final class GraftTable private (
                 relByUri.values.toSeq.sorted.mkString("\n")))
         } catch {
           case e: java.util.ConcurrentModificationException =>
-            val walk = Files.walk(commitDir)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-            finally walk.close()
+            discardStaged(commitDir)
             attempt += 1
             if (attempt >= 20) throw new IllegalStateException(
               s"position delete of $name lost $attempt head races; giving up", e)
@@ -1068,6 +1065,48 @@ final class GraftTable private (
     finally s.close()
   }
 
+  /** Stats/bloom bookkeeping for a REWRITE commit, shared by every CoW
+    * DML path (merge/delete/update/overwrite): re-collect stats on the
+    * rewritten files for the explicitly requested columns plus every
+    * stat column the AFFECTED files carried (a rewrite must not
+    * silently strip the pruning index its inputs had), merge partition
+    * path-stats when the table is partitioned, and re-record inherited
+    * bloom sketches (recomputed — bloom bytes cannot merge by range). */
+  private def rewriteStats(commitDir: Path, affected: Seq[String],
+      sch: StructType, statsCols: Seq[String],
+      pspec: Seq[PartitionField]): Map[String, FileStat] = {
+    val prevStats = log.snapshots.flatMap(_.stats).toMap
+    val inherited = affected.flatMap(f => prevStats.get(f).toSeq.flatMap(st =>
+      st.numMin.keySet ++ st.strMin.keySet))
+    val inheritedBlooms = affected.flatMap(f =>
+      prevStats.get(f).toSeq.flatMap(_.blooms.keySet))
+      .distinct.filter(sch.fieldNames.contains)
+    val stats0 = collectStats(commitDir,
+      (statsCols ++ inherited).distinct.filter(sch.fieldNames.contains))
+    val statsP =
+      if (pspec.isEmpty) stats0
+      else {
+        val hist = partitionSpecHistory
+        val dtOf = (c: String) => sch.fields.find(_.name == c).map(_.dataType)
+        stats0.map { case (rel, st) =>
+          val (nm, sm) = Partitioning.pathStatEntries(rel, hist, dtOf)
+          rel -> st.copy(
+            numMin = st.numMin ++ nm, numMax = st.numMax ++ nm,
+            strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
+        }
+      }
+    mergeBlooms(commitDir, statsP, inheritedBlooms)
+  }
+
+  /** Delete a staged commit directory after a lost head race (the CAS
+    * retry path of every CoW DML). */
+  private def discardStaged(commitDir: Path): Unit = {
+    val walk = Files.walk(commitDir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
   /** Copy-on-write UPSERT (MERGE INTO by key): rows of `incoming`
     * replace current rows with the same `keyCols` tuple; unmatched
     * incoming rows insert. `incoming` must carry at most one row per
@@ -1303,33 +1342,7 @@ final class GraftTable private (
       val files = parquetFilesIn(commitDir)
         .map(p => dir.relativize(p).toString)
         .toSeq.sorted
-      // rewritten files inherit the stat columns their predecessors
-      // recorded (plus any explicitly requested): without this every
-      // upsert would silently strip pruning stats from the files it
-      // touches, degrading readWhere over time. Bloom sketches inherit
-      // the same way (recomputed — bloom bytes cannot merge by range).
-      val prevStats = log.snapshots.flatMap(_.stats).toMap
-      val inherited = affected.flatMap(f => prevStats.get(f).toSeq.flatMap(st =>
-        st.numMin.keySet ++ st.strMin.keySet))
-      val inheritedBlooms = affected.flatMap(f =>
-        prevStats.get(f).toSeq.flatMap(_.blooms.keySet)).distinct
-      val stats0 = collectStats(commitDir,
-        (statsCols ++ inherited).distinct.filter(schema.fieldNames.contains))
-      val statsP =
-        if (pspec.isEmpty) stats0
-        else {
-          val hist = partitionSpecHistory
-          val dtOf = (c: String) =>
-            rewritten.schema.fields.find(_.name == c).map(_.dataType)
-          stats0.map { case (rel, st) =>
-            val (nm, sm) = Partitioning.pathStatEntries(rel, hist, dtOf)
-            rel -> st.copy(
-              numMin = st.numMin ++ nm, numMax = st.numMax ++ nm,
-              strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
-          }
-        }
-      val stats = mergeBlooms(commitDir, statsP,
-        inheritedBlooms.filter(schema.fieldNames.contains))
+      val stats = rewriteStats(commitDir, affected, expected, statsCols, pspec)
       try {
         // record the merge keys so changeFeed can pair this commit's
         // delete+insert rows into update pre/post images; ours second
@@ -1345,10 +1358,7 @@ final class GraftTable private (
           properties = props)
       } catch {
         case e: java.util.ConcurrentModificationException =>
-          val walk = Files.walk(commitDir)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-          finally walk.close()
+          discardStaged(commitDir)
           attempt += 1
           if (attempt >= 20) throw new IllegalStateException(
             s"merge of $name lost $attempt head races; giving up", e)
@@ -1411,27 +1421,7 @@ final class GraftTable private (
         .toSeq.sorted
       // same stat-column (and bloom) inheritance as merge: surviving
       // rows keep the pruning stats their source files carried
-      val prevStats = log.snapshots.flatMap(_.stats).toMap
-      val inherited = affected.flatMap(f => prevStats.get(f).toSeq.flatMap(st =>
-        st.numMin.keySet ++ st.strMin.keySet))
-        .distinct.filter(sch.fieldNames.contains)
-      val inheritedBlooms = affected.flatMap(f =>
-        prevStats.get(f).toSeq.flatMap(_.blooms.keySet))
-        .distinct.filter(sch.fieldNames.contains)
-      val stats0 = collectStats(commitDir, inherited)
-      val statsP =
-        if (pspec.isEmpty) stats0
-        else {
-          val hist = partitionSpecHistory
-          val dtOf = (c: String) => sch.fields.find(_.name == c).map(_.dataType)
-          stats0.map { case (rel, st) =>
-            val (nm, sm) = Partitioning.pathStatEntries(rel, hist, dtOf)
-            rel -> st.copy(
-              numMin = st.numMin ++ nm, numMax = st.numMax ++ nm,
-              strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
-          }
-        }
-      val stats = mergeBlooms(commitDir, statsP, inheritedBlooms)
+      val stats = rewriteStats(commitDir, affected, sch, Nil, pspec)
       try {
         return log.commit("delete", files, head.schemaJson, stats,
           expectedHead = Some(head.snapshotId), removedFiles = affected,
@@ -1440,10 +1430,7 @@ final class GraftTable private (
             else Map.empty)
       } catch {
         case e: java.util.ConcurrentModificationException =>
-          val walk = Files.walk(commitDir)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-          finally walk.close()
+          discardStaged(commitDir)
           attempt += 1
           if (attempt >= 20) throw new IllegalStateException(
             s"delete of $name lost $attempt head races; giving up", e)
@@ -1543,27 +1530,7 @@ final class GraftTable private (
       // same stat-column and bloom inheritance as delete/merge: the
       // rewrite keeps the pruning stats its source files carried
       // (assigned columns recompute from the new bytes like any write)
-      val prevStats = log.snapshots.flatMap(_.stats).toMap
-      val inherited = affected.flatMap(f => prevStats.get(f).toSeq.flatMap(st =>
-        st.numMin.keySet ++ st.strMin.keySet))
-        .distinct.filter(sch.fieldNames.contains)
-      val inheritedBlooms = affected.flatMap(f =>
-        prevStats.get(f).toSeq.flatMap(_.blooms.keySet))
-        .distinct.filter(sch.fieldNames.contains)
-      val stats0 = collectStats(commitDir, inherited)
-      val statsP =
-        if (pspec.isEmpty) stats0
-        else {
-          val hist = partitionSpecHistory
-          val dtOf = (c: String) => sch.fields.find(_.name == c).map(_.dataType)
-          stats0.map { case (rel, st) =>
-            val (nm, sm) = Partitioning.pathStatEntries(rel, hist, dtOf)
-            rel -> st.copy(
-              numMin = st.numMin ++ nm, numMax = st.numMax ++ nm,
-              strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
-          }
-        }
-      val stats = mergeBlooms(commitDir, statsP, inheritedBlooms)
+      val stats = rewriteStats(commitDir, affected, sch, Nil, pspec)
       // pre and post images share every NON-assigned column — record
       // them so changeFeed pairs this commit into update pre/post rows
       val pairKeys = sch.fieldNames.toSeq.filterNot(set.contains)
@@ -1579,10 +1546,7 @@ final class GraftTable private (
           properties = props)
       } catch {
         case e: java.util.ConcurrentModificationException =>
-          val walk = Files.walk(commitDir)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-          finally walk.close()
+          discardStaged(commitDir)
           attempt += 1
           if (attempt >= 20) throw new IllegalStateException(
             s"update of $name lost $attempt head races; giving up", e)
@@ -1716,27 +1680,7 @@ final class GraftTable private (
         .toSeq.sorted
       // survivors + new rows inherit the affected files' stat/bloom
       // columns, same as deleteWhere/merge — pruning must not degrade
-      val prevStats = snapsNow.flatMap(_.stats).toMap
-      val inherited = affected.flatMap(f => prevStats.get(f).toSeq.flatMap(st =>
-        st.numMin.keySet ++ st.strMin.keySet))
-        .distinct.filter(sch.fieldNames.contains)
-      val inheritedBlooms = affected.flatMap(f =>
-        prevStats.get(f).toSeq.flatMap(_.blooms.keySet))
-        .distinct.filter(sch.fieldNames.contains)
-      val stats0 = collectStats(commitDir, inherited)
-      val statsP =
-        if (pspec.isEmpty) stats0
-        else {
-          val hist = partitionSpecHistory
-          val dtOf = (c: String) => sch.fields.find(_.name == c).map(_.dataType)
-          stats0.map { case (rel, st) =>
-            val (nm, sm) = Partitioning.pathStatEntries(rel, hist, dtOf)
-            rel -> st.copy(
-              numMin = st.numMin ++ nm, numMax = st.numMax ++ nm,
-              strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
-          }
-        }
-      val stats = mergeBlooms(commitDir, statsP, inheritedBlooms)
+      val stats = rewriteStats(commitDir, affected, sch, Nil, pspec)
       try {
         return log.commit("overwrite", files, head.schemaJson, stats,
           expectedHead = Some(head.snapshotId), removedFiles = affected,
@@ -1744,10 +1688,7 @@ final class GraftTable private (
             if (lineage) lineageCommitProps(files, next0) else Map.empty)
       } catch {
         case e: java.util.ConcurrentModificationException =>
-          val walk = Files.walk(commitDir)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-          finally walk.close()
+          discardStaged(commitDir)
           attempt += 1
           if (attempt >= 20) throw new IllegalStateException(
             s"overwrite of $name lost $attempt head races; giving up", e)
@@ -1957,10 +1898,7 @@ final class GraftTable private (
           properties = properties)
       } catch {
         case e: java.util.ConcurrentModificationException =>
-          val walk = Files.walk(commitDir)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-          finally walk.close()
+          discardStaged(commitDir)
           attempt += 1
           if (attempt >= 20) throw new IllegalStateException(
             s"replace of $name lost $attempt head races; giving up", e)
@@ -2408,10 +2346,7 @@ final class GraftTable private (
         case e: java.util.ConcurrentModificationException =>
           // lost to a concurrent commit: discard the stale rewrite and
           // redo it over the new head
-          val walk = Files.walk(commitDir)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-          finally walk.close()
+          discardStaged(commitDir)
           attempt += 1
           if (attempt >= 20) throw new IllegalStateException(
             s"compact of $name lost $attempt head races; giving up", e)
@@ -2520,27 +2455,7 @@ final class GraftTable private (
         .map(p => dir.relativize(p).toString).toSeq.sorted
       val removed = small.map(_._3).sorted
       // same stat/bloom inheritance discipline as merge/deleteWhere
-      val inherited = removed.flatMap(f => statsByFile.get(f).toSeq
-        .flatMap(st => st.numMin.keySet ++ st.strMin.keySet))
-        .distinct.filter(sch.fieldNames.contains)
-      val inheritedBlooms = removed.flatMap(f =>
-        statsByFile.get(f).toSeq.flatMap(_.blooms.keySet))
-        .distinct.filter(sch.fieldNames.contains)
-      val stats0 = collectStats(commitDir,
-        (statsCols ++ inherited).distinct.filter(sch.fieldNames.contains))
-      val statsP =
-        if (pspec.isEmpty) stats0
-        else {
-          val hist = partitionSpecHistory
-          val dtOf = (c: String) => sch.fields.find(_.name == c).map(_.dataType)
-          stats0.map { case (rel, st) =>
-            val (nm, sm) = Partitioning.pathStatEntries(rel, hist, dtOf)
-            rel -> st.copy(
-              numMin = st.numMin ++ nm, numMax = st.numMax ++ nm,
-              strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
-          }
-        }
-      val stats = mergeBlooms(commitDir, statsP, inheritedBlooms)
+      val stats = rewriteStats(commitDir, removed, sch, statsCols, pspec)
       try {
         return Some(log.commit("rewrite", files, base.schemaJson, stats,
           expectedHead = Some(base.snapshotId), removedFiles = removed,
@@ -2549,10 +2464,7 @@ final class GraftTable private (
              else Map.empty)))
       } catch {
         case e: java.util.ConcurrentModificationException =>
-          val walk = Files.walk(commitDir)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-          finally walk.close()
+          discardStaged(commitDir)
           attempt += 1
           if (attempt >= 20) throw new IllegalStateException(
             s"compactSmall of $name lost $attempt head races; giving up", e)
@@ -2799,10 +2711,7 @@ final class GraftTable private (
       } catch {
         case e: java.util.ConcurrentModificationException =>
           if (Files.isDirectory(commitDir)) {
-            val walk = Files.walk(commitDir)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .iterator().asScala.foreach(p => Files.deleteIfExists(p))
-            finally walk.close()
+            discardStaged(commitDir)
           }
           attempt += 1
           if (attempt >= 20) throw new IllegalStateException(
