@@ -415,7 +415,7 @@ object Relational {
         |  UNION ALL
         |  SELECT o.o_orderkey, c.depth + 1
         |  FROM chain c JOIN orders o ON o.o_orderkey = c.k * 2)
-        |SELECT depth, count(*) AS n, sum(k) AS sum_k
+        |SELECT depth, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM chain GROUP BY depth ORDER BY depth""".stripMargin) { (s, d) =>
       T.orders(s, d).createOrReplaceTempView("orders")
       s.sql(

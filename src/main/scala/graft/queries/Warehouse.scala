@@ -2323,6 +2323,88 @@ object Warehouse {
       feed.select(col("_change_type"), col("o_orderkey"),
           when(lit(witness), col("price")).otherwise(lit(-1.0)).as("price"))
         .orderBy("_change_type", "o_orderkey")
+    },
+
+    // ---- q167: SQL-ADDRESSABLE DML (UPDATE/DELETE/MERGE as text) -----
+    // The reference's ONLY user surface is SQL text (icerunner.py:200-
+    // 207); Connector.sql recognizes DML on warehouse tables by
+    // pattern-matching Spark's OWN parsed plan (UpdateTable /
+    // DeleteFromTable / MergeIntoTable — no hand-rolled SQL) and
+    // routes to the transactional verbs. The oracle simulates the same
+    // three statements relationally. Witnesses: each statement returns
+    // the commit it produced, the head op sequence is update → delete
+    // → merge, and a SELECT through the same sql() sees the final
+    // state.
+    Q("q167_sql_dml",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p,
+        |    (SELECT max(o_orderkey) FROM orders) AS maxk
+        |  FROM orders),
+        |u1 AS (
+        |  SELECT k, p AS p0, maxk,
+        |    CASE WHEN k <= maxk // 4 THEN round(p * 2, 2) ELSE p END AS p,
+        |    CASE WHEN k <= maxk // 4 THEN 'doubled' ELSE 'base' END AS status
+        |  FROM base),
+        |d1 AS (SELECT * FROM u1 WHERE k % 10 <> 3),
+        |m1 AS (
+        |  SELECT k,
+        |    CASE WHEN k % 10 = 7 THEN round(p0 * 9, 2) ELSE p END AS p,
+        |    CASE WHEN k % 10 = 7 THEN 'merged' ELSE status END AS status
+        |  FROM d1 WHERE k % 10 <> 5),
+        |fin AS (
+        |  SELECT k, p, status FROM m1
+        |  UNION ALL
+        |  SELECT maxk + 1, CAST(1.11 AS DOUBLE), 'new'
+        |  FROM (SELECT DISTINCT maxk FROM base)
+        |  UNION ALL
+        |  SELECT maxk + 2, CAST(2.22 AS DOUBLE), 'new'
+        |  FROM (SELECT DISTINCT maxk FROM base))
+        |SELECT k AS o_orderkey, p AS price, status, TRUE AS dml_ok
+        |FROM fin ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+        .withColumn("status", lit("base"))
+      val maxk = base.agg(max("o_orderkey")).collect()
+        .head.getAs[Number](0).longValue
+      conn.createTable("orders_sdml", base.limit(0))
+      val t = conn.loadTable("orders_sdml")
+      t.append(base, clusterBy = Seq("o_orderkey"),
+        statsCols = Seq("o_orderkey"), clusterParts = 8)
+      def run(sqlText: String): (Long, String) = {
+        val sid = conn.sql(sqlText).collect().head.getLong(0)
+        (sid, t.log.snapshots.last.operation)
+      }
+      val (s1, op1) = run("UPDATE orders_sdml SET price = " +
+        s"round(price * 2, 2), status = 'doubled' WHERE o_orderkey <= ${maxk / 4}")
+      val (s2, op2) = run("DELETE FROM orders_sdml WHERE o_orderkey % 10 = 3")
+      // MERGE source view: %10=7 keys re-price (UPDATE SET *), two
+      // fresh keys insert, %10=5 keys carry a negative delete marker
+      // consumed by the WHEN MATCHED AND … THEN DELETE arm
+      base.filter(col("o_orderkey") % 10 === 7)
+        .select(col("o_orderkey"), round(col("price") * 9, 2).as("price"),
+          lit("merged").as("status"))
+        .unionByName(Seq((maxk + 1, 1.11, "new"), (maxk + 2, 2.22, "new"))
+          .toDF("o_orderkey", "price", "status"))
+        .unionByName(base.filter(col("o_orderkey") % 10 === 5)
+          .select(col("o_orderkey"), lit(-1.0).as("price"),
+            lit("del").as("status")))
+        .createOrReplaceTempView("sdml_src")
+      val (s3, op3) = run("MERGE INTO orders_sdml t USING sdml_src s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED AND s.price < 0 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      // non-DML text still reaches Catalyst through the same surface
+      val nSel = conn.sql("SELECT count(*) AS n FROM orders_sdml")
+        .collect().head.getLong(0)
+      val witness = op1 == "update" && op2 == "delete" && op3 == "merge" &&
+        s1 < s2 && s2 < s3 && t.currentSnapshotId.contains(s3) &&
+        nSel == t.read().count() && t.validate().isEmpty
+      t.read().select(col("o_orderkey"), col("price"), col("status"))
+        .withColumn("dml_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

@@ -149,7 +149,11 @@ object EventStreams {
   final case class Session(user_id: Long, s_start_us: Long,
       s_end_us: Long, n_events: Long)
 
-  private final case class SessState(startUs: Long, lastUs: Long, n: Long)
+  /** Must stay public: `Encoders.product[SessState]` generates Janino
+    * code that calls the accessors; a `private` modifier makes every
+    * state read/write fall back to interpreted mode (132 silent
+    * "Expr codegen error" warnings in the r14 test log). */
+  final case class SessState(startUs: Long, lastUs: Long, n: Long)
 
   /** Gap sessionization through EVENT-TIME TIMERS (`transformWithState`
     * + `TimeMode.EventTime`) — the timer half of the TWS API q129's

@@ -225,6 +225,15 @@ final class GraftTableSource(
           val bs = s.addedFiles.map(f => s.stats.get(f).map(_.bytes).getOrElse(-1L))
           if (bs.exists(_ < 0)) Long.MaxValue / 4 else bs.sum
         }
+        // SATURATING accumulation: several unmeasured-size commits each
+        // contribute the MaxValue/4 sentinel, and a plain `+=` would
+        // wrap the accumulator negative — after which every remaining
+        // commit passes `acc + b <= budget` and the byte budget
+        // silently stops bounding the batch
+        def satAdd(a: Long, b: Long): Long = {
+          val s = a + b
+          if (((a ^ s) & (b ^ s)) < 0L) Long.MaxValue else s
+        }
         var end = math.min(head, math.max(floor, start + 1))
         var acc = 0L
         var open = true // admission stops at the FIRST over-budget commit
@@ -232,8 +241,10 @@ final class GraftTableSource(
           .filter(s => s.snapshotId > start && s.snapshotId <= end0)
           .foreach { s =>
             val b = bytesOf(s)
-            if (s.snapshotId <= end) acc += b
-            else if (open && acc + b <= budget) { acc += b; end = s.snapshotId }
+            if (s.snapshotId <= end) acc = satAdd(acc, b)
+            else if (open && satAdd(acc, b) <= budget) {
+              acc = satAdd(acc, b); end = s.snapshotId
+            }
             else open = false
           }
         end

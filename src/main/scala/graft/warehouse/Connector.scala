@@ -153,12 +153,127 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * reads, no plan rebuilds for unchanged tables. The reference instead
     * re-reflects every table with DDL before every query
     * (`icerunner.py:82-103`). */
+  /** DML verbs are SQL-addressable too: `UPDATE t SET … [WHERE …]`,
+    * `DELETE FROM t [WHERE …]` and `MERGE INTO t USING s ON … WHEN …`
+    * over a warehouse table route to the transactional
+    * [[GraftTable.updateWhere]]/[[GraftTable.deleteWhere]]/
+    * [[GraftTable.merge]] verbs — SQL text is the reference's ENTIRE
+    * user surface (`icerunner.py:200-207`), and `spark.sql` alone
+    * cannot run DML against a temp view. Statements are parsed by
+    * Spark's OWN parser (no hand-rolled SQL): the unresolved DML plan
+    * is pattern-matched and its expressions rebound as Columns. A DML
+    * statement naming a non-warehouse relation (and every non-DML
+    * statement) falls through to Catalyst untouched. DML returns a
+    * one-row `[snapshot_id]` frame — the commit it produced. */
   def sql(cmd: String): DataFrame = {
     tables.foreach { name =>
       val head = new SnapshotLog(tableDir(name)).headIdByName.getOrElse(0L)
       if (!reflectedAt.get(name).contains(head)) reflectView(name)
     }
-    spark.sql(cmd)
+    routeDml(cmd).getOrElse(spark.sql(cmd))
+  }
+
+  /** Pattern-match a parsed UPDATE/DELETE/MERGE on a warehouse table;
+    * None ⇒ not DML (or not ours) — run through `spark.sql`. */
+  private def routeDml(cmd: String): Option[DataFrame] = {
+    import org.apache.spark.sql.GraftColumnBridge.column
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.functions.lit
+    val plan =
+      try org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, cmd)
+      catch { case _: Exception => return None } // spark.sql reports it
+    def nameOf(p: LogicalPlan): Option[String] = p match {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
+        Some(r.multipartIdentifier.head)
+      case a: SubqueryAlias => nameOf(a.child)
+      case _ => None
+    }
+    // a DML condition/assignment binds against ONE relation, so
+    // stripping alias qualifiers (`t.price` → `price`) is unambiguous
+    def unqual(e: Expression): Expression = e.transform {
+      case a: UnresolvedAttribute if a.nameParts.length > 1 =>
+        UnresolvedAttribute(Seq(a.nameParts.last))
+    }
+    def asCol(e: Expression): org.apache.spark.sql.Column = column(unqual(e))
+    def done(name: String, snap: Snapshot): DataFrame = {
+      reflectView(name)
+      import spark.implicits._
+      Seq(snap.snapshotId).toDF("snapshot_id")
+    }
+    plan match {
+      case u: UpdateTable =>
+        nameOf(u.table).filter(tableExists).map { name =>
+          val set = u.assignments.map { a =>
+            val k = a.key match {
+              case att: UnresolvedAttribute => att.nameParts.last
+              case other => throw new IllegalArgumentException(
+                s"UPDATE $name: unsupported SET target '$other'")
+            }
+            k -> asCol(a.value)
+          }.toMap
+          val cond = u.condition.map(asCol).getOrElse(lit(true))
+          done(name, loadTable(name).updateWhere(cond, set))
+        }
+      case d: DeleteFromTable =>
+        nameOf(d.table).filter(tableExists).map { name =>
+          val cond = Option(d.condition).map(asCol).getOrElse(lit(true))
+          done(name, loadTable(name).deleteWhere(cond))
+        }
+      case m: MergeIntoTable =>
+        nameOf(m.targetTable).filter(tableExists).map { name =>
+          // ON: equality conjuncts over same-named columns = merge keys
+          def keysOf(e: Expression): Seq[String] = e match {
+            case And(l, r) => keysOf(l) ++ keysOf(r)
+            case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+              if a.nameParts.last == b.nameParts.last => Seq(a.nameParts.last)
+            case other => throw new IllegalArgumentException(
+              s"MERGE INTO $name: ON must be a conjunction of equalities " +
+                s"on same-named key columns, got '$other'")
+          }
+          val keys = keysOf(m.mergeCondition).distinct
+          // arm shape = GraftTable.merge's contract: matched rows are
+          // REPLACED by the incoming row (UPDATE SET * mandatory, an
+          // optional DELETE [AND cond] arm wins over it), unmatched
+          // incoming rows INSERT (* mandatory), and NOT MATCHED BY
+          // SOURCE supports THEN DELETE [AND cond]. Anything else —
+          // partial SET lists, conditional update arms — refuses
+          // loudly rather than silently approximating.
+          var sawUpdate = false
+          var matchedDelete: org.apache.spark.sql.Column = lit(false)
+          m.matchedActions.foreach {
+            case UpdateStarAction(None) => sawUpdate = true
+            case DeleteAction(c) => matchedDelete = c.map(asCol).getOrElse(lit(true))
+            case other => throw new IllegalArgumentException(
+              s"MERGE INTO $name: unsupported WHEN MATCHED action " +
+                s"'$other' — supported: UPDATE SET *, DELETE [AND cond]")
+          }
+          require(sawUpdate, s"MERGE INTO $name needs WHEN MATCHED THEN " +
+            "UPDATE SET * (matched rows are replaced by the incoming row)")
+          val sawInsert = m.notMatchedActions.map {
+            case InsertStarAction(None) => true
+            case other => throw new IllegalArgumentException(
+              s"MERGE INTO $name: unsupported WHEN NOT MATCHED action " +
+                s"'$other' — supported: INSERT *")
+          }
+          require(sawInsert.nonEmpty, s"MERGE INTO $name needs WHEN NOT " +
+            "MATCHED THEN INSERT * (unmatched incoming rows insert)")
+          val bySource = m.notMatchedBySourceActions.map {
+            case DeleteAction(c) => c.map(asCol).getOrElse(lit(true))
+            case other => throw new IllegalArgumentException(
+              s"MERGE INTO $name: unsupported WHEN NOT MATCHED BY SOURCE " +
+                s"action '$other' — supported: DELETE [AND cond]")
+          }
+          require(bySource.size <= 1,
+            s"MERGE INTO $name: at most one NOT MATCHED BY SOURCE arm")
+          val incoming = org.apache.spark.sql.GraftSqlBridge
+            .ofRows(spark, m.sourceTable)
+          done(name, loadTable(name).merge(incoming, keys, matchedDelete,
+            whenNotMatchedBySourceDelete = bySource.headOption))
+        }
+      case _ => None
+    }
   }
 
   /** Reference: `get_current_snapshot_id` (`icerunner.py:209-222`). */

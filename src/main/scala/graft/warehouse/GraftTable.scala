@@ -826,14 +826,31 @@ final class GraftTable private (
     require(filterCond.deterministic,
       s"constraint '$cname' on $name must be deterministic")
     val cols = filterCond.references.map(_.name).toSet
-    log.head.foreach { _ =>
-      import org.apache.spark.sql.functions.{coalesce, lit, not}
-      val bad = read().filter(not(coalesce(cond, lit(true)))).limit(1).count()
-      require(bad == 0,
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    def violated(): Boolean =
+      read().filter(not(coalesce(cond, lit(true)))).limit(1).count() != 0
+    val h0 = log.head.map(_.snapshotId)
+    if (h0.nonEmpty)
+      require(!violated(),
         s"cannot add constraint '$cname' to $name: existing rows violate it")
-    }
     publishConstraintLine(
       s"$cname\tACTIVE\t${cols.toSeq.sorted.mkString(",")}\t$sql")
+    // The validation above ran at a PRE-publish head: a write landing
+    // between that scan and the publish carries rows no enforcement
+    // pass ever saw (its constraints read predated the declaration).
+    // If the head moved, re-validate and ROLL the declaration BACK on
+    // violation — the table is never left with an ACTIVE constraint
+    // its visible data provably violates. Residual window (accepted —
+    // CAS, not locks, same as every commit path): a write whose
+    // enforcement read predated the publish but whose commit lands
+    // after this re-check escapes both passes.
+    val h1 = log.head.map(_.snapshotId)
+    if (h1 != h0 && h1.nonEmpty && violated()) {
+      publishConstraintLine(s"$cname\tDROPPED\t\t")
+      throw new IllegalArgumentException(
+        s"cannot add constraint '$cname' to $name: rows committed " +
+          "concurrently with the declaration violate it — rolled back")
+    }
   }
 
   def dropCheckConstraint(cname: String): Unit = {
@@ -1370,7 +1387,21 @@ final class GraftTable private (
   /** Copy-on-write DELETE: remove rows matching `cond`. Same
     * file-targeted rewrite + conditional commit as [[upsert]]; files
     * with no matching row are untouched. */
+  /** Multi-pass DML evaluates `cond` more than once (file probe,
+    * constraint gate, rewrite select) — a nondeterministic predicate
+    * would select INCONSISTENT row sets between the passes and could
+    * commit rows the constraint check never saw. Same gate as
+    * [[deleteWhereMor]]; shared by update/delete/overwrite. */
+  private def requireDeterministicCond(cond: org.apache.spark.sql.Column,
+      op: String): Unit =
+    emptyDf(schema).filter(cond).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        require(f.condition.deterministic,
+          s"$op on $name requires a deterministic predicate")
+    }
+
   def deleteWhere(cond: org.apache.spark.sql.Column): Snapshot = {
+    requireDeterministicCond(cond, "deleteWhere")
     // live tombstones don't block (see merge): they apply to the
     // survivor read below and keep applying to untouched files
     var attempt = 0
@@ -1470,6 +1501,7 @@ final class GraftTable private (
       set: Map[String, org.apache.spark.sql.Column]): Snapshot = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when => fwhen}
     require(set.nonEmpty, s"update on $name: empty SET clause")
+    requireDeterministicCond(cond, "updateWhere")
     val sch0 = schema
     set.keys.foreach(k => require(sch0.fieldNames.contains(k),
       s"update on $name: SET column '$k' is not a table column"))
@@ -1601,13 +1633,7 @@ final class GraftTable private (
     val sch0 = schema
     require(compatible(sch0, df.schema),
       s"overwrite schema mismatch for $name:\n expected $sch0\n got ${df.schema}")
-    // determinism gate, same rationale as deleteWhereMor
-    val analyzed = emptyDf(sch0).filter(cond).queryExecution.analyzed
-    analyzed.collectFirst {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        require(f.condition.deterministic,
-          s"overwriteWhere on $name requires a deterministic predicate")
-    }
+    requireDeterministicCond(cond, "overwriteWhere")
     // replaceWhere constraint: every incoming row must be INSIDE the
     // replaced region — checked before any file is written
     require(df.filter(!coalesce(cond, lit(false))).isEmpty,
@@ -3272,7 +3298,16 @@ final class GraftTable private (
     * under the latest schema the same way): a column dropped inside
     * the window is absent from earlier change rows too. Expired cuts
     * refuse ([[HistoryExpiredException]]); an unknown operation kind
-    * refuses rather than silently skipping.
+    * refuses rather than silently skipping. `fromId = 0` is always
+    * answerable: on a table whose early history was expired, the
+    * severing checkpoint's visible set bootstraps the feed as inserts
+    * attributed to the checkpoint (matching [[diff]]'s empty
+    * before-set at 0), then the walk continues per-commit.
+    *
+    * Consecutive pure-append commits COALESCE into one multi-file scan
+    * with per-row attribution joined from a broadcast file → commit
+    * map, so an N-append window costs O(1) scan plans, not O(N); only
+    * rewrite/MOR/replace commits pay a per-commit read.
     *
     * `withRowIds` (requires [[enableRowLineage]]) attaches each change
     * row's stable `_row_id` and switches update pairing from recorded
@@ -3466,7 +3501,63 @@ final class GraftTable private (
         .withColumn("_change_type", lit("delete")), s))
     }
     val window = snaps.filter(s => s.snapshotId > fromId && s.snapshotId <= to)
-    val parts = window.flatMap { s =>
+    // ----- a maximal RUN of consecutive pure-append commits reads as ONE
+    // multi-file scan instead of one stamped read per commit: no delete
+    // or rewrite commit sits inside the run (by construction), so the
+    // tombstone set is constant across it and the union of per-commit
+    // reads equals one read of all the run's files at the run's last
+    // cut. Per-row commit attribution comes from a broadcast
+    // rel-path → (snapshot id, timestamp) map joined on the
+    // codegen-derived scan file name — the same mechanism as the
+    // lineage firsts join. This keeps an N-append feed window at O(1)
+    // scans instead of O(N) plans+unions (the r14 q108/q117 regression).
+    def pureAppend(s: Snapshot): Boolean =
+      (s.operation == "create" || s.operation == "append" ||
+        s.operation == "publish") &&
+        s.removedFiles.isEmpty && s.addedFiles.nonEmpty
+    def runInserts(run: Seq[Snapshot]): DataFrame = {
+      import org.apache.spark.sql.functions.{broadcast, concat, raise_error, url_decode}
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, TimestampType}
+      val lastId = run.last.snapshotId
+      val owner: Map[String, Snapshot] = run.iterator
+        .flatMap(s => s.addedFiles.iterator.map(_ -> s)).toMap
+      val fs = log.filesWithSnapOf(snaps, Some(lastId))
+        .filter { case (a, _) => owner.contains(relOf(a)) }
+      val dels = log.eqDeletesOf(snaps, Some(lastId))
+      val tagged =
+        if (withRowIds) readWithLineage(fs, dels, sch, snaps,
+          tagFile = Some("__cf_f"))
+        else readWithDeletes(fs, dels, sch, snaps, tagFile = Some("__cf_f"))
+      val dirAbs = dir.toAbsolutePath.toString
+      val mapDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(owner.toSeq.sortBy(_._1).map {
+          case (rel, s) => org.apache.spark.sql.Row(rel, s.snapshotId,
+            new java.sql.Timestamp(s.timestampMs)) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          StructField("__cf_rel", StringType),
+          StructField("__cf_sid", LongType),
+          StructField("__cf_ts", TimestampType))))
+      val withRel = tagged
+        .withColumn("__cf_dir", lit(dirAbs))
+        .withColumn("__cf_dec", url_decode(col("__cf_f")))
+        .withColumn("__cf_rel", expr(
+          s"substring(__cf_dec, instr(__cf_dec, __cf_dir) + ${dirAbs.length + 1})"))
+      val outCols = sch.fieldNames.toSeq ++
+        (if (withRowIds) Seq(GraftTable.RowIdCol) else Nil) ++
+        Seq("_change_type", "_commit_snapshot_id", "_commit_timestamp")
+      // LEFT join + raise_error, same stance as the lineage map join:
+      // an unattributable row must fail the feed loudly, never vanish
+      withRel.join(broadcast(mapDf), Seq("__cf_rel"), "left")
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_snapshot_id",
+          fwhen(col("__cf_sid").isNull, raise_error(concat(
+            lit(s"change feed of $name: scan path resolved to no " +
+              "commit in the append run: "), col("__cf_f"))))
+            .otherwise(col("__cf_sid")))
+        .withColumn("_commit_timestamp", col("__cf_ts"))
+        .select(outCols.map(col): _*)
+    }
+    def oneCommit(s: Snapshot): Option[DataFrame] = {
       val idx = snaps.indexWhere(_.snapshotId == s.snapshotId)
       val prevId = if (idx > 0) snaps(idx - 1).snapshotId else 0L
       s.operation match {
@@ -3482,6 +3573,34 @@ final class GraftTable private (
             s"${s.snapshotId} — refusing to silently skip")
       }
     }
+    // ----- BOOTSTRAP on expired history: a window opening at 0 on a
+    // table whose early commits were expired starts at the severing
+    // full-set rewrite (expiry only severs at a "compact"; a genuine
+    // first commit is never one — compact/checkpoint require a head).
+    // Without this the baseline rows would silently vanish (the compact
+    // walks as a zero-row maintenance commit); emit its delete-applied
+    // visible set as inserts attributed to it, matching diff(0, …)'s
+    // empty-before-set behavior.
+    val baseline: Option[DataFrame] = snaps.headOption
+      .filter(f => fromId == 0 && to >= f.snapshotId &&
+        f.operation == "compact")
+      .map(f => stamp(visAdded(f).withColumn("_change_type", lit("insert")), f))
+    val runsB = Seq.newBuilder[DataFrame]
+    var pending = List.empty[Snapshot]
+    def flush(): Unit = {
+      pending.reverse match {
+        case Nil =>
+        case one :: Nil => oneCommit(one).foreach(runsB += _)
+        case run => runsB += runInserts(run)
+      }
+      pending = Nil
+    }
+    window.foreach { s =>
+      if (pureAppend(s)) pending ::= s
+      else { flush(); oneCommit(s).foreach(runsB += _) }
+    }
+    flush()
+    val parts = baseline.toSeq ++ runsB.result()
     if (parts.isEmpty) {
       val base =
         if (withRowIds) emptyDf(sch)
@@ -3584,7 +3703,7 @@ final class GraftTable private (
     * codegen'd builtins (url_decode/instr/substring) — no UDF. */
   private def readWithLineage(filesWithSnap: Seq[(String, Long)],
       dels: Seq[(Long, Tomb)], sch: StructType,
-      snaps: Seq[Snapshot]): DataFrame = {
+      snaps: Seq[Snapshot], tagFile: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, expr, lit, url_decode}
     import org.apache.spark.sql.types.{LongType, StructField}
     val outCols = sch.fieldNames.toSeq :+ GraftTable.RowIdCol
@@ -3628,16 +3747,20 @@ final class GraftTable private (
                 lit(s"row lineage on $name: scan path resolved to no " +
                   "manifest entry: "), col("__rl_f"))))
             .otherwise(col("__rl_first") + col("__rl_p").cast("long")))
-        .select(outCols.map(col): _*)
+        .select((outCols.map(col) ++
+          tagFile.map(t => col("__rl_f").as(t))): _*)
     }
     if (mat.nonEmpty) {
       val schPlus = StructType(sch.fields :+
         StructField(GraftTable.RowIdCol, LongType))
-      parts += readWithDeletes(mat, dels, schPlus, snaps)
-        .select(outCols.map(col): _*)
+      parts += readWithDeletes(mat, dels, schPlus, snaps, tagFile = tagFile)
+        .select((outCols ++ tagFile.toSeq).map(col): _*)
     }
-    parts.result().reduceOption(_ unionByName _).getOrElse(
-      emptyDf(sch).withColumn(GraftTable.RowIdCol, lit(null).cast(LongType)))
+    parts.result().reduceOption(_ unionByName _).getOrElse {
+      val e = emptyDf(sch).withColumn(GraftTable.RowIdCol,
+        lit(null).cast(LongType))
+      tagFile.map(t => e.withColumn(t, lit(null).cast("string"))).getOrElse(e)
+    }
   }
 
   /** `df` plus freshly minted DENSE ids [start, start + count): RDD

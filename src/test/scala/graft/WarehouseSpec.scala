@@ -2921,4 +2921,110 @@ class WarehouseSpec extends AnyFunSuite {
       .select("_change_type").as[String].collect().toSet ==
       Set("delete", "insert"))
   }
+
+  test("changeFeed(0) after history expiry bootstraps from the severing checkpoint") {
+    val dir = Files.createTempDirectory("graft-cfexp-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "price")).get   // s1
+    t.append(Seq((3L, 30L)).toDF("id", "price"))            // s2
+    t.deleteWhere($"id" === 2L)                             // s3
+    val ck = t.checkpoint()                                 // s4 (compact)
+    t.expireSnapshots(ck.snapshotId)
+    t.append(Seq((4L, 40L)).toDF("id", "price"))            // s5
+    // the expired baseline (rows 1, 3) must NOT vanish: it bootstraps
+    // as inserts attributed to the severing checkpoint, then the walk
+    // continues per-commit — matching diff(0, …)'s empty before-set
+    val got = t.changeFeed(0L)
+      .select("_commit_snapshot_id", "_change_type", "id", "price")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (ck.snapshotId, "insert", 1L, 10L),
+      (ck.snapshotId, "insert", 3L, 30L),
+      (ck.snapshotId + 1, "insert", 4L, 40L)), s"got $got")
+    // a window opening AT a retained cut is unaffected by the bootstrap
+    assert(t.changeFeed(ck.snapshotId)
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+    // net-change invariant holds across the expiry horizon
+    val feed = t.changeFeed(0L)
+    val net = feed.filter($"_change_type".isin("insert", "update_postimage"))
+      .select("id", "price")
+      .exceptAll(feed.filter($"_change_type".isin("delete", "update_preimage"))
+        .select("id", "price"))
+      .as[(Long, Long)].collect().toSet
+    assert(net == t.read().as[(Long, Long)].collect().toSet)
+  }
+
+  test("changeFeed coalesces append runs with exact attribution, including row ids") {
+    val dir = Files.createTempDirectory("graft-cfrun-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq((1L, 10L)).toDF("id", "price")).get              // s1
+    t.enableRowLineage()                                    // s2
+    t.append(Seq((2L, 20L)).toDF("id", "price"))            // s3
+    t.append(Seq((3L, 30L), (4L, 40L)).toDF("id", "price")) // s4
+    t.append(Seq((5L, 50L)).toDF("id", "price"))            // s5
+    // three consecutive appends coalesce into one scan; attribution
+    // must still be per-commit and row ids must match the live table
+    val idOf = t.readLineage().select("id", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    val got = t.changeFeed(2L, withRowIds = true)
+      .select("_commit_snapshot_id", "_change_type", "id", "_row_id")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == Set(
+      (3L, "insert", 2L, idOf(2L)),
+      (4L, "insert", 3L, idOf(3L)), (4L, "insert", 4L, idOf(4L)),
+      (5L, "insert", 5L, idOf(5L))), s"got $got")
+    // commit timestamps attribute per-commit too (monotone non-strict)
+    val ts = t.changeFeed(2L)
+      .select("_commit_snapshot_id", "_commit_timestamp")
+      .distinct().as[(Long, java.sql.Timestamp)].collect()
+      .sortBy(_._1).map(_._2)
+    assert(ts.length == 3 &&
+      ts.sliding(2).forall(p => !p(0).after(p(1))), s"ts $ts")
+  }
+
+  test("Connector.sql routes UPDATE/DELETE/MERGE text to the table verbs") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"))
+    // UPDATE (alias-qualified SET and WHERE) returns the commit it made
+    val r1 = c.sql("UPDATE t SET v = t.v + 1 WHERE t.id >= 2")
+    assert(r1.columns.toSeq == Seq("snapshot_id"))
+    val sid1 = r1.as[Long].collect().head
+    assert(c.getCurrentSnapshotId("t").contains(sid1))
+    assert(c.sql("SELECT * FROM t").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 21L), (3L, 31L)))
+    c.sql("DELETE FROM t WHERE id = 1")
+    Seq((2L, 99L), (4L, 44L), (3L, -1L)).toDF("id", "v")
+      .createOrReplaceTempView("sdml_test_src")
+    c.sql("MERGE INTO t USING sdml_test_src s ON t.id = s.id " +
+      "WHEN MATCHED AND s.v < 0 THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(c.sql("SELECT * FROM t").as[(Long, Long)].collect().toSet ==
+      Set((2L, 99L), (4L, 44L)))
+    // unsupported merge shapes refuse loudly instead of approximating
+    intercept[IllegalArgumentException] {
+      c.sql("MERGE INTO t USING sdml_test_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    // DML on a non-warehouse relation falls through to Spark's own error
+    intercept[Exception] { c.sql("DELETE FROM sdml_test_src WHERE id = 1") }
+    // full-table DELETE (no WHERE) routes too
+    c.sql("DELETE FROM t")
+    assert(c.count("t") == 0)
+  }
+
+  test("updateWhere and deleteWhere refuse nondeterministic predicates") {
+    val dir = Files.createTempDirectory("graft-det-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq((1L, 10L)).toDF("id", "price")).get
+    val nd = org.apache.spark.sql.functions.rand() < 0.5
+    intercept[IllegalArgumentException] {
+      t.updateWhere(nd, Map("price" -> org.apache.spark.sql.functions.lit(0L)))
+    }
+    intercept[IllegalArgumentException] { t.deleteWhere(nd) }
+    // deterministic predicates still pass
+    t.updateWhere($"id" === 1L, Map("price" -> org.apache.spark.sql.functions.lit(11L)))
+    assert(t.read().as[(Long, Long)].collect().toSet == Set((1L, 11L)))
+  }
 }
