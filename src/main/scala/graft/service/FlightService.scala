@@ -190,17 +190,20 @@ final class FlightService(connector: Connector, port: Int = 0,
         val t = connector.loadTable(req.table)
         val snap = t.currentSnapshotId.getOrElse(0L)
         val df = {
-          import org.apache.spark.sql.functions.{col, lit}
+          import org.apache.spark.sql.functions.{col, lit, when}
           val feed = t.changeFeed(req.since, snap)
           val cols = feed.columns.filterNot(Set("_change_type",
             "_commit_snapshot_id", "_commit_timestamp")).toSeq
-          val plus = feed.filter(col("_change_type")
-            .isin("insert", "update_postimage")).select(cols.map(col): _*)
-          val minus = feed.filter(col("_change_type")
-            .isin("delete", "update_preimage")).select(cols.map(col): _*)
-          plus.exceptAll(minus).withColumn("_change_type", lit("insert"))
-            .unionByName(minus.exceptAll(plus)
-              .withColumn("_change_type", lit("delete")))
+          // one-pass netting (GraftTable.multisetNet): the exceptAll-
+          // both-ways shape evaluated the WHOLE feed plan 4× per diff
+          val tagged = feed.withColumn("__gd_s",
+            when(col("_change_type").isin("insert", "update_postimage"),
+              1L).otherwise(-1L))
+            .select((cols.map(col) :+ col("__gd_s")): _*)
+          graft.warehouse.GraftTable.multisetNet(tagged, cols, "__gd_s")
+            .withColumn("_change_type",
+              when(col("__gd_s") === 1L, lit("insert")).otherwise(lit("delete")))
+            .drop("__gd_s")
         }
         Wire.writeLine(out, Wire.obj("ok" -> true, "snapshot_id" -> Wire.JNum(snap)))
         writeBody(df, out)

@@ -3370,37 +3370,51 @@ final class GraftTable private (
         .filter { case (a, _) => remSet.contains(relOf(a)) }
       readVis(fs, log.eqDeletesOf(snaps, Some(prevId)))
     }
-    // pair a rewrite's delete+insert rows sharing a recorded merge key
-    // into update pre/post images; unpaired rows stay delete/insert.
-    // Under withRowIds the pairing key is ROW IDENTITY itself — exact
-    // for id-preserving rewrites (update, CoW delete, AND merge, whose
-    // matched rows inherit the stored id); empty-on-purpose for the
-    // re-minting region replacements (overwrite/replace)
+    // Net a rewrite's two sides and pair delete+insert rows sharing a
+    // recorded merge key into update pre/post images; unpaired rows
+    // stay delete/insert. ONE PASS over each side: the r14 shape
+    // (`d.exceptAll(i)` / `i.exceptAll(d)` feeding 4 key-set joins)
+    // re-evaluated the visAdded/visRemoved scan plans — themselves
+    // multi-join reads — up to 8× inside one feed plan (the q108/q117
+    // regression); here the sides union ±1-tagged, identical rows
+    // (survivors that merely moved files) cancel in one groupBy, and
+    // the pairing is a key-window over the survivors. Null keys group
+    // together, matching the old null-safe join. Under withRowIds the
+    // pairing key is ROW IDENTITY itself — exact for id-preserving
+    // rewrites (update, CoW delete, AND merge, whose matched rows
+    // inherit the stored id); empty-on-purpose for the re-minting
+    // region replacements (overwrite/replace).
     def paired(dels: DataFrame, ins: DataFrame, s: Snapshot): DataFrame = {
       val ks =
         if (withRowIds) Some(Seq(GraftTable.RowIdCol))
         else s.properties.get(GraftTable.DmlKeysKey)
           .map(_.split(',').toSeq.filter(_.nonEmpty))
           .filter(k => k.nonEmpty && k.forall(sch.fieldNames.contains))
+      val cols = dels.columns.toSeq
+      val net = GraftTable.multisetNet(
+        dels.withColumn("__cf_s", lit(-1L))
+          .unionByName(ins.withColumn("__cf_s", lit(1L))), cols, "__cf_s")
       ks match {
         case None =>
-          dels.withColumn("_change_type", lit("delete"))
-            .unionByName(ins.withColumn("_change_type", lit("insert")))
+          net.withColumn("_change_type",
+            fwhen(col("__cf_s") === 1L, lit("insert")).otherwise(lit("delete")))
+            .drop("__cf_s")
         case Some(keys) =>
-          val iK = ins.select(keys.map(c => col(c).as(s"__cfk_$c")): _*)
-            .distinct()
-          val dK = dels.select(keys.map(c => col(c).as(s"__cfk_$c")): _*)
-            .distinct()
-          def jc(l: DataFrame, r: DataFrame) =
-            keys.map(c => l(c) <=> r(s"__cfk_$c")).reduce(_ && _)
-          dels.join(iK, jc(dels, iK), "left_semi")
-            .withColumn("_change_type", lit("update_preimage"))
-            .unionByName(dels.join(iK, jc(dels, iK), "left_anti")
-              .withColumn("_change_type", lit("delete")))
-            .unionByName(ins.join(dK, jc(ins, dK), "left_semi")
-              .withColumn("_change_type", lit("update_postimage")))
-            .unionByName(ins.join(dK, jc(ins, dK), "left_anti")
-              .withColumn("_change_type", lit("insert")))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*)
+          net
+            .withColumn("__cf_hi",
+              fmax(fwhen(col("__cf_s") === 1L, 1).otherwise(0)).over(w))
+            .withColumn("__cf_hd",
+              fmax(fwhen(col("__cf_s") === -1L, 1).otherwise(0)).over(w))
+            .withColumn("_change_type",
+              fwhen(col("__cf_s") === 1L,
+                fwhen(col("__cf_hd") === 1, lit("update_postimage"))
+                  .otherwise(lit("insert")))
+              .otherwise(
+                fwhen(col("__cf_hi") === 1, lit("update_preimage"))
+                  .otherwise(lit("delete"))))
+            .drop("__cf_s", "__cf_hi", "__cf_hd")
       }
     }
     def cowChanges(s: Snapshot, prevId: Long): Option[DataFrame] = {
@@ -3409,8 +3423,7 @@ final class GraftTable private (
         case (false, true) =>
           visRemoved(s, prevId).withColumn("_change_type", lit("delete"))
         case (true, true) =>
-          val i = visAdded(s); val d = visRemoved(s, prevId)
-          paired(d.exceptAll(i), i.exceptAll(d), s)
+          paired(visRemoved(s, prevId), visAdded(s), s)
         case (false, false) => return None
       }
       Some(stamp(df, s))
@@ -4442,6 +4455,28 @@ object GraftTable {
 
   /** The row-lineage column name (the Iceberg v3 reserved field). */
   val RowIdCol = "_row_id"
+
+  /** Multiset-cancel a ±1-tagged union in ONE pass: group identical
+    * rows, net the sign, re-expand |net| copies tagged with the
+    * surviving side. Replaces the `a.exceptAll(b) ∪ b.exceptAll(a)`
+    * shape wherever the inputs are EXPENSIVE lazy plans (feed reads
+    * are multi-join scans): that shape evaluates each input plan
+    * twice — and a downstream key-pairing join doubled it again — so
+    * a single groupBy shuffle over O(changed rows) is strictly
+    * cheaper, and the only evaluation of each side. `side` must be
+    * ±1L per row; row duplicates are preserved exactly (the r14 feed
+    * contract). */
+  private[graft] def multisetNet(tagged: org.apache.spark.sql.DataFrame,
+      cols: Seq[String], side: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{abs, col, explode, lit,
+      sequence, sum, when}
+    tagged.groupBy(cols.map(col): _*)
+      .agg(sum(col(side)).as("__mn_net"))
+      .filter(col("__mn_net") =!= 0L)
+      .withColumn(side, when(col("__mn_net") > 0L, lit(1L)).otherwise(lit(-1L)))
+      .withColumn("__mn_i", explode(sequence(lit(1L), abs(col("__mn_net")))))
+      .drop("__mn_net", "__mn_i")
+  }
 
   /** StructField-metadata keys of a column's CONSTANT default (the
     * Iceberg v3 initial-default / write-default pair) — Spark's own
