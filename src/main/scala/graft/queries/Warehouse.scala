@@ -2183,6 +2183,15 @@ object Warehouse {
     // appended rows continue the counter; a sampled id map is
     // bit-identical across compact + update + delete (survivors);
     // no id is ever reused.
+    //
+    // r15: `_last_updated_sequence_number` (v3's second lineage
+    // column) is HASH-GRADED directly — the rig's commit ids are
+    // deterministic (create=1, enable=2, append=3, compact=4,
+    // update=5, delete=6), so each row's seq is a pure function of
+    // its key: updated rows carry 5, untouched even rows their
+    // create commit 1, odd rows their append commit 3; the compact
+    // and the delete must leave seqs untouched (carriers, not
+    // changes).
     Q("q161_row_lineage",
       """WITH base AS (
         |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p,
@@ -2190,6 +2199,8 @@ object Warehouse {
         |  FROM orders)
         |SELECT k AS o_orderkey,
         |  CASE WHEN k * 4 <= maxk THEN round(p * 2, 2) ELSE p END AS price,
+        |  CAST(CASE WHEN k * 4 <= maxk THEN 5
+        |       WHEN k % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS last_seq,
         |  TRUE AS rl_ok
         |FROM base WHERE k % 9 <> 5 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val conn = new Connector(s, Scratch.dir("run"))
@@ -2238,7 +2249,9 @@ object Warehouse {
       }
       val witness = retro && freshIds && afterCompact && afterUpdate &&
         afterDelete && uniq && t.validate().isEmpty
-      t.read().select(col("o_orderkey"), col("price"))
+      t.readLineage()
+        .select(col("o_orderkey"), col("price"),
+          col("_last_updated_sequence_number").as("last_seq"))
         .withColumn("rl_ok", lit(witness))
         .orderBy("o_orderkey")
     },
@@ -2288,13 +2301,13 @@ object Warehouse {
       val s1 = t.currentSnapshotId.get
       val lin1 = t.readLineage(Some(s1))
         .select(col("o_orderkey"), col("_row_id").as("__id1"))
-      t.updateWhere(col("o_orderkey") * 4 <= maxk,
+      val u = t.updateWhere(col("o_orderkey") * 4 <= maxk,
         Map("price" -> round(col("price") * 2, 2)))
       t.deleteKeysMor(base.filter(col("o_orderkey") % 10 === 7)
         .select("o_orderkey"))
       val preAppendNext = graft.warehouse.SnapshotLog
         .rowIdNextOf(t.log.snapshots).get
-      t.append(base.filter(col("o_orderkey") % 10 === 7)
+      val ap = t.append(base.filter(col("o_orderkey") % 10 === 7)
         .withColumn("price", round(col("price") * 9, 2)))
       // the feed plan is a multi-branch union over commit file sets;
       // four witnesses + the graded output would re-evaluate it five
@@ -2319,7 +2332,18 @@ object Warehouse {
       val uniq = feed.groupBy("_change_type")
         .agg(count(lit(1)).as("n"), countDistinct(col("_row_id")).as("d"))
         .filter(col("n") =!= col("d")).count() == 0
-      val witness = pairBad && killBad && freshOk && uniq
+      // r15: the feed carries _last_updated_sequence_number — post
+      // images and fresh inserts stamp their committing snapshot, pre
+      // images keep the row's PRE-update seq (strictly older)
+      val seqCol = col("_last_updated_sequence_number")
+      val seqOk =
+        feed.filter(col("_change_type") === "update_postimage")
+          .filter(seqCol =!= u.snapshotId).count() == 0 &&
+        feed.filter(col("_change_type") === "update_preimage")
+          .filter(seqCol >= u.snapshotId).count() == 0 &&
+        feed.filter(col("_change_type") === "insert")
+          .filter(seqCol =!= ap.snapshotId).count() == 0
+      val witness = pairBad && killBad && freshOk && uniq && seqOk
       feed.select(col("_change_type"), col("o_orderkey"),
           when(lit(witness), col("price")).otherwise(lit(-1.0)).as("price"))
         .orderBy("_change_type", "o_orderkey")

@@ -133,7 +133,8 @@ object GraftTableSource {
   def cdfSchema(base: StructType, withRowIds: Boolean = false): StructType = {
     import org.apache.spark.sql.types._
     StructType(base.fields ++
-      (if (withRowIds) Seq(StructField("_row_id", LongType)) else Nil) ++
+      (if (withRowIds) Seq(StructField("_row_id", LongType),
+        StructField("_last_updated_sequence_number", LongType)) else Nil) ++
       Seq(StructField("_change_type", StringType),
         StructField("_commit_snapshot_id", LongType),
         StructField("_commit_timestamp", TimestampType)))

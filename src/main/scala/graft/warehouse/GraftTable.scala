@@ -168,22 +168,26 @@ final class GraftTable private (
       if (nameIdentity) fastFiles ++= fs.map(_._1)
       else {
         import org.apache.spark.sql.functions.{col, lit}
-        // a `_row_id` target column is PHYSICAL in the files of this
-        // group even though no era schema lists it (lineage reads pass
-        // target = era + _row_id ONLY for materialized-id files) —
-        // widen the decode schema so the real ids come through
-        val lineage = target.fieldNames.contains(GraftTable.RowIdCol) &&
-          !era.fieldNames.contains(GraftTable.RowIdCol)
+        // the lineage target columns (`_row_id`,
+        // `_last_updated_sequence_number`) are PHYSICAL in the files of
+        // this group even though no era schema lists them (lineage
+        // reads pass target = era + lineage cols ONLY for
+        // materialized-id files) — widen the decode schema so the real
+        // values come through
+        val lineageCols = Seq(GraftTable.RowIdCol, GraftTable.RowSeqCol)
+          .filter(c => target.fieldNames.contains(c) &&
+            !era.fieldNames.contains(c))
         val eraRead =
-          if (!lineage) era
-          else StructType(era.fields :+ org.apache.spark.sql.types.StructField(
-            GraftTable.RowIdCol, org.apache.spark.sql.types.LongType))
+          if (lineageCols.isEmpty) era
+          else StructType(era.fields ++ lineageCols.map(c =>
+            org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.LongType)))
         val raw = spark.read.schema(eraRead).parquet(fs.map(_._1): _*)
         val cols = mapping.map {
           case (Some(src), tgt) =>
             col(src.name).cast(tgt.dataType).as(tgt.name)
-          case (None, tgt) if lineage && tgt.name == GraftTable.RowIdCol =>
-            col(GraftTable.RowIdCol)
+          case (None, tgt) if lineageCols.contains(tgt.name) =>
+            col(tgt.name)
           // era predates the column: its declared default (if any)
           // fills here, mirroring what the fast path's reader does for
           // absent columns via the existence-default metadata
@@ -1295,6 +1299,7 @@ final class GraftTable private (
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             schemaAsOf(Some(base.snapshotId)))
           if (lineage) e.withColumn(GraftTable.RowIdCol, lit(null).cast("long"))
+            .withColumn(GraftTable.RowSeqCol, lit(null).cast("long"))
           else e
         } else {
           val fs = affected.map(f => dir.resolve(f).toString ->
@@ -1335,11 +1340,14 @@ final class GraftTable private (
           val joined = upserts.join(idByKey, mCond, "left")
             .drop(keyCols.map(c => s"__mk_$c"): _*)
           // genuine inserts mint dense fresh ids [next0, next0+count)
-          // — distributed zipWithIndex, no single-partition window
+          // — distributed zipWithIndex, no single-partition window.
+          // Matched AND minted rows get this commit's seq (base+1
+          // under the CAS guard): both are row changes by definition
           joined.filter(col("__mid").isNotNull)
             .withColumn(GraftTable.RowIdCol, col("__mid")).drop("__mid")
             .unionByName(withMintedIds(
               joined.filter(col("__mid").isNull).drop("__mid"), next0))
+            .withColumn(GraftTable.RowSeqCol, lit(base.snapshotId + 1))
         }
       val rewritten =
         survivors.unionByName(upsertsW.select(survivors.columns.map(col): _*))
@@ -1536,13 +1544,18 @@ final class GraftTable private (
       // cannot observe each other, and `cond` is evaluated on the
       // pre-image (a SET that flips its own predicate still applies)
       val hit = coalesce(cond, lit(false))
+      // lineage: hit rows keep their id and BUMP their seq to this
+      // commit (head+1 under the CAS guard); carried survivors keep both
       def postImage(d: DataFrame): DataFrame = d.select(sch.fields.toSeq.map { f =>
         set.get(f.name) match {
           case Some(e) => fwhen(hit, e.cast(f.dataType))
             .otherwise(col(f.name)).as(f.name)
           case None => col(f.name)
         }
-      } ++ (if (lineage) Seq(col(GraftTable.RowIdCol)) else Nil): _*)
+      } ++ (if (lineage) Seq(col(GraftTable.RowIdCol),
+        fwhen(hit, lit(head.snapshotId + 1))
+          .otherwise(col(GraftTable.RowSeqCol)).as(GraftTable.RowSeqCol))
+      else Nil): _*)
       // constraints gate the post-image of the rows the update TOUCHES;
       // one bounded agg over affected files, before any bytes land
       enforceConstraints(postImage(src.filter(hit)), "update")
@@ -1700,7 +1713,10 @@ final class GraftTable private (
             .filter(!coalesce(cond, lit(false)))
         land(survivors, "keep")
       }
-      land(if (lineage) withMintedIds(df, next0) else df, "new")
+      // the replaced region is NEW identity: fresh ids, this commit's seq
+      land(if (lineage) withMintedIds(df, next0)
+        .withColumn(GraftTable.RowSeqCol, lit(head.snapshotId + 1))
+      else df, "new")
       val files = parquetFilesIn(commitDir)
         .map(p => dir.relativize(p).toString)
         .toSeq.sorted
@@ -2642,12 +2658,19 @@ final class GraftTable private (
     SnapshotLog.rowIdNextOf(snaps).foreach { next =>
       val firsts = SnapshotLog.rowIdFirsts(snaps)
       val matRels = SnapshotLog.rowIdMatRels(snaps)
+      val seqs = SnapshotLog.rowSeqOf(snaps)
       visible.foreach { case (abs, _) =>
         val r = dir.relativize(Paths.get(abs)).toString
         if (matRels.contains(r))
           props(SnapshotLog.RowIdMatFilePrefix + r) = "1"
-        else firsts.get(r).foreach(f =>
-          props(SnapshotLog.RowIdFirstPrefix + r) = f.toString)
+        else {
+          firsts.get(r).foreach(f =>
+            props(SnapshotLog.RowIdFirstPrefix + r) = f.toString)
+          // virtual seq carried too: without it the checkpoint's own
+          // re-listing would bump every carried row to the checkpoint id
+          seqs.get(r).foreach(q =>
+            props(SnapshotLog.RowSeqFilePrefix + r) = q.toString)
+        }
       }
       props(SnapshotLog.RowIdNextKey) = next.toString
     }
@@ -3485,8 +3508,11 @@ final class GraftTable private (
           val sidecarDf = spark.read.parquet(sidecars: _*)
           lazy val firsts = SnapshotLog.rowIdFirsts(snaps)
           lazy val matRels = SnapshotLog.rowIdMatRels(snaps)
+          lazy val seqs = SnapshotLog.rowSeqOf(snaps)
           val schPlus = StructType(sch.fields :+
             org.apache.spark.sql.types.StructField(GraftTable.RowIdCol,
+              org.apache.spark.sql.types.LongType) :+
+            org.apache.spark.sql.types.StructField(GraftTable.RowSeqCol,
               org.apache.spark.sql.types.LongType))
           files.filter { case (a, _) => namedRels.contains(relOf(a)) }
             .map { case (a, sid) =>
@@ -3501,12 +3527,16 @@ final class GraftTable private (
                     lit(firsts.getOrElse(rel, sys.error(
                       s"row lineage: no first-row-id for $rel"))) +
                       col("__cf_pos").cast("long"))
+                  .withColumn(GraftTable.RowSeqCol,
+                    lit(seqs.getOrElse(rel, sys.error(
+                      s"row lineage: no virtual seq for $rel"))))
               val dead = sidecarDf.filter(col("file") === rel)
                 .select(col("pos").cast("long").as("__cf_pos"))
               one0.join(dead, Seq("__cf_pos"), "left_semi").drop("__cf_pos")
             }.reduceOption(_ unionByName _).getOrElse {
-              if (withRowIds) emptyDf(sch).withColumn(GraftTable.RowIdCol,
-                lit(null).cast("long"))
+              if (withRowIds) emptyDf(sch)
+                .withColumn(GraftTable.RowIdCol, lit(null).cast("long"))
+                .withColumn(GraftTable.RowSeqCol, lit(null).cast("long"))
               else emptyDf(sch)
             }
       }
@@ -3556,7 +3586,8 @@ final class GraftTable private (
         .withColumn("__cf_rel", expr(
           s"substring(__cf_dec, instr(__cf_dec, __cf_dir) + ${dirAbs.length + 1})"))
       val outCols = sch.fieldNames.toSeq ++
-        (if (withRowIds) Seq(GraftTable.RowIdCol) else Nil) ++
+        (if (withRowIds) Seq(GraftTable.RowIdCol, GraftTable.RowSeqCol)
+         else Nil) ++
         Seq("_change_type", "_commit_snapshot_id", "_commit_timestamp")
       // LEFT join + raise_error, same stance as the lineage map join:
       // an unattributable row must fail the feed loudly, never vanish
@@ -3618,6 +3649,7 @@ final class GraftTable private (
       val base =
         if (withRowIds) emptyDf(sch)
           .withColumn(GraftTable.RowIdCol, lit(null).cast("long"))
+          .withColumn(GraftTable.RowSeqCol, lit(null).cast("long"))
         else emptyDf(sch)
       base
         .withColumn("_change_type", lit(null).cast("string"))
@@ -3708,24 +3740,28 @@ final class GraftTable private (
       log.eqDeletesOf(snaps, asOf), schemaAsOfIn(snaps, asOf), snaps)
   }
 
-  /** `files` read delete-applied with `_row_id` attached: files with
-    * PHYSICAL ids (materializing rewrites) read the column; everything
-    * else computes `first_row_id + _metadata.row_index` through one
-    * broadcast join against the manifest-recorded firsts. The rel-path
-    * join key derives from the decoded scan file name row-side with
-    * codegen'd builtins (url_decode/instr/substring) — no UDF. */
+  /** `files` read delete-applied with `_row_id` AND
+    * `_last_updated_sequence_number` attached: files with PHYSICAL
+    * lineage columns (materializing rewrites) read them; everything
+    * else computes `first_row_id + _metadata.row_index` and the
+    * file-level virtual seq through one broadcast join against the
+    * manifest-recorded firsts/seqs. The rel-path join key derives from
+    * the decoded scan file name row-side with codegen'd builtins
+    * (url_decode/instr/substring) — no UDF. */
   private def readWithLineage(filesWithSnap: Seq[(String, Long)],
       dels: Seq[(Long, Tomb)], sch: StructType,
       snaps: Seq[Snapshot], tagFile: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, expr, lit, url_decode}
     import org.apache.spark.sql.types.{LongType, StructField}
-    val outCols = sch.fieldNames.toSeq :+ GraftTable.RowIdCol
+    val outCols = sch.fieldNames.toSeq :+
+      GraftTable.RowIdCol :+ GraftTable.RowSeqCol
     val matRels = SnapshotLog.rowIdMatRels(snaps)
     val (mat, plain) = filesWithSnap.partition { case (a, _) =>
       matRels.contains(dir.relativize(Paths.get(a)).toString) }
     val parts = Seq.newBuilder[DataFrame]
     if (plain.nonEmpty) {
       val firsts = SnapshotLog.rowIdFirsts(snaps)
+      val seqs = SnapshotLog.rowSeqOf(snaps)
       val plainRels = plain.map { case (a, _) =>
         dir.relativize(Paths.get(a)).toString }
       val missing = plainRels.filterNot(firsts.contains)
@@ -3739,10 +3775,12 @@ final class GraftTable private (
       val dirAbs = dir.toAbsolutePath.toString
       val mapDf = spark.createDataFrame(
         spark.sparkContext.parallelize(plainRels.distinct.map(r =>
-          org.apache.spark.sql.Row(r, firsts(r))), 1),
+          org.apache.spark.sql.Row(r, firsts(r), seqs.getOrElse(r,
+            sys.error(s"row lineage on $name: no virtual seq for $r")))), 1),
         org.apache.spark.sql.types.StructType(Seq(
           StructField("__rl_rel", org.apache.spark.sql.types.StringType),
-          StructField("__rl_first", LongType))))
+          StructField("__rl_first", LongType),
+          StructField("__rl_seq", LongType))))
       val withRel = tagged
         .withColumn("__rl_dir", lit(dirAbs))
         .withColumn("__rl_dec", url_decode(col("__rl_f")))
@@ -3760,18 +3798,21 @@ final class GraftTable private (
                 lit(s"row lineage on $name: scan path resolved to no " +
                   "manifest entry: "), col("__rl_f"))))
             .otherwise(col("__rl_first") + col("__rl_p").cast("long")))
+        .withColumn(GraftTable.RowSeqCol, col("__rl_seq"))
         .select((outCols.map(col) ++
           tagFile.map(t => col("__rl_f").as(t))): _*)
     }
     if (mat.nonEmpty) {
       val schPlus = StructType(sch.fields :+
-        StructField(GraftTable.RowIdCol, LongType))
+        StructField(GraftTable.RowIdCol, LongType) :+
+        StructField(GraftTable.RowSeqCol, LongType))
       parts += readWithDeletes(mat, dels, schPlus, snaps, tagFile = tagFile)
         .select((outCols ++ tagFile.toSeq).map(col): _*)
     }
     parts.result().reduceOption(_ unionByName _).getOrElse {
-      val e = emptyDf(sch).withColumn(GraftTable.RowIdCol,
-        lit(null).cast(LongType))
+      val e = emptyDf(sch)
+        .withColumn(GraftTable.RowIdCol, lit(null).cast(LongType))
+        .withColumn(GraftTable.RowSeqCol, lit(null).cast(LongType))
       tagFile.map(t => e.withColumn(t, lit(null).cast("string"))).getOrElse(e)
     }
   }
@@ -4223,11 +4264,19 @@ final class GraftTable private (
     SnapshotLog.rowIdNextOf(snaps).foreach { next =>
       val firsts = SnapshotLog.rowIdFirsts(snaps)
       val matRels = SnapshotLog.rowIdMatRels(snaps)
+      val seqs = SnapshotLog.rowSeqOf(snaps)
       mapped.foreach { case (oldRel, newRel) =>
         if (matRels.contains(oldRel))
           props(SnapshotLog.RowIdMatFilePrefix + newRel) = "1"
-        else firsts.get(oldRel).foreach(f =>
-          props(SnapshotLog.RowIdFirstPrefix + newRel) = f.toString)
+        else {
+          firsts.get(oldRel).foreach(f =>
+            props(SnapshotLog.RowIdFirstPrefix + newRel) = f.toString)
+          // virtual seq re-keyed to the clone's file names; the carried
+          // sids stay meaningful because the create pins atLeastId at
+          // the source head, so clone-side commits always sort above
+          seqs.get(oldRel).foreach(q =>
+            props(SnapshotLog.RowSeqFilePrefix + newRel) = q.toString)
+        }
       }
       props(SnapshotLog.RowIdNextKey) = next.toString
     }
@@ -4455,6 +4504,15 @@ object GraftTable {
 
   /** The row-lineage column name (the Iceberg v3 reserved field). */
   val RowIdCol = "_row_id"
+
+  /** v3's SECOND lineage column: the snapshot id of the commit that
+    * last CREATED OR CHANGED the row — `_row_id` answers "which row is
+    * this", this answers "when did it last change", so a consumer can
+    * ask "rows changed since commit S" from the row itself. Virtual
+    * (= the file's adding commit, [[SnapshotLog.rowSeqOf]]) until a
+    * rewrite materializes it beside `_row_id`: survivors keep their
+    * read value, changed/minted rows get the committing snapshot's id. */
+  val RowSeqCol = "_last_updated_sequence_number"
 
   /** Multiset-cancel a ±1-tagged union in ONE pass: group identical
     * rows, net the sign, re-expand |net| copies tagged with the

@@ -300,6 +300,18 @@ object SnapshotLog {
   val RowIdMaterializedKey = "graft.rowid.materialized"
   val RowIdMatFilePrefix = "graft.rowid.matfile."
 
+  /** `RowSeqFilePrefix<relPath>` → the VIRTUAL
+    * `_last_updated_sequence_number` of a non-materialized data file's
+    * rows (v3's sequence-number inheritance: absent a physical column,
+    * every row of a file carries the sequence of the commit that added
+    * it). Recorded only when the default — the first retained snapshot
+    * listing the file — would be wrong: checkpoint/clone carries
+    * re-stating the original adding commit past the expiry horizon.
+    * Files added by a materializing rewrite carry the column
+    * physically instead (rewrites write survivors' OLD seq and the
+    * committing snapshot's id for rows they changed or minted). */
+  val RowSeqFilePrefix = "graft.rowseq.file."
+
   /** The table's next unassigned row id at the cut, None ⇔ lineage
     * never enabled. Latest wins: every assigning commit re-states it. */
   def rowIdNextOf(snaps: Seq[Snapshot]): Option[Long] =
@@ -315,6 +327,31 @@ object SnapshotLog {
       case (k, v) if k.startsWith(RowIdFirstPrefix) =>
         k.substring(RowIdFirstPrefix.length) -> v.toLong
     }.toMap
+
+  /** VIRTUAL `_last_updated_sequence_number` per data-file rel path:
+    * a carried [[RowSeqFilePrefix]] record wins (processed before the
+    * same snapshot's own file list, so a checkpoint's re-listing
+    * doesn't bump carried rows to the checkpoint's id); otherwise the
+    * FIRST retained snapshot listing the file (so a rollback's
+    * re-added files keep their original sequence). Covers every
+    * visible file by construction — each is listed by some retained
+    * snapshot. Files with PHYSICAL seq columns ([[rowIdMatRels]]) are
+    * read, not looked up. */
+  def rowSeqOf(snaps: Seq[Snapshot]): Map[String, Long] = {
+    val m = scala.collection.mutable.Map.empty[String, Long]
+    snaps.foreach { s =>
+      s.properties.foreach { case (k, v) =>
+        if (k.startsWith(RowSeqFilePrefix)) {
+          val rel = k.substring(RowSeqFilePrefix.length)
+          if (!m.contains(rel)) m(rel) = v.toLong
+        }
+      }
+      s.addedFiles.foreach { f =>
+        if (!m.contains(f)) m(f) = s.snapshotId
+      }
+    }
+    m.toMap
+  }
 
   /** Rel paths of files whose rows carry a PHYSICAL `_row_id` column:
     * files added by a materializing rewrite, plus per-file flags a

@@ -520,28 +520,36 @@ class PropertySpec extends AnyFunSuite {
     c.createTable("tr", init.toDF("id", "v"))
     val t = c.loadTable("tr")
     t.enableRowLineage()
-    // model: id -> (v, last observed _row_id)
-    val model = scala.collection.mutable.Map[Long, (Long, Option[Long])](
-      init.map { case (i, v) => i -> (v, None: Option[Long]) }: _*)
+    // model: id -> (v, last observed _row_id, expected
+    // _last_updated_sequence_number). Seq contract: every op that
+    // CREATES OR CHANGES the row stamps its committing snapshot
+    // (append/minted upsert/matched-replace upsert/update hit/
+    // overwrite region); preservation — untouched rows, every
+    // maintenance rewrite, checkpoint+expiry — must leave it alone.
+    val model = scala.collection.mutable.Map[Long, (Long, Option[Long], Long)](
+      init.map { case (i, v) => i -> ((v, None: Option[Long], 1L)) }: _*)
     val seen = scala.collection.mutable.Set[Long]()
     var nextFresh = 100L // ids for guaranteed-new appends
     def observe(step: Int, minted: Set[Long]): Unit = {
-      val obs = t.readLineage().select("id", "v", "_row_id")
-        .as[(Long, Long, Long)].collect()
+      val obs = t.readLineage()
+        .select("id", "v", "_row_id", "_last_updated_sequence_number")
+        .as[(Long, Long, Long, Long)].collect()
       assert(obs.map(_._3).distinct.length == obs.length,
         s"step $step: row ids not unique")
       assert(obs.map(_._1).sorted.toSeq == model.keys.toSeq.sorted,
         s"step $step: key set diverged")
-      obs.foreach { case (id, v, rid) =>
-        val (mv, prev) = model(id)
+      obs.foreach { case (id, v, rid, seq) =>
+        val (mv, prev, mseq) = model(id)
         assert(v == mv, s"step $step: value diverged for id $id")
+        assert(seq == mseq, s"step $step: id $id seq $seq != expected " +
+          s"$mseq (ops=${t.log.snapshots.map(_.operation)})")
         if (minted.contains(id))
           assert(!seen.contains(rid),
             s"step $step: minted id $id recycled row id $rid")
         else prev.foreach(p => assert(p == rid,
           s"step $step: id $id changed identity $p -> $rid " +
             s"(ops=${t.log.snapshots.map(_.operation)})"))
-        model(id) = (v, Some(rid))
+        model(id) = (v, Some(rid), mseq)
       }
       seen ++= obs.map(_._3)
     }
@@ -552,15 +560,16 @@ class PropertySpec extends AnyFunSuite {
         case 0 => // append of guaranteed-new keys → minted
           val rows = (0 until 4).map { k => (nextFresh + k, rnd.nextInt(999).toLong) }
           nextFresh += 4
-          t.append(rows.toDF("id", "v"))
-          rows.foreach { case (i, v) => model(i) = (v, None) }
+          val sn = t.append(rows.toDF("id", "v"))
+          rows.foreach { case (i, v) => model(i) = (v, None, sn.snapshotId) }
           minted = rows.map(_._1).toSet
-        case 1 => // UPDATE → preserved
+        case 1 => // UPDATE → identity preserved, hit rows' seq bumps
           val lo = rnd.nextInt(30).toLong
-          t.updateWhere(col("id") >= lo && col("id") < lo + 6,
+          val sn = t.updateWhere(col("id") >= lo && col("id") < lo + 6,
             Map("v" -> (col("v") + 1)))
           model.keys.filter(i => i >= lo && i < lo + 6)
-            .foreach(i => model(i) = (model(i)._1 + 1, model(i)._2))
+            .foreach(i => model(i) =
+              (model(i)._1 + 1, model(i)._2, sn.snapshotId))
         case 2 => // CoW delete → removed
           val lo = rnd.nextInt(30).toLong
           t.deleteWhere(col("id") >= lo && col("id") < lo + 4)
@@ -570,21 +579,21 @@ class PropertySpec extends AnyFunSuite {
           val ids = (0 until 4).map(_ => rnd.nextInt(30).toLong).distinct
           t.deleteKeysMor(ids.toDF("id"))
           ids.foreach(model.remove)
-        case 4 => // upsert: matched keys PRESERVE, new keys MINT
+        case 4 => // upsert: matched keys PRESERVE identity, all bump seq
           val rows = (0 until 4).map(_ =>
               (rnd.nextInt(40).toLong, rnd.nextInt(999).toLong))
             .distinctBy(_._1)
-          t.upsert(rows.toDF("id", "v"), Seq("id"))
+          val sn = t.upsert(rows.toDF("id", "v"), Seq("id"))
           rows.foreach { case (i, v) =>
-            if (model.contains(i)) model(i) = (v, model(i)._2)
-            else { model(i) = (v, None); minted += i }
+            if (model.contains(i)) model(i) = (v, model(i)._2, sn.snapshotId)
+            else { model(i) = (v, None, sn.snapshotId); minted += i }
           }
         case 5 => // overwrite region → region identity dies, rows mint
           val lo = rnd.nextInt(30).toLong
           val rows = (0 until 3).map(k => (lo + k, rnd.nextInt(999).toLong))
-          t.overwriteWhere(col("id") >= lo && col("id") < lo + 3,
+          val sn = t.overwriteWhere(col("id") >= lo && col("id") < lo + 3,
             rows.toDF("id", "v"))
-          rows.foreach { case (i, v) => model(i) = (v, None) }
+          rows.foreach { case (i, v) => model(i) = (v, None, sn.snapshotId) }
           minted = rows.map(_._1).toSet
         case 6 => t.compact(targetFiles = 2) // preserved
         case 7 => t.compactSmall(smallBytes = 1L << 30): Unit // preserved

@@ -3014,6 +3014,56 @@ class WarehouseSpec extends AnyFunSuite {
     assert(c.count("t") == 0)
   }
 
+  test("_last_updated_sequence_number: appends stamp, changes bump, carriers preserve") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-seq-")
+    val t = GraftTable.create(spark, dir, "t",
+      (1L to 4L).map(i => (i, i * 10L)).toDF("id", "price")).get // s1
+    t.enableRowLineage()                                          // s2
+    t.append(Seq((5L, 50L)).toDF("id", "price"))                  // s3
+    def seqMap() = t.readLineage()
+      .select("id", "_last_updated_sequence_number")
+      .as[(Long, Long)].collect().toMap
+    def idMap() = t.readLineage().select("id", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    // virtual seq = the adding commit
+    assert(seqMap() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 3L))
+    val ids0 = idMap()
+    // an UPDATE bumps ONLY the hit row's seq; ids never move
+    t.updateWhere(col("id") === 2L, Map("price" -> (col("price") + 1))) // s4
+    assert(seqMap() == Map(1L -> 1L, 2L -> 4L, 3L -> 1L, 4L -> 1L, 5L -> 3L))
+    assert(idMap() == ids0, "update must not renumber")
+    // maintenance carries BOTH columns (materializing rewrite)
+    t.compact()                                                   // s5
+    assert(seqMap() == Map(1L -> 1L, 2L -> 4L, 3L -> 1L, 4L -> 1L, 5L -> 3L))
+    assert(idMap() == ids0)
+    // checkpoint + expiry carry the bookkeeping across the horizon
+    val ck = t.checkpoint()                                       // s6
+    t.expireSnapshots(ck.snapshotId)
+    assert(seqMap() == Map(1L -> 1L, 2L -> 4L, 3L -> 1L, 4L -> 1L, 5L -> 3L))
+    // a MERGE bumps matched rows and stamps minted inserts with its commit
+    t.merge(Seq((3L, 999L), (6L, 60L)).toDF("id", "price"), Seq("id"),
+      whenMatchedDelete = org.apache.spark.sql.functions.lit(false)) // s7
+    val s7 = t.currentSnapshotId.get
+    assert(seqMap() == Map(1L -> 1L, 2L -> 4L, 3L -> s7, 4L -> 1L,
+      5L -> 3L, 6L -> s7))
+    assert(idMap().filterKeys(_ <= 5L).toMap == ids0,
+      "merge must preserve matched/survivor identity")
+    // the identity feed reports the seq: pre-image carries the OLD seq,
+    // post-image the committing snapshot's
+    t.updateWhere(col("id") === 1L, Map("price" -> (col("price") + 5))) // s8
+    val s8 = t.currentSnapshotId.get
+    val fu = t.changeFeed(s7, s8, withRowIds = true)
+      .select("_change_type", "id", "_last_updated_sequence_number")
+      .as[(String, Long, Long)].collect().toSet
+    assert(fu == Set(("update_preimage", 1L, 1L),
+      ("update_postimage", 1L, s8)), s"feed seq wrong: $fu")
+    // clone carries the virtual seqs re-keyed to its file names
+    val c = t.cloneTo(Files.createTempDirectory("graft-seq-clone-"), "tc")
+    assert(c.readLineage().select("id", "_last_updated_sequence_number")
+      .as[(Long, Long)].collect().toMap == seqMap())
+  }
+
   test("updateWhere and deleteWhere refuse nondeterministic predicates") {
     val dir = Files.createTempDirectory("graft-det-")
     val t = GraftTable.create(spark, dir, "t",
