@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, T}
 import org.apache.spark.sql.functions._
 import graft.operators.{Chunking, Contamination, Dedup, Packing, Sampling, Scrub, Similarity, TextAnalysis => TA}
+import graft.warehouse.Connector
 
 /** LLM-training-data pipeline surface (SURVEY.md §2C): dedup, text
   * analysis, and vector similarity over the `documents` / `embeddings`
@@ -384,6 +385,53 @@ object Pipeline {
         Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5, nprobe = 8),
         Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5),
         floor = 0.85)
+    },
+
+    // ---- q168: PERSISTED IVF index (warehouse artifact) ----------------
+    // q55's session-cached quantizer dies with the JVM; here the index
+    // is a pair of warehouse tables (centroids snapshot-STAMPED against
+    // the corpus, assignments cell-clustered with stats) built once and
+    // served from disk. Witnesses: querying the persisted index runs
+    // ZERO training jobs (a JVM-wide training counter is flat across
+    // both queries); a 2-probe query reads a file-PRUNED slice of the
+    // assignment table (manifest skipping, not a corpus scan); a
+    // corpus commit makes the index refuse as STALE until rebuilt;
+    // recall holds the same 0.85 floor as q55 (same spherical k-means
+    // and probe math — the only change is where the quantizer lives).
+    Q("q168_ivf_persisted",
+      """SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_results,
+        |  TRUE AS recall_ok, TRUE AS persist_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin) { (s, d) =>
+      import graft.operators.IvfIndex
+      val conn = new Connector(s, Scratch.dir("run"))
+      val emb = T.embeddings(s, d)
+      conn.createTable("emb_ivf", emb)
+      val qs = emb.filter(col("vec_id") < 8)
+      IvfIndex.build(conn, "emb_ivf", "vec_id", "embedding", nlist = 16)
+      val t0 = IvfIndex.trainings.get()
+      // prune witness: a 2-probe query must read a strict file subset
+      IvfIndex.topK(conn, "emb_ivf", qs, "vec_id", "embedding", 5,
+        nprobe = 2).count()
+      val pruned = IvfIndex.lastProbeScan.exists { case (kept, vis) =>
+        kept > 0 && kept < vis }
+      // the GRADED query: recall against brute force, pinned (persist)
+      // BEFORE the staleness rig mutates the corpus
+      val graded = recallGraded(
+        IvfIndex.topK(conn, "emb_ivf", qs, "vec_id", "embedding", 5,
+          nprobe = 8),
+        Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5),
+        floor = 0.85).persist()
+      graded.count()
+      val zeroTrain = IvfIndex.trainings.get() == t0
+      // staleness: one corpus commit → refuse; rebuild → fresh again
+      conn.insert("emb_ivf", emb.limit(1))
+      val staleRefused =
+        try { IvfIndex.topK(conn, "emb_ivf", qs, "vec_id", "embedding", 5); false }
+        catch { case _: IllegalArgumentException => true }
+      IvfIndex.build(conn, "emb_ivf", "vec_id", "embedding", nlist = 16)
+      val freshAfter = IvfIndex.fresh(conn, "emb_ivf")
+      val w = pruned && zeroTrain && staleRefused && freshAfter
+      graded.withColumn("persist_ok", lit(w))
     },
 
     // ---- exact embedding-cosine near-dup pairs ----

@@ -93,6 +93,36 @@ class PipelineSpec extends AnyFunSuite {
       s"cached invocation should skip the k-means training jobs ($jobs2 vs $jobs1)")
   }
 
+  test("IvfIndex: persisted index serves a fresh connector with zero training, matches ivf math") {
+    import graft.operators.IvfIndex
+    import graft.warehouse.Connector
+    val whDir = java.nio.file.Files.createTempDirectory("graft-ivfidx-").toString
+    val emb = T.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 8)
+    val c1 = new Connector(spark, whDir)
+    c1.createTable("emb", emb)
+    IvfIndex.build(c1, "emb", "vec_id", "embedding", nlist = 8)
+    val r1 = IvfIndex.topK(c1, "emb", queries, "vec_id", "embedding", 5,
+        nprobe = 3).orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // a brand-NEW connector over the same warehouse (the cross-JVM
+    // shape): answers identically from the persisted artifacts, trains
+    // nothing
+    val t0 = IvfIndex.trainings.get()
+    val c2 = new Connector(spark, whDir)
+    val r2 = IvfIndex.topK(c2, "emb", queries, "vec_id", "embedding", 5,
+        nprobe = 3).orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(r1 === r2)
+    assert(IvfIndex.trainings.get() == t0, "persisted query must not train")
+    // staleness: a corpus commit flips fresh() and topK refuses
+    c2.insert("emb", emb.limit(1))
+    assert(!IvfIndex.fresh(c2, "emb"))
+    intercept[IllegalArgumentException] {
+      IvfIndex.topK(c2, "emb", queries, "vec_id", "embedding", 5)
+    }
+  }
+
   test("minhash signature cache persists one relation, reused across calls and variants") {
     // a corpus plan UNIQUE to this test: the cache is session-lifetime
     // and other suites share the session, so asserting persist counts
