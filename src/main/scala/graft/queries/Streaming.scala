@@ -778,6 +778,85 @@ object Streaming {
         .orderBy("o_orderkey")
     },
 
+    // ---- q169: sink UPDATE mode — keyed streaming upsert --------------
+    // Grades GraftTableSink's Update mode (what a Delta user writes as
+    // `outputMode("update")` before discovering foreachBatch):
+    // options mergeKeys/orderCol/deleteWhen route every micro-batch
+    // through the guarded keyed upsert. The rig streams a VERSIONED
+    // changelog whose third commit REDELIVERS AN OLDER VERSION (ver 2
+    // arriving after ver 3 — separate micro-batches under
+    // maxSnapshotsPerBatch=1): the reorder guard must drop it without
+    // committing anything, so the replica converges to the newest
+    // version despite out-of-order delivery; a ver-4 delete batch
+    // drops its keys through the deleteWhen arm. Witnesses: the sink
+    // log is exactly create + merge + merge (the stale batch committed
+    // NOTHING), an idle rerun commits nothing, and a crash-replayed
+    // stale batchId no-ops on the txn marker BEFORE any write —
+    // exactly-once, not at-least-once.
+    Q("q169_sink_update",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p FROM orders)
+        |SELECT k,
+        |  CASE WHEN k % 5 = 1 THEN round(p * 2, 2) ELSE p END AS price,
+        |  CAST(CASE WHEN k % 5 = 1 THEN 3 ELSE 1 END AS BIGINT) AS ver,
+        |  'U' AS op, TRUE AS upd_ok
+        |FROM base WHERE k % 7 <> 2 ORDER BY k""".stripMargin) { (s, d) =>
+      val wh = java.nio.file.Paths.get(Scratch.dir("q169_wh"))
+      val orders = T.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice"), 2).as("price"))
+      val v1 = orders.withColumn("ver", lit(1L)).withColumn("op", lit("U"))
+      val src = graft.warehouse.GraftTable.create(s, wh.resolve("src"),
+        "src", v1).get
+      src.append(orders.filter(col("k") % 5 === 1)          // ver 3: wins
+        .withColumn("price", round(col("price") * 2, 2))
+        .withColumn("ver", lit(3L)).withColumn("op", lit("U")))
+      src.append(orders.filter(col("k") % 5 === 1)          // STALE ver 2
+        .withColumn("price", round(col("price") * 100, 2))  // must lose
+        .withColumn("ver", lit(2L)).withColumn("op", lit("U")))
+      src.append(orders.filter(col("k") % 7 === 2)          // ver 4: delete
+        .withColumn("ver", lit(4L)).withColumn("op", lit("D")))
+      val ckpt = Scratch.dir("q169_ckpt")
+      val dstDir = wh.resolve("dst")
+      def runStream(): Unit = withShufflePartitions(s, 8) {
+        val sq = s.readStream
+          .format(classOf[graft.streaming.GraftTableSourceProvider].getName)
+          .option("path", wh.resolve("src").toString)
+          .option("maxSnapshotsPerBatch", "1")
+          .load()
+          .writeStream
+          .format(classOf[graft.streaming.GraftTableSinkProvider].getName)
+          .outputMode("update")
+          .option("path", dstDir.toString)
+          .option("mergeKeys", "k")
+          .option("orderCol", "ver")
+          .option("deleteWhen", "op = 'D'")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+      }
+      runStream()
+      val dst = graft.warehouse.GraftTable.load(s, dstDir, "dst").get
+      val head1 = dst.currentSnapshotId.get
+      val ops1 = dst.log.snapshots.map(_.operation)
+      runStream() // idle: zero commits
+      val idleOk = dst.currentSnapshotId.get == head1
+      // crash-replay a stale batch straight through the sink body — a
+      // replayed DELETE batch is the non-idempotent case the marker
+      // must no-op before any write
+      val appId = graft.streaming.EventStreams.txnAppId(ckpt)
+      new graft.streaming.GraftTableSink(dstDir, appId, complete = false,
+        mergeKeys = Seq("k"), orderCol = "ver", tiebreak = "ver",
+        deleteWhen = Some("op = 'D'"))
+        .addBatch(1L, v1.limit(7))
+      val replayOk = dst.currentSnapshotId.get == head1
+      val shapeOk = ops1 == Seq("create", "merge", "merge")
+      val witness = idleOk && replayOk && shapeOk && dst.validate().isEmpty
+      dst.read().select(col("k"), col("price"), col("ver"), col("op"))
+        .withColumn("upd_ok", lit(witness))
+        .orderBy("k")
+    },
+
     // ---- q154: stream-source admission control -----------------------
     // Grades the r14 source options together: `startingSnapshotId`
     // (Delta's startingVersion — the consumer declares it already

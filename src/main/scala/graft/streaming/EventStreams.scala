@@ -377,34 +377,8 @@ object EventStreams {
             connector.createTable(table,
               latest.filter(!coalesce(delArm, lit(false))), props)
           else {
-            // cross-batch reorder guard: micro-batch boundaries are
-            // arbitrary (file mtimes, trigger splits), so a LATER batch
-            // can carry an OLDER version — apply only rows at least as
-            // new as the stored one, or the replica regresses. The
-            // comparison is lexicographic over (orderCol, tiebreak) to
-            // match Dedup.latest's within-batch ordering: on an orderCol
-            // tie the tiebreak decides, with NULL ranking lowest (the
-            // same posture as latest's desc-nulls-last sort).
-            // __cur_present marks a JOIN HIT: "no stored row" must be
-            // detected by its own marker, not by __cur_ord's nullness —
-            // a stored row whose orderCol IS NULL would otherwise be
-            // conflated with absence and unconditionally overwritten.
-            val cur = connector.query(table).select(
-              keyCols.map(c => col(c).as(s"__c_$c")) :+
-                col(orderCol).as("__cur_ord") :+
-                col(tiebreak).as("__cur_tb") :+
-                lit(true).as("__cur_present"): _*)
-            val cond = keyCols.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _)
-            val fresh = latest.join(cur, cond, "left")
-              .filter(col("__cur_present").isNull ||
-                // NULL ranks lowest on both components (the desc-nulls-
-                // last posture of Dedup.latest): a non-null beats a
-                // null, <=> ties both-null with both-equal
-                (col(orderCol).isNotNull && col("__cur_ord").isNull) ||
-                col(orderCol) > col("__cur_ord") ||
-                (col(orderCol) <=> col("__cur_ord") &&
-                  (col("__cur_tb").isNull || col(tiebreak) >= col("__cur_tb"))))
-              .select(latest.columns.map(col): _*)
+            val fresh = reorderGuarded(latest, connector.query(table),
+              keyCols, orderCol, tiebreak)
               // evaluated twice below (emptiness gate + the upsert's own
               // probe/rewrite reads) — without the persist each pass
               // re-runs the dedup window AND the guard join, which is
@@ -419,5 +393,37 @@ object EventStreams {
           }
     }
     ()
+  }
+
+  /** Cross-batch REORDER GUARD (shared by [[cdcBatchExactlyOnce]] and
+    * the table sink's Update mode): micro-batch boundaries are
+    * arbitrary (file mtimes, trigger splits), so a LATER batch can
+    * carry an OLDER version — keep only `latest` rows at least as new
+    * as `current`'s stored row, or the replica regresses. The
+    * comparison is lexicographic over (orderCol, tiebreak) to match
+    * [[graft.operators.Dedup.latest]]'s within-batch ordering: on an
+    * orderCol tie the tiebreak decides, with NULL ranking lowest (the
+    * same posture as latest's desc-nulls-last sort). `__cur_present`
+    * marks a JOIN HIT: "no stored row" must be detected by its own
+    * marker, not by `__cur_ord`'s nullness — a stored row whose
+    * orderCol IS NULL would otherwise be conflated with absence and
+    * unconditionally overwritten. */
+  private[graft] def reorderGuarded(latest: DataFrame, current: DataFrame,
+      keyCols: Seq[String], orderCol: String, tiebreak: String): DataFrame = {
+    val cur = current.select(
+      keyCols.map(c => col(c).as(s"__c_$c")) :+
+        col(orderCol).as("__cur_ord") :+
+        col(tiebreak).as("__cur_tb") :+
+        lit(true).as("__cur_present"): _*)
+    val cond = keyCols.map(c => col(c) <=> col(s"__c_$c")).reduce(_ && _)
+    latest.join(cur, cond, "left")
+      .filter(col("__cur_present").isNull ||
+        // NULL ranks lowest on both components: a non-null beats a
+        // null, <=> ties both-null with both-equal
+        (col(orderCol).isNotNull && col("__cur_ord").isNull) ||
+        col(orderCol) > col("__cur_ord") ||
+        (col(orderCol) <=> col("__cur_ord") &&
+          (col("__cur_tb").isNull || col(tiebreak) >= col("__cur_tb"))))
+      .select(latest.columns.map(col): _*)
   }
 }

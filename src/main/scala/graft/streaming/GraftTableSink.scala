@@ -36,9 +36,15 @@ import graft.warehouse.GraftTable
   *  - `Append` mode appends one snapshot per non-empty micro-batch, so
   *    downstream `changesSince` (and the table SOURCE) consume each
   *    batch incrementally. `Complete` mode maps to [[GraftTable.replace]]
-  *    — the whole-result rewrite IS Complete's contract. `Update` is
-  *    refused (no keyed contract in a path-only sink — use
-  *    [[EventStreams.cdcApply]] for keyed upsert application).
+  *    — the whole-result rewrite IS Complete's contract. `Update` mode
+  *    (r15) needs the keyed contract spelled out: options
+  *    `mergeKeys` = "k1,k2" and `orderCol` (+ optional `tiebreak`,
+  *    `deleteWhen` SQL predicate) route every micro-batch through the
+  *    same guarded keyed upsert as [[EventStreams.cdcApply]] — within-
+  *    batch latest per key, cross-batch reorder guard (an out-of-order
+  *    redelivered older version never regresses the stored row), a
+  *    delete arm, all under the same txn markers. Update without the
+  *    options refuses rather than guessing keys.
   *  - The table is CREATED on the first non-empty batch when absent;
   *    later batches append under the table's declared schema rules
   *    (additive evolution applies between restarts, same as any
@@ -72,9 +78,27 @@ final class GraftTableSinkProvider extends StreamSinkProvider {
     require(partitionColumns.isEmpty,
       "graft table sink ignores writeStream.partitionBy — declare the " +
         "layout on the table itself (setPartitionSpec/setSortOrder)")
-    require(outputMode != OutputMode.Update(),
-      "graft table sink supports Append and Complete modes; Update has " +
-        "no keyed contract here — use EventStreams.cdcApply")
+    // Update mode IS supported once the caller supplies the keyed
+    // contract it needs: option `mergeKeys` (comma-joined key columns)
+    // + `orderCol` (the version column the reorder guard compares) —
+    // each micro-batch then routes through the same guarded keyed
+    // upsert as EventStreams.cdcApply, txn-marked. `tiebreak` breaks
+    // orderCol ties (defaults to orderCol: equal versions re-apply,
+    // idempotent); `deleteWhen` is a SQL predicate over the change row
+    // whose matching latest versions DELETE instead of upsert.
+    val mergeKeys = opt("mergeKeys")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val orderCol = opt("orderCol")
+    if (outputMode == OutputMode.Update()) {
+      require(mergeKeys.nonEmpty && orderCol.nonEmpty,
+        "graft table sink in Update mode needs options 'mergeKeys' " +
+          "(comma-joined key columns) and 'orderCol' (the version " +
+          "column ordering redeliveries) — without a keyed contract " +
+          "use Append, or EventStreams.cdcApply")
+    } else require(mergeKeys.isEmpty,
+      "option 'mergeKeys' implies keyed upsert application — use " +
+        "outputMode(Update) with it")
     val appId = opt("txnAppId")
       .orElse(opt("checkpointLocation").map(EventStreams.txnAppId))
       .getOrElse(throw new IllegalArgumentException(
@@ -84,15 +108,24 @@ final class GraftTableSinkProvider extends StreamSinkProvider {
     require(branch.isEmpty || outputMode != OutputMode.Complete(),
       "graft table sink: Complete mode cannot stage onto a branch " +
         "(branches stage appends; publish is the whole-view commit)")
+    require(branch.isEmpty || mergeKeys.isEmpty,
+      "graft table sink: Update mode cannot stage onto a branch " +
+        "(branches stage appends only; upserts rewrite main)")
     new GraftTableSink(Paths.get(path), appId,
-      complete = outputMode == OutputMode.Complete(), branch = branch)
+      complete = outputMode == OutputMode.Complete(), branch = branch,
+      mergeKeys = mergeKeys, orderCol = orderCol.getOrElse(""),
+      tiebreak = opt("tiebreak").orElse(orderCol).getOrElse(""),
+      deleteWhen = opt("deleteWhen"))
   }
 }
 
 final class GraftTableSink(dir: java.nio.file.Path, appId: String,
-    complete: Boolean, branch: Option[String] = None) extends Sink {
+    complete: Boolean, branch: Option[String] = None,
+    mergeKeys: Seq[String] = Nil, orderCol: String = "",
+    tiebreak: String = "", deleteWhen: Option[String] = None) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
     val spark = data.sparkSession
     val tableOpt = GraftTable.load(spark, dir, dir.getFileName.toString)
     // crash-replay probe BEFORE any work: a batchId at-or-below the
@@ -112,6 +145,34 @@ final class GraftTableSink(dir: java.nio.file.Path, appId: String,
       data.queryExecution.toRdd, data.schema)
     val props = Map(GraftTable.TxnAppIdKey -> appId,
       GraftTable.TxnBatchKey -> batchId.toString)
+    if (mergeKeys.nonEmpty) {
+      // UPDATE mode: the guarded keyed upsert (cdcApply's core) —
+      // within-batch latest per key, cross-batch reorder guard against
+      // the stored version, delete arm on the latest change rows. An
+      // all-stale batch commits nothing (a replay of it is a no-op by
+      // emptiness, not by marker).
+      if (batch.isEmpty) return
+      val latest = graft.operators.Dedup.latest(
+        batch, mergeKeys, orderCol, tiebreak)
+      val delArm = deleteWhen.map(expr).getOrElse(lit(false))
+      tableOpt match {
+        case None =>
+          val keep = latest.filter(!coalesce(delArm, lit(false)))
+          if (!keep.isEmpty) {
+            GraftTable.create(spark, dir, dir.getFileName.toString, keep, props)
+            ()
+          }
+        case Some(t) =>
+          val fresh = EventStreams.reorderGuarded(latest,
+            t.read(), mergeKeys, orderCol, tiebreak)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (!fresh.isEmpty) { t.merge(fresh, mergeKeys, delArm,
+              properties = props); () }
+          } finally { fresh.unpersist(); () }
+      }
+      return
+    }
     (tableOpt, branch) match {
       case (None, Some(b)) => throw new IllegalStateException(
         s"graft table sink: cannot stage onto branch '$b' of a table " +

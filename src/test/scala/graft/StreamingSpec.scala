@@ -620,6 +620,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(ta.log.head.get.operation == "replace")
   }
 
+  test("table sink Update mode: refusal matrix and direct guarded upsert") {
+    import spark.implicits._
+    val sqlc = spark.sqlContext
+    val provider = new graft.streaming.GraftTableSinkProvider
+    val base = Map("path" -> "/tmp/x", "checkpointLocation" -> "/tmp/c")
+    // Update without the keyed contract refuses
+    intercept[IllegalArgumentException] {
+      provider.createSink(sqlc, base, Nil,
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    }
+    // mergeKeys outside Update refuses (silent reinterpretation is worse)
+    intercept[IllegalArgumentException] {
+      provider.createSink(sqlc, base + ("mergeKeys" -> "k"), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    // Update cannot stage onto a branch
+    intercept[IllegalArgumentException] {
+      provider.createSink(sqlc,
+        base ++ Map("mergeKeys" -> "k", "orderCol" -> "v", "branch" -> "b"),
+        Nil, org.apache.spark.sql.streaming.OutputMode.Update())
+    }
+    // direct sink body: out-of-order redelivery converges, delete arm fires
+    val dir = Files.createTempDirectory("graft-sinkupd").resolve("t")
+    val sink = new graft.streaming.GraftTableSink(dir, "app", complete = false,
+      mergeKeys = Seq("k"), orderCol = "ver", tiebreak = "ver",
+      deleteWhen = Some("op = 'D'"))
+    sink.addBatch(0L, Seq((1L, 10L, 1L, "U"), (2L, 20L, 1L, "U"))
+      .toDF("k", "v", "ver", "op"))
+    sink.addBatch(1L, Seq((1L, 30L, 3L, "U")).toDF("k", "v", "ver", "op"))
+    // stale version arrives later: must not regress, must commit nothing
+    val t = graft.warehouse.GraftTable.load(spark, dir, "t").get
+    val head = t.currentSnapshotId.get
+    sink.addBatch(2L, Seq((1L, 99L, 2L, "U")).toDF("k", "v", "ver", "op"))
+    assert(t.currentSnapshotId.get == head, "stale batch must commit nothing")
+    sink.addBatch(3L, Seq((2L, 0L, 4L, "D")).toDF("k", "v", "ver", "op"))
+    assert(t.read().select("k", "v").as[(Long, Long)].collect().toSet ==
+      Set((1L, 30L)))
+    // replayed stale batchId no-ops on the marker
+    val head2 = t.currentSnapshotId.get
+    sink.addBatch(1L, Seq((2L, 77L, 9L, "U")).toDF("k", "v", "ver", "op"))
+    assert(t.currentSnapshotId.get == head2)
+  }
+
   test("table streaming source: maxBytesPerBatch budgets admission by recorded sizes") {
     import spark.implicits._
     val whDir = Files.createTempDirectory("graft-srcbytes")
