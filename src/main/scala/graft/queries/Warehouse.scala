@@ -2382,6 +2382,12 @@ object Warehouse {
         |  FROM (SELECT DISTINCT maxk FROM base)
         |  UNION ALL
         |  SELECT maxk + 2, CAST(2.22 AS DOUBLE), 'new'
+        |  FROM (SELECT DISTINCT maxk FROM base)
+        |  UNION ALL
+        |  SELECT maxk + 3, CAST(3.33 AS DOUBLE), 'ins'
+        |  FROM (SELECT DISTINCT maxk FROM base)
+        |  UNION ALL
+        |  SELECT maxk + 4, CAST(4.44 AS DOUBLE), 'ins'
         |  FROM (SELECT DISTINCT maxk FROM base))
         |SELECT k AS o_orderkey, p AS price, status, TRUE AS dml_ok
         |FROM fin ORDER BY o_orderkey""".stripMargin) { (s, d) =>
@@ -2420,11 +2426,14 @@ object Warehouse {
         "WHEN MATCHED AND s.price < 0 THEN DELETE " +
         "WHEN MATCHED THEN UPDATE SET * " +
         "WHEN NOT MATCHED THEN INSERT *")
+      val (s4, op4) = run(s"INSERT INTO orders_sdml VALUES " +
+        s"(${maxk + 3}, 3.33, 'ins'), (${maxk + 4}, 4.44, 'ins')")
       // non-DML text still reaches Catalyst through the same surface
       val nSel = conn.sql("SELECT count(*) AS n FROM orders_sdml")
         .collect().head.getLong(0)
       val witness = op1 == "update" && op2 == "delete" && op3 == "merge" &&
-        s1 < s2 && s2 < s3 && t.currentSnapshotId.contains(s3) &&
+        op4 == "append" && s1 < s2 && s2 < s3 && s3 < s4 &&
+        t.currentSnapshotId.contains(s4) &&
         nSel == t.read().count() && t.validate().isEmpty
       t.read().select(col("o_orderkey"), col("price"), col("status"))
         .withColumn("dml_ok", lit(witness))

@@ -153,7 +153,9 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * reads, no plan rebuilds for unchanged tables. The reference instead
     * re-reflects every table with DDL before every query
     * (`icerunner.py:82-103`). */
-  /** DML verbs are SQL-addressable too: `UPDATE t SET … [WHERE …]`,
+  /** DML verbs are SQL-addressable too: `INSERT INTO t [cols] VALUES
+    * …/SELECT …` (OVERWRITE ⇒ [[GraftTable.replace]]),
+    * `UPDATE t SET … [WHERE …]`,
     * `DELETE FROM t [WHERE …]` and `MERGE INTO t USING s ON … WHEN …`
     * over a warehouse table route to the transactional
     * [[GraftTable.updateWhere]]/[[GraftTable.deleteWhere]]/
@@ -203,6 +205,43 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       Seq(snap.snapshotId).toDF("snapshot_id")
     }
     plan match {
+      case i: InsertIntoStatement =>
+        nameOf(i.table).filter(tableExists).map { name =>
+          require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
+            s"INSERT INTO $name: static PARTITION clauses are not " +
+              "supported — the table's own hidden partitioning lays out " +
+              "every write")
+          val t = loadTable(name)
+          val src = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, i.query)
+          val sch = t.schema
+          // VALUES/SELECT bind positionally unless BY NAME was written;
+          // an explicit column list names the positions (omitted
+          // defaulted columns fill through append's write-default);
+          // rename + cast to the declared types so literal frames
+          // (col1, col2, …) land under the table's column names
+          val bound =
+            if (i.byName) src
+            else if (i.userSpecifiedCols.nonEmpty) {
+              require(src.columns.length == i.userSpecifiedCols.length,
+                s"INSERT INTO $name: ${src.columns.length} columns " +
+                  s"provided for ${i.userSpecifiedCols.length} named")
+              src.toDF(i.userSpecifiedCols: _*)
+            } else {
+              require(src.columns.length == sch.fields.length,
+                s"INSERT INTO $name: ${src.columns.length} columns " +
+                  s"provided, table has ${sch.fields.length}")
+              src.toDF(sch.fieldNames.toSeq: _*)
+            }
+          val cast = bound.select(bound.columns.toSeq.map { c =>
+            sch.fields.find(_.name == c) match {
+              case Some(f) => org.apache.spark.sql.functions.col(c)
+                .cast(f.dataType).as(f.name)
+              case None => org.apache.spark.sql.functions.col(c)
+            }
+          }: _*)
+          done(name,
+            if (i.overwrite) t.replace(cast) else t.append(cast))
+        }
       case u: UpdateTable =>
         nameOf(u.table).filter(tableExists).map { name =>
           val set = u.assignments.map { a =>

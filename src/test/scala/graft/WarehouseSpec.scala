@@ -3009,6 +3009,16 @@ class WarehouseSpec extends AnyFunSuite {
     }
     // DML on a non-warehouse relation falls through to Spark's own error
     intercept[Exception] { c.sql("DELETE FROM sdml_test_src WHERE id = 1") }
+    // INSERT INTO routes to append (positional VALUES, cast to schema)
+    c.sql("INSERT INTO t VALUES (5, 55), (6, 66)")
+    assert(c.sql("SELECT * FROM t").as[(Long, Long)].collect().toSet ==
+      Set((2L, 99L), (4L, 44L), (5L, 55L), (6L, 66L)))
+    assert(c.loadTable("t").log.snapshots.last.operation == "append")
+    // INSERT OVERWRITE replaces the visible set in one commit
+    c.sql("INSERT OVERWRITE t VALUES (9, 90)")
+    assert(c.sql("SELECT * FROM t").as[(Long, Long)].collect().toSet ==
+      Set((9L, 90L)))
+    assert(c.loadTable("t").log.snapshots.last.operation == "replace")
     // full-table DELETE (no WHERE) routes too
     c.sql("DELETE FROM t")
     assert(c.count("t") == 0)
