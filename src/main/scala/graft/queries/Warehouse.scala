@@ -2438,6 +2438,61 @@ object Warehouse {
       t.read().select(col("o_orderkey"), col("price"), col("status"))
         .withColumn("dml_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q170: SQL time travel (VERSION AS OF / TIMESTAMP AS OF) -----
+    // Time travel as query text, composing inside any statement:
+    // Connector.sql rewrites the parsed RelationTimeTravel node over a
+    // warehouse table into the pinned read (expired cuts refuse through
+    // the table's own guards). The rig commits create → append → SQL
+    // UPDATE, then ONE statement unions four cuts: VERSION AS OF the
+    // first two commits, TIMESTAMP AS OF an instant pinned at the
+    // append (timestamp_millis — timezone-free), and the head view —
+    // the oracle reconstructs each cut declaratively. Witness: an
+    // unknown version refuses.
+    Q("q170_sql_time_travel",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p,
+        |    (SELECT max(o_orderkey) FROM orders) AS maxk
+        |  FROM orders)
+        |SELECT cut, k AS o_orderkey, price, TRUE AS tt_ok FROM (
+        |  SELECT 1 AS cut, k, p AS price FROM base WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT 2, k, p FROM base
+        |  UNION ALL
+        |  SELECT 3, k, p FROM base
+        |  UNION ALL
+        |  SELECT 4, k,
+        |    CASE WHEN k <= maxk // 4 THEN round(p + 1, 2) ELSE p END
+        |  FROM base)
+        |ORDER BY cut, o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice"), 2).as("price"))
+      val maxk = base.agg(max("k")).collect()
+        .head.getAs[Number](0).longValue
+      conn.createTable("orders_tt", base.filter(col("k") % 2 === 0)) // s1
+      val t = conn.loadTable("orders_tt")
+      Thread.sleep(10)
+      t.append(base.filter(col("k") % 2 === 1))                      // s2
+      val ts2 = t.log.snapshots.last.timestampMs
+      Thread.sleep(10)
+      conn.sql("UPDATE orders_tt SET price = round(price + 1, 2) " +
+        s"WHERE k <= ${maxk / 4}")                                   // s3
+      val out = conn.sql(
+        """SELECT 1 AS cut, k, price FROM orders_tt VERSION AS OF 1
+          |UNION ALL SELECT 2, k, price FROM orders_tt VERSION AS OF 2
+          |UNION ALL SELECT 3, k, price FROM orders_tt TIMESTAMP AS OF
+          |  timestamp_millis(""".stripMargin + ts2 +
+        """)
+          |UNION ALL SELECT 4, k, price FROM orders_tt""".stripMargin)
+      val refused =
+        try { conn.sql("SELECT * FROM orders_tt VERSION AS OF 99")
+          .limit(1).count(); false }
+        catch { case _: Exception => true }
+      out.select(col("cut"), col("k").as("o_orderkey"), col("price"))
+        .withColumn("tt_ok", lit(refused))
+        .orderBy("cut", "o_orderkey")
     })
 
   def queries: Seq[Q] = ql

@@ -167,12 +167,74 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * statement naming a non-warehouse relation (and every non-DML
     * statement) falls through to Catalyst untouched. DML returns a
     * one-row `[snapshot_id]` frame — the commit it produced. */
+  /** SQL TIME TRAVEL composes in any query: `FROM t VERSION AS OF 5` /
+    * `FROM t TIMESTAMP AS OF <expr>` over a warehouse table rewrites
+    * the parsed [[org.apache.spark.sql.catalyst.analysis.RelationTimeTravel]]
+    * node into the pinned [[GraftTable.read]]/[[GraftTable.readAsOfTime]]
+    * plan — expired cuts refuse through the table's own guards. */
   def sql(cmd: String): DataFrame = {
     tables.foreach { name =>
       val head = new SnapshotLog(tableDir(name)).headIdByName.getOrElse(0L)
       if (!reflectedAt.get(name).contains(head)) reflectView(name)
     }
-    routeDml(cmd).getOrElse(spark.sql(cmd))
+    routeDml(cmd)
+      .orElse(routeTimeTravel(cmd))
+      .getOrElse(spark.sql(cmd))
+  }
+
+  /** Single-part relation name of a plan node, through aliases. */
+  private def relNameOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[String] = p match {
+    case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+      if r.multipartIdentifier.length == 1 => Some(r.multipartIdentifier.head)
+    case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      relNameOf(a.child)
+    case _ => None
+  }
+
+  /** Rewrite warehouse-table time-travel relations into pinned reads;
+    * None ⇒ the statement has none (or doesn't parse) — run through
+    * `spark.sql` untouched. */
+  private def routeTimeTravel(cmd: String): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+    val plan =
+      try org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, cmd)
+      catch { case _: Exception => return None }
+    var hit = false
+    val rewritten = plan.transformUp {
+      case tt: RelationTimeTravel =>
+        relNameOf(tt.relation).filter(tableExists) match {
+          case None => tt
+          case Some(name) =>
+            hit = true
+            val t = loadTable(name)
+            val pinned = (tt.version, tt.timestamp) match {
+              case (Some(v), _) =>
+                val id = v.toLong
+                // read(asOf) resolves "files at-or-before the cut", so
+                // a nonexistent future version would silently read the
+                // head — require the snapshot (retained) instead
+                require(t.log.snapshots.exists(_.snapshotId == id),
+                  s"VERSION AS OF $id on $name: no such snapshot " +
+                    s"(head ${t.currentSnapshotId.getOrElse(0L)})")
+                t.read(Some(id))
+              case (_, Some(ts)) =>
+                // evaluate the (foldable) timestamp expression once on
+                // the driver, session-timezone semantics included
+                val inst = spark.range(1)
+                  .select(org.apache.spark.sql.GraftColumnBridge
+                    .column(ts).cast("timestamp"))
+                  .collect().head.getTimestamp(0)
+                require(inst != null,
+                  s"TIMESTAMP AS OF on $name evaluated to NULL")
+                t.readAsOfTime(inst.getTime)
+              case _ => t.read()
+            }
+            pinned.queryExecution.analyzed
+        }
+    }
+    if (!hit) None
+    else Some(org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rewritten))
   }
 
   /** Pattern-match a parsed UPDATE/DELETE/MERGE on a warehouse table;

@@ -3074,6 +3074,34 @@ class WarehouseSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap == seqMap())
   }
 
+  test("Connector.sql time travel: VERSION AS OF / TIMESTAMP AS OF pin warehouse reads") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, 10L)).toDF("id", "v"))  // s1
+    Thread.sleep(10)
+    c.insert("t", Seq((2L, 20L)).toDF("id", "v"))       // s2
+    val ts2 = c.loadTable("t").log.snapshots.last.timestampMs
+    Thread.sleep(10)
+    c.sql("UPDATE t SET v = 99 WHERE id = 1")           // s3
+    assert(c.sql("SELECT * FROM t VERSION AS OF 1")
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L)))
+    assert(c.sql("SELECT * FROM t VERSION AS OF 2")
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L), (2L, 20L)))
+    assert(c.sql(s"SELECT * FROM t TIMESTAMP AS OF timestamp_millis($ts2)")
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L), (2L, 20L)))
+    // head reads are unaffected and time travel composes inside a
+    // bigger statement next to the live view
+    assert(c.sql("SELECT * FROM t").as[(Long, Long)].collect().toSet ==
+      Set((1L, 99L), (2L, 20L)))
+    val joined = c.sql("SELECT count(*) AS n FROM " +
+      "(SELECT * FROM t VERSION AS OF 1) a JOIN t b ON a.id = b.id")
+      .collect().head.getLong(0)
+    assert(joined == 1L)
+    // an unknown cut refuses through the table's own guard
+    intercept[Exception] {
+      c.sql("SELECT * FROM t VERSION AS OF 99").collect()
+    }
+  }
+
   test("updateWhere and deleteWhere refuse nondeterministic predicates") {
     val dir = Files.createTempDirectory("graft-det-")
     val t = GraftTable.create(spark, dir, "t",
