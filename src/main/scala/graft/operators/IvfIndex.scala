@@ -143,6 +143,58 @@ object IvfIndex {
     head
   }
 
+  /** Catch a STALE index up with its corpus WITHOUT retraining when
+    * the drift is append-only: every commit in (stamp, head] adding
+    * files and removing/tombstoning nothing means the indexed rows are
+    * all still valid — assign ONLY the delta rows against the
+    * persisted centroids (zero training, one delta scan) and append
+    * them cell-clustered, then re-stamp. Any rewrite/delete in the
+    * window (or a parameter change) degrades to a full [[build]] —
+    * assigned rows may have died, and a bucketed index cannot know
+    * which without the rewrite's own bookkeeping. Returns the
+    * MaterializedAgg-style mode: `fresh` | `incremental` | `rebuild`. */
+  def refresh(conn: Connector, baseName: String, idCol: String,
+      vecCol: String, nlist: Int = 16, maxTrainRows: Int = 100000): String = {
+    val st = stamp(conn, baseName)
+    val base = conn.loadTable(baseName)
+    val head = base.currentSnapshotId.getOrElse(
+      sys.error(s"ivf refresh: corpus $baseName has no snapshots"))
+    st match {
+      case Some((s, nl, vc)) if s == head && nl == nlist && vc == vecCol =>
+        "fresh"
+      case Some((s, nl, vc)) if nl == nlist && vc == vecCol &&
+          base.log.snapshots.filter(x =>
+            x.snapshotId > s && x.snapshotId <= head)
+            .forall(x => (x.operation == "append" ||
+              x.operation == "publish" || x.operation == "create") &&
+              x.removedFiles.isEmpty && x.deleteFiles.isEmpty) =>
+        val spark = conn.spark
+        val cents = conn.loadTable(centroidsTable(baseName)).read()
+          .orderBy("cell").collect()
+          .map(r => r.getSeq[Double](1).toArray)
+        val bc = spark.sparkContext.broadcast(cents)
+        val cellU = udf { v: Seq[Double] => nearestCells(bc.value, v, 1)(0) }
+        val delta = base.changesSince(s, head)
+          .select(col(idCol).as("id"),
+            col(vecCol).cast("array<double>").as("v"))
+          .filter(col("v").isNotNull)
+          .withColumn("n", sqrt(dotU(col("v"), col("v"))))
+          .withColumn("cell", cellU(col("v")))
+        conn.loadTable(assignTable(baseName)).append(delta,
+          clusterBy = Seq("cell"), statsCols = Seq("cell"),
+          clusterParts = math.max(2, nlist / 2))
+        // re-stamp: rewrite the (nlist-row) centroid table with the new
+        // corpus head — O(nlist), no training
+        val ct = conn.loadTable(centroidsTable(baseName))
+        ct.replace(ct.read(), properties = Map(StampKey -> head.toString,
+          NlistKey -> nlist.toString, VecColKey -> vecCol))
+        "incremental"
+      case _ =>
+        build(conn, baseName, idCol, vecCol, nlist, maxTrainRows)
+        "rebuild"
+    }
+  }
+
   /** The stamp of the persisted index, if any: (corpus snapshot it was
     * built from, nlist, vec column). */
   def stamp(conn: Connector, baseName: String): Option[(Long, Int, String)] = {

@@ -423,14 +423,21 @@ object Pipeline {
         floor = 0.85).persist()
       graded.count()
       val zeroTrain = IvfIndex.trainings.get() == t0
-      // staleness: one corpus commit → refuse; rebuild → fresh again
+      // staleness: one corpus commit → topK refuses as stale
       conn.insert("emb_ivf", emb.limit(1))
       val staleRefused =
         try { IvfIndex.topK(conn, "emb_ivf", qs, "vec_id", "embedding", 5); false }
         catch { case _: IllegalArgumentException => true }
-      IvfIndex.build(conn, "emb_ivf", "vec_id", "embedding", nlist = 16)
-      val freshAfter = IvfIndex.fresh(conn, "emb_ivf")
-      val w = pruned && zeroTrain && staleRefused && freshAfter
+      // append-only drift: refresh assigns ONLY the delta (zero training)
+      val t1 = IvfIndex.trainings.get()
+      val incr = IvfIndex.refresh(conn, "emb_ivf", "vec_id", "embedding",
+          nlist = 16) == "incremental" &&
+        IvfIndex.trainings.get() == t1 && IvfIndex.fresh(conn, "emb_ivf")
+      // a delete in the window degrades LOUDLY to a full rebuild
+      conn.delete("emb_ivf", col("vec_id") === 0L)
+      val rebuilt = IvfIndex.refresh(conn, "emb_ivf", "vec_id", "embedding",
+          nlist = 16) == "rebuild" && IvfIndex.fresh(conn, "emb_ivf")
+      val w = pruned && zeroTrain && staleRefused && incr && rebuilt
       graded.withColumn("persist_ok", lit(w))
     },
 

@@ -121,6 +121,21 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       IvfIndex.topK(c2, "emb", queries, "vec_id", "embedding", 5)
     }
+    // append-only refresh: a NEW vector equal to query 0's embedding
+    // must be served as its top-1 neighbor straight from the delta
+    // assignment — no retraining happened to find it
+    val twin = emb.filter(col("vec_id") === 0L)
+      .withColumn("vec_id", org.apache.spark.sql.functions.lit(99999L))
+    c2.insert("emb", twin)
+    val t1 = IvfIndex.trainings.get()
+    assert(IvfIndex.refresh(c2, "emb", "vec_id", "embedding", nlist = 8)
+      == "incremental")
+    assert(IvfIndex.trainings.get() == t1)
+    val top1 = IvfIndex.topK(c2, "emb",
+        emb.filter(col("vec_id") === 0L), "vec_id", "embedding", 1,
+        nprobe = 3)
+      .select("neighbor_id").collect().head.getLong(0)
+    assert(top1 == 99999L, s"delta twin must be query 0's top-1, got $top1")
   }
 
   test("minhash signature cache persists one relation, reused across calls and variants") {
