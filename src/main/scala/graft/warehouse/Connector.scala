@@ -153,7 +153,9 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * reads, no plan rebuilds for unchanged tables. The reference instead
     * re-reflects every table with DDL before every query
     * (`icerunner.py:82-103`). */
-  /** DML verbs are SQL-addressable too: `INSERT INTO t [cols] VALUES
+  /** DML and DDL verbs are SQL-addressable too: `CREATE [OR REPLACE]
+    * TABLE t AS SELECT …`, `DROP TABLE [IF EXISTS] t`,
+    * `INSERT INTO t [cols] VALUES
     * …/SELECT …` (OVERWRITE ⇒ [[GraftTable.replace]]),
     * `UPDATE t SET … [WHERE …]`,
     * `DELETE FROM t [WHERE …]` and `MERGE INTO t USING s ON … WHEN …`
@@ -266,7 +268,47 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       import spark.implicits._
       Seq(snap.snapshotId).toDF("snapshot_id")
     }
+    def identOf(p: LogicalPlan): Option[String] = p match {
+      case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+        if id.nameParts.length == 1 => Some(id.nameParts.head)
+      case _ => None
+    }
     plan match {
+      // DDL: single-part CREATE TABLE … AS SELECT lands as a warehouse
+      // table (this surface IS the warehouse; Spark's own catalogs stay
+      // reachable via qualified names, which fall through)
+      case cts: CreateTableAsSelect =>
+        identOf(cts.name).map { name =>
+          require(cts.partitioning.isEmpty,
+            s"CREATE TABLE $name: PARTITIONED BY is not supported in " +
+              "SQL here — declare hidden partitioning on the table " +
+              "(setPartitionSpec) where transforms are first-class")
+          val created = createTable(name,
+            org.apache.spark.sql.GraftSqlBridge.ofRows(spark, cts.query))
+          require(created || cts.ignoreIfExists,
+            s"CREATE TABLE $name: table already exists " +
+              "(use IF NOT EXISTS or CREATE OR REPLACE)")
+          import spark.implicits._
+          Seq(getCurrentSnapshotId(name).getOrElse(0L)).toDF("snapshot_id")
+        }
+      case rts: ReplaceTableAsSelect =>
+        identOf(rts.name).map { name =>
+          require(rts.partitioning.isEmpty,
+            s"REPLACE TABLE $name: PARTITIONED BY is not supported in " +
+              "SQL here — declare hidden partitioning on the table")
+          val df = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rts.query)
+          if (tableExists(name)) replaceTable(name, df)
+          else createTable(name, df)
+          import spark.implicits._
+          Seq(getCurrentSnapshotId(name).getOrElse(0L)).toDF("snapshot_id")
+        }
+      case dt: DropTable =>
+        identOf(dt.child).filter(n => tableExists(n) || dt.ifExists)
+          .map { name =>
+            val dropped = dropTable(name)
+            import spark.implicits._
+            Seq(dropped).toDF("dropped")
+          }
       case i: InsertIntoStatement =>
         nameOf(i.table).filter(tableExists).map { name =>
           require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,

@@ -3022,6 +3022,19 @@ class WarehouseSpec extends AnyFunSuite {
     // full-table DELETE (no WHERE) routes too
     c.sql("DELETE FROM t")
     assert(c.count("t") == 0)
+    // DDL: CTAS lands a warehouse table, OR REPLACE swaps it, DROP ends it
+    c.sql("CREATE TABLE t2 AS SELECT id * 10 AS id2 FROM sdml_test_src")
+    assert(c.tables.contains("t2") && c.count("t2") == 3)
+    intercept[IllegalArgumentException] {
+      c.sql("CREATE TABLE t2 AS SELECT 1 AS one")
+    }
+    c.sql("CREATE OR REPLACE TABLE t2 AS SELECT 1 AS one")
+    assert(c.sql("SELECT * FROM t2").as[Int].collect().toSeq == Seq(1))
+    assert(c.loadTable("t2").log.snapshots.last.operation == "replace")
+    assert(c.sql("DROP TABLE t2").as[Boolean].collect().head)
+    assert(!c.tableExists("t2"))
+    c.sql("DROP TABLE IF EXISTS t2") // no-op, no error
+    intercept[Exception] { c.sql("DROP TABLE t2").collect() } // unknown → Spark's error
   }
 
   test("_last_updated_sequence_number: appends stamp, changes bump, carriers preserve") {
