@@ -414,14 +414,19 @@ object Pipeline {
         nprobe = 2).count()
       val pruned = IvfIndex.lastProbeScan.exists { case (kept, vis) =>
         kept > 0 && kept < vis }
-      // the GRADED query: recall against brute force, pinned (persist)
-      // BEFORE the staleness rig mutates the corpus
-      val graded = recallGraded(
+      // the GRADED query: recall against brute force, MATERIALIZED (8
+      // rows) before the staleness rig mutates the corpus — a persist
+      // would leak cached state into every later bench query
+      val gradedP = recallGraded(
         IvfIndex.topK(conn, "emb_ivf", qs, "vec_id", "embedding", 5,
           nprobe = 8),
         Similarity.bruteForceTopK(emb, qs, "vec_id", "embedding", 5),
         floor = 0.85).persist()
-      graded.count()
+      val gradedRows = gradedP.collect()
+      val gradedSchema = gradedP.schema
+      gradedP.unpersist()
+      val graded = s.createDataFrame(
+        java.util.Arrays.asList(gradedRows: _*), gradedSchema)
       val zeroTrain = IvfIndex.trainings.get() == t0
       // staleness: one corpus commit → topK refuses as stale
       conn.insert("emb_ivf", emb.limit(1))

@@ -2344,9 +2344,15 @@ object Warehouse {
         feed.filter(col("_change_type") === "insert")
           .filter(seqCol =!= ap.snapshotId).count() == 0
       val witness = pairBad && killBad && freshOk && uniq && seqOk
-      feed.select(col("_change_type"), col("o_orderkey"),
+      // materialize the graded rows and RELEASE the pinned feed — a
+      // leaked persist taxes every later bench query's storage memory
+      val outRows = feed.select(col("_change_type"), col("o_orderkey"),
           when(lit(witness), col("price")).otherwise(lit(-1.0)).as("price"))
         .orderBy("_change_type", "o_orderkey")
+      val rows = outRows.collect()
+      val outSchema = outRows.schema
+      feed.unpersist()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
     },
 
     // ---- q167: SQL-ADDRESSABLE DML (UPDATE/DELETE/MERGE as text) -----
