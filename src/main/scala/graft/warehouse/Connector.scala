@@ -253,6 +253,9 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     def nameOf(p: LogicalPlan): Option[String] = p match {
       case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
         Some(r.multipartIdentifier.head)
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+        if t.multipartIdentifier.length == 1 =>
+        Some(t.multipartIdentifier.head)
       case a: SubqueryAlias => nameOf(a.child)
       case _ => None
     }
@@ -309,6 +312,53 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             import spark.implicits._
             Seq(dropped).toDF("dropped")
           }
+      // schema evolution as SQL: ADD/RENAME/DROP COLUMN route to the
+      // field-id-aware evolve commits (defaults included — the v3
+      // initial/write-default pair rides ALTER TABLE … ADD COLUMN …
+      // DEFAULT k); type changes and nested paths refuse loudly
+      case ac: AddColumns =>
+        nameOf(ac.table).filter(tableExists).map { name =>
+          val t = loadTable(name)
+          val (fields, defaults) = ac.columnsToAdd.map { q =>
+            require(q.path.isEmpty,
+              s"ALTER TABLE $name: nested column adds are not supported")
+            require(q.position.isEmpty,
+              s"ALTER TABLE $name: column POSITION is not supported " +
+                "(new columns append)")
+            val f = org.apache.spark.sql.types.StructField(
+              q.colName, q.dataType, nullable = true)
+            val d = q.default.map { dv =>
+              val v = spark.range(1)
+                .select(org.apache.spark.sql.GraftColumnBridge
+                  .column(dv.child).cast(q.dataType))
+                .collect().head.get(0)
+              q.colName -> (v: Any)
+            }
+            (f, d)
+          }.unzip
+          done(name, t.addColumns(
+            org.apache.spark.sql.types.StructType(fields),
+            defaults.flatten.toMap))
+        }
+      case rc: RenameColumn =>
+        nameOf(rc.table).filter(tableExists).map { name =>
+          require(rc.column.name.length == 1,
+            s"ALTER TABLE $name: nested column renames are not supported")
+          done(name,
+            loadTable(name).renameColumn(rc.column.name.head, rc.newName))
+        }
+      case dc: DropColumns =>
+        nameOf(dc.table).filter(tableExists).map { name =>
+          val t = loadTable(name)
+          var last: Option[Snapshot] = None
+          dc.columnsToDrop.foreach { f =>
+            require(f.name.length == 1,
+              s"ALTER TABLE $name: nested column drops are not supported")
+            if (!dc.ifExists || t.schema.fieldNames.contains(f.name.head))
+              last = Some(t.dropColumn(f.name.head))
+          }
+          done(name, last.getOrElse(t.log.head.get))
+        }
       case i: InsertIntoStatement =>
         nameOf(i.table).filter(tableExists).map { name =>
           require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,

@@ -3035,6 +3035,15 @@ class WarehouseSpec extends AnyFunSuite {
     assert(!c.tableExists("t2"))
     c.sql("DROP TABLE IF EXISTS t2") // no-op, no error
     intercept[Exception] { c.sql("DROP TABLE t2").collect() } // unknown → Spark's error
+    // schema evolution as SQL: add (with a default), rename, drop
+    c.sql("CREATE TABLE t3 AS SELECT 1 AS a")
+    c.sql("ALTER TABLE t3 ADD COLUMN b BIGINT DEFAULT 7")
+    assert(c.sql("SELECT * FROM t3").as[(Int, Long)].collect().toSeq ==
+      Seq((1, 7L)), "pre-add rows must read the declared default")
+    c.sql("ALTER TABLE t3 RENAME COLUMN b TO c")
+    assert(c.sql("SELECT c FROM t3").as[Long].collect().toSeq == Seq(7L))
+    c.sql("ALTER TABLE t3 DROP COLUMN c")
+    assert(c.sql("SELECT * FROM t3").columns.toSeq == Seq("a"))
   }
 
   test("_last_updated_sequence_number: appends stamp, changes bump, carriers preserve") {
