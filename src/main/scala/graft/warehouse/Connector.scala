@@ -181,7 +181,34 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     }
     routeDml(cmd)
       .orElse(routeTimeTravel(cmd))
+      .orElse(routeMetaTables(cmd))
       .getOrElse(spark.sql(cmd))
+  }
+
+  /** Iceberg-style SQL METADATA TABLES: a relation named
+    * `` `table$kind` `` (backquoted — `$` needs quoting in Spark
+    * identifiers) over a warehouse table resolves to the matching
+    * [[inspect]] frame, composing inside any query:
+    * `` SELECT * FROM `orders$snapshots` ``, `` `orders$files` ``,
+    * `$partitions`, `$refs`, `$deletes`, `$constraints`. */
+  private def routeMetaTables(cmd: String): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    val plan =
+      try org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, cmd)
+      catch { case _: Exception => return None }
+    var hit = false
+    val rewritten = plan.transformUp {
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
+          r.multipartIdentifier.head.contains('$') =>
+        val Array(name, kind) = r.multipartIdentifier.head.split("\\$", 2)
+        if (!tableExists(name)) r
+        else {
+          hit = true
+          inspect(name, kind).queryExecution.analyzed
+        }
+    }
+    if (!hit) None
+    else Some(org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rewritten))
   }
 
   /** Single-part relation name of a plan node, through aliases. */

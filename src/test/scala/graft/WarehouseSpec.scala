@@ -3044,6 +3044,17 @@ class WarehouseSpec extends AnyFunSuite {
     assert(c.sql("SELECT c FROM t3").as[Long].collect().toSeq == Seq(7L))
     c.sql("ALTER TABLE t3 DROP COLUMN c")
     assert(c.sql("SELECT * FROM t3").columns.toSeq == Seq("a"))
+    // metadata tables compose as SQL relations (backquoted $-names)
+    val nSnaps = c.sql("SELECT count(*) AS n FROM `t3$snapshots`")
+      .collect().head.getLong(0)
+    assert(nSnaps == c.loadTable("t3").log.snapshots.size.toLong)
+    assert(c.sql("SELECT * FROM `t3$files`").columns.contains("file"))
+    // unknown kind refuses with the inspect error, unknown table falls
+    // through to Spark's missing-relation error
+    intercept[IllegalArgumentException] {
+      c.sql("SELECT * FROM `t3$bogus`")
+    }
+    intercept[Exception] { c.sql("SELECT * FROM `nope$files`").collect() }
   }
 
   test("_last_updated_sequence_number: appends stamp, changes bump, carriers preserve") {
