@@ -2499,6 +2499,73 @@ object Warehouse {
       out.select(col("cut"), col("k").as("o_orderkey"), col("price"))
         .withColumn("tt_ok", lit(refused))
         .orderBy("cut", "o_orderkey")
+    },
+
+    // ---- q171: SQL DDL + schema evolution as text --------------------
+    // The full table lifecycle through nothing but sql() strings: CTAS
+    // from a SELECT over another warehouse table, ALTER ADD COLUMN
+    // with a DEFAULT (pre-add rows read the constant, an INSERT
+    // omitting the column gets the write-default), RENAME COLUMN (old
+    // files decode era-projected under the new name), INSERT with an
+    // explicit column list, and a final SELECT — with metadata-table
+    // witnesses (`t$snapshots` op sequence, `t$files` count > 0) and
+    // CREATE OR REPLACE + DROP TABLE probes on a scratch sibling.
+    Q("q171_sql_evolution",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p,
+        |    (SELECT max(o_orderkey) FROM orders) AS maxk
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT k AS o_orderkey, p AS price, tier, TRUE AS ddl_ok FROM (
+        |  SELECT k, p, 'std' AS tier FROM base
+        |  UNION ALL
+        |  SELECT maxk + 1, CAST(1.5 AS DOUBLE), 'gold'
+        |  FROM (SELECT DISTINCT maxk FROM base)
+        |  UNION ALL
+        |  SELECT maxk + 2, CAST(2.5 AS DOUBLE), 'std'
+        |  FROM (SELECT DISTINCT maxk FROM base))
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice"), 2).as("price"))
+      val maxk = base.agg(max("k")).collect()
+        .head.getAs[Number](0).longValue
+      conn.createTable("orders_src", base)
+      // CTAS from a SELECT over the warehouse
+      conn.sql("CREATE TABLE orders_ddl AS " +
+        "SELECT k, price AS p FROM orders_src WHERE k % 3 = 0")
+      // evolve: constant default fills PRE-ADD rows with zero rewrite
+      conn.sql("ALTER TABLE orders_ddl ADD COLUMN grade STRING DEFAULT 'std'")
+      val t = conn.loadTable("orders_ddl")
+      val evolveAddedFiles = t.log.snapshots.last.addedFiles.nonEmpty
+      // INSERT with a column list: grade explicit on one row, omitted
+      // (write-default) on the other via a second statement
+      conn.sql(s"INSERT INTO orders_ddl VALUES (${maxk + 1}, 1.5, 'gold')")
+      conn.sql(s"INSERT INTO orders_ddl (k, p) VALUES (${maxk + 2}, 2.5)")
+      // rename: old files decode era-projected under the new name
+      conn.sql("ALTER TABLE orders_ddl RENAME COLUMN grade TO tier")
+      // metadata tables as SQL relations
+      val ops = conn.sql(
+        "SELECT operation FROM `orders_ddl$snapshots` ORDER BY snapshot_id")
+        .collect().map(_.getString(0)).toSeq
+      val nFiles = conn.sql("SELECT count(*) AS n FROM `orders_ddl$files`")
+        .collect().head.getLong(0)
+      // OR REPLACE + DROP on a scratch sibling
+      conn.sql("CREATE TABLE ddl_tmp AS SELECT 1 AS one")
+      conn.sql("CREATE OR REPLACE TABLE ddl_tmp AS SELECT 2 AS two")
+      val replaced = conn.loadTable("ddl_tmp").log.snapshots
+        .last.operation == "replace"
+      conn.sql("DROP TABLE ddl_tmp")
+      // rename = TWO evolve commits on a fresh table (the field-id
+      // upgrade precedes the rename itself); the sequence is
+      // deterministic for this rig
+      val witness =
+        ops == Seq("create", "evolve", "append", "append",
+          "evolve", "evolve") &&
+        nFiles > 0 && !evolveAddedFiles && replaced &&
+        !conn.tableExists("ddl_tmp") && t.validate().isEmpty
+      conn.sql("SELECT k AS o_orderkey, p AS price, tier FROM orders_ddl")
+        .withColumn("ddl_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql
