@@ -124,22 +124,25 @@ object IvfIndex {
       .withColumn("n", sqrt(dotU(col("v"), col("v"))))
       .withColumn("cell", cellU(col("v")))
     val parts = math.max(2, nlist / 2)
-    def landAll(): Unit = {
-      if (conn.tableExists(centroidsTable(baseName)))
-        conn.loadTable(centroidsTable(baseName)).replace(cdf, properties = props)
-      else conn.createTable(centroidsTable(baseName), cdf, properties = props)
-      if (conn.tableExists(assignTable(baseName)))
-        conn.loadTable(assignTable(baseName)).replace(
-          assigned.repartitionByRange(parts, col("cell")),
-          statsCols = Seq("cell"))
-      else {
-        conn.createTable(assignTable(baseName), assigned.limit(0))
-        conn.loadTable(assignTable(baseName)).append(assigned,
-          clusterBy = Seq("cell"), statsCols = Seq("cell"),
-          clusterParts = parts)
-      }
+    // land the ASSIGNMENTS first, the snapshot-STAMPED centroids last:
+    // the stamp is what freshness checks trust, so it must never
+    // precede the data it vouches for (a crash or concurrent topK
+    // between the two commits would otherwise serve pre-rebuild
+    // assignments under a fresh stamp); refresh() follows the same
+    // delta-then-re-stamp order
+    if (conn.tableExists(assignTable(baseName)))
+      conn.loadTable(assignTable(baseName)).replace(
+        assigned.repartitionByRange(parts, col("cell")),
+        statsCols = Seq("cell"))
+    else {
+      conn.createTable(assignTable(baseName), assigned.limit(0))
+      conn.loadTable(assignTable(baseName)).append(assigned,
+        clusterBy = Seq("cell"), statsCols = Seq("cell"),
+        clusterParts = parts)
     }
-    landAll()
+    if (conn.tableExists(centroidsTable(baseName)))
+      conn.loadTable(centroidsTable(baseName)).replace(cdf, properties = props)
+    else conn.createTable(centroidsTable(baseName), cdf, properties = props)
     head
   }
 
@@ -236,12 +239,19 @@ object IvfIndex {
     val bc = spark.sparkContext.broadcast(cents)
     val np = math.min(nprobe, cents.length)
     val probeU = udf { v: Seq[Double] => nearestCells(bc.value, v, np) }
-    val q = queries
+    // the ANN query set is SMALL by contract (the exact path already
+    // broadcasts it) — collect it ONCE and probe/join the local frame,
+    // so the caller's plan is never evaluated twice (a limit/sample
+    // query source would otherwise probe cells one evaluation uses and
+    // join rows from another, silently starving results)
+    val q0 = queries
       .select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .filter(col("qv").isNotNull)
       .withColumn("qn", sqrt(dotU(col("qv"), col("qv"))))
-      .withColumn("cell", explode(probeU(col("qv"))))
+    val qLocal = spark.createDataFrame(
+      java.util.Arrays.asList(q0.collect(): _*), q0.schema)
+    val q = qLocal.withColumn("cell", explode(probeU(col("qv"))))
     // the probed cell set is bounded by nlist — a driver-side distinct
     // over ≤ nlist ints, never O(queries)
     val cells = q.select("cell").distinct().collect().map(_.getInt(0)).toSeq

@@ -42,9 +42,13 @@ import graft.warehouse.GraftTable
   *    `deleteWhen` SQL predicate) route every micro-batch through the
   *    same guarded keyed upsert as [[EventStreams.cdcApply]] — within-
   *    batch latest per key, cross-batch reorder guard (an out-of-order
-  *    redelivered older version never regresses the stored row), a
+  *    redelivered older version never regresses a STORED row), a
   *    delete arm, all under the same txn markers. Update without the
-  *    options refuses rather than guessing keys.
+  *    options refuses rather than guessing keys. Tombstones are NOT
+  *    persisted (the [[GraftTable.merge]] contract, same as cdcApply):
+  *    a key already DELETED has no stored version to compare, so an
+  *    out-of-order redelivery arriving after its delete re-inserts it
+  *    — order delete-bearing streams at batch granularity.
   *  - The table is CREATED on the first non-empty batch when absent;
   *    later batches append under the table's declared schema rules
   *    (additive evolution applies between restarts, same as any
@@ -96,9 +100,12 @@ final class GraftTableSinkProvider extends StreamSinkProvider {
           "(comma-joined key columns) and 'orderCol' (the version " +
           "column ordering redeliveries) — without a keyed contract " +
           "use Append, or EventStreams.cdcApply")
-    } else require(mergeKeys.isEmpty,
-      "option 'mergeKeys' implies keyed upsert application — use " +
-        "outputMode(Update) with it")
+    } else require(mergeKeys.isEmpty && opt("orderCol").isEmpty &&
+      opt("tiebreak").isEmpty && opt("deleteWhen").isEmpty,
+      "options mergeKeys/orderCol/tiebreak/deleteWhen imply keyed " +
+        "upsert application — use outputMode(Update) with them " +
+        "(silently appending changelog rows as data is the bug this " +
+        "refusal prevents)")
     val appId = opt("txnAppId")
       .orElse(opt("checkpointLocation").map(EventStreams.txnAppId))
       .getOrElse(throw new IllegalArgumentException(

@@ -179,9 +179,16 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       val head = new SnapshotLog(tableDir(name)).headIdByName.getOrElse(0L)
       if (!reflectedAt.get(name).contains(head)) reflectView(name)
     }
-    routeDml(cmd)
-      .orElse(routeTimeTravel(cmd))
-      .orElse(routeMetaTables(cmd))
+    // ONE parse feeds all three routers (the primary user surface must
+    // not pay three redundant ANTLR passes per statement); a statement
+    // that doesn't parse falls through so spark.sql reports its own
+    // syntax error
+    val plan =
+      try Some(org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, cmd))
+      catch { case _: Exception => None }
+    plan.flatMap(p => routeDml(p)
+        .orElse(routeTimeTravel(p))
+        .orElse(routeMetaTables(p)))
       .getOrElse(spark.sql(cmd))
   }
 
@@ -191,11 +198,10 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * [[inspect]] frame, composing inside any query:
     * `` SELECT * FROM `orders$snapshots` ``, `` `orders$files` ``,
     * `$partitions`, `$refs`, `$deletes`, `$constraints`. */
-  private def routeMetaTables(cmd: String): Option[DataFrame] = {
+  private def routeMetaTables(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[DataFrame] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    val plan =
-      try org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, cmd)
-      catch { case _: Exception => return None }
     var hit = false
     val rewritten = plan.transformUp {
       case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
@@ -211,11 +217,14 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     else Some(org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rewritten))
   }
 
-  /** Single-part relation name of a plan node, through aliases. */
+  /** Single-part relation name of a plan node, through aliases —
+    * shared by every router (a resolution fix must land exactly once). */
   private def relNameOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Option[String] = p match {
     case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
       if r.multipartIdentifier.length == 1 => Some(r.multipartIdentifier.head)
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+      if t.multipartIdentifier.length == 1 => Some(t.multipartIdentifier.head)
     case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
       relNameOf(a.child)
     case _ => None
@@ -224,11 +233,10 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   /** Rewrite warehouse-table time-travel relations into pinned reads;
     * None ⇒ the statement has none (or doesn't parse) — run through
     * `spark.sql` untouched. */
-  private def routeTimeTravel(cmd: String): Option[DataFrame] = {
+  private def routeTimeTravel(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[DataFrame] = {
     import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
-    val plan =
-      try org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, cmd)
-      catch { case _: Exception => return None }
     var hit = false
     val rewritten = plan.transformUp {
       case tt: RelationTimeTravel =>
@@ -268,24 +276,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
 
   /** Pattern-match a parsed UPDATE/DELETE/MERGE on a warehouse table;
     * None ⇒ not DML (or not ours) — run through `spark.sql`. */
-  private def routeDml(cmd: String): Option[DataFrame] = {
+  private def routeDml(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[DataFrame] = {
     import org.apache.spark.sql.GraftColumnBridge.column
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.functions.lit
-    val plan =
-      try org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, cmd)
-      catch { case _: Exception => return None } // spark.sql reports it
-    def nameOf(p: LogicalPlan): Option[String] = p match {
-      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 =>
-        Some(r.multipartIdentifier.head)
-      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
-        if t.multipartIdentifier.length == 1 =>
-        Some(t.multipartIdentifier.head)
-      case a: SubqueryAlias => nameOf(a.child)
-      case _ => None
-    }
+    def nameOf(p: LogicalPlan): Option[String] = relNameOf(p)
     // a DML condition/assignment binds against ONE relation, so
     // stripping alias qualifiers (`t.price` → `price`) is unambiguous
     def unqual(e: Expression): Expression = e.transform {
@@ -333,12 +332,14 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           Seq(getCurrentSnapshotId(name).getOrElse(0L)).toDF("snapshot_id")
         }
       case dt: DropTable =>
-        identOf(dt.child).filter(n => tableExists(n) || dt.ifExists)
-          .map { name =>
-            val dropped = dropTable(name)
-            import spark.implicits._
-            Seq(dropped).toDF("dropped")
-          }
+        // route ONLY names that exist as warehouse tables: an IF EXISTS
+        // on a non-warehouse name must still fall through, or a real
+        // Spark-catalog table/temp view of that name silently survives
+        identOf(dt.child).filter(tableExists).map { name =>
+          val dropped = dropTable(name)
+          import spark.implicits._
+          Seq(dropped).toDF("dropped")
+        }
       // schema evolution as SQL: ADD/RENAME/DROP COLUMN route to the
       // field-id-aware evolve commits (defaults included — the v3
       // initial/write-default pair rides ALTER TABLE … ADD COLUMN …
@@ -443,6 +444,29 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         }
       case m: MergeIntoTable =>
         nameOf(m.targetTable).filter(tableExists).map { name =>
+          // arm conditions bind against ONE side each (GraftTable.merge
+          // evaluates the matched-delete arm on the INCOMING row and
+          // the not-matched-by-source arm on the STORED row), so a
+          // reference qualified with the OTHER side's name must refuse
+          // — silently stripping the qualifier would rebind it to the
+          // wrong relation and commit wrong data
+          def aliasOf(p: LogicalPlan): Option[String] = p match {
+            case a: SubqueryAlias => Some(a.alias)
+            case _ => None
+          }
+          val targetNames = Set(name) ++ aliasOf(m.targetTable)
+          val sourceNames =
+            nameOf(m.sourceTable).toSet ++ aliasOf(m.sourceTable)
+          def refuseQualified(e: Expression, banned: Set[String],
+              arm: String, side: String): Unit = {
+            val bad = e.collect {
+              case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+                banned.contains(a.nameParts.head) => a.nameParts.mkString(".")
+            }
+            require(bad.isEmpty, s"MERGE INTO $name: $arm is evaluated " +
+              s"against the $side row — ${bad.mkString(", ")} cannot be " +
+              "referenced there")
+          }
           // ON: equality conjuncts over same-named columns = merge keys
           def keysOf(e: Expression): Seq[String] = e match {
             case And(l, r) => keysOf(l) ++ keysOf(r)
@@ -464,7 +488,10 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           var matchedDelete: org.apache.spark.sql.Column = lit(false)
           m.matchedActions.foreach {
             case UpdateStarAction(None) => sawUpdate = true
-            case DeleteAction(c) => matchedDelete = c.map(asCol).getOrElse(lit(true))
+            case DeleteAction(c) =>
+              c.foreach(refuseQualified(_, targetNames,
+                "WHEN MATCHED … DELETE's condition", "incoming"))
+              matchedDelete = c.map(asCol).getOrElse(lit(true))
             case other => throw new IllegalArgumentException(
               s"MERGE INTO $name: unsupported WHEN MATCHED action " +
                 s"'$other' — supported: UPDATE SET *, DELETE [AND cond]")
@@ -480,7 +507,10 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           require(sawInsert.nonEmpty, s"MERGE INTO $name needs WHEN NOT " +
             "MATCHED THEN INSERT * (unmatched incoming rows insert)")
           val bySource = m.notMatchedBySourceActions.map {
-            case DeleteAction(c) => c.map(asCol).getOrElse(lit(true))
+            case DeleteAction(c) =>
+              c.foreach(refuseQualified(_, sourceNames,
+                "WHEN NOT MATCHED BY SOURCE … DELETE's condition", "stored"))
+              c.map(asCol).getOrElse(lit(true))
             case other => throw new IllegalArgumentException(
               s"MERGE INTO $name: unsupported WHEN NOT MATCHED BY SOURCE " +
                 s"action '$other' — supported: DELETE [AND cond]")

@@ -3007,6 +3007,15 @@ class WarehouseSpec extends AnyFunSuite {
         "WHEN MATCHED THEN UPDATE SET v = s.v " +
         "WHEN NOT MATCHED THEN INSERT *")
     }
+    // a TARGET-qualified matched-delete condition refuses: the arm is
+    // evaluated against the incoming row, so silently stripping the
+    // qualifier would rebind it to the wrong relation
+    intercept[IllegalArgumentException] {
+      c.sql("MERGE INTO t USING sdml_test_src s ON t.id = s.id " +
+        "WHEN MATCHED AND t.v < 0 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
     // DML on a non-warehouse relation falls through to Spark's own error
     intercept[Exception] { c.sql("DELETE FROM sdml_test_src WHERE id = 1") }
     // INSERT INTO routes to append (positional VALUES, cast to schema)
