@@ -41,6 +41,17 @@ object IvfIndex {
   val NlistKey = "graft.ivf.nlist"
   val VecColKey = "graft.ivf.vec_col"
 
+  /** Assignment-table commit property: the corpus snapshot its rows are
+    * assigned THROUGH. The centroid-table [[StampKey]] is what
+    * freshness trusts, but it lands LAST (see build's ordering note) —
+    * a crash between the assignment commit and the re-stamp would
+    * otherwise make the next [[refresh]] recompute the same delta and
+    * append it AGAIN (duplicate assignment rows accumulating forever;
+    * topK stays correct only through its dropDuplicates). This key
+    * makes the delta append idempotent: refresh computes the delta
+    * from the LATEST assigned-through marker, not the stale stamp. */
+  val AssignedKey = "graft.ivf.assigned_through"
+
   /** Count of quantizer TRAININGS this JVM ran — the graded witness
     * that a persisted-index query trains nothing. */
   val trainings = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -130,15 +141,16 @@ object IvfIndex {
     // between the two commits would otherwise serve pre-rebuild
     // assignments under a fresh stamp); refresh() follows the same
     // delta-then-re-stamp order
+    val aprops = Map(AssignedKey -> head.toString)
     if (conn.tableExists(assignTable(baseName)))
       conn.loadTable(assignTable(baseName)).replace(
         assigned.repartitionByRange(parts, col("cell")),
-        statsCols = Seq("cell"))
+        statsCols = Seq("cell"), properties = aprops)
     else {
       conn.createTable(assignTable(baseName), assigned.limit(0))
       conn.loadTable(assignTable(baseName)).append(assigned,
         clusterBy = Seq("cell"), statsCols = Seq("cell"),
-        clusterParts = parts)
+        clusterParts = parts, properties = aprops)
     }
     if (conn.tableExists(centroidsTable(baseName)))
       conn.loadTable(centroidsTable(baseName)).replace(cdf, properties = props)
@@ -172,20 +184,29 @@ object IvfIndex {
               x.operation == "publish" || x.operation == "create") &&
               x.removedFiles.isEmpty && x.deleteFiles.isEmpty) =>
         val spark = conn.spark
-        val cents = conn.loadTable(centroidsTable(baseName)).read()
-          .orderBy("cell").collect()
-          .map(r => r.getSeq[Double](1).toArray)
-        val bc = spark.sparkContext.broadcast(cents)
-        val cellU = udf { v: Seq[Double] => nearestCells(bc.value, v, 1)(0) }
-        val delta = base.changesSince(s, head)
-          .select(col(idCol).as("id"),
-            col(vecCol).cast("array<double>").as("v"))
-          .filter(col("v").isNotNull)
-          .withColumn("n", sqrt(dotU(col("v"), col("v"))))
-          .withColumn("cell", cellU(col("v")))
-        conn.loadTable(assignTable(baseName)).append(delta,
-          clusterBy = Seq("cell"), statsCols = Seq("cell"),
-          clusterParts = math.max(2, nlist / 2))
+        // the delta starts from the ASSIGNED-THROUGH marker, not the
+        // stale stamp: a crash after the delta append but before the
+        // re-stamp below leaves assignedThrough == head, so the retry
+        // skips straight to re-stamping instead of appending the same
+        // rows a second time (idempotent refresh)
+        val assignedThrough = assignedThroughOf(conn, baseName).getOrElse(s)
+        if (assignedThrough < head) {
+          val cents = conn.loadTable(centroidsTable(baseName)).read()
+            .orderBy("cell").collect()
+            .map(r => r.getSeq[Double](1).toArray)
+          val bc = spark.sparkContext.broadcast(cents)
+          val cellU = udf { v: Seq[Double] => nearestCells(bc.value, v, 1)(0) }
+          val delta = base.changesSince(assignedThrough, head)
+            .select(col(idCol).as("id"),
+              col(vecCol).cast("array<double>").as("v"))
+            .filter(col("v").isNotNull)
+            .withColumn("n", sqrt(dotU(col("v"), col("v"))))
+            .withColumn("cell", cellU(col("v")))
+          conn.loadTable(assignTable(baseName)).append(delta,
+            clusterBy = Seq("cell"), statsCols = Seq("cell"),
+            clusterParts = math.max(2, nlist / 2),
+            properties = Map(AssignedKey -> head.toString))
+        }
         // re-stamp: rewrite the (nlist-row) centroid table with the new
         // corpus head — O(nlist), no training
         val ct = conn.loadTable(centroidsTable(baseName))
@@ -196,6 +217,17 @@ object IvfIndex {
         build(conn, baseName, idCol, vecCol, nlist, maxTrainRows)
         "rebuild"
     }
+  }
+
+  /** The corpus snapshot the assignment table is assigned THROUGH —
+    * the latest commit carrying [[AssignedKey]] (walked from the head;
+    * binpack/maintain commits on the artifact table don't carry it). */
+  private def assignedThroughOf(conn: Connector, baseName: String)
+      : Option[Long] = {
+    if (!conn.tableExists(assignTable(baseName))) return None
+    conn.loadTable(assignTable(baseName)).log.snapshots.reverseIterator
+      .flatMap(_.properties.get(AssignedKey)).map(_.toLong)
+      .take(1).toSeq.headOption
   }
 
   /** The stamp of the persisted index, if any: (corpus snapshot it was

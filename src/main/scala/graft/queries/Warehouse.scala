@@ -2451,11 +2451,13 @@ object Warehouse {
     // Connector.sql rewrites the parsed RelationTimeTravel node over a
     // warehouse table into the pinned read (expired cuts refuse through
     // the table's own guards). The rig commits create → append → SQL
-    // UPDATE, then ONE statement unions four cuts: VERSION AS OF the
+    // UPDATE, then ONE statement unions five cuts: VERSION AS OF the
     // first two commits, TIMESTAMP AS OF an instant pinned at the
-    // append (timestamp_millis — timezone-free), and the head view —
-    // the oracle reconstructs each cut declaratively. Witness: an
-    // unknown version refuses.
+    // append (timestamp_millis — timezone-free), the head view, and
+    // (r16) VERSION AS OF a TAG NAME — named refs resolve where
+    // Iceberg's SQL resolves them. Witnesses: an unknown numeric
+    // version refuses, and an unknown REF NAME refuses with the
+    // router's own message (not a NumberFormatException).
     Q("q170_sql_time_travel",
       """WITH base AS (
         |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p,
@@ -2470,7 +2472,9 @@ object Warehouse {
         |  UNION ALL
         |  SELECT 4, k,
         |    CASE WHEN k <= maxk // 4 THEN round(p + 1, 2) ELSE p END
-        |  FROM base)
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 5, k, p FROM base WHERE k % 2 = 0)
         |ORDER BY cut, o_orderkey""".stripMargin) { (s, d) =>
       val conn = new Connector(s, Scratch.dir("run"))
       val base = T.orders(s, d).select(col("o_orderkey").as("k"),
@@ -2479,6 +2483,7 @@ object Warehouse {
         .head.getAs[Number](0).longValue
       conn.createTable("orders_tt", base.filter(col("k") % 2 === 0)) // s1
       val t = conn.loadTable("orders_tt")
+      t.tagSnapshot("baseline-v1", 1L)
       Thread.sleep(10)
       t.append(base.filter(col("k") % 2 === 1))                      // s2
       val ts2 = t.log.snapshots.last.timestampMs
@@ -2491,13 +2496,20 @@ object Warehouse {
           |UNION ALL SELECT 3, k, price FROM orders_tt TIMESTAMP AS OF
           |  timestamp_millis(""".stripMargin + ts2 +
         """)
-          |UNION ALL SELECT 4, k, price FROM orders_tt""".stripMargin)
+          |UNION ALL SELECT 4, k, price FROM orders_tt
+          |UNION ALL SELECT 5, k, price
+          |  FROM orders_tt VERSION AS OF 'baseline-v1'""".stripMargin)
       val refused =
         try { conn.sql("SELECT * FROM orders_tt VERSION AS OF 99")
           .limit(1).count(); false }
         catch { case _: Exception => true }
+      val refusedRef =
+        try { conn.sql("SELECT * FROM orders_tt VERSION AS OF 'no-such'")
+          .limit(1).count(); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("no such ref") }
       out.select(col("cut"), col("k").as("o_orderkey"), col("price"))
-        .withColumn("tt_ok", lit(refused))
+        .withColumn("tt_ok", lit(refused && refusedRef))
         .orderBy("cut", "o_orderkey")
     },
 
@@ -2565,6 +2577,119 @@ object Warehouse {
         !conn.tableExists("ddl_tmp") && t.validate().isEmpty
       conn.sql("SELECT k AS o_orderkey, p AS price, tier FROM orders_ddl")
         .withColumn("ddl_ok", lit(witness))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- q172: SQL partitioned DDL (r16) ------------------------------
+    // The SQL-only partitioned lifecycle: a plain COLUMN-LIST CREATE
+    // TABLE (previously only CTAS routed — a column-list DDL silently
+    // fell through to Spark's catalog) with a column DEFAULT and
+    // PARTITIONED BY transforms (years + bucket → hidden partitioning's
+    // setPartitionSpec), filled by a column-list INSERT…SELECT whose
+    // omitted column takes the write-default; plus a partitioned CTAS
+    // whose payload lands transform-clustered in its ONE create commit.
+    // Witnesses (layout properties, never exact file counts —
+    // range-clustered layouts are environment-sensitive): the declared
+    // spec round-trips, every data file records its transform stats in
+    // `$files`, a one-year range probe and a bucket point probe each
+    // read a STRICT SUBSET of files through manifest pruning alone.
+    Q("q172_sql_partitioned_ddl",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |  CAST(o_orderdate AS DATE) AS odate, 'std' AS tier, TRUE AS pt_ok
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val conn = new Connector(s, Scratch.dir("run"))
+      conn.createTable("po_src", T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_orderdate").as("odate")))
+      conn.sql("CREATE TABLE orders_pt (o_orderkey BIGINT, price DOUBLE, " +
+        "odate DATE, tier STRING DEFAULT 'std') " +
+        "PARTITIONED BY (years(odate), bucket(4, o_orderkey))")
+      conn.sql("INSERT INTO orders_pt (o_orderkey, price, odate) " +
+        "SELECT o_orderkey, price, odate FROM po_src")
+      conn.sql("CREATE TABLE orders_ptc PARTITIONED BY " +
+        "(bucket(4, o_orderkey)) AS " +
+        "SELECT o_orderkey, price FROM po_src WHERE o_orderkey % 2 = 0")
+      val t = conn.loadTable("orders_pt")
+      val specOk = t.partitionSpec.map(f => (f.kind, f.column, f.param)) ==
+        Seq(("year", "odate", 0), ("bucket", "o_orderkey", 4))
+      val statCols = conn.sql(
+        "SELECT stat_columns FROM `orders_pt$files` WHERE rows > 0")
+        .as[Seq[String]].collect()
+      val statsOk = statCols.nonEmpty && statCols.forall(sc =>
+        sc.contains("p_year_odate") && sc.contains("p_b4_o_orderkey"))
+      val total = t.read().inputFiles.length
+      val yearPruned = t.readWhere("odate",
+        Some(java.sql.Date.valueOf("1995-01-01")),
+        Some(java.sql.Date.valueOf("1995-12-31"))).inputFiles.length
+      val tc = conn.loadTable("orders_ptc")
+      val someKey = tc.read().select(min("o_orderkey")).collect()
+        .head.getLong(0)
+      val bucketPruned =
+        tc.readWhereIn("o_orderkey", Seq(someKey)).inputFiles.length
+      val ctasOk = tc.log.snapshots.map(_.operation) == Seq("create") &&
+        tc.partitionSpec.map(_.kind) == Seq("bucket") &&
+        bucketPruned < tc.read().inputFiles.length
+      val witness = specOk && statsOk && ctasOk &&
+        yearPruned < total && yearPruned > 0 &&
+        t.validate().isEmpty
+      conn.sql("SELECT o_orderkey, price, odate, tier FROM orders_pt")
+        .withColumn("pt_ok", lit(witness))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- q173: SQL CALL maintenance procedures (r16) ------------------
+    // The table-maintenance lifecycle purely as SQL text — Iceberg's
+    // `CALL` procedure shape routed to the same composites the Scala
+    // API and CLI drive: a poll-loop of small appends, then
+    // `CALL graft.binpack` (small-file coalesce), `CALL
+    // system.expire_snapshots(table => …)` (named args; default
+    // keep-point is a fresh checkpoint), `CALL vacuum(t, 0)` (orphan
+    // reclaim). Witnesses: uniform (procedure, table, snapshot_id,
+    // detail) result shape on every call, `$snapshots` op sequence
+    // gains compact+checkpoint, the visible file count strictly
+    // drops, history shrinks, and the data never changes.
+    Q("q173_sql_call_maintenance",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, TRUE AS mt_ok
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      conn.createTable("om", base.filter(col("o_orderkey") % 5 === 0))
+      (1L to 4L).foreach(i =>
+        conn.insert("om", base.filter(col("o_orderkey") % 5 === i)))
+      val t = conn.loadTable("om")
+      val rows0 = t.read().count()
+      val files0 = t.filesDf().count()
+      val snaps0 = t.log.snapshots.size
+      val shapes = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      def call(sqlText: String): org.apache.spark.sql.Row = {
+        val df = conn.sql(sqlText)
+        shapes += df.schema.fieldNames.toSeq
+        df.collect().head
+      }
+      val r1 = call("CALL graft.binpack('om')")
+      val files1 = t.filesDf().count()
+      // op-sequence witness BEFORE expiry (expiry then drops it)
+      val opsAfterBinpack = t.log.snapshots.map(_.operation)
+      val r2 = call("CALL system.expire_snapshots(table => 'om')")
+      val snaps2 = t.log.snapshots.size
+      val opsAfterExpire = t.log.snapshots.map(_.operation)
+      val r3 = call("CALL vacuum('om', 0)")
+      val uniform = shapes.forall(_ ==
+        Seq("procedure", "table", "snapshot_id", "detail"))
+      val witness = uniform &&
+        r1.getString(0) == "binpack" && r1.getString(3).startsWith("binpacked") &&
+        r2.getString(0) == "expire_snapshots" &&
+        r3.getString(3).startsWith("removed") &&
+        files1 < files0 && snaps2 < snaps0 &&
+        // compactSmall's partial binpack commits as a "rewrite"
+        opsAfterBinpack.contains("rewrite") &&
+        // the expiry keep-point is the fresh checkpoint (itself a
+        // compact-op commit) — the only history that must survive
+        opsAfterExpire.forall(_ == "compact") &&
+        t.read().count() == rows0 && t.validate().isEmpty
+      t.read().withColumn("mt_ok", lit(witness))
         .orderBy("o_orderkey")
     })
 

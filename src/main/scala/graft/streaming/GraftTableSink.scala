@@ -132,7 +132,6 @@ final class GraftTableSink(dir: java.nio.file.Path, appId: String,
     tiebreak: String = "", deleteWhen: Option[String] = None) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit}
     val spark = data.sparkSession
     val tableOpt = GraftTable.load(spark, dir, dir.getFileName.toString)
     // crash-replay probe BEFORE any work: a batchId at-or-below the
@@ -147,9 +146,25 @@ final class GraftTableSink(dir: java.nio.file.Path, appId: String,
     if (committed.exists(_ >= batchId)) return
     // the incoming DataFrame is streaming-flagged; rewrap its executed
     // rows as a batch DF (the standard V1-sink move) so the table's
-    // plain write path plans it
-    val batch = GraftStreamBridge.batchDf(spark,
-      data.queryExecution.toRdd, data.schema)
+    // plain write path plans it. The source plan evaluates ONCE: the
+    // rows are copied (UnsafeRow buffers are reused per partition —
+    // caching without the copy would alias every row in a partition to
+    // its last) and persisted, so the emptiness probe below and the
+    // merge/append job both read the cache instead of recomputing the
+    // micro-batch (the r14/r15 double-evaluation watch item).
+    val rdd = data.queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      addBatchInner(spark, tableOpt, rdd, data.schema, batchId)
+    } finally { rdd.unpersist(); () }
+  }
+
+  private def addBatchInner(spark: org.apache.spark.sql.SparkSession,
+      tableOpt: Option[GraftTable],
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val batch = GraftStreamBridge.batchDf(spark, rdd, schema)
     val props = Map(GraftTable.TxnAppIdKey -> appId,
       GraftTable.TxnBatchKey -> batchId.toString)
     if (mergeKeys.nonEmpty) {

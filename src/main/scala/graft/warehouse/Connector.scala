@@ -49,8 +49,10 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * `properties` land in the create snapshot's summary (txn markers
     * for exactly-once streaming sinks — see GraftTable.lastTxnBatch). */
   def createTable(name: String, data: DataFrame,
-      properties: Map[String, String] = Map.empty): Boolean = {
-    val created = GraftTable.create(spark, tableDir(name), name, data, properties)
+      properties: Map[String, String] = Map.empty,
+      spec: Seq[PartitionField] = Nil): Boolean = {
+    val created =
+      GraftTable.create(spark, tableDir(name), name, data, properties, spec)
     created.foreach(_ => reflectView(name))
     created.isDefined
   }
@@ -123,14 +125,17 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * and recorded skipping indexes. Manifest-only; no data read. */
   def inspect(name: String, kind: String): DataFrame = kind match {
     case "snapshots"  => loadTable(name).snapshotsDf
+    case "history"    => loadTable(name).historyDf
+    case "manifests"  => loadTable(name).manifestsDf
     case "files"      => loadTable(name).filesDf()
     case "partitions" => loadTable(name).partitionsDf()
     case "refs"       => loadTable(name).refsDf
     case "deletes"     => loadTable(name).deletesDf()
     case "constraints" => loadTable(name).constraintsDf
     case other => throw new IllegalArgumentException(
-      s"unknown metadata table '$other' — use 'snapshots', 'files', " +
-        "'partitions', 'refs', 'deletes', or 'constraints'")
+      s"unknown metadata table '$other' — use 'snapshots', 'history', " +
+        "'manifests', 'files', 'partitions', 'refs', 'deletes', or " +
+        "'constraints'")
   }
 
   /** Row count (reference: `count`, `icerunner.py:190-198`): answered
@@ -154,8 +159,14 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * re-reflects every table with DDL before every query
     * (`icerunner.py:82-103`). */
   /** DML and DDL verbs are SQL-addressable too: `CREATE [OR REPLACE]
-    * TABLE t AS SELECT …`, `DROP TABLE [IF EXISTS] t`,
-    * `INSERT INTO t [cols] VALUES
+    * TABLE t AS SELECT …`, plain column-list `CREATE TABLE t (col
+    * type [DEFAULT k], …)` (r16 — an EMPTY warehouse table; defaults
+    * land as the same v3 initial/write-default metadata ALTER…ADD
+    * COLUMN writes), `PARTITIONED BY (years/months/days/hours(c),
+    * bucket(n, c), truncate(w, c), c)` on any create form (r16 —
+    * routes to hidden partitioning, declared before the payload lands
+    * so a partitioned CTAS clusters its create commit),
+    * `DROP TABLE [IF EXISTS] t`, `INSERT INTO t [cols] VALUES
     * …/SELECT …` (OVERWRITE ⇒ [[GraftTable.replace]]),
     * `UPDATE t SET … [WHERE …]`,
     * `DELETE FROM t [WHERE …]` and `MERGE INTO t USING s ON … WHEN …`
@@ -167,11 +178,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * Spark's OWN parser (no hand-rolled SQL): the unresolved DML plan
     * is pattern-matched and its expressions rebound as Columns. A DML
     * statement naming a non-warehouse relation (and every non-DML
-    * statement) falls through to Catalyst untouched. DML returns a
-    * one-row `[snapshot_id]` frame — the commit it produced. */
-  /** SQL TIME TRAVEL composes in any query: `FROM t VERSION AS OF 5` /
-    * `FROM t TIMESTAMP AS OF <expr>` over a warehouse table rewrites
-    * the parsed [[org.apache.spark.sql.catalyst.analysis.RelationTimeTravel]]
+    * statement) falls through to Catalyst untouched — executed from
+    * the SAME parse, never re-parsed. DML returns a one-row
+    * `[snapshot_id]` frame — the commit it produced. Maintenance verbs
+    * route as `CALL` procedures ([[routeCall]], r16). */
+  /** SQL TIME TRAVEL composes in any statement — including DML/DDL
+    * sub-queries and subquery expressions: `FROM t VERSION AS OF 5`
+    * (or `VERSION AS OF 'tag-or-branch'`, r16) / `FROM t TIMESTAMP AS
+    * OF <expr>` over a warehouse table rewrites the parsed
+    * [[org.apache.spark.sql.catalyst.analysis.RelationTimeTravel]]
     * node into the pinned [[GraftTable.read]]/[[GraftTable.readAsOfTime]]
     * plan — expired cuts refuse through the table's own guards. */
   def sql(cmd: String): DataFrame = {
@@ -179,17 +194,23 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       val head = new SnapshotLog(tableDir(name)).headIdByName.getOrElse(0L)
       if (!reflectedAt.get(name).contains(head)) reflectView(name)
     }
-    // ONE parse feeds all three routers (the primary user surface must
-    // not pay three redundant ANTLR passes per statement); a statement
-    // that doesn't parse falls through so spark.sql reports its own
-    // syntax error
+    // ONE parse feeds every router AND the fallback (the primary user
+    // surface pays one ANTLR pass per statement); a statement that
+    // doesn't parse falls through so spark.sql reports its own syntax
+    // error. The time-travel and meta-table rewrites are plan-to-plan
+    // and run over the WHOLE statement FIRST, so they compose inside
+    // DML/DDL sub-queries (INSERT INTO t SELECT … FROM t VERSION AS OF
+    // 1, CTAS from `t$snapshots`) and with each other in one statement.
     val plan =
       try Some(org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, cmd))
       catch { case _: Exception => None }
-    plan.flatMap(p => routeDml(p)
-        .orElse(routeTimeTravel(p))
-        .orElse(routeMetaTables(p)))
-      .getOrElse(spark.sql(cmd))
+    plan match {
+      case None => spark.sql(cmd)
+      case Some(p0) =>
+        val p = rewriteMetaTables(rewriteTimeTravel(p0))
+        routeCall(p).orElse(routeDml(p)).getOrElse(
+          org.apache.spark.sql.GraftSqlBridge.ofRows(spark, p))
+    }
   }
 
   /** Iceberg-style SQL METADATA TABLES: a relation named
@@ -198,23 +219,19 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * [[inspect]] frame, composing inside any query:
     * `` SELECT * FROM `orders$snapshots` ``, `` `orders$files` ``,
     * `$partitions`, `$refs`, `$deletes`, `$constraints`. */
-  private def routeMetaTables(
+  private def rewriteMetaTables(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : Option[DataFrame] = {
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    var hit = false
-    val rewritten = plan.transformUp {
+    // WithSubqueries: a meta table inside a scalar/EXISTS/IN subquery
+    // must rewrite too — plain transformUp walks only the operator tree
+    plan.transformUpWithSubqueries {
       case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
           r.multipartIdentifier.head.contains('$') =>
         val Array(name, kind) = r.multipartIdentifier.head.split("\\$", 2)
         if (!tableExists(name)) r
-        else {
-          hit = true
-          inspect(name, kind).queryExecution.analyzed
-        }
+        else inspect(name, kind).queryExecution.analyzed
     }
-    if (!hit) None
-    else Some(org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rewritten))
   }
 
   /** Single-part relation name of a plan node, through aliases —
@@ -230,31 +247,46 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     case _ => None
   }
 
-  /** Rewrite warehouse-table time-travel relations into pinned reads;
-    * None ⇒ the statement has none (or doesn't parse) — run through
-    * `spark.sql` untouched. */
-  private def routeTimeTravel(
+  /** Rewrite warehouse-table time-travel relations into pinned reads
+    * (plan-to-plan, so the rewrite composes inside DML/DDL statements).
+    * `VERSION AS OF` resolves a snapshot id, then a TAG, then an open
+    * BRANCH head (Iceberg's SQL accepts ref names here); a non-numeric
+    * non-ref refuses with the router's own message instead of a raw
+    * NumberFormatException. */
+  private def rewriteTimeTravel(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
-      : Option[DataFrame] = {
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
-    var hit = false
-    val rewritten = plan.transformUp {
+    // WithSubqueries: `FROM t VERSION AS OF n` inside a scalar/EXISTS/
+    // IN subquery must pin too, not just operator-tree relations
+    plan.transformUpWithSubqueries {
       case tt: RelationTimeTravel =>
         relNameOf(tt.relation).filter(tableExists) match {
           case None => tt
           case Some(name) =>
-            hit = true
             val t = loadTable(name)
             val pinned = (tt.version, tt.timestamp) match {
               case (Some(v), _) =>
-                val id = v.toLong
-                // read(asOf) resolves "files at-or-before the cut", so
-                // a nonexistent future version would silently read the
-                // head — require the snapshot (retained) instead
-                require(t.log.snapshots.exists(_.snapshotId == id),
-                  s"VERSION AS OF $id on $name: no such snapshot " +
-                    s"(head ${t.currentSnapshotId.getOrElse(0L)})")
-                t.read(Some(id))
+                v.toLongOption match {
+                  case Some(id) =>
+                    // read(asOf) resolves "files at-or-before the cut",
+                    // so a nonexistent future version would silently
+                    // read the head — require the snapshot (retained)
+                    require(t.log.snapshots.exists(_.snapshotId == id),
+                      s"VERSION AS OF $id on $name: no such snapshot " +
+                        s"(head ${t.currentSnapshotId.getOrElse(0L)})")
+                    t.read(Some(id))
+                  case None =>
+                    t.tags.get(v).map(id => t.read(Some(id)))
+                      .orElse(if (t.branches.contains(v))
+                        Some(t.readBranch(v)) else None)
+                      .getOrElse(throw new IllegalArgumentException(
+                        s"VERSION AS OF '$v' on $name: expects a " +
+                          "snapshot id, tag, or branch name — no such " +
+                          s"ref (tags: ${t.tags.keys.toSeq.sorted
+                            .mkString(", ")}; branches: ${t.branches
+                            .mkString(", ")})"))
+                }
               case (_, Some(ts)) =>
                 // evaluate the (foldable) timestamp expression once on
                 // the driver, session-timezone semantics included
@@ -270,8 +302,6 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             pinned.queryExecution.analyzed
         }
     }
-    if (!hit) None
-    else Some(org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rewritten))
   }
 
   /** Pattern-match a parsed UPDATE/DELETE/MERGE on a warehouse table;
@@ -305,29 +335,82 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     plan match {
       // DDL: single-part CREATE TABLE … AS SELECT lands as a warehouse
       // table (this surface IS the warehouse; Spark's own catalogs stay
-      // reachable via qualified names, which fall through)
+      // reachable via qualified names, which fall through). PARTITIONED
+      // BY transforms declare the table's HIDDEN partitioning
+      // (setPartitionSpec) before any data lands, so the CTAS payload
+      // itself is transform-clustered.
       case cts: CreateTableAsSelect =>
         identOf(cts.name).map { name =>
-          require(cts.partitioning.isEmpty,
-            s"CREATE TABLE $name: PARTITIONED BY is not supported in " +
-              "SQL here — declare hidden partitioning on the table " +
-              "(setPartitionSpec) where transforms are first-class")
-          val created = createTable(name,
-            org.apache.spark.sql.GraftSqlBridge.ofRows(spark, cts.query))
-          require(created || cts.ignoreIfExists,
+          val spec = partitionFieldsOf(name, cts.partitioning)
+          val df = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, cts.query)
+          val existed = tableExists(name)
+          require(!existed || cts.ignoreIfExists,
             s"CREATE TABLE $name: table already exists " +
               "(use IF NOT EXISTS or CREATE OR REPLACE)")
+          // the spec declares INSIDE create: the CTAS payload itself
+          // lands transform-clustered in the one create commit
+          if (!existed) createTable(name, df, spec = spec)
+          import spark.implicits._
+          Seq(getCurrentSnapshotId(name).getOrElse(0L)).toDF("snapshot_id")
+        }
+      // plain column-list CREATE TABLE: an EMPTY warehouse table with
+      // the declared schema (and optional hidden partitioning +
+      // column DEFAULTs) — previously this fell through to Spark's
+      // catalog, silently creating a non-warehouse table
+      case ct: CreateTable =>
+        identOf(ct.name).map { name =>
+          val spec = partitionFieldsOf(name, ct.partitioning)
+          val fields = ct.columns.map { c =>
+            require(c.generationExpression.isEmpty &&
+                c.identityColumnSpec.isEmpty,
+              s"CREATE TABLE $name: generated/identity columns are " +
+                "not supported")
+            val f = org.apache.spark.sql.types.StructField(
+              c.name, c.dataType, c.nullable)
+            c.defaultValue match {
+              case None => f
+              case Some(dv) =>
+                // same canonical-literal discipline as ALTER TABLE ADD
+                // COLUMN … DEFAULT (addColumns): validate + render once
+                val v = spark.range(1)
+                  .select(org.apache.spark.sql.GraftColumnBridge
+                    .column(dv.child).cast(c.dataType))
+                  .collect().head.get(0)
+                require(v != null, s"CREATE TABLE $name: DEFAULT for " +
+                  s"'${c.name}' must be a non-null constant (a null " +
+                  "default IS the plain nullable column)")
+                val sqlText = org.apache.spark.sql.catalyst.expressions
+                  .Literal.create(v, c.dataType).sql
+                f.copy(metadata =
+                  new org.apache.spark.sql.types.MetadataBuilder()
+                    .putString(GraftTable.ExistsDefaultKey, sqlText)
+                    .putString(GraftTable.CurrentDefaultKey, sqlText)
+                    .build())
+            }
+          }
+          val existed = tableExists(name)
+          require(!existed || ct.ignoreIfExists,
+            s"CREATE TABLE $name: table already exists " +
+              "(use IF NOT EXISTS)")
+          if (!existed) {
+            val empty = spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(fields))
+            createTable(name, empty, spec = spec)
+          }
           import spark.implicits._
           Seq(getCurrentSnapshotId(name).getOrElse(0L)).toDF("snapshot_id")
         }
       case rts: ReplaceTableAsSelect =>
         identOf(rts.name).map { name =>
-          require(rts.partitioning.isEmpty,
-            s"REPLACE TABLE $name: PARTITIONED BY is not supported in " +
-              "SQL here — declare hidden partitioning on the table")
+          val spec = partitionFieldsOf(name, rts.partitioning)
           val df = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rts.query)
-          if (tableExists(name)) replaceTable(name, df)
-          else createTable(name, df)
+          if (tableExists(name)) {
+            // a redeclared spec governs the replacement payload's
+            // layout (metadata-only; earlier eras keep pruning)
+            if (spec.nonEmpty) loadTable(name).setPartitionSpec(spec)
+            replaceTable(name, df)
+          } else createTable(name, df, spec = spec)
           import spark.implicits._
           Seq(getCurrentSnapshotId(name).getOrElse(0L)).toDF("snapshot_id")
         }
@@ -524,6 +607,140 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         }
       case _ => None
     }
+  }
+
+  /** Map SQL `PARTITIONED BY` transforms to the warehouse's hidden-
+    * partitioning [[PartitionField]]s — identity, years/months/days/
+    * hours, bucket(n, col), truncate(w, col). Anything else (nested
+    * references, multi-column buckets) refuses loudly. */
+  private def partitionFieldsOf(name: String,
+      transforms: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Seq[PartitionField] =
+    transforms.map { t =>
+      org.apache.spark.sql.GraftSqlBridge.decodeTransform(t) match {
+        case ("?", desc, _) => throw new IllegalArgumentException(
+          s"CREATE TABLE $name: unsupported partition transform " +
+            s"'$desc' — supported: identity columns (single, " +
+            "non-nested), years/months/days/hours, bucket(n, col), " +
+            "truncate(w, col)")
+        case (kind, colName, param) => PartitionField(kind, colName, param)
+      }
+    }
+
+  /** SQL `CALL` MAINTENANCE PROCEDURES (the Iceberg `CALL catalog.proc`
+    * shape; Spark parses CALL natively): the table-lifecycle verbs that
+    * aren't statements — compaction, history expiry, orphan reclaim —
+    * addressable as SQL text, routing to the same [[GraftTable]]
+    * composites the Scala API and CLI use. Names accept an optional
+    * `graft`/`system` prefix; arguments are positional or named
+    * (`table => 't'`) foldable expressions. Every procedure returns the
+    * SAME one-row shape `(procedure, table, snapshot_id, detail)` —
+    * snapshot_id is the table head AFTER the call.
+    *
+    *  - `binpack(table [, small_bytes, target_bytes])` — coalesce
+    *    small files ([[GraftTable.compactSmall]]); no-op detail when
+    *    nothing qualified.
+    *  - `compact(table [, target_files])` — full rewrite.
+    *  - `zorder(table, col, col…)` — full rewrite, Z-order clustered.
+    *  - `expire_snapshots(table [, keep_from_id])` — default keeps
+    *    from a fresh [[GraftTable.checkpoint]] (the maintain shape).
+    *  - `vacuum(table [, grace_ms])` — remove orphan files.
+    *  - `maintain(table [, expire])` — the full composite. */
+  private def routeCall(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[DataFrame] = plan match {
+    case c: org.apache.spark.sql.catalyst.plans.logical.Call =>
+      import org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression
+      val proc = c.procedure match {
+        case p: org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure =>
+          p.nameParts match {
+            case Seq(one) => one.toLowerCase
+            case Seq(pre, two) if Set("graft", "system")(pre.toLowerCase) =>
+              two.toLowerCase
+            case other => throw new IllegalArgumentException(
+              s"CALL: unknown procedure namespace '${other.mkString(".")}'")
+          }
+        case other => throw new IllegalArgumentException(
+          s"CALL: unsupported procedure plan '$other'")
+      }
+      // each procedure's declared parameter order resolves named args;
+      // values evaluate driver-side as foldable expressions
+      val paramNames: Seq[String] = proc match {
+        case "binpack" => Seq("table", "small_bytes", "target_bytes")
+        case "compact" => Seq("table", "target_files")
+        case "zorder"  => Seq("table", "col1", "col2", "col3", "col4")
+        case "expire_snapshots" => Seq("table", "keep_from_id")
+        case "vacuum"  => Seq("table", "grace_ms")
+        case "maintain" => Seq("table", "expire")
+        case other => throw new IllegalArgumentException(
+          s"CALL: unknown procedure '$other' — supported: binpack, " +
+            "compact, zorder, expire_snapshots, vacuum, maintain")
+      }
+      def eval(e: org.apache.spark.sql.catalyst.expressions.Expression): Any =
+        spark.range(1)
+          .select(org.apache.spark.sql.GraftColumnBridge.column(e))
+          .collect().head.get(0)
+      val byName = scala.collection.mutable.Map.empty[String, Any]
+      var pos = 0
+      c.args.foreach {
+        case n: NamedArgumentExpression =>
+          require(paramNames.contains(n.key.toLowerCase),
+            s"CALL $proc: unknown argument '${n.key}' " +
+              s"(expects ${paramNames.mkString(", ")})")
+          byName(n.key.toLowerCase) = eval(n.value)
+        case e =>
+          require(pos < paramNames.length,
+            s"CALL $proc: too many arguments " +
+              s"(expects ${paramNames.mkString(", ")})")
+          byName(paramNames(pos)) = eval(e); pos += 1
+      }
+      val tname = byName.getOrElse("table", throw new IllegalArgumentException(
+        s"CALL $proc: 'table' argument is required")).toString
+      val t = loadTable(tname) // refuses on a non-warehouse name
+      def num(k: String, d: Long): Long = byName.get(k) match {
+        case Some(v: Number) => v.longValue
+        case Some(v) => v.toString.toLong
+        case None => d
+      }
+      val detail: String = proc match {
+        case "binpack" =>
+          val r = t.compactSmall(num("small_bytes", 32L << 20),
+            num("target_bytes", 128L << 20))
+          r.map(s => s"binpacked to snapshot ${s.snapshotId}")
+            .getOrElse("no-op: no small-file group qualified")
+        case "compact" =>
+          val s = t.compact(targetFiles = num("target_files", 0L).toInt)
+          s"compacted to snapshot ${s.snapshotId}"
+        case "zorder" =>
+          val cols = Seq("col1", "col2", "col3", "col4")
+            .flatMap(byName.get).map(_.toString)
+          require(cols.size >= 2,
+            s"CALL zorder: at least two cluster columns")
+          val s = t.compact(zOrderBy = cols, statsCols = cols)
+          s"zordered on ${cols.mkString(",")} to snapshot ${s.snapshotId}"
+        case "expire_snapshots" =>
+          val keep = byName.get("keep_from_id") match {
+            case Some(v) => v.toString.toLong
+            case None => t.checkpoint().snapshotId
+          }
+          t.expireSnapshots(keep)
+          s"expired history before snapshot $keep"
+        case "vacuum" =>
+          val removed = t.removeOrphans(num("grace_ms", 259200000L))
+          s"removed ${removed.size} orphan file(s)"
+        case "maintain" =>
+          val r = t.maintain(expireHistory =
+            byName.get("expire").exists(_.toString.toBoolean))
+          s"binpacked=${r.binpacked} posMerged=${r.posMerged} " +
+            s"expired=${r.expired}" +
+            r.expireRefusal.map(m => s" refusal=$m").getOrElse("")
+      }
+      reflectView(tname)
+      import spark.implicits._
+      Some(Seq((proc, tname,
+        getCurrentSnapshotId(tname).getOrElse(0L), detail))
+        .toDF("procedure", "table", "snapshot_id", "detail"))
+    case _ => None
   }
 
   /** Reference: `get_current_snapshot_id` (`icerunner.py:209-222`). */

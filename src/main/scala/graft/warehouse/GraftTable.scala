@@ -3554,10 +3554,15 @@ final class GraftTable private (
     // codegen-derived scan file name — the same mechanism as the
     // lineage firsts join. This keeps an N-append feed window at O(1)
     // scans instead of O(N) plans+unions (the r14 q108/q117 regression).
+    // deleteFiles.isEmpty is defense-in-depth: only eqdelete/posdelete
+    // commits carry tombstones today, but an append-named commit that
+    // ever did would break the constant-tombstone-set invariant the
+    // run coalescer relies on — pin it here, not in reviewers' heads
     def pureAppend(s: Snapshot): Boolean =
       (s.operation == "create" || s.operation == "append" ||
         s.operation == "publish") &&
-        s.removedFiles.isEmpty && s.addedFiles.nonEmpty
+        s.removedFiles.isEmpty && s.deleteFiles.isEmpty &&
+        s.addedFiles.nonEmpty
     def runInserts(run: Seq[Snapshot]): DataFrame = {
       import org.apache.spark.sql.functions.{broadcast, concat, raise_error, url_decode}
       import org.apache.spark.sql.types.{LongType, StringType, StructField, TimestampType}
@@ -4348,6 +4353,38 @@ final class GraftTable private (
       "added_files", "removed_files", "delete_files")
   }
 
+  /** Iceberg-style `$history` metadata table: when each snapshot became
+    * the table head. The log is LINEAR by construction (rollback
+    * commits a NEW snapshot instead of moving a pointer back), so the
+    * parent is the preceding retained snapshot and every retained
+    * snapshot is an ancestor of the head — the Iceberg-habituated
+    * column set, trivially satisfied. */
+  def historyDf: DataFrame = {
+    import spark.implicits._
+    val snaps = log.snapshots
+    snaps.zipWithIndex.map { case (s, i) =>
+      (new java.sql.Timestamp(s.timestampMs), s.snapshotId,
+        if (i == 0) None else Some(snaps(i - 1).snapshotId), true)
+    }.toDF("made_current_at", "snapshot_id", "parent_id",
+      "is_current_ancestor")
+  }
+
+  /** Iceberg-style `$manifests` metadata table: the manifest FILES
+    * behind the log — one immutable `vNNN.json` per snapshot (this
+    * engine's manifest granularity), with its on-disk size and the
+    * entry counts it records. Metadata-only driver fold. */
+  def manifestsDf: DataFrame = {
+    import spark.implicits._
+    log.snapshots.map { s =>
+      val rel = Paths.get("_snapshots").resolve(f"v${s.snapshotId}%016d.json")
+      val abs = dir.resolve(rel)
+      (rel.toString, if (Files.isRegularFile(abs)) Files.size(abs) else -1L,
+        s.snapshotId, s.addedFiles.size, s.removedFiles.size,
+        s.deleteFiles.size)
+    }.toDF("path", "length", "added_snapshot_id", "added_data_files_count",
+      "removed_data_files_count", "delete_files_count")
+  }
+
   /** Iceberg-style `$files` metadata table: the VISIBLE data files at
     * `asOf` with their manifest metadata — which snapshot added each
     * file, its recorded row count, and which columns carry prunable
@@ -4736,7 +4773,8 @@ object GraftTable {
   }
 
   def create(spark: SparkSession, dir: Path, name: String, data: DataFrame,
-      properties: Map[String, String] = Map.empty): Option[GraftTable] = {
+      properties: Map[String, String] = Map.empty,
+      spec: Seq[PartitionField] = Nil): Option[GraftTable] = {
     // absolute dir: the rewrite probes relativize input_file_name()'s
     // absolute URIs, which throws against a relative table dir
     val t = new GraftTable(name, dir.toAbsolutePath.normalize(), spark)
@@ -4744,6 +4782,14 @@ object GraftTable {
     else {
       Files.createDirectories(dir)
       t.log.init()
+      // hidden partitioning declared BEFORE the first write lays out
+      // the create payload itself transform-clustered (a partitioned
+      // CTAS needs no schema-only create + separate append)
+      if (spec.nonEmpty) {
+        spec.foreach(f => require(data.schema.fieldNames.contains(f.column),
+          s"partition column '${f.column}' not in schema of $name"))
+        t.setPartitionSpec(spec)
+      }
       t.append(data, properties = properties)
       Some(t)
     }

@@ -138,6 +138,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(top1 == 99999L, s"delta twin must be query 0's top-1, got $top1")
   }
 
+  test("IvfIndex.refresh is idempotent across a crash between delta append and re-stamp") {
+    import graft.operators.IvfIndex
+    import graft.warehouse.Connector
+    val whDir = java.nio.file.Files.createTempDirectory("graft-ivfidem-").toString
+    val emb = T.embeddings(spark, sf)
+    val c = new Connector(spark, whDir)
+    c.createTable("emb", emb)
+    IvfIndex.build(c, "emb", "vec_id", "embedding", nlist = 8)
+    val stamp1 = IvfIndex.stamp(c, "emb").get
+    // append-only drift, then a clean incremental refresh
+    c.insert("emb", emb.filter(col("vec_id") < 10)
+      .withColumn("vec_id", col("vec_id") + 1000000L))
+    assert(IvfIndex.refresh(c, "emb", "vec_id", "embedding", nlist = 8)
+      == "incremental")
+    val at = c.loadTable(IvfIndex.assignTable("emb"))
+    val n1 = at.read().count()
+    // simulate the crash: rewind the centroid STAMP to its pre-refresh
+    // value — exactly the on-disk state a crash between the delta
+    // append and the re-stamp leaves behind (delta landed, stamp stale)
+    val ct = c.loadTable(IvfIndex.centroidsTable("emb"))
+    ct.replace(ct.read(), properties = Map(
+      IvfIndex.StampKey -> stamp1._1.toString,
+      IvfIndex.NlistKey -> "8", IvfIndex.VecColKey -> "embedding"))
+    // the retry must re-stamp WITHOUT appending the same delta again
+    assert(IvfIndex.refresh(c, "emb", "vec_id", "embedding", nlist = 8)
+      == "incremental")
+    assert(c.loadTable(IvfIndex.assignTable("emb")).read().count() == n1,
+      "crash-retry refresh duplicated assignment rows")
+    assert(IvfIndex.fresh(c, "emb"))
+    // one assignment row per corpus vector — the no-duplicates invariant
+    assert(n1 == c.loadTable("emb").read()
+      .filter(col("embedding").isNotNull).count())
+  }
+
   test("minhash signature cache persists one relation, reused across calls and variants") {
     // a corpus plan UNIQUE to this test: the cache is session-lifetime
     // and other suites share the session, so asserting persist counts

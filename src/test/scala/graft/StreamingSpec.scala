@@ -824,4 +824,36 @@ class StreamingSpec extends AnyFunSuite {
     run()
     assert(seen.flatten.sorted == Seq(7L), s"delta after floor: $seen")
   }
+
+  test("table sink addBatch evaluates the micro-batch source plan exactly once") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft-sink1e").resolve("t")
+    val acc = spark.sparkContext.longAccumulator("sink-evals")
+    val bump = udf { id: Long => acc.add(1L); id }.asNondeterministic()
+    def batch() = spark.range(0, 1000, 1, 4).select(bump(col("id")).as("id"))
+    val sink = new graft.streaming.GraftTableSink(outDir, "app-1e",
+      complete = false)
+    // create path (batch 0): emptiness probe + create must share ONE
+    // evaluation of the source plan (each partition computed once)
+    sink.addBatch(0L, batch())
+    assert(acc.value == 1000L,
+      s"source plan evaluated ${acc.value} rows for 1000 — must be once")
+    val t = graft.warehouse.GraftTable.load(spark, outDir, "t").get
+    assert(t.read().count() == 1000)
+    // append path (batch 1): same single-evaluation contract
+    acc.reset()
+    sink.addBatch(1L, batch())
+    assert(acc.value == 1000L,
+      s"append path evaluated ${acc.value} rows for 1000 — must be once")
+    assert(t.read().count() == 2000)
+    // update path (merge keys): latest+guard+merge still one evaluation
+    val upDir = Files.createTempDirectory("graft-sink1eu").resolve("u")
+    val upSink = new graft.streaming.GraftTableSink(upDir, "app-1eu",
+      complete = false, mergeKeys = Seq("id"), orderCol = "id",
+      tiebreak = "id")
+    acc.reset()
+    upSink.addBatch(0L, batch())
+    assert(acc.value == 1000L,
+      s"update path evaluated ${acc.value} rows for 1000 — must be once")
+  }
 }

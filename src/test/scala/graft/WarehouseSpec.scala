@@ -3157,4 +3157,165 @@ class WarehouseSpec extends AnyFunSuite {
     t.updateWhere($"id" === 1L, Map("price" -> org.apache.spark.sql.functions.lit(11L)))
     assert(t.read().as[(Long, Long)].collect().toSet == Set((1L, 11L)))
   }
+
+  test("SQL plain CREATE TABLE: column list, DEFAULT, PARTITIONED BY transforms") {
+    val c = new Connector(spark, freshWarehouse())
+    // column-list DDL lands as a WAREHOUSE table (previously it fell
+    // through to Spark's catalog silently — a correctness trap)
+    c.sql("CREATE TABLE ct (id BIGINT, v STRING, tier STRING DEFAULT 'std')")
+    assert(c.tableExists("ct"))
+    assert(c.count("ct") == 0)
+    assert(c.loadTable("ct").schema.fieldNames.toSeq == Seq("id", "v", "tier"))
+    // an INSERT omitting the defaulted column fills the write-default
+    c.sql("INSERT INTO ct (id, v) VALUES (1, 'a')")
+    c.sql("INSERT INTO ct VALUES (2, 'b', 'gold')")
+    assert(c.sql("SELECT id, v, tier FROM ct ORDER BY id")
+      .as[(Long, String, String)].collect().toSeq ==
+      Seq((1L, "a", "std"), (2L, "b", "gold")))
+    // duplicate create refuses; IF NOT EXISTS no-ops
+    intercept[IllegalArgumentException] { c.sql("CREATE TABLE ct (x INT)") }
+    c.sql("CREATE TABLE IF NOT EXISTS ct (x INT)")
+    assert(c.loadTable("ct").schema.fieldNames.length == 3)
+    // PARTITIONED BY transforms route to hidden partitioning
+    c.sql("CREATE TABLE pt (k BIGINT, ts TIMESTAMP, name STRING) " +
+      "PARTITIONED BY (days(ts), bucket(4, k), truncate(2, name))")
+    val spec = c.loadTable("pt").partitionSpec
+    assert(spec.map(f => (f.kind, f.column, f.param)) ==
+      Seq(("day", "ts", 0), ("bucket", "k", 4), ("truncate", "name", 2)))
+    // writes land transform-clustered with per-file partition stats
+    c.sql("INSERT INTO pt VALUES " +
+      "(1, TIMESTAMP '2024-01-01 00:00:00', 'aa'), " +
+      "(2, TIMESTAMP '2024-03-05 00:00:00', 'bb')")
+    val statCols = c.sql("SELECT stat_columns FROM `pt$files`")
+      .as[Seq[String]].collect().flatten.toSet
+    assert(statCols.contains("p_day_ts") && statCols.contains("p_b4_k"),
+      s"partition stats missing: $statCols")
+    assert(c.sql("SELECT k FROM pt ORDER BY k").as[Long].collect().toSeq
+      == Seq(1L, 2L))
+    // an unsupported transform refuses loudly
+    val e = intercept[Exception] {
+      c.sql("CREATE TABLE bad (k BIGINT) PARTITIONED BY (weird(k))") }
+    assert(e.getMessage.contains("unsupported partition transform"))
+  }
+
+  test("SQL CTAS/RTAS with PARTITIONED BY lands the payload transform-clustered") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("src",
+      (1L to 100L).toDF("k").withColumn("g", $"k" % 10))
+    c.sql("CREATE TABLE pc PARTITIONED BY (bucket(4, g)) " +
+      "AS SELECT k, g FROM src")
+    val t = c.loadTable("pc")
+    assert(c.count("pc") == 100)
+    assert(t.partitionSpec.map(f => (f.kind, f.column, f.param)) ==
+      Seq(("bucket", "g", 4)))
+    // ONE create commit, payload already clustered under the spec
+    assert(t.log.snapshots.map(_.operation) == Seq("create"))
+    // every data file records the bucket stat (the prunable layout)
+    val stats = c.sql("SELECT stat_columns FROM `pc$files`")
+      .as[Seq[String]].collect()
+    assert(stats.nonEmpty && stats.forall(_.contains("p_b4_g")))
+    // a point probe reads a strict subset of files through the buckets
+    val all = t.read().inputFiles.length
+    val pruned = t.readWhereIn("g", Seq(3L)).inputFiles.length
+    assert(pruned < all, s"bucket probe read $pruned/$all files")
+    // RTAS over an existing table redeclares the spec for the payload
+    c.sql("REPLACE TABLE pc PARTITIONED BY (bucket(2, g)) " +
+      "AS SELECT k, g FROM src WHERE k <= 50")
+    assert(c.count("pc") == 50)
+    assert(c.loadTable("pc").partitionSpec.map(_.param) == Seq(2))
+  }
+
+  test("SQL VERSION AS OF resolves tags and branches; unknown ref refuses clearly") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, 10L)).toDF("id", "v"))  // s1
+    c.insert("t", Seq((2L, 20L)).toDF("id", "v"))       // s2
+    val t = c.loadTable("t")
+    t.tagSnapshot("v1.0", 1L)
+    t.createBranch("audit")
+    t.appendBranch("audit", Seq((3L, 30L)).toDF("id", "v"))
+    assert(c.sql("SELECT * FROM t VERSION AS OF 'v1.0'")
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L)))
+    // a branch name reads the audit view: main at the fork + staged
+    assert(c.sql("SELECT * FROM t VERSION AS OF 'audit'")
+      .as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // head unaffected by the staged branch
+    assert(c.sql("SELECT * FROM t").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    val e = intercept[IllegalArgumentException] {
+      c.sql("SELECT * FROM t VERSION AS OF 'nope'").collect() }
+    assert(e.getMessage.contains("no such ref"), e.getMessage)
+  }
+
+  test("SQL surfaces compose: time travel and meta tables inside DML/DDL statements") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, 10L)).toDF("id", "v"))  // s1
+    c.insert("t", Seq((2L, 20L)).toDF("id", "v"))       // s2
+    c.sql("DELETE FROM t WHERE id = 1")                 // s3
+    // INSERT whose source is an earlier cut of the SAME table
+    c.sql("INSERT INTO t SELECT id + 100, v FROM t VERSION AS OF 1")
+    assert(c.sql("SELECT * FROM t").as[(Long, Long)].collect().toSet ==
+      Set((2L, 20L), (101L, 10L)))
+    // CTAS from a metadata table
+    c.sql("CREATE TABLE ops AS SELECT operation FROM `t$snapshots`")
+    assert(c.count("ops") == c.loadTable("t").log.snapshots.size)
+    // meta table AND time travel in ONE statement
+    val r = c.sql("SELECT (SELECT count(*) FROM `t$files`) AS f, " +
+      "(SELECT count(*) FROM t VERSION AS OF 1) AS r").collect().head
+    assert(r.getLong(1) == 1L)
+    assert(r.getLong(0) > 0L)
+    // non-routed statements execute from the same single parse
+    c.sql("CREATE OR REPLACE TEMP VIEW tmpv AS SELECT 7 AS x")
+    assert(c.sql("SELECT x FROM tmpv").collect().head.getInt(0) == 7)
+  }
+
+  test("SQL CALL maintenance procedures: binpack, expire, vacuum, zorder") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
+    (2L to 9L).foreach(i => c.insert("t", Seq((i, "x")).toDF("id", "v")))
+    val t = c.loadTable("t")
+    val files0 = t.filesDf().count()
+    val r = c.sql("CALL graft.binpack('t')").collect().head
+    // uniform result contract across every procedure
+    assert(r.schema.fieldNames.toSeq ==
+      Seq("procedure", "table", "snapshot_id", "detail"))
+    assert(r.getString(0) == "binpack" && r.getString(1) == "t")
+    assert(r.getString(3).startsWith("binpacked"), r.getString(3))
+    assert(t.filesDf().count() < files0)
+    assert(t.read().count() == 9)
+    val snaps0 = t.log.snapshots.size
+    // named args + system prefix; default keep-point is a checkpoint
+    c.sql("CALL system.expire_snapshots(table => 't')")
+    assert(t.log.snapshots.size < snaps0)
+    assert(t.read().count() == 9)
+    val v = c.sql("CALL vacuum('t', 0)").collect().head.getString(3)
+    assert(v.startsWith("removed"), v)
+    assert(t.read().count() == 9)
+    // zorder: a full clustered rewrite
+    c.createTable("z", (1L to 100L).toDF("a").withColumn("b", $"a" % 7))
+    c.sql("CALL zorder('z', 'a', 'b')")
+    assert(c.loadTable("z").log.snapshots.last.operation == "compact")
+    assert(c.count("z") == 100)
+    // unknown procedure / non-warehouse table refuse with clear messages
+    val e = intercept[IllegalArgumentException] {
+      c.sql("CALL frobnicate('t')") }
+    assert(e.getMessage.contains("unknown procedure"))
+    intercept[NoSuchElementException] { c.sql("CALL binpack('missing')") }
+  }
+
+  test("$history and $manifests metadata tables") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
+    c.insert("t", Seq((2L, "b")).toDF("id", "v"))
+    val h = c.sql("SELECT * FROM `t$history` ORDER BY snapshot_id").collect()
+    assert(h.map(_.getLong(1)).toSeq == Seq(1L, 2L))
+    assert(h.head.isNullAt(2) && h(1).getLong(2) == 1L,
+      "parent chain must follow the linear log")
+    assert(h.forall(_.getBoolean(3)))
+    val m = c.sql("SELECT * FROM `t$manifests` ORDER BY added_snapshot_id")
+      .collect()
+    assert(m.length == 2)
+    assert(m.forall(_.getLong(1) > 0), "manifest files must exist on disk")
+    assert(m.map(r => r.getInt(3)).toSeq == Seq(1, 1))
+  }
 }
