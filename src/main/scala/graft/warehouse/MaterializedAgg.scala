@@ -121,38 +121,63 @@ final class MaterializedAgg private (
         (col(s"_delmax_$c").isNotNull &&
           (col(s"max_$c").isNull || col(s"_delmax_$c") >= col(s"max_$c"))))
         .reduce(_ || _)
-    val mergedAll = joined.select(
+    // MIN/MAX VIEWS ONLY: persist the touched-group aggregate. Its plan
+    // embeds the FEED (scans + netting window) and the redo probe must
+    // COLLECT it fully before view.merge runs its own 3-4 actions over
+    // the same input — without the cache that whole-feed evaluation
+    // happens once for the probe and again per merge action (the q138
+    // 1.3× drift this fixes; cross-run min back to 1.05× of r14).
+    // Abelian (sum-only) views deliberately stay UNCACHED: they have no
+    // probe collect, and merge's individual actions evaluate PRUNED
+    // projections of the lazy plan (key columns only for the probe)
+    // that a cache barrier would force to full materialization —
+    // measured slower on q117 when cached.
+    val mergedAll0 = joined.select(
       groupCols.map(col) ++ Seq(newCnt) ++ newSums ++ newMins ++ newMaxs :+
         (redoFlag &&
           (coalesce(col("cnt"), lit(0L)) + col("_dcnt")) > 0L).as("_redo"): _*)
+    val mergedAll =
+      if (minMaxCols.isEmpty) mergedAll0
+      else mergedAll0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     lastRedoScan = None
-    val merged =
-      if (minMaxCols.isEmpty) mergedAll.drop("_redo")
-      else {
-        val redoRows = mergedAll.filter(col("_redo"))
-          .select(groupCols.map(col): _*).collect()
-        if (redoRows.isEmpty) mergedAll.drop("_redo")
+    var redoCache: Option[DataFrame] = None
+    try {
+      val merged =
+        if (minMaxCols.isEmpty) mergedAll.drop("_redo")
         else {
-          // re-aggregate ONLY the affected groups from the base,
-          // file-pruned on the leading group column's recorded stats —
-          // the sub-full-scan path lastRedoScan witnesses
-          val spark = base.spark
-          val keySchema = org.apache.spark.sql.types.StructType(
-            groupCols.map(c => view.schema(c)))
-          val redoKeys = spark.createDataFrame(
-            java.util.Arrays.asList(redoRows: _*), keySchema)
-          val pruned = base.readWhereIn(groupCols.head,
-            redoRows.map(_.get(0)).distinct.toSeq, Some(head))
-          lastRedoScan = Some((pruned.inputFiles.length.toLong,
-            base.log.dataFiles(Some(head)).length.toLong))
-          val redoBase = pruned.join(broadcast(redoKeys), groupCols, "left_semi")
-          mergedAll.filter(!col("_redo")).drop("_redo")
-            .unionByName(aggregate(redoBase))
+          val redoRows = mergedAll.filter(col("_redo"))
+            .select(groupCols.map(col): _*).collect()
+          if (redoRows.isEmpty) mergedAll.drop("_redo")
+          else {
+            // re-aggregate ONLY the affected groups from the base,
+            // file-pruned on the leading group column's recorded stats —
+            // the sub-full-scan path lastRedoScan witnesses
+            val spark = base.spark
+            val keySchema = org.apache.spark.sql.types.StructType(
+              groupCols.map(c => view.schema(c)))
+            val redoKeys = spark.createDataFrame(
+              java.util.Arrays.asList(redoRows: _*), keySchema)
+            val pruned = base.readWhereIn(groupCols.head,
+              redoRows.map(_.get(0)).distinct.toSeq, Some(head))
+            lastRedoScan = Some((pruned.inputFiles.length.toLong,
+              base.log.dataFiles(Some(head)).length.toLong))
+            val redoBase = pruned.join(broadcast(redoKeys), groupCols, "left_semi")
+            // same multi-action argument: the pruned re-aggregate would
+            // otherwise re-scan per merge action
+            val redo = aggregate(redoBase)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            redoCache = Some(redo)
+            mergedAll.filter(!col("_redo")).drop("_redo").unionByName(redo)
+          }
         }
-      }
-    // emptied groups ride the merge's delete arm out of the view
-    view.merge(writeStatePendingThen(st, head, merged), groupCols,
-      whenMatchedDelete = col("cnt") === 0L)
+      // emptied groups ride the merge's delete arm out of the view
+      view.merge(writeStatePendingThen(st, head, merged), groupCols,
+        whenMatchedDelete = col("cnt") === 0L)
+    } finally {
+      if (minMaxCols.nonEmpty) { mergedAll.unpersist(); () }
+      redoCache.foreach(_.unpersist())
+    }
     writeState(statePath, State(head, 0L, view.currentSnapshotId.get))
     "incremental"
   }
