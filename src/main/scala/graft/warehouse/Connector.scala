@@ -525,6 +525,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           val cond = Option(d.condition).map(asCol).getOrElse(lit(true))
           done(name, loadTable(name).deleteWhere(cond))
         }
+      // TRUNCATE TABLE ≡ the unconditional transactional delete: one
+      // CoW commit empties the visible set, history stays travelable
+      // (TRUNCATE … PARTITION parses to TruncatePartition, which falls
+      // through and refuses in analysis — hidden partitioning has no
+      // addressable partitions)
+      case tr: TruncateTable =>
+        nameOf(tr.table).filter(tableExists).map { name =>
+          done(name, loadTable(name).deleteWhere(lit(true)))
+        }
       case m: MergeIntoTable =>
         nameOf(m.targetTable).filter(tableExists).map { name =>
           // arm conditions bind against ONE side each (GraftTable.merge
@@ -627,16 +636,18 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       }
     }
 
-  /** SQL `CALL` MAINTENANCE PROCEDURES (the Iceberg `CALL catalog.proc`
-    * shape; Spark parses CALL natively): the table-lifecycle verbs that
-    * aren't statements — compaction, history expiry, orphan reclaim —
-    * addressable as SQL text, routing to the same [[GraftTable]]
-    * composites the Scala API and CLI use. Names accept an optional
-    * `graft`/`system` prefix; arguments are positional or named
-    * (`table => 't'`) foldable expressions. Every procedure returns the
-    * SAME one-row shape `(procedure, table, snapshot_id, detail)` —
-    * snapshot_id is the table head AFTER the call.
+  /** SQL `CALL` PROCEDURES (the Iceberg `CALL catalog.proc` shape;
+    * Spark parses CALL natively): the table-lifecycle verbs that
+    * aren't statements — compaction, history expiry, orphan reclaim,
+    * snapshot refs, rollback — addressable as SQL text, routing to the
+    * same [[GraftTable]] composites the Scala API and CLI use. Names
+    * accept an optional `graft`/`system` prefix; arguments are
+    * positional or named (`table => 't'`) foldable expressions. Every
+    * procedure returns the SAME one-row shape
+    * `(procedure, table, snapshot_id, detail)` — snapshot_id is the
+    * table head AFTER the call.
     *
+    * Maintenance:
     *  - `binpack(table [, small_bytes, target_bytes])` — coalesce
     *    small files ([[GraftTable.compactSmall]]); no-op detail when
     *    nothing qualified.
@@ -645,7 +656,20 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     *  - `expire_snapshots(table [, keep_from_id])` — default keeps
     *    from a fresh [[GraftTable.checkpoint]] (the maintain shape).
     *  - `vacuum(table [, grace_ms])` — remove orphan files.
-    *  - `maintain(table [, expire])` — the full composite. */
+    *  - `maintain(table [, expire])` — the full composite.
+    *  - `checkpoint(table)` — self-contained snapshot (pre-expiry cut).
+    *
+    * History and refs (completing the WAP workflow as pure SQL text —
+    * Iceberg spells these `rollback_to_snapshot`, `create_tag`, …):
+    *  - `rollback_to_snapshot(table, snapshot_id)` — history-preserving
+    *    UNDO ([[GraftTable.rollbackTo]]).
+    *  - `create_tag(table, name [, snapshot_id])` / `drop_tag(table,
+    *    name)` — expiry-protected named pins, readable via
+    *    `VERSION AS OF 'name'`.
+    *  - `create_branch(table, name)` / `publish_branch(table, name)` /
+    *    `drop_branch(table, name)` — WAP staging: stage writes on the
+    *    branch (sink option or `appendBranch`), audit via
+    *    `VERSION AS OF 'name'`, fast-forward main or discard. */
   private def routeCall(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Option[DataFrame] = plan match {
@@ -672,9 +696,17 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         case "expire_snapshots" => Seq("table", "keep_from_id")
         case "vacuum"  => Seq("table", "grace_ms")
         case "maintain" => Seq("table", "expire")
+        case "checkpoint" => Seq("table")
+        case "rollback_to_snapshot" => Seq("table", "snapshot_id")
+        case "create_tag" => Seq("table", "name", "snapshot_id")
+        case "drop_tag" => Seq("table", "name")
+        case "create_branch" | "publish_branch" | "drop_branch" =>
+          Seq("table", "name")
         case other => throw new IllegalArgumentException(
           s"CALL: unknown procedure '$other' — supported: binpack, " +
-            "compact, zorder, expire_snapshots, vacuum, maintain")
+            "compact, zorder, expire_snapshots, vacuum, maintain, " +
+            "checkpoint, rollback_to_snapshot, create_tag, drop_tag, " +
+            "create_branch, publish_branch, drop_branch")
       }
       def eval(e: org.apache.spark.sql.catalyst.expressions.Expression): Any =
         spark.range(1)
@@ -734,6 +766,33 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           s"binpacked=${r.binpacked} posMerged=${r.posMerged} " +
             s"expired=${r.expired}" +
             r.expireRefusal.map(m => s" refusal=$m").getOrElse("")
+        case "checkpoint" =>
+          s"checkpointed at snapshot ${t.checkpoint().snapshotId}"
+        case "rollback_to_snapshot" =>
+          val id = num("snapshot_id", -1L)
+          require(id >= 0, "CALL rollback_to_snapshot: snapshot_id required")
+          s"rolled back to $id as snapshot ${t.rollbackTo(id).snapshotId}"
+        case "create_tag" =>
+          val n = byName.getOrElse("name", throw new IllegalArgumentException(
+            "CALL create_tag: 'name' argument is required")).toString
+          val id = t.tagSnapshot(n, num("snapshot_id", -1L))
+          s"tag '$n' pins snapshot $id"
+        case "drop_tag" =>
+          val n = byName.getOrElse("name", throw new IllegalArgumentException(
+            "CALL drop_tag: 'name' argument is required")).toString
+          t.dropTag(n); s"tag '$n' dropped"
+        case "create_branch" =>
+          val n = byName.getOrElse("name", throw new IllegalArgumentException(
+            "CALL create_branch: 'name' argument is required")).toString
+          s"branch '$n' forked at snapshot ${t.createBranch(n)}"
+        case "publish_branch" =>
+          val n = byName.getOrElse("name", throw new IllegalArgumentException(
+            "CALL publish_branch: 'name' argument is required")).toString
+          s"branch '$n' published as snapshot ${t.publishBranch(n).snapshotId}"
+        case "drop_branch" =>
+          val n = byName.getOrElse("name", throw new IllegalArgumentException(
+            "CALL drop_branch: 'name' argument is required")).toString
+          t.dropBranch(n); s"branch '$n' dropped"
       }
       reflectView(tname)
       import spark.implicits._

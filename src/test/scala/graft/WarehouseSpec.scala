@@ -3303,6 +3303,44 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[NoSuchElementException] { c.sql("CALL binpack('missing')") }
   }
 
+  test("SQL CALL ref procedures: the WAP workflow and rollback as pure SQL text") {
+    val c = new Connector(spark, freshWarehouse())
+    c.createTable("t", Seq((1L, 10L)).toDF("id", "v"))    // s1
+    c.sql("INSERT INTO t VALUES (2, 20)")                 // s2
+    // tag + read back through VERSION AS OF
+    val rt = c.sql("CALL create_tag('t', 'v1', 1)").collect().head
+    assert(rt.getString(3).contains("pins snapshot 1"))
+    assert(c.sql("SELECT * FROM t VERSION AS OF 'v1'")
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L)))
+    // WAP: fork, stage (Scala append — sinks/appendBranch stage here),
+    // audit via the branch ref, publish fast-forwards main
+    c.sql("CALL create_branch('t', 'wap')")
+    c.loadTable("t").appendBranch("wap", Seq((3L, 30L)).toDF("id", "v"))
+    assert(c.sql("SELECT count(*) AS n FROM t VERSION AS OF 'wap'")
+      .collect().head.getLong(0) == 3L)
+    assert(c.sql("SELECT count(*) AS n FROM t").collect().head.getLong(0)
+      == 2L, "staged rows must be invisible on main before publish")
+    c.sql("CALL publish_branch('t', 'wap')")              // s3
+    assert(c.sql("SELECT count(*) AS n FROM t").collect().head.getLong(0)
+      == 3L)
+    // rollback: history-preserving undo of the publish
+    val rb = c.sql("CALL rollback_to_snapshot('t', 2)").collect().head
+    assert(rb.getString(3).startsWith("rolled back to 2"))
+    assert(c.sql("SELECT * FROM t").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    // checkpoint + drop_tag round out the lifecycle
+    assert(c.sql("CALL checkpoint('t')").collect().head
+      .getString(3).startsWith("checkpointed"))
+    c.sql("CALL drop_tag('t', 'v1')")
+    intercept[Exception] {
+      c.sql("SELECT * FROM t VERSION AS OF 'v1'").collect() }
+    // TRUNCATE TABLE: one transactional commit empties the table
+    c.sql("TRUNCATE TABLE t")
+    assert(c.sql("SELECT count(*) AS n FROM t").collect().head.getLong(0)
+      == 0L)
+    assert(c.loadTable("t").log.snapshots.last.operation == "delete")
+  }
+
   test("$history and $manifests metadata tables") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
