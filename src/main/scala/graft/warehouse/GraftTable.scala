@@ -921,17 +921,28 @@ final class GraftTable private (
     val effCluster =
       if (clusterBy.nonEmpty) clusterBy
       else sortOrder.filter(df.schema.fieldNames.contains)
+    val pspec = partitionSpec
+      .filter(f => df.schema.fieldNames.contains(f.column))
     val out =
-      if (effCluster.isEmpty) df
-      else {
+      if (effCluster.nonEmpty) {
         val cols = effCluster.map(org.apache.spark.sql.functions.col)
         // explicit partition count pins file granularity (AQE otherwise
         // coalesces small test/tail writes into one wide-range file)
         if (clusterParts > 0) df.repartitionByRange(clusterParts, cols: _*)
         else df.repartitionByRange(cols: _*)
-      }
-    val pspec = partitionSpec
-      .filter(f => df.schema.fieldNames.contains(f.column))
+      } else if (pspec.nonEmpty) {
+        // hash write distribution (Iceberg's distribution-mode=hash):
+        // an UNSHUFFLED partitioned write emits one file per
+        // (partition value × task) — at cluster scale that is
+        // tasks × |values| small files per commit. One shuffle keyed
+        // on the partition-derivation expressions puts each value in
+        // exactly one task → one file per value per commit. A hot
+        // value serializes into its one task; writers needing
+        // intra-value parallelism pass clusterBy (range clustering
+        // keeps multi-task splits) — same trade Iceberg documents.
+        df.repartition(pspec.map(f =>
+          f.expr(df.schema(f.column).dataType)): _*)
+      } else df
     if (pspec.isEmpty) out.write.parquet(commitDir.toString)
     else {
       // derive partition values with codegen'd expressions, let Spark

@@ -3341,6 +3341,31 @@ class WarehouseSpec extends AnyFunSuite {
     assert(c.loadTable("t").log.snapshots.last.operation == "delete")
   }
 
+  test("partitioned append hash-distributes: one file per partition value per commit") {
+    val c = new Connector(spark, freshWarehouse())
+    val df = spark.range(0, 10000, 1, 8).select($"id".as("k"))
+      .withColumn("g", $"k" % 5)
+    // spec declared at create: the empty partitioned create writes NO
+    // data file (vs one empty file for an unpartitioned empty create)
+    c.createTable("hd", df.limit(0),
+      spec = Seq(graft.warehouse.PartitionField("identity", "g")))
+    val t = c.loadTable("hd")
+    assert(t.filesDf().count() == 0)
+    // 8 input partitions × 5 values would be up to 40 files unshuffled;
+    // the hash write distribution lands exactly one file per value
+    t.append(df)
+    assert(t.filesDf().count() == 5,
+      s"expected one file per partition value, got ${t.filesDf().count()}")
+    assert(t.read().count() == 10000)
+    val pruned = t.readWhereIn("g", Seq(2L)).inputFiles.length
+    assert(pruned == 1, s"point probe read $pruned files")
+    // an explicit clusterBy overrides the distribution (intra-value
+    // parallelism stays available for hot values): 4 range tasks each
+    // spanning the g values → more than one file per value
+    t.append(df, clusterBy = Seq("k"), clusterParts = 4)
+    assert(t.filesDf().count() >= 5 + 4)
+  }
+
   test("$history and $manifests metadata tables") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
