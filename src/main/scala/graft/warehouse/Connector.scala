@@ -267,26 +267,25 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             val t = loadTable(name)
             val pinned = (tt.version, tt.timestamp) match {
               case (Some(v), _) =>
-                v.toLongOption match {
-                  case Some(id) =>
-                    // read(asOf) resolves "files at-or-before the cut",
-                    // so a nonexistent future version would silently
-                    // read the head — require the snapshot (retained)
-                    require(t.log.snapshots.exists(_.snapshotId == id),
-                      s"VERSION AS OF $id on $name: no such snapshot " +
-                        s"(head ${t.currentSnapshotId.getOrElse(0L)})")
-                    t.read(Some(id))
-                  case None =>
-                    t.tags.get(v).map(id => t.read(Some(id)))
-                      .orElse(if (t.branches.contains(v))
-                        Some(t.readBranch(v)) else None)
-                      .getOrElse(throw new IllegalArgumentException(
-                        s"VERSION AS OF '$v' on $name: expects a " +
-                          "snapshot id, tag, or branch name — no such " +
-                          s"ref (tags: ${t.tags.keys.toSeq.sorted
-                            .mkString(", ")}; branches: ${t.branches
-                            .mkString(", ")})"))
-                }
+                // the parser erases the quote distinction (version is a
+                // bare string either way), so resolution is: RETAINED
+                // snapshot id first, then tag, then branch. An all-digit
+                // tag is reachable unless it collides with a retained
+                // snapshot id of the same spelling — read(asOf) resolves
+                // "files at-or-before the cut", so a nonexistent future
+                // id must refuse here, not silently read the head.
+                val asId = v.toLongOption
+                asId.filter(id => t.log.snapshots.exists(_.snapshotId == id))
+                  .map(id => t.read(Some(id)))
+                  .orElse(t.tags.get(v).map(id => t.read(Some(id))))
+                  .orElse(if (t.branches.contains(v))
+                    Some(t.readBranch(v)) else None)
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"VERSION AS OF '$v' on $name: no such ref — " +
+                      "expects a retained snapshot id, tag, or branch " +
+                      s"name (head ${t.currentSnapshotId.getOrElse(0L)}, " +
+                      s"tags: ${t.tags.keys.toSeq.sorted.mkString(", ")}; " +
+                      s"branches: ${t.branches.mkString(", ")})"))
               case (_, Some(ts)) =>
                 // evaluate the (foldable) timestamp expression once on
                 // the driver, session-timezone semantics included
@@ -341,6 +340,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       // itself is transform-clustered.
       case cts: CreateTableAsSelect =>
         identOf(cts.name).map { name =>
+          requirePlainTableSpec(name, cts.tableSpec)
           val spec = partitionFieldsOf(name, cts.partitioning)
           val df = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, cts.query)
           val existed = tableExists(name)
@@ -359,6 +359,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       // catalog, silently creating a non-warehouse table
       case ct: CreateTable =>
         identOf(ct.name).map { name =>
+          requirePlainTableSpec(name, ct.tableSpec)
           val spec = partitionFieldsOf(name, ct.partitioning)
           val fields = ct.columns.map { c =>
             require(c.generationExpression.isEmpty &&
@@ -370,22 +371,13 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             c.defaultValue match {
               case None => f
               case Some(dv) =>
-                // same canonical-literal discipline as ALTER TABLE ADD
-                // COLUMN … DEFAULT (addColumns): validate + render once
+                // the ONE default-metadata discipline, shared with
+                // ALTER TABLE ADD COLUMN ([[GraftTable.withDefaultMetadata]])
                 val v = spark.range(1)
                   .select(org.apache.spark.sql.GraftColumnBridge
                     .column(dv.child).cast(c.dataType))
                   .collect().head.get(0)
-                require(v != null, s"CREATE TABLE $name: DEFAULT for " +
-                  s"'${c.name}' must be a non-null constant (a null " +
-                  "default IS the plain nullable column)")
-                val sqlText = org.apache.spark.sql.catalyst.expressions
-                  .Literal.create(v, c.dataType).sql
-                f.copy(metadata =
-                  new org.apache.spark.sql.types.MetadataBuilder()
-                    .putString(GraftTable.ExistsDefaultKey, sqlText)
-                    .putString(GraftTable.CurrentDefaultKey, sqlText)
-                    .build())
+                GraftTable.withDefaultMetadata(f, v)
             }
           }
           val existed = tableExists(name)
@@ -403,6 +395,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         }
       case rts: ReplaceTableAsSelect =>
         identOf(rts.name).map { name =>
+          requirePlainTableSpec(name, rts.tableSpec)
           val spec = partitionFieldsOf(name, rts.partitioning)
           val df = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rts.query)
           if (tableExists(name)) {
@@ -618,6 +611,32 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     }
   }
 
+  /** Refuse CREATE TABLE clauses this surface cannot honor — silently
+    * discarding a LOCATION or TBLPROPERTIES while still creating a
+    * warehouse table would be worse than either honoring or refusing
+    * (the statement used to reach Spark's catalog, which honored
+    * them). `USING parquet` is accepted (warehouse tables ARE
+    * parquet); a COMMENT is accepted and ignored (cosmetic). */
+  private def requirePlainTableSpec(name: String,
+      spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase)
+      : Unit = spec match {
+    case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+      def no(cond: Boolean, what: String): Unit = require(cond,
+        s"CREATE TABLE $name: $what is not supported on warehouse " +
+          "tables — this surface cannot honor it, refusing rather " +
+          "than silently dropping it")
+      no(u.properties.isEmpty, "TBLPROPERTIES")
+      no(u.provider.forall(_.equalsIgnoreCase("parquet")),
+        s"USING ${u.provider.getOrElse("")}")
+      no(u.optionExpression.options.isEmpty, "OPTIONS")
+      no(u.location.isEmpty, "LOCATION (tables live in the warehouse)")
+      no(u.serde.isEmpty, "a serde clause")
+      no(!u.external, "EXTERNAL")
+      no(u.constraints.isEmpty,
+        "a CREATE-time constraint (use GraftTable.addCheckConstraint)")
+    case _ => ()
+  }
+
   /** Map SQL `PARTITIONED BY` transforms to the warehouse's hidden-
     * partitioning [[PartitionField]]s — identity, years/months/days/
     * hours, bucket(n, col), truncate(w, col). Anything else (nested
@@ -670,44 +689,56 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     *    `drop_branch(table, name)` — WAP staging: stage writes on the
     *    branch (sink option or `appendBranch`), audit via
     *    `VERSION AS OF 'name'`, fast-forward main or discard. */
+  private val callParams: Map[String, Seq[String]] = Map(
+    "binpack" -> Seq("table", "small_bytes", "target_bytes"),
+    "compact" -> Seq("table", "target_files"),
+    "zorder" -> Seq("table", "col1", "col2", "col3", "col4"),
+    "expire_snapshots" -> Seq("table", "keep_from_id"),
+    "vacuum" -> Seq("table", "grace_ms"),
+    "maintain" -> Seq("table", "expire"),
+    "checkpoint" -> Seq("table"),
+    "rollback_to_snapshot" -> Seq("table", "snapshot_id"),
+    "create_tag" -> Seq("table", "name", "snapshot_id"),
+    "drop_tag" -> Seq("table", "name"),
+    "create_branch" -> Seq("table", "name"),
+    "publish_branch" -> Seq("table", "name"),
+    "drop_branch" -> Seq("table", "name"))
+
   private def routeCall(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Option[DataFrame] = plan match {
     case c: org.apache.spark.sql.catalyst.plans.logical.Call =>
       import org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression
-      val proc = c.procedure match {
+      // names WE claim: bare known names, and anything under the
+      // graft/system prefix (unknown there refuses with the supported
+      // list). Everything else — other catalogs, unknown bare names —
+      // returns None and falls through to Catalyst, which reports its
+      // own procedure resolution (the same fall-through contract as
+      // every other router).
+      val procOpt: Option[String] = c.procedure match {
         case p: org.apache.spark.sql.catalyst.analysis.UnresolvedProcedure =>
           p.nameParts match {
-            case Seq(one) => one.toLowerCase
+            case Seq(one) if callParams.contains(one.toLowerCase) =>
+              Some(one.toLowerCase)
             case Seq(pre, two) if Set("graft", "system")(pre.toLowerCase) =>
-              two.toLowerCase
-            case other => throw new IllegalArgumentException(
-              s"CALL: unknown procedure namespace '${other.mkString(".")}'")
+              require(callParams.contains(two.toLowerCase),
+                s"CALL $pre.$two: unknown procedure — supported: " +
+                  callParams.keys.toSeq.sorted.mkString(", "))
+              Some(two.toLowerCase)
+            case _ => None
           }
-        case other => throw new IllegalArgumentException(
-          s"CALL: unsupported procedure plan '$other'")
+        case _ => None
       }
+      procOpt.map(proc => runCall(c, proc))
+    case _ => None
+  }
+
+  private def runCall(c: org.apache.spark.sql.catalyst.plans.logical.Call,
+      proc: String): DataFrame = {
+      import org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression
       // each procedure's declared parameter order resolves named args;
       // values evaluate driver-side as foldable expressions
-      val paramNames: Seq[String] = proc match {
-        case "binpack" => Seq("table", "small_bytes", "target_bytes")
-        case "compact" => Seq("table", "target_files")
-        case "zorder"  => Seq("table", "col1", "col2", "col3", "col4")
-        case "expire_snapshots" => Seq("table", "keep_from_id")
-        case "vacuum"  => Seq("table", "grace_ms")
-        case "maintain" => Seq("table", "expire")
-        case "checkpoint" => Seq("table")
-        case "rollback_to_snapshot" => Seq("table", "snapshot_id")
-        case "create_tag" => Seq("table", "name", "snapshot_id")
-        case "drop_tag" => Seq("table", "name")
-        case "create_branch" | "publish_branch" | "drop_branch" =>
-          Seq("table", "name")
-        case other => throw new IllegalArgumentException(
-          s"CALL: unknown procedure '$other' — supported: binpack, " +
-            "compact, zorder, expire_snapshots, vacuum, maintain, " +
-            "checkpoint, rollback_to_snapshot, create_tag, drop_tag, " +
-            "create_branch, publish_branch, drop_branch")
-      }
+      val paramNames = callParams(proc)
       def eval(e: org.apache.spark.sql.catalyst.expressions.Expression): Any =
         spark.range(1)
           .select(org.apache.spark.sql.GraftColumnBridge.column(e))
@@ -716,11 +747,19 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       var pos = 0
       c.args.foreach {
         case n: NamedArgumentExpression =>
-          require(paramNames.contains(n.key.toLowerCase),
+          val k = n.key.toLowerCase
+          require(paramNames.contains(k),
             s"CALL $proc: unknown argument '${n.key}' " +
               s"(expects ${paramNames.mkString(", ")})")
-          byName(n.key.toLowerCase) = eval(n.value)
+          require(!byName.contains(k),
+            s"CALL $proc: duplicate argument '${n.key}'")
+          byName(k) = eval(n.value)
         case e =>
+          // a positional arg fills the next UNCLAIMED slot — a named
+          // arg may already hold an earlier position (binding strictly
+          // by counter would silently overwrite it)
+          while (pos < paramNames.length && byName.contains(paramNames(pos)))
+            pos += 1
           require(pos < paramNames.length,
             s"CALL $proc: too many arguments " +
               s"(expects ${paramNames.mkString(", ")})")
@@ -796,10 +835,8 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       }
       reflectView(tname)
       import spark.implicits._
-      Some(Seq((proc, tname,
-        getCurrentSnapshotId(tname).getOrElse(0L), detail))
-        .toDF("procedure", "table", "snapshot_id", "detail"))
-    case _ => None
+      Seq((proc, tname, getCurrentSnapshotId(tname).getOrElse(0L), detail))
+        .toDF("procedure", "table", "snapshot_id", "detail")
   }
 
   /** Reference: `get_current_snapshot_id` (`icerunner.py:209-222`). */

@@ -1922,7 +1922,12 @@ final class GraftTable private (
         .filter(f => df.schema.fieldNames.contains(f.column))
       if (pspec.isEmpty) df.write.parquet(commitDir.toString)
       else {
-        val withP = pspec.foldLeft(df) { (dd, f) =>
+        // same hash write distribution as append: one shuffle keyed on
+        // the partition values → one file per value per commit, not
+        // one per (value × task)
+        val dist = df.repartition(pspec.map(f =>
+          f.expr(df.schema(f.column).dataType)): _*)
+        val withP = pspec.foldLeft(dist) { (dd, f) =>
           dd.withColumn(f.statName, f.expr(df.schema(f.column).dataType))
         }
         withP.write.partitionBy(pspec.map(_.statName): _*)
@@ -2016,21 +2021,7 @@ final class GraftTable private (
     val added = added0.map { f =>
       defaults.get(f.name) match {
         case None => f
-        case Some(v) =>
-          require(v != null, s"default for '${f.name}' must be a non-null " +
-            "constant (a null default IS the plain nullable add)")
-          // Literal.create both validates convertibility to the declared
-          // type and renders the canonical SQL literal text every future
-          // read re-parses (string escaping, timestamp/date forms)
-          val sqlText =
-            try org.apache.spark.sql.catalyst.expressions.Literal
-              .create(v, f.dataType).sql
-            catch { case e: Exception => throw new IllegalArgumentException(
-              s"default for '${f.name}' is not a ${f.dataType} constant: $v", e) }
-          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putString(GraftTable.ExistsDefaultKey, sqlText)
-            .putString(GraftTable.CurrentDefaultKey, sqlText).build())
+        case Some(v) => GraftTable.withDefaultMetadata(f, v)
       }
     }
     val evolved = StructType(current.fields ++ added)
@@ -4592,6 +4583,29 @@ object GraftTable {
     * literal rendered by `Literal.sql`. */
   val ExistsDefaultKey = "EXISTS_DEFAULT"
   val CurrentDefaultKey = "CURRENT_DEFAULT"
+
+  /** Stamp a field with its v3 initial/write-default pair — the ONE
+    * canonical-literal rendering discipline, shared by ALTER TABLE ADD
+    * COLUMN ([[GraftTable.addColumns]]) and SQL column-list CREATE
+    * TABLE ([[graft.warehouse.Connector]]). Literal.create both
+    * validates convertibility to the declared type and renders the SQL
+    * literal text every future read re-parses (string escaping,
+    * timestamp/date forms). */
+  private[graft] def withDefaultMetadata(
+      f: org.apache.spark.sql.types.StructField, v: Any)
+      : org.apache.spark.sql.types.StructField = {
+    require(v != null, s"default for '${f.name}' must be a non-null " +
+      "constant (a null default IS the plain nullable add)")
+    val sqlText =
+      try org.apache.spark.sql.catalyst.expressions.Literal
+        .create(v, f.dataType).sql
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"default for '${f.name}' is not a ${f.dataType} constant: $v", e) }
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putString(ExistsDefaultKey, sqlText)
+      .putString(CurrentDefaultKey, sqlText).build())
+  }
 
   /** The parsed default expression of a field, if it declares one. */
   private[warehouse] def defaultOf(f: org.apache.spark.sql.types.StructField)

@@ -3196,6 +3196,17 @@ class WarehouseSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       c.sql("CREATE TABLE bad (k BIGINT) PARTITIONED BY (weird(k))") }
     assert(e.getMessage.contains("unsupported partition transform"))
+    // clauses this surface cannot honor refuse instead of silently
+    // dropping (the statement used to reach Spark's catalog)
+    intercept[IllegalArgumentException] {
+      c.sql("CREATE TABLE ext (x INT) LOCATION '/tmp/elsewhere'") }
+    intercept[IllegalArgumentException] {
+      c.sql("CREATE TABLE ext (x INT) TBLPROPERTIES ('a'='b')") }
+    intercept[IllegalArgumentException] {
+      c.sql("CREATE TABLE ext (x INT) USING json") }
+    assert(!c.tableExists("ext"))
+    c.sql("CREATE TABLE up (x INT) USING parquet") // parquet IS the format
+    assert(c.tableExists("up"))
   }
 
   test("SQL CTAS/RTAS with PARTITIONED BY lands the payload transform-clustered") {
@@ -3245,6 +3256,11 @@ class WarehouseSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       c.sql("SELECT * FROM t VERSION AS OF 'nope'").collect() }
     assert(e.getMessage.contains("no such ref"), e.getMessage)
+    // an all-digit TAG resolves through the ref fallback when no
+    // retained snapshot has that id
+    t.tagSnapshot("2024", 1L)
+    assert(c.sql("SELECT * FROM t VERSION AS OF '2024'")
+      .as[(Long, Long)].collect().toSet == Set((1L, 10L)))
   }
 
   test("SQL surfaces compose: time travel and meta tables inside DML/DDL statements") {
@@ -3296,11 +3312,21 @@ class WarehouseSpec extends AnyFunSuite {
     c.sql("CALL zorder('z', 'a', 'b')")
     assert(c.loadTable("z").log.snapshots.last.operation == "compact")
     assert(c.count("z") == 100)
-    // unknown procedure / non-warehouse table refuse with clear messages
+    // an unknown name under OUR prefix refuses with the supported list;
+    // an unknown bare name is NOT ours — it falls through to Catalyst,
+    // which reports its own procedure resolution; a known procedure on
+    // a non-warehouse table refuses from loadTable
     val e = intercept[IllegalArgumentException] {
-      c.sql("CALL frobnicate('t')") }
+      c.sql("CALL graft.frobnicate('t')") }
     assert(e.getMessage.contains("unknown procedure"))
+    intercept[Exception] { c.sql("CALL frobnicate('t')") }
     intercept[NoSuchElementException] { c.sql("CALL binpack('missing')") }
+    // positional args fill the next UNCLAIMED slot around named ones
+    c.createTable("t2", Seq((1L, "a")).toDF("id", "v"))
+    c.sql("CALL create_tag(name => 'v1', 't2', 1)")
+    assert(c.loadTable("t2").tags == Map("v1" -> 1L))
+    intercept[IllegalArgumentException] {
+      c.sql("CALL create_tag('t2', name => 'a', name => 'b')") }
   }
 
   test("SQL CALL ref procedures: the WAP workflow and rollback as pure SQL text") {
