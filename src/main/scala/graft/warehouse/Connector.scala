@@ -444,6 +444,36 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             org.apache.spark.sql.types.StructType(fields),
             defaults.flatten.toMap))
         }
+      // ALTER COLUMN … SET DEFAULT k / DROP DEFAULT: the mutable
+      // write-default half ([[GraftTable.setColumnDefault]]); type,
+      // nullability, position, and comment changes refuse loudly
+      case ac: AlterColumns =>
+        nameOf(ac.table).filter(tableExists).map { name =>
+          val t = loadTable(name)
+          var last: Option[Snapshot] = None
+          ac.specs.foreach { s =>
+            require(s.column.name.length == 1,
+              s"ALTER TABLE $name: nested column alters are not supported")
+            require(s.newDataType.isEmpty && s.newNullability.isEmpty &&
+                s.newPosition.isEmpty && s.newComment.isEmpty,
+              s"ALTER TABLE $name ALTER COLUMN: only SET DEFAULT and " +
+                "DROP DEFAULT are supported (type/nullability/position/" +
+                "comment changes refuse)")
+            val cn = s.column.name.head
+            if (s.dropDefault) last = Some(t.setColumnDefault(cn, None))
+            s.newDefaultExpression.foreach { dv =>
+              val dt = t.schema(cn).dataType
+              val v = spark.range(1)
+                .select(org.apache.spark.sql.GraftColumnBridge
+                  .column(dv.child).cast(dt))
+                .collect().head.get(0)
+              last = Some(t.setColumnDefault(cn, Some(v)))
+            }
+          }
+          done(name, last.getOrElse(throw new IllegalArgumentException(
+            s"ALTER TABLE $name ALTER COLUMN: nothing to do — " +
+              "only SET DEFAULT / DROP DEFAULT are supported")))
+        }
       case rc: RenameColumn =>
         nameOf(rc.table).filter(tableExists).map { name =>
           require(rc.column.name.length == 1,

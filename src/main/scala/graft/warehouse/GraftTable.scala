@@ -893,7 +893,7 @@ final class GraftTable private (
     val df = existing.map { h =>
       val expected = DataType.fromJson(h.schemaJson).asInstanceOf[StructType]
       val missing = expected.fields.filter(f =>
-        !df0.columns.contains(f.name) && GraftTable.defaultOf(f).nonEmpty)
+        !df0.columns.contains(f.name) && GraftTable.writeDefaultOf(f).nonEmpty)
       // fill ONLY when the incoming columns are a subset of the table's
       // — an unknown extra column (a typo'd name) must keep failing the
       // schema check loudly, not be silently discarded by the reorder
@@ -903,7 +903,7 @@ final class GraftTable private (
             df0.columns.contains(n) || missing.exists(_.name == n))) df0
       else {
         val filled = missing.foldLeft(df0)((d, f) =>
-          d.withColumn(f.name, GraftTable.defaultOf(f).get))
+          d.withColumn(f.name, GraftTable.writeDefaultOf(f).get))
         filled.select(expected.fieldNames.toSeq.map(
           org.apache.spark.sql.functions.col): _*)
       }
@@ -2025,6 +2025,38 @@ final class GraftTable private (
       }
     }
     val evolved = StructType(current.fields ++ added)
+    log.commit("evolve", Seq.empty, evolved.json)
+  }
+
+  /** Change (SET) or remove (DROP, `value = None`) a column's
+    * WRITE-default — the MUTABLE half of the v3 pair: future writers
+    * omitting the column get the new constant (or must supply it after
+    * a drop), while the INITIAL (exists) default stays frozen so rows
+    * in files predating the column keep reading the value it was added
+    * with. Metadata-only `evolve` commit, zero rewrite — same contract
+    * as Iceberg's ALTER COLUMN … SET DEFAULT. */
+  def setColumnDefault(colName: String, value: Option[Any]): Snapshot = {
+    val current = schema
+    require(current.fieldNames.contains(colName),
+      s"no column '$colName' on $name")
+    val evolved = StructType(current.fields.map { f =>
+      if (f.name != colName) f
+      else value match {
+        case Some(v) =>
+          // render through the one shared discipline, then keep ONLY
+          // the write half — the exists half must not move
+          val rendered = GraftTable.withDefaultMetadata(
+            f.copy(metadata = org.apache.spark.sql.types.Metadata.empty), v)
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(GraftTable.CurrentDefaultKey, rendered.metadata
+              .getString(GraftTable.CurrentDefaultKey)).build())
+        case None =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .remove(GraftTable.CurrentDefaultKey).build())
+      }
+    })
     log.commit("evolve", Seq.empty, evolved.json)
   }
 
@@ -4607,12 +4639,27 @@ object GraftTable {
       .putString(CurrentDefaultKey, sqlText).build())
   }
 
-  /** The parsed default expression of a field, if it declares one. */
+  /** The parsed INITIAL (exists) default of a field — the frozen half
+    * of the v3 pair: what rows in files PREDATING the column read.
+    * Used by the read-side era projection (Spark's own parquet reader
+    * consumes the same EXISTS_DEFAULT metadata on the fast path). */
   private[warehouse] def defaultOf(f: org.apache.spark.sql.types.StructField)
       : Option[org.apache.spark.sql.Column] =
     if (f.metadata.contains(ExistsDefaultKey))
       Some(org.apache.spark.sql.functions
         .expr(f.metadata.getString(ExistsDefaultKey)).cast(f.dataType))
+    else None
+
+  /** The parsed WRITE (current) default of a field — the MUTABLE half
+    * ([[GraftTable.setColumnDefault]]): what a writer omitting the
+    * column gets. Distinct from [[defaultOf]] so SET DEFAULT changes
+    * future writes without rewriting what old files read. */
+  private[warehouse] def writeDefaultOf(
+      f: org.apache.spark.sql.types.StructField)
+      : Option[org.apache.spark.sql.Column] =
+    if (f.metadata.contains(CurrentDefaultKey))
+      Some(org.apache.spark.sql.functions
+        .expr(f.metadata.getString(CurrentDefaultKey)).cast(f.dataType))
     else None
 
   /** Snapshot-property keys of the streaming-sink transaction markers

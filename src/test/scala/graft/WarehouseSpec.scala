@@ -3392,6 +3392,33 @@ class WarehouseSpec extends AnyFunSuite {
     assert(t.filesDf().count() >= 5 + 4)
   }
 
+  test("ALTER COLUMN SET/DROP DEFAULT: mutable write-default, frozen initial default") {
+    val c = new Connector(spark, freshWarehouse())
+    c.sql("CREATE TABLE d (id BIGINT, tier STRING DEFAULT 'std')")
+    c.sql("INSERT INTO d (id) VALUES (1)")
+    c.sql("ALTER TABLE d ALTER COLUMN tier SET DEFAULT 'gold'")
+    c.sql("INSERT INTO d (id) VALUES (2)")
+    assert(c.sql("SELECT id, tier FROM d ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "std"), (2L, "gold")),
+      "each insert takes the write-default in force at ITS commit")
+    // DROP DEFAULT: omitting the column now refuses (no fill to apply)
+    c.sql("ALTER TABLE d ALTER COLUMN tier DROP DEFAULT")
+    intercept[Exception] { c.sql("INSERT INTO d (id) VALUES (3)") }
+    // the INITIAL default stays frozen: rows in files that PREDATE an
+    // added column keep reading the value it was added with, even
+    // after the write half moves
+    c.sql("ALTER TABLE d ADD COLUMN r STRING DEFAULT 'a'")
+    c.sql("ALTER TABLE d ALTER COLUMN r SET DEFAULT 'b'")
+    c.sql("INSERT INTO d (id, tier) VALUES (4, 'x')")
+    assert(c.sql("SELECT id, r FROM d ORDER BY id")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "a"), (4L, "b")))
+    // unsupported alters refuse loudly
+    intercept[IllegalArgumentException] {
+      c.sql("ALTER TABLE d ALTER COLUMN tier COMMENT 'nope'") }
+  }
+
   test("$history and $manifests metadata tables") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
