@@ -2691,6 +2691,74 @@ object Warehouse {
         t.read().count() == rows0 && t.validate().isEmpty
       t.read().withColumn("mt_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q174: the WAP workflow as pure SQL text (r16) ----------------
+    // Write-Audit-Publish end-to-end with NOTHING but sql() strings and
+    // one staging append: CALL create_branch forks, a staged batch with
+    // a known-bad row is AUDITED via `VERSION AS OF 'branch'` (the r16
+    // ref-name time travel) while main provably cannot see it, the bad
+    // batch is discarded with CALL drop_branch, a clean batch re-stages
+    // and CALL publish_branch fast-forwards main in one commit; CALL
+    // rollback_to_snapshot then UNDOES the publish (history-preserving)
+    // and a plain SQL INSERT re-lands the row. Witnesses: the audit
+    // count sees the staged rows, main's count is unchanged until
+    // publish, the op sequence is create→publish→rollback→append, and
+    // the final content matches the declarative oracle.
+    Q("q174_sql_wap",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p,
+        |    (SELECT max(o_orderkey) FROM orders) AS maxk
+        |  FROM orders)
+        |SELECT k AS o_orderkey, p AS price, TRUE AS wap_ok FROM (
+        |  SELECT k, p FROM base
+        |  UNION ALL
+        |  SELECT maxk + 1, CAST(9.99 AS DOUBLE)
+        |  FROM (SELECT DISTINCT maxk FROM base))
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice"), 2).as("price"))
+      val maxk = base.agg(max("k")).collect()
+        .head.getAs[Number](0).longValue
+      conn.createTable("orders_wap", base)                          // s1
+      val t = conn.loadTable("orders_wap")
+      val nBase = base.count()
+      def sqlCount(q: String): Long =
+        conn.sql(q).collect().head.getLong(0)
+      // stage a batch carrying a KNOWN-BAD row; audit over the branch
+      conn.sql("CALL create_branch('orders_wap', 'wap')")
+      t.appendBranch("wap", Seq((maxk + 1, 9.99), (maxk + 2, -1.0))
+        .toDF("k", "price"))
+      val auditSawStage = sqlCount("SELECT count(*) AS n FROM " +
+        "orders_wap VERSION AS OF 'wap'") == nBase + 2
+      val auditFoundBad = sqlCount("SELECT count(*) AS n FROM " +
+        "orders_wap VERSION AS OF 'wap' WHERE price < 0") == 1L
+      val mainClean = sqlCount(
+        "SELECT count(*) AS n FROM orders_wap") == nBase
+      conn.sql("CALL drop_branch('orders_wap', 'wap')")
+      // re-stage clean, audit, publish
+      conn.sql("CALL create_branch('orders_wap', 'wap')")
+      t.appendBranch("wap", Seq((maxk + 1, 9.99)).toDF("k", "price"))
+      val auditClean = sqlCount("SELECT count(*) AS n FROM " +
+        "orders_wap VERSION AS OF 'wap' WHERE price < 0") == 0L
+      conn.sql("CALL publish_branch('orders_wap', 'wap')")          // s2
+      val published = sqlCount(
+        "SELECT count(*) AS n FROM orders_wap") == nBase + 1
+      // history-preserving UNDO of the publish, then re-land as SQL
+      conn.sql("CALL rollback_to_snapshot('orders_wap', 1)")        // s3
+      val rolledBack = sqlCount(
+        "SELECT count(*) AS n FROM orders_wap") == nBase
+      conn.sql(s"INSERT INTO orders_wap VALUES (${maxk + 1}, 9.99)") // s4
+      val ops = t.log.snapshots.map(_.operation)
+      val witness = auditSawStage && auditFoundBad && mainClean &&
+        auditClean && published && rolledBack &&
+        ops == Seq("create", "publish", "rollback", "append") &&
+        t.validate().isEmpty
+      conn.sql("SELECT k AS o_orderkey, price FROM orders_wap")
+        .withColumn("wap_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql
