@@ -798,4 +798,96 @@ class PropertySpec extends AnyFunSuite {
       assert(h == fh.apply(v, TimestampNTZType), s"hour mismatch for $v")
     }
   }
+
+  test("property: random SQL DDL/DML/CALL sequences match a driver-side model") {
+    // Model-based check of the SQL-only surface: a seeded random walk
+    // over INSERT / UPDATE / DELETE / TRUNCATE / ADD COLUMN DEFAULT /
+    // RENAME COLUMN / SET-DROP DEFAULT / CALL binpack / CALL checkpoint
+    // against one warehouse table, mirrored in a plain driver-side map.
+    // Catches CROSS-FEATURE interactions (a rename after a default, a
+    // truncate under live history, maintenance between DML) no single
+    // scenario test pins. The model:
+    //  - rows: id -> (v, extras: colName -> String)
+    //  - on ADD COLUMN c DEFAULT k: existing rows read k (initial
+    //    default fills pre-add files), and the write-default starts at k
+    //  - on INSERT (id, v): extras fill from each column's CURRENT
+    //    write-default (inserts always omit the extra columns)
+    //  - on SET DEFAULT: only future inserts change; DROP DEFAULT makes
+    //    column-omitting inserts refuse, so the walk re-SETs it after
+    import graft.warehouse.Connector
+    val c = new Connector(SparkTestSession.spark,
+      Files.createTempDirectory("graft-psql-").toString)
+    val rnd = new scala.util.Random(20260815L)
+    c.sql("CREATE TABLE pt (id BIGINT, v BIGINT)")
+    var rows = Map.empty[Long, (Long, Map[String, String])]
+    // (sql name, write-default, initial default) per extra column
+    var extras = Vector.empty[(String, Option[String], String)]
+    var nextId = 0L
+    var colN = 0
+    def insert(n: Int): Unit = {
+      require(extras.forall(_._2.nonEmpty)) // walk keeps defaults SET
+      val ids = (0 until n).map(_ => { nextId += 1; nextId })
+      val vals = ids.map(i => s"($i, ${i * 10})").mkString(", ")
+      c.sql(s"INSERT INTO pt (id, v) VALUES $vals")
+      ids.foreach { i =>
+        rows += i -> (i * 10, extras.map(e => e._1 -> e._2.get).toMap)
+      }
+    }
+    def check(): Unit = {
+      val cols = Seq("id", "v") ++ extras.map(_._1)
+      val got = c.sql(s"SELECT ${cols.mkString(", ")} FROM pt")
+        .collect().map { r =>
+          r.getLong(0) -> (r.getLong(1),
+            extras.indices.map(j => extras(j)._1 -> r.getString(2 + j)).toMap)
+        }.toMap
+      assert(got == rows,
+        s"model diverged: engine ${got.size} rows, model ${rows.size}; " +
+          s"sample diff: ${(got.toSet -- rows.toSet).take(3)} | " +
+          s"${(rows.toSet -- got.toSet).take(3)}")
+    }
+    insert(30)
+    for (step <- 1 to 60) {
+      rnd.nextInt(9) match {
+        case 0 => insert(1 + rnd.nextInt(5))
+        case 1 => // UPDATE a residue class
+          val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          c.sql(s"UPDATE pt SET v = v + 7 WHERE id % $m = $r")
+          rows = rows.map { case (i, (v, e)) =>
+            i -> (if (i % m == r) (v + 7, e) else (v, e)) }
+        case 2 => // DELETE a residue class
+          val m = 3 + rnd.nextInt(4); val r = rnd.nextInt(m)
+          c.sql(s"DELETE FROM pt WHERE id % $m = $r")
+          rows = rows.filter { case (i, _) => i % m != r }
+        case 3 if extras.size < 4 => // ADD COLUMN with a default
+          colN += 1; val cn = s"c$colN"; val d = s"d$colN"
+          c.sql(s"ALTER TABLE pt ADD COLUMN $cn STRING DEFAULT '$d'")
+          rows = rows.map { case (i, (v, e)) => i -> (v, e + (cn -> d)) }
+          extras :+= ((cn, Some(d), d))
+        case 4 if extras.nonEmpty => // RENAME the newest extra column
+          val (old, wd, init) = extras.last
+          val nn = old + "r"
+          c.sql(s"ALTER TABLE pt RENAME COLUMN $old TO $nn")
+          rows = rows.map { case (i, (v, e)) =>
+            i -> (v, (e - old) + (nn -> e(old))) }
+          extras = extras.init :+ ((nn, wd, init))
+        case 5 if extras.nonEmpty => // move a write-default
+          val j = rnd.nextInt(extras.size)
+          val (cn, _, init) = extras(j)
+          val nd = s"w$step"
+          c.sql(s"ALTER TABLE pt ALTER COLUMN $cn SET DEFAULT '$nd'")
+          extras = extras.updated(j, (cn, Some(nd), init))
+        case 6 if rnd.nextInt(6) == 0 => // rare TRUNCATE
+          c.sql("TRUNCATE TABLE pt")
+          rows = Map.empty
+        case 7 => // maintenance between DML must never change content
+          c.sql("CALL binpack('pt', 1048576)")
+        case 8 if rnd.nextInt(3) == 0 =>
+          c.sql("CALL checkpoint('pt')")
+        case _ => insert(1)
+      }
+      if (step % 10 == 0) check()
+    }
+    check()
+    assert(c.loadTable("pt").validate().isEmpty)
+  }
 }
