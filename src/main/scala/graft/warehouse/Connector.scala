@@ -234,6 +234,20 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     }
   }
 
+  /** Evaluate a foldable SQL expression to ONE driver-side constant
+    * (optionally cast first) — the shared evaluator behind TIMESTAMP AS
+    * OF, column DEFAULTs (CREATE / ADD COLUMN / SET DEFAULT), and CALL
+    * arguments: one tiny local job, session-timezone semantics
+    * included; a non-foldable expression fails in Spark's own
+    * evaluation with its own message. */
+  private def evalConst(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      castTo: Option[org.apache.spark.sql.types.DataType] = None): Any = {
+    val c0 = org.apache.spark.sql.GraftColumnBridge.column(e)
+    val c = castTo.map(dt => c0.cast(dt)).getOrElse(c0)
+    spark.range(1).select(c).collect().head.get(0)
+  }
+
   /** Single-part relation name of a plan node, through aliases —
     * shared by every router (a resolution fix must land exactly once). */
   private def relNameOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
@@ -269,14 +283,23 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
               case (Some(v), _) =>
                 // the parser erases the quote distinction (version is a
                 // bare string either way), so resolution is: RETAINED
-                // snapshot id first, then tag, then branch. An all-digit
-                // tag is reachable unless it collides with a retained
-                // snapshot id of the same spelling — read(asOf) resolves
-                // "files at-or-before the cut", so a nonexistent future
-                // id must refuse here, not silently read the head.
+                // snapshot id, else tag, else branch. A spelling that is
+                // BOTH a retained id and a ref name refuses as ambiguous
+                // — resolving the id would silently FLIP to the ref once
+                // that id expires (same query text, different cut); an
+                // error now is deterministic forever. read(asOf)
+                // resolves "files at-or-before the cut", so a
+                // nonexistent future id must also refuse here, not
+                // silently read the head.
                 val asId = v.toLongOption
-                asId.filter(id => t.log.snapshots.exists(_.snapshotId == id))
-                  .map(id => t.read(Some(id)))
+                val idHit = asId.filter(id =>
+                  t.log.snapshots.exists(_.snapshotId == id))
+                val refHit = t.tags.contains(v) || t.branches.contains(v)
+                require(idHit.isEmpty || !refHit,
+                  s"VERSION AS OF '$v' on $name is AMBIGUOUS: both " +
+                    "a retained snapshot id and a tag/branch spell " +
+                    "this — rename the ref or expire the snapshot")
+                idHit.map(id => t.read(Some(id)))
                   .orElse(t.tags.get(v).map(id => t.read(Some(id))))
                   .orElse(if (t.branches.contains(v))
                     Some(t.readBranch(v)) else None)
@@ -287,12 +310,9 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
                       s"tags: ${t.tags.keys.toSeq.sorted.mkString(", ")}; " +
                       s"branches: ${t.branches.mkString(", ")})"))
               case (_, Some(ts)) =>
-                // evaluate the (foldable) timestamp expression once on
-                // the driver, session-timezone semantics included
-                val inst = spark.range(1)
-                  .select(org.apache.spark.sql.GraftColumnBridge
-                    .column(ts).cast("timestamp"))
-                  .collect().head.getTimestamp(0)
+                val inst = evalConst(ts,
+                  Some(org.apache.spark.sql.types.TimestampType))
+                  .asInstanceOf[java.sql.Timestamp]
                 require(inst != null,
                   s"TIMESTAMP AS OF on $name evaluated to NULL")
                 t.readAsOfTime(inst.getTime)
@@ -373,11 +393,8 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
               case Some(dv) =>
                 // the ONE default-metadata discipline, shared with
                 // ALTER TABLE ADD COLUMN ([[GraftTable.withDefaultMetadata]])
-                val v = spark.range(1)
-                  .select(org.apache.spark.sql.GraftColumnBridge
-                    .column(dv.child).cast(c.dataType))
-                  .collect().head.get(0)
-                GraftTable.withDefaultMetadata(f, v)
+                GraftTable.withDefaultMetadata(f,
+                  evalConst(dv.child, Some(c.dataType)))
             }
           }
           val existed = tableExists(name)
@@ -431,13 +448,8 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
                 "(new columns append)")
             val f = org.apache.spark.sql.types.StructField(
               q.colName, q.dataType, nullable = true)
-            val d = q.default.map { dv =>
-              val v = spark.range(1)
-                .select(org.apache.spark.sql.GraftColumnBridge
-                  .column(dv.child).cast(q.dataType))
-                .collect().head.get(0)
-              q.colName -> (v: Any)
-            }
+            val d = q.default.map(dv =>
+              q.colName -> evalConst(dv.child, Some(q.dataType)))
             (f, d)
           }.unzip
           done(name, t.addColumns(
@@ -446,12 +458,14 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         }
       // ALTER COLUMN … SET DEFAULT k / DROP DEFAULT: the mutable
       // write-default half ([[GraftTable.setColumnDefault]]); type,
-      // nullability, position, and comment changes refuse loudly
+      // nullability, position, and comment changes refuse loudly.
+      // EVERY spec validates (and its value evaluates) BEFORE the first
+      // commit: a multi-column statement refusing on a later spec must
+      // not leave earlier specs durably applied (atomic DDL).
       case ac: AlterColumns =>
         nameOf(ac.table).filter(tableExists).map { name =>
           val t = loadTable(name)
-          var last: Option[Snapshot] = None
-          ac.specs.foreach { s =>
+          val actions: Seq[(String, Option[Any])] = ac.specs.flatMap { s =>
             require(s.column.name.length == 1,
               s"ALTER TABLE $name: nested column alters are not supported")
             require(s.newDataType.isEmpty && s.newNullability.isEmpty &&
@@ -460,19 +474,17 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
                 "DROP DEFAULT are supported (type/nullability/position/" +
                 "comment changes refuse)")
             val cn = s.column.name.head
-            if (s.dropDefault) last = Some(t.setColumnDefault(cn, None))
-            s.newDefaultExpression.foreach { dv =>
-              val dt = t.schema(cn).dataType
-              val v = spark.range(1)
-                .select(org.apache.spark.sql.GraftColumnBridge
-                  .column(dv.child).cast(dt))
-                .collect().head.get(0)
-              last = Some(t.setColumnDefault(cn, Some(v)))
-            }
+            require(t.schema.fieldNames.contains(cn),
+              s"ALTER TABLE $name: no column '$cn'")
+            (if (s.dropDefault) Seq(cn -> None) else Nil) ++
+              s.newDefaultExpression.map(dv => cn ->
+                Some(evalConst(dv.child, Some(t.schema(cn).dataType))))
           }
-          done(name, last.getOrElse(throw new IllegalArgumentException(
+          require(actions.nonEmpty,
             s"ALTER TABLE $name ALTER COLUMN: nothing to do — " +
-              "only SET DEFAULT / DROP DEFAULT are supported")))
+              "only SET DEFAULT / DROP DEFAULT are supported")
+          done(name, actions.map { case (cn, v) =>
+            t.setColumnDefault(cn, v) }.last)
         }
       case rc: RenameColumn =>
         nameOf(rc.table).filter(tableExists).map { name =>
@@ -662,6 +674,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       no(u.location.isEmpty, "LOCATION (tables live in the warehouse)")
       no(u.serde.isEmpty, "a serde clause")
       no(!u.external, "EXTERNAL")
+      no(u.collation.isEmpty, "DEFAULT COLLATION")
       no(u.constraints.isEmpty,
         "a CREATE-time constraint (use GraftTable.addCheckConstraint)")
     case _ => ()
@@ -769,10 +782,14 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       // each procedure's declared parameter order resolves named args;
       // values evaluate driver-side as foldable expressions
       val paramNames = callParams(proc)
-      def eval(e: org.apache.spark.sql.catalyst.expressions.Expression): Any =
-        spark.range(1)
-          .select(org.apache.spark.sql.GraftColumnBridge.column(e))
-          .collect().head.get(0)
+      // NULL arguments refuse with the surface's own message, never a
+      // bare NullPointerException from a downstream .toString
+      def eval(e: org.apache.spark.sql.catalyst.expressions.Expression,
+          slot: String): Any = {
+        val v = evalConst(e)
+        require(v != null, s"CALL $proc: argument '$slot' is NULL")
+        v
+      }
       val byName = scala.collection.mutable.Map.empty[String, Any]
       var pos = 0
       c.args.foreach {
@@ -783,7 +800,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
               s"(expects ${paramNames.mkString(", ")})")
           require(!byName.contains(k),
             s"CALL $proc: duplicate argument '${n.key}'")
-          byName(k) = eval(n.value)
+          byName(k) = eval(n.value, k)
         case e =>
           // a positional arg fills the next UNCLAIMED slot — a named
           // arg may already hold an earlier position (binding strictly
@@ -793,7 +810,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           require(pos < paramNames.length,
             s"CALL $proc: too many arguments " +
               s"(expects ${paramNames.mkString(", ")})")
-          byName(paramNames(pos)) = eval(e); pos += 1
+          byName(paramNames(pos)) = eval(e, paramNames(pos)); pos += 1
       }
       val tname = byName.getOrElse("table", throw new IllegalArgumentException(
         s"CALL $proc: 'table' argument is required")).toString

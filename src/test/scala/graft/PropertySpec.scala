@@ -813,7 +813,8 @@ class PropertySpec extends AnyFunSuite {
     //  - on INSERT (id, v): extras fill from each column's CURRENT
     //    write-default (inserts always omit the extra columns)
     //  - on SET DEFAULT: only future inserts change; DROP DEFAULT makes
-    //    column-omitting inserts refuse, so the walk re-SETs it after
+    //    column-omitting inserts refuse, so the walk always pairs a
+    //    DROP with an immediate re-SET (case 5)
     import graft.warehouse.Connector
     val c = new Connector(SparkTestSession.spark,
       Files.createTempDirectory("graft-psql-").toString)
@@ -870,9 +871,15 @@ class PropertySpec extends AnyFunSuite {
           rows = rows.map { case (i, (v, e)) =>
             i -> (v, (e - old) + (nn -> e(old))) }
           extras = extras.init :+ ((nn, wd, init))
-        case 5 if extras.nonEmpty => // move a write-default
+        case 5 if extras.nonEmpty => // move a write-default (half the
+          // time through an explicit DROP first — the walk's inserts
+          // always omit extras, so the default must be re-SET before
+          // the next insert; the DROP×SET pair still exercises the
+          // remove-metadata path against every other op)
           val j = rnd.nextInt(extras.size)
           val (cn, _, init) = extras(j)
+          if (rnd.nextBoolean())
+            c.sql(s"ALTER TABLE pt ALTER COLUMN $cn DROP DEFAULT")
           val nd = s"w$step"
           c.sql(s"ALTER TABLE pt ALTER COLUMN $cn SET DEFAULT '$nd'")
           extras = extras.updated(j, (cn, Some(nd), init))

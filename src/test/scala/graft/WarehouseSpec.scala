@@ -3261,6 +3261,13 @@ class WarehouseSpec extends AnyFunSuite {
     t.tagSnapshot("2024", 1L)
     assert(c.sql("SELECT * FROM t VERSION AS OF '2024'")
       .as[(Long, Long)].collect().toSet == Set((1L, 10L)))
+    // a spelling that is BOTH a retained id and a ref refuses as
+    // ambiguous — resolving the id would silently flip to the ref
+    // once the id expires
+    t.tagSnapshot("1", 2L)
+    val amb = intercept[IllegalArgumentException] {
+      c.sql("SELECT * FROM t VERSION AS OF 1").collect() }
+    assert(amb.getMessage.contains("AMBIGUOUS"), amb.getMessage)
   }
 
   test("SQL surfaces compose: time travel and meta tables inside DML/DDL statements") {
@@ -3327,6 +3334,10 @@ class WarehouseSpec extends AnyFunSuite {
     assert(c.loadTable("t2").tags == Map("v1" -> 1L))
     intercept[IllegalArgumentException] {
       c.sql("CALL create_tag('t2', name => 'a', name => 'b')") }
+    // NULL arguments refuse with the router's message, not an NPE
+    val nn = intercept[IllegalArgumentException] {
+      c.sql("CALL binpack('t', NULL)") }
+    assert(nn.getMessage.contains("is NULL"), nn.getMessage)
   }
 
   test("SQL CALL ref procedures: the WAP workflow and rollback as pure SQL text") {
