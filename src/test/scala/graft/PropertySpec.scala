@@ -846,7 +846,32 @@ class PropertySpec extends AnyFunSuite {
           s"sample diff: ${(got.toSet -- rows.toSet).take(3)} | " +
           s"${(rows.toSet -- got.toSet).take(3)}")
     }
+    // TIME TRAVEL against the model: record (snapshot id → column
+    // names + rows AS OF THEN); a later VERSION AS OF must reproduce
+    // that exact state under that era's COLUMN NAMES — pre-rename cuts
+    // read the old name, pre-add cuts lack the column, pre-truncate
+    // cuts resurrect the rows. This is where era projection × rename ×
+    // default interact and where a model check earns its keep.
+    var cuts = Map.empty[Long, (Vector[String], Map[Long, (Long, Map[String, String])])]
+    def recordCut(): Unit =
+      c.getCurrentSnapshotId("pt").foreach { sid =>
+        cuts += sid -> (extras.map(_._1), rows)
+      }
+    def checkCut(): Unit = if (cuts.nonEmpty) {
+      val (sid, (cols, want)) = cuts.toSeq(rnd.nextInt(cuts.size))
+      val sel = (Seq("id", "v") ++ cols).mkString(", ")
+      val got = c.sql(s"SELECT $sel FROM pt VERSION AS OF $sid")
+        .collect().map { r =>
+          r.getLong(0) -> (r.getLong(1),
+            cols.indices.map(j => cols(j) -> r.getString(2 + j)).toMap)
+        }.toMap
+      assert(got == want,
+        s"time travel to $sid diverged: engine ${got.size} rows, " +
+          s"model ${want.size}; sample: ${(got.toSet -- want.toSet).take(3)}" +
+          s" | ${(want.toSet -- got.toSet).take(3)}")
+    }
     insert(30)
+    recordCut()
     for (step <- 1 to 60) {
       rnd.nextInt(9) match {
         case 0 => insert(1 + rnd.nextInt(5))
@@ -892,9 +917,11 @@ class PropertySpec extends AnyFunSuite {
           c.sql("CALL checkpoint('pt')")
         case _ => insert(1)
       }
-      if (step % 10 == 0) check()
+      if (rnd.nextInt(3) == 0) recordCut()
+      if (step % 10 == 0) { check(); checkCut() }
     }
     check()
+    checkCut(); checkCut()
     assert(c.loadTable("pt").validate().isEmpty)
   }
 }
