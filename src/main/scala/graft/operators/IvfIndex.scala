@@ -52,6 +52,33 @@ object IvfIndex {
     * from the LATEST assigned-through marker, not the stale stamp. */
   val AssignedKey = "graft.ivf.assigned_through"
 
+  /** Fingerprint of the centroid GEOMETRY the assignment rows were
+    * computed against, stamped beside [[AssignedKey]] on every
+    * assignment commit AND on the centroid table's stamp commits.
+    * [[build]] lands assignments BEFORE the centroid replace (the
+    * stamp must never precede the data it vouches for), so a crash
+    * between the two leaves new-geometry assignments beside OLD
+    * centroids with assigned_through == head — without this key the
+    * next [[refresh]]'s skip path would re-stamp the stale centroids
+    * as fresh, silently blessing mismatched geometry (probes would
+    * route queries through centroids the rows were never bucketed
+    * by). refresh compares the recorded fingerprint against the live
+    * centroid table and degrades to a full rebuild on mismatch. */
+  val CentFpKey = "graft.ivf.centroid_fp"
+
+  /** Deterministic geometry fingerprint: MD5 over the cell-ordered
+    * centroid coordinates' raw bits. Driver-side over nlist×dim
+    * doubles — O(index metadata), never O(corpus). */
+  private def fingerprint(cents: Array[Array[Double]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    cents.foreach(_.foreach { d =>
+      buf.clear(); buf.putLong(java.lang.Double.doubleToLongBits(d))
+      md.update(buf.array())
+    })
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Count of quantizer TRAININGS this JVM ran — the graded witness
     * that a persisted-index query trains nothing. */
   val trainings = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -117,8 +144,9 @@ object IvfIndex {
       .select(array_to_vector(unitU(col("__v"))).as("features"))
     val cents = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .fit(train).clusterCenters.map(_.toArray)
+    val fp = fingerprint(cents)
     val props = Map(StampKey -> head.toString, NlistKey -> nlist.toString,
-      VecColKey -> vecCol)
+      VecColKey -> vecCol, CentFpKey -> fp)
     val cdf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         cents.toSeq.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }, 1),
@@ -141,7 +169,7 @@ object IvfIndex {
     // between the two commits would otherwise serve pre-rebuild
     // assignments under a fresh stamp); refresh() follows the same
     // delta-then-re-stamp order
-    val aprops = Map(AssignedKey -> head.toString)
+    val aprops = Map(AssignedKey -> head.toString, CentFpKey -> fp)
     if (conn.tableExists(assignTable(baseName)))
       conn.loadTable(assignTable(baseName)).replace(
         assigned.repartitionByRange(parts, col("cell")),
@@ -184,35 +212,50 @@ object IvfIndex {
               x.operation == "publish" || x.operation == "create") &&
               x.removedFiles.isEmpty && x.deleteFiles.isEmpty) =>
         val spark = conn.spark
-        // the delta starts from the ASSIGNED-THROUGH marker, not the
-        // stale stamp: a crash after the delta append but before the
-        // re-stamp below leaves assignedThrough == head, so the retry
-        // skips straight to re-stamping instead of appending the same
-        // rows a second time (idempotent refresh)
-        val assignedThrough = assignedThroughOf(conn, baseName).getOrElse(s)
-        if (assignedThrough < head) {
-          val cents = conn.loadTable(centroidsTable(baseName)).read()
-            .orderBy("cell").collect()
-            .map(r => r.getSeq[Double](1).toArray)
-          val bc = spark.sparkContext.broadcast(cents)
-          val cellU = udf { v: Seq[Double] => nearestCells(bc.value, v, 1)(0) }
-          val delta = base.changesSince(assignedThrough, head)
-            .select(col(idCol).as("id"),
-              col(vecCol).cast("array<double>").as("v"))
-            .filter(col("v").isNotNull)
-            .withColumn("n", sqrt(dotU(col("v"), col("v"))))
-            .withColumn("cell", cellU(col("v")))
-          conn.loadTable(assignTable(baseName)).append(delta,
-            clusterBy = Seq("cell"), statsCols = Seq("cell"),
-            clusterParts = math.max(2, nlist / 2),
-            properties = Map(AssignedKey -> head.toString))
+        val cents = conn.loadTable(centroidsTable(baseName)).read()
+          .orderBy("cell").collect()
+          .map(r => r.getSeq[Double](1).toArray)
+        val fp = fingerprint(cents)
+        // GEOMETRY PARITY: the assignment rows must have been bucketed
+        // by THESE centroids. A crash in build() between its assignment
+        // commit and centroid replace leaves new-geometry assignments
+        // (assigned_through == head) beside old centroids — the skip
+        // path below would otherwise re-stamp the mismatch as fresh.
+        // A recorded fingerprint that differs degrades to rebuild;
+        // absent (pre-fingerprint index) proceeds as before.
+        if (assignedFpOf(conn, baseName).exists(_ != fp)) {
+          build(conn, baseName, idCol, vecCol, nlist, maxTrainRows)
+          "rebuild"
+        } else {
+          // the delta starts from the ASSIGNED-THROUGH marker, not the
+          // stale stamp: a crash after the delta append but before the
+          // re-stamp below leaves assignedThrough == head, so the retry
+          // skips straight to re-stamping instead of appending the same
+          // rows a second time (idempotent refresh)
+          val assignedThrough = assignedThroughOf(conn, baseName).getOrElse(s)
+          if (assignedThrough < head) {
+            val bc = spark.sparkContext.broadcast(cents)
+            val cellU = udf { v: Seq[Double] => nearestCells(bc.value, v, 1)(0) }
+            val delta = base.changesSince(assignedThrough, head)
+              .select(col(idCol).as("id"),
+                col(vecCol).cast("array<double>").as("v"))
+              .filter(col("v").isNotNull)
+              .withColumn("n", sqrt(dotU(col("v"), col("v"))))
+              .withColumn("cell", cellU(col("v")))
+            conn.loadTable(assignTable(baseName)).append(delta,
+              clusterBy = Seq("cell"), statsCols = Seq("cell"),
+              clusterParts = math.max(2, nlist / 2),
+              properties = Map(AssignedKey -> head.toString,
+                CentFpKey -> fp))
+          }
+          // re-stamp: rewrite the (nlist-row) centroid table with the
+          // new corpus head — O(nlist), no training
+          val ct = conn.loadTable(centroidsTable(baseName))
+          ct.replace(ct.read(), properties = Map(StampKey -> head.toString,
+            NlistKey -> nlist.toString, VecColKey -> vecCol,
+            CentFpKey -> fp))
+          "incremental"
         }
-        // re-stamp: rewrite the (nlist-row) centroid table with the new
-        // corpus head — O(nlist), no training
-        val ct = conn.loadTable(centroidsTable(baseName))
-        ct.replace(ct.read(), properties = Map(StampKey -> head.toString,
-          NlistKey -> nlist.toString, VecColKey -> vecCol))
-        "incremental"
       case _ =>
         build(conn, baseName, idCol, vecCol, nlist, maxTrainRows)
         "rebuild"
@@ -228,6 +271,17 @@ object IvfIndex {
     conn.loadTable(assignTable(baseName)).log.snapshots.reverseIterator
       .flatMap(_.properties.get(AssignedKey)).map(_.toLong)
       .take(1).toSeq.headOption
+  }
+
+  /** Centroid fingerprint recorded on the LATEST assignment commit
+    * (the same commit the assigned-through marker comes from — reading
+    * them from different commits would defeat the parity check). */
+  private def assignedFpOf(conn: Connector, baseName: String)
+      : Option[String] = {
+    if (!conn.tableExists(assignTable(baseName))) return None
+    conn.loadTable(assignTable(baseName)).log.snapshots.reverseIterator
+      .find(_.properties.contains(AssignedKey))
+      .flatMap(_.properties.get(CentFpKey))
   }
 
   /** The stamp of the persisted index, if any: (corpus snapshot it was

@@ -132,10 +132,11 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     case "refs"       => loadTable(name).refsDf
     case "deletes"     => loadTable(name).deletesDf()
     case "constraints" => loadTable(name).constraintsDf
+    case "properties"  => loadTable(name).propertiesDf()
     case other => throw new IllegalArgumentException(
       s"unknown metadata table '$other' — use 'snapshots', 'history', " +
-        "'manifests', 'files', 'partitions', 'refs', 'deletes', or " +
-        "'constraints'")
+        "'manifests', 'files', 'partitions', 'refs', 'deletes', " +
+        "'constraints', or 'properties'")
   }
 
   /** Row count (reference: `count`, `icerunner.py:190-198`): answered
@@ -256,6 +257,13 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       if r.multipartIdentifier.length == 1 => Some(r.multipartIdentifier.head)
     case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
       if t.multipartIdentifier.length == 1 => Some(t.multipartIdentifier.head)
+    // RENAME/SHOW TBLPROPERTIES parse their target as table-OR-view;
+    // DROP VIEW as a view node — all must resolve here, or those verbs
+    // would silently bind to the reflected TEMP VIEW (the r16 trap)
+    case tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+      if tv.multipartIdentifier.length == 1 => Some(tv.multipartIdentifier.head)
+    case v: org.apache.spark.sql.catalyst.analysis.UnresolvedView
+      if v.multipartIdentifier.length == 1 => Some(v.multipartIdentifier.head)
     case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
       relNameOf(a.child)
     case _ => None
@@ -274,6 +282,14 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     // WithSubqueries: `FROM t VERSION AS OF n` inside a scalar/EXISTS/
     // IN subquery must pin too, not just operator-tree relations
     plan.transformUpWithSubqueries {
+      case tt: RelationTimeTravel
+        if relNameOf(tt.relation).exists(nm => nm.contains('$') &&
+          tableExists(nm.split("\\$", 2)(0))) =>
+        // `` `t$properties` VERSION AS OF n ``: pin a METADATA table to
+        // a historical cut (this runs BEFORE rewriteMetaTables, whose
+        // bottom-up walk would otherwise resolve the inner relation at
+        // head and leave an unresolvable time-travel wrapper)
+        metaTimeTravel(relNameOf(tt.relation).get, tt)
       case tt: RelationTimeTravel =>
         relNameOf(tt.relation).filter(tableExists) match {
           case None => tt
@@ -299,6 +315,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
                   s"VERSION AS OF '$v' on $name is AMBIGUOUS: both " +
                     "a retained snapshot id and a tag/branch spell " +
                     "this — rename the ref or expire the snapshot")
+                // tags and branches live in SEPARATE stores, so one
+                // name can denote both — silently preferring the tag
+                // would make a WAP audit of branch 'x' read tag 'x'
+                // instead of the staged rows; refuse, mirroring the
+                // id-vs-ref ambiguity above
+                require(!(t.tags.contains(v) && t.branches.contains(v)),
+                  s"VERSION AS OF '$v' on $name is AMBIGUOUS: both a " +
+                    "tag and a branch spell this name — drop or rename " +
+                    "one of them")
                 idHit.map(id => t.read(Some(id)))
                   .orElse(t.tags.get(v).map(id => t.read(Some(id))))
                   .orElse(if (t.branches.contains(v))
@@ -321,6 +346,51 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             pinned.queryExecution.analyzed
         }
     }
+  }
+
+  /** Resolve a time-travel cut over a METADATA table (`$properties`,
+    * `$files` — the kinds whose builders take an `asOf`): a retained
+    * snapshot id or a tag (branch heads live in a SEPARATE id
+    * sequence and cannot cut the main log — they refuse through the
+    * "id or tag" message). Same id-vs-ref ambiguity refusal as the
+    * data-relation path. */
+  private def metaTimeTravel(nm: String,
+      tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val Array(base, kind) = nm.split("\\$", 2)
+    val t = loadTable(base)
+    val cut: Long = (tt.version, tt.timestamp) match {
+      case (Some(v), _) =>
+        val idHit = v.toLongOption.filter(id =>
+          t.log.snapshots.exists(_.snapshotId == id))
+        val tagHit = t.tags.get(v)
+        require(idHit.isEmpty || tagHit.isEmpty,
+          s"VERSION AS OF '$v' on `$nm` is AMBIGUOUS: both a retained " +
+            "snapshot id and a tag spell this — rename the tag or " +
+            "expire the snapshot")
+        idHit.orElse(tagHit).getOrElse(throw new IllegalArgumentException(
+          s"VERSION AS OF '$v' on `$nm`: expects a retained snapshot " +
+            "id or tag name"))
+      case (_, Some(ts)) =>
+        val inst = evalConst(ts,
+          Some(org.apache.spark.sql.types.TimestampType))
+          .asInstanceOf[java.sql.Timestamp]
+        require(inst != null, s"TIMESTAMP AS OF on `$nm` evaluated to NULL")
+        t.log.snapshots.filter(_.timestampMs <= inst.getTime)
+          .lastOption.map(_.snapshotId)
+          .getOrElse(throw new IllegalArgumentException(
+            s"TIMESTAMP AS OF on `$nm`: no snapshot at or before $inst"))
+      case _ => t.currentSnapshotId.getOrElse(0L)
+    }
+    val df = kind match {
+      case "properties" => t.propertiesDf(Some(cut))
+      case "files" => t.filesDf(Some(cut))
+      case other => throw new IllegalArgumentException(
+        s"time travel over metadata table '$$$other' is not supported " +
+          "— supported: $properties, $files (the others are already " +
+          "history-shaped)")
+    }
+    df.queryExecution.analyzed
   }
 
   /** Pattern-match a parsed UPDATE/DELETE/MERGE on a warehouse table;
@@ -360,7 +430,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       // itself is transform-clustered.
       case cts: CreateTableAsSelect =>
         identOf(cts.name).map { name =>
-          requirePlainTableSpec(name, cts.tableSpec)
+          val tprops = requirePlainTableSpec(name, cts.tableSpec)
           val spec = partitionFieldsOf(name, cts.partitioning)
           val df = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, cts.query)
           val existed = tableExists(name)
@@ -369,7 +439,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
               "(use IF NOT EXISTS or CREATE OR REPLACE)")
           // the spec declares INSIDE create: the CTAS payload itself
           // lands transform-clustered in the one create commit
-          if (!existed) createTable(name, df, spec = spec)
+          if (!existed) createTable(name, df, properties = tprops, spec = spec)
           import spark.implicits._
           Seq(getCurrentSnapshotId(name).getOrElse(0L)).toDF("snapshot_id")
         }
@@ -379,7 +449,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       // catalog, silently creating a non-warehouse table
       case ct: CreateTable =>
         identOf(ct.name).map { name =>
-          requirePlainTableSpec(name, ct.tableSpec)
+          val tprops = requirePlainTableSpec(name, ct.tableSpec)
           val spec = partitionFieldsOf(name, ct.partitioning)
           val fields = ct.columns.map { c =>
             require(c.generationExpression.isEmpty &&
@@ -405,22 +475,25 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             val empty = spark.createDataFrame(
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               org.apache.spark.sql.types.StructType(fields))
-            createTable(name, empty, spec = spec)
+            createTable(name, empty, properties = tprops, spec = spec)
           }
           import spark.implicits._
           Seq(getCurrentSnapshotId(name).getOrElse(0L)).toDF("snapshot_id")
         }
       case rts: ReplaceTableAsSelect =>
         identOf(rts.name).map { name =>
-          requirePlainTableSpec(name, rts.tableSpec)
+          val tprops = requirePlainTableSpec(name, rts.tableSpec)
           val spec = partitionFieldsOf(name, rts.partitioning)
           val df = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rts.query)
           if (tableExists(name)) {
             // a redeclared spec governs the replacement payload's
-            // layout (metadata-only; earlier eras keep pruning)
-            if (spec.nonEmpty) loadTable(name).setPartitionSpec(spec)
-            replaceTable(name, df)
-          } else createTable(name, df, spec = spec)
+            // layout (metadata-only; earlier eras keep pruning) but
+            // commits only after the payload materializes — a failed
+            // RTAS leaves the spec unchanged (see GraftTable.replace)
+            loadTable(name).replace(df, properties = tprops,
+              declareSpec = if (spec.nonEmpty) Some(spec) else None)
+            reflectView(name)
+          } else createTable(name, df, properties = tprops, spec = spec)
           import spark.implicits._
           Seq(getCurrentSnapshotId(name).getOrElse(0L)).toDF("snapshot_id")
         }
@@ -429,9 +502,122 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         // on a non-warehouse name must still fall through, or a real
         // Spark-catalog table/temp view of that name silently survives
         identOf(dt.child).filter(tableExists).map { name =>
-          val dropped = dropTable(name)
+          // uniform routed-DDL contract: every routed verb's result
+          // carries a snapshot_id column (here the FINAL head the drop
+          // removed — the verb that ends a table has no after-state,
+          // so it reports CALL-style with the before-state id)
+          val last = getCurrentSnapshotId(name).getOrElse(0L)
+          dropTable(name)
           import spark.implicits._
-          Seq(dropped).toDF("dropped")
+          Seq(("drop_table", name, last, "table dropped"))
+            .toDF("procedure", "table", "snapshot_id", "detail")
+        }
+      // ALTER TABLE t RENAME TO u: a REAL warehouse rename (directory
+      // move under the namespace + view re-reflection). Without this
+      // arm the statement fell through to Spark, which silently
+      // renamed only the reflected TEMP VIEW — the warehouse table
+      // kept its old name, SQL on it broke until the next commit, and
+      // the new name lingered as a STALE orphan view (the r16-class
+      // silent-fall-through trap).
+      case rt: RenameTable =>
+        identOf(rt.child).orElse(relNameOf(rt.child))
+          .filter(tableExists).map { name =>
+          require(!rt.isView,
+            s"ALTER VIEW $name RENAME: '$name' is a warehouse TABLE " +
+              s"(its SQL name is a reflected view) — use ALTER TABLE " +
+              s"$name RENAME TO …")
+          require(rt.newName.length == 1,
+            s"ALTER TABLE $name RENAME TO: multi-part destination " +
+              s"'${rt.newName.mkString(".")}' is not supported (one " +
+              "warehouse namespace)")
+          val dest = rt.newName.head
+          renameTable(name, dest)
+          import spark.implicits._
+          Seq(("rename_table", dest,
+            getCurrentSnapshotId(dest).getOrElse(0L),
+            s"renamed from $name"))
+            .toDF("procedure", "table", "snapshot_id", "detail")
+        }
+      // DROP VIEW on a warehouse-table name: refuse. Falling through
+      // would drop the reflected temp view while the table survives —
+      // SQL on the table then fails until the next commit re-reflects
+      // it (the reflection probe skips unchanged heads).
+      case dv: DropView =>
+        identOf(dv.child).orElse(relNameOf(dv.child))
+          .filter(tableExists).map { name =>
+          throw new IllegalArgumentException(
+            s"DROP VIEW $name: '$name' is a warehouse TABLE (its SQL " +
+              s"name is a reflected view) — use DROP TABLE $name")
+        }
+      // CREATE TABLE u LIKE t: an EMPTY warehouse table with the
+      // source's schema and partition spec. Falling through would
+      // CREATE a Spark-catalog table from the temp view's schema — a
+      // silent non-warehouse sibling the user thinks is one.
+      case ctl: org.apache.spark.sql.execution.command.CreateTableLikeCommand
+        if ctl.sourceTable.database.isEmpty &&
+          tableExists(ctl.sourceTable.table) =>
+        Some {
+          val src = ctl.sourceTable.table
+          require(ctl.targetTable.database.isEmpty,
+            s"CREATE TABLE LIKE $src: qualified target " +
+              s"'${ctl.targetTable}' is not supported (one warehouse " +
+              "namespace)")
+          require(ctl.provider.forall(_.equalsIgnoreCase("parquet")),
+            s"CREATE TABLE LIKE $src: USING " +
+              s"${ctl.provider.getOrElse("")} is not supported " +
+              "(warehouse tables are parquet)")
+          require(ctl.fileFormat.locationUri.isEmpty &&
+              ctl.fileFormat.serde.isEmpty,
+            s"CREATE TABLE LIKE $src: LOCATION/serde clauses are not " +
+              "supported on warehouse tables")
+          val dest = ctl.targetTable.table
+          val existed = tableExists(dest)
+          require(!existed || ctl.ifNotExists,
+            s"CREATE TABLE $dest: table already exists " +
+              "(use IF NOT EXISTS)")
+          if (!existed) {
+            val t = loadTable(src)
+            val empty = spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              t.schema)
+            createTable(dest, empty,
+              properties = ctl.properties.map { case (k, v) =>
+                (GraftTable.UserPropSetPrefix + k) -> v },
+              spec = t.partitionSpec)
+          }
+          import spark.implicits._
+          Seq(getCurrentSnapshotId(dest).getOrElse(0L)).toDF("snapshot_id")
+        }
+      // ALTER TABLE … SET/UNSET TBLPROPERTIES: user-level table
+      // properties as one metadata-only commit, readable back via
+      // `t$properties` / SHOW TBLPROPERTIES, historical values via
+      // `` `t$properties` VERSION AS OF n `` (deltas fold from the
+      // log — see GraftTable.userProperties).
+      case sp: SetTableProperties =>
+        nameOf(sp.table).filter(tableExists).map { name =>
+          done(name, loadTable(name).setProperties(sp.properties))
+        }
+      case up: UnsetTableProperties =>
+        nameOf(up.table).filter(tableExists).map { name =>
+          done(name,
+            loadTable(name).unsetProperties(up.propertyKeys, up.ifExists))
+        }
+      // SHOW TBLPROPERTIES t ['key']: read back the user properties
+      // (Spark's own would refuse on the temp view).
+      case st: ShowTableProperties =>
+        identOf(st.table).orElse(relNameOf(st.table))
+          .filter(tableExists).map { name =>
+          val props = loadTable(name).userProperties()
+          import spark.implicits._
+          st.propertyKey match {
+            case Some(k) =>
+              val v = props.getOrElse(k, throw new IllegalArgumentException(
+                s"SHOW TBLPROPERTIES $name: no property '$k' " +
+                  s"(set: ${props.keys.toSeq.sorted.mkString(", ")})"))
+              Seq((k, v)).toDF("key", "value")
+            case None =>
+              props.toSeq.sortBy(_._1).toDF("key", "value")
+          }
         }
       // schema evolution as SQL: ADD/RENAME/DROP COLUMN route to the
       // field-id-aware evolve commits (defaults included — the v3
@@ -562,12 +748,44 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         }
       // TRUNCATE TABLE ≡ the unconditional transactional delete: one
       // CoW commit empties the visible set, history stays travelable
-      // (TRUNCATE … PARTITION parses to TruncatePartition, which falls
-      // through and refuses in analysis — hidden partitioning has no
-      // addressable partitions)
       case tr: TruncateTable =>
         nameOf(tr.table).filter(tableExists).map { name =>
           done(name, loadTable(name).deleteWhere(lit(true)))
+        }
+      // TRUNCATE TABLE … PARTITION (c = v, …): partition-scoped
+      // truncate routes to the transactional CoW delete on the
+      // partition predicate. Only IDENTITY partition columns of the
+      // CURRENT spec are addressable by value (a hidden transform's
+      // partitions — years(ts), bucket(n, k) — have no SQL-spellable
+      // value); the stats-era probe prunes to the named partition's
+      // files, so other partitions' bytes are never read or rewritten.
+      case tp: TruncatePartition =>
+        nameOf(tp.table).filter(tableExists).map { name =>
+          val t = loadTable(name)
+          val spec = tp.partitionSpec match {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedPartitionSpec =>
+              u.spec
+            case other => throw new IllegalArgumentException(
+              s"TRUNCATE TABLE $name PARTITION: unsupported partition " +
+                s"spec shape '$other'")
+          }
+          require(spec.nonEmpty,
+            s"TRUNCATE TABLE $name PARTITION: empty partition spec")
+          val idCols = t.partitionSpec
+            .filter(_.kind == "identity").map(_.column).toSet
+          val sch = t.schema
+          val pred = spec.map { case (k, v) =>
+            require(idCols.contains(k),
+              s"TRUNCATE TABLE $name PARTITION: '$k' is not an " +
+                "IDENTITY partition column of the current spec " +
+                s"(identity columns: ${
+                  if (idCols.isEmpty) "none" else idCols.toSeq.sorted.mkString(", ")
+                }) — hidden transform partitions are not addressable " +
+                "by value")
+            org.apache.spark.sql.functions.col(k) ===
+              lit(v).cast(sch(k).dataType)
+          }.reduce(_ && _)
+          done(name, t.deleteWhere(pred))
         }
       case m: MergeIntoTable =>
         nameOf(m.targetTable).filter(tableExists).map { name =>
@@ -654,20 +872,21 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   }
 
   /** Refuse CREATE TABLE clauses this surface cannot honor — silently
-    * discarding a LOCATION or TBLPROPERTIES while still creating a
-    * warehouse table would be worse than either honoring or refusing
-    * (the statement used to reach Spark's catalog, which honored
-    * them). `USING parquet` is accepted (warehouse tables ARE
-    * parquet); a COMMENT is accepted and ignored (cosmetic). */
+    * discarding a LOCATION while still creating a warehouse table
+    * would be worse than either honoring or refusing (the statement
+    * used to reach Spark's catalog, which honored them). `USING
+    * parquet` is accepted (warehouse tables ARE parquet); a COMMENT is
+    * accepted and ignored (cosmetic). TBLPROPERTIES (r17) are HONORED:
+    * returned as the create commit's user-property deltas, readable
+    * back via `t$properties` / SHOW TBLPROPERTIES. */
   private def requirePlainTableSpec(name: String,
       spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase)
-      : Unit = spec match {
+      : Map[String, String] = spec match {
     case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
       def no(cond: Boolean, what: String): Unit = require(cond,
         s"CREATE TABLE $name: $what is not supported on warehouse " +
           "tables — this surface cannot honor it, refusing rather " +
           "than silently dropping it")
-      no(u.properties.isEmpty, "TBLPROPERTIES")
       no(u.provider.forall(_.equalsIgnoreCase("parquet")),
         s"USING ${u.provider.getOrElse("")}")
       no(u.optionExpression.options.isEmpty, "OPTIONS")
@@ -677,7 +896,9 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       no(u.collation.isEmpty, "DEFAULT COLLATION")
       no(u.constraints.isEmpty,
         "a CREATE-time constraint (use GraftTable.addCheckConstraint)")
-    case _ => ()
+      u.properties.map { case (k, v) =>
+        (GraftTable.UserPropSetPrefix + k) -> v }
+    case _ => Map.empty
   }
 
   /** Map SQL `PARTITIONED BY` transforms to the warehouse's hidden-
@@ -847,8 +1068,19 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           val removed = t.removeOrphans(num("grace_ms", 259200000L))
           s"removed ${removed.size} orphan file(s)"
         case "maintain" =>
-          val r = t.maintain(expireHistory =
-            byName.get("expire").exists(_.toString.toBoolean))
+          // defensive boolean parse: a non-boolean expire must refuse
+          // with the router's own named-slot message, never surface a
+          // raw 'For input string: "1"' from toString.toBoolean
+          val expire = byName.get("expire") match {
+            case None => false
+            case Some(b: java.lang.Boolean) => b.booleanValue
+            case Some(s: String)
+              if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") =>
+              s.toBoolean
+            case Some(other) => throw new IllegalArgumentException(
+              s"CALL maintain: expire must be boolean, got '$other'")
+          }
+          val r = t.maintain(expireHistory = expire)
           s"binpacked=${r.binpacked} posMerged=${r.posMerged} " +
             s"expired=${r.expired}" +
             r.expireRefusal.map(m => s" refusal=$m").getOrElse("")
@@ -932,6 +1164,33 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       reflectedAt.remove(name)
       true
     }
+  }
+
+  /** Rename a table: one atomic directory move under the namespace
+    * (manifests store table-RELATIVE paths, so every snapshot, branch,
+    * tag, spec era, and sidecar survives the move — full history and
+    * time travel under the new name). The old temp view drops and the
+    * new name reflects; the per-JVM manifest parse cache is purged
+    * under BOTH paths (a later create at the old name would otherwise
+    * serve the renamed table's cached manifests — same reuse hazard as
+    * dropTable). Refuses when the destination exists. */
+  def renameTable(oldName: String, newName: String): Unit = {
+    require(tableExists(oldName), s"rename: table not found: $oldName")
+    require(newName.nonEmpty && !newName.contains('$') &&
+        !newName.contains('/') && !newName.contains(java.io.File.separator),
+      s"rename: invalid destination table name '$newName'")
+    require(!tableExists(newName),
+      s"rename: destination table '$newName' already exists")
+    val from = tableDir(oldName)
+    val to = tableDir(newName)
+    require(!Files.exists(to),
+      s"rename: destination path '$to' already exists")
+    Files.move(from, to)
+    SnapshotLog.invalidateUnder(from)
+    SnapshotLog.invalidateUnder(to)
+    spark.catalog.dropTempView(oldName)
+    reflectedAt.remove(oldName)
+    reflectView(newName)
   }
 
   /** Snapshot head each table's view was last reflected at, plus a

@@ -626,6 +626,15 @@ final class GraftTable private (
       fields.foreach(f => require(names.contains(f.column),
         s"partition column '${f.column}' not in schema of $name"))
     }
+    declareSpecLine(fields)
+  }
+
+  /** The CAS publish step alone, schema check already done by the
+    * caller — [[replace]] validates a redeclared spec against the
+    * REPLACEMENT's schema (the current schema is about to be swapped
+    * out, so checking against it would wrongly refuse a spec on a
+    * column the replacement introduces). */
+  private def declareSpecLine(fields: Seq[PartitionField]): Unit = {
     Files.createDirectories(specsDir)
     val line = Partitioning.specLine(fields)
     var attempt = 0
@@ -1906,9 +1915,25 @@ final class GraftTable private (
     * were rewritten — `removedFiles` covers the whole prior set) and
     * [[diff]] resolves it like any rewrite; prior snapshots stay
     * time-travelable until expiry. */
+  /** `declareSpec`, when set, REDECLARES the table's partition spec as
+    * part of this replacement (the RTAS `PARTITIONED BY` shape). The
+    * staged write lays files out under the NEW spec, but the spec
+    * itself is declared only AFTER the payload has fully materialized
+    * — a failed replacement (bad query, constraint violation, write
+    * error) must leave the table's spec unchanged, the same
+    * validate-before-first-commit discipline as AlterColumns.
+    * Declared before stats collection so the new fields' partition-path
+    * entries land in this commit's manifest (readers probe spec-history
+    * eras — files must never record entries for an undeclared era). */
   def replace(df: DataFrame, statsCols: Seq[String] = Nil,
-      properties: Map[String, String] = Map.empty): Snapshot = {
+      properties: Map[String, String] = Map.empty,
+      declareSpec: Option[Seq[PartitionField]] = None): Snapshot = {
+    declareSpec.foreach(_.foreach(f =>
+      require(df.schema.fieldNames.contains(f.column),
+        s"replace of $name: partition column '${f.column}' is not in " +
+          "the replacement's schema")))
     enforceConstraints(df, "replace")
+    var specDeclared = false
     var attempt = 0
     while (true) {
       val base = log.head.getOrElse(
@@ -1918,7 +1943,7 @@ final class GraftTable private (
       val commitDir = dir.resolve("data").resolve(s"r${UUID.randomUUID().toString.take(12)}")
       // same spec-preservation rule as append/merge/compact: a rebuild
       // (mirror changelog apply, MV recovery) re-lands partitioned
-      val pspec = partitionSpec
+      val pspec = declareSpec.getOrElse(partitionSpec)
         .filter(f => df.schema.fieldNames.contains(f.column))
       if (pspec.isEmpty) df.write.parquet(commitDir.toString)
       else {
@@ -1936,6 +1961,12 @@ final class GraftTable private (
       val files = parquetFilesIn(commitDir)
         .map(p => dir.relativize(p).toString)
         .toSeq.sorted
+      // the payload is now fully materialized on disk — the earliest
+      // point a redeclared spec may durably commit (see scaladoc); the
+      // flag keeps head-race retries from declaring it twice
+      if (!specDeclared) declareSpec.foreach { s =>
+        declareSpecLine(s); specDeclared = true
+      }
       val stats0 = collectStats(commitDir, statsCols)
       val stats =
         if (pspec.isEmpty) stats0
@@ -2708,6 +2739,12 @@ final class GraftTable private (
       }
       props(SnapshotLog.RowIdNextKey) = next.toString
     }
+    // USER-PROPERTY carry: re-state the effective map at the base cut
+    // — the set/unset delta commits are exactly what expiry drops, and
+    // without the carry SET TBLPROPERTIES would silently vanish with
+    // them (unset keys simply aren't re-stated)
+    userPropertiesIn(snaps, Some(base.snapshotId)).foreach { case (k, v) =>
+      props(GraftTable.UserPropSetPrefix + k) = v }
     val statsByFile = snaps.flatMap(_.stats).toMap
     val rel = visible.map { case (abs, _) =>
       dir.relativize(Paths.get(abs)).toString }.sorted
@@ -3214,6 +3251,78 @@ final class GraftTable private (
 
   def dropTag(name: String): Unit = Files.deleteIfExists(tagPath(name))
 
+  // ------------------------------------------------- table properties
+  // USER-level table properties (the Iceberg table-properties shape,
+  // SQL-addressable via ALTER TABLE … SET/UNSET TBLPROPERTIES and the
+  // `t$properties` metadata table). Stored as DELTAS in snapshot
+  // summaries — `graft.props.set.<k>` / `graft.props.unset.<k>` on a
+  // file-less "properties" commit — so the effective map at ANY
+  // retained cut folds from the log and time travel shows historical
+  // values for free. [[checkpoint]] re-states the effective map, so
+  // properties survive history expiry like every other carried state.
+  // The `graft.props.*` prefix keeps user keys disjoint from the
+  // engine's own commit metadata (txn markers, lineage, IVF stamps).
+
+  /** Set user properties (upserts; other keys untouched). One
+    * metadata-only commit for the whole map. */
+  def setProperties(props: Map[String, String]): Snapshot = {
+    require(props.nonEmpty, s"setProperties on $name: empty property map")
+    props.keys.foreach(k => require(k.nonEmpty,
+      s"setProperties on $name: empty property key"))
+    val head = log.head.getOrElse(
+      throw new IllegalStateException(s"table $name has no snapshots"))
+    log.commit("properties", Nil, head.schemaJson,
+      properties = props.map { case (k, v) =>
+        (GraftTable.UserPropSetPrefix + k) -> v })
+  }
+
+  /** Unset user properties. A key that is not currently set refuses
+    * unless `ifExists` (the SQL IF EXISTS escape hatch) — silently
+    * accepting a typo'd UNSET would leave the real key set forever. */
+  def unsetProperties(keys: Seq[String], ifExists: Boolean = false): Snapshot = {
+    require(keys.nonEmpty, s"unsetProperties on $name: no keys")
+    val head = log.head.getOrElse(
+      throw new IllegalStateException(s"table $name has no snapshots"))
+    val current = userProperties()
+    val missing = keys.filterNot(current.contains)
+    require(ifExists || missing.isEmpty,
+      s"UNSET TBLPROPERTIES on $name: no such " +
+        s"propert${if (missing.size == 1) "y" else "ies"} " +
+        s"${missing.mkString("'", "', '", "'")} (use IF EXISTS)")
+    log.commit("properties", Nil, head.schemaJson,
+      properties = keys.filter(current.contains).map(k =>
+        (GraftTable.UserPropUnsetPrefix + k) -> "").toMap)
+  }
+
+  /** Effective user properties at `asOf` (head when None): fold the
+    * retained set/unset deltas in commit order. O(#snapshots) driver
+    * metadata walk, no data read. */
+  def userProperties(asOf: Option[Long] = None): Map[String, String] =
+    userPropertiesIn(log.snapshots, asOf)
+
+  /** Same fold over an ALREADY-captured snapshot list (checkpoint's
+    * atomic-view discipline — see [[SnapshotLog.dataFilesOf]]). */
+  private def userPropertiesIn(snaps: Seq[Snapshot],
+      asOf: Option[Long]): Map[String, String] = {
+    val cut = asOf.getOrElse(Long.MaxValue)
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    snaps.iterator.filter(_.snapshotId <= cut).foreach { s =>
+      s.properties.foreach { case (k, v) =>
+        if (k.startsWith(GraftTable.UserPropSetPrefix))
+          m(k.substring(GraftTable.UserPropSetPrefix.length)) = v
+        else if (k.startsWith(GraftTable.UserPropUnsetPrefix))
+          m.remove(k.substring(GraftTable.UserPropUnsetPrefix.length))
+      }
+    }
+    m.toMap
+  }
+
+  /** `$properties` metadata table: (key, value), key-sorted. */
+  def propertiesDf(asOf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    userProperties(asOf).toSeq.sortBy(_._1).toDF("key", "value")
+  }
+
   /** Discard a branch: metadata-only delete (the audit-failed path).
     * Staged data files become unreferenced debris for [[removeOrphans]]. */
   def dropBranch(b: String): Unit = {
@@ -3649,8 +3758,10 @@ final class GraftTable private (
           cowChanges(s, prevId)
         case "eqdelete" | "posdelete" => killedBy(s)
         // logical no-ops: schema/layout maintenance moved or re-listed
-        // bytes but changed no visible row
-        case "evolve" | "compact" | "rewrite" | "posrewrite" => None
+        // bytes but changed no visible row ("properties" = user
+        // TBLPROPERTIES delta, zero files by construction)
+        case "evolve" | "compact" | "rewrite" | "posrewrite" |
+             "properties" => None
         case other => throw new IllegalStateException(
           s"changeFeed of $name: unknown operation '$other' at snapshot " +
             s"${s.snapshotId} — refusing to silently skip")
@@ -4389,16 +4500,25 @@ final class GraftTable private (
 
   /** Iceberg-style `$history` metadata table: when each snapshot became
     * the table head. The log is LINEAR by construction (rollback
-    * commits a NEW snapshot instead of moving a pointer back), so the
-    * parent is the preceding retained snapshot and every retained
-    * snapshot is an ancestor of the head — the Iceberg-habituated
-    * column set, trivially satisfied. */
+    * commits a NEW snapshot instead of moving a pointer back), so every
+    * retained snapshot is an ancestor of the head. `parent_id` is the
+    * TRUE parent recorded at commit time ([[SnapshotLog.ParentKey]]) —
+    * never inferred from log position, which after expire_snapshots
+    * would report a preceding RETAINED snapshot that was not the
+    * commit's actual parent (Iceberg's `$history` reads the recorded
+    * parent-snapshot-id for the same reason). Pre-recording manifests
+    * fall back to the preceding snapshot ONLY when its id is exactly
+    * `snapshot_id - 1` — ids are allocated contiguously from head+1,
+    * so a retained id−1 can only ever BE the parent; any gap (expiry,
+    * clone floors) reports null rather than a fabricated parent. */
   def historyDf: DataFrame = {
     import spark.implicits._
     val snaps = log.snapshots
     snaps.zipWithIndex.map { case (s, i) =>
-      (new java.sql.Timestamp(s.timestampMs), s.snapshotId,
-        if (i == 0) None else Some(snaps(i - 1).snapshotId), true)
+      val parent = s.properties.get(SnapshotLog.ParentKey).map(_.toLong)
+        .orElse(if (i > 0 && snaps(i - 1).snapshotId == s.snapshotId - 1)
+          Some(snaps(i - 1).snapshotId) else None)
+      (new java.sql.Timestamp(s.timestampMs), s.snapshotId, parent, true)
     }.toDF("made_current_at", "snapshot_id", "parent_id",
       "is_current_ancestor")
   }
@@ -4677,6 +4797,13 @@ object GraftTable {
     * re-listing a file is corruption and stays flagged), and reads
     * consult its per-file era bindings. */
   val CheckpointKey = "graft.checkpoint"
+  /** USER table-property deltas ([[GraftTable.setProperties]]):
+    * `graft.props.set.<k>` → value / `graft.props.unset.<k>` on a
+    * "properties" commit; [[GraftTable.userProperties]] folds them,
+    * [[GraftTable.checkpoint]] re-states the effective map so the
+    * properties survive history expiry. */
+  val UserPropSetPrefix = "graft.props.set."
+  val UserPropUnsetPrefix = "graft.props.unset."
   /** `graft.era.<n>` → era schema JSON (field ids materialized) stored
     * by a checkpoint; `graft.eraof.<relPath>` → n binds a carried file
     * to its decode era. Only files whose era is NOT name+type identity

@@ -312,6 +312,15 @@ object SnapshotLog {
     * committing snapshot's id for rows they changed or minted). */
   val RowSeqFilePrefix = "graft.rowseq.file."
 
+  /** The TRUE parent snapshot id, recorded by [[SnapshotLog.commit]] at
+    * commit time (the head the winning CAS attempt observed). `$history`
+    * reads this instead of inferring the parent from log position —
+    * after expire_snapshots the preceding RETAINED snapshot is not the
+    * commit's actual parent (Iceberg records parent-snapshot-id in the
+    * snapshot itself for the same reason). Absent on pre-r17 manifests
+    * and on a table's first commit. */
+  val ParentKey = "graft.parent"
+
   /** The table's next unassigned row id at the cut, None ⇔ lineage
     * never enabled. Latest wins: every assigning commit re-states it. */
   def rowIdNextOf(snaps: Seq[Snapshot]): Option[Long] =
@@ -694,8 +703,14 @@ final class SnapshotLog(tableDir: Path, branch: Option[String] = None) {
           }
         }
       val id = math.max(head + 1, atLeastId.getOrElse(0L))
+      // record the TRUE parent (the head this attempt is committing on
+      // top of) — re-read per retry so a lost race records the winner;
+      // a first commit (head 0) has no parent and records nothing
+      val withParent =
+        if (head == 0L || effProps.contains(SnapshotLog.ParentKey)) effProps
+        else effProps + (SnapshotLog.ParentKey -> head.toString)
       val snap = Snapshot(id, System.currentTimeMillis(), operation,
-        addedFiles, schemaJson, stats, removedFiles, deleteFiles, effProps)
+        addedFiles, schemaJson, stats, removedFiles, deleteFiles, withParent)
       val tmp = Files.createTempFile(snapDir, ".commit-", ".tmp")
       Files.writeString(tmp, SnapshotJson.write(snap))
       try {

@@ -1,0 +1,389 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.warehouse.{Connector, GraftTable, PartitionField}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-17 DDL-surface contract: every common DDL verb over a
+  * warehouse-table name either ROUTES (result carries a snapshot_id
+  * column) or REFUSES loudly — never a silent temp-view operation (the
+  * trap class: r16's column-list CREATE TABLE fell through to Spark's
+  * catalog; r17's probe found ALTER TABLE RENAME TO renaming only the
+  * reflected view). Plus the new verbs themselves: real warehouse
+  * RENAME, SET/UNSET/SHOW TBLPROPERTIES + `$properties` (+ time
+  * travel + expiry carry), TRUNCATE … PARTITION, CREATE TABLE LIKE,
+  * and the uniform routed-DDL result contract. */
+class DdlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshConn(): Connector =
+    new Connector(spark, Files.createTempDirectory("graft-ddl-").toString)
+
+  // ---------------------------------------------------------- rename
+
+  test("ALTER TABLE RENAME TO is a real warehouse rename") {
+    val c = freshConn()
+    c.createTable("rn_src", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    c.sql("INSERT INTO rn_src VALUES (3, 'c')")
+    val r = c.sql("ALTER TABLE rn_src RENAME TO rn_dst").collect().head
+    // uniform CALL-style result: the verb reports the surviving head
+    assert(r.getString(0) == "rename_table" && r.getString(1) == "rn_dst")
+    assert(r.getLong(2) == 2L)
+    // the WAREHOUSE table moved — not just the view
+    assert(c.tables == Seq("rn_dst"))
+    assert(!c.tableExists("rn_src") && c.tableExists("rn_dst"))
+    // full history and time travel survive under the new name
+    val t = c.loadTable("rn_dst")
+    assert(t.log.snapshots.map(_.operation) == Seq("create", "append"))
+    assert(c.sql("SELECT count(*) AS n FROM rn_dst VERSION AS OF 1")
+      .collect().head.getLong(0) == 2L)
+    // DML keeps working under the new name
+    c.sql("INSERT INTO rn_dst VALUES (4, 'd')")
+    assert(c.sql("SELECT count(*) AS n FROM rn_dst")
+      .collect().head.getLong(0) == 4L)
+    // the OLD name is gone from SQL — and is NOT a stale orphan view
+    // frozen at rename time (the trap the fall-through produced)
+    assert(intercept[Exception] {
+      c.sql("SELECT * FROM rn_src").collect()
+    }.getMessage.toLowerCase.contains("not"))
+    assert(!spark.catalog.tableExists("rn_src"))
+  }
+
+  test("rename refuses: existing destination, ALTER VIEW, bad names") {
+    val c = freshConn()
+    c.createTable("rn_a", Seq(1L).toDF("id"))
+    c.createTable("rn_b", Seq(2L).toDF("id"))
+    val e1 = intercept[IllegalArgumentException] {
+      c.sql("ALTER TABLE rn_a RENAME TO rn_b") }
+    assert(e1.getMessage.contains("already exists"))
+    val e2 = intercept[IllegalArgumentException] {
+      c.sql("ALTER VIEW rn_a RENAME TO rn_c") }
+    assert(e2.getMessage.contains("warehouse TABLE"))
+    // nothing moved on a refusal
+    assert(c.tables == Seq("rn_a", "rn_b"))
+    assert(c.sql("SELECT count(*) AS n FROM rn_a")
+      .collect().head.getLong(0) == 1L)
+  }
+
+  test("rename survives a later create at the OLD name (cache purge)") {
+    val c = freshConn()
+    c.createTable("rn_old", Seq((1L, "x")).toDF("id", "v"))
+    c.sql("ALTER TABLE rn_old RENAME TO rn_new")
+    // a fresh table at the old path restarts the manifest sequence —
+    // the parse cache must not serve the renamed table's manifests
+    c.sql("CREATE TABLE rn_old AS SELECT 9 AS k")
+    assert(c.sql("SELECT k FROM rn_old").collect().map(_.getInt(0)).toSeq
+      == Seq(9))
+    assert(c.sql("SELECT id FROM rn_new").collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+  }
+
+  // ---------------------------------------------- result contract
+
+  test("every routed verb's result carries snapshot_id (uniform contract)") {
+    val c = freshConn()
+    def snapCol(sqlText: String): Unit = {
+      val df = c.sql(sqlText)
+      assert(df.schema.fieldNames.contains("snapshot_id"),
+        s"no snapshot_id column from: $sqlText — got " +
+          df.schema.fieldNames.mkString(","))
+      df.collect()
+      ()
+    }
+    snapCol("CREATE TABLE uc (id BIGINT, v STRING)")
+    snapCol("INSERT INTO uc VALUES (1, 'a'), (2, 'b')")
+    snapCol("ALTER TABLE uc ADD COLUMN w INT DEFAULT 7")
+    snapCol("ALTER TABLE uc ALTER COLUMN w SET DEFAULT 8")
+    snapCol("ALTER TABLE uc RENAME COLUMN w TO w2")
+    snapCol("ALTER TABLE uc DROP COLUMN w2")
+    snapCol("ALTER TABLE uc SET TBLPROPERTIES ('k'='v')")
+    snapCol("ALTER TABLE uc UNSET TBLPROPERTIES ('k')")
+    snapCol("UPDATE uc SET v = 'z' WHERE id = 1")
+    snapCol("DELETE FROM uc WHERE id = 2")
+    snapCol("TRUNCATE TABLE uc")
+    snapCol("CREATE TABLE uc2 LIKE uc")
+    snapCol("CREATE OR REPLACE TABLE uc2 AS SELECT 1 AS one")
+    snapCol("ALTER TABLE uc2 RENAME TO uc3")
+    snapCol("CALL checkpoint('uc3')")
+    snapCol("DROP TABLE uc3")
+    snapCol("DROP TABLE uc")
+  }
+
+  // ------------------------------------------------- tblproperties
+
+  test("SET/UNSET/SHOW TBLPROPERTIES + $properties + time travel") {
+    val c = freshConn()
+    c.createTable("tp", Seq((1L, "a")).toDF("id", "v"))
+    c.sql("ALTER TABLE tp SET TBLPROPERTIES " +
+      "('team'='data-eng', 'retention.days'='30')")          // s2
+    val s2 = c.getCurrentSnapshotId("tp").get
+    c.sql("ALTER TABLE tp SET TBLPROPERTIES ('team'='ml')")   // s3
+    c.sql("ALTER TABLE tp UNSET TBLPROPERTIES ('retention.days')") // s4
+    // effective map at head
+    assert(c.loadTable("tp").userProperties() == Map("team" -> "ml"))
+    // $properties metadata table composes in SQL
+    assert(c.sql("SELECT key, value FROM `tp$properties` ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("team", "ml")))
+    // time travel shows the OLD values (deltas fold from the log)
+    assert(c.sql(s"SELECT key, value FROM `tp$$properties` " +
+      s"VERSION AS OF $s2 ORDER BY key")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("retention.days", "30"), ("team", "data-eng")))
+    // SHOW TBLPROPERTIES routes to the warehouse map (Spark's own
+    // would refuse on the reflected temp view)
+    assert(c.sql("SHOW TBLPROPERTIES tp")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("team", "ml")))
+    assert(c.sql("SHOW TBLPROPERTIES tp ('team')")
+      .collect().head.getString(1) == "ml")
+    val e = intercept[IllegalArgumentException] {
+      c.sql("SHOW TBLPROPERTIES tp ('nope')") }
+    assert(e.getMessage.contains("no property"))
+    // UNSET of a never-set key refuses without IF EXISTS
+    val e2 = intercept[IllegalArgumentException] {
+      c.sql("ALTER TABLE tp UNSET TBLPROPERTIES ('ghost')") }
+    assert(e2.getMessage.contains("no such"))
+    c.sql("ALTER TABLE tp UNSET TBLPROPERTIES IF EXISTS ('ghost')")
+    // a properties commit is a logical no-op for the change feed
+    val feed = c.loadTable("tp").changesSince(1L)
+    assert(feed.count() == 0L)
+  }
+
+  test("CREATE TABLE … TBLPROPERTIES honors the clause; carry survives expiry") {
+    val c = freshConn()
+    c.sql("CREATE TABLE tpc (id BIGINT) TBLPROPERTIES ('fmt'='v1')")
+    assert(c.loadTable("tpc").userProperties() == Map("fmt" -> "v1"))
+    c.sql("INSERT INTO tpc VALUES (1)")
+    c.sql("ALTER TABLE tpc SET TBLPROPERTIES ('stage'='gold')")
+    // expire history behind a fresh checkpoint: the set/unset delta
+    // commits are dropped, the checkpoint's re-stated map survives
+    c.sql("CALL expire_snapshots(table => 'tpc')")
+    assert(c.loadTable("tpc").log.snapshots.size == 1)
+    assert(c.loadTable("tpc").userProperties() ==
+      Map("fmt" -> "v1", "stage" -> "gold"))
+    // CTAS + LIKE also thread TBLPROPERTIES
+    c.sql("CREATE TABLE tpd TBLPROPERTIES ('src'='tpc') AS SELECT 1 AS k")
+    assert(c.loadTable("tpd").userProperties() == Map("src" -> "tpc"))
+    c.sql("CREATE TABLE tpe LIKE tpd TBLPROPERTIES ('copy'='y')")
+    assert(c.loadTable("tpe").userProperties() == Map("copy" -> "y"))
+    assert(c.loadTable("tpe").schema.fieldNames.toSeq == Seq("k"))
+  }
+
+  // -------------------------------------------- truncate partition
+
+  test("TRUNCATE TABLE … PARTITION prunes to the named partition") {
+    val c = freshConn()
+    c.sql("CREATE TABLE trp (id BIGINT, yr INT, v STRING) " +
+      "PARTITIONED BY (yr)")
+    c.sql("INSERT INTO trp SELECT id, 1995 + CAST(id % 3 AS INT), 'x' " +
+      "FROM range(300)")
+    val t = c.loadTable("trp")
+    val before = t.filesDf().select("file").as[String].collect().toSet
+    val keepBefore = c.sql(
+      "SELECT count(*) AS n FROM trp WHERE yr <> 1996")
+      .collect().head.getLong(0)
+    c.sql("TRUNCATE TABLE trp PARTITION (yr = 1996)")
+    assert(c.sql("SELECT count(*) AS n FROM trp WHERE yr = 1996")
+      .collect().head.getLong(0) == 0L)
+    assert(c.sql("SELECT count(*) AS n FROM trp")
+      .collect().head.getLong(0) == keepBefore)
+    // OTHER partitions' files are untouched — the CoW delete rewrote
+    // only files that could contain yr=1996 rows (file-pruned probe)
+    val after = t.filesDf().select("file").as[String].collect().toSet
+    assert(after.subsetOf(before),
+      "partition truncate must only REMOVE files, never rewrite " +
+        s"survivors: new files ${(after -- before).mkString(", ")}")
+    // probe witness: the delete's stat probe read a strict subset
+    // refusals: non-identity transform column, non-partition column
+    c.sql("CREATE TABLE trb (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts), bucket(4, id))")
+    val e1 = intercept[IllegalArgumentException] {
+      c.sql("TRUNCATE TABLE trb PARTITION (id = 5)") }
+    assert(e1.getMessage.contains("IDENTITY partition column"))
+    val e2 = intercept[IllegalArgumentException] {
+      c.sql("TRUNCATE TABLE trp PARTITION (v = 'x')") }
+    assert(e2.getMessage.contains("IDENTITY partition column"))
+  }
+
+  // ------------------------------------------------ route-or-refuse
+
+  test("DDL sweep: every verb over a warehouse table routes or refuses") {
+    val c = freshConn()
+    c.createTable("sw", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    c.createTable("sw_part", Seq((1L, 1995)).toDF("id", "yr"))
+    c.loadTable("sw_part").setPartitionSpec(
+      Seq(PartitionField("identity", "yr", 0)))
+
+    // verbs that must ROUTE: graft result shape (snapshot_id column)
+    val routed = Seq(
+      "INSERT INTO sw VALUES (3, 'c')",
+      "INSERT OVERWRITE sw VALUES (1, 'a'), (2, 'b'), (3, 'c')",
+      "UPDATE sw SET v = 'q' WHERE id = 3",
+      "DELETE FROM sw WHERE id = 3",
+      "MERGE INTO sw USING (SELECT CAST(3 AS BIGINT) AS id, 'c' AS v) s " +
+        "ON sw.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+      "ALTER TABLE sw ADD COLUMN z INT",
+      "ALTER TABLE sw ALTER COLUMN z SET DEFAULT 1",
+      "ALTER TABLE sw ALTER COLUMN z DROP DEFAULT",
+      "ALTER TABLE sw RENAME COLUMN z TO z2",
+      "ALTER TABLE sw DROP COLUMN z2",
+      "ALTER TABLE sw SET TBLPROPERTIES ('a'='1')",
+      "ALTER TABLE sw UNSET TBLPROPERTIES ('a')",
+      "TRUNCATE TABLE sw_part PARTITION (yr = 1995)",
+      "ALTER TABLE sw RENAME TO sw9",
+      "ALTER TABLE sw9 RENAME TO sw")
+    routed.foreach { stmt =>
+      val df = c.sql(stmt)
+      assert(df.schema.fieldNames.contains("snapshot_id"),
+        s"expected routed graft result from: $stmt")
+      df.collect()
+    }
+
+    // verbs that must REFUSE (ours or Spark's own loud error — the
+    // invariant is NO silent temp-view mutation)
+    val refused = Seq(
+      "ALTER TABLE sw ALTER COLUMN id TYPE STRING",
+      "ALTER VIEW sw RENAME TO swv",
+      "DROP VIEW sw",
+      "ALTER TABLE sw ADD PARTITION (id = 1)",
+      "ALTER TABLE sw DROP PARTITION (id = 1)",
+      "ALTER TABLE sw RECOVER PARTITIONS",
+      "ALTER TABLE sw SET LOCATION '/tmp/nowhere'",
+      "MSCK REPAIR TABLE sw",
+      "TRUNCATE TABLE sw PARTITION (id = 1)", // not an identity part col
+      "COMMENT ON TABLE sw IS 'x'",
+      "SHOW CREATE TABLE sw",
+      "CREATE INDEX swi ON sw (id)")
+    refused.foreach { stmt =>
+      val thrown =
+        try { c.sql(stmt).collect(); false }
+        catch { case _: Exception => true }
+      assert(thrown, s"expected a refusal from: $stmt")
+    }
+
+    // tolerated reads (harmless on the reflected view)
+    Seq("DESCRIBE TABLE sw", "SHOW COLUMNS IN sw",
+      "SHOW TBLPROPERTIES sw").foreach(s => c.sql(s).collect())
+
+    // the warehouse is INTACT after the whole sweep: both tables
+    // present, readable through SQL, no orphan views accumulated
+    assert(c.tables == Seq("sw", "sw_part"))
+    assert(c.sql("SELECT count(*) AS n FROM sw")
+      .collect().head.getLong(0) == 3L)
+    assert(c.sql("SELECT count(*) AS n FROM sw_part")
+      .collect().head.getLong(0) == 0L)
+    assert(!spark.catalog.tableExists("sw9") &&
+      !spark.catalog.tableExists("swv"))
+  }
+
+  test("DROP VIEW / DROP TABLE contracts") {
+    val c = freshConn()
+    c.createTable("dv", Seq(1L).toDF("id"))
+    val e = intercept[IllegalArgumentException] { c.sql("DROP VIEW dv") }
+    assert(e.getMessage.contains("DROP TABLE"))
+    // the refusal left the view serving
+    assert(c.sql("SELECT count(*) AS n FROM dv")
+      .collect().head.getLong(0) == 1L)
+    val r = c.sql("DROP TABLE dv").collect().head
+    assert(r.getString(0) == "drop_table" && r.getString(1) == "dv" &&
+      r.getLong(2) == 1L)
+    assert(c.tables.isEmpty)
+    // IF EXISTS on a non-warehouse name still falls through to Spark
+    c.sql("DROP TABLE IF EXISTS no_such_graft_table")
+    // plain DROP VIEW on a real user temp view still works
+    spark.range(1).createOrReplaceTempView("user_view_x")
+    c.sql("DROP VIEW user_view_x")
+    assert(!spark.catalog.tableExists("user_view_x"))
+  }
+
+  // --------------------------------------------------- CREATE LIKE
+
+  test("CREATE TABLE LIKE copies schema + partition spec, no data") {
+    val c = freshConn()
+    c.sql("CREATE TABLE lk_src (id BIGINT, yr INT) PARTITIONED BY (yr)")
+    c.sql("INSERT INTO lk_src VALUES (1, 1995)")
+    c.sql("CREATE TABLE lk_dst LIKE lk_src")
+    val d = c.loadTable("lk_dst")
+    assert(d.schema == c.loadTable("lk_src").schema)
+    assert(d.partitionSpec.map(f => (f.kind, f.column)) ==
+      Seq(("identity", "yr")))
+    assert(c.count("lk_dst") == 0L)
+    // IF NOT EXISTS is honored; plain re-create refuses
+    c.sql("CREATE TABLE IF NOT EXISTS lk_dst LIKE lk_src")
+    val e = intercept[IllegalArgumentException] {
+      c.sql("CREATE TABLE lk_dst LIKE lk_src") }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  // ------------------------------------------------ advice items
+
+  test("$history reports the TRUE parent after expiry, not log position") {
+    val c = freshConn()
+    c.createTable("hp2", Seq(1L).toDF("id"))                    // s1
+    c.insert("hp2", Seq(2L).toDF("id"))                         // s2
+    c.insert("hp2", Seq(3L).toDF("id"))                         // s3
+    val t = c.loadTable("hp2")
+    val rows0 = t.historyDf.orderBy("snapshot_id").collect()
+    assert(rows0.map(r => if (r.isNullAt(2)) -1L else r.getLong(2)).toSeq
+      == Seq(-1L, 1L, 2L))
+    val ck = t.checkpoint().snapshotId                          // s4
+    t.expireSnapshots(ck)                                       // drops 1-3
+    c.insert("hp2", Seq(4L).toDF("id"))                         // s5
+    val rows = c.loadTable("hp2").historyDf
+      .orderBy("snapshot_id").collect()
+    // the checkpoint's recorded parent (s3) is reported even though
+    // expired — it IS the true parent; s5's parent is the checkpoint
+    assert(rows.map(_.getLong(1)).toSeq == Seq(ck, ck + 1))
+    assert(rows.map(r => if (r.isNullAt(2)) -1L else r.getLong(2)).toSeq
+      == Seq(3L, ck))
+  }
+
+  test("CALL maintain refuses a non-boolean expire with its own message") {
+    val c = freshConn()
+    c.createTable("mb", Seq(1L).toDF("id"))
+    val e = intercept[IllegalArgumentException] {
+      c.sql("CALL maintain('mb', 1)") }
+    assert(e.getMessage.contains("expire must be boolean"))
+    c.sql("CALL maintain('mb', true)").collect() // boolean literal works
+    c.sql("CALL maintain('mb', 'false')").collect() // string form works
+  }
+
+  test("VERSION AS OF refuses a name that is both a tag and a branch") {
+    val c = freshConn()
+    c.createTable("tb", Seq((1L, "a")).toDF("id", "v"))
+    val t = c.loadTable("tb")
+    t.tagSnapshot("dual", 1L)
+    t.createBranch("dual")
+    val e = intercept[IllegalArgumentException] {
+      c.sql("SELECT * FROM tb VERSION AS OF 'dual'").collect() }
+    assert(e.getMessage.contains("both a tag and a branch"))
+    t.dropBranch("dual")
+    // unambiguous again: the tag resolves
+    assert(c.sql("SELECT count(*) AS n FROM tb VERSION AS OF 'dual'")
+      .collect().head.getLong(0) == 1L)
+  }
+
+  test("failed RTAS leaves the partition spec unchanged") {
+    val c = freshConn()
+    c.sql("CREATE TABLE rs (id BIGINT, yr INT) PARTITIONED BY (yr)")
+    c.sql("INSERT INTO rs VALUES (1, 1995)")
+    val specBefore = c.loadTable("rs").partitionSpec
+    intercept[Exception] {
+      c.sql("CREATE OR REPLACE TABLE rs PARTITIONED BY (bucket(4, id)) " +
+        "AS SELECT id, yr, raise_error('boom') AS x FROM rs")
+    }
+    assert(c.loadTable("rs").partitionSpec == specBefore,
+      "a failed replacement payload must not durably change the spec")
+    assert(c.sql("SELECT count(*) AS n FROM rs")
+      .collect().head.getLong(0) == 1L)
+    // and a SUCCESSFUL redeclaring RTAS does change it
+    c.sql("CREATE OR REPLACE TABLE rs PARTITIONED BY (bucket(4, id)) " +
+      "AS SELECT id FROM rs")
+    assert(c.loadTable("rs").partitionSpec.map(_.kind) == Seq("bucket"))
+  }
+}

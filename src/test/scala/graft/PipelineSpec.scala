@@ -172,6 +172,46 @@ class PipelineSpec extends AnyFunSuite {
       .filter(col("embedding").isNotNull).count())
   }
 
+  test("IvfIndex.refresh rebuilds on centroid/assignment geometry mismatch") {
+    import graft.operators.IvfIndex
+    import graft.warehouse.Connector
+    val whDir = java.nio.file.Files.createTempDirectory("graft-ivffp-").toString
+    val emb = T.embeddings(spark, sf)
+    val c = new Connector(spark, whDir)
+    c.createTable("emb", emb)
+    IvfIndex.build(c, "emb", "vec_id", "embedding", nlist = 8)
+    val st = IvfIndex.stamp(c, "emb").get
+    // simulate a build() crash BETWEEN its assignment commit and its
+    // centroid replace: the assignments were bucketed by NEW centroids
+    // (assigned_through == head, new fingerprint) while the centroid
+    // table still holds OLD geometry under the old stamp. On-disk we
+    // reproduce the inverse, equivalent state: perturb the centroid
+    // CONTENT while re-stating the stamp — content fingerprint no
+    // longer matches the assignment commit's recorded fingerprint.
+    val ct = c.loadTable(IvfIndex.centroidsTable("emb"))
+    val perturbed = ct.read().withColumn("centroid",
+      org.apache.spark.sql.functions.expr(
+        "transform(centroid, x -> x * 0.5 + 0.01)"))
+    ct.replace(perturbed, properties = Map(
+      IvfIndex.StampKey -> st._1.toString,
+      IvfIndex.NlistKey -> "8", IvfIndex.VecColKey -> "embedding",
+      IvfIndex.CentFpKey -> "stale-geometry"))
+    // drift the corpus so refresh takes the append-only path, where
+    // the pre-r17 skip logic would have silently blessed the mismatch
+    c.insert("emb", emb.limit(3)
+      .withColumn("vec_id", col("vec_id") + 2000000L))
+    val t0 = IvfIndex.trainings.get()
+    assert(IvfIndex.refresh(c, "emb", "vec_id", "embedding", nlist = 8)
+      == "rebuild",
+      "mismatched geometry must degrade to rebuild, not re-stamp")
+    assert(IvfIndex.trainings.get() == t0 + 1, "rebuild must retrain")
+    assert(IvfIndex.fresh(c, "emb"))
+    // post-rebuild invariant: one assignment row per corpus vector
+    assert(c.loadTable(IvfIndex.assignTable("emb")).read().count() ==
+      c.loadTable("emb").read()
+        .filter(col("embedding").isNotNull).count())
+  }
+
   test("minhash signature cache persists one relation, reused across calls and variants") {
     // a corpus plan UNIQUE to this test: the cache is session-lifetime
     // and other suites share the session, so asserting persist counts

@@ -3040,7 +3040,9 @@ class WarehouseSpec extends AnyFunSuite {
     c.sql("CREATE OR REPLACE TABLE t2 AS SELECT 1 AS one")
     assert(c.sql("SELECT * FROM t2").as[Int].collect().toSeq == Seq(1))
     assert(c.loadTable("t2").log.snapshots.last.operation == "replace")
-    assert(c.sql("DROP TABLE t2").as[Boolean].collect().head)
+    // r17 uniform contract: DROP reports CALL-style with the final head
+    val dr = c.sql("DROP TABLE t2").collect().head
+    assert(dr.getString(0) == "drop_table" && dr.getString(1) == "t2")
     assert(!c.tableExists("t2"))
     c.sql("DROP TABLE IF EXISTS t2") // no-op, no error
     intercept[Exception] { c.sql("DROP TABLE t2").collect() } // unknown → Spark's error
@@ -3201,10 +3203,11 @@ class WarehouseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       c.sql("CREATE TABLE ext (x INT) LOCATION '/tmp/elsewhere'") }
     intercept[IllegalArgumentException] {
-      c.sql("CREATE TABLE ext (x INT) TBLPROPERTIES ('a'='b')") }
-    intercept[IllegalArgumentException] {
       c.sql("CREATE TABLE ext (x INT) USING json") }
     assert(!c.tableExists("ext"))
+    // TBLPROPERTIES is HONORED since r17 (user table properties)
+    c.sql("CREATE TABLE extp (x INT) TBLPROPERTIES ('a'='b')")
+    assert(c.loadTable("extp").userProperties() == Map("a" -> "b"))
     c.sql("CREATE TABLE up (x INT) USING parquet") // parquet IS the format
     assert(c.tableExists("up"))
   }
