@@ -41,6 +41,15 @@ object IvfIndex {
   val NlistKey = "graft.ivf.nlist"
   val VecColKey = "graft.ivf.vec_col"
 
+  /** The corpus's CREATE-LINEAGE identity ([[GraftTable.tableUuid]])
+    * stamped beside the snapshot id: a snapshot id is re-mintable (a
+    * dropped-and-recreated corpus reaches head 1 again), so freshness
+    * checks on the id alone would let a stale artifact be adopted by a
+    * DIFFERENT corpus at the same name. Absent on pre-r17 stamps —
+    * those validate by id alone (and re-stamp the uuid on the next
+    * build/refresh). */
+  val BaseUuidKey = "graft.ivf.base_uuid"
+
   /** Assignment-table commit property: the corpus snapshot its rows are
     * assigned THROUGH. The centroid-table [[StampKey]] is what
     * freshness trusts, but it lands LAST (see build's ordering note) —
@@ -146,7 +155,8 @@ object IvfIndex {
       .fit(train).clusterCenters.map(_.toArray)
     val fp = fingerprint(cents)
     val props = Map(StampKey -> head.toString, NlistKey -> nlist.toString,
-      VecColKey -> vecCol, CentFpKey -> fp)
+      VecColKey -> vecCol, CentFpKey -> fp,
+      BaseUuidKey -> base.tableUuid)
     val cdf = spark.createDataFrame(
       spark.sparkContext.parallelize(
         cents.toSeq.zipWithIndex.map { case (c, i) => Row(i, c.toSeq) }, 1),
@@ -202,10 +212,16 @@ object IvfIndex {
     val base = conn.loadTable(baseName)
     val head = base.currentSnapshotId.getOrElse(
       sys.error(s"ivf refresh: corpus $baseName has no snapshots"))
+    // create-lineage identity: a stamped uuid that differs means the
+    // corpus was dropped and recreated (same name, re-minted snapshot
+    // ids) — every skip/delta path is invalid, only rebuild is safe.
+    // An absent stamp (pre-r17 index) validates by id alone.
+    val uuidOk = baseUuidOf(conn, baseName).forall(_ == base.tableUuid)
     st match {
-      case Some((s, nl, vc)) if s == head && nl == nlist && vc == vecCol =>
+      case Some((s, nl, vc)) if uuidOk &&
+          s == head && nl == nlist && vc == vecCol =>
         "fresh"
-      case Some((s, nl, vc)) if nl == nlist && vc == vecCol &&
+      case Some((s, nl, vc)) if uuidOk && nl == nlist && vc == vecCol &&
           base.log.snapshots.filter(x =>
             x.snapshotId > s && x.snapshotId <= head)
             .forall(x => (x.operation == "append" ||
@@ -253,7 +269,7 @@ object IvfIndex {
           val ct = conn.loadTable(centroidsTable(baseName))
           ct.replace(ct.read(), properties = Map(StampKey -> head.toString,
             NlistKey -> nlist.toString, VecColKey -> vecCol,
-            CentFpKey -> fp))
+            CentFpKey -> fp, BaseUuidKey -> base.tableUuid))
           "incremental"
         }
       case _ =>
@@ -297,10 +313,21 @@ object IvfIndex {
     } yield (s.toLong, n.toInt, v)
   }
 
+  /** Create-lineage uuid recorded on the centroid table's latest
+    * stamp commit — absent on pre-r17 stamps. */
+  private def baseUuidOf(conn: Connector, baseName: String)
+      : Option[String] = {
+    if (!conn.tableExists(centroidsTable(baseName))) return None
+    conn.loadTable(centroidsTable(baseName)).log.snapshots.last
+      .properties.get(BaseUuidKey)
+  }
+
   /** Is the persisted index CURRENT against the corpus head? */
   def fresh(conn: Connector, baseName: String): Boolean =
     stamp(conn, baseName).exists { case (s, _, _) =>
-      conn.loadTable(baseName).currentSnapshotId.contains(s) }
+      conn.loadTable(baseName).currentSnapshotId.contains(s) &&
+        baseUuidOf(conn, baseName)
+          .forall(_ == conn.loadTable(baseName).tableUuid) }
 
   /** Approximate top-k from the PERSISTED index — zero training, zero
     * corpus scan: centroids load as a bounded k×dim driver read, each
@@ -318,6 +345,11 @@ object IvfIndex {
       s"ivf index of $baseName is STALE: built at ${st._1}, corpus head " +
         s"${head.getOrElse(-1L)} — rebuild before serving (refusing to " +
         "silently answer from a drifted corpus)")
+    baseUuidOf(conn, baseName).foreach(u => require(
+      u == conn.loadTable(baseName).tableUuid,
+      s"ivf index of $baseName is ORPHANED: built for a corpus that " +
+        "was since dropped and recreated at this name (create-lineage " +
+        "uuid mismatch) — rebuild before serving"))
     val spark = conn.spark
     val cents = conn.loadTable(centroidsTable(baseName)).read()
       .orderBy("cell").collect()

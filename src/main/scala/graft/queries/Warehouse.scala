@@ -2759,6 +2759,218 @@ object Warehouse {
       conn.sql("SELECT k AS o_orderkey, price FROM orders_wap")
         .withColumn("wap_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q175: ALTER TABLE RENAME TO as a real warehouse rename (r17)
+    // The r17 probe found RENAME TO silently renaming only the
+    // reflected temp view (stale orphan at the new name, unreadable
+    // table at the old). Now it is a REAL rename: create→append under
+    // the old name, RENAME, INSERT under the new name, read back.
+    // Witnesses: uniform CALL-style result, the warehouse catalog
+    // moved (old name gone from `tables` AND from SQL — no orphan
+    // view), full history + VERSION AS OF travel survive under the
+    // new name, and the post-rename insert lands in the same log.
+    Q("q175_sql_rename",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, round(o_totalprice, 2) AS p,
+        |    (SELECT max(o_orderkey) FROM orders) AS maxk
+        |  FROM orders)
+        |SELECT k AS o_orderkey, p AS price, TRUE AS rn_ok FROM (
+        |  SELECT k, p FROM base
+        |  UNION ALL
+        |  SELECT maxk + 1, CAST(1.23 AS DOUBLE)
+        |  FROM (SELECT DISTINCT maxk FROM base))
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice"), 2).as("price"))
+      val maxk = base.agg(max("k")).collect()
+        .head.getAs[Number](0).longValue
+      val nEven = base.filter(col("k") % 2 === 0).count()
+      conn.createTable("orders_rn", base.filter(col("k") % 2 === 0)) // s1
+      conn.insert("orders_rn", base.filter(col("k") % 2 =!= 0))      // s2
+      val r = conn.sql("ALTER TABLE orders_rn RENAME TO orders_renamed")
+        .collect().head
+      val contractOk = r.getString(0) == "rename_table" &&
+        r.getString(1) == "orders_renamed" && r.getLong(2) == 2L
+      val catalogMoved = conn.tables == Seq("orders_renamed") &&
+        !conn.tableExists("orders_rn")
+      // the OLD name must be gone from SQL too — not a stale orphan
+      // view frozen at rename time (the trap the fall-through made)
+      val oldNameGone = scala.util.Try(
+        conn.sql("SELECT count(*) AS n FROM orders_rn").collect()).isFailure
+      // DML keeps working under the new name, in the SAME log
+      conn.sql(s"INSERT INTO orders_renamed VALUES (${maxk + 1}, 1.23)")
+      val t = conn.loadTable("orders_renamed")
+      val historyOk =
+        t.log.snapshots.map(_.operation) == Seq("create", "append", "append")
+      val travelOk = conn.sql(
+        "SELECT count(*) AS n FROM orders_renamed VERSION AS OF 1")
+        .collect().head.getLong(0) == nEven
+      val witness = contractOk && catalogMoved && oldNameGone &&
+        historyOk && travelOk && t.validate().isEmpty
+      conn.sql("SELECT k AS o_orderkey, price FROM orders_renamed")
+        .withColumn("rn_ok", lit(witness))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- q176: user TBLPROPERTIES as SQL, read back via $properties
+    // (r17). SET/UNSET route to metadata-only delta commits folded
+    // into an effective map; `t$properties` exposes it as a SQL
+    // relation (with VERSION AS OF showing historical values). The
+    // graded output THREADS a property value into the query: the
+    // quality floor is stored as a property, read back through
+    // `$properties`, and applied as the filter — so a hash match
+    // proves the property roundtrip end-to-end, not just a witness
+    // bool. Also: SHOW TBLPROPERTIES, overwrite+unset folding, and
+    // properties commits being invisible to the change feed.
+    Q("q176_sql_tblproperties",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, TRUE AS tp_ok
+        |FROM orders
+        |WHERE round(o_totalprice, 2) >= 100000.0
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      conn.createTable("orders_tp", T.orders(s, d).select(   // s1
+        col("o_orderkey"), round(col("o_totalprice"), 2).as("price")))
+      conn.sql("ALTER TABLE orders_tp SET TBLPROPERTIES " +
+        "('quality.min_price'='100000.0', 'team'='data-eng')")  // s2
+      val s2 = conn.getCurrentSnapshotId("orders_tp").get
+      conn.sql("ALTER TABLE orders_tp SET TBLPROPERTIES ('team'='ml')")
+      conn.sql("ALTER TABLE orders_tp UNSET TBLPROPERTIES ('team')")
+      val t = conn.loadTable("orders_tp")
+      // effective map at head: overwrite + unset folded
+      val headOk = t.userProperties() == Map("quality.min_price" -> "100000.0")
+      // time travel on the metadata table shows the OLD values
+      val atS2 = conn.sql("SELECT key, value FROM `orders_tp$properties` " +
+        s"VERSION AS OF $s2 ORDER BY key")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val travelOk = atS2 ==
+        Seq(("quality.min_price", "100000.0"), ("team", "data-eng"))
+      val showOk = conn.sql(
+        "SHOW TBLPROPERTIES orders_tp ('quality.min_price')")
+        .collect().head.getString(1) == "100000.0"
+      // metadata-only commits are invisible to the change feed
+      val feedOk = t.changesSince(1L).count() == 0L
+      // thread the property value into the graded relation
+      val floor = conn.sql("SELECT value FROM `orders_tp$properties` " +
+        "WHERE key = 'quality.min_price'")
+        .collect().head.getString(0).toDouble
+      val witness = headOk && travelOk && showOk && feedOk &&
+        t.validate().isEmpty
+      conn.sql(s"SELECT o_orderkey, price FROM orders_tp " +
+        s"WHERE price >= $floor")
+        .withColumn("tp_ok", lit(witness))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- q177: TRUNCATE TABLE … PARTITION (r17) -----------------------
+    // Partition-scoped truncate routes to the transactional CoW delete
+    // on the identity partition predicate; the stats-era probe prunes
+    // the rewrite to the named partition's files, so other partitions'
+    // bytes are never read or rewritten. Witnesses: the surviving file
+    // set is a STRICT SUBSET of the pre-truncate set (remove-only —
+    // identity clustering means no survivor file straddles the
+    // partition), the named partition reads empty while the rest is
+    // row-identical, pre-truncate rows stay travelable, and a
+    // non-identity column refuses with a named message.
+    Q("q177_sql_truncate_partition",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+        |  TRUE AS trp_ok
+        |FROM orders
+        |WHERE year(CAST(o_orderdate AS DATE)) <> 1996
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      val conn = new Connector(s, Scratch.dir("run"))
+      conn.createTable("trp_src", T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        year(col("o_orderdate").cast("date")).as("yr")))
+      conn.sql("CREATE TABLE orders_trp (o_orderkey BIGINT, price DOUBLE, " +
+        "yr INT) PARTITIONED BY (yr)")
+      conn.sql("INSERT INTO orders_trp SELECT * FROM trp_src")
+      val t = conn.loadTable("orders_trp")
+      val preSnap = conn.getCurrentSnapshotId("orders_trp").get
+      val before = t.filesDf().select("file").as[String].collect().toSet
+      val keepBefore = conn.sql(
+        "SELECT count(*) AS n FROM orders_trp WHERE yr <> 1996")
+        .collect().head.getLong(0)
+      val hadTarget = conn.sql(
+        "SELECT count(*) AS n FROM orders_trp WHERE yr = 1996")
+        .collect().head.getLong(0) > 0L
+      conn.sql("TRUNCATE TABLE orders_trp PARTITION (yr = 1996)")
+      val emptied = conn.sql(
+        "SELECT count(*) AS n FROM orders_trp WHERE yr = 1996")
+        .collect().head.getLong(0) == 0L
+      val restKept = conn.sql("SELECT count(*) AS n FROM orders_trp")
+        .collect().head.getLong(0) == keepBefore
+      // remove-only: identity clustering means no survivor rewrite
+      val after = t.filesDf().select("file").as[String].collect().toSet
+      val filesOk = after.subsetOf(before) && after.size < before.size
+      // pre-truncate rows stay travelable
+      val travelOk = conn.sql("SELECT count(*) AS n FROM orders_trp " +
+        s"VERSION AS OF $preSnap WHERE yr = 1996")
+        .collect().head.getLong(0) > 0L
+      val refused = scala.util.Try(conn.sql(
+        "TRUNCATE TABLE orders_trp PARTITION (price = 1.0)"))
+        .failed.toOption.exists(
+          _.getMessage.contains("IDENTITY partition column"))
+      val witness = hadTarget && emptied && restKept && filesOk &&
+        travelOk && refused && t.validate().isEmpty
+      conn.sql("SELECT o_orderkey, price, yr FROM orders_trp")
+        .withColumn("trp_ok", lit(witness))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- q178: SQL introspection verbs (r17) --------------------------
+    // The read-side DDL surface as SQL text: SHOW PARTITIONS answers
+    // the distinct partition tuples from MANIFEST STATS alone (the
+    // graded output — each partitioned append is value-clustered, so
+    // min==max pins every file's tuple without opening one data file;
+    // at 100 TB this is a metadata walk, not a scan), SHOW CREATE
+    // TABLE emits ONE re-executable DDL statement (witnessed by
+    // executing it in a SECOND warehouse and comparing schema +
+    // partition spec + properties), and COMMENT ON TABLE lands in the
+    // same user-property store TBLPROPERTIES reads.
+    Q("q178_sql_introspection",
+      """SELECT 'yr=' || CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR)
+        |  AS "partition", TRUE AS in_ok
+        |FROM orders
+        |GROUP BY 1 ORDER BY "partition"""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      conn.createTable("in_src", T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        year(col("o_orderdate").cast("date")).as("yr")))
+      conn.sql("CREATE TABLE orders_in (o_orderkey BIGINT, price DOUBLE, " +
+        "yr INT) PARTITIONED BY (yr) TBLPROPERTIES ('team'='data-eng')")
+      conn.sql("INSERT INTO orders_in SELECT * FROM in_src")
+      conn.sql("COMMENT ON TABLE orders_in IS 'graded introspection rig'")
+      // SHOW CREATE TABLE roundtrip: the emitted DDL re-executes in a
+      // FRESH warehouse and reproduces the declared surface
+      val ddl = conn.sql("SHOW CREATE TABLE orders_in")
+        .collect().head.getString(0)
+      val conn2 = new Connector(s, Scratch.dir("run"))
+      conn2.sql(ddl)
+      val a = conn.loadTable("orders_in")
+      val b = conn2.loadTable("orders_in")
+      val roundtripOk =
+        b.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq ==
+          a.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq &&
+        b.partitionSpec == a.partitionSpec &&
+        b.userProperties() == a.userProperties() &&
+        b.userProperties().get("comment")
+          .contains("graded introspection rig")
+      val commentOk = conn.sql("SHOW TBLPROPERTIES orders_in ('comment')")
+        .collect().head.getString(1) == "graded introspection rig"
+      // the PARTITION filter narrows to one identity value
+      val filtered = conn.sql(
+        "SHOW PARTITIONS orders_in PARTITION (yr = 1995)")
+        .collect().map(_.getString(0)).toSeq
+      val filterOk = filtered == Seq("yr=1995")
+      val witness = roundtripOk && commentOk && filterOk &&
+        a.validate().isEmpty
+      conn.sql("SHOW PARTITIONS orders_in")
+        .withColumn("in_ok", lit(witness))
+        .orderBy("partition")
     })
 
   def queries: Seq[Q] = ql

@@ -619,6 +619,61 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
               props.toSeq.sortBy(_._1).toDF("key", "value")
           }
         }
+      // SHOW CREATE TABLE t: ONE re-executable DDL statement for THIS
+      // engine — columns + NOT NULL + current write-defaults,
+      // PARTITIONED BY transforms, user TBLPROPERTIES (Spark's own
+      // refuses on the reflected temp view). Spark's result shape.
+      case sct: ShowCreateTable =>
+        identOf(sct.child).orElse(relNameOf(sct.child))
+          .filter(tableExists).map { name =>
+          require(!sct.asSerde,
+            s"SHOW CREATE TABLE $name AS SERDE: warehouse tables have " +
+              "no Hive serde form")
+          import spark.implicits._
+          Seq(loadTable(name).showCreateTableSql).toDF("createtab_stmt")
+        }
+      // SHOW PARTITIONS t [PARTITION (c = v)]: the distinct partition
+      // tuples of the current spec, manifest-stats-first (see
+      // GraftTable.showPartitionsDf). The optional PARTITION filter
+      // post-selects tuples on identity columns by rendered value.
+      case sp: ShowPartitions =>
+        identOf(sp.table).orElse(relNameOf(sp.table))
+          .filter(tableExists).map { name =>
+          val t = loadTable(name)
+          val df = t.showPartitionsDf()
+          sp.pattern match {
+            case None => df
+            case Some(u: org.apache.spark.sql.catalyst.analysis.UnresolvedPartitionSpec) =>
+              val idCols = t.partitionSpec
+                .filter(_.kind == "identity").map(_.column).toSet
+              u.spec.foreach { case (k, _) =>
+                require(idCols.contains(k),
+                  s"SHOW PARTITIONS $name PARTITION: '$k' is not an " +
+                    "IDENTITY partition column of the current spec")
+              }
+              u.spec.foldLeft(df) { case (acc, (k, v)) =>
+                acc.filter(org.apache.spark.sql.functions.col("partition")
+                  .rlike(s"(^|/)${java.util.regex.Pattern.quote(s"$k=$v")}(/|$$)"))
+              }
+            case Some(other) => throw new IllegalArgumentException(
+              s"SHOW PARTITIONS $name: unsupported partition spec " +
+                s"shape '$other'")
+          }
+        }
+      // COMMENT ON TABLE t IS 'x' / IS NULL: the table comment lives
+      // as the user property 'comment' (one metadata-only commit) —
+      // visible via SHOW TBLPROPERTIES / `t$properties` and carried by
+      // SHOW CREATE TABLE's TBLPROPERTIES clause.
+      case cot: CommentOnTable =>
+        nameOf(cot.table).filter(tableExists).map { name =>
+          val t = loadTable(name)
+          // Spark's parser maps `IS NULL` to the empty string, so ""
+          // (like null) clears the comment rather than storing ''
+          done(name, Option(cot.comment).filter(_.nonEmpty) match {
+            case Some(text) => t.setProperties(Map("comment" -> text))
+            case None => t.unsetProperties(Seq("comment"), ifExists = true)
+          })
+        }
       // schema evolution as SQL: ADD/RENAME/DROP COLUMN route to the
       // field-id-aware evolve commits (defaults included — the v3
       // initial/write-default pair rides ALTER TABLE … ADD COLUMN …
@@ -701,10 +756,9 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           val src = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, i.query)
           val sch = t.schema
           // VALUES/SELECT bind positionally unless BY NAME was written;
-          // an explicit column list names the positions (omitted
-          // defaulted columns fill through append's write-default);
-          // rename + cast to the declared types so literal frames
-          // (col1, col2, …) land under the table's column names
+          // an explicit column list names the positions; rename + cast
+          // to the declared types so literal frames (col1, col2, …)
+          // land under the table's column names
           val bound =
             if (i.byName) src
             else if (i.userSpecifiedCols.nonEmpty) {
@@ -718,12 +772,31 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
                   s"provided, table has ${sch.fields.length}")
               src.toDF(sch.fieldNames.toSeq: _*)
             }
-          val cast = bound.select(bound.columns.toSeq.map { c =>
-            sch.fields.find(_.name == c) match {
-              case Some(f) => org.apache.spark.sql.functions.col(c)
-                .cast(f.dataType).as(f.name)
-              case None => org.apache.spark.sql.functions.col(c)
+          // a column not in the schema (a typo'd name) refuses loudly
+          // — the reorder below would silently drop it otherwise
+          bound.columns.find(c => !sch.fieldNames.contains(c)).foreach(c =>
+            throw new IllegalArgumentException(
+              s"INSERT INTO $name: unknown column '$c' (table columns: " +
+                s"${sch.fieldNames.mkString(", ")})"))
+          // ANSI omitted-column semantics for a column list / BY NAME:
+          // the write-default when declared, else a typed NULL when
+          // nullable; a NOT NULL column without a default must be named
+          val filled = sch.fields
+            .filterNot(f => bound.columns.contains(f.name))
+            .foldLeft(bound) { (d, f) =>
+              GraftTable.writeDefaultOf(f) match {
+                case Some(dflt) => d.withColumn(f.name, dflt)
+                case None =>
+                  require(f.nullable,
+                    s"INSERT INTO $name: column '${f.name}' is NOT " +
+                      "NULL and has no DEFAULT — it must be assigned")
+                  d.withColumn(f.name,
+                    lit(null).cast(f.dataType))
+              }
             }
+          val cast = filled.select(sch.fields.toSeq.map { f =>
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(f.dataType).as(f.name)
           }: _*)
           done(name,
             if (i.overwrite) t.replace(cast) else t.append(cast))
@@ -1185,12 +1258,30 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     val to = tableDir(newName)
     require(!Files.exists(to),
       s"rename: destination path '$to' already exists")
-    Files.move(from, to)
-    SnapshotLog.invalidateUnder(from)
-    SnapshotLog.invalidateUnder(to)
-    spark.catalog.dropTempView(oldName)
-    reflectedAt.remove(oldName)
-    reflectView(newName)
+    // derived artifacts (the persisted IVF index) follow their corpus:
+    // `old__ivf_*` siblings move to `new__ivf_*` so the index keeps
+    // serving under the new name (its stamped create-lineage uuid
+    // travels inside the corpus directory). Destination artifact
+    // collisions refuse BEFORE anything moves — a half-moved pair
+    // would be worse than either whole state.
+    val siblings = Seq(
+      graft.operators.IvfIndex.centroidsTable _,
+      graft.operators.IvfIndex.assignTable _)
+      .map(f => (f(oldName), f(newName)))
+      .filter { case (o, _) => tableExists(o) }
+    siblings.foreach { case (_, n) =>
+      require(!tableExists(n),
+        s"rename: destination index artifact '$n' already exists — " +
+          "drop it first") }
+    (siblings :+ ((oldName, newName))).foreach { case (o, n) =>
+      val (f, t) = (tableDir(o), tableDir(n))
+      Files.move(f, t)
+      SnapshotLog.invalidateUnder(f)
+      SnapshotLog.invalidateUnder(t)
+      spark.catalog.dropTempView(o)
+      reflectedAt.remove(o)
+      reflectView(n)
+    }
   }
 
   /** Snapshot head each table's view was last reflected at, plus a

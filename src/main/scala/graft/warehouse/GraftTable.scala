@@ -32,6 +32,32 @@ final class GraftTable private (
 
   def currentSnapshotId: Option[Long] = log.currentSnapshotId
 
+  /** Stable identity of this table's CREATE LINEAGE: a UUID file in
+    * the table directory — it survives renames (it moves with the dir)
+    * and history expiry, and CHANGES on drop+recreate. Derived
+    * artifacts (the persisted IVF index) stamp it beside the corpus
+    * snapshot id: a snapshot id alone is re-mintable — a table dropped
+    * and recreated at the same name reaches head 1 again, so a stale
+    * artifact stamped `snapshot=1` would otherwise be silently adopted
+    * by a DIFFERENT corpus. Minted lazily for pre-r17 tables (the
+    * artifact and its corpus then agree on the minted value). */
+  def tableUuid: String = {
+    val p = dir.resolve("_table_uuid")
+    if (Files.exists(p)) new String(Files.readAllBytes(p), "UTF-8").trim
+    else {
+      val u = UUID.randomUUID().toString
+      try {
+        Files.write(p, u.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        u
+      } catch {
+        // a concurrent minter won the CREATE_NEW race — read its value
+        case _: java.nio.file.FileAlreadyExistsException =>
+          new String(Files.readAllBytes(p), "UTF-8").trim
+      }
+    }
+  }
+
   /** Oldest RETAINED snapshot id — the post-expiry floor below which
     * reads see an empty visible set (time travel before it is gone).
     * Streaming sources floor their initial-batch clamp here. */
@@ -4669,6 +4695,123 @@ final class GraftTable private (
       }
       .sortBy(r => (r._1, Option(r._2).getOrElse("")))
     folded.toDF("spec_field", "value", "files", "rows", "bytes")
+  }
+
+  /** `SHOW PARTITIONS` — the distinct partition tuples of the CURRENT
+    * spec, Spark's one-column `partition` shape (`f1=v1/f2=v2`; the
+    * richer per-partition file/row/byte stats live in `$partitions`).
+    *
+    * Scale posture: answered from MANIFEST STATS alone for every file
+    * whose recorded min==max pins one tuple — which is every file the
+    * partitioned write path produces (appends hash-distribute by
+    * partition value, so a file holds one partition). Files that
+    * PREDATE the spec (no transform stat) or straddle values (a
+    * pre-spec compact) fall back to a column-pruned read of JUST those
+    * files through the era-projecting read path — bounded by the
+    * straddler count, zero on a spec-first table, and never a full
+    * scan. */
+  def showPartitionsDf(asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import spark.implicits._
+    val spec = partitionSpec
+    require(spec.nonEmpty,
+      s"SHOW PARTITIONS $name: table is not partitioned")
+    val snaps = log.snapshots
+    val cut = asOf.getOrElse(Long.MaxValue)
+    val statsByFile = snaps.filter(_.snapshotId <= cut)
+      .flatMap(_.stats).toMap
+    def fmtNum(v: Double): String =
+      if (v == math.floor(v) && math.abs(v) < (1L << 53).toDouble)
+        v.toLong.toString
+      else v.toString
+    def label(f: PartitionField): String = f.kind match {
+      case "identity" => f.column
+      case "bucket"   => s"bucket(${f.param}, ${f.column})"
+      case "truncate" => s"truncate(${f.param}, ${f.column})"
+      case k          => s"${k}s(${f.column})"
+    }
+    // a file's stats pin ONE tuple iff min==max for every spec field
+    def pinned(rel: String): Option[Seq[String]] =
+      statsByFile.get(rel).flatMap { st =>
+        val vals = spec.map { f =>
+          val n = f.statName
+          (st.numMin.get(n), st.numMax.get(n)) match {
+            case (Some(a), Some(b)) if a == b => Some(fmtNum(a))
+            case (None, None) =>
+              (st.strMin.get(n), st.strMax.get(n)) match {
+                case (Some(a), Some(b)) if a == b => Some(a)
+                case _ => None
+              }
+            case _ => None
+          }
+        }
+        if (vals.forall(_.nonEmpty)) Some(vals.map(_.get)) else None
+      }
+    val files = log.filesWithSnapOf(snaps, asOf).map { case (abs, _) =>
+      (abs, dir.relativize(Paths.get(abs)).toString)
+    }
+    val (exact, straddle) = files.partition(f => pinned(f._2).nonEmpty)
+    val fromStats = exact.map(f => pinned(f._2).get)
+    val fromRead: Seq[Seq[String]] =
+      if (straddle.isEmpty) Nil
+      else {
+        // era-projecting read restricted to the straddling files: the
+        // transform exprs are the SAME codegen'd derivations the write
+        // path clusters by, so values agree with recorded stats
+        val base = read(asOf)
+        val sch = base.schema
+        val straddleSet = straddle.map(_._1).toSet
+        base.withColumn("__graft_file", input_file_name())
+          .filter(col("__graft_file")
+            .isin(straddleSet.toSeq.map(f => s"file://$f") ++
+              straddleSet.toSeq: _*))
+          .select(spec.map(f =>
+            f.expr(sch(f.column).dataType).cast("string")): _*)
+          .distinct().collect()
+          .map(r => spec.indices.map(i =>
+            Option(r.getString(i)).getOrElse("null")))
+          .toSeq
+      }
+    val tuples = (fromStats ++ fromRead).distinct
+      .map(vals => spec.zip(vals)
+        .map { case (f, v) => s"${label(f)}=$v" }.mkString("/"))
+      .sorted
+    tuples.toDF("partition")
+  }
+
+  /** `SHOW CREATE TABLE` — ONE re-executable DDL statement that
+    * reproduces the table's declared surface on this engine: column
+    * list with NOT NULL and the CURRENT write-defaults, PARTITIONED BY
+    * transforms, and user TBLPROPERTIES. Metadata-only. */
+  def showCreateTableSql: String = {
+    def q(id: String): String = s"`$id`"
+    val colLines = schema.fields.map { f =>
+      val dflt = if (f.metadata.contains(GraftTable.CurrentDefaultKey))
+        s" DEFAULT ${f.metadata.getString(GraftTable.CurrentDefaultKey)}"
+      else ""
+      val nn = if (f.nullable) "" else " NOT NULL"
+      s"  ${q(f.name)} ${f.dataType.sql}$nn$dflt"
+    }
+    val partLine = partitionSpec match {
+      case Nil => ""
+      case spec => spec.map { f =>
+        f.kind match {
+          case "identity" => q(f.column)
+          case "bucket"   => s"bucket(${f.param}, ${q(f.column)})"
+          case "truncate" => s"truncate(${f.param}, ${q(f.column)})"
+          case k          => s"${k}s(${q(f.column)})"
+        }
+      }.mkString("\nPARTITIONED BY (", ", ", ")")
+    }
+    val props = userProperties()
+    val propLine =
+      if (props.isEmpty) ""
+      else props.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          s"'${k.replace("'", "''")}'='${v.replace("'", "''")}'" }
+        .mkString("\nTBLPROPERTIES (", ", ", ")")
+    s"CREATE TABLE ${q(name)} (\n${colLines.mkString(",\n")})" +
+      partLine + propLine
   }
 
   private def compatible(expected: StructType, got: StructType): Boolean =

@@ -235,6 +235,8 @@ class DdlSurfaceSpec extends AnyFunSuite {
       "ALTER TABLE sw SET TBLPROPERTIES ('a'='1')",
       "ALTER TABLE sw UNSET TBLPROPERTIES ('a')",
       "TRUNCATE TABLE sw_part PARTITION (yr = 1995)",
+      "COMMENT ON TABLE sw IS 'swept'",
+      "COMMENT ON TABLE sw IS NULL",
       "ALTER TABLE sw RENAME TO sw9",
       "ALTER TABLE sw9 RENAME TO sw")
     routed.foreach { stmt =>
@@ -256,8 +258,7 @@ class DdlSurfaceSpec extends AnyFunSuite {
       "ALTER TABLE sw SET LOCATION '/tmp/nowhere'",
       "MSCK REPAIR TABLE sw",
       "TRUNCATE TABLE sw PARTITION (id = 1)", // not an identity part col
-      "COMMENT ON TABLE sw IS 'x'",
-      "SHOW CREATE TABLE sw",
+      "SHOW PARTITIONS sw", // not partitioned
       "CREATE INDEX swi ON sw (id)")
     refused.foreach { stmt =>
       val thrown =
@@ -269,6 +270,11 @@ class DdlSurfaceSpec extends AnyFunSuite {
     // tolerated reads (harmless on the reflected view)
     Seq("DESCRIBE TABLE sw", "SHOW COLUMNS IN sw",
       "SHOW TBLPROPERTIES sw").foreach(s => c.sql(s).collect())
+    // routed reads: OUR result shapes, not Spark's temp-view refusals
+    assert(c.sql("SHOW CREATE TABLE sw").schema.fieldNames.toSeq ==
+      Seq("createtab_stmt"))
+    assert(c.sql("SHOW PARTITIONS sw_part").schema.fieldNames.toSeq ==
+      Seq("partition"))
 
     // the warehouse is INTACT after the whole sweep: both tables
     // present, readable through SQL, no orphan views accumulated
@@ -385,5 +391,89 @@ class DdlSurfaceSpec extends AnyFunSuite {
     c.sql("CREATE OR REPLACE TABLE rs PARTITIONED BY (bucket(4, id)) " +
       "AS SELECT id FROM rs")
     assert(c.loadTable("rs").partitionSpec.map(_.kind) == Seq("bucket"))
+  }
+
+  // ---------------------------------------------- show create table
+
+  test("SHOW CREATE TABLE emits re-executable DDL (roundtrip)") {
+    val c = freshConn()
+    c.sql("CREATE TABLE sc_src (id BIGINT NOT NULL, v STRING, " +
+      "tier STRING DEFAULT 'std', odate DATE) " +
+      "PARTITIONED BY (years(odate), bucket(4, id)) " +
+      "TBLPROPERTIES ('team'='data-eng')")
+    c.sql("COMMENT ON TABLE sc_src IS 'orders-ish'")
+    val ddl = c.sql("SHOW CREATE TABLE sc_src")
+      .collect().head.getString(0)
+    assert(ddl.startsWith("CREATE TABLE `sc_src`"))
+    // the emitted statement RE-EXECUTES on this engine and reproduces
+    // the declared surface exactly: schema + nullability + defaults +
+    // partition spec + user properties (including the comment)
+    val c2 = freshConn()
+    c2.sql(ddl).collect()
+    val a = c.loadTable("sc_src"); val b = c2.loadTable("sc_src")
+    assert(b.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq
+      == a.schema.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq)
+    assert(b.partitionSpec == a.partitionSpec)
+    assert(b.userProperties() == a.userProperties())
+    assert(b.userProperties()("comment") == "orders-ish")
+    // the write-default survived the roundtrip: an omitting insert
+    // reads the default on BOTH tables
+    Seq(c, c2).foreach(_.sql("INSERT INTO sc_src (id, odate) " +
+      "VALUES (1, DATE'1995-06-01')"))
+    Seq(c, c2).foreach(cn =>
+      assert(cn.sql("SELECT tier FROM sc_src").collect()
+        .head.getString(0) == "std"))
+    // AS SERDE refuses with our message
+    val e = intercept[IllegalArgumentException] {
+      c.sql("SHOW CREATE TABLE sc_src AS SERDE") }
+    assert(e.getMessage.contains("no Hive serde form"))
+  }
+
+  // -------------------------------------------------- show partitions
+
+  test("SHOW PARTITIONS lists tuples from manifest stats; fallback covers pre-spec files") {
+    val c = freshConn()
+    c.sql("CREATE TABLE spt (id BIGINT, yr INT, b BIGINT) " +
+      "PARTITIONED BY (yr, bucket(2, b))")
+    c.sql("INSERT INTO spt SELECT id, 1995 + CAST(id % 2 AS INT), id " +
+      "FROM range(40)")
+    val got = c.sql("SHOW PARTITIONS spt")
+      .collect().map(_.getString(0)).toSeq
+    // every tuple is yr=<y>/bucket(2, b)=<0|1>, all four combos present
+    assert(got.size == 4 && got == got.sorted)
+    assert(got.forall(_.matches("yr=199[56]/bucket\\(2, b\\)=[01]")))
+    // PARTITION filter on an identity column
+    val f = c.sql("SHOW PARTITIONS spt PARTITION (yr = 1995)")
+      .collect().map(_.getString(0)).toSeq
+    assert(f.size == 2 && f.forall(_.startsWith("yr=1995/")))
+    // filter on a transform column refuses with a named message
+    val e = intercept[IllegalArgumentException] {
+      c.sql("SHOW PARTITIONS spt PARTITION (b = 3)") }
+    assert(e.getMessage.contains("IDENTITY partition column"))
+    // pre-spec files have no transform stats → the bounded read
+    // fallback classifies them; post-spec files answer from stats
+    c.sql("CREATE TABLE spl AS SELECT id, CAST(1990 + id % 2 AS INT) " +
+      "AS yr FROM range(10)")
+    c.loadTable("spl").setPartitionSpec(
+      Seq(PartitionField("identity", "yr", 0)))
+    c.sql("INSERT INTO spl SELECT id, CAST(1992 AS INT) FROM range(5)")
+    assert(c.sql("SHOW PARTITIONS spl")
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("yr=1990", "yr=1991", "yr=1992"))
+  }
+
+  // ------------------------------------------------ comment on table
+
+  test("COMMENT ON TABLE sets/unsets the comment property") {
+    val c = freshConn()
+    c.createTable("cmt", Seq(1L).toDF("id"))
+    val r = c.sql("COMMENT ON TABLE cmt IS 'hello'").collect().head
+    assert(r.schema.fieldNames.contains("snapshot_id"))
+    assert(c.sql("SHOW TBLPROPERTIES cmt ('comment')")
+      .collect().head.getString(1) == "hello")
+    c.sql("COMMENT ON TABLE cmt IS NULL")
+    assert(c.loadTable("cmt").userProperties().isEmpty)
+    // IS NULL on a never-commented table is a no-op commit, not an error
+    c.sql("COMMENT ON TABLE cmt IS NULL").collect()
   }
 }

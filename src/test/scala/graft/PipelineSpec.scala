@@ -212,6 +212,53 @@ class PipelineSpec extends AnyFunSuite {
         .filter(col("embedding").isNotNull).count())
   }
 
+  test("IvfIndex follows a corpus RENAME; a recreated corpus can never adopt a stale index") {
+    import graft.operators.IvfIndex
+    import graft.warehouse.Connector
+    val whDir = java.nio.file.Files.createTempDirectory("graft-ivfrn-").toString
+    val emb = T.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val c = new Connector(spark, whDir)
+    c.createTable("emb", emb)
+    IvfIndex.build(c, "emb", "vec_id", "embedding", nlist = 8)
+    val r1 = IvfIndex.topK(c, "emb", queries, "vec_id", "embedding", 3,
+        nprobe = 3).orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // RENAME: the index artifacts move with their corpus and keep
+    // serving under the new name — zero training, identical answers
+    val t0 = IvfIndex.trainings.get()
+    c.sql("ALTER TABLE emb RENAME TO corpus")
+    assert(c.tables.toSet ==
+      Set("corpus", "corpus__ivf_centroids", "corpus__ivf_assign"))
+    assert(IvfIndex.fresh(c, "corpus"))
+    val r2 = IvfIndex.topK(c, "corpus", queries, "vec_id", "embedding", 3,
+        nprobe = 3).orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(r1 === r2)
+    assert(IvfIndex.trainings.get() == t0)
+    // ADOPTION GUARD: rename the corpus back out of the way, then park
+    // stale artifacts at a NEW table's name. The new table's head (1)
+    // EQUALS the stale stamp — the snapshot-id check alone would pass.
+    // The create-lineage uuid refuses both serve and skip paths.
+    c.renameTable("corpus__ivf_centroids", "fresh__ivf_centroids")
+    c.renameTable("corpus__ivf_assign", "fresh__ivf_assign")
+    c.createTable("fresh", emb)
+    assert(IvfIndex.stamp(c, "fresh").exists(st =>
+      c.loadTable("fresh").currentSnapshotId.contains(st._1)),
+      "rig must reproduce the id-collision the uuid exists to catch")
+    assert(!IvfIndex.fresh(c, "fresh"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.topK(c, "fresh", queries, "vec_id", "embedding", 3) }
+    assert(e.getMessage.contains("ORPHANED"))
+    // refresh on the orphaned pair REBUILDS rather than skipping
+    val t1 = IvfIndex.trainings.get()
+    assert(IvfIndex.refresh(c, "fresh", "vec_id", "embedding", nlist = 8)
+      == "rebuild")
+    assert(IvfIndex.trainings.get() == t1 + 1)
+    assert(IvfIndex.fresh(c, "fresh"))
+    IvfIndex.topK(c, "fresh", queries, "vec_id", "embedding", 3).collect()
+  }
+
   test("minhash signature cache persists one relation, reused across calls and variants") {
     // a corpus plan UNIQUE to this test: the cache is session-lifetime
     // and other suites share the session, so asserting persist counts

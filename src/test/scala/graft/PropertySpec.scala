@@ -803,6 +803,7 @@ class PropertySpec extends AnyFunSuite {
     // Model-based check of the SQL-only surface: a seeded random walk
     // over INSERT / UPDATE / DELETE / TRUNCATE / ADD COLUMN DEFAULT /
     // RENAME COLUMN / SET-DROP DEFAULT / CALL binpack / CALL checkpoint
+    // / SET-UNSET TBLPROPERTIES / ALTER TABLE RENAME TO (r17)
     // against one warehouse table, mirrored in a plain driver-side map.
     // Catches CROSS-FEATURE interactions (a rename after a default, a
     // truncate under live history, maintenance between DML) no single
@@ -812,14 +813,24 @@ class PropertySpec extends AnyFunSuite {
     //    default fills pre-add files), and the write-default starts at k
     //  - on INSERT (id, v): extras fill from each column's CURRENT
     //    write-default (inserts always omit the extra columns)
-    //  - on SET DEFAULT: only future inserts change; DROP DEFAULT makes
-    //    column-omitting inserts refuse, so the walk always pairs a
-    //    DROP with an immediate re-SET (case 5)
+    //  - on SET DEFAULT: only future inserts change; after DROP
+    //    DEFAULT an omitting insert fills NULL (ANSI, r17) — the walk
+    //    pairs a DROP with an immediate re-SET to keep the model's
+    //    extras non-null (the DROP×SET pair still exercises the
+    //    remove-metadata path against every other op)
     import graft.warehouse.Connector
     val c = new Connector(SparkTestSession.spark,
       Files.createTempDirectory("graft-psql-").toString)
     val rnd = new scala.util.Random(20260815L)
     c.sql("CREATE TABLE pt (id BIGINT, v BIGINT)")
+    // the table's CURRENT sql name — ALTER TABLE … RENAME TO moves it
+    // mid-walk; every later statement AND every time-travel cut must
+    // resolve under the new name (history travels with the table)
+    var tbl = "pt"
+    var renameN = 0
+    // user TBLPROPERTIES model: effective map at head
+    var props = Map.empty[String, String]
+    var propN = 0
     var rows = Map.empty[Long, (Long, Map[String, String])]
     // (sql name, write-default, initial default) per extra column
     var extras = Vector.empty[(String, Option[String], String)]
@@ -829,14 +840,14 @@ class PropertySpec extends AnyFunSuite {
       require(extras.forall(_._2.nonEmpty)) // walk keeps defaults SET
       val ids = (0 until n).map(_ => { nextId += 1; nextId })
       val vals = ids.map(i => s"($i, ${i * 10})").mkString(", ")
-      c.sql(s"INSERT INTO pt (id, v) VALUES $vals")
+      c.sql(s"INSERT INTO $tbl (id, v) VALUES $vals")
       ids.foreach { i =>
         rows += i -> (i * 10, extras.map(e => e._1 -> e._2.get).toMap)
       }
     }
     def check(): Unit = {
       val cols = Seq("id", "v") ++ extras.map(_._1)
-      val got = c.sql(s"SELECT ${cols.mkString(", ")} FROM pt")
+      val got = c.sql(s"SELECT ${cols.mkString(", ")} FROM $tbl")
         .collect().map { r =>
           r.getLong(0) -> (r.getLong(1),
             extras.indices.map(j => extras(j)._1 -> r.getString(2 + j)).toMap)
@@ -852,15 +863,15 @@ class PropertySpec extends AnyFunSuite {
     // read the old name, pre-add cuts lack the column, pre-truncate
     // cuts resurrect the rows. This is where era projection × rename ×
     // default interact and where a model check earns its keep.
-    var cuts = Map.empty[Long, (Vector[String], Map[Long, (Long, Map[String, String])])]
+    var cuts = Map.empty[Long, (Vector[String], Map[Long, (Long, Map[String, String])], Map[String, String])]
     def recordCut(): Unit =
-      c.getCurrentSnapshotId("pt").foreach { sid =>
-        cuts += sid -> (extras.map(_._1), rows)
+      c.getCurrentSnapshotId(tbl).foreach { sid =>
+        cuts += sid -> (extras.map(_._1), rows, props)
       }
     def checkCut(): Unit = if (cuts.nonEmpty) {
-      val (sid, (cols, want)) = cuts.toSeq(rnd.nextInt(cuts.size))
+      val (sid, (cols, want, wantProps)) = cuts.toSeq(rnd.nextInt(cuts.size))
       val sel = (Seq("id", "v") ++ cols).mkString(", ")
-      val got = c.sql(s"SELECT $sel FROM pt VERSION AS OF $sid")
+      val got = c.sql(s"SELECT $sel FROM $tbl VERSION AS OF $sid")
         .collect().map { r =>
           r.getLong(0) -> (r.getLong(1),
             cols.indices.map(j => cols(j) -> r.getString(2 + j)).toMap)
@@ -869,30 +880,37 @@ class PropertySpec extends AnyFunSuite {
         s"time travel to $sid diverged: engine ${got.size} rows, " +
           s"model ${want.size}; sample: ${(got.toSet -- want.toSet).take(3)}" +
           s" | ${(want.toSet -- got.toSet).take(3)}")
+      // the $properties metadata table must fold the delta commits to
+      // exactly the model's map AS OF that cut (and at head)
+      val gotProps = c.sql(
+        s"SELECT key, value FROM `$tbl$$properties` VERSION AS OF $sid")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(gotProps == wantProps,
+        s"$$properties at $sid diverged: engine $gotProps, model $wantProps")
     }
     insert(30)
     recordCut()
     for (step <- 1 to 60) {
-      rnd.nextInt(9) match {
+      rnd.nextInt(12) match {
         case 0 => insert(1 + rnd.nextInt(5))
         case 1 => // UPDATE a residue class
           val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
-          c.sql(s"UPDATE pt SET v = v + 7 WHERE id % $m = $r")
+          c.sql(s"UPDATE $tbl SET v = v + 7 WHERE id % $m = $r")
           rows = rows.map { case (i, (v, e)) =>
             i -> (if (i % m == r) (v + 7, e) else (v, e)) }
         case 2 => // DELETE a residue class
           val m = 3 + rnd.nextInt(4); val r = rnd.nextInt(m)
-          c.sql(s"DELETE FROM pt WHERE id % $m = $r")
+          c.sql(s"DELETE FROM $tbl WHERE id % $m = $r")
           rows = rows.filter { case (i, _) => i % m != r }
         case 3 if extras.size < 4 => // ADD COLUMN with a default
           colN += 1; val cn = s"c$colN"; val d = s"d$colN"
-          c.sql(s"ALTER TABLE pt ADD COLUMN $cn STRING DEFAULT '$d'")
+          c.sql(s"ALTER TABLE $tbl ADD COLUMN $cn STRING DEFAULT '$d'")
           rows = rows.map { case (i, (v, e)) => i -> (v, e + (cn -> d)) }
           extras :+= ((cn, Some(d), d))
         case 4 if extras.nonEmpty => // RENAME the newest extra column
           val (old, wd, init) = extras.last
           val nn = old + "r"
-          c.sql(s"ALTER TABLE pt RENAME COLUMN $old TO $nn")
+          c.sql(s"ALTER TABLE $tbl RENAME COLUMN $old TO $nn")
           rows = rows.map { case (i, (v, e)) =>
             i -> (v, (e - old) + (nn -> e(old))) }
           extras = extras.init :+ ((nn, wd, init))
@@ -904,17 +922,38 @@ class PropertySpec extends AnyFunSuite {
           val j = rnd.nextInt(extras.size)
           val (cn, _, init) = extras(j)
           if (rnd.nextBoolean())
-            c.sql(s"ALTER TABLE pt ALTER COLUMN $cn DROP DEFAULT")
+            c.sql(s"ALTER TABLE $tbl ALTER COLUMN $cn DROP DEFAULT")
           val nd = s"w$step"
-          c.sql(s"ALTER TABLE pt ALTER COLUMN $cn SET DEFAULT '$nd'")
+          c.sql(s"ALTER TABLE $tbl ALTER COLUMN $cn SET DEFAULT '$nd'")
           extras = extras.updated(j, (cn, Some(nd), init))
         case 6 if rnd.nextInt(6) == 0 => // rare TRUNCATE
-          c.sql("TRUNCATE TABLE pt")
+          c.sql(s"TRUNCATE TABLE $tbl")
           rows = Map.empty
         case 7 => // maintenance between DML must never change content
-          c.sql("CALL binpack('pt', 1048576)")
+          c.sql(s"CALL binpack('$tbl', 1048576)")
         case 8 if rnd.nextInt(3) == 0 =>
-          c.sql("CALL checkpoint('pt')")
+          c.sql(s"CALL checkpoint('$tbl')")
+        case 9 => // SET TBLPROPERTIES: new key or overwrite, a
+          // metadata-only commit invisible to rows
+          propN += 1
+          val ks = props.keys.toSeq.sorted
+          val k = if (ks.nonEmpty && rnd.nextBoolean())
+            ks(rnd.nextInt(ks.size))
+          else s"k$propN"
+          c.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('$k'='v$step')")
+          props += k -> s"v$step"
+        case 10 if props.nonEmpty => // UNSET an existing property
+          val ks = props.keys.toSeq.sorted
+          val k = ks(rnd.nextInt(ks.size))
+          c.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES ('$k')")
+          props -= k
+        case 11 if rnd.nextInt(4) == 0 => // rare: rename the TABLE
+          // itself — history, cuts, defaults, and props must all
+          // resolve under the new name from here on
+          renameN += 1
+          val nn = s"pt_r$renameN"
+          c.sql(s"ALTER TABLE $tbl RENAME TO $nn")
+          tbl = nn
         case _ => insert(1)
       }
       if (rnd.nextInt(3) == 0) recordCut()
@@ -922,6 +961,11 @@ class PropertySpec extends AnyFunSuite {
     }
     check()
     checkCut(); checkCut()
-    assert(c.loadTable("pt").validate().isEmpty)
+    // the seed must actually exercise the r17 verbs — a walk that
+    // never renamed or set a property proves nothing about them
+    assert(renameN >= 1, s"seed never hit ALTER TABLE RENAME TO")
+    assert(propN >= 2, s"seed set only $propN properties")
+    assert(c.loadTable(tbl).userProperties() == props)
+    assert(c.loadTable(tbl).validate().isEmpty)
   }
 }

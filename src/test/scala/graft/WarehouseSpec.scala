@@ -3416,9 +3416,13 @@ class WarehouseSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSeq ==
       Seq((1L, "std"), (2L, "gold")),
       "each insert takes the write-default in force at ITS commit")
-    // DROP DEFAULT: omitting the column now refuses (no fill to apply)
+    // DROP DEFAULT: an omitting insert now fills a typed NULL (ANSI —
+    // DuckDB/Postgres semantics; the reference's whole user surface is
+    // DuckDB SQL). NOT NULL columns without a default refuse by name.
     c.sql("ALTER TABLE d ALTER COLUMN tier DROP DEFAULT")
-    intercept[Exception] { c.sql("INSERT INTO d (id) VALUES (3)") }
+    c.sql("INSERT INTO d (id) VALUES (3)")
+    assert(c.sql("SELECT tier FROM d WHERE id = 3")
+      .collect().head.isNullAt(0))
     // the INITIAL default stays frozen: rows in files that PREDATE an
     // added column keep reading the value it was added with, even
     // after the write half moves
@@ -3427,7 +3431,12 @@ class WarehouseSpec extends AnyFunSuite {
     c.sql("INSERT INTO d (id, tier) VALUES (4, 'x')")
     assert(c.sql("SELECT id, r FROM d ORDER BY id")
       .as[(Long, String)].collect().toSeq ==
-      Seq((1L, "a"), (2L, "a"), (4L, "b")))
+      Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b")))
+    // a NOT NULL column with no default must be assigned — named refusal
+    c.sql("CREATE TABLE dnn (id BIGINT NOT NULL, v STRING)")
+    val e = intercept[IllegalArgumentException] {
+      c.sql("INSERT INTO dnn (v) VALUES ('a')") }
+    assert(e.getMessage.contains("NOT NULL and has no DEFAULT"))
     // unsupported alters refuse loudly
     intercept[IllegalArgumentException] {
       c.sql("ALTER TABLE d ALTER COLUMN tier COMMENT 'nope'") }
