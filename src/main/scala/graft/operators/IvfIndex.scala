@@ -217,61 +217,65 @@ object IvfIndex {
     // ids) — every skip/delta path is invalid, only rebuild is safe.
     // An absent stamp (pre-r17 index) validates by id alone.
     val uuidOk = baseUuidOf(conn, baseName).forall(_ == base.tableUuid)
+    // GEOMETRY PARITY at the TOP: build() is idempotent per head, so a
+    // re-run can crash between its assignment commit and centroid
+    // replace at an UNCHANGED corpus head — stamp still (head, fp_old),
+    // assignments carry fp_new. The "fresh" arm below would otherwise
+    // return without comparing; mismatch must rebuild from EVERY arm.
+    val geomOk = assignedFpOf(conn, baseName) match {
+      case None => true // pre-fingerprint index
+      case Some(afp) => centroidFpOf(conn, baseName).forall(_ == afp)
+    }
     st match {
-      case Some((s, nl, vc)) if uuidOk &&
+      case Some((s, nl, vc)) if uuidOk && geomOk &&
           s == head && nl == nlist && vc == vecCol =>
         "fresh"
-      case Some((s, nl, vc)) if uuidOk && nl == nlist && vc == vecCol &&
+      case Some((s, nl, vc)) if uuidOk && geomOk &&
+          nl == nlist && vc == vecCol &&
           base.log.snapshots.filter(x =>
             x.snapshotId > s && x.snapshotId <= head)
             .forall(x => (x.operation == "append" ||
-              x.operation == "publish" || x.operation == "create") &&
+              x.operation == "publish" || x.operation == "create" ||
+              // file-less metadata commits (SET/UNSET TBLPROPERTIES,
+              // r17) change no row — retraining for them would make
+              // every property edit cost O(corpus)
+              (x.operation == "properties" && x.addedFiles.isEmpty)) &&
               x.removedFiles.isEmpty && x.deleteFiles.isEmpty) =>
         val spark = conn.spark
         val cents = conn.loadTable(centroidsTable(baseName)).read()
           .orderBy("cell").collect()
           .map(r => r.getSeq[Double](1).toArray)
         val fp = fingerprint(cents)
-        // GEOMETRY PARITY: the assignment rows must have been bucketed
-        // by THESE centroids. A crash in build() between its assignment
-        // commit and centroid replace leaves new-geometry assignments
-        // (assigned_through == head) beside old centroids — the skip
-        // path below would otherwise re-stamp the mismatch as fresh.
-        // A recorded fingerprint that differs degrades to rebuild;
-        // absent (pre-fingerprint index) proceeds as before.
-        if (assignedFpOf(conn, baseName).exists(_ != fp)) {
-          build(conn, baseName, idCol, vecCol, nlist, maxTrainRows)
-          "rebuild"
-        } else {
-          // the delta starts from the ASSIGNED-THROUGH marker, not the
-          // stale stamp: a crash after the delta append but before the
-          // re-stamp below leaves assignedThrough == head, so the retry
-          // skips straight to re-stamping instead of appending the same
-          // rows a second time (idempotent refresh)
-          val assignedThrough = assignedThroughOf(conn, baseName).getOrElse(s)
-          if (assignedThrough < head) {
-            val bc = spark.sparkContext.broadcast(cents)
-            val cellU = udf { v: Seq[Double] => nearestCells(bc.value, v, 1)(0) }
-            val delta = base.changesSince(assignedThrough, head)
-              .select(col(idCol).as("id"),
-                col(vecCol).cast("array<double>").as("v"))
-              .filter(col("v").isNotNull)
-              .withColumn("n", sqrt(dotU(col("v"), col("v"))))
-              .withColumn("cell", cellU(col("v")))
-            conn.loadTable(assignTable(baseName)).append(delta,
-              clusterBy = Seq("cell"), statsCols = Seq("cell"),
-              clusterParts = math.max(2, nlist / 2),
-              properties = Map(AssignedKey -> head.toString,
-                CentFpKey -> fp))
-          }
-          // re-stamp: rewrite the (nlist-row) centroid table with the
-          // new corpus head — O(nlist), no training
-          val ct = conn.loadTable(centroidsTable(baseName))
-          ct.replace(ct.read(), properties = Map(StampKey -> head.toString,
-            NlistKey -> nlist.toString, VecColKey -> vecCol,
-            CentFpKey -> fp, BaseUuidKey -> base.tableUuid))
-          "incremental"
+        // (geometry parity between assignments and centroids was
+        // checked ABOVE, before any arm — see geomOk)
+        // the delta starts from the ASSIGNED-THROUGH marker, not the
+        // stale stamp: a crash after the delta append but before the
+        // re-stamp below leaves assignedThrough == head, so the retry
+        // skips straight to re-stamping instead of appending the same
+        // rows a second time (idempotent refresh)
+        val assignedThrough = assignedThroughOf(conn, baseName).getOrElse(s)
+        if (assignedThrough < head) {
+          val bc = spark.sparkContext.broadcast(cents)
+          val cellU = udf { v: Seq[Double] => nearestCells(bc.value, v, 1)(0) }
+          val delta = base.changesSince(assignedThrough, head)
+            .select(col(idCol).as("id"),
+              col(vecCol).cast("array<double>").as("v"))
+            .filter(col("v").isNotNull)
+            .withColumn("n", sqrt(dotU(col("v"), col("v"))))
+            .withColumn("cell", cellU(col("v")))
+          conn.loadTable(assignTable(baseName)).append(delta,
+            clusterBy = Seq("cell"), statsCols = Seq("cell"),
+            clusterParts = math.max(2, nlist / 2),
+            properties = Map(AssignedKey -> head.toString,
+              CentFpKey -> fp))
         }
+        // re-stamp: rewrite the (nlist-row) centroid table with the
+        // new corpus head — O(nlist), no training
+        val ct = conn.loadTable(centroidsTable(baseName))
+        ct.replace(ct.read(), properties = Map(StampKey -> head.toString,
+          NlistKey -> nlist.toString, VecColKey -> vecCol,
+          CentFpKey -> fp, BaseUuidKey -> base.tableUuid))
+        "incremental"
       case _ =>
         build(conn, baseName, idCol, vecCol, nlist, maxTrainRows)
         "rebuild"
@@ -322,12 +326,28 @@ object IvfIndex {
       .properties.get(BaseUuidKey)
   }
 
-  /** Is the persisted index CURRENT against the corpus head? */
+  /** Fingerprint of the LIVE centroid geometry — an O(nlist×dim)
+    * driver read of the centroid table, compared against the
+    * fingerprint the latest assignment commit recorded
+    * ([[assignedFpOf]]) to prove the assignments were bucketed by
+    * THESE centroids. */
+  private def centroidFpOf(conn: Connector, baseName: String)
+      : Option[String] = {
+    if (!conn.tableExists(centroidsTable(baseName))) return None
+    Some(fingerprint(conn.loadTable(centroidsTable(baseName)).read()
+      .orderBy("cell").collect().map(_.getSeq[Double](1).toArray)))
+  }
+
+  /** Is the persisted index CURRENT against the corpus head? (stamp id
+    * + create-lineage uuid + assignment/centroid geometry parity) */
   def fresh(conn: Connector, baseName: String): Boolean =
     stamp(conn, baseName).exists { case (s, _, _) =>
+      val geomOk = assignedFpOf(conn, baseName).forall(afp =>
+        centroidFpOf(conn, baseName).forall(_ == afp))
       conn.loadTable(baseName).currentSnapshotId.contains(s) &&
         baseUuidOf(conn, baseName)
-          .forall(_ == conn.loadTable(baseName).tableUuid) }
+          .forall(_ == conn.loadTable(baseName).tableUuid) &&
+        geomOk }
 
   /** Approximate top-k from the PERSISTED index — zero training, zero
     * corpus scan: centroids load as a bounded k×dim driver read, each
@@ -354,6 +374,15 @@ object IvfIndex {
     val cents = conn.loadTable(centroidsTable(baseName)).read()
       .orderBy("cell").collect()
       .map(r => r.getSeq[Double](1).toArray)
+    // geometry parity: a build() crash between its assignment commit
+    // and centroid replace at an UNCHANGED head passes the stamp check
+    // above — refuse to route queries through centroids the rows were
+    // never bucketed by
+    assignedFpOf(conn, baseName).foreach(afp => require(
+      afp == fingerprint(cents),
+      s"ivf index of $baseName is INCONSISTENT: assignment rows were " +
+        "bucketed by different centroid geometry (an interrupted " +
+        "rebuild) — rebuild before serving"))
     val bc = spark.sparkContext.broadcast(cents)
     val np = math.min(nprobe, cents.length)
     val probeU = udf { v: Seq[Double] => nearestCells(bc.value, v, np) }

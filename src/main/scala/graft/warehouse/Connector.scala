@@ -368,6 +368,13 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           s"VERSION AS OF '$v' on `$nm` is AMBIGUOUS: both a retained " +
             "snapshot id and a tag spell this — rename the tag or " +
             "expire the snapshot")
+        // same tag-vs-branch refusal as the data-relation path:
+        // silently preferring the tag would read the wrong cut when a
+        // WAP branch shares the name (branch heads are not metadata-
+        // travelable here, but the collision must refuse, not pick)
+        require(!(t.tags.contains(v) && t.branches.contains(v)),
+          s"VERSION AS OF '$v' on `$nm` is AMBIGUOUS: both a tag and " +
+            "a branch spell this name — drop or rename one of them")
         idHit.orElse(tagHit).getOrElse(throw new IllegalArgumentException(
           s"VERSION AS OF '$v' on `$nm`: expects a retained snapshot " +
             "id or tag name"))
@@ -385,10 +392,11 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     val df = kind match {
       case "properties" => t.propertiesDf(Some(cut))
       case "files" => t.filesDf(Some(cut))
+      case "partitions" => t.partitionsDf(Some(cut))
       case other => throw new IllegalArgumentException(
         s"time travel over metadata table '$$$other' is not supported " +
-          "— supported: $properties, $files (the others are already " +
-          "history-shaped)")
+          "— supported: $properties, $files, $partitions (the others " +
+          "are already history-shaped)")
     }
     df.queryExecution.analyzed
   }
@@ -486,11 +494,21 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           val spec = partitionFieldsOf(name, rts.partitioning)
           val df = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rts.query)
           if (tableExists(name)) {
+            // CREATE OR REPLACE is the atomic drop-and-recreate: user
+            // properties RESET to the declared TBLPROPERTIES — every
+            // current key not re-declared gets an unset delta in the
+            // SAME replace commit (the fold otherwise carries stale
+            // keys of the replaced table forever)
+            val declared = tprops.keys
+              .map(_.stripPrefix(GraftTable.UserPropSetPrefix)).toSet
+            val clears = loadTable(name).userProperties().keys
+              .filterNot(declared)
+              .map(k => (GraftTable.UserPropUnsetPrefix + k) -> "").toMap
             // a redeclared spec governs the replacement payload's
             // layout (metadata-only; earlier eras keep pruning) but
             // commits only after the payload materializes — a failed
             // RTAS leaves the spec unchanged (see GraftTable.replace)
-            loadTable(name).replace(df, properties = tprops,
+            loadTable(name).replace(df, properties = tprops ++ clears,
               declareSpec = if (spec.nonEmpty) Some(spec) else None)
             reflectView(name)
           } else createTable(name, df, properties = tprops, spec = spec)
@@ -1269,11 +1287,18 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       graft.operators.IvfIndex.assignTable _)
       .map(f => (f(oldName), f(newName)))
       .filter { case (o, _) => tableExists(o) }
+    // raw-path check, same strength as the main destination's: a stray
+    // non-table directory at a sibling destination would fail the move
+    // MIDWAY otherwise
     siblings.foreach { case (_, n) =>
-      require(!tableExists(n),
-        s"rename: destination index artifact '$n' already exists — " +
-          "drop it first") }
-    (siblings :+ ((oldName, newName))).foreach { case (o, n) =>
+      require(!Files.exists(tableDir(n)),
+        s"rename: destination index artifact path '$n' already " +
+          "exists — drop it first") }
+    // the CORPUS moves first: if a sibling move then fails, the index
+    // is merely orphaned under the old name (unused debris — the
+    // create-lineage uuid guard keeps it unadoptable) rather than a
+    // renamed index pointing at an un-renamed corpus
+    (((oldName, newName)) +: siblings).foreach { case (o, n) =>
       val (f, t) = (tableDir(o), tableDir(n))
       Files.move(f, t)
       SnapshotLog.invalidateUnder(f)

@@ -1960,6 +1960,14 @@ final class GraftTable private (
           "the replacement's schema")))
     enforceConstraints(df, "replace")
     var specDeclared = false
+    // a terminal failure AFTER the spec declaration (stats collection,
+    // 20 lost head races) must not leave the new spec durably current
+    // with no replacement data — the compensator RE-DECLARES the prior
+    // spec (append-only, race-safe: a concurrent writer that already
+    // recorded entries for the new era keeps a probed history line,
+    // unlike a delete of the version file would)
+    val prevSpec = partitionSpec
+    try {
     var attempt = 0
     while (true) {
       val base = log.head.getOrElse(
@@ -2020,6 +2028,11 @@ final class GraftTable private (
       }
     }
     throw new IllegalStateException("unreachable")
+    } catch {
+      case e: Throwable =>
+        if (specDeclared) declareSpecLine(prevSpec)
+        throw e
+    }
   }
 
   /** Additive schema evolution: append new NULLABLE columns to the table
@@ -4709,17 +4722,22 @@ final class GraftTable private (
     * pre-spec compact) fall back to a column-pruned read of JUST those
     * files through the era-projecting read path — bounded by the
     * straddler count, zero on a spec-first table, and never a full
-    * scan. */
-  def showPartitionsDf(asOf: Option[Long] = None): DataFrame = {
+    * scan.
+    *
+    * Semantics follow Hive/Iceberg partition metadata: a partition is
+    * listed when a VISIBLE data file carries rows in it, BEFORE
+    * row-level delete application — a partition whose every row is
+    * MOR-tombstoned still lists until the files are rewritten (the
+    * stats path cannot see tombstones; applying them would cost the
+    * full MOR read this surface exists to avoid). */
+  def showPartitionsDf(): DataFrame = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     import spark.implicits._
     val spec = partitionSpec
     require(spec.nonEmpty,
       s"SHOW PARTITIONS $name: table is not partitioned")
     val snaps = log.snapshots
-    val cut = asOf.getOrElse(Long.MaxValue)
-    val statsByFile = snaps.filter(_.snapshotId <= cut)
-      .flatMap(_.stats).toMap
+    val statsByFile = snaps.flatMap(_.stats).toMap
     def fmtNum(v: Double): String =
       if (v == math.floor(v) && math.abs(v) < (1L << 53).toDouble)
         v.toLong.toString
@@ -4747,7 +4765,7 @@ final class GraftTable private (
         }
         if (vals.forall(_.nonEmpty)) Some(vals.map(_.get)) else None
       }
-    val files = log.filesWithSnapOf(snaps, asOf).map { case (abs, _) =>
+    val files = log.filesWithSnapOf(snaps, None).map { case (abs, _) =>
       (abs, dir.relativize(Paths.get(abs)).toString)
     }
     val (exact, straddle) = files.partition(f => pinned(f._2).nonEmpty)
@@ -4758,7 +4776,7 @@ final class GraftTable private (
         // era-projecting read restricted to the straddling files: the
         // transform exprs are the SAME codegen'd derivations the write
         // path clusters by, so values agree with recorded stats
-        val base = read(asOf)
+        val base = read()
         val sch = base.schema
         val straddleSet = straddle.map(_._1).toSet
         base.withColumn("__graft_file", input_file_name())

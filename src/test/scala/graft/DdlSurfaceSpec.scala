@@ -259,6 +259,10 @@ class DdlSurfaceSpec extends AnyFunSuite {
       "MSCK REPAIR TABLE sw",
       "TRUNCATE TABLE sw PARTITION (id = 1)", // not an identity part col
       "SHOW PARTITIONS sw", // not partitioned
+      "ANALYZE TABLE sw COMPUTE STATISTICS",
+      "REPLACE TABLE sw (id BIGINT)", // column-list replace: un-routed
+      "ALTER TABLE sw SET SERDE 'org.nope.Serde'",
+      "CREATE VIEW sw_perm AS SELECT * FROM sw", // permanent over temp
       "CREATE INDEX swi ON sw (id)")
     refused.foreach { stmt =>
       val thrown =
@@ -269,7 +273,10 @@ class DdlSurfaceSpec extends AnyFunSuite {
 
     // tolerated reads (harmless on the reflected view)
     Seq("DESCRIBE TABLE sw", "SHOW COLUMNS IN sw",
-      "SHOW TBLPROPERTIES sw").foreach(s => c.sql(s).collect())
+      "SHOW TBLPROPERTIES sw", "REFRESH TABLE sw",
+      "CACHE TABLE sw", "UNCACHE TABLE sw",
+      "CREATE TEMP VIEW sw_tv AS SELECT * FROM sw", "DROP VIEW sw_tv"
+    ).foreach(s => c.sql(s).collect())
     // routed reads: OUR result shapes, not Spark's temp-view refusals
     assert(c.sql("SHOW CREATE TABLE sw").schema.fieldNames.toSeq ==
       Seq("createtab_stmt"))
@@ -368,10 +375,49 @@ class DdlSurfaceSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       c.sql("SELECT * FROM tb VERSION AS OF 'dual'").collect() }
     assert(e.getMessage.contains("both a tag and a branch"))
+    // the METADATA-table path must refuse the same collision, not
+    // silently prefer the tag
+    val e2 = intercept[IllegalArgumentException] {
+      c.sql("SELECT * FROM `tb$files` VERSION AS OF 'dual'").collect() }
+    assert(e2.getMessage.contains("both a tag and a branch"))
     t.dropBranch("dual")
-    // unambiguous again: the tag resolves
+    // unambiguous again: the tag resolves (data and metadata paths)
     assert(c.sql("SELECT count(*) AS n FROM tb VERSION AS OF 'dual'")
       .collect().head.getLong(0) == 1L)
+    assert(c.sql("SELECT count(*) AS n FROM `tb$files` " +
+      "VERSION AS OF 'dual'").collect().head.getLong(0) >= 1L)
+  }
+
+  test("CREATE OR REPLACE TABLE resets user properties to the declared set") {
+    val c = freshConn()
+    c.sql("CREATE TABLE pr TBLPROPERTIES ('quality.floor'='9', " +
+      "'team'='data-eng') AS SELECT 1 AS k")
+    c.sql("COMMENT ON TABLE pr IS 'old'")
+    // the replacement declares a DIFFERENT property set — stale keys
+    // of the replaced table must not survive the fold
+    c.sql("CREATE OR REPLACE TABLE pr TBLPROPERTIES ('team'='ml') " +
+      "AS SELECT 2 AS k")
+    assert(c.loadTable("pr").userProperties() == Map("team" -> "ml"))
+    // time travel still shows the PRE-replace map at its cut
+    assert(c.sql("SELECT value FROM `pr$properties` VERSION AS OF 1 " +
+      "WHERE key = 'quality.floor'").collect().head.getString(0) == "9")
+    // a replacement with NO clause clears everything
+    c.sql("CREATE OR REPLACE TABLE pr AS SELECT 3 AS k")
+    assert(c.loadTable("pr").userProperties().isEmpty)
+  }
+
+  test("`t$partitions` composes with VERSION AS OF") {
+    val c = freshConn()
+    c.sql("CREATE TABLE pp (id BIGINT, yr INT) PARTITIONED BY (yr)")
+    c.sql("INSERT INTO pp VALUES (1, 1995)")                     // s2
+    val s2 = c.getCurrentSnapshotId("pp").get
+    c.sql("INSERT INTO pp VALUES (2, 1996)")                     // s3
+    def vals(q: String): Seq[String] =
+      c.sql(q).collect().map(_.getString(0)).toSeq.sorted
+    assert(vals("SELECT value FROM `pp$partitions` WHERE rows > 0")
+      == Seq("1995", "1996"))
+    assert(vals(s"SELECT value FROM `pp$$partitions` VERSION AS OF $s2 " +
+      "WHERE rows > 0") == Seq("1995"))
   }
 
   test("failed RTAS leaves the partition spec unchanged") {

@@ -212,6 +212,65 @@ class PipelineSpec extends AnyFunSuite {
         .filter(col("embedding").isNotNull).count())
   }
 
+  test("IvfIndex: interrupted rebuild at an UNCHANGED head refuses/rebuilds, never serves") {
+    import graft.operators.IvfIndex
+    import graft.warehouse.Connector
+    val whDir = java.nio.file.Files.createTempDirectory("graft-ivfint-").toString
+    val emb = T.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 4)
+    val c = new Connector(spark, whDir)
+    c.createTable("emb", emb)
+    IvfIndex.build(c, "emb", "vec_id", "embedding", nlist = 8)
+    val st = IvfIndex.stamp(c, "emb").get
+    // build() is idempotent per head: a RE-RUN at the same corpus head
+    // that crashes between its assignment commit and centroid replace
+    // leaves fp_new assignments under a stamp still reading fp_old —
+    // with s == head, so the r16 incremental-arm parity check never
+    // runs. Reproduce the inverse on-disk state: perturb the centroid
+    // CONTENT under a re-stated same-head stamp.
+    val ct = c.loadTable(IvfIndex.centroidsTable("emb"))
+    ct.replace(ct.read().withColumn("centroid",
+      org.apache.spark.sql.functions.expr(
+        "transform(centroid, x -> x * 0.9 + 0.02)")),
+      properties = Map(
+        IvfIndex.StampKey -> st._1.toString,
+        IvfIndex.NlistKey -> "8", IvfIndex.VecColKey -> "embedding",
+        IvfIndex.CentFpKey -> "old-geometry"))
+    assert(!IvfIndex.fresh(c, "emb"),
+      "fresh() must see the assignment/centroid geometry mismatch")
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.topK(c, "emb", queries, "vec_id", "embedding", 3) }
+    assert(e.getMessage.contains("INCONSISTENT"))
+    // refresh at the UNCHANGED head must rebuild, not return "fresh"
+    val t0 = IvfIndex.trainings.get()
+    assert(IvfIndex.refresh(c, "emb", "vec_id", "embedding", nlist = 8)
+      == "rebuild")
+    assert(IvfIndex.trainings.get() == t0 + 1)
+    assert(IvfIndex.fresh(c, "emb"))
+  }
+
+  test("IvfIndex.refresh treats corpus TBLPROPERTIES commits as no-ops, not retrains") {
+    import graft.operators.IvfIndex
+    import graft.warehouse.Connector
+    val whDir = java.nio.file.Files.createTempDirectory("graft-ivfpr-").toString
+    val emb = T.embeddings(spark, sf)
+    val c = new Connector(spark, whDir)
+    c.createTable("emb", emb)
+    IvfIndex.build(c, "emb", "vec_id", "embedding", nlist = 8)
+    // a metadata-only properties commit changes no row — refreshing
+    // must catch up WITHOUT retraining (O(corpus) kmeans for a
+    // property edit would make properties unusable on indexed corpora)
+    c.sql("ALTER TABLE emb SET TBLPROPERTIES ('team'='ml')")
+    val t0 = IvfIndex.trainings.get()
+    assert(IvfIndex.refresh(c, "emb", "vec_id", "embedding", nlist = 8)
+      == "incremental")
+    assert(IvfIndex.trainings.get() == t0, "properties commit retrained")
+    assert(IvfIndex.fresh(c, "emb"))
+    // and the index still answers
+    IvfIndex.topK(c, "emb", emb.filter(col("vec_id") < 2),
+      "vec_id", "embedding", 3).collect()
+  }
+
   test("IvfIndex follows a corpus RENAME; a recreated corpus can never adopt a stale index") {
     import graft.operators.IvfIndex
     import graft.warehouse.Connector
