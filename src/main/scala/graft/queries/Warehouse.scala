@@ -2971,6 +2971,70 @@ object Warehouse {
       conn.sql("SHOW PARTITIONS orders_in")
         .withColumn("in_ok", lit(witness))
         .orderBy("partition")
+    },
+
+    // ---- q179: partition-scoped INSERT OVERWRITE (r17) ----------------
+    // The daily-backfill shape as SQL text, both forms: a STATIC
+    // `INSERT OVERWRITE … PARTITION (yr = 1995)` recomputes one year
+    // from the table's own pre-overwrite rows (Delta's replaceWhere —
+    // ONE atomic commit, no delete+insert gap), and a DYNAMIC-mode
+    // overwrite (spark.sql.sources.partitionOverwriteMode=dynamic, no
+    // clause) replaces exactly the partitions the payload touches
+    // (Iceberg's dynamic overwrite). Witnesses: both land as single
+    // `overwrite` commits, an untouched partition keeps its PHYSICAL
+    // files across both (partition-aligned, never a table rewrite —
+    // the property that makes a one-day backfill O(day) at 100 TB),
+    // and pre-overwrite rows stay travelable.
+    Q("q179_sql_partition_overwrite",
+      """SELECT o_orderkey,
+        |  CASE CAST(year(CAST(o_orderdate AS DATE)) AS INT)
+        |    WHEN 1995 THEN round(round(o_totalprice, 2) * 2, 2)
+        |    WHEN 1996 THEN round(round(o_totalprice, 2) * 3, 2)
+        |    ELSE round(o_totalprice, 2) END AS price,
+        |  CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+        |  TRUE AS ow_ok
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      conn.createTable("ow_src", T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        year(col("o_orderdate").cast("date")).as("yr")))
+      conn.sql("CREATE TABLE orders_ow (o_orderkey BIGINT, price DOUBLE, " +
+        "yr INT) PARTITIONED BY (yr)")
+      conn.sql("INSERT INTO orders_ow SELECT * FROM ow_src")
+      val t = conn.loadTable("orders_ow")
+      val preSnap = conn.getCurrentSnapshotId("orders_ow").get
+      def cnt(q: String): Long = conn.sql(q).collect().head.getLong(0)
+      val n95 = cnt("SELECT count(*) AS n FROM orders_ow WHERE yr = 1995")
+      val keepYr = conn.sql("SELECT max(yr) AS y FROM orders_ow " +
+        "WHERE yr NOT IN (1995, 1996)").collect().head.getInt(0)
+      def keepFiles(): Set[String] =
+        t.readWhere("yr", Some(keepYr), Some(keepYr)).inputFiles.toSet
+      val keep0 = keepFiles()
+      // STATIC: recompute 1995 from the table's own pre-overwrite rows
+      conn.sql("INSERT OVERWRITE orders_ow PARTITION (yr = 1995) " +
+        "SELECT o_orderkey, round(price * 2, 2) FROM orders_ow " +
+        "WHERE yr = 1995")
+      val staticOk =
+        cnt("SELECT count(*) AS n FROM orders_ow WHERE yr = 1995") == n95 &&
+        t.log.snapshots.last.operation == "overwrite" &&
+        keepFiles() == keep0
+      // DYNAMIC: payload touches only 1996 — nothing else replaced
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val dynamicOk = try {
+        conn.sql("INSERT OVERWRITE orders_ow " +
+          "SELECT o_orderkey, round(price * 3, 2) AS price, yr " +
+          "FROM orders_ow WHERE yr = 1996")
+        t.log.snapshots.last.operation == "overwrite" &&
+          keepFiles() == keep0
+      } finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      // pre-overwrite rows stay travelable at the pre-backfill cut
+      val travelOk = cnt("SELECT count(*) AS n FROM orders_ow " +
+        s"VERSION AS OF $preSnap WHERE yr = 1995") == n95
+      val witness = staticOk && dynamicOk && travelOk &&
+        t.validate().isEmpty
+      conn.sql("SELECT o_orderkey, price, yr FROM orders_ow")
+        .withColumn("ow_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

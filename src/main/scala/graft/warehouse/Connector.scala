@@ -766,18 +766,47 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         }
       case i: InsertIntoStatement =>
         nameOf(i.table).filter(tableExists).map { name =>
-          require(i.partitionSpec.isEmpty && !i.ifPartitionNotExists,
-            s"INSERT INTO $name: static PARTITION clauses are not " +
-              "supported — the table's own hidden partitioning lays out " +
-              "every write")
+          require(!i.ifPartitionNotExists,
+            s"INSERT INTO $name: IF NOT EXISTS on a partition is not " +
+              "supported")
           val t = loadTable(name)
           val src = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, i.query)
           val sch = t.schema
+          // PARTITION (c = v, …): STATIC values fill the named columns
+          // (Hive/Spark semantics) and, under OVERWRITE, define the
+          // replaced region. Only IDENTITY partition columns of the
+          // current spec are addressable (same rule as TRUNCATE …
+          // PARTITION — hidden transforms have no SQL-spellable value);
+          // dynamic entries (a bare column name) refuse.
+          val dynCols = i.partitionSpec.collect { case (k, None) => k }
+          require(dynCols.isEmpty,
+            s"INSERT INTO $name PARTITION: dynamic partition columns " +
+              s"(${dynCols.mkString(", ")}) are not supported — set " +
+              "spark.sql.sources.partitionOverwriteMode=dynamic and " +
+              "omit the clause (hidden partitioning lays out every " +
+              "write), or give each column a static value")
+          val staticPart: Map[String, String] =
+            i.partitionSpec.collect { case (k, Some(v)) => k -> v }
+          if (staticPart.nonEmpty) {
+            val idCols = t.partitionSpec
+              .filter(_.kind == "identity").map(_.column).toSet
+            staticPart.keys.foreach(k => require(idCols.contains(k),
+              s"INSERT INTO $name PARTITION: '$k' is not an IDENTITY " +
+                "partition column of the current spec (identity " +
+                s"columns: ${
+                  if (idCols.isEmpty) "none"
+                  else idCols.toSeq.sorted.mkString(", ")})"))
+          }
           // VALUES/SELECT bind positionally unless BY NAME was written;
           // an explicit column list names the positions; rename + cast
           // to the declared types so literal frames (col1, col2, …)
           // land under the table's column names
-          val bound =
+          // positional binding targets the schema MINUS the statically
+          // partition-set columns (Hive/Spark: the clause's columns are
+          // not in the select list)
+          val posFields =
+            sch.fields.filterNot(f => staticPart.contains(f.name))
+          val bound0 =
             if (i.byName) src
             else if (i.userSpecifiedCols.nonEmpty) {
               require(src.columns.length == i.userSpecifiedCols.length,
@@ -785,17 +814,28 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
                   s"provided for ${i.userSpecifiedCols.length} named")
               src.toDF(i.userSpecifiedCols: _*)
             } else {
-              require(src.columns.length == sch.fields.length,
+              require(src.columns.length == posFields.length,
                 s"INSERT INTO $name: ${src.columns.length} columns " +
-                  s"provided, table has ${sch.fields.length}")
-              src.toDF(sch.fieldNames.toSeq: _*)
+                  s"provided, table has ${posFields.length}" +
+                  (if (staticPart.isEmpty) ""
+                   else s" after the ${staticPart.size} static " +
+                     "PARTITION column(s)"))
+              src.toDF(posFields.map(_.name).toSeq: _*)
             }
           // a column not in the schema (a typo'd name) refuses loudly
-          // — the reorder below would silently drop it otherwise
-          bound.columns.find(c => !sch.fieldNames.contains(c)).foreach(c =>
+          // — the reorder below would silently drop it otherwise; a
+          // statically-set column in the payload would conflict
+          bound0.columns.find(c => !sch.fieldNames.contains(c)).foreach(c =>
             throw new IllegalArgumentException(
               s"INSERT INTO $name: unknown column '$c' (table columns: " +
                 s"${sch.fieldNames.mkString(", ")})"))
+          bound0.columns.find(staticPart.contains).foreach(c =>
+            throw new IllegalArgumentException(
+              s"INSERT INTO $name: column '$c' is set by the PARTITION " +
+                "clause and cannot also be in the payload"))
+          val bound = staticPart.foldLeft(bound0) { case (d, (k, v)) =>
+            d.withColumn(k, lit(v).cast(sch(k).dataType))
+          }
           // ANSI omitted-column semantics for a column list / BY NAME:
           // the write-default when declared, else a typed NULL when
           // nullable; a NOT NULL column without a default must be named
@@ -816,8 +856,30 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             org.apache.spark.sql.functions.col(f.name)
               .cast(f.dataType).as(f.name)
           }: _*)
+          // OVERWRITE routing: a static PARTITION clause is Delta's
+          // replaceWhere — ONE atomic commit replaces exactly the
+          // named region, file-probe pruned to that partition
+          // (GraftTable.overwriteWhere). With NO clause, Spark's
+          // partitionOverwriteMode governs: dynamic + a partitioned
+          // table ⇒ replace only the partitions the payload touches
+          // (Iceberg's dynamic overwrite, the daily-backfill shape —
+          // two partitions probed on a 100-TB table, not the table);
+          // static (the default) ⇒ full-table replace.
+          val dynamicMode = spark.conf
+            .getOption("spark.sql.sources.partitionOverwriteMode")
+            .exists(_.equalsIgnoreCase("dynamic"))
           done(name,
-            if (i.overwrite) t.replace(cast) else t.append(cast))
+            if (i.overwrite && staticPart.nonEmpty) {
+              val pred = staticPart.map { case (k, v) =>
+                org.apache.spark.sql.functions.col(k) ===
+                  lit(v).cast(sch(k).dataType)
+              }.reduce(_ && _)
+              t.overwriteWhere(pred, cast)
+            } else if (i.overwrite && dynamicMode &&
+                t.partitionSpec.nonEmpty)
+              t.overwritePartitions(cast)
+            else if (i.overwrite) t.replace(cast)
+            else t.append(cast))
         }
       case u: UpdateTable =>
         nameOf(u.table).filter(tableExists).map { name =>

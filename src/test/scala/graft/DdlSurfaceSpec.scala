@@ -406,6 +406,66 @@ class DdlSurfaceSpec extends AnyFunSuite {
     assert(c.loadTable("pr").userProperties().isEmpty)
   }
 
+  test("INSERT OVERWRITE: static PARTITION clause and dynamic mode replace scoped regions") {
+    val c = freshConn()
+    c.sql("CREATE TABLE ow (id BIGINT, yr INT) PARTITIONED BY (yr)")
+    c.sql("INSERT INTO ow SELECT id, 1995 + CAST(id % 3 AS INT) " +
+      "FROM range(30)")
+    val t = c.loadTable("ow")
+    // static PARTITION insert: the clause's value fills the column
+    c.sql("INSERT INTO ow PARTITION (yr = 1995) VALUES (100), (101)")
+    assert(c.sql("SELECT count(*) AS n FROM ow WHERE yr = 1995 AND " +
+      "id >= 100").collect().head.getLong(0) == 2L)
+    // static PARTITION OVERWRITE: one atomic commit replaces EXACTLY
+    // the named partition; others untouched (file-level witness)
+    val n96 = c.sql("SELECT count(*) AS n FROM ow WHERE yr = 1996")
+      .collect().head.getLong(0)
+    val files96Before =
+      t.readWhere("yr", Some(1996), Some(1996)).inputFiles.toSet
+    c.sql("INSERT OVERWRITE ow PARTITION (yr = 1995) VALUES (7)")
+    assert(c.sql("SELECT id FROM ow WHERE yr = 1995")
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
+    assert(c.sql("SELECT count(*) AS n FROM ow WHERE yr = 1996")
+      .collect().head.getLong(0) == n96)
+    assert(t.log.snapshots.last.operation == "overwrite",
+      s"expected ONE overwrite commit, got ${t.log.snapshots.last.operation}")
+    // untouched partitions keep their PHYSICAL files — the overwrite
+    // was partition-aligned, not a table rewrite
+    assert(t.readWhere("yr", Some(1996), Some(1996)).inputFiles.toSet
+      == files96Before,
+      "files of an untouched partition were rewritten")
+    // dynamic mode: no clause, payload touches only 1997 — other
+    // partitions survive
+    val n95 = 1L
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      c.sql("INSERT OVERWRITE ow SELECT id + 200, 1997 FROM range(3)")
+      assert(c.sql("SELECT count(*) AS n FROM ow WHERE yr = 1997")
+        .collect().head.getLong(0) == 3L)
+      assert(c.sql("SELECT count(*) AS n FROM ow WHERE yr = 1995")
+        .collect().head.getLong(0) == n95)
+      assert(c.sql("SELECT count(*) AS n FROM ow WHERE yr = 1996")
+        .collect().head.getLong(0) == n96)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // static mode (default): no clause still replaces the WHOLE table
+    c.sql("INSERT OVERWRITE ow VALUES (1, 2000)")
+    assert(c.sql("SELECT count(*) AS n FROM ow")
+      .collect().head.getLong(0) == 1L)
+    // refusals: dynamic clause entry, non-identity column, payload
+    // naming the statically-set column
+    val e1 = intercept[IllegalArgumentException] {
+      c.sql("INSERT INTO ow PARTITION (yr) VALUES (1)") }
+    assert(e1.getMessage.contains("dynamic partition columns"))
+    val e2 = intercept[IllegalArgumentException] {
+      c.sql("INSERT INTO ow PARTITION (id = 5) VALUES (2000)") }
+    assert(e2.getMessage.contains("IDENTITY partition column"))
+    val e3 = intercept[IllegalArgumentException] {
+      c.sql("INSERT INTO ow PARTITION (yr = 2000) (id, yr) " +
+        "VALUES (1, 2000)") }
+    assert(e3.getMessage.contains("set by the PARTITION clause"))
+    assert(t.validate().isEmpty)
+  }
+
   test("`t$partitions` composes with VERSION AS OF") {
     val c = freshConn()
     c.sql("CREATE TABLE pp (id BIGINT, yr INT) PARTITIONED BY (yr)")
