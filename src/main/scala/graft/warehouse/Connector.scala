@@ -249,6 +249,29 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     spark.range(1).select(c).collect().head.get(0)
   }
 
+  /** The SQL-spelled partition predicate: `(c1 = v1 AND …)` over
+    * IDENTITY partition columns of `t`'s CURRENT spec — shared by the
+    * TRUNCATE … PARTITION and INSERT [OVERWRITE] … PARTITION routes so
+    * the addressability rule and its refusal live exactly once. A
+    * non-identity name refuses (hidden transform partitions have no
+    * SQL-spellable value). */
+  private def identityPartitionPredicate(t: GraftTable,
+      spec: Map[String, String], verb: String)
+      : org.apache.spark.sql.Column = {
+    val idCols = t.partitionSpec
+      .filter(_.kind == "identity").map(_.column).toSet
+    val sch = t.schema
+    spec.map { case (k, v) =>
+      require(idCols.contains(k),
+        s"$verb: '$k' is not an IDENTITY partition column of the " +
+          s"current spec (identity columns: ${
+            if (idCols.isEmpty) "none" else idCols.toSeq.sorted.mkString(", ")
+          }) — hidden transform partitions are not addressable by value")
+      org.apache.spark.sql.functions.col(k) ===
+        org.apache.spark.sql.functions.lit(v).cast(sch(k).dataType)
+    }.reduce(_ && _)
+  }
+
   /** Single-part relation name of a plan node, through aliases —
     * shared by every router (a resolution fix must land exactly once). */
   private def relNameOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
@@ -787,15 +810,27 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
               "write), or give each column a static value")
           val staticPart: Map[String, String] =
             i.partitionSpec.collect { case (k, Some(v)) => k -> v }
-          if (staticPart.nonEmpty) {
+          // validate addressability now (shared rule + refusal);
+          // OVERWRITE reuses the predicate below
+          val staticPred = if (staticPart.isEmpty) None
+            else Some(identityPartitionPredicate(t, staticPart,
+              s"INSERT INTO $name PARTITION"))
+          if (i.overwrite && staticPart.nonEmpty) {
+            // the clause DEFINES the replaced region, so it must name
+            // EVERY identity partition column — a partial clause would
+            // silently replace sub-partitions the payload never
+            // touched (Spark's static mode refuses partial clauses
+            // too; its dynamic remainder is the no-clause dynamic
+            // mode below)
             val idCols = t.partitionSpec
               .filter(_.kind == "identity").map(_.column).toSet
-            staticPart.keys.foreach(k => require(idCols.contains(k),
-              s"INSERT INTO $name PARTITION: '$k' is not an IDENTITY " +
-                "partition column of the current spec (identity " +
-                s"columns: ${
-                  if (idCols.isEmpty) "none"
-                  else idCols.toSeq.sorted.mkString(", ")})"))
+            val missing = idCols -- staticPart.keySet
+            require(missing.isEmpty,
+              s"INSERT OVERWRITE $name PARTITION: the clause must name " +
+                "every identity partition column (missing: " +
+                s"${missing.toSeq.sorted.mkString(", ")}) — or omit the " +
+                "clause with partitionOverwriteMode=dynamic to replace " +
+                "exactly the payload's partitions")
           }
           // VALUES/SELECT bind positionally unless BY NAME was written;
           // an explicit column list names the positions; rename + cast
@@ -869,16 +904,20 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             .getOption("spark.sql.sources.partitionOverwriteMode")
             .exists(_.equalsIgnoreCase("dynamic"))
           done(name,
-            if (i.overwrite && staticPart.nonEmpty) {
-              val pred = staticPart.map { case (k, v) =>
-                org.apache.spark.sql.functions.col(k) ===
-                  lit(v).cast(sch(k).dataType)
-              }.reduce(_ && _)
-              t.overwriteWhere(pred, cast)
-            } else if (i.overwrite && dynamicMode &&
-                t.partitionSpec.nonEmpty)
-              t.overwritePartitions(cast)
-            else if (i.overwrite) t.replace(cast)
+            if (i.overwrite && staticPred.nonEmpty)
+              t.overwriteWhere(staticPred.get, cast)
+            else if (i.overwrite && dynamicMode &&
+                t.partitionSpec.nonEmpty) {
+              // Spark/Iceberg semantics: an EMPTY dynamic overwrite
+              // replaces nothing and succeeds (a nightly backfill over
+              // an empty source day is a no-op, not a crash) — the
+              // strict engine API keeps refusing, the SQL surface
+              // no-ops at the current head
+              if (cast.isEmpty) t.log.head.getOrElse(
+                throw new IllegalStateException(
+                  s"table $name has no snapshots"))
+              else t.overwritePartitions(cast)
+            } else if (i.overwrite) t.replace(cast)
             else t.append(cast))
         }
       case u: UpdateTable =>
@@ -924,21 +963,9 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           }
           require(spec.nonEmpty,
             s"TRUNCATE TABLE $name PARTITION: empty partition spec")
-          val idCols = t.partitionSpec
-            .filter(_.kind == "identity").map(_.column).toSet
-          val sch = t.schema
-          val pred = spec.map { case (k, v) =>
-            require(idCols.contains(k),
-              s"TRUNCATE TABLE $name PARTITION: '$k' is not an " +
-                "IDENTITY partition column of the current spec " +
-                s"(identity columns: ${
-                  if (idCols.isEmpty) "none" else idCols.toSeq.sorted.mkString(", ")
-                }) — hidden transform partitions are not addressable " +
-                "by value")
-            org.apache.spark.sql.functions.col(k) ===
-              lit(v).cast(sch(k).dataType)
-          }.reduce(_ && _)
-          done(name, t.deleteWhere(pred))
+          done(name, t.deleteWhere(
+            identityPartitionPredicate(t, spec,
+              s"TRUNCATE TABLE $name PARTITION")))
         }
       case m: MergeIntoTable =>
         nameOf(m.targetTable).filter(tableExists).map { name =>

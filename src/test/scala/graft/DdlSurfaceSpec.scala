@@ -464,6 +464,39 @@ class DdlSurfaceSpec extends AnyFunSuite {
         "VALUES (1, 2000)") }
     assert(e3.getMessage.contains("set by the PARTITION clause"))
     assert(t.validate().isEmpty)
+    // a PARTIAL static clause on a multi-identity spec must refuse
+    // under OVERWRITE — the predicate would silently replace
+    // sub-partitions the payload never touched
+    c.sql("CREATE TABLE ow2 (id BIGINT, yr INT, mo INT) " +
+      "PARTITIONED BY (yr, mo)")
+    c.sql("INSERT INTO ow2 VALUES (1, 2024, 1), (2, 2024, 2)")
+    val e4 = intercept[IllegalArgumentException] {
+      c.sql("INSERT OVERWRITE ow2 PARTITION (yr = 2024) " +
+        "SELECT 9, CAST(1 AS INT)") }
+    assert(e4.getMessage.contains("must name every identity partition"))
+    assert(c.sql("SELECT count(*) AS n FROM ow2")
+      .collect().head.getLong(0) == 2L)
+    // the FULL clause works, replacing exactly (2024, 1)
+    c.sql("INSERT OVERWRITE ow2 PARTITION (yr = 2024, mo = 1) " +
+      "VALUES (9)")
+    assert(c.sql("SELECT id FROM ow2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 9L))
+    // a partial clause on plain INSERT is just a value fill — fine
+    c.sql("INSERT INTO ow2 PARTITION (yr = 2025) VALUES (3, 7)")
+    assert(c.sql("SELECT mo FROM ow2 WHERE yr = 2025")
+      .collect().head.getInt(0) == 7)
+    // EMPTY dynamic overwrite is a no-op at the current head, not a
+    // crash (the nightly-backfill-over-an-empty-day shape)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val head0 = c.getCurrentSnapshotId("ow2").get
+      val r = c.sql("INSERT OVERWRITE ow2 SELECT id, yr, mo FROM ow2 " +
+        "WHERE yr = 1900").collect().head
+      assert(r.getLong(r.fieldIndex("snapshot_id")) == head0)
+      assert(c.getCurrentSnapshotId("ow2").get == head0)
+      assert(c.sql("SELECT count(*) AS n FROM ow2")
+        .collect().head.getLong(0) == 3L)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
 
   test("`t$partitions` composes with VERSION AS OF") {
