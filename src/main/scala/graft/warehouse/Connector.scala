@@ -917,7 +917,11 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
                 throw new IllegalStateException(
                   s"table $name has no snapshots"))
               else t.overwritePartitions(cast)
-            } else if (i.overwrite) t.replace(cast)
+            } else if (i.overwrite)
+              // DML-shaped whole-table overwrite: the table's declared
+              // schema (field ids, defaults, nullability) survives —
+              // see GraftTable.replace keepSchema
+              t.replace(cast, keepSchema = true)
             else t.append(cast))
         }
       case u: UpdateTable =>

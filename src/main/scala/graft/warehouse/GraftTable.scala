@@ -1951,9 +1951,18 @@ final class GraftTable private (
     * Declared before stats collection so the new fields' partition-path
     * entries land in this commit's manifest (readers probe spec-history
     * eras — files must never record entries for an undeclared era). */
+  /** `keepSchema` distinguishes the two replace SHAPES: an RTAS
+    * REDEFINES the table, so the committed schema is the payload's
+    * (default); a DML-shaped overwrite (SQL `INSERT OVERWRITE`)
+    * CONFORMS to the table, so the table's declared schema — field
+    * ids, column defaults, nullability — must survive the commit
+    * byte-identically (a VALUES payload's inferred schema is
+    * metadata-stripped and non-nullable; committing it would erase
+    * the v3 default pair and every field id). */
   def replace(df: DataFrame, statsCols: Seq[String] = Nil,
       properties: Map[String, String] = Map.empty,
-      declareSpec: Option[Seq[PartitionField]] = None): Snapshot = {
+      declareSpec: Option[Seq[PartitionField]] = None,
+      keepSchema: Boolean = false): Snapshot = {
     declareSpec.foreach(_.foreach(f =>
       require(df.schema.fieldNames.contains(f.column),
         s"replace of $name: partition column '${f.column}' is not in " +
@@ -2015,8 +2024,18 @@ final class GraftTable private (
               strMin = st.strMin ++ sm, strMax = st.strMax ++ sm)
           }
         }
+      val committedSchema =
+        if (!keepSchema) df.schema.json
+        else {
+          val expected =
+            DataType.fromJson(base.schemaJson).asInstanceOf[StructType]
+          require(compatible(expected, df.schema),
+            s"replace of $name (keepSchema):\n expected $expected\n " +
+              s"got ${df.schema}")
+          base.schemaJson
+        }
       try {
-        return log.commit("replace", files, df.schema.json, stats,
+        return log.commit("replace", files, committedSchema, stats,
           expectedHead = Some(base.snapshotId), removedFiles = removed,
           properties = properties)
       } catch {

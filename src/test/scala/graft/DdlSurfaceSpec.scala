@@ -499,6 +499,31 @@ class DdlSurfaceSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
   }
 
+  test("INSERT OVERWRITE preserves the table's declared schema (defaults, nullability)") {
+    val c = freshConn()
+    c.sql("CREATE TABLE ks (id BIGINT, v STRING, " +
+      "tier STRING DEFAULT 'std')")
+    c.sql("INSERT INTO ks (id) VALUES (1)")
+    // the whole-table overwrite's VALUES payload is metadata-stripped
+    // and non-nullable — committing ITS schema would erase the column
+    // default and tighten v to NOT NULL (caught by the random walk)
+    c.sql("INSERT OVERWRITE ks (id, v) VALUES (2, 'x')")
+    // the default still applies to later omitting inserts
+    c.sql("INSERT INTO ks (id) VALUES (3)")
+    assert(c.sql("SELECT tier FROM ks WHERE id = 3")
+      .collect().head.getString(0) == "std")
+    // nullability survived: a NULL v is still accepted
+    c.sql("INSERT INTO ks (id, v) VALUES (4, NULL)")
+    assert(c.sql("SELECT count(*) AS n FROM ks")
+      .collect().head.getLong(0) == 3L)
+    val t = c.loadTable("ks")
+    assert(t.schema.forall(_.nullable), "overwrite tightened nullability")
+    assert(t.schema("tier").metadata
+      .contains(GraftTable.CurrentDefaultKey),
+      "overwrite erased the column default metadata")
+    assert(t.validate().isEmpty)
+  }
+
   test("`t$partitions` composes with VERSION AS OF") {
     val c = freshConn()
     c.sql("CREATE TABLE pp (id BIGINT, yr INT) PARTITIONED BY (yr)")

@@ -828,6 +828,7 @@ class PropertySpec extends AnyFunSuite {
     // resolve under the new name (history travels with the table)
     var tbl = "pt"
     var renameN = 0
+    var owN = 0
     // user TBLPROPERTIES model: effective map at head
     var props = Map.empty[String, String]
     var propN = 0
@@ -890,7 +891,7 @@ class PropertySpec extends AnyFunSuite {
     }
     insert(30)
     recordCut()
-    for (step <- 1 to 60) {
+    for (step <- 1 to 90) {
       rnd.nextInt(12) match {
         case 0 => insert(1 + rnd.nextInt(5))
         case 1 => // UPDATE a residue class
@@ -947,13 +948,24 @@ class PropertySpec extends AnyFunSuite {
           val k = ks(rnd.nextInt(ks.size))
           c.sql(s"ALTER TABLE $tbl UNSET TBLPROPERTIES ('$k')")
           props -= k
-        case 11 if rnd.nextInt(4) == 0 => // rare: rename the TABLE
+        case 11 if rnd.nextInt(3) == 0 => // rare: rename the TABLE
           // itself — history, cuts, defaults, and props must all
           // resolve under the new name from here on
           renameN += 1
           val nn = s"pt_r$renameN"
           c.sql(s"ALTER TABLE $tbl RENAME TO $nn")
           tbl = nn
+        case 6 | 8 if rnd.nextInt(6) == 0 => // rare INSERT OVERWRITE:
+          // full replace (static mode, unpartitioned) — new rows only,
+          // extras fill from the CURRENT write-defaults; pre-overwrite
+          // cuts must still travel
+          require(extras.forall(_._2.nonEmpty))
+          val ids = (0 until 1 + rnd.nextInt(3)).map(_ => { nextId += 1; nextId })
+          val vals = ids.map(i => s"($i, ${i * 10})").mkString(", ")
+          c.sql(s"INSERT OVERWRITE $tbl (id, v) VALUES $vals")
+          owN += 1
+          rows = ids.map(i =>
+            i -> (i * 10L, extras.map(e => e._1 -> e._2.get).toMap)).toMap
         case _ => insert(1)
       }
       if (rnd.nextInt(3) == 0) recordCut()
@@ -965,6 +977,7 @@ class PropertySpec extends AnyFunSuite {
     // never renamed or set a property proves nothing about them
     assert(renameN >= 1, s"seed never hit ALTER TABLE RENAME TO")
     assert(propN >= 2, s"seed set only $propN properties")
+    assert(owN >= 1, s"seed never hit INSERT OVERWRITE")
     assert(c.loadTable(tbl).userProperties() == props)
     assert(c.loadTable(tbl).validate().isEmpty)
   }
