@@ -225,7 +225,13 @@ object Mirror {
     // compact also MATERIALIZES its live tombstones; the replica's
     // replayed tombstones simply stay live with identical visibility,
     // converging at the replica's own next compact.
-    val replayable = Set("append", "publish", "eqdelete", "rewrite", "compact")
+    // `properties` (SET/UNSET TBLPROPERTIES, r17) is metadata-only —
+    // zero logical rows, skipped by get_changes like rewrite/compact;
+    // without this a property edit on the source demoted the window
+    // to diffSync's full replica rewrite. (User properties themselves
+    // are not replicated — the mirror ships data + layout.)
+    val replayable =
+      Set("append", "publish", "eqdelete", "rewrite", "compact", "properties")
     ops.find(o => !replayable(o._2)).foreach { case (id, op, _) =>
       throw new OplogNotReplayable(s"op $op at snapshot $id is not replayable")
     }

@@ -267,8 +267,14 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           s"current spec (identity columns: ${
             if (idCols.isEmpty) "none" else idCols.toSeq.sorted.mkString(", ")
           }) — hidden transform partitions are not addressable by value")
-      org.apache.spark.sql.functions.col(k) ===
-        org.apache.spark.sql.functions.lit(v).cast(sch(k).dataType)
+      val cv = org.apache.spark.sql.functions.lit(v).cast(sch(k).dataType)
+      // an un-castable value (typo'd number, stray space) casts to
+      // NULL, and `col === NULL` matches NOTHING — the statement would
+      // "succeed" without touching a row; refuse like Hive/Spark do
+      require(spark.range(1).select(cv).collect().head.get(0) != null,
+        s"$verb: value '$v' does not cast to ${sch(k).dataType
+          .simpleString} for partition column '$k'")
+      org.apache.spark.sql.functions.col(k) === cv
     }.reduce(_ && _)
   }
 
@@ -461,7 +467,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       // itself is transform-clustered.
       case cts: CreateTableAsSelect =>
         identOf(cts.name).map { name =>
-          val tprops = requirePlainTableSpec(name, cts.tableSpec)
+          val (tprops, checks) = requirePlainTableSpec(name, cts.tableSpec)
           val spec = partitionFieldsOf(name, cts.partitioning)
           val df = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, cts.query)
           val existed = tableExists(name)
@@ -470,7 +476,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
               "(use IF NOT EXISTS or CREATE OR REPLACE)")
           // the spec declares INSIDE create: the CTAS payload itself
           // lands transform-clustered in the one create commit
-          if (!existed) createTable(name, df, properties = tprops, spec = spec)
+          // (checks is empty on CTAS today — Spark's parser admits
+          // constraints only on column-list CREATE — but if a future
+          // parser carries them here, addCheckConstraint's own
+          // validate-then-publish handles the payload)
+          if (!existed) {
+            createTable(name, df, properties = tprops, spec = spec)
+            checks.foreach { case (n, sql) =>
+              loadTable(name).addCheckConstraint(n, sql) }
+          }
           import spark.implicits._
           Seq(getCurrentSnapshotId(name).getOrElse(0L)).toDF("snapshot_id")
         }
@@ -480,7 +494,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       // catalog, silently creating a non-warehouse table
       case ct: CreateTable =>
         identOf(ct.name).map { name =>
-          val tprops = requirePlainTableSpec(name, ct.tableSpec)
+          val (tprops, checks) = requirePlainTableSpec(name, ct.tableSpec)
           val spec = partitionFieldsOf(name, ct.partitioning)
           val fields = ct.columns.map { c =>
             require(c.generationExpression.isEmpty &&
@@ -507,16 +521,25 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
               java.util.Collections.emptyList[org.apache.spark.sql.Row](),
               org.apache.spark.sql.types.StructType(fields))
             createTable(name, empty, properties = tprops, spec = spec)
+            checks.foreach { case (n, sql) =>
+              loadTable(name).addCheckConstraint(n, sql) }
           }
           import spark.implicits._
           Seq(getCurrentSnapshotId(name).getOrElse(0L)).toDF("snapshot_id")
         }
       case rts: ReplaceTableAsSelect =>
         identOf(rts.name).map { name =>
-          val tprops = requirePlainTableSpec(name, rts.tableSpec)
+          val (tprops, checks) = requirePlainTableSpec(name, rts.tableSpec)
           val spec = partitionFieldsOf(name, rts.partitioning)
           val df = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, rts.query)
           if (tableExists(name)) {
+            // redefining the CONSTRAINT set through a replace is
+            // ambiguous (old constraints gate the replacement payload
+            // via enforceConstraints) — refuse rather than guess
+            require(checks.isEmpty,
+              s"CREATE OR REPLACE TABLE $name: CHECK constraints on a " +
+                "replacement are not supported — drop/add them on the " +
+                "existing table (GraftTable.addCheckConstraint)")
             // CREATE OR REPLACE is the atomic drop-and-recreate: user
             // properties RESET to the declared TBLPROPERTIES — every
             // current key not re-declared gets an unset delta in the
@@ -534,7 +557,11 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             loadTable(name).replace(df, properties = tprops ++ clears,
               declareSpec = if (spec.nonEmpty) Some(spec) else None)
             reflectView(name)
-          } else createTable(name, df, properties = tprops, spec = spec)
+          } else {
+            createTable(name, df, properties = tprops, spec = spec)
+            checks.foreach { case (n, sql) =>
+              loadTable(name).addCheckConstraint(n, sql) }
+          }
           import spark.implicits._
           Seq(getCurrentSnapshotId(name).getOrElse(0L)).toDF("snapshot_id")
         }
@@ -1063,9 +1090,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * accepted and ignored (cosmetic). TBLPROPERTIES (r17) are HONORED:
     * returned as the create commit's user-property deltas, readable
     * back via `t$properties` / SHOW TBLPROPERTIES. */
+  /** Returns (create-snapshot user-property entries, CREATE-time CHECK
+    * constraints as (name, condition SQL)). CHECK constraints route to
+    * [[GraftTable.addCheckConstraint]] after the create (r17 — the
+    * same store SHOW CREATE TABLE emits from); every OTHER constraint
+    * flavor (PK/FK/UNIQUE) and clause this surface cannot honor
+    * refuses rather than silently dropping. */
   private def requirePlainTableSpec(name: String,
       spec: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase)
-      : Map[String, String] = spec match {
+      : (Map[String, String], Seq[(String, String)]) = spec match {
     case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
       def no(cond: Boolean, what: String): Unit = require(cond,
         s"CREATE TABLE $name: $what is not supported on warehouse " +
@@ -1078,11 +1111,16 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       no(u.serde.isEmpty, "a serde clause")
       no(!u.external, "EXTERNAL")
       no(u.collation.isEmpty, "DEFAULT COLLATION")
-      no(u.constraints.isEmpty,
-        "a CREATE-time constraint (use GraftTable.addCheckConstraint)")
-      u.properties.map { case (k, v) =>
-        (GraftTable.UserPropSetPrefix + k) -> v }
-    case _ => Map.empty
+      val checks = u.constraints.map {
+        case c: org.apache.spark.sql.catalyst.expressions.CheckConstraint =>
+          c.name -> c.condition
+        case other => throw new IllegalArgumentException(
+          s"CREATE TABLE $name: only CHECK constraints are supported " +
+            s"on warehouse tables, got '${other.sql}'")
+      }
+      (u.properties.map { case (k, v) =>
+        (GraftTable.UserPropSetPrefix + k) -> v }, checks)
+    case _ => (Map.empty, Nil)
   }
 
   /** Map SQL `PARTITIONED BY` transforms to the warehouse's hidden-
@@ -1346,6 +1384,14 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       SnapshotLog.invalidateUnder(dir)
       spark.catalog.dropTempView(name)
       reflectedAt.remove(name)
+      // derived artifacts die with their corpus (same rationale as the
+      // rename route moving them): the create-lineage uuid guard
+      // already makes orphaned `__ivf_*` tables unadoptable, but
+      // leaving them listed beside a later same-named corpus is pure
+      // debris only a manual drop would remove
+      Seq(graft.operators.IvfIndex.centroidsTable(name),
+          graft.operators.IvfIndex.assignTable(name))
+        .filter(tableExists).foreach(dropTable)
       true
     }
   }

@@ -3347,9 +3347,14 @@ final class GraftTable private (
       s"UNSET TBLPROPERTIES on $name: no such " +
         s"propert${if (missing.size == 1) "y" else "ies"} " +
         s"${missing.mkString("'", "', '", "'")} (use IF EXISTS)")
-    log.commit("properties", Nil, head.schemaJson,
-      properties = keys.filter(current.contains).map(k =>
-        (GraftTable.UserPropUnsetPrefix + k) -> "").toMap)
+    val deltas = keys.filter(current.contains).map(k =>
+      (GraftTable.UserPropUnsetPrefix + k) -> "").toMap
+    // IF EXISTS with nothing present (or a repeated COMMENT … IS NULL)
+    // is a NO-OP — committing an empty properties snapshot would
+    // advance the head for nothing (streams plan an empty batch, the
+    // IVF re-stamps, $history gains a meaningless row)
+    if (deltas.isEmpty) head
+    else log.commit("properties", Nil, head.schemaJson, properties = deltas)
   }
 
   /** Effective user properties at `asOf` (head when None): fold the
@@ -4699,16 +4704,13 @@ final class GraftTable private (
     val cut = asOf.getOrElse(Long.MaxValue)
     val statsByFile = snaps.filter(_.snapshotId <= cut).flatMap(_.stats).toMap
     val hist = partitionSpecHistory
-    def fmtNum(v: Double): String =
-      if (v == math.floor(v) && math.abs(v) < (1L << 53).toDouble)
-        v.toLong.toString
-      else v.toString
     val perFile = log.filesWithSnapOf(snaps, asOf).flatMap { case (abs, _) =>
       val rel = dir.relativize(Paths.get(abs)).toString
       val st = statsByFile.get(rel)
       val entries = hist.flatMap { f =>
         st.flatMap(stt =>
-          stt.numMin.get(f.statName).map(v => (f.statName, fmtNum(v)))
+          stt.numMin.get(f.statName)
+            .map(v => (f.statName, Partitioning.fmtStatValue(v)))
             .orElse(stt.strMin.get(f.statName).map(v => (f.statName, v))))
       }
       val tagged =
@@ -4757,23 +4759,14 @@ final class GraftTable private (
       s"SHOW PARTITIONS $name: table is not partitioned")
     val snaps = log.snapshots
     val statsByFile = snaps.flatMap(_.stats).toMap
-    def fmtNum(v: Double): String =
-      if (v == math.floor(v) && math.abs(v) < (1L << 53).toDouble)
-        v.toLong.toString
-      else v.toString
-    def label(f: PartitionField): String = f.kind match {
-      case "identity" => f.column
-      case "bucket"   => s"bucket(${f.param}, ${f.column})"
-      case "truncate" => s"truncate(${f.param}, ${f.column})"
-      case k          => s"${k}s(${f.column})"
-    }
     // a file's stats pin ONE tuple iff min==max for every spec field
     def pinned(rel: String): Option[Seq[String]] =
       statsByFile.get(rel).flatMap { st =>
         val vals = spec.map { f =>
           val n = f.statName
           (st.numMin.get(n), st.numMax.get(n)) match {
-            case (Some(a), Some(b)) if a == b => Some(fmtNum(a))
+            case (Some(a), Some(b)) if a == b =>
+              Some(Partitioning.fmtStatValue(a))
             case (None, None) =>
               (st.strMin.get(n), st.strMax.get(n)) match {
                 case (Some(a), Some(b)) if a == b => Some(a)
@@ -4794,11 +4787,15 @@ final class GraftTable private (
       else {
         // era-projecting read restricted to the straddling files: the
         // transform exprs are the SAME codegen'd derivations the write
-        // path clusters by, so values agree with recorded stats
+        // path clusters by, so values agree with recorded stats.
+        // input_file_name() is a percent-ENCODED URI — decode before
+        // comparing, same as changeFeed's rel derivation, or a
+        // warehouse path with a space silently drops every straddler
         val base = read()
         val sch = base.schema
         val straddleSet = straddle.map(_._1).toSet
-        base.withColumn("__graft_file", input_file_name())
+        base.withColumn("__graft_file",
+            org.apache.spark.sql.functions.url_decode(input_file_name()))
           .filter(col("__graft_file")
             .isin(straddleSet.toSeq.map(f => s"file://$f") ++
               straddleSet.toSeq: _*))
@@ -4811,15 +4808,18 @@ final class GraftTable private (
       }
     val tuples = (fromStats ++ fromRead).distinct
       .map(vals => spec.zip(vals)
-        .map { case (f, v) => s"${label(f)}=$v" }.mkString("/"))
+        .map { case (f, v) => s"${f.sqlText()}=$v" }.mkString("/"))
       .sorted
     tuples.toDF("partition")
   }
 
   /** `SHOW CREATE TABLE` — ONE re-executable DDL statement that
     * reproduces the table's declared surface on this engine: column
-    * list with NOT NULL and the CURRENT write-defaults, PARTITIONED BY
-    * transforms, and user TBLPROPERTIES. Metadata-only. */
+    * list with NOT NULL and the CURRENT write-defaults, ACTIVE CHECK
+    * constraints (r17 — the CREATE routes accept them back),
+    * PARTITIONED BY transforms, and user TBLPROPERTIES. The declared
+    * SORT ORDER is a write-layout hint with no Spark DDL spelling and
+    * is not emitted. Metadata-only. */
   def showCreateTableSql: String = {
     def q(id: String): String = s"`$id`"
     val colLines = schema.fields.map { f =>
@@ -4828,17 +4828,13 @@ final class GraftTable private (
       else ""
       val nn = if (f.nullable) "" else " NOT NULL"
       s"  ${q(f.name)} ${f.dataType.sql}$nn$dflt"
+    } ++ checkConstraints.toSeq.sorted.map { case (n, sql) =>
+      s"  CONSTRAINT ${q(n)} CHECK ($sql)"
     }
     val partLine = partitionSpec match {
       case Nil => ""
-      case spec => spec.map { f =>
-        f.kind match {
-          case "identity" => q(f.column)
-          case "bucket"   => s"bucket(${f.param}, ${q(f.column)})"
-          case "truncate" => s"truncate(${f.param}, ${q(f.column)})"
-          case k          => s"${k}s(${q(f.column)})"
-        }
-      }.mkString("\nPARTITIONED BY (", ", ", ")")
+      case spec => spec.map(_.sqlText(q))
+        .mkString("\nPARTITIONED BY (", ", ", ")")
     }
     val props = userProperties()
     val propLine =

@@ -50,6 +50,18 @@ final case class PartitionField(kind: String, column: String, param: Int = 0) {
   require(kind != "bucket" || param > 1, s"bucket needs param > 1, got $param")
   require(kind != "truncate" || param > 0, s"truncate needs param > 0")
 
+  /** SQL-text rendering of the transform — the ONE spelling shared by
+    * SHOW CREATE TABLE's `PARTITIONED BY` clause and SHOW PARTITIONS'
+    * tuple labels, parseable back by the CREATE routes
+    * (`GraftSqlBridge.decodeTransform`). `quote` wraps the column for
+    * contexts that backtick identifiers. */
+  def sqlText(quote: String => String = identity): String = kind match {
+    case "identity" => quote(column)
+    case "bucket"   => s"bucket($param, ${quote(column)})"
+    case "truncate" => s"truncate($param, ${quote(column)})"
+    case k          => s"${k}s(${quote(column)})"
+  }
+
   /** Spec-versioned manifest stat key — the transform AND its param are
     * encoded so two eras of the same column never share an entry. */
   def statName: String = kind match {
@@ -232,6 +244,15 @@ object PartitionField {
 }
 
 private[warehouse] object Partitioning {
+
+  /** Render a NUMERIC manifest stat value for display (partition
+    * listings): integral doubles print without the trailing `.0` so
+    * an INT partition value reads as `1995`, not `1995.0`. Shared by
+    * `$partitions` and SHOW PARTITIONS — the two must never drift. */
+  def fmtStatValue(v: Double): String =
+    if (v == math.floor(v) && math.abs(v) < (1L << 53).toDouble)
+      v.toLong.toString
+    else v.toString
 
   /** Serialize one spec as a line: `kind:param:column` fields joined
     * by `,` (column names can't contain `,`/`:`/newlines — enforced on

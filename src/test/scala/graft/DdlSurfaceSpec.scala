@@ -562,7 +562,8 @@ class DdlSurfaceSpec extends AnyFunSuite {
   test("SHOW CREATE TABLE emits re-executable DDL (roundtrip)") {
     val c = freshConn()
     c.sql("CREATE TABLE sc_src (id BIGINT NOT NULL, v STRING, " +
-      "tier STRING DEFAULT 'std', odate DATE) " +
+      "tier STRING DEFAULT 'std', odate DATE, " +
+      "CONSTRAINT pos_id CHECK (id > 0)) " +
       "PARTITIONED BY (years(odate), bucket(4, id)) " +
       "TBLPROPERTIES ('team'='data-eng')")
     c.sql("COMMENT ON TABLE sc_src IS 'orders-ish'")
@@ -580,6 +581,12 @@ class DdlSurfaceSpec extends AnyFunSuite {
     assert(b.partitionSpec == a.partitionSpec)
     assert(b.userProperties() == a.userProperties())
     assert(b.userProperties()("comment") == "orders-ish")
+    // the ACTIVE CHECK constraints survived the roundtrip and enforce
+    assert(b.checkConstraints == a.checkConstraints &&
+      b.checkConstraints.contains("pos_id"))
+    intercept[Exception] {
+      c2.sql("INSERT INTO sc_src (id, odate) VALUES (-1, DATE'1995-06-01')")
+    }
     // the write-default survived the roundtrip: an omitting insert
     // reads the default on BOTH tables
     Seq(c, c2).foreach(_.sql("INSERT INTO sc_src (id, odate) " +
@@ -591,6 +598,27 @@ class DdlSurfaceSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       c.sql("SHOW CREATE TABLE sc_src AS SERDE") }
     assert(e.getMessage.contains("no Hive serde form"))
+  }
+
+  test("CREATE-time CHECK constraints land active; non-CHECK refuses") {
+    val c = freshConn()
+    // column-list CREATE with a table-level CHECK (the one constraint
+    // shape Spark's parser admits at CREATE time): lands ACTIVE in the
+    // same store addCheckConstraint uses, enforced from the first row
+    c.sql("CREATE TABLE cc3 (k BIGINT, CONSTRAINT pos CHECK (k > 0))")
+    assert(c.loadTable("cc3").checkConstraints == Map("pos" -> "k > 0"))
+    intercept[Exception] { c.sql("INSERT INTO cc3 VALUES (-5)") }
+    c.sql("INSERT INTO cc3 VALUES (5)")
+    assert(c.sql("SELECT count(*) AS n FROM cc3")
+      .collect().head.getLong(0) == 1L)
+    // non-CHECK constraint flavors refuse loudly (ours by name when
+    // the parser accepts the flavor, the parser's own error otherwise)
+    val e2 = intercept[Exception] {
+      c.sql("CREATE TABLE cc4 (k BIGINT, CONSTRAINT pk PRIMARY KEY (k))")
+        .collect() }
+    assert(e2.getMessage.contains("only CHECK constraints") ||
+      e2.isInstanceOf[org.apache.spark.sql.catalyst.parser.ParseException])
+    assert(!c.tableExists("cc4"))
   }
 
   // -------------------------------------------------- show partitions
