@@ -304,26 +304,55 @@ object IvfIndex {
       .flatMap(_.properties.get(CentFpKey))
   }
 
+  /** The centroid table's latest commit CARRYING the stamp keys —
+    * walked in reverse like [[assignedFpOf]], NOT `.last`: a later
+    * stampless commit on the artifact table (a stray SET TBLPROPERTIES
+    * routed at `<base>__ivf_centroids`, a binpack) must not make the
+    * stamp read as absent and silently degrade every refresh to a
+    * full retrain. */
+  private def stampProps(conn: Connector, baseName: String)
+      : Option[Map[String, String]] = {
+    if (!conn.tableExists(centroidsTable(baseName))) return None
+    conn.loadTable(centroidsTable(baseName)).log.snapshots.reverseIterator
+      .map(_.properties).find(_.contains(StampKey))
+  }
+
   /** The stamp of the persisted index, if any: (corpus snapshot it was
     * built from, nlist, vec column). */
-  def stamp(conn: Connector, baseName: String): Option[(Long, Int, String)] = {
-    if (!conn.tableExists(centroidsTable(baseName))) return None
-    val t = conn.loadTable(centroidsTable(baseName))
-    val props = t.log.snapshots.last.properties
-    for {
-      s <- props.get(StampKey)
-      n <- props.get(NlistKey)
-      v <- props.get(VecColKey)
-    } yield (s.toLong, n.toInt, v)
-  }
+  def stamp(conn: Connector, baseName: String): Option[(Long, Int, String)] =
+    stampProps(conn, baseName).flatMap { props =>
+      for {
+        s <- props.get(StampKey)
+        n <- props.get(NlistKey)
+        v <- props.get(VecColKey)
+      } yield (s.toLong, n.toInt, v)
+    }
 
   /** Create-lineage uuid recorded on the centroid table's latest
     * stamp commit — absent on pre-r17 stamps. */
   private def baseUuidOf(conn: Connector, baseName: String)
-      : Option[String] = {
-    if (!conn.tableExists(centroidsTable(baseName))) return None
-    conn.loadTable(centroidsTable(baseName)).log.snapshots.last
-      .properties.get(BaseUuidKey)
+      : Option[String] =
+    stampProps(conn, baseName).flatMap(_.get(BaseUuidKey))
+
+  /** Is the table named `artifact` (a `<base>__ivf_centroids` /
+    * `<base>__ivf_assign` sibling) a REAL index artifact of the corpus
+    * whose create-lineage uuid is `corpusUuid`? Drop/rename cascade
+    * ONLY when this holds: a user-created table that merely spells the
+    * artifact name carries no `graft.ivf.*` commit properties and must
+    * not be silently deleted or moved with its same-prefixed neighbor.
+    * A stamped uuid that DIFFERS from the corpus means the artifact
+    * belongs to a dropped-and-recreated predecessor — equally not
+    * ours to cascade. Pre-r17 artifacts lack the uuid but do carry
+    * the stamp/assigned keys; they cascade (unadoptable debris
+    * otherwise). */
+  private[graft] def isArtifactOf(conn: Connector, artifact: String,
+      corpusUuid: Option[String]): Boolean = {
+    if (!conn.tableExists(artifact)) return false
+    val stamped = conn.loadTable(artifact).log.snapshots.reverseIterator
+      .map(_.properties)
+      .find(p => p.contains(StampKey) || p.contains(AssignedKey))
+    stamped.exists(p => p.get(BaseUuidKey).forall(u =>
+      corpusUuid.forall(_ == u)))
   }
 
   /** Fingerprint of the LIVE centroid geometry — an O(nlist×dim)

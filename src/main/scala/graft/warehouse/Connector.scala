@@ -714,14 +714,46 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             case Some(u: org.apache.spark.sql.catalyst.analysis.UnresolvedPartitionSpec) =>
               val idCols = t.partitionSpec
                 .filter(_.kind == "identity").map(_.column).toSet
+              val sch = t.schema
               u.spec.foreach { case (k, _) =>
                 require(idCols.contains(k),
                   s"SHOW PARTITIONS $name PARTITION: '$k' is not an " +
                     "IDENTITY partition column of the current spec")
               }
               u.spec.foldLeft(df) { case (acc, (k, v)) =>
+                // canonicalize through the column type + the SAME
+                // formatter the tuples render with — the user's
+                // literal spelling (`yr = 01995`, `yr = 1995.0`) must
+                // match the tuple, not silently return zero rows; an
+                // un-castable value refuses like TRUNCATE/INSERT
+                // PARTITION do. Numeric columns normalize through
+                // DOUBLE with an exact round-trip check: `1995.7`
+                // names no INT partition and refuses rather than
+                // silently truncating to 1995's.
+                import org.apache.spark.sql.functions.lit
+                def refuse(): Nothing = throw new IllegalArgumentException(
+                  s"SHOW PARTITIONS $name PARTITION: value '$v' does " +
+                    s"not cast to ${sch(k).dataType.simpleString} for " +
+                    s"partition column '$k'")
+                val dt = sch(k).dataType
+                val rendered: String = dt match {
+                  case _: org.apache.spark.sql.types.NumericType =>
+                    val d = lit(v).try_cast("double")
+                    val r = spark.range(1).select(d.as("d"),
+                      d.cast(dt).as("c"),
+                      d.cast(dt).cast("double").as("rt")).collect().head
+                    if (r.isNullAt(0) || r.isNullAt(1) ||
+                      r.getDouble(0) != r.getDouble(2)) refuse()
+                    Partitioning.fmtStatValue(
+                      r.get(1).asInstanceOf[Number].doubleValue)
+                  case _ =>
+                    Option(spark.range(1).select(lit(v).try_cast(dt))
+                      .collect().head.get(0))
+                      .map(_.toString).getOrElse(refuse())
+                }
                 acc.filter(org.apache.spark.sql.functions.col("partition")
-                  .rlike(s"(^|/)${java.util.regex.Pattern.quote(s"$k=$v")}(/|$$)"))
+                  .rlike(s"(^|/)${
+                    java.util.regex.Pattern.quote(s"$k=$rendered")}(/|$$)"))
               }
             case Some(other) => throw new IllegalArgumentException(
               s"SHOW PARTITIONS $name: unsupported partition spec " +
@@ -1374,6 +1406,9 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     val dir = tableDir(name)
     if (!Files.isDirectory(dir)) false
     else {
+      // create-lineage identity, captured BEFORE the directory dies —
+      // the artifact-cascade guard below compares against it
+      val corpusUuid = GraftTable.load(spark, dir, name).map(_.tableUuid)
       val walk = Files.walk(dir)
       try walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(p => Files.deleteIfExists(p))
@@ -1388,10 +1423,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       // rename route moving them): the create-lineage uuid guard
       // already makes orphaned `__ivf_*` tables unadoptable, but
       // leaving them listed beside a later same-named corpus is pure
-      // debris only a manual drop would remove
+      // debris only a manual drop would remove. Cascade ONLY tables
+      // PROVABLY built for this corpus (graft.ivf.* stamp + matching
+      // create-lineage uuid) — a user table that merely spells the
+      // artifact name survives its same-prefixed neighbor's drop.
       Seq(graft.operators.IvfIndex.centroidsTable(name),
           graft.operators.IvfIndex.assignTable(name))
-        .filter(tableExists).foreach(dropTable)
+        .filter(a =>
+          graft.operators.IvfIndex.isArtifactOf(this, a, corpusUuid))
+        .foreach(dropTable)
       true
     }
   }
@@ -1421,11 +1461,16 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     // travels inside the corpus directory). Destination artifact
     // collisions refuse BEFORE anything moves — a half-moved pair
     // would be worse than either whole state.
+    val corpusUuid = Some(loadTable(oldName).tableUuid)
     val siblings = Seq(
       graft.operators.IvfIndex.centroidsTable _,
       graft.operators.IvfIndex.assignTable _)
       .map(f => (f(oldName), f(newName)))
-      .filter { case (o, _) => tableExists(o) }
+      // same cascade guard as dropTable: only tables PROVABLY built
+      // for this corpus move with it — a user table that merely
+      // spells the artifact name stays put under its own name
+      .filter { case (o, _) =>
+        graft.operators.IvfIndex.isArtifactOf(this, o, corpusUuid) }
     // raw-path check, same strength as the main destination's: a stray
     // non-table directory at a sibling destination would fail the move
     // MIDWAY otherwise

@@ -1677,6 +1677,12 @@ final class GraftTable private (
     * pruned probe ran. */
   @volatile var lastOverwriteProbe: Option[(Long, Long)] = None
 
+  /** Expression-tree DEPTH of the last [[overwritePartitions]] region
+    * predicate on THIS handle — the bounded-plan witness that a
+    * many-partition dynamic overwrite builds a flat struct-isin
+    * (constant depth), never a tuple-count-deep OR chain. */
+  @volatile private[graft] var lastOverwriteCondDepth: Option[Int] = None
+
   /** @param pruneFiles manifest-stat prefilter for the affected-file
     *   probe: given the visible (absPath, addingSid) list, returns the
     *   candidate subset that could hold a `cond` row. MUST be
@@ -1793,8 +1799,9 @@ final class GraftTable private (
     * hand. The replaced region is DERIVED: one aggregate computes the
     * incoming rows' distinct partition-transform tuples (bounded
     * driver list — O(partitions touched), never O(rows)), and the
-    * overwrite delegates to [[overwriteWhere]] with the disjunction of
-    * those tuples, inheriting its atomicity (readers see old-or-new,
+    * overwrite delegates to [[overwriteWhere]] with a flat struct-isin
+    * over those tuples (constant plan depth — see the witness
+    * [[lastOverwriteCondDepth]]), inheriting its atomicity (readers see old-or-new,
     * never a gap), its incoming-inside-region validation (trivially
     * satisfied by construction), CAS retry, and file surgery (files
     * wholly outside the touched partitions are never rewritten —
@@ -1815,16 +1822,37 @@ final class GraftTable private (
         "use replace() for a whole-table overwrite or overwriteWhere() " +
         "for an explicit region")
     val tupleCols = pspec.map(f => f.expr(sch(f.column).dataType).as(f.statName))
-    val tuples = df.select(tupleCols: _*).distinct().collect()
+    val tupleDf = df.select(tupleCols: _*)
+    // the transforms' OUTPUT types (month(ts) → int), read from the
+    // projection schema — the literal tuples below must carry them
+    // exactly or the In type check refuses (and a NULL tuple value
+    // would otherwise degrade to an untyped NullType literal)
+    val ttypes = tupleDf.schema.fields.map(_.dataType)
+    val tuples = tupleDf.distinct().collect()
     require(tuples.nonEmpty,
       s"overwritePartitions on $name: zero incoming rows would replace " +
         "nothing — refusing (an upstream bug reads better than a silent " +
         "no-op)")
-    val cond = tuples.toSeq.map { row =>
-      pspec.zipWithIndex.map { case (f, i) =>
-        f.expr(sch(f.column).dataType) <=> lit(row.get(i))
-      }.reduce(_ && _)
-    }.reduce(_ || _)
+    // region predicate as ONE struct-isin, not a per-tuple OR chain:
+    // a 500-partition backfill's plan stays CONSTANT-depth (In with N
+    // flat children, which Catalyst folds to an InSet hash probe past
+    // the conversion threshold) where the disjunction nested 500 Or
+    // nodes deep — quadratic transform cost and a stack-overflow risk
+    // exactly when dynamic overwrite is most useful. Struct equality
+    // compares fields through the null-safe ordering, preserving the
+    // old `<=>` semantics for NULL partition values.
+    def tupleStruct(fields: Seq[org.apache.spark.sql.Column])
+        : org.apache.spark.sql.Column =
+      org.apache.spark.sql.functions.struct(
+        fields.zipWithIndex.map { case (c, i) => c.as(s"p$i") }: _*)
+    val probeCol = tupleStruct(pspec.map(f => f.expr(sch(f.column).dataType)))
+    val litTuples = tuples.toSeq.map { row =>
+      tupleStruct(pspec.indices.map(i =>
+        lit(row.get(i)).cast(ttypes(i))))
+    }
+    val cond = probeCol.isin(litTuples: _*)
+    lastOverwriteCondDepth = Some(GraftTable.exprDepth(
+      org.apache.spark.sql.GraftColumnBridge.expression(cond)))
     // manifest-stat probe prune: partitioned files carry their
     // partition value as a point-range stat (min==max under the
     // spec-versioned statName), so the affected-file probe reads ONLY
@@ -2049,7 +2077,21 @@ final class GraftTable private (
     throw new IllegalStateException("unreachable")
     } catch {
       case e: Throwable =>
-        if (specDeclared) declareSpecLine(prevSpec)
+        // the compensating redeclare is itself a DISK WRITE: the same
+        // IO failure that aborted the commit can throw again — attach
+        // any secondary failure as suppressed instead of masking the
+        // original. And re-check the CURRENT spec first: if it is no
+        // longer the one we declared, a concurrent writer moved it
+        // since (e.g. a same-spec RTAS that committed successfully) —
+        // it is not ours to revert.
+        if (specDeclared) {
+          try {
+            if (declareSpec.contains(partitionSpec))
+              declareSpecLine(prevSpec)
+          } catch {
+            case c: Throwable if c ne e => e.addSuppressed(c)
+          }
+        }
         throw e
     }
   }
@@ -4752,7 +4794,6 @@ final class GraftTable private (
     * stats path cannot see tombstones; applying them would cost the
     * full MOR read this surface exists to avoid). */
   def showPartitionsDf(): DataFrame = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
     import spark.implicits._
     val spec = partitionSpec
     require(spec.nonEmpty,
@@ -4777,28 +4818,26 @@ final class GraftTable private (
         }
         if (vals.forall(_.nonEmpty)) Some(vals.map(_.get)) else None
       }
-    val files = log.filesWithSnapOf(snaps, None).map { case (abs, _) =>
-      (abs, dir.relativize(Paths.get(abs)).toString)
+    val files = log.filesWithSnapOf(snaps, None).map { case (abs, sid) =>
+      (abs, dir.relativize(Paths.get(abs)).toString, sid)
     }
     val (exact, straddle) = files.partition(f => pinned(f._2).nonEmpty)
     val fromStats = exact.map(f => pinned(f._2).get)
     val fromRead: Seq[Seq[String]] =
       if (straddle.isEmpty) Nil
       else {
-        // era-projecting read restricted to the straddling files: the
-        // transform exprs are the SAME codegen'd derivations the write
-        // path clusters by, so values agree with recorded stats.
-        // input_file_name() is a percent-ENCODED URI — decode before
-        // comparing, same as changeFeed's rel derivation, or a
-        // warehouse path with a space silently drops every straddler
-        val base = read()
-        val sch = base.schema
-        val straddleSet = straddle.map(_._1).toSet
-        base.withColumn("__graft_file",
-            org.apache.spark.sql.functions.url_decode(input_file_name()))
-          .filter(col("__graft_file")
-            .isin(straddleSet.toSeq.map(f => s"file://$f") ++
-              straddleSet.toSeq: _*))
+        // era-projecting scan of JUST the straddling files — the file
+        // list feeds the reader directly, so the plan reads exactly
+        // the straddler count (a post-scan input_file_name filter over
+        // read() cannot prune file reads: one straddler would cost a
+        // full-table scan). The transform exprs are the SAME codegen'd
+        // derivations the write path clusters by, so values agree with
+        // recorded stats. BEFORE-delete semantics, deliberately
+        // matching the stats path (see scaladoc): no tombstone join —
+        // a fully MOR-tombstoned partition lists identically whichever
+        // path serves it.
+        val sch = schema
+        readFilesProjected(straddle.map(f => (f._1, f._3)), snaps, sch)
           .select(spec.map(f =>
             f.expr(sch(f.column).dataType).cast("string")): _*)
           .distinct().collect()
@@ -5112,6 +5151,12 @@ object GraftTable {
     * losslessly? The Iceberg type-promotion set: integral up-widening
     * and float→double. Widening is METADATA-ONLY ([[GraftTable.widenColumn]]);
     * era files keep the narrow physical type and reads CAST. */
+  /** Max root-to-leaf node count of an expression tree (the
+    * [[lastOverwriteCondDepth]] witness). */
+  private[graft] def exprDepth(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int =
+    if (e.children.isEmpty) 1 else 1 + e.children.map(exprDepth).max
+
   private[graft] def widens(from: DataType, to: DataType): Boolean = {
     import org.apache.spark.sql.types._
     (from, to) match {

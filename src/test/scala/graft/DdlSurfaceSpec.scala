@@ -642,6 +642,19 @@ class DdlSurfaceSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       c.sql("SHOW PARTITIONS spt PARTITION (b = 3)") }
     assert(e.getMessage.contains("IDENTITY partition column"))
+    // the filter value canonicalizes through the column type + the
+    // tuple formatter: alternate spellings of the same value match
+    // (a literal-text compare would silently return zero rows)
+    Seq("1995.0", "'01995'", "'1995'").foreach { v =>
+      assert(c.sql(s"SHOW PARTITIONS spt PARTITION (yr = $v)")
+        .collect().map(_.getString(0)).toSeq == f,
+        s"spelling $v did not canonicalize")
+    }
+    // an un-castable value refuses (same rule as TRUNCATE/INSERT
+    // PARTITION), never a silent empty result
+    val e2 = intercept[IllegalArgumentException] {
+      c.sql("SHOW PARTITIONS spt PARTITION (yr = 'abc')") }
+    assert(e2.getMessage.contains("does not cast"))
     // pre-spec files have no transform stats → the bounded read
     // fallback classifies them; post-spec files answer from stats
     c.sql("CREATE TABLE spl AS SELECT id, CAST(1990 + id % 2 AS INT) " +

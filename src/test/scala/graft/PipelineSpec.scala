@@ -271,6 +271,65 @@ class PipelineSpec extends AnyFunSuite {
       "vec_id", "embedding", 3).collect()
   }
 
+  test("IvfIndex stamp survives a stampless commit on the artifact table") {
+    import graft.operators.IvfIndex
+    import graft.warehouse.Connector
+    val whDir = java.nio.file.Files.createTempDirectory("graft-ivfsl-").toString
+    val emb = T.embeddings(spark, sf)
+    val c = new Connector(spark, whDir)
+    c.createTable("emb", emb)
+    IvfIndex.build(c, "emb", "vec_id", "embedding", nlist = 8)
+    val st0 = IvfIndex.stamp(c, "emb")
+    assert(st0.isDefined)
+    // a stray property edit routed at the centroid table lands a
+    // commit WITHOUT the stamp keys — stamp() must walk back to the
+    // latest STAMPED commit, not read `.last` raw and silently
+    // degrade every refresh to a full retrain
+    c.sql(s"ALTER TABLE ${IvfIndex.centroidsTable("emb")} " +
+      "SET TBLPROPERTIES ('note'='stray')")
+    assert(IvfIndex.stamp(c, "emb") == st0,
+      "stampless artifact commit erased the stamp")
+    assert(IvfIndex.fresh(c, "emb"))
+    val t0 = IvfIndex.trainings.get()
+    assert(IvfIndex.refresh(c, "emb", "vec_id", "embedding", nlist = 8)
+      == "fresh")
+    assert(IvfIndex.trainings.get() == t0,
+      "stampless artifact commit caused a retrain")
+  }
+
+  test("drop/rename cascade spares same-named tables that are not provable artifacts") {
+    import graft.operators.IvfIndex
+    import graft.warehouse.Connector
+    import spark.implicits._
+    val whDir = java.nio.file.Files.createTempDirectory("graft-ivfcg-").toString
+    val emb = T.embeddings(spark, sf)
+    val c = new Connector(spark, whDir)
+    // a USER table that merely spells the artifact name (no graft.ivf
+    // stamp) must survive its same-prefixed neighbor's drop
+    c.createTable("emb2", emb)
+    c.createTable(IvfIndex.centroidsTable("emb2"),
+      Seq((1L, "user data")).toDF("id", "v"))
+    c.dropTable("emb2")
+    assert(c.tableExists(IvfIndex.centroidsTable("emb2")),
+      "user table spelling the artifact name was cascade-dropped")
+    // ... and must stay PUT on a rename of the neighbor
+    c.createTable("emb3", emb)
+    c.createTable(IvfIndex.assignTable("emb3"),
+      Seq((2L, "user data")).toDF("id", "v"))
+    c.renameTable("emb3", "emb4")
+    assert(c.tableExists(IvfIndex.assignTable("emb3")) &&
+      !c.tableExists(IvfIndex.assignTable("emb4")),
+      "user table spelling the artifact name was cascade-renamed")
+    // REAL artifacts (stamped, matching create-lineage uuid) cascade
+    c.createTable("emb5", emb)
+    IvfIndex.build(c, "emb5", "vec_id", "embedding", nlist = 8)
+    assert(c.tableExists(IvfIndex.centroidsTable("emb5")))
+    c.dropTable("emb5")
+    assert(!c.tableExists(IvfIndex.centroidsTable("emb5")) &&
+      !c.tableExists(IvfIndex.assignTable("emb5")),
+      "real index artifacts must die with their corpus")
+  }
+
   test("IvfIndex follows a corpus RENAME; a recreated corpus can never adopt a stale index") {
     import graft.operators.IvfIndex
     import graft.warehouse.Connector

@@ -1063,6 +1063,48 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("overwritePartitions: 500-partition dynamic commit plans a constant-depth predicate") {
+    import graft.warehouse.PartitionField
+    val dir = Files.createTempDirectory("graft-dpo500-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq.empty[(Long, Long, String)].toDF("id", "day", "v")).get
+    t.setPartitionSpec(Seq(PartitionField("identity", "day")))
+    // 520 partitions, one row each
+    t.append((1L to 520L).map(i => (i, i, s"old$i")).toDF("id", "day", "v"))
+    // replace ALL of them in ONE dynamic overwrite: the region
+    // predicate must be a flat struct-isin (constant expression
+    // depth), not a 520-deep OR chain — the shape that stack-overflows
+    // or quadratic-transforms exactly when dynamic overwrite earns
+    // its keep (a wide backfill)
+    val snap = t.overwritePartitions(
+      (1L to 520L).map(i => (i + 1000L, i, s"new$i")).toDF("id", "day", "v"))
+    assert(snap.operation == "overwrite")
+    assert(t.lastOverwriteCondDepth.exists(_ <= 10),
+      s"region predicate depth grew with partition count: " +
+        s"${t.lastOverwriteCondDepth}")
+    val got = t.read().select("id").as[Long].collect().sorted.toSeq
+    assert(got == (1001L to 1520L).toSeq)
+  }
+
+  test("overwritePartitions matches NULL partition values null-safely") {
+    import graft.warehouse.PartitionField
+    val dir = Files.createTempDirectory("graft-dponull-")
+    val t = GraftTable.create(spark, dir, "t",
+      Seq.empty[(Long, Option[Long], String)].toDF("id", "day", "v")).get
+    t.setPartitionSpec(Seq(PartitionField("identity", "day")))
+    t.append(Seq((1L, Some(1L), "old1"), (2L, None, "oldnull"),
+      (3L, Some(3L), "old3")).toDF("id", "day", "v"))
+    // the payload touches the NULL partition and day 1 — the struct
+    // field comparison is null-safe (the pre-r18 `<=>` semantics), so
+    // the stored NULL-day row is replaced, day 3 survives untouched
+    t.overwritePartitions(Seq((11L, Some(1L), "new1"),
+      (12L, None, "newnull")).toDF("id", "day", "v"))
+    val got = t.read().select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((3L, "old3"), (11L, "new1"), (12L, "newnull")),
+      s"null partition did not match null-safely: $got")
+  }
+
   test("readWhereIn prunes per-value where a range prune keeps the whole span") {
     val c = new Connector(spark, freshWarehouse())
     c.createTable("t", (1L to 80L).map(i => (i, s"v$i")).toDF("id", "v").limit(0))
