@@ -3035,6 +3035,64 @@ object Warehouse {
       conn.sql("SELECT o_orderkey, price, yr FROM orders_ow")
         .withColumn("ow_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q180: persistent SQL views (r18) -----------------------------
+    // CREATE [OR REPLACE] VIEW over warehouse tables as
+    // warehouse-PERSISTED artifacts: the SQL text + creation-time
+    // schema pin live under `<warehouse>/_views`, so a brand-new
+    // Connector serves the same views (the reference's DuckDB session
+    // views die with the process — `icerunner.py:200-207`).
+    // Witnesses: persistence (the GRADED read goes through a SECOND
+    // Connector on the same warehouse), late binding (a commit under
+    // a view is visible immediately), time travel composing INSIDE a
+    // view's stored text (and staying pinned as the table moves),
+    // SCHEMA COMPENSATION (a `SELECT *` view keeps its recorded shape
+    // when the table gains a column), and the namespace guards (a
+    // view is not a DML target; names stay disjoint from tables).
+    Q("q180_sql_views",
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price, TRUE AS vw_ok
+        |FROM orders
+        |WHERE round(o_totalprice, 2) >= 100000
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val wh = Scratch.dir("run")
+      val conn = new Connector(s, wh)
+      conn.createTable("orders_vw", T.orders(s, d).select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price")))
+      conn.sql("CREATE VIEW v_big AS SELECT o_orderkey, price " +
+        "FROM orders_vw WHERE price >= 100000")
+      // late binding + pinned time travel inside a view, on a side rig
+      conn.sql("CREATE TABLE vw_t2 (id BIGINT, x DOUBLE)")
+      conn.sql("INSERT INTO vw_t2 VALUES (1, 1.0)")
+      val s1 = conn.getCurrentSnapshotId("vw_t2").get
+      conn.sql("CREATE VIEW v2 AS SELECT * FROM vw_t2")
+      conn.sql(s"CREATE VIEW v2asof AS SELECT id FROM vw_t2 " +
+        s"VERSION AS OF $s1")
+      conn.sql("INSERT INTO vw_t2 VALUES (2, 2.0)")
+      def cnt(c: Connector, q: String): Long =
+        c.sql(q).collect().head.getLong(0)
+      val lateBound = cnt(conn, "SELECT count(*) AS n FROM v2") == 2L
+      val pinned = cnt(conn, "SELECT count(*) AS n FROM v2asof") == 1L
+      // schema compensation: the SELECT * view keeps its 2-col shape
+      conn.sql("ALTER TABLE vw_t2 ADD COLUMN z INT DEFAULT 9")
+      val compensated =
+        conn.sql("SELECT * FROM v2").columns.toSeq == Seq("id", "x")
+      // guards: not a DML target; names disjoint from tables
+      val guarded = Seq(
+        "INSERT INTO v2 VALUES (9, 9.0)" -> "VIEW",
+        "DROP TABLE v2" -> "DROP VIEW",
+        "CREATE TABLE v2 (id BIGINT)" -> "view already spells").forall {
+        case (stmt, frag) => scala.util.Try(conn.sql(stmt))
+          .failed.toOption.exists(_.getMessage.contains(frag)) }
+      // PERSISTENCE: the graded relation reads through a NEW Connector
+      val conn2 = new Connector(s, wh)
+      val persisted = conn2.views.contains("v_big") &&
+        cnt(conn2, "SELECT count(*) AS n FROM v2asof") == 1L
+      val witness = lateBound && pinned && compensated && guarded &&
+        persisted
+      conn2.sql("SELECT o_orderkey, price FROM v_big")
+        .withColumn("vw_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

@@ -25,6 +25,17 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   Files.createDirectories(root)
 
   private def tableDir(name: String): Path = root.resolve(name)
+  private val viewsDir: Path = root.resolve("_views")
+
+  /** Persistent SQL view names (r18; definitions re-plan per query —
+    * see [[ViewDef]]). The `_views` store directory carries no
+    * `_snapshots`, so [[tables]] never lists it. */
+  def views: Seq[String] = ViewStore.list(viewsDir)
+
+  def viewExists(name: String): Boolean = ViewStore.exists(viewsDir, name)
+
+  /** The stored SQL text of a persistent view. */
+  def viewSql(name: String): String = ViewStore.load(viewsDir, name).sql
 
   /** List table names in the namespace (reference: `tables`,
     * `icerunner.py:105-110`). */
@@ -51,6 +62,12 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   def createTable(name: String, data: DataFrame,
       properties: Map[String, String] = Map.empty,
       spec: Seq[PartitionField] = Nil): Boolean = {
+    // tables and views share the SQL namespace: a table landing under
+    // a view's name would shadow it in some statements and not others
+    require(!viewExists(name),
+      s"create table $name: a persistent VIEW already spells this " +
+        "name — DROP VIEW it first (tables and views share the SQL " +
+        "namespace)")
     val created =
       GraftTable.create(spark, tableDir(name), name, data, properties, spec)
     created.foreach(_ => reflectView(name))
@@ -208,9 +225,182 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     plan match {
       case None => spark.sql(cmd)
       case Some(p0) =>
-        val p = rewriteMetaTables(rewriteTimeTravel(p0))
+        // view-target refusals run BEFORE the view rewrite inlines the
+        // relation — afterwards the statement would fail with a
+        // "cannot write to a query" style error that never names the
+        // view
+        refuseViewTargets(p0)
+        val p = rewriteViews(rewriteMetaTables(rewriteTimeTravel(p0)))
         routeCall(p).orElse(routeDml(p)).getOrElse(
           org.apache.spark.sql.GraftSqlBridge.ofRows(spark, p))
+    }
+  }
+
+  /** Inline persistent VIEW references (r18): any single-part relation
+    * naming a stored view expands to its analyzed, schema-compensated
+    * plan — plan-to-plan like the meta-table and time-travel rewrites,
+    * so views compose inside ANY statement (DML sources, subquery
+    * expressions, other views) and nested views expand recursively
+    * with a cycle refusal. Top-down: the time-travel-over-view refusal
+    * must see the still-unresolved relation, and the inlined plan is
+    * fully resolved so the walk matches nothing inside it. */
+  private def rewriteViews(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      seen: Set[String] = Set.empty)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+    plan.transformDownWithSubqueries {
+      case tt: RelationTimeTravel
+        if relNameOf(tt.relation).exists(viewExists) =>
+        throw new IllegalArgumentException(
+          s"time travel over VIEW ${relNameOf(tt.relation).get} is not " +
+            "supported — a view is stored SQL text, not a snapshot " +
+            "object; put VERSION AS OF on the underlying table inside " +
+            "the view's query")
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
+          viewExists(r.multipartIdentifier.head) =>
+        viewPlan(r.multipartIdentifier.head, seen)
+    }
+  }
+
+  /** Build one view's plan from its stored definition: re-parse the
+    * TEXT through the full rewrite pipeline (late-bound — the view
+    * sees the live tables and composes with time travel and meta
+    * tables inside its own query), re-apply the user column list,
+    * then pin the recorded output schema per the view's schema mode
+    * (see [[ViewDef]]). */
+  private def viewPlan(vname: String, seen: Set[String])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    // explicit throw, not `require`: the "requirement failed:" prefix
+    // would defeat the nested pass-through match in the catch below
+    if (seen.contains(vname)) throw new IllegalArgumentException(
+      s"view $vname: circular view reference " +
+        s"(${(seen + vname).toSeq.sorted.mkString(", ")})")
+    val vd = ViewStore.load(viewsDir, vname)
+    val df = try {
+      val p0 = org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, vd.sql)
+      val p = rewriteViews(rewriteMetaTables(rewriteTimeTravel(p0)),
+        seen + vname)
+      var d = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, p)
+      vd.cols.foreach { names => d = d.toDF(names: _*) }
+      d
+    } catch {
+      // a nested view's own refusal (cycle, drift) keeps its message
+      case e: IllegalArgumentException
+        if e.getMessage != null && e.getMessage.startsWith("view ") =>
+        throw e
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalStateException(
+          s"view $vname no longer resolves against the warehouse " +
+            "(underlying table dropped/renamed, or its columns " +
+            s"changed?): ${e.getMessage} — CREATE OR REPLACE VIEW to " +
+            "redefine it, or DROP VIEW", e)
+    }
+    val out = vd.mode match {
+      case "evolution" => df
+      case m =>
+        val rec = org.apache.spark.sql.types.DataType.fromJson(vd.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val missing = rec.fieldNames.filterNot(df.columns.contains)
+        if (missing.nonEmpty) throw new IllegalArgumentException(
+          s"view $vname: schema drift — recorded column(s) " +
+            s"${missing.mkString(", ")} no longer resolve underneath; " +
+            "CREATE OR REPLACE VIEW to adopt the new shape")
+        // SCHEMA COMPENSATION (the default): project the recorded
+        // columns BY NAME and cast back to creation-time types — a
+        // `SELECT *` view keeps its declared output when the table
+        // underneath gains columns or widens types. TYPE EVOLUTION
+        // pins names only.
+        if (m == "typeevolution")
+          df.select(rec.fieldNames.toSeq
+            .map(org.apache.spark.sql.functions.col): _*)
+        else
+          df.select(rec.fields.toSeq.map(f =>
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(f.dataType).as(f.name)): _*)
+    }
+    org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+      vname, out.queryExecution.analyzed)
+  }
+
+  /** Validate + persist one view definition (CREATE [OR REPLACE] VIEW
+    * and ALTER VIEW … AS share this): the text must parse and resolve
+    * against the current warehouse NOW — a definition that only fails
+    * at first read would be a delayed trap — and self-reference
+    * (direct or through stored views) refuses via the seen-set. */
+  private def defineView(vname: String, text: String,
+      userCols: Option[Seq[String]], mode: String,
+      comment: Option[String]): DataFrame = {
+    ViewStore.requireValidName(vname)
+    require(!tableExists(vname),
+      s"CREATE VIEW $vname: '$vname' is a warehouse TABLE — tables " +
+        "and views share the SQL namespace")
+    val p0 = org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, text)
+    val p = rewriteViews(rewriteMetaTables(rewriteTimeTravel(p0)),
+      Set(vname))
+    var d = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, p)
+    userCols.foreach { names =>
+      require(names.length == d.columns.length,
+        s"CREATE VIEW $vname: ${names.length} column name(s) declared " +
+          s"for ${d.columns.length} output column(s)")
+      d = d.toDF(names: _*)
+    }
+    ViewStore.save(viewsDir, ViewDef(vname, text, userCols, d.schema.json,
+      mode, comment, System.currentTimeMillis()))
+    import spark.implicits._
+    Seq(("create_view", vname, 0L,
+      s"view defined over ${d.columns.length} column(s)"))
+      .toDF("procedure", "table", "snapshot_id", "detail")
+  }
+
+  /** A VIEW is never a DML/DDL-table target. Runs on the RAW parsed
+    * plan (top-level statement shapes only — SQL nests no DML). */
+  private def refuseViewTargets(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def idOf(p: LogicalPlan): Option[String] = p match {
+      case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+        if id.nameParts.length == 1 => Some(id.nameParts.head)
+      case _ => relNameOf(p)
+    }
+    def viewOf(p: LogicalPlan): Option[String] = idOf(p).filter(viewExists)
+    def refuse(verb: String, n: String,
+        hint: String = "a view is stored SQL text over tables — " +
+          "target the underlying table"): Nothing =
+      throw new IllegalArgumentException(
+        s"$verb $n: '$n' is a persistent VIEW — $hint")
+    plan match {
+      case i: InsertIntoStatement =>
+        viewOf(i.table).foreach(refuse("INSERT INTO", _))
+      case u: UpdateTable => viewOf(u.table).foreach(refuse("UPDATE", _))
+      case d: DeleteFromTable =>
+        viewOf(d.table).foreach(refuse("DELETE FROM", _))
+      case m: MergeIntoTable =>
+        viewOf(m.targetTable).foreach(refuse("MERGE INTO", _))
+      case tr: TruncateTable =>
+        viewOf(tr.table).foreach(refuse("TRUNCATE TABLE", _))
+      case tp: TruncatePartition =>
+        viewOf(tp.table).foreach(refuse("TRUNCATE TABLE", _))
+      case dt: DropTable =>
+        viewOf(dt.child).foreach(refuse("DROP TABLE", _,
+          s"use DROP VIEW"))
+      case cts: CreateTableAsSelect =>
+        viewOf(cts.name).foreach(refuse("CREATE TABLE", _,
+          "a persistent view already spells this name — DROP VIEW it " +
+            "first (tables and views share the SQL namespace)"))
+      case ct: CreateTable =>
+        viewOf(ct.name).foreach(refuse("CREATE TABLE", _,
+          "a persistent view already spells this name — DROP VIEW it " +
+            "first (tables and views share the SQL namespace)"))
+      case rts: ReplaceTableAsSelect =>
+        viewOf(rts.name).foreach(refuse("CREATE OR REPLACE TABLE", _,
+          "a persistent view already spells this name — DROP VIEW it " +
+            "first (tables and views share the SQL namespace)"))
+      case rt: ReplaceTable =>
+        viewOf(rt.name).foreach(refuse("REPLACE TABLE", _,
+          "a persistent view already spells this name — DROP VIEW it " +
+            "first (tables and views share the SQL namespace)"))
+      case _ => ()
     }
   }
 
@@ -587,6 +777,34 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       // kept its old name, SQL on it broke until the next commit, and
       // the new name lingered as a STALE orphan view (the r16-class
       // silent-fall-through trap).
+      case rt: RenameTable
+        if identOf(rt.child).orElse(relNameOf(rt.child))
+          .exists(viewExists) =>
+        // ALTER VIEW v RENAME TO w (r18): move the stored definition.
+        // References to a renamed view are BY NAME and late-bound —
+        // other views that referenced the old name refuse at their
+        // next read with the view-resolution message, like tables.
+        Some {
+          val vname = identOf(rt.child).orElse(relNameOf(rt.child)).get
+          require(rt.isView,
+            s"ALTER TABLE $vname RENAME: '$vname' is a persistent " +
+              s"VIEW — use ALTER VIEW $vname RENAME TO …")
+          require(rt.newName.length == 1,
+            s"ALTER VIEW $vname RENAME TO: multi-part destination " +
+              s"'${rt.newName.mkString(".")}' is not supported (one " +
+              "warehouse namespace)")
+          val dest = rt.newName.head
+          ViewStore.requireValidName(dest)
+          require(!tableExists(dest) && !viewExists(dest),
+            s"ALTER VIEW $vname RENAME TO $dest: destination name " +
+              "already exists")
+          val vd = ViewStore.load(viewsDir, vname)
+          ViewStore.save(viewsDir, vd.copy(name = dest))
+          ViewStore.delete(viewsDir, vname)
+          import spark.implicits._
+          Seq(("rename_view", dest, 0L, s"renamed from $vname"))
+            .toDF("procedure", "table", "snapshot_id", "detail")
+        }
       case rt: RenameTable =>
         identOf(rt.child).orElse(relNameOf(rt.child))
           .filter(tableExists).map { name =>
@@ -606,16 +824,94 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             s"renamed from $name"))
             .toDF("procedure", "table", "snapshot_id", "detail")
         }
-      // DROP VIEW on a warehouse-table name: refuse. Falling through
-      // would drop the reflected temp view while the table survives —
-      // SQL on the table then fails until the next commit re-reflects
-      // it (the reflection probe skips unchanged heads).
+      // CREATE [OR REPLACE] VIEW v AS SELECT … (r18): a PERSISTENT
+      // warehouse view — the definition validates NOW against the
+      // live tables and lands on disk ([[ViewStore]]), so a NEW
+      // Connector on the same warehouse serves it. Previously the
+      // statement refused through Spark (permanent view over a temp
+      // view); TEMPORARY views still fall through to Spark unchanged.
+      case cv: CreateView =>
+        identOf(cv.child).map { vname =>
+          require(cv.properties.isEmpty,
+            s"CREATE VIEW $vname: TBLPROPERTIES on a view is not " +
+              "supported")
+          require(cv.collation.isEmpty,
+            s"CREATE VIEW $vname: DEFAULT COLLATION is not supported")
+          require(cv.userSpecifiedColumns.forall(_._2.isEmpty),
+            s"CREATE VIEW $vname: per-column COMMENTs are not supported")
+          val text = cv.originalText.getOrElse(
+            throw new IllegalArgumentException(
+              s"CREATE VIEW $vname: statement carries no SQL text"))
+          val exists = viewExists(vname)
+          if (exists && cv.allowExisting) {
+            import spark.implicits._
+            Seq(("create_view", vname, 0L,
+              "view already exists (IF NOT EXISTS no-op)"))
+              .toDF("procedure", "table", "snapshot_id", "detail")
+          } else {
+            require(!exists || cv.replace,
+              s"CREATE VIEW $vname: view already exists " +
+                "(use CREATE OR REPLACE VIEW)")
+            val mode = cv.viewSchemaMode match {
+              case org.apache.spark.sql.catalyst.analysis.SchemaEvolution =>
+                "evolution"
+              case org.apache.spark.sql.catalyst.analysis.SchemaTypeEvolution =>
+                "typeevolution"
+              case _ => "compensation"
+            }
+            defineView(vname, text,
+              Some(cv.userSpecifiedColumns.map(_._1)).filter(_.nonEmpty),
+              mode, cv.comment)
+          }
+        }
+      // ALTER VIEW v AS SELECT …: redefinition of a persistent view
+      // (same validation as CREATE OR REPLACE; the recorded column
+      // list resets — the new text defines the output). On a TABLE
+      // name it must refuse: falling through would silently redefine
+      // the reflected TEMP view until the next commit (the r16 trap).
+      case av: AlterViewAs =>
+        val nm = identOf(av.child).orElse(relNameOf(av.child))
+        nm.filter(viewExists).map { vname =>
+          defineView(vname, av.originalText, None, "compensation", None)
+        }.orElse(nm.filter(tableExists).map { name =>
+          throw new IllegalArgumentException(
+            s"ALTER VIEW $name: '$name' is a warehouse TABLE (its SQL " +
+              "name is a reflected view) — views are redefined with " +
+              "ALTER VIEW <view> AS or CREATE OR REPLACE VIEW")
+        })
+      // DROP VIEW: a persistent view's definition file dies (r18). On
+      // a warehouse-TABLE name: refuse — falling through would drop
+      // the reflected temp view while the table survives, and SQL on
+      // the table then fails until the next commit re-reflects it.
       case dv: DropView =>
-        identOf(dv.child).orElse(relNameOf(dv.child))
-          .filter(tableExists).map { name =>
+        val nm = identOf(dv.child).orElse(relNameOf(dv.child))
+        nm.filter(viewExists).map { vname =>
+          ViewStore.delete(viewsDir, vname)
+          import spark.implicits._
+          Seq(("drop_view", vname, 0L, "view dropped"))
+            .toDF("procedure", "table", "snapshot_id", "detail")
+        }.orElse(nm.filter(tableExists).map { name =>
           throw new IllegalArgumentException(
             s"DROP VIEW $name: '$name' is a warehouse TABLE (its SQL " +
               s"name is a reflected view) — use DROP TABLE $name")
+        })
+      // SHOW VIEWS: the warehouse's PERSISTENT views (isTemporary =
+      // false) plus Spark's own listing of this session's temp views
+      // — Spark's result shape.
+      case sv: ShowViews =>
+        Some {
+          import spark.implicits._
+          val pat = sv.pattern.map(p =>
+            "(?i)" + p.split("\\|").map(seg =>
+              seg.split("\\*", -1).map(java.util.regex.Pattern.quote)
+                .mkString(".*")).mkString("|"))
+          val ours = views
+            .filter(n => pat.forall(n.matches))
+            .map(n => ("default", n, false))
+            .toDF("namespace", "viewName", "isTemporary")
+          ours.unionByName(
+            org.apache.spark.sql.GraftSqlBridge.ofRows(spark, sv)
+              .toDF("namespace", "viewName", "isTemporary"))
         }
       // CREATE TABLE u LIKE t: an EMPTY warehouse table with the
       // source's schema and partition spec. Falling through would
@@ -692,14 +988,23 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       // PARTITIONED BY transforms, user TBLPROPERTIES (Spark's own
       // refuses on the reflected temp view). Spark's result shape.
       case sct: ShowCreateTable =>
-        identOf(sct.child).orElse(relNameOf(sct.child))
-          .filter(tableExists).map { name =>
+        val nm = identOf(sct.child).orElse(relNameOf(sct.child))
+        nm.filter(tableExists).map { name =>
           require(!sct.asSerde,
             s"SHOW CREATE TABLE $name AS SERDE: warehouse tables have " +
               "no Hive serde form")
           import spark.implicits._
           Seq(loadTable(name).showCreateTableSql).toDF("createtab_stmt")
-        }
+        }.orElse(nm.filter(viewExists).map { vname =>
+          // a persistent view round-trips as its stored text
+          val vd = ViewStore.load(viewsDir, vname)
+          val colsTxt = vd.cols
+            .map(_.map(c => s"`$c`").mkString(" (", ", ", ")"))
+            .getOrElse("")
+          import spark.implicits._
+          Seq(s"CREATE VIEW `$vname`$colsTxt AS ${vd.sql}")
+            .toDF("createtab_stmt")
+        })
       // SHOW PARTITIONS t [PARTITION (c = v)]: the distinct partition
       // tuples of the current spec, manifest-stats-first (see
       // GraftTable.showPartitionsDf). The optional PARTITION filter
@@ -1451,6 +1756,9 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       s"rename: invalid destination table name '$newName'")
     require(!tableExists(newName),
       s"rename: destination table '$newName' already exists")
+    require(!viewExists(newName),
+      s"rename: a persistent VIEW already spells '$newName' — tables " +
+        "and views share the SQL namespace")
     val from = tableDir(oldName)
     val to = tableDir(newName)
     require(!Files.exists(to),

@@ -238,7 +238,13 @@ class DdlSurfaceSpec extends AnyFunSuite {
       "COMMENT ON TABLE sw IS 'swept'",
       "COMMENT ON TABLE sw IS NULL",
       "ALTER TABLE sw RENAME TO sw9",
-      "ALTER TABLE sw9 RENAME TO sw")
+      "ALTER TABLE sw9 RENAME TO sw",
+      // persistent views route (r18): full lifecycle, CALL-style rows
+      "CREATE VIEW sw_v AS SELECT id FROM sw",
+      "CREATE OR REPLACE VIEW sw_v AS SELECT id, v FROM sw",
+      "ALTER VIEW sw_v AS SELECT id FROM sw",
+      "ALTER VIEW sw_v RENAME TO sw_v2",
+      "DROP VIEW sw_v2")
     routed.foreach { stmt =>
       val df = c.sql(stmt)
       assert(df.schema.fieldNames.contains("snapshot_id"),
@@ -262,7 +268,8 @@ class DdlSurfaceSpec extends AnyFunSuite {
       "ANALYZE TABLE sw COMPUTE STATISTICS",
       "REPLACE TABLE sw (id BIGINT)", // column-list replace: un-routed
       "ALTER TABLE sw SET SERDE 'org.nope.Serde'",
-      "CREATE VIEW sw_perm AS SELECT * FROM sw", // permanent over temp
+      "ALTER VIEW sw AS SELECT 1", // table name: no silent temp-view edit
+      "CREATE VIEW sw AS SELECT 1", // collides with the table name
       "CREATE INDEX swi ON sw (id)")
     refused.foreach { stmt =>
       val thrown =
