@@ -3093,6 +3093,58 @@ object Warehouse {
       conn2.sql("SELECT o_orderkey, price FROM v_big")
         .withColumn("vw_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q181: SQL type widening (r18) --------------------------------
+    // `ALTER TABLE t ALTER COLUMN c TYPE <wider>` routes to the
+    // metadata-only Iceberg promotion the API surface already had
+    // (q141): the evolve commit re-declares the field at the wider
+    // type, NARROW-era files keep their physical type and reads cast.
+    // The graded relation spans BOTH eras — rows written as INT beside
+    // rows only a BIGINT can hold — so a hash match proves the
+    // era-projecting read path casts exactly. Witnesses: the widen
+    // commit is metadata-only (zero files), narrowing and
+    // non-promotion refuse with the machinery's message, and the
+    // routed statement reports the uniform snapshot_id shape.
+    Q("q181_sql_widen",
+      """SELECT o_orderkey, CAST(o_orderkey % 100 AS BIGINT) AS qty,
+        |  TRUE AS wd_ok
+        |FROM orders
+        |UNION ALL
+        |SELECT o_orderkey + 100000000,
+        |  CAST(o_orderkey % 100 AS BIGINT) + 3000000000, TRUE
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      conn.createTable("wd_src", T.orders(s, d).select(col("o_orderkey")))
+      conn.sql("CREATE TABLE orders_wd (o_orderkey BIGINT, qty INT)")
+      conn.sql("INSERT INTO orders_wd SELECT o_orderkey, " +
+        "CAST(o_orderkey % 100 AS INT) FROM wd_src")
+      val t = conn.loadTable("orders_wd")
+      val filesBefore = t.filesDf().count()
+      val r = conn.sql("ALTER TABLE orders_wd ALTER COLUMN qty " +
+        "TYPE BIGINT").collect().head
+      val routedOk = r.schema.fieldNames.contains("snapshot_id")
+      // metadata-only: same visible files, no rewrite
+      val metaOnly = t.filesDf().count() == filesBefore &&
+        t.log.snapshots.last.addedFiles.isEmpty
+      // the WIDE era: values only a BIGINT can hold
+      conn.sql("INSERT INTO orders_wd SELECT o_orderkey + 100000000, " +
+        "CAST(o_orderkey % 100 AS BIGINT) + 3000000000 FROM wd_src")
+      val widened = conn.sql("SELECT * FROM orders_wd")
+        .schema("qty").dataType ==
+        org.apache.spark.sql.types.LongType
+      // narrowing and non-promotions refuse through widenColumn
+      def refuses(stmt: String): Boolean = scala.util.Try(conn.sql(stmt))
+        .failed.toOption.exists(_.getMessage.contains("widen"))
+      val refusals = refuses(
+        "ALTER TABLE orders_wd ALTER COLUMN qty TYPE INT") &&
+        refuses("ALTER TABLE orders_wd ALTER COLUMN qty TYPE STRING")
+      val witness = routedOk && metaOnly && widened && refusals &&
+        t.validate().isEmpty
+      conn.sql("SELECT o_orderkey, qty FROM orders_wd")
+        .withColumn("wd_ok", lit(witness))
+        .orderBy("o_orderkey")
     })
 
   def queries: Seq[Q] = ql

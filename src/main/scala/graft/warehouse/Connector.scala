@@ -1103,34 +1103,55 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             defaults.flatten.toMap))
         }
       // ALTER COLUMN … SET DEFAULT k / DROP DEFAULT: the mutable
-      // write-default half ([[GraftTable.setColumnDefault]]); type,
-      // nullability, position, and comment changes refuse loudly.
-      // EVERY spec validates (and its value evaluates) BEFORE the first
-      // commit: a multi-column statement refusing on a later spec must
-      // not leave earlier specs durably applied (atomic DDL).
+      // write-default half ([[GraftTable.setColumnDefault]]).
+      // ALTER COLUMN c TYPE <wider> (r18): routes to the metadata-only
+      // Iceberg type promotion ([[GraftTable.widenColumn]] — era files
+      // keep the narrow physical type, reads cast); narrowing and
+      // non-promotions refuse through widenColumn's own message, as do
+      // nullability, position, and comment changes. EVERY spec
+      // validates (and its value evaluates) BEFORE the first commit: a
+      // multi-column statement refusing on a later spec must not leave
+      // earlier specs durably applied (atomic DDL).
       case ac: AlterColumns =>
         nameOf(ac.table).filter(tableExists).map { name =>
           val t = loadTable(name)
-          val actions: Seq[(String, Option[Any])] = ac.specs.flatMap { s =>
+          type Action = Either[(String, org.apache.spark.sql.types.DataType),
+            (String, Option[Any])]
+          val actions: Seq[Action] = ac.specs.flatMap { s =>
             require(s.column.name.length == 1,
               s"ALTER TABLE $name: nested column alters are not supported")
-            require(s.newDataType.isEmpty && s.newNullability.isEmpty &&
+            require(s.newNullability.isEmpty &&
                 s.newPosition.isEmpty && s.newComment.isEmpty,
-              s"ALTER TABLE $name ALTER COLUMN: only SET DEFAULT and " +
-                "DROP DEFAULT are supported (type/nullability/position/" +
-                "comment changes refuse)")
+              s"ALTER TABLE $name ALTER COLUMN: only SET DEFAULT, " +
+                "DROP DEFAULT, and TYPE <wider> are supported " +
+                "(nullability/position/comment changes refuse)")
             val cn = s.column.name.head
             require(t.schema.fieldNames.contains(cn),
               s"ALTER TABLE $name: no column '$cn'")
-            (if (s.dropDefault) Seq(cn -> None) else Nil) ++
-              s.newDefaultExpression.map(dv => cn ->
-                Some(evalConst(dv.child, Some(t.schema(cn).dataType))))
+            s.newDataType match {
+              case Some(dt) =>
+                require(!s.dropDefault && s.newDefaultExpression.isEmpty,
+                  s"ALTER TABLE $name ALTER COLUMN $cn: TYPE and " +
+                    "DEFAULT changes combine ambiguously — use " +
+                    "separate statements")
+                t.widenPreflight(cn, dt)
+                Seq(Left(cn -> dt): Action)
+              case None =>
+                (if (s.dropDefault) Seq(Right(cn -> None): Action)
+                 else Nil) ++
+                  s.newDefaultExpression.map(dv => Right(cn ->
+                    Some(evalConst(dv.child,
+                      Some(t.schema(cn).dataType)))): Action)
+            }
           }
           require(actions.nonEmpty,
             s"ALTER TABLE $name ALTER COLUMN: nothing to do — " +
-              "only SET DEFAULT / DROP DEFAULT are supported")
-          done(name, actions.map { case (cn, v) =>
-            t.setColumnDefault(cn, v) }.last)
+              "only SET DEFAULT / DROP DEFAULT / TYPE <wider> are " +
+              "supported")
+          done(name, actions.map {
+            case Left((cn, dt)) => t.widenColumn(cn, dt)
+            case Right((cn, v)) => t.setColumnDefault(cn, v)
+          }.last)
         }
       case rc: RenameColumn =>
         nameOf(rc.table).filter(tableExists).map { name =>

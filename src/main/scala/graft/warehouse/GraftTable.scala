@@ -2324,12 +2324,15 @@ final class GraftTable private (
     * here on. Recorded min/max stats stay valid (they are stored as
     * doubles), so pruning survives the widening untouched. Same
     * field-id upgrade + refusals as [[renameColumn]]. */
-  def widenColumn(colName: String,
-      to: org.apache.spark.sql.types.DataType): Snapshot = {
+  /** EVERY [[widenColumn]] refusal WITHOUT committing anything — the
+    * SQL router validates each spec of a multi-column ALTER before
+    * the FIRST commit (atomic DDL: a statement refusing on a later
+    * spec must not leave earlier specs durably applied). */
+  def widenPreflight(colName: String,
+      to: org.apache.spark.sql.types.DataType): Unit = {
     requireEvolvable("widenColumn")
     requireColumnUnbound("widen", colName)
-    val current = ensureFieldIds()
-    val f = current.fields.find(_.name == colName).getOrElse(
+    val f = schema.fields.find(_.name == colName).getOrElse(
       throw new IllegalArgumentException(s"no column '$colName' in $name"))
     require(GraftTable.widens(f.dataType, to),
       s"cannot widen ${f.dataType} to $to for $colName of $name — " +
@@ -2354,6 +2357,12 @@ final class GraftTable private (
       s"widening '$colName' of $name while visible files carry bloom " +
         "sketches on it would break their hash domain — compact(" +
         "bloomCols=...) first to re-record them")
+  }
+
+  def widenColumn(colName: String,
+      to: org.apache.spark.sql.types.DataType): Snapshot = {
+    widenPreflight(colName, to)
+    val current = ensureFieldIds()
     val evolved = StructType(current.fields.map(g =>
       if (g.name == colName) g.copy(dataType = to) else g))
     log.commit("evolve", Seq.empty, evolved.json)

@@ -228,6 +228,7 @@ class DdlSurfaceSpec extends AnyFunSuite {
         "ON sw.id = s.id " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
       "ALTER TABLE sw ADD COLUMN z INT",
+      "ALTER TABLE sw ALTER COLUMN z TYPE BIGINT", // widen routes (r18)
       "ALTER TABLE sw ALTER COLUMN z SET DEFAULT 1",
       "ALTER TABLE sw ALTER COLUMN z DROP DEFAULT",
       "ALTER TABLE sw RENAME COLUMN z TO z2",
