@@ -3145,6 +3145,60 @@ object Warehouse {
       conn.sql("SELECT o_orderkey, qty FROM orders_wd")
         .withColumn("wd_ok", lit(witness))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q182: ANALYZE TABLE as SQL (r18) -----------------------------
+    // Table-level `COMPUTE STATISTICS` answers from MANIFESTS alone
+    // (file count, bytes, per-file row counts — zero data files
+    // opened, the numbers `t$files` already exposes); `FOR COLUMNS`
+    // is the one-pass column-pruned aggregate (min/max/null_count/
+    // approx ndv/row_count). The GRADED relation is the FOR COLUMNS
+    // readback minus the approximate ndv, which the oracle recomputes
+    // as direct DuckDB aggregates — the advisor's "recorded stats
+    // match a direct aggregate" contract, hash-checked. Witnesses:
+    // the table-level row count comes from manifests and equals the
+    // scan count, NOSCAN never scans, and unknown columns refuse.
+    Q("q182_analyze",
+      """WITH src AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE o_orderstatus END AS st FROM orders)
+        |SELECT 'o_orderkey' AS "column",
+        |  CAST(min(o_orderkey) AS VARCHAR) AS "min",
+        |  CAST(max(o_orderkey) AS VARCHAR) AS "max",
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS null_count,
+        |  count(*) AS row_count, TRUE AS an_ok
+        |FROM src
+        |UNION ALL
+        |SELECT 'st', CAST(min(st) AS VARCHAR), CAST(max(st) AS VARCHAR),
+        |  CAST(sum(CASE WHEN st IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*), TRUE
+        |FROM src
+        |ORDER BY "column"""".stripMargin) { (s, d) =>
+      val conn = new Connector(s, Scratch.dir("run"))
+      conn.createTable("orders_an", T.orders(s, d).select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_orderstatus")).as("st")))
+      // table-level: manifest-only readback, equal to the true count
+      val r = conn.sql("ANALYZE TABLE orders_an COMPUTE STATISTICS")
+        .collect().head
+      val trueRows = conn.count("orders_an")
+      val tableOk = r.getAs[String]("procedure") == "analyze_table" &&
+        r.getAs[String]("detail").contains(s"rows=$trueRows") &&
+        r.getAs[String]("detail").contains("source=manifest")
+      val noscanOk = conn.sql(
+        "ANALYZE TABLE orders_an COMPUTE STATISTICS NOSCAN")
+        .collect().head.getAs[String]("detail").contains("source=manifest")
+      val refused = scala.util.Try(conn.sql(
+        "ANALYZE TABLE orders_an COMPUTE STATISTICS FOR COLUMNS nope"))
+        .failed.toOption.exists(_.getMessage.contains("no column"))
+      val witness = tableOk && noscanOk && refused
+      conn.sql("ANALYZE TABLE orders_an COMPUTE STATISTICS " +
+        "FOR COLUMNS o_orderkey, st")
+        .select(col("column"), col("min"), col("max"), col("null_count"),
+          col("row_count"))
+        .withColumn("an_ok", lit(witness))
+        .orderBy("column")
     })
 
   def queries: Seq[Q] = ql

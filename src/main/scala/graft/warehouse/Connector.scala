@@ -686,22 +686,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         identOf(ct.name).map { name =>
           val (tprops, checks) = requirePlainTableSpec(name, ct.tableSpec)
           val spec = partitionFieldsOf(name, ct.partitioning)
-          val fields = ct.columns.map { c =>
-            require(c.generationExpression.isEmpty &&
-                c.identityColumnSpec.isEmpty,
-              s"CREATE TABLE $name: generated/identity columns are " +
-                "not supported")
-            val f = org.apache.spark.sql.types.StructField(
-              c.name, c.dataType, c.nullable)
-            c.defaultValue match {
-              case None => f
-              case Some(dv) =>
-                // the ONE default-metadata discipline, shared with
-                // ALTER TABLE ADD COLUMN ([[GraftTable.withDefaultMetadata]])
-                GraftTable.withDefaultMetadata(f,
-                  evalConst(dv.child, Some(c.dataType)))
-            }
-          }
+          val fields = columnDefsToFields(name, ct.columns)
           val existed = tableExists(name)
           require(!existed || ct.ignoreIfExists,
             s"CREATE TABLE $name: table already exists " +
@@ -749,6 +734,48 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             reflectView(name)
           } else {
             createTable(name, df, properties = tprops, spec = spec)
+            checks.foreach { case (n, sql) =>
+              loadTable(name).addCheckConstraint(n, sql) }
+          }
+          import spark.implicits._
+          Seq(getCurrentSnapshotId(name).getOrElse(0L)).toDF("snapshot_id")
+        }
+      // REPLACE TABLE t (cols…) [PARTITIONED BY …] (r18): the
+      // column-list replacement — an EMPTY declared-schema payload
+      // through the same atomic replace as RTAS (the redeclared spec
+      // commits only after the payload materializes; user properties
+      // RESET to the declared TBLPROPERTIES). `CREATE OR REPLACE
+      // TABLE t (cols…)` parses here too (orCreate): an absent table
+      // is a plain create.
+      case rpt: ReplaceTable =>
+        identOf(rpt.name).map { name =>
+          val (tprops, checks) = requirePlainTableSpec(name, rpt.tableSpec)
+          val spec = partitionFieldsOf(name, rpt.partitioning)
+          val fields = columnDefsToFields(name, rpt.columns)
+          val empty = spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType(fields))
+          if (tableExists(name)) {
+            // same constraint-redefinition refusal as RTAS: old CHECKs
+            // gate the (empty) replacement; redefining them through a
+            // replace is ambiguous
+            require(checks.isEmpty,
+              s"REPLACE TABLE $name: CHECK constraints on a " +
+                "replacement are not supported — drop/add them on the " +
+                "existing table (GraftTable.addCheckConstraint)")
+            val declared = tprops.keys
+              .map(_.stripPrefix(GraftTable.UserPropSetPrefix)).toSet
+            val clears = loadTable(name).userProperties().keys
+              .filterNot(declared)
+              .map(k => (GraftTable.UserPropUnsetPrefix + k) -> "").toMap
+            loadTable(name).replace(empty, properties = tprops ++ clears,
+              declareSpec = if (spec.nonEmpty) Some(spec) else None)
+            reflectView(name)
+          } else {
+            require(rpt.orCreate,
+              s"REPLACE TABLE $name: table not found " +
+                "(use CREATE OR REPLACE TABLE to create-if-absent)")
+            createTable(name, empty, properties = tprops, spec = spec)
             checks.foreach { case (n, sql) =>
               loadTable(name).addCheckConstraint(n, sql) }
           }
@@ -1064,6 +1091,97 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
               s"SHOW PARTITIONS $name: unsupported partition spec " +
                 s"shape '$other'")
           }
+        }
+      // ANALYZE TABLE t COMPUTE STATISTICS [NOSCAN] (r18): table-level
+      // stats answered from MANIFESTS alone — file count, byte size,
+      // and the per-file row counts every commit records (metaCount);
+      // zero data files open, no Spark job, the same numbers `t$files`
+      // exposes per file. Only a pre-upgrade manifest without row
+      // counts scans, and NOSCAN reports unknown instead. Uniform
+      // CALL-style result row.
+      case at: AnalyzeTable =>
+        identOf(at.child).orElse(relNameOf(at.child))
+          .filter(tableExists).map { name =>
+          require(at.partitionSpec.isEmpty,
+            s"ANALYZE TABLE $name PARTITION: partition-scoped analyze " +
+              "is not supported — stats are per-file in the manifests " +
+              s"(see `$name$$partitions`)")
+          val t = loadTable(name)
+          val snaps = t.log.snapshots
+          val statsByFile = snaps.flatMap(_.stats).toMap
+          val files = t.log.filesWithSnapOf(snaps, None).map { case (abs, _) =>
+            java.nio.file.Paths.get(abs) }
+          val bytes = files.map { p =>
+            statsByFile.get(tableDir(name).relativize(p).toString)
+              .map(_.bytes).filter(_ >= 0)
+              .getOrElse(scala.util.Try(Files.size(p)).getOrElse(0L))
+          }.sum
+          val (rowsTxt, src) = t.metaCount() match {
+            case Some(n) => (n.toString, "manifest")
+            case None if at.noScan => ("unknown", "manifest (NOSCAN)")
+            case None => (t.read().count().toString, "scan fallback")
+          }
+          import spark.implicits._
+          Seq(("analyze_table", name,
+            getCurrentSnapshotId(name).getOrElse(0L),
+            s"files=${files.size} rows=$rowsTxt bytes=$bytes " +
+              s"source=$src"))
+            .toDF("procedure", "table", "snapshot_id", "detail")
+        }
+      // ANALYZE TABLE t COMPUTE STATISTICS FOR [ALL] COLUMNS (r18):
+      // per-column min / max / null_count / distinct_count / row_count
+      // as a relation. This one SCANS — column-pruned, one aggregate
+      // pass over exactly the named columns (ndv is approximate, HLL —
+      // the 100-TB-sane choice Spark's own ANALYZE makes); the
+      // metadata-only alternatives stay on `t$files` / `t$partitions`.
+      case ac: AnalyzeColumn =>
+        identOf(ac.child).orElse(relNameOf(ac.child))
+          .filter(tableExists).map { name =>
+          val t = loadTable(name)
+          val sch = t.schema
+          def atomic(f: org.apache.spark.sql.types.StructField): Boolean =
+            f.dataType match {
+              case _: org.apache.spark.sql.types.ArrayType |
+                   _: org.apache.spark.sql.types.MapType |
+                   _: org.apache.spark.sql.types.StructType => false
+              case _ => true
+            }
+          val cols: Seq[String] =
+            if (ac.allColumns) sch.fields.filter(atomic).map(_.name).toSeq
+            else {
+              val named = ac.columnNames.getOrElse(Seq.empty)
+              named.foreach { c =>
+                require(sch.fieldNames.contains(c),
+                  s"ANALYZE TABLE $name: no column '$c'")
+                require(atomic(sch(c)),
+                  s"ANALYZE TABLE $name: column '$c' is " +
+                    s"${sch(c).dataType.simpleString} — complex types " +
+                    "have no min/max stats")
+              }
+              named
+            }
+          require(cols.nonEmpty,
+            s"ANALYZE TABLE $name: no analyzable columns")
+          import org.apache.spark.sql.functions.{approx_count_distinct,
+            col, lit, max, min, sum, when}
+          val aggs = cols.flatMap(c => Seq(
+            min(col(c)).cast("string").as(s"__mn_$c"),
+            max(col(c)).cast("string").as(s"__mx_$c"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nc_$c"),
+            approx_count_distinct(col(c)).as(s"__dc_$c"))) :+
+            org.apache.spark.sql.functions.count(lit(1)).as("__rows")
+          val r = t.read().select(cols.map(col): _*)
+            .agg(aggs.head, aggs.tail: _*).collect().head
+          val rows = r.getAs[Long]("__rows")
+          def nz(k: String): Long =
+            Option(r.getAs[Any](k)).map(_.asInstanceOf[Number].longValue)
+              .getOrElse(0L)
+          import spark.implicits._
+          cols.sorted.map { c =>
+            (c, r.getAs[String](s"__mn_$c"), r.getAs[String](s"__mx_$c"),
+              nz(s"__nc_$c"), nz(s"__dc_$c"), rows)
+          }.toDF("column", "min", "max", "null_count", "distinct_count",
+            "row_count")
         }
       // COMMENT ON TABLE t IS 'x' / IS NULL: the table comment lives
       // as the user property 'comment' (one metadata-only commit) —
@@ -1480,6 +1598,29 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         (GraftTable.UserPropSetPrefix + k) -> v }, checks)
     case _ => (Map.empty, Nil)
   }
+
+  /** Column-list DDL (`CREATE TABLE t (cols…)`, `REPLACE TABLE t
+    * (cols…)`) → schema fields, with DEFAULTs landing as the same v3
+    * initial/write-default metadata ALTER…ADD COLUMN writes
+    * ([[GraftTable.withDefaultMetadata]] — the ONE default-metadata
+    * discipline). */
+  private def columnDefsToFields(name: String,
+      columns: Seq[org.apache.spark.sql.catalyst.plans.logical.ColumnDefinition])
+      : Seq[org.apache.spark.sql.types.StructField] =
+    columns.map { c =>
+      require(c.generationExpression.isEmpty &&
+          c.identityColumnSpec.isEmpty,
+        s"CREATE TABLE $name: generated/identity columns are " +
+          "not supported")
+      val f = org.apache.spark.sql.types.StructField(
+        c.name, c.dataType, c.nullable)
+      c.defaultValue match {
+        case None => f
+        case Some(dv) =>
+          GraftTable.withDefaultMetadata(f,
+            evalConst(dv.child, Some(c.dataType)))
+      }
+    }
 
   /** Map SQL `PARTITIONED BY` transforms to the warehouse's hidden-
     * partitioning [[PartitionField]]s — identity, years/months/days/

@@ -238,6 +238,8 @@ class DdlSurfaceSpec extends AnyFunSuite {
       "TRUNCATE TABLE sw_part PARTITION (yr = 1995)",
       "COMMENT ON TABLE sw IS 'swept'",
       "COMMENT ON TABLE sw IS NULL",
+      "ANALYZE TABLE sw COMPUTE STATISTICS",
+      "ANALYZE TABLE sw COMPUTE STATISTICS NOSCAN",
       "ALTER TABLE sw RENAME TO sw9",
       "ALTER TABLE sw9 RENAME TO sw",
       // persistent views route (r18): full lifecycle, CALL-style rows
@@ -245,7 +247,10 @@ class DdlSurfaceSpec extends AnyFunSuite {
       "CREATE OR REPLACE VIEW sw_v AS SELECT id, v FROM sw",
       "ALTER VIEW sw_v AS SELECT id FROM sw",
       "ALTER VIEW sw_v RENAME TO sw_v2",
-      "DROP VIEW sw_v2")
+      "DROP VIEW sw_v2",
+      // column-list replace routes (r18); same declared shape, so the
+      // end-of-sweep invariants hold (sw_part stays empty+partitioned)
+      "REPLACE TABLE sw_part (id BIGINT, yr INT) PARTITIONED BY (yr)")
     routed.foreach { stmt =>
       val df = c.sql(stmt)
       assert(df.schema.fieldNames.contains("snapshot_id"),
@@ -266,8 +271,8 @@ class DdlSurfaceSpec extends AnyFunSuite {
       "MSCK REPAIR TABLE sw",
       "TRUNCATE TABLE sw PARTITION (id = 1)", // not an identity part col
       "SHOW PARTITIONS sw", // not partitioned
-      "ANALYZE TABLE sw COMPUTE STATISTICS",
-      "REPLACE TABLE sw (id BIGINT)", // column-list replace: un-routed
+      "ANALYZE TABLE sw PARTITION (id = 1) COMPUTE STATISTICS",
+      "ANALYZE TABLE sw COMPUTE STATISTICS FOR COLUMNS nope",
       "ALTER TABLE sw SET SERDE 'org.nope.Serde'",
       "ALTER VIEW sw AS SELECT 1", // table name: no silent temp-view edit
       "CREATE VIEW sw AS SELECT 1", // collides with the table name
@@ -290,6 +295,9 @@ class DdlSurfaceSpec extends AnyFunSuite {
       Seq("createtab_stmt"))
     assert(c.sql("SHOW PARTITIONS sw_part").schema.fieldNames.toSeq ==
       Seq("partition"))
+    assert(c.sql("ANALYZE TABLE sw COMPUTE STATISTICS FOR COLUMNS id")
+      .schema.fieldNames.toSeq == Seq("column", "min", "max",
+        "null_count", "distinct_count", "row_count"))
 
     // the warehouse is INTACT after the whole sweep: both tables
     // present, readable through SQL, no orphan views accumulated
@@ -673,6 +681,73 @@ class DdlSurfaceSpec extends AnyFunSuite {
     assert(c.sql("SHOW PARTITIONS spl")
       .collect().map(_.getString(0)).toSeq ==
       Seq("yr=1990", "yr=1991", "yr=1992"))
+  }
+
+  // ------------------------------------------------ replace (cols)
+
+  test("REPLACE TABLE (cols) atomically re-declares a populated table") {
+    val c = freshConn()
+    c.createTable("rp", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    c.sql("ALTER TABLE rp SET TBLPROPERTIES ('keep'='no')")
+    val pre = c.getCurrentSnapshotId("rp").get
+    val r = c.sql("REPLACE TABLE rp (k INT, d DOUBLE DEFAULT 1.5, " +
+      "yr INT) PARTITIONED BY (yr) TBLPROPERTIES ('team'='x')")
+      .collect().head
+    assert(r.schema.fieldNames.contains("snapshot_id"))
+    val t = c.loadTable("rp")
+    assert(t.schema.fieldNames.toSeq == Seq("k", "d", "yr"))
+    assert(c.count("rp") == 0L)
+    // declared DEFAULT is live (write-default fills the omitted col)
+    c.sql("INSERT INTO rp (k, yr) VALUES (1, 1995)")
+    assert(c.sql("SELECT d FROM rp").collect().head.getDouble(0) == 1.5)
+    // user properties RESET to the declared TBLPROPERTIES
+    assert(t.userProperties() == Map("team" -> "x"))
+    // the redeclared spec governs the new payload
+    assert(t.partitionSpec.map(f => (f.kind, f.column)) ==
+      Seq(("identity", "yr")))
+    // pre-replace rows stay travelable
+    assert(c.sql(s"SELECT count(*) AS n FROM rp VERSION AS OF $pre")
+      .collect().head.getLong(0) == 2L)
+    // plain REPLACE refuses on a missing table; OR CREATE creates
+    val e = intercept[IllegalArgumentException] {
+      c.sql("REPLACE TABLE nope (id BIGINT)") }
+    assert(e.getMessage.contains("not found"))
+    c.sql("CREATE OR REPLACE TABLE rp2 (id BIGINT)")
+    assert(c.tableExists("rp2") && c.count("rp2") == 0L)
+    assert(t.validate().isEmpty)
+  }
+
+  // ------------------------------------------------------ analyze
+
+  test("ANALYZE TABLE: manifest-only table stats; column stats match direct aggregates") {
+    val c = freshConn()
+    c.createTable("an", Seq((1L, Some("a")), (2L, None), (3L, Some("c")),
+      (4L, Some("a"))).toDF("id", "s"))
+    // table-level: answered from manifests (metaCount), no scan
+    val r = c.sql("ANALYZE TABLE an COMPUTE STATISTICS").collect().head
+    assert(r.getAs[String]("procedure") == "analyze_table")
+    val detail = r.getAs[String]("detail")
+    assert(detail.contains("rows=4") && detail.contains("source=manifest"),
+      detail)
+    // column-level: min/max/null_count/row_count equal the direct
+    // aggregates (the advisor's readback contract); ndv is approx but
+    // exact at this cardinality
+    val rows = c.sql(
+      "ANALYZE TABLE an COMPUTE STATISTICS FOR COLUMNS id, s")
+      .collect().map(x => (x.getString(0), x.getString(1), x.getString(2),
+        x.getLong(3), x.getLong(4), x.getLong(5))).toSeq
+    assert(rows == Seq(
+      ("id", "1", "4", 0L, 4L, 4L),
+      ("s", "a", "c", 1L, 2L, 4L)), rows.toString)
+    // FOR ALL COLUMNS covers every atomic column
+    assert(c.sql("ANALYZE TABLE an COMPUTE STATISTICS FOR ALL COLUMNS")
+      .collect().map(_.getString(0)).toSeq == Seq("id", "s"))
+    // stats respect MOR tombstones / DML (the scan path reads the
+    // LIVE relation, not raw files)
+    c.sql("DELETE FROM an WHERE id = 4")
+    val r2 = c.sql("ANALYZE TABLE an COMPUTE STATISTICS FOR COLUMNS id")
+      .collect().head
+    assert(r2.getString(2) == "3" && r2.getLong(5) == 3L)
   }
 
   // ------------------------------------------------ comment on table
