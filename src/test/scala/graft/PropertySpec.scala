@@ -823,6 +823,28 @@ class PropertySpec extends AnyFunSuite {
       Files.createTempDirectory("graft-psql-").toString)
     val rnd = new scala.util.Random(20260815L)
     c.sql("CREATE TABLE pt (id BIGINT, v BIGINT)")
+    // r18: a PARTITIONED sibling walks TRUNCATE…PARTITION + SHOW
+    // PARTITIONS against its own model (identity yr; the main table
+    // stays unpartitioned so the two surfaces interleave freely)
+    c.sql("CREATE TABLE pp (id BIGINT, yr INT) PARTITIONED BY (yr)")
+    var ppRows = Map.empty[Long, Int]
+    var tpN = 0
+    def checkPP(): Unit = {
+      val got = c.sql("SELECT id, yr FROM pp").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == ppRows, s"pp model diverged: engine ${got.size}, " +
+        s"model ${ppRows.size}")
+      val parts = c.sql("SHOW PARTITIONS pp")
+        .collect().map(_.getString(0)).toSeq
+      assert(parts ==
+        ppRows.values.toSeq.distinct.sorted.map(y => s"yr=$y"),
+        s"pp partitions diverged: $parts vs ${ppRows.values.toSeq.distinct}")
+    }
+    // r18: a persistent VIEW over the walk table — late-bound BY NAME,
+    // so a TABLE rename must flip its reads to the named refusal until
+    // the walk re-creates it over the new name
+    var viewOver: Option[String] = None
+    var viewN = 0; var likeN = 0; var commentN = 0
     // the table's CURRENT sql name — ALTER TABLE … RENAME TO moves it
     // mid-walk; every later statement AND every time-travel cut must
     // resolve under the new name (history travels with the table)
@@ -858,6 +880,21 @@ class PropertySpec extends AnyFunSuite {
           s"sample diff: ${(got.toSet -- rows.toSet).take(3)} | " +
           s"${(rows.toSet -- got.toSet).take(3)}")
     }
+    def checkView(): Unit = viewOver.foreach { over =>
+      if (over == tbl) {
+        val got = c.sql("SELECT id, v FROM ptv").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = rows.collect { case (i, (v, _)) if i % 2 == 0 => i -> v }
+        assert(got == want,
+          s"view model diverged: ${got.size} vs ${want.size}")
+      } else {
+        val e = intercept[Exception] {
+          c.sql("SELECT id, v FROM ptv").collect() }
+        assert(e.getMessage.contains("ptv"),
+          s"renamed-table view read failed WITHOUT naming the view: " +
+            e.getMessage)
+      }
+    }
     // TIME TRAVEL against the model: record (snapshot id → column
     // names + rows AS OF THEN); a later VERSION AS OF must reproduce
     // that exact state under that era's COLUMN NAMES — pre-rename cuts
@@ -891,8 +928,8 @@ class PropertySpec extends AnyFunSuite {
     }
     insert(30)
     recordCut()
-    for (step <- 1 to 90) {
-      rnd.nextInt(12) match {
+    for (step <- 1 to 110) {
+      rnd.nextInt(16) match {
         case 0 => insert(1 + rnd.nextInt(5))
         case 1 => // UPDATE a residue class
           val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
@@ -955,6 +992,46 @@ class PropertySpec extends AnyFunSuite {
           val nn = s"pt_r$renameN"
           c.sql(s"ALTER TABLE $tbl RENAME TO $nn")
           tbl = nn
+        case 12 => // partitioned sibling: insert rows across years
+          val ids = (0 until 1 + rnd.nextInt(4)).map(_ => {
+            nextId += 1; nextId })
+          val vals = ids.map(i =>
+            s"($i, ${1995 + (i % 3).toInt})").mkString(", ")
+          c.sql(s"INSERT INTO pp VALUES $vals")
+          ids.foreach(i => ppRows += i -> (1995 + (i % 3).toInt))
+        case 13 if ppRows.nonEmpty && rnd.nextBoolean() => // r18:
+          // partition-scoped TRUNCATE — removes exactly one year
+          val yr = ppRows.values.toSeq(rnd.nextInt(ppRows.size))
+          c.sql(s"TRUNCATE TABLE pp PARTITION (yr = $yr)")
+          tpN += 1
+          ppRows = ppRows.filter(_._2 != yr)
+        case 14 => // COMMENT ON: rides the user-property model (so
+          // the $properties time-travel cuts check it too)
+          commentN += 1
+          if (props.contains("comment") && rnd.nextInt(4) == 0) {
+            c.sql(s"COMMENT ON TABLE $tbl IS NULL")
+            props -= "comment"
+          } else {
+            c.sql(s"COMMENT ON TABLE $tbl IS 'cm$step'")
+            props += "comment" -> s"cm$step"
+          }
+        case 15 => // r18: CREATE TABLE LIKE (declared surface copies,
+          // zero rows, dropped again) or the persistent VIEW
+          if (rnd.nextBoolean()) {
+            likeN += 1
+            c.sql(s"CREATE TABLE lk_$step LIKE $tbl")
+            val lk = c.loadTable(s"lk_$step")
+            assert(lk.schema.fieldNames.toSeq ==
+              Seq("id", "v") ++ extras.map(_._1),
+              s"LIKE copied the wrong columns: ${lk.schema.fieldNames.toSeq}")
+            assert(c.count(s"lk_$step") == 0L)
+            c.sql(s"DROP TABLE lk_$step")
+          } else {
+            viewN += 1
+            c.sql("CREATE OR REPLACE VIEW ptv AS " +
+              s"SELECT id, v FROM $tbl WHERE id % 2 = 0")
+            viewOver = Some(tbl)
+          }
         case 6 | 8 if rnd.nextInt(6) == 0 => // rare INSERT OVERWRITE:
           // full replace (static mode, unpartitioned) — new rows only,
           // extras fill from the CURRENT write-defaults; pre-overwrite
@@ -969,16 +1046,22 @@ class PropertySpec extends AnyFunSuite {
         case _ => insert(1)
       }
       if (rnd.nextInt(3) == 0) recordCut()
-      if (step % 10 == 0) { check(); checkCut() }
+      if (step % 10 == 0) { check(); checkCut(); checkPP(); checkView() }
     }
     check()
     checkCut(); checkCut()
-    // the seed must actually exercise the r17 verbs — a walk that
+    checkPP(); checkView()
+    // the seed must actually exercise the r17/r18 verbs — a walk that
     // never renamed or set a property proves nothing about them
     assert(renameN >= 1, s"seed never hit ALTER TABLE RENAME TO")
     assert(propN >= 2, s"seed set only $propN properties")
     assert(owN >= 1, s"seed never hit INSERT OVERWRITE")
+    assert(tpN >= 1, s"seed never hit TRUNCATE TABLE … PARTITION")
+    assert(commentN >= 1, s"seed never hit COMMENT ON TABLE")
+    assert(likeN >= 1, s"seed never hit CREATE TABLE LIKE")
+    assert(viewN >= 1, s"seed never created the persistent view")
     assert(c.loadTable(tbl).userProperties() == props)
     assert(c.loadTable(tbl).validate().isEmpty)
+    assert(c.loadTable("pp").validate().isEmpty)
   }
 }
