@@ -68,6 +68,12 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       s"create table $name: a persistent VIEW already spells this " +
         "name — DROP VIEW it first (tables and views share the SQL " +
         "namespace)")
+    // leading-underscore names are RESERVED for warehouse-internal
+    // stores (`_views` today): a table directory there would collide
+    // with them
+    require(!name.startsWith("_"),
+      s"create table $name: leading-underscore table names are " +
+        "reserved for warehouse metadata stores")
     val created =
       GraftTable.create(spark, tableDir(name), name, data, properties, spec)
     created.foreach(_ => reflectView(name))
@@ -343,8 +349,20 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       require(names.length == d.columns.length,
         s"CREATE VIEW $vname: ${names.length} column name(s) declared " +
           s"for ${d.columns.length} output column(s)")
+      require(names.map(_.toLowerCase).distinct.length == names.length,
+        s"CREATE VIEW $vname: duplicate column name in the view's " +
+          "column list")
       d = d.toDF(names: _*)
     }
+    // a duplicate OUTPUT name would make the recorded-schema
+    // compensation projection ambiguous at every later read — refuse
+    // at create, where the fix (alias the selects) is obvious
+    require(d.columns.map(_.toLowerCase).distinct.length ==
+        d.columns.length,
+      s"CREATE VIEW $vname: the query produces duplicate column " +
+        s"name(s) ${d.columns.groupBy(_.toLowerCase).collect {
+          case (_, vs) if vs.length > 1 => vs.head }.mkString(", ")} — " +
+        "alias them uniquely")
     ViewStore.save(viewsDir, ViewDef(vname, text, userCols, d.schema.json,
       mode, comment, System.currentTimeMillis()))
     import spark.implicits._

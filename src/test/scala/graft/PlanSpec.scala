@@ -518,4 +518,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("Join"), s"materialized lineage read must be join-free:\n$p2")
     assert(p2.contains("_row_id"), s"physical id column missing from scan:\n$p2")
   }
+
+  test("a view read plans like the underlying table: pushdown survives compensation") {
+    // the schema-compensation projection casts recorded columns back
+    // to recorded types; in the no-drift common case SimplifyCasts
+    // must erase those casts so a predicate ABOVE the view still
+    // reaches the parquet scan as a pushed filter — a view must never
+    // cost a full scan the bare table wouldn't
+    import java.nio.file.Files
+    val c = new graft.warehouse.Connector(spark,
+      Files.createTempDirectory("graft-vplan-").toString)
+    c.createTable("vt", spark.range(2000)
+      .selectExpr("id", "id * 2 AS v", "CAST(id % 5 AS INT) AS k"))
+    c.sql("CREATE VIEW vv AS SELECT id, v, k FROM vt")
+    val p = plan(c.sql("SELECT id, v FROM vv WHERE id > 1500"))
+    assert(p.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1500)"),
+      s"filter above the view did not reach the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<id:bigint,v:bigint>"),
+      s"projection above the view did not prune the read schema:\n$p")
+  }
 }

@@ -118,6 +118,11 @@ class ViewSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       c.sql("CREATE VIEW v3 (a, b, c) AS SELECT id FROM t") }
     assert(e.getMessage.contains("column name"))
+    // duplicate output names refuse at create (the compensation
+    // projection would be ambiguous at every later read)
+    val ed = intercept[IllegalArgumentException] {
+      c.sql("CREATE VIEW v3 AS SELECT id, x AS id FROM t") }
+    assert(ed.getMessage.contains("duplicate"))
     // self-reference refuses at create (OR REPLACE would make v1
     // recursive through its stored definition)
     val e2 = intercept[IllegalArgumentException] {
@@ -175,6 +180,11 @@ class ViewSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       c.createTable("v", Seq(1L).toDF("id"))
     }.getMessage.contains("VIEW"))
+    // leading-underscore table names are reserved (the `_views` store
+    // lives in the same namespace directory)
+    assert(intercept[IllegalArgumentException] {
+      c.createTable("_views", Seq(1L).toDF("id"))
+    }.getMessage.contains("reserved"))
     c.createTable("u", Seq(1L).toDF("id"))
     assert(intercept[IllegalArgumentException] {
       c.renameTable("u", "v")
