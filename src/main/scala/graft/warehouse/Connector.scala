@@ -252,18 +252,42 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * fully resolved so the walk matches nothing inside it. */
   private def rewriteViews(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      seen: Set[String] = Set.empty)
+      seen: Set[String] = Set.empty,
+      shadow: Set[String] = Set.empty)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
+    // CTE names SHADOW persisted views (SQL scoping): `WITH v AS (…)
+    // SELECT … FROM v` must read the CTE even when a stored view
+    // spells v. Collected over the whole statement plus the enclosing
+    // scopes (`shadow` — a CTE body referencing an EARLIER CTE must
+    // not inline a same-named view either); conservative: a same-named
+    // view reference outside the CTE's scope is also left to Catalyst.
+    // CTE resolution is case-insensitive, so the comparison is too.
+    val cteNames: Set[String] = shadow ++ plan.collectWithSubqueries {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten
     plan.transformDownWithSubqueries {
+      // CTE DEFINITIONS are innerChildren — no transform walks them;
+      // recurse explicitly or a view used inside a CTE body would
+      // never inline (same recursion in the meta-table and
+      // time-travel rewrites)
+      case w: UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, sa, mx) =>
+          (n, rewriteViews(sa, seen, cteNames)
+            .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias],
+            mx)
+        })
       case tt: RelationTimeTravel
-        if relNameOf(tt.relation).exists(viewExists) =>
+        if relNameOf(tt.relation).exists(n =>
+          viewExists(n) && !cteNames.contains(n.toLowerCase)) =>
         throw new IllegalArgumentException(
           s"time travel over VIEW ${relNameOf(tt.relation).get} is not " +
             "supported — a view is stored SQL text, not a snapshot " +
             "object; put VERSION AS OF on the underlying table inside " +
             "the view's query")
       case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
+          !cteNames.contains(r.multipartIdentifier.head.toLowerCase) &&
           viewExists(r.multipartIdentifier.head) =>
         viewPlan(r.multipartIdentifier.head, seen)
     }
@@ -435,6 +459,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     // WithSubqueries: a meta table inside a scalar/EXISTS/IN subquery
     // must rewrite too — plain transformUp walks only the operator tree
     plan.transformUpWithSubqueries {
+      // CTE definitions are innerChildren — recurse explicitly (see
+      // rewriteViews) or `WITH h AS (SELECT * FROM `t$snapshots`) …`
+      // would never rewrite
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, sa, mx) =>
+          (n, rewriteMetaTables(sa)
+            .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias],
+            mx)
+        })
       case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
           r.multipartIdentifier.head.contains('$') =>
         val Array(name, kind) = r.multipartIdentifier.head.split("\\$", 2)
@@ -519,6 +552,14 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     // WithSubqueries: `FROM t VERSION AS OF n` inside a scalar/EXISTS/
     // IN subquery must pin too, not just operator-tree relations
     plan.transformUpWithSubqueries {
+      // CTE definitions are innerChildren — recurse explicitly (see
+      // rewriteViews) or a travel clause inside a CTE body never pins
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, sa, mx) =>
+          (n, rewriteTimeTravel(sa)
+            .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias],
+            mx)
+        })
       case tt: RelationTimeTravel
         if relNameOf(tt.relation).exists(nm => nm.contains('$') &&
           tableExists(nm.split("\\$", 2)(0))) =>

@@ -683,6 +683,22 @@ class DdlSurfaceSpec extends AnyFunSuite {
       Seq("yr=1990", "yr=1991", "yr=1992"))
   }
 
+  // ---------------------------------------------- rewrites in CTEs
+
+  test("meta tables and time travel rewrite inside CTE bodies") {
+    // CTE definitions are innerChildren of UnresolvedWith — no plan
+    // transform walks them, so the rewrites recurse explicitly; these
+    // pin that `WITH x AS (…rewritten relation…)` works end to end
+    val c = freshConn()
+    c.createTable("cte_t", Seq((1L, "a")).toDF("id", "v"))
+    val s1 = c.getCurrentSnapshotId("cte_t").get
+    c.sql("INSERT INTO cte_t VALUES (2, 'b')")
+    assert(c.sql("WITH h AS (SELECT snapshot_id FROM `cte_t$snapshots`) " +
+      "SELECT count(*) AS n FROM h").collect().head.getLong(0) == 2L)
+    assert(c.sql(s"WITH o AS (SELECT id FROM cte_t VERSION AS OF $s1) " +
+      "SELECT count(*) AS n FROM o").collect().head.getLong(0) == 1L)
+  }
+
   // ------------------------------------------------ replace (cols)
 
   test("REPLACE TABLE (cols) atomically re-declares a populated table") {

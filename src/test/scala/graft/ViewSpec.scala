@@ -136,6 +136,24 @@ class ViewSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("circular"))
   }
 
+  test("a CTE shadows a same-named persistent view (SQL scoping)") {
+    val c = new Connector(spark, freshWh())
+    c.createTable("t", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    c.sql("CREATE VIEW v AS SELECT id FROM t WHERE x > 15")
+    // the statement's OWN CTE named v wins over the stored view
+    assert(c.sql("WITH v AS (SELECT id FROM t) SELECT count(*) AS n " +
+      "FROM v").collect().head.getLong(0) == 2L)
+    // case-insensitively, like Catalyst's CTE resolution
+    assert(c.sql("WITH V AS (SELECT id FROM t) SELECT count(*) AS n " +
+      "FROM v").collect().head.getLong(0) == 2L)
+    // without the CTE the view still serves
+    assert(c.sql("SELECT count(*) AS n FROM v")
+      .collect().head.getLong(0) == 1L)
+    // and a CTE can READ the view under a different name
+    assert(c.sql("WITH w AS (SELECT * FROM v) SELECT count(*) AS n " +
+      "FROM w").collect().head.getLong(0) == 1L)
+  }
+
   test("time travel composes INSIDE a view and refuses OVER a view") {
     val c = new Connector(spark, freshWh())
     c.createTable("t", Seq((1L, "a")).toDF("id", "v"))
