@@ -981,6 +981,29 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             s"DROP VIEW $name: '$name' is a warehouse TABLE (its SQL " +
               s"name is a reflected view) — use DROP TABLE $name")
         })
+      // DESCRIBE [EXTENDED] v on a persistent view (r18): answer from
+      // the RECORDED schema (the compensation contract — what a read
+      // returns). Without this arm the verb said "not found" while
+      // SELECT on the same name worked. Tables keep their tolerated
+      // temp-view describe.
+      case dr: DescribeRelation =>
+        identOf(dr.relation).orElse(relNameOf(dr.relation))
+          .filter(viewExists).map { vname =>
+          val vd = ViewStore.load(viewsDir, vname)
+          val rec = org.apache.spark.sql.types.DataType.fromJson(vd.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          import spark.implicits._
+          val cols = rec.fields.toSeq.map(f =>
+            (f.name, f.dataType.simpleString, null: String))
+          val extended = if (!dr.isExtended) Nil else Seq(
+            ("", "", null: String),
+            ("# Detailed View Information", "", null: String),
+            ("Type", "VIEW", null: String),
+            ("Schema Mode", vd.mode, null: String),
+            ("View Text", vd.sql, null: String)) ++
+            vd.comment.map(c => ("Comment", c, null: String))
+          (cols ++ extended).toDF("col_name", "data_type", "comment")
+        }
       // SHOW VIEWS: the warehouse's PERSISTENT views (isTemporary =
       // false) plus Spark's own listing of this session's temp views
       // — Spark's result shape.
@@ -1082,14 +1105,24 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           import spark.implicits._
           Seq(loadTable(name).showCreateTableSql).toDF("createtab_stmt")
         }.orElse(nm.filter(viewExists).map { vname =>
-          // a persistent view round-trips as its stored text
+          // a persistent view round-trips as its stored text — with
+          // the comment and non-default schema mode, so re-executing
+          // the emitted DDL reproduces the view's full behavior
           val vd = ViewStore.load(viewsDir, vname)
           val colsTxt = vd.cols
             .map(_.map(c => s"`$c`").mkString(" (", ", ", ")"))
             .getOrElse("")
+          val commentTxt = vd.comment
+            .map(c => s" COMMENT '${c.replace("'", "''")}'")
+            .getOrElse("")
+          val modeTxt = vd.mode match {
+            case "evolution" => " WITH SCHEMA EVOLUTION"
+            case "typeevolution" => " WITH SCHEMA TYPE EVOLUTION"
+            case _ => ""
+          }
           import spark.implicits._
-          Seq(s"CREATE VIEW `$vname`$colsTxt AS ${vd.sql}")
-            .toDF("createtab_stmt")
+          Seq(s"CREATE VIEW `$vname`$colsTxt$commentTxt$modeTxt " +
+            s"AS ${vd.sql}").toDF("createtab_stmt")
         })
       // SHOW PARTITIONS t [PARTITION (c = v)]: the distinct partition
       // tuples of the current spec, manifest-stats-first (see

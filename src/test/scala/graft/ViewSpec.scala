@@ -240,6 +240,25 @@ class ViewSpec extends AnyFunSuite {
     c2.createTable("t", Seq((1L, 2.0), (2L, 0.5)).toDF("id", "x"))
     c2.sql(ddl)
     assert(c2.sql("SELECT * FROM vb").as[Long].collect().toSeq == Seq(1L))
+    // non-default schema mode + comment survive the roundtrip text
+    c.sql("CREATE VIEW vc COMMENT 'c''s view' WITH SCHEMA EVOLUTION " +
+      "AS SELECT id FROM t")
+    val ddl2 = c.sql("SHOW CREATE TABLE vc").collect().head.getString(0)
+    assert(ddl2.contains("COMMENT 'c''s view'") &&
+      ddl2.contains("WITH SCHEMA EVOLUTION"), ddl2)
+    c2.sql(ddl2)
+    assert(c2.sql("SELECT * FROM vc").columns.toSeq == Seq("id"))
+    // DESCRIBE answers from the recorded schema; EXTENDED carries the
+    // view text and mode (SELECT working while DESCRIBE said "not
+    // found" would be an inconsistent surface)
+    assert(c.sql("DESCRIBE vb").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("key", "bigint")))
+    val ext = c.sql("DESCRIBE EXTENDED vc").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ext.get("Type").contains("VIEW") &&
+      ext.get("Schema Mode").contains("evolution") &&
+      ext.get("View Text").exists(_.contains("SELECT id FROM t")))
   }
 
   test("a view over a dropped table refuses with the view's name") {
