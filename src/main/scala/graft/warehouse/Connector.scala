@@ -51,6 +51,13 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   def tableExists(name: String): Boolean =
     GraftTable.load(spark, tableDir(name), name).isDefined
 
+  /** Case-insensitive table existence — the CROSS-NAMESPACE guards
+    * (view/table name collisions) compare the way Spark SQL resolves
+    * identifiers, not the way the filesystem spells directories. One
+    * directory listing; used only on DDL paths. */
+  private def tableExistsCI(name: String): Boolean =
+    tableExists(name) || tables.exists(_.equalsIgnoreCase(name))
+
   def loadTable(name: String): GraftTable =
     GraftTable.load(spark, tableDir(name), name)
       .getOrElse(throw new NoSuchElementException(s"table not found: $name"))
@@ -256,40 +263,52 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       shadow: Set[String] = Set.empty)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
     import org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith
-    // CTE names SHADOW persisted views (SQL scoping): `WITH v AS (…)
-    // SELECT … FROM v` must read the CTE even when a stored view
-    // spells v. Collected over the whole statement plus the enclosing
-    // scopes (`shadow` — a CTE body referencing an EARLIER CTE must
-    // not inline a same-named view either); conservative: a same-named
-    // view reference outside the CTE's scope is also left to Catalyst.
-    // CTE resolution is case-insensitive, so the comparison is too.
-    val cteNames: Set[String] = shadow ++ plan.collectWithSubqueries {
-      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-    }.flatten
-    plan.transformDownWithSubqueries {
-      // CTE DEFINITIONS are innerChildren — no transform walks them;
-      // recurse explicitly or a view used inside a CTE body would
-      // never inline (same recursion in the meta-table and
-      // time-travel rewrites)
+    plan match {
+      // CTE names SHADOW persisted views (SQL scoping): `WITH v AS (…)
+      // SELECT … FROM v` must read the CTE even when a stored view
+      // spells v — but ONLY inside this WITH's subtree (r19: the shadow
+      // set used to be collected over the whole statement, so a CTE
+      // named v anywhere blocked the view v in a SIBLING subquery that
+      // never saw the CTE). All of the WITH's names shadow both the
+      // bodies (a body may reference an earlier — or recursively its
+      // own — CTE) and the main child; CTE resolution is
+      // case-insensitive, so the comparison is too. CTE DEFINITIONS
+      // are innerChildren — no transform walks them — hence the
+      // explicit recursion (same in the meta-table and time-travel
+      // rewrites).
       case w: UnresolvedWith =>
-        w.copy(cteRelations = w.cteRelations.map { case (n, sa, mx) =>
-          (n, rewriteViews(sa, seen, cteNames)
-            .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias],
-            mx)
-        })
+        val s2 = shadow ++ w.cteRelations.map(_._1.toLowerCase)
+        w.copy(
+          child = rewriteViews(w.child, seen, s2),
+          cteRelations = w.cteRelations.map { case (n, sa, mx) =>
+            (n, rewriteViews(sa, seen, s2)
+              .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias],
+              mx)
+          })
       case tt: RelationTimeTravel
         if relNameOf(tt.relation).exists(n =>
-          viewExists(n) && !cteNames.contains(n.toLowerCase)) =>
+          viewExists(n) && !shadow.contains(n.toLowerCase)) =>
         throw new IllegalArgumentException(
           s"time travel over VIEW ${relNameOf(tt.relation).get} is not " +
             "supported — a view is stored SQL text, not a snapshot " +
             "object; put VERSION AS OF on the underlying table inside " +
             "the view's query")
       case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
-          !cteNames.contains(r.multipartIdentifier.head.toLowerCase) &&
+          !shadow.contains(r.multipartIdentifier.head.toLowerCase) &&
           viewExists(r.multipartIdentifier.head) =>
         viewPlan(r.multipartIdentifier.head, seen)
+      // manual recursion (not transformDownWithSubqueries) so the
+      // shadow set stays SCOPED: children inherit this scope's shadow,
+      // and subquery-expression plans recurse with it too
+      case other =>
+        val withChildren =
+          other.mapChildren(rewriteViews(_, seen, shadow))
+        withChildren.transformExpressionsDown {
+          case se: SubqueryExpression =>
+            se.withNewPlan(rewriteViews(se.plan, seen, shadow))
+        }
     }
   }
 
@@ -299,8 +318,12 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * tables inside its own query), re-apply the user column list,
     * then pin the recorded output schema per the view's schema mode
     * (see [[ViewDef]]). */
-  private def viewPlan(vname: String, seen: Set[String])
+  private def viewPlan(vname0: String, seen: Set[String])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    // the seen-set, the store, and the output alias all speak the
+    // CANONICAL (lowercase) name — a cycle spelled v -> V -> v must
+    // still refuse
+    val vname = ViewStore.canon(vname0)
     // explicit throw, not `require`: the "requirement failed:" prefix
     // would defeat the nested pass-through match in the catch below
     if (seen.contains(vname)) throw new IllegalArgumentException(
@@ -362,12 +385,12 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       userCols: Option[Seq[String]], mode: String,
       comment: Option[String]): DataFrame = {
     ViewStore.requireValidName(vname)
-    require(!tableExists(vname),
+    require(!tableExistsCI(vname),
       s"CREATE VIEW $vname: '$vname' is a warehouse TABLE — tables " +
         "and views share the SQL namespace")
     val p0 = org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, text)
     val p = rewriteViews(rewriteMetaTables(rewriteTimeTravel(p0)),
-      Set(vname))
+      Set(ViewStore.canon(vname)))
     var d = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, p)
     userCols.foreach { names =>
       require(names.length == d.columns.length,
@@ -881,12 +904,12 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
               "warehouse namespace)")
           val dest = rt.newName.head
           ViewStore.requireValidName(dest)
-          require(!tableExists(dest) && !viewExists(dest),
+          require(!tableExistsCI(dest) && !viewExists(dest),
             s"ALTER VIEW $vname RENAME TO $dest: destination name " +
               "already exists")
-          val vd = ViewStore.load(viewsDir, vname)
-          ViewStore.save(viewsDir, vd.copy(name = dest))
-          ViewStore.delete(viewsDir, vname)
+          // ONE atomic filesystem move — a crash can never leave the
+          // definition live under both names
+          ViewStore.rename(viewsDir, vname, dest)
           import spark.implicits._
           Seq(("rename_view", dest, 0L, s"renamed from $vname"))
             .toDF("procedure", "table", "snapshot_id", "detail")
@@ -952,13 +975,17 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         }
       // ALTER VIEW v AS SELECT …: redefinition of a persistent view
       // (same validation as CREATE OR REPLACE; the recorded column
-      // list resets — the new text defines the output). On a TABLE
-      // name it must refuse: falling through would silently redefine
-      // the reflected TEMP view until the next commit (the r16 trap).
+      // list resets — the new text defines the output — while the
+      // view's SCHEMA MODE and COMMENT carry over: redefining the
+      // query must not silently flip WITH SCHEMA EVOLUTION pinning or
+      // drop stored documentation). On a TABLE name it must refuse:
+      // falling through would silently redefine the reflected TEMP
+      // view until the next commit (the r16 trap).
       case av: AlterViewAs =>
         val nm = identOf(av.child).orElse(relNameOf(av.child))
         nm.filter(viewExists).map { vname =>
-          defineView(vname, av.originalText, None, "compensation", None)
+          val prev = ViewStore.load(viewsDir, vname)
+          defineView(vname, av.originalText, None, prev.mode, prev.comment)
         }.orElse(nm.filter(tableExists).map { name =>
           throw new IllegalArgumentException(
             s"ALTER VIEW $name: '$name' is a warehouse TABLE (its SQL " +
@@ -2008,7 +2035,12 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     require(newName.nonEmpty && !newName.contains('$') &&
         !newName.contains('/') && !newName.contains(java.io.File.separator),
       s"rename: invalid destination table name '$newName'")
-    require(!tableExists(newName),
+    // same reservation as createTable: a table landing at `_views` (or
+    // any future metadata store path) would intermix with definitions
+    require(!newName.startsWith("_"),
+      s"rename: leading-underscore table names are reserved for " +
+        "warehouse metadata stores")
+    require(!tableExistsCI(newName),
       s"rename: destination table '$newName' already exists")
     require(!viewExists(newName),
       s"rename: a persistent VIEW already spells '$newName' — tables " +

@@ -44,8 +44,15 @@ final case class ViewDef(
   * view (robust text escaping for multi-line SQL), written
   * tmp-then-atomic-move so readers never observe a torn definition. */
 object ViewStore {
+  /** View names CANONICALIZE to lowercase (r19): Spark SQL identifier
+    * resolution is case-insensitive, so `CREATE VIEW V_Big` and
+    * `SELECT … FROM v_big` must denote ONE entity — storing the
+    * spelled case made lookups case-sensitive while every other
+    * resolution path (temp views, CTE shadowing) was not. */
+  def canon(name: String): String = name.toLowerCase
+
   private def file(viewsDir: Path, name: String): Path =
-    viewsDir.resolve(name + ".properties")
+    viewsDir.resolve(canon(name) + ".properties")
 
   /** View NAMES share the table identifier rules (they live in the
     * same SQL namespace); a name that is also a path would escape the
@@ -59,6 +66,19 @@ object ViewStore {
   def exists(viewsDir: Path, name: String): Boolean =
     !name.contains('/') && !name.contains("..") &&
       Files.isRegularFile(file(viewsDir, name))
+
+  /** Atomic rename of a stored definition: ONE filesystem move (the
+    * save-new-then-delete-old sequence a crash could tear in half,
+    * leaving the view live under both names). */
+  def rename(viewsDir: Path, from: String, to: String): Unit = {
+    requireValidName(from); requireValidName(to)
+    try Files.move(file(viewsDir, from), file(viewsDir, to),
+      StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(file(viewsDir, from), file(viewsDir, to))
+    }
+  }
 
   def list(viewsDir: Path): Seq[String] = {
     if (!Files.isDirectory(viewsDir)) return Seq.empty
@@ -83,7 +103,7 @@ object ViewStore {
       p.setProperty("col.count", cs.size.toString)
       cs.zipWithIndex.foreach { case (c, i) => p.setProperty(s"col.$i", c) }
     }
-    val tmp = viewsDir.resolve(s".${vd.name}.${
+    val tmp = viewsDir.resolve(s".${canon(vd.name)}.${
       java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = Files.newOutputStream(tmp)
     try p.store(out, "graft view definition") finally out.close()
@@ -107,7 +127,7 @@ object ViewStore {
     val cols = Option(p.getProperty("col.count")).map { n =>
       (0 until n.toInt).map(i => p.getProperty(s"col.$i"))
     }
-    ViewDef(name, sql, cols,
+    ViewDef(canon(name), sql, cols,
       Option(p.getProperty("schema")).getOrElse(""),
       Option(p.getProperty("mode")).getOrElse("compensation"),
       Option(p.getProperty("comment")),

@@ -261,6 +261,89 @@ class ViewSpec extends AnyFunSuite {
       ext.get("View Text").exists(_.contains("SELECT id FROM t")))
   }
 
+  test("view names are case-insensitive, like Spark SQL identifiers (r19)") {
+    val c = new Connector(spark, freshWh())
+    c.createTable("t", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    // created under one spelling, readable under any — ONE entity
+    c.sql("CREATE VIEW V_Big AS SELECT id FROM t WHERE x > 15")
+    assert(c.views == Seq("v_big")) // canonical (lowercase) listing
+    assert(c.sql("SELECT count(*) AS n FROM v_big")
+      .collect().head.getLong(0) == 1L)
+    assert(c.sql("SELECT count(*) AS n FROM V_BIG")
+      .collect().head.getLong(0) == 1L)
+    // a second case-variant create is a DUPLICATE, not a sibling
+    val e = intercept[IllegalArgumentException] {
+      c.sql("CREATE VIEW v_BIG AS SELECT x FROM t") }
+    assert(e.getMessage.contains("already exists"))
+    // cross-namespace guards compare case-insensitively too
+    assert(intercept[IllegalArgumentException] {
+      c.sql("CREATE VIEW T AS SELECT 1 AS one")
+    }.getMessage.contains("TABLE"))
+    assert(intercept[IllegalArgumentException] {
+      c.createTable("V_big", Seq(1L).toDF("id"))
+    }.getMessage.contains("VIEW"))
+    c.createTable("u", Seq(1L).toDF("id"))
+    assert(intercept[IllegalArgumentException] {
+      c.renameTable("u", "V_BIG")
+    }.getMessage.contains("VIEW"))
+    // DROP under a different spelling drops the one entity
+    c.sql("DROP VIEW V_biG")
+    assert(c.views.isEmpty)
+  }
+
+  test("ALTER VIEW AS keeps schema mode + comment; RENAME is one move (r19)") {
+    val c = new Connector(spark, freshWh())
+    c.createTable("t", Seq((1, "a")).toDF("id", "k"))
+    c.sql("CREATE VIEW ve COMMENT 'doc' WITH SCHEMA EVOLUTION AS " +
+      "SELECT * FROM t")
+    // redefinition carries the stored mode and comment — it must not
+    // silently flip evolution back to compensation or drop the doc
+    c.sql("ALTER VIEW ve AS SELECT * FROM t WHERE id > 0")
+    val ddl = c.sql("SHOW CREATE TABLE ve").collect().head.getString(0)
+    assert(ddl.contains("WITH SCHEMA EVOLUTION") &&
+      ddl.contains("COMMENT 'doc'"), ddl)
+    // and the redefined view still EVOLVES with the table
+    c.sql("ALTER TABLE t ADD COLUMN z INT DEFAULT 7")
+    assert(c.sql("SELECT * FROM ve").columns.toSeq == Seq("id", "k", "z"))
+    // rename: the definition moves (atomically — one Files.move), the
+    // old name is gone, behavior travels
+    c.sql("ALTER VIEW ve RENAME TO we")
+    assert(c.views == Seq("we"))
+    assert(c.sql("SELECT * FROM we").columns.toSeq == Seq("id", "k", "z"))
+    // destination guard is case-insensitive against tables
+    c.sql("CREATE VIEW ve2 AS SELECT id FROM t")
+    assert(intercept[IllegalArgumentException] {
+      c.sql("ALTER VIEW ve2 RENAME TO T") }
+      .getMessage.contains("already exists"))
+    // a table cannot rename INTO a reserved metadata-store name
+    c.createTable("u", Seq(1L).toDF("id"))
+    assert(intercept[IllegalArgumentException] {
+      c.renameTable("u", "_views") }
+      .getMessage.contains("reserved"))
+  }
+
+  test("CTE shadow is scoped to its WITH subtree, not the statement (r19)") {
+    val c = new Connector(spark, freshWh())
+    c.createTable("t", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x"))
+    c.sql("CREATE VIEW v AS SELECT id FROM t WHERE x > 15")
+    // one statement, two scopes: the scalar subquery's WITH defines
+    // its own v (2 rows), while the outer FROM v still reads the
+    // stored view (1 row) — whole-statement shadowing would have
+    // failed the outer reference as unresolved
+    val r = c.sql(
+      """SELECT (WITH v AS (SELECT id FROM t) SELECT count(*) FROM v)
+        |  AS cte_n, count(*) AS view_n FROM v""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L, r.toString)
+    // sibling subqueries: the CTE in one arm does not block the view
+    // in the other
+    val r2 = c.sql(
+      """SELECT
+        |  (WITH v AS (SELECT 1 AS one) SELECT count(*) FROM v) AS a,
+        |  (SELECT count(*) FROM v) AS b""".stripMargin).collect().head
+    assert(r2.getLong(0) == 1L && r2.getLong(1) == 1L, r2.toString)
+  }
+
   test("a view over a dropped table refuses with the view's name") {
     val c = new Connector(spark, freshWh())
     c.createTable("t", Seq(1L).toDF("id"))
