@@ -238,12 +238,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     plan match {
       case None => spark.sql(cmd)
       case Some(p0) =>
+        // the namespace strip runs FIRST so every later rewrite,
+        // router, and the temp-view fall-through see single-part names
+        val p1 = stripDefaultNs(p0)
         // view-target refusals run BEFORE the view rewrite inlines the
         // relation — afterwards the statement would fail with a
         // "cannot write to a query" style error that never names the
         // view
-        refuseViewTargets(p0)
-        val p = rewriteViews(rewriteMetaTables(rewriteTimeTravel(p0)))
+        refuseViewTargets(p1)
+        val p = rewriteViews(rewriteMetaTables(rewriteTimeTravel(p1)))
         routeCall(p).orElse(routeDml(p)).getOrElse(
           org.apache.spark.sql.GraftSqlBridge.ofRows(spark, p))
     }
@@ -332,8 +335,8 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     val vd = ViewStore.load(viewsDir, vname)
     val df = try {
       val p0 = org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, vd.sql)
-      val p = rewriteViews(rewriteMetaTables(rewriteTimeTravel(p0)),
-        seen + vname)
+      val p = rewriteViews(rewriteMetaTables(rewriteTimeTravel(
+        stripDefaultNs(p0))), seen + vname)
       var d = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, p)
       vd.cols.foreach { names => d = d.toDF(names: _*) }
       d
@@ -389,8 +392,8 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       s"CREATE VIEW $vname: '$vname' is a warehouse TABLE — tables " +
         "and views share the SQL namespace")
     val p0 = org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, text)
-    val p = rewriteViews(rewriteMetaTables(rewriteTimeTravel(p0)),
-      Set(ViewStore.canon(vname)))
+    val p = rewriteViews(rewriteMetaTables(rewriteTimeTravel(
+      stripDefaultNs(p0))), Set(ViewStore.canon(vname)))
     var d = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, p)
     userCols.foreach { names =>
       require(names.length == d.columns.length,
@@ -424,8 +427,8 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical._
     def idOf(p: LogicalPlan): Option[String] = p match {
-      case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
-        if id.nameParts.length == 1 => Some(id.nameParts.head)
+      case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+        stripNs(id.nameParts)
       case _ => relNameOf(p)
     }
     def viewOf(p: LogicalPlan): Option[String] = idOf(p).filter(viewExists)
@@ -542,24 +545,88 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     }.reduce(_ && _)
   }
 
-  /** Single-part relation name of a plan node, through aliases —
-    * shared by every router (a resolution fix must land exactly once). */
+  /** The warehouse's ONE namespace, accepted as an explicit qualifier
+    * (r19): `default.t` denotes warehouse entity `t` — the reference's
+    * namespace is literally `default` (`icerunner.py:44, 67-70`) and
+    * DuckDB accepts qualified spellings, so ported SQL names it on day
+    * one. Any OTHER qualifier returns None here and falls through to
+    * Spark, which refuses with its own resolution error. */
+  private def stripNs(parts: Seq[String]): Option[String] = parts match {
+    case Seq(n) => Some(n)
+    case Seq(ns, n) if ns.equalsIgnoreCase("default") => Some(n)
+    case _ => None
+  }
+
+  /** Single-part (or `default.`-qualified, r19) relation name of a
+    * plan node, through aliases — shared by every router (a resolution
+    * fix must land exactly once). */
   private def relNameOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Option[String] = p match {
-    case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-      if r.multipartIdentifier.length == 1 => Some(r.multipartIdentifier.head)
-    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
-      if t.multipartIdentifier.length == 1 => Some(t.multipartIdentifier.head)
+    case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+      stripNs(r.multipartIdentifier)
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      stripNs(t.multipartIdentifier)
     // RENAME/SHOW TBLPROPERTIES parse their target as table-OR-view;
     // DROP VIEW as a view node — all must resolve here, or those verbs
     // would silently bind to the reflected TEMP VIEW (the r16 trap)
-    case tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
-      if tv.multipartIdentifier.length == 1 => Some(tv.multipartIdentifier.head)
-    case v: org.apache.spark.sql.catalyst.analysis.UnresolvedView
-      if v.multipartIdentifier.length == 1 => Some(v.multipartIdentifier.head)
+    case tv: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+      stripNs(tv.multipartIdentifier)
+    case v: org.apache.spark.sql.catalyst.analysis.UnresolvedView =>
+      stripNs(v.multipartIdentifier)
     case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
       relNameOf(a.child)
     case _ => None
+  }
+
+  /** Does `n` resolve to a warehouse-served relation (table, view, or
+    * meta table over a warehouse table)? The qualifier strip below
+    * rewrites ONLY names that do — a Spark-catalog `default.x` that is
+    * not ours falls through untouched. */
+  private def servesRelation(n: String): Boolean =
+    tableExists(n) || viewExists(n) ||
+      (n.contains('$') && tableExists(n.split("\\$", 2)(0)))
+
+  /** Rewrite `default.`-qualified leaf nodes naming warehouse-served
+    * relations to their single-part spelling (r19), so every later
+    * rewrite and router — and the temp-view fall-through — sees the
+    * name the warehouse speaks. Runs FIRST in the rewrite pipeline. */
+  private def stripDefaultNs(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation,
+      UnresolvedTable, UnresolvedTableOrView, UnresolvedView}
+    def qualified(parts: Seq[String]): Option[String] = parts match {
+      case Seq(ns, n)
+        if ns.equalsIgnoreCase("default") && servesRelation(n) => Some(n)
+      case _ => None
+    }
+    plan.transformDownWithSubqueries {
+      // CTE definitions are innerChildren — recurse explicitly (see
+      // rewriteViews) or `WITH x AS (SELECT * FROM default.t) …`
+      // would keep the qualifier
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.copy(cteRelations = w.cteRelations.map { case (n, sa, mx) =>
+          (n, stripDefaultNs(sa)
+            .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias],
+            mx)
+        })
+      case r: UnresolvedRelation
+        if qualified(r.multipartIdentifier).isDefined =>
+        r.copy(multipartIdentifier =
+          Seq(qualified(r.multipartIdentifier).get))
+      case t: UnresolvedTable
+        if qualified(t.multipartIdentifier).isDefined =>
+        t.copy(multipartIdentifier =
+          Seq(qualified(t.multipartIdentifier).get))
+      case tv: UnresolvedTableOrView
+        if qualified(tv.multipartIdentifier).isDefined =>
+        tv.copy(multipartIdentifier =
+          Seq(qualified(tv.multipartIdentifier).get))
+      case v: UnresolvedView
+        if qualified(v.multipartIdentifier).isDefined =>
+        v.copy(multipartIdentifier =
+          Seq(qualified(v.multipartIdentifier).get))
+    }
   }
 
   /** Rewrite warehouse-table time-travel relations into pinned reads
@@ -726,8 +793,8 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       Seq(snap.snapshotId).toDF("snapshot_id")
     }
     def identOf(p: LogicalPlan): Option[String] = p match {
-      case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
-        if id.nameParts.length == 1 => Some(id.nameParts.head)
+      case id: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+        stripNs(id.nameParts)
       case _ => None
     }
     plan match {
@@ -898,11 +965,11 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           require(rt.isView,
             s"ALTER TABLE $vname RENAME: '$vname' is a persistent " +
               s"VIEW — use ALTER VIEW $vname RENAME TO …")
-          require(rt.newName.length == 1,
-            s"ALTER VIEW $vname RENAME TO: multi-part destination " +
-              s"'${rt.newName.mkString(".")}' is not supported (one " +
-              "warehouse namespace)")
-          val dest = rt.newName.head
+          val dest = stripNs(rt.newName).getOrElse(
+            throw new IllegalArgumentException(
+              s"ALTER VIEW $vname RENAME TO: destination " +
+                s"'${rt.newName.mkString(".")}' is not supported (one " +
+                "warehouse namespace, 'default')"))
           ViewStore.requireValidName(dest)
           require(!tableExistsCI(dest) && !viewExists(dest),
             s"ALTER VIEW $vname RENAME TO $dest: destination name " +
@@ -921,11 +988,11 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             s"ALTER VIEW $name RENAME: '$name' is a warehouse TABLE " +
               s"(its SQL name is a reflected view) — use ALTER TABLE " +
               s"$name RENAME TO …")
-          require(rt.newName.length == 1,
-            s"ALTER TABLE $name RENAME TO: multi-part destination " +
-              s"'${rt.newName.mkString(".")}' is not supported (one " +
-              "warehouse namespace)")
-          val dest = rt.newName.head
+          val dest = stripNs(rt.newName).getOrElse(
+            throw new IllegalArgumentException(
+              s"ALTER TABLE $name RENAME TO: destination " +
+                s"'${rt.newName.mkString(".")}' is not supported (one " +
+                "warehouse namespace, 'default')"))
           renameTable(name, dest)
           import spark.implicits._
           Seq(("rename_table", dest,
@@ -1054,14 +1121,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       // CREATE a Spark-catalog table from the temp view's schema — a
       // silent non-warehouse sibling the user thinks is one.
       case ctl: org.apache.spark.sql.execution.command.CreateTableLikeCommand
-        if ctl.sourceTable.database.isEmpty &&
+        if ctl.sourceTable.database.forall(_.equalsIgnoreCase("default")) &&
           tableExists(ctl.sourceTable.table) =>
         Some {
           val src = ctl.sourceTable.table
-          require(ctl.targetTable.database.isEmpty,
+          require(ctl.targetTable.database
+              .forall(_.equalsIgnoreCase("default")),
             s"CREATE TABLE LIKE $src: qualified target " +
               s"'${ctl.targetTable}' is not supported (one warehouse " +
-              "namespace)")
+              "namespace, 'default')")
           require(ctl.provider.forall(_.equalsIgnoreCase("parquet")),
             s"CREATE TABLE LIKE $src: USING " +
               s"${ctl.provider.getOrElse("")} is not supported " +
@@ -1873,8 +1941,11 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
               s"(expects ${paramNames.mkString(", ")})")
           byName(paramNames(pos)) = eval(e, paramNames(pos)); pos += 1
       }
-      val tname = byName.getOrElse("table", throw new IllegalArgumentException(
+      val tname0 = byName.getOrElse("table", throw new IllegalArgumentException(
         s"CALL $proc: 'table' argument is required")).toString
+      // the one namespace is spellable here too: 'default.t' ≡ 't'
+      val tname = if (tname0.toLowerCase.startsWith("default."))
+        tname0.substring("default.".length) else tname0
       val t = loadTable(tname) // refuses on a non-warehouse name
       def num(k: String, d: Long): Long = byName.get(k) match {
         case Some(v: Number) => v.longValue

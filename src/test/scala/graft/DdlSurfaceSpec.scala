@@ -780,4 +780,73 @@ class DdlSurfaceSpec extends AnyFunSuite {
     // IS NULL on a never-commented table is a no-op commit, not an error
     c.sql("COMMENT ON TABLE cmt IS NULL").collect()
   }
+
+  // ------------------------------------------- qualified names (r19)
+
+  test("default.-qualified names denote warehouse entities (r19)") {
+    val c = freshConn()
+    c.createTable("qn", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+
+    // reads: bare, qualified, meta table, time travel, subquery
+    assert(c.sql("SELECT count(*) AS n FROM default.qn")
+      .collect().head.getLong(0) == 2L)
+    assert(c.sql("SELECT count(*) AS n FROM DEFAULT.qn")
+      .collect().head.getLong(0) == 2L)
+    assert(c.sql("SELECT count(*) AS n FROM default.`qn$snapshots`")
+      .collect().head.getLong(0) == 1L)
+    val s1 = c.getCurrentSnapshotId("qn").get
+    c.sql("INSERT INTO default.qn VALUES (3, 'c')")
+    assert(c.sql(s"SELECT count(*) AS n FROM default.qn " +
+      s"VERSION AS OF $s1").collect().head.getLong(0) == 2L)
+    assert(c.sql("SELECT (SELECT count(*) FROM default.qn) AS n")
+      .collect().head.getLong(0) == 3L)
+    assert(c.sql("WITH w AS (SELECT * FROM default.qn) " +
+      "SELECT count(*) AS n FROM w").collect().head.getLong(0) == 3L)
+
+    // DML + DDL: qualified spellings route (snapshot_id shape)
+    Seq(
+      "UPDATE default.qn SET v = 'q' WHERE id = 3",
+      "DELETE FROM default.qn WHERE id = 3",
+      "ALTER TABLE default.qn ADD COLUMN z INT",
+      "ALTER TABLE default.qn DROP COLUMN z",
+      "ALTER TABLE default.qn SET TBLPROPERTIES ('a'='1')",
+      "COMMENT ON TABLE default.qn IS 'x'"
+    ).foreach { stmt =>
+      assert(c.sql(stmt).schema.fieldNames.contains("snapshot_id"),
+        s"expected routed result from: $stmt")
+    }
+    // CTAS/CREATE with the qualifier create WAREHOUSE tables
+    c.sql("CREATE TABLE default.qn2 AS SELECT * FROM default.qn")
+    assert(c.tableExists("qn2") && c.count("qn2") == 2L)
+    c.sql("CREATE TABLE default.qn3 (id BIGINT, v STRING)")
+    assert(c.tableExists("qn3"))
+    c.sql("DROP TABLE default.qn3")
+    assert(!c.tableExists("qn3"))
+    c.sql("ALTER TABLE default.qn2 RENAME TO default.qn4")
+    assert(c.tableExists("qn4") && !c.tableExists("qn2"))
+    // CALL spells it too
+    assert(c.sql("CALL checkpoint('default.qn4')").collect()
+      .head.getString(1) == "qn4")
+
+    // views: create/read/drop under the qualifier
+    c.sql("CREATE VIEW default.qv AS SELECT id FROM default.qn")
+    assert(c.views.contains("qv"))
+    assert(c.sql("SELECT count(*) AS n FROM default.qv")
+      .collect().head.getLong(0) == 2L)
+    assert(intercept[IllegalArgumentException] {
+      c.sql("INSERT INTO default.qv VALUES (9)") }
+      .getMessage.contains("VIEW"))
+    c.sql("DROP VIEW default.qv")
+    assert(!c.views.contains("qv"))
+
+    // any OTHER qualifier refuses loudly through Spark's own
+    // resolution — never a silent bind to something else
+    assert(intercept[Exception] {
+      c.sql("SELECT * FROM nope.qn").collect() } != null)
+    assert(intercept[Exception] {
+      c.sql("DELETE FROM nope.qn") } != null)
+    // a default.x that is NOT ours keeps Spark's loud not-found too
+    assert(intercept[Exception] {
+      c.sql("SELECT * FROM default.absent").collect() } != null)
+  }
 }
