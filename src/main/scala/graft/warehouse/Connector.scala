@@ -221,10 +221,6 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * node into the pinned [[GraftTable.read]]/[[GraftTable.readAsOfTime]]
     * plan — expired cuts refuse through the table's own guards. */
   def sql(cmd: String): DataFrame = {
-    tables.foreach { name =>
-      val head = new SnapshotLog(tableDir(name)).headIdByName.getOrElse(0L)
-      if (!reflectedAt.get(name).contains(head)) reflectView(name)
-    }
     // ONE parse feeds every router AND the fallback (the primary user
     // surface pays one ANTLR pass per statement); a statement that
     // doesn't parse falls through so spark.sql reports its own syntax
@@ -235,6 +231,17 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     val plan =
       try Some(org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, cmd))
       catch { case _: Exception => None }
+    // External-committer freshness probe, scoped to the statement
+    // (r19): only the relations the parsed plan names (chased through
+    // stored view definitions) get a snapshot-head check — O(referenced
+    // tables) filesystem probes per statement, not O(#tables). The
+    // reference re-reflects EVERY table with DDL before every query
+    // (`icerunner.py:82-103`); catalog-enumerating verbs (SHOW TABLES/
+    // VIEWS) and unparseable statements keep the full sweep.
+    plan.flatMap(referencedNames(_, Set.empty)) match {
+      case Some(names) => names.foreach(probeTable)
+      case None => tables.foreach(probeTable)
+    }
     plan match {
       case None => spark.sql(cmd)
       case Some(p0) =>
@@ -2162,6 +2169,85 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * test-visible count of actual re-reflections. */
   private val reflectedAt = scala.collection.concurrent.TrieMap.empty[String, Long]
   private[graft] val reflections = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Test-visible count of per-statement snapshot-head PROBES (each is
+    * one directory listing) — the WarehouseSpec scaling assert pins
+    * that this grows with the statement's relations, not the
+    * warehouse's table count. */
+  private[graft] val probes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Head-check one table and re-reflect its temp view if an EXTERNAL
+    * committer moved it (internal commits already reflect inline). A
+    * name that is not a warehouse table no-ops. */
+  private def probeTable(name: String): Unit = {
+    probes.incrementAndGet()
+    val head = new SnapshotLog(tableDir(name)).headIdByName.getOrElse(0L)
+    if (!reflectedAt.get(name).contains(head)) reflectView(name)
+  }
+
+  /** Every warehouse-relation name a parsed statement could resolve —
+    * relations (meta tables reduce to their base), DDL targets, and
+    * the tables reachable through any stored VIEW the statement names
+    * (the view's text re-plans against them, so they must be fresh
+    * too). Returns None when the statement ENUMERATES the catalog
+    * (SHOW TABLES / SHOW VIEWS list the session's temp views), which
+    * needs every table reflected. */
+  private def referencedNames(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      seenViews: Set[String]): Option[Set[String]] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedIdentifier,
+      UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView,
+      UnresolvedView}
+    import org.apache.spark.sql.catalyst.plans.logical.{ShowTables,
+      ShowViews, UnresolvedWith}
+    var enumerates = false
+    val out = scala.collection.mutable.Set.empty[String]
+    def leaf(parts: Seq[String]): Unit =
+      stripNs(parts).foreach(n => out += n.split("\\$", 2)(0))
+    def walk(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Unit =
+      p.foreach { node =>
+        node match {
+          // CTE definitions are innerChildren — walked explicitly
+          case w: UnresolvedWith =>
+            w.cteRelations.foreach { case (_, sa, _) => walk(sa) }
+          case r: UnresolvedRelation => leaf(r.multipartIdentifier)
+          case t: UnresolvedTable => leaf(t.multipartIdentifier)
+          case tv: UnresolvedTableOrView => leaf(tv.multipartIdentifier)
+          case v: UnresolvedView => leaf(v.multipartIdentifier)
+          case id: UnresolvedIdentifier => leaf(id.nameParts)
+          case _: ShowTables | _: ShowViews => enumerates = true
+          case _ => ()
+        }
+        // subquery-expression plans (scalar/EXISTS/IN/lateral)
+        node.subqueries.foreach(walk)
+      }
+    walk(plan)
+    if (enumerates) return None
+    // chase stored views breadth-first: each adds the tables ITS text
+    // names (cycle-guarded; a broken definition surfaces at read time
+    // with the view-resolution message, not here)
+    var frontier = out.toSet.filter(n =>
+      !seenViews.contains(ViewStore.canon(n)) && viewExists(n))
+    var seen = seenViews
+    while (frontier.nonEmpty) {
+      seen = seen ++ frontier.map(ViewStore.canon)
+      val next = scala.collection.mutable.Set.empty[String]
+      frontier.foreach { vn =>
+        try {
+          val sub = org.apache.spark.sql.GraftSqlBridge.parsePlan(
+            spark, ViewStore.load(viewsDir, vn).sql)
+          referencedNames(sub, seen).foreach { ns =>
+            out ++= ns
+            next ++= ns.filter(n =>
+              !seen.contains(ViewStore.canon(n)) && viewExists(n))
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      frontier = next.toSet
+    }
+    Some(out.toSet)
+  }
 
   /** Register/refresh one table's temp view (called on every commit).
     * The head is captured FIRST and the view pinned to it — recording a

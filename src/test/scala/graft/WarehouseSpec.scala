@@ -510,6 +510,44 @@ class WarehouseSpec extends AnyFunSuite {
     assert(c2.reflections.get() === afterFirst + 1)
   }
 
+  test("sql() probes only the statement's relations, not the warehouse (r19)") {
+    val wh = freshWarehouse()
+    val c = new Connector(spark, wh)
+    // a warehouse much wider than any one statement
+    (1 to 30).foreach(i =>
+      c.createTable(s"wide_$i", Seq((i.toLong, "x")).toDF("id", "v")))
+    c.sql("CREATE VIEW wv AS SELECT id FROM wide_7")
+    c.sql("SELECT 1").collect() // warm-up
+    def probesFor(stmt: String): Long = {
+      val before = c.probes.get()
+      c.sql(stmt).collect()
+      c.probes.get() - before
+    }
+    // one relation → a constant few probes, NOT ~30 (the r18 surface
+    // paid O(#tables) directory listings per statement)
+    assert(probesFor("SELECT count(*) AS n FROM wide_3") <= 3L)
+    // a join names two; a view chases to ITS base table
+    assert(probesFor("SELECT count(*) AS n FROM wide_1 a " +
+      "JOIN wide_2 b ON a.id = b.id") <= 6L)
+    assert(probesFor("SELECT count(*) AS n FROM wv") <= 6L)
+    // a relation-free statement probes nothing
+    assert(probesFor("SELECT 1 + 1") === 0L)
+    // catalog-enumerating verbs keep the full sweep (they list the
+    // session's temp views, so every table must be fresh)
+    assert(probesFor("SHOW TABLES") >= 30L)
+    // EXTERNAL-commit visibility survives the scoping: a second
+    // connector commits, the statement naming that table sees it —
+    // directly and through the view
+    val c1 = new Connector(spark, wh)
+    c1.insert("wide_7", Seq((99L, "y")).toDF("id", "v"))
+    assert(c.sql("SELECT count(*) AS n FROM wide_7").head.getLong(0) === 2L)
+    c1.insert("wide_7", Seq((100L, "z")).toDF("id", "v"))
+    assert(c.sql("SELECT count(*) AS n FROM wv").head.getLong(0) === 3L)
+    // ... and through a meta-table spelling and DML sources too
+    c1.insert("wide_8", Seq((98L, "y")).toDF("id", "v"))
+    assert(c.sql("SELECT count(*) AS n FROM wide_8").head.getLong(0) === 2L)
+  }
+
   test("conditional commit rejects a moved head (compact CAS)") {
     val dir = Files.createTempDirectory("graft-cas-")
     val log = new SnapshotLog(dir)
