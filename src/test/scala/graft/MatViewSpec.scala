@@ -1,0 +1,258 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.warehouse.Connector
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-addressable MATERIALIZED VIEWS (r19): CREATE/REFRESH/DROP
+  * MATERIALIZED VIEW routing to the incremental MaterializedAgg
+  * machinery (graded q117/q138 as API since r13), with the definition
+  * persisted beside the `_views` store so a new Connector serves and
+  * refreshes the same view. */
+class MatViewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshWh(): String =
+    Files.createTempDirectory("graft-mv-").toString
+
+  test("lifecycle: create, stale-until-refresh, incremental tick, persistence") {
+    val wh = freshWh()
+    val c = new Connector(spark, wh)
+    c.createTable("sales", Seq(
+      ("a", 10L, 1.0), ("a", 20L, 2.0), ("b", 30L, 3.0))
+      .toDF("k", "qty", "price"))
+    val r = c.sql("CREATE MATERIALIZED VIEW msum AS " +
+      "SELECT k, count(*) AS n, sum(qty) AS total, max(price) AS top " +
+      "FROM sales GROUP BY k").collect().head
+    assert(r.getAs[String]("procedure") == "create_materialized_view")
+    assert(c.matViews == Seq("msum"))
+    def readMv(cc: Connector): Map[String, (Long, Long, Double)] =
+      cc.sql("SELECT * FROM msum").collect().map(x =>
+        x.getAs[String]("k") -> ((x.getAs[Long]("n"),
+          x.getAs[Long]("total"), x.getAs[Double]("top")))).toMap
+    assert(readMv(c) == Map("a" -> ((2L, 30L, 2.0)), "b" -> ((1L, 30L, 3.0))))
+    // STALE until refresh — that is the contract (a plain VIEW is the
+    // always-live alternative)
+    c.sql("INSERT INTO sales VALUES ('a', 5, 9.0), ('c', 7, 0.5)")
+    assert(readMv(c)("a") == ((2L, 30L, 2.0)))
+    val rr = c.sql("REFRESH MATERIALIZED VIEW msum").collect().head
+    assert(rr.getAs[String]("detail").contains("mode=incremental"),
+      rr.getAs[String]("detail"))
+    assert(readMv(c) == Map("a" -> ((3L, 35L, 9.0)),
+      "b" -> ((1L, 30L, 3.0)), "c" -> ((1L, 7L, 0.5))))
+    // fresh head → no-op tick
+    assert(c.sql("REFRESH MATERIALIZED VIEW msum").collect().head
+      .getAs[String]("detail").contains("mode=fresh"))
+    // PERSISTENCE: a brand-new Connector reads AND refreshes it
+    val c2 = new Connector(spark, wh)
+    assert(c2.matViews == Seq("msum"))
+    assert(readMv(c2)("c") == ((1L, 7L, 0.5)))
+    c2.sql("INSERT INTO sales VALUES ('b', 1, 1.0)")
+    assert(c2.sql("REFRESH MATERIALIZED VIEW msum").collect().head
+      .getAs[String]("detail").contains("mode=incremental"))
+    assert(readMv(c2)("b") == ((2L, 31L, 3.0)))
+    // SHOW + SHOW CREATE + DESCRIBE round out the surface
+    val shown = c2.sql("SHOW MATERIALIZED VIEWS").collect()
+    assert(shown.length == 1 && shown.head.getString(0) == "msum" &&
+      shown.head.getString(1) == "sales")
+    assert(c2.sql("SHOW CREATE TABLE msum").collect().head.getString(0)
+      .startsWith("CREATE MATERIALIZED VIEW `msum` AS "))
+    assert(c2.sql("DESCRIBE msum").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("k", "string"), ("n", "bigint"), ("total", "bigint"),
+        ("top", "double")))
+    // DROP removes definition + backing state
+    c2.sql("DROP MATERIALIZED VIEW msum")
+    assert(c2.matViews.isEmpty)
+    assert(intercept[Exception] {
+      c2.sql("SELECT * FROM msum").collect() } != null)
+    // IF EXISTS no-ops afterwards; bare drop refuses
+    c2.sql("DROP MATERIALIZED VIEW IF EXISTS msum")
+    assert(intercept[IllegalArgumentException] {
+      c2.sql("DROP MATERIALIZED VIEW msum") }
+      .getMessage.contains("not found"))
+  }
+
+  test("the incremental tick reads the feed, not the base (witness)") {
+    val c = new Connector(spark, freshWh())
+    // many files: each insert commits at least one
+    c.createTable("big", Seq(("a", 1L)).toDF("k", "v"))
+    (1 to 8).foreach(i =>
+      c.sql(s"INSERT INTO big VALUES ('${('a' + i % 3).toChar}', $i)"))
+    c.sql("CREATE MATERIALIZED VIEW mb AS " +
+      "SELECT k, count(*) AS n, sum(v) AS sv FROM big GROUP BY k")
+    c.sql("INSERT INTO big VALUES ('a', 100)")
+    val detail = c.sql("REFRESH MATERIALIZED VIEW mb").collect().head
+      .getAs[String]("detail")
+    assert(detail.contains("mode=incremental"), detail)
+    val m = """feed_files=(\d+) base_files=(\d+)""".r
+      .findFirstMatchIn(detail).getOrElse(fail(s"no feed witness: $detail"))
+    val (feed, total) = (m.group(1).toLong, m.group(2).toLong)
+    assert(feed < total && feed >= 1,
+      s"tick must read O(changed files): feed=$feed total=$total")
+    // correctness after the witnessed tick
+    assert(c.sql("SELECT sv FROM mb WHERE k = 'a'").collect()
+      .head.getLong(0) ==
+      c.sql("SELECT sum(v) FROM big WHERE k = 'a'").collect()
+        .head.getLong(0))
+  }
+
+  test("deletes: min/max redo, group emptying, rebuild paths") {
+    val wh = freshWh()
+    val c = new Connector(spark, wh)
+    c.createTable("dx", Seq(("a", 1.0), ("a", 9.0), ("b", 5.0))
+      .toDF("k", "x"))
+    c.sql("CREATE MATERIALIZED VIEW mdx AS " +
+      "SELECT k, count(*) AS n, min(x) AS lo, max(x) AS hi " +
+      "FROM dx GROUP BY k")
+    // deleting a group's max forces the delete-aware extremum redo
+    c.sql("DELETE FROM dx WHERE x = 9.0")
+    c.sql("REFRESH MATERIALIZED VIEW mdx")
+    val a = c.sql("SELECT n, lo, hi FROM mdx WHERE k = 'a'")
+      .collect().head
+    assert(a.getLong(0) == 1L && a.getDouble(1) == 1.0 &&
+      a.getDouble(2) == 1.0)
+    // a group emptied by deletes leaves the view
+    c.sql("DELETE FROM dx WHERE k = 'b'")
+    c.sql("REFRESH MATERIALIZED VIEW mdx")
+    assert(c.sql("SELECT count(*) AS n FROM mdx").collect()
+      .head.getLong(0) == 1L)
+    // history expiry degrades LOUDLY to a full rebuild, never a gap
+    c.sql("INSERT INTO dx VALUES ('z', 2.0)")
+    val t = c.loadTable("dx")
+    t.expireSnapshots(t.checkpoint().snapshotId)
+    assert(c.sql("REFRESH MATERIALIZED VIEW mdx").collect().head
+      .getAs[String]("detail").contains("mode=rebuild"))
+    assert(c.sql("SELECT count(*) AS n FROM mdx").collect()
+      .head.getLong(0) == 2L)
+    // base dropped + recreated: the snapshot-id sequence restarted, so
+    // the refresh detects the lineage change and rebuilds
+    c.sql("DROP TABLE dx")
+    c.createTable("dx", Seq(("q", 4.0), ("q", 6.0)).toDF("k", "x"))
+    val d2 = c.sql("REFRESH MATERIALIZED VIEW mdx").collect().head
+      .getAs[String]("detail")
+    assert(d2.contains("rebuild") && d2.contains("lineage"), d2)
+    assert(c.sql("SELECT n, lo, hi FROM mdx").collect().head.toSeq ==
+      Seq(2L, 4.0, 6.0))
+    // base GONE entirely: refresh refuses naming the problem, reads of
+    // the stored state still serve
+    c.sql("DROP TABLE dx")
+    assert(intercept[IllegalStateException] {
+      c.sql("REFRESH MATERIALIZED VIEW mdx") }
+      .getMessage.contains("no longer exists"))
+    assert(c.sql("SELECT count(*) AS cnt FROM mdx").collect()
+      .head.getLong(0) == 1L)
+  }
+
+  test("shape refusals: only the maintainable aggregate is accepted") {
+    val c = new Connector(spark, freshWh())
+    c.createTable("t", Seq(("a", 1L, 2.0)).toDF("k", "v", "x"))
+    c.sql("CREATE VIEW pv AS SELECT k, v FROM t")
+    def refusal(stmt: String, frag: String): Unit = {
+      val e = intercept[Exception] { c.sql(stmt).collect() }
+      assert(e.getMessage.contains(frag), s"$stmt → ${e.getMessage}")
+    }
+    refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, count(*) AS n " +
+      "FROM t WHERE v > 0 GROUP BY k", "maintainable shape")
+    refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, avg(x) AS a " +
+      "FROM t GROUP BY k", "unsupported aggregate")
+    refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, sum(v + 1) AS s " +
+      "FROM t GROUP BY k", "bare column")
+    refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, " +
+      "count(DISTINCT v) AS n FROM t GROUP BY k", "unsupported")
+    refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k FROM t",
+      "GROUP BY aggregate")
+    refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, sum(v) " +
+      "FROM t GROUP BY k", "alias every aggregate")
+    refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, sum(nope) AS s " +
+      "FROM t GROUP BY k", "no column")
+    refusal("CREATE MATERIALIZED VIEW m1 AS SELECT a.k, count(*) AS n " +
+      "FROM t a JOIN t b ON a.k = b.k GROUP BY a.k", "maintainable shape")
+    refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, count(*) AS n " +
+      "FROM pv GROUP BY k", "base TABLE")
+    refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, count(*) AS n " +
+      "FROM absent GROUP BY k", "not found")
+    // nothing was stored by any refusal
+    assert(c.matViews.isEmpty)
+  }
+
+  test("namespace guards and write refusals") {
+    val wh = freshWh()
+    val c = new Connector(spark, wh)
+    c.createTable("t", Seq(("a", 1L)).toDF("k", "v"))
+    c.sql("CREATE MATERIALIZED VIEW mg AS SELECT k, sum(v) AS sv " +
+      "FROM t GROUP BY k")
+    def refusal(stmt: String, frag: String): Unit = {
+      val e = intercept[Exception] { c.sql(stmt).collect() }
+      assert(e.getMessage.contains(frag), s"$stmt → ${e.getMessage}")
+    }
+    // not a write target, not droppable/renamable as table or view
+    refusal("INSERT INTO mg VALUES ('z', 1)", "MATERIALIZED VIEW")
+    refusal("UPDATE mg SET sv = 0", "MATERIALIZED VIEW")
+    refusal("DELETE FROM mg", "MATERIALIZED VIEW")
+    refusal("TRUNCATE TABLE mg", "MATERIALIZED VIEW")
+    refusal("DROP TABLE mg", "MATERIALIZED VIEW")
+    refusal("DROP VIEW mg", "MATERIALIZED VIEW")
+    refusal("ALTER TABLE mg RENAME TO mg2", "MATERIALIZED VIEW")
+    refusal("ALTER VIEW mg AS SELECT 1", "MATERIALIZED VIEW")
+    refusal("CREATE TABLE mg (id BIGINT)", "MATERIALIZED VIEW")
+    refusal("CREATE TABLE mg AS SELECT 1 AS x", "MATERIALIZED VIEW")
+    refusal("CREATE VIEW mg AS SELECT 1 AS x", "MATERIALIZED VIEW")
+    refusal("SELECT * FROM mg VERSION AS OF 1", "MATERIALIZED VIEW")
+    // duplicate creates refuse; IF NOT EXISTS / OR REPLACE behave
+    refusal("CREATE MATERIALIZED VIEW mg AS SELECT k, count(*) AS n " +
+      "FROM t GROUP BY k", "already exists")
+    assert(c.sql("CREATE MATERIALIZED VIEW IF NOT EXISTS mg AS " +
+      "SELECT k, count(*) AS n FROM t GROUP BY k").collect().head
+      .getAs[String]("detail").contains("no-op"))
+    c.sql("CREATE OR REPLACE MATERIALIZED VIEW mg AS " +
+      "SELECT k, count(*) AS n FROM t GROUP BY k")
+    assert(c.sql("SELECT * FROM mg").columns.toSeq == Seq("k", "n"))
+    // API-side collisions
+    assert(intercept[IllegalArgumentException] {
+      c.createTable("mg", Seq(1L).toDF("id"))
+    }.getMessage.contains("MATERIALIZED"))
+    c.createTable("u", Seq(1L).toDF("id"))
+    assert(intercept[IllegalArgumentException] {
+      c.renameTable("u", "MG")
+    }.getMessage.contains("MATERIALIZED"))
+    refusal("CREATE MATERIALIZED VIEW t AS SELECT k, count(*) AS n " +
+      "FROM t GROUP BY k", "already names")
+    // case-insensitive: one entity under any spelling
+    assert(c.sql("SELECT * FROM MG").count() == 1L)
+    c.sql("DROP MATERIALIZED VIEW Mg")
+    assert(c.matViews.isEmpty)
+  }
+
+  test("composition: joins, subqueries, views over MVs, CTE shadow, default.") {
+    val c = new Connector(spark, freshWh())
+    c.createTable("t", Seq(("a", 1L), ("a", 2L), ("b", 3L))
+      .toDF("k", "v"))
+    c.sql("CREATE MATERIALIZED VIEW mc AS " +
+      "SELECT k, count(*) AS n, sum(v) AS sv FROM t GROUP BY k")
+    // joins + subqueries
+    assert(c.sql("SELECT count(*) AS c FROM t JOIN mc ON t.k = mc.k")
+      .collect().head.getLong(0) == 3L)
+    assert(c.sql("SELECT (SELECT sum(n) FROM mc) AS tot")
+      .collect().head.getLong(0) == 3L)
+    // a plain view over the MV composes (text inlines the MV plan)
+    c.sql("CREATE VIEW vmc AS SELECT k, sv FROM mc WHERE n > 1")
+    assert(c.sql("SELECT * FROM vmc").collect().map(_.getString(0))
+      .toSeq == Seq("a"))
+    // a CTE named mc shadows the MV inside its WITH
+    assert(c.sql("WITH mc AS (SELECT 1 AS one) SELECT count(*) AS n " +
+      "FROM mc").collect().head.getLong(0) == 1L)
+    // the one namespace is spellable
+    assert(c.sql("SELECT count(*) AS n FROM default.mc").collect()
+      .head.getLong(0) == 2L)
+    c.sql("REFRESH MATERIALIZED VIEW default.mc")
+    c.sql("DROP MATERIALIZED VIEW `mc`") // backquoted token accepted
+    assert(c.matViews.isEmpty)
+    // the dependent plain view now refuses with ITS name at read
+    assert(intercept[Exception] {
+      c.sql("SELECT * FROM vmc").collect() }
+      .getMessage.contains("vmc"))
+  }
+}
