@@ -800,6 +800,19 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("property: random SQL DDL/DML/CALL sequences match a driver-side model") {
+    sqlWalk(20260815L, steps = 140, requireCoverage = true)
+  }
+
+  test("property: the SQL walk holds under fresh seeds (coverage-free replays)") {
+    // shorter replays under different seeds: every MODEL check still
+    // gates (rows, views, partitions, widen eras, MV refresh, time
+    // travel); only the per-verb coverage asserts are seed-tuned and
+    // skip here
+    Seq(7L, 4242L).foreach(sqlWalk(_, steps = 90, requireCoverage = false))
+  }
+
+  private def sqlWalk(seed: Long, steps: Int,
+      requireCoverage: Boolean): Unit = {
     // Model-based check of the SQL-only surface: a seeded random walk
     // over INSERT / UPDATE / DELETE / TRUNCATE / ADD COLUMN DEFAULT /
     // RENAME COLUMN / SET-DROP DEFAULT / CALL binpack / CALL checkpoint
@@ -821,7 +834,7 @@ class PropertySpec extends AnyFunSuite {
     import graft.warehouse.Connector
     val c = new Connector(SparkTestSession.spark,
       Files.createTempDirectory("graft-psql-").toString)
-    val rnd = new scala.util.Random(20260815L)
+    val rnd = new scala.util.Random(seed)
     c.sql("CREATE TABLE pt (id BIGINT, v BIGINT)")
     // r18: a PARTITIONED sibling walks TRUNCATE…PARTITION + SHOW
     // PARTITIONS against its own model (identity yr; the main table
@@ -842,9 +855,30 @@ class PropertySpec extends AnyFunSuite {
     }
     // r18: a persistent VIEW over the walk table — late-bound BY NAME,
     // so a TABLE rename must flip its reads to the named refusal until
-    // the walk re-creates it over the new name
+    // the walk re-creates it over the new name. r19: the walk also
+    // RENAMES the view itself (the definition moves, behavior travels).
     var viewOver: Option[String] = None
-    var viewN = 0; var likeN = 0; var commentN = 0
+    var viewName = "ptv"
+    var viewN = 0; var likeN = 0; var commentN = 0; var vrenN = 0
+    // r19: a widen sibling — ALTER COLUMN TYPE mid-walk, then inserts
+    // of values only the WIDE type holds; the era-projecting read must
+    // serve both eras (exactly what random interleaving stresses)
+    c.sql("CREATE TABLE pw (id BIGINT, q INT)")
+    var pwRows = Map.empty[Long, Long]
+    var pwWide = false; var widenN = 0
+    def checkPW(): Unit = {
+      val got = c.sql("SELECT id, q FROM pw").collect()
+        .map(r => r.getLong(0) ->
+          r.get(1).asInstanceOf[Number].longValue).toMap
+      assert(got == pwRows, s"pw model diverged: engine ${got.size}, " +
+        s"model ${pwRows.size}")
+    }
+    // r19: a MATERIALIZED VIEW over the partitioned sibling — REFRESH
+    // ticks interleave with inserts, partition truncates, and the
+    // column-list REPLACE reset; after every tick the stored aggregate
+    // must equal the model's (the feed nets whatever the walk did)
+    var mvMade = false; var mvRefreshN = 0
+    var analyzeN = 0; var replN = 0
     // the table's CURRENT sql name — ALTER TABLE … RENAME TO moves it
     // mid-walk; every later statement AND every time-travel cut must
     // resolve under the new name (history travels with the table)
@@ -882,15 +916,15 @@ class PropertySpec extends AnyFunSuite {
     }
     def checkView(): Unit = viewOver.foreach { over =>
       if (over == tbl) {
-        val got = c.sql("SELECT id, v FROM ptv").collect()
+        val got = c.sql(s"SELECT id, v FROM $viewName").collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
         val want = rows.collect { case (i, (v, _)) if i % 2 == 0 => i -> v }
         assert(got == want,
           s"view model diverged: ${got.size} vs ${want.size}")
       } else {
         val e = intercept[Exception] {
-          c.sql("SELECT id, v FROM ptv").collect() }
-        assert(e.getMessage.contains("ptv"),
+          c.sql(s"SELECT id, v FROM $viewName").collect() }
+        assert(e.getMessage.contains(viewName),
           s"renamed-table view read failed WITHOUT naming the view: " +
             e.getMessage)
       }
@@ -928,8 +962,8 @@ class PropertySpec extends AnyFunSuite {
     }
     insert(30)
     recordCut()
-    for (step <- 1 to 110) {
-      rnd.nextInt(16) match {
+    for (step <- 1 to steps) {
+      rnd.nextInt(20) match {
         case 0 => insert(1 + rnd.nextInt(5))
         case 1 => // UPDATE a residue class
           val m = 2 + rnd.nextInt(4); val r = rnd.nextInt(m)
@@ -1016,21 +1050,99 @@ class PropertySpec extends AnyFunSuite {
             props += "comment" -> s"cm$step"
           }
         case 15 => // r18: CREATE TABLE LIKE (declared surface copies,
-          // zero rows, dropped again) or the persistent VIEW
-          if (rnd.nextBoolean()) {
-            likeN += 1
-            c.sql(s"CREATE TABLE lk_$step LIKE $tbl")
-            val lk = c.loadTable(s"lk_$step")
-            assert(lk.schema.fieldNames.toSeq ==
-              Seq("id", "v") ++ extras.map(_._1),
-              s"LIKE copied the wrong columns: ${lk.schema.fieldNames.toSeq}")
-            assert(c.count(s"lk_$step") == 0L)
-            c.sql(s"DROP TABLE lk_$step")
+          // zero rows, dropped again), the persistent VIEW, or (r19)
+          // an ALTER VIEW RENAME of the walk's view
+          rnd.nextInt(3) match {
+            case 0 =>
+              likeN += 1
+              c.sql(s"CREATE TABLE lk_$step LIKE $tbl")
+              val lk = c.loadTable(s"lk_$step")
+              assert(lk.schema.fieldNames.toSeq ==
+                Seq("id", "v") ++ extras.map(_._1),
+                s"LIKE copied the wrong columns: ${lk.schema.fieldNames.toSeq}")
+              assert(c.count(s"lk_$step") == 0L)
+              c.sql(s"DROP TABLE lk_$step")
+            case 1 =>
+              viewN += 1
+              c.sql(s"CREATE OR REPLACE VIEW $viewName AS " +
+                s"SELECT id, v FROM $tbl WHERE id % 2 = 0")
+              viewOver = Some(tbl)
+            case _ if viewOver.nonEmpty => // rename the VIEW: one
+              // atomic definition move; reads keep behaving (or keep
+              // refusing with the NEW name when the table moved away)
+              vrenN += 1
+              val nn = s"ptv_r$vrenN"
+              c.sql(s"ALTER VIEW $viewName RENAME TO $nn")
+              viewName = nn
+            case _ =>
+              viewN += 1
+              c.sql(s"CREATE OR REPLACE VIEW $viewName AS " +
+                s"SELECT id, v FROM $tbl WHERE id % 2 = 0")
+              viewOver = Some(tbl)
+          }
+        case 16 => // r19: widen sibling — one-time ALTER COLUMN TYPE,
+          // then inserts sized to the CURRENT era (wide values only a
+          // BIGINT holds after the widen)
+          if (!pwWide && rnd.nextInt(3) == 0) {
+            widenN += 1
+            c.sql("ALTER TABLE pw ALTER COLUMN q TYPE BIGINT")
+            pwWide = true
           } else {
-            viewN += 1
-            c.sql("CREATE OR REPLACE VIEW ptv AS " +
-              s"SELECT id, v FROM $tbl WHERE id % 2 = 0")
-            viewOver = Some(tbl)
+            val ids = (0 until 1 + rnd.nextInt(3)).map(_ => {
+              nextId += 1; nextId })
+            val vals = ids.map { i =>
+              val q = if (pwWide) 3000000000L + i else i
+              s"($i, $q)"
+            }.mkString(", ")
+            c.sql(s"INSERT INTO pw VALUES $vals")
+            ids.foreach(i =>
+              pwRows += i -> (if (pwWide) 3000000000L + i else i))
+          }
+        case 17 => // r19: ANALYZE as a CHECK verb — stats must match
+          // the model and the verb must commit NOTHING
+          analyzeN += 1
+          val headBefore = c.getCurrentSnapshotId(tbl)
+          val noscan = if (rnd.nextBoolean()) " NOSCAN" else ""
+          val det = c.sql(
+            s"ANALYZE TABLE $tbl COMPUTE STATISTICS$noscan")
+            .collect().head.getAs[String]("detail")
+          assert(det.contains(s"rows=${rows.size}"),
+            s"ANALYZE rows diverged from model: $det vs ${rows.size}")
+          if (rows.nonEmpty) {
+            val r2 = c.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS " +
+              "FOR COLUMNS id").collect().head
+            assert(r2.getAs[Long]("row_count") == rows.size &&
+              r2.getAs[String]("min").toLong == rows.keys.min &&
+              r2.getAs[String]("max").toLong == rows.keys.max,
+              s"ANALYZE FOR COLUMNS diverged: $r2")
+          }
+          assert(c.getCurrentSnapshotId(tbl) == headBefore,
+            "ANALYZE committed a snapshot")
+        case 18 if rnd.nextInt(4) == 0 => // r19: column-list REPLACE
+          // TABLE — the schema-reset arm empties the partitioned
+          // sibling atomically (same declared shape + spec)
+          replN += 1
+          c.sql("REPLACE TABLE pp (id BIGINT, yr INT) " +
+            "PARTITIONED BY (yr)")
+          ppRows = Map.empty
+        case 19 => // r19: MATERIALIZED VIEW over the partitioned
+          // sibling — create once, then REFRESH ticks whose stored
+          // aggregate must equal the model no matter what interleaved
+          // (inserts, partition truncates, the REPLACE reset)
+          if (!mvMade) {
+            c.sql("CREATE MATERIALIZED VIEW ppm AS SELECT yr, " +
+              "count(*) AS n, sum(id) AS s FROM pp GROUP BY yr")
+            mvMade = true
+          } else {
+            c.sql("REFRESH MATERIALIZED VIEW ppm")
+            mvRefreshN += 1
+            val got = c.sql("SELECT yr, n, s FROM ppm").collect()
+              .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+              .toMap
+            val want = ppRows.toSeq.groupBy(_._2).map { case (yr, xs) =>
+              yr -> ((xs.size.toLong, xs.map(_._1).sum)) }
+            assert(got == want,
+              s"materialized view diverged after refresh: $got vs $want")
           }
         case 6 | 8 if rnd.nextInt(6) == 0 => // rare INSERT OVERWRITE:
           // full replace (static mode, unpartitioned) — new rows only,
@@ -1046,22 +1158,38 @@ class PropertySpec extends AnyFunSuite {
         case _ => insert(1)
       }
       if (rnd.nextInt(3) == 0) recordCut()
-      if (step % 10 == 0) { check(); checkCut(); checkPP(); checkView() }
+      if (step % 10 == 0) {
+        check(); checkCut(); checkPP(); checkView(); checkPW()
+      }
     }
     check()
     checkCut(); checkCut()
-    checkPP(); checkView()
-    // the seed must actually exercise the r17/r18 verbs — a walk that
-    // never renamed or set a property proves nothing about them
-    assert(renameN >= 1, s"seed never hit ALTER TABLE RENAME TO")
-    assert(propN >= 2, s"seed set only $propN properties")
-    assert(owN >= 1, s"seed never hit INSERT OVERWRITE")
-    assert(tpN >= 1, s"seed never hit TRUNCATE TABLE … PARTITION")
-    assert(commentN >= 1, s"seed never hit COMMENT ON TABLE")
-    assert(likeN >= 1, s"seed never hit CREATE TABLE LIKE")
-    assert(viewN >= 1, s"seed never created the persistent view")
+    checkPP(); checkView(); checkPW()
+    // the PRIMARY seed must actually exercise every walked verb — a
+    // walk that never renamed or set a property proves nothing about
+    // them (replay seeds skip these; their step budget is smaller and
+    // the model checks are what they contribute)
+    if (requireCoverage) {
+      assert(renameN >= 1, s"seed never hit ALTER TABLE RENAME TO")
+      assert(propN >= 2, s"seed set only $propN properties")
+      assert(owN >= 1, s"seed never hit INSERT OVERWRITE")
+      assert(tpN >= 1, s"seed never hit TRUNCATE TABLE … PARTITION")
+      assert(commentN >= 1, s"seed never hit COMMENT ON TABLE")
+      assert(likeN >= 1, s"seed never hit CREATE TABLE LIKE")
+      assert(viewN >= 1, s"seed never created the persistent view")
+      // r19 verbs must actually fire too
+      assert(widenN >= 1, s"seed never hit ALTER COLUMN TYPE")
+      assert(pwWide && pwRows.values.exists(_ >= 3000000000L),
+        "walk never inserted a wide-era value after the widen")
+      assert(analyzeN >= 2, s"seed ran ANALYZE only $analyzeN time(s)")
+      assert(replN >= 1, s"seed never hit column-list REPLACE TABLE")
+      assert(vrenN >= 1, s"seed never hit ALTER VIEW RENAME")
+      assert(mvRefreshN >= 2,
+        s"seed refreshed the materialized view only $mvRefreshN time(s)")
+    }
     assert(c.loadTable(tbl).userProperties() == props)
     assert(c.loadTable(tbl).validate().isEmpty)
     assert(c.loadTable("pp").validate().isEmpty)
+    assert(c.loadTable("pw").validate().isEmpty)
   }
 }
