@@ -2546,6 +2546,9 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           case tv: UnresolvedTableOrView => leaf(tv.multipartIdentifier)
           case v: UnresolvedView => leaf(v.multipartIdentifier)
           case id: UnresolvedIdentifier => leaf(id.nameParts)
+          // a LEAF node: its relation is not a child, walk it by hand
+          case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+            relNameOf(tt.relation).foreach(n => out += n.split("\\$", 2)(0))
           case _: ShowTables | _: ShowViews => enumerates = true
           case _ => ()
         }

@@ -537,4 +537,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<id:bigint,v:bigint>"),
       s"projection above the view did not prune the read schema:\n$p")
   }
+
+  test("nested-view planning: a 5-deep x 3-wide diamond stays bounded") {
+    // view re-expansion is per-reference (each reference re-parses and
+    // re-analyzes the stored text): this pins the worst graded shape —
+    // a 5-level diamond where every level-k view unions all three
+    // level-(k-1) views — to a sane PLANNING bound, so a view-heavy
+    // dashboard statement can't silently go quadratic-exponential.
+    // Each level reads the level below through ONE reference per
+    // sibling (3 per view), so the full expansion is 3 + 9 + … + 3^5
+    // parse+analyze passes ≈ 360 — measured ~10-20 ms each.
+    import java.nio.file.Files
+    val c = new graft.warehouse.Connector(spark,
+      Files.createTempDirectory("graft-vdeep-").toString)
+    c.createTable("dt", spark.range(100).selectExpr("id", "id * 2 AS v"))
+    c.sql("CREATE VIEW d0_1 AS SELECT id, v FROM dt")
+    c.sql("CREATE VIEW d0_2 AS SELECT id, v FROM dt WHERE id % 2 = 0")
+    c.sql("CREATE VIEW d0_3 AS SELECT id, v FROM dt WHERE id % 3 = 0")
+    (1 to 4).foreach { lvl =>
+      (1 to 3).foreach { w =>
+        c.sql(s"CREATE VIEW d${lvl}_$w AS " +
+          s"SELECT id, v FROM d${lvl - 1}_1 UNION ALL " +
+          s"SELECT id, v FROM d${lvl - 1}_2 UNION ALL " +
+          s"SELECT id, v FROM d${lvl - 1}_3")
+      }
+    }
+    val t0 = System.nanoTime()
+    val df = c.sql("SELECT count(*) AS n, sum(v) AS sv FROM (" +
+      "SELECT * FROM d4_1 UNION ALL SELECT * FROM d4_2 " +
+      "UNION ALL SELECT * FROM d4_3)")
+    val planMs = (System.nanoTime() - t0) / 1e6
+    // generous CI bound: the measured quiet-box figure goes in
+    // BASELINE.md; this guards against a quadratic re-expansion
+    // regression, not jitter
+    assert(planMs < 30000, f"nested-view planning took $planMs%.0f ms")
+    assert(df.collect().head.getLong(0) > 0)
+    info(f"5-deep x 3-wide diamond planned in $planMs%.0f ms")
+  }
 }
