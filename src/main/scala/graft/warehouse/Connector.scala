@@ -288,21 +288,37 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * groupCols, sumCols, minMaxCols, out alias→canonical pairs). */
   private def parseMvShape(name: String, text: String)
       : (String, Seq[String], Seq[String], Seq[String],
-         Seq[(String, String)]) = {
+         Seq[(String, String)], Option[String]) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias,
       UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
-    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       s"CREATE MATERIALIZED VIEW $name: $why — the incrementally " +
         "maintainable shape is SELECT <group cols>, count(*) / " +
         "sum(c) / min(c) / max(c) AS <alias> … FROM <one warehouse " +
-        "table> GROUP BY <group cols> (no WHERE/JOIN/HAVING/DISTINCT/" +
-        "expressions; use a plain VIEW for those)")
+        "table> [WHERE <row-local predicate>] GROUP BY <group cols> " +
+        "(no JOIN/HAVING/DISTINCT/expressions; use a plain VIEW for " +
+        "those)")
     val p0 = stripDefaultNs(
       org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, text))
     p0 match {
-      case Aggregate(groupExprs, aggExprs, rel, _) =>
+      case Aggregate(groupExprs, aggExprs, rel0, _) =>
+        // an optional WHERE stays maintainable because the predicate
+        // evaluates PER CHANGELOG ROW — but only if it is row-local:
+        // a subquery reads OTHER relations whose changes the base's
+        // feed never sees, so it refuses
+        val (rel, whereSql) = rel0 match {
+          case f: Filter =>
+            if (f.condition.exists {
+              case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
+              case _ => false
+            }) fail("the WHERE predicate must be row-local " +
+              "(no subqueries — their relations' changes are invisible " +
+              "to the base table's change feed)")
+            (f.child, Some(f.condition.sql))
+          case other => (other, None)
+        }
         val base = relNameOf(rel).getOrElse(
           fail("FROM must name exactly one warehouse table"))
         if (viewExists(base) || matViewExists(base))
@@ -354,7 +370,8 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         require(out.map(_._1.toLowerCase).distinct.length == out.length,
           s"CREATE MATERIALIZED VIEW $name: duplicate output column " +
             "name — alias the select items uniquely")
-        (base, groupCols, sums.distinct.toSeq, mms.distinct.toSeq, out)
+        (base, groupCols, sums.distinct.toSeq, mms.distinct.toSeq, out,
+          whereSql)
       case _ => fail("the query is not a single GROUP BY aggregate")
     }
   }
@@ -383,13 +400,14 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     require(!tableExistsCI(name) && !viewExists(name),
       s"CREATE MATERIALIZED VIEW $name: '$name' already names a " +
         "warehouse table or view — the SQL namespace is shared")
-    val (base, groupCols, sumCols, mmCols, out) = parseMvShape(name, text)
+    val (base, groupCols, sumCols, mmCols, out, whereSql) =
+      parseMvShape(name, text)
     if (matViewExists(name)) dropMatView(name, ifExists = false)
     val baseT = loadTable(base)
     MaterializedAgg.create(baseT, mvTableDir(name), name,
-      groupCols, sumCols, mmCols)
+      groupCols, sumCols, mmCols, whereSql)
     MatViewStore.save(matViewsDir, MatViewDef(name, text, base,
-      baseT.tableUuid, groupCols, sumCols, mmCols, out,
+      baseT.tableUuid, groupCols, sumCols, mmCols, out, whereSql,
       System.currentTimeMillis()))
     mvResult("create_materialized_view", name,
       s"materialized over $base (${out.size} column(s)); " +
@@ -410,7 +428,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             "state still work)")
       }
     (d, MaterializedAgg.load(baseT, mvTableDir(name), name,
-      d.groupCols, d.sumCols, d.minMaxCols))
+      d.groupCols, d.sumCols, d.minMaxCols, d.where))
   }
 
   private def refreshMatView(name: String): DataFrame = {

@@ -32,6 +32,11 @@ import scala.jdk.CollectionConverters._
   * @param out user-facing output columns in SELECT order:
   *   (alias, canonical backing column) — canonical names are the
   *   group columns plus `cnt` / `sum_c` / `min_c` / `max_c`
+  * @param where optional row-local WHERE predicate (its SQL text):
+  *   applied to the initial aggregate, to every change-feed delta,
+  *   and to the extremum-redo re-aggregate — a filtered rollup stays
+  *   incrementally maintainable because the predicate is evaluated
+  *   per changelog row (no subqueries, enforced at create)
   */
 final case class MatViewDef(
     name: String,
@@ -42,6 +47,7 @@ final case class MatViewDef(
     sumCols: Seq[String],
     minMaxCols: Seq[String],
     out: Seq[(String, String)],
+    where: Option[String],
     createdMs: Long)
 
 /** Disk codec for [[MatViewDef]]s — same discipline as [[ViewStore]]:
@@ -93,6 +99,7 @@ object MatViewStore {
     setSeq(p, "mm", d.minMaxCols)
     setSeq(p, "out.alias", d.out.map(_._1))
     setSeq(p, "out.canon", d.out.map(_._2))
+    d.where.foreach(p.setProperty("where", _))
     val tmp = dir.resolve(s".${canon(d.name)}.${
       java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val os = Files.newOutputStream(tmp)
@@ -117,6 +124,7 @@ object MatViewStore {
     MatViewDef(canon(name), req("sql"), req("base"), req("base_uuid"),
       getSeq(p, "group"), getSeq(p, "sum"), getSeq(p, "mm"),
       getSeq(p, "out.alias").zip(getSeq(p, "out.canon")),
+      Option(p.getProperty("where")),
       Option(p.getProperty("created_ms")).map(_.toLong).getOrElse(0L))
   }
 

@@ -35,12 +35,19 @@ import org.apache.spark.sql.functions._
   * rebuild via [[GraftTable.replace]] — one atomic swap, never a
   * drop-then-recreate gap.
   */
+/** @param filterSql optional row-local WHERE predicate (SQL text):
+  *   a FILTERED rollup stays incrementally maintainable because the
+  *   predicate evaluates per changelog row — it gates the initial
+  *   aggregate, every delta row, the extremum-redo re-aggregate, and
+  *   the rebuild identically. Must be row-local and deterministic
+  *   (no subqueries — the caller enforces that at definition time). */
 final class MaterializedAgg private (
     val base: GraftTable,
     val view: GraftTable,
     groupCols: Seq[String],
     sumCols: Seq[String],
-    minMaxCols: Seq[String]) {
+    minMaxCols: Seq[String],
+    filterSql: Option[String] = None) {
 
   import MaterializedAgg._
 
@@ -93,10 +100,15 @@ final class MaterializedAgg private (
       }
     lastFeedScan = Some((delta.inputFiles.length.toLong,
       base.log.dataFiles(Some(head)).length.toLong))
+    // a filtered view sees only the rows its predicate admits — the
+    // SAME row-local gate the initial aggregate applied, evaluated on
+    // each changelog row (an update moving a row across the predicate
+    // boundary arrives as preimage-out + postimage-in and nets right)
+    val deltaF = filterSql.map(f => delta.filter(expr(f))).getOrElse(delta)
     val sign = when(col("_change_type")
       .isin("insert", "update_postimage"), 1L).otherwise(-1L)
     val isIns = col("_change_type").isin("insert", "update_postimage")
-    val deltaAgg = delta.groupBy(groupCols.map(col): _*).agg(
+    val deltaAgg = deltaF.groupBy(groupCols.map(col): _*).agg(
       sum(sign).as("_dcnt"),
       (sumCols.map(c => sum(col(c) * sign).as(s"_d_$c")) ++
         // per-group extremum bookkeeping: inserted bounds tighten the
@@ -207,9 +219,10 @@ final class MaterializedAgg private (
   }
 
   /** Full re-aggregation of a base cut — the initial materialization
-    * and the rebuild path. */
+    * and the rebuild path (the optional WHERE gates here too). */
   private def aggregate(rel: DataFrame): DataFrame =
-    rel.groupBy(groupCols.map(col): _*).agg(
+    filterSql.map(f => rel.filter(expr(f))).getOrElse(rel)
+      .groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("cnt"),
       (sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
         minMaxCols.flatMap(c => Seq(
@@ -261,15 +274,18 @@ object MaterializedAgg {
     * return the maintainer. `viewDir` must not already hold a table. */
   def create(base: GraftTable, viewDir: Path, viewName: String,
       groupCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Nil): MaterializedAgg = {
+      minMaxCols: Seq[String] = Nil,
+      filterSql: Option[String] = None): MaterializedAgg = {
     require(groupCols.nonEmpty, "materialized aggregate needs group columns")
     val head = base.currentSnapshotId.getOrElse(
       sys.error(s"base table ${base.name} has no snapshots"))
-    val mv0 = new MaterializedAgg(base, null, groupCols, sumCols, minMaxCols)
+    val mv0 = new MaterializedAgg(base, null, groupCols, sumCols,
+      minMaxCols, filterSql)
     val init = mv0.aggregate(base.read(Some(head)))
     val view = GraftTable.create(base.spark, viewDir, viewName, init)
       .getOrElse(sys.error(s"view table already exists at $viewDir"))
-    val mv = new MaterializedAgg(base, view, groupCols, sumCols, minMaxCols)
+    val mv = new MaterializedAgg(base, view, groupCols, sumCols,
+      minMaxCols, filterSql)
     writeState(mv.view.dir.resolve("_mv_state.json"),
       State(head, 0L, view.currentSnapshotId.get))
     mv
@@ -278,9 +294,11 @@ object MaterializedAgg {
   /** Re-attach to an existing materialized view. */
   def load(base: GraftTable, viewDir: Path, viewName: String,
       groupCols: Seq[String], sumCols: Seq[String],
-      minMaxCols: Seq[String] = Nil): MaterializedAgg = {
+      minMaxCols: Seq[String] = Nil,
+      filterSql: Option[String] = None): MaterializedAgg = {
     val view = GraftTable.load(base.spark, viewDir, viewName)
       .getOrElse(sys.error(s"no view table at $viewDir"))
-    new MaterializedAgg(base, view, groupCols, sumCols, minMaxCols)
+    new MaterializedAgg(base, view, groupCols, sumCols, minMaxCols,
+      filterSql)
   }
 }

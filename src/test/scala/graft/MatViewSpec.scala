@@ -154,8 +154,10 @@ class MatViewSpec extends AnyFunSuite {
       val e = intercept[Exception] { c.sql(stmt).collect() }
       assert(e.getMessage.contains(frag), s"$stmt → ${e.getMessage}")
     }
+    // WHERE is maintainable (row-local) — but a SUBQUERY in it reads
+    // relations whose changes the base's feed never sees: refuse
     refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, count(*) AS n " +
-      "FROM t WHERE v > 0 GROUP BY k", "maintainable shape")
+      "FROM t WHERE v > (SELECT min(v) FROM t) GROUP BY k", "row-local")
     refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, avg(x) AS a " +
       "FROM t GROUP BY k", "unsupported aggregate")
     refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, sum(v + 1) AS s " +
@@ -176,6 +178,52 @@ class MatViewSpec extends AnyFunSuite {
       "FROM absent GROUP BY k", "not found")
     // nothing was stored by any refusal
     assert(c.matViews.isEmpty)
+  }
+
+  test("filtered materialized view: the WHERE gates every tick (r19)") {
+    val wh = freshWh()
+    val c = new Connector(spark, wh)
+    c.createTable("ft", Seq(("a", 5L), ("a", 20L), ("b", 30L), ("b", 7L))
+      .toDF("k", "v"))
+    c.sql("CREATE MATERIALIZED VIEW fmv AS SELECT k, count(*) AS n, " +
+      "sum(v) AS sv, max(v) AS hi FROM ft WHERE v >= 10 GROUP BY k")
+    def readMv(cc: Connector): Map[String, (Long, Long, Long)] =
+      cc.sql("SELECT * FROM fmv").collect().map(x =>
+        x.getAs[String]("k") -> ((x.getAs[Long]("n"),
+          x.getAs[Long]("sv"), x.getAs[Long]("hi")))).toMap
+    assert(readMv(c) == Map("a" -> ((1L, 20L, 20L)),
+      "b" -> ((1L, 30L, 30L))))
+    // inserts on BOTH sides of the predicate: only in-filter rows tick
+    c.sql("INSERT INTO ft VALUES ('a', 3), ('a', 40), ('c', 9)")
+    c.sql("REFRESH MATERIALIZED VIEW fmv")
+    assert(readMv(c) == Map("a" -> ((2L, 60L, 40L)),
+      "b" -> ((1L, 30L, 30L))), readMv(c).toString) // no 'c': all below 10
+    // an UPDATE moving rows ACROSS the boundary: preimage-in nets out
+    c.sql("UPDATE ft SET v = 4 WHERE k = 'a' AND v = 40")
+    c.sql("REFRESH MATERIALIZED VIEW fmv")
+    assert(readMv(c) == Map("a" -> ((1L, 20L, 20L)),
+      "b" -> ((1L, 30L, 30L))), readMv(c).toString)
+    // ... and back across INTO the filter
+    c.sql("UPDATE ft SET v = 100 WHERE k = 'c' AND v = 9")
+    c.sql("REFRESH MATERIALIZED VIEW fmv")
+    assert(readMv(c)("c") == ((1L, 100L, 100L)))
+    // a delete of the filtered group's extremum recomputes group-pruned
+    c.sql("DELETE FROM ft WHERE v = 30")
+    c.sql("REFRESH MATERIALIZED VIEW fmv")
+    assert(!readMv(c).contains("b"))
+    // the predicate SURVIVES a new Connector (definition round-trip)
+    val c2 = new Connector(spark, wh)
+    c2.sql("INSERT INTO ft VALUES ('a', 11), ('a', 2)")
+    c2.sql("REFRESH MATERIALIZED VIEW fmv")
+    assert(readMv(c2)("a") == ((2L, 31L, 20L)))
+    // SHOW CREATE carries the full original text (WHERE included)
+    assert(c2.sql("SHOW CREATE TABLE fmv").collect().head.getString(0)
+      .contains("WHERE"))
+    // and a lineage-reset rebuild re-applies the predicate
+    c2.sql("DROP TABLE ft")
+    c2.createTable("ft", Seq(("z", 9L), ("z", 90L)).toDF("k", "v"))
+    c2.sql("REFRESH MATERIALIZED VIEW fmv")
+    assert(readMv(c2) == Map("z" -> ((1L, 90L, 90L))))
   }
 
   test("namespace guards and write refusals") {
