@@ -3285,7 +3285,22 @@ object Warehouse {
       val persisted = conn2.matViews.contains("orders_rollup") &&
         conn2.sql("REFRESH MATERIALIZED VIEW orders_rollup")
           .collect().head.getAs[String]("detail").contains("mode=fresh")
-      val witness = staleOk && incremental && guarded && persisted
+      // r19: the FILTERED form on a deterministic side rig — the
+      // WHERE gates every tick, including an UPDATE that moves a row
+      // OUT of the predicate (preimage-in nets away)
+      conn2.sql("CREATE TABLE mv_f (k STRING, x BIGINT)")
+      conn2.sql("INSERT INTO mv_f VALUES ('a', 5), ('a', 20), ('b', 30)")
+      conn2.sql("CREATE MATERIALIZED VIEW mvf AS SELECT k, " +
+        "count(*) AS n, sum(x) AS sx FROM mv_f WHERE x >= 10 GROUP BY k")
+      conn2.sql("INSERT INTO mv_f VALUES ('a', 50), ('c', 3)")
+      conn2.sql("UPDATE mv_f SET x = 2 WHERE k = 'b'")
+      conn2.sql("REFRESH MATERIALIZED VIEW mvf")
+      val filteredOk = conn2.sql("SELECT k, n, sx FROM mvf ORDER BY k")
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("a", 2L, 70L))
+      val witness = staleOk && incremental && guarded && persisted &&
+        filteredOk
       conn2.sql("SELECT st, n, total_cents, round(lo, 2) AS lo, " +
         "round(hi, 2) AS hi FROM orders_rollup")
         .withColumn("mv_ok", lit(witness))

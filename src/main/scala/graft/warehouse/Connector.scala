@@ -273,10 +273,21 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       Some(dropMatView(mvNameOf(tok), ifExists = ifExists != null))
     case MvShowRe() =>
       import spark.implicits._
+      // staleness from metadata alone: the applied base snapshot vs
+      // the base's current head (no tick, no data read); a base that
+      // no longer exists (or was recreated — uuid mismatch) reads
+      // stale too, since REFRESH would rebuild
       Some(matViews.map { n =>
         val d = MatViewStore.load(matViewsDir, n)
-        (n, d.base, d.sql)
-      }.toDF("mv_name", "base_table", "definition"))
+        val applied = scala.util.Try(
+          loadMatView(n)._2.appliedSnapshot).getOrElse(0L)
+        val head = getCurrentSnapshotId(d.base).getOrElse(0L)
+        val fresh = applied != 0L && applied == head &&
+          scala.util.Try(loadTable(d.base).tableUuid == d.baseUuid)
+            .getOrElse(false)
+        (n, d.base, applied, head, !fresh, d.sql)
+      }.toDF("mv_name", "base_table", "applied_snapshot",
+        "base_head", "is_stale", "definition"))
     case _ => None
   }
 

@@ -204,6 +204,11 @@ final class MaterializedAgg private (
     "incremental"
   }
 
+  /** The base snapshot id the view last APPLIED (0 before the first
+    * state write) — SHOW MATERIALIZED VIEWS reports staleness as
+    * `applied != base head` without running a tick. */
+  def appliedSnapshot: Long = readState(statePath).applied
+
   /** Unconditional full re-aggregate + atomic swap — the
     * lineage-reset path (r19): the base table was dropped and
     * recreated under the same name, so its snapshot-id sequence

@@ -53,10 +53,18 @@ class MatViewSpec extends AnyFunSuite {
     assert(c2.sql("REFRESH MATERIALIZED VIEW msum").collect().head
       .getAs[String]("detail").contains("mode=incremental"))
     assert(readMv(c2)("b") == ((2L, 31L, 3.0)))
-    // SHOW + SHOW CREATE + DESCRIBE round out the surface
+    // SHOW + SHOW CREATE + DESCRIBE round out the surface; staleness
+    // reads from metadata alone (applied snapshot vs base head)
     val shown = c2.sql("SHOW MATERIALIZED VIEWS").collect()
     assert(shown.length == 1 && shown.head.getString(0) == "msum" &&
-      shown.head.getString(1) == "sales")
+      shown.head.getString(1) == "sales" &&
+      !shown.head.getAs[Boolean]("is_stale"))
+    c2.sql("INSERT INTO sales VALUES ('d', 1, 1.0)")
+    assert(c2.sql("SHOW MATERIALIZED VIEWS").collect().head
+      .getAs[Boolean]("is_stale"))
+    c2.sql("REFRESH MATERIALIZED VIEW msum")
+    assert(!c2.sql("SHOW MATERIALIZED VIEWS").collect().head
+      .getAs[Boolean]("is_stale"))
     assert(c2.sql("SHOW CREATE TABLE msum").collect().head.getString(0)
       .startsWith("CREATE MATERIALIZED VIEW `msum` AS "))
     assert(c2.sql("DESCRIBE msum").collect()
