@@ -3230,6 +3230,7 @@ object Warehouse {
         |kept AS (
         |  SELECT * FROM all_rows WHERE NOT (st = 'P' AND okey % 3 = 0))
         |SELECT st, count(*) AS n, sum(cents) AS total_cents,
+        |  round(avg(cents), 4) AS avg_cents,
         |  round(min(price), 2) AS lo, round(max(price), 2) AS hi,
         |  TRUE AS mv_ok
         |FROM kept GROUP BY st ORDER BY st""".stripMargin) { (s, d) =>
@@ -3248,7 +3249,7 @@ object Warehouse {
         round(col("o_totalprice"), 2).as("price")).repartition(8))
       conn.sql("CREATE MATERIALIZED VIEW orders_rollup AS " +
         "SELECT st, count(*) AS n, sum(cents) AS total_cents, " +
-        "min(price) AS lo, max(price) AS hi " +
+        "avg(cents) AS avg_cents, min(price) AS lo, max(price) AS hi " +
         "FROM orders_mvb GROUP BY st")
       val nGroupsAtCreate = conn.sql("SELECT * FROM orders_rollup").count()
       // era 2: an insert lands on the base; the view is STALE until
@@ -3301,7 +3302,8 @@ object Warehouse {
         Seq(("a", 2L, 70L))
       val witness = staleOk && incremental && guarded && persisted &&
         filteredOk
-      conn2.sql("SELECT st, n, total_cents, round(lo, 2) AS lo, " +
+      conn2.sql("SELECT st, n, total_cents, " +
+        "round(avg_cents, 4) AS avg_cents, round(lo, 2) AS lo, " +
         "round(hi, 2) AS hi FROM orders_rollup")
         .withColumn("mv_ok", lit(witness))
         .orderBy("st")

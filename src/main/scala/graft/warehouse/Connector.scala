@@ -298,7 +298,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * maintain incrementally must never be accepted. Returns (base,
     * groupCols, sumCols, minMaxCols, out alias→canonical pairs). */
   private def parseMvShape(name: String, text: String)
-      : (String, Seq[String], Seq[String], Seq[String],
+      : (String, Seq[String], Seq[String], Seq[String], Seq[String],
          Seq[(String, String)], Option[String]) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias,
       UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
@@ -351,6 +351,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         if (groupCols.isEmpty) fail("GROUP BY is required")
         val sums = scala.collection.mutable.ListBuffer.empty[String]
         val mms = scala.collection.mutable.ListBuffer.empty[String]
+        val avgs = scala.collection.mutable.ListBuffer.empty[String]
         def canonOf(e: Expression): String = e match {
           case a: UnresolvedAttribute if a.nameParts.length == 1 &&
               groupCols.contains(a.nameParts.head) => a.nameParts.head
@@ -359,10 +360,17 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             (f.nameParts.head.toLowerCase, f.arguments) match {
               case ("count", Seq(_: UnresolvedStar)) => "cnt"
               case ("count", Seq(Literal(v, _))) if v != null => "cnt"
-              case (fn @ ("sum" | "min" | "max"), Seq(arg)) =>
+              case (fn @ ("sum" | "min" | "max" | "avg" | "mean"),
+                  Seq(arg)) =>
                 val c = bareCol(arg, s"$fn's argument")
-                if (fn == "sum") { sums += c; s"sum_$c" }
-                else { mms += c; s"${fn}_$c" }
+                fn match {
+                  case "sum" => sums += c; s"sum_$c"
+                  case "avg" | "mean" =>
+                    // abelian pair (sum, non-null count); readers
+                    // divide — the `avg:` marker tells mvPlan to
+                    avgs += c; s"avg:$c"
+                  case _ => mms += c; s"${fn}_$c"
+                }
               case _ => fail(s"unsupported aggregate '${e.sql}'")
             }
           case other => fail(s"unsupported select item '${other.sql}'")
@@ -381,8 +389,8 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         require(out.map(_._1.toLowerCase).distinct.length == out.length,
           s"CREATE MATERIALIZED VIEW $name: duplicate output column " +
             "name — alias the select items uniquely")
-        (base, groupCols, sums.distinct.toSeq, mms.distinct.toSeq, out,
-          whereSql)
+        (base, groupCols, sums.distinct.toSeq, mms.distinct.toSeq,
+          avgs.distinct.toSeq, out, whereSql)
       case _ => fail("the query is not a single GROUP BY aggregate")
     }
   }
@@ -411,15 +419,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     require(!tableExistsCI(name) && !viewExists(name),
       s"CREATE MATERIALIZED VIEW $name: '$name' already names a " +
         "warehouse table or view — the SQL namespace is shared")
-    val (base, groupCols, sumCols, mmCols, out, whereSql) =
+    val (base, groupCols, sumCols, mmCols, avgCols, out, whereSql) =
       parseMvShape(name, text)
     if (matViewExists(name)) dropMatView(name, ifExists = false)
     val baseT = loadTable(base)
     MaterializedAgg.create(baseT, mvTableDir(name), name,
-      groupCols, sumCols, mmCols, whereSql)
+      groupCols, sumCols, mmCols, whereSql, avgCols)
     MatViewStore.save(matViewsDir, MatViewDef(name, text, base,
-      baseT.tableUuid, groupCols, sumCols, mmCols, out, whereSql,
-      System.currentTimeMillis()))
+      baseT.tableUuid, groupCols, sumCols, mmCols, avgCols, out,
+      whereSql, System.currentTimeMillis()))
     mvResult("create_materialized_view", name,
       s"materialized over $base (${out.size} column(s)); " +
         "REFRESH MATERIALIZED VIEW to catch up after base commits")
@@ -439,7 +447,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             "state still work)")
       }
     (d, MaterializedAgg.load(baseT, mvTableDir(name), name,
-      d.groupCols, d.sumCols, d.minMaxCols, d.where))
+      d.groupCols, d.sumCols, d.minMaxCols, d.where, d.avgCols))
   }
 
   private def refreshMatView(name: String): DataFrame = {
@@ -496,8 +504,17 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       throw new IllegalStateException(
         s"materialized view $name: backing table missing at ${
           mvTableDir(name)} — DROP MATERIALIZED VIEW and recreate"))
-    val df = t.read().select(d.out.map { case (alias, canonCol) =>
-      org.apache.spark.sql.functions.col(canonCol).as(alias) }: _*)
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val df = t.read().select(d.out.map {
+      // avg reads as the maintained abelian pair's division; an
+      // all-NULL group divides by zero → SQL avg's NULL, never an
+      // ANSI arithmetic error
+      case (alias, canonCol) if canonCol.startsWith("avg:") =>
+        val c = canonCol.stripPrefix("avg:")
+        when(col(s"nncnt_$c") === 0L, lit(null))
+          .otherwise(col(s"sum_$c") / col(s"nncnt_$c")).as(alias)
+      case (alias, canonCol) => col(canonCol).as(alias)
+    }: _*)
     org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
       name, df.queryExecution.analyzed)
   }
@@ -1428,8 +1445,11 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
               throw new IllegalStateException(
                 s"materialized view $mvn: backing table missing"))
           import spark.implicits._
-          val cols = d.out.map { case (alias, canonCol) =>
-            (alias, sch(canonCol).dataType.simpleString, null: String) }
+          val cols = d.out.map {
+            case (alias, canonCol) if canonCol.startsWith("avg:") =>
+              (alias, "double", null: String)
+            case (alias, canonCol) =>
+              (alias, sch(canonCol).dataType.simpleString, null: String) }
           val extended = if (!dr.isExtended) Nil else Seq(
             ("", "", null: String),
             ("# Detailed View Information", "", null: String),

@@ -38,6 +38,9 @@ import scala.jdk.CollectionConverters._
   *   incrementally maintainable because the predicate is evaluated
   *   per changelog row (no subqueries, enforced at create)
   */
+/** @param avgCols columns served as avg(c): the backing table holds
+  *   the abelian (`sum_c`, `nncnt_c`) pair and readers divide — the
+  *   out-mapping canon for these is the marker `avg:c` */
 final case class MatViewDef(
     name: String,
     sql: String,
@@ -46,6 +49,7 @@ final case class MatViewDef(
     groupCols: Seq[String],
     sumCols: Seq[String],
     minMaxCols: Seq[String],
+    avgCols: Seq[String],
     out: Seq[(String, String)],
     where: Option[String],
     createdMs: Long)
@@ -97,6 +101,7 @@ object MatViewStore {
     setSeq(p, "group", d.groupCols)
     setSeq(p, "sum", d.sumCols)
     setSeq(p, "mm", d.minMaxCols)
+    setSeq(p, "avg", d.avgCols)
     setSeq(p, "out.alias", d.out.map(_._1))
     setSeq(p, "out.canon", d.out.map(_._2))
     d.where.foreach(p.setProperty("where", _))
@@ -123,6 +128,7 @@ object MatViewStore {
         s"corrupt definition (no $k) at ${file(dir, name)}"))
     MatViewDef(canon(name), req("sql"), req("base"), req("base_uuid"),
       getSeq(p, "group"), getSeq(p, "sum"), getSeq(p, "mm"),
+      getSeq(p, "avg"),
       getSeq(p, "out.alias").zip(getSeq(p, "out.canon")),
       Option(p.getProperty("where")),
       Option(p.getProperty("created_ms")).map(_.toLong).getOrElse(0L))

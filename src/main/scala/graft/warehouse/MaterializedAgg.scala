@@ -41,15 +41,24 @@ import org.apache.spark.sql.functions._
   *   aggregate, every delta row, the extremum-redo re-aggregate, and
   *   the rebuild identically. Must be row-local and deterministic
   *   (no subqueries — the caller enforces that at definition time). */
+/** @param avgCols columns served as `avg(c)`: the view maintains the
+  *   ABELIAN pair (`sum_c`, `nncnt_c` — the NON-NULL count, so NULLs
+  *   are excluded exactly as SQL avg requires) and readers divide.
+  *   A column may appear in both sumCols and avgCols; `sum_c` is
+  *   maintained once. */
 final class MaterializedAgg private (
     val base: GraftTable,
     val view: GraftTable,
     groupCols: Seq[String],
     sumCols: Seq[String],
     minMaxCols: Seq[String],
-    filterSql: Option[String] = None) {
+    filterSql: Option[String] = None,
+    avgCols: Seq[String] = Nil) {
 
   import MaterializedAgg._
+
+  // a column avg'd AND summed shares one maintained sum_c
+  private val allSumCols: Seq[String] = (sumCols ++ avgCols).distinct
 
   // lazy: create() builds a view-less scratch instance to reuse
   // aggregate() for the initial materialization
@@ -110,7 +119,11 @@ final class MaterializedAgg private (
     val isIns = col("_change_type").isin("insert", "update_postimage")
     val deltaAgg = deltaF.groupBy(groupCols.map(col): _*).agg(
       sum(sign).as("_dcnt"),
-      (sumCols.map(c => sum(col(c) * sign).as(s"_d_$c")) ++
+      (allSumCols.map(c => sum(col(c) * sign).as(s"_d_$c")) ++
+        // avg denominators: signed NON-NULL count deltas (a NULL row
+        // moves the group's cnt but not its nncnt — SQL avg semantics)
+        avgCols.map(c => sum(when(col(c).isNotNull, sign)
+          .otherwise(0L)).as(s"_dnn_$c")) ++
         // per-group extremum bookkeeping: inserted bounds tighten the
         // view's min/max incrementally; DELETED bounds only DETECT
         // whether the stored extremum may have been removed
@@ -124,8 +137,11 @@ final class MaterializedAgg private (
     // to |touched groups|, not |base|.
     val joined = deltaAgg.join(view.read(), groupCols, "left")
     val newCnt = (coalesce(col("cnt"), lit(0L)) + col("_dcnt")).as("cnt")
-    val newSums = sumCols.map(c =>
+    val newSums = allSumCols.map(c =>
       (coalesce(col(s"sum_$c"), lit(0L)) + col(s"_d_$c")).as(s"sum_$c"))
+    val newNns = avgCols.map(c =>
+      (coalesce(col(s"nncnt_$c"), lit(0L)) + col(s"_dnn_$c"))
+        .as(s"nncnt_$c"))
     // least/greatest skip NULLs, so a new group takes the inserted
     // bound and an untouched-extremum group keeps the stored one
     val newMins = minMaxCols.map(c =>
@@ -155,7 +171,8 @@ final class MaterializedAgg private (
     // that a cache barrier would force to full materialization —
     // measured slower on q117 when cached.
     val mergedAll0 = joined.select(
-      groupCols.map(col) ++ Seq(newCnt) ++ newSums ++ newMins ++ newMaxs :+
+      groupCols.map(col) ++ Seq(newCnt) ++ newSums ++ newNns ++
+        newMins ++ newMaxs :+
         (redoFlag &&
           (coalesce(col("cnt"), lit(0L)) + col("_dcnt")) > 0L).as("_redo"): _*)
     val mergedAll =
@@ -229,7 +246,8 @@ final class MaterializedAgg private (
     filterSql.map(f => rel.filter(expr(f))).getOrElse(rel)
       .groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("cnt"),
-      (sumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+      (allSumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+        avgCols.map(c => count(col(c)).as(s"nncnt_$c")) ++
         minMaxCols.flatMap(c => Seq(
           min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
 
@@ -280,17 +298,18 @@ object MaterializedAgg {
   def create(base: GraftTable, viewDir: Path, viewName: String,
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil,
-      filterSql: Option[String] = None): MaterializedAgg = {
+      filterSql: Option[String] = None,
+      avgCols: Seq[String] = Nil): MaterializedAgg = {
     require(groupCols.nonEmpty, "materialized aggregate needs group columns")
     val head = base.currentSnapshotId.getOrElse(
       sys.error(s"base table ${base.name} has no snapshots"))
     val mv0 = new MaterializedAgg(base, null, groupCols, sumCols,
-      minMaxCols, filterSql)
+      minMaxCols, filterSql, avgCols)
     val init = mv0.aggregate(base.read(Some(head)))
     val view = GraftTable.create(base.spark, viewDir, viewName, init)
       .getOrElse(sys.error(s"view table already exists at $viewDir"))
     val mv = new MaterializedAgg(base, view, groupCols, sumCols,
-      minMaxCols, filterSql)
+      minMaxCols, filterSql, avgCols)
     writeState(mv.view.dir.resolve("_mv_state.json"),
       State(head, 0L, view.currentSnapshotId.get))
     mv
@@ -300,10 +319,11 @@ object MaterializedAgg {
   def load(base: GraftTable, viewDir: Path, viewName: String,
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil,
-      filterSql: Option[String] = None): MaterializedAgg = {
+      filterSql: Option[String] = None,
+      avgCols: Seq[String] = Nil): MaterializedAgg = {
     val view = GraftTable.load(base.spark, viewDir, viewName)
       .getOrElse(sys.error(s"no view table at $viewDir"))
     new MaterializedAgg(base, view, groupCols, sumCols, minMaxCols,
-      filterSql)
+      filterSql, avgCols)
   }
 }

@@ -166,7 +166,7 @@ class MatViewSpec extends AnyFunSuite {
     // relations whose changes the base's feed never sees: refuse
     refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, count(*) AS n " +
       "FROM t WHERE v > (SELECT min(v) FROM t) GROUP BY k", "row-local")
-    refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, avg(x) AS a " +
+    refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, stddev(x) AS a " +
       "FROM t GROUP BY k", "unsupported aggregate")
     refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, sum(v + 1) AS s " +
       "FROM t GROUP BY k", "bare column")
@@ -232,6 +232,46 @@ class MatViewSpec extends AnyFunSuite {
     c2.createTable("ft", Seq(("z", 9L), ("z", 90L)).toDF("k", "v"))
     c2.sql("REFRESH MATERIALIZED VIEW fmv")
     assert(readMv(c2) == Map("z" -> ((1L, 90L, 90L))))
+  }
+
+  test("avg maintains the abelian (sum, non-null count) pair (r19)") {
+    val wh = freshWh()
+    val c = new Connector(spark, wh)
+    // NULLs matter: avg excludes them, count(*) does not
+    c.createTable("at", Seq(
+      ("a", Some(10L)), ("a", None), ("a", Some(30L)), ("b", None))
+      .toDF("k", "x"))
+    c.sql("CREATE MATERIALIZED VIEW amv AS SELECT k, count(*) AS n, " +
+      "avg(x) AS ax FROM at GROUP BY k")
+    def readMv(cc: Connector): Map[String, (Long, Option[Double])] =
+      cc.sql("SELECT * FROM amv").collect().map(r =>
+        r.getString(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    // a: avg(10, 30) = 20 over TWO non-nulls of THREE rows;
+    // b: all-NULL group → avg NULL (not a division error)
+    assert(readMv(c) == Map("a" -> ((3L, Some(20.0))),
+      "b" -> ((1L, None))), readMv(c).toString)
+    // ticks move both numerator and denominator; deleting a NULL row
+    // moves cnt but NOT the avg
+    c.sql("INSERT INTO at VALUES ('a', 80), ('b', 7)")
+    c.sql("DELETE FROM at WHERE k = 'a' AND x IS NULL")
+    c.sql("REFRESH MATERIALIZED VIEW amv")
+    assert(readMv(c) == Map("a" -> ((3L, Some(40.0))),
+      "b" -> ((2L, Some(7.0)))), readMv(c).toString)
+    // DESCRIBE reports the served type; persistence round-trips
+    assert(c.sql("DESCRIBE amv").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("k", "string"), ("n", "bigint"), ("ax", "double")))
+    val c2 = new Connector(spark, wh)
+    c2.sql("INSERT INTO at VALUES ('b', 21)")
+    c2.sql("REFRESH MATERIALIZED VIEW amv")
+    assert(readMv(c2)("b") == ((3L, Some(14.0))))
+    // avg + sum over the SAME column share one maintained sum
+    c2.sql("CREATE MATERIALIZED VIEW amv2 AS SELECT k, sum(x) AS sx, " +
+      "avg(x) AS ax FROM at GROUP BY k")
+    val r2 = c2.sql("SELECT sx, ax FROM amv2 WHERE k = 'b'")
+      .collect().head
+    assert(r2.getLong(0) == 28L && r2.getDouble(1) == 14.0)
   }
 
   test("namespace guards and write refusals") {
