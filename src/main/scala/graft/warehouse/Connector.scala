@@ -299,7 +299,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * groupCols, sumCols, minMaxCols, out alias→canonical pairs). */
   private def parseMvShape(name: String, text: String)
       : (String, Seq[String], Seq[String], Seq[String], Seq[String],
-         Seq[(String, String)], Option[String]) = {
+         Seq[String], Seq[(String, String)], Option[String]) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias,
       UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
@@ -352,6 +352,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         val sums = scala.collection.mutable.ListBuffer.empty[String]
         val mms = scala.collection.mutable.ListBuffer.empty[String]
         val avgs = scala.collection.mutable.ListBuffer.empty[String]
+        val nns = scala.collection.mutable.ListBuffer.empty[String]
         def canonOf(e: Expression): String = e match {
           case a: UnresolvedAttribute if a.nameParts.length == 1 &&
               groupCols.contains(a.nameParts.head) => a.nameParts.head
@@ -360,6 +361,11 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             (f.nameParts.head.toLowerCase, f.arguments) match {
               case ("count", Seq(_: UnresolvedStar)) => "cnt"
               case ("count", Seq(Literal(v, _))) if v != null => "cnt"
+              case ("count", Seq(arg)) =>
+                // count(c): the NON-NULL count — its own abelian
+                // column (works on any type; avg shares it)
+                val c = bareCol(arg, "count's argument")
+                nns += c; s"nncnt_$c"
               case (fn @ ("sum" | "min" | "max" | "avg" | "mean"),
                   Seq(arg)) =>
                 val c = bareCol(arg, s"$fn's argument")
@@ -390,7 +396,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           s"CREATE MATERIALIZED VIEW $name: duplicate output column " +
             "name — alias the select items uniquely")
         (base, groupCols, sums.distinct.toSeq, mms.distinct.toSeq,
-          avgs.distinct.toSeq, out, whereSql)
+          avgs.distinct.toSeq, nns.distinct.toSeq, out, whereSql)
       case _ => fail("the query is not a single GROUP BY aggregate")
     }
   }
@@ -419,15 +425,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     require(!tableExistsCI(name) && !viewExists(name),
       s"CREATE MATERIALIZED VIEW $name: '$name' already names a " +
         "warehouse table or view — the SQL namespace is shared")
-    val (base, groupCols, sumCols, mmCols, avgCols, out, whereSql) =
-      parseMvShape(name, text)
+    val (base, groupCols, sumCols, mmCols, avgCols, nnCols, out,
+      whereSql) = parseMvShape(name, text)
     if (matViewExists(name)) dropMatView(name, ifExists = false)
     val baseT = loadTable(base)
     MaterializedAgg.create(baseT, mvTableDir(name), name,
-      groupCols, sumCols, mmCols, whereSql, avgCols)
+      groupCols, sumCols, mmCols, whereSql, avgCols, nnCols)
     MatViewStore.save(matViewsDir, MatViewDef(name, text, base,
-      baseT.tableUuid, groupCols, sumCols, mmCols, avgCols, out,
-      whereSql, System.currentTimeMillis()))
+      baseT.tableUuid, groupCols, sumCols, mmCols, avgCols, nnCols,
+      out, whereSql, System.currentTimeMillis()))
     mvResult("create_materialized_view", name,
       s"materialized over $base (${out.size} column(s)); " +
         "REFRESH MATERIALIZED VIEW to catch up after base commits")
@@ -447,7 +453,8 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
             "state still work)")
       }
     (d, MaterializedAgg.load(baseT, mvTableDir(name), name,
-      d.groupCols, d.sumCols, d.minMaxCols, d.where, d.avgCols))
+      d.groupCols, d.sumCols, d.minMaxCols, d.where, d.avgCols,
+      d.nnCols))
   }
 
   private def refreshMatView(name: String): DataFrame = {

@@ -50,6 +50,7 @@ final case class MatViewDef(
     sumCols: Seq[String],
     minMaxCols: Seq[String],
     avgCols: Seq[String],
+    nnCols: Seq[String],
     out: Seq[(String, String)],
     where: Option[String],
     createdMs: Long)
@@ -102,6 +103,7 @@ object MatViewStore {
     setSeq(p, "sum", d.sumCols)
     setSeq(p, "mm", d.minMaxCols)
     setSeq(p, "avg", d.avgCols)
+    setSeq(p, "nn", d.nnCols)
     setSeq(p, "out.alias", d.out.map(_._1))
     setSeq(p, "out.canon", d.out.map(_._2))
     d.where.foreach(p.setProperty("where", _))
@@ -128,7 +130,7 @@ object MatViewStore {
         s"corrupt definition (no $k) at ${file(dir, name)}"))
     MatViewDef(canon(name), req("sql"), req("base"), req("base_uuid"),
       getSeq(p, "group"), getSeq(p, "sum"), getSeq(p, "mm"),
-      getSeq(p, "avg"),
+      getSeq(p, "avg"), getSeq(p, "nn"),
       getSeq(p, "out.alias").zip(getSeq(p, "out.canon")),
       Option(p.getProperty("where")),
       Option(p.getProperty("created_ms")).map(_.toLong).getOrElse(0L))

@@ -46,6 +46,9 @@ import org.apache.spark.sql.functions._
   *   are excluded exactly as SQL avg requires) and readers divide.
   *   A column may appear in both sumCols and avgCols; `sum_c` is
   *   maintained once. */
+/** @param nnCols columns served as `count(c)` — the signed NON-NULL
+  *   count alone (works on any type; avg implies it for its own
+  *   column). */
 final class MaterializedAgg private (
     val base: GraftTable,
     val view: GraftTable,
@@ -53,12 +56,15 @@ final class MaterializedAgg private (
     sumCols: Seq[String],
     minMaxCols: Seq[String],
     filterSql: Option[String] = None,
-    avgCols: Seq[String] = Nil) {
+    avgCols: Seq[String] = Nil,
+    nnCols: Seq[String] = Nil) {
 
   import MaterializedAgg._
 
-  // a column avg'd AND summed shares one maintained sum_c
+  // a column avg'd AND summed shares one maintained sum_c; avg'd AND
+  // non-null-counted shares one nncnt_c
   private val allSumCols: Seq[String] = (sumCols ++ avgCols).distinct
+  private val allNnCols: Seq[String] = (avgCols ++ nnCols).distinct
 
   // lazy: create() builds a view-less scratch instance to reuse
   // aggregate() for the initial materialization
@@ -120,9 +126,10 @@ final class MaterializedAgg private (
     val deltaAgg = deltaF.groupBy(groupCols.map(col): _*).agg(
       sum(sign).as("_dcnt"),
       (allSumCols.map(c => sum(col(c) * sign).as(s"_d_$c")) ++
-        // avg denominators: signed NON-NULL count deltas (a NULL row
-        // moves the group's cnt but not its nncnt — SQL avg semantics)
-        avgCols.map(c => sum(when(col(c).isNotNull, sign)
+        // avg denominators / count(c): signed NON-NULL count deltas
+        // (a NULL row moves the group's cnt but not its nncnt — SQL
+        // avg/count(col) semantics)
+        allNnCols.map(c => sum(when(col(c).isNotNull, sign)
           .otherwise(0L)).as(s"_dnn_$c")) ++
         // per-group extremum bookkeeping: inserted bounds tighten the
         // view's min/max incrementally; DELETED bounds only DETECT
@@ -139,7 +146,7 @@ final class MaterializedAgg private (
     val newCnt = (coalesce(col("cnt"), lit(0L)) + col("_dcnt")).as("cnt")
     val newSums = allSumCols.map(c =>
       (coalesce(col(s"sum_$c"), lit(0L)) + col(s"_d_$c")).as(s"sum_$c"))
-    val newNns = avgCols.map(c =>
+    val newNns = allNnCols.map(c =>
       (coalesce(col(s"nncnt_$c"), lit(0L)) + col(s"_dnn_$c"))
         .as(s"nncnt_$c"))
     // least/greatest skip NULLs, so a new group takes the inserted
@@ -247,7 +254,7 @@ final class MaterializedAgg private (
       .groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("cnt"),
       (allSumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
-        avgCols.map(c => count(col(c)).as(s"nncnt_$c")) ++
+        allNnCols.map(c => count(col(c)).as(s"nncnt_$c")) ++
         minMaxCols.flatMap(c => Seq(
           min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
 
@@ -299,17 +306,18 @@ object MaterializedAgg {
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil,
       filterSql: Option[String] = None,
-      avgCols: Seq[String] = Nil): MaterializedAgg = {
+      avgCols: Seq[String] = Nil,
+      nnCols: Seq[String] = Nil): MaterializedAgg = {
     require(groupCols.nonEmpty, "materialized aggregate needs group columns")
     val head = base.currentSnapshotId.getOrElse(
       sys.error(s"base table ${base.name} has no snapshots"))
     val mv0 = new MaterializedAgg(base, null, groupCols, sumCols,
-      minMaxCols, filterSql, avgCols)
+      minMaxCols, filterSql, avgCols, nnCols)
     val init = mv0.aggregate(base.read(Some(head)))
     val view = GraftTable.create(base.spark, viewDir, viewName, init)
       .getOrElse(sys.error(s"view table already exists at $viewDir"))
     val mv = new MaterializedAgg(base, view, groupCols, sumCols,
-      minMaxCols, filterSql, avgCols)
+      minMaxCols, filterSql, avgCols, nnCols)
     writeState(mv.view.dir.resolve("_mv_state.json"),
       State(head, 0L, view.currentSnapshotId.get))
     mv
@@ -320,10 +328,11 @@ object MaterializedAgg {
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil,
       filterSql: Option[String] = None,
-      avgCols: Seq[String] = Nil): MaterializedAgg = {
+      avgCols: Seq[String] = Nil,
+      nnCols: Seq[String] = Nil): MaterializedAgg = {
     val view = GraftTable.load(base.spark, viewDir, viewName)
       .getOrElse(sys.error(s"no view table at $viewDir"))
     new MaterializedAgg(base, view, groupCols, sumCols, minMaxCols,
-      filterSql, avgCols)
+      filterSql, avgCols, nnCols)
   }
 }

@@ -266,12 +266,20 @@ class MatViewSpec extends AnyFunSuite {
     c2.sql("INSERT INTO at VALUES ('b', 21)")
     c2.sql("REFRESH MATERIALIZED VIEW amv")
     assert(readMv(c2)("b") == ((3L, Some(14.0))))
-    // avg + sum over the SAME column share one maintained sum
+    // avg + sum over the SAME column share one maintained sum;
+    // count(c) is the NON-NULL count (vs count(*)) and ticks too
     c2.sql("CREATE MATERIALIZED VIEW amv2 AS SELECT k, sum(x) AS sx, " +
-      "avg(x) AS ax FROM at GROUP BY k")
-    val r2 = c2.sql("SELECT sx, ax FROM amv2 WHERE k = 'b'")
+      "avg(x) AS ax, count(x) AS nx, count(*) AS n FROM at GROUP BY k")
+    val r2 = c2.sql("SELECT sx, ax, nx, n FROM amv2 WHERE k = 'b'")
       .collect().head
-    assert(r2.getLong(0) == 28L && r2.getDouble(1) == 14.0)
+    assert(r2.getLong(0) == 28L && r2.getDouble(1) == 14.0 &&
+      r2.getLong(2) == 2L && r2.getLong(3) == 3L, r2.toString)
+    c2.sql("INSERT INTO at VALUES ('b', NULL), ('b', 14)")
+    c2.sql("REFRESH MATERIALIZED VIEW amv2")
+    val r3 = c2.sql("SELECT sx, ax, nx, n FROM amv2 WHERE k = 'b'")
+      .collect().head
+    assert(r3.getLong(0) == 42L && r3.getDouble(1) == 14.0 &&
+      r3.getLong(2) == 3L && r3.getLong(3) == 5L, r3.toString)
   }
 
   test("namespace guards and write refusals") {
