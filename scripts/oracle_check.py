@@ -6,7 +6,15 @@ for each <outDir>/<name> parquet dir, executes the matching oracle SQL
 from <outDir>/oracle_sql.json in DuckDB over the same testdata parquet,
 sorts columns by name, row-sorts, and value-compares.
 
-Usage: oracle_check.py <sfDir> <outDir>
+Usage: oracle_check.py <sfDir> <outDir> [--strict]
+
+--strict compares floats by exact repr (bit-exact), matching the
+driver's hash sensitivity instead of the default 9-decimal rounding —
+r19 proved the replica can be green at 9 decimals while the driver's
+bit-level hash is red (q183). A strict FAIL whose default-mode run
+passes means the graded column carries engine-accumulated float noise
+(ulp-level summation-order or round() divergence): de-float it or
+accept the tolerance knowingly.
 """
 import json, math, os, sys
 
@@ -14,6 +22,8 @@ import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+STRICT = "--strict" in sys.argv
 
 
 def canon(rows, colnames):
@@ -26,7 +36,7 @@ def canon(rows, colnames):
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "NaN"
-                else:
+                elif not STRICT:
                     v = round(v, 9)
             vals.append(repr(v))
         out.append(tuple(vals))

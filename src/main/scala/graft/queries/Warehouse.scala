@@ -981,7 +981,7 @@ object Warehouse {
         |  SELECT o_orderkey, round(o_totalprice, 2) AS price
         |  FROM orders WHERE round(o_totalprice, 2) >= 50000
         |  UNION ALL
-        |  SELECT o_orderkey, round(o_totalprice, 2) * 3 AS price
+        |  SELECT o_orderkey, round(round(o_totalprice, 2) * 3, 2) AS price
         |  FROM orders WHERE o_orderkey % 10 = 0)
         |SELECT o_orderkey, price, TRUE AS morp_ok
         |FROM final WHERE o_orderkey % 7 <> 3
@@ -3216,6 +3216,14 @@ object Warehouse {
     // target; DROP TABLE refuses). The oracle recomputes the aggregate
     // directly over the same two-era row set — a hash match proves the
     // incrementally-maintained state equals the declarative aggregate.
+    // r20: every hash-graded measure is EXACT arithmetic (BIGINT
+    // counts and integer cents) — r19's driver red proved that doubles
+    // produced by each engine's own round()/avg() (round(avg(x), 4),
+    // re-rounded round(x, 2)) legally diverge across DuckDB builds by
+    // one ulp or one half-even boundary. The double measures
+    // (avg_cents, lo, hi) stay in the MV definition and are verified
+    // Spark-side against the exact columns in the witness instead of
+    // cross-engine.
     Q("q183_sql_matview",
       """WITH base AS (
         |  SELECT o_orderkey AS okey, o_orderstatus AS st,
@@ -3230,8 +3238,7 @@ object Warehouse {
         |kept AS (
         |  SELECT * FROM all_rows WHERE NOT (st = 'P' AND okey % 3 = 0))
         |SELECT st, count(*) AS n, sum(cents) AS total_cents,
-        |  round(avg(cents), 4) AS avg_cents,
-        |  round(min(price), 2) AS lo, round(max(price), 2) AS hi,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents,
         |  TRUE AS mv_ok
         |FROM kept GROUP BY st ORDER BY st""".stripMargin) { (s, d) =>
       val wh = Scratch.dir("run")
@@ -3249,7 +3256,8 @@ object Warehouse {
         round(col("o_totalprice"), 2).as("price")).repartition(8))
       conn.sql("CREATE MATERIALIZED VIEW orders_rollup AS " +
         "SELECT st, count(*) AS n, sum(cents) AS total_cents, " +
-        "avg(cents) AS avg_cents, min(price) AS lo, max(price) AS hi " +
+        "avg(cents) AS avg_cents, min(price) AS lo, max(price) AS hi, " +
+        "min(cents) AS lo_cents, max(cents) AS hi_cents " +
         "FROM orders_mvb GROUP BY st")
       val nGroupsAtCreate = conn.sql("SELECT * FROM orders_rollup").count()
       // era 2: an insert lands on the base; the view is STALE until
@@ -3300,13 +3308,117 @@ object Warehouse {
         .collect().map(r =>
           (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
         Seq(("a", 2L, 70L))
+      // the DOUBLE measures stay exercised: avg reads as the abelian
+      // pair's division (must equal total/n — cents has no NULLs) and
+      // the double extrema must agree with the integer-cents extrema
+      // to the cent. Spark-side witness, never cross-engine-hashed.
+      val doublesOk = conn2.sql(
+        "SELECT n, total_cents, avg_cents, lo, hi, lo_cents, hi_cents " +
+          "FROM orders_rollup").collect().forall { r =>
+        math.abs(r.getDouble(2) - r.getLong(1).toDouble / r.getLong(0)) <
+          1e-6 &&
+          math.round(r.getDouble(3) * 100) == r.getLong(5) &&
+          math.round(r.getDouble(4) * 100) == r.getLong(6)
+      }
       val witness = staleOk && incremental && guarded && persisted &&
-        filteredOk
-      conn2.sql("SELECT st, n, total_cents, " +
-        "round(avg_cents, 4) AS avg_cents, round(lo, 2) AS lo, " +
-        "round(hi, 2) AS hi FROM orders_rollup")
+        filteredOk && doublesOk
+      conn2.sql("SELECT st, n, total_cents, lo_cents, hi_cents " +
+        "FROM orders_rollup")
         .withColumn("mv_ok", lit(witness))
         .orderBy("st")
+    },
+
+    // ---- q184: expression-shaped materialized views (r20) ------------
+    // The most common real-world MV is a TIME-BUCKETED rollup —
+    // `GROUP BY date_trunc('day', ts)` — with expression measures like
+    // sum(qty * price). r19's parseMvShape refused both; r20
+    // materializes each expression as a DERIVED column in the backing
+    // state and every change-feed delta, so the same abelian algebra
+    // maintains them incrementally. Witnesses: the insert tick reads
+    // the FEED not the base (feed_files < base_files), the
+    // extremum-removing delete tick stays incremental AND takes the
+    // group-pruned redo path (redo_files present — with a derived
+    // LEADING group key the pruning falls back to the first bare-column
+    // key), nondeterministic definitions refuse at CREATE
+    // (rand()/current_date — advice fix), and ALTER MATERIALIZED VIEW
+    // RENAME moves definition + backing state + refresh state in one
+    // directory move (the graded read goes through the renamed name on
+    // a NEW Connector). All graded measures are exact integer
+    // arithmetic (the q183 de-float discipline).
+    Q("q184_mv_expr",
+      """WITH base AS (
+        |  SELECT event_id AS k, ts, event_type AS et,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    event_id % 5 + 1 AS w
+        |  FROM events),
+        |all_rows AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT k + 10000000, ts, 'boost', cents, w FROM base
+        |  WHERE k % 7 = 0),
+        |kept AS (
+        |  SELECT * FROM all_rows WHERE NOT (et = 'error' AND k % 2 = 0))
+        |SELECT CAST(date_trunc('day', ts) AS DATE) AS day, et,
+        |  count(*) AS n, sum(cents * w) AS wsum,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents,
+        |  TRUE AS mvx_ok
+        |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val wh = Scratch.dir("run")
+      val conn = new Connector(s, wh)
+      conn.createTable("events_mvb", T.events(s, d).select(
+        col("event_id").as("k"),
+        col("ts"),
+        col("event_type").as("et"),
+        round(col("value") * 100, 0).cast("long").as("cents"),
+        (col("event_id") % 5 + 1).as("w")).repartition(8))
+      conn.sql("CREATE MATERIALIZED VIEW ev_daily AS " +
+        "SELECT date_trunc('DAY', ts) AS day, et, count(*) AS n, " +
+        "sum(cents * w) AS wsum, min(cents) AS lo_cents, " +
+        "max(cents) AS hi_cents " +
+        "FROM events_mvb GROUP BY date_trunc('DAY', ts), et")
+      // a definition the maintainer CANNOT replay deterministically
+      // must refuse at CREATE, not diverge at refresh (advice fix)
+      val refusedNondet = Seq(
+        "CREATE MATERIALIZED VIEW bad1 AS SELECT et, count(*) AS n " +
+          "FROM events_mvb WHERE rand() < 0.5 GROUP BY et",
+        "CREATE MATERIALIZED VIEW bad2 AS SELECT et, count(*) AS n " +
+          "FROM events_mvb WHERE ts > current_date GROUP BY et",
+        "CREATE MATERIALIZED VIEW bad3 AS SELECT et, sum(cents * " +
+          "rand()) AS x FROM events_mvb GROUP BY et").forall(stmt =>
+        scala.util.Try(conn.sql(stmt)).failed.toOption.exists(e =>
+          e.getMessage.contains("deterministic") ||
+            e.getMessage.contains("time-independent")))
+      // era 2: INSERT-only window — the incremental tick must read the
+      // insert's files, not the base
+      conn.sql("INSERT INTO events_mvb SELECT k + 10000000, ts, " +
+        "'boost', cents, w FROM events_mvb WHERE k % 7 = 0")
+      val detail = conn.sql("REFRESH MATERIALIZED VIEW ev_daily")
+        .collect().head.getAs[String]("detail")
+      val feedWitness = """feed_files=(\d+) base_files=(\d+)""".r
+        .findFirstMatchIn(detail)
+        .exists(m => m.group(1).toLong < m.group(2).toLong)
+      // era 3: extremum-removing delete — the tick stays incremental
+      // and ONLY the affected (day, 'error') groups re-aggregate
+      conn.sql("DELETE FROM events_mvb WHERE et = 'error' AND k % 2 = 0")
+      val detail2 = conn.sql("REFRESH MATERIALIZED VIEW ev_daily")
+        .collect().head.getAs[String]("detail")
+      val incremental = detail.contains("mode=incremental") &&
+        feedWitness && detail2.contains("mode=incremental") &&
+        detail2.contains("redo_files=")
+      // rename carries definition + backing state + refresh state; the
+      // graded read goes through the NEW name on a NEW Connector
+      val conn2 = new Connector(s, wh)
+      conn2.sql("ALTER MATERIALIZED VIEW ev_daily RENAME TO ev_rollup")
+      val renamed = conn2.matViews.contains("ev_rollup") &&
+        !conn2.matViews.contains("ev_daily") &&
+        scala.util.Try(conn2.sql("SELECT * FROM ev_daily")).isFailure &&
+        conn2.sql("REFRESH MATERIALIZED VIEW ev_rollup")
+          .collect().head.getAs[String]("detail").contains("mode=fresh")
+      val witness = refusedNondet && incremental && renamed
+      conn2.sql("SELECT CAST(day AS DATE) AS day, et, n, wsum, " +
+        "lo_cents, hi_cents FROM ev_rollup")
+        .withColumn("mvx_ok", lit(witness))
+        .orderBy("day", "et")
     })
 
   def queries: Seq[Q] = ql

@@ -250,6 +250,8 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     """(?is)^\s*DROP\s+MATERIALIZED\s+VIEW\s+(IF\s+EXISTS\s+)?(`[^`]+`|[\w.]+)\s*;?\s*$""".r
   private val MvShowRe =
     """(?is)^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$""".r
+  private val MvRenameRe =
+    """(?is)^\s*ALTER\s+MATERIALIZED\s+VIEW\s+(`[^`]+`|[\w.]+)\s+RENAME\s+TO\s+(`[^`]+`|[\w.]+)\s*;?\s*$""".r
 
   /** Normalize a textual MV name token: strip backquotes, accept the
     * one namespace qualifier, canonicalize case. */
@@ -271,6 +273,8 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     case MvRefreshRe(tok) => Some(refreshMatView(mvNameOf(tok)))
     case MvDropRe(ifExists, tok) =>
       Some(dropMatView(mvNameOf(tok), ifExists = ifExists != null))
+    case MvRenameRe(fromTok, toTok) =>
+      Some(renameMatView(mvNameOf(fromTok), mvNameOf(toTok)))
     case MvShowRe() =>
       import spark.implicits._
       // staleness from metadata alone: the applied base snapshot vs
@@ -292,42 +296,41 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   }
 
   /** Extract the maintainable aggregate shape from the AS SELECT text:
-    * ONE warehouse base table, bare GROUP BY columns, and aliased
-    * count(*)/sum(c)/min(c)/max(c) select items. Anything else refuses
-    * NOW, naming the shape — a definition the refresh machinery cannot
-    * maintain incrementally must never be accepted. Returns (base,
-    * groupCols, sumCols, minMaxCols, out alias→canonical pairs). */
+    * ONE warehouse base table, GROUP BY keys (bare columns OR
+    * deterministic row-local expressions — r20: the time-bucketed
+    * rollup `GROUP BY date_trunc('day', ts)` is the most common real
+    * MV), and aliased count(*)/count(c)/sum/min/max/avg select items
+    * whose argument is a bare column or such an expression
+    * (`sum(qty * price)`). Expressions materialize as DERIVED columns
+    * in the backing state and every delta — same abelian algebra.
+    * Anything else refuses NOW, naming the shape — a definition the
+    * refresh machinery cannot maintain incrementally must never be
+    * accepted. Column references resolve case-insensitively and
+    * canonicalize to the base schema's spelling (Spark SQL identifier
+    * semantics). Returns (base, groupCols, sumCols, minMaxCols,
+    * avgCols, nnCols, out alias→canonical pairs, whereSql, derived). */
   private def parseMvShape(name: String, text: String)
       : (String, Seq[String], Seq[String], Seq[String], Seq[String],
-         Seq[String], Seq[(String, String)], Option[String]) = {
+         Seq[String], Seq[(String, String)], Option[String],
+         Seq[(String, String)]) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias,
       UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       s"CREATE MATERIALIZED VIEW $name: $why — the incrementally " +
-        "maintainable shape is SELECT <group cols>, count(*) / " +
-        "sum(c) / min(c) / max(c) AS <alias> … FROM <one warehouse " +
-        "table> [WHERE <row-local predicate>] GROUP BY <group cols> " +
-        "(no JOIN/HAVING/DISTINCT/expressions; use a plain VIEW for " +
-        "those)")
+        "maintainable shape is SELECT <group keys>, count(*) / " +
+        "count(c) / sum(c) / min(c) / max(c) / avg(c) AS <alias> … " +
+        "FROM <one warehouse table> [WHERE <row-local predicate>] " +
+        "GROUP BY <group keys>, where c and each group key is a bare " +
+        "column or a deterministic row-local expression (no JOIN/" +
+        "HAVING/DISTINCT/subqueries; use a plain VIEW for those)")
     val p0 = stripDefaultNs(
       org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, text))
     p0 match {
       case Aggregate(groupExprs, aggExprs, rel0, _) =>
-        // an optional WHERE stays maintainable because the predicate
-        // evaluates PER CHANGELOG ROW — but only if it is row-local:
-        // a subquery reads OTHER relations whose changes the base's
-        // feed never sees, so it refuses
-        val (rel, whereSql) = rel0 match {
-          case f: Filter =>
-            if (f.condition.exists {
-              case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression => true
-              case _ => false
-            }) fail("the WHERE predicate must be row-local " +
-              "(no subqueries — their relations' changes are invisible " +
-              "to the base table's change feed)")
-            (f.child, Some(f.condition.sql))
+        val (rel, whereCond) = rel0 match {
+          case f: Filter => (f.child, Some(f.condition))
           case other => (other, None)
         }
         val base = relNameOf(rel).getOrElse(
@@ -338,37 +341,129 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         require(tableExists(base),
           s"CREATE MATERIALIZED VIEW $name: base table not found: $base")
         val baseSchema = loadTable(base).schema
-        def bareCol(e: Expression, what: String): String = e match {
-          case a: UnresolvedAttribute if a.nameParts.length == 1 =>
-            val c = a.nameParts.head
-            require(baseSchema.fieldNames.contains(c),
-              s"CREATE MATERIALIZED VIEW $name: no column '$c' in $base")
-            c
-          case other => fail(s"$what must be a bare column, got '${
-            other.sql}'")
+        // case-insensitive resolution, canonicalized to the schema's
+        // spelling (r20 — Spark resolves identifiers case-insensitively,
+        // so `SELECT ST … GROUP BY st` must work)
+        def resolveCol(c: String): Option[String] =
+          baseSchema.fieldNames.find(_.equalsIgnoreCase(c))
+        // Row-local + DETERMINISTIC vetting for expressions the
+        // maintainer will re-evaluate per changelog row at every
+        // REFRESH (r20, advice): a subquery reads relations whose
+        // changes the base's feed never sees; a nondeterministic or
+        // current-time expression evaluates differently per tick, so
+        // the maintained state would silently diverge from a rebuild
+        // of the same definition (a time-window WHERE never expires
+        // already-admitted rows).
+        def vetRowLocal(e: Expression, what: String): Unit = e.foreach {
+          case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+            fail(s"$what must be row-local (no subqueries — their " +
+              "relations' changes are invisible to the base table's " +
+              "change feed)")
+          case a: UnresolvedAttribute =>
+            if (a.nameParts.length != 1) fail(s"$what must reference " +
+              s"base columns unqualified, got '${a.sql}'")
+            // this parser leaves bare CURRENT_DATE/CURRENT_TIMESTAMP
+            // as column references — a user writing one means the time
+            // function, so refuse it as time-dependent (not "no such
+            // column") unless the base genuinely has a column so named
+            if (resolveCol(a.nameParts.head).isEmpty) {
+              if (MvBannedFns(a.nameParts.head.toLowerCase))
+                fail(s"$what must be deterministic and " +
+                  s"time-independent — '${a.nameParts.head.toLowerCase}' " +
+                  "is re-evaluated per changelog row at every REFRESH " +
+                  "and would diverge from a rebuild")
+              throw new IllegalArgumentException(s"CREATE MATERIALIZED " +
+                s"VIEW $name: no column '${a.nameParts.head}' in $base")
+            }
+          case f: UnresolvedFunction
+              if MvBannedFns(f.nameParts.last.toLowerCase) =>
+            fail(s"$what must be deterministic and time-independent — " +
+              s"'${f.nameParts.last.toLowerCase}' is re-evaluated per " +
+              "changelog row at every REFRESH and would diverge from " +
+              "a rebuild")
+          case _: org.apache.spark.sql.catalyst.expressions.CurrentDate |
+               _: org.apache.spark.sql.catalyst.expressions.CurrentTimestamp |
+               _: org.apache.spark.sql.catalyst.expressions.Now |
+               _: org.apache.spark.sql.catalyst.expressions.LocalTimestamp =>
+            fail(s"$what must be time-independent")
+          case x if !x.deterministic =>
+            fail(s"$what must be deterministic, got '${x.sql}'")
+          case _ => ()
         }
-        val groupCols = groupExprs.map(bareCol(_, "GROUP BY"))
+        val whereSql = whereCond.map { c =>
+          vetRowLocal(c, "the WHERE predicate"); c.sql
+        }
+        val derivedBuf =
+          scala.collection.mutable.ListBuffer.empty[(String, String)]
+        // group keys: bare base columns pass through; anything else is
+        // a derived-expression key materialized under a stable name
+        val groupKeys: Seq[(Expression, String)] =
+          groupExprs.zipWithIndex.map {
+            case (a: UnresolvedAttribute, _)
+                if a.nameParts.length == 1 &&
+                  resolveCol(a.nameParts.head).isDefined =>
+              (a: Expression, resolveCol(a.nameParts.head).get)
+            // GROUP BY ordinals parse to UnresolvedOrdinal (their
+            // substitution is an analyzer rule this plan never runs) —
+            // and a bare literal would group by a CONSTANT
+            case (o: org.apache.spark.sql.catalyst.analysis.UnresolvedOrdinal, _) =>
+              fail(s"GROUP BY ordinals ('${o.ordinal}') are not " +
+                "supported — spell the group key expression out")
+            case (l: Literal, _) =>
+              fail(s"GROUP BY ordinals/literals ('${l.sql}') are not " +
+                "supported — spell the group key expression out")
+            case (e, i) =>
+              vetRowLocal(e, "a GROUP BY expression")
+              val n = s"gexpr$i"
+              derivedBuf += ((n, e.sql))
+              (e, n)
+          }
+        val groupCols = groupKeys.map(_._2)
         if (groupCols.isEmpty) fail("GROUP BY is required")
         val sums = scala.collection.mutable.ListBuffer.empty[String]
         val mms = scala.collection.mutable.ListBuffer.empty[String]
         val avgs = scala.collection.mutable.ListBuffer.empty[String]
         val nns = scala.collection.mutable.ListBuffer.empty[String]
+        // an aggregate's argument: a bare column stays itself; an
+        // expression becomes a derived measure column (deduped by its
+        // canonical SQL text, so sum(x*y) and avg(x*y) share one)
+        def measureArg(arg: Expression, what: String): String = arg match {
+          case a: UnresolvedAttribute if a.nameParts.length == 1 &&
+              resolveCol(a.nameParts.head).isDefined =>
+            resolveCol(a.nameParts.head).get
+          case e =>
+            vetRowLocal(e, what)
+            val sqlTxt = e.sql
+            derivedBuf.collectFirst {
+              case (n, s2) if n.startsWith("mexpr") && s2 == sqlTxt => n
+            }.getOrElse {
+              val n = s"mexpr${derivedBuf.count(_._1.startsWith("mexpr"))}"
+              derivedBuf += ((n, sqlTxt))
+              n
+            }
+        }
         def canonOf(e: Expression): String = e match {
           case a: UnresolvedAttribute if a.nameParts.length == 1 &&
-              groupCols.contains(a.nameParts.head) => a.nameParts.head
+              resolveCol(a.nameParts.head).exists(groupCols.contains) =>
+            resolveCol(a.nameParts.head).get
+          // ONLY the maintainable aggregate names claim this arm — any
+          // other function (date_trunc, …) falls through to the
+          // group-key-expression match below
           case f: UnresolvedFunction if f.nameParts.length == 1 &&
-              !f.isDistinct && f.filter.isEmpty =>
+              !f.isDistinct && f.filter.isEmpty &&
+              Set("count", "sum", "min", "max", "avg", "mean")(
+                f.nameParts.head.toLowerCase) =>
             (f.nameParts.head.toLowerCase, f.arguments) match {
               case ("count", Seq(_: UnresolvedStar)) => "cnt"
               case ("count", Seq(Literal(v, _))) if v != null => "cnt"
               case ("count", Seq(arg)) =>
                 // count(c): the NON-NULL count — its own abelian
                 // column (works on any type; avg shares it)
-                val c = bareCol(arg, "count's argument")
+                val c = measureArg(arg, "count's argument")
                 nns += c; s"nncnt_$c"
               case (fn @ ("sum" | "min" | "max" | "avg" | "mean"),
                   Seq(arg)) =>
-                val c = bareCol(arg, s"$fn's argument")
+                val c = measureArg(arg, s"$fn's argument")
                 fn match {
                   case "sum" => sums += c; s"sum_$c"
                   case "avg" | "mean" =>
@@ -379,7 +474,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
                 }
               case _ => fail(s"unsupported aggregate '${e.sql}'")
             }
-          case other => fail(s"unsupported select item '${other.sql}'")
+          case other =>
+            // a non-aggregate expression select item must BE one of
+            // the group-key expressions (matched on canonical SQL
+            // text — both came from the same parse)
+            groupKeys.collectFirst {
+              case (ge, n) if ge.sql == other.sql => n
+            }.getOrElse(fail(s"unsupported select item '${other.sql}' " +
+              "(a non-aggregate item must be a GROUP BY column or " +
+              "expression)"))
         }
         val out = aggExprs.map {
           // a bare column reference IS a NamedExpression — no wrapper
@@ -387,8 +490,8 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           case Alias(child, aname) => (aname, canonOf(child))
           case ua: UnresolvedAlias => ua.child match {
             case a: UnresolvedAttribute => (a.nameParts.last, canonOf(a))
-            case other => fail(s"alias every aggregate (got bare '${
-              other.sql}')")
+            case other => fail(s"alias every aggregate and expression " +
+              s"select item (got bare '${other.sql}')")
           }
           case other => fail(s"unsupported select item '${other.sql}'")
         }
@@ -396,10 +499,23 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
           s"CREATE MATERIALIZED VIEW $name: duplicate output column " +
             "name — alias the select items uniquely")
         (base, groupCols, sums.distinct.toSeq, mms.distinct.toSeq,
-          avgs.distinct.toSeq, nns.distinct.toSeq, out, whereSql)
+          avgs.distinct.toSeq, nns.distinct.toSeq, out, whereSql,
+          derivedBuf.toSeq)
       case _ => fail("the query is not a single GROUP BY aggregate")
     }
   }
+
+  /** Function names refused inside MV definitions (WHERE predicates,
+    * derived group keys, measure expressions): nondeterministic or
+    * time-dependent — re-evaluated per changelog row at every REFRESH,
+    * they would silently diverge from a rebuild of the same text. */
+  private val MvBannedFns: Set[String] = Set(
+    "rand", "randn", "random", "uuid", "shuffle",
+    "current_date", "current_timestamp", "now", "localtimestamp",
+    "current_timezone", "curdate",
+    "monotonically_increasing_id", "spark_partition_id",
+    "input_file_name", "current_database", "current_catalog",
+    "current_user", "session_user", "user")
 
   private def mvResult(proc: String, name: String, detail: String)
       : DataFrame = {
@@ -426,14 +542,44 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       s"CREATE MATERIALIZED VIEW $name: '$name' already names a " +
         "warehouse table or view — the SQL namespace is shared")
     val (base, groupCols, sumCols, mmCols, avgCols, nnCols, out,
-      whereSql) = parseMvShape(name, text)
-    if (matViewExists(name)) dropMatView(name, ifExists = false)
+      whereSql, derived) = parseMvShape(name, text)
     val baseT = loadTable(base)
-    MaterializedAgg.create(baseT, mvTableDir(name), name,
-      groupCols, sumCols, mmCols, whereSql, avgCols, nnCols)
+    // r20 (advice): the FULL definition analyzes BEFORE any destructive
+    // step — shape extraction alone never bound the WHERE predicate's
+    // or a derived expression's references, so OR REPLACE used to drop
+    // the old view and THEN fail at create, destroying it for nothing
+    MaterializedAgg.validate(baseT, groupCols, sumCols, mmCols,
+      whereSql, avgCols, nnCols, derived)
+    if (matViewExists(name)) {
+      // OR REPLACE with the SAME maintainable shape (only the output
+      // projection / aliases changed) keeps the backing state — no
+      // re-materialization, no staleness reset
+      val old = MatViewStore.load(matViewsDir, name)
+      if (old.base == base && old.baseUuid == baseT.tableUuid &&
+          old.groupCols == groupCols && old.sumCols == sumCols &&
+          old.minMaxCols == mmCols && old.avgCols == avgCols &&
+          old.nnCols == nnCols && old.where == whereSql &&
+          old.derived == derived) {
+        MatViewStore.save(matViewsDir, old.copy(sql = text, out = out))
+        return mvResult("create_materialized_view", name,
+          s"replaced definition over $base (${out.size} column(s)); " +
+            "same maintainable shape — backing state kept")
+      }
+      dropMatView(name, ifExists = false)
+    }
+    try MaterializedAgg.create(baseT, mvTableDir(name), name,
+      groupCols, sumCols, mmCols, whereSql, avgCols, nnCols, derived)
+    catch {
+      case e: Throwable =>
+        // never leave a half-written backing directory: matViewExists
+        // would stay false (no definition saved) while the directory
+        // blocked every recreate
+        deleteDirTree(mvTableDir(name))
+        throw e
+    }
     MatViewStore.save(matViewsDir, MatViewDef(name, text, base,
       baseT.tableUuid, groupCols, sumCols, mmCols, avgCols, nnCols,
-      out, whereSql, System.currentTimeMillis()))
+      out, whereSql, System.currentTimeMillis(), derived))
     mvResult("create_materialized_view", name,
       s"materialized over $base (${out.size} column(s)); " +
         "REFRESH MATERIALIZED VIEW to catch up after base commits")
@@ -454,7 +600,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       }
     (d, MaterializedAgg.load(baseT, mvTableDir(name), name,
       d.groupCols, d.sumCols, d.minMaxCols, d.where, d.avgCols,
-      d.nnCols))
+      d.nnCols, d.derived))
   }
 
   private def refreshMatView(name: String): DataFrame = {
@@ -486,17 +632,56 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         s"DROP MATERIALIZED VIEW $name: not found")
     }
     MatViewStore.delete(matViewsDir, name)
-    val dir = mvTableDir(name)
+    deleteDirTree(mvTableDir(name))
+    import spark.implicits._
+    Seq(("drop_materialized_view", name, 0L, "materialized view dropped"))
+      .toDF("procedure", "table", "snapshot_id", "detail")
+  }
+
+  private def deleteDirTree(dir: Path): Unit =
     if (Files.isDirectory(dir)) {
       val walk = Files.walk(dir)
       try walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(p => Files.deleteIfExists(p))
       finally walk.close()
+      // a recreate at this path would otherwise serve stale cached
+      // manifests — same reuse hazard as dropTable
       SnapshotLog.invalidateUnder(dir)
     }
-    import spark.implicits._
-    Seq(("drop_materialized_view", name, 0L, "materialized view dropped"))
-      .toDF("procedure", "table", "snapshot_id", "detail")
+
+  /** ALTER MATERIALIZED VIEW … RENAME TO … (r20 — parity with the
+    * plain-view and table rename surface): ONE directory move carries
+    * the backing table (manifests store table-relative paths, so the
+    * full snapshot history and the maintainer's WAL state survive),
+    * then the definition re-saves under the new name. A crash between
+    * the move and the definition swap leaves the OLD definition
+    * pointing at a missing backing dir — recognizable and DROP-able,
+    * never two live views. */
+  private def renameMatView(oldName: String, newName: String): DataFrame = {
+    require(matViewExists(oldName),
+      s"ALTER MATERIALIZED VIEW $oldName: not found")
+    if (MatViewStore.canon(oldName) == MatViewStore.canon(newName))
+      return mvResult("alter_materialized_view", oldName,
+        "rename to the same name (no-op)")
+    require(!tableExistsCI(newName) && !viewExists(newName) &&
+        !matViewExists(newName),
+      s"ALTER MATERIALIZED VIEW $oldName: '$newName' already names a " +
+        "warehouse table, view, or materialized view — the SQL " +
+        "namespace is shared")
+    val d = MatViewStore.load(matViewsDir, oldName)
+    val (from, to) = (mvTableDir(oldName), mvTableDir(newName))
+    require(!Files.exists(to),
+      s"ALTER MATERIALIZED VIEW $oldName: destination path '$to' " +
+        "already exists")
+    Files.move(from, to)
+    SnapshotLog.invalidateUnder(from)
+    SnapshotLog.invalidateUnder(to)
+    MatViewStore.save(matViewsDir,
+      d.copy(name = MatViewStore.canon(newName)))
+    MatViewStore.delete(matViewsDir, oldName)
+    mvResult("alter_materialized_view", newName,
+      s"renamed from $oldName (definition and backing state moved; " +
+        "history and refresh state intact)")
   }
 
   /** A materialized view READS as its backing table projected to the
@@ -520,6 +705,17 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         val c = canonCol.stripPrefix("avg:")
         when(col(s"nncnt_$c") === 0L, lit(null))
           .otherwise(col(s"sum_$c") / col(s"nncnt_$c")).as(alias)
+      // sum(c) over zero non-null values is NULL in SQL, but the
+      // STORED running sum is kept NULL-free (r20 — an all-NULL delta
+      // used to NULL-poison it); reconstruct the NULL from the
+      // column's maintained non-null count. Guarded on the backing
+      // schema so pre-r20 state (no nncnt for sum columns) still reads.
+      case (alias, canonCol) if canonCol.startsWith("sum_") &&
+          t.schema.fieldNames.contains("nncnt_" +
+            canonCol.stripPrefix("sum_")) =>
+        val c = canonCol.stripPrefix("sum_")
+        when(col(s"nncnt_$c") === 0L, lit(null))
+          .otherwise(col(canonCol)).as(alias)
       case (alias, canonCol) => col(canonCol).as(alias)
     }: _*)
     org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(

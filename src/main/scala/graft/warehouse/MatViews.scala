@@ -41,6 +41,12 @@ import scala.jdk.CollectionConverters._
 /** @param avgCols columns served as avg(c): the backing table holds
   *   the abelian (`sum_c`, `nncnt_c`) pair and readers divide — the
   *   out-mapping canon for these is the marker `avg:c` */
+/** @param derived derived-expression columns (r20): (canonical name,
+  *   row-local deterministic SQL expression over base columns) —
+  *   `gexpr0` for an expression GROUP BY key (`date_trunc('day',
+  *   ts)`), `mexpr0` for an expression measure argument
+  *   (`sum(qty * price)`). group/sum/… column lists may name these;
+  *   the maintainer materializes them on every aggregated relation. */
 final case class MatViewDef(
     name: String,
     sql: String,
@@ -53,7 +59,8 @@ final case class MatViewDef(
     nnCols: Seq[String],
     out: Seq[(String, String)],
     where: Option[String],
-    createdMs: Long)
+    createdMs: Long,
+    derived: Seq[(String, String)] = Nil)
 
 /** Disk codec for [[MatViewDef]]s — same discipline as [[ViewStore]]:
   * one properties file per view, tmp-then-atomic-move, names
@@ -106,6 +113,8 @@ object MatViewStore {
     setSeq(p, "nn", d.nnCols)
     setSeq(p, "out.alias", d.out.map(_._1))
     setSeq(p, "out.canon", d.out.map(_._2))
+    setSeq(p, "derived.name", d.derived.map(_._1))
+    setSeq(p, "derived.expr", d.derived.map(_._2))
     d.where.foreach(p.setProperty("where", _))
     val tmp = dir.resolve(s".${canon(d.name)}.${
       java.util.UUID.randomUUID().toString.take(8)}.tmp")
@@ -133,7 +142,8 @@ object MatViewStore {
       getSeq(p, "avg"), getSeq(p, "nn"),
       getSeq(p, "out.alias").zip(getSeq(p, "out.canon")),
       Option(p.getProperty("where")),
-      Option(p.getProperty("created_ms")).map(_.toLong).getOrElse(0L))
+      Option(p.getProperty("created_ms")).map(_.toLong).getOrElse(0L),
+      getSeq(p, "derived.name").zip(getSeq(p, "derived.expr")))
   }
 
   def delete(dir: Path, name: String): Boolean = {

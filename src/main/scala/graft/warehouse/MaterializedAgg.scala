@@ -49,6 +49,16 @@ import org.apache.spark.sql.functions._
 /** @param nnCols columns served as `count(c)` — the signed NON-NULL
   *   count alone (works on any type; avg implies it for its own
   *   column). */
+/** @param derived DERIVED columns (r20): (name, row-local
+  *   deterministic SQL expression over base columns), materialized on
+  *   every relation this maintainer aggregates — the initial
+  *   materialization, each change-feed delta, the extremum redo, and
+  *   the rebuild — so expression group keys (`date_trunc('day', ts)`)
+  *   and expression measures (`sum(qty * price)`) ride the SAME
+  *   abelian algebra as bare columns. groupCols / sumCols / … may name
+  *   these. Determinism is the caller's contract (enforced at SQL
+  *   create): a nondeterministic expression would evaluate differently
+  *   per tick and silently diverge from a rebuild. */
 final class MaterializedAgg private (
     val base: GraftTable,
     val view: GraftTable,
@@ -57,14 +67,27 @@ final class MaterializedAgg private (
     minMaxCols: Seq[String],
     filterSql: Option[String] = None,
     avgCols: Seq[String] = Nil,
-    nnCols: Seq[String] = Nil) {
+    nnCols: Seq[String] = Nil,
+    derived: Seq[(String, String)] = Nil) {
 
   import MaterializedAgg._
 
   // a column avg'd AND summed shares one maintained sum_c; avg'd AND
-  // non-null-counted shares one nncnt_c
+  // non-null-counted shares one nncnt_c. SUMMED columns maintain their
+  // own nncnt_c too (r20): the stored running sum is kept NULL-free
+  // (an all-NULL delta used to NULL-poison it — sum(c * sign) over an
+  // all-NULL group is NULL, and old `stored + delta` erased the
+  // total), so SQL's "sum of zero non-null values is NULL" semantics
+  // must be reconstructed at READ time from the non-null count.
   private val allSumCols: Seq[String] = (sumCols ++ avgCols).distinct
-  private val allNnCols: Seq[String] = (avgCols ++ nnCols).distinct
+  private val allNnCols: Seq[String] = (avgCols ++ nnCols ++ sumCols).distinct
+
+  /** Materialize the derived expression columns (idempotent — a
+    * relation that already carries one gets it recomputed, same
+    * deterministic value). Applied BEFORE the filter and the
+    * aggregate on every path so all of them see one schema. */
+  private def withDerived(df: DataFrame): DataFrame =
+    derived.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, expr(e)) }
 
   // lazy: create() builds a view-less scratch instance to reuse
   // aggregate() for the initial materialization
@@ -119,7 +142,8 @@ final class MaterializedAgg private (
     // SAME row-local gate the initial aggregate applied, evaluated on
     // each changelog row (an update moving a row across the predicate
     // boundary arrives as preimage-out + postimage-in and nets right)
-    val deltaF = filterSql.map(f => delta.filter(expr(f))).getOrElse(delta)
+    val deltaD = withDerived(delta)
+    val deltaF = filterSql.map(f => deltaD.filter(expr(f))).getOrElse(deltaD)
     val sign = when(col("_change_type")
       .isin("insert", "update_postimage"), 1L).otherwise(-1L)
     val isIns = col("_change_type").isin("insert", "update_postimage")
@@ -144,11 +168,17 @@ final class MaterializedAgg private (
     // to |touched groups|, not |base|.
     val joined = deltaAgg.join(view.read(), groupCols, "left")
     val newCnt = (coalesce(col("cnt"), lit(0L)) + col("_dcnt")).as("cnt")
+    // BOTH sides coalesce (r20): a touched group whose delta rows are
+    // all NULL in c has _d_c = NULL (sum over no non-null values) —
+    // uncoalesced it would NULL-poison the stored running total. The
+    // stored sum stays NULL-free; readers reconstruct SQL's all-NULL
+    // NULL from nncnt_c == 0.
     val newSums = allSumCols.map(c =>
-      (coalesce(col(s"sum_$c"), lit(0L)) + col(s"_d_$c")).as(s"sum_$c"))
+      (coalesce(col(s"sum_$c"), lit(0L)) +
+        coalesce(col(s"_d_$c"), lit(0L))).as(s"sum_$c"))
     val newNns = allNnCols.map(c =>
-      (coalesce(col(s"nncnt_$c"), lit(0L)) + col(s"_dnn_$c"))
-        .as(s"nncnt_$c"))
+      (coalesce(col(s"nncnt_$c"), lit(0L)) +
+        coalesce(col(s"_dnn_$c"), lit(0L))).as(s"nncnt_$c"))
     // least/greatest skip NULLs, so a new group takes the inserted
     // bound and an untouched-extremum group keeps the stored one
     val newMins = minMaxCols.map(c =>
@@ -197,18 +227,28 @@ final class MaterializedAgg private (
           if (redoRows.isEmpty) mergedAll.drop("_redo")
           else {
             // re-aggregate ONLY the affected groups from the base,
-            // file-pruned on the leading group column's recorded stats —
-            // the sub-full-scan path lastRedoScan witnesses
+            // file-pruned on the first BASE-COLUMN group key's recorded
+            // stats — the sub-full-scan path lastRedoScan witnesses. A
+            // DERIVED group key has no base-file stats to prune on; if
+            // every group key is derived, the redo reads the base
+            // unpruned — still only the affected GROUPS re-aggregate
+            // via the semi join, and lastRedoScan reports the honest
+            // full breadth
             val spark = base.spark
             val keySchema = org.apache.spark.sql.types.StructType(
               groupCols.map(c => view.schema(c)))
             val redoKeys = spark.createDataFrame(
               java.util.Arrays.asList(redoRows: _*), keySchema)
-            val pruned = base.readWhereIn(groupCols.head,
-              redoRows.map(_.get(0)).distinct.toSeq, Some(head))
+            val derivedNames = derived.map(_._1).toSet
+            val pruneIdx = groupCols.indexWhere(!derivedNames.contains(_))
+            val pruned =
+              if (pruneIdx < 0) base.read(Some(head))
+              else base.readWhereIn(groupCols(pruneIdx),
+                redoRows.map(_.get(pruneIdx)).distinct.toSeq, Some(head))
             lastRedoScan = Some((pruned.inputFiles.length.toLong,
               base.log.dataFiles(Some(head)).length.toLong))
-            val redoBase = pruned.join(broadcast(redoKeys), groupCols, "left_semi")
+            val redoBase = withDerived(pruned)
+              .join(broadcast(redoKeys), groupCols, "left_semi")
             // same multi-action argument: the pruned re-aggregate would
             // otherwise re-scan per merge action
             val redo = aggregate(redoBase)
@@ -248,15 +288,20 @@ final class MaterializedAgg private (
   }
 
   /** Full re-aggregation of a base cut — the initial materialization
-    * and the rebuild path (the optional WHERE gates here too). */
-  private def aggregate(rel: DataFrame): DataFrame =
+    * and the rebuild path (the optional WHERE gates here too). Stored
+    * sums are NULL-free (`coalesce(sum, 0)`) so the rebuild and the
+    * incremental merge agree on the all-NULL-group representation;
+    * readers reconstruct SQL's NULL from `nncnt_c == 0`. */
+  private def aggregate(rel0: DataFrame): DataFrame = {
+    val rel = withDerived(rel0)
     filterSql.map(f => rel.filter(expr(f))).getOrElse(rel)
       .groupBy(groupCols.map(col): _*).agg(
       count(lit(1)).as("cnt"),
-      (allSumCols.map(c => sum(col(c)).as(s"sum_$c")) ++
+      (allSumCols.map(c => coalesce(sum(col(c)), lit(0L)).as(s"sum_$c")) ++
         allNnCols.map(c => count(col(c)).as(s"nncnt_$c")) ++
         minMaxCols.flatMap(c => Seq(
           min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
+  }
 
   /** Write the pending marker BEFORE the merge commits (see the WAL
     * note in the class doc); returns `merged` untouched. */
@@ -300,6 +345,26 @@ object MaterializedAgg {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Analysis-only validation of a definition (r20): builds the
+    * initial-aggregate plan — Dataset construction analyzes eagerly,
+    * so a WHERE naming a bogus column, an unresolvable derived
+    * expression, or an unsummable measure type throws HERE, before the
+    * caller commits to anything (CREATE OR REPLACE must validate the
+    * new definition end-to-end BEFORE dropping the old view). */
+  def validate(base: GraftTable,
+      groupCols: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Nil,
+      filterSql: Option[String] = None,
+      avgCols: Seq[String] = Nil,
+      nnCols: Seq[String] = Nil,
+      derived: Seq[(String, String)] = Nil): Unit = {
+    require(groupCols.nonEmpty, "materialized aggregate needs group columns")
+    val mv0 = new MaterializedAgg(base, null, groupCols, sumCols,
+      minMaxCols, filterSql, avgCols, nnCols, derived)
+    mv0.aggregate(base.read()).queryExecution.analyzed
+    ()
+  }
+
   /** Materialize the initial view over the base's current snapshot and
     * return the maintainer. `viewDir` must not already hold a table. */
   def create(base: GraftTable, viewDir: Path, viewName: String,
@@ -307,17 +372,18 @@ object MaterializedAgg {
       minMaxCols: Seq[String] = Nil,
       filterSql: Option[String] = None,
       avgCols: Seq[String] = Nil,
-      nnCols: Seq[String] = Nil): MaterializedAgg = {
+      nnCols: Seq[String] = Nil,
+      derived: Seq[(String, String)] = Nil): MaterializedAgg = {
     require(groupCols.nonEmpty, "materialized aggregate needs group columns")
     val head = base.currentSnapshotId.getOrElse(
       sys.error(s"base table ${base.name} has no snapshots"))
     val mv0 = new MaterializedAgg(base, null, groupCols, sumCols,
-      minMaxCols, filterSql, avgCols, nnCols)
+      minMaxCols, filterSql, avgCols, nnCols, derived)
     val init = mv0.aggregate(base.read(Some(head)))
     val view = GraftTable.create(base.spark, viewDir, viewName, init)
       .getOrElse(sys.error(s"view table already exists at $viewDir"))
     val mv = new MaterializedAgg(base, view, groupCols, sumCols,
-      minMaxCols, filterSql, avgCols, nnCols)
+      minMaxCols, filterSql, avgCols, nnCols, derived)
     writeState(mv.view.dir.resolve("_mv_state.json"),
       State(head, 0L, view.currentSnapshotId.get))
     mv
@@ -329,10 +395,11 @@ object MaterializedAgg {
       minMaxCols: Seq[String] = Nil,
       filterSql: Option[String] = None,
       avgCols: Seq[String] = Nil,
-      nnCols: Seq[String] = Nil): MaterializedAgg = {
+      nnCols: Seq[String] = Nil,
+      derived: Seq[(String, String)] = Nil): MaterializedAgg = {
     val view = GraftTable.load(base.spark, viewDir, viewName)
       .getOrElse(sys.error(s"no view table at $viewDir"))
     new MaterializedAgg(base, view, groupCols, sumCols, minMaxCols,
-      filterSql, avgCols, nnCols)
+      filterSql, avgCols, nnCols, derived)
   }
 }

@@ -167,9 +167,13 @@ class MatViewSpec extends AnyFunSuite {
     refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, count(*) AS n " +
       "FROM t WHERE v > (SELECT min(v) FROM t) GROUP BY k", "row-local")
     refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, stddev(x) AS a " +
-      "FROM t GROUP BY k", "unsupported aggregate")
-    refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, sum(v + 1) AS s " +
-      "FROM t GROUP BY k", "bare column")
+      "FROM t GROUP BY k", "unsupported")
+    // r20: sum(v + 1) is now a maintainable derived measure — the
+    // refusals below are what remains out of shape
+    refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, " +
+      "sum(v + rand()) AS s FROM t GROUP BY k", "deterministic")
+    refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, count(*) AS n " +
+      "FROM t GROUP BY 1", "ordinals")
     refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k, " +
       "count(DISTINCT v) AS n FROM t GROUP BY k", "unsupported")
     refusal("CREATE MATERIALIZED VIEW m1 AS SELECT k FROM t",
@@ -358,5 +362,178 @@ class MatViewSpec extends AnyFunSuite {
     assert(intercept[Exception] {
       c.sql("SELECT * FROM vmc").collect() }
       .getMessage.contains("vmc"))
+  }
+
+  test("r20: an all-NULL delta must not poison sums (advice fix)") {
+    val c = new Connector(spark, freshWh())
+    c.createTable("nt", Seq(
+      ("a", Some(10L)), ("a", Some(30L)), ("b", None))
+      .toDF("k", "x"))
+    c.sql("CREATE MATERIALIZED VIEW nmv AS SELECT k, count(*) AS n, " +
+      "sum(x) AS sx, avg(x) AS ax, count(x) AS nx FROM nt GROUP BY k")
+    def read(k: String) = c.sql(
+      s"SELECT n, sx, ax, nx FROM nmv WHERE k = '$k'").collect().head
+    // an all-NULL group serves SQL semantics from day one: sum NULL,
+    // avg NULL (no division error), count(x) = 0
+    val b0 = read("b")
+    assert(b0.getLong(0) == 1L && b0.isNullAt(1) && b0.isNullAt(2) &&
+      b0.getLong(3) == 0L, b0.toString)
+    // THE poisoning shape: a refresh whose delta holds ONLY a NULL for
+    // a group with existing state — sum(x * sign) over it is NULL, and
+    // the uncoalesced merge used to erase the stored total
+    c.sql("INSERT INTO nt VALUES ('a', NULL)")
+    c.sql("REFRESH MATERIALIZED VIEW nmv")
+    val a1 = read("a")
+    assert(a1.getLong(0) == 3L && a1.getLong(1) == 40L &&
+      a1.getDouble(2) == 20.0 && a1.getLong(3) == 2L, a1.toString)
+    // an all-NULL group gaining its first non-null value…
+    c.sql("INSERT INTO nt VALUES ('b', 7)")
+    c.sql("REFRESH MATERIALIZED VIEW nmv")
+    val b1 = read("b")
+    assert(b1.getLong(1) == 7L && b1.getDouble(2) == 7.0 &&
+      b1.getLong(3) == 1L, b1.toString)
+    // …and losing it again: back to the SQL NULLs, not to 0
+    c.sql("DELETE FROM nt WHERE k = 'b' AND x = 7")
+    c.sql("REFRESH MATERIALIZED VIEW nmv")
+    val b2 = read("b")
+    assert(b2.getLong(0) == 1L && b2.isNullAt(1) && b2.isNullAt(2) &&
+      b2.getLong(3) == 0L, b2.toString)
+  }
+
+  test("r20: expression group keys and measures maintain incrementally") {
+    val wh = freshWh()
+    val c = new Connector(spark, wh)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    c.createTable("ex", Seq(
+      (t("2024-01-01 10:00:00"), "a", 2L, 5L),
+      (t("2024-01-01 22:30:00"), "b", 3L, 7L),
+      (t("2024-01-02 03:00:00"), "a", 1L, 11L))
+      .toDF("ts", "k", "qty", "price"))
+    c.sql("CREATE MATERIALIZED VIEW emv AS " +
+      "SELECT date_trunc('DAY', ts) AS day, count(*) AS n, " +
+      "sum(qty * price) AS rev, min(qty * price) AS lo, " +
+      "max(qty * price) AS hi " +
+      "FROM ex GROUP BY date_trunc('DAY', ts)")
+    // the stored state must equal the declarative aggregate after
+    // EVERY tick — recomputed over the live base each time
+    def expectEq(): Unit = {
+      val got = c.sql("SELECT * FROM emv ORDER BY day").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      val want = c.sql("SELECT date_trunc('DAY', ts) AS day, " +
+        "count(*) AS n, sum(qty * price) AS rev, " +
+        "min(qty * price) AS lo, max(qty * price) AS hi " +
+        "FROM ex GROUP BY date_trunc('DAY', ts) ORDER BY day").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(got == want, s"got=$got want=$want")
+    }
+    expectEq()
+    def tick(): String = c.sql("REFRESH MATERIALIZED VIEW emv")
+      .collect().head.getAs[String]("detail")
+    // insert into an existing day and a NEW day
+    c.sql("INSERT INTO ex VALUES " +
+      "(TIMESTAMP '2024-01-01 23:59:59', 'c', 10, 10), " +
+      "(TIMESTAMP '2024-01-03 00:00:01', 'a', 4, 4)")
+    assert(tick().contains("mode=incremental")); expectEq()
+    // an UPDATE that moves a row ACROSS the day boundary (group
+    // migration through a derived key: debit one day, credit another)
+    c.sql("UPDATE ex SET ts = TIMESTAMP '2024-01-02 01:00:00' " +
+      "WHERE k = 'b'")
+    assert(tick().contains("mode=incremental")); expectEq()
+    // delete a day's extremum: the redo path re-aggregates the group
+    // (with a derived LEADING key there is no bare column to prune on
+    // — the scan is honest-full but group-scoped)
+    c.sql("DELETE FROM ex WHERE qty = 10")
+    val d3 = tick()
+    assert(d3.contains("mode=incremental") && d3.contains("redo_files="),
+      d3)
+    expectEq()
+    // persistence: a NEW Connector re-attaches the derived expressions
+    val c2 = new Connector(spark, wh)
+    c2.sql("INSERT INTO ex VALUES " +
+      "(TIMESTAMP '2024-01-01 00:00:01', 'z', 100, 2)")
+    assert(c2.sql("REFRESH MATERIALIZED VIEW emv").collect().head
+      .getAs[String]("detail").contains("mode=incremental"))
+    expectEq()
+    // case-insensitive column resolution, canonicalized to the schema
+    // spelling (SELECT QTY … GROUP BY K works like any Spark query)
+    c2.sql("CREATE MATERIALIZED VIEW cimv AS SELECT K, sum(QTY) AS sq " +
+      "FROM ex GROUP BY k")
+    assert(c2.sql("SELECT K, sq FROM cimv WHERE K = 'a'").collect()
+      .head.getLong(1) == c2.sql(
+      "SELECT sum(qty) FROM ex WHERE k = 'a'").collect().head.getLong(0))
+    // time-dependent WHERE refuses at CREATE (advice fix): admitted
+    // rows would never expire on later ticks
+    val e = intercept[Exception] { c2.sql(
+      "CREATE MATERIALIZED VIEW bad AS SELECT k, count(*) AS n " +
+        "FROM ex WHERE ts > current_date GROUP BY k") }
+    assert(e.getMessage.contains("time-independent"), e.getMessage)
+  }
+
+  test("r20: ALTER MATERIALIZED VIEW RENAME and OR REPLACE semantics") {
+    val wh = freshWh()
+    val c = new Connector(spark, wh)
+    c.createTable("rt", Seq(("a", 5L), ("b", 30L)).toDF("k", "v"))
+    c.sql("CREATE MATERIALIZED VIEW rmv AS SELECT k, count(*) AS n, " +
+      "sum(v) AS sv FROM rt GROUP BY k")
+    // an invalid OR REPLACE must NOT destroy the old view (advice fix:
+    // validate the full definition BEFORE dropping — the WHERE's
+    // column references never bound during shape extraction)
+    assert(scala.util.Try(c.sql(
+      "CREATE OR REPLACE MATERIALIZED VIEW rmv AS SELECT k, " +
+        "count(*) AS n FROM rt WHERE bogus > 0 GROUP BY k")).isFailure)
+    assert(c.matViews == Seq("rmv"))
+    assert(c.sql("SELECT sv FROM rmv WHERE k = 'b'").collect()
+      .head.getLong(0) == 30L)
+    // same-shape OR REPLACE keeps the backing state: the view is STALE
+    // (unrefreshed insert) — a re-materialization would silently catch
+    // it up; keeping state must keep the staleness
+    c.sql("INSERT INTO rt VALUES ('a', 1)")
+    val rep = c.sql("CREATE OR REPLACE MATERIALIZED VIEW rmv AS " +
+      "SELECT k, count(*) AS rows2, sum(v) AS total2 FROM rt GROUP BY k")
+      .collect().head.getAs[String]("detail")
+    assert(rep.contains("backing state kept"), rep)
+    assert(c.sql("SELECT total2 FROM rmv WHERE k = 'a'").collect()
+      .head.getLong(0) == 5L) // still the pre-insert value
+    c.sql("REFRESH MATERIALIZED VIEW rmv")
+    assert(c.sql("SELECT total2 FROM rmv WHERE k = 'a'").collect()
+      .head.getLong(0) == 6L)
+    // different-shape OR REPLACE re-materializes at the current head
+    c.sql("CREATE OR REPLACE MATERIALIZED VIEW rmv AS SELECT k, " +
+      "count(*) AS n, min(v) AS lo FROM rt GROUP BY k")
+    assert(c.sql("SELECT lo FROM rmv WHERE k = 'a'").collect()
+      .head.getLong(0) == 1L)
+    // RENAME: definition + backing state + refresh state move together
+    c.sql("ALTER MATERIALIZED VIEW rmv RENAME TO rmv2")
+    assert(c.matViews == Seq("rmv2"))
+    assert(c.sql("SELECT lo FROM rmv2 WHERE k = 'a'").collect()
+      .head.getLong(0) == 1L)
+    assert(scala.util.Try(
+      c.sql("SELECT * FROM rmv").collect()).isFailure)
+    assert(c.sql("REFRESH MATERIALIZED VIEW rmv2").collect().head
+      .getAs[String]("detail").contains("mode=fresh"))
+    // …and keeps ticking incrementally under the new name, including
+    // from a NEW Connector (the moved WAL state is authoritative)
+    val c2 = new Connector(spark, wh)
+    c2.sql("INSERT INTO rt VALUES ('c', 9)")
+    assert(c2.sql("REFRESH MATERIALIZED VIEW rmv2").collect().head
+      .getAs[String]("detail").contains("mode=incremental"))
+    assert(c2.sql("SELECT n FROM rmv2 WHERE k = 'c'").collect()
+      .head.getLong(0) == 1L)
+    // rename refusals: missing source, occupied destinations
+    def refuse(stmt: String, frag: String): Unit = {
+      val e = intercept[Exception] { c2.sql(stmt).collect() }
+      assert(e.getMessage.contains(frag), s"$stmt → ${e.getMessage}")
+    }
+    refuse("ALTER MATERIALIZED VIEW nope RENAME TO x", "not found")
+    refuse("ALTER MATERIALIZED VIEW rmv2 RENAME TO rt", "already names")
+    c2.sql("CREATE VIEW pv AS SELECT k FROM rt")
+    refuse("ALTER MATERIALIZED VIEW rmv2 RENAME TO pv", "already names")
+    // a plain-table RENAME must refuse an MV name collision both ways
+    refuse("ALTER TABLE rt RENAME TO rmv2", "MATERIALIZED")
+    // same-name rename is a no-op, not an error
+    assert(c2.sql("ALTER MATERIALIZED VIEW rmv2 RENAME TO rmv2")
+      .collect().head.getAs[String]("detail").contains("no-op"))
   }
 }

@@ -876,8 +876,38 @@ class PropertySpec extends AnyFunSuite {
     // r19: a MATERIALIZED VIEW over the partitioned sibling — REFRESH
     // ticks interleave with inserts, partition truncates, and the
     // column-list REPLACE reset; after every tick the stored aggregate
-    // must equal the model's (the feed nets whatever the walk did)
+    // must equal the model's (the feed nets whatever the walk did).
+    // r20: the walk also RENAMES the MV, re-issues its definition via
+    // same-shape CREATE OR REPLACE (backing state must survive), and
+    // maintains an EXPRESSION-shaped sibling (derived group key
+    // `yr % 2` + derived measure `sum(id * id)`).
     var mvMade = false; var mvRefreshN = 0
+    var mvName = "ppm"
+    var mvRenN = 0; var mvReplN = 0; var mveChkN = 0
+    val mvSelect = "SELECT yr, count(*) AS n, sum(id) AS s FROM pp " +
+      "WHERE id % 5 != 4 GROUP BY yr"
+    def checkMv(): Unit = if (mvMade) {
+      c.sql(s"REFRESH MATERIALIZED VIEW $mvName")
+      mvRefreshN += 1
+      val got = c.sql(s"SELECT yr, n, s FROM $mvName").collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val want = ppRows.toSeq.filter(_._1 % 5 != 4)
+        .groupBy(_._2).map { case (yr, xs) =>
+          yr -> ((xs.size.toLong, xs.map(_._1).sum)) }
+      assert(got == want,
+        s"materialized view diverged after refresh: $got vs $want")
+    }
+    def checkMve(): Unit = {
+      c.sql("REFRESH MATERIALIZED VIEW ppme")
+      mveChkN += 1
+      val got = c.sql("SELECT par, n, s2 FROM ppme").collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = ppRows.toSeq.groupBy(_._2 % 2).map { case (p, xs) =>
+        p -> ((xs.size.toLong, xs.map(x => x._1 * x._1).sum)) }
+      assert(got == want,
+        s"expression MV diverged after refresh: $got vs $want")
+    }
     var analyzeN = 0; var replN = 0
     // the table's CURRENT sql name — ALTER TABLE … RENAME TO moves it
     // mid-walk; every later statement AND every time-travel cut must
@@ -1082,8 +1112,11 @@ class PropertySpec extends AnyFunSuite {
           }
         case 16 => // r19: widen sibling — one-time ALTER COLUMN TYPE,
           // then inserts sized to the CURRENT era (wide values only a
-          // BIGINT holds after the widen)
-          if (!pwWide && rnd.nextInt(3) == 0) {
+          // BIGINT holds after the widen). The gate self-forces past
+          // 2/3 of the walk: coverage must not depend on the exact
+          // draw sequence (r20's extra MV draws shifted it once)
+          if (!pwWide &&
+              (rnd.nextInt(3) == 0 || step > steps * 2 / 3)) {
             widenN += 1
             c.sql("ALTER TABLE pw ALTER COLUMN q TYPE BIGINT")
             pwWide = true
@@ -1125,28 +1158,40 @@ class PropertySpec extends AnyFunSuite {
           c.sql("REPLACE TABLE pp (id BIGINT, yr INT) " +
             "PARTITIONED BY (yr)")
           ppRows = Map.empty
-        case 19 => // r19: MATERIALIZED VIEW over the partitioned
-          // sibling — create once, then REFRESH ticks whose stored
-          // aggregate must equal the model no matter what interleaved
-          // (inserts, partition truncates, the REPLACE reset)
+        case 19 => // r19/r20: MATERIALIZED VIEWS over the partitioned
+          // sibling — create once (the filtered rollup AND the
+          // expression-shaped sibling), then interleave REFRESH checks
+          // with ALTER MATERIALIZED VIEW RENAME and same-text CREATE OR
+          // REPLACE; after every tick the stored aggregates must equal
+          // the model no matter what interleaved (inserts, partition
+          // truncates, the REPLACE reset)
           if (!mvMade) {
             // FILTERED (r19): the WHERE must gate every tick no
             // matter what interleaves
-            c.sql("CREATE MATERIALIZED VIEW ppm AS SELECT yr, " +
-              "count(*) AS n, sum(id) AS s FROM pp " +
-              "WHERE id % 5 != 4 GROUP BY yr")
+            c.sql(s"CREATE MATERIALIZED VIEW $mvName AS $mvSelect")
+            // EXPRESSION-shaped (r20): derived group key + measure
+            c.sql("CREATE MATERIALIZED VIEW ppme AS SELECT yr % 2 " +
+              "AS par, count(*) AS n, sum(id * id) AS s2 FROM pp " +
+              "GROUP BY yr % 2")
             mvMade = true
-          } else {
-            c.sql("REFRESH MATERIALIZED VIEW ppm")
-            mvRefreshN += 1
-            val got = c.sql("SELECT yr, n, s FROM ppm").collect()
-              .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
-              .toMap
-            val want = ppRows.toSeq.filter(_._1 % 5 != 4)
-              .groupBy(_._2).map { case (yr, xs) =>
-                yr -> ((xs.size.toLong, xs.map(_._1).sum)) }
-            assert(got == want,
-              s"materialized view diverged after refresh: $got vs $want")
+          } else rnd.nextInt(5) match {
+            case 0 => // rename: definition + state + WAL travel; the
+              // next tick under the NEW name must still net the model
+              mvRenN += 1
+              val nn = s"ppm_r$mvRenN"
+              c.sql(s"ALTER MATERIALIZED VIEW $mvName RENAME TO $nn")
+              mvName = nn
+              checkMv()
+            case 1 => // same-text OR REPLACE: the shape matches, so
+              // the backing state survives (unless an interleaved
+              // REPLACE TABLE reset pp's lineage — then it re-creates);
+              // either way the next tick must net the model
+              mvReplN += 1
+              c.sql(s"CREATE OR REPLACE MATERIALIZED VIEW $mvName " +
+                s"AS $mvSelect")
+              checkMv()
+            case 2 => checkMve()
+            case _ => checkMv()
           }
         case 6 | 8 if rnd.nextInt(6) == 0 => // rare INSERT OVERWRITE:
           // full replace (static mode, unpartitioned) — new rows only,
@@ -1168,7 +1213,30 @@ class PropertySpec extends AnyFunSuite {
     }
     check()
     checkCut(); checkCut()
+    // force-cover the wide era if the draws widened late and never
+    // inserted into it (same draw-shift robustness as the MV pass)
+    if (pwWide && !pwRows.values.exists(_ >= 3000000000L)) {
+      nextId += 1
+      val i = nextId
+      c.sql(s"INSERT INTO pw VALUES ($i, ${3000000000L + i})")
+      pwRows += i -> (3000000000L + i)
+    }
     checkPP(); checkView(); checkPW()
+    // r20: the MV verb set is exercised DETERMINISTICALLY at walk end
+    // too (the in-walk arms depend on the seed's draws): one rename,
+    // one same-text OR REPLACE, and both refresh checks — whatever
+    // state the walk left behind, these must hold
+    if (mvMade) {
+      mvRenN += 1
+      val nn = s"ppm_r$mvRenN"
+      c.sql(s"ALTER MATERIALIZED VIEW $mvName RENAME TO $nn")
+      mvName = nn
+      checkMv()
+      mvReplN += 1
+      c.sql(s"CREATE OR REPLACE MATERIALIZED VIEW $mvName AS $mvSelect")
+      checkMv()
+      checkMve()
+    }
     // the PRIMARY seed must actually exercise every walked verb — a
     // walk that never renamed or set a property proves nothing about
     // them (replay seeds skip these; their step budget is smaller and
@@ -1190,6 +1258,14 @@ class PropertySpec extends AnyFunSuite {
       assert(vrenN >= 1, s"seed never hit ALTER VIEW RENAME")
       assert(mvRefreshN >= 2,
         s"seed refreshed the materialized view only $mvRefreshN time(s)")
+      // r20 MV verbs: the deterministic walk-end pass guarantees ≥1 of
+      // each; the asserts pin that the walk actually kept the MVs alive
+      // to the end (a silently-dropped MV would skip them)
+      assert(mvRenN >= 1, "walk never renamed the materialized view")
+      assert(mvReplN >= 1,
+        "walk never re-issued the MV via CREATE OR REPLACE")
+      assert(mveChkN >= 1,
+        s"walk never checked the expression-shaped MV")
     }
     assert(c.loadTable(tbl).userProperties() == props)
     assert(c.loadTable(tbl).validate().isEmpty)
