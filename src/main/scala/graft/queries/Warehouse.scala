@@ -3419,6 +3419,89 @@ object Warehouse {
         "lo_cents, hi_cents FROM ev_rollup")
         .withColumn("mvx_ok", lit(witness))
         .orderBy("day", "et")
+    },
+
+    // ---- q185: HAVING on materialized views (r20) ---------------------
+    // HAVING is a READ-time group filter over the served projection —
+    // the backing state stays UNFILTERED, which is the only design the
+    // incremental algebra permits: a group that dips below the
+    // threshold must keep its totals so it can RESURFACE exactly when
+    // it re-crosses (a state-filtered view could never resurrect it
+    // from the change feed alone). The rig drives one group ('Z')
+    // across the threshold BOTH ways: absent → inserted above the bar
+    // (visible), bulk-deleted to a fixed ≤300-key slice (hidden — but
+    // the witness proves the state survived), then re-inserted back
+    // over the bar; the graded hash checks the resurfaced totals
+    // include the ENTIRE retained history, which only kept-state
+    // maintenance produces. All measures exact integers.
+    Q("q185_mv_having",
+      """WITH base AS (
+        |  SELECT o_orderkey AS okey, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders),
+        |z1k AS (
+        |  SELECT okey + 10000000 AS okey, 'Z' AS st, cents FROM base
+        |  WHERE okey % 7 = 0 AND okey <= 300),
+        |z2 AS (
+        |  SELECT okey + 20000000 AS okey, 'Z' AS st, cents FROM base
+        |  WHERE okey % 7 = 1),
+        |kept AS (
+        |  SELECT * FROM base
+        |  UNION ALL SELECT * FROM z1k
+        |  UNION ALL SELECT * FROM z2)
+        |SELECT st, count(*) AS n, sum(cents) AS total_cents,
+        |  TRUE AS hv_ok
+        |FROM kept GROUP BY st HAVING count(*) >= 100
+        |ORDER BY st""".stripMargin) { (s, d) =>
+      val wh = Scratch.dir("run")
+      val conn = new Connector(s, wh)
+      conn.createTable("orders_hv", T.orders(s, d).select(
+        col("o_orderkey").as("okey"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents")))
+      conn.sql("CREATE MATERIALIZED VIEW mh AS " +
+        "SELECT st, count(*) AS n, sum(cents) AS total_cents " +
+        "FROM orders_hv GROUP BY st HAVING count(*) >= 100")
+      def zRow(): Option[(Long, Long)] =
+        conn.sql("SELECT n, total_cents FROM mh WHERE st = 'Z'")
+          .collect().headOption.map(r => (r.getLong(0), r.getLong(1)))
+      def tick(): String = conn.sql("REFRESH MATERIALIZED VIEW mh")
+        .collect().head.getAs[String]("detail")
+      // era 2: 'Z' lands ABOVE the bar (every okey%7=0 row)
+      conn.sql("INSERT INTO orders_hv SELECT okey + 10000000, 'Z', " +
+        "cents FROM orders_hv WHERE okey % 7 = 0")
+      val t1 = tick()
+      val zVisible = zRow().exists(_._1 >= 100L)
+      // era 3: bulk delete leaves a fixed ≤300-key slice — BELOW the
+      // bar: the group disappears from reads, the state stays
+      conn.sql("DELETE FROM orders_hv WHERE st = 'Z' " +
+        "AND okey > 10000300")
+      val t2 = tick()
+      val zHidden = zRow().isEmpty
+      // …but the UNFILTERED backing state still carries its totals
+      // (SHOW MATERIALIZED VIEWS lists it fresh; the definition text
+      // keeps the HAVING)
+      val stateKept = conn.sql("SHOW CREATE TABLE mh").collect()
+        .head.getString(0).toUpperCase.contains("HAVING")
+      // era 4: re-cross — the resurfaced totals must include the
+      // RETAINED slice plus the new rows (the graded hash checks it)
+      conn.sql("INSERT INTO orders_hv SELECT okey + 20000000, 'Z', " +
+        "cents FROM orders_hv WHERE okey % 7 = 1 AND okey < 10000000")
+      val t3 = tick()
+      val incremental = Seq(t1, t2, t3)
+        .forall(_.contains("mode=incremental"))
+      // HAVING survives a NEW Connector (definition round-trip) and an
+      // OR REPLACE that changes ONLY the HAVING keeps the state
+      val conn2 = new Connector(s, wh)
+      val rep = conn2.sql("CREATE OR REPLACE MATERIALIZED VIEW mh AS " +
+        "SELECT st, count(*) AS n, sum(cents) AS total_cents " +
+        "FROM orders_hv GROUP BY st HAVING count(*) >= 100")
+        .collect().head.getAs[String]("detail")
+      val witness = zVisible && zHidden && stateKept && incremental &&
+        rep.contains("backing state kept")
+      conn2.sql("SELECT st, n, total_cents FROM mh")
+        .withColumn("hv_ok", lit(witness))
+        .orderBy("st")
     })
 
   def queries: Seq[Q] = ql

@@ -312,9 +312,10 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
   private def parseMvShape(name: String, text: String)
       : (String, Seq[String], Seq[String], Seq[String], Seq[String],
          Seq[String], Seq[(String, String)], Option[String],
-         Seq[(String, String)]) = {
+         Seq[(String, String)], Option[String]) = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias,
-      UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
+      UnresolvedAttribute, UnresolvedFunction, UnresolvedHaving,
+      UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
     def fail(why: String): Nothing = throw new IllegalArgumentException(
@@ -327,7 +328,13 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         "HAVING/DISTINCT/subqueries; use a plain VIEW for those)")
     val p0 = stripDefaultNs(
       org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, text))
-    p0 match {
+    // HAVING (r20) wraps the aggregate in UnresolvedHaving — peel it
+    // here and rewrite its condition AFTER the select items are known
+    val (havingCond, p1) = p0 match {
+      case UnresolvedHaving(cond, child) => (Some(cond), child)
+      case other => (None, other)
+    }
+    p1 match {
       case Aggregate(groupExprs, aggExprs, rel0, _) =>
         val (rel, whereCond) = rel0 match {
           case f: Filter => (f.child, Some(f.condition))
@@ -498,9 +505,58 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
         require(out.map(_._1.toLowerCase).distinct.length == out.length,
           s"CREATE MATERIALIZED VIEW $name: duplicate output column " +
             "name — alias the select items uniquely")
+        // HAVING (r20): rewritten to reference the view's OUTPUT
+        // aliases and applied at READ time over the served projection —
+        // the backing state stays UNFILTERED, so a group dipping below
+        // the threshold keeps its totals and resurfaces exactly when
+        // it re-crosses. Every aggregate/group expression the
+        // condition names must therefore appear in the SELECT list
+        // (its served column IS the filter input); largest-expression-
+        // first matching so `sum(v) > n * 2` rewrites both sides.
+        val selBySql: Map[String, String] = aggExprs.flatMap {
+          case a: UnresolvedAttribute =>
+            Seq(a.sql.toLowerCase -> a.nameParts.last)
+          case Alias(child, aname) => Seq(child.sql.toLowerCase -> aname)
+          case ua: UnresolvedAlias => ua.child match {
+            case a: UnresolvedAttribute =>
+              Seq(a.sql.toLowerCase -> a.nameParts.last)
+            case _ => Nil
+          }
+          case _ => Nil
+        }.toMap
+        val havingSql = havingCond.map { cond =>
+          val rewritten = cond.transformDown {
+            case e if selBySql.contains(e.sql.toLowerCase) =>
+              UnresolvedAttribute(Seq(selBySql(e.sql.toLowerCase)))
+          }
+          rewritten.foreach {
+            case _: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+              fail("HAVING must not contain subqueries")
+            case f: UnresolvedFunction
+                if Set("count", "sum", "min", "max", "avg", "mean",
+                  "stddev", "variance")(f.nameParts.last.toLowerCase) =>
+              fail(s"HAVING references aggregate '${f.sql}' that is " +
+                "not in the SELECT list — select and alias the measure " +
+                "you filter on (the stored column is the filter input)")
+            case f: UnresolvedFunction
+                if MvBannedFns(f.nameParts.last.toLowerCase) =>
+              fail(s"the HAVING predicate must be deterministic and " +
+                s"time-independent — '${f.nameParts.last.toLowerCase}'")
+            case a: UnresolvedAttribute
+                if a.nameParts.length != 1 ||
+                  !out.exists(_._1.equalsIgnoreCase(a.nameParts.head)) =>
+              fail(s"HAVING references '${a.sql}', which is not a " +
+                "selected output column")
+            case x if !x.deterministic =>
+              fail(s"the HAVING predicate must be deterministic, " +
+                s"got '${x.sql}'")
+            case _ => ()
+          }
+          rewritten.sql
+        }
         (base, groupCols, sums.distinct.toSeq, mms.distinct.toSeq,
           avgs.distinct.toSeq, nns.distinct.toSeq, out, whereSql,
-          derivedBuf.toSeq)
+          derivedBuf.toSeq, havingSql)
       case _ => fail("the query is not a single GROUP BY aggregate")
     }
   }
@@ -542,31 +598,42 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       s"CREATE MATERIALIZED VIEW $name: '$name' already names a " +
         "warehouse table or view — the SQL namespace is shared")
     val (base, groupCols, sumCols, mmCols, avgCols, nnCols, out,
-      whereSql, derived) = parseMvShape(name, text)
+      whereSql, derived, havingSql) = parseMvShape(name, text)
     val baseT = loadTable(base)
     // r20 (advice): the FULL definition analyzes BEFORE any destructive
     // step — shape extraction alone never bound the WHERE predicate's
     // or a derived expression's references, so OR REPLACE used to drop
-    // the old view and THEN fail at create, destroying it for nothing
-    MaterializedAgg.validate(baseT, groupCols, sumCols, mmCols,
-      whereSql, avgCols, nnCols, derived)
+    // the old view and THEN fail at create, destroying it for nothing.
+    // The serve shape (projection + HAVING types) analyzes here too.
+    val init = MaterializedAgg.validate(baseT, groupCols, sumCols,
+      mmCols, whereSql, avgCols, nnCols, derived)
+    mvServe(init, out, havingSql)
     if (matViewExists(name)) {
-      // OR REPLACE with the SAME maintainable shape (only the output
-      // projection / aliases changed) keeps the backing state — no
-      // re-materialization, no staleness reset
+      // OR REPLACE with the SAME maintainable shape keeps the backing
+      // state — no re-materialization, no staleness reset. HAVING and
+      // the output projection are READ-time concerns, so changing only
+      // them always keeps state.
       val old = MatViewStore.load(matViewsDir, name)
       if (old.base == base && old.baseUuid == baseT.tableUuid &&
           old.groupCols == groupCols && old.sumCols == sumCols &&
           old.minMaxCols == mmCols && old.avgCols == avgCols &&
           old.nnCols == nnCols && old.where == whereSql &&
           old.derived == derived) {
-        MatViewStore.save(matViewsDir, old.copy(sql = text, out = out))
+        MatViewStore.save(matViewsDir,
+          old.copy(sql = text, out = out, having = havingSql))
         return mvResult("create_materialized_view", name,
           s"replaced definition over $base (${out.size} column(s)); " +
             "same maintainable shape — backing state kept")
       }
       dropMatView(name, ifExists = false)
     }
+    // a CRASH between a prior create's backing write and its
+    // definition save leaves an ORPHANED backing directory (no
+    // definition → matViewExists false → DROP says not found) that
+    // would block this create forever — an orphan is provably debris,
+    // clear it
+    if (Files.isDirectory(mvTableDir(name)))
+      deleteDirTree(mvTableDir(name))
     try MaterializedAgg.create(baseT, mvTableDir(name), name,
       groupCols, sumCols, mmCols, whereSql, avgCols, nnCols, derived)
     catch {
@@ -579,7 +646,7 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     }
     MatViewStore.save(matViewsDir, MatViewDef(name, text, base,
       baseT.tableUuid, groupCols, sumCols, mmCols, avgCols, nnCols,
-      out, whereSql, System.currentTimeMillis(), derived))
+      out, whereSql, System.currentTimeMillis(), derived, havingSql))
     mvResult("create_materialized_view", name,
       s"materialized over $base (${out.size} column(s)); " +
         "REFRESH MATERIALIZED VIEW to catch up after base commits")
@@ -688,16 +755,15 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * user's declared output columns — stored state, fresh as of the
     * last REFRESH (that staleness is the contract; a plain VIEW is
     * the always-live alternative). */
-  private def mvPlan(name0: String)
-      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
-    val name = MatViewStore.canon(name0)
-    val d = MatViewStore.load(matViewsDir, name)
-    val t = GraftTable.load(spark, mvTableDir(name), name).getOrElse(
-      throw new IllegalStateException(
-        s"materialized view $name: backing table missing at ${
-          mvTableDir(name)} — DROP MATERIALIZED VIEW and recreate"))
-    import org.apache.spark.sql.functions.{col, lit, when}
-    val df = t.read().select(d.out.map {
+  /** The SERVE shape shared by reads and create-time validation: the
+    * stored state projected to the user's output aliases, then the
+    * optional HAVING applied over them (read-time group filter — the
+    * state itself is never HAVING-filtered, see [[MatViewDef]]). */
+  private def mvServe(stored: DataFrame, out: Seq[(String, String)],
+      having: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, lit, when}
+    val fields = stored.schema.fieldNames.toSet
+    val proj = stored.select(out.map {
       // avg reads as the maintained abelian pair's division; an
       // all-NULL group divides by zero → SQL avg's NULL, never an
       // ANSI arithmetic error
@@ -711,13 +777,24 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       // column's maintained non-null count. Guarded on the backing
       // schema so pre-r20 state (no nncnt for sum columns) still reads.
       case (alias, canonCol) if canonCol.startsWith("sum_") &&
-          t.schema.fieldNames.contains("nncnt_" +
-            canonCol.stripPrefix("sum_")) =>
+          fields.contains("nncnt_" + canonCol.stripPrefix("sum_")) =>
         val c = canonCol.stripPrefix("sum_")
         when(col(s"nncnt_$c") === 0L, lit(null))
           .otherwise(col(canonCol)).as(alias)
       case (alias, canonCol) => col(canonCol).as(alias)
     }: _*)
+    having.map(h => proj.filter(expr(h))).getOrElse(proj)
+  }
+
+  private def mvPlan(name0: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val name = MatViewStore.canon(name0)
+    val d = MatViewStore.load(matViewsDir, name)
+    val t = GraftTable.load(spark, mvTableDir(name), name).getOrElse(
+      throw new IllegalStateException(
+        s"materialized view $name: backing table missing at ${
+          mvTableDir(name)} — DROP MATERIALIZED VIEW and recreate"))
+    val df = mvServe(t.read(), d.out, d.having)
     org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
       name, df.queryExecution.analyzed)
   }

@@ -47,6 +47,12 @@ import scala.jdk.CollectionConverters._
   *   ts)`), `mexpr0` for an expression measure argument
   *   (`sum(qty * price)`). group/sum/… column lists may name these;
   *   the maintainer materializes them on every aggregated relation. */
+/** @param having optional HAVING predicate (r20), rewritten to
+  *   reference the view's OUTPUT aliases: applied at READ time over
+  *   the served projection — the backing state stays UNFILTERED so a
+  *   group that dips below the threshold keeps its totals and
+  *   resurfaces exactly when it re-crosses (a state-filtered design
+  *   could never resurrect it incrementally). */
 final case class MatViewDef(
     name: String,
     sql: String,
@@ -60,7 +66,8 @@ final case class MatViewDef(
     out: Seq[(String, String)],
     where: Option[String],
     createdMs: Long,
-    derived: Seq[(String, String)] = Nil)
+    derived: Seq[(String, String)] = Nil,
+    having: Option[String] = None)
 
 /** Disk codec for [[MatViewDef]]s — same discipline as [[ViewStore]]:
   * one properties file per view, tmp-then-atomic-move, names
@@ -116,6 +123,7 @@ object MatViewStore {
     setSeq(p, "derived.name", d.derived.map(_._1))
     setSeq(p, "derived.expr", d.derived.map(_._2))
     d.where.foreach(p.setProperty("where", _))
+    d.having.foreach(p.setProperty("having", _))
     val tmp = dir.resolve(s".${canon(d.name)}.${
       java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val os = Files.newOutputStream(tmp)
@@ -143,7 +151,8 @@ object MatViewStore {
       getSeq(p, "out.alias").zip(getSeq(p, "out.canon")),
       Option(p.getProperty("where")),
       Option(p.getProperty("created_ms")).map(_.toLong).getOrElse(0L),
-      getSeq(p, "derived.name").zip(getSeq(p, "derived.expr")))
+      getSeq(p, "derived.name").zip(getSeq(p, "derived.expr")),
+      Option(p.getProperty("having")))
   }
 
   def delete(dir: Path, name: String): Boolean = {

@@ -350,19 +350,22 @@ object MaterializedAgg {
     * so a WHERE naming a bogus column, an unresolvable derived
     * expression, or an unsummable measure type throws HERE, before the
     * caller commits to anything (CREATE OR REPLACE must validate the
-    * new definition end-to-end BEFORE dropping the old view). */
+    * new definition end-to-end BEFORE dropping the old view). Returns
+    * the analyzed aggregate frame so the caller can validate its OWN
+    * downstream shape (output projection, HAVING) against it too. */
   def validate(base: GraftTable,
       groupCols: Seq[String], sumCols: Seq[String],
       minMaxCols: Seq[String] = Nil,
       filterSql: Option[String] = None,
       avgCols: Seq[String] = Nil,
       nnCols: Seq[String] = Nil,
-      derived: Seq[(String, String)] = Nil): Unit = {
+      derived: Seq[(String, String)] = Nil): DataFrame = {
     require(groupCols.nonEmpty, "materialized aggregate needs group columns")
     val mv0 = new MaterializedAgg(base, null, groupCols, sumCols,
       minMaxCols, filterSql, avgCols, nnCols, derived)
-    mv0.aggregate(base.read()).queryExecution.analyzed
-    ()
+    val init = mv0.aggregate(base.read())
+    init.queryExecution.analyzed
+    init
   }
 
   /** Materialize the initial view over the base's current snapshot and

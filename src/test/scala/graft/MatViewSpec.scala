@@ -536,4 +536,76 @@ class MatViewSpec extends AnyFunSuite {
     assert(c2.sql("ALTER MATERIALIZED VIEW rmv2 RENAME TO rmv2")
       .collect().head.getAs[String]("detail").contains("no-op"))
   }
+
+  test("r20: HAVING filters at read over UNFILTERED kept state") {
+    val wh = freshWh()
+    val c = new Connector(spark, wh)
+    c.createTable("ht", Seq(("a", 10L), ("a", 20L), ("b", 5L))
+      .toDF("k", "v"))
+    // both spellings: the aggregate expression (rewritten to its
+    // selected alias) and a direct alias reference compose
+    c.sql("CREATE MATERIALIZED VIEW hm AS SELECT k, count(*) AS n, " +
+      "sum(v) AS sv FROM ht GROUP BY k HAVING sum(v) >= 15 AND n >= 1")
+    def keys(cc: Connector): Seq[String] =
+      cc.sql("SELECT k FROM hm ORDER BY k").collect()
+        .map(_.getString(0)).toSeq
+    assert(keys(c) == Seq("a")) // b: sv=5 below the bar
+    // b crosses UP: appears with totals including its PRE-crossing rows
+    c.sql("INSERT INTO ht VALUES ('b', 11)")
+    c.sql("REFRESH MATERIALIZED VIEW hm")
+    assert(keys(c) == Seq("a", "b"))
+    assert(c.sql("SELECT sv FROM hm WHERE k = 'b'").collect()
+      .head.getLong(0) == 16L) // 5 + 11 — the hidden-era state was kept
+    // a crosses DOWN: hidden, not destroyed
+    c.sql("DELETE FROM ht WHERE k = 'a' AND v = 20")
+    c.sql("REFRESH MATERIALIZED VIEW hm")
+    assert(keys(c) == Seq("b"))
+    // …and back up, with the retained total
+    c.sql("INSERT INTO ht VALUES ('a', 7)")
+    c.sql("REFRESH MATERIALIZED VIEW hm")
+    assert(c.sql("SELECT sv FROM hm WHERE k = 'a'").collect()
+      .head.getLong(0) == 17L) // 10 + 7
+    // persistence: the HAVING survives a NEW Connector
+    val c2 = new Connector(spark, wh)
+    assert(keys(c2) == Seq("a", "b"))
+    // OR REPLACE changing ONLY the HAVING keeps state (read-time
+    // concern) and the new bar applies immediately
+    val rep = c2.sql("CREATE OR REPLACE MATERIALIZED VIEW hm AS " +
+      "SELECT k, count(*) AS n, sum(v) AS sv FROM ht GROUP BY k " +
+      "HAVING sum(v) >= 17").collect().head.getAs[String]("detail")
+    assert(rep.contains("backing state kept"), rep)
+    assert(keys(c2) == Seq("a")) // b's 16 now below the new bar
+    // refusals: aggregates not in the SELECT list, subqueries,
+    // unknown output columns, nondeterminism
+    def refuse(stmt: String, frag: String): Unit = {
+      val e = intercept[Exception] { c2.sql(stmt).collect() }
+      assert(e.getMessage.contains(frag), s"$stmt → ${e.getMessage}")
+    }
+    refuse("CREATE MATERIALIZED VIEW h2 AS SELECT k, count(*) AS n " +
+      "FROM ht GROUP BY k HAVING max(v) > 3", "not in the SELECT list")
+    refuse("CREATE MATERIALIZED VIEW h2 AS SELECT k, count(*) AS n " +
+      "FROM ht GROUP BY k HAVING n > (SELECT count(*) FROM ht)",
+      "subqueries")
+    refuse("CREATE MATERIALIZED VIEW h2 AS SELECT k, count(*) AS n " +
+      "FROM ht GROUP BY k HAVING nope > 3", "not a selected output")
+    refuse("CREATE MATERIALIZED VIEW h2 AS SELECT k, count(*) AS n " +
+      "FROM ht GROUP BY k HAVING n > rand()", "deterministic")
+    // a HAVING type error is caught at CREATE (validated pre-drop:
+    // the existing hm SURVIVES the failed replace)
+    assert(scala.util.Try(c2.sql(
+      "CREATE OR REPLACE MATERIALIZED VIEW hm AS SELECT k, " +
+        "count(*) AS n FROM ht GROUP BY k HAVING n > array(1)"))
+      .isFailure)
+    assert(keys(c2) == Seq("a"))
+    // crash-orphan recovery: a backing directory WITHOUT a definition
+    // (crash between backing write and definition save) must not block
+    // recreation forever — CREATE clears the provable debris
+    val orphan = java.nio.file.Paths.get(wh)
+      .resolve("default").resolve("_matviews").resolve("h3")
+    Files.createDirectories(orphan.resolve("_snapshots"))
+    c2.sql("CREATE MATERIALIZED VIEW h3 AS SELECT k, count(*) AS n " +
+      "FROM ht GROUP BY k")
+    assert(c2.sql("SELECT count(*) AS c FROM h3").collect()
+      .head.getLong(0) == 2L)
+  }
 }
