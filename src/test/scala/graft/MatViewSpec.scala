@@ -608,4 +608,53 @@ class MatViewSpec extends AnyFunSuite {
     assert(c2.sql("SELECT count(*) AS c FROM h3").collect()
       .head.getLong(0) == 2L)
   }
+
+  test("r20: the full rollup shape — WHERE + expression keys/measures + avg/count(expr) + HAVING") {
+    val wh = freshWh()
+    val c = new Connector(spark, wh)
+    c.createTable("fx", Seq(
+      (1L, 10L, 2L), (2L, 20L, 3L), (3L, 30L, 4L), (4L, 0L, 5L),
+      (5L, 50L, 6L), (6L, 60L, 7L))
+      .toDF("id", "qty", "price"))
+    // every r20 capability in ONE definition: row-local WHERE,
+    // expression group key, avg/count over expressions (they share the
+    // derived measure column with sum by canonical SQL text), HAVING
+    // over a selected alias
+    c.sql("CREATE MATERIALIZED VIEW fmx AS " +
+      "SELECT id % 2 AS par, count(*) AS n, sum(qty * price) AS rev, " +
+      "avg(qty * price) AS arev, count(qty * price) AS nrev " +
+      "FROM fx WHERE qty > 0 GROUP BY id % 2 HAVING count(*) >= 2")
+    def expectEq(): Unit = {
+      val got = c.sql("SELECT * FROM fmx ORDER BY par").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSeq
+      val want = c.sql("SELECT id % 2 AS par, count(*) AS n, " +
+        "sum(qty * price) AS rev, avg(qty * price) AS arev, " +
+        "count(qty * price) AS nrev FROM fx WHERE qty > 0 " +
+        "GROUP BY id % 2 HAVING count(*) >= 2 ORDER BY par").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSeq
+      assert(got == want, s"got=$got want=$want")
+    }
+    expectEq()
+    // ticks across every boundary at once: an insert below the WHERE,
+    // one that flips a HAVING group, and a group-migrating update
+    c.sql("INSERT INTO fx VALUES (7, 0, 9), (8, 80, 9)")
+    assert(c.sql("REFRESH MATERIALIZED VIEW fmx").collect().head
+      .getAs[String]("detail").contains("mode=incremental"))
+    expectEq()
+    c.sql("UPDATE fx SET id = id + 1 WHERE id = 5")
+    c.sql("DELETE FROM fx WHERE id = 2")
+    c.sql("REFRESH MATERIALIZED VIEW fmx")
+    expectEq()
+    // and the definition round-trips whole through a new Connector
+    val c2 = new Connector(spark, wh)
+    c2.sql("INSERT INTO fx VALUES (9, 90, 2)")
+    c2.sql("REFRESH MATERIALIZED VIEW fmx")
+    val got2 = c2.sql("SELECT n FROM fmx WHERE par = 1").collect()
+    val want2 = c2.sql("SELECT count(*) FROM fx WHERE qty > 0 " +
+      "AND id % 2 = 1").collect().head.getLong(0)
+    assert(got2.headOption.map(_.getLong(0)).getOrElse(0L) ==
+      (if (want2 >= 2) want2 else 0L))
+  }
 }
