@@ -15,6 +15,16 @@ bit-level hash is red (q183). A strict FAIL whose default-mode run
 passes means the graded column carries engine-accumulated float noise
 (ulp-level summation-order or round() divergence): de-float it or
 accept the tolerance knowingly.
+
+Every query additionally passes an ARROW-SCHEMA type gate: both sides
+are planned with LIMIT 0 and fetched via .arrow(), and per-column type
+CLASSES are compared. FAIL on any decimal/float-class divergence
+(decimal128 vs int, float vs int, float32 vs float64) — the r20 driver
+red (q183/q184/q185) was DuckDB sum(BIGINT) returning HUGEINT → Arrow
+decimal128(38,0) vs Spark's int64, which fetchall() flattens to int so
+the VALUE compare alone is structurally blind to it. WARN on bare int
+width (int32 vs int64), which the driver's hash has proven blind to
+across nine green queries.
 """
 import json, math, os, sys
 
@@ -24,6 +34,61 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 STRICT = "--strict" in sys.argv
+
+
+def type_class(t):
+    """Bucket an Arrow type into the classes the driver's hash sees.
+
+    int widths collapse into one class (driver-proven blind); every
+    decimal precision/scale and each float width is its OWN class so
+    any cross-engine divergence there is a FAIL.
+    """
+    s = str(t)
+    if s.startswith("int") or s.startswith("uint"):
+        return "int"
+    if s.startswith("decimal"):
+        return s          # exact: decimal128(38,0) != decimal128(18,2)
+    if s in ("float", "double", "halffloat"):
+        return s          # exact: float32 vs float64 hash differently
+    return s
+
+
+def type_gate(con, name, sql, spark_path):
+    """Compare Arrow schemas of oracle vs spark output. Returns
+    (n_fail_delta, n_warn_msgs)."""
+    fails, warns = [], []
+    try:
+        duck_schema = con.execute(
+            f"SELECT * FROM ({sql}) oc_tg LIMIT 0").arrow().schema
+        sp_schema = con.execute(
+            f"SELECT * FROM read_parquet('{spark_path}/*.parquet') "
+            f"LIMIT 0").arrow().schema
+    except Exception as e:
+        return [f"FAIL {name}: type gate error: {e}"], []
+    duck_t = {f.name: f.type for f in duck_schema}
+    sp_t = {f.name: f.type for f in sp_schema}
+    for c in sorted(set(duck_t) & set(sp_t)):
+        dc, sc = type_class(duck_t[c]), type_class(sp_t[c])
+        if dc == sc:
+            continue
+        floaty = ("decimal", "float", "double", "halffloat")
+        if dc.startswith(floaty) or sc.startswith(floaty):
+            fails.append(
+                f"FAIL {name}: column {c} Arrow type class duck="
+                f"{duck_t[c]} spark={sp_t[c]} (driver hash sees this)")
+        elif dc == "int" and sc == "int":
+            pass  # same class by construction; unreachable
+        else:
+            warns.append(
+                f"WARN {name}: column {c} Arrow type duck={duck_t[c]} "
+                f"spark={sp_t[c]} (class-compatible; verify)")
+    for c in sorted(set(duck_t) & set(sp_t)):
+        if str(duck_t[c]) != str(sp_t[c]) and \
+                type_class(duck_t[c]) == type_class(sp_t[c]) == "int":
+            warns.append(
+                f"WARN {name}: int width duck={duck_t[c]} "
+                f"spark={sp_t[c]} (driver hash proven blind)")
+    return fails, warns
 
 
 def canon(rows, colnames):
@@ -86,6 +151,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows duck={len(a)} spark={len(b)}")
             n_fail += 1
             continue
+        # Arrow-schema type gate (value compare is blind to HUGEINT:
+        # fetchall() flattens it to int — the r20 driver-red class)
+        gate_fails, gate_warns = type_gate(con, name, sql, spark_path)
+        for w in gate_warns:
+            print(w)
+        if gate_fails:
+            for msg in gate_fails:
+                print(msg)
+            n_fail += 1
+            continue
         # compare both as-ordered and sorted: flag order mismatches
         if a == b:
             print(f"PASS {name} ({len(a)} rows)")
@@ -106,4 +181,7 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # flags can appear anywhere; positionals bind to non-flag args
+    # (previously `--strict <sf> <out>` misbound sfDir/outDir)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sys.exit(main(args[0], args[1]))

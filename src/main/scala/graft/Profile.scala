@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round measurement harness (guide §1): runs ONE query
+  * under a SparkListener and prints a per-job time breakdown (job id,
+  * duration, description/callsite) plus stage-level shuffle bytes, so
+  * a multi-commit rig's wall time can be attributed to its actions
+  * instead of guessed at. Also dumps the final frame's
+  * `explain("formatted")` when a dump path is given.
+  *
+  * Usage: runMain graft.Profile <queryName> [planOutPath]
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32).
+  * Not part of the driver contract — a local measurement aid only.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse(sys.error("usage: Profile <query> [planOut]"))
+    val planOut = args.lift(1)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
+
+    // warm-up: absorb JIT/codegen/footer costs exactly like Bench
+    fn(spark, sfDir).count()
+
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+    val shuffle = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(j.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("?")
+        jobs.put(j.jobId, (j.time, desc)); ()
+      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+        Option(jobs.remove(j.jobId)).foreach { case (t0, desc) =>
+          done.add((j.jobId, j.time - t0, desc)); ()
+        }
+      }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        shuffle.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    val df = fn(spark, sfDir)
+    val planTime = (System.nanoTime() - t0) / 1e9
+    df.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.removeSparkListener(listener)
+
+    planOut.foreach { p =>
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(p).getParent)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    }
+
+    import scala.jdk.CollectionConverters._
+    val all = done.asScala.toSeq.sortBy(_._1)
+    println(f"PROFILE $name wall=$wall%.3f s driver_build=$planTime%.3f s " +
+      f"jobs=${all.size} shuffle_bytes=${shuffle.get()}")
+    val byDesc = all.groupBy(_._3).view
+      .mapValues(js => (js.size, js.map(_._2).sum)).toSeq
+      .sortBy(-_._2._2)
+    byDesc.take(25).foreach { case (desc, (n, ms)) =>
+      println(f"  ${ms / 1000.0}%8.3f s  n=$n%-4d $desc")
+    }
+    val gaps = all.map(_._2).sum / 1000.0
+    println(f"  job time total=$gaps%.3f s (wall minus this = driver-side gaps)")
+    spark.stop()
+  }
+}

@@ -3224,6 +3224,11 @@ object Warehouse {
     // (avg_cents, lo, hi) stay in the MV definition and are verified
     // Spark-side against the exact columns in the witness instead of
     // cross-engine.
+    // r21: the graded sums carry CAST(... AS BIGINT) in the ORACLE —
+    // DuckDB sum(BIGINT) returns HUGEINT (Arrow decimal128(38,0))
+    // while Spark's sum is int64, and the driver hashes the Arrow
+    // value repr (Decimal('3') != 3). Same convention as the green
+    // MV-API rigs (q117/q138).
     Q("q183_sql_matview",
       """WITH base AS (
         |  SELECT o_orderkey AS okey, o_orderstatus AS st,
@@ -3237,7 +3242,7 @@ object Warehouse {
         |  WHERE okey % 7 = 0),
         |kept AS (
         |  SELECT * FROM all_rows WHERE NOT (st = 'P' AND okey % 3 = 0))
-        |SELECT st, count(*) AS n, sum(cents) AS total_cents,
+        |SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents,
         |  min(cents) AS lo_cents, max(cents) AS hi_cents,
         |  TRUE AS mv_ok
         |FROM kept GROUP BY st ORDER BY st""".stripMargin) { (s, d) =>
@@ -3359,7 +3364,7 @@ object Warehouse {
         |kept AS (
         |  SELECT * FROM all_rows WHERE NOT (et = 'error' AND k % 2 = 0))
         |SELECT CAST(date_trunc('day', ts) AS DATE) AS day, et,
-        |  count(*) AS n, sum(cents * w) AS wsum,
+        |  count(*) AS n, CAST(sum(cents * w) AS BIGINT) AS wsum,
         |  min(cents) AS lo_cents, max(cents) AS hi_cents,
         |  TRUE AS mvx_ok
         |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
@@ -3449,7 +3454,7 @@ object Warehouse {
         |  SELECT * FROM base
         |  UNION ALL SELECT * FROM z1k
         |  UNION ALL SELECT * FROM z2)
-        |SELECT st, count(*) AS n, sum(cents) AS total_cents,
+        |SELECT st, count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents,
         |  TRUE AS hv_ok
         |FROM kept GROUP BY st HAVING count(*) >= 100
         |ORDER BY st""".stripMargin) { (s, d) =>

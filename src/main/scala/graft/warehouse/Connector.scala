@@ -720,10 +720,10 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     * plain-view and table rename surface): ONE directory move carries
     * the backing table (manifests store table-relative paths, so the
     * full snapshot history and the maintainer's WAL state survive),
-    * then the definition re-saves under the new name. A crash between
-    * the move and the definition swap leaves the OLD definition
-    * pointing at a missing backing dir — recognizable and DROP-able,
-    * never two live views. */
+    * then the definition file renames in one atomic move (its content
+    * is name-independent). A crash between the two moves leaves the
+    * OLD definition pointing at a missing backing dir — recognizable
+    * and DROP-able, never two live views. */
   private def renameMatView(oldName: String, newName: String): DataFrame = {
     require(matViewExists(oldName),
       s"ALTER MATERIALIZED VIEW $oldName: not found")
@@ -735,7 +735,6 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
       s"ALTER MATERIALIZED VIEW $oldName: '$newName' already names a " +
         "warehouse table, view, or materialized view — the SQL " +
         "namespace is shared")
-    val d = MatViewStore.load(matViewsDir, oldName)
     val (from, to) = (mvTableDir(oldName), mvTableDir(newName))
     require(!Files.exists(to),
       s"ALTER MATERIALIZED VIEW $oldName: destination path '$to' " +
@@ -743,9 +742,9 @@ final class Connector(val spark: SparkSession, warehousePath: String) {
     Files.move(from, to)
     SnapshotLog.invalidateUnder(from)
     SnapshotLog.invalidateUnder(to)
-    MatViewStore.save(matViewsDir,
-      d.copy(name = MatViewStore.canon(newName)))
-    MatViewStore.delete(matViewsDir, oldName)
+    // ONE atomic rename of the definition file (content is
+    // name-independent): no crash window with two live definitions
+    MatViewStore.rename(matViewsDir, oldName, newName)
     mvResult("alter_materialized_view", newName,
       s"renamed from $oldName (definition and backing state moved; " +
         "history and refresh state intact)")

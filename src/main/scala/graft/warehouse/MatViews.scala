@@ -137,6 +137,21 @@ object MatViewStore {
     }
   }
 
+  /** Swap a definition to a new name in ONE atomic file rename — the
+    * definition content is name-independent (the name is the
+    * filename), so rename never yields a window with two live
+    * definitions (save-new-then-delete-old did). */
+  def rename(dir: Path, oldName: String, newName: String): Unit = {
+    ViewStore.requireValidName(oldName)
+    ViewStore.requireValidName(newName)
+    try Files.move(file(dir, oldName), file(dir, newName),
+      StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(file(dir, oldName), file(dir, newName))
+    }
+  }
+
   def load(dir: Path, name: String): MatViewDef = {
     ViewStore.requireValidName(name)
     val p = new java.util.Properties()

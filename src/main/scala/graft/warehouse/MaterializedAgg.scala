@@ -118,6 +118,22 @@ final class MaterializedAgg private (
     val head = base.currentSnapshotId.getOrElse(
       sys.error(s"base table ${base.name} has no snapshots"))
     if (head == st.applied) return "fresh"
+    // Backing state written by an OLDER maintainer can lack maintained
+    // columns this version references unconditionally in the merge
+    // (r20 added nncnt_<c> for every summed column; the READ path is
+    // guarded for that, but an incremental merge over the old schema
+    // would fail analysis). Rebuild once — replace() writes the
+    // current schema in one CAS swap — and subsequent ticks are
+    // incremental again.
+    val required = allSumCols.map(c => s"sum_$c") ++
+      allNnCols.map(c => s"nncnt_$c") ++
+      minMaxCols.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    val have = view.schema.fieldNames.toSet
+    if (!required.forall(have.contains)) {
+      view.replace(aggregate(base.read(Some(head))))
+      writeState(statePath, State(head, 0L, view.currentSnapshotId.get))
+      return "rebuild"
+    }
     // the PER-COMMIT change feed (r14; previously GraftTable.diff):
     // unlike the net file-set diff it flows through merge-on-read
     // deletes — reporting them as delete rows — and skips maintenance

@@ -657,4 +657,59 @@ class MatViewSpec extends AnyFunSuite {
     assert(got2.headOption.map(_.getLong(0)).getOrElse(0L) ==
       (if (want2 >= 2) want2 else 0L))
   }
+
+  test("refresh over pre-r20 backing state (no nncnt for sums) rebuilds " +
+    "instead of failing analysis") {
+    val wh = freshWh()
+    val c = new Connector(spark, wh)
+    c.createTable("leg", Seq(("a", 10L), ("a", 20L), ("b", 5L))
+      .toDF("k", "v"))
+    c.sql("CREATE MATERIALIZED VIEW mleg AS " +
+      "SELECT k, count(*) AS n, sum(v) AS sv FROM leg GROUP BY k")
+    // simulate r19 state: the backing table holds (k, cnt, sum_v) but
+    // NO nncnt_v — replace() rewrites the stored schema the way an
+    // r19 maintainer laid it down
+    val viewDir = java.nio.file.Paths.get(wh, "default", "_matviews", "mleg")
+    val vt = graft.warehouse.GraftTable.load(spark, viewDir, "mleg").get
+    vt.replace(vt.read().drop("nncnt_v"))
+    // a real tick over the legacy schema: pre-fix this threw an
+    // unresolved-column AnalysisException from the incremental merge
+    c.sql("INSERT INTO leg VALUES ('a', 100), ('c', 7)")
+    val detail = c.sql("REFRESH MATERIALIZED VIEW mleg").collect().head
+      .getAs[String]("detail")
+    assert(detail.contains("mode=rebuild"), detail)
+    // values correct and the schema healed: the NEXT tick is
+    // incremental again
+    assert(c.sql("SELECT n, sv FROM mleg WHERE k = 'a'").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 130L)))
+    c.sql("INSERT INTO leg VALUES ('b', 1)")
+    assert(c.sql("REFRESH MATERIALIZED VIEW mleg").collect().head
+      .getAs[String]("detail").contains("mode=incremental"))
+    assert(c.sql("SELECT sv FROM mleg WHERE k = 'b'").collect()
+      .head.getLong(0) == 6L)
+  }
+
+  test("rename: definition swap is one atomic file move — no crash " +
+    "window with two live definitions") {
+    val wh = freshWh()
+    val c = new Connector(spark, wh)
+    c.createTable("rn", Seq(("a", 1L)).toDF("k", "v"))
+    c.sql("CREATE MATERIALIZED VIEW mrn AS " +
+      "SELECT k, count(*) AS n FROM rn GROUP BY k")
+    // normal rename: exactly one definition at every observable point
+    c.sql("ALTER MATERIALIZED VIEW mrn RENAME TO mrn2")
+    assert(c.matViews == Seq("mrn2"))
+    // crash-window simulation: the backing dir moved but the JVM died
+    // BEFORE the definition rename — the surviving state must be ONE
+    // definition (the old name) pointing at a missing backing dir,
+    // recognizable and DROP-able (the documented recovery)
+    val mvDir = java.nio.file.Paths.get(wh, "default", "_matviews")
+    Files.move(mvDir.resolve("mrn2"), mvDir.resolve("mrn3"))
+    val c2 = new Connector(spark, wh)
+    assert(c2.matViews == Seq("mrn2"), "exactly one definition survives")
+    val e = intercept[Exception] { c2.sql("SELECT * FROM mrn2").collect() }
+    assert(e.getMessage.contains("backing table missing"), e.getMessage)
+    c2.sql("DROP MATERIALIZED VIEW mrn2")
+    assert(c2.matViews.isEmpty)
+  }
 }
