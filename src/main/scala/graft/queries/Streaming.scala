@@ -45,6 +45,61 @@ object Streaming {
     try body finally s.conf.set(key, prev)
   }
 
+  /** Stage time-ordered replay slices in ONE input pass (r21, guide
+    * §1.2 step 1 — remove redundant passes).
+    *
+    * The replay rigs need `staging` to hold one parquet file per slice
+    * with file MODIFICATION TIMES increasing in slice order: the file
+    * stream source (`maxFilesPerTrigger = 1`) replays files in mtime
+    * order, so arrival order == slice order == event-time order at
+    * batch granularity. The original rigs got that by writing each
+    * slice sequentially — one FULL SCAN of the input per slice (8× for
+    * the 8-slice rigs). This writes ALL slices in one partitionBy pass
+    * (the slice column is dropped from the data files, exactly like
+    * the old per-slice writes), then MOVES the files into `staging` in
+    * slice order stamping strictly increasing mtimes IN THE PAST, so
+    * anything staged afterwards (q132's sentinel) lands later by
+    * construction. Same files, same batches, one scan.
+    *
+    * Row order WITHIN a slice file may differ from the sequential
+    * write's; every consumer below is within-batch order-insensitive
+    * (stream-stream join = set semantics; dropDuplicatesWithinWatermark
+    * outputs only duplicate-invariant columns; timerSessions sorts per
+    * (key, batch); cdcApply keeps latest by a total (ts, event_id)
+    * order) and every graded output carries a total ORDER BY. */
+  private def stageOrderedSlices(df: org.apache.spark.sql.DataFrame,
+      nSlices: Int, staging: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    require(df.columns.contains("__slice"), "stageOrderedSlices needs __slice")
+    // Scratch.dir pre-creates the dir; parquet wants a fresh path
+    val build = Scratch.dir("slices_build") + "/p"
+    df.repartition(nSlices, col("__slice"))
+      .write.partitionBy("__slice").parquet(build)
+    Files.createDirectories(Paths.get(staging))
+    val t0 = System.currentTimeMillis()
+    (0 until nSlices).foreach { g =>
+      val d = Paths.get(build, s"__slice=$g")
+      if (Files.isDirectory(d)) {
+        val ls = Files.list(d)
+        val fs =
+          try ls.iterator().asScala.filter(
+            _.getFileName.toString.endsWith(".parquet")).toSeq
+            .sortBy(_.getFileName.toString)
+          finally ls.close()
+        fs.zipWithIndex.foreach { case (f, i) =>
+          val dst = Paths.get(staging, f"slice$g%02d_$i%d.parquet")
+          Files.move(f, dst, StandardCopyOption.ATOMIC_MOVE)
+          // strictly increasing, strictly in the past: slice g gets
+          // t0 - (nSlices - g) seconds
+          Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(
+              t0 - (nSlices - g) * 1000L))
+        }
+      }
+    }
+  }
+
   /** Land a memory-sink table as parquet under [[Scratch]] and DROP the
     * sink's temp view: a complete-mode sink holds its whole result in
     * driver memory for the session's lifetime, and bench/verify invoke
@@ -288,13 +343,12 @@ object Streaming {
       val staging = Scratch.dir("q111_stage")
       val ev = T.events(s, d)
         .filter(col("event_type").isin("view", "click"))
-      // 8 sequential single-file writes in event-time order: the file
-      // source replays them as 8 micro-batches in modification-time
-      // order, so arrival order == event-time order at batch granularity
-      (0 until 8).foreach { g =>
-        ev.filter(dayofmonth(col("ts")).between(g * 4 + 1, g * 4 + 4))
-          .coalesce(1).write.mode("append").parquet(staging)
-      }
+      // 8 single-file slices in event-time order, staged in ONE pass
+      // (stageOrderedSlices): the file source replays them as 8
+      // micro-batches in modification-time order, so arrival order ==
+      // event-time order at batch granularity
+      stageOrderedSlices(ev.withColumn("__slice",
+        ((dayofmonth(col("ts")) - 1) / 4).cast("int")), 8, staging)
       val joined = EventStreams.followedBy(
         EventStreams.readEvents(s, staging, maxFilesPerTrigger = 1),
         firstType = "view", thenType = "click",
@@ -382,15 +436,16 @@ object Streaming {
         |ORDER BY event_id""".stripMargin) { (s, d) =>
       val staging = Scratch.dir("q126_stage")
       val ev = T.events(s, d)
-      // 8 sequential slices in event-time order; each slice delivers
-      // its events plus restamped retries of every third event
-      (0 until 8).foreach { g =>
-        val slice = ev.filter(dayofmonth(col("ts")).between(g * 4 + 1, g * 4 + 4))
-        val retries = slice.filter(col("event_id") % 3 === 0)
-          .withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND"))
-        slice.unionByName(retries)
-          .coalesce(1).write.mode("append").parquet(staging)
-      }
+      // 8 slices in event-time order staged in ONE pass; each slice
+      // delivers its events plus restamped retries of every third
+      // event. The retry's slice derives from its ORIGINAL ts (it must
+      // land in its original's batch even when the +1 s restamp
+      // crosses the slice's day boundary).
+      val sliced = ev.withColumn("__slice",
+        ((dayofmonth(col("ts")) - 1) / 4).cast("int"))
+      val retries = sliced.filter(col("event_id") % 3 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 1 SECOND"))
+      stageOrderedSlices(sliced.unionByName(retries), 8, staging)
       val deduped = EventStreams.dedupWithinWatermark(
         EventStreams.readEvents(s, staging, maxFilesPerTrigger = 1),
         keys = Seq("event_id"), watermark = "1 hour")
@@ -498,12 +553,12 @@ object Streaming {
       import s.implicits._
       val staging = Scratch.dir("q132_stage")
       val ev = T.events(s, d)
-      (0 until 8).foreach { g =>
-        ev.filter(dayofmonth(col("ts")).between(g * 4 + 1, g * 4 + 4))
-          .coalesce(1).write.mode("append").parquet(staging)
-      }
+      stageOrderedSlices(ev.withColumn("__slice",
+        ((dayofmonth(col("ts")) - 1) / 4).cast("int")), 8, staging)
       // sentinel slice: one far-future event for a user the output
-      // filters away; its watermark passes every real timer
+      // filters away; its watermark passes every real timer. Staged
+      // AFTER the one-pass slices, whose mtimes are stamped in the
+      // past — the sentinel's fresh mtime sorts it last.
       ev.limit(1)
         .withColumn("user_id", lit(-1L))
         .withColumn("ts", col("ts") + expr("INTERVAL 400 DAYS"))
@@ -618,10 +673,8 @@ object Streaming {
       // delete must only carry NEWER events for the semantics to be
       // batch-boundary-independent — day-ordered staging guarantees it
       val ev = T.events(s, d)
-      (0 until 4).foreach { g =>
-        ev.filter(dayofmonth(col("ts")).between(g * 8 + 1, g * 8 + 8))
-          .coalesce(1).write.mode("append").parquet(staging)
-      }
+      stageOrderedSlices(ev.withColumn("__slice",
+        ((dayofmonth(col("ts")) - 1) / 8).cast("int")), 4, staging)
       val conn = new Connector(s, Scratch.dir("q143_wh"))
       val ckpt = Scratch.dir("q143_ckpt")
       val delArm = Some(col("event_type") === "purchase")
