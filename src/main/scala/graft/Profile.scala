@@ -54,7 +54,22 @@ object Profile {
         shuffle.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
       }
     }
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, String, Int, Long, Long, Long, Long, Long)]()
+    val stageListener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo; val m = i.taskMetrics
+        stages.add((i.stageId, i.name.takeWhile(_ != '\n').take(90),
+          i.numTasks, m.executorRunTime,
+          m.inputMetrics.recordsRead,
+          m.shuffleReadMetrics.recordsRead,
+          m.shuffleWriteMetrics.bytesWritten,
+          i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)))
+        ()
+      }
+    }
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.addSparkListener(stageListener)
     val t0 = System.nanoTime()
     val df = fn(spark, sfDir)
     val planTime = (System.nanoTime() - t0) / 1e9
@@ -82,6 +97,13 @@ object Profile {
     }
     val gaps = all.map(_._2).sum / 1000.0
     println(f"  job time total=$gaps%.3f s (wall minus this = driver-side gaps)")
+    println("  top stages by wall (stage, tasks, execRunTime s, wall s, " +
+      "inputRows, shufReadRows, shufWriteBytes):")
+    stages.asScala.toSeq.sortBy(-_._8).take(15).foreach {
+      case (id, nm, nt, ert, ir, srr, swb, wallMs) =>
+        println(f"    s$id%-4d $nt%3d t ${ert / 1000.0}%8.2f ert " +
+          f"${wallMs / 1000.0}%7.2f w  in=$ir%-9d sr=$srr%-9d sw=$swb%-10d $nm")
+    }
     spark.stop()
   }
 }

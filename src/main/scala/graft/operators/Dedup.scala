@@ -797,24 +797,40 @@ object Dedup {
     // soft assignment: a row lives in its `probes` nearest cells, so a
     // dup pair split across one boundary still meets in the shared
     // second-nearest cell (multi-probe, same trick as the IVF reader).
-    // Vectors ride the SAME pass (kmeansAssignNVec) — re-joining
-    // assignments back to the source re-derived the projection per
-    // plan reference and dominated the query's cost
-    val base0 = Similarity
-      .kmeansAssignNVec(df, idCol, vecCol, kEff, probesEff)
-      .select(col(idCol).as("__sd_i"), col("__v").as("__sd_v"),
-        explode(col("clusters")).as("cluster"))
-    val base = OpUtil.capBucketsForSelfJoin(base0, Seq("cluster"), capEff,
+    // r21 SLIM-SHUFFLE reshape (guide §2.3 / §8 — shuffle keys, not
+    // payloads): the candidate self-join and pair-dedup run on BARE
+    // (id, cluster) rows; vectors re-attach to only the DEDUPED pairs
+    // via two joins against the (id, vec) projection. The previous
+    // shape carried BOTH double vectors through the join and the
+    // dedup exchange — ~0.5 KB × |candidate pairs| (406 MB at sf0.1,
+    // 31.7 s in one AQE-coalesced task) versus 16 B × pairs now. The
+    // vec re-attach re-derives the source's (id, vec) projection once
+    // more; pair volume dwarfs corpus volume at every scale where
+    // this operator matters, so that is the right trade. Candidate
+    // SET is unchanged: same cached centroids (kmeansAssignN is
+    // kmeansAssignNVec minus the vector column), same whole-cell
+    // capping, same (id_a < id_b) pairing, same cast-to-double cosine.
+    val assigned = Similarity
+      .kmeansAssignN(df, idCol, vecCol, kEff, probesEff)
+      .select(col(idCol).as("__sd_i"), explode(col("clusters")).as("cluster"))
+    val base = OpUtil.capBucketsForSelfJoin(assigned, Seq("cluster"), capEff,
       "graft.semdedup.cellcap.drops")
-    val pairs = base
-      .select(col("__sd_i").as("id_a"), col("__sd_v").as("__va"), col("cluster"))
-      .join(base.select(col("__sd_i").as("id_b"),
-        col("__sd_v").as("__vb"), col("cluster")), Seq("cluster"))
+    val idPairs = base
+      .select(col("__sd_i").as("id_a"), col("cluster"))
+      .join(base.select(col("__sd_i").as("id_b"), col("cluster")),
+        Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       // a pair sharing several probed cells arrives once per shared
       // cell — dedupe BEFORE the cosine evaluation, not after
-      .select(col("id_a"), col("id_b"), col("__va"), col("__vb"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol).as("__sd_vid"),
+      col(vecCol).cast("array<double>").as("__sd_v"))
+    val pairs = idPairs
+      .join(vecs.select(col("__sd_vid").as("id_a"),
+        col("__sd_v").as("__va")), Seq("id_a"))
+      .join(vecs.select(col("__sd_vid").as("id_b"),
+        col("__sd_v").as("__vb")), Seq("id_b"))
       .filter(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
       .select("id_a", "id_b")
     keepCanonical(df, idCol, pairs)

