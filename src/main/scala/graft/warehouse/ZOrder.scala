@@ -124,13 +124,18 @@ object ZOrder {
     * quantile-threshold ladder; a value's bucket is the count of
     * thresholds ≤ it, scaled to the full b-bit space so both
     * dimensions' bits carry equal curve significance regardless of how
-    * many distinct thresholds each column produced. The count is a
-    * codegen'd higher-order `filter` over a literal array (≤ 255
-    * comparisons per row, no UDF); NULLs rank 0 (the curve's origin,
-    * matching range-partitioning's nulls-first). */
+    * many distinct thresholds each column produced. r21: the count is
+    * the NATIVE binary-search expression
+    * [[graft.functions.LadderCount]] — the previous higher-order
+    * `filter` over a ≤255-literal array evaluated interpreted per row
+    * and was q110's hottest stage twice over (identical counts by
+    * construction, see the expression's scaladoc); NULLs rank 0 (the
+    * curve's origin, matching range-partitioning's nulls-first). */
   private def quantRank(c: Column, thr: Seq[Double], bits: Int): Column = {
-    val cnt = size(filter(
-      array(thr.map(lit): _*), t => c.cast("double") >= t)).cast("long")
+    val cnt = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.LadderCount(
+        org.apache.spark.sql.GraftColumnBridge.expression(c.cast("double")),
+        thr.toArray))
     val m = thr.size.toLong // cnt ∈ [0, m]
     // scale as (cnt * maxRank) / m — dividing maxRank by m FIRST and
     // multiplying after would truncate low and then overshoot past the
