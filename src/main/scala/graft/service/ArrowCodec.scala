@@ -231,7 +231,14 @@ object ArrowCodec {
           val d = java.nio.file.Files.createTempDirectory("graft-ingest-")
           spillDir = Some(d); d
         }
-        spark.createDataFrame(buf.asJava, schema)
+        // one task/file per chunk: a chunk is bounded at chunkRows
+        // (~a few MB), but a local relation otherwise parallelizes over
+        // min(rows, defaultParallelism) slices — at local[32] that is
+        // 32 near-empty write tasks and 32 tiny files PER CHUNK, whose
+        // fixed per-task/per-file costs dominate every ingest commit
+        // and bloat downstream reads (file listing, one scan partition
+        // per file)
+        spark.createDataFrame(buf.asJava, schema).coalesce(1)
           .write.mode("append").parquet(dir.toString)
         buf.clear()
       }
@@ -248,7 +255,11 @@ object ArrowCodec {
         if (buf.length >= chunkRows) flush()
       }
       val df = spillDir match {
-        case None => spark.createDataFrame(buf.toSeq.asJava, schema)
+        // same single-slice rule as flush(): the body is bounded at
+        // chunkRows here, and consumers append/commit it — 32 slices
+        // would fan every downstream commit into 32 near-empty tasks
+        // and files
+        case None => spark.createDataFrame(buf.toSeq.asJava, schema).coalesce(1)
         case Some(d) =>
           flush() // tail chunk
           spark.read.schema(schema).parquet(d.toString)
