@@ -31,4 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++
+  // local experiment hook: extra -D system properties (space-separated)
+  // for A/B-ing spark/hadoop confs without editing the build
+  sys.env.get("SPARK_GRAFT_EXTRA_OPTS").toSeq.flatMap(_.split(' ').filter(_.nonEmpty))

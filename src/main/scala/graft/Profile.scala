@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicBoolean
+
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
@@ -42,6 +44,12 @@ object Profile {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(Option(j.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .filter(_ != "?")
+          // jobs submitted from Spark's SQL-execution pool carry no
+          // callsite in their properties — fall back to the job's
+          // first stage name (the operator + line that created it)
+          .orElse(j.stageInfos.headOption
+            .map(_.name.takeWhile(_ != '\n').take(70)))
           .getOrElse("?")
         jobs.put(j.jobId, (j.time, desc)); ()
       }
@@ -70,11 +78,42 @@ object Profile {
     }
     spark.sparkContext.addSparkListener(listener)
     spark.sparkContext.addSparkListener(stageListener)
+    // in-process wall-clock sampler (external attach/jstack is blocked
+    // in the sandbox): every 20 ms record the top graft/spark frame of
+    // each RUNNABLE non-worker thread, so driver-side gaps between jobs
+    // can be attributed to code instead of guessed at
+    val samples = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val sampling = new AtomicBoolean(true)
+    val sampler = new Thread(() => {
+      while (sampling.get()) {
+        val all = Thread.getAllStackTraces
+        all.forEach { (t, frames) =>
+          val n = t.getName
+          if (t.getState == Thread.State.RUNNABLE &&
+              !n.startsWith("Executor task launch") && n != "graft-sampler") {
+            frames.find(f =>
+                f.getClassName.startsWith("graft.") ||
+                f.getClassName.startsWith("org.apache.spark.") ||
+                f.getClassName.startsWith("org.apache.parquet.") ||
+                f.getClassName.startsWith("org.apache.hadoop."))
+              .foreach { f =>
+                val key = (if (n == "main") "MAIN " else "other ") +
+                  s"${f.getClassName.split('.').last}.${f.getMethodName}:${f.getLineNumber}"
+                samples.merge(key, 1, (a, b) => a + b); ()
+              }
+          }
+        }
+        Thread.sleep(20)
+      }
+    }, "graft-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
     val t0 = System.nanoTime()
     val df = fn(spark, sfDir)
     val planTime = (System.nanoTime() - t0) / 1e9
     df.count()
     val wall = (System.nanoTime() - t0) / 1e9
+    sampling.set(false)
     spark.sparkContext.removeSparkListener(listener)
 
     planOut.foreach { p =>
@@ -97,6 +136,9 @@ object Profile {
     }
     val gaps = all.map(_._2).sum / 1000.0
     println(f"  job time total=$gaps%.3f s (wall minus this = driver-side gaps)")
+    println("  top sampled frames (20 ms wall-clock samples, RUNNABLE non-worker threads):")
+    samples.entrySet().asScala.toSeq.sortBy(-_.getValue.intValue()).take(30)
+      .foreach(e => println(f"    ${e.getValue.intValue() * 0.02}%7.2f s  ${e.getKey}"))
     println("  top stages by wall (stage, tasks, execRunTime s, wall s, " +
       "inputRows, shufReadRows, shufWriteBytes):")
     stages.asScala.toSeq.sortBy(-_._8).take(15).foreach {

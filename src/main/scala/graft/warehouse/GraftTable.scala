@@ -1879,12 +1879,21 @@ final class GraftTable private (
     overwriteWhereImpl(cond, df, Some(prune))
   }
 
-  /** Per-file min/max for `cols`, keyed by manifest-relative path. One
-    * aggregate over the just-written files (columnar scan of only the
-    * stat columns). */
+  /** Per-file min/max for `cols`, keyed by manifest-relative path.
+    * Served from the just-written files' parquet FOOTERS — the writer
+    * already recorded exact per-column-chunk min/max, so commit-time
+    * stats need no Spark job and no second read of the data (every
+    * stats-recording commit previously paid a full aggregate scan of
+    * what it had just written). Falls back to that aggregate job only
+    * when a footer can't be mapped faithfully ([[footerColumnStats]]
+    * returns None). */
   private def collectStats(commitDir: Path, cols: Seq[String]): Map[String, FileStat] = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     if (cols.isEmpty) return footerStats(commitDir)
+    footerColumnStats(parquetFilesIn(commitDir), cols) match {
+      case Some(m) => return m
+      case None => // unmappable type/stat — pay the aggregate pass below
+    }
     // explicit files, not the dir — see mergeBlooms' subdirectory note
     val written = spark.read
       .parquet(parquetFilesIn(commitDir).map(_.toString): _*)
@@ -1941,6 +1950,134 @@ final class GraftTable private (
     * parse records −1 (unknown) rather than failing the commit. */
   private def footerStats(commitDir: Path): Map[String, FileStat] =
     footerStatsFor(parquetFilesIn(commitDir))
+
+  /** Footer-derived per-file column stats: maps each wanted column's
+    * parquet footer min/max onto the exact representation the pruning
+    * consumer ([[FileStat.mayContain]]) expects — numbers via
+    * [[FileStat.dirDouble]], strings as UTF-8-byte-ordered bounds
+    * (parquet's own binary stat order IS cmpUtf8's), timestamps
+    * normalized to epoch millis (min floored, max ceiled: bounds only
+    * widen), dates/booleans rendered as the same ISO/true-false
+    * strings the aggregate path recorded. All-null chunks contribute
+    * nothing; a column with no surviving bound is simply absent
+    * (conservative: unknown ⇒ match). Returns None — caller falls
+    * back to the aggregate job — when any wanted column carries a
+    * physical/logical type outside this table, NaN double bounds, or
+    * a footer without statistics. */
+  private def footerColumnStats(paths: Seq[Path], cols: Seq[String])
+      : Option[Map[String, FileStat]] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = Map.newBuilder[String, FileStat]
+    paths.foreach { p =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = r.getFooter.getBlocks.asScala
+          var numMin = Map.empty[String, Double]
+          var numMax = Map.empty[String, Double]
+          var strMin = Map.empty[String, String]
+          var strMax = Map.empty[String, String]
+          cols.foreach { c =>
+            var nMn: Option[Double] = None; var nMx: Option[Double] = None
+            var sMn: Option[String] = None; var sMx: Option[String] = None
+            blocks.foreach { b =>
+              val cc = b.getColumns.asScala
+                .find(_.getPath.toDotString == c)
+                .getOrElse(return None) // column absent from the footer
+              val st = cc.getStatistics
+              if (st == null) return None
+              if (st.hasNonNullValue) {
+                val pt = cc.getPrimitiveType
+                val la = pt.getLogicalTypeAnnotation
+                def mergeNum(mn: Double, mx: Double): Unit = {
+                  if (mn.isNaN || mx.isNaN) return // skip: bounds widen
+                  nMn = Some(nMn.fold(mn)(math.min(_, mn)))
+                  nMx = Some(nMx.fold(mx)(math.max(_, mx)))
+                }
+                def mergeStr(mn: String, mx: String): Unit = {
+                  sMn = Some(sMn.filter(FileStat.cmpUtf8(_, mn) <= 0)
+                    .getOrElse(mn))
+                  sMx = Some(sMx.filter(FileStat.cmpUtf8(_, mx) >= 0)
+                    .getOrElse(mx))
+                }
+                (pt.getPrimitiveTypeName, la) match {
+                  case (INT64, ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation) =>
+                    if (ts.getUnit !=
+                        LogicalTypeAnnotation.TimeUnit.MICROS) return None
+                    val mn = st.genericGetMin.asInstanceOf[java.lang.Long]
+                    val mx = st.genericGetMax.asInstanceOf[java.lang.Long]
+                    // stats are epoch MILLIS (the aggregate path's
+                    // unit); floor the min, ceil the max so the
+                    // recorded range only widens
+                    mergeNum(Math.floorDiv(mn, 1000L).toDouble,
+                      (-Math.floorDiv(-mx, 1000L)).toDouble)
+                  case (INT64, null) =>
+                    mergeNum(
+                      FileStat.dirDouble(
+                        st.genericGetMin.asInstanceOf[java.lang.Long], up = false),
+                      FileStat.dirDouble(
+                        st.genericGetMax.asInstanceOf[java.lang.Long], up = true))
+                  case (INT64, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+                      if i.isSigned =>
+                    mergeNum(
+                      FileStat.dirDouble(
+                        st.genericGetMin.asInstanceOf[java.lang.Long], up = false),
+                      FileStat.dirDouble(
+                        st.genericGetMax.asInstanceOf[java.lang.Long], up = true))
+                  case (INT32, _: LogicalTypeAnnotation.DateLogicalTypeAnnotation) =>
+                    // the aggregate path recorded java.sql.Date.toString
+                    // (ISO yyyy-MM-dd) as STRING bounds — match it
+                    mergeStr(
+                      java.time.LocalDate.ofEpochDay(
+                        st.genericGetMin.asInstanceOf[java.lang.Integer]
+                          .longValue).toString,
+                      java.time.LocalDate.ofEpochDay(
+                        st.genericGetMax.asInstanceOf[java.lang.Integer]
+                          .longValue).toString)
+                  case (INT32, null) =>
+                    mergeNum(
+                      st.genericGetMin.asInstanceOf[java.lang.Integer].toDouble,
+                      st.genericGetMax.asInstanceOf[java.lang.Integer].toDouble)
+                  case (INT32, i: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+                      if i.isSigned =>
+                    mergeNum(
+                      st.genericGetMin.asInstanceOf[java.lang.Integer].toDouble,
+                      st.genericGetMax.asInstanceOf[java.lang.Integer].toDouble)
+                  case (DOUBLE, _) =>
+                    mergeNum(st.genericGetMin.asInstanceOf[java.lang.Double],
+                      st.genericGetMax.asInstanceOf[java.lang.Double])
+                  case (FLOAT, _) =>
+                    mergeNum(
+                      st.genericGetMin.asInstanceOf[java.lang.Float].toDouble,
+                      st.genericGetMax.asInstanceOf[java.lang.Float].toDouble)
+                  case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+                    // parquet may truncate long binary bounds, but only
+                    // outward — still a sound (wider) range
+                    mergeStr(
+                      new String(st.getMinBytes, java.nio.charset.StandardCharsets.UTF_8),
+                      new String(st.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8))
+                  case (BOOLEAN, _) =>
+                    mergeStr(st.genericGetMin.toString, st.genericGetMax.toString)
+                  case _ => return None // decimal/int96/unsigned/binary-raw
+                }
+              }
+            }
+            nMn.foreach(v => numMin += c -> v); nMx.foreach(v => numMax += c -> v)
+            sMn.foreach(v => strMin += c -> v); sMx.foreach(v => strMax += c -> v)
+          }
+          out += dir.relativize(p).toString -> FileStat(
+            numMin, numMax, strMin, strMax,
+            rows = r.getRecordCount,
+            bytes = scala.util.Try(Files.size(p)).getOrElse(-1L))
+        } finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => return None }
+    }
+    Some(out.result())
+  }
 
   private def footerStatsFor(paths: Seq[Path]): Map[String, FileStat] = {
     val conf = spark.sparkContext.hadoopConfiguration
