@@ -21,6 +21,14 @@ object Main {
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // cached plans otherwise keep their pre-AQE output partitioning:
+      // every .persist() in the engine materialized tiny frames at the
+      // full spark.sql.shuffle.partitions fan-out and pinned that
+      // width on all downstream stages (32 near-empty tasks per job at
+      // local[32]; q138's min/max-MV probe cache measured 1.7x slower
+      // without this). Scale-independent: it simply lets AQE apply the
+      // same coalescing to cached plans that uncached ones already get.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
